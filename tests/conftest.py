@@ -1,0 +1,49 @@
+"""Shared pytest fixtures: one SparkSession per test session, plus
+the OpenAQ-shaped fixture lake and its bronze/transform outputs."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from openaq_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(
+        app_name="openaq-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g", "spark.sql.warehouse.dir": "/tmp/spark-wh"},
+    )
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def fixture_lake(tmp_path_factory):
+    from fixtures_openaq import write_lake
+
+    root = tmp_path_factory.mktemp("lake")
+    return write_lake(str(root))
+
+
+@pytest.fixture(scope="session")
+def pipeline(spark, fixture_lake, tmp_path_factory):
+    """Ingested + transformed fixture pipeline (lazy model dict)."""
+    from openaq_data_pipeline_spark.plans.runner import PipelinePaths, ingest, transform
+
+    root = str(tmp_path_factory.mktemp("wh"))
+    paths = PipelinePaths(
+        root=root,
+        lake_locations=fixture_lake["locations"],
+        lake_measurements=fixture_lake["measurements"],
+    )
+    counts = ingest(spark, paths)
+    models = transform(spark, paths)
+    return {"counts": counts, "models": models, "paths": paths}
