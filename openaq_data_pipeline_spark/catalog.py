@@ -1,0 +1,166 @@
+"""Operator query catalog: every SURVEY §2 operator demonstrated on
+the driver's TPC-H-ish tables, each with a DuckDB oracle.
+
+This is the engine's public correctness surface: ``__spark_entry__``
+re-exports it. Each :class:`QueryDef` maps one operator family from
+the reference inventory onto ``/root/testdata/sf*/`` (tables:
+region nation customer supplier part orders lineitem events
+documents embeddings), implemented Spark-first and paired with the
+ANSI-SQL statement DuckDB runs on the same parquet files.
+
+Determinism contract (driver hashes values order-insensitively but
+exactly):
+- window ranks always carry a unique tiebreak column;
+- float aggregates are ROUNDed (2 dp) on both sides;
+- timestamps/dates in outputs are rendered as canonical strings on
+  both sides (Spark timestamps are tz-aware UTC instants, DuckDB's
+  are naive — strings sidestep representation drift);
+- integral aggregates are cast to BIGINT on both sides (DuckDB
+  SUM(int) returns HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from openaq_data_pipeline_spark.functions.keys import NULL_SENTINEL
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read the requested parquet tables and register temp views so
+    builders can freely mix DataFrame API and SQL.
+
+    The driver's ``events.ts`` is parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects outright; we read nanos as long (legacy
+    conf) and rebuild a microsecond TimestampType (the source data is
+    µs-resolution, so truncation is lossless and DuckDB's own
+    µs-string rendering matches).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for f_field in df.schema.fields:
+            if name == "events" and f_field.name == "ts":
+                # integer division: exact floor-to-µs, matching
+                # DuckDB's µs truncation in strftime
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+@dataclass
+class QueryDef:
+    name: str
+    operators: str  # SURVEY §2 ids this query demonstrates
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    tags: list[str] = field(default_factory=list)
+
+
+_REGISTRY: list[QueryDef] = []
+
+
+def register(name: str, operators: str, oracle: str | None, tags: list[str] | None = None):
+    def deco(fn):
+        _REGISTRY.append(QueryDef(name, operators, fn, oracle, tags or []))
+        return fn
+
+    return deco
+
+
+def registry() -> list[QueryDef]:
+    # import for registration side effects
+    from openaq_data_pipeline_spark import queries_core  # noqa: F401
+    from openaq_data_pipeline_spark import queries_ext  # noqa: F401
+
+    return list(_REGISTRY)
+
+
+# --- shared canonical renderers (both engines) --------------------------
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+HOUR_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+HOUR_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+DATE_FMT_SPARK = "yyyy-MM-dd"
+DATE_FMT_DUCK = "%Y-%m-%d"
+
+
+def ts_str(col, fmt: str = TS_FMT_SPARK):
+    return F.date_format(col, fmt)
+
+
+def sk_spark(*cols) -> F.Column:
+    """Surrogate key over pre-rendered string columns (F13)."""
+    return F.md5(
+        F.concat_ws(
+            "-", *[F.coalesce(c, F.lit(NULL_SENTINEL)) for c in cols]
+        )
+    )
+
+
+def sk_duck(*exprs: str) -> str:
+    parts = ", ".join(f"coalesce({e}, '{NULL_SENTINEL}')" for e in exprs)
+    return f"md5(concat_ws('-', {parts}))"
+
+
+# --- exact cross-engine ROUND(AVG(...)) --------------------------------
+#
+# ROUND(AVG(x), s) over doubles is not hash-stable across engines: when
+# the true average lands exactly on a .5 rounding midpoint (common —
+# 2-decimal inputs averaged over counts of 2/4/5), Spark rounds the
+# double's shortest decimal repr HALF_UP while DuckDB rounds a scaled
+# float, and they disagree. The reference's BigQuery ROUND is
+# half-away-from-zero on the exact value, so the *correct* semantics is
+# exact decimal arithmetic. We therefore compute averages with integer
+# scaling: inputs have a fixed decimal scale (`in_scale`), sums are
+# exact BIGINTs, and round-half-up is pure integer math — identical in
+# any engine. (At >1e15-unit sums switch to DECIMAL; noted inline.)
+
+
+def exact_avg_spark(value, cond=None, in_scale: int = 2, out_scale: int = 2):
+    """Column: ROUND(AVG(value [WHERE cond]), out_scale) with exact
+    half-away-from-zero semantics for non-negative values."""
+    m = 10**in_scale
+    k = 10**out_scale
+    v = F.when(cond, value) if cond is not None else value
+    s = F.sum(F.round(v * m, 0).cast("long"))
+    n = F.count(v)
+    num = s * (2 * k) + n * m
+    den = n * (2 * m)
+    qcol = (num - (num % den)) / den  # floor division for positive ints
+    return F.when(n > 0, (qcol / k).cast("double")).otherwise(F.lit(None).cast("double"))
+
+
+def exact_avg_duck(value_sql: str, cond_sql: str | None = None,
+                   in_scale: int = 2, out_scale: int = 2) -> str:
+    m = 10**in_scale
+    k = 10**out_scale
+    v = f"CASE WHEN {cond_sql} THEN {value_sql} END" if cond_sql else value_sql
+    s = f"sum(CAST(round(({v}) * {m}, 0) AS BIGINT))"
+    n = f"count({v})"
+    return (
+        f"CASE WHEN {n} > 0 THEN CAST("
+        f"(({s} * {2 * k} + {n} * {m}) // ({n} * {2 * m})) / {k}.0"
+        f" AS DOUBLE) END"
+    )

@@ -1,0 +1,40 @@
+"""Spark-vs-DuckDB parity for every catalog query (the driver's t2
+gate, run locally at sf0.001 for speed; set PARITY_SF_DIR to run at
+sf0.01 exactly like the driver)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from openaq_data_pipeline_spark.catalog import registry
+from oracle_harness import compare, run_oracle
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+QUERIES = registry()
+
+
+@pytest.mark.parametrize("qdef", QUERIES, ids=[q.name for q in QUERIES])
+def test_parity(spark, qdef):
+    df = qdef.build(spark, SF_DIR)
+    if qdef.oracle is None:
+        assert df.count() >= 0  # rows-only check, mirrors driver
+        return
+    oracle_pdf = run_oracle(qdef.oracle, SF_DIR)
+    problems = compare(df, oracle_pdf)
+    assert not problems, f"{qdef.name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    names = set(entrymod.queries())
+    oracle = entrymod.oracle_sql()
+    assert set(oracle) <= names
