@@ -152,6 +152,26 @@ def exact_avg_spark(value, cond=None, in_scale: int = 2, out_scale: int = 2):
     return F.when(n > 0, (qcol / k).cast("double")).otherwise(F.lit(None).cast("double"))
 
 
+def exact_ratio_spark(num, den, out_scale: int = 4):
+    """Column: ROUND(num/den, out_scale) with exact half-away-from-zero
+    integer math (num, den non-negative integer columns, den > 0)."""
+    k = 10**out_scale
+    n = num.cast("long")
+    d = den.cast("long")
+    t = n * (2 * k) + d
+    q = (t - (t % (2 * d))) / (2 * d)
+    return F.when(d > 0, (q / k).cast("double")).otherwise(F.lit(None).cast("double"))
+
+
+def exact_ratio_duck(num_sql: str, den_sql: str, out_scale: int = 4) -> str:
+    k = 10**out_scale
+    return (
+        f"CASE WHEN {den_sql} > 0 THEN CAST("
+        f"((CAST({num_sql} AS BIGINT) * {2 * k} + CAST({den_sql} AS BIGINT))"
+        f" // (2 * CAST({den_sql} AS BIGINT))) / {k}.0 AS DOUBLE) END"
+    )
+
+
 def exact_avg_duck(value_sql: str, cond_sql: str | None = None,
                    in_scale: int = 2, out_scale: int = 2) -> str:
     m = 10**in_scale

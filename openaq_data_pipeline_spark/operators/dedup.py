@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine — the near-duplicate toolkit for 100 TB
+training corpora (BASELINE.json north star).
+
+Scale design:
+- **exact**: one hash-aggregate on an MD5 fingerprint. The only
+  shuffle is on the 128-bit key — uniform, skew-free.
+- **MinHash+LSH**: signatures are k conditional MIN aggregates over
+  shingle hashes (map-side partial agg → one shuffle per doc, not per
+  shingle); banding turns O(n²) pair search into an equi-join on
+  (band_id, band_hash) — only colliding docs meet. This is the
+  canonical linear-scan near-dup pipeline used on web-scale corpora
+  (cf. the MinHashLSH literature; Spark MLlib has a variant, but the
+  pure-SQL formulation below keeps everything in Catalyst and is
+  oracle-testable).
+- **SimHash**: 16-bit hex-digit majority fingerprint — one aggregate
+  per bit over exploded tokens; near-dups collide on the exact
+  fingerprint (Hamming-0 buckets; wider Hamming radii = re-join on
+  bit-flipped variants).
+- **n-gram Jaccard**: exact pairwise verification via a shingle
+  equi-join (only docs sharing ≥1 shingle ever pair up), with
+  |A∩B| counted per pair and |A∪B| = |A|+|B|−|A∩B|.
+- **embedding cosine**: see operators/similarity.py.
+
+All hashes are MD5-derived → identical in Spark, DuckDB, anything.
+MinHash mins compare MD5 *hex strings* (fixed length ⇒ string order
+= numeric order), avoiding any engine-specific 64-bit hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.text import fingerprint, normalize, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id document per exact content fingerprint.
+    Equivalent to the reference's W1 latest-per-key dedup with
+    'content hash' as the key and 'min id' as the deterministic
+    survivor policy."""
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    ranked = df.select(F.col(id_col), F.col(text_col), fp)
+    survivors = ranked.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return survivors.join(ranked, [id_col, "fingerprint"]).select(
+        id_col, "fingerprint", text_col
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-gram shingles per document.
+    Built with sequence/transform/slice — pure Catalyst, no UDF."""
+    w = tokens(normalize(F.col(text_col)))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """(id, minhash_0..minhash_{k-1}): per-document MinHash signature.
+
+    Hash family i is the i-th 32-bit (8-hex-char) slice of
+    MD5(f"{i//4}|" + shingle) — ⌈k/4⌉ MD5 digests per shingle instead
+    of k (the slices of one digest are uniform and pairwise
+    independent enough for the MinHash estimator; standard practice
+    for web-scale dedup). Per-doc MIN of each slice →
+    P[min_a = min_b] = Jaccard(a,b). One aggregate pass; fixed-width
+    hex strings compare identically to their 32-bit values."""
+    digests = {
+        g: F.md5(F.concat(F.lit(f"{g}|"), F.col("shingle")))
+        for g in range((num_hashes + 3) // 4)
+    }
+    aggs = [
+        F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"minhash_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing ≥1 LSH band
+    (band hash = MD5 of its concatenated minhashes). Unioned band
+    tables → equi-join on (band_id, band_hash) → distinct pairs with
+    id_a < id_b. Only hash-colliding documents are ever joined."""
+    n_bands = num_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        band = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame, id_col: str, min_jaccard: float = 0.0
+) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b, jaccard) for every pair of
+    documents sharing at least one shingle. Exact n-gram Jaccard:
+    the shingle equi-join counts |A∩B|; |A| and |B| come from a
+    broadcast per-doc size table; |A∪B| = |A|+|B|−|A∩B|.
+    ``jaccard`` is exact-rounded to 4 dp (engine-neutral)."""
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            exact_ratio_spark(
+                F.col("n_common"),
+                F.col("n_a") + F.col("n_b") - F.col("n_common"),
+                out_scale=4,
+            ),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) 16-bit SimHash fingerprint as a 16-char '0'/'1'
+    string. Bit j is the majority vote of hex digit j of each token's
+    MD5 (digit ≥ 8 → +1 else −1). Identical in any engine with md5 +
+    substring. Near-duplicate documents (mostly-shared token bags)
+    agree on most bits; exact-bucket grouping finds Hamming-0 sets."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.substring(h, j + 1, 1).isin(*list("89abcdef")), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    votes = tok.groupBy(id_col).agg(*bit_aggs)
+    bits = [F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(16)]
+    return votes.select(F.col(id_col), F.concat(*bits).alias("simhash"))

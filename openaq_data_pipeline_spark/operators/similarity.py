@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (BASELINE.json north star):
+
+- **brute-force cosine top-k** — exact baseline. The dot product is
+  a builtin-function fold (``zip_with`` + ``aggregate``): stays in
+  Catalyst, no Python. Cost O(|queries|·|corpus|·d): right for
+  moderate query sets at any corpus size (queries broadcast; the
+  corpus scan stays partition-parallel and never shuffles until the
+  per-query top-k, which is a window over query_id — k-bounded).
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (deterministic, seeded) bucket the corpus; queries only score
+  their own bucket ∪ neighboring probes. Signature computation is a
+  vectorized Pandas UDF (one matmul per Arrow batch) — the idiomatic
+  Spark shape for numeric kernels the builtin functions can't
+  express efficiently.
+
+Float determinism: cosine sums run in float64 in ascending index
+order in both Spark's ``aggregate`` fold and DuckDB's list functions;
+outputs are rounded to 6 dp and ordered with explicit id tiebreaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _fold_sum(arr) -> F.Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_expr(a, b) -> F.Column:
+    """Cosine similarity of two array<float> columns, computed in
+    float64 with an index-ordered fold (engine-reproducible)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = _fold_sum(F.zip_with(da, db, lambda x, y: x * y))
+    na = F.sqrt(_fold_sum(F.transform(da, lambda x: x * x)))
+    nb = F.sqrt(_fold_sum(F.transform(db, lambda x: x * x)))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    Output: (query_id, rank, neighbor_id, cosine_sim). Self-matches
+    excluded. Deterministic: rank orders by rounded sim desc, then
+    neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_dp).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "cosine_sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_id, bucket) — multi-table random-hyperplane LSH.
+
+    L independent tables of ``n_planes`` hyperplanes each: a pair
+    colliding in ANY table becomes a candidate, giving recall
+    1−(1−p^b)^L (p = 1−θ/π). One vectorized (batch × dim) @
+    (dim × L·b) matmul per Arrow batch — the Pandas-UDF fast path."""
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)  # (L*b, dim)
+    weights = 1 << np.arange(n_planes)
+
+    def sign_batches(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) >= 0  # (n, L*b)
+            frames = []
+            for t in range(n_tables):
+                chunk = bits[:, t * n_planes : (t + 1) * n_planes]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col],
+                            "table_id": t,
+                            "bucket": chunk.dot(weights).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sign_batches, schema=f"{id_col} long, table_id int, bucket long"
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket
+    in ≥1 table. At scale the (table, bucket) equi-join replaces the
+    cross join — each query touches ~L·|corpus|/2^b candidates.
+    Recall vs brute force is asserted in tests/test_extensions.py."""
+    sig_c = lsh_signatures(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
+    sig_q = lsh_signatures(queries, dim, n_planes, n_tables, seed, id_col, vec_col)
+    cand = (
+        sig_c.alias("c")
+        .join(
+            F.broadcast(sig_q).alias("q"),
+            (F.col("c.table_id") == F.col("q.table_id"))
+            & (F.col("c.bucket") == F.col("q.bucket"))
+            & (F.col(f"c.{id_col}") != F.col(f"q.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cand.join(F.broadcast(q_vec), "query_id")
+        .join(c_vec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "cosine_sim")
+    )
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str, id_alias: str, v_alias: str):
+    """Project (id, float64 vector, L2 norm) once per vector so the
+    O(n²) pair scan folds each pair exactly once. The norm is the
+    same sqrt(Σx²) the naive formula computes — values unchanged."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        v.alias(v_alias),
+        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias(f"{v_alias}_norm"),
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) pairs with similarity ≥ threshold —
+    embedding-based near-duplicate detection. Brute-force pair scan
+    (exact); at scale pre-bucket with lsh_signatures and join on
+    bucket first. Norms are precomputed per vector (O(n) folds);
+    each pair costs one zip_with fold."""
+    a = _normed(df, id_col, vec_col, "id_a", "va")
+    b = _normed(df, id_col, vec_col, "id_b", "vb")
+    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("va_norm") * F.col("vb_norm")), round_dp).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

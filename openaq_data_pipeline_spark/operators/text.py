@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's surface (BASELINE.json north star): the
+operations an LLM-data pipeline runs over a ``documents`` table —
+language ID, quality scoring, token counting, fingerprinting. All are
+pure Column expressions (whole-stage codegen, no Python), so they run
+at parquet-scan speed on any cluster size; per-row cost is O(len).
+
+Engine-neutral determinism: hashes are MD5-derived (identical in any
+engine), ratios use exact integer rounding (catalog.exact_ratio_*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+
+# A BPE-ish word/punct tokenizer: words-with-apostrophes, numbers, or
+# single non-space symbols — close to the pre-tokenizers used for LLM
+# corpora, and expressible as one regexp in any engine.
+BPE_TOKEN_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+# language marker words for the n-gram/stopword heuristic language ID
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "des", "est", "une"],
+}
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), WHITESPACE, " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (array<string>)."""
+    return F.split(F.trim(text), WHITESPACE)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(tokens(text))
+    ).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count via the symbol-aware regexp."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def _count_re(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def char_counts(text: Column) -> dict[str, Column]:
+    """Raw integer counts feeding quality ratios (exact — ratios are
+    computed with integer rounding by callers)."""
+    return {
+        "n_chars": F.length(text).cast("long"),
+        "n_alpha": _count_re(text, r"[A-Za-z]"),
+        "n_digit": _count_re(text, r"[0-9]"),
+        "n_punct": _count_re(text, r"[^\w\s]"),
+        "n_space": _count_re(text, r"\s"),
+        "n_upper": _count_re(text, r"[A-Z]"),
+    }
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    pat = r"\b(?:" + "|".join(stopwords or STOPWORDS) + r")\b"
+    return _count_re(F.lower(text), pat)
+
+
+def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: the language whose marker-stopword hit
+    count is highest wins (ties broken by a fixed language order);
+    no hits → 'und'. One regexp count per language — vectorized,
+    shuffle-free."""
+    markers = markers or LANG_MARKERS
+    lowered = F.lower(text)
+    scores = []
+    for lang, words in markers.items():
+        pat = r"\b(?:" + "|".join(words) + r")\b"
+        scores.append((lang, _count_re(lowered, pat)))
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed fixed order → earlier languages win ties
+    for lang, score in reversed(scores):
+        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: MD5 of the normalized text (the
+    exact-dedup key)."""
+    return F.md5(normalize(text))
+
+
+def shingle_fingerprints(df, text_col: str, id_col: str, n: int = 3, keep: int = 4):
+    """DataFrame → (id, fingerprints array<string>): the ``keep``
+    smallest shingle MD5s per document (winnowing-style selection).
+    Expressed with builtin array functions — no UDF."""
+    w = tokens(normalize(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.expr(
+                        f"sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 1))"
+                    ),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, n))),
+                )
+            ),
+            1,
+            keep,
+        ).alias("fingerprints"),
+    )

@@ -1,7 +1,470 @@
-"""Extension operator queries (training-data pipeline ops): dedup,
-similarity search, text analysis, multimodal plumbing. Registered
-into the same catalog as the core queries. Populated incrementally —
-see operators/dedup.py, operators/similarity.py, operators/text.py.
+"""Extension operator queries: dedup, similarity search, text
+analysis, multimodal plumbing — the training-data-pipeline surface
+(BASELINE.json north star), each oracle-paired where SQL-expressible.
+
+The synthetic documents table has no natural duplicates, so the
+dedup queries build a deterministic *mutated corpus* inline — every
+5th document gets a copy (id + 100000) with its last five words
+dropped — giving true near-duplicate positives that both engines
+construct identically.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from openaq_data_pipeline_spark.catalog import (
+    exact_ratio_duck,
+    exact_ratio_spark,
+    load,
+    register,
+)
+from openaq_data_pipeline_spark.operators import dedup as D
+from openaq_data_pipeline_spark.operators import text as X
+from openaq_data_pipeline_spark.operators.multimodal import extract_features
+from openaq_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+
+# --- shared corpus builders (Spark + DuckDB must agree exactly) --------
+
+
+def _mutated_corpus(documents: DataFrame) -> DataFrame:
+    """documents ∪ truncated copies of every 5th doc (id+100000).
+    Only docs with ≥ 8 words are mutated so 3-gram shingling stays
+    well-defined on both sides."""
+    w = F.split(F.col("text"), " ")
+    mutated = (
+        documents.filter((F.col("doc_id") % 5 == 0) & (F.size(w) >= 8))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(w, 1, F.size(w) - 5)).alias("text"),
+        )
+    )
+    return documents.select("doc_id", "text").unionByName(mutated)
+
+
+_MUTATED_DUCK = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1,
+               len(string_split(text, ' ')) - 5), ' ') AS text
+    FROM documents
+    WHERE doc_id % 5 = 0 AND len(string_split(text, ' ')) >= 8
+)
+"""
+
+# (id, shingle) distinct 3-gram shingles; docs need ≥ 3 words.
+# The 4000-row series bound caps document length; log-noted in the
+# operator docstring (documents in this corpus are ≪ 4000 words).
+_SHINGLES_DUCK = """
+words AS (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM corpus
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS shingle
+    FROM words, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) - 2
+)
+"""
+
+
+def _minhash_duck(num_hashes: int = 8) -> str:
+    # mirror of operators/dedup.minhash_signatures: hash i = 8-hex
+    # slice i%4 of md5(f"{i//4}|" + shingle)
+    mins = ",\n           ".join(
+        f"min(substr(md5('{i // 4}|' || shingle), {(i % 4) * 8 + 1}, 8)) AS minhash_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+signatures AS (
+    SELECT doc_id,
+           {mins}
+    FROM shingles GROUP BY doc_id
+)
+"""
+
+
+def _bands_duck(num_hashes: int = 8, band_size: int = 2) -> str:
+    n_bands = num_hashes // band_size
+    selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM signatures"
+        )
+    return "bands AS (\n    " + "\n    UNION ALL\n    ".join(selects) + "\n)"
+
+
+# --- text analysis ------------------------------------------------------
+
+_BPE_RE_SQL = "[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "text_token_stats",
+    "EXT-text — token counting: whitespace + BPE-ish regexp "
+    "tokenizers, chars-per-token ratio",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       {exact_ratio_duck('length(text)', "len(string_split(trim(text), ' '))")} AS chars_per_token
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    n_tok = X.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        exact_ratio_spark(F.length("text"), n_tok).alias("chars_per_token"),
+    )
+
+
+_STOPWORD_RE_SQL = "\\b(?:" + "|".join(X.STOPWORDS) + ")\\b"
+_N_STOP_SQL = f"len(regexp_extract_all(lower(text), '{_STOPWORD_RE_SQL}'))"
+
+@register(
+    "text_quality_scores",
+    "EXT-text — quality scoring: alpha/punct/stopword ratios + "
+    "length-based keep/flag verdict",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({_N_STOP_SQL} AS BIGINT) AS n_stopwords,
+       {exact_ratio_duck("len(regexp_extract_all(text, '[A-Za-z]'))", "length(text)")} AS alpha_ratio,
+       {exact_ratio_duck("len(regexp_extract_all(text, '[^ -~]'))", "length(text)")} AS nonascii_ratio,
+       {exact_ratio_duck(_N_STOP_SQL, "len(string_split(trim(text), ' '))")} AS stopword_ratio,
+       CASE WHEN length(text) BETWEEN 50 AND 10000
+             AND len(regexp_extract_all(text, '[A-Za-z]')) * 2 > length(text)
+            THEN 'keep' ELSE 'flag' END AS verdict
+FROM documents
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    n_chars = F.length("text").cast("long")
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0)).cast("long")
+    n_nonascii = F.size(F.regexp_extract_all("text", F.lit(r"[^ -~]"), 0)).cast("long")
+    n_stop = X.stopword_count(F.col("text"))
+    n_tok = X.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_stop.alias("n_stopwords"),
+        exact_ratio_spark(n_alpha, n_chars).alias("alpha_ratio"),
+        exact_ratio_spark(n_nonascii, n_chars).alias("nonascii_ratio"),
+        exact_ratio_spark(n_stop, n_tok).alias("stopword_ratio"),
+        F.when(
+            n_chars.between(50, 10000) & (n_alpha * 2 > n_chars), "keep"
+        )
+        .otherwise("flag")
+        .alias("verdict"),
+    )
+
+
+_LANG_COUNTS_DUCK = ",\n       ".join(
+    f"len(regexp_extract_all(lower(text), '\\b(?:{'|'.join(words)})\\b')) AS c_{lang}"
+    for lang, words in X.LANG_MARKERS.items()
+)
+
+
+@register(
+    "text_lang_id",
+    "EXT-text — heuristic language ID (marker-stopword scoring, "
+    "fixed-priority tie break) vs the labeled lang column",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+       {_LANG_COUNTS_DUCK}
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN c_en + c_es + c_de + c_fr = 0 THEN 'und'
+            WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+            WHEN c_de >= c_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred,
+       (CASE WHEN c_en + c_es + c_de + c_fr = 0 THEN 'und'
+            WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+            WHEN c_de >= c_fr THEN 'de'
+            ELSE 'fr' END) = lang AS is_match
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    pred = X.lang_id(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+# --- dedup --------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    "EXT-dedup — exact dedup by content fingerprint (hash-groupBy, "
+    "min-id survivor) over a re-ingested (doubled) corpus",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text FROM documents
+),
+fp AS (
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM corpus
+)
+SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM fp GROUP BY fingerprint
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    corpus = d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return (
+        corpus.select("doc_id", X.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    "EXT-dedup — MinHash(k=8) + LSH banding (4 bands × 2 rows): "
+    "near-dup candidate pairs on the mutated corpus",
+    oracle=f"""
+WITH {_MUTATED_DUCK.strip()},
+{_SHINGLES_DUCK.strip()},
+{_minhash_duck(8).strip()},
+{_bands_duck(8, 2).strip()}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3)
+    sig = D.minhash_signatures(sh, "doc_id", num_hashes=8)
+    return D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "EXT-dedup — exact n-gram Jaccard verification (shingle "
+    "equi-join) at threshold 0.5 on the mutated corpus",
+    oracle=f"""
+WITH {_MUTATED_DUCK.strip()},
+{_SHINGLES_DUCK.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n_sh AS BIGINT) AS n_a,
+       CAST(sb.n_sh AS BIGINT) AS n_b,
+       {exact_ratio_duck('n_common', 'sa.n_sh + sb.n_sh - n_common')} AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {exact_ratio_duck('n_common', 'sa.n_sh + sb.n_sh - n_common')} >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3)
+    return D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+
+
+_SIMHASH_SUMS_DUCK = ",\n           ".join(
+    "sum(CASE WHEN substr(md5(tok), %d, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)
+    for j in range(16)
+)
+_SIMHASH_BITS_DUCK = " || ".join(
+    f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    "EXT-dedup — 16-bit SimHash fingerprint buckets: documents "
+    "agreeing on every majority bit (Hamming-0 near-dup buckets)",
+    oracle=f"""
+WITH {_MUTATED_DUCK.strip()},
+words AS (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM corpus
+),
+toks AS (
+    SELECT doc_id, w[g.i] AS tok
+    FROM words, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) AND w[g.i] <> ''
+),
+votes AS (
+    SELECT doc_id,
+           {_SIMHASH_SUMS_DUCK}
+    FROM toks GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {_SIMHASH_BITS_DUCK} AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    corpus = _mutated_corpus(d)
+    fp = D.simhash16(corpus, "text", "doc_id")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+_COSINE_DUCK = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    "EXT-dedup — embedding-cosine near-dup pairs (≥ 0.40), exact "
+    "pair scan (bit-exact float64 fold in both engines)",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COSINE_DUCK}, 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COSINE_DUCK}, 6) >= 0.40
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_near_dup_pairs(e, threshold=0.40, id_col="vec_id")
+
+
+# --- similarity search --------------------------------------------------
+
+
+@register(
+    "ann_topk_bruteforce",
+    "EXT-similarity — exact cosine top-5 neighbors for 10 query "
+    "vectors (brute-force baseline; window top-k)",
+    oracle=f"""
+WITH scored AS (
+    SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           round({_COSINE_DUCK}, 6) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+    ) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return brute_force_topk(e, e.filter("vec_id < 10"), k=5)
+
+
+@register(
+    "ann_topk_lsh",
+    "EXT-similarity — LSH-bucketed approximate top-k (hyperplane "
+    "signatures via vectorized Pandas UDF); recall vs brute force "
+    "asserted in tests/test_extensions.py",
+    oracle=None,  # numpy hyperplanes aren't SQL-expressible → rows-only
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return lsh_topk(e, e.filter("vec_id < 10"), dim=64, k=5, n_planes=4, n_tables=8)
+
+
+# --- multimodal ---------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    "EXT-multimodal — binary-column feature extraction via Arrow "
+    "mapInPandas (deterministic fake decoder; real codec slot raises "
+    "NotImplementedError)",
+    oracle="""
+WITH bytes AS (
+    SELECT doc_id, encode(text) AS blob FROM documents
+),
+chars AS (
+    SELECT doc_id, unicode(substr(text, g.i, 1)) AS code
+    FROM documents, generate_series(1, 100000) g(i)
+    WHERE g.i <= length(text)
+),
+agg AS (
+    SELECT doc_id, CAST(sum(code) AS BIGINT) AS byte_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM chars GROUP BY doc_id
+)
+SELECT b.doc_id AS media_id,
+       CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+       lower(substr(hex(blob), 1, 8)) AS header_hex,
+       CAST(((byte_sum * 20000 + n) // (2 * n)) / 10000.0 AS DOUBLE) AS mean_byte
+FROM bytes b JOIN agg USING (doc_id)
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' UTF-8 bytes stand in for media blobs (the container
+    has no image/audio test data); the oracle independently recomputes
+    byte length / header / exact-rounded mean byte, cross-checking
+    the Pandas-UDF path against pure SQL."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = extract_features(media, decode="fake")
+    return feats.select("media_id", "n_bytes", "header_hex", "mean_byte")

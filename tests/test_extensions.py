@@ -1,0 +1,164 @@
+"""Quality/behavior tests for the extension operators beyond hash
+parity: does LSH actually retrieve true neighbors, does MinHash
+banding find the planted near-duplicates, does the multimodal UDF
+plumbing hold its schema contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestDedup:
+    def test_minhash_lsh_finds_planted_near_dups(self, spark):
+        from openaq_data_pipeline_spark.queries_ext import dedup_minhash_lsh
+
+        pairs = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark, SF_DIR).collect()}
+        # every mutated copy (id+100000) should band-collide with its
+        # original: ~90% shingle overlap → P[2-row band match] ≈ 1
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        planted = {
+            (r.doc_id, r.doc_id + 100000)
+            for r in docs.filter(
+                (F.col("doc_id") % 5 == 0)
+                & (F.size(F.split("text", " ")) >= 8)
+            ).collect()
+        }
+        found = planted & pairs
+        assert len(found) / len(planted) >= 0.9
+
+    def test_ngram_jaccard_scores_planted_pairs_high(self, spark):
+        from openaq_data_pipeline_spark.queries_ext import dedup_ngram_jaccard
+
+        rows = dedup_ngram_jaccard(spark, SF_DIR).collect()
+        planted = [r for r in rows if r.id_b == r.id_a + 100000]
+        assert planted, "no planted pair passed the 0.5 threshold"
+        assert all(r.jaccard >= 0.5 for r in rows)
+
+    def test_exact_dedup_collapses_doubled_corpus(self, spark):
+        from openaq_data_pipeline_spark.queries_ext import dedup_exact
+
+        out = dedup_exact(spark, SF_DIR)
+        docs_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert out.count() == docs_n  # one survivor per original
+        assert out.filter("n_copies <> 2").count() == 0
+        assert out.filter("doc_id >= 200000").count() == 0  # min-id wins
+
+
+class TestSimilarity:
+    def test_lsh_recall_vs_brute_force(self, spark, embeddings):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_topk,
+        )
+
+        queries = embeddings.filter("vec_id < 10")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(embeddings, queries, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(
+                embeddings, queries, dim=64, k=5, n_planes=4, n_tables=8
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # multi-table LSH (8 tables × 4 planes): recall 1-(1-p^4)^8;
+        # approximate by design — require a sane floor
+        assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+    def test_brute_force_ranks_are_dense_and_deterministic(self, spark, embeddings):
+        from openaq_data_pipeline_spark.operators.similarity import brute_force_topk
+
+        out = brute_force_topk(embeddings, embeddings.filter("vec_id < 3"), k=5)
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+        # deterministic across runs
+        again = {(r.query_id, r.rank, r.neighbor_id) for r in out.collect()}
+        assert again == {(r.query_id, r.rank, r.neighbor_id) for r in rows}
+
+
+class TestMultimodal:
+    def test_feature_extraction_schema_and_determinism(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import extract_features
+
+        media = spark.createDataFrame(
+            [(1, b"hello world"), (2, b""), (3, None), (4, b"\x89PNG\r\n")],
+            "media_id long, content binary",
+        )
+        out = extract_features(media, decode="fake").collect()
+        rows = {r.media_id: r for r in out}
+        assert rows[1].n_bytes == 11
+        assert rows[1].header_hex == "68656c6c"
+        assert rows[4].header_hex == "89504e47"  # PNG magic
+        assert rows[2].n_bytes == 0 and rows[2].mean_byte is None
+        assert rows[3].n_bytes == 0
+        assert len(rows[1].feature) == 8
+        assert abs(sum(rows[1].feature) - 1.0) < 1e-6  # histogram normalized
+
+    def test_real_decode_is_explicitly_unimplemented(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import extract_features
+
+        media = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
+        with pytest.raises(NotImplementedError):
+            extract_features(media, decode="real")
+
+    def test_frame_sample_plan(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame(
+            [(1, 2500), (2, None)], "media_id long, duration_ms long"
+        )
+        rows = {r.media_id: r for r in frame_sample_plan(df, 1000).collect()}
+        assert rows[1].sample_ts_ms == [0, 1000, 2000]
+        assert rows[2].sample_ts_ms is None
+
+
+class TestTextOps:
+    def test_lang_id_deterministic_priority(self, spark):
+        from openaq_data_pipeline_spark.operators.text import lang_id
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog"),
+                (2, "el que la de los"),
+                (3, "zzz qqq www"),
+                (4, "the el"),  # tie en/es → fixed priority: en
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r.pred for r in df.select("id", lang_id(F.col("text")).alias("pred")).collect()}
+        assert out == {1: "en", 2: "es", 3: "und", 4: "en"}
+
+    def test_shingle_fingerprints_stable_under_suffix_edit(self, spark):
+        from openaq_data_pipeline_spark.operators.text import shingle_fingerprints
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "a b c d e f g h i j extra words here"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = {
+            r.doc_id: set(r.fingerprints)
+            for r in shingle_fingerprints(df, "text", "doc_id", n=3, keep=4).collect()
+        }
+        # winnowed mins mostly survive a suffix edit
+        assert len(fps[1] & fps[2]) >= 2
