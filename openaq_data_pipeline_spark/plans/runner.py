@@ -97,6 +97,8 @@ def transform(spark: SparkSession, paths: PipelinePaths) -> dict[str, DataFrame]
     enriched = int_sensors_enriched(sensors, locations)
 
     return {
+        "raw_locations": raw_locations,
+        "raw_measurements": raw_measurements,
         "stg_openaq__locations": locations,
         "stg_openaq__sensors": sensors,
         "stg_openaq__measurements": measurements,
@@ -106,3 +108,50 @@ def transform(spark: SparkSession, paths: PipelinePaths) -> dict[str, DataFrame]
         "mart_location_air_quality": mart_location_air_quality(valid, enriched),
         "mart_location_weather": mart_location_weather(valid, enriched),
     }
+
+
+def build(
+    spark: SparkSession,
+    paths: PipelinePaths,
+    freshness: bool = True,
+    raise_on_failure: bool = True,
+):
+    """The reference's ``dbt source freshness && dbt build`` contract
+    (``dags/02_openaq_transformation.py:41-47``): transform the full
+    model graph, then run the complete ported test manifest
+    (quality.REFERENCE_SUITE). Staging models are persisted for the
+    duration of the suite — each is referenced by several checks and
+    both marts, so caching turns ~8 recomputations of the silver
+    lineage into one."""
+    from openaq_data_pipeline_spark import quality as Q
+
+    models = transform(spark, paths)
+    cached = [
+        models[m]
+        for m in (
+            "stg_openaq__locations",
+            "stg_openaq__sensors",
+            "stg_openaq__measurements",
+        )
+    ]
+    for df in cached:
+        df.persist()
+    try:
+        freshness_results = []
+        if freshness:
+            for src in ("raw_locations", "raw_measurements"):
+                freshness_results.append(
+                    Q.source_freshness(models[src], source=src)
+                )
+        results = Q.run_suite(models, Q.REFERENCE_SUITE, Q.REFERENCE_SINGULARS)
+        if raise_on_failure:
+            Q.assert_suite(results)
+            stale = [f for f in freshness_results if f.status == "error"]
+            if stale:
+                raise Q.QualitySuiteError(
+                    f"stale sources: {[(f.source, f.age_hours) for f in stale]}"
+                )
+        return models, results, freshness_results
+    finally:
+        for df in cached:
+            df.unpersist()

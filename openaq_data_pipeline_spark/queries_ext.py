@@ -468,3 +468,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(media, decode="fake")
     return feats.select("media_id", "n_bytes", "header_hex", "mean_byte")
+
+
+# ---------------------------------------------------------------------------
+# Quality executor surface (quality.py) on the driver tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_report",
+    "A8,J3,P6 — quality-suite report (quality.py executor shape): all "
+    "row-local checks on a model folded into ONE scan + stacked to rows, "
+    "relationship checks as broadcast anti-join counts (dbt build contract, "
+    "dags/02_openaq_transformation.py:41-47)",
+    oracle="""
+SELECT 'unique:orders.o_orderkey' AS check_name,
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS failures
+FROM orders
+UNION ALL
+SELECT 'not_null:orders.o_custkey',
+       CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'is_non_negative:orders.o_totalprice',
+       CAST(coalesce(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'is_between:lineitem.l_discount',
+       CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'relationships:lineitem.l_orderkey',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+""",
+)
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality executor (quality.py) as a lazy DataFrame report:
+    per-model single-pass aggregate (unique via count-count_distinct,
+    predicates via sum(case)) stacked into (check_name, failures)
+    rows, plus one broadcast anti-join row per relationship check.
+    l_discount's [0, 0.1] bound intentionally fails on real data so
+    the report shows non-zero detection, matching the oracle."""
+    from openaq_data_pipeline_spark.quality import relationship_failures
+
+    t = load(spark, sf_dir, "orders", "lineitem")
+    orders, lineitem = t["orders"], t["lineitem"]
+
+    o = orders.agg(
+        (F.count("o_orderkey") - F.count_distinct("o_orderkey"))
+        .cast("long").alias("u"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("nn"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("neg"),
+    ).select(
+        F.expr(
+            "stack(3, 'unique:orders.o_orderkey', u, "
+            "'not_null:orders.o_custkey', nn, "
+            "'is_non_negative:orders.o_totalprice', neg) AS (check_name, failures)"
+        )
+    )
+    li = lineitem.agg(
+        F.coalesce(
+            F.sum(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("failures")
+    ).select(F.lit("is_between:lineitem.l_discount").alias("check_name"), "failures")
+    ri = relationship_failures(
+        lineitem.select(F.col("l_orderkey")), "l_orderkey",
+        orders.select(F.col("o_orderkey")), "o_orderkey",
+        broadcast=False,  # orders is fact-sized; let AQE choose
+    ).agg(F.count(F.lit(1)).cast("long").alias("failures")).select(
+        F.lit("relationships:lineitem.l_orderkey").alias("check_name"), "failures"
+    )
+    return o.unionByName(li).unionByName(ri)
