@@ -1,0 +1,170 @@
+"""Incremental (MERGE) materialization — the reference's dbt
+``materialized='incremental', unique_key=…`` contract (S12/P7,
+``mart_location_air_quality.sql:1-19``, ``mart_location_weather.sql:
+1-19``) on plain parquet.
+
+dbt-bigquery compiles that config to: scan only source rows past the
+high watermark (``WHERE measured_from_utc >= (SELECT MAX(
+measurement_hour_utc) FROM {{ this }})``), recompute the mart over
+the slice, then ``MERGE`` on the surrogate key into a
+day-partitioned, clustered target. Without Delta Lake in this
+environment, MERGE is emulated *partition-scoped*:
+
+1. the recomputed slice carries a derived day-partition column
+   (``DATE(event_time)``, mirroring BigQuery's ``partition_by
+   granularity: day``);
+2. existing target rows in the affected partitions whose key does
+   NOT collide with an incoming key are kept (broadcast anti-join —
+   the incoming key set is bounded by the lookback window);
+3. kept ∪ incoming is written with dynamic partition overwrite, so
+   only the affected day partitions are rewritten.
+
+At 100 TB this is O(lookback-days of data), not O(history): the
+watermark bounds the slice to recent hours, so the rewrite touches a
+handful of day partitions regardless of table age — the same scan
+shape BigQuery's partition-pruned MERGE produces.
+
+Late-data parity (SURVEY §2.9, §7.4.6): rows strictly older than the
+watermark are **silently dropped**, exactly like the reference's
+``>=`` lookback. The streaming variant (streaming/) offers the
+superset watermark-with-allowed-lateness behavior.
+
+The union-then-overwrite plan reads the target path it writes;
+Spark's self-overwrite guard rejects that lineage, so the merged
+slice is localCheckpoint-ed first — materializing only the affected
+partitions (bounded, see above), never the full table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+PART_COL = "_part_date"
+
+
+@dataclass(frozen=True)
+class IncrementalTable:
+    """Target contract ⇔ the dbt ``config()`` block
+    (``mart_location_air_quality.sql:1-11``)."""
+
+    path: str
+    unique_key: str
+    event_time_col: str  # partition_by.field (day granularity)
+    cluster_by: tuple[str, ...] = ()  # within-partition sort keys
+
+
+def read_target(spark: SparkSession, table: IncrementalTable) -> DataFrame | None:
+    """The current target, or None before the first run (dbt's
+    ``is_incremental() == false`` branch)."""
+    try:
+        return spark.read.parquet(table.path)
+    except AnalysisException:
+        return None
+
+
+def high_watermark(spark: SparkSession, table: IncrementalTable):
+    """P7/A4: ``SELECT MAX(event_time) FROM target`` — one scalar to
+    the driver; parquet footer stats make this metadata-only."""
+    target = read_target(spark, table)
+    if target is None:
+        return None
+    return target.agg(F.max(table.event_time_col)).first()[0]
+
+
+def _with_partition(df: DataFrame, table: IncrementalTable) -> DataFrame:
+    return df.withColumn(PART_COL, F.to_date(F.col(table.event_time_col)))
+
+
+def _write(df: DataFrame, table: IncrementalTable, mode: str) -> None:
+    out = df
+    if table.cluster_by:
+        out = out.sortWithinPartitions(*table.cluster_by)
+    out.write.mode(mode).partitionBy(PART_COL).parquet(table.path)
+
+
+def merge_upsert(
+    spark: SparkSession, table: IncrementalTable, incoming: DataFrame
+) -> None:
+    """MERGE ON unique_key, partition-scoped (steps 1-3 above).
+    Matched target rows are replaced by incoming rows; unmatched
+    target rows in affected partitions survive; other partitions are
+    untouched (dynamic overwrite)."""
+    incoming = _with_partition(incoming, table)
+    target = read_target(spark, table)
+    if target is None:
+        _write(incoming, table, "overwrite")
+        return
+    affected = incoming.select(PART_COL).distinct()
+    keys = incoming.select(table.unique_key).distinct()
+    keep = (
+        target.join(F.broadcast(affected), PART_COL, "left_semi")
+        .join(F.broadcast(keys), table.unique_key, "left_anti")
+    )
+    merged = keep.unionByName(incoming.select(keep.columns))
+    # break lineage: the write overwrites partitions this plan reads
+    merged = merged.localCheckpoint(eager=True)
+    _write(merged, table, "overwrite")
+
+
+def incremental_run(
+    spark: SparkSession,
+    table: IncrementalTable,
+    build_slice,
+    full_refresh: bool = False,
+) -> DataFrame:
+    """One dbt-style incremental run.
+
+    ``build_slice(watermark)`` must return the model DataFrame,
+    applying the reference's lookback predicate when ``watermark`` is
+    not None (the caller owns the predicate because the reference
+    filters the *source* CTE, not the output —
+    ``mart_location_air_quality.sql:14-19``). Returns the resulting
+    target table."""
+    hwm = None if full_refresh else high_watermark(spark, table)
+    sliced = build_slice(hwm)
+    if hwm is None:
+        _write(_with_partition(sliced, table), table, "overwrite")
+    else:
+        merge_upsert(spark, table, sliced)
+    return spark.read.parquet(table.path).drop(PART_COL)
+
+
+# ---------------------------------------------------------------------------
+# The reference's two incremental marts, wired end-to-end
+# ---------------------------------------------------------------------------
+
+AIR_QUALITY_TABLE_SPEC = dict(
+    unique_key="air_quality_record_id",
+    event_time_col="measurement_hour_utc",
+    cluster_by=("country_code", "location_id"),
+)
+WEATHER_TABLE_SPEC = dict(
+    unique_key="weather_record_id",
+    event_time_col="measurement_hour_utc",
+    cluster_by=("country_code", "location_id"),
+)
+
+
+def incremental_mart(
+    spark: SparkSession,
+    mart_fn,
+    valid_measurements: DataFrame,
+    sensors_enriched: DataFrame,
+    table: IncrementalTable,
+    full_refresh: bool = False,
+) -> DataFrame:
+    """Incremental build of one hourly mart: watermark-filter the
+    valid-measurements source (P7), recompute the pivot over the
+    slice, MERGE on the record key (S12)."""
+
+    def build_slice(hwm):
+        src = valid_measurements
+        if hwm is not None:
+            src = src.filter(F.col("measured_from_utc") >= F.lit(hwm))
+        return mart_fn(src, sensors_enriched)
+
+    return incremental_run(spark, table, build_slice, full_refresh=full_refresh)
