@@ -133,15 +133,19 @@ def stg_sensors(raw_locations: DataFrame, deterministic: bool = True) -> DataFra
     return latest_per_key(extracted, "sensor_record_id", tiebreak=tiebreak)
 
 
-def stg_measurements(raw_measurements: DataFrame, deterministic: bool = True) -> DataFrame:
-    """Typed measurement facts keyed by (sensor, parameter, from-ts).
+def measurements_projection(raw_measurements: DataFrame) -> DataFrame:
+    """The typed flattening of raw measurements *without* the W1
+    dedup — shared by batch staging (which adds latest-per-key) and
+    the streaming variant (which substitutes
+    ``dropDuplicatesWithinWatermark``; window row_number is not
+    streaming-expressible).
 
-    ⇔ ``stg_openaq__measurements.sql:11-49``. The surrogate key
+    ⇔ ``stg_openaq__measurements.sql:11-36``. The surrogate key
     hashes the *raw* JSON timestamp string (``JSON_VALUE(...)``
     before the CAST), so we hash ``period.datetimeFrom.utc`` as-is
     and cast separately.
     """
-    extracted = raw_measurements.select(
+    return raw_measurements.select(
         surrogate_key(
             F.col("_audit_sensor_id").cast("string"),
             F.col("data.parameter.id").cast("string"),
@@ -160,5 +164,11 @@ def stg_measurements(raw_measurements: DataFrame, deterministic: bool = True) ->
         F.col("data.flagInfo.hasFlags").cast("boolean").alias("has_flags"),
         *_audit_cols(raw_measurements),
     )
+
+
+def stg_measurements(raw_measurements: DataFrame, deterministic: bool = True) -> DataFrame:
+    """Typed measurement facts keyed by (sensor, parameter, from-ts),
+    deduplicated latest-per-key (W1 ⇔ stg_openaq__measurements.sql:44-49)."""
+    extracted = measurements_projection(raw_measurements)
     tiebreak = ["_audit_run_id"] if deterministic else None
     return latest_per_key(extracted, "measurement_id", tiebreak=tiebreak)

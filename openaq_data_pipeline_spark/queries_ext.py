@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from openaq_data_pipeline_spark.catalog import (
+    HOUR_FMT_DUCK,
+    HOUR_FMT_SPARK,
+    exact_avg_duck,
+    exact_avg_spark,
     exact_ratio_duck,
     exact_ratio_spark,
     load,
@@ -549,3 +553,90 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("relationships:lineitem.l_orderkey").alias("check_name"), "failures"
     )
     return o.unionByName(li).unionByName(ri)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming surface (streaming/pipeline.py) on the driver tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hourly_drain",
+    "§2.9 — Structured Streaming hourly tumbling-window agg: file-source "
+    "readStream over events, 2h watermark, update-mode foreachBatch MERGE "
+    "drain (availableNow); a full drain is deterministic, so it carries a "
+    "real oracle (the batch equivalent)",
+    oracle=f"""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '{HOUR_FMT_DUCK}') AS hour_utc,
+       {exact_avg_duck('value')} AS value_avg,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream the events parquet, window it hourly per event_type,
+    drain with Trigger.AvailableNow through the update-mode MERGE sink
+    (incremental.merge_upsert), and return the materialized table —
+    bit-identical to the batch aggregation because update mode plus a
+    full drain loses nothing to the watermark."""
+    import tempfile
+
+    from openaq_data_pipeline_spark.incremental import IncrementalTable, merge_upsert
+
+    # the events parquet stores ts as TIMESTAMP(NANOS); mirror the
+    # batch loader: read nanos as long (legacy conf set in load()),
+    # then rebuild a µs TimestampType
+    from pyspark.sql import types as T
+
+    events = load(spark, sf_dir, "events")["events"]
+    raw_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else f
+            for f in events.schema.fields
+        ]
+    )
+    # events.parquet is a single file; FileStreamSource needs a
+    # directory basePath, so scope the stream with a glob filter
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agged = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            exact_avg_spark(F.col("value")).alias("value_avg"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), HOUR_FMT_SPARK).alias("hour_utc"),
+            F.col("w.start").alias("event_hour"),
+            "value_avg",
+            "n_events",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_drain_")
+    table = IncrementalTable(
+        path=f"{tmp}/mart", unique_key="hour_utc", event_time_col="event_hour"
+    )
+
+    def _merge(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            merge_upsert(batch_df.sparkSession, table, batch_df)
+
+    q = (
+        agged.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(table.path).select(
+        "event_type", "hour_utc", "value_avg", "n_events"
+    )

@@ -1,0 +1,97 @@
+"""Structured Streaming variant: the availableNow drain of the
+fixture bronze must reproduce the batch mart (update/MERGE sink),
+withhold watermark-open windows (append sink), and deduplicate
+in-stream (dropDuplicatesWithinWatermark)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.incremental import (
+    AIR_QUALITY_TABLE_SPEC,
+    IncrementalTable,
+)
+from openaq_data_pipeline_spark.operators.intermediate import int_valid_measurements
+from openaq_data_pipeline_spark.operators.marts import mart_location_air_quality
+from openaq_data_pipeline_spark.operators.staging import measurements_projection
+from openaq_data_pipeline_spark.streaming import (
+    stream_mart_air_quality,
+    stream_raw_measurements,
+    stream_stg_measurements,
+    write_stream_append,
+    write_stream_merge,
+)
+
+
+def _run(query, timeout=120):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+def snap(df, cols=None):
+    cols = cols or sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.fixture()
+def streams(spark, pipeline):
+    raw = stream_raw_measurements(spark, pipeline["paths"].bronze_measurements)
+    enriched = pipeline["models"]["int_sensors_enriched"]
+    return raw, enriched
+
+
+class TestStreamingMart:
+    def test_merge_sink_equals_batch_mart(self, spark, pipeline, streams, tmp_path):
+        """Update-mode foreachBatch MERGE drains everything: result ==
+        batch mart computed over the *undeduplicated* projection (the
+        stream also skips dedup here so both sides see identical
+        input multiplicities)."""
+        raw, enriched = streams
+        stg = stream_stg_measurements(raw, dedup=False)
+        mart = stream_mart_air_quality(stg, enriched)
+        table = IncrementalTable(path=str(tmp_path / "aq"), **AIR_QUALITY_TABLE_SPEC)
+        _run(write_stream_merge(mart, table, str(tmp_path / "ckpt")))
+
+        got = spark.read.parquet(table.path).drop("_part_date")
+        raw_batch = spark.read.schema(raw.schema).parquet(
+            pipeline["paths"].bronze_measurements
+        )
+        valid = int_valid_measurements(measurements_projection(raw_batch))
+        expected = mart_location_air_quality(valid, enriched)
+        assert snap(got) == snap(expected)
+
+    def test_append_sink_withholds_open_windows(self, spark, streams, tmp_path):
+        """Append emits only windows the final watermark closed: max
+        event time is day-2 09:10, lateness 2h → every day-1 hour
+        emits, the 09:00 day-2 window stays open (the reference's
+        'yesterday completes on today's run' shape)."""
+        raw, enriched = streams
+        stg = stream_stg_measurements(raw, lateness="2 hours", dedup=False)
+        mart = stream_mart_air_quality(stg, enriched)
+        out = str(tmp_path / "aq_append")
+        _run(write_stream_append(mart, out, str(tmp_path / "ckpt")))
+
+        got = spark.read.parquet(out)
+        days = {str(r[0]) for r in got.select("date_utc").distinct().collect()}
+        assert days == {"2026-01-02"}
+        assert got.filter("hour_utc = 13").count() > 0
+
+    def test_in_stream_dedup(self, spark, streams, tmp_path):
+        """With dedup on, exactly one of the three 13:05 duplicate
+        extractions survives (value 9.4 twice + 99.0 once): hour-13
+        pm25 avg is avg(x, 10.6) with x ∈ {9.4, 99.0} — never the
+        no-dedup avg over all four rows (32.1)."""
+        raw, enriched = streams
+        stg = stream_stg_measurements(raw, dedup=True)
+        mart = stream_mart_air_quality(stg, enriched)
+        table = IncrementalTable(path=str(tmp_path / "aq"), **AIR_QUALITY_TABLE_SPEC)
+        _run(write_stream_merge(mart, table, str(tmp_path / "ckpt")))
+
+        vals = {
+            r["pm25_ugm3"]
+            for r in spark.read.parquet(table.path)
+            .filter("hour_utc = 13 AND location_id = 1")
+            .collect()
+        }
+        assert vals <= {10.0, 54.8} and vals
