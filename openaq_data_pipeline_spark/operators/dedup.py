@@ -48,19 +48,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct word n-gram shingles per document.
-    Built with sequence/transform/slice — pure Catalyst, no UDF."""
-    w = tokens(normalize(F.col(text_col)))
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) word n-gram shingles per document.
+    Built with sequence/transform/slice — pure Catalyst, no UDF.
+
+    ``distinct=True`` (set semantics) is required by Jaccard; MinHash
+    callers pass ``distinct=False`` because MIN is multiset-invariant
+    — identical signatures, one full shuffle of the exploded shingle
+    set saved (the dominant cost at corpus scale).
+
+    The token array is projected into a column *before* the slicing
+    lambda references it: Catalyst does not common-subexpression a
+    nested expression inside a higher-order-function lambda, so
+    inlining ``tokens(normalize(text))`` there re-runs the regex per
+    sequence element — O(words²) per document."""
+    w = F.col("__w")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    out = (
+        df.select(F.col(id_col), tokens(normalize(F.col(text_col))).alias("__w"))
+        .select(F.col(id_col), F.explode(sh).alias("shingle"))
         .where(F.col("shingle") != "")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -168,10 +182,16 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     MD5 (digit ≥ 8 → +1 else −1). Identical in any engine with md5 +
     substring. Near-duplicate documents (mostly-shared token bags)
     agree on most bits; exact-bucket grouping finds Hamming-0 sets."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("tok")
-    ).where(F.col("tok") != "")
-    h = F.md5(F.col("tok"))
+    tok = (
+        df.select(
+            F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        # project the digest once; inlined in 16 agg expressions it
+        # would be hashed 16× per token
+        .select(F.col(id_col), F.md5(F.col("tok")).alias("__h"))
+    )
+    h = F.col("__h")
     bit_aggs = [
         F.sum(
             F.when(

@@ -278,7 +278,7 @@ FROM bands a JOIN bands b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
     corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
-    sh = D.shingles(corpus, "text", "doc_id", n=3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3, distinct=False)  # MIN is multiset-invariant
     sig = D.minhash_signatures(sh, "doc_id", num_hashes=8)
     return D.lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
 

@@ -162,3 +162,18 @@ class TestTextOps:
         }
         # winnowed mins mostly survive a suffix edit
         assert len(fps[1] & fps[2]) >= 2
+
+
+class TestCosinePairMethods:
+    def test_matmul_equals_fold(self, spark):
+        """The vectorized matmul scorer must agree with the
+        pure-Catalyst index-ordered fold at the rounding precision."""
+        from openaq_data_pipeline_spark.operators.similarity import (
+            cosine_near_dup_pairs,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        fast = cosine_near_dup_pairs(e, 0.3, method="matmul")
+        slow = cosine_near_dup_pairs(e, 0.3, method="fold")
+        key = lambda r: (r["id_a"], r["id_b"], r["cosine_sim"])  # noqa: E731
+        assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
