@@ -167,3 +167,47 @@ def distinct_keys(df: DataFrame, col: str) -> DataFrame:
     return df.select(F.col(col).cast("long").alias("key")).where(
         F.col(col).isNotNull()
     ).distinct()
+
+
+def fetch_paginated_per_key(
+    keys_df: DataFrame,
+    url_template: str,
+    date_from: str,
+    date_to: str,
+    fetch: FetchFn | None = None,
+    policy: RetryPolicy | None = None,
+    limit: int = 1000,
+) -> DataFrame:
+    """S4: distributed paginated time-range fetch. Each key runs the
+    reference's page loop (exponential backoff, in-flight dedup,
+    short-page stop) inside its partition and expands to one output
+    row per fetched record: ``(key, payload)`` with the record
+    re-serialized as a JSON string (parsed downstream with the
+    declared payload schema — same drift tolerance as the lake)."""
+    import json as _json
+
+    policy = policy or RetryPolicy(backoff="exponential")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = fetch or default_transport()
+        for pdf in batches:
+            keys_out: list[int] = []
+            payloads: list[str] = []
+            for key in pdf["key"].tolist():
+                recs = paginate_time_range(
+                    transport,
+                    url_template.format(key=key),
+                    date_from,
+                    date_to,
+                    policy,
+                    limit,
+                )
+                for rec in recs:
+                    keys_out.append(int(key))
+                    payloads.append(_json.dumps(rec))
+            yield pd.DataFrame({"key": keys_out, "payload": payloads})
+
+    n = max(1, keys_df.sparkSession.sparkContext.defaultParallelism)
+    return keys_df.repartition(n, "key").mapInPandas(
+        run, schema="key long, payload string"
+    )
