@@ -640,3 +640,82 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table.path).select(
         "event_type", "hour_utc", "value_avg", "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# A3: conditional pivot with unit conversion INSIDE the aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weather_pivot_conversion",
+    "A3,F10 — conditional-AVG pivot with the unit conversion inside the "
+    "aggregate (mart_location_weather.sql:70-78: AVG(CASE WHEN id=100 THEN "
+    "v*9/5+32 END)), wind-direction analogue rounded to 0 dp",
+    oracle=f"""
+SELECT user_id,
+       {exact_avg_duck('value', "event_type = 'view'", in_scale=2)} AS view_raw,
+       {exact_avg_duck('value * 9 / 5 + 32', "event_type = 'view'", in_scale=4)} AS view_converted,
+       {exact_avg_duck('value', "event_type = 'click'", in_scale=2, out_scale=0)} AS click_deg
+FROM events
+GROUP BY user_id
+""",
+)
+def weather_pivot_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weather-mart shape: same source column pivoted twice with a
+    derivation applied *inside* the AVG (reference keeps °C and °F as
+    sibling aggregate columns) plus a 0-dp rounded pivot (wind
+    direction). Exact integer-scaled averaging on both engines."""
+    e = load(spark, sf_dir, "events")["events"]
+    v, t = F.col("value"), F.col("event_type")
+    return e.groupBy("user_id").agg(
+        exact_avg_spark(v, cond=t == "view", in_scale=2).alias("view_raw"),
+        exact_avg_spark(v * 9 / 5 + 32, cond=t == "view", in_scale=4).alias(
+            "view_converted"
+        ),
+        exact_avg_spark(v, cond=t == "click", in_scale=2, out_scale=0).alias(
+            "click_deg"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-tolerant aggregation (functions/skew.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_skew_agg",
+    "A1 at-scale variant — salted two-stage aggregation on a "
+    "low-cardinality (skew-prone) key; bit-identical to the plain "
+    "group-by the oracle runs (functions/skew.py)",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM events
+GROUP BY event_type
+""",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type has ~5 values over the whole fact — the archetypal
+    skewed aggregation key. The salted plan shuffles on (key, salt)
+    first, so no reducer owns a whole key; the combiner stage merges
+    ≤ n_salts partials. Values are exactly the single-stage result
+    (sums pre-scaled to integer cents for engine-neutral exactness)."""
+    from openaq_data_pipeline_spark.functions.skew import salted_two_stage_agg
+
+    e = load(spark, sf_dir, "events")["events"]
+    return salted_two_stage_agg(
+        e,
+        keys=["event_type"],
+        measures={
+            "n": ("count", F.lit(1)),
+            "sum_cents": ("sum", F.round(F.col("value") * 100, 0).cast("long")),
+            "min_user": ("min", F.col("user_id")),
+            "max_user": ("max", F.col("user_id")),
+        },
+        n_salts=16,
+    )
