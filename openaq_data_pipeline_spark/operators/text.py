@@ -107,21 +107,26 @@ def fingerprint(text: Column) -> Column:
 
 def shingle_fingerprints(df, text_col: str, id_col: str, n: int = 3, keep: int = 4):
     """DataFrame → (id, fingerprints array<string>): the ``keep``
-    smallest shingle MD5s per document (winnowing-style selection).
-    Expressed with builtin array functions — no UDF."""
-    w = tokens(normalize(F.col(text_col)))
-    return df.select(
-        F.col(id_col),
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    F.expr(
-                        f"sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 1))"
-                    ),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, n))),
-                )
-            ),
-            1,
-            keep,
-        ).alias("fingerprints"),
+    smallest shingle MD5s per document (winnowing-style selection —
+    the rolling-hash fingerprint family). Expressed with builtin
+    array functions — no UDF; documents with < n tokens yield no
+    row. The token array is projected before the lambda (Catalyst
+    does not CSE inside HOF lambdas — see operators/dedup.shingles)."""
+    w = F.col("__w")
+    return (
+        df.select(F.col(id_col), tokens(normalize(F.col(text_col))).alias("__w"))
+        .where(F.size(w) >= n)
+        .select(
+            F.col(id_col),
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, n))),
+                    )
+                ),
+                1,
+                keep,
+            ).alias("fingerprints"),
+        )
     )

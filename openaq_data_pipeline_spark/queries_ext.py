@@ -719,3 +719,35 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     )
+
+
+@register(
+    "text_fingerprints",
+    "EXT-text — winnowing-style document fingerprints: the 4 smallest "
+    "3-gram shingle MD5s per document, exploded to (doc, fingerprint, "
+    "rank) rows (operators/text.shingle_fingerprints)",
+    oracle="""
+WITH words AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, md5(w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]) AS h
+    FROM words, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) - 2
+),
+ranked AS (
+    SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+    FROM sh
+)
+SELECT doc_id, h AS fingerprint, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 4
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    fp = X.shingle_fingerprints(d, "text", "doc_id", n=3, keep=4)
+    return fp.select(
+        "doc_id", F.posexplode("fingerprints").alias("pos", "fingerprint")
+    ).select("doc_id", "fingerprint", (F.col("pos") + 1).cast("long").alias("rk"))
