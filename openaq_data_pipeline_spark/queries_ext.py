@@ -18,6 +18,8 @@ from pyspark.sql import Window
 from openaq_data_pipeline_spark.catalog import (
     HOUR_FMT_DUCK,
     HOUR_FMT_SPARK,
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
     exact_avg_duck,
     exact_avg_spark,
     exact_ratio_duck,
@@ -751,3 +753,88 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select(
         "doc_id", F.posexplode("fingerprints").alias("pos", "fingerprint")
     ).select("doc_id", "fingerprint", (F.col("pos") + 1).cast("long").alias("rk"))
+
+
+# ---------------------------------------------------------------------------
+# Session windows + approximate sketches (scale toolkit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_windows",
+    "EXT-sessionize — per-user session windows with a 30-minute "
+    "inactivity gap (F.session_window; the oracle is the classic "
+    "gaps-and-islands SQL, proving the operator's relational "
+    "semantics). Sessions: event count + span seconds",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+),
+islands AS (
+    SELECT user_id, ts,
+           sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_no
+    FROM marked
+)
+SELECT user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_seconds
+FROM islands
+GROUP BY user_id, session_no
+""",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — the stateful-streaming window the reference
+    lacks, batch-expressed with ``F.session_window`` (the same
+    operator runs under Structured Streaming with a watermark for
+    the stateful path). The session number is re-derived per user by
+    start-time rank so both engines emit identical keys."""
+    e = load(spark, sf_dir, "events")["events"]
+    sessions = e.groupBy(
+        F.col("user_id"), F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        # µs-exact: floor the *difference*, not each endpoint
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+        ).cast("long").alias("span_seconds"),
+        F.min("ts").alias("t0"),
+    )
+    rank = Window.partitionBy("user_id").orderBy(F.col("t0"))
+    return sessions.select(
+        "user_id",
+        F.row_number().over(rank).cast("long").alias("session_no"),
+        F.date_format("t0", TS_FMT_SPARK).alias("session_start"),
+        "n_events",
+        "span_seconds",
+    )
+
+
+@register(
+    "approx_distinct_sketch",
+    "EXT-sketch — HyperLogLog++ approximate distinct users per event "
+    "type (approx_count_distinct, rsd 1%): the constant-memory path "
+    "for COUNT(DISTINCT) at 100 TB. Sketch values are engine-specific "
+    "→ rows-only driver check; tests/test_extensions.py bounds the "
+    "relative error against the exact count",
+    oracle=None,
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT key) over a big fact shuffles every
+    distinct key; the HLL++ sketch aggregates in O(1) memory per
+    group and merges associatively (partial aggregation stays
+    map-side). rsd=0.01 ⇒ ~1% standard error."""
+    e = load(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

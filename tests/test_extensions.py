@@ -177,3 +177,26 @@ class TestCosinePairMethods:
         slow = cosine_near_dup_pairs(e, 0.3, method="fold")
         key = lambda r: (r["id_a"], r["id_b"], r["cosine_sim"])  # noqa: E731
         assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+
+class TestApproxSketch:
+    def test_relative_error_bounded(self, spark):
+        from openaq_data_pipeline_spark.catalog import load
+        from pyspark.sql import functions as F
+
+        e = load(spark, "/root/testdata/sf0.01", "events")["events"]
+        approx = {
+            r["event_type"]: r["a"]
+            for r in e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
+            .collect()
+        }
+        exact = {
+            r["event_type"]: r["x"]
+            for r in e.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("x"))
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for k, x in exact.items():
+            assert abs(approx[k] - x) / x < 0.05  # 5× the 1% rsd, safe bound
