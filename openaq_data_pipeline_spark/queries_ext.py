@@ -838,3 +838,38 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+@register(
+    "priority_orders_semi",
+    "J-family completion — EXISTS/left-semi join (the only join kind "
+    "absent from both the reference surface and the anti-join tests): "
+    "orders having at least one early-shipped line item",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderpriority,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate < o.o_orderdate + INTERVAL 10 DAY
+)
+""",
+)
+def priority_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi with a non-equi conjunct: the equi part hashes, the
+    range predicate evaluates as a join residual — one shuffle (or
+    broadcast under AQE), no fan-out, no dedup needed (semi-join
+    emits each qualifying order exactly once)."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    o, li = t["orders"].alias("o"), t["lineitem"].alias("li")
+    semi = o.join(
+        li,
+        (F.col("li.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("li.l_shipdate") < F.date_add(F.col("o.o_orderdate"), 10)),
+        "left_semi",
+    )
+    return semi.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )

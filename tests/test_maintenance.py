@@ -1,0 +1,53 @@
+"""Small-file compaction: fragmented partitions collapse to few
+files, untouched partitions keep their exact files, content is
+bit-preserved."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.sources.maintenance import (
+    compact_partitions,
+    partition_file_stats,
+)
+
+
+def _files(path, part):
+    return sorted(glob.glob(os.path.join(path, f"d={part}", "part-*")))
+
+
+class TestCompaction:
+    def _fragmented(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        # day A: 12 tiny appends → 12+ files; day B: one append
+        for i in range(12):
+            spark.createDataFrame([(i, "A")], "v long, d string").write.mode(
+                "append"
+            ).partitionBy("d").parquet(p)
+        spark.createDataFrame([(99, "B")], "v long, d string").write.mode(
+            "append"
+        ).partitionBy("d").parquet(p)
+        return p
+
+    def test_compacts_only_fragmented_partitions(self, spark, tmp_path):
+        p = self._fragmented(spark, tmp_path)
+        before_b = _files(p, "B")
+        before = spark.read.parquet(p).orderBy("v").collect()
+        compacted = compact_partitions(spark, p, "d", max_files=8)
+        assert compacted == ["A"]
+        assert len(_files(p, "A")) < 12
+        assert _files(p, "B") == before_b  # untouched, same physical files
+        after = spark.read.parquet(p).orderBy("v").collect()
+        assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    def test_noop_below_threshold(self, spark, tmp_path):
+        p = self._fragmented(spark, tmp_path)
+        assert compact_partitions(spark, p, "d", max_files=50) == []
+
+    def test_stats_shape(self, spark, tmp_path):
+        p = self._fragmented(spark, tmp_path)
+        stats = {r["p"]: r["n_files"] for r in partition_file_stats(spark, p, "d").collect()}
+        assert stats["A"] >= 12 and stats["B"] >= 1

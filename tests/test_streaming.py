@@ -95,3 +95,24 @@ class TestStreamingMart:
             .collect()
         }
         assert vals <= {10.0, 54.8} and vals
+
+
+class TestStreamingWeatherMart:
+    def test_weather_merge_equals_batch(self, spark, pipeline, streams, tmp_path):
+        from openaq_data_pipeline_spark.incremental import WEATHER_TABLE_SPEC
+        from openaq_data_pipeline_spark.operators.marts import mart_location_weather
+        from openaq_data_pipeline_spark.streaming import stream_mart_weather
+
+        raw, enriched = streams
+        stg = stream_stg_measurements(raw, dedup=False)
+        mart = stream_mart_weather(stg, enriched)
+        table = IncrementalTable(path=str(tmp_path / "w"), **WEATHER_TABLE_SPEC)
+        _run(write_stream_merge(mart, table, str(tmp_path / "ckpt_w")))
+
+        got = spark.read.parquet(table.path).drop("_part_date")
+        raw_batch = spark.read.schema(raw.schema).parquet(
+            pipeline["paths"].bronze_measurements
+        )
+        valid = int_valid_measurements(measurements_projection(raw_batch))
+        expected = mart_location_weather(valid, enriched)
+        assert snap(got) == snap(expected)
