@@ -68,6 +68,24 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return out
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to full cluster parallelism ahead of a
+    compute-bound map stage (shingling, per-shingle MD5, minhash).
+
+    Parquet parallelism is bounded by row-group splits; the driver's
+    testdata is one row group per table, so its scan arrives as a
+    single task and a CPU-heavy projection would otherwise run on one
+    core out of 32. At 100 TB the scan is already thousands of splits
+    and this is a no-op (guarded below), so the round-robin shuffle is
+    strictly a small-input fixup, not a scale cost — the rows it moves
+    are exactly the rows one core would otherwise chew alone.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 @dataclass
 class QueryDef:
     name: str

@@ -24,6 +24,7 @@ from openaq_data_pipeline_spark.catalog import (
     exact_avg_spark,
     exact_ratio_duck,
     exact_ratio_spark,
+    fan_out,
     load,
     register,
 )
@@ -42,7 +43,10 @@ from openaq_data_pipeline_spark.operators.similarity import (
 def _mutated_corpus(documents: DataFrame) -> DataFrame:
     """documents ∪ truncated copies of every 5th doc (id+100000).
     Only docs with ≥ 8 words are mutated so 3-gram shingling stays
-    well-defined on both sides."""
+    well-defined on both sides. Deliberately NOT fanned out: the
+    downstream shingle explode feeds joins/aggregations whose shuffle
+    already parallelizes the heavy phase, and a measured A/B at sf0.1
+    showed the extra round-robin exchange is a net loss here."""
     w = F.split(F.col("text"), " ")
     mutated = (
         documents.filter((F.col("doc_id") % 5 == 0) & (F.size(w) >= 8))
@@ -163,7 +167,7 @@ FROM documents
 """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
     n_chars = F.length("text").cast("long")
     n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0)).cast("long")
     n_nonascii = F.size(F.regexp_extract_all("text", F.lit(r"[^ -~]"), 0)).cast("long")
@@ -748,11 +752,27 @@ FROM ranked WHERE rk <= 4
 """,
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")["documents"]
-    fp = X.shingle_fingerprints(d, "text", "doc_id", n=3, keep=4)
-    return fp.select(
-        "doc_id", F.posexplode("fingerprints").alias("pos", "fingerprint")
-    ).select("doc_id", "fingerprint", (F.col("pos") + 1).cast("long").alias("rk"))
+    """Explodes via ``stack`` rather than ``posexplode`` deliberately:
+    InferFiltersFromGenerate rewrites explode-of-a-*computed*-array
+    into a pushed-down ``size(arr)>0 AND isnotnull(arr)`` filter whose
+    pushdown clones the whole shingle-MD5 pipeline below the ``__w``
+    tokenization projection — re-tokenizing per array element, a
+    measured 9× slowdown at sf0.1. ``stack`` is not an ExplodeBase so
+    nothing is inferred; the array stays a multi-referenced non-cheap
+    alias (CollapseProject keeps it materialized once), and the
+    null-rank guard filters generator OUTPUT, which cannot be pushed
+    below the Generate."""
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    keep = 4
+    fp = X.shingle_fingerprints(d, "text", "doc_id", n=3, keep=keep)
+    pairs: list = []
+    for k in range(1, keep + 1):
+        pairs += [F.lit(k).cast("long"), F.element_at("fingerprints", k)]
+    return (
+        fp.select("doc_id", F.stack(F.lit(keep), *pairs).alias("rk", "fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+        .select("doc_id", "fingerprint", "rk")
+    )
 
 
 # ---------------------------------------------------------------------------
