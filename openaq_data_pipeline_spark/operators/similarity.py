@@ -187,6 +187,159 @@ def lsh_topk(
     )
 
 
+def _lit_vec(vec) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _centroid_struct_array(cent_rows) -> F.Column:
+    """Literal array<struct<cell:long, vec:array<double>, norm:double>>
+    embedding the coarse-quantizer centroids directly into the plan.
+    Norms are left-fold float64 sums (same order as the Spark/DuckDB
+    folds, so downstream cosines are bit-reproducible)."""
+    items = []
+    for cid, vec in cent_rows:
+        norm = 0.0
+        for x in vec:
+            norm += float(x) * float(x)
+        items.append(
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cell"),
+                _lit_vec(vec).alias("vec"),
+                F.lit(norm**0.5).alias("norm"),
+            )
+        )
+    return F.array(*items)
+
+
+def _ivf_scored(
+    df: DataFrame, cent_arr: F.Column, id_col: str, vec_col: str, round_dp: int
+) -> DataFrame:
+    """(id, __scored) where __scored is an array of (sim, negcell)
+    structs — rounded cosine against every centroid. Pure projection:
+    the whole coarse quantizer runs inside whole-stage codegen with
+    ZERO shuffle (struct ordering does the argmax/top-n, no window)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("__vn"),
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(
+                _fold_sum(F.zip_with(F.col("__v"), c["vec"], lambda x, y: x * y))
+                / (F.col("__vn") * c["norm"]),
+                round_dp,
+            ).alias("sim"),
+            (-c["cell"]).alias("negcell"),
+        ),
+    )
+    return base.select(F.col(id_col), scored.alias("__scored"))
+
+
+def ivf_assign(
+    df: DataFrame,
+    cent_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, cell_id): assign every vector to its nearest centroid by
+    rounded cosine (ties → lowest centroid id). ``array_max`` over
+    (sim, negcell) structs = lexicographic argmax — a map-only pass,
+    the IVF build step. At 100 TB this is one scan, no shuffle; the
+    cell_id column then partitions/buckets the index."""
+    scored = _ivf_scored(df, _centroid_struct_array(cent_rows), id_col, vec_col, round_dp)
+    return scored.select(
+        F.col(id_col), (-F.array_max("__scored")["negcell"]).alias("cell_id")
+    )
+
+
+def ivf_probe_cells(
+    df: DataFrame,
+    cent_rows,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """(id, cell_id) — the ``nprobe`` nearest cells per query vector
+    (sim desc, cell asc), again shuffle-free via sort_array+slice."""
+    scored = _ivf_scored(df, _centroid_struct_array(cent_rows), id_col, vec_col, round_dp)
+    top = F.slice(F.reverse(F.array_sort("__scored")), 1, nprobe)
+    return scored.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.transform(top, lambda s: -s["negcell"])).alias("cell_id"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k cosine search — the second ANN scale
+    path next to :func:`lsh_topk`, and (unlike random-hyperplane LSH)
+    fully deterministic and SQL-expressible, so it is hash-checked
+    against the DuckDB oracle rather than rows-only.
+
+    Coarse quantizer: the ``n_cells`` lowest-id corpus vectors act as
+    centroids (deterministic; a trained k-means would drop in the same
+    slot — the search-time plan is identical). Corpus vectors are
+    assigned to their nearest cell (map-only); each query probes its
+    ``nprobe`` nearest cells and scores only those cells' members with
+    the exact fold cosine. Collecting ``n_cells`` centroid rows to the
+    driver is a bounded, deliberate collect (same class as the
+    high-watermark scalar): the centroids then ride the closure into a
+    literal array, so assignment needs no join at all."""
+    cent_rows = sorted(
+        (int(r[0]), list(r[1]))
+        for r in corpus.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    assign = ivf_assign(corpus, cent_rows, id_col, vec_col, round_dp).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    probes = ivf_probe_cells(queries, cent_rows, nprobe, id_col, vec_col, round_dp)
+    cand = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cand.join(F.broadcast(q_vec), "query_id")
+        .join(c_vec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_dp).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "cosine_sim")
+    )
+
+
 def _normed(df: DataFrame, id_col: str, vec_col: str, id_alias: str, v_alias: str):
     """Project (id, float64 vector, L2 norm) once per vector so the
     O(n²) pair scan folds each pair exactly once. The norm is the

@@ -32,6 +32,7 @@ from openaq_data_pipeline_spark.operators import dedup as D
 from openaq_data_pipeline_spark.operators import text as X
 from openaq_data_pipeline_spark.operators.multimodal import extract_features
 from openaq_data_pipeline_spark.operators.similarity import (
+    ivf_topk,
     brute_force_topk,
     cosine_near_dup_pairs,
     lsh_topk,
@@ -435,6 +436,69 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     return lsh_topk(e, e.filter("vec_id < 10"), dim=64, k=5, n_planes=4, n_tables=8)
+
+
+def _cos_duck(x: str, y: str) -> str:
+    """DuckDB exact-fold cosine between two embedding refs."""
+    return (
+        f"list_dot_product({x}.embedding::DOUBLE[], {y}.embedding::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({x}.embedding::DOUBLE[], {x}.embedding::DOUBLE[])) * "
+        f"sqrt(list_dot_product({y}.embedding::DOUBLE[], {y}.embedding::DOUBLE[])))"
+    )
+
+
+@register(
+    "ann_topk_ivf",
+    "EXT-similarity — IVF-flat approximate top-5 (16 deterministic "
+    "cells, nprobe=4): map-only coarse quantizer + cell-pruned exact "
+    "scoring; unlike LSH this path is SQL-expressible → hash-checked",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+    SELECT a.vec_id AS neighbor_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({_cos_duck('a', 'c')}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings a CROSS JOIN cents c
+),
+probes AS (
+    SELECT q.vec_id AS query_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_cos_duck('q', 'c')}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < 10
+),
+cand AS (
+    SELECT DISTINCT p.query_id, s.neighbor_id
+    FROM (SELECT query_id, cell_id FROM probes WHERE rn <= 4) p
+    JOIN (SELECT neighbor_id, cell_id FROM assign WHERE rn = 1) s USING (cell_id)
+    WHERE s.neighbor_id <> p.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round({_cos_duck('q', 'a')}, 6) AS cosine_sim
+    FROM cand
+    JOIN embeddings q ON q.vec_id = cand.query_id
+    JOIN embeddings a ON a.vec_id = cand.neighbor_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+    ) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+""",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_topk(e, e.filter("vec_id < 10"), n_cells=16, nprobe=4, k=5)
 
 
 # --- multimodal ---------------------------------------------------------

@@ -80,6 +80,44 @@ class TestSimilarity:
         # approximate by design — require a sane floor
         assert recall >= 0.5, f"LSH recall collapsed: {recall}"
 
+    def test_ivf_recall_and_cell_coverage(self, spark, embeddings):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_assign,
+            ivf_topk,
+        )
+        from pyspark.sql import functions as F
+
+        queries = embeddings.filter("vec_id < 10")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(embeddings, queries, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(embeddings, queries, n_cells=16, nprobe=4, k=5).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # nprobe=4 of 16 cells scans ~25% of the corpus; near-dups
+        # cluster into the same cells so recall must beat that by far
+        assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+        cent_rows = sorted(
+            (int(r[0]), list(r[1]))
+            for r in embeddings.filter("vec_id < 16")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        assign = ivf_assign(embeddings, cent_rows)
+        # total partition: every vector lands in exactly one cell
+        assert assign.count() == embeddings.count()
+        assert assign.filter(F.col("cell_id").isNull()).count() == 0
+        cells = {r.cell_id for r in assign.select("cell_id").distinct().collect()}
+        assert cells <= set(range(16))
+        # each centroid is its own nearest cell (cosine(c,c)=1)
+        self_rows = assign.filter("vec_id < 16").collect()
+        assert all(r.cell_id == r.vec_id for r in self_rows)
+
     def test_brute_force_ranks_are_dense_and_deterministic(self, spark, embeddings):
         from openaq_data_pipeline_spark.operators.similarity import brute_force_topk
 
