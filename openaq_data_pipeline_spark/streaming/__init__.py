@@ -8,3 +8,6 @@ from openaq_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     write_stream_append,
     write_stream_merge,
 )
+from openaq_data_pipeline_spark.streaming.stateful import (  # noqa: F401
+    sensor_late_arrival_audit,
+)

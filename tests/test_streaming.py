@@ -97,6 +97,73 @@ class TestStreamingMart:
         assert vals <= {10.0, 54.8} and vals
 
 
+class TestStatefulAudit:
+    """applyInPandasWithState custom operator: per-sensor late-arrival
+    audit. Two availableNow drains over a growing source dir — the
+    second delivers rows below each sensor's checkpointed high-
+    watermark, which must be counted as late (the rows the reference's
+    incremental MERGE silently drops, SURVEY §2.9)."""
+
+    def _drain(self, spark, src, ckpt, sink):
+        from openaq_data_pipeline_spark.streaming import sensor_late_arrival_audit
+
+        stream = (
+            spark.readStream.schema("sensor_id long, measured_from_utc timestamp")
+            .parquet(src)
+        )
+        audit = sensor_late_arrival_audit(stream)
+        rows = []
+
+        def _collect(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            audit.writeStream.outputMode("update")
+            .foreachBatch(_collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run(q)
+        # cumulative counters are monotone: the final state per sensor
+        # is the row with the highest n_total
+        final = {}
+        for r in rows:
+            if r.sensor_id not in final or r.n_total > final[r.sensor_id].n_total:
+                final[r.sensor_id] = r
+        sink.update(final)
+
+    def test_late_rows_counted_against_checkpointed_watermark(self, spark, tmp_path):
+        from datetime import datetime
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        t = lambda h, m=0: datetime(2026, 1, 2, h, m)  # noqa: E731
+
+        phase1 = spark.createDataFrame(
+            [(1, t(10)), (1, t(11)), (2, t(10, 30))],
+            "sensor_id long, measured_from_utc timestamp",
+        )
+        phase1.coalesce(1).write.mode("append").parquet(src)
+        state: dict = {}
+        self._drain(spark, src, ckpt, state)
+        assert state[1].n_total == 2 and state[1].n_late == 0
+        assert state[2].n_total == 1 and state[2].n_late == 0
+
+        # phase 2: one on-time row + one below each sensor's watermark
+        phase2 = spark.createDataFrame(
+            [(1, t(9)), (1, t(12)), (2, t(10))],
+            "sensor_id long, measured_from_utc timestamp",
+        )
+        phase2.coalesce(1).write.mode("append").parquet(src)
+        self._drain(spark, src, ckpt, state)
+        assert state[1].n_total == 4 and state[1].n_late == 1
+        assert state[2].n_total == 2 and state[2].n_late == 1
+        # high-watermark advanced to the newest on-time row
+        assert state[1].max_seen_utc == t(12)
+        assert state[2].max_seen_utc == t(10, 30)
+
+
 class TestStreamingWeatherMart:
     def test_weather_merge_equals_batch(self, spark, pipeline, streams, tmp_path):
         from openaq_data_pipeline_spark.incremental import WEATHER_TABLE_SPEC
