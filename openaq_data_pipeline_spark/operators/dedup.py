@@ -108,15 +108,20 @@ def lsh_candidate_pairs(
     tables → equi-join on (band_id, band_hash) → distinct pairs with
     id_a < id_b. Only hash-colliding documents are ever joined."""
     n_bands = num_hashes // band_size
-    bands = None
+    stack_args: list = []
     for b in range(n_bands):
         cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        band = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
+    # stack() emits all bands in ONE pass over the signature table — a
+    # per-band union would re-run the whole shingle→minhash pipeline
+    # once per band (lambda-bearing subplans never canonicalize equal,
+    # so Catalyst cannot de-duplicate them; measured 4× the Generates
+    # at sf0.1). persist() the slim (id, band_id, band_hash) table so
+    # the self-join's two sides share one computation too.
+    bands = signatures.select(
+        F.col(id_col),
+        F.stack(F.lit(n_bands), *stack_args).alias("band_id", "band_hash"),
+    ).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -143,6 +148,12 @@ def jaccard_pairs(
     ``jaccard`` is exact-rounded to 4 dp (engine-neutral)."""
     from openaq_data_pipeline_spark.catalog import exact_ratio_spark
 
+    # the shingle table feeds three consumers (sizes + both join
+    # sides); its lambda-bearing build plan defeats Catalyst's
+    # exchange reuse, so materialize it once — the same move a
+    # production dedup pipeline makes by checkpointing the inverted
+    # index before the pair scan
+    shingle_df = shingle_df.persist()
     sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")

@@ -187,55 +187,42 @@ def lsh_topk(
     )
 
 
-def _lit_vec(vec) -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
-
-
-def _centroid_struct_array(cent_rows) -> F.Column:
-    """Literal array<struct<cell:long, vec:array<double>, norm:double>>
-    embedding the coarse-quantizer centroids directly into the plan.
-    Norms are left-fold float64 sums (same order as the Spark/DuckDB
-    folds, so downstream cosines are bit-reproducible)."""
-    items = []
-    for cid, vec in cent_rows:
-        norm = 0.0
-        for x in vec:
-            norm += float(x) * float(x)
-        items.append(
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cell"),
-                _lit_vec(vec).alias("vec"),
-                F.lit(norm**0.5).alias("norm"),
-            )
-        )
-    return F.array(*items)
+def _centroids_df(spark, cent_rows) -> DataFrame:
+    """Tiny (cell_id, c_vec, c_norm) centroid table. Norms use the
+    same left-fold float64 sum as every other cosine here, so
+    downstream similarities are bit-reproducible across engines.
+    Built via createDataFrame — centroids ride a broadcast, NOT plan
+    literals (a literal centroid array blows codegen up by
+    n_cells × dim constants and the compile time swamps execution)."""
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cent_rows],
+        "cell_id long, c_vec array<double>",
+    )
+    return cents.select(
+        "cell_id",
+        "c_vec",
+        F.sqrt(_fold_sum(F.transform("c_vec", lambda x: x * x))).alias("c_norm"),
+    )
 
 
 def _ivf_scored(
-    df: DataFrame, cent_arr: F.Column, id_col: str, vec_col: str, round_dp: int
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, round_dp: int
 ) -> DataFrame:
-    """(id, __scored) where __scored is an array of (sim, negcell)
-    structs — rounded cosine against every centroid. Pure projection:
-    the whole coarse quantizer runs inside whole-stage codegen with
-    ZERO shuffle (struct ordering does the argmax/top-n, no window)."""
+    """(id, cell_id, sim): rounded cosine of every vector against every
+    centroid — a broadcast nested-loop over n_cells rows. Map-side
+    only; O(n_cells) work per vector with a constant-size plan."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         F.col(id_col),
         v.alias("__v"),
         F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("__vn"),
     )
-    scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            F.round(
-                _fold_sum(F.zip_with(F.col("__v"), c["vec"], lambda x, y: x * y))
-                / (F.col("__vn") * c["norm"]),
-                round_dp,
-            ).alias("sim"),
-            (-c["cell"]).alias("negcell"),
-        ),
+    dot = _fold_sum(F.zip_with(F.col("__v"), F.col("c_vec"), lambda x, y: x * y))
+    return base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.round(dot / (F.col("__vn") * F.col("c_norm")), round_dp).alias("sim"),
     )
-    return base.select(F.col(id_col), scored.alias("__scored"))
 
 
 def ivf_assign(
@@ -244,15 +231,21 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cell_id): assign every vector to its nearest centroid by
-    rounded cosine (ties → lowest centroid id). ``array_max`` over
-    (sim, negcell) structs = lexicographic argmax — a map-only pass,
-    the IVF build step. At 100 TB this is one scan, no shuffle; the
-    cell_id column then partitions/buckets the index."""
-    scored = _ivf_scored(df, _centroid_struct_array(cent_rows), id_col, vec_col, round_dp)
-    return scored.select(
-        F.col(id_col), (-F.array_max("__scored")["negcell"]).alias("cell_id")
+    rounded cosine (ties → lowest centroid id) — the IVF build step.
+    ``max(struct(sim, -cell_id))`` is the argmax: it partial-aggregates
+    map-side, so the only shuffle moves ONE row per vector. At 100 TB
+    the cell_id column then partitions/buckets the index."""
+    if cents is None:
+        cents = _centroids_df(df.sparkSession, cent_rows)
+    scored = _ivf_scored(df, cents, id_col, vec_col, round_dp)
+    best = F.max(F.struct(F.col("sim"), (-F.col("cell_id")).alias("negcell")))
+    return (
+        scored.groupBy(id_col)
+        .agg(best.alias("__best"))
+        .select(F.col(id_col), (-F.col("__best.negcell")).alias("cell_id"))
     )
 
 
@@ -263,14 +256,24 @@ def ivf_probe_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, cell_id) — the ``nprobe`` nearest cells per query vector
-    (sim desc, cell asc), again shuffle-free via sort_array+slice."""
-    scored = _ivf_scored(df, _centroid_struct_array(cent_rows), id_col, vec_col, round_dp)
-    top = F.slice(F.reverse(F.array_sort("__scored")), 1, nprobe)
-    return scored.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.transform(top, lambda s: -s["negcell"])).alias("cell_id"),
+    """(query_id, cell_id) — the ``nprobe`` nearest cells per query
+    vector (sim desc, cell asc): slice of the descending-sorted
+    per-query (sim, negcell) list, aggregated map-side like
+    :func:`ivf_assign` (one shuffled row per query)."""
+    if cents is None:
+        cents = _centroids_df(df.sparkSession, cent_rows)
+    scored = _ivf_scored(df, cents, id_col, vec_col, round_dp)
+    lst = F.collect_list(F.struct(F.col("sim"), (-F.col("cell_id")).alias("negcell")))
+    top = F.slice(F.reverse(F.array_sort(F.col("__all"))), 1, nprobe)
+    return (
+        scored.groupBy(id_col)
+        .agg(lst.alias("__all"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.transform(top, lambda s: -s["negcell"])).alias("cell_id"),
+        )
     )
 
 
@@ -296,23 +299,27 @@ def ivf_topk(
     ``nprobe`` nearest cells and scores only those cells' members with
     the exact fold cosine. Collecting ``n_cells`` centroid rows to the
     driver is a bounded, deliberate collect (same class as the
-    high-watermark scalar): the centroids then ride the closure into a
-    literal array, so assignment needs no join at all."""
+    high-watermark scalar): the centroids then broadcast to every
+    executor, so assignment never shuffles the corpus."""
     cent_rows = sorted(
         (int(r[0]), list(r[1]))
         for r in corpus.filter(F.col(id_col) < n_cells)
         .select(id_col, vec_col)
         .collect()
     )
-    assign = ivf_assign(corpus, cent_rows, id_col, vec_col, round_dp).withColumnRenamed(
-        id_col, "neighbor_id"
+    cents = _centroids_df(corpus.sparkSession, cent_rows)
+    assign = ivf_assign(
+        corpus, cent_rows, id_col, vec_col, round_dp, cents=cents
+    ).withColumnRenamed(id_col, "neighbor_id")
+    probes = ivf_probe_cells(
+        queries, cent_rows, nprobe, id_col, vec_col, round_dp, cents=cents
     )
-    probes = ivf_probe_cells(queries, cent_rows, nprobe, id_col, vec_col, round_dp)
+    # no distinct needed: assign has one row per neighbor, probes one
+    # row per (query, cell) — the equi-join cannot duplicate a pair
     cand = (
         assign.join(F.broadcast(probes), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     q_vec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c_vec = corpus.select(

@@ -360,7 +360,9 @@ FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
     corpus = _mutated_corpus(d)
-    fp = D.simhash16(corpus, "text", "doc_id")
+    # one row/doc; persist so the self-join's sides share one
+    # token-explode pass (lambda plans never canonicalize equal)
+    fp = D.simhash16(corpus, "text", "doc_id").persist()
     a = fp.alias("a")
     b = fp.alias("b")
     return a.join(
@@ -699,14 +701,24 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not batch_df.isEmpty():
             merge_upsert(batch_df.sparkSession, table, batch_df)
 
-    q = (
-        agged.writeStream.outputMode("update")
-        .foreachBatch(_merge)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    # the state-store partition count is pinned at query start by the
+    # checkpoint; (event_type × hour) state cardinality is tiny, so 32
+    # state partitions would be pure checkpoint-file overhead. Pin a
+    # small count for this throwaway-checkpoint drain and restore the
+    # session conf after. On a real cluster size this to core count.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agged.writeStream.outputMode("update")
+            .foreachBatch(_merge)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(table.path).select(
         "event_type", "hour_utc", "value_avg", "n_events"
     )
