@@ -1,0 +1,109 @@
+"""Physical-plan regression gates: the scale properties SURVEY §4
+promises (pushdown, pruning, broadcast, partial aggregation, codegen)
+must actually appear in the executed plans — a correct answer computed
+with a bad plan is a regression at 100 TB even when 60k rows pass.
+
+These assert on the final AQE plan string after one execution, the
+same artifact `.explain("formatted")` shows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from openaq_data_pipeline_spark.catalog import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+REG = {q.name: q for q in registry()}
+
+
+def final_plan(df) -> str:
+    df.count()  # resolve AQE to the final plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """pricing_summary's shipdate range predicate is parquet-pushable
+    and must appear in PushedFilters (row-group/page pruning at 100 TB);
+    int_valid_events' CASE predicate is not pushable to parquet but
+    must still evaluate AT the scan (DataFilters), not in a later
+    stage after materialization."""
+    plan = final_plan(REG["pricing_summary"].build(spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no pushed filters:\n{plan[:2000]}"
+
+    plan = final_plan(REG["int_valid_events"].build(spark, SF_DIR))
+    m = re.search(r"DataFilters: \[([^\]]*)", plan)
+    assert m and "CASE WHEN" in m.group(1), "validity CASE not at scan"
+
+
+def test_column_pruning_narrow_read_schema(spark):
+    """surrogate_keys projects a few columns — the parquet ReadSchema
+    must not contain the wide remainder (e.g. lineitem comment)."""
+    plan = final_plan(REG["surrogate_keys"].build(spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas
+    assert all("comment" not in s for s in schemas), schemas
+
+
+def test_dimension_joins_broadcast(spark):
+    """snapshot_left_join and revenue_by_order join small dimensions:
+    both must resolve to BroadcastHashJoin, never SortMergeJoin."""
+    for name in ["snapshot_left_join", "revenue_by_order"]:
+        plan = final_plan(REG[name].build(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast"
+        assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ"
+
+
+def test_anti_join_stays_broadcast(spark):
+    """RI tests are anti-joins against a parent dim — broadcastable."""
+    plan = final_plan(REG["ri_violations"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_hourly_pivot_has_partial_aggregation(spark):
+    """A1/A2 pivot: hash aggregation must run map-side (partial) then
+    final — one shuffle of pre-aggregated rows, not raw measurements."""
+    plan = final_plan(REG["mart_hourly_activity"].build(spark, SF_DIR))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert "partial_" in plan  # map-side combine present
+
+
+def test_pivot_is_single_pass(spark):
+    """The 14-column conditional-AVG pivot must stay ONE aggregation
+    over the fact scan — a .pivot()-style re-scan per parameter would
+    show up as multiple parquet scans of the fact table."""
+    plan = final_plan(REG["mart_hourly_activity"].build(spark, SF_DIR))
+    fact_scans = len(re.findall(r"Scan parquet[^\n]*lineitem|Scan parquet[^\n]*events", plan))
+    assert fact_scans <= 2, f"fact scanned {fact_scans}×"
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    """scan→filter→agg pipelines must run inside whole-stage codegen
+    spans (the ``*(n)`` markers), not interpreted."""
+    plan = final_plan(REG["int_valid_events"].build(spark, SF_DIR))
+    assert re.search(r"\*\(\d+\)", plan) or "WholeStageCodegen" in plan
+
+
+def test_topk_filters_before_full_sort(spark):
+    """topk_orders_per_segment: rank-filter pattern must use a window
+    + filter, not a global sort of everything (no global Sort without
+    partitioning below the filter)."""
+    plan = final_plan(REG["topk_orders_per_segment"].build(spark, SF_DIR))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"])
+def test_dedup_pipelines_compute_shingles_once(spark, name):
+    """Every consumer of the shingle/signature table (sizes + both
+    self-join sides) must read the persisted intermediate, not rebuild
+    the explode pipeline — lambda-bearing plans never canonicalize
+    equal, so without the persist Catalyst would replicate them.
+    (Generate counts in the plan STRING overcount: each
+    InMemoryRelation prints its stored build lineage too.)"""
+    plan = final_plan(REG[name].build(spark, SF_DIR))
+    in_mem = len(re.findall(r"InMemoryTableScan", plan))
+    assert in_mem >= 2, f"{name}: self-join sides not sharing the cache"
