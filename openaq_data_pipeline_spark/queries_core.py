@@ -578,6 +578,37 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_variant_extract",
+    "F1/§1.3 — schema-on-read via Spark 4 VariantType (parse_json + "
+    "try_variant_get), the maximal drift-tolerance regime SURVEY §1.2 "
+    "maps BigQuery's JSON type onto; aggregated per event_type",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike :func:`events_json_extract` (regexp ≈ JSON_VALUE), this
+    path parses ``props`` into a VariantType value and extracts with
+    ``try_variant_get`` — no declared schema, unknown fields survive,
+    and extraction stays columnar (variant binary encoding) instead of
+    re-running a regexp per row."""
+    e = load(spark, sf_dir, "events")["events"]
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__k").cast("long").alias("k_sum"),
+        )
+    )
+
+
+@register(
     "explode_words",
     "F2,A1 — array UNNEST/explode + aggregate "
     "(stg_openaq__sensors.sql:34-35)",

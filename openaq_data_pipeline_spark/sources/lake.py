@@ -58,6 +58,31 @@ def read_ndjson(
     return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
 
+def read_ndjson_variant(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Variant-typed NDJSON scan — SURVEY §1.2's maximal-drift regime
+    for the reference's semi-structured ``JSON`` bronze column
+    (``dags/01_openaq_ingestion.py:135,194``; drift rationale
+    ``README.md:61``).
+
+    No payload schema is declared at all: each line parses into ONE
+    Spark 4 ``VariantType`` column that preserves unknown and drifted
+    fields byte-for-byte (a declared ``StructType`` silently drops
+    them). Typed extraction happens lazily per query via
+    ``try_variant_get(data, '$.path', type)`` — null on missing path
+    or uncastable value, matching BigQuery ``JSON_VALUE`` + SAFE_CAST.
+    Malformed and blank lines yield NULL variants and are dropped —
+    the reference's per-line skip (``extract_measurements.py:51-59``).
+
+    Scale: variant uses a binary columnar encoding with shredded
+    field access, so ``variant_get`` projections prune like struct
+    fields instead of re-parsing JSON text per row."""
+    lines = spark.read.text(path)
+    return (
+        lines.select(F.try_parse_json(F.col("value")).alias("data"))
+        .filter(F.col("data").isNotNull())
+    )
+
+
 def read_control_csv(spark: SparkSession, path: str) -> DataFrame:
     """Control-requests CSV (S2/S8): header + autodetected types.
 

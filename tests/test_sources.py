@@ -41,6 +41,23 @@ class TestLake:
         df = lake.read_ndjson(spark, ndjson_dir, SCHEMA)
         assert sorted((r["id"], r["v"]) for r in df.collect()) == [(1, "a"), (2, "b")]
 
+    def test_read_ndjson_variant_preserves_drift(self, spark, ndjson_dir):
+        """VariantType regime: corrupt/blank lines drop, but unknown
+        fields SURVIVE (a declared StructType silently loses them) and
+        typed extraction is null-safe on missing paths."""
+        df = lake.read_ndjson_variant(spark, ndjson_dir)
+        assert df.count() == 2  # corrupt + blank dropped
+        got = df.select(
+            F.try_variant_get("data", "$.id", "long").alias("id"),
+            F.try_variant_get("data", "$.v", "string").alias("v"),
+            F.try_variant_get("data", "$.unknown_field", "boolean").alias("extra"),
+            F.try_variant_get("data", "$.never_there", "string").alias("missing"),
+        ).collect()
+        rows = {r.id: r for r in got}
+        assert rows[1].v == "a" and rows[1].extra is None
+        assert rows[2].v == "b" and rows[2].extra is True  # drift preserved
+        assert all(r.missing is None for r in got)
+
     def test_read_ndjson_keep_corrupt_exposes_bad_lines(self, spark, ndjson_dir):
         df = lake.read_ndjson(spark, ndjson_dir, SCHEMA, keep_corrupt=True)
         # Spark refuses queries referring only to the corrupt column
