@@ -230,6 +230,81 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_PRED_DUCK = """CASE WHEN c_en + c_es + c_de + c_fr = 0 THEN 'und'
+            WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+            WHEN c_de >= c_fr THEN 'de'
+            ELSE 'fr' END"""
+
+
+@register(
+    "corpus_curation",
+    "EXT-pipeline — end-to-end training-corpus curation: quality "
+    "filter → language filter (en) → exact dedup, min-id survivor "
+    "with copy counts; the canonical LLM-data-pipeline composition",
+    oracle=f"""
+WITH counted AS (
+    SELECT doc_id, text,
+       {_LANG_COUNTS_DUCK},
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, fingerprint, n_tokens
+    FROM counted
+    WHERE n_chars BETWEEN 50 AND 10000
+      AND n_alpha * 2 > n_chars
+      AND ({_LANG_PRED_DUCK}) = 'en'
+),
+surv AS (
+    SELECT fingerprint, min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM kept GROUP BY fingerprint
+)
+SELECT surv.doc_id, surv.fingerprint, surv.n_copies,
+       CAST(k.n_tokens AS BIGINT) AS n_tokens
+FROM surv JOIN kept k ON k.doc_id = surv.doc_id
+""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel a training pipeline runs before
+    tokenization, composed from the engine's own operators: quality
+    verdict (text_quality_scores semantics) → lang-id 'en' gate →
+    exact dedup (dedup_exact semantics, min-id survivor). One regex
+    projection pass, one shuffle on the MD5 fingerprint (uniform →
+    skew-free), one self-join back for survivor metadata."""
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    n_chars = F.length("text").cast("long")
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0)).cast("long")
+    kept = (
+        d.select(
+            "doc_id",
+            X.fingerprint(F.col("text")).alias("fingerprint"),
+            X.token_count(F.col("text")).alias("n_tokens"),
+            X.lang_id(F.col("text")).alias("__lang"),
+            n_chars.alias("__nc"),
+            n_alpha.alias("__na"),
+        )
+        .filter(
+            F.col("__nc").between(50, 10000)
+            & (F.col("__na") * 2 > F.col("__nc"))
+            & (F.col("__lang") == "en")
+        )
+        .select("doc_id", "fingerprint", "n_tokens")
+        .persist()  # two consumers (survivor agg + metadata join-back)
+    )
+    surv = kept.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    return surv.join(kept.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id", "fingerprint", "n_copies", "n_tokens"
+    )
+
+
 # --- dedup --------------------------------------------------------------
 
 
