@@ -574,7 +574,9 @@ WHERE rnk <= 5
 """,
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    # the embedding table feeds four consumers (centroid collect,
+    # assignment, probe queries, candidate scoring) — persist once
+    e = load(spark, sf_dir, "embeddings")["embeddings"].persist()
     return ivf_topk(e, e.filter("vec_id < 10"), n_cells=16, nprobe=4, k=5)
 
 
