@@ -72,6 +72,33 @@ def load_bronze(
     return spark.read.parquet(bronze_path).count() if mode == "overwrite" else df.count()
 
 
+def read_bronze(
+    spark: SparkSession,
+    bronze_path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Schema-evolution-safe bronze read.
+
+    Daily appends accumulate files written by *different* engine
+    versions; when a release adds a payload/audit field, day-1 files
+    lack the column day-2 files carry. A plain ``read.parquet`` infers
+    from one file footer and silently drops (or crashes on) the
+    others' extras — the reference never hits this because BigQuery
+    holds one table schema and ``ignore_unknown_values`` absorbs
+    drift (``dags/01_openaq_ingestion.py:131-141``). Equivalents here:
+
+    - ``schema`` given → authoritative declared read: files missing a
+      column yield NULLs, unknown file columns are ignored — exactly
+      the fixed-declared regime (SURVEY §1.3.2).
+    - ``schema=None`` → ``mergeSchema``: union of all file footers,
+      the autodetect regime (§1.3.1). Costs one footer read per file;
+      prefer the declared form on wide bronze at scale.
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(bronze_path)
+    return spark.read.option("mergeSchema", True).parquet(bronze_path)
+
+
 def recover_bronze(
     spark: SparkSession,
     lake_glob: str,

@@ -27,6 +27,45 @@ class TestIngest:
         days = {str(r[0]) for r in df.select("_audit_logical_date").distinct().collect()}
         assert days == {"2026-01-02", "2026-01-03"}
 
+    def test_bronze_schema_evolution_across_daily_loads(self, spark, tmp_path):
+        """A release adds a column between daily appends: day-1 files
+        lack it, day-2 files carry it. The declared read (fixed-schema
+        regime) must surface the union with NULLs for old files; the
+        mergeSchema read (autodetect regime) must find the new column
+        without a declared schema."""
+        from datetime import date
+
+        from pyspark.sql import types as T
+
+        from openaq_data_pipeline_spark.sources.bronze import read_bronze, write_bronze
+
+        path = str(tmp_path / "bronze")
+        day1 = spark.createDataFrame(
+            [(1, date(2026, 1, 2))],
+            "sensor_id long, _audit_logical_date date",
+        )
+        write_bronze(day1, path, mode="append")
+        day2 = spark.createDataFrame(
+            [(2, "drifted", date(2026, 1, 3))],
+            "sensor_id long, new_field string, _audit_logical_date date",
+        )
+        write_bronze(day2, path, mode="append")
+
+        v2 = T.StructType(
+            [
+                T.StructField("sensor_id", T.LongType()),
+                T.StructField("new_field", T.StringType()),
+                T.StructField("_audit_logical_date", T.DateType()),
+            ]
+        )
+        declared = rows_by(read_bronze(spark, path, schema=v2), "sensor_id")
+        assert declared[1].new_field is None  # old file → NULL
+        assert declared[2].new_field == "drifted"
+
+        merged = read_bronze(spark, path)
+        assert "new_field" in merged.columns
+        assert rows_by(merged, "sensor_id")[1].new_field is None
+
 
 class TestStaging:
     def test_locations_dedup_latest_wins(self, pipeline):
