@@ -109,6 +109,7 @@ def register(name: str, operators: str, oracle: str | None, tags: list[str] | No
 def registry() -> list[QueryDef]:
     # import for registration side effects
     from openaq_data_pipeline_spark import queries_core  # noqa: F401
+    from openaq_data_pipeline_spark import queries_curation  # noqa: F401
     from openaq_data_pipeline_spark import queries_ext  # noqa: F401
 
     return list(_REGISTRY)

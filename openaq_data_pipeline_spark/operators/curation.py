@@ -1,0 +1,166 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+decontamination, deterministic sampling, sequence packing, PII
+scanning. Extends the reference's surface (BASELINE.json north star)
+with the remaining standard LLM-corpus preparation steps not covered
+by operators/dedup.py and operators/text.py.
+
+Scale design (100 TB):
+- **decontamination** — the eval/benchmark set is tiny relative to the
+  training corpus (MBs vs TBs), so its distinct-shingle set is
+  broadcast to every executor: the train-side scan never shuffles on
+  the shingle key, only on doc_id for the final per-doc count. At
+  extreme eval sizes swap the broadcast for a bloom filter
+  (``F.bloom_filter_agg``) with an exact re-check on survivors.
+- **stratified sampling** — a pure per-row predicate on an MD5 bucket:
+  no shuffle, no RNG state, reproducible across engines/runs/retries
+  (Spark's ``sample()`` is seed-and-partitioning dependent, which is
+  exactly what a resumable 100 TB pipeline cannot tolerate).
+- **sequence packing** — one shuffle per group column (the window
+  partition). Pack assignment is a running token sum bucketed by
+  capacity: contiguous, deterministic, and expressible as a window
+  aggregate — no sequential driver loop. Packs may overflow by at
+  most one document's tokens (greedy "contiguous fill" semantics,
+  the standard approximation used when exact bin packing would force
+  a serial pass).
+- **PII scan** — per-row regexp work inside whole-stage codegen; no
+  Python, no shuffle. Patterns are RE2-compatible so the same strings
+  run in Spark (Java regex) and DuckDB (RE2) identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.dedup import shingles
+
+# RE2- and Java-regex-compatible detection patterns (no lookaround).
+EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def train_eval_overlap(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    is_eval: F.Column | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every *training* document, count
+    how many of its distinct word n-grams also occur anywhere in the
+    *eval* split, and flag heavy overlap for removal.
+
+    Returns (id, n_shingles, n_shared, verdict) with verdict 'drop'
+    when ≥ 20% of the doc's shingles are contaminated, else 'keep'.
+    Documents with < n tokens carry no shingles and are excluded (they
+    cannot be contaminated under n-gram semantics).
+
+    The eval shingle set is collapsed to DISTINCT and broadcast — see
+    module docstring for the 100 TB rationale.
+    """
+    if is_eval is None:
+        is_eval = F.col(id_col) % 10 == 0
+    docs = documents.withColumn("__eval", is_eval)
+    sh = shingles(
+        docs.filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n),
+        text_col,
+        id_col,
+        n=n,
+        distinct=True,
+    )
+    # re-attach the split flag (shingles() projects it away)
+    flags = docs.select(id_col, "__eval")
+    sh = sh.join(flags, id_col)
+    eval_shingles = (
+        sh.filter(F.col("__eval")).select("shingle").distinct()
+    )
+    train = sh.filter(~F.col("__eval"))
+    totals = train.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    shared = (
+        train.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = totals.join(shared, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+    )
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("n_shared") * 5 >= F.col("n_shingles"), "drop").otherwise(
+            "keep"
+        ),
+    )
+
+
+def hash_bucket(id_col: F.Column, width: int = 2) -> F.Column:
+    """Deterministic uniform bucket: the first ``width`` hex chars of
+    MD5(id as string). 2 chars → 256 buckets. Identical in any engine
+    with md5(); fixed-width hex compares as its numeric value."""
+    return F.substring(F.md5(id_col.cast("string")), 1, width)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rate_thresholds: dict[str, str],
+    default_threshold: str = "10",
+) -> DataFrame:
+    """Hash-threshold stratified sampling: keep a row iff its MD5
+    bucket (hex '00'..'ff') sorts below the threshold configured for
+    its stratum — e.g. threshold '80' keeps 128/256 = 50% of rows.
+    Shuffle-free, seed-free, reproducible (module docstring)."""
+    thr = F.lit(default_threshold)
+    for stratum, t in sorted(rate_thresholds.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(t)).otherwise(thr)
+    return df.withColumn("bucket", hash_bucket(F.col(id_col))).filter(
+        F.col("bucket") < thr
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: F.Column,
+    capacity: int,
+) -> DataFrame:
+    """Assign each row a pack_id such that consecutive rows (ordered by
+    ``order_col`` within ``group_col``) fill packs of ~``capacity``
+    tokens: pack_id = floor(tokens-before-this-row / capacity).
+    Contiguous greedy fill — a pack can exceed capacity by less than
+    one document (see module docstring)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("__tokens", token_col).withColumn(
+        "pack_id", F.floor(cum_before / F.lit(capacity)).cast("long")
+    )
+
+
+def pii_scan(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Detect and redact PII-shaped spans (emails, 555- phone numbers).
+    Returns (id, n_emails, n_phones, redacted_fp, is_clean) where
+    redacted_fp is the MD5 of the text with every match replaced by a
+    typed placeholder — the form a curation pipeline persists for
+    audit without retaining the PII itself."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+        ((n_emails == 0) & (n_phones == 0)).alias("is_clean"),
+    )

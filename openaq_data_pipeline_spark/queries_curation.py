@@ -1,0 +1,199 @@
+"""Corpus-curation queries: benchmark decontamination, deterministic
+stratified sampling, sequence packing, PII scan/redaction — the
+remaining standard LLM-training-data preparation steps beyond
+dedup/similarity/text-analysis (queries_ext.py). Each oracle-paired
+with DuckDB SQL; all hash-derived decisions are MD5-based so both
+engines agree bit-for-bit.
+
+No counterpart exists in the reference (its surface stops at air-
+quality marts); these extend the engine per the BASELINE.json north
+star, built on the same documents table as queries_ext.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.catalog import load, register
+from openaq_data_pipeline_spark.operators import text as X
+from openaq_data_pipeline_spark.operators.curation import (
+    EMAIL_RE,
+    PHONE_RE,
+    pack_sequences,
+    pii_scan,
+    stratified_sample,
+    train_eval_overlap,
+)
+
+# DuckDB mirror of operators/dedup.shingles() normalization: lower,
+# collapse whitespace, trim, split on single space. The 4000-row
+# series bound caps document length (corpus docs are ≤ 99 words).
+_DOC_SHINGLES_DUCK = """
+words AS (
+    SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, is_eval,
+           w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS shingle
+    FROM words, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) - 2
+)
+"""
+
+
+@register(
+    "decontamination",
+    "EXT-curation — benchmark decontamination: train-split documents "
+    "scored by distinct 3-gram overlap with the eval split (broadcast "
+    "eval shingle set, ≥20% overlap → drop)",
+    oracle=f"""
+WITH {_DOC_SHINGLES_DUCK.strip()},
+eval_set AS (SELECT DISTINCT shingle FROM shingles WHERE is_eval),
+train AS (SELECT doc_id, shingle FROM shingles WHERE NOT is_eval),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+shared AS (
+    SELECT t.doc_id, count(*) AS n_shared
+    FROM train t JOIN eval_set e USING (shingle)
+    GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN coalesce(s.n_shared, 0) * 5 >= t.n_shingles
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM totals t LEFT JOIN shared s USING (doc_id)
+""",
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    return train_eval_overlap(d, "text", "doc_id", n=3)
+
+
+# per-stratum keep thresholds on the 256-bucket MD5 hex space:
+# en 50%, es/de 25%, fr 12.5%, default (zh, unseen) 6.25%
+_SAMPLE_RATES = {"en": "80", "es": "40", "de": "40", "fr": "20"}
+_SAMPLE_DEFAULT = "10"
+_SAMPLE_CASE_DUCK = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_SAMPLE_RATES.items()))
+    + f" ELSE '{_SAMPLE_DEFAULT}' END"
+)
+
+
+@register(
+    "stratified_sample",
+    "EXT-curation — deterministic hash-threshold stratified sampling "
+    "(per-language rates on an MD5 bucket; shuffle-free, seed-free, "
+    "resume-safe — unlike RNG sample())",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_SAMPLE_CASE_DUCK}
+""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    return stratified_sample(
+        d.select("doc_id", "lang", "source"),
+        "doc_id",
+        "lang",
+        _SAMPLE_RATES,
+        _SAMPLE_DEFAULT,
+    )
+
+
+@register(
+    "sequence_packing",
+    "EXT-curation — token-budget sequence packing: contiguous greedy "
+    "fill to 256-token packs per language via a running-sum window; "
+    "per-pack doc counts and token totals",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, lang, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+           AS pack_id
+    FROM toks
+)
+SELECT lang, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM packed GROUP BY lang, pack_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    packed = pack_sequences(
+        d.select("doc_id", "lang", "text"),
+        "lang",
+        "doc_id",
+        X.token_count(F.col("text")),
+        capacity=256,
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__tokens").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@register(
+    "pii_scan",
+    "EXT-curation — PII detection + redaction audit: email/phone "
+    "regexp counts and the MD5 of the redacted text, over a corpus "
+    "with deterministically injected PII (every 7th doc)",
+    oracle=f"""
+WITH injected AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or call 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+                ELSE text END AS text
+    FROM documents
+),
+scanned AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM injected
+)
+SELECT doc_id, n_emails, n_phones, redacted_fp,
+       (n_emails = 0 AND n_phones = 0) AS is_clean
+FROM scanned
+""",
+)
+def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scan(injected, "text", "doc_id")

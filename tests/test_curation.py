@@ -1,0 +1,109 @@
+"""Behavior tests for the corpus-curation operators beyond hash
+parity: packing respects the token-budget invariant, PII injection is
+found and redacted exactly, sampling is deterministic and roughly
+rate-proportional, decontamination flags a fully-contaminated doc."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators import text as X
+from openaq_data_pipeline_spark.operators.curation import (
+    pack_sequences,
+    pii_scan,
+    stratified_sample,
+    train_eval_overlap,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestSequencePacking:
+    def test_pack_budget_invariant(self, spark):
+        """Every pack except a group's last holds ≥ capacity tokens
+        only by its final doc (contiguous greedy fill): tokens-before-
+        last-doc < capacity ≤ tokens-through-last-doc, and packs are
+        contiguous id ranges."""
+        cap = 256
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        packed = pack_sequences(
+            d.select("doc_id", "lang", "text"),
+            "lang", "doc_id", X.token_count(F.col("text")), cap,
+        )
+        rows = packed.select("lang", "doc_id", "pack_id", "__tokens").collect()
+        by_group: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r.lang, r.doc_id)):
+            by_group.setdefault(r.lang, []).append(r)
+        for lang, grp in by_group.items():
+            cum = 0
+            for r in grp:
+                assert r.pack_id == cum // cap, (lang, r.doc_id)
+                cum += r["__tokens"]
+            # pack ids are nondecreasing and start at 0
+            ids = [r.pack_id for r in grp]
+            assert ids[0] == 0 and ids == sorted(ids)
+
+    def test_single_shuffle_plan(self, spark):
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        packed = pack_sequences(
+            d.select("doc_id", "lang", "text"),
+            "lang", "doc_id", X.token_count(F.col("text")), 256,
+        )
+        plan = packed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # one shuffle: the window partition
+
+
+class TestPiiScan:
+    def test_injected_pii_found_and_redacted(self, spark):
+        d = spark.createDataFrame(
+            [
+                (1, "plain words only"),
+                (2, "reach me at bob7@mail.com or 555-1234 thanks"),
+                (3, "two mails a@b.io c9@d.net and 555-0000 555-9999"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in pii_scan(d, "text", "doc_id").collect()}
+        assert out[1].is_clean and out[1].n_emails == 0 and out[1].n_phones == 0
+        assert (out[2].n_emails, out[2].n_phones) == (1, 1)
+        assert (out[3].n_emails, out[3].n_phones) == (2, 2)
+        # redaction fingerprint = md5 of placeholder-substituted text
+        import hashlib
+
+        expected = hashlib.md5(
+            "reach me at <EMAIL> or <PHONE> thanks".encode()
+        ).hexdigest()
+        assert out[2].redacted_fp == expected
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_proportional(self, spark):
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rates = {"en": "80", "es": "40", "de": "40", "fr": "20"}
+        s1 = stratified_sample(d.select("doc_id", "lang"), "doc_id", "lang", rates)
+        s2 = stratified_sample(d.select("doc_id", "lang"), "doc_id", "lang", rates)
+        ids1 = {r.doc_id for r in s1.collect()}
+        ids2 = {r.doc_id for r in s2.collect()}
+        assert ids1 == ids2  # no RNG anywhere
+        # en keeps ~50%: loose bound for a small corpus
+        n_en = d.filter(F.col("lang") == "en").count()
+        k_en = s1.filter(F.col("lang") == "en").count()
+        assert 0.25 <= k_en / n_en <= 0.75
+
+
+class TestDecontamination:
+    def test_exact_copy_of_eval_doc_is_dropped(self, spark):
+        # doc 10 is eval (10 % 10 == 0); doc 11 is its verbatim copy →
+        # 100% shingle overlap → drop. doc 12 shares nothing → keep.
+        d = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),
+                (11, "alpha beta gamma delta epsilon zeta"),
+                (12, "one two three four five six seven"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in train_eval_overlap(d, "text", "doc_id").collect()}
+        assert set(out) == {11, 12}  # eval docs are not scored
+        assert out[11].verdict == "drop" and out[11].n_shared == out[11].n_shingles
+        assert out[12].verdict == "keep" and out[12].n_shared == 0
