@@ -107,3 +107,20 @@ def test_dedup_pipelines_compute_shingles_once(spark, name):
     plan = final_plan(REG[name].build(spark, SF_DIR))
     in_mem = len(re.findall(r"InMemoryTableScan", plan))
     assert in_mem >= 2, f"{name}: self-join sides not sharing the cache"
+
+
+def test_curation_plan_shapes(spark):
+    """Curation family scale properties: decontamination shares one
+    persisted shingle table across its three consumers and never
+    falls back to SortMergeJoin (eval set broadcasts); sampling and
+    PII scanning are pure scan-side work — zero shuffles; all three
+    prune to the columns they touch."""
+    plan = final_plan(REG["decontamination"].build(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 3, "shingle cache not shared"
+    assert "SortMergeJoin" not in plan, "eval-set broadcast lost"
+
+    for name in ("stratified_sample", "pii_scan"):
+        plan = final_plan(REG[name].build(spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} acquired a shuffle"
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schemas and all("n_chars" not in s for s in schemas), schemas
