@@ -91,3 +91,61 @@ class TestSurrogateKey:
         import hashlib
 
         assert k1 == hashlib.md5(f"{a}-{b}".encode()).hexdigest()
+
+
+class TestCurationProperties:
+    """Invariants of the curation operators over generated inputs."""
+
+    @given(
+        st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=40),
+        st.integers(min_value=50, max_value=400),
+    )
+    @SETTINGS
+    def test_pack_sequences_overflow_bound(self, spark, tokens, cap):
+        """Each pack's token total stays below capacity + its largest
+        member (contiguous greedy fill) and pack ids are nondecreasing
+        in id order starting at 0 (not dense: a doc larger than the
+        capacity strides over bucket indices)."""
+        from openaq_data_pipeline_spark.operators.curation import pack_sequences
+
+        rows = [(i, "g", t) for i, t in enumerate(tokens)]
+        df = spark.createDataFrame(rows, "doc_id long, grp string, n long")
+        out = pack_sequences(df, "grp", "doc_id", F.col("n"), cap)
+        got = sorted(
+            ((r.doc_id, r.pack_id, r["__tokens"]) for r in out.collect())
+        )
+        cum = 0
+        per_pack: dict[int, int] = {}
+        for (i, pack, n), t in zip(got, tokens):
+            assert n == t
+            assert pack == cum // cap
+            cum += t
+            per_pack[pack] = per_pack.get(pack, 0) + t
+        packs_in_order = [p for _, p, _ in got]
+        assert packs_in_order[0] == 0
+        assert packs_in_order == sorted(packs_in_order)
+        for pack, total in per_pack.items():
+            assert total < cap + max(tokens)
+
+    @given(st.text(alphabet="abc @.-019", min_size=0, max_size=60))
+    @SETTINGS
+    def test_pii_redaction_is_idempotent(self, spark, text):
+        """Scanning already-redacted text finds nothing: redaction
+        placeholders contain no match for either pattern, so a second
+        pass is a no-op (is_clean=True everywhere)."""
+        from openaq_data_pipeline_spark.operators.curation import pii_scan
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        first = pii_scan(df, "text", "doc_id").collect()[0]
+        # rebuild the redacted text the operator fingerprinted
+        import re as _re
+
+        from openaq_data_pipeline_spark.operators.curation import EMAIL_RE, PHONE_RE
+
+        redacted = _re.sub(PHONE_RE, "<PHONE>", _re.sub(EMAIL_RE, "<EMAIL>", text))
+        import hashlib
+
+        assert first.redacted_fp == hashlib.md5(redacted.encode()).hexdigest()
+        df2 = spark.createDataFrame([(1, redacted)], "doc_id long, text string")
+        second = pii_scan(df2, "text", "doc_id").collect()[0]
+        assert second.is_clean
