@@ -1046,3 +1046,57 @@ def priority_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
     )
+
+
+@register(
+    "rollup_revenue",
+    "EXT-olap — ROLLUP hierarchy totals (nation → year → grand "
+    "total) with grouping_id disambiguation; one pass computes all "
+    "three levels (absent from the reference surface — engine "
+    "capability extension)",
+    oracle="""
+WITH j AS (
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS p
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT nation, order_year,
+       CAST(GROUPING(nation, order_year) AS BIGINT) AS gid,
+       CAST(round(sum(p), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j GROUP BY ROLLUP(nation, order_year)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark .rollup == BigQuery/DuckDB GROUP BY ROLLUP: detail rows,
+    per-nation subtotals, and the grand total in ONE aggregation pass
+    (Catalyst Expand feeds a single hash aggregate — no union of
+    three scans). grouping_id bit-encoding matches DuckDB GROUPING
+    (first rollup col = MSB), verified in the oracle."""
+    t = load(spark, sf_dir, "orders", "customer", "nation")
+    dim = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("nation"))
+    )
+    o = t["orders"].select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    return (
+        o.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .rollup("nation", "order_year")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("p"), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select("nation", "order_year", "gid", "revenue", "n_orders")
+    )
