@@ -1100,3 +1100,45 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nation", "order_year", "gid", "revenue", "n_orders")
     )
+
+
+@register(
+    "percentile_order_value",
+    "EXT-olap — exact p25/median/p75 order value per priority class "
+    "(absent from the reference; sort-based exact percentile). "
+    "Interpolation over integer cents is exact in double arithmetic, "
+    "so Spark percentile() and DuckDB quantile_cont() agree "
+    "bit-for-bit",
+    oracle="""
+WITH cents AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       quantile_cont(c, 0.25) / 100.0 AS p25,
+       quantile_cont(c, 0.50) / 100.0 AS median,
+       quantile_cont(c, 0.75) / 100.0 AS p75
+FROM cents GROUP BY o_orderpriority
+""",
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB: exact percentile requires a per-group sort of the
+    full value set — Catalyst's ObjectHashAggregate buffers per
+    group, so group cardinality x group size must fit executors; for
+    genuinely huge groups switch to approx_percentile (t-digest,
+    mergeable map-side) and document the error bound. Here groups are
+    5 priority classes — exact is the right call and oracle-stable
+    because interpolation over integer cents is exact FP arithmetic
+    ((hi-lo)*f with lo,hi < 2^52)."""
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.expr("percentile(c, 0.25)") / 100.0).alias("p25"),
+        (F.expr("percentile(c, 0.50)") / 100.0).alias("median"),
+        (F.expr("percentile(c, 0.75)") / 100.0).alias("p75"),
+    )
