@@ -1142,3 +1142,37 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("percentile(c, 0.50)") / 100.0).alias("median"),
         (F.expr("percentile(c, 0.75)") / 100.0).alias("p75"),
     )
+
+
+@register(
+    "customer_year_setops",
+    "EXT-setops — INTERSECT / EXCEPT over per-year customer key sets "
+    "(absent from the reference, SURVEY §2.7): repeat buyers of "
+    "1995∩1996 vs 1995-only churners, tagged in one result",
+    oracle="""
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'repeat' AS cohort FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+""",
+)
+def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT compile to left-semi/left-anti hash joins over
+    hash-distinct inputs — one shuffle each on the key, AQE-broadcast
+    when one side is small. The two set ops share the same two scans;
+    Catalyst reuses the year-filtered subplans (no lambdas, they
+    canonicalize equal)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    def year_keys(y: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+    y95, y96 = year_keys(1995), year_keys(1996)
+    repeat = y95.intersect(y96).select("o_custkey", F.lit("repeat").alias("cohort"))
+    churned = y95.exceptAll(y96).select(
+        "o_custkey", F.lit("churned").alias("cohort")
+    )
+    return repeat.unionByName(churned)
