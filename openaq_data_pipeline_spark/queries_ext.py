@@ -27,6 +27,7 @@ from openaq_data_pipeline_spark.catalog import (
     fan_out,
     load,
     register,
+    ts_str,
 )
 from openaq_data_pipeline_spark.operators import dedup as D
 from openaq_data_pipeline_spark.operators import text as X
@@ -1176,3 +1177,61 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.lit("churned").alias("cohort")
     )
     return repeat.unionByName(churned)
+
+
+@register(
+    "rolling_user_spend",
+    "EXT-window — frame-spec rolling aggregate (ROWS BETWEEN 9 "
+    "PRECEDING AND CURRENT ROW): trailing-10-event spend sum and "
+    "exact rounded average per user (no frame windows exist in the "
+    "reference, SURVEY §2.5)",
+    oracle=f"""
+WITH cents AS (
+    SELECT event_id, user_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS c
+    FROM events WHERE event_type = 'purchase'
+),
+framed AS (
+    SELECT event_id, user_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_utc,
+           sum(c) OVER w AS roll_cents,
+           count(*) OVER w AS roll_n
+    FROM cents
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_utc,
+       CAST(roll_cents AS BIGINT) AS roll_cents,
+       CAST(roll_n AS BIGINT) AS roll_n,
+       {exact_ratio_duck('roll_cents', 'roll_n * 100')} AS roll_avg
+FROM framed
+""",
+)
+def rolling_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle (the window partition); the 10-row frame is a
+    sliding aggregate Spark evaluates incrementally per partition.
+    event_id tiebreak makes same-timestamp ordering deterministic
+    (SURVEY §7.4 trap 2). Average = exact integer rounding on cents,
+    engine-independent."""
+    e = load(spark, sf_dir, "events")["events"]
+    cents = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    roll_cents = F.sum("c").over(w)
+    roll_n = F.count(F.lit(1)).over(w)
+    return cents.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts"), TS_FMT_SPARK).alias("ts_utc"),
+        roll_cents.cast("long").alias("roll_cents"),
+        roll_n.cast("long").alias("roll_n"),
+        exact_ratio_spark(roll_cents, roll_n * 100).alias("roll_avg"),
+    )
