@@ -1235,3 +1235,38 @@ def rolling_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll_n.cast("long").alias("roll_n"),
         exact_ratio_spark(roll_cents, roll_n * 100).alias("roll_avg"),
     )
+
+
+@register(
+    "event_gaps_lag_lead",
+    "EXT-window — lag/lead analytics (unused in the reference, "
+    "SURVEY §2.5): per-user inter-event gap seconds and next event "
+    "type, deterministic (ts, event_id) ordering",
+    oracle=f"""
+SELECT event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts_utc,
+       CAST(date_diff('second',
+            lag(ts) OVER w, ts) AS BIGINT) AS gap_seconds,
+       lead(event_type) OVER w AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def event_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead share ONE window spec → one shuffle + one sort serves
+    both; first/last rows per user yield NULLs in both engines.
+    Gap arithmetic in whole seconds (unix_timestamp truncation ==
+    DuckDB date_diff 'second' boundary counting for these
+    microsecond-precision positive timestamps)."""
+    e = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts"), TS_FMT_SPARK).alias("ts_utc"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts))
+        .cast("long")
+        .alias("gap_seconds"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
