@@ -1270,3 +1270,50 @@ def event_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_seconds"),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
+
+
+@register(
+    "unpivot_weather_long",
+    "EXT-reshape — UNPIVOT/melt: the weather mart's wide hourly "
+    "pollutant columns back to long (metric, value) rows — the "
+    "inverse of the reference's conditional-AVG pivot (A2/A3), via "
+    "Spark stack()/unpivot and DuckDB UNPIVOT",
+    oracle=f"""
+WITH wide AS (
+    SELECT user_id,
+           strftime(date_trunc('hour', ts), '{HOUR_FMT_DUCK}') AS hour_utc,
+           {exact_avg_duck('value', "event_type = 'view'")} AS avg_view,
+           {exact_avg_duck('value', "event_type = 'click'")} AS avg_click,
+           {exact_avg_duck('value', "event_type = 'purchase'")} AS avg_purchase
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT user_id, hour_utc, metric, value
+FROM wide UNPIVOT (value FOR metric IN (avg_view, avg_click, avg_purchase))
+""",
+)
+def unpivot_weather_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via stack(): a Generate with no shuffle of its own —
+    the only exchange is the upstream hourly aggregate. NULL cells
+    are dropped by both Spark unpivot and DuckDB UNPIVOT (default
+    EXCLUDE NULLS) — row parity depends on that agreement."""
+    e = load(spark, sf_dir, "events")["events"]
+    wide = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        *[
+            exact_avg_spark(F.col("value"), F.col("event_type") == t).alias(
+                f"avg_{t}"
+            )
+            for t in ("view", "click", "purchase")
+        ]
+    ).select(
+        "user_id",
+        F.date_format("hour", HOUR_FMT_SPARK).alias("hour_utc"),
+        "avg_view", "avg_click", "avg_purchase",
+    )
+    return wide.unpivot(
+        ["user_id", "hour_utc"],
+        ["avg_view", "avg_click", "avg_purchase"],
+        "metric",
+        "value",
+    ).filter(F.col("value").isNotNull())
