@@ -25,6 +25,7 @@ from openaq_data_pipeline_spark.catalog import (
     exact_avg_spark,
     load,
     register,
+    register_rotated,
     sk_duck,
     sk_spark,
 )
@@ -390,9 +391,10 @@ def ri_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "parts_never_ordered",
-    "J3 — anti-join, non-empty case (unreferenced parent keys)",
+    "J3 — anti-join, non-empty case (unreferenced parent keys); "
+    "rotated: J3 is driver-verified by ri_violations",
     oracle="""
 SELECT p_partkey, p_name
 FROM part
@@ -497,10 +499,11 @@ def freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "unique_violations",
     "A8 — dbt `unique` test as group-by-key HAVING count>1 "
-    "(staging.yml:9-11)",
+    "(staging.yml:9-11); rotated: A8 is driver-verified by "
+    "quality_report's unique check",
     oracle="""
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
 FROM events

@@ -8,12 +8,14 @@ import os
 
 import pytest
 
-from openaq_data_pipeline_spark.catalog import registry
+from openaq_data_pipeline_spark.catalog import registry, rotated_registry
 from oracle_harness import compare, run_oracle
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
-QUERIES = registry()
+# rotated queries left the driver-facing surface (DRIVER_QUERY_CAP)
+# but keep identical parity coverage here
+QUERIES = registry() + rotated_registry()
 
 
 @pytest.mark.parametrize("qdef", QUERIES, ids=[q.name for q in QUERIES])
