@@ -29,6 +29,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,7 +119,18 @@ def stratified_sample(
     """Hash-threshold stratified sampling: keep a row iff its MD5
     bucket (hex '00'..'ff') sorts below the threshold configured for
     its stratum — e.g. threshold '80' keeps 128/256 = 50% of rows.
-    Shuffle-free, seed-free, reproducible (module docstring)."""
+    Shuffle-free, seed-free, reproducible (module docstring).
+
+    Thresholds must be exactly-2-char lowercase hex: the comparison is
+    raw byte order against the lowercase bucket, so an uppercase
+    ('A0' < '00'..'99' range boundary) or wrong-length ('8') threshold
+    would silently skew keep rates instead of erroring."""
+    for label, t in [("default", default_threshold), *rate_thresholds.items()]:
+        if not re.fullmatch(r"[0-9a-f]{2}", t):
+            raise ValueError(
+                f"threshold {t!r} for stratum {label!r} must match "
+                "[0-9a-f]{2} (e.g. '80' keeps 128/256 of rows)"
+            )
     thr = F.lit(default_threshold)
     for stratum, t in sorted(rate_thresholds.items()):
         thr = F.when(F.col(stratum_col) == stratum, F.lit(t)).otherwise(thr)

@@ -53,22 +53,35 @@ def asof_join(
     """
     rpayload = [c for c in right.columns if c not in key_cols]
     lpayload = [c for c in left.columns if c not in key_cols]
+    if not rpayload:
+        return left
+    # the whole right payload is carried as ONE struct so every output
+    # column comes from the SAME matched row: per-column LOCF would
+    # backfill a NULL field of the matched row from an older row,
+    # fabricating a composite that never existed (ASOF returns the
+    # matched row's NULLs as-is). The struct itself is non-null for
+    # every state row — even one whose fields are all NULL — so
+    # last(ignorenulls) skips probe rows only.
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in rpayload
+        )
+        + ">"
+    )
     l2 = left.select(
         *key_cols,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__probe"),
         *[F.col(c) for c in lpayload],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in rpayload
-        ],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r2 = right.select(
         *key_cols,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__probe"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpayload],
-        *[F.col(c).alias(f"__r_{c}") for c in rpayload],
+        F.struct(*[F.col(c).alias(c) for c in rpayload]).alias("__r"),
     )
     # state rows sort before probes at equal __t (__probe 0 < 1), so a
     # same-timestamp state is visible to the probe — the >= contract
@@ -81,12 +94,13 @@ def asof_join(
         *key_cols,
         "__probe",
         *[F.col(c) for c in lpayload],
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}")
-            for c in rpayload
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return filled.filter(F.col("__probe") == 1).drop("__probe")
+    return filled.filter(F.col("__probe") == 1).select(
+        *key_cols,
+        *[F.col(c) for c in lpayload],
+        *[F.col(f"__r.{c}").alias(f"{right_prefix}{c}") for c in rpayload],
+    )
 
 
 def range_join_binned(

@@ -600,7 +600,10 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     and extraction stays columnar (variant binary encoding) instead of
     re-running a regexp per row."""
     e = load(spark, sf_dir, "events")["events"]
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    # try_parse_json: a malformed props row must yield NULL (and drop
+    # out of the aggregate) exactly like the oracle's json_extract —
+    # strict parse_json would fail the whole query on one bad row
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         e.select("event_type", k.alias("__k"))
         .groupBy("event_type")

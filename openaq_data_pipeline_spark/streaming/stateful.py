@@ -65,7 +65,15 @@ def _audit_fn(
             "sensor_id": [key[0]],
             "n_total": [n_total],
             "n_late": [n_late],
-            "max_seen_utc": [pd.Timestamp(max_seen, unit="s")],
+            # NaT, not Timestamp(-inf): converting -inf raises
+            # OverflowError and would kill the query if this fn ever
+            # runs for a group with no rows seen (e.g. under a future
+            # timeout conf)
+            "max_seen_utc": [
+                pd.Timestamp(max_seen, unit="s")
+                if max_seen != float("-inf")
+                else pd.NaT
+            ],
         }
     )
 

@@ -5,6 +5,7 @@ rate-proportional, decontamination flags a fully-contaminated doc."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from openaq_data_pipeline_spark.operators import text as X
@@ -89,6 +90,21 @@ class TestStratifiedSample:
         n_en = d.filter(F.col("lang") == "en").count()
         k_en = s1.filter(F.col("lang") == "en").count()
         assert 0.25 <= k_en / n_en <= 0.75
+
+    def test_rejects_malformed_thresholds(self, spark):
+        """Uppercase / wrong-length thresholds silently skew keep rates
+        (raw byte-order comparison) — they must error instead."""
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for bad in ("A0", "8", "100", ""):
+            with pytest.raises(ValueError, match="threshold"):
+                stratified_sample(
+                    d.select("doc_id", "lang"), "doc_id", "lang", {"en": bad}
+                )
+        with pytest.raises(ValueError, match="default"):
+            stratified_sample(
+                d.select("doc_id", "lang"), "doc_id", "lang", {},
+                default_threshold="ZZ",
+            )
 
 
 class TestDecontamination:

@@ -45,6 +45,27 @@ class TestAsofJoin:
         assert out[4].s_v is None
         assert len(out) == 4  # left join: every probe survives
 
+    def test_matched_row_nulls_not_backfilled(self, spark):
+        """ASOF must return the matched (latest) right row verbatim —
+        a NULL payload field of the matched row stays NULL instead of
+        being carried forward from an older right row (ADVICE r1: the
+        whole payload LOCFs as one struct)."""
+        probes = spark.createDataFrame(
+            [(1, 7, ts("2024-01-01T10:00:00"))],
+            "probe_id long, k long, ts timestamp",
+        )
+        states = spark.createDataFrame(
+            [
+                (7, ts("2024-01-01T08:00:00"), 1.0, "old"),
+                (7, ts("2024-01-01T09:00:00"), None, "new"),  # matched row
+            ],
+            "k long, ts timestamp, v double, tag string",
+        )
+        row = asof_join(probes, states, ["k"], "ts", "ts", right_prefix="s_").first()
+        assert row.s_ts == ts("2024-01-01T09:00:00")
+        assert row.s_tag == "new"
+        assert row.s_v is None, "NULL of the matched row must not backfill"
+
     def test_single_shuffle(self, spark):
         probes = spark.range(10).select(
             F.col("id").alias("probe_id"),
