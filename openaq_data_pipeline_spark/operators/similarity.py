@@ -1,6 +1,6 @@
-"""Similarity search over embedding columns (array<float>).
+"""Similarity search and embedding near-dup over array<float> columns.
 
-Two tiers (BASELINE.json north star):
+Tiers (BASELINE.json north star):
 
 - **brute-force cosine top-k** — exact baseline. The dot product is
   a builtin-function fold (``zip_with`` + ``aggregate``): stays in
@@ -359,29 +359,106 @@ def _normed(df: DataFrame, id_col: str, vec_col: str, id_alias: str, v_alias: st
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed near-dup pairs: LSH candidate generation + exact
+    within-candidate cosine verify — the 100 TB default path.
+
+    Candidates come from a (table_id, bucket) self-equi-join of the
+    multi-table hyperplane signatures (:func:`lsh_signatures`) — never
+    a cross join, never a driver collect. Every emitted pair is then
+    exactly re-scored with the index-ordered float64 fold, so
+    precision is 1.0; recall is the standard LSH bound
+    1−(1−p^b)^L (asserted against the exact scan in
+    tests/test_extensions.py). At larger corpora raise ``n_planes``
+    so 2^b tracks |corpus|/target_bucket_size — candidate volume is
+    Σ_buckets m², bounded by bucket size, not |corpus|².
+
+    The signature table feeds both sides of the self-join; it is
+    persisted because mapInPandas stages do not share exchanges
+    across self-join sides (bench/driver clear the cache between
+    queries)."""
+    sig = lsh_signatures(
+        df, dim, n_planes, n_tables, seed, id_col, vec_col
+    ).persist()
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = _normed(df, id_col, vec_col, "id_a", "va")
+    b = _normed(df, id_col, vec_col, "id_b", "vb")
+    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("va_norm") * F.col("vb_norm")), round_dp).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
-    method: str = "matmul",
+    method: str = "lsh",
+    dim: int | None = None,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim) pairs with similarity ≥ threshold —
-    embedding-based near-duplicate detection, exact over all pairs.
+    embedding-based near-duplicate detection.
 
-    ``method="matmul"`` (default): one side of the pair space is
-    broadcast as a dense normalized matrix and each Arrow batch of
-    the other side scores against it with a single float64 matmul —
-    the vectorized-Pandas-UDF fast path (~50× the per-pair
-    expression fold). Exact all-pairs inherently requires one side
-    resident per task (any engine's limit); beyond that, pre-bucket
-    with :func:`lsh_signatures` and verify within buckets.
+    ``method="lsh"`` (default): bucketed candidates + exact verify
+    (:func:`lsh_near_dup_pairs`) — the only method that survives
+    100 TB (no all-pairs scan, no driver collect). Requires ``dim``.
+    Approximate in recall only; every returned pair is exactly
+    scored.
 
-    ``method="fold"``: pure-Catalyst crossJoin + zip_with fold —
-    no Python, index-ordered summation; the cross-check baseline
-    (tests assert both methods agree at ``round_dp``).
+    ``method="matmul"`` — exact all-pairs, SMALL-CORPUS OPT-IN: the
+    full corpus is collected to the driver and broadcast as a dense
+    normalized matrix; each Arrow batch scores against it with one
+    float64 matmul (~50× the per-pair expression fold). O(n·d)
+    driver memory — refuse at scale.
+
+    ``method="fold"`` — exact all-pairs, SMALL-CORPUS OPT-IN:
+    pure-Catalyst crossJoin + zip_with fold; O(n²) compute. The
+    cross-check baseline (tests assert both exact methods agree at
+    ``round_dp``, and that lsh ⊆ exact with recall ≥ floor).
     """
+    if method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim (embedding width)")
+        return lsh_near_dup_pairs(
+            df, threshold, dim, id_col, vec_col, round_dp, n_planes, n_tables, seed
+        )
     if method == "fold":
         a = _normed(df, id_col, vec_col, "id_a", "va")
         b = _normed(df, id_col, vec_col, "id_b", "vb")

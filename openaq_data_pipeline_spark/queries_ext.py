@@ -459,20 +459,70 @@ _COSINE_DUCK = (
 )
 
 
+def _planes_values_duck(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """The engine's seeded hyperplane matrix
+    (operators/similarity._hyperplanes) inlined as a DuckDB VALUES
+    CTE, so the oracle computes the SAME (table_id, bucket)
+    signatures. float64 repr round-trips exactly, so both engines
+    see bit-identical plane coefficients."""
+    from openaq_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    rows = []
+    for t in range(n_tables):
+        for j in range(n_planes):
+            vec = planes[t * n_planes + j]
+            lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+            rows.append(f"({t}, {j}, {lit})")
+    return (
+        "planes(table_id, plane_idx, plane) AS (VALUES\n    "
+        + ",\n    ".join(rows)
+        + "\n)"
+    )
+
+
+def _lsh_sigs_duck(source: str) -> str:
+    """(vec_id, table_id, bucket) signature CTE body over ``source``,
+    mirroring operators/similarity.lsh_signatures: bucket =
+    Σ_j (plane_j · v ≥ 0) << j within each table."""
+    return f"""
+sigs AS (
+    SELECT e.vec_id, p.table_id,
+           CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                         THEN (1 << p.plane_idx) ELSE 0 END) AS BIGINT) AS bucket
+    FROM {source} e CROSS JOIN planes p
+    GROUP BY e.vec_id, p.table_id
+)
+"""
+
+
 @register(
     "dedup_embedding_cosine",
-    "EXT-dedup — embedding-cosine near-dup pairs (≥ 0.40), exact "
-    "pair scan (bit-exact float64 fold in both engines)",
+    "EXT-dedup — embedding-cosine near-dup pairs (≥ 0.40) via "
+    "LSH-bucketed candidates + exact fold verify (the 100 TB default "
+    "path: equi-join on (table, bucket), no all-pairs, no driver "
+    "collect); oracle recomputes identical signatures from the "
+    "inlined hyperplane matrix",
     oracle=f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH {_planes_values_duck(dim=64, n_planes=4, n_tables=16, seed=42)},
+{_lsh_sigs_duck('embeddings')},
+cand AS (
+    SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
+    FROM sigs sa JOIN sigs sb
+      ON sa.table_id = sb.table_id AND sa.bucket = sb.bucket
+     AND sa.vec_id < sb.vec_id
+)
+SELECT c.id_a, c.id_b,
        round({_COSINE_DUCK}, 6) AS cosine_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
 WHERE round({_COSINE_DUCK}, 6) >= 0.40
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    return cosine_near_dup_pairs(e, threshold=0.40, id_col="vec_id")
+    return cosine_near_dup_pairs(e, threshold=0.40, id_col="vec_id", dim=64)
 
 
 # --- similarity search --------------------------------------------------

@@ -216,6 +216,36 @@ class TestCosinePairMethods:
         key = lambda r: (r["id_a"], r["id_b"], r["cosine_sim"])  # noqa: E731
         assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
 
+    def test_lsh_default_subset_of_exact_with_high_recall(self, spark):
+        """Default (bucketed) near-dup pairs: precision 1.0 by
+        construction (every candidate is exactly re-scored), recall
+        bounded below by the multi-table LSH collision probability."""
+        from openaq_data_pipeline_spark.operators.similarity import (
+            cosine_near_dup_pairs,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_near_dup_pairs(e, 0.40, dim=64).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_near_dup_pairs(e, 0.40, method="fold").collect()
+        }
+        assert lsh <= exact, "bucketed path emitted a false positive"
+        assert len(lsh) / len(exact) >= 0.85, f"recall {len(lsh)/len(exact)}"
+
+    def test_lsh_requires_dim(self, spark):
+        import pytest
+        from openaq_data_pipeline_spark.operators.similarity import (
+            cosine_near_dup_pairs,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with pytest.raises(ValueError, match="dim"):
+            cosine_near_dup_pairs(e, 0.40)
+
 
 class TestApproxSketch:
     def test_relative_error_bounded(self, spark):

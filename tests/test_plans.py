@@ -109,6 +109,31 @@ def test_dedup_pipelines_compute_shingles_once(spark, name):
     assert in_mem >= 2, f"{name}: self-join sides not sharing the cache"
 
 
+def test_embedding_cosine_default_is_bucketed(spark):
+    """dedup_embedding_cosine's default path must be the LSH-bucketed
+    candidates + exact verify (VERDICT r1 'What's wrong' #1): no
+    cartesian/nested-loop all-pairs scan, no full-corpus driver
+    collect (asserted structurally: building with collect/toPandas
+    patched to raise proves the plan is assembled fully lazily), and
+    signatures shared across the self-join sides via the persisted
+    table."""
+    from unittest import mock
+
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    def boom(*a, **kw):
+        raise AssertionError("driver collect in default cosine path")
+
+    with mock.patch.object(ClassicDF, "collect", boom), mock.patch.object(
+        ClassicDF, "toPandas", boom
+    ):
+        df = REG["dedup_embedding_cosine"].build(spark, SF_DIR)
+    plan = final_plan(df)
+    assert "CartesianProduct" not in plan, "all-pairs cross join in default path"
+    assert "BroadcastNestedLoopJoin" not in plan, "nested-loop all-pairs"
+    assert plan.count("InMemoryTableScan") >= 2, "signature cache not shared"
+
+
 def test_curation_plan_shapes(spark):
     """Curation family scale properties: decontamination shares one
     persisted shingle table across its three consumers and never
