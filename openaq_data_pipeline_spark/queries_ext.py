@@ -557,9 +557,35 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk_lsh",
     "EXT-similarity — LSH-bucketed approximate top-k (hyperplane "
-    "signatures via vectorized Pandas UDF); recall vs brute force "
-    "asserted in tests/test_extensions.py",
-    oracle=None,  # numpy hyperplanes aren't SQL-expressible → rows-only
+    "signatures via vectorized Pandas UDF); hash-checked: the oracle "
+    "recomputes the same signatures from the inlined seeded plane "
+    "matrix, so the whole bucketing+scoring algorithm is verified "
+    "(recall vs brute force separately asserted in tests/)",
+    oracle=f"""
+WITH {_planes_values_duck(dim=64, n_planes=4, n_tables=8, seed=42)},
+{_lsh_sigs_duck('embeddings')},
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM sigs c JOIN sigs q
+      ON c.table_id = q.table_id AND c.bucket = q.bucket
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round({_COSINE_DUCK}, 6) AS cosine_sim
+    FROM cand
+    JOIN embeddings a ON a.vec_id = cand.query_id
+    JOIN embeddings b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+    ) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+""",
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")["embeddings"]
@@ -1047,20 +1073,41 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_sketch",
     "EXT-sketch — HyperLogLog++ approximate distinct users per event "
     "type (approx_count_distinct, rsd 1%): the constant-memory path "
-    "for COUNT(DISTINCT) at 100 TB. Sketch values are engine-specific "
-    "→ rows-only driver check; tests/test_extensions.py bounds the "
-    "relative error against the exact count",
-    oracle=None,
+    "for COUNT(DISTINCT) at 100 TB. The raw estimate is "
+    "engine-specific, so the hash-checked surface is the exact count "
+    "plus a bounded-relative-error verdict the sketch must satisfy "
+    "(oracle emits TRUE) — the sketch runs and its accuracy is "
+    "driver-enforced without hashing engine-private values",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS sketch_within_5pct
+FROM events GROUP BY event_type
+""",
 )
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT key) over a big fact shuffles every
     distinct key; the HLL++ sketch aggregates in O(1) memory per
     group and merges associatively (partial aggregation stays
-    map-side). rsd=0.01 ⇒ ~1% standard error."""
+    map-side). rsd=0.01 ⇒ ~1% standard error, so |approx−exact| ≤ 5%
+    of exact is a ~5σ bound — deterministic enough to hash-check, yet
+    a real failure if the sketch ever degrades. (The exact count here
+    exists to verify the sketch; production uses the sketch alone.)"""
     e = load(spark, sf_dir, "events")["events"]
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("sketch_within_5pct"),
     )
 
 
