@@ -27,6 +27,7 @@ from openaq_data_pipeline_spark.catalog import (
     fan_out,
     load,
     register,
+    register_rotated,
     ts_str,
 )
 from openaq_data_pipeline_spark.operators import dedup as D
@@ -661,10 +662,67 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_real_decode",
+    "EXT-multimodal — REAL image decode on executors: deterministic "
+    "synthetic 24-bpp BMPs (closed-form pixels) are encoded and then "
+    "decoded by the pure-NumPy BMP parser inside Arrow mapInPandas; "
+    "the oracle recomputes width/height/byte-size/header bytes/pixel "
+    "stats analytically from the id, so the full encode→decode→stats "
+    "round trip is hash-checked",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id AS media_id,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 3 AS h
+    FROM documents
+),
+px AS (
+    SELECT media_id, w, h,
+           CAST(sum((media_id * 31 + y.i * 7 + x.i * 3 + c.i * 11) % 256) AS BIGINT) AS px_sum,
+           CAST(w * h * 3 AS BIGINT) AS n_px
+    FROM dims,
+         generate_series(0, 9) y(i),
+         generate_series(0, 9) x(i),
+         generate_series(0, 2) c(i)
+    WHERE y.i < h AND x.i < w
+    GROUP BY media_id, w, h
+)
+SELECT media_id,
+       CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+       '424d' || printf('%02x', (54 + ((3 * w + 3) // 4) * 4 * h) % 256)
+              || printf('%02x', ((54 + ((3 * w + 3) // 4) * 4 * h) // 256) % 256) AS header_hex,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       px_sum,
+       CAST(((px_sum * 20000 + n_px) // (2 * n_px)) / 10000.0 AS DOUBLE) AS mean_px
+FROM px
+""",
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media blobs are synthesized per doc_id (deterministic BMPs,
+    operators/multimodal.synthetic_images), then the REAL decoder
+    parses them back; every output column is independently derivable
+    from the id in closed form, which is what the oracle does —
+    verifying the BMP header layout (n_bytes, little-endian size
+    bytes in header_hex), dimension parsing, and pixel-exact decode
+    (px_sum, exact-rounded mean_px)."""
+    from openaq_data_pipeline_spark.operators.multimodal import synthetic_images
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    media = synthetic_images(d.select(F.col("doc_id").alias("media_id")))
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_id", "n_bytes", "header_hex", "width", "height", "px_sum", "mean_px"
+    )
+
+
+@register_rotated(
     "multimodal_features",
     "EXT-multimodal — binary-column feature extraction via Arrow "
-    "mapInPandas (deterministic fake decoder; real codec slot raises "
-    "NotImplementedError)",
+    "mapInPandas (format-agnostic fake decoder over arbitrary blobs); "
+    "rotated: the multimodal component is driver-verified by "
+    "multimodal_real_decode, which exercises the same mapInPandas "
+    "plumbing plus the real codec",
     oracle="""
 WITH bytes AS (
     SELECT doc_id, encode(text) AS blob FROM documents

@@ -150,12 +150,72 @@ class TestMultimodal:
         assert len(rows[1].feature) == 8
         assert abs(sum(rows[1].feature) - 1.0) < 1e-6  # histogram normalized
 
-    def test_real_decode_is_explicitly_unimplemented(self, spark):
+    def test_real_decode_bmp_and_ppm(self, spark):
+        """Pure-NumPy codec: encode→decode round trip is pixel-exact
+        for BMP (with row padding: w=5 → stride 16) and P6 PPM
+        (comment in header)."""
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_bmp24,
+            decode_ppm,
+            encode_bmp24,
+            extract_features,
+        )
+
+        rng_free = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+        assert (decode_bmp24(encode_bmp24(rng_free)) == rng_free).all()
+
+        ppm = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+        assert (
+            decode_ppm(ppm) == np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+        ).all()
+
+        media = spark.createDataFrame(
+            [(7, bytearray(encode_bmp24(rng_free))), (8, bytearray(ppm))],
+            "media_id long, content binary",
+        )
+        rows = {
+            r.media_id: r
+            for r in extract_features(media, decode="real").collect()
+        }
+        assert rows[7].width == 5 and rows[7].height == 3
+        assert rows[7].px_sum == int(rng_free.sum())
+        assert rows[8].width == 2 and rows[8].height == 2
+        assert rows[8].px_sum == sum(range(12))
+        assert len(rows[7].feature) == 3  # per-channel means
+
+    def test_real_decode_top_down_bmp(self, spark):
+        """Negative biHeight = top-down row order; decoder must not
+        flip it."""
+        import struct
+
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_bmp24,
+            encode_bmp24,
+        )
+
+        img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        bottom_up = bytearray(encode_bmp24(img))
+        # rewrite height to -4 and re-order rows top-down
+        struct.pack_into("<i", bottom_up, 22, -4)
+        stride = 4 * 3  # w=4 → no padding
+        rows = bytes(bottom_up[54:])
+        flipped = b"".join(
+            rows[i * stride : (i + 1) * stride] for i in range(3, -1, -1)
+        )
+        assert (decode_bmp24(bytes(bottom_up[:54]) + flipped) == img).all()
+
+    def test_real_decode_rejects_unknown_magic(self, spark):
         from openaq_data_pipeline_spark.operators.multimodal import extract_features
 
-        media = spark.createDataFrame([(1, b"x")], "media_id long, content binary")
-        with pytest.raises(NotImplementedError):
-            extract_features(media, decode="real")
+        media = spark.createDataFrame(
+            [(1, b"\x89PNG\r\n")], "media_id long, content binary"
+        )
+        with pytest.raises(Exception, match="unknown image magic"):
+            extract_features(media, decode="real").collect()
 
     def test_frame_sample_plan(self, spark):
         from openaq_data_pipeline_spark.operators.multimodal import frame_sample_plan
@@ -310,10 +370,29 @@ class TestMultimodalPlumbing:
         r = resize_stub(df, 224, 224).select("target_width").first()
         assert r[0] == 224
 
-    def test_real_decode_raises(self, spark):
-        from openaq_data_pipeline_spark.operators.multimodal import extract_features
+    def test_resize_images_nearest_neighbor(self, spark):
+        """resize_images: decode → NN resample → re-encode; output
+        blobs decode to the requested dims with exactly the source
+        pixels the floor(center·ratio) grid selects."""
+        import numpy as np
 
-        import pytest as _pytest
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_bmp24,
+            encode_bmp24,
+            resize_images,
+        )
 
-        with _pytest.raises(NotImplementedError, match="codec"):
-            extract_features(spark.range(1), decode="real")
+        img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_bmp24(img)))], "media_id long, content binary"
+        )
+        row = resize_images(media, 4, 4).first()
+        assert row.width == 4 and row.height == 4
+        out = decode_bmp24(bytes(row.content))
+        idx = ((np.arange(4) + 0.5) * 2).astype(int)  # 1,3,5,7
+        assert (out == img[idx][:, idx]).all()
+        # upscale also exact: every target pixel is a source pixel
+        row2 = resize_images(media, 16, 16).first()
+        up = decode_bmp24(bytes(row2.content))
+        idx2 = ((np.arange(16) + 0.5) * 0.5).astype(int)
+        assert (up == img[idx2][:, idx2]).all()
