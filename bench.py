@@ -9,12 +9,28 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 queries (after a warm-up pass that triggers JVM/codegen warmup and
 parquet footer caching — we measure steady-state engine throughput,
 not JVM startup).
+
+Hygiene contract (VERDICT r1 #6/#10 + ADVICE):
+- any query failure (including a streaming drain error or a stream
+  left running by a builder) aborts with rc=1 on stderr — a bench
+  artifact is either a clean JSON line or an explicit failure;
+- the cache is cleared between queries so persisted intermediates
+  from one build never occupy executor memory during another's
+  timing (builders persist() shared subplans but cannot unpersist a
+  lazy result);
+- the JSON line is printed after spark.stop() so late JVM/log noise
+  cannot trail it;
+- per-query ratios vs the latest BENCH_r*.json are reported under
+  "ratio_vs_prev" (cross-run noise on this box is large — treat
+  ratios as trend hints, not verdicts).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -26,6 +42,41 @@ from openaq_data_pipeline_spark.session import get_spark
 # every catalog query runs in the bench; `bench`-tagged ones are the
 # headline heavy hitters, but coverage keeps us honest
 BENCH_ALL = os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1"
+
+
+def _run_once(spark, q, sf_dir: str) -> None:
+    """Execute one query end-to-end via the noop sink (full plan, no
+    collect/driver cost), then leave the session clean."""
+    try:
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        leaked = list(spark.streams.active)
+        for s in leaked:
+            s.stop()
+        if leaked:
+            raise RuntimeError(
+                f"{q.name} left {len(leaked)} streaming query(ies) running"
+            )
+    finally:
+        spark.catalog.clearCache()
+
+
+def _previous_bench() -> tuple[str, dict] | None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as fh:
+                # the artifact's first line is the bench JSON
+                return os.path.basename(path), json.loads(
+                    fh.readline().strip()
+                )
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None
 
 
 def main() -> None:
@@ -40,18 +91,22 @@ def main() -> None:
 
     qdefs = [q for q in registry() if BENCH_ALL or "bench" in q.tags]
 
-    # warm-up pass (not timed)
-    for q in qdefs:
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-
     times: dict[str, float] = {}
-    t_total0 = time.perf_counter()
-    for q in qdefs:
-        t0 = time.perf_counter()
-        # noop sink executes the full plan without collect/driver cost
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[q.name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_total0, 3)
+    try:
+        # warm-up pass (not timed)
+        for q in qdefs:
+            _run_once(spark, q, sf_dir)
+
+        t_total0 = time.perf_counter()
+        for q in qdefs:
+            t0 = time.perf_counter()
+            _run_once(spark, q, sf_dir)
+            times[q.name] = round(time.perf_counter() - t0, 3)
+        total = round(time.perf_counter() - t_total0, 3)
+    except Exception as exc:  # noqa: BLE001 — fail loudly, never emit a partial line
+        print(f"bench FAILED at query {len(times) + 1}/{len(qdefs)}: {exc!r}",
+              file=sys.stderr)
+        raise SystemExit(1)
 
     sf = None
     tail = os.path.basename(sf_dir.rstrip("/"))
@@ -61,17 +116,35 @@ def main() -> None:
         except ValueError:
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_bench_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    prev = _previous_bench()
+    if prev is not None:
+        name, prev_data = prev
+        prev_times = prev_data.get("queries", {})
+        result["ratio_vs_prev"] = {
+            "baseline": name,
+            "total": (
+                round(total / prev_data["value"], 3)
+                if prev_data.get("value")
+                else None
+            ),
+            "queries": {
+                k: round(v / prev_times[k], 3)
+                for k, v in times.items()
+                if prev_times.get(k)
+            },
+        }
+
+    # stop Spark BEFORE printing: all late JVM/log4j output lands
+    # above the JSON line, keeping the artifact tail clean
+    spark.stop()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

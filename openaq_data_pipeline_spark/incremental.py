@@ -57,13 +57,28 @@ class IncrementalTable:
     cluster_by: tuple[str, ...] = ()  # within-partition sort keys
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works for local paths and object
+    stores alike). Probing BEFORE spark.read avoids the
+    exception-driven PATH_NOT_FOUND flow, which logs a full
+    FileNotFoundException stack from the reader's metadata check —
+    noise that pollutes whatever artifact captures this process's
+    output (first merge of every stream drain hit it)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def read_target(spark: SparkSession, table: IncrementalTable) -> DataFrame | None:
     """The current target, or None before the first run (dbt's
     ``is_incremental() == false`` branch)."""
+    if not _path_exists(spark, table.path):
+        return None
     try:
         return spark.read.parquet(table.path)
     except AnalysisException:
-        return None
+        return None  # path exists but holds no readable footer yet
 
 
 def high_watermark(spark: SparkSession, table: IncrementalTable):

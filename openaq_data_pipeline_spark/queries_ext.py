@@ -928,7 +928,15 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            raise TimeoutError("streaming drain did not finish within 600s")
+        if q.exception() is not None:
+            # surface the drain failure loudly instead of returning a
+            # partial mart (and instead of an async trace leaking into
+            # whatever artifact captures this process's output)
+            raise q.exception()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(table.path).select(
