@@ -33,6 +33,33 @@ The union-then-overwrite plan reads the target path it writes;
 Spark's self-overwrite guard rejects that lineage, so the merged
 slice is localCheckpoint-ed first — materializing only the affected
 partitions (bounded, see above), never the full table.
+
+Crash & concurrency contract (the reference gets all of this for free
+from BigQuery's atomic MERGE; plain parquet cannot, so it is stated
+and tested — tests/test_incremental.py):
+
+- **Failure before the write** (slice computation, checkpoint): the
+  target is untouched. The eager localCheckpoint materializes the
+  whole merged slice before any target file moves, so plan-time
+  errors cannot tear the table.
+- **Crash during the commit window** (dynamic overwrite moves staged
+  partition dirs at job commit): affected partitions may land at
+  mixed versions. Two torn shapes:
+  (a) the NEWEST partition is lost → the high watermark regresses
+  with it, so a plain re-run reselects the lost slice and
+  self-heals;
+  (b) an OLDER affected partition reverted while the newest
+  committed → the watermark now hides the stale rows and re-runs do
+  NOT repair them; the remedy is ``full_refresh=True`` (the
+  reference's own disaster-recovery lever, S10). A scheduler should
+  treat any non-clean exit of a merge as a signal to re-run with
+  full refresh (or adopt a table format with atomic commit — Delta/
+  Iceberg — when available).
+- **Concurrent writers are not supported**: two merges racing on the
+  same partitions are last-writer-wins per partition with no
+  isolation. The reference serializes runs via Airflow
+  (``dags/02_openaq_transformation.py`` schedules one at a time);
+  the same external serialization is assumed here.
 """
 
 from __future__ import annotations

@@ -106,6 +106,95 @@ class TestIncrementalMart:
         again = snap(run(spark, table, valid, enriched))
         assert first == again
 
+    def test_failed_merge_leaves_target_intact(self, spark, setup):
+        """Crash DURING slice computation/materialization: merge_upsert
+        localCheckpoints the merged slice eagerly BEFORE any write, so
+        a failing incoming plan aborts the run with the target
+        untouched — the dbt contract (a failed MERGE mutates nothing).
+        Failure is injected with raise_error in the incoming plan."""
+        _, valid, enriched, table, day1 = setup
+        run(spark, table, day1, enriched)
+        before = snap(spark.read.parquet(table.path))
+        poisoned = valid.withColumn(
+            "measurement_value",
+            F.when(
+                F.col("measurement_value").isNotNull(),
+                F.expr(
+                    "assert_true(measurement_value IS NULL, "
+                    "'injected mid-merge failure')"
+                ).cast("double"),
+            ).otherwise(F.col("measurement_value")),
+        )
+        with pytest.raises(Exception, match="injected mid-merge"):
+            run(spark, table, poisoned, enriched)
+        assert snap(spark.read.parquet(table.path)) == before
+
+    def test_torn_newest_partition_self_heals_on_rerun(self, spark, setup):
+        """Crash-mid-commit torn state #1: the NEWEST day partition
+        never landed (crash before its move). Because that partition
+        holds the high watermark, its loss REGRESSES the watermark,
+        so a plain re-run reselects the lost slice and converges —
+        the self-healing case of the emulation's recovery contract
+        (incremental.py module docstring)."""
+        import shutil
+
+        _, valid, enriched, table, day1 = setup
+        run(spark, table, day1, enriched)
+        expected = snap(run(spark, table, valid, enriched))
+        newest = max(
+            d for d in os.listdir(table.path) if d.startswith("_part_date=")
+        )
+        shutil.rmtree(os.path.join(table.path, newest))
+        assert snap(spark.read.parquet(table.path).drop("_part_date")) != expected
+        again = snap(run(spark, table, valid, enriched))
+        assert again == expected
+
+    def test_torn_older_partition_needs_full_refresh(self, spark, setup):
+        """Crash-mid-commit torn state #2: the newest partition
+        committed but an OLDER affected partition (boundary-hour
+        update) reverted. The watermark now sits past the stale rows,
+        so a plain re-run does NOT repair them — this is exactly what
+        BigQuery's atomic MERGE rules out and the emulation cannot.
+        The documented remedy, full_refresh=True (the reference's own
+        disaster-recovery lever, S10), converges."""
+        import shutil
+
+        _, valid, enriched, table, day1 = setup
+        run(spark, table, day1, enriched)
+        oldest = min(
+            d for d in os.listdir(table.path) if d.startswith("_part_date=")
+        )
+        stale_copy = table.path + "_stale"
+        shutil.copytree(os.path.join(table.path, oldest), stale_copy)
+        # day-2 source includes a boundary-hour bump, so the merge
+        # genuinely rewrites the oldest partition (hour-14 avg 12→56)
+        bump = day1.filter(
+            "sensor_id = 11 AND hour(measured_from_utc) = 14"
+        ).select(
+            F.lit("boundary-id").alias("measurement_id"),
+            *[F.col(c) for c in day1.columns if c != "measurement_id"],
+        ).withColumn("measurement_value", F.lit(100.0)).withColumn(
+            "measured_from_utc", F.to_timestamp(F.lit("2026-01-02 14:20:00"))
+        )
+        src2 = valid.unionByName(bump.select(valid.columns))
+        expected = snap(run(spark, table, src2, enriched))
+        # torn: oldest partition reverts to pre-merge content while
+        # the newest (watermark-holding) partition committed
+        shutil.rmtree(os.path.join(table.path, oldest))
+        shutil.copytree(stale_copy, os.path.join(table.path, oldest))
+        torn = snap(spark.read.parquet(table.path).drop("_part_date"))
+        assert torn != expected
+        # plain re-run does not see below the watermark → still torn
+        assert snap(run(spark, table, src2, enriched)) == torn
+        # full refresh recomputes everything → converges
+        healed = snap(
+            incremental_mart(
+                spark, mart_location_air_quality, src2, enriched, table,
+                full_refresh=True,
+            )
+        )
+        assert healed == expected
+
     def test_untouched_partitions_not_rewritten(self, spark, setup):
         _, valid, enriched, table, day1 = setup
         run(spark, table, day1, enriched)

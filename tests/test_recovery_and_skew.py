@@ -47,6 +47,63 @@ class TestDisasterRecovery:
         assert "1999-01-01" not in days  # truncate, not append
 
 
+class TestAQESkewJoin:
+    def test_hot_key_join_recovers_via_skew_split(self, spark):
+        """session.py enables spark.sql.adaptive.skewJoin; prove it
+        actually fires: a join where one key holds 90% of the rows
+        must re-plan with the hot partition split
+        (SortMergeJoin(skew=true) + 'AQEShuffleRead … skewed') and
+        still produce exactly the right rows. Salting
+        (functions/skew.py) covers aggregation skew; this is the
+        join-side counterpart the engine gets for free from AQE.
+
+        Thresholds are scaled down to fire at test size; the payload
+        is hash-generated because a compressible constant would
+        shrink below any threshold at the shuffle layer, and it must
+        survive into the OUTPUT or column pruning drops it before the
+        exchange. The final plan comes from an action on THIS
+        DataFrame's own QueryExecution (count() would execute a
+        different tree and leave this one isFinalPlan=false)."""
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+            )
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            left = spark.range(100000).select(
+                F.when(F.col("id") % 10 < 9, 0)
+                .otherwise(F.col("id") % 97)
+                .alias("k"),
+                F.concat(
+                    F.md5(F.col("id").cast("string")),
+                    F.sha2(F.col("id").cast("string"), 256),
+                ).alias("payload"),
+            )
+            right = spark.range(97).select(
+                F.col("id").alias("k"), F.col("id").alias("rv")
+            )
+            j = left.join(right, "k").select("k", "payload", "rv")
+            n = len(j.toPandas())
+            assert n == 100000  # every left row matches exactly once
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "SortMergeJoin(skew=true)" in plan, plan[:1500]
+            assert "skewed" in plan, "hot partition not split"
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+
 class TestSaltedAgg:
     def test_matches_single_stage_groupby(self, spark):
         e = load(spark, "/root/testdata/sf0.001", "events")["events"]
