@@ -70,10 +70,12 @@ def _previous_bench() -> tuple[str, dict] | None:
     for _, path in sorted(rounds, reverse=True):
         try:
             with open(path) as fh:
-                # the artifact's first line is the bench JSON
-                return os.path.basename(path), json.loads(
-                    fh.readline().strip()
-                )
+                data = json.load(fh)
+            # the driver wraps the bench line under "parsed"
+            if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            if isinstance(data, dict) and isinstance(data.get("queries"), dict):
+                return os.path.basename(path), data
         except (OSError, json.JSONDecodeError):
             continue
     return None
