@@ -214,3 +214,79 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     votes = tok.groupBy(id_col).agg(*bit_aggs)
     bits = [F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(16)]
     return votes.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in ``pairs``,
+    where component_id = the minimum node id reachable through the
+    pair graph — the canonical-representative step that turns a
+    near-dup PAIR list (MinHash/Jaccard/SimHash/cosine output) into
+    duplicate CLUSTERS, so a curation pipeline can keep exactly one
+    doc per component.
+
+    Algorithm: iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels.
+    Converges in O(graph diameter) rounds; near-dup graphs are
+    star/chain shaped with tiny diameters (the alternating
+    large-star/small-star contraction from the CC-in-MapReduce
+    literature drops in here if ever faced with adversarial
+    long-chain topologies — same join shapes, fewer rounds).
+
+    Scale notes: the edge list is symmetrized once and
+    localCheckpoint-ed (reused by every round — lambda-free but
+    iterative lineage would otherwise grow each round and replan
+    from scratch); each round is one shuffle for the neighbor-min
+    aggregate and one for the label join, both on the node id. The
+    driver loop carries no data — only a converged? flag per round
+    (bounded by ``max_iters``, raises if exceeded).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("comp").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "pathological chain topology; switch to large-star/small-star"
+    )

@@ -558,10 +558,13 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "events_json_extract",
     "F1,P1 — schema-on-read scalar extraction from a semi-structured "
-    "column (JSON_VALUE ≈20 call sites in staging)",
+    "column (JSON_VALUE ≈20 call sites in staging); rotated: the "
+    "schema-on-read family is driver-verified by "
+    "events_variant_extract (and the declared-schema parse path by "
+    "the staging fixtures)",
     oracle="""
 SELECT event_id,
        CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_value

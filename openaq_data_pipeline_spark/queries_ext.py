@@ -399,6 +399,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
 
 
+@register(
+    "dedup_clusters",
+    "EXT-dedup — connected components over the verified near-dup pair "
+    "graph (iterative min-label propagation): pair list → duplicate "
+    "CLUSTERS with a canonical min-id representative, the keep-one-"
+    "per-component step of a curation pipeline. Oracle: DuckDB "
+    "recursive CTE computes the same transitive min-label closure",
+    oracle=f"""
+WITH RECURSIVE {_MUTATED_DUCK.strip()},
+{_SHINGLES_DUCK.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE {exact_ratio_duck('n_common', 'sa.n_sh + sb.n_sh - n_common')} >= 0.5
+),
+edges AS (
+    SELECT id_a AS n1, id_b AS n2 FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+walk(node, r) AS (
+    SELECT n1, n1 FROM edges
+    UNION
+    SELECT e.n2, w.r FROM walk w JOIN edges e ON e.n1 = w.node
+),
+comp AS (
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+    FROM walk GROUP BY node
+),
+csize AS (
+    SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component_id
+)
+SELECT doc_id, component_id, cluster_size FROM comp JOIN csize USING (component_id)
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-verified pairs (same settings as dedup_ngram_jaccard)
+    → connected components → per-doc (component_id, cluster_size).
+    Non-trivial topology at this threshold (37 multi-degree nodes at
+    sf0.01): chains A~B~C without A~C, so the closure is real work,
+    not a per-pair groupBy."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3)
+    pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.select(F.col("node").alias("doc_id"), "component_id")
+        .join(F.broadcast(sizes), "component_id")
+        .select("doc_id", "component_id", "cluster_size")
+    )
+
+
 _SIMHASH_SUMS_DUCK = ",\n           ".join(
     "sum(CASE WHEN substr(md5(tok), %d, 1) IN ('8','9','a','b','c','d','e','f') "
     "THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)

@@ -57,6 +57,41 @@ class TestDedup:
         assert out.filter("doc_id >= 200000").count() == 0  # min-id wins
 
 
+class TestConnectedComponents:
+    def test_chain_star_and_isolated_pair(self, spark):
+        """Chain 1-2-3-4 collapses to component 1 even though 1 and 4
+        never share an edge; star 10-(11,12,13) to 10; the isolated
+        pair keeps its own min."""
+        from openaq_data_pipeline_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (13, 10), (20, 21)],
+            "id_a long, id_b long",
+        )
+        out = {r.node: r.component_id for r in connected_components(pairs).collect()}
+        assert out == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20,
+        }
+
+    def test_long_chain_exceeding_iters_raises(self, spark):
+        """A 40-link chain cannot converge in 3 rounds — the operator
+        must fail loudly, not return partial labels."""
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iters=3)
+        # and converges with enough rounds (label spreads ≥1 hop/round)
+        out = connected_components(pairs, max_iters=41)
+        assert {r.component_id for r in out.collect()} == {0}
+
+
 class TestSimilarity:
     def test_lsh_recall_vs_brute_force(self, spark, embeddings):
         from openaq_data_pipeline_spark.operators.similarity import (
