@@ -109,6 +109,48 @@ def test_dedup_pipelines_compute_shingles_once(spark, name):
     assert in_mem >= 2, f"{name}: self-join sides not sharing the cache"
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Catalyst's runtime bloom filter is the scan-pruning story for
+    selective dim joins too big to broadcast: the dim side aggregates
+    a bloom_filter_agg and the FACT scan gains a might_contain
+    semi-filter, discarding non-joining rows before the shuffle. The
+    application-side threshold defaults to 10 GB of scan — it fires
+    on its own at 100 TB; here it is lowered to prove the injection
+    and that results are unchanged."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_totalprice > 400000"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, "bloom filter not injected"
+        assert "might_contain" in opt, "fact side not bloom-filtered"
+        with_bloom = j.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try:
+            assert with_bloom == j.count(), "bloom filter changed results"
+        finally:
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_embedding_cosine_default_is_bucketed(spark):
     """dedup_embedding_cosine's default path must be the LSH-bucketed
     candidates + exact verify (VERDICT r1 'What's wrong' #1): no
