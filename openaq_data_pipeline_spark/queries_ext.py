@@ -1278,6 +1278,64 @@ def priority_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_rotated(
+    "approx_percentile_sketch",
+    "EXT-sketch — approx_percentile (quantile digest) per event type "
+    "with a bounded-rank-error verdict, the constant-memory companion "
+    "to exact percentile_order_value for 100 TB groups. Digest values "
+    "are engine-specific, so (like approx_distinct_sketch) the "
+    "hash-checked surface is the exact rank bound the sketch must "
+    "satisfy; rotated: the sketch family is driver-verified by "
+    "approx_distinct_sketch",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_values,
+       TRUE AS p50_rank_ok,
+       TRUE AS p95_rank_ok
+FROM ranked GROUP BY event_type
+""",
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile's accuracy contract is on RANK, not value:
+    the returned p-quantile's true percent_rank must lie within
+    1/accuracy of p. That bound is engine-checkable: recompute each
+    estimate's exact rank with a window and emit the verdict, which
+    the oracle pins to TRUE. accuracy=1000 ⇒ ±0.1% rank error."""
+    e = load(spark, sf_dir, "events")["events"].filter(F.col("value").isNotNull())
+    est = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 1000).alias("q")
+    )
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.percent_rank()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("pr"),
+    )
+    # exact percent_rank of each estimate = max pr over values <= est
+    j = ranked.join(F.broadcast(est), "event_type")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.max(F.when(F.col("value") <= F.col("q")[0], F.col("pr"))).alias("r50"),
+        F.max(F.when(F.col("value") <= F.col("q")[1], F.col("pr"))).alias("r95"),
+    )
+    # 2× the 1/accuracy bound, floored at the rank granularity of a
+    # small group (an exact quantile's percent_rank is itself up to
+    # 1/(n-1) away from p)
+    tol = F.greatest(F.lit(0.002), 2.0 / F.col("n_values"))
+    return agg.select(
+        "event_type",
+        "n_values",
+        (F.abs(F.col("r50") - 0.5) <= tol).alias("p50_rank_ok"),
+        (F.abs(F.col("r95") - 0.95) <= tol).alias("p95_rank_ok"),
+    )
+
+
 @register(
     "rollup_revenue",
     "EXT-olap — ROLLUP hierarchy totals (nation → year → grand "
