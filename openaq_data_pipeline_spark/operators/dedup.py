@@ -243,7 +243,10 @@ def connected_components(
     from scratch); each round is one shuffle for the neighbor-min
     aggregate and one for the label join, both on the node id. The
     driver loop carries no data — only a converged? flag per round
-    (bounded by ``max_iters``, raises if exceeded).
+    (bounded by ``max_iters``, raises if exceeded). The flag is a
+    column computed inside the label-update join itself, so
+    convergence detection costs a scan of the just-checkpointed
+    labels, not a second labels⋈labels shuffle per round.
     """
     spark = pairs.sparkSession
     edges = (
@@ -273,17 +276,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
+                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
+                    "__changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             return labels.select("node", F.col("comp").alias("component_id"))
     raise RuntimeError(

@@ -1,0 +1,200 @@
+"""History-operator queries over the events table: SCD-2 validity
+intervals, CDC changelog materialization, and hourly gap-fill with
+LOCF + linear interpolation. The reference's history story is SCD-1
+latest-state only (`dbt/models/marts/dim_locations.sql` ROW_NUMBER
+pattern) with full-reload disaster recovery; these add the
+validity-interval / tombstone / densification surface a warehouse
+needs at 100 TB (operators/history.py documents the shuffle topology).
+
+All three are rotated: the window/dedup machinery they share is
+driver-verified by stg_dedup_latest, dim_latest_order_per_customer,
+rolling_user_spend and event_gaps_lag_lead; full Spark-vs-DuckDB
+parity still runs in pytest over sf0.001 (tests/test_entry_parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.catalog import (
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+    load,
+    register_rotated,
+    ts_str,
+)
+from openaq_data_pipeline_spark.operators.history import (
+    cdc_latest_snapshot,
+    gap_fill,
+    scd2_from_observations,
+)
+
+
+@register_rotated(
+    "scd2_user_state",
+    "EXT-history — SCD-2 interval builder: collapse the per-user "
+    "event_type observation log into validity intervals "
+    "[valid_from, valid_to) with is_current, one shuffle, change "
+    "detection + interval close in the same window partitioning",
+    oracle=f"""
+WITH obs AS (
+    SELECT user_id, ts, event_id, event_type,
+           (lag(ts) OVER w IS NULL
+            OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS new_run
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+kept AS (SELECT * FROM obs WHERE new_run)
+SELECT user_id, event_type AS state,
+       strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER w2, '{TS_FMT_DUCK}') AS valid_to,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM kept
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")["events"]
+    hist = scd2_from_observations(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        ts_str(F.col("valid_from"), TS_FMT_SPARK).alias("valid_from"),
+        ts_str(F.col("valid_to"), TS_FMT_SPARK).alias("valid_to"),
+        "is_current",
+    )
+
+
+@register_rotated(
+    "cdc_user_snapshot",
+    "EXT-history — CDC changelog apply: signup=insert, error=delete "
+    "tombstone, other events=upsert; newest record per user wins and "
+    "a trailing tombstone erases the key (ranked-then-filtered so "
+    "deletes cannot resurrect older upserts)",
+    oracle=f"""
+WITH changelog AS (
+    SELECT user_id, ts, event_id, value,
+           CASE event_type WHEN 'signup' THEN 'I'
+                           WHEN 'error' THEN 'D'
+                           ELSE 'U' END AS op
+    FROM events
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM changelog
+)
+SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS last_ts,
+       value AS last_value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+)
+def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")["events"]
+    changelog = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    snap = cdc_latest_snapshot(
+        changelog,
+        key_cols=["user_id"],
+        ts_col="ts",
+        op_col="op",
+        delete_op="D",
+        tiebreak_cols=["event_id"],
+    )
+    return snap.select(
+        "user_id",
+        ts_str(F.col("ts"), TS_FMT_SPARK).alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register_rotated(
+    "gap_fill_hourly",
+    "EXT-history — time-series densification: per-event-type hourly "
+    "grid over each type's own [min, max] span (sequence + explode, "
+    "never keys x global-span), LOCF and linear interpolation in one "
+    "window pass; grid rows = sum of spans / step",
+    oracle="""
+WITH obs AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b, value
+    FROM events
+),
+agg AS (
+    SELECT event_type, b, max(value) AS value FROM obs GROUP BY event_type, b
+),
+bounds AS (
+    SELECT event_type, min(b) AS lo, max(b) AS hi FROM obs GROUP BY event_type
+),
+grid AS (
+    SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS b FROM bounds
+),
+j AS (
+    SELECT g.event_type, g.b, a.value FROM grid g
+    LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b
+),
+f AS (
+    SELECT event_type, b, value, value IS NULL AS is_gap,
+           last_value(value IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_locf,
+           last_value(CASE WHEN value IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+           first_value(CASE WHEN value IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b,
+           first_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+    FROM j
+)
+SELECT event_type,
+       strftime(to_timestamp(b), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       value, is_gap, value_locf,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN prev_b IS NULL OR next_b IS NULL THEN value_locf
+            ELSE value_locf + (next_v - value_locf) *
+                 (CAST(b - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+       END AS value_interp
+FROM f
+""",
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid size is bounded: 5 event types x a 30-day span = ~3.6k
+    rows at every sf — densification cost scales with span/step per
+    key, not with input rows. value aggregates with MAX (exact over
+    doubles); the interpolation arithmetic is the same IEEE
+    expression in both engines, so bits (and hashes) match."""
+    e = load(spark, sf_dir, "events")["events"]
+    filled = gap_fill(
+        e.select("event_type", "ts", "value"),
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        step_seconds=3600,
+        interpolate=True,
+    )
+    return filled.select(
+        "event_type",
+        ts_str(F.col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value",
+        "is_gap",
+        "value_locf",
+        "value_interp",
+    )
