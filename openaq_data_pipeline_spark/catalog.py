@@ -48,21 +48,40 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read the requested parquet tables and register temp views so
     builders can freely mix DataFrame API and SQL.
 
-    The driver's ``events.ts`` is parquet TIMESTAMP(NANOS), which
-    Spark's reader rejects outright; we read nanos as long (legacy
-    conf) and rebuild a microsecond TimestampType (the source data is
-    µs-resolution, so truncation is lossless and DuckDB's own
-    µs-string rendering matches).
+    Timestamp normalization is schema-adaptive because the driver has
+    shipped the same tables under different physical types across
+    rounds (TIMESTAMP(NANOS) in r1, naive TIMESTAMP(MICROS) in r2):
+
+    - parquet TIMESTAMP(NANOS): Spark's reader rejects it outright; we
+      read nanos as long (legacy conf) and rebuild a microsecond
+      TimestampType (``events.ts`` is the only historical case).
+    - TIMESTAMP_NTZ (µs, isAdjustedToUTC=false): cast to TimestampType.
+      The session timezone is pinned to UTC (session.py), so the cast
+      preserves the wall-clock micros exactly and matches DuckDB's
+      naive-µs string rendering.
+    - TimestampType: pass through.
     """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for f_field in df.schema.fields:
-            if name == "events" and f_field.name == "ts":
-                # integer division: exact floor-to-µs, matching
-                # DuckDB's µs truncation in strftime
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if isinstance(f_field.dataType, TimestampNTZType):
+                df = df.withColumn(
+                    f_field.name, F.col(f_field.name).cast("timestamp")
+                )
+            elif (
+                name == "events"
+                and f_field.name == "ts"
+                and isinstance(f_field.dataType, LongType)
+            ):
+                # nanos-as-long: integer division is exact floor-to-µs,
+                # matching DuckDB's µs truncation in strftime
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
