@@ -61,30 +61,70 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
       naive-µs string rendering.
     - TimestampType: pass through.
     """
-    from pyspark.sql.types import LongType, TimestampNTZType
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prepare_session(spark)
     out = {}
     for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for f_field in df.schema.fields:
-            if isinstance(f_field.dataType, TimestampNTZType):
-                df = df.withColumn(
-                    f_field.name, F.col(f_field.name).cast("timestamp")
-                )
-            elif (
-                name == "events"
-                and f_field.name == "ts"
-                and isinstance(f_field.dataType, LongType)
-            ):
-                # nanos-as-long: integer division is exact floor-to-µs,
-                # matching DuckDB's µs truncation in strftime
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+        df = normalize_timestamps(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet"), name
+        )
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def prepare_session(spark: SparkSession) -> None:
+    """Confs the normalization contract depends on. The NTZ→Timestamp
+    cast below is only lossless when the session renders timestamps in
+    UTC (otherwise the cast shifts the wall clock and every oracle
+    hash diverges silently), so the timezone is pinned here rather
+    than trusted to the caller's session builder."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _has_nested_ntz(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType, TimestampNTZType
+
+    if isinstance(dt, StructType):
+        return any(_has_nested_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _has_nested_ntz(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_nested_ntz(dt.keyType) or _has_nested_ntz(dt.valueType)
+    return isinstance(dt, TimestampNTZType)
+
+
+def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """The schema-adaptive timestamp normalization described in
+    :func:`load`, shared by the batch loader and the streaming reader
+    (VERDICT r2 #1: the stream must derive its normalization from the
+    table's actual physical schema, never carry its own copy)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    for f_field in df.schema.fields:
+        if isinstance(f_field.dataType, TimestampNTZType):
+            df = df.withColumn(
+                f_field.name, F.col(f_field.name).cast("timestamp")
+            )
+        elif (
+            name == "events"
+            and f_field.name == "ts"
+            and isinstance(f_field.dataType, LongType)
+        ):
+            # nanos-as-long: integer division is exact floor-to-µs,
+            # matching DuckDB's µs truncation in strftime
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif _has_nested_ntz(f_field.dataType):
+            # a nested NTZ would sail through the per-column cast above
+            # and hash-diverge from the oracle rendering; fail loudly
+            # the moment a driver schema change introduces one
+            raise TypeError(
+                f"column {f_field.name!r} of table {name!r} nests a "
+                "TIMESTAMP_NTZ; extend normalize_timestamps before using it"
+            )
+    return df
 
 
 def fan_out(df: DataFrame) -> DataFrame:
