@@ -125,11 +125,16 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    # ratio_vs_prev and metadata go to a SIDE FILE, never the stdout
+    # line: the driver captures only a fixed-size tail of process
+    # output, and r2's enriched line overflowed it (BENCH_r02.json
+    # parsed: null). The stdout line stays the compact r1 schema.
+    detail = dict(result)
     prev = _previous_bench()
     if prev is not None:
         name, prev_data = prev
         prev_times = prev_data.get("queries", {})
-        result["ratio_vs_prev"] = {
+        detail["ratio_vs_prev"] = {
             "baseline": name,
             "total": (
                 round(total / prev_data["value"], 3)
@@ -142,6 +147,9 @@ def main() -> None:
                 if prev_times.get(k)
             },
         }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
 
     # stop Spark BEFORE printing: all late JVM/log4j output lands
     # above the JSON line, keeping the artifact tail clean
