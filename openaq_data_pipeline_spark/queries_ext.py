@@ -563,16 +563,78 @@ sigs AS (
 """
 
 
+def _neardup_lsh_duck(
+    source: str,
+    dim: int = 64,
+    threshold: float = 0.40,
+    recall: float = 0.90,
+    max_tables: int = 64,
+    min_planes: int = 4,
+    max_planes: int = 12,
+    target_bucket: int = 8,
+    seed: int = 42,
+) -> str:
+    """params/planes/sigs CTEs reproducing the engine's derived-LSH
+    near-dup bucketing (operators/similarity.neardup_lsh_params +
+    _sign_planes + the lsh_near_dup_pairs tag stage) entirely in SQL:
+
+    - (b, L) derive from count(*) via an integer CASE ladder (the
+      bit_length occupancy clamp) plus a b→L lookup whose values were
+      frozen in Python — no cross-engine transcendental math;
+    - the ±1 planes regenerate from md5("{seed}|t|j|k"), so nothing
+      is inlined;
+    - buckets sum (plane·v ≥ 0) << j per table with list_dot_product.
+    """
+    from openaq_data_pipeline_spark.operators.similarity import neardup_param_table
+
+    b_thresh, lookup = neardup_param_table(
+        threshold, recall, max_tables, min_planes, max_planes
+    )
+    ladder = " ".join(
+        f"WHEN m >= {1 << (b - 1)} THEN {b}"
+        for b in range(b_thresh, min_planes, -1)
+    )
+    lcase = " ".join(f"WHEN {b} THEN {tabs}" for b, tabs in lookup.items())
+    return f"""
+params AS (
+    SELECT b, CASE b {lcase} END AS l
+    FROM (
+        SELECT CASE {ladder} ELSE {min_planes} END AS b
+        FROM (SELECT count(*) // {target_bucket} AS m FROM {source})
+    )
+),
+planes AS (
+    SELECT t AS table_id, j AS plane_idx,
+           list(CASE WHEN substr(md5('{seed}|' || t || '|' || j || '|' || k), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f')
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+                ORDER BY k) AS plane
+    FROM generate_series(0, {max_tables - 1}) ts(t),
+         generate_series(0, {max_planes - 1}) js(j),
+         generate_series(0, {dim - 1}) ks(k)
+    WHERE t < (SELECT l FROM params) AND j < (SELECT b FROM params)
+    GROUP BY t, j
+),
+sigs AS (
+    SELECT e.vec_id, p.table_id,
+           CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                         THEN (1 << p.plane_idx) ELSE 0 END) AS BIGINT) AS bucket
+    FROM {source} e CROSS JOIN planes p
+    GROUP BY e.vec_id, p.table_id
+)
+"""
+
+
 @register(
     "dedup_embedding_cosine",
     "EXT-dedup — embedding-cosine near-dup pairs (≥ 0.40) via "
-    "LSH-bucketed candidates + exact fold verify (the 100 TB default "
-    "path: equi-join on (table, bucket), no all-pairs, no driver "
-    "collect); oracle recomputes identical signatures from the "
-    "inlined hyperplane matrix",
+    "corpus-sized LSH (b, L derived from count + threshold, sign "
+    "planes regenerated from md5) + exact vectorized verify (the "
+    "100 TB default path: equi-join on (table, bucket), no "
+    "all-pairs, no driver collect); the oracle re-derives the same "
+    "params, planes, and buckets in pure SQL",
     oracle=f"""
-WITH {_planes_values_duck(dim=64, n_planes=4, n_tables=16, seed=42)},
-{_lsh_sigs_duck('embeddings')},
+WITH {_neardup_lsh_duck('embeddings')},
 cand AS (
     SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
     FROM sigs sa JOIN sigs sb
@@ -589,7 +651,9 @@ WHERE round({_COSINE_DUCK}, 6) >= 0.40
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    return cosine_near_dup_pairs(e, threshold=0.40, id_col="vec_id", dim=64)
+    return cosine_near_dup_pairs(
+        fan_out(e), threshold=0.40, id_col="vec_id", dim=64
+    )
 
 
 # --- similarity search --------------------------------------------------
