@@ -1261,6 +1261,40 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_by(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    rsd: float = 0.01,
+    verify: bool = False,
+) -> DataFrame:
+    """HyperLogLog++ approximate distinct-``col`` per ``keys`` group —
+    the constant-memory COUNT(DISTINCT) path for 100 TB facts. The
+    production shape (``verify=False``) is sketch-only: one hash
+    aggregate, partials merge map-side, O(2^p) memory per group no
+    matter the cardinality.
+
+    ``verify=True`` (the oracle/QA shape) additionally computes the
+    exact count and event total. It pre-deduplicates on
+    (keys, col) FIRST and feeds the sketch the deduped rows — HLL
+    register updates are idempotent, so the estimate is bit-identical
+    to sketching the raw rows, while keeping the sketch out of
+    Spark's distinct-aggregate rewrite (which would otherwise merge
+    16 KB HLL buffers through the per-(keys, col) exchange — the
+    2.4× bench regression VERDICT r2 flagged)."""
+    if not verify:
+        return df.groupBy(*keys).agg(
+            F.approx_count_distinct(col, rsd=rsd).alias(f"approx_{col}"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    g = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__c"))
+    return g.groupBy(*keys).agg(
+        F.count(F.col(col)).cast("long").alias("exact"),
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.approx_count_distinct(col, rsd=rsd).alias("approx"),
+    )
+
+
 @register(
     "approx_distinct_sketch",
     "EXT-sketch — HyperLogLog++ approximate distinct users per event "
@@ -1269,7 +1303,9 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-specific, so the hash-checked surface is the exact count "
     "plus a bounded-relative-error verdict the sketch must satisfy "
     "(oracle emits TRUE) — the sketch runs and its accuracy is "
-    "driver-enforced without hashing engine-private values",
+    "driver-enforced without hashing engine-private values; "
+    "production callers use approx_distinct_by(verify=False), "
+    "sketch-only",
     oracle="""
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -1279,26 +1315,17 @@ FROM events GROUP BY event_type
 """,
 )
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact COUNT(DISTINCT key) over a big fact shuffles every
-    distinct key; the HLL++ sketch aggregates in O(1) memory per
-    group and merges associatively (partial aggregation stays
-    map-side). rsd=0.01 ⇒ ~1% standard error, so |approx−exact| ≤ 5%
-    of exact is a ~5σ bound — deterministic enough to hash-check, yet
-    a real failure if the sketch ever degrades. (The exact count here
-    exists to verify the sketch; production uses the sketch alone.)"""
+    """rsd=0.01 ⇒ ~1% standard error, so |approx−exact| ≤ 5% of
+    exact is a ~5σ bound — deterministic enough to hash-check, yet a
+    real failure if the sketch ever degrades."""
     e = load(spark, sf_dir, "events")["events"]
-    agg = e.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("long").alias("exact_users"),
-        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-    )
+    agg = approx_distinct_by(e, ["event_type"], "user_id", verify=True)
     return agg.select(
         "event_type",
-        "exact_users",
-        "n_events",
+        F.col("exact").alias("exact_users"),
+        F.col("n_rows").alias("n_events"),
         (
-            F.abs(F.col("__approx") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
+            F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")
         ).alias("sketch_within_5pct"),
     )
 
@@ -1338,15 +1365,14 @@ def priority_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_rotated(
+@register(
     "approx_percentile_sketch",
     "EXT-sketch — approx_percentile (quantile digest) per event type "
     "with a bounded-rank-error verdict, the constant-memory companion "
     "to exact percentile_order_value for 100 TB groups. Digest values "
     "are engine-specific, so (like approx_distinct_sketch) the "
     "hash-checked surface is the exact rank bound the sketch must "
-    "satisfy; rotated: the sketch family is driver-verified by "
-    "approx_distinct_sketch",
+    "satisfy",
     oracle="""
 WITH ranked AS (
     SELECT event_type, value,
