@@ -219,10 +219,12 @@ def int_valid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "locality_coalesce_chain",
     "P3,F4,F5,F6 — NULL-safe fallback chain with split/replace "
-    "(stg_openaq__locations.sql:20-24)",
+    "(stg_openaq__locations.sql:20-24); rotated after two green "
+    "driver rounds (r1+r2) to driver-verify the r2 history/sketch "
+    "additions",
     oracle="""
 SELECT c_custkey AS custkey,
        coalesce(
@@ -438,10 +440,11 @@ def hwm_incremental_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "union_snapshots_distinct",
     "U1,U2,A5 — append-style UNION ALL of overlapping daily slices + "
-    "distinct (dags/01 WRITE_APPEND + set-union of ids)",
+    "distinct (dags/01 WRITE_APPEND + set-union of ids); rotated "
+    "after two green driver rounds (r1+r2)",
     oracle="""
 WITH unioned AS (
     SELECT * FROM events WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-10'
@@ -469,10 +472,11 @@ def union_snapshots_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "freshness_by_type",
     "A7 — source-freshness SLA (src_openaq.yml:8-11): hours since "
-    "last record vs warn 24h / error 48h thresholds",
+    "last record vs warn 24h / error 48h thresholds; rotated after "
+    "two green driver rounds (r1+r2)",
     oracle="""
 SELECT event_type,
        CAST(floor((epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts))) / 3600) AS BIGINT) AS hours_stale,
@@ -617,10 +621,11 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "explode_words",
     "F2,A1 — array UNNEST/explode + aggregate "
-    "(stg_openaq__sensors.sql:34-35)",
+    "(stg_openaq__sensors.sql:34-35); rotated after two green driver "
+    "rounds (r1+r2)",
     oracle="""
 SELECT word, CAST(count(*) AS BIGINT) AS n
 FROM (

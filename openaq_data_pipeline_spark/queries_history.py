@@ -6,10 +6,10 @@ pattern) with full-reload disaster recovery; these add the
 validity-interval / tombstone / densification surface a warehouse
 needs at 100 TB (operators/history.py documents the shuffle topology).
 
-All three are rotated: the window/dedup machinery they share is
-driver-verified by stg_dedup_latest, dim_latest_order_per_customer,
-rolling_user_spend and event_gaps_lag_lead; full Spark-vs-DuckDB
-parity still runs in pytest over sf0.001 (tests/test_entry_parity.py).
+All three are driver-registered (VERDICT r2 #4: newly-added operators
+must see a driver oracle row before anything rotates them out); the
+slots came from four long-stable single-operator demos rotated into
+pytest-only parity (queries_core.py).
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ from openaq_data_pipeline_spark.catalog import (
     TS_FMT_DUCK,
     TS_FMT_SPARK,
     load,
-    register_rotated,
+    register,
     ts_str,
 )
 from openaq_data_pipeline_spark.operators.history import (
@@ -31,7 +31,7 @@ from openaq_data_pipeline_spark.operators.history import (
 )
 
 
-@register_rotated(
+@register(
     "scd2_user_state",
     "EXT-history — SCD-2 interval builder: collapse the per-user "
     "event_type observation log into validity intervals "
@@ -72,7 +72,7 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_rotated(
+@register(
     "cdc_user_snapshot",
     "EXT-history — CDC changelog apply: signup=insert, error=delete "
     "tombstone, other events=upsert; newest record per user wins and "
@@ -123,7 +123,7 @@ def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_rotated(
+@register(
     "gap_fill_hourly",
     "EXT-history — time-series densification: per-event-type hourly "
     "grid over each type's own [min, max] span (sequence + explode, "
