@@ -134,7 +134,14 @@ def merge_upsert(
     """MERGE ON unique_key, partition-scoped (steps 1-3 above).
     Matched target rows are replaced by incoming rows; unmatched
     target rows in affected partitions survive; other partitions are
-    untouched (dynamic overwrite)."""
+    untouched (dynamic overwrite).
+
+    The ``keep`` set holds only rows of *affected* partitions, so the
+    final overwrite is correct ONLY under dynamic partition overwrite
+    — under Spark's default static mode the same write would drop
+    every unaffected partition (VERDICT r2 #2). The conf is therefore
+    forced locally for the write and restored after; callers get
+    correct merges regardless of their session defaults."""
     incoming = _with_partition(incoming, table)
     target = read_target(spark, table)
     if target is None:
@@ -149,7 +156,16 @@ def merge_upsert(
     merged = keep.unionByName(incoming.select(keep.columns))
     # break lineage: the write overwrites partitions this plan reads
     merged = merged.localCheckpoint(eager=True)
-    _write(merged, table, "overwrite")
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        _write(merged, table, "overwrite")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def incremental_run(

@@ -207,3 +207,33 @@ class TestIncrementalMart:
         run(spark, table, day2, enriched)
         files_after = set(os.listdir(day1_dir))
         assert files_before == files_after  # dynamic overwrite never touched day 1
+
+    def test_merge_correct_under_static_overwrite_session(self, spark, setup):
+        """merge_upsert must not depend on the caller's session conf:
+        under Spark's DEFAULT static partitionOverwriteMode, the
+        partition-scoped overwrite would silently drop every
+        unaffected day partition (VERDICT r2 #2). The operator forces
+        dynamic mode around its write and restores the caller's
+        setting."""
+        _, valid, enriched, table, day1 = setup
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "static")
+        try:
+            run(spark, table, day1, enriched)
+            # slice strictly past day 1: the merge rewrites only the
+            # day-2 partition, so a static overwrite would erase day 1
+            day2 = valid.filter(F.col("logical_date") == "2026-01-03")
+            final = run(spark, table, day2, enriched)
+            assert {str(r[0]) for r in final.select("date_utc").distinct().collect()} == {
+                "2026-01-02",
+                "2026-01-03",
+            }
+            full = mart_location_air_quality(valid, enriched)
+            assert snap(final) == snap(full)
+            assert spark.conf.get(key) == "static"  # caller conf untouched
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
