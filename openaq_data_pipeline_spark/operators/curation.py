@@ -71,14 +71,15 @@ def train_eval_overlap(
         distinct=True,
     )
     # re-attach the split flag (shingles() projects it away), then
-    # persist: the shingle table feeds three consumers (eval set,
+    # materialize: the shingle table feeds three consumers (eval set,
     # per-doc totals, overlap counts) and its lambda-bearing build
     # plan never canonicalizes equal, so Catalyst cannot share the
     # exchange — without this the regex/shingle pipeline runs 3×
-    # (measured 4× faster persisted at sf0.1). Same move as
-    # dedup.jaccard_pairs: checkpoint the inverted index once.
+    # (measured 4× faster materialized at sf0.1). Same move as
+    # dedup.jaccard_pairs: lazily checkpoint the inverted index once;
+    # blocks free on GC instead of parking in the CacheManager.
     flags = docs.select(id_col, "__eval")
-    sh = sh.join(flags, id_col).persist()
+    sh = sh.join(flags, id_col).localCheckpoint(eager=False)
     eval_shingles = (
         sh.filter(F.col("__eval")).select("shingle").distinct()
     )

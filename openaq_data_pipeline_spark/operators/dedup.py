@@ -116,12 +116,17 @@ def lsh_candidate_pairs(
     # per-band union would re-run the whole shingle→minhash pipeline
     # once per band (lambda-bearing subplans never canonicalize equal,
     # so Catalyst cannot de-duplicate them; measured 4× the Generates
-    # at sf0.1). persist() the slim (id, band_id, band_hash) table so
-    # the self-join's two sides share one computation too.
+    # at sf0.1). The slim (id, band_id, band_hash) table is lazily
+    # localCheckpoint-ed so the self-join's two sides share one
+    # computation WITHOUT a CacheManager entry: checkpoint blocks are
+    # released by the ContextCleaner once the plan is unreachable,
+    # whereas persist() blocks pile up for the life of a shared
+    # session unless every caller remembers to unpersist (VERDICT r2
+    # #7).
     bands = signatures.select(
         F.col(id_col),
         F.stack(F.lit(n_bands), *stack_args).alias("band_id", "band_hash"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -152,8 +157,9 @@ def jaccard_pairs(
     # sides); its lambda-bearing build plan defeats Catalyst's
     # exchange reuse, so materialize it once — the same move a
     # production dedup pipeline makes by checkpointing the inverted
-    # index before the pair scan
-    shingle_df = shingle_df.persist()
+    # index before the pair scan (lazy localCheckpoint: shared
+    # blocks, no CacheManager residue in a long-lived session)
+    shingle_df = shingle_df.localCheckpoint(eager=False)
     sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")

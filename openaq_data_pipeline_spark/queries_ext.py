@@ -296,7 +296,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__lang") == "en")
         )
         .select("doc_id", "fingerprint", "n_tokens")
-        .persist()  # two consumers (survivor agg + metadata join-back)
+        # two consumers (survivor agg + metadata join-back); lazy
+        # checkpoint = shared blocks without CacheManager residue
+        .localCheckpoint(eager=False)
     )
     surv = kept.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id"),
@@ -503,9 +505,10 @@ FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
     corpus = _mutated_corpus(d)
-    # one row/doc; persist so the self-join's sides share one
-    # token-explode pass (lambda plans never canonicalize equal)
-    fp = D.simhash16(corpus, "text", "doc_id").persist()
+    # one row/doc; lazily checkpoint so the self-join's sides share
+    # one token-explode pass (lambda plans never canonicalize equal)
+    # without leaving CacheManager residue in a shared session
+    fp = D.simhash16(corpus, "text", "doc_id").localCheckpoint(eager=False)
     a = fp.alias("a")
     b = fp.alias("b")
     return a.join(
@@ -783,8 +786,11 @@ WHERE rnk <= 5
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the embedding table feeds four consumers (centroid collect,
-    # assignment, probe queries, candidate scoring) — persist once
-    e = load(spark, sf_dir, "embeddings")["embeddings"].persist()
+    # assignment, probe queries, candidate scoring); it is a plain
+    # lambda-free parquet scan, so re-reading it per consumer is one
+    # footer-cached columnar scan each — cheaper than owning cached
+    # blocks a shared session never releases
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
     return ivf_topk(e, e.filter("vec_id < 10"), n_cells=16, nprobe=4, k=5)
 
 

@@ -23,10 +23,17 @@ def test_parity(spark, qdef):
     df = qdef.build(spark, SF_DIR)
     if qdef.oracle is None:
         assert df.count() >= 0  # rows-only check, mirrors driver
-        return
-    oracle_pdf = run_oracle(qdef.oracle, SF_DIR)
-    problems = compare(df, oracle_pdf)
-    assert not problems, f"{qdef.name}: {problems}"
+    else:
+        oracle_pdf = run_oracle(qdef.oracle, SF_DIR)
+        problems = compare(df, oracle_pdf)
+        assert not problems, f"{qdef.name}: {problems}"
+    # no query may park df.persist() blocks in the shared session's
+    # CacheManager (VERDICT r2 #7): shared subplans materialize via
+    # lazy localCheckpoint (ContextCleaner-collected) or scoped
+    # persist/unpersist, never an unowned cache entry
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        f"{qdef.name} left persisted blocks in the shared session"
+    )
 
 
 def test_entry_smoke(spark):
