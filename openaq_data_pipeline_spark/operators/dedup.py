@@ -263,35 +263,49 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
-                    "__changed"
-                ),
-            )
+    # size each round's shuffles to the graph, not the session: a
+    # few-thousand-edge near-dup graph re-planned at the session's
+    # shuffle width pays rounds × partitions near-empty-task
+    # scheduling (the dominant cost of small iterative jobs); a
+    # billion-edge graph keeps full width. The count is free — edges
+    # is already materialized by the eager checkpoint.
+    n_edges = edges.count()
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(conf_key)
+    round_parts = max(1, min(int(prev_parts), (n_edges + 199_999) // 200_000))
+    spark.conf.set(conf_key, str(round_parts))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
-            return labels.select("node", F.col("comp").alias("component_id"))
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node2"))
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            new_labels = (
+                labels.join(neigh, labels["node"] == neigh["node2"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                    ).alias("comp"),
+                    (
+                        F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")
+                    ).alias("__changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.filter(F.col("__changed")).limit(1).count()
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                return labels.select("node", F.col("comp").alias("component_id"))
+    finally:
+        spark.conf.set(conf_key, prev_parts)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "pathological chain topology; switch to large-star/small-star"
