@@ -310,3 +310,38 @@ def connected_components(
         f"connected_components did not converge in {max_iters} rounds — "
         "pathological chain topology; switch to large-star/small-star"
     )
+
+
+def keep_one_per_cluster(
+    corpus_ids: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, cluster_size) for the documents that SURVIVE dedup — the
+    final materialization of the pair → cluster → keep-one pipeline
+    (the table a curation run actually trains on). Survivors are the
+    per-component minimum id (== component_id by construction in
+    :func:`connected_components`) plus every unclustered singleton
+    (cluster_size 1).
+
+    Scale shape: one anti-join dropping non-representative members
+    and one left join attaching cluster sizes, both equi-joins on the
+    id — component counts at corpus scale are far past broadcast
+    range, so both sides stay shuffled hash joins under AQE."""
+    dropped = components.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias(id_col)
+    )
+    sizes = (
+        components.groupBy("component_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .withColumnRenamed("component_id", id_col)
+    )
+    return (
+        corpus_ids.select(id_col)
+        .join(dropped, id_col, "left_anti")
+        .join(sizes, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
+    )

@@ -130,3 +130,44 @@ def shingle_fingerprints(df, text_col: str, id_col: str, n: int = 3, keep: int =
             ).alias("fingerprints"),
         )
     )
+
+
+def repetition_signals(df, text_col: str, id_col: str, n: int = 2):
+    """DataFrame → (id, n_grams, frac_top_gram, frac_dup_grams):
+    Gopher-style repetition quality signals — the fraction of word
+    n-grams claimed by the single most frequent n-gram, and the
+    fraction occurring more than once. Boilerplate, keyword-stuffed,
+    and loop-generated documents light up on these long before a
+    perplexity filter sees them (cf. the repetition filters in the
+    Gopher/MassiveText and RefinedWeb data papers).
+
+    Unlike this module's Column expressions, repetition needs a
+    per-document n-gram histogram: one explode + two hash aggregates
+    ((id, gram) counts, then per-id moments), both partial-aggregated
+    map-side — shuffled volume is distinct grams per doc, not corpus
+    size. Ratios use exact integer rounding (engine-neutral).
+    Documents with < n tokens are excluded."""
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+    from openaq_data_pipeline_spark.operators.dedup import shingles
+
+    grams = shingles(
+        df.where(F.size(tokens(normalize(F.col(text_col)))) >= n),
+        text_col,
+        id_col,
+        n=n,
+        distinct=False,
+    )
+    per_gram = grams.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.max("c").cast("long").alias("__top"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("__dup"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_grams",
+        exact_ratio_spark(F.col("__top"), F.col("n_grams")).alias("frac_top_gram"),
+        exact_ratio_spark(F.col("__dup"), F.col("n_grams")).alias("frac_dup_grams"),
+    )

@@ -312,10 +312,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup --------------------------------------------------------------
 
 
-@register(
+@register_rotated(
     "dedup_exact",
     "EXT-dedup — exact dedup by content fingerprint (hash-groupBy, "
-    "min-id survivor) over a re-ingested (doubled) corpus",
+    "min-id survivor) over a re-ingested (doubled) corpus; rotated "
+    "after two green driver rounds — corpus_curation driver-verifies "
+    "the identical fingerprint + min-id-survivor + join-back "
+    "semantics",
     oracle="""
 WITH corpus AS (
     SELECT doc_id, text FROM documents
@@ -401,15 +404,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
 
 
-@register(
-    "dedup_clusters",
-    "EXT-dedup — connected components over the verified near-dup pair "
-    "graph (iterative min-label propagation): pair list → duplicate "
-    "CLUSTERS with a canonical min-id representative, the keep-one-"
-    "per-component step of a curation pipeline. Oracle: DuckDB "
-    "recursive CTE computes the same transitive min-label closure",
-    oracle=f"""
-WITH RECURSIVE {_MUTATED_DUCK.strip()},
+# shared pairs → transitive-closure → cluster CTE chain (DuckDB
+# recursive CTE mirror of jaccard_pairs + connected_components);
+# callers append their own final SELECT
+_CLUSTERS_DUCK = f"""{_MUTATED_DUCK.strip()},
 {_SHINGLES_DUCK.strip()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
@@ -442,7 +440,20 @@ comp AS (
 csize AS (
     SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
     FROM comp GROUP BY component_id
-)
+)"""
+
+
+@register_rotated(
+    "dedup_clusters",
+    "EXT-dedup — connected components over the verified near-dup pair "
+    "graph (iterative min-label propagation): pair list → duplicate "
+    "CLUSTERS with a canonical min-id representative. Oracle: DuckDB "
+    "recursive CTE computes the same transitive min-label closure; "
+    "rotated in favor of dedup_keep_one, which driver-verifies the "
+    "identical pairs→components pipeline plus the final survivor "
+    "materialization",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTERS_DUCK}
 SELECT doc_id, component_id, cluster_size FROM comp JOIN csize USING (component_id)
 """,
 )
@@ -465,6 +476,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "component_id")
         .select("doc_id", "component_id", "cluster_size")
     )
+
+
+@register(
+    "dedup_keep_one",
+    "EXT-dedup — end-to-end deduped-corpus materialization: Jaccard-"
+    "verified pairs → connected components → keep the min-id "
+    "representative per cluster, singletons pass through (cluster_"
+    "size 1). This is the table a curation run actually trains on — "
+    "the final step of the pair→cluster→keep-one pipeline. Oracle: "
+    "recursive-CTE closure + anti-join, identical semantics",
+    oracle=f"""
+WITH RECURSIVE {_CLUSTERS_DUCK}
+SELECT c.doc_id,
+       CAST(coalesce(cs.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM (
+    SELECT doc_id FROM corpus
+    WHERE len(string_split(text, ' ')) >= 3
+) c
+LEFT JOIN comp ON comp.doc_id = c.doc_id
+LEFT JOIN csize cs ON cs.component_id = c.doc_id
+WHERE comp.doc_id IS NULL OR comp.component_id = c.doc_id
+""",
+)
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair pipeline as dedup_clusters, then
+    dedup.keep_one_per_cluster: anti-join away non-representative
+    members, left-join cluster sizes onto survivors."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3)
+    pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+    comp = D.connected_components(pairs)
+    return D.keep_one_per_cluster(corpus.select("doc_id"), comp, id_col="doc_id")
+
+
+@register(
+    "text_repetition_signals",
+    "EXT-text — Gopher-style repetition quality signals per document: "
+    "total bigrams, fraction claimed by the most frequent bigram, "
+    "fraction occurring more than once (boilerplate/keyword-stuffing "
+    "filters from the MassiveText/RefinedWeb recipe); one explode + "
+    "two partial-aggregated hash aggregates, exact integer-rounded "
+    "ratios",
+    oracle=f"""
+WITH words AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS shingle
+    FROM words, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) - 1 AND len(w) >= 2
+),
+per_gram AS (
+    SELECT doc_id, shingle, count(*) AS c FROM grams GROUP BY doc_id, shingle
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       {exact_ratio_duck('max(c)', 'sum(c)')} AS frac_top_gram,
+       {exact_ratio_duck('coalesce(sum(CASE WHEN c > 1 THEN c END), 0)', 'sum(c)')} AS frac_dup_grams
+FROM per_gram GROUP BY doc_id
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    return X.repetition_signals(d, "text", "doc_id", n=2)
 
 
 _SIMHASH_SUMS_DUCK = ",\n           ".join(

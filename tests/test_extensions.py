@@ -75,6 +75,27 @@ class TestConnectedComponents:
             20: 20, 21: 20,
         }
 
+    def test_keep_one_per_cluster(self, spark):
+        """Survivors = component representatives + untouched
+        singletons; cluster_size rides along (1 for singletons)."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            connected_components,
+            keep_one_per_cluster,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        corpus = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+        )
+        comp = connected_components(pairs)
+        out = {
+            r.doc_id: r.cluster_size
+            for r in keep_one_per_cluster(corpus, comp).collect()
+        }
+        assert out == {1: 3, 10: 2, 99: 1}
+
     def test_long_chain_exceeding_iters_raises(self, spark):
         """A 40-link chain cannot converge in 3 rounds — the operator
         must fail loudly, not return partial labels."""
@@ -264,6 +285,30 @@ class TestMultimodal:
 
 
 class TestTextOps:
+    def test_repetition_signals_exact_values(self, spark):
+        from openaq_data_pipeline_spark.operators.text import repetition_signals
+
+        df = spark.createDataFrame(
+            [
+                # bigrams: "a b","b a","a b","b a","a b" → 5 total,
+                # top "a b"=3, dup = 3+2 = 5
+                (1, "a b a b a b"),
+                # all 4 bigrams distinct → top 1/4, dup 0
+                (2, "v w x y z"),
+                # single word → excluded (< 2 tokens)
+                (3, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in repetition_signals(df, "text", "doc_id").collect()}
+        assert set(out) == {1, 2}
+        assert out[1].n_grams == 5
+        assert out[1].frac_top_gram == 0.6
+        assert out[1].frac_dup_grams == 1.0
+        assert out[2].n_grams == 4
+        assert out[2].frac_top_gram == 0.25
+        assert out[2].frac_dup_grams == 0.0
+
     def test_lang_id_deterministic_priority(self, spark):
         from openaq_data_pipeline_spark.operators.text import lang_id
 
