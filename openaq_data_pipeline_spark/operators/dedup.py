@@ -144,15 +144,39 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    shingle_df: DataFrame, id_col: str, min_jaccard: float = 0.0
+    shingle_df: DataFrame,
+    id_col: str,
+    min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_common, n_a, n_b, jaccard) for every pair of
     documents sharing at least one shingle. Exact n-gram Jaccard:
     the shingle equi-join counts |A∩B|; |A| and |B| come from a
     broadcast per-doc size table; |A∪B| = |A|+|B|−|A∩B|.
-    ``jaccard`` is exact-rounded to 4 dp (engine-neutral)."""
+    ``jaccard`` is exact-rounded to 4 dp (engine-neutral).
+
+    ``max_doc_freq`` is the stop-shingle guard: shingles appearing in
+    more than this many documents are dropped from the shingle
+    universe BEFORE pair generation (sizes and intersections both
+    exclude them — Jaccard over the non-stop shingle sets, the
+    standard treatment of boilerplate n-grams). The inverted-index
+    pair scan is O(Σ df²) over shingle document frequencies, so ONE
+    boilerplate shingle shared by a million documents alone yields
+    5·10¹¹ pairs — at corpus scale an uncapped scan is a job-killer,
+    not a slowdown. The guard costs one count-over-shingle window
+    (single shuffle, no sort: unordered frame) and is mirrored by the
+    SQL oracles."""
+    from pyspark.sql import Window
+
     from openaq_data_pipeline_spark.catalog import exact_ratio_spark
 
+    if max_doc_freq is not None:
+        w = Window.partitionBy("shingle")
+        shingle_df = (
+            shingle_df.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     # the shingle table feeds three consumers (sizes + both join
     # sides); its lambda-bearing build plan defeats Catalyst's
     # exchange reuse, so materialize it once — the same move a

@@ -89,6 +89,18 @@ shingles AS (
 )
 """
 
+# stop-shingle guard mirror (dedup.jaccard_pairs max_doc_freq=1000):
+# shingles shared by more than 1000 documents leave the universe
+# before pair generation
+_STOP_SHINGLE_DUCK = """
+fsh AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingles
+    ) WHERE df <= 1000
+)
+"""
+
 
 def _minhash_duck(num_hashes: int = 8) -> str:
     # mirror of operators/dedup.minhash_signatures: hash i = 8-hex
@@ -375,14 +387,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     "EXT-dedup — exact n-gram Jaccard verification (shingle "
-    "equi-join) at threshold 0.5 on the mutated corpus",
+    "equi-join) at threshold 0.5 on the mutated corpus, with the "
+    "df≤1000 stop-shingle guard live (inert on this corpus — no "
+    "boilerplate shingle reaches it — but driver-verified, so the "
+    "100 TB pair-blowup guard is exercised, not just documented)",
     oracle=f"""
 WITH {_MUTATED_DUCK.strip()},
 {_SHINGLES_DUCK.strip()},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+{_STOP_SHINGLE_DUCK.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-    FROM shingles a JOIN shingles b
+    FROM fsh a JOIN fsh b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
@@ -401,7 +417,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
     corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
     sh = D.shingles(corpus, "text", "doc_id", n=3)
-    return D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+    return D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
 
 
 # shared pairs → transitive-closure → cluster CTE chain (DuckDB
@@ -409,10 +425,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # callers append their own final SELECT
 _CLUSTERS_DUCK = f"""{_MUTATED_DUCK.strip()},
 {_SHINGLES_DUCK.strip()},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+{_STOP_SHINGLE_DUCK.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-    FROM shingles a JOIN shingles b
+    FROM fsh a JOIN fsh b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
@@ -466,7 +483,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
     corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
     sh = D.shingles(corpus, "text", "doc_id", n=3)
-    pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+    pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
     comp = D.connected_components(pairs)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
@@ -506,7 +523,7 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
     corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
     sh = D.shingles(corpus, "text", "doc_id", n=3)
-    pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+    pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
     comp = D.connected_components(pairs)
     return D.keep_one_per_cluster(corpus.select("doc_id"), comp, id_col="doc_id")
 

@@ -47,6 +47,26 @@ class TestDedup:
         assert planted, "no planted pair passed the 0.5 threshold"
         assert all(r.jaccard >= 0.5 for r in rows)
 
+    def test_jaccard_stop_shingle_guard(self, spark):
+        """A boilerplate shingle shared by every document must not
+        pair the whole corpus: with max_doc_freq below the corpus
+        size, the hot shingle leaves the universe (sizes AND
+        intersections) while genuinely similar pairs survive."""
+        from openaq_data_pipeline_spark.operators.dedup import jaccard_pairs, shingles
+
+        rows = [(i, f"common boiler plate unique{i} word{i} extra{i}") for i in range(20)]
+        rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = shingles(df, "text", "doc_id", n=3)
+        uncapped = jaccard_pairs(sh, "doc_id")
+        capped = jaccard_pairs(sh, "doc_id", max_doc_freq=5)
+        # "common boiler plate" (df=20) pairs all 20 docs uncapped...
+        assert uncapped.filter("id_a < 100").count() == 190
+        # ...and none capped; the true duplicate pair survives intact
+        assert capped.filter("id_a < 100").count() == 0
+        dup = capped.filter("id_a = 100").collect()
+        assert len(dup) == 1 and dup[0].jaccard == 1.0
+
     def test_exact_dedup_collapses_doubled_corpus(self, spark):
         from openaq_data_pipeline_spark.queries_ext import dedup_exact
 

@@ -99,14 +99,17 @@ def test_topk_filters_before_full_sort(spark):
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"])
 def test_dedup_pipelines_compute_shingles_once(spark, name):
     """Every consumer of the shingle/signature table (sizes + both
-    self-join sides) must read the persisted intermediate, not rebuild
-    the explode pipeline — lambda-bearing plans never canonicalize
-    equal, so without the persist Catalyst would replicate them.
-    (Generate counts in the plan STRING overcount: each
-    InMemoryRelation prints its stored build lineage too.)"""
+    self-join sides) must read the checkpointed intermediate, not
+    rebuild the explode pipeline — lambda-bearing plans never
+    canonicalize equal, so without the materialization Catalyst would
+    replicate them. With lazy localCheckpoint the shared table
+    surfaces as `Scan ExistingRDD` on every consumer, and the
+    token-explode (`Generate`) vanishes from the final plan entirely:
+    it runs exactly once, inside the checkpointed RDD."""
     plan = final_plan(REG[name].build(spark, SF_DIR))
-    in_mem = len(re.findall(r"InMemoryTableScan", plan))
-    assert in_mem >= 2, f"{name}: self-join sides not sharing the cache"
+    rdd_scans = len(re.findall(r"Scan ExistingRDD", plan))
+    assert rdd_scans >= 2, f"{name}: self-join sides not sharing the checkpoint"
+    assert "Generate" not in plan, f"{name}: explode pipeline re-planned per consumer"
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
@@ -153,12 +156,13 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
 
 def test_embedding_cosine_default_is_bucketed(spark):
     """dedup_embedding_cosine's default path must be the LSH-bucketed
-    candidates + exact verify (VERDICT r1 'What's wrong' #1): no
-    cartesian/nested-loop all-pairs scan, no full-corpus driver
-    collect (asserted structurally: building with collect/toPandas
-    patched to raise proves the plan is assembled fully lazily), and
-    signatures shared across the self-join sides via the persisted
-    table."""
+    tag → repartition(table, bucket) → per-bucket kernel topology
+    (VERDICT r1 #1 / r2 performance): no cartesian/nested-loop
+    all-pairs scan, no full-corpus driver collect (collect/toPandas
+    patched to raise during build; the one permitted driver scalar is
+    the count() that sizes (b, L) — watermark-class, not a row
+    collect), no join operator at all, exactly one data shuffle on
+    the bucket key plus the final tiny distinct."""
     from unittest import mock
 
     from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
@@ -173,18 +177,25 @@ def test_embedding_cosine_default_is_bucketed(spark):
     plan = final_plan(df)
     assert "CartesianProduct" not in plan, "all-pairs cross join in default path"
     assert "BroadcastNestedLoopJoin" not in plan, "nested-loop all-pairs"
-    assert plan.count("InMemoryTableScan") >= 2, "signature cache not shared"
+    assert "Join" not in plan, "bucket kernel replaced joins entirely"
+    assert plan.count("MapInPandas") == 2, "tag + bucket-kernel Arrow stages"
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 2, f"unexpected shuffles: {n_exchanges}"
 
 
 def test_curation_plan_shapes(spark):
     """Curation family scale properties: decontamination shares one
-    persisted shingle table across its three consumers and never
+    checkpointed shingle table across its three consumers and never
     falls back to SortMergeJoin (eval set broadcasts); sampling and
     PII scanning are pure scan-side work — zero shuffles; all three
     prune to the columns they touch."""
     plan = final_plan(REG["decontamination"].build(spark, SF_DIR))
-    assert plan.count("InMemoryTableScan") >= 3, "shingle cache not shared"
-    assert "SortMergeJoin" not in plan, "eval-set broadcast lost"
+    assert plan.count("Scan ExistingRDD") >= 3, "shingle checkpoint not shared"
+    # the train⋈eval overlap join must broadcast the collapsed eval
+    # shingle set; the later per-doc totals⋈shared outer join is
+    # doc-count-sized on BOTH sides, so a sort-merge there is the
+    # correct scale plan (AQE demotes it to broadcast on small runs)
+    assert re.search(r"BroadcastHashJoin \[shingle", plan), "eval-set broadcast lost"
 
     for name in ("stratified_sample", "pii_scan"):
         plan = final_plan(REG[name].build(spark, SF_DIR))
