@@ -362,6 +362,45 @@ class TestTextOps:
         assert len(fps[1] & fps[2]) >= 2
 
 
+class TestNeardupParams:
+    def test_derivation_monotone_and_clamped(self):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            neardup_lsh_params,
+            neardup_param_table,
+        )
+
+        b_thresh, lookup = neardup_param_table()
+        # threshold 0.40 / recall 0.90 / 64-table budget → depth 7
+        assert b_thresh == 7
+        assert set(lookup) == {4, 5, 6, 7}
+        assert all(lookup[b] < lookup[b + 1] for b in range(4, 7)), (
+            "deeper hashes must demand more tables"
+        )
+        # occupancy clamp: tiny corpora stay shallow, big hit b_thresh
+        bs = [neardup_lsh_params(n)[0] for n in (10, 500, 2000, 10**9)]
+        assert bs == sorted(bs) and bs[0] == 4 and bs[-1] == 7
+        # known driver-scale values (the oracle CASE ladder mirrors
+        # these — changing them silently breaks hash parity)
+        assert neardup_lsh_params(500) == (6, lookup[6])
+        assert neardup_lsh_params(2000) == (7, lookup[7])
+
+    def test_sign_planes_md5_derivation(self):
+        import hashlib
+
+        from openaq_data_pipeline_spark.operators.similarity import _sign_planes
+
+        planes = _sign_planes(dim=4, n_tables=2, n_planes=3, seed=42)
+        assert planes.shape == (2, 3, 4)
+        for t in (0, 1):
+            for j in (0, 2):
+                for k in (0, 3):
+                    h = hashlib.md5(f"42|{t}|{j}|{k}".encode()).hexdigest()[0]
+                    assert planes[t, j, k] == (1.0 if h >= "8" else -1.0)
+        # prefix-stability: a bigger tensor embeds the smaller exactly
+        big = _sign_planes(dim=4, n_tables=4, n_planes=5, seed=42)
+        assert (big[:2, :3, :] == planes).all()
+
+
 class TestCosinePairMethods:
     def test_matmul_equals_fold(self, spark):
         """The vectorized matmul scorer must agree with the
