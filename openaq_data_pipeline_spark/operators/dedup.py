@@ -177,26 +177,41 @@ def jaccard_pairs(
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
-    # the shingle table feeds three consumers (sizes + both join
-    # sides); its lambda-bearing build plan defeats Catalyst's
+    # the shingle table feeds two consumers (sizes + the posting-list
+    # aggregate); its lambda-bearing build plan defeats Catalyst's
     # exchange reuse, so materialize it once — the same move a
     # production dedup pipeline makes by checkpointing the inverted
     # index before the pair scan (lazy localCheckpoint: shared
     # blocks, no CacheManager residue in a long-lived session)
     shingle_df = shingle_df.localCheckpoint(eager=False)
     sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = shingle_df.alias("a")
-    b = shingle_df.alias("b")
+    # posting-list pair generation instead of a self-join: ONE
+    # exchange of the shingle table builds sorted per-shingle doc
+    # lists, and the (i<j) pairs explode map-side straight into the
+    # partial pair-count aggregate. The join formulation moves the
+    # same table through TWO exchanges plus a join — strictly more
+    # shuffle at any scale. Per-shingle work is O(df²), bounded by
+    # the max_doc_freq guard above (the same property the join
+    # relied on); sorted lists make id_a < id_b by construction.
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids) - 1),
+                lambda j: F.struct(
+                    F.get(ids, i).alias("id_a"), F.get(ids, j).alias("id_b")
+                ),
+            ),
+        )
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("n_common"))
+        shingle_df.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size(ids) >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))

@@ -104,12 +104,16 @@ def test_dedup_pipelines_compute_shingles_once(spark, name):
     canonicalize equal, so without the materialization Catalyst would
     replicate them. With lazy localCheckpoint the shared table
     surfaces as `Scan ExistingRDD` on every consumer, and the
-    token-explode (`Generate`) vanishes from the final plan entirely:
-    it runs exactly once, inside the checkpointed RDD."""
+    token-explode vanishes from the final plan: it runs exactly once,
+    inside the checkpointed RDD. (Jaccard's posting-list pair
+    explosion is a different, legitimate Generate — it explodes
+    aggregated id lists, not the token pipeline — so the check keys
+    on the shingle builder's `greatest(...)` sequence signature
+    rather than banning Generate outright.)"""
     plan = final_plan(REG[name].build(spark, SF_DIR))
     rdd_scans = len(re.findall(r"Scan ExistingRDD", plan))
-    assert rdd_scans >= 2, f"{name}: self-join sides not sharing the checkpoint"
-    assert "Generate" not in plan, f"{name}: explode pipeline re-planned per consumer"
+    assert rdd_scans >= 2, f"{name}: consumers not sharing the checkpoint"
+    assert "greatest" not in plan, f"{name}: shingle explode re-planned per consumer"
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
