@@ -47,6 +47,8 @@ BENCH_ALL = os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1"
 def _run_once(spark, q, sf_dir: str) -> None:
     """Execute one query end-to-end via the noop sink (full plan, no
     collect/driver cost), then leave the session clean."""
+    import gc
+
     try:
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         leaked = list(spark.streams.active)
@@ -58,6 +60,11 @@ def _run_once(spark, q, sf_dir: str) -> None:
             )
     finally:
         spark.catalog.clearCache()
+        # drop py4j refs promptly so the ContextCleaner can release
+        # localCheckpoint blocks between queries — across a 100-run
+        # session the accumulated blocks otherwise crowd executor
+        # memory and skew later queries' timings
+        gc.collect()
 
 
 def _previous_bench() -> tuple[str, dict] | None:
