@@ -187,6 +187,32 @@ def test_embedding_cosine_default_is_bucketed(spark):
     assert n_exchanges <= 2, f"unexpected shuffles: {n_exchanges}"
 
 
+def test_repetition_signals_plan(spark):
+    """text_repetition_signals: scan prunes to (doc_id, text); the
+    n-gram histogram is exactly two exchanges ((id, gram) counts →
+    per-id moments) with map-side partial aggregation — shuffled
+    volume is distinct grams per doc, never corpus bytes."""
+    plan = final_plan(REG["text_repetition_signals"].build(spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        set(s.split(",")) <= {"doc_id:bigint", "text:string"} for s in schemas
+    ), schemas
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan.count(
+        "Exchange"
+    )
+
+
+def test_keep_one_survivors_plan(spark):
+    """dedup_keep_one's survivor step must stay equi-join-shaped (no
+    cartesian/nested-loop), with the non-representative drop as a
+    LeftAnti join — component counts at corpus scale are far past
+    broadcast range, so the shape, not the strategy, is pinned."""
+    plan = final_plan(REG["dedup_keep_one"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, "non-representative drop is not an anti-join"
+
+
 def test_curation_plan_shapes(spark):
     """Curation family scale properties: decontamination shares one
     checkpointed shingle table across its three consumers and never
