@@ -600,20 +600,34 @@ FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
     corpus = _mutated_corpus(d)
-    # one row/doc; lazily checkpoint so the self-join's sides share
-    # one token-explode pass (lambda plans never canonicalize equal)
-    # without leaving CacheManager residue in a shared session
-    fp = D.simhash16(corpus, "text", "doc_id").localCheckpoint(eager=False)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    return a.join(
-        b,
-        (F.col("a.simhash") == F.col("b.simhash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.col("a.simhash").alias("simhash"),
+    fp = D.simhash16(corpus, "text", "doc_id")
+    # posting-list pair generation (same topology as jaccard_pairs):
+    # ONE exchange of the fingerprint table groups Hamming-0 buckets,
+    # the (i<j) pairs explode map-side — no self-join, no second
+    # exchange, no checkpoint needed since the single aggregate is
+    # the only consumer of the token-explode pipeline
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids) - 1),
+                lambda j: F.struct(
+                    F.get(ids, i).alias("id_a"), F.get(ids, j).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        fp.groupBy("simhash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__ids"))
+        .filter(F.size(ids) >= 2)
+        .select(F.explode(pair_structs).alias("p"), "simhash")
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            "simhash",
+        )
     )
 
 
