@@ -104,41 +104,46 @@ def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing ≥1 LSH band
-    (band hash = MD5 of its concatenated minhashes). Unioned band
-    tables → equi-join on (band_id, band_hash) → distinct pairs with
-    id_a < id_b. Only hash-colliding documents are ever joined."""
+    (band hash = MD5 of its concatenated minhashes). Only
+    hash-colliding documents ever pair up.
+
+    stack() emits all bands in ONE pass over the signature table — a
+    per-band union would re-run the whole shingle→minhash pipeline
+    once per band (lambda-bearing subplans never canonicalize equal,
+    so Catalyst cannot de-duplicate them; measured 4× the Generates
+    at sf0.1). Pairs come from posting lists like
+    :func:`jaccard_pairs`: one exchange on (band_id, band_hash)
+    builds sorted per-bucket id lists and the (i<j) pairs explode
+    map-side into the distinct — the self-join formulation moved the
+    band table through two exchanges plus a join, and needed a
+    checkpoint just to share the build between its sides."""
     n_bands = num_hashes // band_size
     stack_args: list = []
     for b in range(n_bands):
         cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
         stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
-    # stack() emits all bands in ONE pass over the signature table — a
-    # per-band union would re-run the whole shingle→minhash pipeline
-    # once per band (lambda-bearing subplans never canonicalize equal,
-    # so Catalyst cannot de-duplicate them; measured 4× the Generates
-    # at sf0.1). The slim (id, band_id, band_hash) table is lazily
-    # localCheckpoint-ed so the self-join's two sides share one
-    # computation WITHOUT a CacheManager entry: checkpoint blocks are
-    # released by the ContextCleaner once the plan is unreachable,
-    # whereas persist() blocks pile up for the life of a shared
-    # session unless every caller remembers to unpersist (VERDICT r2
-    # #7).
     bands = signatures.select(
         F.col(id_col),
         F.stack(F.lit(n_bands), *stack_args).alias("band_id", "band_hash"),
-    ).localCheckpoint(eager=False)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    )
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids) - 1),
+                lambda j: F.struct(
+                    F.get(ids, i).alias("id_a"), F.get(ids, j).alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size(ids) >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 

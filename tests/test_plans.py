@@ -98,22 +98,27 @@ def test_topk_filters_before_full_sort(spark):
 
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"])
 def test_dedup_pipelines_compute_shingles_once(spark, name):
-    """Every consumer of the shingle/signature table (sizes + both
-    self-join sides) must read the checkpointed intermediate, not
-    rebuild the explode pipeline — lambda-bearing plans never
-    canonicalize equal, so without the materialization Catalyst would
-    replicate them. With lazy localCheckpoint the shared table
-    surfaces as `Scan ExistingRDD` on every consumer, and the
-    token-explode vanishes from the final plan: it runs exactly once,
-    inside the checkpointed RDD. (Jaccard's posting-list pair
-    explosion is a different, legitimate Generate — it explodes
-    aggregated id lists, not the token pipeline — so the check keys
-    on the shingle builder's `greatest(...)` sequence signature
-    rather than banning Generate outright.)"""
+    """The shingle token-explode pipeline must run exactly once per
+    query — lambda-bearing plans never canonicalize equal, so a
+    formulation that feeds it to several consumers without
+    materializing would replicate it wholesale (measured 4× the
+    Generates at sf0.1). The explode is identified by the shingle
+    builder's `greatest(...)` sequence signature (jaccard's
+    posting-list pair explosion is a different, legitimate Generate
+    over aggregated id lists). Jaccard checkpoints the shingle table
+    for its two consumers (sizes + posting lists) — the explode lives
+    inside the shared RDD, zero in-plan copies; minhash's band table
+    has exactly ONE consumer (the posting-list aggregate), so its
+    pipeline appears exactly once inline with no materialization
+    needed."""
     plan = final_plan(REG[name].build(spark, SF_DIR))
-    rdd_scans = len(re.findall(r"Scan ExistingRDD", plan))
-    assert rdd_scans >= 2, f"{name}: consumers not sharing the checkpoint"
-    assert "greatest" not in plan, f"{name}: shingle explode re-planned per consumer"
+    n_shingle_builds = len(re.findall(r"greatest", plan))
+    if name == "dedup_ngram_jaccard":
+        rdd_scans = len(re.findall(r"Scan ExistingRDD", plan))
+        assert rdd_scans >= 2, f"{name}: consumers not sharing the checkpoint"
+        assert n_shingle_builds == 0, f"{name}: shingle explode re-planned per consumer"
+    else:
+        assert n_shingle_builds == 1, f"{name}: shingle pipeline replicated"
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
