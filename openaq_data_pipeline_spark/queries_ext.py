@@ -150,7 +150,7 @@ FROM documents
 """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
     n_tok = X.token_count(F.col("text"))
     return d.select(
         "doc_id",
@@ -234,7 +234,7 @@ FROM scored
 """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")["documents"]
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
     pred = X.lang_id(F.col("text"))
     return d.select(
         "doc_id",
@@ -558,7 +558,9 @@ FROM per_gram GROUP BY doc_id
 """,
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")["documents"]
+    # fan_out: the regex+explode gram build runs in the scan stage,
+    # which on a one-file input is a single task without it
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
     return X.repetition_signals(d, "text", "doc_id", n=2)
 
 
