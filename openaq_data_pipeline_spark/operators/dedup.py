@@ -13,10 +13,11 @@ Scale design:
   (cf. the MinHashLSH literature; Spark MLlib has a variant, but the
   pure-SQL formulation below keeps everything in Catalyst and is
   oracle-testable).
-- **SimHash**: 16-bit hex-digit majority fingerprint — one aggregate
-  per bit over exploded tokens; near-dups collide on the exact
-  fingerprint (Hamming-0 buckets; wider Hamming radii = re-join on
-  bit-flipped variants).
+- **SimHash**: 64-bit hex-digit majority fingerprint stored as four
+  16-bit band integers; banded Hamming≤k search (pigeonhole: a pair
+  within Hamming distance ≤ 3 of a 4-band split agrees exactly on at
+  least one band) turns near-dup search into four equi-joins plus an
+  integer ``bit_count(xor)`` verify — no O(n²) scan at any radius.
 - **n-gram Jaccard**: exact pairwise verification via a shingle
   equi-join (only docs sharing ≥1 shingle ever pair up), with
   |A∩B| counted per pair and |A∪B| = |A|+|B|−|A∩B|.
@@ -101,7 +102,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 2048,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing ≥1 LSH band
     (band hash = MD5 of its concatenated minhashes). Only
@@ -116,7 +121,19 @@ def lsh_candidate_pairs(
     builds sorted per-bucket id lists and the (i<j) pairs explode
     map-side into the distinct — the self-join formulation moved the
     band table through two exchanges plus a join, and needed a
-    checkpoint just to share the build between its sides."""
+    checkpoint just to share the build between its sides.
+
+    ``max_bucket`` caps band-bucket membership: a bucket larger than
+    this is dropped (not truncated) before pair emission. The
+    per-bucket pair array materializes in ONE row — m members emit
+    m(m−1)/2 id structs — so a degenerate bucket (a mass
+    exact-duplicate class, which lands its WHOLE class in the same
+    bucket of EVERY band) is an OOM, not a spill. At the default
+    2048 the worst-case row is ~34 MB. Thousands of docs sharing a
+    full band of minhashes are near-certainly exact duplicates:
+    collapse them upstream with :func:`exact_dedup` (the standard
+    pipeline order), and the survivors re-enter banding far below
+    the cap. ``None`` disables the cap; query oracles mirror it."""
     n_bands = num_hashes // band_size
     stack_args: list = []
     for b in range(n_bands):
@@ -138,10 +155,13 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    grouped = bands.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size(ids) <= max_bucket)
     return (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
-        .filter(F.size(ids) >= 2)
+        grouped.filter(F.size(ids) >= 2)
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
@@ -152,13 +172,21 @@ def jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str,
     min_jaccard: float = 0.0,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, n_common, n_a, n_b, jaccard) for every pair of
     documents sharing at least one shingle. Exact n-gram Jaccard:
     the shingle equi-join counts |A∩B|; |A| and |B| come from a
     broadcast per-doc size table; |A∪B| = |A|+|B|−|A∩B|.
     ``jaccard`` is exact-rounded to 4 dp (engine-neutral).
+
+    PRECONDITION — set semantics: ``shingle_df`` must hold DISTINCT
+    (id, shingle) rows (:func:`shingles` with ``distinct=True``, its
+    default). The posting-list formulation pairs every occurrence
+    within a shingle's doc list, so duplicated (id, shingle) rows
+    (e.g. a minhash-style ``distinct=False`` shingle table) would
+    yield id_a == id_b self-pairs and inflate n_common — the old
+    self-join could never pair a doc with itself, this one can.
 
     ``max_doc_freq`` is the stop-shingle guard: shingles appearing in
     more than this many documents are dropped from the shingle
@@ -168,9 +196,10 @@ def jaccard_pairs(
     pair scan is O(Σ df²) over shingle document frequencies, so ONE
     boilerplate shingle shared by a million documents alone yields
     5·10¹¹ pairs — at corpus scale an uncapped scan is a job-killer,
-    not a slowdown. The guard costs one count-over-shingle window
-    (single shuffle, no sort: unordered frame) and is mirrored by the
-    SQL oracles."""
+    not a slowdown. The guard therefore defaults ON (df ≤ 1000;
+    ``None`` disables it for small trusted corpora) and costs one
+    count-over-shingle window (single shuffle, no sort: unordered
+    frame); it is mirrored by the SQL oracles."""
     from pyspark.sql import Window
 
     from openaq_data_pipeline_spark.catalog import exact_ratio_spark
@@ -237,33 +266,148 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
 
 
-def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, simhash) 16-bit SimHash fingerprint as a 16-char '0'/'1'
-    string. Bit j is the majority vote of hex digit j of each token's
-    MD5 (digit ≥ 8 → +1 else −1). Identical in any engine with md5 +
-    substring. Near-duplicate documents (mostly-shared token bags)
-    agree on most bits; exact-bucket grouping finds Hamming-0 sets."""
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, b0, b1, b2, b3) — 64-bit SimHash fingerprint as four
+    16-bit band integers (band k holds bits 16k..16k+15, bit j of a
+    band contributes 1<<j).
+
+    Bit j (0..63) is the majority vote over the document's tokens of
+    hex digit (j mod 32) of MD5(tok) (j < 32) or MD5('1|' + tok)
+    (j ≥ 32): digit ≥ '8' → +1 else −1. Each hex digit's top bit is
+    an independent fair coin, so two digests yield 64 independent
+    bits at half the hashing cost of 64 single-bit hashes. Identical
+    in any engine with md5 + substring + integer arithmetic.
+
+    The 4×16 band split is what makes Hamming≤3 search an equi-join:
+    by pigeonhole, fingerprints within Hamming distance ≤ 3 agree
+    EXACTLY on at least one band (:func:`simhash_near_dup_pairs`).
+    Votes are weighted by token multiplicity (the classic SimHash
+    token-bag semantics)."""
     tok = (
         df.select(
             F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("tok")
         )
         .where(F.col("tok") != "")
-        # project the digest once; inlined in 16 agg expressions it
-        # would be hashed 16× per token
-        .select(F.col(id_col), F.md5(F.col("tok")).alias("__h"))
+        # project the two digests once; inlined in 64 agg expressions
+        # they would be hashed 32× per token each
+        .select(
+            F.col(id_col),
+            F.md5(F.col("tok")).alias("__h0"),
+            F.md5(F.concat(F.lit("1|"), F.col("tok"))).alias("__h1"),
+        )
     )
-    h = F.col("__h")
+    digests = [F.col("__h0"), F.col("__h1")]
     bit_aggs = [
         F.sum(
             F.when(
-                F.substring(h, j + 1, 1).isin(*list("89abcdef")), F.lit(1)
+                F.substring(digests[j // 32], (j % 32) + 1, 1).isin(*list("89abcdef")),
+                F.lit(1),
             ).otherwise(F.lit(-1))
         ).alias(f"s{j}")
-        for j in range(16)
+        for j in range(64)
     ]
     votes = tok.groupBy(id_col).agg(*bit_aggs)
-    bits = [F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(16)]
-    return votes.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+    bands = [
+        sum(
+            F.when(
+                F.col(f"s{SIMHASH_BAND_BITS * k + j}") >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(SIMHASH_BAND_BITS)
+        )
+        .cast("int")
+        .alias(f"b{k}")
+        for k in range(SIMHASH_BANDS)
+    ]
+    return votes.select(F.col(id_col), *bands)
+
+
+def simhash_near_dup_pairs(
+    fp: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 2048,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for fingerprint pairs within Hamming
+    distance ``max_hamming`` of each other, via banded search over
+    :func:`simhash64` output.
+
+    Pigeonhole guarantee: splitting 64 bits into 4 bands, any pair
+    with ≤ 3 differing bits matches EXACTLY on ≥ 1 band — so the
+    union of the four per-band equi-self-joins contains every true
+    pair, and the integer ``bit_count(a xor b)`` verify (summed over
+    bands; each band value < 2^16 so xor never touches a sign bit)
+    is exact. ``max_hamming`` must therefore be < SIMHASH_BANDS for
+    completeness; larger radii would need more/narrower bands.
+
+    Scale shape: stack() emits all (band_id, band_val) rows in one
+    pass carrying the full fingerprint; ONE exchange groups each
+    band bucket; the (i<j) pairs explode map-side with the Hamming
+    verify applied BEFORE the distinct, so only true near-dup pairs
+    (not raw band collisions) reach the final aggregate.
+
+    ``max_bucket`` caps bucket membership: a bucket larger than this
+    is dropped (not truncated) before pair emission, because the
+    per-bucket pair array materializes in a single row — m members
+    emit m(m−1)/2 structs, so an uncapped degenerate bucket (a mass
+    exact-duplicate class — ubiquitous boilerplate in web corpora)
+    is an OOM, not a spill. At the default 2048 the worst-case row
+    is ~50 MB. A bucket past the cap means thousands of documents
+    share an identical 16-bit band — an exact-dup class that
+    :func:`exact_dedup` upstream collapses for free; run it first in
+    composed pipelines (the cap is mirrored by the SQL oracles, and
+    ``None`` disables it)."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"banded search over {SIMHASH_BANDS} bands is only complete for "
+            f"max_hamming < {SIMHASH_BANDS}, got {max_hamming}"
+        )
+    band_cols = [f"b{k}" for k in range(SIMHASH_BANDS)]
+    stack_args: list = []
+    for k in range(SIMHASH_BANDS):
+        stack_args += [F.lit(k), F.col(band_cols[k])]
+    bands = fp.select(
+        F.struct(F.col(id_col).alias("id"), *band_cols).alias("__m"),
+        F.stack(F.lit(SIMHASH_BANDS), *stack_args).alias("band_id", "band_val"),
+    )
+    ms = F.col("__ms")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.{b}").bitwiseXOR(F.col(f"b.{b}"))
+        )
+        for b in band_cols
+    ).cast("int")
+    grouped = bands.groupBy("band_id", "band_val").agg(
+        F.array_sort(F.collect_list(F.col("__m"))).alias("__ms")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size(ms) <= max_bucket)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ms) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ms) - 1),
+                lambda j: F.struct(
+                    F.get(ms, i).alias("a"), F.get(ms, j).alias("b")
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.filter(F.size(ms) >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def connected_components(

@@ -364,16 +364,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     "EXT-dedup — MinHash(k=8) + LSH banding (4 bands × 2 rows): "
-    "near-dup candidate pairs on the mutated corpus",
+    "near-dup candidate pairs on the mutated corpus; the "
+    "degenerate-bucket cap (≤2048 members per band bucket) is "
+    "mirrored by the oracle's bucket-size exclusion",
     oracle=f"""
 WITH {_MUTATED_DUCK.strip()},
 {_SHINGLES_DUCK.strip()},
 {_minhash_duck(8).strip()},
-{_bands_duck(8, 2).strip()}
+{_bands_duck(8, 2).strip()},
+bsz AS (
+    SELECT band_id, band_hash, count(*) AS c
+    FROM bands GROUP BY band_id, band_hash
+)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash
  AND a.doc_id < b.doc_id
+JOIN bsz s ON s.band_id = a.band_id AND s.band_hash = a.band_hash
+WHERE s.c <= 2048
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,22 +572,68 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.repetition_signals(d, "text", "doc_id", n=2)
 
 
+# 64 majority-vote sums: bit j reads hex digit (j mod 32) of
+# md5(tok) (j < 32) or md5('1|' || tok) (j >= 32) — mirrors
+# operators/dedup.simhash64 exactly.
 _SIMHASH_SUMS_DUCK = ",\n           ".join(
-    "sum(CASE WHEN substr(md5(tok), %d, 1) IN ('8','9','a','b','c','d','e','f') "
-    "THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)
-    for j in range(16)
+    "sum(CASE WHEN substr(%s, %d, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS s%d"
+    % ("md5(tok)" if j < 32 else "md5('1|' || tok)", (j % 32) + 1, j)
+    for j in range(64)
 )
-_SIMHASH_BITS_DUCK = " || ".join(
-    f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16)
+# four 16-bit band integers from the vote signs
+_SIMHASH_BANDS_DUCK = ",\n       ".join(
+    "CAST(%s AS INTEGER) AS b%d"
+    % (
+        " + ".join(
+            f"(CASE WHEN s{16 * k + j} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        ),
+        k,
+    )
+    for k in range(4)
 )
+_SIMHASH_HAMMING_DUCK = " + ".join(
+    f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(4)
+)
+
+# simhash-specific mutation: append ONE token to every 5th doc.
+# Removing 5 words (the shared _MUTATED_DUCK) flips ~10+ of 64 bits
+# on typical docs — past any banded radius; a single appended token
+# shifts every bit-sum by ±1 and flips only the bits whose vote was
+# balanced, landing many true near-dup pairs in Hamming 1..3 where
+# the banded search (and not Hamming-0 bucketing) finds them.
+_APPENDED_DUCK = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' qq' AS text
+    FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _appended_corpus(documents: DataFrame) -> DataFrame:
+    """documents ∪ one-token-appended copies of every 5th doc
+    (id+100000) — the Hamming-1..3 near-dup testbed mirrored by
+    ``_APPENDED_DUCK``."""
+    mutated = documents.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    return documents.select("doc_id", "text").unionByName(mutated)
 
 
 @register(
     "dedup_simhash",
-    "EXT-dedup — 16-bit SimHash fingerprint buckets: documents "
-    "agreeing on every majority bit (Hamming-0 near-dup buckets)",
+    "EXT-dedup — 64-bit SimHash (4×16-bit bands) + banded Hamming≤3 "
+    "search: pigeonhole guarantees any pair within distance 3 agrees "
+    "exactly on ≥1 band, so candidates come from four band "
+    "equi-joins (one stack+exchange in Spark) and an integer "
+    "bit_count(xor) verify — no O(n²) scan at any radius; the "
+    "degenerate-bucket cap (≤2048 members) is mirrored by the oracle",
     oracle=f"""
-WITH {_MUTATED_DUCK.strip()},
+WITH {_APPENDED_DUCK.strip()},
 words AS (
     SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
     FROM corpus
@@ -594,43 +648,42 @@ votes AS (
            {_SIMHASH_SUMS_DUCK}
     FROM toks GROUP BY doc_id
 ),
-fp AS (SELECT doc_id, {_SIMHASH_BITS_DUCK} AS simhash FROM votes)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
-FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+fp AS (
+    SELECT doc_id,
+       {_SIMHASH_BANDS_DUCK}
+    FROM votes
+),
+bands AS (
+    SELECT doc_id, 0 AS band_id, b0 AS band_val FROM fp
+    UNION ALL SELECT doc_id, 1, b1 FROM fp
+    UNION ALL SELECT doc_id, 2, b2 FROM fp
+    UNION ALL SELECT doc_id, 3, b3 FROM fp
+),
+bsz AS (
+    SELECT band_id, band_val, count(*) AS c
+    FROM bands GROUP BY band_id, band_val
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    JOIN bsz s ON s.band_id = a.band_id AND s.band_val = a.band_val
+    WHERE s.c <= 2048
+)
+SELECT c.id_a, c.id_b,
+       CAST({_SIMHASH_HAMMING_DUCK} AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE {_SIMHASH_HAMMING_DUCK} <= 3
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
-    corpus = _mutated_corpus(d)
-    fp = D.simhash16(corpus, "text", "doc_id")
-    # posting-list pair generation (same topology as jaccard_pairs):
-    # ONE exchange of the fingerprint table groups Hamming-0 buckets,
-    # the (i<j) pairs explode map-side — no self-join, no second
-    # exchange, no checkpoint needed since the single aggregate is
-    # the only consumer of the token-explode pipeline
-    ids = F.col("__ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ids) - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ids) - 1),
-                lambda j: F.struct(
-                    F.get(ids, i).alias("id_a"), F.get(ids, j).alias("id_b")
-                ),
-            ),
-        )
-    )
-    return (
-        fp.groupBy("simhash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("__ids"))
-        .filter(F.size(ids) >= 2)
-        .select(F.explode(pair_structs).alias("p"), "simhash")
-        .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            "simhash",
-        )
-    )
+    corpus = _appended_corpus(d)
+    fp = D.simhash64(corpus, "text", "doc_id")
+    return D.simhash_near_dup_pairs(fp, "doc_id", max_hamming=3, max_bucket=2048)
 
 
 _COSINE_DUCK = (

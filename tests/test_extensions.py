@@ -76,6 +76,128 @@ class TestDedup:
         assert out.filter("n_copies <> 2").count() == 0
         assert out.filter("doc_id >= 200000").count() == 0  # min-id wins
 
+    @staticmethod
+    def _py_simhash64(text: str) -> tuple[int, int, int, int]:
+        """Pure-Python reference for operators/dedup.simhash64."""
+        import hashlib
+        import re
+
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        sums = [0] * 64
+        for tok in toks:
+            h0 = hashlib.md5(tok.encode()).hexdigest()
+            h1 = hashlib.md5(("1|" + tok).encode()).hexdigest()
+            for j in range(32):
+                sums[j] += 1 if h0[j] >= "8" else -1
+                sums[32 + j] += 1 if h1[j] >= "8" else -1
+        return tuple(
+            sum((1 << j) for j in range(16) if sums[16 * k + j] >= 0)
+            for k in range(4)
+        )
+
+    def test_simhash64_banded_finds_perturbed_pair_hamming0_misses(self, spark):
+        """The r3 verdict's acceptance test for the 64-bit upgrade: a
+        1-3-bit-perturbed near-dup pair that exact-fingerprint
+        (Hamming-0) bucketing can NEVER pair must be found by the
+        banded Hamming≤3 search, at the exact distance the Python
+        reference predicts."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            simhash64,
+            simhash_near_dup_pairs,
+        )
+
+        base = " ".join(f"w{i}" for i in range(97))
+        base_fp = self._py_simhash64(base)
+        chosen = None
+        for i in range(500):
+            cand = base + f" zz{i}"
+            fp = self._py_simhash64(cand)
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(base_fp, fp))
+            if 1 <= ham <= 3:
+                chosen = (cand, ham)
+                break
+        assert chosen, "no 1-3-bit perturbation found in 500 tries"
+        docs = [
+            (0, base),
+            (1, chosen[0]),
+            (2, "totally unrelated content about other things entirely"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        fp = simhash64(df, "text", "doc_id")
+        got = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in fp.collect()}
+        # Spark fingerprints match the Python reference bit-for-bit
+        assert got[0] == base_fp
+        assert got[1] == self._py_simhash64(chosen[0])
+        # the perturbed pair has distinct fingerprints → Hamming-0
+        # (exact-bucket) grouping can never pair them...
+        assert got[0] != got[1]
+        # ...but the banded search finds them at the exact distance
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(fp, "doc_id").collect()
+        }
+        assert pairs.get((0, 1)) == chosen[1]
+        # and the unrelated doc pairs with nobody
+        assert not any(2 in p for p in pairs)
+
+    def test_degenerate_bucket_cap_drops_mass_duplicate_class(self, spark):
+        """VERDICT r3 #2: a mass exact-duplicate class (ubiquitous
+        boilerplate) lands its whole membership in ONE band bucket of
+        every band; uncapped, the per-bucket pair array is O(m²) in a
+        single row — an OOM, not a spill. With the default cap the
+        degenerate bucket is dropped (pair arrays stay bounded), the
+        job completes, genuinely-similar non-degenerate pairs are
+        still found, and exact_dedup upstream collapses the class so
+        nothing is lost in the composed pipeline."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            exact_dedup,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingles,
+            simhash64,
+            simhash_near_dup_pairs,
+        )
+
+        n = 5000
+        boiler = "mass duplicated boiler plate body of web text"
+        rows = [(i, boiler) for i in range(n)]
+        rows += [
+            (900001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (900002, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # MinHash banding: 5000 identical signatures → every band
+        # bucket holds the whole class (> 2048) → dropped; the
+        # planted near-dup pair (91% shingle overlap) still collides
+        sh = shingles(df, "text", "doc_id", n=3, distinct=False)
+        sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+        pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, band_size=2)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (900001, 900002) in got
+        assert not any(a < n for a, _ in got)
+
+        # SimHash banding: identical fingerprints → same drop
+        fp = simhash64(df, "text", "doc_id")
+        sp = simhash_near_dup_pairs(fp, "doc_id")
+        assert not any(
+            r.id_a < n for r in sp.collect()
+        ), "degenerate simhash bucket leaked pairs past the cap"
+
+        # the composed pipeline loses nothing: exact dedup collapses
+        # the class to one survivor, which re-enters banding far
+        # below the cap
+        survivors = exact_dedup(df, "text", "doc_id")
+        assert survivors.filter(F.col("doc_id") < n).count() == 1
+        sig2 = minhash_signatures(
+            shingles(survivors, "text", "doc_id", n=3, distinct=False),
+            "doc_id",
+            num_hashes=8,
+        )
+        pairs2 = lsh_candidate_pairs(sig2, "doc_id", num_hashes=8, band_size=2)
+        got2 = {(r.id_a, r.id_b) for r in pairs2.collect()}
+        assert (900001, 900002) in got2
+
 
 class TestConnectedComponents:
     def test_chain_star_and_isolated_pair(self, spark):
