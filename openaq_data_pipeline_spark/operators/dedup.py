@@ -180,13 +180,12 @@ def jaccard_pairs(
     broadcast per-doc size table; |A∪B| = |A|+|B|−|A∩B|.
     ``jaccard`` is exact-rounded to 4 dp (engine-neutral).
 
-    PRECONDITION — set semantics: ``shingle_df`` must hold DISTINCT
-    (id, shingle) rows (:func:`shingles` with ``distinct=True``, its
-    default). The posting-list formulation pairs every occurrence
-    within a shingle's doc list, so duplicated (id, shingle) rows
-    (e.g. a minhash-style ``distinct=False`` shingle table) would
-    yield id_a == id_b self-pairs and inflate n_common — the old
-    self-join could never pair a doc with itself, this one can.
+    Set semantics are enforced structurally: posting lists are built
+    with collect_set, and per-doc sizes are counted from the posting
+    lists themselves, so duplicated (id, shingle) input rows (e.g. a
+    minhash-style ``distinct=False`` shingle table) cannot produce
+    self-pairs or inflated counts — callers may skip the
+    :func:`shingles` ``distinct=True`` shuffle entirely.
 
     ``max_doc_freq`` is the stop-shingle guard: shingles appearing in
     more than this many documents are dropped from the shingle
@@ -197,37 +196,43 @@ def jaccard_pairs(
     boilerplate shingle shared by a million documents alone yields
     5·10¹¹ pairs — at corpus scale an uncapped scan is a job-killer,
     not a slowdown. The guard therefore defaults ON (df ≤ 1000;
-    ``None`` disables it for small trusted corpora) and costs one
-    count-over-shingle window (single shuffle, no sort: unordered
-    frame); it is mirrored by the SQL oracles."""
-    from pyspark.sql import Window
-
+    ``None`` disables it for small trusted corpora) and is FREE: it
+    is a size filter on the posting lists the pair scan builds
+    anyway; it is mirrored by the SQL oracles."""
     from openaq_data_pipeline_spark.catalog import exact_ratio_spark
 
-    if max_doc_freq is not None:
-        w = Window.partitionBy("shingle")
-        shingle_df = (
-            shingle_df.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
-    # the shingle table feeds two consumers (sizes + the posting-list
-    # aggregate); its lambda-bearing build plan defeats Catalyst's
-    # exchange reuse, so materialize it once — the same move a
-    # production dedup pipeline makes by checkpointing the inverted
-    # index before the pair scan (lazy localCheckpoint: shared
-    # blocks, no CacheManager residue in a long-lived session)
-    shingle_df = shingle_df.localCheckpoint(eager=False)
-    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    # posting-list pair generation instead of a self-join: ONE
-    # exchange of the shingle table builds sorted per-shingle doc
-    # lists, and the (i<j) pairs explode map-side straight into the
-    # partial pair-count aggregate. The join formulation moves the
-    # same table through TWO exchanges plus a join — strictly more
-    # shuffle at any scale. Per-shingle work is O(df²), bounded by
-    # the max_doc_freq guard above (the same property the join
-    # relied on); sorted lists make id_a < id_b by construction.
+    # ONE exchange on shingle builds the inverted index (sorted
+    # per-shingle doc-id posting lists); the stop-shingle guard is a
+    # size filter ON the lists, and per-doc sizes re-derive from the
+    # filtered lists — replacing the previous three full shuffles of
+    # the exploded shingle table (distinct + df-count window +
+    # posting groupBy) with one. collect_set gives set semantics for
+    # free (duplicated input rows collapse inside the aggregate).
+    # The index feeds two consumers (sizes + pairs); its
+    # lambda-bearing build plan defeats Catalyst's exchange reuse, so
+    # materialize it once — the same move a production dedup pipeline
+    # makes by checkpointing the inverted index before the pair scan
+    # (lazy localCheckpoint: shared blocks, no CacheManager residue
+    # in a long-lived session).
     ids = F.col("__ids")
+    posting = shingle_df.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("__ids")
+    )
+    if max_doc_freq is not None:
+        posting = posting.filter(F.size(ids) <= max_doc_freq)
+    posting = posting.localCheckpoint(eager=False)
+    sizes = (
+        posting.select(F.explode(ids).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+    )
+    # posting-list pair generation instead of a self-join: the (i<j)
+    # pairs explode map-side straight into the partial pair-count
+    # aggregate. The join formulation moves the exploded table
+    # through two exchanges plus a join — strictly more shuffle at
+    # any scale. Per-shingle work is O(df²), bounded by the
+    # max_doc_freq guard above (the same property the join relied
+    # on); sorted lists make id_a < id_b by construction.
     pair_structs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.size(ids) - 2),
@@ -240,9 +245,7 @@ def jaccard_pairs(
         )
     )
     common = (
-        shingle_df.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
-        .filter(F.size(ids) >= 2)
+        posting.filter(F.size(ids) >= 2)
         .select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -276,10 +279,10 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     band contributes 1<<j).
 
     Bit j (0..63) is the majority vote over the document's tokens of
-    hex digit (j mod 32) of MD5(tok) (j < 32) or MD5('1|' + tok)
-    (j ≥ 32): digit ≥ '8' → +1 else −1. Each hex digit's top bit is
-    an independent fair coin, so two digests yield 64 independent
-    bits at half the hashing cost of 64 single-bit hashes. Identical
+    one bit of MD5(tok): hex digit (j mod 32)'s nibble bit 3 (digit
+    value ≥ 8) for j < 32, nibble bit 2 (digit value & 4) for
+    j ≥ 32. The 64 votes are 64 DISTINCT bits of the 128-bit digest
+    — independent fair coins from a single hash per token. Identical
     in any engine with md5 + substring + integer arithmetic.
 
     The 4×16 band split is what makes Hamming≤3 search an equi-join:
@@ -292,22 +295,24 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.col(id_col), F.explode(tokens(normalize(F.col(text_col)))).alias("tok")
         )
         .where(F.col("tok") != "")
-        # project the two digests once; inlined in 64 agg expressions
-        # they would be hashed 32× per token each
-        .select(
-            F.col(id_col),
-            F.md5(F.col("tok")).alias("__h0"),
-            F.md5(F.concat(F.lit("1|"), F.col("tok"))).alias("__h1"),
-        )
+        # project the digest ONCE as a char array; inlined in 64 agg
+        # expressions it would be hashed 32+ times per token, and 64
+        # substring() calls would re-scan the hex string where array
+        # element access is O(1)
+        .select(F.col(id_col), F.split(F.md5(F.col("tok")), "").alias("__a"))
     )
-    digests = [F.col("__h0"), F.col("__h1")]
+
+    def vote(j: int) -> F.Column:
+        # hex digits are lowercase 0-9a-f, so lexical compares read
+        # nibble bits directly: d ≥ '8' ⟺ bit 3 set; bit 2 set ⟺
+        # value in 4..7 or c..f ⟺ ('4' ≤ d < '8') or d ≥ 'c'
+        d = F.get(F.col("__a"), j % 32)
+        if j < 32:
+            return d >= "8"
+        return ((d >= "4") & (d < "8")) | (d >= "c")
+
     bit_aggs = [
-        F.sum(
-            F.when(
-                F.substring(digests[j // 32], (j % 32) + 1, 1).isin(*list("89abcdef")),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
+        F.sum(F.when(vote(j), F.lit(1)).otherwise(F.lit(-1))).alias(f"s{j}")
         for j in range(64)
     ]
     votes = tok.groupBy(id_col).agg(*bit_aggs)
@@ -423,9 +428,9 @@ def connected_components(
     duplicate CLUSTERS, so a curation pipeline can keep exactly one
     doc per component.
 
-    Algorithm: iterative min-label propagation — each round every
-    node takes the min of its own label and its neighbors' labels.
-    Converges in O(graph diameter) rounds; near-dup graphs are
+    Algorithm: iterative min-label propagation — each hop every node
+    takes the min of its own label and its neighbors' labels.
+    Converges in O(graph diameter) hops; near-dup graphs are
     star/chain shaped with tiny diameters (the alternating
     large-star/small-star contraction from the CC-in-MapReduce
     literature drops in here if ever faced with adversarial
@@ -434,13 +439,23 @@ def connected_components(
     Scale notes: the edge list is symmetrized once and
     localCheckpoint-ed (reused by every round — lambda-free but
     iterative lineage would otherwise grow each round and replan
-    from scratch); each round is one shuffle for the neighbor-min
-    aggregate and one for the label join, both on the node id. The
-    driver loop carries no data — only a converged? flag per round
-    (bounded by ``max_iters``, raises if exceeded). The flag is a
-    column computed inside the label-update join itself, so
-    convergence detection costs a scan of the just-checkpointed
-    labels, not a second labels⋈labels shuffle per round.
+    from scratch); each hop is one shuffle joining labels onto edges
+    and one union-aggregate shuffle on the node id. At
+    sf0.1 the per-round fixed cost (plan compilation, job
+    scheduling, checkpoint) dominates the graph-sized shuffles, so
+    each ROUND batches TWO hops and runs exactly ONE action: the
+    convergence count doubles as the lazy checkpoint's
+    materializing job. Checking only the second hop's change flag is
+    sufficient — if hop 2 changed nothing the labels are a fixpoint
+    of the propagation operator regardless of hop 1. The driver
+    loop carries no data — only the converged? flag per round
+    (bounded by ``max_iters`` hops, raises if exceeded).
+
+    Assumes a single-threaded session: the shuffle-width downsizing
+    below mutates session config with try/finally restore, which a
+    concurrently-planning query on the same session could observe
+    (driver and bench run queries serially; a multi-tenant service
+    should hand this operator its own ``spark.newSession()``).
     """
     spark = pairs.sparkSession
     edges = (
@@ -460,8 +475,39 @@ def connected_components(
     n_edges = edges.count()
     conf_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(conf_key)
-    round_parts = max(1, min(int(prev_parts), (n_edges + 199_999) // 200_000))
-    spark.conf.set(conf_key, str(round_parts))
+    try:
+        # a platform may pin this to a non-numeric value (e.g.
+        # "auto"); keep full width rather than fail the operator
+        sess_parts = int(prev_parts)
+    except (TypeError, ValueError):
+        sess_parts = None
+    round_parts = (n_edges + 199_999) // 200_000
+    if sess_parts is not None:
+        round_parts = max(1, min(sess_parts, round_parts))
+        spark.conf.set(conf_key, str(round_parts))
+
+    def hop(lbl: DataFrame) -> DataFrame:
+        # one aggregate replaces the old neighbor-min + label-update
+        # join pair: each node's new label is min over {its own label}
+        # ∪ {labels propagated across incident edges}, and the change
+        # flag falls out of the same agg (own label rides along as a
+        # second aggregate) — one fewer join and one fewer exchange
+        # of the label table per hop
+        prop = edges.join(lbl, edges["src"] == lbl["node"]).select(
+            F.col("dst").alias("node"),
+            "comp",
+            F.lit(None).cast(lbl.schema["comp"].dataType).alias("own"),
+        )
+        mine = lbl.select("node", "comp", F.col("comp").alias("own"))
+        return (
+            prop.unionByName(mine)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.max("own").alias("own"))
+            .select(
+                "node", "comp", (F.col("comp") < F.col("own")).alias("__changed")
+            )
+        )
+
     try:
         labels = (
             edges.select(F.col("src").alias("node"))
@@ -469,31 +515,21 @@ def connected_components(
             .withColumn("comp", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        for _ in range(max_iters):
-            neigh = (
-                edges.join(labels, edges["src"] == labels["node"])
-                .groupBy(F.col("dst").alias("node2"))
-                .agg(F.min("comp").alias("ncomp"))
+        for _ in range((max_iters + 1) // 2):
+            # two hops per round; hop 1's intermediate exchanges are
+            # shared by hop 2's two consumers via ReuseExchange
+            new_labels = hop(hop(labels).select("node", "comp")).localCheckpoint(
+                eager=False
             )
-            new_labels = (
-                labels.join(neigh, labels["node"] == neigh["node2"], "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                    ).alias("comp"),
-                    (
-                        F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")
-                    ).alias("__changed"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = new_labels.filter(F.col("__changed")).limit(1).count()
+            # ONE job: the count materializes the lazy checkpoint
+            # and evaluates convergence in the same pass
+            changed = new_labels.filter(F.col("__changed")).count()
             labels = new_labels.drop("__changed")
             if changed == 0:
                 return labels.select("node", F.col("comp").alias("component_id"))
     finally:
-        spark.conf.set(conf_key, prev_parts)
+        if sess_parts is not None:
+            spark.conf.set(conf_key, prev_parts)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "pathological chain topology; switch to large-star/small-star"

@@ -46,10 +46,12 @@ from openaq_data_pipeline_spark.operators.similarity import (
 def _mutated_corpus(documents: DataFrame) -> DataFrame:
     """documents ∪ truncated copies of every 5th doc (id+100000).
     Only docs with ≥ 8 words are mutated so 3-gram shingling stays
-    well-defined on both sides. Deliberately NOT fanned out: the
-    downstream shingle explode feeds joins/aggregations whose shuffle
-    already parallelizes the heavy phase, and a measured A/B at sf0.1
-    showed the extra round-robin exchange is a net loss here."""
+    well-defined on both sides. Callers that feed the jaccard posting
+    -list pipeline fan_out the scan first: since the r4 single-pass
+    rewrite of jaccard_pairs the shingle explode runs in the SCAN
+    stage (no distinct/window shuffle parallelizes it any more), so a
+    one-file input would chew the whole regex+explode on one core
+    (measured ~0.6 s/query at sf0.1)."""
     w = F.split(F.col("text"), " ")
     mutated = (
         documents.filter((F.col("doc_id") % 5 == 0) & (F.size(w) >= 8))
@@ -423,8 +425,10 @@ WHERE {exact_ratio_duck('n_common', 'sa.n_sh + sb.n_sh - n_common')} >= 0.5
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
-    corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
-    sh = D.shingles(corpus, "text", "doc_id", n=3)
+    # fan_out: the regex+explode shingle build runs in the scan stage,
+    # which on a one-file input is a single task without it
+    corpus = _mutated_corpus(fan_out(d)).filter(F.size(F.split("text", " ")) >= 3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3, distinct=False)  # jaccard_pairs dedups in its posting-list aggregate
     return D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
 
 
@@ -489,8 +493,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01): chains A~B~C without A~C, so the closure is real work,
     not a per-pair groupBy."""
     d = load(spark, sf_dir, "documents")["documents"]
-    corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
-    sh = D.shingles(corpus, "text", "doc_id", n=3)
+    corpus = _mutated_corpus(fan_out(d)).filter(F.size(F.split("text", " ")) >= 3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3, distinct=False)  # jaccard_pairs dedups in its posting-list aggregate
     pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
     comp = D.connected_components(pairs)
     sizes = comp.groupBy("component_id").agg(
@@ -529,8 +533,8 @@ def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.keep_one_per_cluster: anti-join away non-representative
     members, left-join cluster sizes onto survivors."""
     d = load(spark, sf_dir, "documents")["documents"]
-    corpus = _mutated_corpus(d).filter(F.size(F.split("text", " ")) >= 3)
-    sh = D.shingles(corpus, "text", "doc_id", n=3)
+    corpus = _mutated_corpus(fan_out(d)).filter(F.size(F.split("text", " ")) >= 3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3, distinct=False)  # jaccard_pairs dedups in its posting-list aggregate
     pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
     comp = D.connected_components(pairs)
     return D.keep_one_per_cluster(corpus.select("doc_id"), comp, id_col="doc_id")
@@ -573,12 +577,18 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 64 majority-vote sums: bit j reads hex digit (j mod 32) of
-# md5(tok) (j < 32) or md5('1|' || tok) (j >= 32) — mirrors
-# operators/dedup.simhash64 exactly.
+# md5(tok) — nibble bit 3 (digit >= 8) for j < 32, nibble bit 2
+# (digit & 4) for j >= 32 — mirrors operators/dedup.simhash64.
 _SIMHASH_SUMS_DUCK = ",\n           ".join(
-    "sum(CASE WHEN substr(%s, %d, 1) IN ('8','9','a','b','c','d','e','f') "
+    "sum(CASE WHEN substr(md5(tok), %d, 1) IN (%s) "
     "THEN 1 ELSE -1 END) AS s%d"
-    % ("md5(tok)" if j < 32 else "md5('1|' || tok)", (j % 32) + 1, j)
+    % (
+        (j % 32) + 1,
+        "'8','9','a','b','c','d','e','f'"
+        if j < 32
+        else "'4','5','6','7','c','d','e','f'",
+        j,
+    )
     for j in range(64)
 )
 # four 16-bit band integers from the vote signs
@@ -681,7 +691,10 @@ WHERE {_SIMHASH_HAMMING_DUCK} <= 3
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"]
-    corpus = _appended_corpus(d)
+    # fan_out: the token explode + two MD5s + 64 vote aggregates all
+    # run map-side in the scan stage — a one-file input would chew
+    # them on a single core
+    corpus = _appended_corpus(fan_out(d))
     fp = D.simhash64(corpus, "text", "doc_id")
     return D.simhash_near_dup_pairs(fp, "doc_id", max_hamming=3, max_bucket=2048)
 

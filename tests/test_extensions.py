@@ -85,11 +85,11 @@ class TestDedup:
         toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
         sums = [0] * 64
         for tok in toks:
-            h0 = hashlib.md5(tok.encode()).hexdigest()
-            h1 = hashlib.md5(("1|" + tok).encode()).hexdigest()
+            h = hashlib.md5(tok.encode()).hexdigest()
             for j in range(32):
-                sums[j] += 1 if h0[j] >= "8" else -1
-                sums[32 + j] += 1 if h1[j] >= "8" else -1
+                v = int(h[j], 16)
+                sums[j] += 1 if v & 8 else -1
+                sums[32 + j] += 1 if v & 4 else -1
         return tuple(
             sum((1 << j) for j in range(16) if sums[16 * k + j] >= 0)
             for k in range(4)
