@@ -706,43 +706,6 @@ _COSINE_DUCK = (
 )
 
 
-def _planes_values_duck(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
-    """The engine's seeded hyperplane matrix
-    (operators/similarity._hyperplanes) inlined as a DuckDB VALUES
-    CTE, so the oracle computes the SAME (table_id, bucket)
-    signatures. float64 repr round-trips exactly, so both engines
-    see bit-identical plane coefficients."""
-    from openaq_data_pipeline_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim, n_planes * n_tables, seed)
-    rows = []
-    for t in range(n_tables):
-        for j in range(n_planes):
-            vec = planes[t * n_planes + j]
-            lit = "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
-            rows.append(f"({t}, {j}, {lit})")
-    return (
-        "planes(table_id, plane_idx, plane) AS (VALUES\n    "
-        + ",\n    ".join(rows)
-        + "\n)"
-    )
-
-
-def _lsh_sigs_duck(source: str) -> str:
-    """(vec_id, table_id, bucket) signature CTE body over ``source``,
-    mirroring operators/similarity.lsh_signatures: bucket =
-    Σ_j (plane_j · v ≥ 0) << j within each table."""
-    return f"""
-sigs AS (
-    SELECT e.vec_id, p.table_id,
-           CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
-                         THEN (1 << p.plane_idx) ELSE 0 END) AS BIGINT) AS bucket
-    FROM {source} e CROSS JOIN planes p
-    GROUP BY e.vec_id, p.table_id
-)
-"""
-
-
 def _neardup_lsh_duck(
     source: str,
     dim: int = 64,
@@ -867,14 +830,15 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_lsh",
-    "EXT-similarity — LSH-bucketed approximate top-k (hyperplane "
-    "signatures via vectorized Pandas UDF); hash-checked: the oracle "
-    "recomputes the same signatures from the inlined seeded plane "
-    "matrix, so the whole bucketing+scoring algorithm is verified "
-    "(recall vs brute force separately asserted in tests/)",
+    "EXT-similarity — LSH-bucketed approximate top-k with (b, L) "
+    "derived from corpus size + threshold (VERDICT r3 #4: candidate "
+    "volume tracks the corpus instead of a fixed plane count); "
+    "hash-checked: the oracle re-derives the same params from "
+    "count(*), regenerates the md5 sign planes in SQL, and recomputes "
+    "every signature, so the whole bucketing+scoring algorithm is "
+    "verified (recall vs brute force separately asserted in tests/)",
     oracle=f"""
-WITH {_planes_values_duck(dim=64, n_planes=4, n_tables=8, seed=42)},
-{_lsh_sigs_duck('embeddings')},
+WITH {_neardup_lsh_duck('embeddings')},
 cand AS (
     SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
     FROM sigs c JOIN sigs q
@@ -900,7 +864,7 @@ WHERE rnk <= 5
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    return lsh_topk(e, e.filter("vec_id < 10"), dim=64, k=5, n_planes=4, n_tables=8)
+    return lsh_topk(e, e.filter("vec_id < 10"), dim=64, k=5)
 
 
 def _cos_duck(x: str, y: str) -> str:

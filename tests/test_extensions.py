@@ -269,14 +269,27 @@ class TestSimilarity:
         }
         approx = {
             (r.query_id, r.neighbor_id)
-            for r in lsh_topk(
-                embeddings, queries, dim=64, k=5, n_planes=4, n_tables=8
-            ).collect()
+            for r in lsh_topk(embeddings, queries, dim=64, k=5).collect()
         }
         recall = len(exact & approx) / len(exact)
-        # multi-table LSH (8 tables × 4 planes): recall 1-(1-p^4)^8;
-        # approximate by design — require a sane floor
-        assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+        # corpus-derived (b, L) targets >=0.9 recall at cosine 0.40;
+        # top-k neighbors sit well above that similarity, so the
+        # effective recall should clear a comfortable floor
+        assert recall >= 0.7, f"LSH recall collapsed: {recall}"
+
+    def test_lsh_topk_rejects_partial_override(self, spark, embeddings):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            lsh_near_dup_pairs,
+            lsh_topk,
+        )
+
+        queries = embeddings.filter("vec_id < 2")
+        with _pytest.raises(ValueError, match="BOTH n_planes and n_tables"):
+            lsh_topk(embeddings, queries, dim=64, k=5, n_planes=4)
+        with _pytest.raises(ValueError, match="BOTH n_planes and n_tables"):
+            lsh_near_dup_pairs(embeddings, threshold=0.4, dim=64, n_tables=8)
 
     def test_ivf_recall_and_cell_coverage(self, spark, embeddings):
         from openaq_data_pipeline_spark.operators.similarity import (
