@@ -141,12 +141,22 @@ def main() -> None:
     # output, and r2's enriched line overflowed it (BENCH_r02.json
     # parsed: null). The stdout line stays the compact r1 schema.
     detail = dict(result)
+    # record the timing convention next to the ratios (ADVICE r3):
+    # per-query times are min-of-2 timed passes after an untimed
+    # warm-up, with cache cleared per query — cross-round ratios are
+    # only apples-to-apples against rounds using the same convention
+    # (r1/r2 were single-timed-pass; r3+ are min-of-2)
+    detail["timing_convention"] = "min_of_2_after_warmup_cache_cleared"
     prev = _previous_bench()
     if prev is not None:
         name, prev_data = prev
         prev_times = prev_data.get("queries", {})
         detail["ratio_vs_prev"] = {
             "baseline": name,
+            "baseline_timing_convention": (
+                "min_of_2_after_warmup_cache_cleared"
+                if name >= "BENCH_r03" else "single_timed_pass"
+            ),
             "total": (
                 round(total / prev_data["value"], 3)
                 if prev_data.get("value")

