@@ -201,19 +201,46 @@ def jaccard_pairs(
     anyway; it is mirrored by the SQL oracles."""
     from openaq_data_pipeline_spark.catalog import exact_ratio_spark
 
-    # ONE exchange on shingle builds the inverted index (sorted
-    # per-shingle doc-id posting lists); the stop-shingle guard is a
-    # size filter ON the lists, and per-doc sizes re-derive from the
-    # filtered lists — replacing the previous three full shuffles of
-    # the exploded shingle table (distinct + df-count window +
-    # posting groupBy) with one. collect_set gives set semantics for
-    # free (duplicated input rows collapse inside the aggregate).
-    # The index feeds two consumers (sizes + pairs); its
-    # lambda-bearing build plan defeats Catalyst's exchange reuse, so
-    # materialize it once — the same move a production dedup pipeline
-    # makes by checkpointing the inverted index before the pair scan
-    # (lazy localCheckpoint: shared blocks, no CacheManager residue
-    # in a long-lived session).
+    out = _pair_counts(shingle_df, id_col, max_doc_freq).withColumn(
+        "jaccard",
+        exact_ratio_spark(
+            F.col("n_common"),
+            F.col("n_a") + F.col("n_b") - F.col("n_common"),
+            out_scale=4,
+        ),
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+def _pair_counts(
+    shingle_df: DataFrame, id_col: str, max_doc_freq: int | None
+) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b) intersection/size counts for
+    every document pair sharing ≥1 (non-stop) shingle — the shared
+    core of :func:`jaccard_pairs` and :func:`containment_pairs`.
+
+    ONE exchange on shingle builds the inverted index (sorted
+    per-shingle doc-id posting lists); the stop-shingle guard is a
+    size filter ON the lists, and per-doc sizes re-derive from the
+    filtered lists — one full shuffle of the exploded shingle table
+    where the r3 formulation took four (distinct + df-count window +
+    posting groupBy + pair agg). collect_set gives set semantics for
+    free (duplicated input rows collapse inside the aggregate).
+    The index feeds two consumers (sizes + pairs); its lambda-bearing
+    build plan defeats Catalyst's exchange reuse, so materialize it
+    once — the same move a production dedup pipeline makes by
+    checkpointing the inverted index before the pair scan (lazy
+    localCheckpoint: shared blocks, no CacheManager residue in a
+    long-lived session).
+
+    Pair generation is posting lists instead of a self-join: the
+    (i<j) pairs explode map-side straight into the partial pair-count
+    aggregate (a join formulation moves the exploded table through
+    two exchanges plus a join — strictly more shuffle at any scale).
+    Per-shingle work is O(df²), bounded by the max_doc_freq guard;
+    sorted lists make id_a < id_b by construction."""
     ids = F.col("__ids")
     posting = shingle_df.groupBy("shingle").agg(
         F.array_sort(F.collect_set(F.col(id_col))).alias("__ids")
@@ -226,13 +253,6 @@ def jaccard_pairs(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_sh"))
     )
-    # posting-list pair generation instead of a self-join: the (i<j)
-    # pairs explode map-side straight into the partial pair-count
-    # aggregate. The join formulation moves the exploded table
-    # through two exchanges plus a join — strictly more shuffle at
-    # any scale. Per-shingle work is O(df²), bounded by the
-    # max_doc_freq guard above (the same property the join relied
-    # on); sorted lists make id_a < id_b by construction.
     pair_structs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.size(ids) - 2),
@@ -252,21 +272,40 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            exact_ratio_spark(
-                F.col("n_common"),
-                F.col("n_a") + F.col("n_b") - F.col("n_common"),
-                out_scale=4,
-            ),
-        )
+    return common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+
+
+def containment_pairs(
+    shingle_df: DataFrame,
+    id_col: str,
+    min_containment: float = 0.0,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, n_common, n_a, n_b, containment) — Broder
+    containment |A∩B| / min(|A|, |B|), the asymmetric companion to
+    :func:`jaccard_pairs` for EXCERPT/QUOTE duplication: a 10-shingle
+    excerpt fully contained in a 500-shingle article scores
+    containment 1.0 but Jaccard ≈ 0.02, so a symmetric threshold can
+    never catch it. Standard curation stacks run both (Jaccard for
+    near-identical docs, containment for embedded copies).
+
+    Same single-exchange posting-list topology, stop-shingle guard,
+    and structural set semantics as :func:`jaccard_pairs`
+    (:func:`_pair_counts`); ``containment`` is exact-rounded to 4 dp
+    (engine-neutral)."""
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+
+    out = _pair_counts(shingle_df, id_col, max_doc_freq).withColumn(
+        "containment",
+        exact_ratio_spark(
+            F.col("n_common"),
+            F.least(F.col("n_a"), F.col("n_b")),
+            out_scale=4,
+        ),
     )
-    if min_jaccard > 0:
-        out = out.filter(F.col("jaccard") >= min_jaccard)
-    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    if min_containment > 0:
+        out = out.filter(F.col("containment") >= min_containment)
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
 
 
 SIMHASH_BANDS = 4

@@ -432,6 +432,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
 
 
+@register(
+    "dedup_containment",
+    "EXT-dedup — Broder containment |A∩B|/min(|A|,|B|) at threshold "
+    "0.8: the asymmetric companion to Jaccard that catches "
+    "EXCERPT/QUOTE duplication (a 10-word excerpt of a long article "
+    "scores containment 1.0 but Jaccard ~0.02, invisible to any "
+    "symmetric threshold); same single-exchange posting-list "
+    "topology and stop-shingle guard as dedup_ngram_jaccard",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS text
+    FROM documents
+    WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 12
+),
+{_SHINGLES_DUCK.strip()},
+{_STOP_SHINGLE_DUCK.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM fsh a JOIN fsh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n_sh AS BIGINT) AS n_a,
+       CAST(sb.n_sh AS BIGINT) AS n_b,
+       {exact_ratio_duck('n_common', 'least(sa.n_sh, sb.n_sh)')} AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {exact_ratio_duck('n_common', 'least(sa.n_sh, sb.n_sh)')} >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 10-word excerpts of every 7th doc (id+300000):
+    every excerpt's shingle set is a subset of its source's, so the
+    pair scores containment 1.0 while its Jaccard is ~8/n_source —
+    exactly the embedded-copy class the jaccard threshold can never
+    see."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = F.split(F.col("text"), " ")
+    excerpts = d.filter((F.col("doc_id") % 7 == 0) & (F.size(w) >= 12)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, 10)).alias("text"),
+    )
+    corpus = fan_out(d).select("doc_id", "text").unionByName(excerpts).filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    sh = D.shingles(corpus, "text", "doc_id", n=3, distinct=False)
+    return D.containment_pairs(sh, "doc_id", min_containment=0.8, max_doc_freq=1000)
+
+
 # shared pairs → transitive-closure → cluster CTE chain (DuckDB
 # recursive CTE mirror of jaccard_pairs + connected_components);
 # callers append their own final SELECT
@@ -1480,11 +1536,14 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "priority_orders_semi",
     "J-family completion — EXISTS/left-semi join (the only join kind "
     "absent from both the reference surface and the anti-join tests): "
-    "orders having at least one early-shipped line item",
+    "orders having at least one early-shipped line item. Rotated r4 "
+    "(two green driver rounds; left_semi also driver-verified inside "
+    "customer_year_setops' INTERSECT and decontamination's overlap "
+    "join) to free the slot for dedup_containment",
     oracle="""
 SELECT o.o_orderkey, o.o_orderpriority,
        strftime(o.o_orderdate, '%Y-%m-%d') AS order_date

@@ -76,6 +76,32 @@ class TestDedup:
         assert out.filter("n_copies <> 2").count() == 0
         assert out.filter("doc_id >= 200000").count() == 0  # min-id wins
 
+    def test_containment_catches_excerpt_jaccard_misses(self, spark):
+        """An excerpt fully contained in a long article scores
+        containment 1.0 but a tiny Jaccard — the embedded-copy class
+        a symmetric threshold can never see. Both metrics share one
+        posting-list core, so sizes/intersections agree exactly."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            containment_pairs,
+            jaccard_pairs,
+            shingles,
+        )
+
+        article = " ".join(f"word{i}" for i in range(100))
+        excerpt = " ".join(f"word{i}" for i in range(10, 20))
+        df = spark.createDataFrame(
+            [(1, article), (2, excerpt), (3, "unrelated totally different text here")],
+            "doc_id long, text string",
+        )
+        sh = shingles(df, "text", "doc_id", n=3, distinct=False)
+        cont = {(r.id_a, r.id_b): r for r in containment_pairs(sh, "doc_id").collect()}
+        jac = {(r.id_a, r.id_b): r for r in jaccard_pairs(sh, "doc_id").collect()}
+        pair = cont[(1, 2)]
+        assert float(pair.containment) == 1.0  # excerpt ⊂ article
+        assert pair.n_common == 8 and pair.n_b == 8 and pair.n_a == 98
+        assert float(jac[(1, 2)].jaccard) < 0.1  # symmetric metric blind
+        assert (1, 3) not in cont and (2, 3) not in cont
+
     @staticmethod
     def _py_simhash64(text: str) -> tuple[int, int, int, int]:
         """Pure-Python reference for operators/dedup.simhash64."""
