@@ -248,10 +248,15 @@ def _pair_counts(
     if max_doc_freq is not None:
         posting = posting.filter(F.size(ids) <= max_doc_freq)
     posting = posting.localCheckpoint(eager=False)
+    # sizes feeds BOTH side-lookups (n_a and n_b); exchange reuse does
+    # not dedupe the two aliased subplans under AQE, so materialize it
+    # once too — the per-doc size table is corpus-sized and computing
+    # it twice is a full extra shuffle at scale
     sizes = (
         posting.select(F.explode(ids).alias(id_col))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_sh"))
+        .localCheckpoint(eager=False)
     )
     pair_structs = F.flatten(
         F.transform(

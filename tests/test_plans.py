@@ -207,6 +207,71 @@ def test_repetition_signals_plan(spark):
     )
 
 
+def test_jaccard_index_is_single_exchange(spark):
+    """r4 rewrite: the inverted index is ONE groupBy(shingle)
+    aggregate and the per-doc size table is materialized once for its
+    two side-lookups (both inside checkpoints), so the FINAL plan
+    carries no df-count Window and exactly one hash exchange — the
+    pair-count aggregate. The r3 shape added a distinct, a
+    count-over-shingle window, and a per-side size recompute — three
+    more full shuffles of exploded-shingle/corpus-sized tables."""
+    plan = final_plan(REG["dedup_ngram_jaccard"].build(spark, SF_DIR))
+    assert "Window" not in plan, "stop-shingle guard regressed to a window"
+    n_hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_exchanges == 1, f"expected 1 hash exchange, got {n_hash_exchanges}"
+
+
+def test_containment_shares_posting_core(spark):
+    """containment_pairs rides the same checkpointed posting-list
+    index as jaccard (two RDD-scan consumers: sizes + pairs), with
+    no window and no cartesian — only the ratio denominator differs."""
+    plan = final_plan(REG["dedup_containment"].build(spark, SF_DIR))
+    assert plan.count("Scan ExistingRDD") >= 2, "posting checkpoint not shared"
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_banded_plan(spark):
+    """64-bit banded SimHash: candidates come from band posting lists
+    (stack → one grouping exchange → map-side pair explosion), the
+    integer bit_count(xor) Hamming verify filters BEFORE the
+    distinct, and no join operator of any kind exists — the whole
+    pair search is aggregates + explodes."""
+    plan = final_plan(REG["dedup_simhash"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, "banded search must not re-join fingerprints"
+    assert "bit_count" in plan, "Hamming verify missing from the plan"
+    # verify runs map-side (a Filter containing bit_count), not after
+    # the final distinct aggregate
+    assert re.search(r"Filter .*bit_count", plan), "Hamming verify not a filter"
+
+
+def test_connected_components_survives_non_numeric_conf(spark, monkeypatch):
+    """ADVICE r3: a platform may pin spark.sql.shuffle.partitions to
+    a non-numeric value at session build (the public conf API rejects
+    it, so inject via monkeypatch). The operator must keep full width
+    (never call conf.set) and still converge, not raise ValueError."""
+    from openaq_data_pipeline_spark.operators.dedup import connected_components
+
+    real_get = spark.conf.get
+    set_calls = []
+    monkeypatch.setattr(
+        spark.conf,
+        "get",
+        lambda key, *a: "auto" if key == "spark.sql.shuffle.partitions" else real_get(key, *a),
+    )
+    monkeypatch.setattr(
+        spark.conf, "set", lambda *a, **k: set_calls.append(a)
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {(r.node, r.component_id) for r in connected_components(pairs).collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert not set_calls, "conf mutated despite unparseable session width"
+
+
 def test_keep_one_survivors_plan(spark):
     """dedup_keep_one's survivor step must stay equi-join-shaped (no
     cartesian/nested-loop), with the non-representative drop as a
