@@ -315,6 +315,79 @@ def ivf_probe_cells(
     )
 
 
+IVF_Q_SCALE = 1_000_000
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    q_scale: int = IVF_Q_SCALE,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd (k-means) refinement of the IVF coarse
+    quantizer — replaces the r3 "toy" quantizer (16 lowest-id vectors
+    used as-is) with trained cells while staying bit-reproducible in
+    any engine:
+
+    - init: the ``n_cells`` lowest-id corpus vectors (seed-free);
+    - assignment: the existing rounded-cosine argmax
+      (:func:`ivf_assign` — ties to the lowest cell id);
+    - update: each centroid component is the EXACT mean of its
+      members' components quantized to the 1/q_scale grid —
+      ``sum(round(x·q) as long)`` is an order-independent integer
+      sum (no float-add order dependence to mirror), and the final
+      ``CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) · q)`` is one IEEE
+      division any engine reproduces. Quantizing a quantizer's
+      training input at 1e-6 is semantically free;
+    - empty cells keep their previous centroid (mirrored by the
+      oracle's coalesce).
+
+    Each iteration is one map-side assignment plus one (cell, dim)
+    aggregate — corpus shuffles ONE quantized long per (vector, dim),
+    partial-aggregated map-side; the per-iteration collect is the
+    bounded n_cells centroid table (watermark class). Returns
+    ``cent_rows`` for :func:`_centroids_df` / :func:`ivf_topk`."""
+    spark = corpus.sparkSession
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    for _ in range(n_iters):
+        cents = _centroids_df(spark, cent_rows)
+        assign = ivf_assign(corpus, cent_rows, id_col, vec_col, round_dp, cents=cents)
+        qv = F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * q_scale, 0).cast("long")
+        )
+        comp = (
+            corpus.select(F.col(id_col), qv.alias("__q"))
+            .join(assign, id_col)
+            .select("cell_id", F.posexplode(F.col("__q")).alias("dim", "q"))
+            .groupBy("cell_id", "dim")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cell_id",
+                "dim",
+                (
+                    F.col("s").cast("double")
+                    / (F.col("n").cast("double") * F.lit(float(q_scale)))
+                ).alias("comp"),
+            )
+        )
+        new = (
+            comp.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("__dc"))
+            .select("cell_id", F.transform("__dc", lambda s: s["comp"]).alias("c_vec"))
+        )
+        got = {int(r[0]): [float(x) for x in r[1]] for r in new.collect()}
+        cent_rows = [(cid, got.get(cid, vec)) for cid, vec in cent_rows]
+    return cent_rows
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -324,27 +397,36 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k cosine search — the second ANN scale
     path next to :func:`lsh_topk`, and (unlike random-hyperplane LSH)
     fully deterministic and SQL-expressible, so it is hash-checked
     against the DuckDB oracle rather than rows-only.
 
-    Coarse quantizer: the ``n_cells`` lowest-id corpus vectors act as
-    centroids (deterministic; a trained k-means would drop in the same
-    slot — the search-time plan is identical). Corpus vectors are
-    assigned to their nearest cell (map-only); each query probes its
-    ``nprobe`` nearest cells and scores only those cells' members with
-    the exact fold cosine. Collecting ``n_cells`` centroid rows to the
-    driver is a bounded, deliberate collect (same class as the
-    high-watermark scalar): the centroids then broadcast to every
-    executor, so assignment never shuffles the corpus."""
-    cent_rows = sorted(
-        (int(r[0]), list(r[1]))
-        for r in corpus.filter(F.col(id_col) < n_cells)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    Coarse quantizer: the ``n_cells`` lowest-id corpus vectors seed
+    the cells; ``train_iters`` > 0 runs that many deterministic Lloyd
+    refinements (:func:`ivf_train_centroids` — exact quantized-mean
+    updates, bit-reproducible cross-engine) so cells track the actual
+    vector distribution instead of whichever vectors had low ids.
+    Corpus vectors are assigned to their nearest cell (map-only);
+    each query probes its ``nprobe`` nearest cells and scores only
+    those cells' members with the exact fold cosine. Collecting
+    ``n_cells`` centroid rows to the driver is a bounded, deliberate
+    collect (same class as the high-watermark scalar): the centroids
+    then broadcast to every executor, so assignment never shuffles
+    the corpus."""
+    if train_iters > 0:
+        cent_rows = ivf_train_centroids(
+            corpus, n_cells, train_iters, id_col, vec_col, round_dp
+        )
+    else:
+        cent_rows = sorted(
+            (int(r[0]), list(r[1]))
+            for r in corpus.filter(F.col(id_col) < n_cells)
+            .select(id_col, vec_col)
+            .collect()
+        )
     cents = _centroids_df(corpus.sparkSession, cent_rows)
     assign = ivf_assign(
         corpus, cent_rows, id_col, vec_col, round_dp, cents=cents
