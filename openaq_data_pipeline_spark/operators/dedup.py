@@ -580,6 +580,51 @@ def connected_components(
     )
 
 
+def keep_best_per_cluster(
+    corpus_scores: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(id, cluster_size) survivors where each cluster keeps its
+    HIGHEST-``score_col`` member (ties → lowest id) instead of
+    :func:`keep_one_per_cluster`'s min-id representative — the
+    keep-policy real curation runs use (keep the longest / best-
+    quality duplicate; C4 and CCNet keep longest, quality-filtered
+    stacks keep the top classifier score). ``corpus_scores`` is
+    (id, score) for the full corpus; unclustered singletons pass
+    through with cluster_size 1. Scores must be non-null; ids must be
+    numeric (the argmax tiebreak negates them).
+
+    Scale shape: one equi-join attaching scores to cluster members,
+    one per-component argmax aggregate (``max(struct(score, -id))``
+    partial-aggregates map-side — one shuffled row per member), and
+    one anti-join for singletons — no windows, no driver state."""
+    scored = components.join(
+        corpus_scores.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("__s")
+        ),
+        "node",
+    )
+    best = (
+        scored.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(F.col("__s"), (-F.col("node")).alias("negid"))
+            ).alias("__b"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .select((-F.col("__b.negid")).alias(id_col), "cluster_size")
+    )
+    clustered = components.select(F.col("node").alias(id_col))
+    singles = (
+        corpus_scores.select(id_col)
+        .join(clustered, id_col, "left_anti")
+        .withColumn("cluster_size", F.lit(1).cast("long"))
+    )
+    return best.unionByName(singles)
+
+
 def keep_one_per_cluster(
     corpus_ids: DataFrame, components: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -491,7 +491,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared pairs → transitive-closure → cluster CTE chain (DuckDB
 # recursive CTE mirror of jaccard_pairs + connected_components);
 # callers append their own final SELECT
-_CLUSTERS_DUCK = f"""{_MUTATED_DUCK.strip()},
+def _clusters_duck(corpus_cte: str) -> str:
+    """pairs → transitive-closure → cluster CTE chain over any corpus
+    CTE (DuckDB recursive mirror of jaccard_pairs +
+    connected_components); callers append their own final SELECT."""
+    return f"""{corpus_cte.strip()},
 {_SHINGLES_DUCK.strip()},
 {_STOP_SHINGLE_DUCK.strip()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
@@ -526,6 +530,9 @@ csize AS (
     SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
     FROM comp GROUP BY component_id
 )"""
+
+
+_CLUSTERS_DUCK = _clusters_duck(_MUTATED_DUCK)
 
 
 @register_rotated(
@@ -753,6 +760,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _appended_corpus(fan_out(d))
     fp = D.simhash64(corpus, "text", "doc_id")
     return D.simhash_near_dup_pairs(fp, "doc_id", max_hamming=3, max_bucket=2048)
+
+
+@register(
+    "dedup_keep_best",
+    "EXT-dedup — keep-BEST-per-cluster survivor policy: each near-dup "
+    "cluster keeps its longest member (ties -> lowest id) instead of "
+    "keep_one's min-id representative — the keep-policy real curation "
+    "stacks use (C4/CCNet keep longest; classifier stacks keep top "
+    "score). On the appended corpus the longer APPENDED copy "
+    "(id+100000) survives, the opposite survivor from min-id, so the "
+    "policy is observably exercised. Oracle: recursive-CTE closure + "
+    "per-cluster argmax",
+    oracle=f"""
+WITH RECURSIVE {_clusters_duck(_APPENDED_DUCK)},
+scores AS (
+    SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+    FROM corpus WHERE len(string_split(text, ' ')) >= 3
+),
+best AS (
+    SELECT doc_id, cluster_size,
+           ROW_NUMBER() OVER (
+               PARTITION BY component_id ORDER BY n_tokens DESC, doc_id ASC
+           ) AS rn
+    FROM comp JOIN csize USING (component_id) JOIN scores USING (doc_id)
+)
+SELECT doc_id, cluster_size FROM best WHERE rn = 1
+UNION ALL
+SELECT s.doc_id, CAST(1 AS BIGINT) AS cluster_size
+FROM scores s LEFT JOIN comp ON comp.doc_id = s.doc_id
+WHERE comp.doc_id IS NULL
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Appended-corpus pair pipeline (one appended token -> jaccard
+    n/(n+1) pairs every 5th doc), connected components, then
+    dedup.keep_best_per_cluster scored by whitespace token count."""
+    from openaq_data_pipeline_spark.operators.text import token_count
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    corpus = _appended_corpus(fan_out(d)).filter(F.size(F.split("text", " ")) >= 3)
+    sh = D.shingles(corpus, "text", "doc_id", n=3, distinct=False)
+    pairs = D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
+    comp = D.connected_components(pairs)
+    scores = corpus.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return D.keep_best_per_cluster(scores, comp, id_col="doc_id", score_col="n_tokens")
 
 
 _COSINE_DUCK = (
@@ -1885,11 +1937,14 @@ def rolling_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "event_gaps_lag_lead",
     "EXT-window — lag/lead analytics (unused in the reference, "
     "SURVEY §2.5): per-user inter-event gap seconds and next event "
-    "type, deterministic (ts, event_id) ordering",
+    "type, deterministic (ts, event_id) ordering. Rotated r4 (two "
+    "green driver rounds; lag AND lead are driver-verified inside "
+    "scd2_user_state's change-detect + interval-close windows) to "
+    "free the slot for dedup_keep_best",
     oracle=f"""
 SELECT event_id, user_id,
        strftime(ts, '{TS_FMT_DUCK}') AS ts_utc,

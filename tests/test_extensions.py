@@ -264,6 +264,38 @@ class TestConnectedComponents:
         }
         assert out == {1: 3, 10: 2, 99: 1}
 
+    def test_keep_best_per_cluster(self, spark):
+        """Keep-best picks the highest-score member (ties → lowest
+        id) — a DIFFERENT survivor than keep_one's min-id whenever
+        the best doc isn't the lowest id; singletons pass through."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            connected_components,
+            keep_best_per_cluster,
+            keep_one_per_cluster,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        # doc 3 is the longest of cluster {1,2,3}; 10 and 11 tie
+        scores = spark.createDataFrame(
+            [(1, 5), (2, 7), (3, 9), (10, 4), (11, 4), (99, 2)],
+            "doc_id long, score long",
+        )
+        comp = connected_components(pairs)
+        best = {
+            r.doc_id: r.cluster_size
+            for r in keep_best_per_cluster(scores, comp).collect()
+        }
+        assert best == {3: 3, 10: 2, 99: 1}  # argmax, tie → low id
+        one = {
+            r.doc_id: r.cluster_size
+            for r in keep_one_per_cluster(
+                scores.select("doc_id"), comp
+            ).collect()
+        }
+        assert one == {1: 3, 10: 2, 99: 1}  # policies observably differ
+
     def test_long_chain_exceeding_iters_raises(self, spark):
         """A 40-link chain cannot converge in 3 rounds — the operator
         must fail loudly, not return partial labels."""
