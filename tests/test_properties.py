@@ -149,3 +149,48 @@ class TestCurationProperties:
         df2 = spark.createDataFrame([(1, redacted)], "doc_id long, text string")
         second = pii_scan(df2, "text", "doc_id").collect()[0]
         assert second.is_clean
+
+
+class TestSimhashBandedCompleteness:
+    """The pigeonhole guarantee behind simhash_near_dup_pairs: over a
+    random corpus, the banded search must return EXACTLY the pairs a
+    brute-force Hamming scan of the same fingerprints finds at radius
+    ≤ 3 — no false negatives (completeness is the whole point of the
+    4-band split) and no false positives (the bit_count verify)."""
+
+    def test_banded_equals_bruteforce_at_radius_3(self, spark):
+        import itertools
+        import random
+
+        from openaq_data_pipeline_spark.operators.dedup import (
+            simhash64,
+            simhash_near_dup_pairs,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"t{i}" for i in range(30)]
+        docs = []
+        for did in range(60):
+            base = rng.sample(vocab, rng.randint(5, 12))
+            docs.append((did, " ".join(base)))
+            # clones with tiny edits create a dense near-dup band
+            if did % 3 == 0:
+                docs.append((did + 1000, " ".join(base + [f"x{did}"])))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        fp = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+              for r in simhash64(df, "text", "doc_id").collect()}
+        brute = {}
+        for a, b in itertools.combinations(sorted(fp), 2):
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(fp[a], fp[b]))
+            if ham <= 3:
+                brute[(a, b)] = ham
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(
+                simhash64(df, "text", "doc_id"), "doc_id"
+            ).collect()
+        }
+        assert got == brute, (
+            f"banded != brute force: missing={set(brute) - set(got)}, "
+            f"extra={set(got) - set(brute)}"
+        )
