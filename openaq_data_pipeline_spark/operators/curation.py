@@ -140,6 +140,67 @@ def stratified_sample(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens) — split each document
+    into overlapping ~``chunk_tokens``-token windows, the
+    context-window chunking step training pipelines run BEFORE
+    :func:`pack_sequences` (long docs must be cut to fit the model's
+    context; the overlap preserves cross-boundary n-grams). Stride =
+    chunk_tokens − overlap; chunk k covers whitespace tokens
+    [1 + k·stride, …] and the LAST chunk ends exactly at the
+    document's end (it may overlap its predecessor by more than
+    ``overlap`` — the standard trailing-window treatment, no token
+    is ever dropped). Chunk count is exact integer math:
+    1 + ⌈max(len − chunk, 0) / stride⌉, so both engines agree
+    without float ceil.
+
+    Pure map-side Catalyst (split + sequence explode + slice): no
+    shuffle, no UDF — chunking runs at scan speed at any scale.
+    Case and inner whitespace are canonicalized the way whitespace
+    tokenization already does; text is NOT lowercased (chunk text
+    feeds a tokenizer, not a fingerprint)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens}) — the stride would be non-positive"
+        )
+    step = chunk_tokens - overlap
+    w = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    base = df.select(
+        F.col(id_col), w.alias("__w"), F.size(w).alias("__len")
+    )
+    extra = F.greatest(F.col("__len") - chunk_tokens, F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.floor((extra + (step - 1)) / step).cast("int")
+    )
+    k = F.col("chunk_id")
+    s = F.lit(1) + k * step
+    return (
+        base.select(
+            F.col(id_col),
+            "__w",
+            "__len",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            k.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("__w"), s, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), F.col("__len") - s + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     group_col: str,

@@ -20,6 +20,7 @@ from openaq_data_pipeline_spark.operators import text as X
 from openaq_data_pipeline_spark.operators.curation import (
     EMAIL_RE,
     PHONE_RE,
+    chunk_documents,
     pack_sequences,
     pii_scan,
     stratified_sample,
@@ -147,6 +148,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "doc_chunking",
+    "EXT-curation — context-window document chunking: overlapping "
+    "32-token windows with stride 24 (the step BEFORE sequence "
+    "packing: long docs must be cut to the model context, overlap "
+    "preserves cross-boundary n-grams; the trailing window ends "
+    "exactly at the doc end so no token is dropped); pure map-side "
+    "split+sequence+slice — no shuffle, no UDF, scan-speed at any "
+    "scale; chunk count is exact integer math so both engines agree",
+    oracle="""
+WITH words AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+base AS (SELECT doc_id, w, len(w) AS n FROM words),
+chunks AS (
+    SELECT doc_id, g.k AS chunk_id, 1 + g.k * 24 AS s, w, n
+    FROM base, generate_series(0, 4000) g(k)
+    WHERE g.k < 1 + (greatest(n - 32, 0) + 23) // 24
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text,
+       CAST(least(32, n - s + 1) AS BIGINT) AS n_tokens
+FROM chunks
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=32, overlap=8)
 
 
 @register(

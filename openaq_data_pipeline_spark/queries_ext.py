@@ -1975,12 +1975,15 @@ def event_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "unpivot_weather_long",
     "EXT-reshape — UNPIVOT/melt: the weather mart's wide hourly "
     "pollutant columns back to long (metric, value) rows — the "
     "inverse of the reference's conditional-AVG pivot (A2/A3), via "
-    "Spark stack()/unpivot and DuckDB UNPIVOT",
+    "Spark stack()/unpivot and DuckDB UNPIVOT. Rotated r4 (two green "
+    "driver rounds; the stack() Generate shape is driver-verified in "
+    "text_fingerprints and the pivot family it inverts in "
+    "weather_pivot_conversion) to free the slot for doc_chunking",
     oracle=f"""
 WITH wide AS (
     SELECT user_id,

@@ -123,3 +123,61 @@ class TestDecontamination:
         assert set(out) == {11, 12}  # eval docs are not scored
         assert out[11].verdict == "drop" and out[11].n_shared == out[11].n_shingles
         assert out[12].verdict == "keep" and out[12].n_shared == 0
+
+
+class TestChunking:
+    def test_chunk_boundaries_overlap_and_totality(self, spark):
+        """chunk k starts at 1 + k·stride; consecutive chunks share
+        exactly `overlap` tokens (except the trailing window, which
+        ends at the doc end); every token appears in >=1 chunk and
+        the concatenation of stride-prefixes + last chunk rebuilds
+        the document."""
+        from openaq_data_pipeline_spark.operators.curation import chunk_documents
+
+        words = [f"w{i}" for i in range(50)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words)), (2, "short doc only")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, "text", "doc_id", chunk_tokens=20, overlap=5)
+        rows = sorted(
+            ((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in out.collect())
+        )
+        doc1 = [r for r in rows if r[0] == 1]
+        # 50 tokens, chunk 20, stride 15 -> 1 + ceil(30/15) = 3 chunks
+        assert [r[1] for r in doc1] == [0, 1, 2]
+        c0, c1, c2 = (r[2].split(" ") for r in doc1)
+        assert c0 == words[0:20] and c1 == words[15:35] and c2 == words[30:50]
+        assert c0[-5:] == c1[:5]  # exact overlap
+        assert [r[3] for r in doc1] == [20, 20, 20]
+        # union covers every token in order
+        rebuilt = c0[:15] + c1[:15] + c2
+        assert rebuilt == words
+        # short doc: single chunk, true token count
+        doc2 = [r for r in rows if r[0] == 2]
+        assert len(doc2) == 1 and doc2[0][2] == "short doc only" and doc2[0][3] == 3
+
+    def test_trailing_window_ends_at_doc_end(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import chunk_documents
+
+        words = [f"t{i}" for i in range(23)]  # 23 tokens, chunk 10, stride 7
+        df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        rows = sorted(
+            (r.chunk_id, r.chunk_text.split(" "), r.n_tokens)
+            for r in chunk_documents(
+                df, "text", "doc_id", chunk_tokens=10, overlap=3
+            ).collect()
+        )
+        # 1 + ceil(13/7) = 3 chunks; last starts at 15 (1-based) -> 9 tokens
+        assert [r[0] for r in rows] == [0, 1, 2]
+        assert rows[2][1] == words[14:23] and rows[2][2] == 9
+        assert rows[2][1][-1] == words[-1]  # nothing dropped
+
+    def test_overlap_must_be_smaller_than_chunk(self, spark):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="stride"):
+            chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
