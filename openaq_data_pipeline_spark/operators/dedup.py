@@ -508,14 +508,14 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # size each round's shuffles to the graph, not the session: a
     # few-thousand-edge near-dup graph re-planned at the session's
     # shuffle width pays rounds × partitions near-empty-task
     # scheduling (the dominant cost of small iterative jobs); a
-    # billion-edge graph keeps full width. The count is free — edges
-    # is already materialized by the eager checkpoint.
+    # billion-edge graph keeps full width. The count doubles as the
+    # lazy checkpoint's materializing action — one job, not two.
     n_edges = edges.count()
     conf_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(conf_key)
