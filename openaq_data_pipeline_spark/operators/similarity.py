@@ -353,8 +353,9 @@ def ivf_train_centroids(
     spark = corpus.sparkSession
     cent_rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.filter(F.col(id_col) < n_cells)
-        .select(id_col, vec_col)
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(n_cells)
         .collect()
     )
     for _ in range(n_iters):
@@ -423,8 +424,9 @@ def ivf_topk(
     else:
         cent_rows = sorted(
             (int(r[0]), list(r[1]))
-            for r in corpus.filter(F.col(id_col) < n_cells)
-            .select(id_col, vec_col)
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col))
+            .limit(n_cells)
             .collect()
         )
     cents = _centroids_df(corpus.sparkSession, cent_rows)

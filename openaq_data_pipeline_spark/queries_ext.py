@@ -1007,7 +1007,7 @@ def _ivf_trained_cents_duck(
     parts = [
         f"""cents0 AS (
     SELECT vec_id AS cell_id, embedding::DOUBLE[] AS c_vec
-    FROM embeddings WHERE vec_id < {n_cells}
+    FROM embeddings ORDER BY vec_id LIMIT {n_cells}
 )"""
     ]
     for i in range(n_iters):
