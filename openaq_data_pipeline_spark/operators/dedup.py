@@ -495,13 +495,22 @@ def connected_components(
     loop carries no data — only the converged? flag per round
     (bounded by ``max_iters`` hops, raises if exceeded).
 
-    Assumes a single-threaded session: the shuffle-width downsizing
-    below mutates session config with try/finally restore, which a
-    concurrently-planning query on the same session could observe
-    (driver and bench run queries serially; a multi-tenant service
-    should hand this operator its own ``spark.newSession()``).
+    The shuffle-width downsizing runs on a CLONED session (shared
+    SparkContext, isolated SQLConf — the streaming drain's pattern),
+    so a query planning concurrently on the caller's session never
+    observes a narrowed ``spark.sql.shuffle.partitions``. The input
+    crosses into the clone via a uniquely-named global temp view (a
+    logical-plan handle — no materialization); the returned labels
+    are checkpoint-backed, so downstream joins on the caller's
+    session read materialized blocks, not a plan owned by the clone.
     """
-    spark = pairs.sparkSession
+    import uuid
+
+    parent = pairs.sparkSession
+    spark = parent.newSession()
+    view = f"cc_pairs_{uuid.uuid4().hex}"
+    pairs.createOrReplaceGlobalTempView(view)
+    pairs = spark.table(f"global_temp.{view}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -518,11 +527,11 @@ def connected_components(
     # lazy checkpoint's materializing action — one job, not two.
     n_edges = edges.count()
     conf_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(conf_key)
     try:
-        # a platform may pin this to a non-numeric value (e.g.
-        # "auto"); keep full width rather than fail the operator
-        sess_parts = int(prev_parts)
+        # clamp to the caller's width; a platform may pin the conf to
+        # a non-numeric value (e.g. "auto") — keep the clone's
+        # default width rather than fail the operator
+        sess_parts = int(parent.conf.get(conf_key))
     except (TypeError, ValueError):
         sess_parts = None
     round_parts = (n_edges + 199_999) // 200_000
@@ -572,8 +581,7 @@ def connected_components(
             if changed == 0:
                 return labels.select("node", F.col("comp").alias("component_id"))
     finally:
-        if sess_parts is not None:
-            spark.conf.set(conf_key, prev_parts)
+        parent.catalog.dropGlobalTempView(view)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "pathological chain topology; switch to large-star/small-star"

@@ -272,6 +272,49 @@ def test_connected_components_survives_non_numeric_conf(spark, monkeypatch):
     assert not set_calls, "conf mutated despite unparseable session width"
 
 
+def test_connected_components_scopes_width_to_cloned_session(spark, monkeypatch):
+    """VERDICT r4 #3: CC's shuffle-width downsizing must be invisible
+    to the caller's session — a query planning concurrently mid-CC
+    observes its shuffle width unchanged. Mid-CC observation points:
+    every DataFrame.count() CC issues (the edge count plus one per
+    propagation round) snapshots the caller's conf; all must read the
+    original value, while the clone CC actually runs on did narrow."""
+    from openaq_data_pipeline_spark.operators.dedup import connected_components
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    seen = []
+    # patch the CONCRETE DataFrame class (pyspark.sql.classic in 4.x
+    # overrides the pyspark.sql.DataFrame ABC's methods)
+    df_cls = type(spark.range(1))
+    real_count = df_cls.count
+
+    def spy(self):
+        seen.append(spark.conf.get(key))
+        return real_count(self)
+
+    monkeypatch.setattr(df_cls, "count", spy)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    out = {(r.node, r.component_id) for r in comp.collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert len(seen) >= 2, "expected mid-CC conf observations"
+    assert all(v == orig for v in seen), f"caller width mutated mid-CC: {seen}"
+    assert spark.conf.get(key) == orig
+    # the downsizing itself is real, just scoped to the clone
+    assert comp.sparkSession is not spark
+    assert comp.sparkSession.conf.get(key) == "1"
+    # the handoff view was cleaned up
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables("global_temp")
+        if t.name.startswith("cc_pairs_")
+    ]
+    assert leftovers == []
+
+
 def test_keep_one_survivors_plan(spark):
     """dedup_keep_one's survivor step must stay equi-join-shaped (no
     cartesian/nested-loop), with the non-representative drop as a
