@@ -154,8 +154,11 @@ def main() -> None:
         detail["ratio_vs_prev"] = {
             "baseline": name,
             "baseline_timing_convention": (
+                # parse the round NUMBER — a lexicographic compare
+                # misclassifies r100 < r03 (ADVICE r4)
                 "min_of_2_after_warmup_cache_cleared"
-                if name >= "BENCH_r03" else "single_timed_pass"
+                if int(re.search(r"r(\d+)", name).group(1)) >= 3
+                else "single_timed_pass"
             ),
             "total": (
                 round(total / prev_data["value"], 3)

@@ -153,10 +153,10 @@ def chunk_documents(
     :func:`pack_sequences` (long docs must be cut to fit the model's
     context; the overlap preserves cross-boundary n-grams). Stride =
     chunk_tokens − overlap; chunk k covers whitespace tokens
-    [1 + k·stride, …] and the LAST chunk ends exactly at the
-    document's end (it may overlap its predecessor by more than
-    ``overlap`` — the standard trailing-window treatment, no token
-    is ever dropped). Chunk count is exact integer math:
+    [1 + k·stride, …] and the LAST chunk is TRUNCATED at the
+    document's end (it may be shorter than ``chunk_tokens`` and
+    never overlaps its predecessor by more than ``overlap``; no
+    token is ever dropped). Chunk count is exact integer math:
     1 + ⌈max(len − chunk, 0) / stride⌉, so both engines agree
     without float ceil.
 

@@ -671,7 +671,10 @@ def keep_best_per_cluster(
     stacks keep the top classifier score). ``corpus_scores`` is
     (id, score) for the full corpus; unclustered singletons pass
     through with cluster_size 1. Scores must be non-null; ids must be
-    numeric (the argmax tiebreak negates them).
+    numeric (the argmax tiebreak negates them). A cluster member
+    MISSING from ``corpus_scores`` is a contract violation and fails
+    the job loudly (executor-side raise — no extra validation pass)
+    instead of silently shrinking its cluster (ADVICE r4).
 
     Scale shape: one equi-join attaching scores to cluster members,
     one per-component argmax aggregate (``max(struct(score, -id))``
@@ -682,6 +685,21 @@ def keep_best_per_cluster(
             F.col(id_col).alias("node"), F.col(score_col).alias("__s")
         ),
         "node",
+        "left",
+    ).withColumn(
+        "__s",
+        F.when(
+            F.col("__s").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "keep_best_per_cluster: cluster member missing from "
+                        "corpus_scores: "
+                    ),
+                    F.col("node").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("__s")),
     )
     best = (
         scored.groupBy("component_id")

@@ -775,7 +775,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE {_clusters_duck(_APPENDED_DUCK)},
 scores AS (
-    SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+    -- collapse runs of whitespace before splitting (as _SHINGLES_DUCK
+    -- does) so the score matches Spark's regex token_count on any
+    -- fixture whitespace, not just single-spaced text (ADVICE r4)
+    SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
     FROM corpus WHERE len(string_split(text, ' ')) >= 3
 ),
 best AS (

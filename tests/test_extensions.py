@@ -348,6 +348,28 @@ class TestConnectedComponents:
         }
         assert one == {1: 3, 10: 2, 99: 1}  # policies observably differ
 
+    def test_keep_best_fails_loudly_on_unscored_member(self, spark):
+        """ADVICE r4: a cluster member missing from corpus_scores is
+        a contract violation — the job must fail with a message
+        naming the member, never silently shrink or drop the
+        cluster."""
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.dedup import (
+            connected_components,
+            keep_best_per_cluster,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        comp = connected_components(pairs)
+        partial = spark.createDataFrame(
+            [(1, 5), (2, 7), (10, 4), (11, 4)], "doc_id long, score long"
+        )  # member 3 unscored
+        with _pytest.raises(Exception, match="missing from\\s+corpus_scores: 3"):
+            keep_best_per_cluster(partial, comp).collect()
+
     def test_long_chain_exceeding_iters_raises(self, spark):
         """A 40-link chain cannot converge in 3 rounds — the operator
         must fail loudly, not return partial labels."""
