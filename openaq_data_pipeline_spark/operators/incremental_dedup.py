@@ -1,0 +1,322 @@
+"""Incremental (cross-batch) corpus dedup: dedup today's crawl
+against a PERSISTED survivor index instead of recomputing pairs over
+the whole history — the production shape at 100 TB, where re-shingling
+a year of crawls to admit one day's batch is a non-starter.
+
+This is the dedup-family analogue of the reference's incremental
+high-watermark mart (`openaq_transform/models/marts/
+mart_location_air_quality.sql:16-19`): state persisted between runs,
+each run joining only the new slice against it.
+
+Index layout (two tables per :class:`DedupIndex`):
+- ``{name}_postings`` — (shingle, doc_ids array<long>) posting lists
+  of SURVIVOR documents, written as a BUCKETED parquet table on
+  ``shingle``. Each batch appends its kept docs' lists; readers
+  re-aggregate per shingle BUCKET-LOCALLY (the table's hash
+  partitioning satisfies the groupBy — no exchange), so the
+  batch-vs-index equi-join never shuffles the index side. At 100 TB
+  the index shuffle would otherwise dominate every batch.
+- ``{name}_sizes`` — (doc_id, n_sh) FULL distinct-shingle counts per
+  survivor, bucketed on ``doc_id`` (the pair-side lookup shuffles
+  pair-bounded rows; the index side stays exchange-free).
+
+Semantics contract (deterministic, oracle-expressible — the
+`dedup_incremental` driver oracle recomputes it from raw text with no
+index, proving index == recompute):
+
+- Batches carry globally unique doc ids (caller's contract).
+- Pair universe at batch k: shingles of (survivors ∪ batch), with the
+  df guard applied to the COMBINED document frequency (a shingle in
+  more than ``max_doc_freq`` surviving+new docs leaves the
+  intersection universe — only shingles present in the batch can
+  generate pairs, so history-only shingles cost nothing).
+- Only pairs touching ≥1 NEW doc are considered: two prior survivors
+  are by construction below threshold under the df regime they
+  survived (re-evaluating old×old pairs under an evolved stop set is
+  a full recompaction, out of scope for the incremental path).
+- Jaccard denominators use FULL per-doc distinct-shingle sizes
+  (``n_a + n_b − n_common`` with n_* the doc's total), NOT the
+  guarded sizes of :func:`~.dedup.jaccard_pairs`: a doc's full size
+  is a property of its text alone, so the persisted value NEVER goes
+  stale as df evolves across batches — the standard incremental-index
+  trade (numerator guarded ⇒ boilerplate-heavy pairs score
+  conservatively LOW; on a corpus with no stop shingles the two
+  contracts coincide exactly).
+- Disposition per new doc: a cluster containing any old survivor
+  drops ALL its new members (``dup_of`` = the smallest old survivor
+  in the cluster — survivors are immutable once shipped); a pure-new
+  cluster keeps its min id; unpaired docs are kept.
+- Kept docs' postings/sizes append to the index, so batch k+1 dedups
+  against them too.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    jaccard_pairs,
+    keep_one_per_cluster,
+    shingles,
+)
+from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+
+@dataclass(frozen=True)
+class DedupIndex:
+    """Handle for a persisted survivor index; ``location`` (optional)
+    roots both tables there as EXTERNAL tables."""
+
+    name: str
+    n: int = 3
+    n_buckets: int = 32
+    min_jaccard: float = 0.5
+    max_doc_freq: int | None = 1000
+    location: str | None = None
+
+    @property
+    def postings_table(self) -> str:
+        return f"{self.name}_postings"
+
+    @property
+    def sizes_table(self) -> str:
+        return f"{self.name}_sizes"
+
+    def _path(self, suffix: str) -> str | None:
+        return f"{self.location}/{suffix}" if self.location else None
+
+
+def _full_sizes(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_sh) FULL distinct-shingle counts — text-only property,
+    safe to persist (see module contract)."""
+    return sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+
+
+def _append_survivors(
+    sh: DataFrame, survivor_ids: DataFrame, id_col: str, index: DedupIndex, mode: str
+) -> None:
+    """Write the survivors' posting lists + full sizes."""
+    kept_sh = sh.join(survivor_ids.select(id_col), id_col)
+    postings = kept_sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("doc_ids")
+    )
+    save_bucketed(
+        postings,
+        index.postings_table,
+        "shingle",
+        index.n_buckets,
+        mode=mode,
+        path=index._path("postings"),
+    )
+    save_bucketed(
+        _full_sizes(kept_sh, id_col),
+        index.sizes_table,
+        id_col,
+        index.n_buckets,
+        mode=mode,
+        path=index._path("sizes"),
+    )
+
+
+def build_index(
+    corpus: DataFrame, text_col: str, id_col: str, index: DedupIndex
+) -> DataFrame:
+    """Batch-0 bootstrap: whole-corpus dedup (the existing
+    shingles → jaccard_pairs → connected_components → keep-one
+    pipeline at the index's threshold/guard), then persist the
+    survivors' posting/size index. Returns the survivor table
+    (id, cluster_size)."""
+    sh_set = shingles(corpus, text_col, id_col, n=index.n, distinct=True)
+    pairs = jaccard_pairs(
+        sh_set, id_col, min_jaccard=index.min_jaccard, max_doc_freq=index.max_doc_freq
+    )
+    comp = connected_components(pairs)
+    survivors = keep_one_per_cluster(
+        corpus.select(id_col), comp, id_col=id_col
+    ).localCheckpoint(eager=True)
+    _append_survivors(sh_set, survivors, id_col, index, mode="overwrite")
+    return survivors
+
+
+def _old_posting_lists(spark, index: DedupIndex) -> DataFrame:
+    """(shingle, old_ids) — per-shingle survivor lists re-aggregated
+    across appended batches. The groupBy key equals the table's
+    bucket key, so the aggregation is bucket-local: NO exchange above
+    the index scan (pinned by tests/test_plans.py)."""
+    return (
+        spark.table(index.postings_table)
+        .groupBy("shingle")
+        .agg(F.array_sort(F.flatten(F.collect_list("doc_ids"))).alias("old_ids"))
+    )
+
+
+def incremental_candidate_pairs(
+    new_batch: DataFrame, text_col: str, id_col: str, index: DedupIndex
+) -> DataFrame:
+    """(id_a, id_b, b_old) — the thresholded pair stage of
+    :func:`incremental_dedup`, exposed so its plan is independently
+    checkable: it must scan the BATCH text and the INDEX tables, and
+    nothing else (no re-shingled history — pinned by
+    tests/test_incremental_dedup.py). ``b_old`` marks cross pairs
+    (id_b a history survivor); in-batch pairs carry id_a < id_b."""
+    spark = new_batch.sparkSession
+    new_sh = shingles(new_batch, text_col, id_col, n=index.n, distinct=True)
+    new_lists = new_sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("new_ids")
+    )
+    # left join: batch shingles absent from the index still count
+    # toward df and in-batch pairs; history-only shingles never
+    # enter the plan at all
+    joined = new_lists.join(_old_posting_lists(spark, index), "shingle", "left")
+
+    nids = F.col("new_ids")
+    oids = F.coalesce(F.col("old_ids"), F.array().cast("array<long>"))
+    df_combined = F.size(nids) + F.size(oids)
+    if index.max_doc_freq is not None:
+        joined = joined.filter(df_combined <= index.max_doc_freq)
+
+    # one explode pass emits BOTH pair kinds as tagged structs:
+    # in-batch (i<j over new_ids) and cross (new × old) — id spaces
+    # are disjoint, so (id_a, id_b) is unique and b_old rides along
+    nn = F.when(
+        F.size(nids) >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(nids) - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size(nids) - 1),
+                    lambda j: F.struct(
+                        F.get(nids, i).alias("id_a"),
+                        F.get(nids, j).alias("id_b"),
+                        F.lit(False).alias("b_old"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<id_a:long,id_b:long,b_old:boolean>>"))
+    no = F.flatten(
+        F.transform(
+            nids,
+            lambda a: F.transform(
+                oids,
+                lambda b: F.struct(
+                    a.alias("id_a"), b.alias("id_b"), F.lit(True).alias("b_old")
+                ),
+            ),
+        )
+    )
+    common = (
+        joined.select(F.explode(F.concat(nn, no)).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.b_old").alias("b_old"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    # FULL sizes (module contract): batch sizes from this batch's
+    # shingles, history sizes from the persisted bucketed table —
+    # the pair side shuffles pair-bounded rows, the index side none
+    all_sizes = _full_sizes(new_sh, id_col).unionByName(
+        spark.table(index.sizes_table)
+    )
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+
+    sa = all_sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = all_sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            exact_ratio_spark(
+                F.col("n_common"),
+                F.col("n_a") + F.col("n_b") - F.col("n_common"),
+                out_scale=4,
+            ),
+        )
+        .filter(F.col("jaccard") >= index.min_jaccard)
+        .select("id_a", "id_b", "b_old")
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    index: DedupIndex,
+    update_index: bool = True,
+) -> DataFrame:
+    """(id, kept, dup_of) disposition of every ``new_batch`` doc
+    against the persisted index + the batch itself (module contract
+    above). Batch-sized work only: the index side of every join is
+    bucket-aligned (no exchange), and only shingles PRESENT IN THE
+    BATCH generate pairs, so cost scales with the batch and its
+    collision neighborhood — never with history. With
+    ``update_index`` the kept docs' postings/sizes append to the
+    index (one extra write action; the returned disposition is
+    checkpoint-backed so the caller does not recompute the plan)."""
+    spark = new_batch.sparkSession
+    id_type = new_batch.schema[id_col].dataType
+    new_sh = shingles(new_batch, text_col, id_col, n=index.n, distinct=True)
+    pairs = incremental_candidate_pairs(
+        new_batch, text_col, id_col, index
+    ).localCheckpoint(eager=False)
+
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    old_nodes = pairs.filter(F.col("b_old")).select(
+        F.col("id_b").alias("node")
+    ).distinct()
+    comp_min_old = (
+        comp.join(old_nodes, "node")
+        .groupBy("component_id")
+        .agg(F.min("node").alias("min_old"))
+    )
+    disp = (
+        new_batch.select(F.col(id_col))
+        .join(
+            comp.select(F.col("node").alias(id_col), "component_id"), id_col, "left"
+        )
+        .join(comp_min_old, "component_id", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("component_id").isNull(), F.lit(True))
+            .when(F.col("min_old").isNotNull(), F.lit(False))
+            .otherwise(F.col(id_col) == F.col("component_id"))
+            .alias("kept"),
+            F.when(F.col("component_id").isNull(), F.lit(None).cast(id_type))
+            .when(F.col("min_old").isNotNull(), F.col("min_old"))
+            .when(F.col(id_col) == F.col("component_id"), F.lit(None).cast(id_type))
+            .otherwise(F.col("component_id"))
+            .alias("dup_of"),
+        )
+    )
+    if not update_index:
+        return disp
+    disp = disp.localCheckpoint(eager=True)
+    _append_survivors(
+        new_sh, disp.filter(F.col("kept")), id_col, index, mode="append"
+    )
+    return disp
+
+
+def temp_index(n: int = 3, n_buckets: int = 32, min_jaccard: float = 0.5,
+               max_doc_freq: int | None = 1000) -> DedupIndex:
+    """A uniquely-named tempdir-rooted index (external tables), for
+    self-contained queries/tests that bootstrap + probe in one run."""
+    import tempfile
+
+    return DedupIndex(
+        name=f"dedup_idx_{uuid.uuid4().hex}",
+        n=n,
+        n_buckets=n_buckets,
+        min_jaccard=min_jaccard,
+        max_doc_freq=max_doc_freq,
+        location=tempfile.mkdtemp(prefix="dedup_index_"),
+    )

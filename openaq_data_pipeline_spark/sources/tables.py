@@ -26,14 +26,20 @@ def save_bucketed(
     n_buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (and bucket-sorted) managed parquet
     table. Sorting within buckets additionally removes the join-time
-    sort of a sort-merge join (plan shows neither Exchange nor Sort)."""
+    sort of a sort-merge join (plan shows neither Exchange nor Sort).
+    ``path`` makes it an EXTERNAL bucketed table at that location
+    (for callers that must control where the files live, e.g. a
+    tempdir-scoped dedup index)."""
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -1,0 +1,167 @@
+"""Incremental cross-batch dedup (VERDICT r4 #1): correctness of the
+three dispositions across batches, index update across a third batch,
+and the two scale properties — the index side of the batch join is
+bucket-aligned (no exchange), and the batch-2 plan never re-shingles
+history text."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.incremental_dedup import (
+    build_index,
+    incremental_candidate_pairs,
+    incremental_dedup,
+    temp_index,
+)
+
+B1_TEXTS = {
+    0: "the quick brown fox jumps over the lazy dog today",
+    2: "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+    # near-dup of 2 → collapsed at bootstrap
+    4: "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+}
+B2_ROWS = [
+    (11, "completely different content about rivers mountains and weather patterns"),
+    # near-dup of HISTORY survivor 2 → dropped cross-batch
+    (13, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+    # 15/17 near-dup each other, nothing in history → in-batch cluster
+    (15, "one two three four five six seven eight nine ten eleven twelve"),
+    (17, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+    (19, "tiny doc here"),
+]
+
+
+class TestIncrementalDedup:
+    def test_three_batch_scenario(self, spark):
+        b1 = spark.createDataFrame(
+            list(B1_TEXTS.items()), "doc_id long, text string"
+        )
+        idx = temp_index()
+        surv = build_index(b1, "text", "doc_id", idx)
+        assert sorted((r.doc_id, r.cluster_size) for r in surv.collect()) == [
+            (0, 1),
+            (2, 2),
+        ]
+
+        b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
+        disp = incremental_dedup(b2, "text", "doc_id", idx)
+        got = sorted((r.doc_id, r.kept, r.dup_of) for r in disp.collect())
+        assert got == [
+            (11, True, None),   # fresh
+            (13, False, 2),     # cross-batch dup of history survivor
+            (15, True, None),   # in-batch cluster min id
+            (17, False, 15),    # in-batch dup
+            (19, True, None),   # fresh (too short to pair)
+        ]
+
+        # the index absorbed batch-2 survivors: batch 3 dups one
+        b3 = spark.createDataFrame(
+            [(21, "one two three four five six seven eight nine ten eleven")],
+            "doc_id long, text string",
+        )
+        got3 = [
+            (r.doc_id, r.kept, r.dup_of)
+            for r in incremental_dedup(b3, "text", "doc_id", idx).collect()
+        ]
+        assert got3 == [(21, False, 15)]
+
+    def test_update_index_false_leaves_index_untouched(self, spark):
+        b1 = spark.createDataFrame(
+            list(B1_TEXTS.items()), "doc_id long, text string"
+        )
+        idx = temp_index()
+        build_index(b1, "text", "doc_id", idx)
+        before = spark.table(idx.sizes_table).count()
+        b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
+        incremental_dedup(b2, "text", "doc_id", idx, update_index=False).collect()
+        assert spark.table(idx.sizes_table).count() == before
+
+    def test_index_side_aggregation_is_exchange_free(self, spark):
+        """The per-shingle re-aggregation of appended posting lists
+        must satisfy the table's bucketing: NO Exchange between the
+        index scan and the aggregate — at 100 TB an index shuffle per
+        batch is the cost the whole design exists to avoid."""
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            _old_posting_lists,
+        )
+
+        b1 = spark.createDataFrame(
+            list(B1_TEXTS.items()), "doc_id long, text string"
+        )
+        idx = temp_index()
+        build_index(b1, "text", "doc_id", idx)
+        # append a second generation so re-aggregation is real
+        b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
+        incremental_dedup(b2, "text", "doc_id", idx)
+
+        plan = (
+            _old_posting_lists(spark, idx)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+
+    def test_batch2_plan_touches_index_not_history_text(self, spark, tmp_path):
+        """VERDICT r4 #1 'done' criterion: batch-2 work scales with
+        batch 2 — the candidate-pair plan scans the BATCH parquet and
+        the INDEX tables, never the history parquet (no re-shingled
+        history)."""
+        hist_path = str(tmp_path / "history_docs")
+        batch_path = str(tmp_path / "batch2_docs")
+        spark.createDataFrame(
+            list(B1_TEXTS.items()), "doc_id long, text string"
+        ).write.parquet(hist_path)
+        spark.createDataFrame(B2_ROWS, "doc_id long, text string").write.parquet(
+            batch_path
+        )
+
+        idx = temp_index()
+        build_index(spark.read.parquet(hist_path), "text", "doc_id", idx)
+        pairs = incremental_candidate_pairs(
+            spark.read.parquet(batch_path), "text", "doc_id", idx
+        )
+        # inputFiles() enumerates every source the plan will read —
+        # immune to the plan-string path truncation
+        files = pairs.inputFiles()
+        assert any(batch_path in f for f in files), "batch scan missing"
+        assert idx.location is not None
+        assert any(idx.location in f for f in files), "index scan missing"
+        assert not any(hist_path in f for f in files), (
+            "batch-2 plan re-reads history text"
+        )
+        # and the pair results are identical to the disposition inputs
+        got = sorted(
+            (r.id_a, r.id_b, r.b_old) for r in pairs.collect()
+        )
+        # cross pairs carry (new_id, old_id); in-batch pairs id_a<id_b
+        assert got == [(13, 2, True), (15, 17, False)]
+
+    def test_df_guard_caps_combined_frequency(self, spark):
+        """A shingle whose COMBINED (history + batch) df exceeds the
+        guard leaves the intersection universe; full-size denominators
+        keep scoring (conservatively) without it."""
+        boiler = "spam spam spam spam spam"  # one repeated shingle
+        b1 = spark.createDataFrame(
+            [(i, boiler) for i in range(3)], "doc_id long, text string"
+        )
+        idx = temp_index(max_doc_freq=4)
+        build_index(b1, "text", "doc_id", idx)  # exact dups of each other
+        # batch adds 3 more copies: combined df = survivors(1) + 3 > 4?
+        # no — 1 + 3 = 4 ≤ 4 → pairs found; with 5 new copies 1+5 > 4 →
+        # the shingle is guarded out and NO pairs exist
+        small = spark.createDataFrame(
+            [(100 + i, boiler) for i in range(3)], "doc_id long, text string"
+        )
+        pairs_ok = incremental_candidate_pairs(small, "text", "doc_id", idx)
+        assert pairs_ok.count() > 0
+        big = spark.createDataFrame(
+            [(200 + i, boiler) for i in range(5)], "doc_id long, text string"
+        )
+        pairs_guarded = incremental_candidate_pairs(big, "text", "doc_id", idx)
+        assert pairs_guarded.count() == 0
