@@ -1297,12 +1297,15 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_real_decode",
-    "EXT-multimodal — REAL image decode on executors: deterministic "
-    "synthetic 24-bpp BMPs (closed-form pixels) are encoded and then "
-    "decoded by the pure-NumPy BMP parser inside Arrow mapInPandas; "
-    "the oracle recomputes width/height/byte-size/header bytes/pixel "
-    "stats analytically from the id, so the full encode→decode→stats "
-    "round trip is hash-checked",
+    "EXT-multimodal — REAL image decode on executors over a MIXED "
+    "corpus: even ids as 24-bpp BMP, odd ids as 8-bit PNG (stdlib "
+    "zlib, scanline filter = id mod 5 so all five PNG filter paths "
+    "are driver-verified — VERDICT r4 #6), decoded by the pure-NumPy "
+    "parsers inside Arrow mapInPandas; the oracle recomputes "
+    "format/dimensions/signature-bytes/pixel stats analytically from "
+    "the id, so encode→INFLATE→unfilter→stats is hash-checked "
+    "(BMP byte size stays closed-form; PNG byte size is "
+    "zlib-dependent → NULL by contract)",
     oracle="""
 WITH dims AS (
     SELECT doc_id AS media_id,
@@ -1322,9 +1325,12 @@ px AS (
     GROUP BY media_id, w, h
 )
 SELECT media_id,
-       CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
-       '424d' || printf('%02x', (54 + ((3 * w + 3) // 4) * 4 * h) % 256)
-              || printf('%02x', ((54 + ((3 * w + 3) // 4) * 4 * h) // 256) % 256) AS header_hex,
+       CASE WHEN media_id % 2 = 1 THEN NULL
+            ELSE CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) END AS n_bytes,
+       CASE WHEN media_id % 2 = 1 THEN '89504e47'
+            ELSE '424d' || printf('%02x', (54 + ((3 * w + 3) // 4) * 4 * h) % 256)
+                        || printf('%02x', ((54 + ((3 * w + 3) // 4) * 4 * h) // 256) % 256)
+       END AS header_hex,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
        px_sum,
@@ -1333,20 +1339,33 @@ FROM px
 """,
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media blobs are synthesized per doc_id (deterministic BMPs,
-    operators/multimodal.synthetic_images), then the REAL decoder
-    parses them back; every output column is independently derivable
-    from the id in closed form, which is what the oracle does —
-    verifying the BMP header layout (n_bytes, little-endian size
-    bytes in header_hex), dimension parsing, and pixel-exact decode
-    (px_sum, exact-rounded mean_px)."""
+    """Media blobs are synthesized per doc_id (deterministic pixels;
+    even ids 24-bpp BMP, odd ids 8-bit PNG with scanline filter
+    id%5 — operators/multimodal.synthetic_images mix_formats), then
+    the REAL decoders parse them back; every output column is
+    independently derivable from the id in closed form, which is what
+    the oracle does — verifying the BMP header layout (n_bytes,
+    little-endian size bytes in header_hex), the PNG signature, and
+    pixel-exact decode through both codecs (px_sum, exact-rounded
+    mean_px). PNG n_bytes is zlib-output-dependent, hence NULL by
+    contract on both sides."""
     from openaq_data_pipeline_spark.operators.multimodal import synthetic_images
 
     d = load(spark, sf_dir, "documents")["documents"]
-    media = synthetic_images(d.select(F.col("doc_id").alias("media_id")))
+    media = synthetic_images(
+        d.select(F.col("doc_id").alias("media_id")), mix_formats=True
+    )
     feats = extract_features(media, decode="real")
     return feats.select(
-        "media_id", "n_bytes", "header_hex", "width", "height", "px_sum", "mean_px"
+        "media_id",
+        F.when(F.col("media_id") % 2 == 1, F.lit(None).cast("long"))
+        .otherwise(F.col("n_bytes"))
+        .alias("n_bytes"),
+        "header_hex",
+        "width",
+        "height",
+        "px_sum",
+        "mean_px",
     )
 
 
