@@ -181,3 +181,51 @@ class TestChunking:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="stride"):
             chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
+        with _pytest.raises(ValueError, match="unit"):
+            chunk_documents(df, "text", "doc_id", unit="chars")
+
+    def test_bpe_budgeted_chunks_respect_the_budget(self, spark):
+        """VERDICT r4 #7: with unit='bpe' every chunk holds at most
+        chunk_tokens BPE-ish tokens — the budget a model context is
+        measured in, NOT whitespace words (symbol-dense text blows a
+        whitespace budget: 'a,b.c' is 1 word but 5 BPE tokens) — and
+        re-tokenizing the emitted chunk_text reproduces the counted
+        budget exactly (the rejoin is round-trip safe)."""
+        from openaq_data_pipeline_spark.operators.curation import chunk_documents
+        from openaq_data_pipeline_spark.operators.text import bpe_token_count
+
+        # 12 words, each 'x10,y20.' → 6 BPE tokens (x, 10, ',', y,
+        # 20, '.') = 72 BPE tokens total but only 12 whitespace words
+        word = "x10,y20."
+        df = spark.createDataFrame(
+            [(1, " ".join([word] * 12)), (2, "plain words only here")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(
+            df, "text", "doc_id", chunk_tokens=20, overlap=5, unit="bpe"
+        )
+        recount = out.withColumn("n_again", bpe_token_count(F.col("chunk_text")))
+        rows = sorted(
+            (r.doc_id, r.chunk_id, r.n_tokens, r.n_again)
+            for r in recount.collect()
+        )
+        doc1 = [r for r in rows if r[0] == 1]
+        # 72 BPE tokens, chunk 20, stride 15 → 1 + ceil(52/15) = 5
+        assert [r[1] for r in doc1] == [0, 1, 2, 3, 4]
+        assert all(r[2] <= 20 for r in doc1), "budget exceeded"
+        assert all(r[2] == r[3] for r in rows), "rejoin broke the count"
+        # a whitespace budget of 20 would have emitted ONE chunk —
+        # the unit observably changes the slicing
+        ws = chunk_documents(df, "text", "doc_id", chunk_tokens=20, overlap=5)
+        assert ws.filter("doc_id = 1").count() == 1
+        # totality: stride prefixes + last chunk rebuild the stream
+        texts = {
+            r.chunk_id: r.chunk_text.split(" ")
+            for r in out.filter("doc_id = 1").collect()
+        }
+        rebuilt = sum((texts[k][:15] for k in range(4)), []) + texts[4]
+        import re as _re
+
+        from openaq_data_pipeline_spark.operators.text import BPE_TOKEN_RE
+
+        assert rebuilt == _re.findall(BPE_TOKEN_RE, " ".join([word] * 12))
