@@ -209,6 +209,7 @@ def registry() -> list[QueryDef]:
     from openaq_data_pipeline_spark import queries_core  # noqa: F401
     from openaq_data_pipeline_spark import queries_temporal  # noqa: F401
     from openaq_data_pipeline_spark import queries_curation  # noqa: F401
+    from openaq_data_pipeline_spark import queries_corpus  # noqa: F401
     from openaq_data_pipeline_spark import queries_ext  # noqa: F401
     from openaq_data_pipeline_spark import queries_history  # noqa: F401
 

@@ -242,6 +242,133 @@ def pack_sequences(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the C4/CCNet line-dedup
+    filter): split every document into lines, count each exact line's
+    document frequency across the WHOLE corpus, and drop lines that
+    appear in ≥ ``min_df`` distinct documents — navigation chrome,
+    cookie banners, copyright footers and other boilerplate repeat
+    verbatim across pages while real prose doesn't.
+
+    Returns (id, n_lines, n_kept, kept_fp) where kept_fp is the MD5
+    of the surviving lines re-joined by ``sep`` in their original
+    order (a document whose every line is boilerplate keeps md5('')).
+
+    Scale design (100 TB): the line-frequency aggregate is one
+    shuffle over (line → distinct-doc count) with map-side partial
+    aggregation; the heavy-line set (df ≥ min_df) is tiny by
+    construction — boilerplate is the repeated minority — so it
+    broadcast-joins back onto the exploded lines, and the only other
+    shuffle is the per-document reassembly groupBy. Line matching is
+    exact bytes (no normalization): the boilerplate contract is
+    verbatim repetition, and exactness keeps the cross-engine oracle
+    trivially identical."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    heavy = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("line", F.lit(True).alias("__bl"))
+    )
+    tagged = lines.join(F.broadcast(heavy), "line", "left")
+    kept_struct = F.when(
+        F.col("__bl").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count(kept_struct).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("kept_fp"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Domain-mixture rebalancing sampler: keep the LARGEST corpus
+    whose per-stratum composition matches the target ``weights``
+    (integer parts, e.g. {"web": 5, "books": 3, "code": 2} → 50/30/20)
+    — the mixing step training pipelines run to hit a prescribed
+    domain mixture (cf. the published Pile/Dolma/ROOTS corpus
+    compositions). Strata not in ``weights`` are dropped (weight 0).
+
+    The binding stratum (smallest count/weight ratio) is kept whole;
+    every other stratum is down-sampled to match. Selection is the
+    same deterministic hash-threshold rule as
+    :func:`stratified_sample`, but on a 32-bit MD5 bucket so derived
+    (non-round) rates resolve exactly: keep a row iff
+    uint32(md5(id)[:8]) < thr_s, with thr_s derived from corpus
+    counts by pure integer math (ppm-scaled) — identical in any
+    engine, no RNG, resume-safe.
+
+    Scale design (100 TB): pass 1 is a map-side-partial count per
+    stratum (tiny result); the capacity minimum and thresholds are
+    computed on that tiny aggregate and broadcast-joined back, so
+    the big side is touched exactly twice with no extra shuffle and
+    the filter is a per-row predicate.
+
+    Returns the kept rows with their stratum, bucket and threshold
+    (observability columns a pipeline can audit rates from)."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive ints")
+    w_expr = None
+    for s, w in sorted(weights.items()):
+        w_expr = (
+            F.when(F.col(stratum_col) == s, F.lit(w))
+            if w_expr is None
+            else w_expr.when(F.col(stratum_col) == s, F.lit(w))
+        )
+    counts = (
+        df.filter(F.col(stratum_col).isin(*weights))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .withColumn("__w", w_expr.cast("long"))
+    )
+    # capacity: T = min_s floor(n_s * 1e6 / w_s) — the ppm-scaled
+    # number of "mixture units" the scarcest stratum can fill
+    cap = counts.agg(
+        F.min(F.expr("__n * 1000000 div __w")).alias("__t")
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(cap))
+        # rate in ppm, then onto the 32-bit bucket space; the formula
+        # (not its real-valued limit) IS the contract, so both engines
+        # agree bit-for-bit
+        .withColumn("__ppm", F.expr("__w * __t div __n"))
+        .withColumn(
+            "thr", F.expr("__ppm * 4294967296 div 1000000").cast("long")
+        )
+        .select(stratum_col, "thr")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thr), stratum_col)
+        .withColumn("bucket32", bucket)
+        .filter(F.col("bucket32") < F.col("thr"))
+    )
+
+
 def pii_scan(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

@@ -463,6 +463,133 @@ def synthetic_images(
     )
 
 
+# --- audio codec: RIFF/WAVE PCM16 mono (pure struct + NumPy) ------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 samples → RIFF/WAVE, PCM, mono, 16-bit. Byte-exact
+    inverse of :func:`decode_wav_pcm16` (round-trip asserted in
+    tests); used to synthesize deterministic audio fixtures."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_pcm16 expects 1-D int16 samples")
+    payload = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+
+
+def decode_wav_pcm16(content: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (1-D int16 samples, sample_rate). Walks the chunk
+    list (tolerating extra chunks such as LIST/INFO before data);
+    PCM mono 16-bit only — a production deploy plugs an audio
+    library into :func:`_decode_audio` for compressed codecs."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2").astype(np.int16), rate
+
+
+def synthetic_audio(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic synthetic WAV clips keyed by id — the fixture for
+    the audio decode path (no audio test data ships in the container).
+    Closed-form and engine-reproducible: n = 256 + 64·(id mod 7)
+    samples at rate = 8000·(1 + id mod 3) Hz, sample k =
+    ((id·7919 + k·773) mod 4001) − 2000 — pure integer math, so a SQL
+    oracle can recompute every decoded-sample statistic without
+    touching bytes. Output: (media_id, content binary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 256 + 64 * (mid % 7)
+                rate = 8000 * (1 + mid % 3)
+                k = np.arange(n, dtype=np.int64)
+                samples = ((mid * 7919 + k * 773) % 4001 - 2000).astype(np.int16)
+                ids.append(mid)
+                blobs.append(encode_wav_pcm16(samples, rate))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(
+        run, schema="media_id long, content binary"
+    )
+
+
+_AUDIO_FEATURE_DDL = (
+    "media_id long, n_bytes long, header_hex string, sample_rate int, "
+    "n_samples long, duration_ms long, sum_abs long, peak int, "
+    "n_zero_cross long"
+)
+
+
+def audio_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Binary WAV column → per-clip audio statistics via Arrow
+    ``mapInPandas`` (the audio analogue of the image
+    :func:`extract_features` ``decode="real"`` path). All outputs are
+    integer-exact so they are engine-neutral: duration_ms =
+    n·1000 // rate, sum_abs/peak over int16 samples, and zero
+    crossings = #{k ≥ 1 : sign(s[k−1]) ≠ sign(s[k])} with "negative"
+    as the sign predicate (0 counts as non-negative)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_bytes", "header_hex", "sample_rate",
+                "n_samples", "duration_ms", "sum_abs", "peak",
+                "n_zero_cross",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                samples, rate = decode_wav_pcm16(blob)
+                s = samples.astype(np.int64)
+                neg = s < 0
+                out["media_id"].append(int(mid))
+                out["n_bytes"].append(len(blob))
+                out["header_hex"].append(blob[:4].hex())
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(s.size)
+                out["duration_ms"].append(s.size * 1000 // rate)
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["peak"].append(int(np.abs(s).max()) if s.size else 0)
+                out["n_zero_cross"].append(
+                    int((neg[1:] != neg[:-1]).sum()) if s.size else 0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=_AUDIO_FEATURE_DDL
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int) -> DataFrame:
     """Video frame-sampling plan: for each media row, the list of
     timestamps to decode (builtin sequence — the expensive decode

@@ -803,3 +803,83 @@ def cosine_near_dup_pairs(
     return df.select(id_col, vec_col).mapInPandas(
         score, schema="id_a long, id_b long, cosine_sim double"
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str, levels: int = 255
+) -> DataFrame:
+    """Per-dimension affine int8 quantization of an embedding column —
+    the storage/serving compression step of a large-scale vector
+    pipeline (4× smaller than float32; the uniform scalar-quantization
+    baseline of the FAISS/ScaNN literature).
+
+    Per dimension d the corpus min/max define the affine grid; each
+    value maps to q = min(levels, floor((x − mn_d)·levels / span_d))
+    (span 0 → 0). The float math is fixed-order IEEE double
+    arithmetic on order-independent inputs (min/max), so any engine
+    reproduces it bit-for-bit — floor avoids round()'s cross-engine
+    midpoint ambiguity.
+
+    Returns (id, n_dims, q_sum, q_min, q_max, q_fp): exact-integer
+    summaries plus the MD5 of the comma-joined codes — the
+    hash-checkable witness of the full quantized vector.
+
+    Scale design (100 TB): pass 1 is a posexplode into a per-dim
+    min/max aggregate — map-side partial over ``dim`` keys (one tiny
+    shuffle of n_dims rows per task); the dim grids are then folded
+    into two arrays on a single row and broadcast-cross-joined, so
+    pass 2 quantizes with a pure per-row ``transform`` — no second
+    explode, no reassembly shuffle, scan-speed over the corpus.
+    """
+    x = F.col("__x")
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "__xf"))
+        .select("dim", F.col("__xf").cast("double").alias("__x"))
+        .groupBy("dim")
+        .agg(F.min(x).alias("mn"), F.max(x).alias("mx"))
+    )
+    grids = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("__mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("__mx"),
+    )
+
+    def _q(xv, i):
+        mn = F.element_at(F.col("__mn"), i + 1)
+        mx = F.element_at(F.col("__mx"), i + 1)
+        span = mx - mn
+        return (
+            F.when(span == 0.0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(levels),
+                    F.floor(
+                        (xv.cast("double") - mn) * F.lit(float(levels)) / span
+                    ),
+                )
+            )
+            .cast("long")
+        )
+
+    q = F.transform(F.col(vec_col), _q)
+    return (
+        df.crossJoin(F.broadcast(grids))
+        .select(F.col(id_col), q.alias("__q"))
+        .select(
+            F.col(id_col),
+            F.size("__q").cast("long").alias("n_dims"),
+            F.aggregate(
+                "__q", F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias("q_sum"),
+            F.array_min("__q").cast("long").alias("q_min"),
+            F.array_max("__q").cast("long").alias("q_max"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("__q", lambda v: v.cast("string"))
+                )
+            ).alias("q_fp"),
+        )
+    )

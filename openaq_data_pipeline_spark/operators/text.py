@@ -171,3 +171,46 @@ def repetition_signals(df, text_col: str, id_col: str, n: int = 2):
         exact_ratio_spark(F.col("__top"), F.col("n_grams")).alias("frac_top_gram"),
         exact_ratio_spark(F.col("__dup"), F.col("n_grams")).alias("frac_dup_grams"),
     )
+
+
+def top_ngrams(df, text_col: str, id_col: str, n: int = 1, k: int = 50):
+    """Corpus-level vocabulary heavy hitters: the ``k`` most frequent
+    word ``n``-grams with occurrence and document-frequency counts —
+    the corpus-statistics pass behind tokenizer/vocab construction
+    and stop-gram lists (normalized tokens, ties broken by gram text
+    so the top-k set is deterministic).
+
+    Returns (gram_len, rank, gram, n_occurrences, n_docs).
+
+    Scale design (100 TB): one explode feeds a (gram → count,
+    distinct-doc count) hash aggregate with map-side partials —
+    shuffled volume is the distinct-gram vocabulary, not corpus
+    size; the global top-k is ``orderBy().limit(k)``, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps of k,
+    driver merge of #partitions·k rows — never a full sort). The
+    rank window runs on the k survivors only."""
+    from pyspark.sql import Window
+    from openaq_data_pipeline_spark.operators.dedup import shingles
+
+    grams = shingles(
+        df.where(F.size(tokens(normalize(F.col(text_col)))) >= n),
+        text_col,
+        id_col,
+        n=n,
+        distinct=False,
+    )
+    counts = grams.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("shingle")).limit(k)
+    # the rank window is a single partition BY DESIGN: it runs over
+    # exactly k rows (post-limit), not the corpus
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("shingle"))
+    return top.select(
+        F.lit(n).alias("gram_len"),
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("shingle").alias("gram"),
+        "n_occurrences",
+        "n_docs",
+    )

@@ -1,0 +1,305 @@
+"""Round-5 corpus-pipeline queries: boilerplate line removal, domain
+mixture sampling, embedding quantization, audio decode, vocabulary
+heavy hitters — the next ring of operations a 100 TB training-data
+pipeline runs beyond dedup/similarity/text/curation (BASELINE.json
+north star; no counterpart exists in the reference, whose surface
+stops at air-quality marts).
+
+Every query pairs with an ANSI-SQL DuckDB oracle on the same parquet
+tables; all decisions are MD5- or integer-derived so both engines
+agree bit-for-bit (catalog.py module docstring has the determinism
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.catalog import fan_out, load, register
+from openaq_data_pipeline_spark.operators.curation import (
+    mixture_sample,
+    remove_boilerplate_lines,
+)
+
+# deterministically injected boilerplate lines (the corpus ships no
+# verbatim-repeated lines, exactly like it ships no PII — pii_scan
+# set the injection precedent)
+_BL1 = "subscribe to our newsletter today"
+_BL2 = "copyright twenty twenty four all rights reserved"
+
+
+@register(
+    "boilerplate_line_removal",
+    "EXT-curation — corpus-level boilerplate line removal (the "
+    "C4/CCNet line-dedup filter): lines repeated verbatim across "
+    "≥5 distinct documents are dropped corpus-wide; per-doc "
+    "n_lines/n_kept plus the MD5 of the surviving text. One "
+    "line-frequency aggregate + a broadcast anti-tag + one "
+    "reassembly groupBy — the heavy-line set is tiny by "
+    "construction, so the big side never shuffles on line text "
+    "twice",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+inj AS (
+    SELECT doc_id,
+           concat_ws(chr(10),
+               array_to_string(list_slice(w, 1, 10), ' '),
+               CASE WHEN doc_id % 3 = 0 THEN '{_BL1}' END,
+               CASE WHEN len(w) > 10
+                    THEN array_to_string(list_slice(w, 11, len(w)), ' ') END,
+               CASE WHEN doc_id % 4 = 0 THEN '{_BL2}' END) AS text2
+    FROM w
+),
+lines AS (
+    SELECT doc_id, g.i AS pos, ls[g.i] AS line
+    FROM (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM inj),
+         generate_series(1, 100) g(i)
+    WHERE g.i <= len(ls)
+),
+heavy AS (
+    SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line
+    ) WHERE line_df >= 5
+),
+tagged AS (
+    SELECT l.doc_id, l.pos, l.line, h.line IS NOT NULL AS bl
+    FROM lines l LEFT JOIN heavy h ON h.line = l.line
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE NOT bl) AS BIGINT) AS n_kept,
+       md5(array_to_string(
+           coalesce(list(line ORDER BY pos) FILTER (WHERE NOT bl), []),
+           chr(10))) AS kept_fp
+FROM tagged GROUP BY doc_id
+""",
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line documents are synthesized deterministically (first
+    10 words / optional boilerplate / remaining words / optional
+    footer — every 3rd doc gets a newsletter line, every 4th a
+    copyright footer), then the corpus-level filter drops any line
+    appearing in ≥5 distinct docs. The oracle recomputes injection +
+    frequency + reassembly from scratch in SQL."""
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    w = F.split(F.col("text"), " ")
+    injected = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat_ws(" ", F.slice(w, 1, 10)),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BL1)),
+            F.when(
+                F.size(w) > 10,
+                F.concat_ws(" ", F.slice(w, 11, F.size(w) - 10)),
+            ),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_BL2)),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(injected, "text", "doc_id", min_df=5)
+
+
+# target mixture: src1/src2/src3 at 50/30/20 (integer parts); every
+# other source carries weight 0 and is dropped
+_MIX_WEIGHTS = {"src1": 5, "src2": 3, "src3": 2}
+_MIX_CASE_DUCK = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items()))
+    + " END"
+)
+
+
+@register(
+    "domain_mixture_sample",
+    "EXT-curation — domain-mixture rebalancing: the largest corpus "
+    "whose source composition matches target weights 50/30/20 "
+    "(binding stratum kept whole, others hash-down-sampled on a "
+    "32-bit MD5 bucket with ppm-integer thresholds — deterministic, "
+    "RNG-free, resume-safe; one tiny count aggregate + a broadcast "
+    "threshold join, the big side never shuffles)",
+    oracle=f"""
+WITH counts AS (
+    SELECT source, count(*) AS n, {_MIX_CASE_DUCK} AS w
+    FROM documents
+    WHERE source IN ({", ".join(repr(s) for s in sorted(_MIX_WEIGHTS))})
+    GROUP BY source
+),
+cap AS (SELECT min(n * 1000000 // w) AS t FROM counts),
+thr AS (
+    SELECT source, ((w * t // n) * 4294967296 // 1000000) AS thr
+    FROM counts, cap
+)
+SELECT d.doc_id, d.source,
+       CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) AS BIGINT) AS bucket32,
+       CAST(t.thr AS BIGINT) AS thr
+FROM documents d JOIN thr t USING (source)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      < t.thr
+""",
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")["documents"]
+    kept = mixture_sample(d, "doc_id", "source", _MIX_WEIGHTS)
+    return kept.select("doc_id", "source", "bucket32", "thr")
+
+
+@register(
+    "embedding_quantization",
+    "EXT-similarity — per-dimension affine int8 quantization of the "
+    "embedding column (the FAISS/ScaNN scalar-quantization storage "
+    "baseline): corpus min/max grids per dim, codes by fixed-order "
+    "IEEE floor math so both engines agree bit-for-bit; one tiny "
+    "per-dim aggregate, grids folded to a broadcast single row, "
+    "pass 2 is a pure per-row transform — no reassembly shuffle",
+    oracle="""
+WITH ex AS (
+    SELECT vec_id, g.i AS dim, embedding[g.i]::DOUBLE AS x
+    FROM embeddings, generate_series(1, 4096) g(i)
+    WHERE g.i <= len(embedding)
+),
+stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+q AS (
+    SELECT vec_id, dim,
+           CASE WHEN mx - mn = 0 THEN 0
+                ELSE least(255, CAST(floor((x - mn) * 255.0 / (mx - mn))
+                                     AS BIGINT)) END AS q
+    FROM ex JOIN stats USING (dim)
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(q) AS BIGINT) AS q_sum,
+       CAST(min(q) AS BIGINT) AS q_min,
+       CAST(max(q) AS BIGINT) AS q_max,
+       md5(array_to_string(list(q ORDER BY dim), ',')) AS q_fp
+FROM q GROUP BY vec_id
+""",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return quantize_embeddings(e, "embedding", "vec_id", levels=255)
+
+
+@register(
+    "audio_decode_features",
+    "EXT-multimodal — REAL audio decode on executors: deterministic "
+    "RIFF/WAVE PCM16 clips synthesized per id (closed-form integer "
+    "waveform), parsed back by the pure-NumPy WAV chunk walker "
+    "inside Arrow mapInPandas; the oracle recomputes byte layout, "
+    "duration and every sample statistic (sum_abs/peak/zero "
+    "crossings) analytically from the id, so encode→decode→stats "
+    "is hash-checked end to end",
+    oracle="""
+WITH params AS (
+    SELECT doc_id AS media_id,
+           256 + 64 * (doc_id % 7) AS n,
+           8000 * (1 + doc_id % 3) AS rate
+    FROM documents
+),
+samp AS (
+    SELECT media_id, n, rate, g.k AS k,
+           ((media_id * 7919 + g.k * 773) % 4001) - 2000 AS s
+    FROM params, generate_series(0, 699) g(k)
+    WHERE g.k < n
+),
+sgn AS (
+    SELECT media_id, n, rate, s,
+           lag(s) OVER (PARTITION BY media_id ORDER BY k) AS prev
+    FROM samp
+)
+SELECT media_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       '52494646' AS header_hex,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(s)) AS INTEGER) AS peak,
+       CAST(count(*) FILTER (WHERE prev IS NOT NULL AND (prev < 0) != (s < 0))
+            AS BIGINT) AS n_zero_cross
+FROM sgn GROUP BY media_id, n, rate
+""",
+)
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analogue of multimodal_real_decode: WAV blobs are
+    synthesized per doc_id (operators/multimodal.synthetic_audio —
+    pure integer waveform, closed-form length/rate), then the real
+    RIFF chunk walker decodes them back and every output column is
+    independently derivable from the id, which is what the oracle
+    does — verifying the 44-byte PCM16 header layout (n_bytes), the
+    RIFF magic (header_hex) and sample-exact decode (sum_abs, peak,
+    zero crossings, integer-exact duration_ms)."""
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        synthetic_audio,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    media = synthetic_audio(d.select(F.col("doc_id").alias("media_id")))
+    return audio_features(media)
+
+
+@register(
+    "vocab_top_ngrams",
+    "EXT-text — corpus vocabulary heavy hitters: top-50 unigrams and "
+    "top-50 bigrams by occurrence count (ties broken by gram text) "
+    "with document frequencies — the corpus-statistics pass behind "
+    "tokenizer/vocab construction; one explode into a map-side "
+    "partial (gram → count, n_docs) aggregate, global top-k as "
+    "TakeOrderedAndProject (per-partition heaps, never a full sort), "
+    "rank window over the 50 survivors only",
+    oracle="""
+WITH w AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ') AS w
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, w[g.i] AS gram
+    FROM w, generate_series(1, 4000) g(i) WHERE g.i <= len(w)
+),
+bi AS (
+    SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS gram
+    FROM w, generate_series(1, 4000) g(i) WHERE g.i <= len(w) - 1
+),
+u AS (
+    SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS nd
+    FROM uni GROUP BY gram
+),
+b AS (
+    SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS nd
+    FROM bi GROUP BY gram
+),
+ur AS (
+    SELECT 1 AS gram_len,
+           row_number() OVER (ORDER BY n_occ DESC, gram) AS rank,
+           gram, n_occ, nd
+    FROM u
+),
+br AS (
+    SELECT 2 AS gram_len,
+           row_number() OVER (ORDER BY n_occ DESC, gram) AS rank,
+           gram, n_occ, nd
+    FROM b
+)
+SELECT CAST(gram_len AS INTEGER) AS gram_len, CAST(rank AS BIGINT) AS rank,
+       gram, CAST(n_occ AS BIGINT) AS n_occurrences, CAST(nd AS BIGINT) AS n_docs
+FROM (SELECT * FROM ur WHERE rank <= 50 UNION ALL
+      SELECT * FROM br WHERE rank <= 50)
+""",
+)
+def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import top_ngrams
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    return top_ngrams(d, "text", "doc_id", n=1, k=50).unionByName(
+        top_ngrams(d, "text", "doc_id", n=2, k=50)
+    )

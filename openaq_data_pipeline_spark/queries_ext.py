@@ -1675,11 +1675,13 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "text_fingerprints",
     "EXT-text — winnowing-style document fingerprints: the 4 smallest "
     "3-gram shingle MD5s per document, exploded to (doc, fingerprint, "
-    "rank) rows (operators/text.shingle_fingerprints)",
+    "rank) rows (operators/text.shingle_fingerprints); rotated r5 "
+    "after 4 green driver rounds — the shingle-MD5 family stays "
+    "driver-verified via the dedup queries and vocab_top_ngrams",
     oracle="""
 WITH words AS (
     SELECT doc_id,
@@ -1951,12 +1953,13 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "rollup_revenue",
     "EXT-olap — ROLLUP hierarchy totals (nation → year → grand "
     "total) with grouping_id disambiguation; one pass computes all "
     "three levels (absent from the reference surface — engine "
-    "capability extension)",
+    "capability extension); rotated r5 after 4 green driver rounds "
+    "(Expand-based grouping stays pytest-parity-checked)",
     oracle="""
 WITH j AS (
     SELECT n_name AS nation,
@@ -2005,7 +2008,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "percentile_order_value",
     "EXT-olap — exact p25/median/p75 order value per priority class "
     "(absent from the reference; sort-based exact percentile). "
@@ -2047,7 +2050,7 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "customer_year_setops",
     "EXT-setops — INTERSECT / EXCEPT over per-year customer key sets "
     "(absent from the reference, SURVEY §2.7): repeat buyers of "
@@ -2081,7 +2084,7 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeat.unionByName(churned)
 
 
-@register(
+@register_rotated(
     "rolling_user_spend",
     "EXT-window — frame-spec rolling aggregate (ROWS BETWEEN 9 "
     "PRECEDING AND CURRENT ROW): trailing-10-event spend sum and "

@@ -13,11 +13,13 @@ import re
 
 import pytest
 
-from openaq_data_pipeline_spark.catalog import registry
+from openaq_data_pipeline_spark.catalog import registry, rotated_registry
 
 SF_DIR = "/root/testdata/sf0.001"
 
-REG = {q.name: q for q in registry()}
+# plan gates cover rotated queries too: rotation drops the driver
+# oracle slot, never the physical-plan contract
+REG = {q.name: q for q in [*registry(), *rotated_registry()]}
 
 
 def final_plan(df) -> str:
@@ -345,3 +347,48 @@ def test_curation_plan_shapes(spark):
         assert "Exchange" not in plan, f"{name} acquired a shuffle"
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         assert schemas and all("n_chars" not in s for s in schemas), schemas
+
+
+def test_mixture_sample_broadcasts_thresholds(spark):
+    """domain_mixture_sample: the threshold table is a tiny per-stratum
+    aggregate — it must reach the corpus via a broadcast hash join,
+    never a sort-merge shuffle of the big side."""
+    plan = final_plan(REG["domain_mixture_sample"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_embeddings_has_no_reassembly_shuffle(spark):
+    """embedding_quantization: pass 2 must be a per-row transform fed
+    by a broadcast single-row grid (BroadcastNestedLoopJoin), NOT a
+    posexplode + groupBy(vec_id) reassembly — the corpus side may
+    shuffle only inside the tiny per-dim stats aggregate."""
+    plan = final_plan(REG["embedding_quantization"].build(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one scan feeds the per-dim stats; the quantize pass scans
+    # the table once more — never a third time
+    assert len(re.findall(r"Scan parquet[^\n]*embeddings", plan)) <= 2
+
+
+def test_boilerplate_heavy_lines_broadcast(spark):
+    """boilerplate_line_removal: the heavy-line set (df >= min_df) is
+    tiny by construction and must broadcast onto the exploded lines."""
+    plan = final_plan(REG["boilerplate_line_removal"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_topk_never_full_sorts(spark):
+    """vocab_top_ngrams: global top-k must run as
+    TakeOrderedAndProject (per-partition heaps), not a full Sort of
+    the vocabulary."""
+    plan = final_plan(REG["vocab_top_ngrams"].build(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_audio_features_is_arrow_batched(spark):
+    """audio_decode_features: both synth and decode must run as Arrow
+    mapInPandas stages (never row-at-a-time Python UDFs)."""
+    plan = final_plan(REG["audio_decode_features"].build(spark, SF_DIR))
+    assert len(re.findall(r"MapInPandas", plan)) >= 2
+    assert "BatchEvalPython" not in plan
