@@ -131,7 +131,11 @@ def build_index(
     pipeline at the index's threshold/guard), then persist the
     survivors' posting/size index. Returns the survivor table
     (id, cluster_size)."""
-    sh_set = shingles(corpus, text_col, id_col, n=index.n, distinct=True)
+    # two consumers (pair generation + index write) — materialize the
+    # shingle pipeline once, as everywhere else in the dedup family
+    sh_set = shingles(
+        corpus, text_col, id_col, n=index.n, distinct=True
+    ).localCheckpoint(eager=False)
     pairs = jaccard_pairs(
         sh_set, id_col, min_jaccard=index.min_jaccard, max_doc_freq=index.max_doc_freq
     )
@@ -156,7 +160,11 @@ def _old_posting_lists(spark, index: DedupIndex) -> DataFrame:
 
 
 def incremental_candidate_pairs(
-    new_batch: DataFrame, text_col: str, id_col: str, index: DedupIndex
+    new_batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    index: DedupIndex,
+    new_sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, b_old) — the thresholded pair stage of
     :func:`incremental_dedup`, exposed so its plan is independently
@@ -165,7 +173,15 @@ def incremental_candidate_pairs(
     tests/test_incremental_dedup.py). ``b_old`` marks cross pairs
     (id_b a history survivor); in-batch pairs carry id_a < id_b."""
     spark = new_batch.sparkSession
-    new_sh = shingles(new_batch, text_col, id_col, n=index.n, distinct=True)
+    # the batch shingle table feeds two consumers here (posting lists
+    # + full sizes) and a third in incremental_dedup's index append;
+    # its lambda-bearing build plan never canonicalizes equal, so
+    # materialize once (same move as dedup.jaccard_pairs) unless the
+    # caller already did
+    if new_sh is None:
+        new_sh = shingles(
+            new_batch, text_col, id_col, n=index.n, distinct=True
+        ).localCheckpoint(eager=False)
     new_lists = new_sh.groupBy("shingle").agg(
         F.array_sort(F.collect_set(F.col(id_col))).alias("new_ids")
     )
@@ -264,9 +280,11 @@ def incremental_dedup(
     checkpoint-backed so the caller does not recompute the plan)."""
     spark = new_batch.sparkSession
     id_type = new_batch.schema[id_col].dataType
-    new_sh = shingles(new_batch, text_col, id_col, n=index.n, distinct=True)
+    new_sh = shingles(
+        new_batch, text_col, id_col, n=index.n, distinct=True
+    ).localCheckpoint(eager=False)
     pairs = incremental_candidate_pairs(
-        new_batch, text_col, id_col, index
+        new_batch, text_col, id_col, index, new_sh=new_sh
     ).localCheckpoint(eager=False)
 
     comp = connected_components(pairs, id_a="id_a", id_b="id_b")

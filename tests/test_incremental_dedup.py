@@ -127,14 +127,32 @@ class TestIncrementalDedup:
             spark.read.parquet(batch_path), "text", "doc_id", idx
         )
         # inputFiles() enumerates every source the plan will read —
-        # immune to the plan-string path truncation
+        # immune to the plan-string path truncation. The default path
+        # checkpoints the batch shingle table (one materialization for
+        # its three consumers), which severs the batch parquet scan
+        # from THIS plan — so probe the batch-scan claim on an
+        # explicitly-passed raw shingle table, where the full lineage
+        # stays in one plan.
         files = pairs.inputFiles()
-        assert any(batch_path in f for f in files), "batch scan missing"
         assert idx.location is not None
         assert any(idx.location in f for f in files), "index scan missing"
         assert not any(hist_path in f for f in files), (
             "batch-2 plan re-reads history text"
         )
+        from openaq_data_pipeline_spark.operators.dedup import shingles
+
+        raw = incremental_candidate_pairs(
+            spark.read.parquet(batch_path),
+            "text",
+            "doc_id",
+            idx,
+            new_sh=shingles(
+                spark.read.parquet(batch_path), "text", "doc_id", n=idx.n
+            ),
+        )
+        raw_files = raw.inputFiles()
+        assert any(batch_path in f for f in raw_files), "batch scan missing"
+        assert not any(hist_path in f for f in raw_files)
         # and the pair results are identical to the disposition inputs
         got = sorted(
             (r.id_a, r.id_b, r.b_old) for r in pairs.collect()
