@@ -528,11 +528,55 @@ def simhash_dropped_buckets(
     )
 
 
+CC_EDGES_PER_PARTITION = 200_000
+
+
+def _uf_local_labels(batches):
+    """Union-find over the edges of ONE partition (mapInPandas body):
+    yields (node, comp) with comp = the MIN member id of the node's
+    partition-local component. Union-by-min (the smaller root always
+    becomes the parent) keeps every root the minimum of its class by
+    induction, so no second min-scan is needed; path compression in
+    ``find`` keeps the walk amortized near-constant. Memory is
+    O(nodes in partition) — bounded by 2× the edges-per-partition
+    budget the caller sized the coalesce with. The per-edge Python
+    loop is batch-level work inside an Arrow-fed iterator (union-find
+    has no vectorized form), not a per-row UDF in a Catalyst plan."""
+    import pandas as pd
+
+    parent_map: dict = {}
+
+    def find(x):
+        root = x
+        while parent_map[root] != root:
+            root = parent_map[root]
+        while parent_map[x] != root:
+            parent_map[x], x = root, parent_map[x]
+        return root
+
+    for pdf in batches:
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            if a not in parent_map:
+                parent_map[a] = a
+            if b not in parent_map:
+                parent_map[b] = b
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent_map[rb] = ra
+    if parent_map:
+        nodes = list(parent_map)
+        yield pd.DataFrame({"node": nodes, "comp": [find(x) for x in nodes]})
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    local_contraction: bool = True,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``pairs``,
     where component_id = the minimum node id reachable through the
@@ -541,45 +585,51 @@ def connected_components(
     duplicate CLUSTERS, so a curation pipeline can keep exactly one
     doc per component.
 
-    Algorithm: iterative min-label propagation — each hop every node
-    takes the min of its own label and its neighbors' labels.
-    Converges in O(graph diameter) hops; near-dup graphs are
-    star/chain shaped with tiny diameters (the alternating
-    large-star/small-star contraction from the CC-in-MapReduce
-    literature drops in here if ever faced with adversarial
-    long-chain topologies — same join shapes, fewer rounds).
+    Algorithm — two phases, the standard local-contraction hybrid of
+    the CC-in-MapReduce literature (partition-local union-find, then
+    label merge across partitions):
 
-    Scale notes: the edge list is symmetrized once and
-    localCheckpoint-ed (reused by every round — lambda-free but
-    iterative lineage would otherwise grow each round and replan
-    from scratch); each hop is one shuffle joining labels onto edges
-    and one union-aggregate shuffle on the node id. At
-    sf0.1 the per-round fixed cost (plan compilation, job
-    scheduling, checkpoint) dominates the graph-sized shuffles, so
-    each ROUND batches TWO hops and runs exactly ONE action: the
-    convergence count doubles as the lazy checkpoint's
-    materializing job. Checking only the second hop's change flag is
-    sufficient — if hop 2 changed nothing the labels are a fixpoint
-    of the propagation operator regardless of hop 1. The driver
-    loop carries no data — only the converged? flag per round
-    (bounded by ``max_iters`` hops, raises if exceeded).
+    1. **Local contraction.** The symmetrized edge list is coalesced
+       to ⌈edges / 200k⌉ graph-sized partitions and each partition
+       runs an in-memory union-find (Arrow ``mapInPandas``, memory
+       O(partition)); every node gets the min id of its
+       partition-LOCAL component. A graph that fits ONE partition —
+       the overwhelmingly common case for near-dup clusters, and
+       everything below ~200k edges — is thereby EXACT in a single
+       task: no iteration, no conf tuning, no cloned session, ~2
+       jobs total (the edge count + the label checkpoint).
+    2. **Iterative merge** (only when the graph spans partitions).
+       Min-label propagation seeded with the LOCAL labels: each hop
+       every node takes the min of its own label and its neighbors'.
+       Seeding with local roots is safe — every initial label is a
+       node id inside the same component, and the component's global
+       min m labels itself m (its local sub-component cannot contain
+       anything smaller) — and collapses convergence from
+       O(diameter) to O(diameter of the CONTRACTED graph), the
+       whole point of phase 1. Each ROUND batches TWO hops and runs
+       exactly ONE action: the convergence count doubles as the lazy
+       checkpoint's materializing job; checking only hop 2's change
+       flag suffices (a no-change hop 2 proves a fixpoint). Bounded
+       by ``max_iters`` hops, raises if exceeded.
 
-    The shuffle-width downsizing runs on a CLONED session (shared
-    SparkContext, isolated SQLConf — the streaming drain's pattern),
-    so a query planning concurrently on the caller's session never
-    observes a narrowed ``spark.sql.shuffle.partitions``. The input
-    crosses into the clone via a uniquely-named global temp view (a
-    logical-plan handle — no materialization); the returned labels
-    are checkpoint-backed, so downstream joins on the caller's
-    session read materialized blocks, not a plan owned by the clone.
+    The merge phase's shuffle-width downsizing (graph-sized rounds,
+    not session-sized) runs on a CLONED session (shared SparkContext,
+    isolated SQLConf — the streaming drain's pattern), so a query
+    planning concurrently on the caller's session never observes a
+    narrowed ``spark.sql.shuffle.partitions``. Edges and seed labels
+    cross into the clone as materialized checkpoint blocks via
+    uniquely-named global temp views; the returned labels are
+    checkpoint-backed either way.
+
+    ``local_contraction=False`` forces the pure iterative path
+    (node→node seed labels at phase-2 widths) — the escape hatch if
+    an id type ever mis-compares between Python and Catalyst
+    ordering (e.g. non-ASCII strings), and the knob tests use to
+    exercise the merge loop deterministically.
     """
     import uuid
 
     parent = pairs.sparkSession
-    spark = parent.newSession()
-    view = f"cc_pairs_{uuid.uuid4().hex}"
-    pairs.createOrReplaceGlobalTempView(view)
-    pairs = spark.table(f"global_temp.{view}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -588,13 +638,45 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # size each round's shuffles to the graph, not the session: a
-    # few-thousand-edge near-dup graph re-planned at the session's
-    # shuffle width pays rounds × partitions near-empty-task
-    # scheduling (the dominant cost of small iterative jobs); a
-    # billion-edge graph keeps full width. The count doubles as the
-    # lazy checkpoint's materializing action — one job, not two.
+    # the count doubles as the lazy checkpoint's materializing action
+    # — one job, not two — and sizes phase 1's partitions + phase 2's
+    # rounds to the graph, not the session
     n_edges = edges.count()
+    n_parts = max(1, (n_edges + CC_EDGES_PER_PARTITION - 1) // CC_EDGES_PER_PARTITION)
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema["src"].dataType
+    uf_schema = StructType(
+        [StructField("node", id_type), StructField("comp", id_type)]
+    )
+    if local_contraction:
+        local = edges.coalesce(n_parts).mapInPandas(_uf_local_labels, uf_schema)
+        if n_parts == 1:
+            # one graph-sized partition → the local pass IS the exact
+            # global answer; materialize and return on the caller's
+            # session untouched
+            return local.select(
+                "node", F.col("comp").alias("component_id")
+            ).localCheckpoint(eager=True)
+        # a node seen by several partitions gets the min of its local
+        # roots — still a same-component node id, so a valid seed
+        seed = local.groupBy("node").agg(F.min("comp").alias("comp"))
+    else:
+        seed = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+        )
+    seed = seed.localCheckpoint(eager=True)
+
+    # ---- phase 2: iterative merge on a cloned, graph-width session
+    spark = parent.newSession()
+    edges_view = f"cc_edges_{uuid.uuid4().hex}"
+    seed_view = f"cc_seed_{uuid.uuid4().hex}"
+    edges.createOrReplaceGlobalTempView(edges_view)
+    seed.createOrReplaceGlobalTempView(seed_view)
+    edges = spark.table(f"global_temp.{edges_view}")
     conf_key = "spark.sql.shuffle.partitions"
     try:
         # clamp to the caller's width; a platform may pin the conf to
@@ -603,7 +685,7 @@ def connected_components(
         sess_parts = int(parent.conf.get(conf_key))
     except (TypeError, ValueError):
         sess_parts = None
-    round_parts = (n_edges + 199_999) // 200_000
+    round_parts = n_parts
     if sess_parts is not None:
         round_parts = max(1, min(sess_parts, round_parts))
         spark.conf.set(conf_key, str(round_parts))
@@ -631,12 +713,7 @@ def connected_components(
         )
 
     try:
-        labels = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("comp", F.col("node"))
-            .localCheckpoint(eager=True)
-        )
+        labels = spark.table(f"global_temp.{seed_view}")
         for _ in range((max_iters + 1) // 2):
             # two hops per round; hop 1's intermediate exchanges are
             # shared by hop 2's two consumers via ReuseExchange
@@ -650,7 +727,8 @@ def connected_components(
             if changed == 0:
                 return labels.select("node", F.col("comp").alias("component_id"))
     finally:
-        parent.catalog.dropGlobalTempView(view)
+        parent.catalog.dropGlobalTempView(edges_view)
+        parent.catalog.dropGlobalTempView(seed_view)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "pathological chain topology; switch to large-star/small-star"

@@ -371,8 +371,11 @@ class TestConnectedComponents:
             keep_best_per_cluster(partial, comp).collect()
 
     def test_long_chain_exceeding_iters_raises(self, spark):
-        """A 40-link chain cannot converge in 3 rounds — the operator
-        must fail loudly, not return partial labels."""
+        """A 40-link chain cannot converge in 3 propagation rounds —
+        the merge loop must fail loudly, not return partial labels.
+        ``local_contraction=False`` forces the pure iterative path
+        (the default's partition-local union-find would solve the
+        whole chain exactly in one task and never iterate)."""
         import pytest as _pytest
 
         from openaq_data_pipeline_spark.operators.dedup import connected_components
@@ -381,10 +384,58 @@ class TestConnectedComponents:
             [(i, i + 1) for i in range(40)], "id_a long, id_b long"
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, max_iters=3)
+            connected_components(pairs, max_iters=3, local_contraction=False)
         # and converges with enough rounds (label spreads ≥1 hop/round)
-        out = connected_components(pairs, max_iters=41)
+        out = connected_components(pairs, max_iters=41, local_contraction=False)
         assert {r.component_id for r in out.collect()} == {0}
+        # the default local-contraction path solves the same chain
+        # exactly with NO propagation rounds at all
+        fast = connected_components(pairs, max_iters=1)
+        assert {r.component_id for r in fast.collect()} == {0}
+
+    def test_local_contraction_fast_path_stays_on_callers_session(self, spark):
+        """A graph below the edges-per-partition budget is solved by
+        the single-task union-find: the returned labels live on the
+        CALLER's session (no clone, no conf mutation) and still match
+        the iterative path exactly."""
+        from openaq_data_pipeline_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (13, 10), (20, 21)],
+            "id_a long, id_b long",
+        )
+        key = "spark.sql.shuffle.partitions"
+        orig = spark.conf.get(key)
+        fast = connected_components(pairs)
+        assert fast.sparkSession is spark
+        assert spark.conf.get(key) == orig
+        slow = connected_components(pairs, local_contraction=False)
+        assert {(r.node, r.component_id) for r in fast.collect()} == {
+            (r.node, r.component_id) for r in slow.collect()
+        }
+
+    def test_iterative_merge_seeded_by_local_contraction(self, spark):
+        """Force the multi-partition merge path (edges-per-partition
+        budget shrunk so the chain CROSSES partition boundaries):
+        union-find seeds + min-label merge must still produce exact
+        min-id labels."""
+        import openaq_data_pipeline_spark.operators.dedup as dd
+
+        old = dd.CC_EDGES_PER_PARTITION
+        dd.CC_EDGES_PER_PARTITION = 4
+        try:
+            pairs = spark.createDataFrame(
+                [(i, i + 1) for i in range(30)] + [(100, 101)],
+                "id_a long, id_b long",
+            )
+            out = {
+                (r.node, r.component_id)
+                for r in dd.connected_components(pairs).collect()
+            }
+            expect = {(i, 0) for i in range(31)} | {(100, 100), (101, 100)}
+            assert out == expect
+        finally:
+            dd.CC_EDGES_PER_PARTITION = old
 
 
 class TestSimilarity:

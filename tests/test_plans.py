@@ -280,7 +280,11 @@ def test_connected_components_scopes_width_to_cloned_session(spark, monkeypatch)
     observes its shuffle width unchanged. Mid-CC observation points:
     every DataFrame.count() CC issues (the edge count plus one per
     propagation round) snapshots the caller's conf; all must read the
-    original value, while the clone CC actually runs on did narrow."""
+    original value, while the clone CC actually runs on did narrow.
+    ``local_contraction=False`` forces the merge loop — the default
+    fast path solves a 3-edge graph in one task on the caller's own
+    session and never tunes any width (covered by
+    test_local_contraction_fast_path_stays_on_callers_session)."""
     from openaq_data_pipeline_spark.operators.dedup import connected_components
 
     key = "spark.sql.shuffle.partitions"
@@ -299,7 +303,7 @@ def test_connected_components_scopes_width_to_cloned_session(spark, monkeypatch)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, local_contraction=False)
     out = {(r.node, r.component_id) for r in comp.collect()}
     assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert len(seen) >= 2, "expected mid-CC conf observations"
