@@ -630,12 +630,16 @@ def connected_components(
     import uuid
 
     parent = pairs.sparkSession
+    # symmetrize WITHOUT distinct: union-find and min-label
+    # propagation are idempotent to duplicate edges (pair generators
+    # emit id_a < id_b pairs already distinct), and the narrow union
+    # checkpoints with zero shuffle stages — a distinct here cost a
+    # full edge shuffle purely for hygiene
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .distinct()
         .localCheckpoint(eager=False)
     )
     # the count doubles as the lazy checkpoint's materializing action

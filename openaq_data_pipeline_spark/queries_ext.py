@@ -974,18 +974,34 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = d.filter((F.col("doc_id") % 2 == 0) & (F.size(w) >= 3)).select(
         "doc_id", "text"
     )
-    fresh = d.filter((F.col("doc_id") % 2 == 1) & (F.size(w) >= 3)).select(
-        "doc_id", "text"
+    # batch 2 in ONE scan: each doc emits its applicable variants as
+    # struct array entries (fresh odd doc / truncated copies), nulls
+    # filtered out before the explode — a 3-branch union re-read and
+    # re-shingled the documents table three times
+    trunc = F.concat_ws(" ", F.slice(w, 1, F.size(w) - 5))
+    doc_id = F.col("doc_id")
+    variants = F.array(
+        F.when(
+            (doc_id % 2 == 1) & (F.size(w) >= 3),
+            F.struct(doc_id.alias("doc_id"), F.col("text").alias("text")),
+        ),
+        F.when(
+            (doc_id % 4 == 0) & (F.size(w) >= 8),
+            F.struct((doc_id + 100000).alias("doc_id"), trunc.alias("text")),
+        ),
+        F.when(
+            (doc_id % 4 == 1) & (F.size(w) >= 8),
+            F.struct((doc_id + 200000).alias("doc_id"), trunc.alias("text")),
+        ),
     )
-    trunc = F.concat_ws(" ", F.slice(w, 1, F.size(w) - 5)).alias("text")
-    t1 = d.filter((F.col("doc_id") % 4 == 0) & (F.size(w) >= 8)).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), trunc
-    )
-    t2 = d.filter((F.col("doc_id") % 4 == 1) & (F.size(w) >= 8)).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), trunc
-    )
-    b2 = fresh.unionByName(t1).unionByName(t2)
-    idx = temp_index()
+    b2 = d.select(
+        F.explode(F.filter(variants, lambda v: v.isNotNull())).alias("v")
+    ).select("v.doc_id", "v.text")
+    # 8 buckets: the bucket count is a deployment parameter (per-SF
+    # data sizing — thousands at 100 TB); at bench SFs fewer, fuller
+    # buckets cut write/scan task overhead without changing any plan
+    # property (bucket-locality is count-independent)
+    idx = temp_index(n_buckets=8)
     build_index(b1, "text", "doc_id", idx)
     return incremental_dedup(b2, "text", "doc_id", idx, update_index=False)
 

@@ -34,6 +34,8 @@ def save_bucketed(
     ``path`` makes it an EXTERNAL bucketed table at that location
     (for callers that must control where the files live, e.g. a
     tempdir-scoped dedup index)."""
+    import uuid
+
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
     # co-partition the write with the bucket spec: without this every
     # input task writes a file per bucket it touches (partitions ×
@@ -42,12 +44,36 @@ def save_bucketed(
     # repartition and bucketBy hash with Murmur3 pmod n, so each task
     # lands exactly one bucket and writes exactly one file per batch
     df = df.repartition(n_buckets, *keys)
-    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
-    if sort:
-        writer = writer.sortBy(*keys)
-    if path is not None:
-        writer = writer.option("path", path)
-    writer.saveAsTable(table)
+    # run the write on a cloned session with AQE off (isolated
+    # SQLConf, shared SparkContext — the repo's scoping pattern): the
+    # output partitioning is FIXED by the bucket spec, so AQE has
+    # nothing to adapt here and only turns the repartition exchange
+    # into a separately-scheduled query-stage job ahead of the write
+    # job; without it the exchange pipelines into the write as one job
+    parent = df.sparkSession
+    view = f"bucketed_write_{uuid.uuid4().hex}"
+    df.createOrReplaceGlobalTempView(view)
+    try:
+        clone = parent.newSession()
+        clone.conf.set("spark.sql.adaptive.enabled", "false")
+        writer = (
+            clone.table(f"global_temp.{view}")
+            .write.mode(mode)
+            .format("parquet")
+            .bucketBy(n_buckets, *keys)
+        )
+        if sort:
+            writer = writer.sortBy(*keys)
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table)
+        # the write went through the clone's session catalog; the
+        # caller's session may hold a cached relation (file listing)
+        # for this table from a previous read — refresh it there so
+        # appended batches are visible immediately
+        parent.catalog.refreshTable(table)
+    finally:
+        parent.catalog.dropGlobalTempView(view)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
