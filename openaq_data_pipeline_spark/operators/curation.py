@@ -390,3 +390,56 @@ def pii_scan(
         F.md5(redacted).alias("redacted_fp"),
         ((n_emails == 0) & (n_phones == 0)).alias("is_clean"),
     )
+
+
+def shard_assignments(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """(id, shard_id, shard_pos) — deterministic global shuffle +
+    fixed-shard-count assignment, the last step before a training-data
+    export: shard_id = int(first 8 MD5 hex chars of the id) mod
+    n_shards, shard_pos = the row's rank within its shard under
+    (MD5, id) order. The MD5 order IS the shuffle — seed-free,
+    reproducible run-to-run and engine-to-engine (training jobs that
+    resume mid-epoch depend on exactly this property), and
+    independent of input partitioning.
+
+    Scale: one exchange on shard_id plus a per-shard sort — the same
+    physical work a sharded writer does anyway (repartition +
+    sortWithinPartitions), so positions come at no extra cost over
+    the export itself. Skew-free by construction (MD5 uniform)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = F.md5(F.col(id_col).cast("string"))
+    out = df.select(
+        F.col(id_col),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
+            "shard_id"
+        ),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("__h"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        F.col("shard_id"),
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )
+
+
+def write_shards(
+    df: DataFrame, path: str, id_col: str, n_shards: int, format: str = "json"
+) -> None:
+    """Materialize :func:`shard_assignments` as a sharded export:
+    one directory per shard_id (``shard_id=N/``), rows within a
+    shard laid down in shard_pos order. repartition(shard_id) +
+    sortWithinPartitions is the exchange-minimal physical plan for
+    'every shard in one place, deterministically ordered'."""
+    assigned = shard_assignments(df.select(id_col), id_col, n_shards).join(
+        df, id_col
+    )
+    (
+        assigned.repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(format)
+        .save(path)
+    )

@@ -1,0 +1,161 @@
+"""N-gram language-model quality scoring for training-data curation.
+
+The CCNet/Gopher pipelines gate documents on a language-model score:
+train a small LM on trusted text, score candidate documents, and
+drop (or bucket) the tail. This module is that operator re-expressed
+Spark-first: a bigram model with add-one smoothing whose training is
+two hash aggregates over the exploded bigram stream and whose scoring
+is two keyed joins plus one partial-aggregable groupBy — every stage
+shuffles on a key and map-side combines, so the plan is the same at
+5k documents and 100 TB (the count tables are vocab-bounded, far
+smaller than the corpus).
+
+Extends the reference's surface (its quality gates are schema tests —
+``openaq_transform/models/staging/schema.yml`` uniqueness/not-null;
+BASELINE.json names LLM-pipeline operators as the north star).
+
+Determinism contract: cross-engine (Spark vs DuckDB) bit-equality of
+a MEAN of floating products is not achievable — summation order
+differs. Scores are therefore computed in fixed-point: each bigram's
+smoothed probability is rounded half-up at ``PROB_SCALE`` decimals by
+exact integer math and summed as a BIGINT (order-free), and the mean
+is one exact integer ratio. A production pipeline that prefers
+log-likelihoods can take ``F.log`` of the same smoothed ratio — the
+fixed-point contract exists so the driver oracle can prove the
+pipeline, not because probabilities are the better score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.text import normalize, tokens
+
+# fixed-point decimals for per-bigram probabilities. 6 (not more)
+# keeps every intermediate of the final exact ratio below 2^53:
+# Spark's `/` on BIGINTs converts through doubles, so the ratio
+# machinery is exact only while its 2k-scaled numerator is an exactly
+# representable double — Σp_int ≤ n·10^6 with the default out_scale=4
+# stays exact for documents up to ~4.5·10^5 bigrams, far past any
+# real document (and a property a scale of 8 loses at just ~45).
+PROB_SCALE = 6
+
+
+def bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram OCCURRENCE of the
+    normalized whitespace tokenization (same token contract as
+    `operators/dedup.shingles`). Documents with < 2 tokens emit
+    nothing. The token array is projected before the lambda
+    (Catalyst does not CSE inside HOF lambdas)."""
+    w = F.col("__w")
+    return (
+        df.select(F.col(id_col), tokens(normalize(F.col(text_col))).alias("__w"))
+        .where(F.size(w) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, (i + 1)).alias("w2"),
+                    ),
+                )
+            ).alias("__b"),
+        )
+        .select(F.col(id_col), F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(
+    train: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train on a trusted corpus slice → (bigram_counts, context_counts,
+    vocab_size):
+
+    - ``bigram_counts``  (w1, w2, c12) — count of each bigram,
+    - ``context_counts`` (w1, c1) — count of each context word
+      (= Σ_w2 c12, aggregated directly from the stream),
+    - ``vocab_size`` V — distinct successor words, the add-one
+      smoothing denominator term.
+
+    The bigram stream feeds three consumers; its lambda-bearing build
+    plan never canonicalizes equal, so it is materialized once (lazy
+    localCheckpoint — the same move as `dedup._pair_counts`). V is a
+    single scalar aggregate brought to the driver — bounded output,
+    like the IVF centroid collect (`similarity.py`)."""
+    stream = bigram_stream(train, text_col, id_col).localCheckpoint(eager=False)
+    bigram_counts = stream.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    context_counts = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = int(
+        stream.agg(F.countDistinct("w2").alias("v")).first()["v"]
+    )
+    return bigram_counts, context_counts, vocab_size
+
+
+def _prob_scaled_long(num: Column, den: Column, scale: int) -> Column:
+    """round-half-up(num/den, scale) × 10^scale as a BIGINT — the
+    summable fixed-point form of `catalog.exact_ratio_spark` (which
+    divides back to double; a sum of those doubles would reintroduce
+    binary-fraction error). num, den non-negative, den > 0. Exact
+    while num·2·10^scale < 2^53 (Spark divides longs through
+    doubles) — at scale 6 that is bigram counts below ~4.5·10^9;
+    a corpus past that swaps the longs for DECIMAL(38,0)."""
+    k = 10**scale
+    n = num.cast("long")
+    d = den.cast("long")
+    t = n * (2 * k) + d
+    return ((t - (t % (2 * d))) / (2 * d)).cast("long")
+
+
+def score_bigram_lm(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab_size: int,
+    out_scale: int = 4,
+) -> DataFrame:
+    """(id, n_bigrams, avg_prob) — the mean add-one-smoothed bigram
+    probability of each document under the trained model:
+
+        P(w2|w1) = (c12 + 1) / (c1 + V)
+
+    (unseen bigram → 1/(c1+V); unseen context → 1/V). Scoring plan:
+    explode the doc bigram stream, LEFT join the two count tables on
+    their keys (vocab-bounded builds — AQE broadcasts them when they
+    fit, hash-join otherwise), fixed-point probability per occurrence,
+    then ONE partial-aggregable groupBy(id). Documents with < 2
+    tokens produce no row.
+
+    Exactness bound: per-occurrence ≤ 10^PROB_SCALE, so the final
+    ratio's 2k-scaled numerator stays an exactly-representable double
+    (< 2^53) for documents up to ~4.5·10^5 bigrams — document length,
+    not corpus size (see PROB_SCALE)."""
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+
+    k = 10**PROB_SCALE
+    stream = bigram_stream(docs, text_col, id_col)
+    joined = stream.join(bigram_counts, ["w1", "w2"], "left").join(
+        context_counts, ["w1"], "left"
+    )
+    p_int = _prob_scaled_long(
+        F.coalesce(F.col("c12"), F.lit(0)) + 1,
+        F.coalesce(F.col("c1"), F.lit(0)) + vocab_size,
+        PROB_SCALE,
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(p_int).alias("__sum_p"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        exact_ratio_spark(
+            F.col("__sum_p"), F.col("n_bigrams") * k, out_scale=out_scale
+        ).alias("avg_prob"),
+    )

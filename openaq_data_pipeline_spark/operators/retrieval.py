@@ -1,0 +1,148 @@
+"""BM25 sparse retrieval over an inverted index — the lexical
+companion to the dense ANN tier (`operators/similarity.py`): a
+training-data pipeline retrieves with BOTH (near-dup audit, eval-set
+decontamination by retrieval, hard-negative mining), so the engine
+ships both.
+
+Extends the reference's surface (BASELINE.json north star); the
+reference's own query layer has no retrieval operator.
+
+Plan shape (everything keyed, everything partial-aggregable):
+
+- corpus side: one tokenization pass materialized once feeds the
+  term-frequency table (doc_id, term, tf), the document-frequency
+  table (term, df) derived FROM tf, and the corpus stats scalar
+  (N docs, S total tokens) — the inverted index family.
+- query side: distinct query terms BROADCAST into tf — the posting
+  scan prunes to query terms before anything heavy happens, so cost
+  scales with Σ df(query terms), never with the corpus.
+- one groupBy (query_id, doc_id) sums term scores; one k-bounded
+  rank window per query_id orders candidates.
+
+Determinism contract: BM25 with k1 = 6/5 and b = 3/4 is a RATIONAL
+function of integer corpus statistics:
+
+    idf(t)        = (N − df + ½) / (df + ½)        = (2N − 2df + 1) / (2df + 1)
+    tf_factor(t,d)= tf·(k1+1) / (tf + k1(1 − b + b·dl·N/S))
+                  = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
+
+so each term score is one exact integer ratio, fixed-pointed at
+``SCORE_SCALE`` decimals with DECIMAL(38,0) arithmetic (the operand
+products pass 2^63 long before they threaten 10^38) and summed as a
+BIGINT — order-free, bit-identical in any engine. Ties rank by
+doc_id. Scores ship as the scaled BIGINT (``score_fp``); callers
+wanting floats divide by 10^SCORE_SCALE themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.text import normalize, tokens
+
+SCORE_SCALE = 6  # fixed-point decimals for per-term BM25 scores
+
+
+def corpus_index(corpus: DataFrame, text_col: str, id_col: str) -> tuple[
+    DataFrame, DataFrame, DataFrame
+]:
+    """(tf, df, stats) — the inverted-index family:
+    ``tf`` (id, term, tf, dl), ``df`` (term, df),
+    ``stats`` (n_docs, s_tokens) as a 1-row DataFrame (joined
+    broadcast, never collected). Empty documents carry no terms and
+    still count toward N and S (dl = 0 ... they add nothing to S).
+    The tokenization pass feeds tf and stats; lambda-free plans CSE
+    poorly across aggregates too, so it is materialized once."""
+    toks = corpus.select(
+        F.col(id_col), tokens(normalize(F.col(text_col))).alias("__w")
+    ).localCheckpoint(eager=False)
+    dl_col = (
+        F.when(F.concat_ws("", F.col("__w")) == "", F.lit(0))
+        .otherwise(F.size(F.col("__w")))
+        .cast("long")
+        .alias("dl")
+    )
+    # dl rides through the tf aggregation as a grouping column — it
+    # is functionally dependent on the doc id, so the groups are
+    # unchanged and the corpus×corpus (tf ⋈ dl) join a separate
+    # length table would need (a sort-merge join at scale) never
+    # exists
+    tf = (
+        toks.select(F.col(id_col), dl_col, F.explode(F.col("__w")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.select(dl_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("s_tokens")
+    )
+    return tf, df_t, stats
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    q_text_col: str,
+    q_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score_fp) — top-``k`` BM25(k1=1.2,
+    b=0.75) documents per query, scores as 10^SCORE_SCALE-scaled
+    BIGINTs (module determinism contract). A doc ranks only if it
+    shares ≥1 term with the query; ties order by doc_id."""
+    from pyspark.sql import Window
+
+    tf, df_t, stats = corpus_index(corpus, text_col, id_col)
+    qterms = queries.select(
+        F.col(q_id_col),
+        F.explode(
+            F.array_distinct(tokens(normalize(F.col(q_text_col))))
+        ).alias("term"),
+    ).where(F.col("term") != "")
+
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    dec = "decimal(38,0)"
+    n = F.col("n_docs").cast(dec)
+    s = F.col("s_tokens").cast(dec)
+    tfc = F.col("tf").cast(dec)
+    dfc = F.col("df").cast(dec)
+    dlc = F.col("dl").cast(dec)
+    num = (2 * n - 2 * dfc + 1) * (22 * tfc * s)
+    den = (2 * dfc + 1) * (10 * tfc * s + 3 * s + 9 * dlc * n)
+    k10 = 10**SCORE_SCALE
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        num.alias("__n"),
+        den.alias("__d"),
+    ).withColumn(
+        # round-half-up(num/den · 10^SCORE_SCALE) in pure integer
+        # arithmetic: `div` is integral division (exact on DECIMAL,
+        # returns BIGINT) — never a float on the way
+        "__score",
+        F.expr(f"(__n * {2 * k10} + __d) div (2 * __d)"),
+    )
+    agg = scored.groupBy(q_id_col, id_col).agg(
+        F.sum("__score").alias("score_fp")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("score_fp").desc(), F.col(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(q_id_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.col(id_col),
+            F.col("score_fp"),
+        )
+    )

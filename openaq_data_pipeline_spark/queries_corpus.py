@@ -1,6 +1,7 @@
 """Round-5 corpus-pipeline queries: boilerplate line removal, domain
 mixture sampling, embedding quantization, audio decode, vocabulary
-heavy hitters — the next ring of operations a 100 TB training-data
+heavy hitters, bigram-LM quality scoring, BM25 sparse retrieval and
+deterministic training-shard export — the next ring of operations a 100 TB training-data
 pipeline runs beyond dedup/similarity/text/curation (BASELINE.json
 north star; no counterpart exists in the reference, whose surface
 stops at air-quality marts).
@@ -303,3 +304,178 @@ def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(d, "text", "doc_id", n=1, k=50).unionByName(
         top_ngrams(d, "text", "doc_id", n=2, k=50)
     )
+
+
+from openaq_data_pipeline_spark.catalog import exact_ratio_duck  # noqa: E402
+
+_LM_K = 10**6  # operators/lm.PROB_SCALE fixed-point multiplier
+
+
+@register(
+    "lm_bigram_score",
+    "EXT-lm — n-gram LM quality scoring (the CCNet/Gopher LM gate): "
+    "train an add-one-smoothed bigram model on the even-id half of "
+    "the corpus (two hash aggregates over one materialized bigram "
+    "stream, vocab-bounded count tables), score the odd-id half by "
+    "mean smoothed bigram probability (two keyed LEFT joins + one "
+    "partial-aggregable groupBy). Probabilities are fixed-point "
+    "BIGINTs so the mean is order-free and bit-identical across "
+    "engines (operators/lm.py determinism contract)",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+big AS (
+    SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+    FROM tok, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) - 1
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big WHERE doc_id % 2 = 0 GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM big WHERE doc_id % 2 = 0),
+scored AS (
+    SELECT b.doc_id,
+           ((CAST(coalesce(c12.c12, 0) + 1 AS BIGINT) * {2 * _LM_K}
+             + CAST(coalesce(c1.c1, 0) + v.v AS BIGINT))
+            // (2 * CAST(coalesce(c1.c1, 0) + v.v AS BIGINT))) AS p_int
+    FROM big b
+    CROSS JOIN v
+    LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+    LEFT JOIN c1 ON b.w1 = c1.w1
+    WHERE b.doc_id % 2 = 1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       {exact_ratio_duck('sum(p_int)', f'count(*) * {_LM_K}', 4)} AS avg_prob
+FROM scored
+GROUP BY doc_id
+""",
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-corpus train/score split on parity of doc_id: the even
+    half is the 'trusted' training slice, the odd half the candidate
+    stream being gated — the standard shape of an LM quality filter
+    (train on curated text, score the crawl)."""
+    from openaq_data_pipeline_spark.operators.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    cand = d.filter(F.col("doc_id") % 2 == 1)
+    c12, c1, v = train_bigram_lm(train, "text", "doc_id")
+    return score_bigram_lm(cand, "text", "doc_id", c12, c1, v)
+
+
+@register(
+    "bm25_topk",
+    "EXT-retrieval — BM25 sparse top-k retrieval (k1=1.2, b=0.75) "
+    "over an inverted index: the lexical companion to the dense ANN "
+    "tier (near-dup audit, retrieval-based decontamination, "
+    "hard-negative mining all need it). Query terms broadcast into "
+    "the tf table so the posting scan prunes to Σ df(query terms) "
+    "before anything heavy; scores are exact integer ratios "
+    "(DECIMAL(38,0) arithmetic) fixed-pointed at 6 decimals and "
+    "summed as BIGINTs — bit-identical across engines "
+    "(operators/retrieval.py determinism contract)",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+dl AS (
+    SELECT doc_id,
+           CASE WHEN array_to_string(w, '') = '' THEN 0 ELSE len(w) END AS dl
+    FROM tok
+),
+stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+tf AS (
+    SELECT t.doc_id, u.term, count(*) AS tf
+    FROM tok t, unnest(t.w) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY t.doc_id, u.term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (
+    SELECT DISTINCT doc_id AS query_id, u.term
+    FROM tok, unnest(list_slice(w, 1, 8)) AS u(term)
+    WHERE doc_id % 101 = 0 AND u.term <> ''
+),
+sc AS (
+    SELECT qt.query_id, tf.doc_id,
+           CAST(
+             (CAST(2*stats.n - 2*dft.df + 1 AS HUGEINT)
+                * (22 * tf.tf * stats.s) * 2000000
+              + CAST(2*dft.df + 1 AS HUGEINT)
+                * (10*tf.tf*stats.s + 3*stats.s + 9*dl.dl*stats.n))
+             // (2 * CAST(2*dft.df + 1 AS HUGEINT)
+                * (10*tf.tf*stats.s + 3*stats.s + 9*dl.dl*stats.n))
+           AS BIGINT) AS score_term
+    FROM qt
+    JOIN tf ON tf.term = qt.term
+    JOIN dft ON dft.term = qt.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+),
+agg AS (
+    SELECT query_id, doc_id, CAST(sum(score_term) AS BIGINT) AS score_fp
+    FROM sc GROUP BY query_id, doc_id
+),
+r AS (
+    SELECT query_id, doc_id, score_fp,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_fp DESC, doc_id) AS rank
+    FROM agg
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_fp
+FROM r WHERE rank <= 5
+""",
+)
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ~101st document's first 8 (normalized) tokens form a
+    query; its source doc typically ranks #1 — the self-retrieval
+    sanity property — with lexical near-neighbors behind it."""
+    from openaq_data_pipeline_spark.operators.retrieval import bm25_topk
+    from openaq_data_pipeline_spark.operators.text import normalize, tokens
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    qdf = d.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(tokens(normalize(F.col("text"))), 1, 8)
+        ).alias("q_text"),
+    )
+    return bm25_topk(d, qdf, "text", "doc_id", "q_text", "query_id", k=5)
+
+
+@register(
+    "training_shards",
+    "EXT-export — deterministic global shuffle + fixed-shard-count "
+    "assignment (the last step before a sharded training-data "
+    "export): shard = int(first 8 MD5 hex chars of doc_id) mod 16, "
+    "position = rank under (MD5, id) order within the shard. "
+    "Seed-free and engine-neutral, so a resumed training job and a "
+    "re-run export agree byte-for-byte; one exchange + per-shard "
+    "sort, the same physical work the sharded writer does anyway",
+    oracle="""
+WITH h AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS hh,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+               AS shard_id
+    FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hh, doc_id)
+            AS BIGINT) AS shard_pos
+FROM h
+""",
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.curation import shard_assignments
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    return shard_assignments(d, "doc_id", n_shards=16)

@@ -1912,9 +1912,9 @@ def priority_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "approx_percentile_sketch",
-    "EXT-sketch — approx_percentile (quantile digest) per event type "
+    "EXT-sketch [rotated r5 after green r3+r4; sketch family stays driver-verified via approx_distinct_sketch] — approx_percentile (quantile digest) per event type "
     "with a bounded-rank-error verdict, the constant-memory companion "
     "to exact percentile_order_value for 100 TB groups. Digest values "
     "are engine-specific, so (like approx_distinct_sketch) the "

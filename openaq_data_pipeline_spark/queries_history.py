@@ -22,6 +22,7 @@ from openaq_data_pipeline_spark.catalog import (
     TS_FMT_SPARK,
     load,
     register,
+    register_rotated,
     ts_str,
 )
 from openaq_data_pipeline_spark.operators.history import (
@@ -72,9 +73,9 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "cdc_user_snapshot",
-    "EXT-history — CDC changelog apply: signup=insert, error=delete "
+    "EXT-history [rotated r5 after green r3+r4; history family stays driver-verified via scd2_user_state + gap_fill_hourly] — CDC changelog apply: signup=insert, error=delete "
     "tombstone, other events=upsert; newest record per user wins and "
     "a trailing tombstone erases the key (ranked-then-filtered so "
     "deletes cannot resurrect older upserts)",

@@ -18,6 +18,7 @@ from openaq_data_pipeline_spark.catalog import (
     TS_FMT_SPARK,
     load,
     register,
+    register_rotated,
     ts_str,
 )
 from openaq_data_pipeline_spark.operators.temporal import asof_join, range_join_binned
@@ -70,9 +71,9 @@ def asof_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "range_join_sessions",
-    "EXT-temporal — point-in-interval range join: clicks landing in "
+    "EXT-temporal [rotated r5 after green r3+r4; temporal family stays driver-verified via asof_state_join] — point-in-interval range join: clicks landing in "
     "[signup, signup+2h) per user, executed as a (key, hour-bin) "
     "equi-join + exact refinement — never a cross join",
     oracle=f"""

@@ -1,6 +1,7 @@
 """Unit tests for the round-5 corpus operators: WAV codec + audio
 features, boilerplate line removal, domain-mixture sampling,
-embedding quantization, vocabulary heavy hitters."""
+embedding quantization, vocabulary heavy hitters, bigram-LM scoring,
+BM25 retrieval, deterministic training shards."""
 
 from __future__ import annotations
 
@@ -209,3 +210,171 @@ def test_top_ngrams_k_bound(spark):
         range(1, 6)
     )
     assert out[0]["gram"] == "common"
+
+
+# --- bigram LM quality scoring -----------------------------------------
+
+
+class TestBigramLM:
+    def _fit(self, spark, rows):
+        from openaq_data_pipeline_spark.operators.lm import train_bigram_lm
+
+        train = spark.createDataFrame(rows, "doc_id long, text string")
+        return train_bigram_lm(train, "text", "doc_id")
+
+    def test_counts_and_vocab(self, spark):
+        c12, c1, v = self._fit(
+            spark, [(0, "a b a b c"), (2, "a b")]
+        )
+        got12 = {(r.w1, r.w2): r.c12 for r in c12.collect()}
+        # bigrams: doc0 = (a,b),(b,a),(a,b),(b,c); doc2 = (a,b)
+        assert got12 == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+        got1 = {r.w1: r.c1 for r in c1.collect()}
+        assert got1 == {"a": 3, "b": 2}
+        assert v == 3  # successors {a, b, c}
+
+    def test_score_known_probabilities(self, spark):
+        from openaq_data_pipeline_spark.operators.lm import score_bigram_lm
+
+        c12, c1, v = self._fit(spark, [(0, "a b a b c"), (2, "a b")])
+        docs = spark.createDataFrame(
+            [
+                (1, "a b"),       # P(b|a) = (3+1)/(3+3) = 0.666667
+                (3, "a z"),       # unseen bigram: (0+1)/(3+3) = 0.166667
+                (5, "z z"),       # unseen context: 1/(0+3) = 0.333333
+                (7, "one"),       # < 2 tokens -> no row
+                (9, "a b c"),     # mean of 2/3 and (1+1)/(2+3)=0.4
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.n_bigrams, r.avg_prob)
+            for r in score_bigram_lm(docs, "text", "doc_id", c12, c1, v).collect()
+        }
+        assert out == {
+            1: (1, 0.6667),
+            3: (1, 0.1667),
+            5: (1, 0.3333),
+            9: (2, 0.5333),  # mean of fixed-point 0.666667 and 0.4
+        }
+
+    def test_normalization_matches_shingle_contract(self, spark):
+        """Mixed case + runs of whitespace tokenize identically to
+        the dedup shingle pipeline (lower + collapse + trim)."""
+        from openaq_data_pipeline_spark.operators.lm import bigram_stream
+
+        df = spark.createDataFrame(
+            [(1, "  Foo\t\tBAR  baz\n")], "doc_id long, text string"
+        )
+        got = [
+            (r.w1, r.w2)
+            for r in bigram_stream(df, "text", "doc_id").orderBy("w1").collect()
+        ]
+        assert sorted(got) == [("bar", "baz"), ("foo", "bar")]
+
+
+# --- BM25 retrieval ----------------------------------------------------
+
+
+class TestBM25:
+    def test_hand_computed_scores(self, spark):
+        """3-doc corpus (one empty — it still counts toward N and S),
+        1-term query. N=3, S=5, df(apple)=2, idf=(6-4+1)/5=3/5:
+        d1: tf=1, dl=2 -> 330/595  = 0.554622 -> 554622
+        d2: tf=2, dl=3 -> 660/980  = 0.673469 -> 673469"""
+        from openaq_data_pipeline_spark.operators.retrieval import bm25_topk
+
+        corpus = spark.createDataFrame(
+            [(1, "apple banana"), (2, "apple apple cherry"), (3, "")],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(100, "apple")], "query_id long, q_text string"
+        )
+        out = [
+            (r.query_id, r.rank, r.doc_id, r.score_fp)
+            for r in bm25_topk(
+                corpus, queries, "text", "doc_id", "q_text"
+            ).orderBy("rank").collect()
+        ]
+        assert out == [(100, 1, 2, 673469), (100, 2, 1, 554622)]
+
+    def test_multi_term_sums_and_tiebreak(self, spark):
+        """Terms sum per doc; equal scores rank by doc_id; docs
+        sharing no term never appear; k bounds the output."""
+        from openaq_data_pipeline_spark.operators.retrieval import bm25_topk
+
+        corpus = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "z z z"), (4, "w")],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(7, "x y"), (8, "q")], "query_id long, q_text string"
+        )
+        rows = bm25_topk(
+            corpus, queries, "text", "doc_id", "q_text", k=1
+        ).collect()
+        out = [(r.query_id, r.rank, r.doc_id) for r in rows]
+        # docs 1 and 2 are identical -> tie -> doc 1 wins; query 8
+        # matches nothing and emits nothing; k=1 keeps one row
+        assert out == [(7, 1, 1)]
+        scores = {
+            (r.query_id, r.doc_id): r.score_fp
+            for r in bm25_topk(
+                corpus, queries, "text", "doc_id", "q_text", k=5
+            ).collect()
+        }
+        assert scores[(7, 1)] == scores[(7, 2)]
+        assert (7, 3) not in scores and (7, 4) not in scores
+
+
+# --- training shards ---------------------------------------------------
+
+
+class TestShards:
+    def test_assignment_deterministic_and_dense(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import shard_assignments
+
+        df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        a1 = {(r.doc_id, r.shard_id, r.shard_pos)
+              for r in shard_assignments(df, "doc_id", 8).collect()}
+        a2 = {(r.doc_id, r.shard_id, r.shard_pos)
+              for r in shard_assignments(df, "doc_id", 8).collect()}
+        assert a1 == a2 and len(a1) == 500
+        by_shard: dict = {}
+        for _, sid, pos in a1:
+            by_shard.setdefault(sid, []).append(pos)
+        # positions are dense 1..n per shard; every shard populated
+        # (500 rows over 8 MD5-uniform shards)
+        assert set(by_shard) == set(range(8))
+        for sid, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+        # roughly balanced (uniform hash: 500/8 ≈ 62 ± slack)
+        assert all(30 <= len(ps) <= 95 for ps in by_shard.values())
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="positive"):
+            shard_assignments(df, "doc_id", 0)
+
+    def test_write_shards_layout_and_order(self, spark, tmp_path):
+        import json, glob, os
+        from openaq_data_pipeline_spark.operators.curation import write_shards
+
+        df = spark.range(0, 100).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 2).alias("payload")
+        )
+        path = str(tmp_path / "shards")
+        write_shards(df, path, "doc_id", 4)
+        dirs = sorted(
+            os.path.basename(p) for p in glob.glob(f"{path}/shard_id=*")
+        )
+        assert dirs == [f"shard_id={i}" for i in range(4)]
+        # within a shard: rows laid down in shard_pos order, payload intact
+        for d in dirs:
+            rows = []
+            for f in sorted(glob.glob(f"{path}/{d}/part-*")):
+                with open(f) as fh:
+                    rows += [json.loads(line) for line in fh]
+            assert [r["shard_pos"] for r in rows] == list(
+                range(1, len(rows) + 1)
+            )
+            assert all(r["payload"] == r["doc_id"] * 2 for r in rows)

@@ -396,3 +396,37 @@ def test_audio_features_is_arrow_batched(spark):
     plan = final_plan(REG["audio_decode_features"].build(spark, SF_DIR))
     assert len(re.findall(r"MapInPandas", plan)) >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_prunes_postings_by_broadcast_query_terms(spark):
+    """bm25_topk: query terms must reach the tf table as a BROADCAST
+    hash join (posting scan prunes to query terms — never a shuffle
+    of the corpus-sized tf table against the tiny query side), the
+    fixed-point scoring stays JVM-side, and no corpus×corpus
+    sort-merge join exists (dl rides through the tf groupBy). The
+    1-row stats join is the only nested-loop (broadcast, bounded)."""
+    plan = final_plan(REG["bm25_topk"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_score_joins_stay_keyed_and_jvm_side(spark):
+    """lm_bigram_score: scoring is two keyed joins + one aggregate —
+    no Python in the plan, no cartesian, and the count tables build
+    as broadcast or shuffled-hash joins (vocab-bounded sides)."""
+    plan = final_plan(REG["lm_bigram_score"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_training_shards_single_exchange_for_rank(spark):
+    """training_shards: one exchange on shard_id feeding the rank
+    window — the same physical shape the sharded writer needs, and
+    nothing else (no join, no extra shuffle beyond the scan fan-out)."""
+    plan = final_plan(REG["training_shards"].build(spark, SF_DIR))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
