@@ -80,18 +80,26 @@ def train_bigram_lm(
     - ``vocab_size`` V — distinct successor words, the add-one
       smoothing denominator term.
 
-    The bigram stream feeds three consumers; its lambda-bearing build
-    plan never canonicalizes equal, so it is materialized once (lazy
-    localCheckpoint — the same move as `dedup._pair_counts`). V is a
-    single scalar aggregate brought to the driver — bounded output,
-    like the IVF centroid collect (`similarity.py`)."""
-    stream = bigram_stream(train, text_col, id_col).localCheckpoint(eager=False)
-    bigram_counts = stream.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    Only the bigram-count aggregate reads the corpus-sized stream;
+    context counts (Σ_w2 c12) and V both derive from the vocab-sized
+    bigram table, so the corpus is tokenized and shuffled exactly
+    once. The bigram table feeds three consumers and its
+    lambda-bearing build never canonicalizes equal, so it is
+    materialized once (lazy localCheckpoint — the same move as
+    `dedup._pair_counts`). V is a single scalar aggregate brought to
+    the driver — bounded output, like the IVF centroid collect
+    (`similarity.py`)."""
+    bigram_counts = (
+        bigram_stream(train, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
     )
-    context_counts = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    context_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1")
+    )
     vocab_size = int(
-        stream.agg(F.countDistinct("w2").alias("v")).first()["v"]
+        bigram_counts.agg(F.countDistinct("w2").alias("v")).first()["v"]
     )
     return bigram_counts, context_counts, vocab_size
 

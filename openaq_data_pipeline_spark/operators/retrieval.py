@@ -52,11 +52,19 @@ def corpus_index(corpus: DataFrame, text_col: str, id_col: str) -> tuple[
     ``stats`` (n_docs, s_tokens) as a 1-row DataFrame (joined
     broadcast, never collected). Empty documents carry no terms and
     still count toward N and S (dl = 0 ... they add nothing to S).
-    The tokenization pass feeds tf and stats; lambda-free plans CSE
-    poorly across aggregates too, so it is materialized once."""
+
+    Materialization point: the INDEX (tf), not the raw tokens — tf
+    feeds three consumers (the df aggregate, the S scalar, and the
+    query-term probe), and it is what a production retrieval system
+    persists anyway; the tokenized corpus is strictly larger and is
+    deliberately NEVER materialized (it would pin corpus-sized
+    blocks). The corpus is tokenized exactly once: N comes from a
+    column-pruned id-only scan and S = Σtf from the index itself
+    (per-doc token sums equal document length; empty docs carry no
+    terms and contribute 0 to both)."""
     toks = corpus.select(
         F.col(id_col), tokens(normalize(F.col(text_col))).alias("__w")
-    ).localCheckpoint(eager=False)
+    )
     dl_col = (
         F.when(F.concat_ws("", F.col("__w")) == "", F.lit(0))
         .otherwise(F.size(F.col("__w")))
@@ -73,10 +81,13 @@ def corpus_index(corpus: DataFrame, text_col: str, id_col: str) -> tuple[
         .where(F.col("term") != "")
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = toks.select(dl_col).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("s_tokens")
+    stats = (
+        corpus.select(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(tf.agg(F.sum("tf").alias("s_tokens")))
     )
     return tf, df_t, stats
 
