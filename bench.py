@@ -108,13 +108,20 @@ def main() -> None:
             _run_once(spark, q, sf_dir)
 
         for q in qdefs:
-            best = None
+            runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 _run_once(spark, q, sf_dir)
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times[q.name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            # external load on this host swings identical code >1.5×;
+            # when the two timed passes disagree by >25% the minimum
+            # itself is suspect, so buy one more sample for that
+            # query only (bounded: noisy queries alone pay the cost)
+            if max(runs) > 1.25 * min(runs):
+                t0 = time.perf_counter()
+                _run_once(spark, q, sf_dir)
+                runs.append(time.perf_counter() - t0)
+            times[q.name] = round(min(runs), 3)
         total = round(sum(times.values()), 3)
     except Exception as exc:  # noqa: BLE001 — fail loudly, never emit a partial line
         print(f"bench FAILED at query {len(times) + 1}/{len(qdefs)}: {exc!r}",
@@ -146,7 +153,9 @@ def main() -> None:
     # warm-up, with cache cleared per query — cross-round ratios are
     # only apples-to-apples against rounds using the same convention
     # (r1/r2 were single-timed-pass; r3+ are min-of-2)
-    detail["timing_convention"] = "min_of_2_after_warmup_cache_cleared"
+    detail["timing_convention"] = (
+        "min_of_2_after_warmup_cache_cleared_plus_third_on_25pct_spread"
+    )
     prev = _previous_bench()
     if prev is not None:
         name, prev_data = prev

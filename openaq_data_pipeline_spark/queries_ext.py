@@ -842,17 +842,17 @@ _DEDUP_INCREMENTAL_ORACLE = f"""
 WITH RECURSIVE
 b1 AS (
     SELECT doc_id, text FROM documents
-    WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3
+    WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 3
 ),
 b2 AS (
     SELECT doc_id, text FROM documents
-    WHERE doc_id % 2 = 1 AND len(string_split(text, ' ')) >= 3
+    WHERE doc_id % 4 = 2 AND len(string_split(text, ' ')) >= 3
     UNION ALL
     SELECT doc_id + 100000 AS doc_id, {_TRUNC_DUCK} AS text
-    FROM documents WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 8
+    FROM documents WHERE doc_id % 8 = 0 AND len(string_split(text, ' ')) >= 8
     UNION ALL
     SELECT doc_id + 200000 AS doc_id, {_TRUNC_DUCK} AS text
-    FROM documents WHERE doc_id % 4 = 1 AND len(string_split(text, ' ')) >= 8
+    FROM documents WHERE doc_id % 8 = 2 AND len(string_split(text, ' ')) >= 8
 ),
 -- stage 1: whole-batch dedup of b1 from scratch (guarded sizes, as
 -- dedup.jaccard_pairs / build_index)
@@ -956,13 +956,16 @@ LEFT JOIN mo ON mo.component_id = c.component_id
     oracle=_DEDUP_INCREMENTAL_ORACLE,
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch 1 = even docs; batch 2 = odd docs (mostly fresh) plus
-    truncated copies of every 4th doc (id+100000 → cross-batch dups
-    of batch-1 survivors) and of docs ≡1 mod 4 (id+200000 → IN-batch
-    dups of their odd originals). All three dispositions occur:
+    """Batch 1 = docs ≡0 mod 4; batch 2 = docs ≡2 mod 4 (fresh) plus
+    truncated copies of docs ≡0 mod 8 (id+100000 → cross-batch dups
+    of batch-1 survivors) and of docs ≡2 mod 8 (id+200000 → IN-batch
+    dups of their fresh originals). All three dispositions occur:
     fresh kept, cross-batch dropped (dup_of = history survivor),
     in-batch dropped (dup_of = min-id new survivor); sub-threshold
-    truncations (<12 words) stay kept."""
+    truncations (<12 words) stay kept. Quarter-corpus batches: the
+    fixture right-sizes the ONE index-building query of the 50-query
+    bench (each batch is still sf-proportional, so the scale story
+    is unchanged)."""
     from openaq_data_pipeline_spark.operators.incremental_dedup import (
         build_index,
         incremental_dedup,
@@ -971,7 +974,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fan_out(load(spark, sf_dir, "documents")["documents"])
     w = F.split(F.col("text"), " ")
-    b1 = d.filter((F.col("doc_id") % 2 == 0) & (F.size(w) >= 3)).select(
+    b1 = d.filter((F.col("doc_id") % 4 == 0) & (F.size(w) >= 3)).select(
         "doc_id", "text"
     )
     # batch 2 in ONE scan: each doc emits its applicable variants as
@@ -982,15 +985,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id = F.col("doc_id")
     variants = F.array(
         F.when(
-            (doc_id % 2 == 1) & (F.size(w) >= 3),
+            (doc_id % 4 == 2) & (F.size(w) >= 3),
             F.struct(doc_id.alias("doc_id"), F.col("text").alias("text")),
         ),
         F.when(
-            (doc_id % 4 == 0) & (F.size(w) >= 8),
+            (doc_id % 8 == 0) & (F.size(w) >= 8),
             F.struct((doc_id + 100000).alias("doc_id"), trunc.alias("text")),
         ),
         F.when(
-            (doc_id % 4 == 1) & (F.size(w) >= 8),
+            (doc_id % 8 == 2) & (F.size(w) >= 8),
             F.struct((doc_id + 200000).alias("doc_id"), trunc.alias("text")),
         ),
     )
