@@ -360,13 +360,33 @@ def ivf_train_centroids(
     )
     for _ in range(n_iters):
         cents = _centroids_df(spark, cent_rows)
-        assign = ivf_assign(corpus, cent_rows, id_col, vec_col, round_dp, cents=cents)
+        # assignment inlined with the quantized vector riding the
+        # argmax aggregate (F.first — constant per vector): the
+        # two-sided formulation joined the corpus against its own
+        # assignment on id, a corpus×corpus sort-merge join per
+        # iteration for a column derivable in the same pass
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         qv = F.transform(
             F.col(vec_col), lambda x: F.round(x.cast("double") * q_scale, 0).cast("long")
         )
+        base = corpus.select(
+            F.col(id_col),
+            v.alias("__v"),
+            F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("__vn"),
+            qv.alias("__q"),
+        )
+        dot = _fold_sum(F.zip_with(F.col("__v"), F.col("c_vec"), lambda x, y: x * y))
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col("cell_id"),
+            F.round(dot / (F.col("__vn") * F.col("c_norm")), round_dp).alias("sim"),
+            F.col("__q"),
+        )
+        best = F.max(F.struct(F.col("sim"), (-F.col("cell_id")).alias("negcell")))
         comp = (
-            corpus.select(F.col(id_col), qv.alias("__q"))
-            .join(assign, id_col)
+            scored.groupBy(id_col)
+            .agg(best.alias("__best"), F.first("__q").alias("__q"))
+            .select((-F.col("__best.negcell")).alias("cell_id"), F.col("__q"))
             .select("cell_id", F.posexplode(F.col("__q")).alias("dim", "q"))
             .groupBy("cell_id", "dim")
             .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
