@@ -443,3 +443,106 @@ def write_shards(
         .format(format)
         .save(path)
     )
+
+
+def fuzzy_decontaminate(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    is_eval: F.Column | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_jaccard: float = 0.5,
+    max_bucket: int | None = 2048,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: (train_id, eval_id, n_common,
+    n_train, n_eval, jaccard) for every train document that NEAR-
+    DUPLICATES an eval document at ``min_jaccard`` — the companion to
+    :func:`train_eval_overlap`, which only fires when ≥20% of a doc's
+    n-grams are verbatim-shared; lightly-reworded or truncated eval
+    leakage needs near-dup matching (the standard two-tier
+    decontamination of LLM training pipelines).
+
+    Plan: one shingle pass (materialized once — it feeds signatures,
+    sizes and both verify joins), MinHash banding with per-bucket
+    SPLIT train/eval member lists so only CROSS-corpus pairs explode
+    (train×train pairs are dedup's job and never materialize here),
+    the same total-members ``max_bucket`` degenerate-bucket cap as
+    `dedup.lsh_candidate_pairs`, then exact n-gram Jaccard
+    verification of the candidate set — FULL distinct-shingle sizes,
+    no df guard: banding is the recall stage, verification reports
+    true Jaccard. Verify joins are candidate-bounded; nothing is
+    all-pairs. ``is_eval`` must be an expression over ``id_col``
+    alone (it is re-applied to the signature table)."""
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+    from openaq_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    if is_eval is None:
+        is_eval = F.col(id_col) % 10 == 0
+    docs = documents.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
+    )
+    sh = shingles(docs, text_col, id_col, n=3, distinct=True).localCheckpoint(
+        eager=False
+    )
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    n_bands = num_hashes // band_size
+    stack_args: list = []
+    for b in range(n_bands):
+        cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
+    bands = sig.select(
+        F.col(id_col),
+        F.stack(F.lit(n_bands), *stack_args).alias("band_id", "band_hash"),
+    )
+    grouped = bands.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_set(F.when(is_eval, F.col(id_col)))).alias("__e"),
+        F.array_sort(F.collect_set(F.when(~is_eval, F.col(id_col)))).alias("__t"),
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(
+            F.size(F.col("__e")) + F.size(F.col("__t")) <= max_bucket
+        )
+    cross = F.flatten(
+        F.transform(
+            F.col("__t"),
+            lambda t: F.transform(
+                F.col("__e"),
+                lambda e: F.struct(t.alias("train_id"), e.alias("eval_id")),
+            ),
+        )
+    )
+    cand = (
+        grouped.filter((F.size(F.col("__e")) >= 1) & (F.size(F.col("__t")) >= 1))
+        .select(F.explode(cross).alias("p"))
+        .select(F.col("p.train_id"), F.col("p.eval_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col(id_col).alias("train_id"), "shingle"), "train_id"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("eval_id"), "shingle"),
+            ["eval_id", "shingle"],
+        )
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = exact_ratio_spark(
+        F.col("n_common"), F.col("n_train") + F.col("n_eval") - F.col("n_common")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("train_id"), F.col("n_sh").alias("n_train")),
+            "train_id",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("eval_id"), F.col("n_sh").alias("n_eval")),
+            "eval_id",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("train_id", "eval_id", "n_common", "n_train", "n_eval", "jaccard")
+    )

@@ -524,10 +524,13 @@ def unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "topk_orders_per_segment",
-    "O1,W1 — per-group top-k by ordered window (generalizes the "
-    "reference's per-group top-1)",
+    "O1,W1 [rotated r5 after FOUR green driver rounds r1-r4; the "
+    "rank-filter window family stays driver-verified via "
+    "stg_dedup_latest + dim_latest_order_per_customer] — per-group "
+    "top-k by ordered window (generalizes the reference's per-group "
+    "top-1)",
     oracle=f"""
 SELECT c_mktsegment AS segment, rnk, o_orderkey AS orderkey, o_totalprice AS totalprice
 FROM (

@@ -479,3 +479,108 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fan_out(load(spark, sf_dir, "documents")["documents"])
     return shard_assignments(d, "doc_id", n_shards=16)
+
+
+_FD_TRUNC = (
+    "array_to_string(list_slice(string_split(text, ' '), 1, "
+    "len(string_split(text, ' ')) - 5), ' ')"
+)
+
+
+@register(
+    "fuzzy_decontamination",
+    "EXT-curation — FUZZY benchmark decontamination (the second tier "
+    "of the standard two-tier decon stack): MinHash banding with "
+    "per-bucket SPLIT train/eval member lists so only CROSS-corpus "
+    "candidates explode, degenerate-bucket cap shared with the dedup "
+    "family, then exact n-gram Jaccard verification (full sizes) of "
+    "the candidate set. Catches truncated/lightly-reworded eval "
+    "leakage that the verbatim n-gram overlap gate "
+    "(`decontamination`) misses below its 20% threshold",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 500000 AS doc_id, {_FD_TRUNC} AS text
+    FROM documents
+    WHERE doc_id % 13 = 0 AND len(string_split(text, ' ')) >= 8
+),
+corpus AS (
+    SELECT doc_id, text FROM base
+    WHERE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) >= 3
+),
+words AS (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM corpus
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS shingle
+    FROM words, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) - 2
+),
+signatures AS (
+    SELECT doc_id,
+           min(substr(md5('0|' || shingle), 1, 8)) AS minhash_0,
+           min(substr(md5('0|' || shingle), 9, 8)) AS minhash_1,
+           min(substr(md5('0|' || shingle), 17, 8)) AS minhash_2,
+           min(substr(md5('0|' || shingle), 25, 8)) AS minhash_3,
+           min(substr(md5('1|' || shingle), 1, 8)) AS minhash_4,
+           min(substr(md5('1|' || shingle), 9, 8)) AS minhash_5,
+           min(substr(md5('1|' || shingle), 17, 8)) AS minhash_6,
+           min(substr(md5('1|' || shingle), 25, 8)) AS minhash_7
+    FROM shingles GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, 0 AS band_id, md5(minhash_0 || '|' || minhash_1) AS band_hash FROM signatures
+    UNION ALL
+    SELECT doc_id, 1, md5(minhash_2 || '|' || minhash_3) FROM signatures
+    UNION ALL
+    SELECT doc_id, 2, md5(minhash_4 || '|' || minhash_5) FROM signatures
+    UNION ALL
+    SELECT doc_id, 3, md5(minhash_6 || '|' || minhash_7) FROM signatures
+),
+bsz AS (SELECT band_id, band_hash, count(*) AS c FROM bands GROUP BY band_id, band_hash),
+cand AS (
+    SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+    FROM bands t
+    JOIN bands e ON t.band_id = e.band_id AND t.band_hash = e.band_hash
+    JOIN bsz s ON s.band_id = t.band_id AND s.band_hash = t.band_hash
+    WHERE t.doc_id < 500000 AND e.doc_id >= 500000 AND s.c <= 2048
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.train_id, c.eval_id, count(*) AS n_common
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.train_id
+    JOIN shingles b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
+    GROUP BY c.train_id, c.eval_id
+)
+SELECT train_id, eval_id,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(st.n_sh AS BIGINT) AS n_train,
+       CAST(se.n_sh AS BIGINT) AS n_eval,
+       {exact_ratio_duck('n_common', 'st.n_sh + se.n_sh - n_common')} AS jaccard
+FROM inter
+JOIN sizes st ON st.doc_id = train_id
+JOIN sizes se ON se.doc_id = eval_id
+WHERE {exact_ratio_duck('n_common', 'st.n_sh + se.n_sh - n_common')} >= 0.5
+""",
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval split = truncated copies (last 5 words dropped,
+    id+500000) of every 13th doc — synthetic paraphrase-level leakage
+    the verbatim gate under-fires on — mixed into the corpus; the
+    operator must surface each (original, leaked copy) pair."""
+    from openaq_data_pipeline_spark.operators.curation import fuzzy_decontaminate
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    w = F.split(F.col("text"), " ")
+    ev = d.filter((F.col("doc_id") % 13 == 0) & (F.size(w) >= 8)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, F.size(w) - 5)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(ev)
+    return fuzzy_decontaminate(
+        corpus, is_eval=F.col("doc_id") >= 500000
+    )

@@ -229,3 +229,52 @@ class TestChunking:
         from openaq_data_pipeline_spark.operators.text import BPE_TOKEN_RE
 
         assert rebuilt == _re.findall(BPE_TOKEN_RE, " ".join([word] * 12))
+
+
+class TestFuzzyDecontamination:
+    def test_cross_corpus_pairs_only(self, spark):
+        """A train doc and its lightly-truncated eval copy pair up
+        with exact Jaccard; two near-identical TRAIN docs never
+        produce a pair (train-by-train is dedup's job); clean eval
+        docs match nothing."""
+        from openaq_data_pipeline_spark.operators.curation import fuzzy_decontaminate
+        from pyspark.sql import functions as F
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        rows = [
+            (1, base),                                  # train original
+            (2, base + " kilo"),                        # train near-dup of 1
+            (100, base[: base.rfind(" ")]),             # eval: 1 truncated
+            (101, "totally different words here now"),  # clean eval
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.train_id, r.eval_id): (r.n_common, r.n_train, r.n_eval, r.jaccard)
+            for r in fuzzy_decontaminate(
+                df, is_eval=F.col("doc_id") >= 100, min_jaccard=0.5
+            ).collect()
+        }
+        # doc 1: 8 shingles; eval copy drops the last word -> 7 shared
+        assert (1, 100) in out
+        n_common, n_train, n_eval, jac = out[(1, 100)]
+        assert (n_common, n_train, n_eval) == (7, 8, 7)
+        assert jac == round(7 / 8, 4)
+        # train 2 also near-dups the eval copy (shares 6 of its 9)
+        assert all(k[1] != 101 for k in out), "clean eval doc matched"
+        assert all(k[0] < 100 and k[1] >= 100 for k in out), (
+            "non-cross pair emitted"
+        )
+
+    def test_threshold_filters_weak_overlap(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import fuzzy_decontaminate
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "one two three four five six seven eight nine ten"),
+            (100, "one two three four entirely different tail words here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        hits = fuzzy_decontaminate(
+            df, is_eval=F.col("doc_id") >= 100, min_jaccard=0.5
+        ).collect()
+        assert hits == []  # only 2 of 8/8 shingles shared -> jaccard ~0.14

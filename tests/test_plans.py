@@ -430,3 +430,14 @@ def test_training_shards_single_exchange_for_rank(spark):
     assert plan.count("Window") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_decon_explodes_cross_pairs_only(spark):
+    """fuzzy_decontamination: candidates come from per-bucket SPLIT
+    train/eval lists (one exchange on the band key, train×eval
+    explode) — no bands self-join, no cartesian; verification joins
+    are keyed."""
+    plan = final_plan(REG["fuzzy_decontamination"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
