@@ -64,6 +64,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # the generated-class cache defaults to 100 entries — a
+        # catalog of ~50 queries × several codegen stages each cycles
+        # straight through it, so every re-run of a wide-plan query
+        # RECOMPILES its whole-stage code (measured 2.3 s standalone
+        # vs 6.5 s inside a full catalog pass for the same query).
+        # A long-lived session serving many queries wants the cache
+        # sized to its working set
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
