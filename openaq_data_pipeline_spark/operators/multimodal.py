@@ -601,3 +601,131 @@ def frame_sample_plan(df: DataFrame, every_ms: int) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms)),
         ),
     )
+
+
+# --- video container: MBMP (length-walked concatenated BMP frames) ------
+
+
+def encode_video_mbmp(frames: list[np.ndarray]) -> bytes:
+    """``b'MBMP' + uint32 frame count`` + concatenated 24-bpp BMP
+    frames. A deliberately minimal but REAL container: each frame is
+    a self-describing blob carrying its own byte size in its header,
+    so a consumer must WALK the container frame-by-frame — the
+    structural property that makes the sampler below exercise real
+    demuxing (seek-by-declared-size, decode only what is sampled)
+    rather than fixed-stride arithmetic."""
+    out = [b"MBMP", struct.pack("<I", len(frames))]
+    for fr in frames:
+        out.append(encode_bmp24(fr))
+    return b"".join(out)
+
+
+def decode_video_mbmp(content: bytes) -> list[np.ndarray]:
+    """Inverse of :func:`encode_video_mbmp`; round-trip asserted in
+    tests. Fails loudly on wrong magic, truncated frames, or
+    trailing garbage."""
+    if content[:4] != b"MBMP":
+        raise ValueError("not an MBMP container")
+    (n,) = struct.unpack_from("<I", content, 4)
+    frames, off = [], 8
+    for i in range(n):
+        if content[off : off + 2] != b"BM":
+            raise ValueError(f"corrupt MBMP: frame {i} lacks BMP magic")
+        (size,) = struct.unpack_from("<I", content, off + 2)
+        frames.append(decode_bmp24(content[off : off + size]))
+        off += size
+    if off != len(content):
+        raise ValueError("trailing bytes after final MBMP frame")
+    return frames
+
+
+def synthetic_videos(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic synthetic videos keyed by id (the fixture for
+    the frame-sampling path — no video test data ships in the
+    container): n_frames = 3 + id%4, every frame w = 4 + id%5,
+    h = 3 + id%3, and pixel (y, x, c) of frame f =
+    (id·31 + f·13 + y·7 + x·3 + c·11) mod 256 — closed-form, so a
+    SQL oracle can verify sampled-frame statistics without touching
+    bytes. Output: (media_id, content binary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 3
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                frames = [
+                    ((mid * 31 + f * 13 + y * 7 + x * 3 + c * 11) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(3 + mid % 4)
+                ]
+                ids.append(mid)
+                blobs.append(encode_video_mbmp(frames))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return df.select(id_col).mapInPandas(
+        run, schema="media_id long, content binary"
+    )
+
+
+_FRAME_DDL = (
+    "media_id long, n_frames long, frame_idx long, "
+    "width int, height int, px_sum long, mean_px double"
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    stride: int = 2,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Stride frame sampling with REAL partial decode: one output row
+    per sampled frame (0, stride, 2·stride, …) carrying
+    (n_frames, frame_idx, width, height, px_sum, mean_px). The
+    walker seeks past unsampled frames by their declared byte size
+    WITHOUT decoding them — at 100 TB the point of frame sampling is
+    exactly that decode cost scales with frames KEPT, not frames
+    stored. Arrow ``mapInPandas``; mean is exact-rounded at 4 dp
+    (engine-neutral, `_exact_mean`)."""
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "n_frames", "frame_idx",
+                    "width", "height", "px_sum", "mean_px",
+                )
+            }
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob)
+                if blob[:4] != b"MBMP":
+                    raise ValueError("not an MBMP container")
+                (n,) = struct.unpack_from("<I", blob, 4)
+                off = 8
+                for f in range(n):
+                    if blob[off : off + 2] != b"BM":
+                        raise ValueError(f"corrupt MBMP: frame {f}")
+                    (size,) = struct.unpack_from("<I", blob, off + 2)
+                    if f % stride == 0:
+                        arr = decode_bmp24(blob[off : off + size])
+                        h, w = arr.shape[:2]
+                        total = int(arr.astype(np.int64).sum())
+                        out["media_id"].append(int(mid))
+                        out["n_frames"].append(n)
+                        out["frame_idx"].append(f)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["px_sum"].append(total)
+                        out["mean_px"].append(_exact_mean(total, h * w * 3))
+                    off += size
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=_FRAME_DDL)

@@ -135,10 +135,13 @@ def mart_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "stg_dedup_latest",
-    "W1 — latest-per-key window dedup (stg_openaq__*.sql QUALIFY "
-    "ROW_NUMBER()=1), deterministic tiebreak",
+    "W1 [rotated r5 after FOUR green driver rounds r1-r4; the "
+    "latest-per-key window family stays driver-verified via "
+    "dim_latest_order_per_customer (W2, identical rank-filter "
+    "shape)] — latest-per-key window dedup (stg_openaq__*.sql "
+    "QUALIFY ROW_NUMBER()=1), deterministic tiebreak",
     oracle=f"""
 SELECT user_id, event_type, event_id, value,
        strftime(ts, '{TS_FMT_DUCK}') AS ts_utc

@@ -2247,3 +2247,66 @@ def unpivot_weather_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).filter(F.col("value").isNotNull())
+
+
+@register(
+    "video_frame_sample",
+    "EXT-multimodal — VIDEO frame sampling with real partial decode: "
+    "synthetic MBMP containers (length-walked concatenated BMP "
+    "frames) are demuxed on executors inside Arrow mapInPandas; the "
+    "walker seeks past unsampled frames by their declared byte size "
+    "and decodes ONLY frames 0, 2, 4, … — at 100 TB decode cost "
+    "scales with frames KEPT, not frames stored. The oracle "
+    "recomputes every sampled frame's dimensions and pixel "
+    "statistics analytically from the id, so container walk + BMP "
+    "decode + stats are hash-checked end-to-end",
+    oracle="""
+WITH v AS (
+    SELECT doc_id AS media_id,
+           3 + doc_id % 4 AS nf,
+           4 + doc_id % 5 AS w,
+           3 + doc_id % 3 AS h
+    FROM documents
+),
+fr AS (
+    SELECT media_id, nf, w, h, f.i AS frame_idx
+    FROM v, generate_series(0, 6) f(i)
+    WHERE f.i < nf AND f.i % 2 = 0
+),
+px AS (
+    SELECT media_id, nf, frame_idx, w, h,
+           CAST(sum((media_id * 31 + frame_idx * 13 + y.i * 7 + x.i * 3 + c.i * 11) % 256)
+                AS BIGINT) AS px_sum,
+           CAST(w * h * 3 AS BIGINT) AS n_px
+    FROM fr,
+         generate_series(0, 9) y(i),
+         generate_series(0, 9) x(i),
+         generate_series(0, 2) c(i)
+    WHERE y.i < h AND x.i < w
+    GROUP BY media_id, nf, frame_idx, w, h
+)
+SELECT media_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       px_sum,
+       CAST(((px_sum * 20000 + n_px) // (2 * n_px)) / 10000.0 AS DOUBLE) AS mean_px
+FROM px
+""",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Videos are synthesized per doc_id (n_frames = 3 + id%4, frame
+    pixels closed-form in (id, frame, y, x, c) —
+    operators/multimodal.synthetic_videos), then stride-2 sampled
+    through the real MBMP demux + BMP decode path."""
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_videos,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    vids = synthetic_videos(
+        fan_out(d.select(F.col("doc_id").alias("media_id")))
+    )
+    return sample_video_frames(vids, stride=2)

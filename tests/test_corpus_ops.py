@@ -378,3 +378,66 @@ class TestShards:
                 range(1, len(rows) + 1)
             )
             assert all(r["payload"] == r["doc_id"] * 2 for r in rows)
+
+
+# --- video container + frame sampling ----------------------------------
+
+
+class TestVideoFrames:
+    def test_mbmp_roundtrip_and_corruption(self):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_video_mbmp,
+            encode_video_mbmp,
+        )
+
+        rng = np.random.default_rng(11)
+        frames = [
+            rng.integers(0, 256, (3, 5, 3), dtype=np.uint8) for _ in range(4)
+        ]
+        blob = encode_video_mbmp(frames)
+        back = decode_video_mbmp(blob)
+        assert len(back) == 4
+        assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+        with pytest.raises(ValueError, match="MBMP"):
+            decode_video_mbmp(b"RIFF" + blob[4:])
+        with pytest.raises(ValueError, match="trailing"):
+            decode_video_mbmp(blob + b"\x00")
+
+    def test_stride_sampling_stats(self, spark):
+        """stride=2 over n_frames = 3 + id%4 keeps frames {0, 2[, 4]}
+        only; per-frame stats match the closed-form pixel formula."""
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            sample_video_frames,
+            synthetic_videos,
+        )
+
+        ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+        rows = sample_video_frames(synthetic_videos(ids), stride=2).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.media_id, []).append(r)
+        for mid in range(12):
+            nf = 3 + mid % 4
+            w, h = 4 + mid % 5, 3 + mid % 3
+            want = [f for f in range(nf) if f % 2 == 0]
+            got = sorted(r.frame_idx for r in by[mid])
+            assert got == want
+            for r in by[mid]:
+                assert (r.n_frames, r.width, r.height) == (nf, w, h)
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                exp = int(
+                    ((mid * 31 + r.frame_idx * 13 + y * 7 + x * 3 + c * 11) % 256).sum()
+                )
+                assert r.px_sum == exp
+
+    def test_stride_validation(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            sample_video_frames,
+            synthetic_videos,
+        )
+
+        ids = spark.range(0, 2).select(F.col("id").alias("media_id"))
+        with pytest.raises(ValueError, match="stride"):
+            sample_video_frames(synthetic_videos(ids), stride=0)

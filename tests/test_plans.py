@@ -441,3 +441,15 @@ def test_fuzzy_decon_explodes_cross_pairs_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_video_sampling_is_arrow_batched(spark):
+    """video_frame_sample: synth and demux+decode both run as Arrow
+    mapInPandas stages; no row-at-a-time Python, no shuffle at all
+    (pure per-row media work)."""
+    plan = final_plan(REG["video_frame_sample"].build(spark, SF_DIR))
+    assert len(re.findall(r"MapInPandas", plan)) >= 2
+    assert "BatchEvalPython" not in plan
+    # the only exchange is the scan fan-out (round-robin); the media
+    # path itself never shuffles
+    assert len(re.findall(r"Exchange", plan)) <= 1
