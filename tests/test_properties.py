@@ -194,3 +194,88 @@ class TestSimhashBandedCompleteness:
             f"banded != brute force: missing={set(brute) - set(got)}, "
             f"extra={set(got) - set(brute)}"
         )
+
+
+# --- hybrid connected components vs pure-Python union-find --------------
+
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: plain union-find, label = min member id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
+class TestConnectedComponentsProperty:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=0, max_value=40),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fast_path_matches_reference(self, spark, edges):
+        """Single-partition union-find path (the default for every
+        bench-scale graph) labels exactly like the reference."""
+        from openaq_data_pipeline_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.component_id for r in connected_components(pairs).collect()
+        }
+        assert got == _py_components(edges)
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=25),
+                st.integers(min_value=0, max_value=25),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=4,
+            max_size=40,
+        )
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_multi_partition_merge_matches_reference(self, spark, edges):
+        """Forcing the edges-per-partition budget down drives the
+        union-find-seeded iterative merge across partition
+        boundaries; labels must still be exact."""
+        import openaq_data_pipeline_spark.operators.dedup as dd
+
+        old = dd.CC_EDGES_PER_PARTITION
+        dd.CC_EDGES_PER_PARTITION = 3
+        try:
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {
+                r.node: r.component_id
+                for r in dd.connected_components(pairs).collect()
+            }
+            assert got == _py_components(edges)
+        finally:
+            dd.CC_EDGES_PER_PARTITION = old
