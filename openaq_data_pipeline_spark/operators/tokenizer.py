@@ -59,16 +59,15 @@ def _apply_merge(seq: F.Column, lhs: str, rhs: str) -> F.Column:
     m = F.size(seq)
 
     def emit(i):
-        here = (F.element_at(seq, i + 1) == lhs) & (
-            F.element_at(seq, i + 2) == rhs
-        )
-        prev = (i > 0) & (F.element_at(seq, i) == lhs) & (
-            F.element_at(seq, i + 1) == rhs
-        )
+        # F.get (0-based) is NULL past either array end even under
+        # ANSI mode — element_at THROWS there, and position m-1's
+        # lookahead reads index m (caught by the BPE property test)
+        here = (F.get(seq, i) == lhs) & (F.get(seq, i + 1) == rhs)
+        prev = (i > 0) & (F.get(seq, i - 1) == lhs) & (F.get(seq, i) == rhs)
         return (
             F.when(here, F.lit(lhs + rhs))
             .when(prev, F.lit(None))
-            .otherwise(F.element_at(seq, i + 1))
+            .otherwise(F.get(seq, i))
         )
 
     return F.filter(

@@ -584,3 +584,74 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_decontaminate(
         corpus, is_eval=F.col("doc_id") >= 500000
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """k chained merge rounds in pure SQL: per round, one weighted
+    adjacent-pair aggregate over the current vocab state, a
+    deterministic argmax (count desc, pair text), and the positional
+    simultaneous merge as list lambdas — the exact per-position rule
+    of operators/tokenizer._apply_merge."""
+    parts = []
+    for r in range(1, n_merges + 1):
+        prev = f"vocab{r - 1}"
+        parts.append(f"""
+pairs{r} AS (
+    SELECT v.seq[g.i] AS lhs, v.seq[g.i + 1] AS rhs, sum(v.n) AS c
+    FROM {prev} v, generate_series(1, 200) g(i)
+    WHERE g.i <= len(v.seq) - 1 AND v.seq[g.i] <> v.seq[g.i + 1]
+    GROUP BY v.seq[g.i], v.seq[g.i + 1]
+),
+top{r} AS (SELECT lhs, rhs, c FROM pairs{r} ORDER BY c DESC, lhs, rhs LIMIT 1),
+vocab{r} AS (
+    SELECT word, n,
+           list_filter(
+               list_transform(range(1, len(seq) + 1),
+                   i -> CASE
+                        WHEN seq[i] = t.lhs AND i < len(seq)
+                             AND seq[i + 1] = t.rhs THEN t.lhs || t.rhs
+                        WHEN i > 1 AND seq[i - 1] = t.lhs
+                             AND seq[i] = t.rhs THEN NULL
+                        ELSE seq[i] END),
+               x -> x IS NOT NULL) AS seq
+    FROM {prev} CROSS JOIN top{r} t
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, lhs, rhs, "
+        f"lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT u.w AS word
+    FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+         unnest(ws) u(w)
+    WHERE u.w <> ''
+),
+vocab0 AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS n, string_split(word, '') AS seq
+    FROM words GROUP BY word
+),{",".join(parts)}
+{selects}
+"""
+
+
+@register(
+    "bpe_merge_training",
+    "EXT-tokenizer — distributed BPE merge learning (Sennrich 2016, "
+    "the GPT-2/LLaMA vocabulary-construction step): 6 merge rounds "
+    "over the corpus word-frequency vocabulary. Round cost is "
+    "vocab-sized (corpus-size-independent after round 0): one "
+    "adjacent-pair explode + weighted hash aggregate + a 1-row "
+    "argmax collect; merges apply simultaneously via per-position "
+    "array logic (left≠right exclusion makes that exact — "
+    "operators/tokenizer.py determinism contract). The oracle "
+    "replays all 6 rounds in chained SQL CTEs with list lambdas",
+    oracle=_bpe_oracle(6),
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.tokenizer import bpe_train_merges
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    return bpe_train_merges(d, "text", "doc_id", n_merges=6)

@@ -1078,9 +1078,13 @@ sigs AS (
 """
 
 
-@register(
+@register_rotated(
     "dedup_embedding_cosine",
-    "EXT-dedup — embedding-cosine near-dup pairs (≥ 0.40) via "
+    "EXT-dedup [rotated r5 after FOUR green driver rounds r1-r4; the "
+    "vector-LSH machinery (neardup_lsh_params + bucketed cosine "
+    "kernel) stays driver-verified via ann_topk_lsh, and the pair "
+    "tier's survivors feed dedup_keep_one/keep_best which remain "
+    "registered] — embedding-cosine near-dup pairs (≥ 0.40) via "
     "corpus-sized LSH (b, L derived from count + threshold, sign "
     "planes regenerated from md5) + exact vectorized verify (the "
     "100 TB default path: equi-join on (table, bucket), no "

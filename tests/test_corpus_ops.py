@@ -10,6 +10,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from openaq_data_pipeline_spark.operators.curation import (
@@ -441,3 +443,85 @@ class TestVideoFrames:
         ids = spark.range(0, 2).select(F.col("id").alias("media_id"))
         with pytest.raises(ValueError, match="stride"):
             sample_video_frames(synthetic_videos(ids), stride=0)
+
+
+# --- BPE merge training ------------------------------------------------
+
+
+def _py_bpe_merges(words: dict[str, int], n_merges: int):
+    """Reference BPE with the module's contract: self-pairs excluded,
+    ties by (lhs, rhs) text, simultaneous left-to-right merge."""
+    seqs = {w: list(w) for w in words}
+    out = []
+    for r in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, seq in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                if a != b:
+                    counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r, lhs, rhs, lhs + rhs, cnt))
+        for w, seq in seqs.items():
+            new, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == lhs and seq[i + 1] == rhs:
+                    new.append(lhs + rhs)
+                    i += 2
+                else:
+                    new.append(seq[i])
+                    i += 1
+            seqs[w] = new
+    return out
+
+
+class TestBPETraining:
+    def test_matches_reference_on_known_corpus(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import bpe_train_merges
+
+        rows = [
+            (1, "low low low lower lower newest newest newest newest widest"),
+            (2, "low newest widest widest"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        words: dict = {}
+        for _, t in rows:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        got = [
+            (r.merge_round, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in bpe_train_merges(df, "text", "doc_id", n_merges=6)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert got == _py_bpe_merges(words, 6)
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=12
+        )
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_reference_on_random_corpora(self, spark, wordlist):
+        from openaq_data_pipeline_spark.operators.tokenizer import bpe_train_merges
+
+        df = spark.createDataFrame(
+            [(1, " ".join(wordlist))], "doc_id long, text string"
+        )
+        words: dict = {}
+        for w in wordlist:
+            words[w] = words.get(w, 0) + 1
+        got = [
+            (r.merge_round, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in bpe_train_merges(df, "text", "doc_id", n_merges=4)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert got == _py_bpe_merges(words, 4)
