@@ -9,10 +9,11 @@ reference's own query layer has no retrieval operator.
 
 Plan shape (everything keyed, everything partial-aggregable):
 
-- corpus side: one tokenization pass materialized once feeds the
-  term-frequency table (doc_id, term, tf), the document-frequency
-  table (term, df) derived FROM tf, and the corpus stats scalar
-  (N docs, S total tokens) — the inverted index family.
+- corpus side: ONE tokenization pass builds the term-frequency
+  table (doc_id, term, tf, dl) — the inverted index, which is the
+  single materialization point; the document-frequency table
+  (term, df) and the S corpus stat both derive FROM it, and N from
+  an id-only pruned scan.
 - query side: distinct query terms BROADCAST into tf — the posting
   scan prunes to query terms before anything heavy happens, so cost
   scales with Σ df(query terms), never with the corpus.
