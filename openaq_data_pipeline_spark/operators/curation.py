@@ -546,3 +546,52 @@ def fuzzy_decontaminate(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("train_id", "eval_id", "n_common", "n_train", "n_eval", "jaccard")
     )
+
+
+def fuzzy_decon_dropped_buckets(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    is_eval: F.Column | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 2048,
+) -> DataFrame:
+    """(band_id, band_hash, n_train, n_eval) — the band buckets
+    :func:`fuzzy_decontaminate` DROPS under the same ``max_bucket``
+    cap (empty when the cap is None or nothing exceeds it). Same
+    observability contract as `dedup.lsh_dropped_buckets` /
+    `simhash_dropped_buckets` (VERDICT r4 #4): a dropped bucket
+    silently loses true cross-corpus near-dup pairs when
+    `exact_dedup` was not run upstream, so pipelines should alert
+    here instead of discovering missed contamination downstream."""
+    from openaq_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    if is_eval is None:
+        is_eval = F.col(id_col) % 10 == 0
+    docs = documents.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
+    )
+    sh = shingles(docs, text_col, id_col, n=3, distinct=True)
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    n_bands = num_hashes // band_size
+    stack_args: list = []
+    for b in range(n_bands):
+        cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
+    bands = sig.select(
+        F.col(id_col),
+        F.stack(F.lit(n_bands), *stack_args).alias("band_id", "band_hash"),
+    )
+    grouped = bands.groupBy("band_id", "band_hash").agg(
+        F.sum(F.when(is_eval, 1).otherwise(0)).cast("long").alias("n_eval"),
+        F.sum(F.when(is_eval, 0).otherwise(1)).cast("long").alias("n_train"),
+    )
+    sz = F.col("n_train") + F.col("n_eval")
+    if max_bucket is None:
+        return grouped.filter(F.lit(False)).select(
+            "band_id", "band_hash", "n_train", "n_eval"
+        )
+    return grouped.filter(sz > max_bucket).select(
+        "band_id", "band_hash", "n_train", "n_eval"
+    )

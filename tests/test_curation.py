@@ -278,3 +278,35 @@ class TestFuzzyDecontamination:
             df, is_eval=F.col("doc_id") >= 100, min_jaccard=0.5
         ).collect()
         assert hits == []  # only 2 of 8/8 shingles shared -> jaccard ~0.14
+
+    def test_dropped_bucket_observability(self, spark):
+        """A mass-duplicate class exceeding the cap is DROPPED by the
+        pair generator and surfaced by fuzzy_decon_dropped_buckets
+        with its train/eval split — the r4 #4 observability contract
+        extended to the fuzzy tier."""
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            fuzzy_decon_dropped_buckets,
+            fuzzy_decontaminate,
+        )
+
+        text = "same exact boilerplate text repeated across the corpus"
+        rows = [(i, text) for i in range(30)]  # ids 0..29; >=100 eval
+        rows += [(100 + i, text) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = F.col("doc_id") >= 100
+        # cap below the class size -> every bucket dropped, no pairs
+        pairs = fuzzy_decontaminate(df, is_eval=ev, max_bucket=10).collect()
+        assert pairs == []
+        dropped = fuzzy_decon_dropped_buckets(
+            df, is_eval=ev, max_bucket=10
+        ).collect()
+        assert len(dropped) > 0
+        assert all((r.n_train, r.n_eval) == (30, 10) for r in dropped)
+        # cap raised -> pairs flow and nothing reports dropped
+        assert (
+            fuzzy_decon_dropped_buckets(df, is_eval=ev, max_bucket=2048).count()
+            == 0
+        )
+        assert len(fuzzy_decontaminate(df, is_eval=ev).collect()) > 0
