@@ -279,3 +279,143 @@ class TestConnectedComponentsProperty:
             assert got == _py_components(edges)
         finally:
             dd.CC_EDGES_PER_PARTITION = old
+
+
+# --- BM25 fixed-point scoring vs Fraction-exact reference ---------------
+
+
+def _py_bm25(words_by_doc: dict[int, list[str]], qterms: list[str], k10=10**6):
+    from fractions import Fraction
+
+    docs = {d: ws for d, ws in words_by_doc.items()}
+    n = len(docs)
+    s = sum(len(ws) for ws in docs.values())
+    tf = {d: {} for d in docs}
+    for d, ws in docs.items():
+        for w in ws:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    df = {}
+    for d in docs:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    scores = {}
+    for d, ws in docs.items():
+        dl = len(ws)
+        total = 0
+        for t in set(qterms):
+            if t not in tf[d]:
+                continue
+            num = (2 * n - 2 * df[t] + 1) * (22 * tf[d][t] * s)
+            den = (2 * df[t] + 1) * (10 * tf[d][t] * s + 3 * s + 9 * dl * n)
+            # round-half-up(num/den * k10) in exact integer math
+            total += (2 * num * k10 + den) // (2 * den)
+        if total:
+            scores[d] = total
+    return scores
+
+
+class TestBM25Property:
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=9),
+            st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8),
+            min_size=1,
+            max_size=6,
+        ),
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=3),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_scores_match_integer_reference(self, spark, words_by_doc, qterms):
+        from openaq_data_pipeline_spark.operators.retrieval import bm25_topk
+
+        corpus = spark.createDataFrame(
+            [(d, " ".join(ws)) for d, ws in words_by_doc.items()],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(0, " ".join(qterms))], "query_id long, q_text string"
+        )
+        got = {
+            r.doc_id: r.score_fp
+            for r in bm25_topk(
+                corpus, queries, "text", "doc_id", "q_text", k=100
+            ).collect()
+        }
+        assert got == _py_bm25(words_by_doc, qterms)
+
+
+# --- bigram-LM fixed-point scoring vs integer reference -----------------
+
+
+def _py_lm_score(train: dict[int, list[str]], cand: dict[int, list[str]]):
+    k = 10**6
+    c12: dict = {}
+    c1: dict = {}
+    succ = set()
+    for ws in train.values():
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+            succ.add(b)
+    v = len(succ)
+    out = {}
+    for d, ws in cand.items():
+        if len(ws) < 2:
+            continue
+        total = n = 0
+        for a, b in zip(ws, ws[1:]):
+            num = c12.get((a, b), 0) + 1
+            den = c1.get(a, 0) + v
+            total += (num * 2 * k + den) // (2 * den)
+            n += 1
+        # avg = round-half-up(total / (n*k), 4)
+        d2 = n * k
+        t = total * 2 * 10**4 + d2
+        out[d] = (n, ((t - t % (2 * d2)) // (2 * d2)) / 10**4)
+    return out
+
+
+class TestBigramLMProperty:
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=4),
+            st.lists(st.sampled_from("abcd"), min_size=2, max_size=8),
+            min_size=1,
+            max_size=4,
+        ),
+        st.dictionaries(
+            st.integers(min_value=10, max_value=14),
+            st.lists(st.sampled_from("abcdx"), min_size=1, max_size=8),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_scores_match_integer_reference(self, spark, train, cand):
+        from openaq_data_pipeline_spark.operators.lm import (
+            score_bigram_lm,
+            train_bigram_lm,
+        )
+
+        tdf = spark.createDataFrame(
+            [(d, " ".join(ws)) for d, ws in train.items()],
+            "doc_id long, text string",
+        )
+        cdf = spark.createDataFrame(
+            [(d, " ".join(ws)) for d, ws in cand.items()],
+            "doc_id long, text string",
+        )
+        c12, c1, v = train_bigram_lm(tdf, "text", "doc_id")
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_prob)
+            for r in score_bigram_lm(cdf, "text", "doc_id", c12, c1, v).collect()
+        }
+        assert got == _py_lm_score(train, cand)
