@@ -445,6 +445,39 @@ def write_shards(
     )
 
 
+def _fuzzy_shingles(documents: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct 3-gram shingle table over ≥3-word documents — round 0
+    of both fuzzy-decon entry points."""
+    docs = documents.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
+    )
+    return shingles(docs, text_col, id_col, n=3, distinct=True)
+
+
+def _fuzzy_bands(
+    sh: DataFrame, id_col: str, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(id, band_id, band_hash) — the shared MinHash-band topology of
+    :func:`fuzzy_decontaminate` and
+    :func:`fuzzy_decon_dropped_buckets` (the `_lsh_bucket_lists`
+    pattern: one construction, two aggregations). Takes the caller's
+    shingle table so the pair path can pass its CHECKPOINTED one (it
+    has three more consumers) while the observability path passes a
+    plain build."""
+    from openaq_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+    n_bands = num_hashes // band_size
+    stack_args: list = []
+    for b in range(n_bands):
+        cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
+    return sig.select(
+        F.col(id_col),
+        F.stack(F.lit(n_bands), *stack_args).alias("band_id", "band_hash"),
+    )
+
+
 def fuzzy_decontaminate(
     documents: DataFrame,
     text_col: str = "text",
@@ -475,26 +508,14 @@ def fuzzy_decontaminate(
     all-pairs. ``is_eval`` must be an expression over ``id_col``
     alone (it is re-applied to the signature table)."""
     from openaq_data_pipeline_spark.catalog import exact_ratio_spark
-    from openaq_data_pipeline_spark.operators.dedup import minhash_signatures
 
     if is_eval is None:
         is_eval = F.col(id_col) % 10 == 0
-    docs = documents.filter(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
-    )
-    sh = shingles(docs, text_col, id_col, n=3, distinct=True).localCheckpoint(
-        eager=False
-    )
-    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
-    n_bands = num_hashes // band_size
-    stack_args: list = []
-    for b in range(n_bands):
-        cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
-    bands = sig.select(
-        F.col(id_col),
-        F.stack(F.lit(n_bands), *stack_args).alias("band_id", "band_hash"),
-    )
+    # the shingle table feeds signatures, sizes and both verify
+    # joins — materialize once (lambda-bearing plans never
+    # canonicalize equal)
+    sh = _fuzzy_shingles(documents, text_col, id_col).localCheckpoint(eager=False)
+    bands = _fuzzy_bands(sh, id_col, num_hashes, band_size)
     grouped = bands.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_set(F.when(is_eval, F.col(id_col)))).alias("__e"),
         F.array_sort(F.collect_set(F.when(~is_eval, F.col(id_col)))).alias("__t"),
@@ -565,23 +586,10 @@ def fuzzy_decon_dropped_buckets(
     silently loses true cross-corpus near-dup pairs when
     `exact_dedup` was not run upstream, so pipelines should alert
     here instead of discovering missed contamination downstream."""
-    from openaq_data_pipeline_spark.operators.dedup import minhash_signatures
-
     if is_eval is None:
         is_eval = F.col(id_col) % 10 == 0
-    docs = documents.filter(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
-    )
-    sh = shingles(docs, text_col, id_col, n=3, distinct=True)
-    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
-    n_bands = num_hashes // band_size
-    stack_args: list = []
-    for b in range(n_bands):
-        cols = [f"minhash_{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        stack_args += [F.lit(b), F.md5(F.concat_ws("|", *cols))]
-    bands = sig.select(
-        F.col(id_col),
-        F.stack(F.lit(n_bands), *stack_args).alias("band_id", "band_hash"),
+    bands = _fuzzy_bands(
+        _fuzzy_shingles(documents, text_col, id_col), id_col, num_hashes, band_size
     )
     grouped = bands.groupBy("band_id", "band_hash").agg(
         F.sum(F.when(is_eval, 1).otherwise(0)).cast("long").alias("n_eval"),
