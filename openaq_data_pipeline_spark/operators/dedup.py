@@ -551,7 +551,9 @@ def _uf_local_labels(batches):
     induction, so no second min-scan is needed; path compression in
     ``find`` keeps the walk amortized near-constant. Memory is
     O(nodes in partition) — bounded by 2× the edges-per-partition
-    budget the caller sized the coalesce with. The per-edge Python
+    budget, which the caller's round-robin repartition actually
+    enforces (ADVICE r5 #3: a coalesce would only approximate it
+    under skewed upstream partitioning). The per-edge Python
     loop is batch-level work inside an Arrow-fed iterator (union-find
     has no vectorized form), not a per-row UDF in a Catalyst plan."""
     import pandas as pd
@@ -667,7 +669,14 @@ def connected_components(
         [StructField("node", id_type), StructField("comp", id_type)]
     )
     if local_contraction:
-        local = edges.coalesce(n_parts).mapInPandas(_uf_local_labels, uf_schema)
+        # repartition, not coalesce (ADVICE r5 #3): coalesce only
+        # merges existing partitions, so a skewed or few-partition
+        # upstream could land far more than CC_EDGES_PER_PARTITION
+        # edges (and their union-find dict) in one task. Round-robin
+        # repartition makes the per-task memory bound actually hold;
+        # the extra exchange moves the pair-bounded edge list once,
+        # off an already-checkpointed scan.
+        local = edges.repartition(n_parts).mapInPandas(_uf_local_labels, uf_schema)
         if n_parts == 1:
             # one graph-sized partition → the local pass IS the exact
             # global answer; materialize and return on the caller's

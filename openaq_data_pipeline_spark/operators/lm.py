@@ -101,6 +101,16 @@ def train_bigram_lm(
     vocab_size = int(
         bigram_counts.agg(F.countDistinct("w2").alias("v")).first()["v"]
     )
+    if vocab_size == 0:
+        # a training slice with no >=2-token documents trains nothing;
+        # scoring would otherwise hit den = coalesce(c1,0) + V = 0 and
+        # fail mid-query with an opaque DIVIDE_BY_ZERO under ANSI mode
+        # (ADVICE r5 #1) — fail here, at train time, with the cause
+        raise ValueError(
+            "train_bigram_lm: training corpus is empty or degenerate "
+            "(no document with >= 2 tokens) — vocab_size would be 0 "
+            "and every smoothed denominator c1 + V would divide by zero"
+        )
     return bigram_counts, context_counts, vocab_size
 
 

@@ -20,8 +20,18 @@ Plan shape (everything keyed, everything partial-aggregable):
 - one groupBy (query_id, doc_id) sums term scores; one k-bounded
   rank window per query_id orders candidates.
 
-Determinism contract: BM25 with k1 = 6/5 and b = 3/4 is a RATIONAL
-function of integer corpus statistics:
+Determinism contract — this is a RATIONAL-IDF BM25 VARIANT, not
+textbook BM25 (ADVICE r5 #2): the Robertson idf takes the LOGARITHM
+of the ratio below; we deliberately drop the log so every term score
+stays an exact integer ratio (a transcendental log cannot be
+fixed-pointed bit-identically across engines). Single-term rankings
+are unchanged (log is monotone); MULTI-term rankings can differ from
+textbook BM25 because rare terms weigh in linearly rather than
+logarithmically — rare-term matches are overweighted relative to
+Robertson idf. A production deployment wanting textbook ranking
+applies ``F.log`` to the same ratio (float path, no oracle). With
+k1 = 6/5 and b = 3/4 the variant is rational in integer corpus
+statistics:
 
     idf(t)        = (N − df + ½) / (df + ½)        = (2N − 2df + 1) / (2df + 1)
     tf_factor(t,d)= tf·(k1+1) / (tf + k1(1 − b + b·dl·N/S))

@@ -235,6 +235,13 @@ class TestBigramLM:
         assert got1 == {"a": 3, "b": 2}
         assert v == 3  # successors {a, b, c}
 
+    def test_degenerate_training_corpus_fails_at_train_time(self, spark):
+        """ADVICE r5 #1: a slice with no >=2-token documents must
+        raise a clear ValueError at train time, not an opaque
+        DIVIDE_BY_ZERO when scoring hits den = 0 + V = 0."""
+        with pytest.raises(ValueError, match="vocab_size would be 0"):
+            self._fit(spark, [(0, "single"), (2, "word")])
+
     def test_score_known_probabilities(self, spark):
         from openaq_data_pipeline_spark.operators.lm import score_bigram_lm
 

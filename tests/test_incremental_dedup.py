@@ -2,10 +2,14 @@
 three dispositions across batches, index update across a third batch,
 and the two scale properties — the index side of the batch join is
 bucket-aligned (no exchange), and the batch-2 plan never re-shingles
-history text."""
+history text. Temp indexes are context-managed (VERDICT r5 #2): every
+test below asserts-by-construction that tables and tempdirs are
+dropped on exit, and test_no_temp_index_residue pins it end-to-end
+for the registered query."""
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pytest
@@ -40,45 +44,49 @@ class TestIncrementalDedup:
         b1 = spark.createDataFrame(
             list(B1_TEXTS.items()), "doc_id long, text string"
         )
-        idx = temp_index()
-        surv = build_index(b1, "text", "doc_id", idx)
-        assert sorted((r.doc_id, r.cluster_size) for r in surv.collect()) == [
-            (0, 1),
-            (2, 2),
-        ]
+        with temp_index() as idx:
+            surv = build_index(b1, "text", "doc_id", idx)
+            assert sorted(
+                (r.doc_id, r.cluster_size) for r in surv.collect()
+            ) == [
+                (0, 1),
+                (2, 2),
+            ]
 
-        b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
-        disp = incremental_dedup(b2, "text", "doc_id", idx)
-        got = sorted((r.doc_id, r.kept, r.dup_of) for r in disp.collect())
-        assert got == [
-            (11, True, None),   # fresh
-            (13, False, 2),     # cross-batch dup of history survivor
-            (15, True, None),   # in-batch cluster min id
-            (17, False, 15),    # in-batch dup
-            (19, True, None),   # fresh (too short to pair)
-        ]
+            b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
+            disp = incremental_dedup(b2, "text", "doc_id", idx)
+            got = sorted((r.doc_id, r.kept, r.dup_of) for r in disp.collect())
+            assert got == [
+                (11, True, None),   # fresh
+                (13, False, 2),     # cross-batch dup of history survivor
+                (15, True, None),   # in-batch cluster min id
+                (17, False, 15),    # in-batch dup
+                (19, True, None),   # fresh (too short to pair)
+            ]
 
-        # the index absorbed batch-2 survivors: batch 3 dups one
-        b3 = spark.createDataFrame(
-            [(21, "one two three four five six seven eight nine ten eleven")],
-            "doc_id long, text string",
-        )
-        got3 = [
-            (r.doc_id, r.kept, r.dup_of)
-            for r in incremental_dedup(b3, "text", "doc_id", idx).collect()
-        ]
-        assert got3 == [(21, False, 15)]
+            # the index absorbed batch-2 survivors: batch 3 dups one
+            b3 = spark.createDataFrame(
+                [(21, "one two three four five six seven eight nine ten eleven")],
+                "doc_id long, text string",
+            )
+            got3 = [
+                (r.doc_id, r.kept, r.dup_of)
+                for r in incremental_dedup(b3, "text", "doc_id", idx).collect()
+            ]
+            assert got3 == [(21, False, 15)]
 
     def test_update_index_false_leaves_index_untouched(self, spark):
         b1 = spark.createDataFrame(
             list(B1_TEXTS.items()), "doc_id long, text string"
         )
-        idx = temp_index()
-        build_index(b1, "text", "doc_id", idx)
-        before = spark.table(idx.sizes_table).count()
-        b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
-        incremental_dedup(b2, "text", "doc_id", idx, update_index=False).collect()
-        assert spark.table(idx.sizes_table).count() == before
+        with temp_index() as idx:
+            build_index(b1, "text", "doc_id", idx)
+            before = spark.table(idx.sizes_table).count()
+            b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
+            incremental_dedup(
+                b2, "text", "doc_id", idx, update_index=False
+            ).collect()
+            assert spark.table(idx.sizes_table).count() == before
 
     def test_index_side_aggregation_is_exchange_free(self, spark):
         """The per-shingle re-aggregation of appended posting lists
@@ -92,20 +100,20 @@ class TestIncrementalDedup:
         b1 = spark.createDataFrame(
             list(B1_TEXTS.items()), "doc_id long, text string"
         )
-        idx = temp_index()
-        build_index(b1, "text", "doc_id", idx)
-        # append a second generation so re-aggregation is real
-        b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
-        incremental_dedup(b2, "text", "doc_id", idx)
+        with temp_index() as idx:
+            build_index(b1, "text", "doc_id", idx)
+            # append a second generation so re-aggregation is real
+            b2 = spark.createDataFrame(B2_ROWS, "doc_id long, text string")
+            incremental_dedup(b2, "text", "doc_id", idx)
 
-        plan = (
-            _old_posting_lists(spark, idx)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        assert "Exchange" not in plan, plan
-        assert "Bucketed: true" in plan, plan
+            plan = (
+                _old_posting_lists(spark, idx)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
 
     def test_batch2_plan_touches_index_not_history_text(self, spark, tmp_path):
         """VERDICT r4 #1 'done' criterion: batch-2 work scales with
@@ -121,44 +129,44 @@ class TestIncrementalDedup:
             batch_path
         )
 
-        idx = temp_index()
-        build_index(spark.read.parquet(hist_path), "text", "doc_id", idx)
-        pairs = incremental_candidate_pairs(
-            spark.read.parquet(batch_path), "text", "doc_id", idx
-        )
-        # inputFiles() enumerates every source the plan will read —
-        # immune to the plan-string path truncation. The default path
-        # checkpoints the batch shingle table (one materialization for
-        # its three consumers), which severs the batch parquet scan
-        # from THIS plan — so probe the batch-scan claim on an
-        # explicitly-passed raw shingle table, where the full lineage
-        # stays in one plan.
-        files = pairs.inputFiles()
-        assert idx.location is not None
-        assert any(idx.location in f for f in files), "index scan missing"
-        assert not any(hist_path in f for f in files), (
-            "batch-2 plan re-reads history text"
-        )
-        from openaq_data_pipeline_spark.operators.dedup import shingles
+        with temp_index() as idx:
+            build_index(spark.read.parquet(hist_path), "text", "doc_id", idx)
+            pairs = incremental_candidate_pairs(
+                spark.read.parquet(batch_path), "text", "doc_id", idx
+            )
+            # inputFiles() enumerates every source the plan will read —
+            # immune to the plan-string path truncation. The default path
+            # checkpoints the batch shingle table (one materialization for
+            # its three consumers), which severs the batch parquet scan
+            # from THIS plan — so probe the batch-scan claim on an
+            # explicitly-passed raw shingle table, where the full lineage
+            # stays in one plan.
+            files = pairs.inputFiles()
+            assert idx.location is not None
+            assert any(idx.location in f for f in files), "index scan missing"
+            assert not any(hist_path in f for f in files), (
+                "batch-2 plan re-reads history text"
+            )
+            from openaq_data_pipeline_spark.operators.dedup import shingles
 
-        raw = incremental_candidate_pairs(
-            spark.read.parquet(batch_path),
-            "text",
-            "doc_id",
-            idx,
-            new_sh=shingles(
-                spark.read.parquet(batch_path), "text", "doc_id", n=idx.n
-            ),
-        )
-        raw_files = raw.inputFiles()
-        assert any(batch_path in f for f in raw_files), "batch scan missing"
-        assert not any(hist_path in f for f in raw_files)
-        # and the pair results are identical to the disposition inputs
-        got = sorted(
-            (r.id_a, r.id_b, r.b_old) for r in pairs.collect()
-        )
-        # cross pairs carry (new_id, old_id); in-batch pairs id_a<id_b
-        assert got == [(13, 2, True), (15, 17, False)]
+            raw = incremental_candidate_pairs(
+                spark.read.parquet(batch_path),
+                "text",
+                "doc_id",
+                idx,
+                new_sh=shingles(
+                    spark.read.parquet(batch_path), "text", "doc_id", n=idx.n
+                ),
+            )
+            raw_files = raw.inputFiles()
+            assert any(batch_path in f for f in raw_files), "batch scan missing"
+            assert not any(hist_path in f for f in raw_files)
+            # and the pair results are identical to the disposition inputs
+            got = sorted(
+                (r.id_a, r.id_b, r.b_old) for r in pairs.collect()
+            )
+            # cross pairs carry (new_id, old_id); in-batch pairs id_a<id_b
+            assert got == [(13, 2, True), (15, 17, False)]
 
     def test_df_guard_caps_combined_frequency(self, spark):
         """A shingle whose COMBINED (history + batch) df exceeds the
@@ -168,18 +176,46 @@ class TestIncrementalDedup:
         b1 = spark.createDataFrame(
             [(i, boiler) for i in range(3)], "doc_id long, text string"
         )
-        idx = temp_index(max_doc_freq=4)
-        build_index(b1, "text", "doc_id", idx)  # exact dups of each other
-        # batch adds 3 more copies: combined df = survivors(1) + 3 > 4?
-        # no — 1 + 3 = 4 ≤ 4 → pairs found; with 5 new copies 1+5 > 4 →
-        # the shingle is guarded out and NO pairs exist
-        small = spark.createDataFrame(
-            [(100 + i, boiler) for i in range(3)], "doc_id long, text string"
+        with temp_index(max_doc_freq=4) as idx:
+            build_index(b1, "text", "doc_id", idx)  # exact dups of each other
+            # batch adds 3 more copies: combined df = survivors(1) + 3 > 4?
+            # no — 1 + 3 = 4 ≤ 4 → pairs found; with 5 new copies 1+5 > 4 →
+            # the shingle is guarded out and NO pairs exist
+            small = spark.createDataFrame(
+                [(100 + i, boiler) for i in range(3)], "doc_id long, text string"
+            )
+            pairs_ok = incremental_candidate_pairs(small, "text", "doc_id", idx)
+            assert pairs_ok.count() > 0
+            big = spark.createDataFrame(
+                [(200 + i, boiler) for i in range(5)], "doc_id long, text string"
+            )
+            pairs_guarded = incremental_candidate_pairs(big, "text", "doc_id", idx)
+            assert pairs_guarded.count() == 0
+
+    def test_no_temp_index_residue(self, spark):
+        """VERDICT r5 #2 'done' criterion: the registered
+        dedup_incremental query — the path parity tests and the bench
+        exercise repeatedly — leaves NO dedup_index_* tempdir and NO
+        dedup_idx_* catalog table behind, and its result is still
+        readable after cleanup (eager checkpoint severs the index
+        dependency)."""
+        import tempfile
+
+        from openaq_data_pipeline_spark.queries_ext import dedup_incremental
+
+        tmp_root = tempfile.gettempdir()
+        dirs_before = set(glob.glob(os.path.join(tmp_root, "dedup_index_*")))
+        disp = dedup_incremental(spark, os.environ.get(
+            "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"
+        ))
+        assert disp.count() > 0  # evaluable AFTER the index was dropped
+        dirs_after = set(glob.glob(os.path.join(tmp_root, "dedup_index_*")))
+        assert dirs_after - dirs_before == set(), (
+            "dedup_incremental leaked tempdirs"
         )
-        pairs_ok = incremental_candidate_pairs(small, "text", "doc_id", idx)
-        assert pairs_ok.count() > 0
-        big = spark.createDataFrame(
-            [(200 + i, boiler) for i in range(5)], "doc_id long, text string"
-        )
-        pairs_guarded = incremental_candidate_pairs(big, "text", "doc_id", idx)
-        assert pairs_guarded.count() == 0
+        leaked_tables = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("dedup_idx_")
+        ]
+        assert leaked_tables == [], leaked_tables
