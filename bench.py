@@ -45,27 +45,56 @@ from openaq_data_pipeline_spark.session import get_spark
 BENCH_ALL = os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1"
 
 
-def _run_once(spark, q, sf_dir: str) -> None:
+def _exec_once(spark, q, sf_dir: str) -> None:
     """Execute one query end-to-end via the noop sink (full plan, no
-    collect/driver cost), then leave the session clean."""
+    collect/driver cost). This — and only this — is what the timer
+    wraps: harness hygiene (cache clear, Python GC) lives in
+    :func:`_cleanup` OUTSIDE the timed region. Rationale (VERDICT r5
+    'What's wrong' #1): the r5 drift on unchanged trivial queries was
+    a near-uniform ADDITIVE ~0.1–0.2 s, the signature of per-run fixed
+    overhead — and the in-timer `clearCache` py4j round-trip plus a
+    full-heap `gc.collect` over the session's ever-growing py4j object
+    graph are exactly such costs, growing with catalog size (50
+    registered queries in r5 vs 38 in r4), not with the query under
+    test. r1 — the envelope anchor — had no in-timer cleanup either,
+    so exec-only timing is also the apples-to-apples convention.
+    Cleanup cost is still measured and reported per query in
+    BENCH_DETAIL.json as the drift evidence."""
+    q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
+def _cleanup(spark, q) -> dict[str, float]:
+    """Leave the session clean between runs; returns its own cost
+    breakdown {clearcache_sec, gc_sec} so harness overhead is
+    observable instead of silently folded into query timings."""
     import gc
 
+    leaked = list(spark.streams.active)
+    for s in leaked:
+        s.stop()
+    if leaked:
+        raise RuntimeError(
+            f"{q.name} left {len(leaked)} streaming query(ies) running"
+        )
+    t0 = time.perf_counter()
+    spark.catalog.clearCache()
+    t1 = time.perf_counter()
+    # drop py4j refs promptly so the ContextCleaner can release
+    # localCheckpoint blocks between queries — across a 100-run
+    # session the accumulated blocks otherwise crowd executor
+    # memory and skew later queries' timings
+    gc.collect()
+    t2 = time.perf_counter()
+    return {"clearcache_sec": t1 - t0, "gc_sec": t2 - t1}
+
+
+def _run_once(spark, q, sf_dir: str) -> dict[str, float]:
+    """Untimed convenience wrapper: exec + cleanup."""
     try:
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        leaked = list(spark.streams.active)
-        for s in leaked:
-            s.stop()
-        if leaked:
-            raise RuntimeError(
-                f"{q.name} left {len(leaked)} streaming query(ies) running"
-            )
+        _exec_once(spark, q, sf_dir)
     finally:
-        spark.catalog.clearCache()
-        # drop py4j refs promptly so the ContextCleaner can release
-        # localCheckpoint blocks between queries — across a 100-run
-        # session the accumulated blocks otherwise crowd executor
-        # memory and skew later queries' timings
-        gc.collect()
+        cost = _cleanup(spark, q)
+    return cost
 
 
 def _previous_bench() -> tuple[str, dict] | None:
@@ -102,6 +131,7 @@ def main() -> None:
     qdefs = [q for q in registry() if BENCH_ALL or "bench" in q.tags]
 
     times: dict[str, float] = {}
+    overhead: dict[str, dict[str, float]] = {}
     try:
         # warm-up pass (not timed)
         for q in qdefs:
@@ -109,19 +139,30 @@ def main() -> None:
 
         for q in qdefs:
             runs = []
-            for _ in range(2):
+            costs = []
+
+            def timed_run(q=q):
                 t0 = time.perf_counter()
-                _run_once(spark, q, sf_dir)
-                runs.append(time.perf_counter() - t0)
+                try:
+                    _exec_once(spark, q, sf_dir)
+                finally:
+                    dt = time.perf_counter() - t0
+                    costs.append(_cleanup(spark, q))
+                runs.append(dt)
+
+            timed_run()
+            timed_run()
             # external load on this host swings identical code >1.5×;
             # when the two timed passes disagree by >25% the minimum
             # itself is suspect, so buy one more sample for that
             # query only (bounded: noisy queries alone pay the cost)
             if max(runs) > 1.25 * min(runs):
-                t0 = time.perf_counter()
-                _run_once(spark, q, sf_dir)
-                runs.append(time.perf_counter() - t0)
+                timed_run()
             times[q.name] = round(min(runs), 3)
+            overhead[q.name] = {
+                k: round(sum(c[k] for c in costs) / len(costs), 3)
+                for k in ("clearcache_sec", "gc_sec")
+            }
         total = round(sum(times.values()), 3)
     except Exception as exc:  # noqa: BLE001 — fail loudly, never emit a partial line
         print(f"bench FAILED at query {len(times) + 1}/{len(qdefs)}: {exc!r}",
@@ -149,17 +190,37 @@ def main() -> None:
     # parsed: null). The stdout line stays the compact r1 schema.
     detail = dict(result)
     # record the timing convention next to the ratios (ADVICE r3):
-    # per-query times are min-of-2 timed passes after an untimed
-    # warm-up, with cache cleared per query — cross-round ratios are
-    # only apples-to-apples against rounds using the same convention
-    # (r1/r2 were single-timed-pass; r3+ are min-of-2)
+    # per-query times are min-of-N EXEC-ONLY passes after an untimed
+    # warm-up; cache clear + Python GC run between passes but OUTSIDE
+    # the timer (VERDICT r5 #1 — the in-timer cleanup was per-run
+    # fixed overhead that grew with catalog size and drifted every
+    # unchanged query ~1.2–1.6×; its cost is now reported under
+    # "harness_overhead" instead of silently inflating query times).
+    # Cross-round ratios are only apples-to-apples against rounds
+    # using the same convention (r1/r2 single-timed-pass with no
+    # in-timer cleanup; r3–r5 min-of-2 WITH in-timer cleanup; r6+
+    # exec-only — closest in kind to the r1 envelope anchor).
     detail["timing_convention"] = (
-        "min_of_2_after_warmup_cache_cleared_plus_third_on_25pct_spread"
+        "min_of_2_exec_only_cleanup_untimed_plus_third_on_25pct_spread"
     )
+    detail["harness_overhead"] = {
+        "per_query": overhead,
+        "total_clearcache_sec": round(
+            sum(o["clearcache_sec"] for o in overhead.values()), 3
+        ),
+        "total_gc_sec": round(sum(o["gc_sec"] for o in overhead.values()), 3),
+        "note": (
+            "mean per-timed-pass cost of the between-run cache clear "
+            "and Python GC — in r3-r5 this was inside the timer and "
+            "counted toward every query's time"
+        ),
+    }
     prev = _previous_bench()
     if prev is not None:
         name, prev_data = prev
         prev_times = prev_data.get("queries", {})
+        common = {k: v for k, v in times.items() if prev_times.get(k)}
+        prev_common = sum(prev_times[k] for k in common)
         detail["ratio_vs_prev"] = {
             "baseline": name,
             "baseline_timing_convention": (
@@ -169,15 +230,22 @@ def main() -> None:
                 if int(re.search(r"r(\d+)", name).group(1)) >= 3
                 else "single_timed_pass"
             ),
-            "total": (
+            # the honest cross-round total compares the COMMON query
+            # subset only (VERDICT r5 'What's wrong' #5: a total over
+            # differing 50-query sets conflates rotation with drift)
+            "total_common_subset": (
+                round(sum(common.values()) / prev_common, 3)
+                if prev_common
+                else None
+            ),
+            "n_common": len(common),
+            "total_all_queries_incomparable_sets": (
                 round(total / prev_data["value"], 3)
                 if prev_data.get("value")
                 else None
             ),
             "queries": {
-                k: round(v / prev_times[k], 3)
-                for k, v in times.items()
-                if prev_times.get(k)
+                k: round(v / prev_times[k], 3) for k, v in common.items()
             },
         }
     here = os.path.dirname(os.path.abspath(__file__))

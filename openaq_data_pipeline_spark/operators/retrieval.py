@@ -103,22 +103,37 @@ def corpus_index(corpus: DataFrame, text_col: str, id_col: str) -> tuple[
     return tf, df_t, stats
 
 
-def bm25_topk(
-    corpus: DataFrame,
+def _probe_topk(
+    tf: DataFrame,
+    df_t: DataFrame,
+    stats: DataFrame,
     queries: DataFrame,
-    text_col: str,
     id_col: str,
     q_text_col: str,
-    q_id_col: str = "query_id",
-    k: int = 5,
+    q_id_col: str,
+    k: int,
+    score_mode: str,
 ) -> DataFrame:
-    """(query_id, rank, doc_id, score_fp) — top-``k`` BM25(k1=1.2,
-    b=0.75) documents per query, scores as 10^SCORE_SCALE-scaled
-    BIGINTs (module determinism contract). A doc ranks only if it
-    shares ≥1 term with the query; ties order by doc_id."""
+    """Shared probe core of :func:`bm25_topk` and
+    :func:`bm25_topk_indexed`: query terms broadcast into the
+    postings, per-term score, one (query, doc) aggregate, one
+    k-bounded rank window.
+
+    ``score_mode``:
+    - ``"fixed_point"`` (oracle mode): the rational-idf variant of
+      the module contract, summed as a scaled BIGINT ``score_fp`` —
+      bit-identical in any engine.
+    - ``"float"`` (production mode): TEXTBOOK BM25 — Robertson
+      log-idf, double arithmetic, column ``score`` (rounded 6 dp for
+      display stability; rankings use the unrounded value). Use this
+      when ranking quality matters more than cross-engine
+      hashability; there is deliberately no DuckDB oracle for it
+      (float sums are order-dependent), it is pinned by pytest
+      instead."""
     from pyspark.sql import Window
 
-    tf, df_t, stats = corpus_index(corpus, text_col, id_col)
+    if score_mode not in ("fixed_point", "float"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
     qterms = queries.select(
         F.col(q_id_col),
         F.explode(
@@ -131,33 +146,53 @@ def bm25_topk(
         .join(df_t, "term")
         .crossJoin(F.broadcast(stats))
     )
-    dec = "decimal(38,0)"
-    n = F.col("n_docs").cast(dec)
-    s = F.col("s_tokens").cast(dec)
-    tfc = F.col("tf").cast(dec)
-    dfc = F.col("df").cast(dec)
-    dlc = F.col("dl").cast(dec)
-    num = (2 * n - 2 * dfc + 1) * (22 * tfc * s)
-    den = (2 * dfc + 1) * (10 * tfc * s + 3 * s + 9 * dlc * n)
-    k10 = 10**SCORE_SCALE
-    scored = cand.select(
-        F.col(q_id_col),
-        F.col(id_col),
-        num.alias("__n"),
-        den.alias("__d"),
-    ).withColumn(
-        # round-half-up(num/den · 10^SCORE_SCALE) in pure integer
-        # arithmetic: `div` is integral division (exact on DECIMAL,
-        # returns BIGINT) — never a float on the way
-        "__score",
-        F.expr(f"(__n * {2 * k10} + __d) div (2 * __d)"),
-    )
-    agg = scored.groupBy(q_id_col, id_col).agg(
-        F.sum("__score").alias("score_fp")
-    )
-    w = Window.partitionBy(q_id_col).orderBy(
-        F.col("score_fp").desc(), F.col(id_col)
-    )
+    if score_mode == "float":
+        # textbook BM25 (k1 = 1.2, b = 0.75): idf·tf-saturation with
+        # avgdl = S/N; all double-side, whole-stage-codegen friendly
+        n = F.col("n_docs").cast("double")
+        s = F.col("s_tokens").cast("double")
+        tfc = F.col("tf").cast("double")
+        dfc = F.col("df").cast("double")
+        dlc = F.col("dl").cast("double")
+        idf = F.log((n - dfc + 0.5) / (dfc + 0.5))
+        tf_factor = (tfc * 2.2) / (tfc + 1.2 * (0.25 + 0.75 * dlc * n / s))
+        agg = (
+            cand.select(
+                F.col(q_id_col), F.col(id_col), (idf * tf_factor).alias("__s")
+            )
+            .groupBy(q_id_col, id_col)
+            .agg(F.sum("__s").alias("score"))
+        )
+        order = [F.col("score").desc(), F.col(id_col)]
+        score_cols = [F.round(F.col("score"), 6).alias("score")]
+    else:
+        dec = "decimal(38,0)"
+        n = F.col("n_docs").cast(dec)
+        s = F.col("s_tokens").cast(dec)
+        tfc = F.col("tf").cast(dec)
+        dfc = F.col("df").cast(dec)
+        dlc = F.col("dl").cast(dec)
+        num = (2 * n - 2 * dfc + 1) * (22 * tfc * s)
+        den = (2 * dfc + 1) * (10 * tfc * s + 3 * s + 9 * dlc * n)
+        k10 = 10**SCORE_SCALE
+        scored = cand.select(
+            F.col(q_id_col),
+            F.col(id_col),
+            num.alias("__n"),
+            den.alias("__d"),
+        ).withColumn(
+            # round-half-up(num/den · 10^SCORE_SCALE) in pure integer
+            # arithmetic: `div` is integral division (exact on DECIMAL,
+            # returns BIGINT) — never a float on the way
+            "__score",
+            F.expr(f"(__n * {2 * k10} + __d) div (2 * __d)"),
+        )
+        agg = scored.groupBy(q_id_col, id_col).agg(
+            F.sum("__score").alias("score_fp")
+        )
+        order = [F.col("score_fp").desc(), F.col(id_col)]
+        score_cols = [F.col("score_fp")]
+    w = Window.partitionBy(q_id_col).orderBy(*order)
     return (
         agg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -165,6 +200,169 @@ def bm25_topk(
             F.col(q_id_col),
             F.col("rank").cast("long").alias("rank"),
             F.col(id_col),
-            F.col("score_fp"),
+            *score_cols,
         )
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    q_text_col: str,
+    q_id_col: str = "query_id",
+    k: int = 5,
+    score_mode: str = "fixed_point",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score_fp|score) — top-``k`` BM25
+    documents per query over an index built inline from ``corpus``
+    (one tokenization pass, localCheckpoint-materialized). For a
+    persisted, batch-appendable index use :class:`Bm25Index` +
+    :func:`bm25_topk_indexed`. Scores per ``score_mode`` — see
+    :func:`_probe_topk`. A doc ranks only if it shares ≥1 term with
+    the query; ties order by doc_id."""
+    tf, df_t, stats = corpus_index(corpus, text_col, id_col)
+    return _probe_topk(
+        tf, df_t, stats, queries, id_col, q_text_col, q_id_col, k, score_mode
+    )
+
+
+# --- persisted, batch-appendable index (VERDICT r5 next #4) -------------
+
+
+from dataclasses import dataclass  # noqa: E402
+import uuid as _uuid  # noqa: E402
+
+
+@dataclass(frozen=True)
+class Bm25Index:
+    """Handle for a PERSISTED inverted index — what a production
+    retrieval system keeps between query sessions (the module
+    docstring's own production note). Two tables:
+
+    - ``{name}_tf`` (id, dl, term, tf) BUCKETED on ``term``: the
+      postings. The probe join (query terms → postings), the df
+      aggregate and the S scalar all key on ``term``, so every one
+      of them is bucket-local — no index-side exchange, and the
+      corpus is NEVER re-tokenized at query time (pinned by
+      tests/test_incremental_fuzzy.py's sibling plan tests).
+    - ``{name}_stats`` (n_docs, s_tokens): one row PER APPENDED
+      BATCH (empty documents count toward N but carry no postings,
+      so N cannot be derived from tf); readers sum across batches.
+
+    df is deliberately NOT persisted: it derives from tf with a
+    bucket-local aggregate, and persisting it would go stale on
+    every append."""
+
+    name: str
+    n_buckets: int = 32
+    location: str | None = None
+
+    @property
+    def tf_table(self) -> str:
+        return f"{self.name}_tf"
+
+    @property
+    def stats_table(self) -> str:
+        return f"{self.name}_stats"
+
+    def _path(self, suffix: str) -> str | None:
+        return f"{self.location}/{suffix}" if self.location else None
+
+    def drop(self, spark=None) -> None:
+        """No-residue contract, as DedupIndex/FuzzyIndex."""
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            for t in (self.tf_table, self.stats_table):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if self.location:
+            shutil.rmtree(self.location, ignore_errors=True)
+
+    def __enter__(self) -> "Bm25Index":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.drop()
+
+
+def build_bm25_index(
+    corpus: DataFrame, text_col: str, id_col: str, index: Bm25Index
+) -> None:
+    """Tokenize ``corpus`` once and persist the postings + batch
+    stats (overwrite)."""
+    _write_index(corpus, text_col, id_col, index, mode="overwrite")
+
+
+def append_bm25_index(
+    batch: DataFrame, text_col: str, id_col: str, index: Bm25Index
+) -> None:
+    """Append a new batch's postings and stats row (doc ids globally
+    unique — caller's contract). Readers re-aggregate bucket-locally;
+    no existing posting is rewritten."""
+    _write_index(batch, text_col, id_col, index, mode="append")
+
+
+def _write_index(
+    corpus: DataFrame, text_col: str, id_col: str, index: Bm25Index, mode: str
+) -> None:
+    from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+    tf, _, stats = corpus_index(corpus, text_col, id_col)
+    save_bucketed(
+        tf,
+        index.tf_table,
+        "term",
+        index.n_buckets,
+        mode=mode,
+        path=index._path("tf"),
+    )
+    spark = corpus.sparkSession
+    w = stats.write.mode(mode).format("parquet")
+    if index.location:
+        w = w.option("path", index._path("stats"))
+    w.saveAsTable(index.stats_table)
+    spark.catalog.refreshTable(index.stats_table)
+
+
+def bm25_topk_indexed(
+    spark,
+    queries: DataFrame,
+    index: Bm25Index,
+    id_col: str,
+    q_text_col: str,
+    q_id_col: str = "query_id",
+    k: int = 5,
+    score_mode: str = "fixed_point",
+) -> DataFrame:
+    """Top-``k`` per query against the PERSISTED index — identical
+    semantics to :func:`bm25_topk` over the concatenation of every
+    indexed batch (tf/df/dl/N/S are all per-document or additive
+    across batches), without touching corpus text. df re-derives
+    from the bucketed postings (bucket-local), stats sum across
+    batch rows."""
+    tf = spark.table(index.tf_table)
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.table(index.stats_table).agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("s_tokens").alias("s_tokens")
+    )
+    return _probe_topk(
+        tf, df_t, stats, queries, id_col, q_text_col, q_id_col, k, score_mode
+    )
+
+
+def temp_bm25_index(n_buckets: int = 32) -> Bm25Index:
+    """Uniquely-named tempdir-rooted index for self-contained
+    queries/tests; context-manage it so tables and tempdir drop on
+    exit."""
+    import tempfile
+
+    return Bm25Index(
+        name=f"bm25_idx_{_uuid.uuid4().hex}",
+        n_buckets=n_buckets,
+        location=tempfile.mkdtemp(prefix="bm25_index_"),
     )

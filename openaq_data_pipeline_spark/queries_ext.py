@@ -211,7 +211,11 @@ _LANG_COUNTS_DUCK = ",\n       ".join(
 )
 
 
-@register(
+@register_rotated(
+    # rotated r6 after 3 green driver rounds (r3-r5); the family
+    # stays driver-live (text: text_token_stats/text_quality_scores/
+    # text_repetition_signals; ANN: ann_topk_lsh/ann_topk_ivf) and
+    # this query keeps full Spark-vs-DuckDB parity via pytest
     "text_lang_id",
     "EXT-text — heuristic language ID (marker-stopword scoring, "
     "fixed-priority tie break) vs the labeled lang column",
@@ -1123,7 +1127,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity search --------------------------------------------------
 
 
-@register(
+@register_rotated(
+    # rotated r6 after 3 green driver rounds (r3-r5); the family
+    # stays driver-live (text: text_token_stats/text_quality_scores/
+    # text_repetition_signals; ANN: ann_topk_lsh/ann_topk_ivf) and
+    # this query keeps full Spark-vs-DuckDB parity via pytest
     "ann_topk_bruteforce",
     "EXT-similarity — exact cosine top-5 neighbors for 10 query "
     "vectors (brute-force baseline; window top-k)",

@@ -532,3 +532,124 @@ class TestBPETraining:
             .collect()
         ]
         assert got == _py_bpe_merges(words, 4)
+
+
+# --- BPE apply/encode (VERDICT r5 next #2) -----------------------------
+
+
+def _py_bpe_encode(docs, merges):
+    """Reference encoder for the bpe_encode id contract: apply merges
+    in round order, ids = sorted alphabet then A + round - 1 with
+    earliest-round-wins, UNK = -1, empty docs omitted."""
+    words = {w for _, t in docs for w in t.split()}
+    seqs = {w: list(w) for w in words}
+    for _, lhs, rhs, merged, _ in merges:
+        for w, seq in seqs.items():
+            new, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == lhs and seq[i + 1] == rhs:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(seq[i])
+                    i += 1
+            seqs[w] = new
+    alphabet = sorted({c for w in words for c in w})
+    ids = {c: i for i, c in enumerate(alphabet)}
+    a = len(alphabet)
+    for rnd, _, _, merged, _ in merges:
+        ids.setdefault(merged, a + rnd - 1)
+    return {
+        did: [ids.get(s, -1) for w in t.split() for s in seqs[w]]
+        for did, t in docs
+        if t.split()
+    }
+
+
+class TestBPEEncode:
+    ROWS = [
+        (0, "low lower lowest"),
+        (1, "low low newest"),
+        (2, ""),  # zero tokens -> omitted
+    ]
+
+    def _encode(self, spark, rows, n_merges=3):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_train_merges,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe_train_merges(df, "text", "doc_id", n_merges=n_merges)
+        return df, merges, bpe_encode(df, "text", "doc_id", merges)
+
+    def test_known_corpus_ids(self, spark):
+        """Hand-derived: alphabet e,l,n,o,r,s,t,w -> 0..7; merges
+        l+o(8), lo+w(9), e+s(10); 'lowest' -> [low, es, t]."""
+        _, _, enc = self._encode(spark, self.ROWS)
+        got = {r.doc_id: (list(r.token_ids), r.n_tokens) for r in enc.collect()}
+        assert got == {
+            0: ([9, 9, 0, 4, 9, 10, 6], 7),
+            1: ([9, 9, 2, 0, 7, 10, 6], 7),
+        }
+
+    def test_matches_reference_encoder(self, spark):
+        words: dict = {}
+        for _, t in self.ROWS:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        merges = _py_bpe_merges(words, 3)
+        _, _, enc = self._encode(spark, self.ROWS)
+        got = {r.doc_id: list(r.token_ids) for r in enc.collect()}
+        assert got == _py_bpe_encode(self.ROWS, merges)
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=5),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_reference_on_random_corpora(self, spark, wordlist):
+        rows = [(1, " ".join(wordlist))]
+        words: dict = {}
+        for w in wordlist:
+            words[w] = words.get(w, 0) + 1
+        merges = _py_bpe_merges(words, 3)
+        _, _, enc = self._encode(spark, rows)
+        got = {r.doc_id: list(r.token_ids) for r in enc.collect()}
+        assert got == _py_bpe_encode(rows, merges)
+
+    def test_cross_batch_encoding_keeps_training_ids(self, spark):
+        """Encoding a NEW batch with the TRAINING corpus's symbol
+        table keeps ids stable and maps unseen characters to -1 —
+        ids are a property of the tokenizer, not the batch."""
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_symbol_ids,
+            bpe_train_merges,
+        )
+
+        train = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string"
+        )
+        merges = bpe_train_merges(train, "text", "doc_id", n_merges=3)
+        sym = bpe_symbol_ids(train, "text", merges)
+        batch = spark.createDataFrame(
+            # 'low' must re-encode as [9]; 'z' is outside the
+            # training alphabet -> -1
+            [(100, "low zz")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: list(r.token_ids)
+            for r in bpe_encode(
+                batch, "text", "doc_id", merges, symbol_ids=sym
+            ).collect()
+        }
+        assert got == {100: [9, -1, -1]}

@@ -1,0 +1,184 @@
+"""Persisted BM25 index (VERDICT r5 next #4): probe-vs-inline
+equivalence, batch append, the float (textbook-BM25) production
+scoring mode against a Python reference, the two plan properties
+(no corpus re-tokenization at query time; df derivation bucket-local
+over the term-bucketed postings), and the no-residue contract."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.retrieval import (
+    append_bm25_index,
+    bm25_topk,
+    bm25_topk_indexed,
+    build_bm25_index,
+    temp_bm25_index,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (2, "the dog chased the cat"),
+    (4, "rivers and mountains and weather"),
+    (6, "cat cat cat everywhere"),
+    (8, ""),  # counts toward N, carries no postings
+]
+QUERIES = [(100, "cat mat"), (101, "weather rivers")]
+
+
+def _rows(df):
+    cols = df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _python_bm25(docs, queries, k1=1.2, b=0.75):
+    """Textbook BM25 reference (float), mirroring the engine's
+    normalize/tokenize contract on this all-lowercase fixture."""
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    dls = {i: len(ws) for i, ws in toks.items()}
+    s = sum(dls.values())
+    avgdl = s / n
+    dfs: dict[str, int] = {}
+    for ws in toks.values():
+        for t in set(ws):
+            dfs[t] = dfs.get(t, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in dict.fromkeys(qtext.split()):
+            for i, ws in toks.items():
+                tf = ws.count(term)
+                if tf == 0:
+                    continue
+                idf = math.log((n - dfs[term] + 0.5) / (dfs[term] + 0.5))
+                tff = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+                scores[i] = scores.get(i, 0.0) + idf * tff
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+class TestBm25Index:
+    def test_indexed_probe_equals_inline(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        qdf = spark.createDataFrame(QUERIES, "query_id long, q_text string")
+        inline = bm25_topk(docs, qdf, "text", "doc_id", "q_text", k=3)
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(docs, "text", "doc_id", idx)
+            got = bm25_topk_indexed(
+                spark, qdf, idx, "doc_id", "q_text", k=3
+            )
+            assert _rows(got) == _rows(inline)
+
+    def test_append_equals_inline_over_union(self, spark):
+        b1 = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+        b2 = spark.createDataFrame(DOCS[3:], "doc_id long, text string")
+        qdf = spark.createDataFrame(QUERIES, "query_id long, q_text string")
+        inline = bm25_topk(
+            b1.unionByName(b2), qdf, "text", "doc_id", "q_text", k=3
+        )
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(b1, "text", "doc_id", idx)
+            append_bm25_index(b2, "text", "doc_id", idx)
+            got = bm25_topk_indexed(spark, qdf, idx, "doc_id", "q_text", k=3)
+            assert _rows(got) == _rows(inline)
+
+    def test_float_mode_matches_textbook_reference(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        qdf = spark.createDataFrame(QUERIES, "query_id long, q_text string")
+        ref = _python_bm25(DOCS, QUERIES)
+        out = bm25_topk(
+            docs, qdf, "text", "doc_id", "q_text", k=3, score_mode="float"
+        ).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+            got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+        for qid, expected in ref.items():
+            exp = [(d, round(s, 6)) for d, s in expected[:3]]
+            assert [
+                (d, pytest.approx(s, abs=1e-6)) for d, s in exp
+            ] == got[qid], (qid, exp, got[qid])
+
+    def test_float_mode_on_indexed_probe(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        qdf = spark.createDataFrame(QUERIES, "query_id long, q_text string")
+        inline = bm25_topk(
+            docs, qdf, "text", "doc_id", "q_text", k=3, score_mode="float"
+        )
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(docs, "text", "doc_id", idx)
+            got = bm25_topk_indexed(
+                spark, qdf, idx, "doc_id", "q_text", k=3, score_mode="float"
+            )
+            assert _rows(got) == _rows(inline)
+
+    def test_unknown_score_mode_raises(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        qdf = spark.createDataFrame(QUERIES, "query_id long, q_text string")
+        with pytest.raises(ValueError, match="score_mode"):
+            bm25_topk(
+                docs, qdf, "text", "doc_id", "q_text", score_mode="exotic"
+            ).collect()
+
+    def test_probe_plan_reads_index_not_corpus(self, spark, tmp_path):
+        """VERDICT r5 #4 'done' criterion: the query path reads the
+        bucketed index with NO corpus re-tokenization — the probe
+        plan's inputs are the index tables only, never the corpus
+        parquet."""
+        corpus_path = str(tmp_path / "corpus_docs")
+        spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(
+            corpus_path
+        )
+        qdf = spark.createDataFrame(QUERIES, "query_id long, q_text string")
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(
+                spark.read.parquet(corpus_path), "text", "doc_id", idx
+            )
+            probe = bm25_topk_indexed(spark, qdf, idx, "doc_id", "q_text", k=3)
+            files = probe.inputFiles()
+            assert idx.location is not None
+            assert any(idx.location in f for f in files), "index scan missing"
+            assert not any(corpus_path in f for f in files), (
+                "probe re-reads (re-tokenizes) the corpus"
+            )
+
+    def test_df_derivation_is_bucket_local(self, spark):
+        """df re-derives from the term-bucketed postings with NO
+        exchange above the scan — the reason df is not persisted."""
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(docs, "text", "doc_id", idx)
+            df_t = (
+                spark.table(idx.tf_table)
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+            plan = df_t._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+
+    def test_no_temp_index_residue(self, spark):
+        import tempfile
+
+        from openaq_data_pipeline_spark.queries_corpus import bm25_topk_query
+
+        tmp_root = tempfile.gettempdir()
+        before = set(glob.glob(os.path.join(tmp_root, "bm25_index_*")))
+        out = bm25_topk_query(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"),
+        )
+        assert out.count() > 0
+        after = set(glob.glob(os.path.join(tmp_root, "bm25_index_*")))
+        assert after - before == set()
+        leaked = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("bm25_idx_")
+        ]
+        assert leaked == [], leaked
