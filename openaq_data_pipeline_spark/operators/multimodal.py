@@ -267,15 +267,484 @@ def decode_png(content: bytes) -> np.ndarray:
     return img
 
 
+# --- baseline JPEG codec (pure NumPy + stdlib; VERDICT r5 next #6) ------
+#
+# Public-knowledge JFIF/JPEG baseline (ITU-T T.81 Annex F, JFIF 1.02):
+# huffman entropy coding, zigzag, uniform dequant, 2-D type-II DCT by
+# matrix product, YCbCr<->RGB per JFIF. The ENCODER exists to
+# synthesize fixtures (4:4:4, luminance huffman tables for all
+# components — legal, tables are declared in DHT); the DECODER is
+# general baseline: multiple DQT/DHT, SOF0 with subsampling factors
+# up to 2 (4:2:0 etc.), DRI/RSTn restart intervals, grayscale or
+# 3-component YCbCr. Progressive (SOF2), arithmetic coding and 12-bit
+# precision raise.
+#
+# Exactness property used by the oracle fixtures: a GRAYSCALE image
+# that is constant on every 8x8 block, encoded with a flat
+# quantization table of 8, decodes BIT-EXACTLY — such blocks have
+# only a DC coefficient 8*(v-128) whose quantization by 8 and IDCT
+# are exact, so decoded pixel statistics stay closed-form while the
+# decode path (huffman -> dezigzag -> dequant -> IDCT -> level
+# shift) is the real one.
+
+import math  # noqa: E402
+
+_DCT8 = np.array(
+    [
+        [
+            math.cos((2 * n + 1) * k * math.pi / 16)
+            * (math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8))
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rng if s % 2 == 1 else reversed(rng)):
+            out.append((r, s - r))
+    return out
+
+
+_ZZ = _zigzag()  # 64 (row, col) pairs in scan order
+
+# Annex K.3.3.1 luminance huffman specs (bits-per-length, symbols)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment (T.81 C.2)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-serial decoding."""
+    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """DPCM/AC magnitude coding: (category, value-bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 8, 8) quantized zigzag-ready coefficients."""
+    h, w = plane.shape
+    f = plane.astype(np.float64).reshape(h // 8, 8, w // 8, 8) - 128.0
+    f = f.transpose(0, 2, 1, 3)  # (nby, nbx, 8, 8)
+    coef = np.einsum("ky,bcyx,xl->bckl", _DCT8, f, _DCT8.T)
+    return np.round(coef / q).astype(np.int64)
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    q: int = 8,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 grayscale (H, W) or RGB (H, W, 3) → baseline JFIF JPEG
+    (flat quantization table of ``q``, Annex-K luminance huffman
+    tables for every component). ``subsampling``: "444" or "420"
+    (color only); ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs. Dimensions pad to MCU multiples by edge
+    replication; with the default q=8 and a constant-per-8x8-block
+    GRAYSCALE input the encode→decode round-trip is bit-exact (see
+    codec section comment)."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_baseline expects uint8")
+    gray = arr.ndim == 2
+    if subsampling not in ("444", "420") or (gray and subsampling != "444"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+        factors = (
+            [(1, 1)] * 3 if subsampling == "444" else [(2, 2), (1, 1), (1, 1)]
+        )
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qtab = np.full((8, 8), q, dtype=np.int64)
+
+    blocks = []
+    for (fh, fv), p in zip(factors, planes):
+        if (fh, fv) != (hmax, vmax):
+            # downsample by block averaging (ratio 2 in each axis here)
+            ry, rx = vmax // fv, hmax // fh
+            ph0 = ((p.shape[0] + ry - 1) // ry) * ry
+            pw0 = ((p.shape[1] + rx - 1) // rx) * rx
+            p = np.pad(
+                p, ((0, ph0 - p.shape[0]), (0, pw0 - p.shape[1])), mode="edge"
+            )
+            p = p.reshape(ph0 // ry, ry, pw0 // rx, rx).mean(axis=(1, 3))
+            p = np.round(p)
+        th, tw = mcuy * fv * 8, mcux * fh * 8
+        padded = np.pad(
+            p,
+            ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            mode="edge",
+        ).astype(np.uint8)
+        blocks.append(_encode_plane_blocks(padded, qtab))
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    def encode_block(bw, coefs, pred):
+        zz = [int(coefs[r, c]) for r, c in _ZZ]
+        s, bits_v = _magnitude(zz[0] - pred)
+        code, ln = dc_codes[s]
+        bw.put(code, ln)
+        bw.put(bits_v, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s, bits_v = _magnitude(zz[i])
+            code, ln = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(bits_v, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+        return zz[0]
+
+    chunks: list[bytes] = []
+    bw = _JpegBitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                chunks.append(bw.flush())
+                chunks.append(bytes([0xFF, 0xD0 + rst_n]))
+                rst_n = (rst_n + 1) % 8
+                bw = _JpegBitWriter()
+                preds = [0] * len(planes)
+            for ci, ((fh, fv), blk) in enumerate(zip(factors, blocks)):
+                for by in range(fv):
+                    for bx in range(fh):
+                        preds[ci] = encode_block(
+                            bw, blk[my * fv + by, mx * fh + bx], preds[ci]
+                        )
+            mcu_count += 1
+    chunks.append(bw.flush())
+    data = b"".join(chunks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(int(qtab[r, c]) for r, c in _ZZ)
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x02\x01\x00\x48\x00\x48\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)  # DQT id 0, 8-bit
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = factors[ci]
+        sof += struct.pack(">BBB", ci + 1, (fh << 4) | fv, 0)  # qtable 0
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = struct.pack(">B", ncomp)
+    for ci in range(ncomp):
+        sos += struct.pack(">BB", ci + 1, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_baseline(content: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG → (H, W, 3) uint8 RGB (grayscale broadcast
+    to RGB, as the PNG grey path does). General baseline decoder —
+    see the codec section comment for supported surface."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        body = content[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization unsupported")
+                tab = np.zeros((8, 8), dtype=np.int64)
+                for i, (r, c) in enumerate(_ZZ):
+                    tab[r, c] = body[bpos + 1 + i]
+                qtabs[tq] = tab
+                bpos += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + n])
+                huff[(tc, th)] = _huff_lookup(bits, vals)
+                bpos += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline DCT)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("12-bit precision unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = {}
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan[cs] = (tt >> 4, tt & 0x0F)
+            break
+    else:
+        raise ValueError("JPEG missing SOS")
+    if sof is None:
+        raise ValueError("JPEG missing SOF0")
+    h, w, comps = sof
+
+    # split entropy-coded data at RST/terminating markers, unstuffing
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = pos
+    while p < len(content):
+        b = content[p]
+        if b == 0xFF:
+            nxt = content[p + 1] if p + 1 < len(content) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coef = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.int64)
+        for c in comps
+    }
+
+    seg_idx = 0
+    data = segments[0]
+    bitpos = 0
+    preds = {c["id"]: 0 for c in comps}
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        byte = data[bitpos >> 3]
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return bit
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+    def extend(v: int, s: int) -> int:
+        return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                seg_idx += 1
+                data = segments[seg_idx]
+                bitpos = 0
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_t, ac_t = (
+                    scan[c["id"]] if c["id"] in scan else (0, 0)
+                )
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.int64)
+                        s = read_symbol(huff[(0, dc_t)])
+                        diff = extend(read_bits(s), s)
+                        preds[c["id"]] += diff
+                        blk[0] = preds[c["id"]]
+                        i = 1
+                        while i < 64:
+                            rs = read_symbol(huff[(1, ac_t)])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            if i > 63:
+                                raise ValueError("AC index overrun")
+                            sz = rs & 0x0F
+                            blk[i] = extend(read_bits(sz), sz)
+                            i += 1
+                        zz = np.zeros((8, 8), dtype=np.int64)
+                        for k, (r, cc) in enumerate(_ZZ):
+                            zz[r, cc] = blk[k]
+                        coef[c["id"]][
+                            my * c["v"] + by, mx * c["h"] + bx
+                        ] = zz
+            mcu_count += 1
+
+    planes = {}
+    for c in comps:
+        q = qtabs[c["tq"]]
+        s_blocks = coef[c["id"]].astype(np.float64) * q
+        pix = np.einsum("yk,bckl,lx->bcyx", _DCT8.T, s_blocks, _DCT8)
+        nby, nbx = pix.shape[0], pix.shape[1]
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+        # upsample to full resolution by pixel replication, crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes[c["id"]] = plane[:h, :w]
+    if len(comps) == 1:
+        g = np.clip(np.round(planes[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y = planes[comps[0]["id"]]
+    cb = planes[comps[1]["id"]] - 128.0
+    cr = planes[comps[2]["id"]] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _decode_image(content: bytes) -> np.ndarray:
     """Magic-byte dispatch. A production deploy extends this with
-    codec-library formats (JPEG via PIL, frames via av)."""
+    codec-library formats (exotic JPEG variants via PIL, frames via
+    av); BMP/PPM/PNG/baseline-JPEG decode here in pure NumPy."""
     if content[:2] == b"BM":
         return decode_bmp24(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg_baseline(content)
     raise ValueError(f"unknown image magic {content[:2]!r}")
 
 
@@ -433,12 +902,20 @@ def synthetic_images(
 ) -> DataFrame:
     """Deterministic synthetic images keyed by id — the fixture for
     the real decode path (no image test data ships in the container).
-    Closed-form and engine-reproducible: w = 4 + id%5, h = 3 + id%3,
-    pixel(y, x, c) = (id·31 + y·7 + x·3 + c·11) mod 256 — so a SQL
-    oracle can compute every decoded-pixel statistic without touching
-    bytes. ``mix_formats`` encodes odd ids as PNG (scanline filter =
-    id mod 5, so all five filter paths ship in one corpus) and even
-    ids as 24-bpp BMP; otherwise all BMP.
+    Closed-form and engine-reproducible, so a SQL oracle can compute
+    every decoded-pixel statistic without touching bytes.
+
+    ``mix_formats=False``: every id as 24-bpp BMP with w = 4 + id%5,
+    h = 3 + id%3, pixel(y, x, c) = (id·31 + y·7 + x·3 + c·11) mod 256.
+    ``mix_formats=True`` (the driver-verified mix, r6: + JPEG):
+    - id ≡ 0, 2 (mod 4) → BMP, formula above;
+    - id ≡ 1 (mod 4) → 8-bit PNG, same pixels, scanline filter =
+      id mod 5 (ids 1,5,9,13,17 cycle through all five filters);
+    - id ≡ 3 (mod 4) → baseline GRAYSCALE JPEG, constant per 8×8
+      block: w = 8·(1 + id%3), h = 8·(1 + (id//4)%2),
+      block(by, bx) = (id·31 + by·7 + bx·3) mod 256 — with the flat
+      q=8 table this decodes BIT-EXACTLY (codec section comment), so
+      even the lossy format stays closed-form for the oracle.
     Output: (media_id, content binary)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -446,12 +923,21 @@ def synthetic_images(
             ids, blobs = [], []
             for mid in pdf[id_col]:
                 mid = int(mid)
+                ids.append(mid)
+                if mix_formats and mid % 4 == 3:
+                    bw, bh = 1 + mid % 3, 1 + (mid // 4) % 2
+                    by, bx = np.meshgrid(
+                        np.arange(bh), np.arange(bw), indexing="ij"
+                    )
+                    v = ((mid * 31 + by * 7 + bx * 3) % 256).astype(np.uint8)
+                    img_g = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                    blobs.append(encode_jpeg_baseline(img_g))
+                    continue
                 w, h = 4 + mid % 5, 3 + mid % 3
                 y, x, c = np.meshgrid(
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 img = ((mid * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
-                ids.append(mid)
                 if mix_formats and mid % 2 == 1:
                     blobs.append(encode_png(img, filter_type=mid % 5))
                 else:

@@ -55,9 +55,9 @@ from openaq_data_pipeline_spark.operators.text import normalize, tokens
 SCORE_SCALE = 6  # fixed-point decimals for per-term BM25 scores
 
 
-def corpus_index(corpus: DataFrame, text_col: str, id_col: str) -> tuple[
-    DataFrame, DataFrame, DataFrame
-]:
+def corpus_index(
+    corpus: DataFrame, text_col: str, id_col: str, materialize: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(tf, df, stats) — the inverted-index family:
     ``tf`` (id, term, tf, dl), ``df`` (term, df),
     ``stats`` (n_docs, s_tokens) as a 1-row DataFrame (joined
@@ -72,7 +72,14 @@ def corpus_index(corpus: DataFrame, text_col: str, id_col: str) -> tuple[
     blocks). The corpus is tokenized exactly once: N comes from a
     column-pruned id-only scan and S = Σtf from the index itself
     (per-doc token sums equal document length; empty docs carry no
-    terms and contribute 0 to both)."""
+    terms and contribute 0 to both).
+
+    ``materialize=False`` skips the in-memory checkpoint — for
+    callers whose FIRST action over tf is itself a materialization
+    (the persisted-index bucketed write), where a memory copy would
+    be pure overhead. Such callers must not evaluate the returned
+    df/stats before their own materialization lands (they would
+    re-tokenize)."""
     toks = corpus.select(
         F.col(id_col), tokens(normalize(F.col(text_col))).alias("__w")
     )
@@ -92,8 +99,9 @@ def corpus_index(corpus: DataFrame, text_col: str, id_col: str) -> tuple[
         .where(F.col("term") != "")
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
     )
+    if materialize:
+        tf = tf.localCheckpoint(eager=False)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = (
         corpus.select(F.col(id_col))
@@ -140,6 +148,19 @@ def _probe_topk(
             F.array_distinct(tokens(normalize(F.col(q_text_col))))
         ).alias("term"),
     ).where(F.col("term") != "")
+
+    # prune df to the query vocabulary BEFORE aggregating: a term's
+    # df over the pruned postings equals its df over the full table
+    # (every posting row of that term survives the semi-join), so
+    # the full-index groupBy never runs — the probe's only
+    # index-sized work is the pruned posting scan itself (r6: the
+    # full-table df aggregate was the probe's dominant cost once the
+    # index moved to disk)
+    if df_t is None:
+        pruned = tf.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        df_t = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     cand = (
         tf.join(F.broadcast(qterms), "term")
@@ -222,9 +243,12 @@ def bm25_topk(
     :func:`bm25_topk_indexed`. Scores per ``score_mode`` — see
     :func:`_probe_topk`. A doc ranks only if it shares ≥1 term with
     the query; ties order by doc_id."""
-    tf, df_t, stats = corpus_index(corpus, text_col, id_col)
+    tf, _, stats = corpus_index(corpus, text_col, id_col)
+    # df_t=None: the probe derives df from the query-term-pruned
+    # postings (exact; see _probe_topk) instead of corpus_index's
+    # full-vocabulary aggregate
     return _probe_topk(
-        tf, df_t, stats, queries, id_col, q_text_col, q_id_col, k, score_mode
+        tf, None, stats, queries, id_col, q_text_col, q_id_col, k, score_mode
     )
 
 
@@ -312,16 +336,37 @@ def _write_index(
 ) -> None:
     from openaq_data_pipeline_spark.sources.tables import save_bucketed
 
-    tf, _, stats = corpus_index(corpus, text_col, id_col)
-    save_bucketed(
-        tf,
-        index.tf_table,
-        "term",
-        index.n_buckets,
-        mode=mode,
-        path=index._path("tf"),
-    )
     spark = corpus.sparkSession
+    # No per-bucket sortBy either way: probe joins are
+    # hash/broadcast, a sorted order buys nothing and costs a full
+    # sort of the postings per write.
+    if mode == "overwrite":
+        # the bucketed WRITE is the materialization — no in-memory
+        # checkpoint needed; batch stats re-derive from the WRITTEN
+        # table (it holds exactly this batch) + an id-pruned corpus
+        # count, so tokenization never runs twice
+        tf, _, _ = corpus_index(corpus, text_col, id_col, materialize=False)
+        save_bucketed(
+            tf, index.tf_table, "term", index.n_buckets,
+            sort=False, mode=mode, path=index._path("tf"),
+        )
+        stats = (
+            corpus.select(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(
+                spark.table(index.tf_table).agg(F.sum("tf").alias("s_tokens"))
+            )
+        )
+    else:
+        # APPEND: the stats row must be BATCH-ONLY (readers sum rows
+        # across batches — deriving s_tokens from the written table
+        # here would double-count history). The checkpointed batch tf
+        # keeps it one tokenization pass, batch-sized.
+        tf, _, stats = corpus_index(corpus, text_col, id_col)
+        save_bucketed(
+            tf, index.tf_table, "term", index.n_buckets,
+            sort=False, mode=mode, path=index._path("tf"),
+        )
     w = stats.write.mode(mode).format("parquet")
     if index.location:
         w = w.option("path", index._path("stats"))
@@ -346,12 +391,14 @@ def bm25_topk_indexed(
     from the bucketed postings (bucket-local), stats sum across
     batch rows."""
     tf = spark.table(index.tf_table)
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = spark.table(index.stats_table).agg(
         F.sum("n_docs").alias("n_docs"), F.sum("s_tokens").alias("s_tokens")
     )
+    # df_t=None: df derives from the query-term-pruned bucketed scan
+    # (exact and bucket-local; the full-table aggregate was the
+    # probe's dominant disk-read cost)
     return _probe_topk(
-        tf, df_t, stats, queries, id_col, q_text_col, q_id_col, k, score_mode
+        tf, None, stats, queries, id_col, q_text_col, q_id_col, k, score_mode
     )
 
 

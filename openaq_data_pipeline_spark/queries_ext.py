@@ -1336,28 +1336,37 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_real_decode",
     "EXT-multimodal — REAL image decode on executors over a MIXED "
-    "corpus: even ids as 24-bpp BMP, odd ids as 8-bit PNG (stdlib "
-    "zlib, scanline filter = id mod 5 so all five PNG filter paths "
-    "are driver-verified — VERDICT r4 #6), decoded by the pure-NumPy "
-    "parsers inside Arrow mapInPandas; the oracle recomputes "
-    "format/dimensions/signature-bytes/pixel stats analytically from "
-    "the id, so encode→INFLATE→unfilter→stats is hash-checked "
-    "(BMP byte size stays closed-form; PNG byte size is "
-    "zlib-dependent → NULL by contract)",
+    "corpus: ids ≡0,2 (mod 4) as 24-bpp BMP, ids ≡1 (mod 4) as 8-bit "
+    "PNG (stdlib zlib, scanline filter = id mod 5 so all five PNG "
+    "filter paths are driver-verified — VERDICT r4 #6), ids ≡3 "
+    "(mod 4) as baseline GRAYSCALE JPEG (r6, VERDICT r5 next #6: "
+    "pure-NumPy huffman + dezigzag + dequant + IDCT; "
+    "constant-per-8x8-block fixtures with a flat q=8 table decode "
+    "BIT-EXACTLY, keeping the lossy format closed-form), all decoded "
+    "by the pure-NumPy parsers inside Arrow mapInPandas; the oracle "
+    "recomputes format/dimensions/signature-bytes/pixel stats "
+    "analytically from the id (BMP byte size stays closed-form; "
+    "PNG/JPEG byte sizes are entropy-coder-dependent → NULL by "
+    "contract)",
     oracle="""
 WITH dims AS (
     SELECT doc_id AS media_id,
-           4 + doc_id % 5 AS w,
-           3 + doc_id % 3 AS h
+           CASE WHEN doc_id % 4 = 3 THEN 8 * (1 + doc_id % 3)
+                ELSE 4 + doc_id % 5 END AS w,
+           CASE WHEN doc_id % 4 = 3 THEN 8 * (1 + (doc_id // 4) % 2)
+                ELSE 3 + doc_id % 3 END AS h
     FROM documents
 ),
 px AS (
     SELECT media_id, w, h,
-           CAST(sum((media_id * 31 + y.i * 7 + x.i * 3 + c.i * 11) % 256) AS BIGINT) AS px_sum,
+           CAST(sum(CASE WHEN media_id % 4 = 3
+                THEN (media_id * 31 + (y.i // 8) * 7 + (x.i // 8) * 3) % 256
+                ELSE (media_id * 31 + y.i * 7 + x.i * 3 + c.i * 11) % 256
+           END) AS BIGINT) AS px_sum,
            CAST(w * h * 3 AS BIGINT) AS n_px
     FROM dims,
-         generate_series(0, 9) y(i),
-         generate_series(0, 9) x(i),
+         generate_series(0, 23) y(i),
+         generate_series(0, 23) x(i),
          generate_series(0, 2) c(i)
     WHERE y.i < h AND x.i < w
     GROUP BY media_id, w, h
@@ -1365,7 +1374,8 @@ px AS (
 SELECT media_id,
        CASE WHEN media_id % 2 = 1 THEN NULL
             ELSE CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) END AS n_bytes,
-       CASE WHEN media_id % 2 = 1 THEN '89504e47'
+       CASE WHEN media_id % 4 = 1 THEN '89504e47'
+            WHEN media_id % 4 = 3 THEN 'ffd8ffe0'
             ELSE '424d' || printf('%02x', (54 + ((3 * w + 3) // 4) * 4 * h) % 256)
                         || printf('%02x', ((54 + ((3 * w + 3) // 4) * 4 * h) // 256) % 256)
        END AS header_hex,
@@ -1378,15 +1388,18 @@ FROM px
 )
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media blobs are synthesized per doc_id (deterministic pixels;
-    even ids 24-bpp BMP, odd ids 8-bit PNG with scanline filter
-    id%5 — operators/multimodal.synthetic_images mix_formats), then
-    the REAL decoders parse them back; every output column is
-    independently derivable from the id in closed form, which is what
-    the oracle does — verifying the BMP header layout (n_bytes,
-    little-endian size bytes in header_hex), the PNG signature, and
-    pixel-exact decode through both codecs (px_sum, exact-rounded
-    mean_px). PNG n_bytes is zlib-output-dependent, hence NULL by
-    contract on both sides."""
+    ids ≡0,2 mod 4 24-bpp BMP, ids ≡1 mod 4 8-bit PNG with scanline
+    filter id%5, ids ≡3 mod 4 baseline grayscale JPEG with
+    constant 8×8 blocks — operators/multimodal.synthetic_images
+    mix_formats), then the REAL decoders parse them back; every
+    output column is independently derivable from the id in closed
+    form, which is what the oracle does — verifying the BMP header
+    layout (n_bytes, little-endian size bytes in header_hex), the
+    PNG and JPEG signatures, and pixel-exact decode through all
+    three codecs (px_sum, exact-rounded mean_px; JPEG exactness via
+    the DC-only/flat-q=8 construction). PNG/JPEG n_bytes are
+    entropy-coder-dependent, hence NULL by contract on both sides
+    (the odd-id mask covers exactly PNG ∪ JPEG)."""
     from openaq_data_pipeline_spark.operators.multimodal import synthetic_images
 
     d = load(spark, sf_dir, "documents")["documents"]

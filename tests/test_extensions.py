@@ -1042,3 +1042,100 @@ class TestMultimodalPlumbing:
         up = decode_bmp24(bytes(row2.content))
         idx2 = ((np.arange(16) + 0.5) * 0.5).astype(int)
         assert (up == img[idx2][:, idx2]).all()
+
+
+class TestJpegCodec:
+    """Baseline JFIF codec (VERDICT r5 next #6): grayscale
+    constant-block exactness (the oracle fixture property), color
+    round-trip tolerance across 4:4:4 and 4:2:0, restart intervals,
+    and loud rejection of unsupported variants."""
+
+    def test_grayscale_constant_blocks_bit_exact(self):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        blocks = ((np.arange(12) * 73 + 5) % 256).astype(np.uint8).reshape(3, 4)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        blob = encode_jpeg_baseline(img)
+        assert blob[:4] == b"\xff\xd8\xff\xe0"
+        out = decode_jpeg_baseline(blob)
+        assert (out == np.repeat(img[:, :, None], 3, axis=2)).all()
+
+    def test_grayscale_exact_with_restart_intervals(self):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        blocks = ((np.arange(20) * 31) % 256).astype(np.uint8).reshape(4, 5)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        blob = encode_jpeg_baseline(img, restart_interval=3)
+        assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+        out = decode_jpeg_baseline(blob)
+        assert (out == np.repeat(img[:, :, None], 3, axis=2)).all()
+
+    def test_color_round_trip_tolerance(self):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        rng_img = ((np.arange(17 * 23 * 3, dtype=np.int64) * 91 + 7) % 256).astype(
+            np.uint8
+        ).reshape(17, 23, 3)
+        out = decode_jpeg_baseline(encode_jpeg_baseline(rng_img, q=1))
+        assert out.shape == rng_img.shape
+        # YCbCr forward/backward rounding costs at most a couple of
+        # codes per channel at q=1 (no quantization loss)
+        assert np.abs(out.astype(int) - rng_img.astype(int)).max() <= 3
+
+    def test_420_subsampling_and_restart(self):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        yy, xx = np.meshgrid(np.arange(32), np.arange(40), indexing="ij")
+        smooth = np.stack(
+            [(yy * 3) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        for ri in (0, 2):
+            out = decode_jpeg_baseline(
+                encode_jpeg_baseline(smooth, q=1, subsampling="420",
+                                     restart_interval=ri)
+            )
+            assert out.shape == smooth.shape
+            # chroma is 2x2-averaged then replicated — smooth content
+            # stays within a few codes
+            assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 6
+
+    def test_rejects_unsupported(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+
+        with _pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg_baseline(b"BM123456")
+        # progressive marker (SOF2) rejected
+        img = np.zeros((8, 8), dtype=np.uint8)
+        blob = bytearray(encode_jpeg_baseline(img))
+        idx = blob.find(b"\xff\xc0")
+        blob[idx + 1] = 0xC2
+        with _pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg_baseline(bytes(blob))
+        with _pytest.raises(ValueError, match="subsampling"):
+            encode_jpeg_baseline(img, subsampling="420")  # gray 420

@@ -51,3 +51,32 @@ class TestCompaction:
         p = self._fragmented(spark, tmp_path)
         stats = {r["p"]: r["n_files"] for r in partition_file_stats(spark, p, "d").collect()}
         assert stats["A"] >= 12 and stats["B"] >= 1
+
+    def test_stats_reports_real_byte_sizes(self, spark, tmp_path):
+        p = self._fragmented(spark, tmp_path)
+        on_disk = {
+            part: sum(os.path.getsize(f) for f in _files(p, part))
+            for part in ("A", "B")
+        }
+        got = {
+            r["p"]: r["n_bytes"]
+            for r in partition_file_stats(spark, p, "d").collect()
+        }
+        assert got == on_disk
+
+    def test_stats_launches_no_spark_job(self, spark, tmp_path):
+        """VERDICT r5 #3 'done' criterion: deciding which partitions
+        to compact is a filesystem LISTING, not a data scan — the
+        stats pass must launch zero Spark jobs (the previous form
+        ran input_file_name() over the whole table)."""
+        p = self._fragmented(spark, tmp_path)
+        store = spark.sparkContext._jsc.sc().statusStore()
+        before = store.jobsList(None).size()
+        stats = partition_file_stats(spark, p, "d")
+        assert store.jobsList(None).size() == before, (
+            "partition_file_stats launched a Spark job"
+        )
+        # the result itself is sane (collecting the 2-row
+        # driver-local DataFrame afterwards may legitimately run a
+        # trivial local job — that is not a data scan)
+        assert {r["p"] for r in stats.collect()} == {"A", "B"}
