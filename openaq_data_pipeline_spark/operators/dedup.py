@@ -551,9 +551,10 @@ def _uf_local_labels(batches):
     induction, so no second min-scan is needed; path compression in
     ``find`` keeps the walk amortized near-constant. Memory is
     O(nodes in partition) — bounded by 2× the edges-per-partition
-    budget, which the caller's round-robin repartition actually
-    enforces (ADVICE r5 #3: a coalesce would only approximate it
-    under skewed upstream partitioning). The per-edge Python
+    budget, which the caller's range repartition enforces up to
+    range-sampling error (ADVICE r5 #3: a coalesce would not even
+    approximate it under skewed upstream partitioning). The per-edge
+    Python
     loop is batch-level work inside an Arrow-fed iterator (union-find
     has no vectorized form), not a per-row UDF in a Catalyst plan."""
     import pandas as pd
@@ -669,14 +670,24 @@ def connected_components(
         [StructField("node", id_type), StructField("comp", id_type)]
     )
     if local_contraction:
-        # repartition, not coalesce (ADVICE r5 #3): coalesce only
-        # merges existing partitions, so a skewed or few-partition
-        # upstream could land far more than CC_EDGES_PER_PARTITION
-        # edges (and their union-find dict) in one task. Round-robin
-        # repartition makes the per-task memory bound actually hold;
-        # the extra exchange moves the pair-bounded edge list once,
-        # off an already-checkpointed scan.
-        local = edges.repartition(n_parts).mapInPandas(_uf_local_labels, uf_schema)
+        # repartitionByRange, not coalesce (ADVICE r5 #3): coalesce
+        # only merges existing partitions, so a skewed or
+        # few-partition upstream could land far more than
+        # CC_EDGES_PER_PARTITION edges (and their union-find dict) in
+        # one task. Range partitioning on (src, dst) BALANCES
+        # partition sizes (sampled boundaries; the residual skew
+        # source — one node's whole edge mass sharing a key — is
+        # bounded upstream by the pair generators' bucket caps) AND
+        # keeps id-adjacent edges co-located, which round-robin does
+        # not: scattering a chain uniformly leaves local union-find
+        # with no local structure, so phase 2 degenerates to
+        # O(diameter) global rounds (measured: a 30-chain blew the
+        # 25-round budget). The extra exchange moves the
+        # pair-bounded edge list once, off an already-checkpointed
+        # scan.
+        local = edges.repartitionByRange(
+            n_parts, F.col("src"), F.col("dst")
+        ).mapInPandas(_uf_local_labels, uf_schema)
         if n_parts == 1:
             # one graph-sized partition → the local pass IS the exact
             # global answer; materialize and return on the caller's
@@ -742,8 +753,34 @@ def connected_components(
         for _ in range((max_iters + 1) // 2):
             # two hops per round; hop 1's intermediate exchanges are
             # shared by hop 2's two consumers via ReuseExchange
-            new_labels = hop(hop(labels).select("node", "comp")).localCheckpoint(
-                eager=False
+            hopped = hop(hop(labels).select("node", "comp"))
+            # pointer-jumping shortcut (r6): label(v) ← label(label(v)).
+            # Edge hops alone move a label ONE node per hop — O(diameter)
+            # rounds, which a chain seeded with small local blocks
+            # actually hits (the r6 range-repartition of phase 1
+            # surfaced it: a 31-node chain blew the 25-round budget).
+            # Every label value is itself a node id of the same
+            # component, so composing the label map with itself is
+            # sound (labels are monotone non-increasing and bounded
+            # below by the component min), and halving the label-tree
+            # depth each round makes convergence O(log diameter) —
+            # the property that actually survives 100 TB chain
+            # topologies. One extra node-sized self-join exchange per
+            # round, alongside the hop's edge-sized ones.
+            parent_lbl = hopped.select(
+                F.col("node").alias("comp"), F.col("comp").alias("__pc")
+            )
+            jumped = F.coalesce(F.col("__pc"), F.col("comp"))
+            new_labels = (
+                hopped.join(parent_lbl, "comp", "left")
+                .select(
+                    "node",
+                    jumped.alias("comp"),
+                    (F.col("__changed") | (jumped < F.col("comp"))).alias(
+                        "__changed"
+                    ),
+                )
+                .localCheckpoint(eager=False)
             )
             # ONE job: the count materializes the lazy checkpoint
             # and evaluates convergence in the same pass

@@ -903,3 +903,204 @@ def quantize_embeddings(
             ).alias("q_fp"),
         )
     )
+
+
+# --- persisted IVF index (r6): the ANN tier's Bm25Index analogue --------
+
+
+from dataclasses import dataclass as _dataclass  # noqa: E402
+import uuid as _uuid  # noqa: E402
+
+
+@_dataclass(frozen=True)
+class IvfIndex:
+    """Handle for a PERSISTED IVF-flat index — what a production ANN
+    service keeps between query sessions, and the similarity-tier
+    analogue of :class:`~.retrieval.Bm25Index` / the incremental
+    dedup indexes. Two tables:
+
+    - ``{name}_cells`` — (neighbor_id, c_vec, cell_id): every
+      indexed vector WITH its embedding, BUCKETED on ``cell_id`` so
+      probe-side work is cell-pruned and the scoring join reads
+      vectors from the index, never from the corpus (plan-pinned:
+      a probe's inputFiles contain no corpus parquet).
+    - ``{name}_centroids`` — (cell_id, centroid): the FROZEN coarse
+      quantizer (n_cells rows). Appended batches assign against
+      these exact centroids, which is what makes probe-vs-inline
+      equivalence provable; re-training on append would silently
+      reshuffle the cells (a production re-index, not an append).
+    """
+
+    name: str
+    nprobe: int = 4
+    round_dp: int = 6
+    n_buckets: int = 8
+    location: str | None = None
+
+    @property
+    def cells_table(self) -> str:
+        return f"{self.name}_cells"
+
+    @property
+    def centroids_table(self) -> str:
+        return f"{self.name}_centroids"
+
+    def _path(self, suffix: str) -> str | None:
+        return f"{self.location}/{suffix}" if self.location else None
+
+    def drop(self, spark=None) -> None:
+        """No-residue contract, as the other persisted indexes."""
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            for t in (self.cells_table, self.centroids_table):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if self.location:
+            shutil.rmtree(self.location, ignore_errors=True)
+
+    def __enter__(self) -> "IvfIndex":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.drop()
+
+
+def _index_centroid_rows(spark, index: IvfIndex):
+    """Bounded collect of the frozen quantizer (n_cells rows)."""
+    return sorted(
+        (int(r["cell_id"]), list(r["centroid"]))
+        for r in spark.table(index.centroids_table).collect()
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index: IvfIndex,
+    n_cells: int = 16,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train (or seed, train_iters=0) the coarse quantizer on
+    ``corpus``, assign every vector, and persist both tables."""
+    spark = corpus.sparkSession
+    if train_iters > 0:
+        cent_rows = ivf_train_centroids(
+            corpus, n_cells, train_iters, id_col, vec_col, index.round_dp
+        )
+    else:
+        cent_rows = sorted(
+            (int(r[0]), list(r[1]))
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
+    cents = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cent_rows],
+        "cell_id long, centroid array<double>",
+    )
+    w = cents.write.mode("overwrite").format("parquet")
+    if index.location:
+        w = w.option("path", index._path("centroids"))
+    w.saveAsTable(index.centroids_table)
+    spark.catalog.refreshTable(index.centroids_table)
+    _append_cells(corpus, index, cent_rows, id_col, vec_col, mode="overwrite")
+
+
+def append_ivf_index(
+    batch: DataFrame,
+    index: IvfIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign a new batch against the FROZEN centroids and append its
+    cells (ids globally unique — caller's contract)."""
+    cent_rows = _index_centroid_rows(batch.sparkSession, index)
+    _append_cells(batch, index, cent_rows, id_col, vec_col, mode="append")
+
+
+def _append_cells(
+    vecs: DataFrame, index: IvfIndex, cent_rows, id_col: str, vec_col: str,
+    mode: str,
+) -> None:
+    from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+    assign = ivf_assign(
+        vecs, cent_rows, id_col, vec_col, index.round_dp
+    )
+    rows = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    save_bucketed(
+        rows, index.cells_table, "cell_id", index.n_buckets,
+        sort=False, mode=mode, path=index._path("cells"),
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    queries: DataFrame,
+    index: IvfIndex,
+    k: int = 5,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` cosine neighbors per query against the PERSISTED
+    index — identical semantics to :func:`ivf_topk` with the same
+    centroids over the concatenation of every indexed batch (cell
+    assignment is a per-vector property of the frozen quantizer).
+    The probe touches: the centroid table (bounded collect), the
+    query vectors, and the bucketed cells of probed cells — never
+    the corpus (candidate embeddings come from the index itself)."""
+    nprobe = index.nprobe if nprobe is None else nprobe
+    cent_rows = _index_centroid_rows(spark, index)
+    probes = ivf_probe_cells(
+        queries, cent_rows, nprobe, id_col, vec_col, index.round_dp
+    )
+    cells = spark.table(index.cells_table)
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_expr(F.col("q_vec"), F.col("c_vec")), index.round_dp
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "cosine_sim")
+    )
+
+
+def temp_ivf_index(
+    nprobe: int = 4, n_buckets: int = 8, round_dp: int = 6
+) -> IvfIndex:
+    """Uniquely-named tempdir-rooted index; context-manage it so the
+    tables and tempdir drop on exit."""
+    import tempfile
+
+    return IvfIndex(
+        name=f"ivf_idx_{_uuid.uuid4().hex}",
+        nprobe=nprobe,
+        round_dp=round_dp,
+        n_buckets=n_buckets,
+        location=tempfile.mkdtemp(prefix="ivf_index_"),
+    )

@@ -1316,18 +1316,30 @@ WHERE rnk <= 5
 """,
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the embedding table feeds four consumers (centroid collect,
-    # assignment, probe queries, candidate scoring); it is a plain
-    # lambda-free parquet scan, so re-reading it per consumer is one
-    # footer-cached columnar scan each — cheaper than owning cached
-    # blocks a shared session never releases
+    """Since r6 this runs the PRODUCTION shape: train the quantizer
+    + assign + persist the cell-bucketed index ONCE, then probe it —
+    candidate embeddings come from the index, so the probe never
+    re-reads or re-assigns the corpus (plan pinned by
+    tests/test_ann_index.py). Output is provably identical to the
+    inline ivf_topk with the same centroids (cell assignment is a
+    per-vector property of the frozen quantizer), so the chained-SQL
+    oracle is unchanged. Context manager + eager checkpoint keep the
+    no-residue contract."""
+    from openaq_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        temp_ivf_index,
+    )
+
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     # one Lloyd iteration exercises the full training loop (argmax
     # assignment, exact quantized-mean update, empty-cell retention)
     # at half the cost of two; production would run 3-5
-    return ivf_topk(
-        e, e.filter("vec_id < 10"), n_cells=16, nprobe=4, k=5, train_iters=1
-    )
+    with temp_ivf_index(nprobe=4, n_buckets=8) as idx:
+        build_ivf_index(e, idx, n_cells=16, train_iters=1)
+        return ivf_topk_indexed(
+            spark, e.filter("vec_id < 10"), idx, k=5
+        ).localCheckpoint(eager=True)
 
 
 # --- multimodal ---------------------------------------------------------

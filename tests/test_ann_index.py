@@ -1,0 +1,118 @@
+"""Persisted IVF index (r6): probe-vs-inline equivalence with a
+frozen quantizer, batch append, the no-corpus-read plan property,
+and the no-residue contract — the ANN-tier analogue of the BM25 /
+incremental-dedup index tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.similarity import (
+    append_ivf_index,
+    build_ivf_index,
+    ivf_topk,
+    ivf_topk_indexed,
+    temp_ivf_index,
+)
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    return [float((i * 31 + d * 7) % 13 - 6) for d in range(dim)]
+
+
+def _fixture(spark, n=40):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim) for r in df.collect()
+    )
+
+
+class TestIvfIndex:
+    def test_indexed_probe_equals_inline(self, spark):
+        e = _fixture(spark)
+        q = e.filter("vec_id < 5")
+        inline = ivf_topk(e, q, n_cells=8, nprobe=3, k=4, train_iters=1)
+        with temp_ivf_index(nprobe=3, n_buckets=4) as idx:
+            build_ivf_index(e, idx, n_cells=8, train_iters=1)
+            got = ivf_topk_indexed(spark, q, idx, k=4)
+            assert _rows(got) == _rows(inline)
+
+    def test_append_makes_batch_discoverable_under_frozen_centroids(self, spark):
+        """Appends assign against the FROZEN quantizer (re-training
+        would be a re-index, not an append): a query matching an
+        appended vector must retrieve it, and the probe's scores for
+        pre-existing neighbors must be unchanged by the append."""
+        e1 = _fixture(spark, 30)
+        e2 = spark.createDataFrame(
+            [(i, _vec(i)) for i in range(100, 115)],
+            "vec_id long, embedding array<float>",
+        )
+        q = e1.filter("vec_id < 4")
+        with temp_ivf_index(nprobe=3, n_buckets=4) as idx:
+            build_ivf_index(e1, idx, n_cells=8, train_iters=1)
+            before = _rows(
+                ivf_topk_indexed(spark, q, idx, k=2)
+            )  # top-2 from batch 1 only
+            append_ivf_index(e2, idx)
+            # a query vector equal to an appended point retrieves it
+            probe = spark.createDataFrame(
+                [(999, _vec(101))], "vec_id long, embedding array<float>"
+            )
+            hits = ivf_topk_indexed(spark, probe, idx, k=3).collect()
+            assert any(r.neighbor_id == 101 for r in hits), hits
+            # batch-1 neighbors kept their exact (rank-agnostic)
+            # scores: the append changed the candidate set, not the
+            # scoring of existing vectors
+            after_all = {
+                (r.query_id, r.neighbor_id): r.cosine_sim
+                for r in ivf_topk_indexed(spark, q, idx, k=10).collect()
+            }
+            for qid, _, nid, sim in before:
+                if (qid, nid) in after_all:
+                    assert after_all[(qid, nid)] == sim
+
+    def test_probe_plan_reads_index_not_corpus(self, spark, tmp_path):
+        corpus_path = str(tmp_path / "emb")
+        _fixture(spark).write.parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        q = spark.createDataFrame(
+            [(900, _vec(3))], "vec_id long, embedding array<float>"
+        )
+        with temp_ivf_index(nprobe=3, n_buckets=4) as idx:
+            build_ivf_index(corpus, idx, n_cells=8, train_iters=1)
+            probe = ivf_topk_indexed(spark, q, idx, k=4)
+            files = probe.inputFiles()
+            assert idx.location is not None
+            assert any(idx.location in f for f in files), "index scan missing"
+            assert not any(corpus_path in f for f in files), (
+                "probe re-reads (re-assigns) the corpus"
+            )
+
+    def test_no_temp_index_residue(self, spark):
+        import tempfile
+
+        from openaq_data_pipeline_spark.queries_ext import ann_topk_ivf
+
+        tmp_root = tempfile.gettempdir()
+        before = set(glob.glob(os.path.join(tmp_root, "ivf_index_*")))
+        out = ann_topk_ivf(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"),
+        )
+        assert out.count() > 0
+        after = set(glob.glob(os.path.join(tmp_root, "ivf_index_*")))
+        assert after - before == set()
+        leaked = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("ivf_idx_")
+        ]
+        assert leaked == [], leaked

@@ -399,17 +399,42 @@ def test_audio_features_is_arrow_batched(spark):
 
 
 def test_bm25_prunes_postings_by_broadcast_query_terms(spark):
-    """bm25_topk: query terms must reach the tf table as a BROADCAST
+    """bm25 probe: query terms must reach the tf table as a BROADCAST
     hash join (posting scan prunes to query terms — never a shuffle
     of the corpus-sized tf table against the tiny query side), the
     fixed-point scoring stays JVM-side, and no corpus×corpus
     sort-merge join exists (dl rides through the tf groupBy). The
-    1-row stats join is the only nested-loop (broadcast, bounded)."""
-    plan = final_plan(REG["bm25_topk"].build(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "CartesianProduct" not in plan
+    1-row stats join is the only nested-loop (broadcast, bounded).
+    Since r6 the registered query returns an eager checkpoint of the
+    indexed probe (the temp index is dropped before return), so the
+    pinned plan is the probe itself — built here against a live temp
+    index, the exact DataFrame the query checkpoints."""
+    from pyspark.sql import functions as F
+
+    from openaq_data_pipeline_spark.catalog import fan_out, load
+    from openaq_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+        temp_bm25_index,
+    )
+    from openaq_data_pipeline_spark.operators.text import normalize, tokens
+
+    d = fan_out(load(spark, SF_DIR, "documents")["documents"])
+    qdf = d.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(tokens(normalize(F.col("text"))), 1, 8)
+        ).alias("q_text"),
+    )
+    with temp_bm25_index(n_buckets=4) as idx:
+        build_bm25_index(d, "text", "doc_id", idx)
+        plan = final_plan(
+            bm25_topk_indexed(spark, qdf, idx, "doc_id", "q_text", k=5)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
 
 
 def test_lm_score_joins_stay_keyed_and_jvm_side(spark):
