@@ -5,11 +5,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-`value` is the sum over queries of the BEST of two timed runs, after
-a warm-up pass that triggers JVM/codegen warmup and parquet footer
-caching — the timeit convention: the minimum measures the engine,
-the spread measures the box (external load on this host has produced
->1.5× swings on identical code; per-query minima are stable).
+`value` is the sum over queries of the BEST of two timed EXEC-ONLY
+runs, after a warm-up pass that triggers JVM/codegen warmup and
+parquet footer caching — the timeit convention: the minimum measures
+the engine, the spread measures the box (external load on this host
+has produced >1.5× swings on identical code; per-query minima are
+stable). Between-run hygiene (cache clear + Python GC) runs OUTSIDE
+the timer since r6 and its cost is reported in BENCH_DETAIL.json
+under "harness_overhead" (VERDICT r5 #1: in-timer cleanup was
+per-run fixed overhead that grew with catalog size and read as
+uniform drift).
 
 Hygiene contract (VERDICT r1 #6/#10 + ADVICE):
 - any query failure (including a streaming drain error or a stream

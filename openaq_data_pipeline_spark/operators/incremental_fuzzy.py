@@ -315,3 +315,227 @@ def temp_fuzzy_index(
         max_bucket=max_bucket,
         location=tempfile.mkdtemp(prefix="fuzzy_index_"),
     )
+
+
+# --- incremental SimHash tier (r6: the optional half of VERDICT r5 #3) --
+
+
+@dataclass(frozen=True)
+class SimHashIndex:
+    """Handle for a persisted SimHash band index — the second banded
+    tier made cross-batch, beside the MinHash :class:`FuzzyIndex`.
+    ONE table suffices: the per-bucket member lists carry each
+    document's FULL fingerprint (id + all four 16-bit bands), so the
+    Hamming verify happens inline on the joined lists with no second
+    lookup table.
+
+    ``{name}_bands`` — (bkey, members array<struct<id, b0..b3>>)
+    BUCKETED on ``bkey = md5(band_id || '|' || band_val)`` (single
+    join column == bucket column, as FuzzyIndex)."""
+
+    name: str
+    max_hamming: int = 3
+    max_bucket: int | None = 2048
+    n_buckets: int = 32
+    location: str | None = None
+
+    @property
+    def bands_table(self) -> str:
+        return f"{self.name}_bands"
+
+    def _path(self, suffix: str) -> str | None:
+        return f"{self.location}/{suffix}" if self.location else None
+
+    def drop(self, spark=None) -> None:
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self.bands_table}")
+        if self.location:
+            shutil.rmtree(self.location, ignore_errors=True)
+
+    def __enter__(self) -> "SimHashIndex":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.drop()
+
+
+def _simhash_band_lists(fp: DataFrame, id_col: str) -> DataFrame:
+    """(bkey, members) from a simhash64 fingerprint table — the
+    banded bucket topology of `dedup.simhash_near_dup_pairs`
+    collapsed to the single-column bucket key."""
+    from openaq_data_pipeline_spark.operators.dedup import (
+        SIMHASH_BANDS,
+    )
+
+    band_cols = [f"b{k}" for k in range(SIMHASH_BANDS)]
+    stack_args: list = []
+    for k in range(SIMHASH_BANDS):
+        stack_args += [F.lit(k), F.col(band_cols[k])]
+    bands = fp.select(
+        F.struct(F.col(id_col).alias("id"), *band_cols).alias("__m"),
+        F.stack(F.lit(SIMHASH_BANDS), *stack_args).alias("band_id", "band_val"),
+    ).withColumn(
+        "bkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("band_id").cast("string"),
+                F.col("band_val").cast("string"),
+            )
+        ),
+    )
+    return bands.groupBy("bkey").agg(
+        F.array_sort(F.collect_list(F.col("__m"))).alias("members")
+    )
+
+
+def build_simhash_index(
+    corpus: DataFrame, text_col: str, id_col: str, index: SimHashIndex
+) -> None:
+    """Fingerprint ``corpus`` once and persist the banded member
+    lists (overwrite)."""
+    _append_simhash(corpus, text_col, id_col, index, mode="overwrite")
+
+
+def append_simhash_index(
+    batch: DataFrame, text_col: str, id_col: str, index: SimHashIndex
+) -> None:
+    """Append a batch's fingerprinted members (globally unique ids —
+    caller's contract); readers re-aggregate bucket-locally."""
+    _append_simhash(batch, text_col, id_col, index, mode="append")
+
+
+def _append_simhash(
+    corpus: DataFrame, text_col: str, id_col: str, index: SimHashIndex, mode: str
+) -> None:
+    from openaq_data_pipeline_spark.operators.dedup import simhash64
+
+    lists = _simhash_band_lists(simhash64(corpus, text_col, id_col), id_col)
+    save_bucketed(
+        lists,
+        index.bands_table,
+        "bkey",
+        index.n_buckets,
+        sort=False,
+        mode=mode,
+        path=index._path("bands"),
+    )
+
+
+def _old_simhash_lists(spark, index: SimHashIndex) -> DataFrame:
+    """(bkey, old_members) re-aggregated across appended batches —
+    bucket-local, no exchange above the index scan (pinned)."""
+    return (
+        spark.table(index.bands_table)
+        .groupBy("bkey")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("members"))).alias(
+                "old_members"
+            )
+        )
+    )
+
+
+def incremental_simhash_matches(
+    batch: DataFrame, text_col: str, id_col: str, index: SimHashIndex
+) -> DataFrame:
+    """(id_a, id_b, hamming) — every (batch doc, indexed doc) pair
+    within ``max_hamming``, with ``id_a`` the batch doc. Equals
+    `dedup.simhash_near_dup_pairs` over (indexed ∪ batch) restricted
+    to cross pairs (fingerprints are per-document; the
+    combined-membership cap counts the same bucket totals), which is
+    what the driver oracle recomputes from raw text.
+
+    Plan: batch fingerprints → banded lists → inner join the
+    persisted lists on ``bkey`` (index side bucket-local; only MIXED
+    buckets survive) → combined cap → cross explode with the Hamming
+    verify computed INLINE from the member structs (both sides carry
+    full fingerprints — no second index lookup) → distinct."""
+    from openaq_data_pipeline_spark.operators.dedup import SIMHASH_BANDS
+
+    spark = batch.sparkSession
+    from openaq_data_pipeline_spark.operators.dedup import simhash64
+
+    new_lists = _simhash_band_lists(
+        simhash64(batch, text_col, id_col), id_col
+    ).withColumnRenamed("members", "new_members")
+    joined = new_lists.join(_old_simhash_lists(spark, index), "bkey")
+    if index.max_bucket is not None:
+        joined = joined.filter(
+            F.size(F.col("new_members")) + F.size(F.col("old_members"))
+            <= index.max_bucket
+        )
+    cross = F.flatten(
+        F.transform(
+            F.col("new_members"),
+            lambda n: F.transform(
+                F.col("old_members"),
+                lambda o: F.struct(n.alias("n"), o.alias("o")),
+            ),
+        )
+    )
+    pair = (
+        joined.select(F.explode(cross).alias("p"))
+        .select(F.col("p.n").alias("n"), F.col("p.o").alias("o"))
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"n.b{k}").bitwiseXOR(F.col(f"o.b{k}"))
+        )
+        for k in range(SIMHASH_BANDS)
+    ).cast("int")
+    return (
+        pair.select(
+            F.col("n.id").alias("id_a"),
+            F.col("o.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= index.max_hamming)
+        .distinct()
+    )
+
+
+def incremental_simhash_dropped_buckets(
+    batch: DataFrame, text_col: str, id_col: str, index: SimHashIndex
+) -> DataFrame:
+    """(bkey, n_old, n_new) — MIXED buckets the probe drops under
+    ``max_bucket``; same observability contract as the other capped
+    pair generators."""
+    from openaq_data_pipeline_spark.operators.dedup import simhash64
+
+    spark = batch.sparkSession
+    new_counts = _simhash_band_lists(
+        simhash64(batch, text_col, id_col), id_col
+    ).select("bkey", F.size("members").cast("long").alias("n_new"))
+    old_counts = _old_simhash_lists(spark, index).select(
+        "bkey", F.size("old_members").cast("long").alias("n_old")
+    )
+    grouped = new_counts.join(old_counts, "bkey")
+    if index.max_bucket is None:
+        return grouped.filter(F.lit(False)).select("bkey", "n_old", "n_new")
+    return grouped.filter(
+        F.col("n_old") + F.col("n_new") > index.max_bucket
+    ).select("bkey", "n_old", "n_new")
+
+
+def temp_simhash_index(
+    max_hamming: int = 3,
+    max_bucket: int | None = 2048,
+    n_buckets: int = 32,
+) -> SimHashIndex:
+    """Uniquely-named tempdir-rooted index; context-manage it so the
+    table and tempdir drop on exit."""
+    import tempfile
+
+    return SimHashIndex(
+        name=f"simhash_idx_{uuid.uuid4().hex}",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        n_buckets=n_buckets,
+        location=tempfile.mkdtemp(prefix="simhash_index_"),
+    )

@@ -166,7 +166,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORD_RE_SQL = "\\b(?:" + "|".join(X.STOPWORDS) + ")\\b"
 _N_STOP_SQL = f"len(regexp_extract_all(lower(text), '{_STOPWORD_RE_SQL}'))"
 
-@register(
+@register_rotated(
+    # rotated r6 after 3 green driver rounds (r3-r5); the text family
+    # stays driver-live (text_token_stats, text_repetition_signals,
+    # corpus_curation) and this query keeps full Spark-vs-DuckDB
+    # parity via pytest. Slot freed for dedup_simhash_incremental.
     "text_quality_scores",
     "EXT-text — quality scoring: alpha/punct/stopword ratios + "
     "length-based keep/flag verdict",
@@ -766,6 +770,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _appended_corpus(fan_out(d))
     fp = D.simhash64(corpus, "text", "doc_id")
     return D.simhash_near_dup_pairs(fp, "doc_id", max_hamming=3, max_bucket=2048)
+
+
+@register(
+    "dedup_simhash_incremental",
+    "EXT-dedup — INCREMENTAL SimHash near-dup search (r6, the "
+    "optional half of VERDICT r5 next #3): the corpus is "
+    "fingerprinted ONCE into a persisted bkey-bucketed band table "
+    "whose member structs carry FULL fingerprints, so a new batch "
+    "probes with batch-sized work — band join bucket-local on the "
+    "index side, Hamming verify INLINE on the joined lists (no "
+    "second lookup), combined-membership cap. Same from-scratch "
+    "whole-corpus oracle as `dedup_simhash` restricted to cross "
+    "pairs: per-document fingerprints make probe == recompute "
+    "provable, and the driver hash-match IS that proof",
+    oracle=f"""
+WITH {_APPENDED_DUCK.strip()},
+words AS (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM corpus
+),
+toks AS (
+    SELECT doc_id, w[g.i] AS tok
+    FROM words, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) AND w[g.i] <> ''
+),
+votes AS (
+    SELECT doc_id,
+           {_SIMHASH_SUMS_DUCK}
+    FROM toks GROUP BY doc_id
+),
+fp AS (
+    SELECT doc_id,
+       {_SIMHASH_BANDS_DUCK}
+    FROM votes
+),
+bands AS (
+    SELECT doc_id, 0 AS band_id, b0 AS band_val FROM fp
+    UNION ALL SELECT doc_id, 1, b1 FROM fp
+    UNION ALL SELECT doc_id, 2, b2 FROM fp
+    UNION ALL SELECT doc_id, 3, b3 FROM fp
+),
+bsz AS (
+    SELECT band_id, band_val, count(*) AS c
+    FROM bands GROUP BY band_id, band_val
+),
+cand AS (
+    SELECT DISTINCT b.doc_id AS id_a, a.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                AND a.doc_id < 100000 AND b.doc_id >= 100000
+    JOIN bsz s ON s.band_id = a.band_id AND s.band_val = a.band_val
+    WHERE s.c <= 2048
+)
+SELECT c.id_a, c.id_b,
+       CAST({_SIMHASH_HAMMING_DUCK} AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE {_SIMHASH_HAMMING_DUCK} <= 3
+""",
+)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index the original documents, probe with the appended
+    near-dup copies (same Hamming-1..3 testbed as `dedup_simhash`);
+    output (id_a = batch doc, id_b = indexed doc, hamming). Context
+    manager + eager checkpoint: no catalog//tmp residue."""
+    from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+        build_simhash_index,
+        incremental_simhash_matches,
+        temp_simhash_index,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    with temp_simhash_index(n_buckets=8) as idx:
+        build_simhash_index(d.select("doc_id", "text"), "text", "doc_id", idx)
+        return incremental_simhash_matches(
+            batch, "text", "doc_id", idx
+        ).localCheckpoint(eager=True)
 
 
 @register(

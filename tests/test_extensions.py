@@ -761,10 +761,13 @@ class TestMultimodal:
         with _pytest.raises(ValueError, match="interlaced"):
             decode_png(blob)
 
-    def test_real_decode_mixed_corpus_png_rows(self, spark):
-        """The mixed synthetic corpus decodes PNG rows through the
-        executor path with identical pixel stats to their BMP twins
-        (same closed-form pixels, different container)."""
+    def test_real_decode_mixed_corpus_png_and_jpeg_rows(self, spark):
+        """The mixed synthetic corpus (r6: ids ≡1 mod 4 PNG, ids ≡3
+        mod 4 grayscale JPEG, the rest BMP) decodes every row through
+        the executor path: PNG rows carry identical pixel stats to
+        their BMP twins (same closed-form pixels, different
+        container), and JPEG rows match the closed-form constant-
+        block formula bit-exactly."""
         import numpy as np
 
         from openaq_data_pipeline_spark.operators.multimodal import (
@@ -784,10 +787,22 @@ class TestMultimodal:
         assert set(mixed) == set(plain) == set(range(20))
         for mid in range(20):
             a, b = mixed[mid], plain[mid]
+            if mid % 4 == 3:
+                # JPEG rows use the constant-per-8x8-block fixture:
+                # dims and pixel sum are closed-form in the id
+                assert a.header_hex == "ffd8ffe0"
+                w, h = 8 * (1 + mid % 3), 8 * (1 + (mid // 4) % 2)
+                assert (a.width, a.height) == (w, h)
+                by, bx = np.meshgrid(
+                    np.arange(h // 8), np.arange(w // 8), indexing="ij"
+                )
+                v = (mid * 31 + by * 7 + bx * 3) % 256
+                assert a.px_sum == int(v.sum()) * 64 * 3
+                continue
             assert (a.width, a.height, a.px_sum, a.mean_px) == (
                 b.width, b.height, b.px_sum, b.mean_px
             ), f"pixel stats diverge for id {mid}"
-            if mid % 2 == 1:
+            if mid % 4 == 1:
                 assert a.header_hex == "89504e47"
                 assert np.allclose(a.feature, b.feature)
 

@@ -189,3 +189,198 @@ class TestIncrementalFuzzy:
             if t.name.startswith("fuzzy_idx_")
         ]
         assert leaked == [], leaked
+
+
+class TestIncrementalSimHash:
+    """Incremental SimHash tier (r6): probe-vs-whole-corpus
+    equivalence, append, bucket-local plan, cap, no-residue."""
+
+    # REAL corpus documents: the appended-token mutation only lands in
+    # Hamming 1..3 when most of the 64 votes have margin > 1, which
+    # natural-language token multiplicity gives and uniform synthetic
+    # token soups do NOT (all-distinct tokens leave ~11% of bit-sums
+    # balanced — one appended token then flips ~7 bits, past any
+    # banded radius). Same testbed as the dedup_simhash driver query.
+    def _train(self, spark):
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+        return (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+        )
+
+    def _batch_of(self, train):
+        # one appended token: Hamming 1..3 near-dups of their originals
+        return train.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+        )
+
+    def test_probe_equals_whole_corpus_cross_pairs(self, spark):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            simhash64,
+            simhash_near_dup_pairs,
+        )
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_simhash_index,
+            incremental_simhash_matches,
+            temp_simhash_index,
+        )
+
+        train = self._train(spark)
+        batch = self._batch_of(train)
+        whole = simhash_near_dup_pairs(
+            simhash64(train.unionByName(batch), "text", "doc_id"), "doc_id"
+        )
+        want = sorted(
+            (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.hamming)
+            for r in whole.collect()
+            if (r.id_a >= 100000) != (r.id_b >= 100000)  # cross pairs only
+        )
+        with temp_simhash_index(n_buckets=4) as idx:
+            build_simhash_index(train, "text", "doc_id", idx)
+            got = sorted(
+                (r.id_a, r.id_b, r.hamming)
+                for r in incremental_simhash_matches(
+                    batch, "text", "doc_id", idx
+                ).collect()
+            )
+        assert got == want
+        assert got, "fixture produced no near-dup pairs"
+
+    def test_append_and_cap(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            append_simhash_index,
+            build_simhash_index,
+            incremental_simhash_dropped_buckets,
+            incremental_simhash_matches,
+            temp_simhash_index,
+        )
+
+        train = self._train(spark)
+        # a later real doc, re-keyed: b2 is its appended near-dup
+        # (doc 40 verified to stay within Hamming 3 of its +qq copy —
+        # not every doc does; margins depend on token multiplicity)
+        src = (
+            train.sparkSession.read.parquet(
+                os.environ.get(
+                    "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"
+                )
+                + "/documents.parquet"
+            )
+            .filter(F.col("doc_id") == 40)
+            .select("text")
+            .first()["text"]
+        )
+        b1 = train.sparkSession.createDataFrame(
+            [(200000, src)], "doc_id long, text string"
+        )
+        b2 = train.sparkSession.createDataFrame(
+            [(300000, src + " qq")], "doc_id long, text string"
+        )
+        with temp_simhash_index(n_buckets=4) as idx:
+            build_simhash_index(train, "text", "doc_id", idx)
+            assert (
+                incremental_simhash_matches(b1, "text", "doc_id", idx).count()
+                == 0
+            )
+            append_simhash_index(b1, "text", "doc_id", idx)
+            got = incremental_simhash_matches(
+                b2, "text", "doc_id", idx
+            ).collect()
+            assert [(r.id_a, r.id_b) for r in got] == [(300000, 200000)]
+        # cap: identical docs share all four bands; a tiny cap drops
+        # the bucket and the observability feed reports it
+        dup = "spam ham eggs spam ham eggs spam ham"
+        many = spark.createDataFrame(
+            [(i, dup) for i in range(6)], "doc_id long, text string"
+        )
+        probe = spark.createDataFrame(
+            [(500, dup)], "doc_id long, text string"
+        )
+        with temp_simhash_index(n_buckets=4, max_bucket=4) as idx2:
+            from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+                build_simhash_index as _b,
+            )
+
+            _b(many, "text", "doc_id", idx2)
+            assert (
+                incremental_simhash_matches(probe, "text", "doc_id", idx2).count()
+                == 0
+            )
+            dropped = incremental_simhash_dropped_buckets(
+                probe, "text", "doc_id", idx2
+            ).collect()
+            assert dropped and all(
+                r.n_old == 6 and r.n_new == 1 for r in dropped
+            )
+
+    def test_band_reaggregation_is_exchange_free(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            _old_simhash_lists,
+            append_simhash_index,
+            build_simhash_index,
+            temp_simhash_index,
+        )
+
+        train = self._train(spark)
+        with temp_simhash_index(n_buckets=4) as idx:
+            build_simhash_index(train, "text", "doc_id", idx)
+            append_simhash_index(self._batch_of(train), "text", "doc_id", idx)
+            plan = (
+                _old_simhash_lists(spark, idx)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+
+    def test_probe_plan_touches_index_not_history_text(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_simhash_index,
+            incremental_simhash_matches,
+            temp_simhash_index,
+        )
+
+        hist_path = str(tmp_path / "train_docs")
+        batch_path = str(tmp_path / "batch_docs")
+        train = self._train(spark)
+        train.write.parquet(hist_path)
+        self._batch_of(train).write.parquet(batch_path)
+        with temp_simhash_index(n_buckets=4) as idx:
+            build_simhash_index(
+                spark.read.parquet(hist_path), "text", "doc_id", idx
+            )
+            out = incremental_simhash_matches(
+                spark.read.parquet(batch_path), "text", "doc_id", idx
+            )
+            files = out.inputFiles()
+            assert idx.location is not None
+            assert any(idx.location in f for f in files), "index scan missing"
+            assert not any(hist_path in f for f in files), (
+                "probe re-fingerprints history text"
+            )
+
+    def test_no_temp_index_residue(self, spark):
+        import tempfile
+
+        from openaq_data_pipeline_spark.queries_ext import (
+            dedup_simhash_incremental,
+        )
+
+        tmp_root = tempfile.gettempdir()
+        before = set(glob.glob(os.path.join(tmp_root, "simhash_index_*")))
+        out = dedup_simhash_incremental(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"),
+        )
+        assert out.count() > 0
+        after = set(glob.glob(os.path.join(tmp_root, "simhash_index_*")))
+        assert after - before == set()
+        leaked = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("simhash_idx_")
+        ]
+        assert leaked == [], leaked
