@@ -19,10 +19,11 @@ a MEAN of floating products is not achievable — summation order
 differs. Scores are therefore computed in fixed-point: each bigram's
 smoothed probability is rounded half-up at ``PROB_SCALE`` decimals by
 exact integer math and summed as a BIGINT (order-free), and the mean
-is one exact integer ratio. A production pipeline that prefers
-log-likelihoods can take ``F.log`` of the same smoothed ratio — the
-fixed-point contract exists so the driver oracle can prove the
-pipeline, not because probabilities are the better score.
+is one exact integer ratio. The production log-likelihood score is
+:func:`score_bigram_loglik` (r6) — same model, same plan shape,
+float log-space; the fixed-point contract exists so the driver
+oracle can prove the pipeline, not because probabilities are the
+better score.
 """
 
 from __future__ import annotations
@@ -176,4 +177,46 @@ def score_bigram_lm(
         exact_ratio_spark(
             F.col("__sum_p"), F.col("n_bigrams") * k, out_scale=out_scale
         ).alias("avg_prob"),
+    )
+
+
+def score_bigram_loglik(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab_size: int,
+) -> DataFrame:
+    """(id, n_bigrams, avg_loglik) — PRODUCTION scoring mode (r6,
+    the module docstring's own note made real): mean per-bigram
+    natural-log likelihood under the same add-one-smoothed model,
+    computed in doubles. This is the score CCNet/Gopher-style gates
+    actually threshold on (log-space: length-robust, multiplicative
+    model); the fixed-point :func:`score_bigram_lm` remains the
+    ORACLE mode (a float log cannot be hashed bit-identically across
+    engines — pinned by pytest against a Python reference instead).
+    Same plan shape: two vocab-bounded LEFT joins + one
+    partial-aggregable groupBy; rounded 6 dp for display stability."""
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive (trained model)")
+    stream = bigram_stream(docs, text_col, id_col)
+    joined = stream.join(bigram_counts, ["w1", "w2"], "left").join(
+        context_counts, ["w1"], "left"
+    )
+    ll = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c1"), F.lit(0)) + vocab_size).cast("double")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(ll).alias("__m"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.round(F.col("__m"), 6).alias("avg_loglik"),
+        )
     )

@@ -686,3 +686,52 @@ class TestBPEEncode:
             rows_s = spark.read.parquet(sid_dir).select("shard_pos").collect()
             got = sorted(r.shard_pos for r in rows_s)
             assert got == list(range(1, len(got) + 1))
+
+
+class TestBigramLogLik:
+    def test_matches_python_reference(self, spark):
+        """Production log-likelihood mode (r6): mean ln P(w2|w1)
+        under the same add-one-smoothed model, checked against a
+        straight Python computation."""
+        import math
+
+        from openaq_data_pipeline_spark.operators.lm import (
+            score_bigram_loglik,
+            train_bigram_lm,
+        )
+
+        train_rows = [(0, "a b a b c"), (2, "a b")]
+        train = spark.createDataFrame(train_rows, "doc_id long, text string")
+        c12, c1, v = train_bigram_lm(train, "text", "doc_id")
+        docs = [(1, "a b"), (3, "a z"), (5, "z z"), (9, "a b c")]
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_loglik)
+            for r in score_bigram_loglik(
+                ddf, "text", "doc_id", c12, c1, v
+            ).collect()
+        }
+        # Python reference
+        counts12 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+        counts1 = {"a": 3, "b": 2}
+        V = 3
+
+        def ll(w1, w2):
+            return math.log(
+                (counts12.get((w1, w2), 0) + 1) / (counts1.get(w1, 0) + V)
+            )
+
+        for did, text in docs:
+            ws = text.split()
+            bigrams = list(zip(ws, ws[1:]))
+            exp = sum(ll(a, b) for a, b in bigrams) / len(bigrams)
+            n, avg = got[did]
+            assert n == len(bigrams)
+            assert avg == pytest.approx(round(exp, 6), abs=1e-6), (did, exp)
+
+    def test_rejects_untrained_model(self, spark):
+        from openaq_data_pipeline_spark.operators.lm import score_bigram_loglik
+
+        ddf = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="vocab_size"):
+            score_bigram_loglik(ddf, "text", "doc_id", ddf, ddf, 0)
