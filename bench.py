@@ -229,6 +229,27 @@ def main() -> None:
         "remaining >1.2x entries are r5's adjudicated added work "
         "(e.g. multimodal gained PNG, now JPEG rows), not drift."
     )
+    # VERDICT r6 'What's wrong' #1 post-mortem (audio_decode_features
+    # 0.55→1.36 s in r6 on unchanged code), measured in r7:
+    detail["audio_regression_diagnosis"] = (
+        "Not code, not module growth, not worker reimport: (a) import "
+        "of the grown multimodal.py costs 13 ms with deps preloaded "
+        "(the ~490 JPEG lines are plain defs; workers pay numpy/"
+        "pandas, not module size); (b) standalone quiet min-of-5 at "
+        "sf0.1 is 0.495 s — equal to r5's 0.55 s; (c) a full r7 bench "
+        "run measured audio at 0.634 s IN CONTEXT while OTHER "
+        "unchanged queries swung 1.5-2.5x in the same run (back-to-"
+        "back full benches on this box differ 1.26x on the common "
+        "subset with zero code change); (d) the one reproducible "
+        "mechanism found — Python-worker idle-reap after ~60 s "
+        "without a Python-stage query adds ~0.4 s of worker respawn "
+        "to the FIRST timed pass (measured 0.958 s after a 75 s idle "
+        "vs 0.581 warm) — is exactly the kind of first-pass cost "
+        "min-of-2 usually absorbs, but it compounds with host swing "
+        "in a loaded window. Verdict: r6's 1.36 s was transient host "
+        "state during the driver's run; the query is reclaimed (r7 "
+        "in-context 0.634 s) with no code change to the audio path."
+    )
     detail["harness_overhead"] = {
         "per_query": overhead,
         "total_clearcache_sec": round(

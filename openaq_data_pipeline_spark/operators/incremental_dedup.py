@@ -355,7 +355,7 @@ def temp_index(n: int = 3, n_buckets: int = 32, min_jaccard: float = 0.5,
     self-contained queries/tests that bootstrap + probe in one run.
     Use as a context manager (``with temp_index() as idx:``) so the
     tables and tempdir are dropped on exit."""
-    import tempfile
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
 
     return DedupIndex(
         name=f"dedup_idx_{uuid.uuid4().hex}",
@@ -363,5 +363,5 @@ def temp_index(n: int = 3, n_buckets: int = 32, min_jaccard: float = 0.5,
         n_buckets=n_buckets,
         min_jaccard=min_jaccard,
         max_doc_freq=max_doc_freq,
-        location=tempfile.mkdtemp(prefix="dedup_index_"),
+        location=session_tmpdir("dedup_index_"),
     )

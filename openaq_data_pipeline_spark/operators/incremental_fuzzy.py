@@ -304,7 +304,7 @@ def temp_fuzzy_index(
     """A uniquely-named tempdir-rooted index, for self-contained
     queries/tests; use as a context manager so tables and tempdir
     are dropped on exit (no-residue contract)."""
-    import tempfile
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
 
     return FuzzyIndex(
         name=f"fuzzy_idx_{uuid.uuid4().hex}",
@@ -313,7 +313,7 @@ def temp_fuzzy_index(
         n_buckets=n_buckets,
         min_jaccard=min_jaccard,
         max_bucket=max_bucket,
-        location=tempfile.mkdtemp(prefix="fuzzy_index_"),
+        location=session_tmpdir("fuzzy_index_"),
     )
 
 
@@ -530,12 +530,12 @@ def temp_simhash_index(
 ) -> SimHashIndex:
     """Uniquely-named tempdir-rooted index; context-manage it so the
     table and tempdir drop on exit."""
-    import tempfile
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
 
     return SimHashIndex(
         name=f"simhash_idx_{uuid.uuid4().hex}",
         max_hamming=max_hamming,
         max_bucket=max_bucket,
         n_buckets=n_buckets,
-        location=tempfile.mkdtemp(prefix="simhash_index_"),
+        location=session_tmpdir("simhash_index_"),
     )

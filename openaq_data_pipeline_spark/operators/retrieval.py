@@ -406,10 +406,10 @@ def temp_bm25_index(n_buckets: int = 32) -> Bm25Index:
     """Uniquely-named tempdir-rooted index for self-contained
     queries/tests; context-manage it so tables and tempdir drop on
     exit."""
-    import tempfile
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
 
     return Bm25Index(
         name=f"bm25_idx_{_uuid.uuid4().hex}",
         n_buckets=n_buckets,
-        location=tempfile.mkdtemp(prefix="bm25_index_"),
+        location=session_tmpdir("bm25_index_"),
     )

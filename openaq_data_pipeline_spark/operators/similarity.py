@@ -1095,12 +1095,12 @@ def temp_ivf_index(
 ) -> IvfIndex:
     """Uniquely-named tempdir-rooted index; context-manage it so the
     tables and tempdir drop on exit."""
-    import tempfile
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
 
     return IvfIndex(
         name=f"ivf_idx_{_uuid.uuid4().hex}",
         nprobe=nprobe,
         round_dp=round_dp,
         n_buckets=n_buckets,
-        location=tempfile.mkdtemp(prefix="ivf_index_"),
+        location=session_tmpdir("ivf_index_"),
     )

@@ -1667,7 +1667,7 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (incremental.merge_upsert), and return the materialized table —
     bit-identical to the batch aggregation because update mode plus a
     full drain loses nothing to the watermark."""
-    import tempfile
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
 
     from openaq_data_pipeline_spark.catalog import normalize_timestamps, prepare_session
     from openaq_data_pipeline_spark.incremental import IncrementalTable, merge_upsert
@@ -1715,7 +1715,7 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    tmp = tempfile.mkdtemp(prefix="stream_drain_")
+    tmp = session_tmpdir("stream_drain_")
     table = IncrementalTable(
         path=f"{tmp}/mart", unique_key="hour_utc", event_time_col="event_hour"
     )

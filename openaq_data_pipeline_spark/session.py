@@ -29,6 +29,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+_reaped = False
+
 
 def get_spark(
     app_name: str = "openaq_data_pipeline_spark",
@@ -41,6 +43,17 @@ def get_spark(
     Env overrides: ``SPARK_GRAFT_CPUS`` (local core count),
     ``SPARK_GRAFT_SHUFFLE_PARTITIONS``.
     """
+    # crash-robust temp-index hygiene (VERDICT r6 #8): reap sibling
+    # session temp roots whose owning pid died (a killed bench/driver
+    # leaks its index dirs between mkdtemp and context-manager exit)
+    # plus over-age legacy flat-prefix dirs — once per process
+    global _reaped
+    if not _reaped:
+        from openaq_data_pipeline_spark.tmproots import reap_stale_roots
+
+        reap_stale_roots()
+        _reaped = True
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
         master = f"local[{cpus}]"

@@ -89,3 +89,112 @@ def compact_partitions(
     out = out.localCheckpoint(eager=True)
     out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     return values
+
+
+# --- bucketed-index compaction (VERDICT r6 next #3) --------------------
+#
+# Every `append_batch` to a bucketed index table (dedup / fuzzy /
+# simhash / BM25 / IVF) writes one file set per bucket — after
+# hundreds of daily batches a probe opens hundreds of files per
+# bucket, and at 100 TB footer+open overhead dominates the
+# bucket-local join the index exists to make cheap. Compaction
+# rewrites the table through the SAME bucket spec, collapsing each
+# bucket back to one file per (roughly) target size, with the
+# bucket-local, exchange-free probe plan preserved (pinned in
+# tests/test_maintenance.py).
+
+
+def _describe_bucketed(spark: SparkSession, table: str) -> dict:
+    """Bucket spec + location from the catalog — metadata only."""
+    import re
+
+    info: dict = {"sort": False}
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        k, v = r["col_name"].strip(), (r["data_type"] or "").strip()
+        if k == "Num Buckets":
+            info["n_buckets"] = int(v)
+        elif k == "Bucket Columns":
+            info["keys"] = re.findall(r"`([^`]+)`", v)
+        elif k == "Sort Columns":
+            info["sort"] = bool(re.findall(r"`([^`]+)`", v))
+        elif k == "Location":
+            info["location"] = v
+    if "n_buckets" not in info or not info.get("keys"):
+        raise ValueError(f"{table} is not a bucketed table")
+    return info
+
+
+def bucket_file_stats(spark: SparkSession, table: str) -> DataFrame:
+    """(bucket_id, n_files, n_bytes) per bucket of a bucketed table —
+    METADATA ONLY, same discipline as :func:`partition_file_stats`:
+    one Hadoop-FS ``listStatus`` of the (flat, unpartitioned) table
+    dir; the bucket id is parsed from Spark's bucketed file naming
+    (``part-<task>-<job>_<bucketId>.c000...``), so no footer or row is
+    read to decide whether to compact."""
+    import re
+
+    info = _describe_bucketed(spark, table)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(info["location"])
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    per_bucket: dict[int, list[int]] = {}
+    for f in fs.listStatus(jpath):
+        name = f.getPath().getName()
+        if not f.isFile() or name.startswith(("_", ".")):
+            continue
+        m = re.search(r"_(\d{5})(?:\.c\d+)?\.", name)
+        if not m:
+            continue
+        stat = per_bucket.setdefault(int(m.group(1)), [0, 0])
+        stat[0] += 1
+        stat[1] += f.getLen()
+    rows = [(b, n, s) for b, (n, s) in sorted(per_bucket.items())]
+    return spark.createDataFrame(
+        rows, "bucket_id int, n_files long, n_bytes long"
+    )
+
+
+def compact_bucketed_table(
+    spark: SparkSession, table: str, max_files: int = 8
+) -> bool:
+    """Rewrite a bucketed table in place when any bucket holds more
+    than ``max_files`` files, preserving its exact bucket spec (keys,
+    count, bucket-sort) and location — so probes joining on the
+    bucket key stay exchange-free before and after. Returns whether a
+    rewrite happened.
+
+    The gate is metadata-only (:func:`bucket_file_stats`); the
+    rewrite reads the table once through an eager ``localCheckpoint``
+    (the repo's self-overwrite lineage break, as in
+    :func:`compact_partitions`) and re-writes through
+    ``save_bucketed``, whose repartition-by-bucket-key produces
+    exactly one file per bucket. At cluster scale the checkpoint
+    lands in executor storage sized to the INDEX (a few % of corpus),
+    not the corpus; a zero-double-write alternative is stage-to-
+    sibling-dir + FS rename, traded away here for the simpler
+    catalog-stable in-place path."""
+    from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+    info = _describe_bucketed(spark, table)
+    worst = (
+        bucket_file_stats(spark, table)
+        .agg(F.max("n_files").alias("m"))
+        .collect()[0]["m"]
+    )
+    if worst is None or worst <= max_files:
+        return False
+    snap = spark.table(table).localCheckpoint(eager=True)
+    location = info["location"]
+    # saveAsTable(overwrite) on the same external location: drop the
+    # old table first so the overwrite never sees itself as input
+    spark.sql(f"DROP TABLE {table}")
+    save_bucketed(
+        snap,
+        table,
+        info["keys"],
+        n_buckets=info["n_buckets"],
+        sort=info["sort"],
+        mode="overwrite",
+        path=location.replace("file:", "") if location.startswith("file:/") else location,
+    )
+    return True

@@ -534,6 +534,92 @@ class TestBPETraining:
         assert got == _py_bpe_merges(words, 4)
 
 
+class TestBPEDriverTrainer:
+    """VERDICT r6 next #2: the driver-side finisher must be
+    merge-for-merge identical to the distributed trainer — the heap /
+    adjacency-index bookkeeping is where incremental BPE trainers
+    classically drift from the naive recount."""
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=8),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_local_matches_bruteforce_reference(self, wordlist):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            bpe_train_merges_local,
+        )
+
+        words: dict = {}
+        for w in wordlist:
+            words[w] = words.get(w, 0) + 1
+        vocab = list(words.items())
+        # deep enough to exhaust some corpora (early-stop path) and to
+        # exercise many incremental count updates on others
+        assert bpe_train_merges_local(vocab, 30) == _py_bpe_merges(words, 30)
+
+    def test_driver_wrapper_matches_distributed(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            bpe_train_merges,
+            bpe_train_merges_driver,
+        )
+
+        rows = [
+            (1, "low low low lower lower newest newest newest newest widest"),
+            (2, "low newest widest widest"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        dist = [
+            tuple(r)
+            for r in bpe_train_merges(df, "text", "doc_id", n_merges=8)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        drv = [
+            tuple(r)
+            for r in bpe_train_merges_driver(df, "text", "doc_id", n_merges=8)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert drv == dist
+
+    def test_production_scale_merge_count_is_fast(self):
+        """The point of the finisher: vocabulary-scale merge counts in
+        driver time. 2000 merges over a 5k-word synthetic vocab must
+        finish in seconds (the sequential-job path would need 2000
+        Spark jobs)."""
+        import time
+
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            bpe_train_merges_local,
+        )
+
+        rng = __import__("random").Random(7)
+        alphabet = "abcdefghijklmnop"
+        vocab = [
+            (
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 12))),
+                rng.randint(1, 500),
+            )
+            for _ in range(5000)
+        ]
+        t0 = time.perf_counter()
+        rows = bpe_train_merges_local(vocab, 2000)
+        dt = time.perf_counter() - t0
+        assert dt < 30.0
+        assert len(rows) > 500  # deep vocabulary actually learned
+        # ids contract: rounds are 1..n and consecutive
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        # winning counts are non-increasing: a merge only shrinks
+        # existing pairs' counts, and every brand-new pair (x,M)/(M,y)
+        # is bounded by the merged symbol's count = the winner's count
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur[4] <= prev[4]
+
+
 # --- BPE apply/encode (VERDICT r5 next #2) -----------------------------
 
 
