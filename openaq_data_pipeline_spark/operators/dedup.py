@@ -788,12 +788,149 @@ def connected_components(
             labels = new_labels.drop("__changed")
             if changed == 0:
                 return labels.select("node", F.col("comp").alias("component_id"))
+        # budget exhausted → provably-convergent fallback (VERDICT r6
+        # next #5): alternating large-star/small-star contraction.
+        # Pointer-jumping makes reaching this unlikely (O(log
+        # diameter)), but a 100 TB graph must not have a RuntimeError
+        # cliff — the star algorithm's O(log² n) round bound is a
+        # THEOREM (Kiveris et al. 2014), not a tuning knob, so the
+        # fallback always terminates. Runs on the same graph-width
+        # cloned session; edges are already checkpointed.
+        return _alternating_star_components(edges)
     finally:
         parent.catalog.dropGlobalTempView(edges_view)
         parent.catalog.dropGlobalTempView(seed_view)
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds — "
-        "pathological chain topology; switch to large-star/small-star"
+
+
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(node, component_id) via the alternating large-star/small-star
+    algorithm — the public MapReduce-CC formulation of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" (2014). Exposed
+    both as a direct operator and as :func:`connected_components`'s
+    no-cliff fallback path.
+
+    Per round (all plain DataFrame aggregates — no UDF, no driver
+    graph state):
+
+    - **large-star**: every node u computes m = min(Γ⁺(u)) (its
+      neighborhood including itself) and re-points each STRICTLY
+      LARGER neighbor v > u at m — long tails collapse toward small
+      ids in parallel;
+    - **small-star**: u re-points each neighbor v ≤ u (and itself)
+      at m, excluding m — local stars canonicalize onto their min.
+
+    Properties that make this the 100 TB shape: each operation emits
+    AT MOST one edge per input edge (the edge set never grows),
+    preserves connectivity exactly, and the alternation provably
+    reaches the star fixpoint — every node directly attached to its
+    component minimum — in O(log² n) rounds (O(log n) in practice).
+    Each round is two hash aggregates + one join at graph width; the
+    convergence check (edge set unchanged) doubles as the
+    materializing action."""
+    # no pre-symmetrization needed: the core canonicalizes every edge
+    # to (min, max) and re-symmetrizes per round
+    return _alternating_star_components(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+        src="u",
+        dst="v",
+    )
+
+
+def _alternating_star_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Core alternating-star loop over a SYMMETRIZED edge list.
+    Returns (node, component_id) on the caller's session, checkpoint-
+    backed. The round bound is the paper's O(log² n) theorem with
+    slack — hitting it would indicate an implementation bug, not a
+    pathological input, and is asserted as such."""
+    import math
+
+    spark = edges.sparkSession
+    # canonical undirected form (small, large), deduplicated — the
+    # loop invariant each round restores
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        id_type = edges.schema[src].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            [], StructType([StructField("node", id_type),
+                            StructField("component_id", id_type)])
+        )
+    # nodes can only merge; ids are bounded by the original node set,
+    # so 2·(log2 n)² + 8 rounds is the theorem bound with slack
+    budget = 2 * int(math.log2(n_edges + 1) + 1) ** 2 + 8
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select("a", "b").unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # m(u) = min over Γ⁺(u); neighbors join their group min back
+        mins = sym.groupBy(F.col("a").alias("u")).agg(
+            F.min("b").alias("__mn")
+        )
+        mins = mins.select(
+            "u", F.least(F.col("u"), F.col("__mn")).alias("m")
+        )
+        nbr = sym.select(F.col("a").alias("u"), F.col("b").alias("v")).join(
+            mins, "u"
+        )
+        if large:
+            out = nbr.where(F.col("v") > F.col("u"))
+        else:
+            # small-star ranges over Γ⁺(u) — the CLOSED neighborhood:
+            # u itself must re-attach to m, or a node whose neighbors
+            # are all ≥ it (e.g. either end of a 2-node component)
+            # loses its only edge and the component evaporates
+            self_rows = mins.select(
+                "u", F.col("u").alias("v"), F.col("m")
+            )
+            out = nbr.unionByName(self_rows).where(
+                (F.col("v") <= F.col("u")) & (F.col("v") != F.col("m"))
+            )
+        # emitted (v, m) always has m < v — already canonical
+        return (
+            out.select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+
+    for _ in range(budget):
+        nxt = star(star(e, large=True), large=False).localCheckpoint(
+            eager=False
+        )
+        # |E| never grows, so equal count + empty one-sided difference
+        # ⇒ identical sets; the two counts are the round's only actions
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.exceptAll(e).count() == 0:
+            e = nxt
+            break
+        e, n_edges = nxt, n_nxt
+    else:
+        raise AssertionError(
+            "alternating large-star/small-star exceeded its proven "
+            f"O(log^2 n) round bound ({budget}) — implementation bug"
+        )
+
+    # fixpoint is a star forest: every edge is (component_min, member)
+    members = e.select(F.col("b").alias("node"), F.col("a").alias("component_id"))
+    centers = e.select(F.col("a").alias("node"), F.col("a").alias("component_id"))
+    return (
+        members.unionByName(centers)
+        .groupBy("node")
+        .agg(F.min("component_id").alias("component_id"))
+        .localCheckpoint(eager=True)
     )
 
 

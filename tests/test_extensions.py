@@ -6,6 +6,8 @@ plumbing hold its schema contract."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -370,28 +372,106 @@ class TestConnectedComponents:
         with _pytest.raises(Exception, match="missing from\\s+corpus_scores: 3"):
             keep_best_per_cluster(partial, comp).collect()
 
-    def test_long_chain_exceeding_iters_raises(self, spark):
-        """A 40-link chain cannot converge in 3 propagation rounds —
-        the merge loop must fail loudly, not return partial labels.
+    def test_long_chain_exceeding_iters_falls_back_to_star(self, spark):
+        """VERDICT r6 next #5: a 40-link chain cannot converge in 3
+        propagation rounds — the merge loop must NOT have a
+        RuntimeError cliff. Budget exhaustion now falls back to the
+        provably-convergent alternating large-star/small-star
+        contraction and still returns EXACT labels.
         ``local_contraction=False`` forces the pure iterative path
         (the default's partition-local union-find would solve the
         whole chain exactly in one task and never iterate)."""
-        import pytest as _pytest
-
         from openaq_data_pipeline_spark.operators.dedup import connected_components
 
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(40)], "id_a long, id_b long"
         )
-        with _pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, max_iters=3, local_contraction=False)
-        # and converges with enough rounds (label spreads ≥1 hop/round)
+        out = connected_components(pairs, max_iters=3, local_contraction=False)
+        got = {(r.node, r.component_id) for r in out.collect()}
+        assert got == {(i, 0) for i in range(41)}
+        # and converges withOUT the fallback given enough rounds
         out = connected_components(pairs, max_iters=41, local_contraction=False)
         assert {r.component_id for r in out.collect()} == {0}
         # the default local-contraction path solves the same chain
         # exactly with NO propagation rounds at all
         fast = connected_components(pairs, max_iters=1)
         assert {r.component_id for r in fast.collect()} == {0}
+
+    def test_star_algorithm_direct_on_mixed_graph(self, spark):
+        """connected_components_star as a first-class operator: chain
+        + triangle + singleton-pair, exact min-id labels."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)]  # 61-node chain
+            + [(100, 101), (101, 102), (100, 102)]  # triangle
+            + [(200, 201)],
+            "id_a long, id_b long",
+        )
+        got = {
+            (r.node, r.component_id)
+            for r in connected_components_star(pairs).collect()
+        }
+        expect = (
+            {(i, 0) for i in range(61)}
+            | {(100, 100), (101, 100), (102, 100)}
+            | {(200, 200), (201, 200)}
+        )
+        assert got == expect
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_star_matches_union_find_reference(self, spark, edges):
+        """Property: star labels == a Python union-find's min-id
+        labels on arbitrary small multigraphs (self-loops and
+        duplicate edges included — both must be tolerated)."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            (r.node, r.component_id)
+            for r in connected_components_star(pairs).collect()
+        }
+        # reference union-find over non-self-loop edges
+        parentm: dict = {}
+
+        def find(x):
+            parentm.setdefault(x, x)
+            while parentm[x] != x:
+                parentm[x] = parentm[parentm[x]]
+                x = parentm[x]
+            return x
+
+        nodes = set()
+        for a, b in edges:
+            if a != b:
+                nodes.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parentm[max(ra, rb)] = min(ra, rb)
+        comp_min: dict = {}
+        for n in nodes:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        expect = {(n, comp_min[find(n)]) for n in nodes}
+        assert got == expect
 
     def test_local_contraction_fast_path_stays_on_callers_session(self, spark):
         """A graph below the edges-per-partition budget is solved by
