@@ -442,7 +442,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(sh, "doc_id", min_jaccard=0.5, max_doc_freq=1000)
 
 
-@register(
+@register_rotated(
+    # rotated r7 after 3 green driver rounds (r4-r6); the containment
+    # family stays driver-live via dedup_containment_incremental
+    # (same fixture, same excerpt-catching semantics, plus the
+    # persisted-index path), and this query keeps full
+    # Spark-vs-DuckDB parity via pytest.
     "dedup_containment",
     "EXT-dedup — Broder containment |A∩B|/min(|A|,|B|) at threshold "
     "0.8: the asymmetric companion to Jaccard that catches "
@@ -496,6 +501,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = D.shingles(corpus, "text", "doc_id", n=3, distinct=False)
     return D.containment_pairs(sh, "doc_id", min_containment=0.8, max_doc_freq=1000)
+
+
+@register(
+    "dedup_containment_incremental",
+    "EXT-dedup — INCREMENTAL containment tier (VERDICT r6 next #7), "
+    "completing the per-tier incremental set (Jaccard, MinHash bands, "
+    "SimHash, containment): history is indexed ONCE into the "
+    "persisted bucketed posting/size tables (build_full_index — no "
+    "dedup pass, the reference-corpus bootstrap), and the excerpt "
+    "batch probes it for cross pairs at containment ≥ 0.8 without "
+    "re-shingling history; posting re-aggregation and size lookup "
+    "are bucket-local on the index side. Oracle recomputes every "
+    "cross containment pair from raw text with no index — the hash "
+    "match IS the index == recompute proof",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS text
+    FROM documents
+    WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 12
+),
+{_SHINGLES_DUCK.strip()},
+{_STOP_SHINGLE_DUCK.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS n_common
+    FROM fsh a JOIN fsh b ON a.shingle = b.shingle
+    WHERE a.doc_id < 300000 AND b.doc_id >= 300000
+    GROUP BY b.doc_id, a.doc_id
+)
+SELECT new_id, old_id,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(sn.n_sh AS BIGINT) AS n_new,
+       CAST(so.n_sh AS BIGINT) AS n_old,
+       {exact_ratio_duck('n_common', 'least(sn.n_sh, so.n_sh)')} AS containment
+FROM common
+JOIN sizes sn ON sn.doc_id = new_id
+JOIN sizes so ON so.doc_id = old_id
+WHERE {exact_ratio_duck('n_common', 'least(sn.n_sh, so.n_sh)')} >= 0.8
+""",
+)
+def dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same excerpt fixture as `dedup_containment` (10-word excerpts
+    of every 7th doc, id+300000), run the incremental way: index the
+    originals in full, probe the excerpt batch. Contract difference
+    vs the whole-corpus operator, mirrored by the oracle: CROSS pairs
+    only, and denominators are FULL per-doc shingle counts (the
+    persisted text-only property) while the numerator stays under the
+    combined-df guard. Context-managed temp index: no catalog or /tmp
+    residue."""
+    from openaq_data_pipeline_spark.operators.incremental_dedup import (
+        build_full_index,
+        incremental_containment_matches,
+        temp_index,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    w = F.split(F.col("text"), " ")
+    excerpts = d.filter((F.col("doc_id") % 7 == 0) & (F.size(w) >= 12)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, 10)).alias("text"),
+    )
+    with temp_index(n_buckets=8) as idx:
+        build_full_index(d.select("doc_id", "text"), "text", "doc_id", idx)
+        return incremental_containment_matches(
+            excerpts, "text", "doc_id", idx, min_containment=0.8
+        ).localCheckpoint(eager=True)
 
 
 # shared pairs → transitive-closure → cluster CTE chain (DuckDB

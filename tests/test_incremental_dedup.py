@@ -219,3 +219,87 @@ class TestIncrementalDedup:
             if t.name.startswith("dedup_idx_")
         ]
         assert leaked_tables == [], leaked_tables
+
+
+class TestIncrementalContainment:
+    """VERDICT r6 next #7: the containment tier probes the SAME
+    persisted posting/size tables; cross-pairs-only, full-size
+    denominators, guarded numerator, and history text never
+    re-shingled."""
+
+    HIST = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    # excerpt of doc 0 (containment 1.0), partial overlap (0.4),
+    # fresh text (no pair)
+    BATCH = [
+        (101, "the quick brown fox jumps"),
+        (103, "jumps over the lazy cat today maybe"),
+        (105, "completely unrelated words about rivers and rain"),
+    ]
+
+    def test_hand_computed_containment(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_full_index,
+            incremental_containment_matches,
+            temp_index,
+        )
+
+        hist = spark.createDataFrame(self.HIST, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        with temp_index() as idx:
+            build_full_index(hist, "text", "doc_id", idx)
+            # full index keeps BOTH docs (no dedup pass)
+            assert spark.table(idx.sizes_table).count() == 2
+            strict = incremental_containment_matches(
+                batch, "text", "doc_id", idx, min_containment=0.8
+            )
+            got = [
+                (r.new_id, r.old_id, r.n_common, r.n_new, r.n_old,
+                 float(r.containment))
+                for r in strict.collect()
+            ]
+            # doc 0 has 8 shingles; the 5-word excerpt has 3, all
+            # contained → 3/min(3,8) = 1.0
+            assert got == [(101, 0, 3, 3, 8, 1.0)]
+            loose = incremental_containment_matches(
+                batch, "text", "doc_id", idx, min_containment=0.3
+            )
+            got = sorted(
+                (r.new_id, r.old_id, float(r.containment))
+                for r in loose.collect()
+            )
+            # 103 shares 'jumps over the','over the lazy' → 2/min(5,8)=0.4
+            assert got == [(101, 0, 1.0), (103, 0, 0.4)]
+
+    def test_probe_plan_touches_index_not_history_text(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.dedup import shingles
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_full_index,
+            incremental_containment_matches,
+            temp_index,
+        )
+
+        hist_path = str(tmp_path / "hist")
+        batch_path = str(tmp_path / "batch")
+        spark.createDataFrame(self.HIST, "doc_id long, text string").write.parquet(
+            hist_path
+        )
+        spark.createDataFrame(self.BATCH, "doc_id long, text string").write.parquet(
+            batch_path
+        )
+        with temp_index() as idx:
+            build_full_index(spark.read.parquet(hist_path), "text", "doc_id", idx)
+            batch = spark.read.parquet(batch_path)
+            probe = incremental_containment_matches(
+                batch, "text", "doc_id", idx,
+                new_sh=shingles(batch, "text", "doc_id", n=idx.n),
+            )
+            files = probe.inputFiles()
+            assert idx.location is not None
+            assert any(idx.location in f for f in files), "index scan missing"
+            assert any(batch_path in f for f in files), "batch scan missing"
+            assert not any(hist_path in f for f in files), (
+                "containment probe re-reads history text"
+            )
