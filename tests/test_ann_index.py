@@ -116,3 +116,130 @@ class TestIvfIndex:
             if t.name.startswith("ivf_idx_")
         ]
         assert leaked == [], leaked
+
+
+def _dirsize(path):
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith((".", "_"))
+    )
+
+
+def _recall(got, truth, k):
+    """Mean fraction of ground-truth top-k ids retrieved per query."""
+    from collections import defaultdict
+
+    g, t = defaultdict(set), defaultdict(set)
+    for r in got:
+        g[r.query_id].add(r.neighbor_id)
+    for r in truth:
+        t[r.query_id].add(r.neighbor_id)
+    return sum(len(g[q] & t[q]) / len(t[q]) for q in t) / len(t)
+
+
+class TestInt8IvfIndex:
+    """VERDICT r6 next #4: int8 cells cut the index's dominant
+    storage/IO ~8x; cosine over symmetric codes needs no scale join;
+    optional exact rescore from the bucketed side table restores
+    float ranking."""
+
+    def test_recall_floor_and_bytes(self, spark):
+        """Recall floor on the hand-sized fixture; the ~8x bytes claim
+        on a realistic one — 2000 × 64-dim HIGH-ENTROPY vectors
+        (random floats, like real embeddings). A patterned/tiny
+        fixture would let parquet dictionary-encode the doubles and
+        bury the payload under footer overhead."""
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        e = _fixture(spark, 60)
+        q = e.filter("vec_id < 8")
+        k = 4
+        truth = brute_force_topk(e, q, k=k).collect()
+        with temp_ivf_index(nprobe=3, n_buckets=4) as fidx:
+            build_ivf_index(e, fidx, n_cells=8, train_iters=1)
+            float_rows = ivf_topk_indexed(spark, q, fidx, k=k).collect()
+            float_recall = _recall(float_rows, truth, k)
+        with temp_ivf_index(
+            nprobe=3, n_buckets=4, storage="int8", rescore=True
+        ) as qidx:
+            build_ivf_index(e, qidx, n_cells=8, train_iters=1)
+            int8_rows = ivf_topk_indexed(spark, q, qidx, k=k).collect()
+            int8_recall = _recall(int8_rows, truth, k)
+        # recall floor: int8+rescore >= the float index's own recall
+        assert int8_recall >= float_recall
+
+        rng = np.random.default_rng(7)
+        big = spark.createDataFrame(
+            [
+                (i, [float(x) for x in rng.standard_normal(64)])
+                for i in range(2000)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        with temp_ivf_index(nprobe=2, n_buckets=4) as fidx:
+            build_ivf_index(big, fidx, n_cells=8, train_iters=0)
+            float_bytes = _dirsize(os.path.join(fidx.location, "cells"))
+        with temp_ivf_index(
+            nprobe=2, n_buckets=4, storage="int8", rescore=True
+        ) as qidx:
+            build_ivf_index(big, qidx, n_cells=8, train_iters=0)
+            int8_bytes = _dirsize(os.path.join(qidx.location, "cells"))
+        # the 'done' criterion: 1-byte codes vs the 4-byte float32
+        # elements the embeddings tables actually store → asymptotic
+        # 4x (8x only against a float64 upstream); measured 3.64x on
+        # this fixture with per-file framing
+        assert int8_bytes * 3.4 <= float_bytes, (int8_bytes, float_bytes)
+
+    def test_rescore_matches_float_ranking_on_probed_cells(self, spark):
+        """With rescore, the final (query, neighbor, sim) rows equal
+        the float index's EXACT rows whenever the int8 top-k' covers
+        the float top-k — pin it on the fixture where it does."""
+        e = _fixture(spark, 40)
+        q = e.filter("vec_id < 5")
+        with temp_ivf_index(nprobe=3, n_buckets=4) as fidx:
+            build_ivf_index(e, fidx, n_cells=8, train_iters=1)
+            want = _rows(ivf_topk_indexed(spark, q, fidx, k=3))
+        with temp_ivf_index(
+            nprobe=3, n_buckets=4, storage="int8", rescore=True,
+            rescore_factor=4,
+        ) as qidx:
+            build_ivf_index(e, qidx, n_cells=8, train_iters=1)
+            got = _rows(ivf_topk_indexed(spark, q, qidx, k=3))
+        assert got == want
+
+    def test_int8_append_and_no_corpus_read(self, spark, tmp_path):
+        corpus_path = str(tmp_path / "emb8")
+        _fixture(spark, 30).write.parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        q = spark.createDataFrame(
+            [(900, _vec(3))], "vec_id long, embedding array<float>"
+        )
+        with temp_ivf_index(
+            nprobe=3, n_buckets=4, storage="int8", rescore=True
+        ) as idx:
+            build_ivf_index(corpus, idx, n_cells=8, train_iters=1)
+            e2 = spark.createDataFrame(
+                [(i, _vec(i)) for i in range(100, 110)],
+                "vec_id long, embedding array<float>",
+            )
+            append_ivf_index(e2, idx)
+            probe = ivf_topk_indexed(spark, q, idx, k=4)
+            files = probe.inputFiles()
+            assert any(idx.location in f for f in files)
+            assert not any(corpus_path in f for f in files), (
+                "int8 probe re-reads the corpus"
+            )
+            hit = spark.createDataFrame(
+                [(999, _vec(105))], "vec_id long, embedding array<float>"
+            )
+            # _vec has period 13, so base ids 1/14/27 tie at cosine
+            # 1.0 and outrank the appended 105 by id — k=6 must
+            # surface it
+            hits = ivf_topk_indexed(spark, hit, idx, k=6).collect()
+            assert any(r.neighbor_id == 105 for r in hits), hits
