@@ -2455,21 +2455,27 @@ def unpivot_weather_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "video_frame_sample",
-    "EXT-multimodal — VIDEO frame sampling with real partial decode: "
-    "synthetic MBMP containers (length-walked concatenated BMP "
-    "frames) are demuxed on executors inside Arrow mapInPandas; the "
-    "walker seeks past unsampled frames by their declared byte size "
-    "and decodes ONLY frames 0, 2, 4, … — at 100 TB decode cost "
-    "scales with frames KEPT, not frames stored. The oracle "
-    "recomputes every sampled frame's dimensions and pixel "
-    "statistics analytically from the id, so container walk + BMP "
-    "decode + stats are hash-checked end-to-end",
+    "EXT-multimodal — VIDEO frame sampling with real partial decode "
+    "over a MIXED corpus: ids ≡1 (mod 3) are REAL MJPEG-in-AVI "
+    "(public RIFF layout: hdrl avih/strh/strf + movi '00dc' chunks "
+    "of baseline JPEG frames, r7 VERDICT r6 next #6), the rest the "
+    "synthetic MBMP container; either walker seeks past unsampled "
+    "frames/chunks by declared size and decodes ONLY frames 0, 2, 4, "
+    "… — at 100 TB decode cost scales with frames KEPT, not frames "
+    "stored. AVI frames are constant-per-8×8-block grayscale (the "
+    "DC-only/flat-q=8 construction), so the lossy JPEG codec decodes "
+    "bit-exactly and the oracle recomputes every sampled frame's "
+    "dimensions and pixel statistics analytically from the id — "
+    "container walk + BMP/JPEG decode + stats hash-checked "
+    "end-to-end",
     oracle="""
 WITH v AS (
     SELECT doc_id AS media_id,
            3 + doc_id % 4 AS nf,
-           4 + doc_id % 5 AS w,
-           3 + doc_id % 3 AS h
+           CASE WHEN doc_id % 3 = 1 THEN 8 * (1 + doc_id % 2)
+                ELSE 4 + doc_id % 5 END AS w,
+           CASE WHEN doc_id % 3 = 1 THEN 8 * (1 + (doc_id // 2) % 2)
+                ELSE 3 + doc_id % 3 END AS h
     FROM documents
 ),
 fr AS (
@@ -2479,12 +2485,14 @@ fr AS (
 ),
 px AS (
     SELECT media_id, nf, frame_idx, w, h,
-           CAST(sum((media_id * 31 + frame_idx * 13 + y.i * 7 + x.i * 3 + c.i * 11) % 256)
-                AS BIGINT) AS px_sum,
+           CAST(sum(CASE WHEN media_id % 3 = 1
+                THEN (media_id * 31 + frame_idx * 13 + (y.i // 8) * 7 + (x.i // 8) * 3) % 256
+                ELSE (media_id * 31 + frame_idx * 13 + y.i * 7 + x.i * 3 + c.i * 11) % 256
+           END) AS BIGINT) AS px_sum,
            CAST(w * h * 3 AS BIGINT) AS n_px
     FROM fr,
-         generate_series(0, 9) y(i),
-         generate_series(0, 9) x(i),
+         generate_series(0, 15) y(i),
+         generate_series(0, 15) x(i),
          generate_series(0, 2) c(i)
     WHERE y.i < h AND x.i < w
     GROUP BY media_id, nf, frame_idx, w, h
@@ -2500,10 +2508,12 @@ FROM px
 """,
 )
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Videos are synthesized per doc_id (n_frames = 3 + id%4, frame
-    pixels closed-form in (id, frame, y, x, c) —
-    operators/multimodal.synthetic_videos), then stride-2 sampled
-    through the real MBMP demux + BMP decode path."""
+    """Videos are synthesized per doc_id (n_frames = 3 + id%4; MBMP
+    pixels closed-form in (id, frame, y, x, c); AVI rows (ids ≡ 1
+    mod 3) constant-per-8×8-block grayscale MJPEG — decoded
+    channel-replicated, so the oracle's c-series sums the gray value
+    3× — operators/multimodal.synthetic_videos mix_formats), then
+    stride-2 sampled through the real demux + decode paths."""
     from openaq_data_pipeline_spark.operators.multimodal import (
         sample_video_frames,
         synthetic_videos,
@@ -2511,6 +2521,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")["documents"]
     vids = synthetic_videos(
-        fan_out(d.select(F.col("doc_id").alias("media_id")))
+        fan_out(d.select(F.col("doc_id").alias("media_id"))),
+        mix_formats=True,
     )
     return sample_video_frames(vids, stride=2)

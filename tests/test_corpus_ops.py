@@ -821,3 +821,115 @@ class TestBigramLogLik:
         ddf = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="vocab_size"):
             score_bigram_loglik(ddf, "text", "doc_id", ddf, ddf, 0)
+
+
+class TestAviMjpeg:
+    """MJPEG-in-AVI (VERDICT r6 next #6): real RIFF container + the
+    real baseline JPEG codec, same partial-demux discipline as MBMP."""
+
+    @staticmethod
+    def _frames(mid=7, n=4, w=16, h=8):
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        return [
+            ((mid * 31 + f * 13 + (y // 8) * 7 + (x // 8) * 3) % 256).astype(
+                np.uint8
+            )
+            for f in range(n)
+        ]
+
+    def test_roundtrip_bit_exact_on_constant_blocks(self):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        frames = self._frames()
+        dec = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+        assert len(dec) == len(frames)
+        for a, b in zip(frames, dec):
+            assert b.shape == (a.shape[0], a.shape[1], 3)
+            assert (np.repeat(a[:, :, None], 3, axis=2) == b).all()
+
+    def test_container_hygiene(self):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        blob = encode_avi_mjpeg(self._frames())
+        with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+            decode_avi_mjpeg(b"JUNK" + blob[4:])
+        with _pytest.raises(ValueError, match="size does not match"):
+            decode_avi_mjpeg(blob + b"trailing")
+        with _pytest.raises(ValueError, match="truncated|size does not match"):
+            decode_avi_mjpeg(blob[:-6])
+        with _pytest.raises(ValueError, match="share one"):
+            encode_avi_mjpeg(
+                [np.zeros((8, 8), np.uint8), np.zeros((8, 16), np.uint8)]
+            )
+
+    def test_sampler_skips_unsampled_frames_without_decoding(self, spark):
+        """THE partial-demux pin: scramble the entropy bytes of an
+        UNSAMPLED (odd-index) frame's JPEG payload — the stride-2
+        sampler must stay green because it seeks past the chunk by
+        declared size, while the full decoder fails on the same
+        blob."""
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            _avi_walk,
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+            sample_video_frames,
+        )
+
+        blob = bytearray(encode_avi_mjpeg(self._frames(n=4)))
+        # frame 1 is unsampled under stride 2; corrupt the middle of
+        # its payload (past the headers, inside entropy data)
+        chunks = list(_avi_walk(bytes(blob)))
+        f1_off, f1_sz = chunks[1][1], chunks[1][2]
+        # clobber the frame's SOI marker AND its entropy tail: any
+        # attempt to even header-parse this chunk fails immediately
+        blob[f1_off] ^= 0xFF
+        blob[f1_off + 1] ^= 0xFF
+        mid = f1_off + f1_sz // 2
+        for i in range(mid, f1_off + f1_sz - 2):
+            blob[i] = 0x00
+        with _pytest.raises(Exception):
+            decode_avi_mjpeg(bytes(blob))
+        df = spark.createDataFrame(
+            [(1, bytes(blob))], "media_id long, content binary"
+        )
+        rows = sample_video_frames(df, stride=2).collect()
+        assert sorted(r.frame_idx for r in rows) == [0, 2]
+        assert all(r.n_frames == 4 for r in rows)
+
+    def test_mixed_format_synthetic_corpus(self, spark):
+        """mix_formats routes ids ≡1 (mod 3) through AVI; both
+        container families sample correctly in one pass."""
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            sample_video_frames,
+            synthetic_videos,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(6)], "media_id long")
+        vids = synthetic_videos(ids, mix_formats=True)
+        rows = sample_video_frames(vids, stride=2).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, []).append(r)
+        for i in range(6):
+            nf = 3 + i % 4
+            want_frames = [f for f in range(nf) if f % 2 == 0]
+            assert sorted(r.frame_idx for r in by_id[i]) == want_frames
+            if i % 3 == 1:  # AVI rows
+                w, h = 8 * (1 + i % 2), 8 * (1 + (i // 2) % 2)
+            else:
+                w, h = 4 + i % 5, 3 + i % 3
+            assert all((r.width, r.height) == (w, h) for r in by_id[i])
+        # hand-check one AVI frame's pixel sum: id 1, frame 0 → 16x8
+        # = two 8x8 blocks valued 31 and 31+3, replicated x3
+        r = [x for x in by_id[1] if x.frame_idx == 0][0]
+        assert r.px_sum == (31 + 34) * 64 * 3
