@@ -349,6 +349,150 @@ def incremental_dedup(
     return disp
 
 
+@dataclass(frozen=True)
+class ExactIndex:
+    """Handle for the EXACT-dedup tier's persisted survivor index —
+    one bucketed table ``{name}_hashes`` (fingerprint, doc_id) of
+    content-hash → surviving doc id (text.fingerprint: MD5 of
+    normalized text). The cheapest and most common production tier:
+    every crawl batch first drops byte-identical (post-normalization)
+    duplicates against ALL history via one bucket-local hash join
+    before the fuzzy tiers ever run. MD5 keys are uniform, so the
+    bucketed layout is skew-free by construction."""
+
+    name: str
+    n_buckets: int = 32
+    location: str | None = None
+
+    @property
+    def hashes_table(self) -> str:
+        return f"{self.name}_hashes"
+
+    def drop(self, spark=None) -> None:
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self.hashes_table}")
+        if self.location:
+            shutil.rmtree(self.location, ignore_errors=True)
+
+    def __enter__(self) -> "ExactIndex":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.drop()
+
+
+def _fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import fingerprint
+
+    return df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+
+
+def build_exact_index(
+    corpus: DataFrame, text_col: str, id_col: str, index: ExactIndex
+) -> None:
+    """Batch-0 bootstrap: one hash-aggregate keeps the min id per
+    fingerprint; survivors persist bucketed on the hash."""
+    survivors = (
+        _fingerprints(corpus, text_col, id_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    save_bucketed(
+        survivors,
+        index.hashes_table,
+        "fingerprint",
+        index.n_buckets,
+        mode="overwrite",
+        path=(f"{index.location}/hashes" if index.location else None),
+    )
+
+
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    index: ExactIndex,
+    update_index: bool = True,
+) -> DataFrame:
+    """(id, kept, dup_of) disposition of every batch doc against the
+    persisted exact index + the batch itself — the exact-tier
+    analogue of :func:`incremental_dedup`, and the FIRST gate a
+    production crawl batch passes (byte-duplicates are the bulk of
+    crawl duplication; the fuzzy tiers then run on what survives).
+
+    Semantics (oracle-expressible from raw text — the driver query
+    proves index == recompute):
+    - a batch doc whose fingerprint exists in the index is dropped
+      with ``dup_of`` = the history survivor (survivors are immutable
+      once shipped — same contract as the Jaccard tier);
+    - batch docs sharing a NEW fingerprint keep the min id; the rest
+      drop with ``dup_of`` = that min id;
+    - fresh fingerprints keep; kept docs' (fingerprint, id) append.
+
+    Scale shape: ONE hash-aggregate over the batch (min id per batch
+    fingerprint), ONE left join against the bucket-locally
+    re-aggregated index (min doc_id per fingerprint satisfies the
+    table's hash partitioning — no exchange above the index scan),
+    then a fingerprint-join back to batch rows. Every join key is an
+    MD5 — uniform, skew-free. History text is never re-read, never
+    re-hashed; cost scales with the batch alone."""
+    spark = new_batch.sparkSession
+    id_type = new_batch.schema[id_col].dataType
+    fps = _fingerprints(new_batch, text_col, id_col).localCheckpoint(eager=False)
+    batch_min = fps.groupBy("fingerprint").agg(F.min(id_col).alias("__bmin"))
+    # bucket-local: groupBy key == the table's bucket key
+    hist = (
+        spark.table(index.hashes_table)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("__hist"))
+    )
+    per_fp = batch_min.join(hist, "fingerprint", "left")
+    disp = (
+        fps.join(per_fp, "fingerprint")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__hist").isNotNull(), F.lit(False))
+            .otherwise(F.col(id_col) == F.col("__bmin"))
+            .alias("kept"),
+            F.when(F.col("__hist").isNotNull(), F.col("__hist"))
+            .when(F.col(id_col) == F.col("__bmin"), F.lit(None).cast(id_type))
+            .otherwise(F.col("__bmin"))
+            .alias("dup_of"),
+            "fingerprint",
+        )
+    )
+    if not update_index:
+        return disp.select(id_col, "kept", "dup_of")
+    disp = disp.localCheckpoint(eager=True)
+    save_bucketed(
+        disp.filter(F.col("kept")).select("fingerprint", F.col(id_col)),
+        index.hashes_table,
+        "fingerprint",
+        index.n_buckets,
+        mode="append",
+        path=(f"{index.location}/hashes" if index.location else None),
+    )
+    return disp.select(id_col, "kept", "dup_of")
+
+
+def temp_exact_index(n_buckets: int = 32) -> ExactIndex:
+    """Uniquely-named tempdir-rooted exact index; context-manage it."""
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
+
+    return ExactIndex(
+        name=f"exact_idx_{uuid.uuid4().hex}",
+        n_buckets=n_buckets,
+        location=session_tmpdir("dedup_index_"),
+    )
+
+
 def build_full_index(
     corpus: DataFrame, text_col: str, id_col: str, index: DedupIndex
 ) -> None:

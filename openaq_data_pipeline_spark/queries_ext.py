@@ -371,7 +371,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
+    # rotated r7 after 3 green driver rounds (r4-r6); MinHash banding
+    # stays driver-live via fuzzy_decon_incremental (band buckets +
+    # exact-Jaccard verify against the persisted band index) and the
+    # clustering consumers (dedup_keep_one/keep_best); full
+    # Spark-vs-DuckDB parity continues via pytest. Slot freed for
+    # dedup_exact_incremental.
     "dedup_minhash_lsh",
     "EXT-dedup — MinHash(k=8) + LSH banding (4 bands × 2 rows): "
     "near-dup candidate pairs on the mutated corpus; the "
@@ -569,6 +575,79 @@ def dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         build_full_index(d.select("doc_id", "text"), "text", "doc_id", idx)
         return incremental_containment_matches(
             excerpts, "text", "doc_id", idx, min_containment=0.8
+        ).localCheckpoint(eager=True)
+
+
+@register(
+    "dedup_exact_incremental",
+    "EXT-dedup — INCREMENTAL EXACT dedup (r7): the first gate a "
+    "production crawl batch passes — byte-duplicate (post-"
+    "normalization MD5) disposition against a persisted bucketed "
+    "hash index of ALL history survivors, plus in-batch exact "
+    "classes keeping their min id. One batch hash-aggregate + one "
+    "bucket-local index join (MD5 keys — uniform, skew-free); "
+    "history text never re-read or re-hashed. Oracle recomputes "
+    "every disposition from raw text with no index — the hash match "
+    "IS the index == recompute proof",
+    oracle=r"""
+WITH hist AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+hist_min AS (SELECT fp, min(doc_id) AS hist_id FROM hist GROUP BY fp),
+batch AS (
+    SELECT doc_id + 400000 AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 900000,
+           md5('batch-only class ' || CAST(doc_id % 4 AS VARCHAR))
+    FROM documents WHERE doc_id % 9 = 4
+),
+bmin AS (SELECT fp, min(doc_id) AS bm FROM batch GROUP BY fp)
+SELECT b.doc_id,
+       CASE WHEN h.hist_id IS NOT NULL THEN FALSE
+            ELSE b.doc_id = m.bm END AS kept,
+       CASE WHEN h.hist_id IS NOT NULL THEN h.hist_id
+            WHEN b.doc_id = m.bm THEN NULL
+            ELSE m.bm END AS dup_of
+FROM batch b
+JOIN bmin m USING (fp)
+LEFT JOIN hist_min h USING (fp)
+""",
+)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History = the full documents corpus, indexed once
+    (build_exact_index: min id per fingerprint, bucketed on the
+    hash). Batch = exact copies of every 5th doc (id+400000 —
+    cross-batch duplicates resolving to the history survivor) plus
+    synthetic 'batch-only class' docs (ids+900000, 4 shared texts —
+    in-batch exact classes keeping their min id; fresh fingerprints
+    by construction, and if one ever collided with history both
+    engines would agree on the cross disposition). Context-managed
+    temp index: no catalog or /tmp residue."""
+    from openaq_data_pipeline_spark.operators.incremental_dedup import (
+        build_exact_index,
+        incremental_exact_dedup,
+        temp_exact_index,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    classes = d.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(
+            F.lit("batch-only class "), (F.col("doc_id") % 4).cast("string")
+        ).alias("text"),
+    )
+    batch = copies.unionByName(classes)
+    with temp_exact_index(n_buckets=8) as idx:
+        build_exact_index(d.select("doc_id", "text"), "text", "doc_id", idx)
+        return incremental_exact_dedup(
+            batch, "text", "doc_id", idx
         ).localCheckpoint(eager=True)
 
 

@@ -303,3 +303,114 @@ class TestIncrementalContainment:
             assert not any(hist_path in f for f in files), (
                 "containment probe re-reads history text"
             )
+
+
+class TestIncrementalExactDedup:
+    """r7: the exact tier — persisted hash index, three dispositions,
+    cross-batch survival, history never re-read."""
+
+    def test_three_batch_scenario(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+
+        b1 = spark.createDataFrame(
+            [(0, "Alpha  Beta"), (2, "alpha beta"), (4, "gamma delta")],
+            "doc_id long, text string",
+        )
+        with temp_exact_index(n_buckets=4) as idx:
+            # normalization folds 0 and 2 → survivor 0
+            build_exact_index(b1, "text", "doc_id", idx)
+            assert spark.table(idx.hashes_table).count() == 2
+
+            b2 = spark.createDataFrame(
+                [
+                    (11, "ALPHA BETA"),     # cross dup → 0 (not 2)
+                    (13, "fresh text one"),  # in-batch class min → kept
+                    (15, "Fresh  Text One"),  # in-batch dup of 13
+                    (17, "totally new"),     # fresh singleton
+                ],
+                "doc_id long, text string",
+            )
+            got = sorted(
+                (r.doc_id, r.kept, r.dup_of)
+                for r in incremental_exact_dedup(b2, "text", "doc_id", idx).collect()
+            )
+            assert got == [
+                (11, False, 0),
+                (13, True, None),
+                (15, False, 13),
+                (17, True, None),
+            ]
+            # batch-2 survivors are in the index for batch 3
+            b3 = spark.createDataFrame(
+                [(21, "fresh text one"), (23, "gamma delta")],
+                "doc_id long, text string",
+            )
+            got3 = sorted(
+                (r.doc_id, r.kept, r.dup_of)
+                for r in incremental_exact_dedup(b3, "text", "doc_id", idx).collect()
+            )
+            assert got3 == [(21, False, 13), (23, False, 4)]
+
+    def test_update_index_false_leaves_index_untouched(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+
+        b1 = spark.createDataFrame([(0, "base doc")], "doc_id long, text string")
+        b2 = spark.createDataFrame([(5, "new doc")], "doc_id long, text string")
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(b1, "text", "doc_id", idx)
+            incremental_exact_dedup(b2, "text", "doc_id", idx, update_index=False)
+            assert spark.table(idx.hashes_table).count() == 1
+
+    def test_probe_plan_is_bucket_local_and_never_reads_history(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+
+        hist_path = str(tmp_path / "ehist")
+        batch_path = str(tmp_path / "ebatch")
+        spark.createDataFrame(
+            [(0, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+        ).write.parquet(hist_path)
+        spark.createDataFrame(
+            [(11, "alpha beta"), (13, "fresh")], "doc_id long, text string"
+        ).write.parquet(batch_path)
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(
+                spark.read.parquet(hist_path), "text", "doc_id", idx
+            )
+            disp = incremental_exact_dedup(
+                spark.read.parquet(batch_path), "text", "doc_id", idx,
+                update_index=False,
+            )
+            files = disp.inputFiles()
+            assert idx.location is not None
+            assert any(idx.location in f for f in files), "index scan missing"
+            # the batch parquet is absent from inputFiles because the
+            # fingerprint table is checkpointed (one materialization
+            # for its two consumers) — the claim under test is the
+            # NEGATIVE one: no history source in the plan
+            assert not any(hist_path in f for f in files), (
+                "exact probe re-reads history text"
+            )
+            # the index-side min-per-fingerprint satisfies the bucket
+            # spec: no Exchange between the index scan and its agg
+            hist_agg = (
+                spark.table(idx.hashes_table)
+                .groupBy("fingerprint")
+                .agg(F.min("doc_id"))
+            )
+            plan = hist_agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
