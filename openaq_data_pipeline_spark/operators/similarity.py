@@ -1106,23 +1106,19 @@ def _append_cells(
         )
 
 
-def ivf_topk_indexed(
+def _ivf_candidate_scores(
     spark,
     queries: DataFrame,
     index: IvfIndex,
-    k: int = 5,
-    nprobe: int | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Top-``k`` cosine neighbors per query against the PERSISTED
-    index — identical semantics to :func:`ivf_topk` with the same
-    centroids over the concatenation of every indexed batch (cell
-    assignment is a per-vector property of the frozen quantizer).
-    The probe touches: the centroid table (bounded collect), the
-    query vectors, and the bucketed cells of probed cells — never
-    the corpus (candidate embeddings come from the index itself)."""
-    nprobe = index.nprobe if nprobe is None else nprobe
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(scored, q_vec): every (query_id, neighbor_id, cosine_sim)
+    candidate from the probed cells of the persisted index — the
+    shared core of the top-k and near-dup probes. Float cells score
+    exact cosine; int8 cells score code-space cosine (per-vector
+    scale cancels)."""
     cent_rows = _index_centroid_rows(spark, index)
     probes = ivf_probe_cells(
         queries, cent_rows, nprobe, id_col, vec_col, index.round_dp
@@ -1152,6 +1148,83 @@ def ivf_topk_indexed(
             "neighbor_id",
             F.round(sim, index.round_dp).alias("cosine_sim"),
         )
+    )
+    return scored, q_vec
+
+
+def ivf_neardup_indexed(
+    spark,
+    queries: DataFrame,
+    index: IvfIndex,
+    min_cosine: float = 0.9,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine_sim) — every probed-cell CROSS
+    pair at/above ``min_cosine``: the EMBEDDING tier's incremental
+    near-dup/decontamination probe (r7), completing the per-tier
+    incremental set (exact, Jaccard, MinHash bands, SimHash,
+    containment, and now embedding-cosine). "Is this batch vector
+    already in the corpus" runs as: assign batch vectors to their
+    nprobe nearest frozen cells, score candidates from the
+    cell-bucketed index (never the corpus — same plan pins as
+    :func:`ivf_topk_indexed`), threshold exactly.
+
+    Candidate recall is bounded by the probed cells — the standard
+    IVF trade, mirrored exactly by the driver oracle (which replays
+    training + assignment + probing in SQL), so probe == recompute
+    is provable rather than probabilistic.
+
+    With ``storage="int8"`` cells: if the index keeps a rescore
+    table, EVERY candidate re-scores exactly from it before the
+    threshold (the pair-bounded join shuffles candidates; the
+    neighbor-bucketed index side stays exchange-free) — thresholds
+    are contracts, so they apply to exact similarities; without a
+    rescore table the threshold applies to code-space cosine
+    (approximate, documented)."""
+    nprobe = index.nprobe if nprobe is None else nprobe
+    scored, q_vec = _ivf_candidate_scores(
+        spark, queries, index, nprobe, id_col, vec_col
+    )
+    if index.storage == "int8" and index.rescore:
+        full = spark.table(index.rescore_table)
+        scored = (
+            full.join(scored.select("query_id", "neighbor_id"), "neighbor_id")
+            .join(F.broadcast(q_vec), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_expr(F.col("q_vec"), F.col("c_vec")),
+                    index.round_dp,
+                ).alias("cosine_sim"),
+            )
+        )
+    return scored.filter(F.col("cosine_sim") >= min_cosine).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    queries: DataFrame,
+    index: IvfIndex,
+    k: int = 5,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` cosine neighbors per query against the PERSISTED
+    index — identical semantics to :func:`ivf_topk` with the same
+    centroids over the concatenation of every indexed batch (cell
+    assignment is a per-vector property of the frozen quantizer).
+    The probe touches: the centroid table (bounded collect), the
+    query vectors, and the bucketed cells of probed cells — never
+    the corpus (candidate embeddings come from the index itself)."""
+    nprobe = index.nprobe if nprobe is None else nprobe
+    scored, q_vec = _ivf_candidate_scores(
+        spark, queries, index, nprobe, id_col, vec_col
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -1396,7 +1396,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.filter("vec_id < 10"), k=5)
 
 
-@register(
+@register_rotated(
+    # rotated r7 after 3 green driver rounds (r4-r6); the ANN family
+    # stays driver-live via ann_topk_ivf (persisted-index path) and
+    # the new neardup_cosine_incremental (embedding-tier incremental
+    # probe); full Spark-vs-DuckDB parity continues via pytest.
     "ann_topk_lsh",
     "EXT-similarity — LSH-bucketed approximate top-k with (b, L) "
     "derived from corpus size + threshold (VERDICT r3 #4: candidate "
@@ -1578,6 +1582,82 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index(e, idx, n_cells=16, train_iters=1)
         return ivf_topk_indexed(
             spark, e.filter("vec_id < 10"), idx, k=5
+        ).localCheckpoint(eager=True)
+
+
+@register(
+    "neardup_cosine_incremental",
+    "EXT-similarity — INCREMENTAL embedding-cosine near-dup (r7), "
+    "completing the per-tier incremental set (exact, Jaccard, "
+    "MinHash, SimHash, containment, embedding): the corpus is "
+    "indexed ONCE into the persisted cell-bucketed IVF tables; a "
+    "batch of new vectors probes its nprobe nearest frozen cells and "
+    "thresholds exact cosine against index-resident candidates — the "
+    "corpus is never re-read or re-assigned. The oracle replays "
+    "quantizer training, assignment and probing in SQL, so the "
+    "IVF-bounded candidate recall is mirrored exactly: probe == "
+    "recompute, not probabilistic",
+    oracle=f"""
+WITH {_ivf_trained_cents_duck(16, 1, 64)},
+cents AS (SELECT cell_id, c_vec FROM cents1),
+assign AS (
+    SELECT a.vec_id AS neighbor_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({_cosc_duck('a', 'c')}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings a CROSS JOIN cents c
+),
+batch AS (
+    SELECT vec_id + 800000 AS query_id, vec_id AS src_id
+    FROM embeddings WHERE vec_id % 7 = 0
+),
+probes AS (
+    SELECT b.query_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY b.query_id
+               ORDER BY round({_cosc_duck('q', 'c')}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM batch b
+    JOIN embeddings q ON q.vec_id = b.src_id
+    CROSS JOIN cents c
+),
+cand AS (
+    SELECT DISTINCT p.query_id, s.neighbor_id
+    FROM (SELECT query_id, cell_id FROM probes WHERE rn <= 4) p
+    JOIN (SELECT neighbor_id, cell_id FROM assign WHERE rn = 1) s USING (cell_id)
+)
+SELECT cand.query_id, cand.neighbor_id,
+       round({_cos_duck('q', 'a')}, 6) AS cosine_sim
+FROM cand
+JOIN batch b ON b.query_id = cand.query_id
+JOIN embeddings q ON q.vec_id = b.src_id
+JOIN embeddings a ON a.vec_id = cand.neighbor_id
+WHERE round({_cos_duck('q', 'a')}, 6) >= 0.9
+""",
+)
+def neardup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History = the full embeddings corpus, indexed once (trained
+    quantizer + cell-bucketed vectors). Batch = copies of every 7th
+    vector (id+800000, embedding unchanged — 'is this vector already
+    in the corpus', cosine 1.0 with its source, which shares the
+    query's top probe cell by construction), thresholded at 0.9 so
+    organic near-neighbors inside the probed cells surface too.
+    Context-managed temp index, eager checkpoint: no residue."""
+    from openaq_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_neardup_indexed,
+        temp_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    batch = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 800000).alias("vec_id"), "embedding"
+    )
+    with temp_ivf_index(nprobe=4, n_buckets=8) as idx:
+        build_ivf_index(e, idx, n_cells=16, train_iters=1)
+        return ivf_neardup_indexed(
+            spark, batch, idx, min_cosine=0.9
         ).localCheckpoint(eager=True)
 
 

@@ -243,3 +243,90 @@ class TestInt8IvfIndex:
             # surface it
             hits = ivf_topk_indexed(spark, hit, idx, k=6).collect()
             assert any(r.neighbor_id == 105 for r in hits), hits
+
+
+class TestIvfNeardupIndexed:
+    """r7: the embedding tier's incremental near-dup probe — exact
+    copies retrieved at cosine 1.0 from the persisted index, exact
+    thresholds under int8+rescore, no corpus re-read."""
+
+    def test_copies_found_and_threshold_respected(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            ivf_neardup_indexed,
+        )
+
+        e = _fixture(spark, 40)
+        # batch: exact copies of vectors 3 and 17 → cosine 1.0 hits
+        batch = spark.createDataFrame(
+            [(903, _vec(3)), (917, _vec(17))],
+            "vec_id long, embedding array<float>",
+        )
+        with temp_ivf_index(nprobe=3, n_buckets=4) as idx:
+            build_ivf_index(e, idx, n_cells=8, train_iters=1)
+            got = ivf_neardup_indexed(
+                spark, batch, idx, min_cosine=0.999
+            ).collect()
+            pairs = {(r.query_id, r.neighbor_id) for r in got}
+            # _vec has period 13: each copy matches its source AND the
+            # period-aliases sharing the source's cell
+            assert (903, 3) in pairs and (917, 17) in pairs
+            assert all(r.cosine_sim >= 0.999 for r in got)
+            # a high threshold excludes non-identical vectors
+            # (batch ids are source+900; _vec's period is 13, so
+            # identical ⇔ neighbor ≡ query−900 (mod 13))
+            non_identical = [
+                r for r in got if (r.neighbor_id - (r.query_id - 900)) % 13 != 0
+            ]
+            assert non_identical == []
+
+    def test_int8_rescore_thresholds_exactly(self, spark):
+        """Thresholds are contracts: under int8+rescore the emitted
+        similarities must equal the FLOAT index's values (exact
+        rescore of every candidate), not code-space approximations."""
+        from openaq_data_pipeline_spark.operators.similarity import (
+            ivf_neardup_indexed,
+        )
+
+        e = _fixture(spark, 40)
+        batch = spark.createDataFrame(
+            [(903, _vec(3))], "vec_id long, embedding array<float>"
+        )
+        with temp_ivf_index(nprobe=3, n_buckets=4) as fidx:
+            build_ivf_index(e, fidx, n_cells=8, train_iters=1)
+            want = sorted(
+                (r.query_id, r.neighbor_id, r.cosine_sim)
+                for r in ivf_neardup_indexed(
+                    spark, batch, fidx, min_cosine=0.5
+                ).collect()
+            )
+        with temp_ivf_index(
+            nprobe=3, n_buckets=4, storage="int8", rescore=True
+        ) as qidx:
+            build_ivf_index(e, qidx, n_cells=8, train_iters=1)
+            got = sorted(
+                (r.query_id, r.neighbor_id, r.cosine_sim)
+                for r in ivf_neardup_indexed(
+                    spark, batch, qidx, min_cosine=0.5
+                ).collect()
+            )
+        assert got == want
+
+    def test_probe_reads_index_not_corpus(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            ivf_neardup_indexed,
+        )
+
+        corpus_path = str(tmp_path / "nd_emb")
+        _fixture(spark, 30).write.parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        batch = spark.createDataFrame(
+            [(900, _vec(3))], "vec_id long, embedding array<float>"
+        )
+        with temp_ivf_index(nprobe=3, n_buckets=4) as idx:
+            build_ivf_index(corpus, idx, n_cells=8, train_iters=1)
+            probe = ivf_neardup_indexed(spark, batch, idx, min_cosine=0.9)
+            files = probe.inputFiles()
+            assert any(idx.location in f for f in files)
+            assert not any(corpus_path in f for f in files), (
+                "near-dup probe re-reads the corpus"
+            )
