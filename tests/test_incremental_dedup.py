@@ -414,3 +414,76 @@ class TestIncrementalExactDedup:
             plan = hist_agg._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan, plan
             assert "Bucketed: true" in plan, plan
+
+
+class TestIncrementalFunnelComposition:
+    """The production shape end-to-end: a crawl batch passes the
+    EXACT gate first (byte-dups against all history), and only its
+    survivors reach the fuzzy (Jaccard) gate — both gates probing
+    their persisted indexes and appending their survivors, so the
+    NEXT batch is gated against everything kept so far."""
+
+    def test_two_gate_funnel_across_batches(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            build_index,
+            incremental_dedup,
+            incremental_exact_dedup,
+            temp_exact_index,
+            temp_index,
+        )
+
+        hist = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog today"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ],
+            "doc_id long, text string",
+        )
+        b1 = spark.createDataFrame(
+            [
+                (11, "The  Quick Brown fox jumps over the lazy dog today"),  # exact dup of 0 (normalized)
+                (13, "alpha beta gamma delta epsilon zeta eta theta iota"),  # NEAR dup of 2
+                (15, "completely fresh content about rivers and mountains"),
+                (17, "completely fresh content about rivers and mountains"),  # exact dup of 15 in-batch
+            ],
+            "doc_id long, text string",
+        )
+        with temp_exact_index(n_buckets=4) as eidx, temp_index(n_buckets=4) as jidx:
+            build_exact_index(hist, "text", "doc_id", eidx)
+            build_index(hist, "text", "doc_id", jidx)
+
+            e_disp = incremental_exact_dedup(b1, "text", "doc_id", eidx)
+            e_rows = {r.doc_id: (r.kept, r.dup_of) for r in e_disp.collect()}
+            assert e_rows == {
+                11: (False, 0),    # exact gate catches the byte dup
+                13: (True, None),  # near-dup passes the exact gate
+                15: (True, None),
+                17: (False, 15),   # in-batch exact class
+            }
+            survivors = b1.join(
+                e_disp.filter(F.col("kept")).select("doc_id"), "doc_id"
+            )
+            j_disp = incremental_dedup(survivors, "text", "doc_id", jidx)
+            j_rows = {r.doc_id: (r.kept, r.dup_of) for r in j_disp.collect()}
+            assert j_rows == {
+                13: (False, 2),    # fuzzy gate catches the near dup
+                15: (True, None),  # genuinely new → kept, appended
+            }
+            # batch 2: dups of batch-1 survivors are caught by the
+            # UPDATED indexes at both gates
+            b2 = spark.createDataFrame(
+                [
+                    (21, "completely  fresh content about RIVERS and mountains"),  # exact dup of 15
+                    (23, "completely fresh content about rivers and lakes today"),  # near dup of 15
+                ],
+                "doc_id long, text string",
+            )
+            e2 = incremental_exact_dedup(b2, "text", "doc_id", eidx)
+            e2_rows = {r.doc_id: (r.kept, r.dup_of) for r in e2.collect()}
+            assert e2_rows[21] == (False, 15)
+            assert e2_rows[23] == (True, None)
+            s2 = b2.join(e2.filter(F.col("kept")).select("doc_id"), "doc_id")
+            j2 = incremental_dedup(s2, "text", "doc_id", jidx)
+            j2_rows = {r.doc_id: (r.kept, r.dup_of) for r in j2.collect()}
+            assert j2_rows[23] == (False, 15)

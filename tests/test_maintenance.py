@@ -252,3 +252,45 @@ class TestBucketedCompaction:
             dup = {r["doc_id"]: r["dup_of"] for r in out.collect()}
             assert dup[5] == 2  # history survived compaction
             assert dup[6] is None
+
+
+class TestBm25IndexCompaction:
+    """The compactor speaks every bucketed index family: fragment the
+    BM25 term-bucketed postings across appends, compact, and the
+    indexed probe must return identical rows with the bucket-local
+    plan intact."""
+
+    def test_bm25_probe_identical_after_compaction(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            append_bm25_index,
+            bm25_topk_indexed,
+            build_bm25_index,
+            temp_bm25_index,
+        )
+        from openaq_data_pipeline_spark.sources.maintenance import (
+            bucket_file_stats,
+            compact_bucketed_table,
+        )
+
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+        b1 = mk([(1, "spark engines shuffle data"), (2, "ducks paddle in rivers")])
+        b2 = mk([(3, "spark rivers of data"), (4, "paddle faster spark")])
+        b3 = mk([(5, "data rivers run deep")])
+        q = spark.createDataFrame(
+            [(100, "spark rivers")], "query_id long, text string"
+        )
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(b1, "text", "doc_id", idx)
+            append_bm25_index(b2, "text", "doc_id", idx)
+            append_bm25_index(b3, "text", "doc_id", idx)
+            probe = lambda: bm25_topk_indexed(
+                spark, q, idx, id_col="doc_id", q_text_col="text", k=5
+            )
+            before = sorted(tuple(r) for r in probe().collect())
+            frag = bucket_file_stats(spark, idx.tf_table)
+            assert frag.agg(F.max("n_files")).collect()[0][0] >= 2
+            assert compact_bucketed_table(spark, idx.tf_table, max_files=1)
+            healed = bucket_file_stats(spark, idx.tf_table)
+            assert healed.agg(F.max("n_files")).collect()[0][0] == 1
+            after = sorted(tuple(r) for r in probe().collect())
+            assert after == before
