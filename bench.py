@@ -250,16 +250,26 @@ def main() -> None:
         "state during the driver's run; the query is reclaimed (r7 "
         "in-context 0.634 s) with no code change to the audio path."
     )
-    # Host-variance evidence, r7: three full runs of near-identical
-    # code on this box within ~2 h measured 58.2 s (quiet), 64.4 s
-    # and 74.9 s — the last with 16 unrelated queries uniformly
-    # 1.25-1.9x and the FIRST bench query spiking 5.8x in one run
-    # then reverting to 0.58 s in the next. Per-query minima are
-    # stable within a run; cross-run totals are only comparable
-    # between quiet windows (same conclusion as the r6 drift
-    # post-mortem: 88.8 s loaded vs 64.3 s quiet on identical code).
-    # Treat any single-round total as a sample from this spread.
-    detail["host_variance_r7"] = [58.182, 64.389, 74.939]
+    # Host-variance evidence, r7: four full runs of near-identical
+    # code on this box within ~3 h measured 58.2 s (quiet), 64.4,
+    # 74.9 and 73.9 s — the slow runs with 16+ unrelated queries
+    # uniformly 1.25-1.9x and one run's FIRST query spiking 5.8x
+    # then reverting to 0.58 s. CONTROLLED experiment: byte-identical
+    # r6 code (commit e00b73b, fresh clone) re-benched in the slow
+    # window measured 65.2 s vs the 56.5 s the r6 driver recorded —
+    # median per-query ratio 1.21 with ZERO code change — while the
+    # r7 HEAD measured in the SAME window scores 1.079x vs that r6
+    # run on the 47-query common subset (the residue being
+    # video_frame_sample's added real-JPEG decode). Same conclusion
+    # as the r6 drift post-mortem: totals are a sample from the
+    # box's window spread; code-vs-code comparisons are only valid
+    # within one window.
+    detail["host_variance_r7"] = {
+        "head_runs_sec": [58.182, 64.389, 74.939, 73.918],
+        "r6_code_rebench_sec": 65.168,
+        "r6_driver_recorded_sec": 56.503,
+        "same_window_r7_vs_r6_common_subset": 1.079,
+    }
     detail["harness_overhead"] = {
         "per_query": overhead,
         "total_clearcache_sec": round(
