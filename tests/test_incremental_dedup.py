@@ -487,3 +487,133 @@ class TestIncrementalFunnelComposition:
             j2 = incremental_dedup(s2, "text", "doc_id", jidx)
             j2_rows = {r.doc_id: (r.kept, r.dup_of) for r in j2.collect()}
             assert j2_rows[23] == (False, 15)
+
+
+# --- property tests: incremental tiers vs pure-Python recompute ---------
+
+import hashlib
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_norm(text: str) -> str:
+    return _re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def _py_fp(text: str) -> str:
+    return hashlib.md5(_py_norm(text).encode()).hexdigest()
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    w = [t for t in _py_norm(text).split(" ") if t]
+    if not w:
+        return set()
+    if len(w) < n:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+_DOC = st.text(alphabet="ab c", min_size=0, max_size=24)
+
+
+class TestIncrementalTierProperties:
+    @given(
+        st.lists(_DOC, min_size=1, max_size=6),
+        st.lists(_DOC, min_size=1, max_size=6),
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_exact_tier_matches_python_recompute(self, spark, hist, batch):
+        """Disposition of arbitrary whitespace-soup batches equals a
+        pure-Python recompute of the module contract (history
+        survivor wins; else in-batch min id; else kept)."""
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+
+        hrows = [(i, t) for i, t in enumerate(hist)]
+        brows = [(100 + i, t) for i, t in enumerate(batch)]
+        hdf = spark.createDataFrame(hrows, "doc_id long, text string")
+        bdf = spark.createDataFrame(brows, "doc_id long, text string")
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(hdf, "text", "doc_id", idx)
+            got = {
+                r.doc_id: (r.kept, r.dup_of)
+                for r in incremental_exact_dedup(
+                    bdf, "text", "doc_id", idx, update_index=False
+                ).collect()
+            }
+        hist_min: dict = {}
+        for i, t in hrows:
+            fp = _py_fp(t)
+            hist_min[fp] = min(hist_min.get(fp, i), i)
+        bmin: dict = {}
+        for i, t in brows:
+            fp = _py_fp(t)
+            bmin[fp] = min(bmin.get(fp, i), i)
+        expect = {}
+        for i, t in brows:
+            fp = _py_fp(t)
+            if fp in hist_min:
+                expect[i] = (False, hist_min[fp])
+            elif i == bmin[fp]:
+                expect[i] = (True, None)
+            else:
+                expect[i] = (False, bmin[fp])
+        assert got == expect
+
+    @given(
+        st.lists(_DOC, min_size=1, max_size=5),
+        st.lists(_DOC, min_size=1, max_size=5),
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_containment_tier_matches_python_recompute(
+        self, spark, hist, batch
+    ):
+        """Cross containment pairs over arbitrary corpora equal the
+        pure-Python recompute: shared guarded shingles over
+        min(full sizes), threshold 0.0 (every pair surfaced)."""
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_full_index,
+            incremental_containment_matches,
+            temp_index,
+        )
+
+        hrows = [(i, t) for i, t in enumerate(hist)]
+        brows = [(100 + i, t) for i, t in enumerate(batch)]
+        hdf = spark.createDataFrame(hrows, "doc_id long, text string")
+        bdf = spark.createDataFrame(brows, "doc_id long, text string")
+        with temp_index(n_buckets=4, max_doc_freq=3) as idx:
+            build_full_index(hdf, "text", "doc_id", idx)
+            got = {
+                (r.new_id, r.old_id): (r.n_common, r.n_new, r.n_old)
+                for r in incremental_containment_matches(
+                    bdf, "text", "doc_id", idx, min_containment=0.0
+                ).collect()
+            }
+        hsh = {i: _py_shingles(t) for i, t in hrows}
+        bsh = {i: _py_shingles(t) for i, t in brows}
+        # combined df per shingle over docs that contain it
+        df_count: dict = {}
+        for sh in list(hsh.values()) + list(bsh.values()):
+            for s in sh:
+                df_count[s] = df_count.get(s, 0) + 1
+        ok = {s for s, c in df_count.items() if c <= 3}
+        expect = {}
+        for bi, bs in bsh.items():
+            for hi, hs in hsh.items():
+                common = bs & hs & ok
+                if common and bs and hs:
+                    expect[(bi, hi)] = (len(common), len(bs), len(hs))
+        assert got == expect
