@@ -154,6 +154,30 @@ def bucket_file_stats(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def compact_index(spark: SparkSession, index, max_files: int = 8) -> list[str]:
+    """Compact every bucketed table of a persisted-index handle
+    (DedupIndex / ExactIndex / FuzzyIndex / SimhashIndex / Bm25Index /
+    IvfIndex — any object exposing ``*_table`` properties) that has a
+    bucket past ``max_files`` files. Non-bucketed side tables (batch
+    stats, centroids) are skipped — they hold one tiny row set per
+    batch and never dominate probe IO. Returns the table names
+    rewritten. The per-table gate stays metadata-only."""
+    compacted = []
+    for attr in sorted(dir(type(index))):
+        if not attr.endswith("_table"):
+            continue
+        table = getattr(index, attr)
+        if not spark.catalog.tableExists(table):
+            continue
+        try:
+            _describe_bucketed(spark, table)
+        except ValueError:
+            continue  # non-bucketed side table
+        if compact_bucketed_table(spark, table, max_files=max_files):
+            compacted.append(table)
+    return compacted
+
+
 def compact_bucketed_table(
     spark: SparkSession, table: str, max_files: int = 8
 ) -> bool:

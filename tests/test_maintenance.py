@@ -294,3 +294,67 @@ class TestBm25IndexCompaction:
             assert healed.agg(F.max("n_files")).collect()[0][0] == 1
             after = sorted(tuple(r) for r in probe().collect())
             assert after == before
+
+
+class TestCompactIndex:
+    """compact_index sweeps every bucketed table of an index handle
+    in one call, skipping non-bucketed side tables."""
+
+    def test_compacts_all_fragmented_tables_of_a_dedup_index(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_index,
+            incremental_dedup,
+            temp_index,
+        )
+        from openaq_data_pipeline_spark.sources.maintenance import (
+            bucket_file_stats,
+            compact_index,
+        )
+
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+        # multi-doc batches so every write lands files in EVERY bucket
+        # of both tables (a 1-doc batch touches one sizes bucket only)
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        batch = lambda base: mk(
+            [
+                (
+                    base + i,
+                    f"tag{base} "
+                    + " ".join(words[j % 10] for j in range(i, i + 5))
+                    + f" tail{base + i}",
+                )
+                for i in range(8)
+            ]
+        )
+        with temp_index(n_buckets=4) as idx:
+            build_index(batch(0), "text", "doc_id", idx)
+            incremental_dedup(batch(100), "text", "doc_id", idx)
+            incremental_dedup(batch(200), "text", "doc_id", idx)
+            done = compact_index(spark, idx, max_files=1)
+            assert sorted(done) == sorted(
+                [idx.postings_table, idx.sizes_table]
+            )
+            for t in done:
+                healed = bucket_file_stats(spark, t)
+                assert healed.agg(F.max("n_files")).collect()[0][0] == 1
+            # second sweep: nothing left to do
+            assert compact_index(spark, idx, max_files=1) == []
+
+    def test_skips_non_bucketed_side_tables(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            append_bm25_index,
+            build_bm25_index,
+            temp_bm25_index,
+        )
+        from openaq_data_pipeline_spark.sources.maintenance import compact_index
+
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(mk([(1, "spark rivers")]), "text", "doc_id", idx)
+            append_bm25_index(mk([(2, "rivers run")]), "text", "doc_id", idx)
+            append_bm25_index(mk([(3, "spark runs")]), "text", "doc_id", idx)
+            done = compact_index(spark, idx, max_files=1)
+            # tf (bucketed) compacted; stats (plain parquet, one row
+            # per batch) skipped
+            assert done == [idx.tf_table]
+            assert spark.table(idx.stats_table).count() == 3
