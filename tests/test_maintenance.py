@@ -358,3 +358,78 @@ class TestCompactIndex:
             # per batch) skipped
             assert done == [idx.tf_table]
             assert spark.table(idx.stats_table).count() == 3
+
+    def test_fuzzy_and_simhash_indexes_heal_with_probe_unchanged(self, spark):
+        """compact_index on the remaining families: the fuzzy index's
+        three bucketed tables and the simhash band table fragment
+        across appends, heal to 1 file/bucket, and the incremental
+        probes return identical rows."""
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            append_fuzzy_index,
+            append_simhash_index,
+            build_fuzzy_index,
+            build_simhash_index,
+            incremental_fuzzy_matches,
+            incremental_simhash_matches,
+            temp_fuzzy_index,
+            temp_simhash_index,
+        )
+        from openaq_data_pipeline_spark.sources.maintenance import (
+            bucket_file_stats,
+            compact_index,
+        )
+
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+        words = "alpha beta gamma delta epsilon zeta eta theta".split()
+        batch = lambda base: mk(
+            [
+                (base + i, " ".join(words[(i + j) % 8] for j in range(6)))
+                for i in range(6)
+            ]
+        )
+        probe_batch = mk(
+            [(900, " ".join(words[j % 8] for j in range(6)) + " extra")]
+        )
+        with temp_fuzzy_index(n_buckets=4) as fidx:
+            build_fuzzy_index(batch(0), "text", "doc_id", fidx)
+            append_fuzzy_index(batch(100), "text", "doc_id", fidx)
+            before = sorted(
+                tuple(r)
+                for r in incremental_fuzzy_matches(
+                    probe_batch, "text", "doc_id", fidx
+                ).collect()
+            )
+            done = compact_index(spark, fidx, max_files=1)
+            assert len(done) >= 1
+            for t in done:
+                assert (
+                    bucket_file_stats(spark, t)
+                    .agg(F.max("n_files"))
+                    .collect()[0][0]
+                    == 1
+                )
+            after = sorted(
+                tuple(r)
+                for r in incremental_fuzzy_matches(
+                    probe_batch, "text", "doc_id", fidx
+                ).collect()
+            )
+            assert after == before
+        with temp_simhash_index(n_buckets=4) as sidx:
+            build_simhash_index(batch(0), "text", "doc_id", sidx)
+            append_simhash_index(batch(100), "text", "doc_id", sidx)
+            before = sorted(
+                tuple(r)
+                for r in incremental_simhash_matches(
+                    probe_batch, "text", "doc_id", sidx
+                ).collect()
+            )
+            done = compact_index(spark, sidx, max_files=1)
+            assert done == [sidx.bands_table]
+            after = sorted(
+                tuple(r)
+                for r in incremental_simhash_matches(
+                    probe_batch, "text", "doc_id", sidx
+                ).collect()
+            )
+            assert after == before
