@@ -1181,8 +1181,10 @@ def ivf_neardup_indexed(
     threshold (the pair-bounded join shuffles candidates; the
     neighbor-bucketed index side stays exchange-free) — thresholds
     are contracts, so they apply to exact similarities; without a
-    rescore table the threshold applies to code-space cosine
-    (approximate, documented)."""
+    rescore table the threshold applies to code-space cosine and the
+    score column comes back as ``code_cosine_sim`` — NOT
+    ``cosine_sim`` — so a consumer can never mistake the approximate
+    similarity for an exact one (ADVICE r7 #2)."""
     nprobe = index.nprobe if nprobe is None else nprobe
     scored, q_vec = _ivf_candidate_scores(
         spark, queries, index, nprobe, id_col, vec_col
@@ -1201,9 +1203,12 @@ def ivf_neardup_indexed(
                 ).alias("cosine_sim"),
             )
         )
-    return scored.filter(F.col("cosine_sim") >= min_cosine).select(
+    out = scored.filter(F.col("cosine_sim") >= min_cosine).select(
         "query_id", "neighbor_id", "cosine_sim"
     )
+    if index.storage == "int8" and not index.rescore:
+        out = out.withColumnRenamed("cosine_sim", "code_cosine_sim")
+    return out
 
 
 def ivf_topk_indexed(
@@ -1221,7 +1226,13 @@ def ivf_topk_indexed(
     assignment is a per-vector property of the frozen quantizer).
     The probe touches: the centroid table (bounded collect), the
     query vectors, and the bucketed cells of probed cells — never
-    the corpus (candidate embeddings come from the index itself)."""
+    the corpus (candidate embeddings come from the index itself).
+
+    With ``storage="int8"`` and no rescore table the ranking score
+    is code-space cosine and comes back as ``code_cosine_sim`` —
+    NOT ``cosine_sim`` — so consumers can't treat the approximate
+    ranking score as exact (ADVICE r7 #2); with rescore the top-k′
+    re-rank restores exact ``cosine_sim``."""
     nprobe = index.nprobe if nprobe is None else nprobe
     scored, q_vec = _ivf_candidate_scores(
         spark, queries, index, nprobe, id_col, vec_col
@@ -1253,12 +1264,15 @@ def ivf_topk_indexed(
                 ).alias("cosine_sim"),
             )
         )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"),
                 "neighbor_id", "cosine_sim")
     )
+    if index.storage == "int8" and not index.rescore:
+        out = out.withColumnRenamed("cosine_sim", "code_cosine_sim")
+    return out
 
 
 def temp_ivf_index(

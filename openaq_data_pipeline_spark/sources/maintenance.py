@@ -119,9 +119,18 @@ def _describe_bucketed(spark: SparkSession, table: str) -> dict:
             info["sort"] = bool(re.findall(r"`([^`]+)`", v))
         elif k == "Location":
             info["location"] = v
+        elif k == "Type":
+            info["type"] = v  # EXTERNAL | MANAGED
     if "n_buckets" not in info or not info.get("keys"):
         raise ValueError(f"{table} is not a bucketed table")
     return info
+
+
+def _strip_file_scheme(location: str) -> str:
+    """Strip only the leading ``file:`` URI scheme from a catalog
+    location (``str.replace`` would mangle a path merely containing
+    that substring)."""
+    return location.removeprefix("file:")
 
 
 def bucket_file_stats(spark: SparkSession, table: str) -> DataFrame:
@@ -130,7 +139,14 @@ def bucket_file_stats(spark: SparkSession, table: str) -> DataFrame:
     one Hadoop-FS ``listStatus`` of the (flat, unpartitioned) table
     dir; the bucket id is parsed from Spark's bucketed file naming
     (``part-<task>-<job>_<bucketId>.c000...``), so no footer or row is
-    read to decide whether to compact."""
+    read to decide whether to compact.
+
+    An entry the listing can't classify — a subdirectory, or a data
+    file whose name lacks the ``_NNNNN`` bucket suffix — is a layout
+    violation for a flat bucketed table, and silently dropping it
+    would undercount fragmentation so :func:`compact_bucketed_table`
+    quietly never fires (ADVICE r7 #3). The gate fails loudly
+    instead: ``ValueError`` naming the offending entries."""
     import re
 
     info = _describe_bucketed(spark, table)
@@ -138,16 +154,27 @@ def bucket_file_stats(spark: SparkSession, table: str) -> DataFrame:
     jpath = jvm.org.apache.hadoop.fs.Path(info["location"])
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     per_bucket: dict[int, list[int]] = {}
+    unrecognized: list[str] = []
     for f in fs.listStatus(jpath):
         name = f.getPath().getName()
-        if not f.isFile() or name.startswith(("_", ".")):
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS, .crc … — hidden, as a scan skips them
+        if not f.isFile():
+            unrecognized.append(f"{name}/ (directory)")
             continue
         m = re.search(r"_(\d{5})(?:\.c\d+)?\.", name)
         if not m:
+            unrecognized.append(name)
             continue
         stat = per_bucket.setdefault(int(m.group(1)), [0, 0])
         stat[0] += 1
         stat[1] += f.getLen()
+    if unrecognized:
+        raise ValueError(
+            f"{table}: {len(unrecognized)} entr(ies) in {info['location']} "
+            f"don't match Spark's bucketed-file layout — refusing to "
+            f"undercount fragmentation: {sorted(unrecognized)[:5]}"
+        )
     rows = [(b, n, s) for b, (n, s) in sorted(per_bucket.items())]
     return spark.createDataFrame(
         rows, "bucket_id int, n_files long, n_bytes long"
@@ -187,16 +214,24 @@ def compact_bucketed_table(
     bucket key stay exchange-free before and after. Returns whether a
     rewrite happened.
 
-    The gate is metadata-only (:func:`bucket_file_stats`); the
-    rewrite reads the table once through an eager ``localCheckpoint``
-    (the repo's self-overwrite lineage break, as in
-    :func:`compact_partitions`) and re-writes through
-    ``save_bucketed``, whose repartition-by-bucket-key produces
-    exactly one file per bucket. At cluster scale the checkpoint
-    lands in executor storage sized to the INDEX (a few % of corpus),
-    not the corpus; a zero-double-write alternative is stage-to-
-    sibling-dir + FS rename, traded away here for the simpler
-    catalog-stable in-place path."""
+    The gate is metadata-only (:func:`bucket_file_stats`). The
+    rewrite is CRASH-SAFE (ADVICE r7 medium): it stages the
+    compacted copy to a sibling location first, and only after that
+    write has fully committed does it swap the staged files in —
+    there is no instant at which the only durable copy of the index
+    is gone. For an external table the swap is two FS renames (old
+    aside, staged in) plus a metadata re-create over the unchanged
+    location, and the old files are deleted LAST; a crash at any
+    point leaves either the old files at/beside the location or the
+    staged copy complete, never neither. (The previous form dropped
+    the table and overwrote its location from an eager
+    ``localCheckpoint`` — executor-storage blocks that a driver
+    failure mid-overwrite would have lost along with the cleared old
+    files.) Managed tables stage to a managed sibling and swap via
+    ``ALTER TABLE RENAME``, whose DROP→RENAME window likewise never
+    has zero committed copies."""
+    import uuid
+
     from openaq_data_pipeline_spark.sources.tables import save_bucketed
 
     info = _describe_bucketed(spark, table)
@@ -207,18 +242,70 @@ def compact_bucketed_table(
     )
     if worst is None or worst <= max_files:
         return False
-    snap = spark.table(table).localCheckpoint(eager=True)
-    location = info["location"]
-    # saveAsTable(overwrite) on the same external location: drop the
-    # old table first so the overwrite never sees itself as input
-    spark.sql(f"DROP TABLE {table}")
-    save_bucketed(
-        snap,
-        table,
-        info["keys"],
-        n_buckets=info["n_buckets"],
-        sort=info["sort"],
-        mode="overwrite",
-        path=location.replace("file:", "") if location.startswith("file:/") else location,
-    )
+    token = uuid.uuid4().hex[:8]
+    stage_table = f"{table}__compact_{token}"
+    schema = spark.table(table).schema
+    # read the FILES, not the catalog table: a scan of the same-spec
+    # bucketed table claims the bucket distribution, so the optimizer
+    # elides save_bucketed's repartition and the staged copy would
+    # inherit the fragmented one-task-per-file layout (measured: 15
+    # write tasks instead of n_buckets). A plain parquet scan carries
+    # no bucketing metadata, so the collapse actually happens.
+    src = spark.read.schema(schema).parquet(_strip_file_scheme(info["location"]))
+    if info.get("type") == "EXTERNAL":
+        location = _strip_file_scheme(info["location"])
+        stage_path = f"{location}__compact_{token}"
+        # 1. stage: read old files, write compacted copy BESIDE them
+        save_bucketed(
+            src,
+            stage_table,
+            info["keys"],
+            n_buckets=info["n_buckets"],
+            sort=info["sort"],
+            mode="overwrite",
+            path=stage_path,
+        )
+        # 2. staged copy is durable — swap. DROPs on external tables
+        #    are metadata-only; both file sets stay on disk.
+        spark.sql(f"DROP TABLE {stage_table}")
+        spark.sql(f"DROP TABLE {table}")
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(location).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        old_path = f"{location}__old_{token}"
+        fs.rename(jvm.org.apache.hadoop.fs.Path(location),
+                  jvm.org.apache.hadoop.fs.Path(old_path))
+        fs.rename(jvm.org.apache.hadoop.fs.Path(stage_path),
+                  jvm.org.apache.hadoop.fs.Path(location))
+        # 3. re-create the metadata over the (unchanged) location so
+        #    future appends via `path=` still line up with the catalog
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        keys = ", ".join(f"`{k}`" for k in info["keys"])
+        sorted_by = f"SORTED BY ({keys}) " if info["sort"] else ""
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({keys}) {sorted_by}"
+            f"INTO {info['n_buckets']} BUCKETS LOCATION '{location}'"
+        )
+        # 4. only now delete the superseded files
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old_path), True)
+    else:
+        # managed: stage to a managed sibling, then swap names. After
+        # the staged write commits there are two durable copies; the
+        # DROP removes the fragmented one and RENAME moves the staged
+        # table (files included) onto the name.
+        save_bucketed(
+            src,
+            stage_table,
+            info["keys"],
+            n_buckets=info["n_buckets"],
+            sort=info["sort"],
+            mode="overwrite",
+        )
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {stage_table} RENAME TO {table}")
+    spark.catalog.refreshTable(table)
     return True

@@ -25,9 +25,13 @@ window:
 
 Legacy flat-prefix dirs (``dedup_index_*`` … ``stream_drain_*``
 directly in /tmp, from code before this module) are also reaped, but
-only past a 6-hour mtime age gate: nothing creates them anymore, yet
-an old binary might still be running — age is the only signal we
-have for those.
+only when the NEWEST mtime anywhere in the tree is past a 6-hour age
+gate: nothing creates them anymore, yet an old binary might still be
+running, and a live process appends/compacts files deep inside the
+dir without ever touching the top-level mtime (ADVICE r7 #4 — the
+top-level gate could sweep a live index from under a >6h-old
+process). Age of the most-recent write is the closest liveness
+signal we have for ownerless dirs.
 """
 
 from __future__ import annotations
@@ -111,11 +115,32 @@ def reap_stale_roots(now: float | None = None) -> list[str]:
         if not entry.startswith(LEGACY_PREFIXES):
             continue
         path = os.path.join(tmp, entry)
-        try:
-            age = now - os.path.getmtime(path)
-        except OSError:
+        if not os.path.isdir(path):
             continue
-        if os.path.isdir(path) and age > LEGACY_MAX_AGE_SEC:
+        # gate on the NEWEST mtime in the whole tree: a still-running
+        # pre-hygiene process writes files deep inside the dir without
+        # refreshing the top-level mtime
+        if now - _tree_mtime(path) > LEGACY_MAX_AGE_SEC:
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)
     return removed
+
+
+def _tree_mtime(path: str) -> float:
+    """Newest mtime of any file or directory under ``path``
+    (inclusive). Index dirs are small (hundreds of files), so the
+    walk is cheap; on error, returns +inf so the caller never reaps
+    a dir it couldn't fully inspect."""
+    try:
+        newest = os.path.getmtime(path)
+        for dirpath, dirnames, filenames in os.walk(path):
+            for name in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, name))
+                    )
+                except OSError:
+                    return float("inf")
+    except OSError:
+        return float("inf")
+    return newest

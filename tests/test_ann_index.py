@@ -330,3 +330,47 @@ class TestIvfNeardupIndexed:
             assert not any(corpus_path in f for f in files), (
                 "near-dup probe re-reads the corpus"
             )
+
+
+class TestInt8ApproxScoreNaming:
+    """ADVICE r7 #2: without a rescore table, int8 probes score in
+    code space — the output column must say so (`code_cosine_sim`),
+    never masquerade as exact `cosine_sim`."""
+
+    def test_no_rescore_surfaces_code_cosine_sim(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            ivf_neardup_indexed,
+            ivf_topk_indexed,
+        )
+
+        e = _fixture(spark, 40)
+        q = e.filter("vec_id < 4")
+        with temp_ivf_index(
+            nprobe=3, n_buckets=4, storage="int8", rescore=False
+        ) as idx:
+            build_ivf_index(e, idx, n_cells=4, train_iters=1)
+            topk = ivf_topk_indexed(spark, q, idx, k=3)
+            assert topk.columns == [
+                "query_id", "rank", "neighbor_id", "code_cosine_sim"
+            ]
+            near = ivf_neardup_indexed(spark, q, idx, min_cosine=0.5)
+            assert near.columns == [
+                "query_id", "neighbor_id", "code_cosine_sim"
+            ]
+            assert topk.count() > 0 and near.count() > 0
+
+    def test_rescore_and_float_keep_exact_name(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            ivf_topk_indexed,
+        )
+
+        e = _fixture(spark, 40)
+        q = e.filter("vec_id < 4")
+        with temp_ivf_index(
+            nprobe=3, n_buckets=4, storage="int8", rescore=True
+        ) as idx:
+            build_ivf_index(e, idx, n_cells=4, train_iters=1)
+            assert "cosine_sim" in ivf_topk_indexed(spark, q, idx, k=3).columns
+        with temp_ivf_index(nprobe=3, n_buckets=4) as idx:
+            build_ivf_index(e, idx, n_cells=4, train_iters=1)
+            assert "cosine_sim" in ivf_topk_indexed(spark, q, idx, k=3).columns

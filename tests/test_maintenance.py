@@ -433,3 +433,162 @@ class TestCompactIndex:
                 ).collect()
             )
             assert after == before
+
+
+class TestAdviceR7:
+    """ADVICE r7: crash-safe compaction swap, loud layout gate,
+    content-mtime legacy reaping, scheme-only `file:` strip."""
+
+    def _bucketed(self, spark, tmp_path, name, external=True, appends=4):
+        from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+        loc = str(tmp_path / name) if external else None
+        for i in range(appends):
+            df = spark.createDataFrame(
+                [(j, i * 10 + j) for j in range(8)], "bkey long, v long"
+            )
+            save_bucketed(
+                df, name, "bkey", n_buckets=4, sort=True,
+                mode="overwrite" if i == 0 else "append", path=loc,
+            )
+        return loc
+
+    def test_crash_during_staging_leaves_old_table_intact(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The medium finding: a failure mid-compaction must never
+        lose the only copy of the index. Simulate a crash during the
+        staging write — the original table (metadata AND files) must
+        still read back exactly."""
+        from openaq_data_pipeline_spark.sources import maintenance, tables
+
+        name = "adv7_crash_tbl"
+        self._bucketed(spark, tmp_path, name)
+        before = sorted(tuple(r) for r in spark.table(name).collect())
+
+        real = tables.save_bucketed
+
+        def exploding(*a, **kw):
+            raise RuntimeError("simulated executor loss mid-stage")
+
+        monkeypatch.setattr(tables, "save_bucketed", exploding)
+        try:
+            import pytest as _pytest
+
+            with _pytest.raises(RuntimeError, match="simulated"):
+                maintenance.compact_bucketed_table(spark, name, max_files=1)
+        finally:
+            monkeypatch.setattr(tables, "save_bucketed", real)
+        after = sorted(tuple(r) for r in spark.table(name).collect())
+        assert after == before
+        # and a real (non-crashing) compaction still heals it
+        assert maintenance.compact_bucketed_table(spark, name, max_files=1)
+        healed = sorted(tuple(r) for r in spark.table(name).collect())
+        assert healed == before
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_compaction_never_strands_appends(self, spark, tmp_path):
+        """Location stays stable across the swap: an append through
+        the index path after compaction lands in the same table."""
+        from openaq_data_pipeline_spark.sources import maintenance
+        from openaq_data_pipeline_spark.sources.maintenance import (
+            _describe_bucketed,
+        )
+        from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+        name = "adv7_stable_loc"
+        loc = self._bucketed(spark, tmp_path, name)
+        loc_before = _describe_bucketed(spark, name)["location"]
+        assert maintenance.compact_bucketed_table(spark, name, max_files=1)
+        assert _describe_bucketed(spark, name)["location"] == loc_before
+        save_bucketed(
+            spark.createDataFrame([(1, 999)], "bkey long, v long"),
+            name, "bkey", n_buckets=4, sort=True, mode="append", path=loc,
+        )
+        assert spark.table(name).filter(F.col("v") == 999).count() == 1
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_managed_table_compacts_via_rename_swap(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.sources import maintenance
+
+        name = "adv7_managed_tbl"
+        self._bucketed(spark, tmp_path, name, external=False)
+        before = sorted(tuple(r) for r in spark.table(name).collect())
+        assert maintenance.compact_bucketed_table(spark, name, max_files=1)
+        stats = {
+            r["bucket_id"]: r["n_files"]
+            for r in maintenance.bucket_file_stats(spark, name).collect()
+        }
+        assert all(n == 1 for n in stats.values())
+        after = sorted(tuple(r) for r in spark.table(name).collect())
+        assert after == before
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_stats_raise_on_unrecognized_layout(self, spark, tmp_path):
+        """A data file outside the bucket naming scheme (or a stray
+        subdirectory) must fail the gate loudly, not silently
+        undercount fragmentation."""
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.sources import maintenance
+
+        name = "adv7_layout_tbl"
+        loc = self._bucketed(spark, tmp_path, name, appends=2)
+        with open(os.path.join(loc, "rogue-data.parquet"), "w") as fh:
+            fh.write("not bucketed")
+        with _pytest.raises(ValueError, match="rogue-data"):
+            maintenance.bucket_file_stats(spark, name)
+        os.remove(os.path.join(loc, "rogue-data.parquet"))
+        os.makedirs(os.path.join(loc, "unexpected_subdir"))
+        with _pytest.raises(ValueError, match="unexpected_subdir"):
+            maintenance.bucket_file_stats(spark, name)
+        os.rmdir(os.path.join(loc, "unexpected_subdir"))
+        # clean again → the gate passes (keys 0-7 murmur into 3 of
+        # the 4 buckets on this fixture)
+        assert maintenance.bucket_file_stats(spark, name).count() == 3
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_legacy_reap_spares_dir_with_fresh_content(self):
+        """A >6h-old top-level dir whose CONTENTS were written
+        recently belongs to a live pre-hygiene process — the reaper
+        must look at tree mtimes, not the top-level one."""
+        import tempfile
+        import time
+
+        from openaq_data_pipeline_spark import tmproots
+
+        live = tempfile.mkdtemp(prefix="simhash_index_")
+        inner = os.path.join(live, "bands", "part-0")
+        os.makedirs(os.path.dirname(inner))
+        with open(inner, "w") as fh:
+            fh.write("x")
+        old = time.time() - tmproots.LEGACY_MAX_AGE_SEC - 3600
+        # age the top level AND the intermediate dir; the inner file
+        # stays fresh — only content recency should protect the tree
+        os.utime(live, (old, old))
+        os.utime(os.path.dirname(inner), (old, old))
+        try:
+            removed = tmproots.reap_stale_roots()
+            assert live not in removed and os.path.isdir(live)
+            # now age everything → reapable
+            os.utime(inner, (old, old))
+            os.utime(os.path.dirname(inner), (old, old))
+            os.utime(live, (old, old))
+            removed = tmproots.reap_stale_roots()
+            assert live in removed and not os.path.exists(live)
+        finally:
+            if os.path.isdir(live):
+                __import__("shutil").rmtree(live, ignore_errors=True)
+
+    def test_strip_file_scheme_only_prefix(self):
+        from openaq_data_pipeline_spark.sources.maintenance import (
+            _strip_file_scheme,
+        )
+
+        assert _strip_file_scheme("file:/tmp/x") == "/tmp/x"
+        # pathological: 'file:' appearing later must survive
+        assert (
+            _strip_file_scheme("file:/tmp/profile:data")
+            == "/tmp/profile:data"
+        )
+        assert _strip_file_scheme("/already/plain") == "/already/plain"
