@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openaq_data_pipeline_spark.catalog import fan_out, load, register
+from openaq_data_pipeline_spark.catalog import (
+    fan_out,
+    load,
+    register,
+    register_rotated,
+)
 from openaq_data_pipeline_spark.operators.curation import (
     mixture_sample,
     remove_boilerplate_lines,
@@ -813,4 +818,144 @@ def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             " ", F.transform(F.col("token_ids"), lambda t: t.cast("string"))
         ).alias("token_ids"),
+    )
+
+
+# --- r8: substring-level (span) dedup — operators/spans.py ------------
+
+_SPAN_K = 6
+_SPAN_MIN_DOCS = 2
+
+# shared oracle CTE chain: k-window shingles with 0-based positions →
+# cross-doc duplicated hashes → gaps-and-islands merge into maximal
+# spans (mirrors operators/spans.py step by step; the 512 series bound
+# covers the corpus max of 100 words/doc with 5x headroom)
+_SPAN_CTES = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id, g.i - 1 AS pos,
+           md5(array_to_string(list_slice(w, g.i, g.i + {_SPAN_K} - 1), ' ')) AS h
+    FROM w, generate_series(1, 512) g(i)
+    WHERE g.i + {_SPAN_K} - 1 <= len(w)
+),
+dup AS (
+    SELECT h FROM sh GROUP BY h
+    HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+),
+occ AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + {_SPAN_K}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS ni
+    FROM occ
+),
+grp AS (
+    SELECT doc_id, pos,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_K} AS BIGINT) AS span_end
+    FROM grp GROUP BY doc_id, island
+)"""
+
+
+@register(
+    "dedup_span_ngrams",
+    "EXT-dedup — substring-level dedup (ExactSubstr of Lee et al. "
+    "2022, 'Deduplicating Training Data Makes LMs Better'): maximal "
+    "word spans whose every 6-word window recurs in >=2 distinct "
+    "documents, i.e. the verbatim passages whole-doc dedup misses. "
+    "Spark-first re-expression of the paper's suffix-array step: "
+    "shingle projection (no shuffle) -> two-phase countDistinct agg "
+    "-> AQE-broadcast tag join -> gaps-and-islands window merge; "
+    "three keyed exchanges, zero UDFs, ~n_words intermediate rows "
+    "(operators/spans.py docstring has the 100 TB budget). span_md5 "
+    "pins the actual span text via one final slice-and-hash join",
+    oracle=f"""
+WITH {_SPAN_CTES.strip()}
+SELECT s.doc_id, s.span_start, s.span_end,
+       md5(array_to_string(
+           list_slice(w.w, s.span_start + 1, s.span_end), ' ')) AS span_md5
+FROM spans s JOIN w ON s.doc_id = w.doc_id
+""",
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.spans import duplicated_spans
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    spans = duplicated_spans(d, _SPAN_K, _SPAN_MIN_DOCS)
+    words = d.select("doc_id", F.split("text", " ").alias("words"))
+    return spans.join(words, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("words"),
+                    F.col("span_start").cast("int") + F.lit(1),
+                    (F.col("span_end") - F.col("span_start")).cast("int"),
+                ),
+                " ",
+            )
+        ).alias("span_md5"),
+    )
+
+
+@register_rotated(
+    "span_removal_stats",
+    "[parity-only: new in r8 while the registry sits at the 50-query "
+    "driver cap; its detection core is driver-verified via "
+    "dedup_span_ngrams] EXT-dedup — the removal half of ExactSubstr: "
+    "every duplicated span excised, per-doc survivor text pinned by "
+    "md5 plus kept/removed word counters; pass-through docs keep "
+    "zero counters so the filter's no-op path is pinned too",
+    oracle=f"""
+WITH {_SPAN_CTES.strip()},
+words AS (
+    SELECT doc_id, g.i - 1 AS pos, w[g.i] AS word
+    FROM w, generate_series(1, 512) g(i) WHERE g.i <= len(w)
+),
+covered AS (
+    SELECT DISTINCT s.doc_id, g.j AS pos
+    FROM spans s, generate_series(0, 511) g(j)
+    WHERE g.j BETWEEN s.span_start AND s.span_end - 1
+),
+kept AS (
+    SELECT wo.doc_id, wo.pos, wo.word
+    FROM words wo LEFT JOIN covered c
+      ON wo.doc_id = c.doc_id AND wo.pos = c.pos
+    WHERE c.pos IS NULL
+)
+SELECT d.doc_id,
+       md5(coalesce((SELECT string_agg(k.word, ' ' ORDER BY k.pos)
+                     FROM kept k WHERE k.doc_id = d.doc_id), '')) AS clean_md5,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(string_split(d.text, ' '))
+            - coalesce((SELECT count(*) FROM kept k
+                        WHERE k.doc_id = d.doc_id), 0) AS BIGINT)
+           AS n_words_removed,
+       coalesce((SELECT CAST(count(*) AS BIGINT) FROM spans s
+                 WHERE s.doc_id = d.doc_id), 0) AS n_spans
+FROM documents d
+""",
+)
+def span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.spans import (
+        remove_duplicated_spans,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    out = remove_duplicated_spans(d, _SPAN_K, _SPAN_MIN_DOCS)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_words",
+        "n_words_removed",
+        "n_spans",
     )

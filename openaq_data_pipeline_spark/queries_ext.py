@@ -860,8 +860,11 @@ def _appended_corpus(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").unionByName(mutated)
 
 
-@register(
+@register_rotated(
     "dedup_simhash",
+    "[rotated r8 after green r1-r7; simhash family stays driver-live "
+    "via dedup_simhash_incremental, which runs the same fingerprint + "
+    "banding + Hamming verify plus the cross-batch index] "
     "EXT-dedup — 64-bit SimHash (4×16-bit bands) + banded Hamming≤3 "
     "search: pigeonhole guarantees any pair within distance 3 agrees "
     "exactly on ≥1 band, so candidates come from four band "
