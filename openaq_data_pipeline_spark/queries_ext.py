@@ -2687,3 +2687,34 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         mix_formats=True,
     )
     return sample_video_frames(vids, stride=2)
+
+
+@register_rotated(
+    "zorder_values",
+    "[parity-only: new in r8 at the 50-query driver cap; the layout "
+    "writer built on it is footer-stats-pinned in test_layout.py] "
+    "EXT-layout — Morton/z-value computation (sources/layout.py): "
+    "interleave the low 8 bits of two event dimensions into the "
+    "clustering key write_zordered range-partitions on, so parquet "
+    "min-max stats prune scans on EITHER dimension. Pure codegen "
+    "aggregate-over-sequence shift/mask arithmetic; the oracle "
+    "replays the interleave with a correlated generate_series sum",
+    oracle="""
+SELECT e.event_id,
+       (SELECT CAST(sum(
+            (((e.user_id % 256) >> g.i) & 1) * ((1::BIGINT) << (2 * g.i))
+          + (((e.event_id % 256) >> g.i) & 1) * ((1::BIGINT) << (2 * g.i + 1))
+        ) AS BIGINT)
+        FROM generate_series(0, 7) g(i)) AS zval
+FROM events e
+""",
+)
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.sources.layout import zvalue
+
+    e = fan_out(load(spark, sf_dir, "events")["events"])
+    return e.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("ux"),
+        (F.col("event_id") % 256).alias("ex"),
+    ).select("event_id", zvalue(["ux", "ex"], bits=8).alias("zval"))
