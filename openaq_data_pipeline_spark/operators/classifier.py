@@ -1,0 +1,170 @@
+"""Model-based quality filtering: a distributed logistic-regression
+trainer over hashed bag-of-words features — the classifier-gate step
+of public LLM data pipelines (GPT-3's LR quality filter over
+hashed-ngram features, CCNet's fastText gate, LLaMA's
+Wikipedia-reference classifier), built Spark-first.
+
+Everything stays a DataFrame — features, labels, weights, gradients.
+There is NO driver-side model state: full-batch gradient descent runs
+as a fixed number of DataFrame rounds, each one
+
+1. margins: features ⋈ weights (broadcast — the weight table is
+   ``n_features + 1`` rows) → doc-keyed sum;
+2. residuals: sigmoid(margin) − label, one doc-keyed join;
+3. gradient: features ⋈ residuals (doc-co-keyed) → feature-keyed
+   sum — PARTIAL-aggregated map-side, so the exchange moves
+   O(partitions × features) rows, never O(corpus);
+4. weight update: left join of the (tiny) gradient onto weights,
+   re-checkpointed per round to keep lineage flat (same discipline
+   as the BPE merge loop, operators/tokenizer.py).
+
+Per round: one broadcast join + two doc-keyed hash joins/aggregates
++ one feature-keyed partial-agg exchange. The feature matrix is
+materialized ONCE (lazy localCheckpoint) and re-read by all rounds —
+at 100 TB you'd persist it to parquet; the loop itself never touches
+raw text again.
+
+Feature hashing uses the repo's cross-engine bucket recipe
+(``conv(substring(md5(token),1,8),16,10) % n_features`` ==
+DuckDB ``CAST('0x' || substr(md5(token),1,8) AS BIGINT) % n``), so a
+SQL oracle can replay training bit-for-bit modulo float ulps.
+
+Float determinism contract: double sums are order-sensitive, so
+cross-engine outputs must be INTEGER decisions (predicted label),
+valid whenever the margin clears the decision boundary by more than
+accumulated ulp drift (~1e-12; the catalog query's planted signal
+separates with margin ≥ 0.1). Raw weights/probabilities are for
+in-engine use and pytest tolerance checks, never driver hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BIAS = "__bias__"
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_features: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float | None = 0.5,
+) -> DataFrame:
+    """(doc_id, feature, x): binary presence of each hashed
+    bag-of-words bucket, plus a bias term at feature id
+    ``n_features``. Binary (not count) features keep the Hessian
+    bounded so plain GD converges without per-feature scaling.
+
+    ``max_df_frac`` drops STOP FEATURES — buckets present in more
+    than that fraction of documents (same df-guard discipline as the
+    Jaccard stop-shingle tier, operators/dedup.py). Near-constant
+    columns are collinear with the bias and condition GD so badly
+    that the trajectory flips with corpus size (measured: identical
+    params converged at 500 docs and oscillated at 5000); they also
+    carry no discriminative signal by definition. ``None`` opts out.
+    The guard is one feature-keyed count + a broadcast-sized join.
+
+    One explode + one distinct-shaped aggregate (+ the df guard)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    feats = (
+        tok.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % n_features
+            ).alias("feature"),
+        )
+        .distinct()
+        .withColumn("x", F.lit(1.0))
+    )
+    if max_df_frac is not None:
+        n_docs = docs.select(F.col(id_col)).distinct().count()
+        keep = (
+            feats.groupBy("feature")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df_frac * n_docs)
+            .select("feature")
+        )
+        feats = feats.join(F.broadcast(keep), "feature").select(
+            "doc_id", "feature", "x"
+        )
+    bias = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(n_features).cast("long").alias("feature"),
+        F.lit(1.0).alias("x"),
+    )
+    return feats.unionByName(bias)
+
+
+def _sigmoid(col: F.Column) -> F.Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-col))
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_features: int = 128,
+    n_iters: int = 4,
+    lr: float = 4.0,
+) -> DataFrame:
+    """Full-batch GD on logistic loss; returns the weight table
+    (feature, w) with ``n_features + 1`` rows (bias last). ``labels``
+    is (doc_id, y) with y in {0.0, 1.0}. Deterministic given its
+    inputs up to float summation order (module docstring)."""
+    spark = feats.sparkSession
+    n = labels.count()
+    if n == 0:
+        raise ValueError("train_logreg needs at least one labeled row")
+    w = spark.createDataFrame(
+        [(f, 0.0) for f in range(n_features + 1)], "feature long, w double"
+    )
+    # one materialization feeds every round (margins AND gradients);
+    # lazy localCheckpoint → ContextCleaner-collected, never parked
+    # in the shared CacheManager (catalog cache-empty contract)
+    feats = feats.localCheckpoint(eager=False)
+    for _ in range(n_iters):
+        margins = (
+            feats.join(F.broadcast(w), "feature")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        )
+        resid = margins.join(labels, "doc_id").select(
+            "doc_id", (_sigmoid(F.col("m")) - F.col("y")).alias("r")
+        )
+        grad = (
+            feats.join(resid, "doc_id")
+            .groupBy("feature")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+        )
+        w = w.join(grad, "feature", "left").select(
+            "feature",
+            (
+                F.col("w")
+                - F.lit(lr / n) * F.coalesce(F.col("g"), F.lit(0.0))
+            ).alias("w"),
+        )
+        # weights are n_features+1 rows — checkpoint flattens the
+        # per-round plan growth exactly like the BPE merge loop
+        w = w.localCheckpoint(eager=False)
+    return w
+
+
+def predict_logreg(feats: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, score, pred): sigmoid margin under ``weights`` and
+    the hard {0,1} decision. One broadcast join + one doc-keyed
+    aggregate — the same shape as a training margin pass."""
+    margins = (
+        feats.join(F.broadcast(weights), "feature")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+    )
+    return margins.select(
+        "doc_id",
+        _sigmoid(F.col("m")).alias("score"),
+        (_sigmoid(F.col("m")) >= 0.5).cast("long").alias("pred"),
+    )

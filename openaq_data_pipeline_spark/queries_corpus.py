@@ -959,3 +959,132 @@ def span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words_removed",
         "n_spans",
     )
+
+
+# --- r8: model-based quality filtering — operators/classifier.py ------
+
+_LR_NF = 128
+_LR_ITERS = 4
+_LR_RATE = 4.0
+_LR_MAX_DF = 0.5
+# marker tokens whose md5 buckets (35, 114 at 128 features) no corpus
+# vocabulary word occupies — the planted learnable signal, same
+# injection precedent as pii_scan / boilerplate_line_removal
+_LR_MARKERS = "qmarker0 qmarker1"
+
+
+def _logreg_oracle(n_iters: int, lr: float, nf: int) -> str:
+    """Unrolled-CTE replay of the full GD training loop (the BPE
+    chained-round oracle move): w0 = zeros; each round recomputes
+    margins, residuals, and the feature gradient from the SAME
+    feature CTE, then updates the weights. The final SELECT scores
+    with the last weight table and emits INTEGER decisions only
+    (float determinism contract, operators/classifier.py)."""
+    parts = [
+        f"""
+base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' {_LR_MARKERS}' ELSE text END AS text,
+           CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM base),
+rawfeats AS (
+    SELECT DISTINCT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {nf} AS feature,
+           1.0 AS x
+    FROM tok
+),
+cnt AS (SELECT count(*) AS n FROM base),
+keep AS (
+    SELECT feature FROM rawfeats GROUP BY feature
+    HAVING count(*) <= {_LR_MAX_DF} * (SELECT n FROM cnt)
+),
+feats AS (
+    SELECT f.doc_id, f.feature, f.x FROM rawfeats f JOIN keep USING (feature)
+    UNION ALL
+    SELECT doc_id, {nf} AS feature, 1.0 AS x FROM base
+),
+w0 AS (SELECT g.i - 1 AS feature, 0.0 AS w FROM generate_series(1, {nf + 2}) g(i))"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""
+m{t} AS (
+    SELECT f.doc_id, sum(f.x * w.w) AS m
+    FROM feats f JOIN w{t - 1} w USING (feature) GROUP BY f.doc_id
+),
+r{t} AS (
+    SELECT m.doc_id, (1.0 / (1.0 + exp(-m.m)) - b.y) AS r
+    FROM m{t} m JOIN base b USING (doc_id)
+),
+g{t} AS (
+    SELECT f.feature, sum(f.x * r.r) AS g
+    FROM feats f JOIN r{t} r USING (doc_id) GROUP BY f.feature
+),
+w{t} AS (
+    SELECT w.feature,
+           w.w - {lr} / (SELECT n FROM cnt) * coalesce(g.g, 0.0) AS w
+    FROM w{t - 1} w LEFT JOIN g{t} g USING (feature)
+)""")
+    final = f"""
+SELECT b.doc_id, CAST(b.y AS BIGINT) AS label,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-m.m)) >= 0.5
+                 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM (
+    SELECT f.doc_id, sum(f.x * w.w) AS m
+    FROM feats f JOIN w{n_iters} w USING (feature) GROUP BY f.doc_id
+) m JOIN base b USING (doc_id)"""
+    return "WITH " + ",".join(parts) + final
+
+
+@register(
+    "quality_classifier",
+    "EXT-classifier — model-based quality filtering (the GPT-3 "
+    "LR-over-hashed-features gate / CCNet fastText step): train a "
+    "logistic-regression classifier IN the engine — weights, "
+    "margins, gradients all DataFrames, zero driver-side model "
+    "state — on 128 hashed binary bag-of-words features + bias "
+    "behind a df<=50% stop-feature guard (near-constant columns are "
+    "bias-collinear and flipped the GD trajectory with corpus size; "
+    "same df-guard discipline as the Jaccard stop-shingle tier), "
+    "4 full-batch GD rounds (per round: broadcast weight join, "
+    "doc-keyed margin sum, doc-keyed residual join, feature-keyed "
+    "PARTIAL-aggregated gradient exchange), then score the corpus "
+    "and emit integer decisions. The planted marker signal "
+    "(injection precedent: pii_scan) separates with margin >= 0.33 "
+    "at every tested SF, so float ulp drift can never flip a "
+    "prediction; the oracle replays all rounds in unrolled CTEs",
+    oracle=_logreg_oracle(_LR_ITERS, _LR_RATE, _LR_NF),
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.classifier import (
+        hashed_features,
+        predict_logreg,
+        train_logreg,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(f" {_LR_MARKERS}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    labels = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    feats = hashed_features(injected, _LR_NF)
+    weights = train_logreg(
+        feats, labels, _LR_NF, n_iters=_LR_ITERS, lr=_LR_RATE
+    )
+    scored = predict_logreg(feats, weights)
+    return scored.join(labels, "doc_id").select(
+        "doc_id",
+        F.col("y").cast("long").alias("label"),
+        F.col("pred"),
+    )

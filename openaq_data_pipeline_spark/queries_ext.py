@@ -1010,8 +1010,11 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
-@register(
+@register_rotated(
     "dedup_keep_best",
+    "[rotated r8 after green r4-r7; the survivor-policy family stays "
+    "driver-live via dedup_keep_one, which runs the same "
+    "cluster-closure + per-cluster survivor machinery] "
     "EXT-dedup — keep-BEST-per-cluster survivor policy: each near-dup "
     "cluster keeps its longest member (ties -> lowest id) instead of "
     "keep_one's min-id representative — the keep-policy real curation "
