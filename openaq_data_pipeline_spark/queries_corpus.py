@@ -1088,3 +1088,34 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long").alias("label"),
         F.col("pred"),
     )
+
+
+@register_rotated(
+    "global_sample_ids",
+    "[parity-only: new in r8 at the 50-query driver cap; the "
+    "operator's scale property — one range exchange, no "
+    "single-partition window — is plan-pinned in test_ids.py] "
+    "EXT-export — contiguous global sample ids in deterministic "
+    "shuffle order (the resumable-loader/shard-offset id space a "
+    "training export needs): two-phase zipWithIndex — range "
+    "partition + per-partition numbering + broadcast offset join — "
+    "where the naive row_number() OVER (ORDER BY ...) collapses the "
+    "corpus into one task. The oracle IS that naive window, which "
+    "DuckDB can afford at oracle scale",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+            AS BIGINT) AS sample_id
+FROM documents
+""",
+)
+def global_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.ids import assign_global_ids
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    keyed = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    return assign_global_ids(keyed, "__h", id_name="sample_id").select(
+        "doc_id", "sample_id"
+    )
