@@ -1,0 +1,151 @@
+"""Streaming corpus ingestion through the exact-dedup gate
+(streaming/ingest.py): cross-micro-batch dedup against the persisted
+index, survivors sink correctness, and equivalence with the batch
+operator run sequentially."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.incremental_dedup import (
+    build_exact_index,
+    incremental_exact_dedup,
+    temp_exact_index,
+)
+from openaq_data_pipeline_spark.streaming.ingest import stream_corpus_ingest
+
+SCHEMA = "doc_id long, text string"
+
+HISTORY = [(0, "alpha beta gamma"), (1, "delta epsilon zeta")]
+# file 1: one dup-of-history (10), one new (11), one intra-batch dup
+# pair (12 survives, 13 drops)
+FILE1 = [
+    (10, "alpha beta gamma"),
+    (11, "eta theta iota"),
+    (12, "kappa lambda mu"),
+    (13, "kappa lambda mu"),
+]
+# file 2: dup of a FILE1 survivor (20 → 11), dup of history (21 → 1),
+# and a fresh doc (22)
+FILE2 = [
+    (20, "eta theta iota"),
+    (21, "delta epsilon zeta"),
+    (22, "nu xi omicron"),
+]
+EXPECT_KEPT = {11, 12, 22}
+EXPECT_DUP_OF = {10: 0, 13: 12, 20: 11, 21: 1}
+
+
+def _write_file(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+class TestStreamCorpusIngest:
+    def _run(self, spark, tmp_path):
+        src = str(tmp_path / "incoming")
+        out = str(tmp_path / "survivors")
+        ckpt = str(tmp_path / "ckpt")
+        _write_file(spark, FILE1, src)
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+        _write_file(spark, FILE2, src)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(
+                spark.createDataFrame(HISTORY, SCHEMA), "text", "doc_id", idx
+            )
+            q = stream_corpus_ingest(
+                stream, "text", "doc_id", idx, out, ckpt
+            )
+            q.awaitTermination(120)
+            n_batches = len(
+                [p for p in q.recentProgress if p["numInputRows"] > 0]
+            )
+            index_rows = {
+                (r["fingerprint"], r["doc_id"])
+                for r in spark.table(idx.hashes_table).collect()
+            }
+            survivors = spark.read.parquet(out).collect()
+        return n_batches, index_rows, survivors
+
+    def test_cross_micro_batch_dedup(self, spark, tmp_path):
+        n_batches, index_rows, survivors = self._run(spark, tmp_path)
+        # two files → two micro-batches (maxFilesPerTrigger=1): the
+        # FILE2 dups can only be caught through the persisted index
+        assert n_batches == 2
+        kept_ids = {r["doc_id"] for r in survivors}
+        assert kept_ids == EXPECT_KEPT
+        # survivors carry full rows + their batch partition
+        by_id = {r["doc_id"]: r for r in survivors}
+        assert by_id[11]["text"] == "eta theta iota"
+        assert by_id[11]["batch_id"] == 0 and by_id[22]["batch_id"] == 1
+        # the index grew by exactly the kept fingerprints
+        assert {d for _, d in index_rows} == {0, 1} | EXPECT_KEPT
+
+    def test_matches_sequential_batch_operator(self, spark, tmp_path):
+        _, stream_index, _ = self._run(spark, tmp_path)
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(
+                spark.createDataFrame(HISTORY, SCHEMA), "text", "doc_id", idx
+            )
+            disps = []
+            for rows in (FILE1, FILE2):
+                disps.extend(
+                    incremental_exact_dedup(
+                        spark.createDataFrame(rows, SCHEMA),
+                        "text",
+                        "doc_id",
+                        idx,
+                    ).collect()
+                )
+            batch_index = {
+                (r["fingerprint"], r["doc_id"])
+                for r in spark.table(idx.hashes_table).collect()
+            }
+        assert stream_index == batch_index
+        dup_of = {r["doc_id"]: r["dup_of"] for r in disps if not r["kept"]}
+        assert dup_of == EXPECT_DUP_OF
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """A foreachBatch retry re-runs the same micro-batch: the
+        survivors partition overwrites itself and the index's extra
+        rows change nothing the probe can observe."""
+        out = str(tmp_path / "survivors2")
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(
+                spark.createDataFrame(HISTORY, SCHEMA), "text", "doc_id", idx
+            )
+            from openaq_data_pipeline_spark.streaming.ingest import dedup_gate
+
+            gate = dedup_gate("text", "doc_id", idx, out)
+            batch = spark.createDataFrame(FILE1, SCHEMA)
+            gate(batch, 0)
+            first = sorted(
+                tuple(r) for r in spark.read.parquet(out).collect()
+            )
+            gate(batch, 0)  # simulated retry
+            second = sorted(
+                tuple(r) for r in spark.read.parquet(out).collect()
+            )
+            assert second == first
+            # probe semantics unchanged: FILE2's doc 20 still dups to 11
+            disp = incremental_exact_dedup(
+                spark.createDataFrame(FILE2, SCHEMA),
+                "text",
+                "doc_id",
+                idx,
+                update_index=False,
+            ).collect()
+            assert {r["doc_id"]: r["dup_of"] for r in disp if not r["kept"]} == {
+                20: 11,
+                21: 1,
+            }
+        assert os.path.isdir(out)
