@@ -363,10 +363,21 @@ class ExactIndex:
     name: str
     n_buckets: int = 32
     location: str | None = None
+    # opt-in parquet bloom filter on the fingerprint column, sized to
+    # this expected-distinct count per written file set: bucketing
+    # prunes a literal lookup to 1/n_buckets of the files, the bloom
+    # then lets parquet-mr's row-group filter skip row groups inside
+    # the bucket (helps lookup_fingerprints' pushed IN predicate; the
+    # probe JOIN is unaffected — join keys aren't pushed literals)
+    bloom_ndv: int | None = None
 
     @property
     def hashes_table(self) -> str:
         return f"{self.name}_hashes"
+
+    @property
+    def _bloom(self) -> dict[str, int] | None:
+        return {"fingerprint": self.bloom_ndv} if self.bloom_ndv else None
 
     def drop(self, spark=None) -> None:
         import shutil
@@ -411,6 +422,7 @@ def build_exact_index(
         index.n_buckets,
         mode="overwrite",
         path=(f"{index.location}/hashes" if index.location else None),
+        bloom=index._bloom,
     )
 
 
@@ -478,11 +490,14 @@ def incremental_exact_dedup(
         index.n_buckets,
         mode="append",
         path=(f"{index.location}/hashes" if index.location else None),
+        bloom=index._bloom,
     )
     return disp.select(id_col, "kept", "dup_of")
 
 
-def temp_exact_index(n_buckets: int = 32) -> ExactIndex:
+def temp_exact_index(
+    n_buckets: int = 32, bloom_ndv: int | None = None
+) -> ExactIndex:
     """Uniquely-named tempdir-rooted exact index; context-manage it."""
     from openaq_data_pipeline_spark.tmproots import session_tmpdir
 
@@ -490,6 +505,24 @@ def temp_exact_index(n_buckets: int = 32) -> ExactIndex:
         name=f"exact_idx_{uuid.uuid4().hex}",
         n_buckets=n_buckets,
         location=session_tmpdir("dedup_index_"),
+        bloom_ndv=bloom_ndv,
+    )
+
+
+def lookup_fingerprints(
+    spark, index: ExactIndex, fingerprints: list[str]
+) -> DataFrame:
+    """Point lookup: the survivor doc id for each literal fingerprint
+    — the `have we already shipped this exact content?` API a serving
+    layer calls. The IN predicate is PUSHED to the parquet scan, so
+    pruning stacks three levels deep: bucket pruning cuts the file
+    set to the touched buckets, min/max stats cut sorted row groups,
+    and (with ``bloom_ndv`` set) the parquet bloom filter skips row
+    groups the stats alone can't exclude. A join probe gets none of
+    the last two — join keys are not pushed literals — which is why
+    this API exists beside :func:`incremental_exact_dedup`."""
+    return spark.table(index.hashes_table).filter(
+        F.col("fingerprint").isin(fingerprints)
     )
 
 

@@ -27,13 +27,24 @@ def save_bucketed(
     sort: bool = True,
     mode: str = "overwrite",
     path: str | None = None,
+    bloom: dict[str, int] | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (and bucket-sorted) managed parquet
     table. Sorting within buckets additionally removes the join-time
     sort of a sort-merge join (plan shows neither Exchange nor Sort).
     ``path`` makes it an EXTERNAL bucketed table at that location
     (for callers that must control where the files live, e.g. a
-    tempdir-scoped dedup index)."""
+    tempdir-scoped dedup index).
+
+    ``bloom`` maps column → expected distinct count and writes a
+    parquet BLOOM FILTER for each listed column. Bucketing already
+    prunes a point lookup to 1/n_buckets of the files; the bloom
+    filter then lets parquet-mr's row-group filter skip row groups
+    inside the bucket that provably lack the probed key — the second
+    pruning level an equality probe (dedup-index fingerprint lookup,
+    BM25 term fetch) gets for ~1.2 bytes/key of footer. Sizing the
+    ndv honestly matters: parquet derives the bit size from it, so a
+    wild overestimate bloats every file."""
     import uuid
 
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
@@ -66,6 +77,10 @@ def save_bucketed(
             writer = writer.sortBy(*keys)
         if path is not None:
             writer = writer.option("path", path)
+        for col, ndv in (bloom or {}).items():
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{col}", "true"
+            ).option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
         writer.saveAsTable(table)
         # the write went through the clone's session catalog; the
         # caller's session may hold a cached relation (file listing)

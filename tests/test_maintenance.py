@@ -592,3 +592,82 @@ class TestAdviceR7:
             == "/tmp/profile:data"
         )
         assert _strip_file_scheme("/already/plain") == "/already/plain"
+
+
+class TestParquetBloomFilters:
+    """save_bucketed's bloom option (r8): footers carry a bloom
+    filter for the requested column only, and the exact-index
+    point-lookup API pushes its IN predicate to the scan where the
+    bloom applies."""
+
+    def _bloom_offsets(self, spark, location, column):
+        """(file, offset) via parquet-mr footers — pyarrow 16 doesn't
+        expose bloom metadata, the JVM reader does."""
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        out = {}
+        for name in os.listdir(location):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(location, name)
+            )
+            footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                conf, jpath
+            )
+            for block in footer.getBlocks():
+                for col in block.getColumns():
+                    if col.getPath().toDotString() == column:
+                        out[name] = col.getBloomFilterOffset()
+        return out
+
+    def test_bloom_written_only_when_requested(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+        df = spark.createDataFrame(
+            [(f"k{i}", i) for i in range(500)], "k string, v long"
+        )
+        on = str(tmp_path / "bloom_on")
+        off = str(tmp_path / "bloom_off")
+        save_bucketed(df, "bloom_on_tbl", "k", 4, path=on,
+                      bloom={"k": 500})
+        save_bucketed(df, "bloom_off_tbl", "k", 4, path=off)
+        on_offsets = self._bloom_offsets(spark, on, "k")
+        off_offsets = self._bloom_offsets(spark, off, "k")
+        assert on_offsets and all(v > 0 for v in on_offsets.values())
+        assert off_offsets and all(v == -1 for v in off_offsets.values())
+        # the non-bloom column stays bloom-free even on the bloom table
+        v_offsets = self._bloom_offsets(spark, on, "v")
+        assert all(v == -1 for v in v_offsets.values())
+        spark.sql("DROP TABLE IF EXISTS bloom_on_tbl")
+        spark.sql("DROP TABLE IF EXISTS bloom_off_tbl")
+
+    def test_exact_index_lookup_pushes_in_predicate(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            lookup_fingerprints,
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.operators.text import fingerprint
+
+        docs = spark.createDataFrame(
+            [(i, f"text number {i}") for i in range(200)],
+            "doc_id long, text string",
+        )
+        with temp_exact_index(n_buckets=4, bloom_ndv=200) as idx:
+            build_exact_index(docs, "text", "doc_id", idx)
+            offsets = self._bloom_offsets(
+                spark, f"{idx.location}/hashes", "fingerprint"
+            )
+            assert offsets and all(v > 0 for v in offsets.values())
+            wanted = [
+                r["fp"]
+                for r in docs.filter("doc_id in (3, 77)")
+                .select(fingerprint(F.col("text")).alias("fp"))
+                .collect()
+            ]
+            hits = lookup_fingerprints(spark, idx, wanted)
+            got = {r["doc_id"] for r in hits.collect()}
+            assert got == {3, 77}
+            plan = hits._jdf.queryExecution().executedPlan().toString()
+            assert "PushedFilters: [In(fingerprint" in plan
