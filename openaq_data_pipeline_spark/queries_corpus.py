@@ -579,8 +579,11 @@ WHERE {exact_ratio_duck('n_common', 'st.n_sh + se.n_sh - n_common')} >= 0.5
 """
 
 
-@register(
+@register_rotated(
     "fuzzy_decontamination",
+    "[rotated r8 after green r5-r7; the fuzzy-decontamination family "
+    "stays driver-live via fuzzy_decon_incremental, which runs the "
+    "same shingle-overlap verify against the persisted index] "
     "EXT-curation — FUZZY benchmark decontamination (the second tier "
     "of the standard two-tier decon stack): MinHash banding with "
     "per-bucket SPLIT train/eval member lists so only CROSS-corpus "
@@ -830,6 +833,10 @@ _SPAN_MIN_DOCS = 2
 # cross-doc duplicated hashes → gaps-and-islands merge into maximal
 # spans (mirrors operators/spans.py step by step; the 512 series bound
 # covers the corpus max of 100 words/doc with 5x headroom)
+def _span_ctes(src: str) -> str:
+    return _SPAN_CTES.replace("FROM documents)", f"FROM {src})", 1)
+
+
 _SPAN_CTES = f"""
 w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (
@@ -1119,3 +1126,56 @@ def global_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_global_ids(keyed, "__h", id_name="sample_id").select(
         "doc_id", "sample_id"
     )
+
+
+# mirrors queries_ext._APPENDED_DUCK — the cross-batch near-dup
+# testbed: every 5th doc re-arrives one token longer under a new id
+_SPAN_BATCH_DUCK = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' qq' AS text
+    FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+@register(
+    "dedup_span_incremental",
+    "EXT-dedup — INCREMENTAL substring-span dedup: the span tier's "
+    "cross-batch face, completing the per-tier incremental set "
+    "(exact, Jaccard, MinHash, SimHash, containment, embedding — and "
+    "now spans). History window counts persist bucketed on the "
+    "window hash (SUM-reaggregatable, blind appends — the ExactIndex "
+    "discipline); a batch window is duplicated iff history + batch "
+    "distinct-doc counts reach min_docs, which IS the whole-corpus "
+    "count — so the oracle recomputes spans from scratch over "
+    "history + batch and restricts to batch docs. History text is "
+    "never re-shingled (plan-pinned, test_incremental_spans.py); "
+    "probe cost scales with the batch alone",
+    oracle=f"""
+WITH {_SPAN_BATCH_DUCK.strip()},
+{_span_ctes("corpus").strip()}
+SELECT s.doc_id, s.span_start, s.span_end
+FROM spans s WHERE s.doc_id >= 100000
+""",
+)
+def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index the original documents' window counts, probe with the
+    appended near-dup copies; returns the batch docs' maximal
+    duplicated spans. Context manager + the operator's own eager
+    pre-append checkpoint: no catalog//tmp residue."""
+    from openaq_data_pipeline_spark.operators.spans import (
+        build_span_index,
+        incremental_duplicated_spans,
+        temp_span_index,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    with temp_span_index(k=_SPAN_K, min_docs=_SPAN_MIN_DOCS, n_buckets=8) as idx:
+        build_span_index(d.select("doc_id", "text"), idx)
+        return incremental_duplicated_spans(batch, idx)
