@@ -5,7 +5,6 @@ the history-text-never-re-shingled pin."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from openaq_data_pipeline_spark.operators.spans import (
@@ -134,3 +133,48 @@ class TestIncrementalSpans:
                 _df(spark, [BATCH1[0]]), idx
             ).collect()
             assert got == []
+
+
+class TestSpanIndexCompaction:
+    def test_compact_index_covers_span_index(self, spark):
+        """N blind appends fragment the window-count table;
+        compact_index heals it to 1 file/bucket with probe results
+        unchanged (the compactor's duck-typing covers *_table)."""
+        from openaq_data_pipeline_spark.sources.maintenance import (
+            bucket_file_stats,
+            compact_index,
+        )
+
+        with temp_span_index(K, n_buckets=4) as idx:
+            build_span_index(_df(spark, HISTORY), idx)
+            for i in range(4):
+                batch = [
+                    (100 + 10 * i + j, t) for j, (d, t) in enumerate(BATCH1)
+                ]
+                incremental_duplicated_spans(_df(spark, batch), idx).collect()
+            frag = {
+                r["bucket_id"]: r["n_files"]
+                for r in bucket_file_stats(spark, idx.windows_table).collect()
+            }
+            assert max(frag.values()) >= 4
+            before = {
+                tuple(r)
+                for r in incremental_duplicated_spans(
+                    _df(spark, BATCH2), idx, update_index=False
+                ).collect()
+            }
+            assert compact_index(spark, idx, max_files=1) == [
+                idx.windows_table
+            ]
+            healed = {
+                r["bucket_id"]: r["n_files"]
+                for r in bucket_file_stats(spark, idx.windows_table).collect()
+            }
+            assert all(n == 1 for n in healed.values())
+            after = {
+                tuple(r)
+                for r in incremental_duplicated_spans(
+                    _df(spark, BATCH2), idx, update_index=False
+                ).collect()
+            }
+            assert after == before
