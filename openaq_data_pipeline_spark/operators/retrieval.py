@@ -413,3 +413,82 @@ def temp_bm25_index(n_buckets: int = 32) -> Bm25Index:
         n_buckets=n_buckets,
         location=session_tmpdir("bm25_index_"),
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion --------------------------
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    topk: int | None = None,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of any
+    number of per-query rankings — the standard way to combine the
+    sparse (BM25) and dense (ANN) retrieval tiers into one hybrid
+    ranking without score calibration: each system contributes
+    ``1/(k_rrf + rank)`` per item, and items are re-ranked by the
+    summed contribution.
+
+    Rank-only fusion is exactly why this composes across tiers whose
+    scores live on incomparable scales (BM25 fixed-point integers vs
+    cosine floats): only the per-system ``rank`` column is read.
+
+    Determinism contract: contributions are computed as
+    ``scale div (k_rrf + rank)`` in 64-bit integer arithmetic and
+    summed as BIGINTs — order-free and bit-identical across engines
+    (``1/61 + 1/62`` in doubles is not) — so the fused ranking is
+    hashable against a SQL oracle. With the default ``scale=1e12``
+    the quantization never merges ranks that true RRF would separate
+    for ``k_rrf + rank < 10^6``.
+
+    Plan shape: union of k-bounded ranking outputs (each already
+    tiny: |queries|·k rows), one groupBy (query, item), one rank
+    window per query — no corpus-sized input ever reaches this
+    operator, so it is scale-free by construction.
+
+    Each input must carry (query_col, item_col, rank_col); extra
+    columns are ignored. ``n_systems`` reports how many rankings
+    surfaced the item (2-system agreement is the classic hybrid
+    relevance signal).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(item_col),
+            F.col(rank_col).cast("long").alias("__rank"),
+        )
+        for r in rankings
+    ]
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    agg = (
+        fused.withColumn(
+            "__contrib", F.expr(f"{scale} div ({k_rrf} + __rank)")
+        )
+        .groupBy(query_col, item_col)
+        .agg(
+            F.sum("__contrib").alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(item_col).asc()
+    )
+    out = agg.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )
+    if topk is not None:
+        out = out.where(F.col("fused_rank") <= topk)
+    return out.select(
+        query_col, "fused_rank", item_col, "rrf_score", "n_systems"
+    )

@@ -1667,6 +1667,195 @@ def neardup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
+# --- hybrid retrieval ---------------------------------------------------
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    "EXT-retrieval — HYBRID dense+sparse retrieval via "
+    "reciprocal-rank fusion (r8): the two persisted index tiers the "
+    "engine already ships — the term-bucketed BM25 inverted index "
+    "and the cell-bucketed trained-quantizer IVF index — answer the "
+    "same queries independently (each id%101 document's first 8 "
+    "tokens lexically, its embedding densely), and rrf_fuse "
+    "re-ranks the union by Σ 1/(60+rank), computed as exact "
+    "integer contributions (10^12 div (60+rank), summed as BIGINT) "
+    "so the fused ranking hashes bit-identically against the "
+    "oracle, which replays BOTH tiers (BM25 rational-idf formula, "
+    "full Lloyd quantizer training + assignment + probe) AND the "
+    "fusion in one SQL statement. Probe-side cost is "
+    "|queries|·k rows per tier — corpus never touches the fusion",
+    oracle="""
+WITH {IVF_CENTS},
+cents AS (SELECT cell_id, c_vec FROM cents1),
+assign AS (
+    SELECT a.vec_id AS neighbor_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({COSC_AC}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings a CROSS JOIN cents c
+),
+probes AS (
+    SELECT q.vec_id AS query_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({COSC_QC}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id % 101 = 0
+),
+dcand AS (
+    SELECT DISTINCT p.query_id, s.neighbor_id
+    FROM (SELECT query_id, cell_id FROM probes WHERE rn <= 4) p
+    JOIN (SELECT neighbor_id, cell_id FROM assign WHERE rn = 1) s USING (cell_id)
+    WHERE s.neighbor_id <> p.query_id
+),
+dscored AS (
+    SELECT dcand.query_id, dcand.neighbor_id,
+           round({COS_QA}, 6) AS cosine_sim
+    FROM dcand
+    JOIN embeddings q ON q.vec_id = dcand.query_id
+    JOIN embeddings a ON a.vec_id = dcand.neighbor_id
+),
+drank AS (
+    SELECT query_id, neighbor_id AS doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC
+           ) AS rank
+    FROM dscored
+),
+tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+dl AS (
+    SELECT doc_id,
+           CASE WHEN array_to_string(w, '') = '' THEN 0 ELSE len(w) END AS dl
+    FROM tok
+),
+stats AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+tf AS (
+    SELECT t.doc_id, u.term, count(*) AS tf
+    FROM tok t, unnest(t.w) AS u(term)
+    WHERE u.term <> ''
+    GROUP BY t.doc_id, u.term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (
+    SELECT DISTINCT doc_id AS query_id, u.term
+    FROM tok, unnest(list_slice(w, 1, 8)) AS u(term)
+    WHERE doc_id % 101 = 0 AND u.term <> ''
+),
+sc AS (
+    SELECT qt.query_id, tf.doc_id,
+           CAST(
+             (CAST(2*stats.n - 2*dft.df + 1 AS HUGEINT)
+                * (22 * tf.tf * stats.s) * 2000000
+              + CAST(2*dft.df + 1 AS HUGEINT)
+                * (10*tf.tf*stats.s + 3*stats.s + 9*dl.dl*stats.n))
+             // (2 * CAST(2*dft.df + 1 AS HUGEINT)
+                * (10*tf.tf*stats.s + 3*stats.s + 9*dl.dl*stats.n))
+           AS BIGINT) AS score_term
+    FROM qt
+    JOIN tf ON tf.term = qt.term
+    JOIN dft ON dft.term = qt.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+),
+sagg AS (
+    SELECT query_id, doc_id, CAST(sum(score_term) AS BIGINT) AS score_fp
+    FROM sc GROUP BY query_id, doc_id
+),
+srank AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_fp DESC, doc_id) AS rank
+    FROM sagg
+),
+contrib AS (
+    SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c
+    FROM srank WHERE rank <= 10
+    UNION ALL
+    SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c
+    FROM drank WHERE rank <= 10
+),
+fagg AS (
+    SELECT query_id, doc_id,
+           CAST(sum(c) AS BIGINT) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_systems
+    FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+       rrf_score, n_systems
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+    ) AS fused_rank
+    FROM fagg
+)
+WHERE fused_rank <= 10
+""".format(
+        IVF_CENTS=_ivf_trained_cents_duck(16, 1, 64),
+        COSC_AC=_cosc_duck("a", "c"),
+        COSC_QC=_cosc_duck("q", "c"),
+        COS_QA=_cos_duck("q", "a"),
+    ),
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape end-to-end: BOTH tiers probe their persisted
+    bucketed indexes (zero corpus re-tokenization, zero corpus
+    re-assignment — each pinned by its own plan test), and the
+    fusion operator only ever sees the two k-bounded rankings.
+    Queries are the id%101 documents: first 8 normalized tokens for
+    the lexical tier, the aligned embedding row for the dense tier
+    (the testdata generates doc_id/vec_id over the same id space).
+    Self-hits: the dense probe excludes the query vector itself, the
+    lexical tier retrieves it (self-retrieval is BM25's sanity
+    property) — rrf_fuse sees exactly what each system returned."""
+    from openaq_data_pipeline_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+        rrf_fuse,
+        temp_bm25_index,
+    )
+    from openaq_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        temp_ivf_index,
+    )
+    from openaq_data_pipeline_spark.operators.text import normalize, tokens
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    d = fan_out(t["documents"])
+    e = t["embeddings"]
+    qdf = d.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(tokens(normalize(F.col("text"))), 1, 8)
+        ).alias("q_text"),
+    )
+    with temp_bm25_index(n_buckets=8) as bidx, temp_ivf_index(
+        nprobe=4, n_buckets=8
+    ) as vidx:
+        build_bm25_index(d, "text", "doc_id", bidx)
+        build_ivf_index(e, vidx, n_cells=16, train_iters=1)
+        sparse = bm25_topk_indexed(
+            spark, qdf, bidx, "doc_id", "q_text", "query_id", k=10
+        )
+        dense = ivf_topk_indexed(
+            spark, e.filter(F.col("vec_id") % 101 == 0), vidx, k=10
+        ).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse(
+            [sparse.select("query_id", "doc_id", "rank"), dense],
+            topk=10,
+        ).localCheckpoint(eager=True)
+
+
 # --- multimodal ---------------------------------------------------------
 
 
@@ -2118,7 +2307,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_rotated(
     "session_windows",
     "EXT-sessionize — per-user session windows with a 30-minute "
     "inactivity gap (F.session_window; the oracle is the classic "

@@ -182,3 +182,56 @@ class TestBm25Index:
             if t.name.startswith("bm25_idx_")
         ]
         assert leaked == [], leaked
+
+
+class TestRrfFuse:
+    """Hybrid fusion (r8): rank-only semantics, integer determinism,
+    tie-breaks, and multi-system agreement accounting."""
+
+    def _fuse(self, spark, rankings, **kw):
+        from openaq_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+        dfs = [
+            spark.createDataFrame(r, "query_id long, doc_id long, rank long")
+            for r in rankings
+        ]
+        return rrf_fuse(dfs, **kw)
+
+    def test_two_system_agreement_wins(self, spark):
+        # doc 7 is rank 2 in both systems; doc 1 / doc 9 are rank 1
+        # in one system each: 2/(60+2) > 1/(60+1), so agreement wins
+        sparse = [(0, 1, 1), (0, 7, 2)]
+        dense = [(0, 9, 1), (0, 7, 2)]
+        out = self._fuse(spark, [sparse, dense]).collect()
+        by_doc = {r.doc_id: r for r in out}
+        assert by_doc[7].fused_rank == 1
+        assert by_doc[7].n_systems == 2
+        assert {by_doc[1].n_systems, by_doc[9].n_systems} == {1}
+        # exact integer contributions: floor(1e12/62)*2 vs floor(1e12/61)
+        assert by_doc[7].rrf_score == 2 * (10**12 // 62)
+        assert by_doc[1].rrf_score == 10**12 // 61
+        # equal single-system rank-1 scores tie-break by doc_id
+        assert by_doc[1].fused_rank == 2 and by_doc[9].fused_rank == 3
+
+    def test_topk_and_per_query_partitioning(self, spark):
+        r1 = [(q, d, d + 1) for q in (0, 1) for d in range(5)]
+        out = self._fuse(spark, [r1], topk=3)
+        rows = out.collect()
+        assert len(rows) == 6  # 3 per query
+        for q in (0, 1):
+            ranks = sorted(r.fused_rank for r in rows if r.query_id == q)
+            assert ranks == [1, 2, 3]
+
+    def test_empty_rankings_rejected(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+    def test_fusion_plan_has_no_corpus_input(self, spark):
+        # the fused plan reads only the two ranking DataFrames — a
+        # regression here (e.g. a rejoin against corpus text) would
+        # show as a scan in the plan
+        out = self._fuse(spark, [[(0, 1, 1)], [(0, 2, 1)]])
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Relation" not in plan or "parquet" not in plan.lower()
