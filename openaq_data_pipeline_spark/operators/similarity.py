@@ -1297,3 +1297,97 @@ def temp_ivf_index(
         rescore=rescore,
         rescore_factor=rescore_factor,
     )
+
+
+# --- semantic dedup -----------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    max_cell_size: int | None = None,
+    cent_rows=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster —
+    the published recipe for semantic (not lexical) dedup at web
+    scale, where all-pairs cosine is impossible but per-cluster
+    pairs are bounded by the cluster size the quantizer was sized
+    for (n_cells ≈ N / target_cell_size keeps the quadratic local
+    and constant).
+
+    Survivor policy is greedy keep-first (deterministic): a vector
+    is a duplicate iff a LOWER-id member of its cell has rounded
+    cosine ≥ ``threshold``; ``dup_of`` reports the lowest such id.
+    This is intentionally not transitive-closure clustering — the
+    SemDeDup paper keeps one representative per ε-ball greedily, and
+    greediness is what keeps the oracle pure SQL (no iteration).
+
+    Returns (id, cell_id, dup_of, kept, cell_overflow):
+    - ``kept``: no lower-id near-twin in the cell → survivor.
+    - ``cell_overflow``: with ``max_cell_size`` set, members ranked
+      (by id) beyond the cap are EXCLUDED from pairwise comparison
+      and pass through kept with the flag raised — the same
+      observable-drop contract as the banded-index bucket caps
+      (never silent, never quadratic past the budget).
+
+    Plan shape: quantizer training (n_cells-bounded driver rows) →
+    one map-side-argmax assignment shuffle → one cell-keyed
+    self-join whose fan-out is Σ |cell|² — bounded by
+    ``max_cell_size``² per cell — → one per-id min-aggregate.
+    Reuses the IVF trainer; pass ``cent_rows`` (e.g. a persisted
+    IvfIndex's frozen centroids, or a quantizer trained on a clean
+    reference slice) to skip training — the standard shape when
+    deduping a batch against an already-quantized space.
+    """
+    if cent_rows is None:
+        cent_rows = ivf_train_centroids(
+            corpus, n_cells, train_iters, id_col, vec_col, round_dp
+        )
+    assign = ivf_assign(corpus, cent_rows, id_col, vec_col, round_dp)
+    members = corpus.select(id_col, vec_col).join(assign, id_col)
+    if max_cell_size is not None:
+        w = Window.partitionBy("cell_id").orderBy(F.col(id_col).asc())
+        members = members.withColumn(
+            "__cell_rank", F.row_number().over(w)
+        ).withColumn(
+            "cell_overflow", F.col("__cell_rank") > max_cell_size
+        )
+    else:
+        members = members.withColumn("cell_overflow", F.lit(False))
+    inpair = members.filter(~F.col("cell_overflow"))
+    a = inpair.select(
+        F.col(id_col).alias("__a_id"),
+        F.col("cell_id"),
+        F.col(vec_col).alias("__a_vec"),
+    )
+    b = inpair.select(
+        F.col(id_col).alias("__b_id"),
+        F.col("cell_id"),
+        F.col(vec_col).alias("__b_vec"),
+    )
+    dup = (
+        a.join(b, "cell_id")
+        .where(F.col("__b_id") < F.col("__a_id"))
+        .where(
+            F.round(cosine_expr(F.col("__a_vec"), F.col("__b_vec")), round_dp)
+            >= F.lit(threshold)
+        )
+        .groupBy("__a_id")
+        .agg(F.min("__b_id").alias("dup_of"))
+    )
+    return (
+        members.join(dup, members[id_col] == dup["__a_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+            F.col("cell_overflow"),
+        )
+    )

@@ -1856,6 +1856,93 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
+@register(
+    "semantic_dedup",
+    "EXT-similarity — SemDeDup semantic near-duplicate pruning "
+    "(Abbas et al., arXiv:2303.09540, r8): k-means-cluster the "
+    "embedding space with the SAME deterministic Lloyd quantizer "
+    "the IVF tier trains, then greedy keep-first pruning WITHIN "
+    "each cell — a vector is a duplicate iff a lower-id cell-mate "
+    "has rounded cosine ≥ 0.9, dup_of = the lowest such id. The "
+    "per-cell quadratic is the published scale design (n_cells "
+    "sized to bound cells) plus the engine's observable-drop cap "
+    "(cell ranks past max_cell_size pass through flagged, never "
+    "silently compared). The oracle replays quantizer training, "
+    "assignment, capping, pairing and the survivor policy in one "
+    "SQL statement → hash-checked",
+    oracle="""
+WITH {IVF_CENTS},
+cents AS (SELECT cell_id, c_vec FROM cents1),
+corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 13 = 0
+),
+assign AS (
+    SELECT a.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({COSC_AC}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM corpus a CROSS JOIN cents c
+),
+members AS (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) AS cr
+    FROM assign WHERE rn = 1
+),
+dup AS (
+    SELECT a.vec_id AS a_id, min(b.vec_id) AS dup_of
+    FROM members a
+    JOIN members b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+    JOIN corpus ea ON ea.vec_id = a.vec_id
+    JOIN corpus eb ON eb.vec_id = b.vec_id
+    WHERE a.cr <= 512 AND b.cr <= 512
+      AND round({COS_AB}, 6) >= 0.9
+    GROUP BY a.vec_id
+)
+SELECT m.vec_id, CAST(m.cell_id AS BIGINT) AS cell_id, d.dup_of,
+       d.dup_of IS NULL AS kept, m.cr > 512 AS cell_overflow
+FROM members m LEFT JOIN dup d ON d.a_id = m.vec_id
+""".format(
+        IVF_CENTS=_ivf_trained_cents_duck(16, 1, 64),
+        COSC_AC=_cosc_duck("a", "c"),
+        COS_AB=_cos_duck("ea", "eb"),
+    ),
+)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the dedup tier spectrum: exact hash → lexical
+    shingle tiers (Jaccard/MinHash/SimHash/containment/spans) →
+    embedding-cosine pairs → SEMANTIC cluster-then-prune, the tier
+    that catches paraphrases sharing no surface text.
+
+    The quantizer trains on the ORIGINAL corpus and is passed frozen
+    (the persisted-IvfIndex reuse shape); the dedup input is the
+    corpus plus exact copies of every 13th vector under shifted ids
+    — copies land in their source's cell with cosine 1.0 and must
+    come back dup_of=source, everything else kept (the driver's
+    embeddings carry no organic pairs above 0.9 — max off-diagonal
+    cosine in the testdata is ~0.51 — so the copies are what proves
+    the pruning actually fires)."""
+    from openaq_data_pipeline_spark.operators.similarity import (
+        ivf_train_centroids,
+        semantic_dedup,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    base = e.select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    cent_rows = ivf_train_centroids(e, n_cells=16, n_iters=1)
+    return semantic_dedup(
+        base.unionByName(copies),
+        threshold=0.9,
+        max_cell_size=512,
+        cent_rows=cent_rows,
+    )
+
+
 # --- multimodal ---------------------------------------------------------
 
 
@@ -2807,7 +2894,7 @@ def unpivot_weather_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("value").isNotNull())
 
 
-@register(
+@register_rotated(
     "video_frame_sample",
     "EXT-multimodal — VIDEO frame sampling with real partial decode "
     "over a MIXED corpus: ids ≡1 (mod 3) are REAL MJPEG-in-AVI "

@@ -374,3 +374,75 @@ class TestInt8ApproxScoreNaming:
         with temp_ivf_index(nprobe=3, n_buckets=4) as idx:
             build_ivf_index(e, idx, n_cells=4, train_iters=1)
             assert "cosine_sim" in ivf_topk_indexed(spark, q, idx, k=3).columns
+
+
+class TestSemanticDedup:
+    """SemDeDup (r8): greedy keep-first survivor policy, the
+    observable-drop cell cap, and the frozen-centroid reuse path."""
+
+    def _run(self, spark, rows, **kw):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        out = semantic_dedup(df, **kw).collect()
+        return {r.vec_id: r for r in out}
+
+    def test_greedy_chain_not_transitive(self, spark):
+        import math
+
+        # a—b and b—c at cosine 0.95, a—c at ~0.81 (< 0.9): greedy
+        # drops BOTH b (dup_of=a) and c (dup_of=b, its lowest ≥-t
+        # lower-id cellmate, even though b itself was dropped) —
+        # deliberately NOT transitive-closure clustering
+        t1 = math.acos(0.95)
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [math.cos(t1), math.sin(t1)]),
+            (2, [math.cos(2 * t1), math.sin(2 * t1)]),
+        ]
+        by = self._run(
+            spark, rows, threshold=0.9, cent_rows=[(0, [1.0, 0.0])]
+        )
+        assert by[0].kept and by[0].dup_of is None
+        assert not by[1].kept and by[1].dup_of == 0
+        assert not by[2].kept and by[2].dup_of == 1
+
+    def test_cell_overflow_cap_is_observable(self, spark):
+        rows = [(i, [1.0, 0.0]) for i in range(4)]
+        by = self._run(
+            spark,
+            rows,
+            threshold=0.9,
+            max_cell_size=2,
+            cent_rows=[(0, [1.0, 0.0])],
+        )
+        # ranks 1-2 compared: id 1 dups to 0; ranks 3-4 pass through
+        # flagged, never compared (kept, dup_of null)
+        assert by[0].kept and not by[0].cell_overflow
+        assert not by[1].kept and by[1].dup_of == 0
+        assert by[2].kept and by[2].cell_overflow
+        assert by[3].kept and by[3].cell_overflow
+
+    def test_cells_isolate_comparison(self, spark):
+        # identical vectors in DIFFERENT cells are never compared:
+        # the quadratic is cell-local by construction
+        rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0])]
+        by = self._run(
+            spark,
+            rows,
+            threshold=0.9,
+            cent_rows=[(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        )
+        assert by[0].kept
+        assert by[1].kept  # nearest lower-id twin sits in cell 1 too
+        assert not by[2].kept and by[2].dup_of == 1
+
+    def test_trains_when_no_centroids_given(self, spark):
+        rows = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(6)]
+        by = self._run(spark, rows, n_cells=2, threshold=0.99)
+        assert sum(1 for r in by.values() if r.kept) == 1
