@@ -220,3 +220,162 @@ def score_bigram_loglik(
             F.round(F.col("__m"), 6).alias("avg_loglik"),
         )
     )
+
+
+# --- trigram LM, stupid backoff ----------------------------------------
+
+
+def unigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w) — one row per token OCCURRENCE, same token contract
+    as :func:`bigram_stream` (empty text yields its single ''
+    token, matching the split semantics both engines share)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize(F.col(text_col)))).alias("w"),
+    )
+
+
+def trigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — one row per trigram occurrence; documents
+    with < 3 tokens emit nothing."""
+    w = F.col("__w")
+    return (
+        df.select(F.col(id_col), tokens(normalize(F.col(text_col))).alias("__w"))
+        .where(F.size(w) >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 2),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, (i + 1)).alias("w2"),
+                        F.element_at(w, (i + 2)).alias("w3"),
+                    ),
+                )
+            ).alias("__t"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__t.w1").alias("w1"),
+            F.col("__t.w2").alias("w2"),
+            F.col("__t.w3").alias("w3"),
+        )
+    )
+
+
+def train_trigram_lm(
+    train: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Count tables for stupid-backoff scoring (Brants et al. 2007,
+    'Large Language Models in Machine Translation' — the score the
+    web-scale MT/LM literature actually uses when a corpus is too
+    large for Kneser-Ney's held-out statistics):
+
+    - ``tri``  (w1, w2, w3, c123)
+    - ``bi``   (w1, w2, c12) — TRUE bigram counts (not Σ_w3 c123:
+      a document's final bigram has no successor, and backoff
+      denominators are corpus counts of the context n-1-gram)
+    - ``uni``  (w, c1)
+    - ``n_tokens`` — corpus token count, the unigram denominator.
+
+    Three hash aggregates over three exploded streams of the SAME
+    normalized tokenization; every table is vocab-bounded. One
+    scalar collect (n_tokens), bounded like the bigram trainer's V.
+    """
+    tri = (
+        trigram_stream(train, text_col, id_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    bi = (
+        bigram_stream(train, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (
+        unigram_stream(train, text_col, id_col)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    n_tokens = int(uni.agg(F.sum("c1").alias("n")).first()["n"] or 0)
+    if n_tokens == 0:
+        raise ValueError(
+            "train_trigram_lm: empty training corpus — every backoff "
+            "denominator would divide by zero"
+        )
+    return tri, bi, uni, n_tokens
+
+
+def score_trigram_backoff(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    n_tokens: int,
+    out_scale: int = 4,
+) -> DataFrame:
+    """(id, n_trigrams, avg_score) — mean stupid-backoff score of
+    each candidate document's trigrams:
+
+        S(w3|w1 w2) = c123/c12                 if c123 > 0
+                    = 0.4 · c23/c2             elif c23 > 0
+                    = 0.4² · c3/N              else   (0 if w3 unseen)
+
+    The backoff factor 0.4 is the paper's constant AND a rational
+    (2/5) — which is exactly why this model fits the engine's
+    cross-engine fixed-point contract where Kneser-Ney's float
+    discounts would not: every tier is one exact integer ratio
+    (2·c23 / 5·c2, 4·c3 / 25·N), rounded half-up at PROB_SCALE and
+    summed as BIGINTs. c123 > 0 implies c12 > 0 (every trigram
+    occurrence contains its leading bigram), c23 > 0 implies c2 > 0
+    — the CASE arms never divide by zero.
+
+    Plan shape: one exploded trigram stream, four vocab-bounded
+    LEFT joins (tri on (w1,w2,w3), bi on (w1,w2) and (w2,w3), uni
+    on w3), one partial-aggregable groupBy(id) — identical topology
+    to the bigram scorer, one join wider."""
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+
+    k = 10**PROB_SCALE
+    stream = trigram_stream(docs, text_col, id_col)
+    bi23 = bi.select(
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c12").alias("c23"),
+    )
+    uni3 = uni.select(F.col("w").alias("w3"), F.col("c1").alias("c3"))
+    uni2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2"))
+    joined = (
+        stream.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi, ["w1", "w2"], "left")
+        .join(bi23, ["w2", "w3"], "left")
+        .join(uni2, ["w2"], "left")
+        .join(uni3, ["w3"], "left")
+    )
+    c123 = F.coalesce(F.col("c123"), F.lit(0))
+    c12 = F.coalesce(F.col("c12"), F.lit(0))
+    c23 = F.coalesce(F.col("c23"), F.lit(0))
+    c2 = F.coalesce(F.col("c2"), F.lit(0))
+    c3 = F.coalesce(F.col("c3"), F.lit(0))
+    s_int = (
+        F.when(c123 > 0, _prob_scaled_long(c123, c12, PROB_SCALE))
+        .when(c23 > 0, _prob_scaled_long(2 * c23, 5 * c2, PROB_SCALE))
+        .otherwise(
+            _prob_scaled_long(4 * c3, F.lit(25 * n_tokens), PROB_SCALE)
+        )
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(s_int).alias("__sum_s"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        exact_ratio_spark(
+            F.col("__sum_s"), F.col("n_trigrams") * k, out_scale=out_scale
+        ).alias("avg_score"),
+    )

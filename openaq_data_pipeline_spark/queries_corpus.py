@@ -375,6 +375,89 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_trigram_backoff",
+    "EXT-lm — trigram LM with STUPID BACKOFF scoring (Brants et "
+    "al. 2007, r8), the higher-order companion to the bigram gate: "
+    "S(w3|w1w2) = c123/c12, backing off to 0.4·c23/c2 then "
+    "0.4²·c3/N. The paper's 0.4 constant is rational (2/5), so "
+    "every backoff tier stays an exact integer ratio under the "
+    "engine's fixed-point contract (2·c23/5·c2, 4·c3/25·N — "
+    "rounded half-up at 10^6, summed as BIGINTs, order-free and "
+    "bit-identical across engines) where Kneser-Ney's float "
+    "discounts could not be hashed. Train = even-id half (three "
+    "hash aggregates over one tokenization), score = odd-id half "
+    "(one trigram stream, four vocab-bounded LEFT joins, one "
+    "partial-aggregable groupBy)",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2, w[g.i + 2] AS w3
+    FROM tok, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) - 2
+),
+big AS (
+    SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+    FROM tok, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w) - 1
+),
+unig AS (
+    SELECT doc_id, w[g.i] AS u
+    FROM tok, generate_series(1, 4000) g(i)
+    WHERE g.i <= len(w)
+),
+c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+c1 AS (SELECT u, count(*) AS c1 FROM unig WHERE doc_id % 2 = 0 GROUP BY u),
+n AS (SELECT count(*) AS n FROM unig WHERE doc_id % 2 = 0),
+scored AS (
+    SELECT t.doc_id,
+           CASE
+             WHEN coalesce(tc.c123, 0) > 0 THEN
+               (CAST(tc.c123 AS BIGINT) * {2 * _LM_K} + CAST(bc.c12 AS BIGINT))
+                 // (2 * CAST(bc.c12 AS BIGINT))
+             WHEN coalesce(b23.c12, 0) > 0 THEN
+               (CAST(2 * b23.c12 AS BIGINT) * {2 * _LM_K} + CAST(5 * u2.c1 AS BIGINT))
+                 // (2 * CAST(5 * u2.c1 AS BIGINT))
+             ELSE
+               (CAST(4 * coalesce(u3.c1, 0) AS BIGINT) * {2 * _LM_K} + CAST(25 * n.n AS BIGINT))
+                 // (2 * CAST(25 * n.n AS BIGINT))
+           END AS s_int
+    FROM tri t
+    CROSS JOIN n
+    LEFT JOIN c123 tc ON t.w1 = tc.w1 AND t.w2 = tc.w2 AND t.w3 = tc.w3
+    LEFT JOIN c12 bc ON t.w1 = bc.w1 AND t.w2 = bc.w2
+    LEFT JOIN c12 b23 ON t.w2 = b23.w1 AND t.w3 = b23.w2
+    LEFT JOIN c1 u2 ON t.w2 = u2.u
+    LEFT JOIN c1 u3 ON t.w3 = u3.u
+    WHERE t.doc_id % 2 = 1
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       {exact_ratio_duck('sum(s_int)', f'count(*) * {_LM_K}', 4)} AS avg_score
+FROM scored
+GROUP BY doc_id
+""",
+)
+def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same train/score split as the bigram gate (even half trains,
+    odd half is the candidate stream); documents with < 3 tokens
+    produce no row on either side."""
+    from openaq_data_pipeline_spark.operators.lm import (
+        score_trigram_backoff,
+        train_trigram_lm,
+    )
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    cand = d.filter(F.col("doc_id") % 2 == 1)
+    tri, bi, uni, n = train_trigram_lm(train, "text", "doc_id")
+    return score_trigram_backoff(cand, "text", "doc_id", tri, bi, uni, n)
+
+
+@register(
     "bm25_topk",
     "EXT-retrieval — BM25 sparse top-k retrieval (k1=1.2, b=0.75) "
     "over an inverted index: the lexical companion to the dense ANN "

@@ -2302,7 +2302,7 @@ def weather_pivot_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_rotated(
     "salted_skew_agg",
     "A1 at-scale variant — salted two-stage aggregation on a "
     "low-cardinality (skew-prone) key; bit-identical to the plain "

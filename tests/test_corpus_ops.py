@@ -933,3 +933,86 @@ class TestAviMjpeg:
         # = two 8x8 blocks valued 31 and 31+3, replicated x3
         r = [x for x in by_id[1] if x.frame_idx == 0][0]
         assert r.px_sum == (31 + 34) * 64 * 3
+
+
+class TestTrigramBackoff:
+    """Stupid backoff (r8): each of the three tiers pinned against a
+    pure-Python reference on a corpus crafted to hit all of them."""
+
+    TRAIN = [
+        (0, "the cat sat on the mat"),
+        (2, "the cat ran off the mat"),
+        (4, "a dog sat on a log"),
+    ]
+    # doc 1: "the cat sat" = seen trigram (tier 1);
+    # "cat sat quickly": unseen trigram, seen bigram "sat quickly"? no
+    # — crafted per-case below instead
+    CAND = [
+        (1, "the cat sat on the mat"),   # all trigrams seen
+        (3, "the cat sat purring now"),  # trigram miss -> bigram/unigram
+        (5, "zz yy xx"),                 # everything unseen -> 0
+    ]
+
+    def _spark_scores(self, spark):
+        from openaq_data_pipeline_spark.operators.lm import (
+            score_trigram_backoff,
+            train_trigram_lm,
+        )
+
+        t = spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        c = spark.createDataFrame(self.CAND, "doc_id long, text string")
+        tri, bi, uni, n = train_trigram_lm(t, "text", "doc_id")
+        out = score_trigram_backoff(c, "text", "doc_id", tri, bi, uni, n)
+        return {r.doc_id: r for r in out.collect()}
+
+    def _python_scores(self):
+        from collections import Counter
+
+        tri, bi, uni = Counter(), Counter(), Counter()
+        n = 0
+        for _, text in self.TRAIN:
+            w = text.split()
+            n += len(w)
+            uni.update(w)
+            bi.update(zip(w, w[1:]))
+            tri.update(zip(w, w[1:], w[2:]))
+
+        def fp(num, den, k=10**6):
+            return (num * 2 * k + den) // (2 * den)
+
+        out = {}
+        for doc_id, text in self.CAND:
+            w = text.split()
+            s = []
+            for g in zip(w, w[1:], w[2:]):
+                if tri[g] > 0:
+                    s.append(fp(tri[g], bi[g[:2]]))
+                elif bi[g[1:]] > 0:
+                    s.append(fp(2 * bi[g[1:]], 5 * uni[g[1]]))
+                else:
+                    s.append(fp(4 * uni[g[2]], 25 * n))
+            k = 10**6
+            t2 = sum(s) * 2 * 10**4 + len(s) * k
+            out[doc_id] = (len(s), (t2 - t2 % (2 * len(s) * k)) // (2 * len(s) * k) / 10**4)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        got = self._spark_scores(spark)
+        want = self._python_scores()
+        assert set(got) == set(want)
+        for doc_id, (n_tri, avg) in want.items():
+            assert got[doc_id].n_trigrams == n_tri
+            assert got[doc_id].avg_score == avg
+
+    def test_fully_unseen_scores_zero(self, spark):
+        got = self._spark_scores(spark)
+        assert got[5].avg_score == 0.0
+
+    def test_empty_train_raises(self, spark):
+        from openaq_data_pipeline_spark.operators.lm import train_trigram_lm
+
+        t = spark.createDataFrame([], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            train_trigram_lm(t, "text", "doc_id")
