@@ -29,6 +29,7 @@ batch-append loop, upgraded to event-driven micro-batches.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from openaq_data_pipeline_spark.operators.incremental_dedup import (
     ExactIndex,
@@ -80,6 +81,113 @@ def stream_corpus_ingest(
     writer = (
         stream_df.writeStream.foreachBatch(
             dedup_gate(text_col, id_col, index, survivors_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- two-gate streaming funnel: exact, then fuzzy ----------------------
+
+
+def fuzzy_dedup_gate(
+    text_col: str,
+    id_col: str,
+    exact_index: ExactIndex,
+    fuzzy_index,
+    survivors_path: str,
+):
+    """``foreachBatch`` body running the FULL incremental funnel per
+    micro-batch: the exact gate first (byte-duplicates are the bulk
+    of crawl duplication and cost one hash-aggregate), then the
+    MinHash band-index gate on what survives — batch docs
+    near-duplicating ANY indexed history doc at the index's
+    ``min_jaccard`` are dropped, and the kept remainder both lands
+    in the survivors sink and appends to the fuzzy index so the
+    NEXT micro-batch dedups against it. Batch-side operators are the
+    batch-tier functions verbatim (one correctness surface for batch
+    and streaming — the engine-wide contract).
+
+    Scope, stated honestly (same as the batch fuzzy tier): the gate
+    drops batch-vs-HISTORY near-dups; two near-dup documents inside
+    ONE micro-batch both pass (cross-pairs-only contract —
+    `incremental_fuzzy.py` module semantics). Within-batch EXACT
+    dups are caught by gate 1.
+
+    Replay semantics: the fuzzy index append is guarded by a
+    per-batch marker dir under the index location, so an
+    at-least-once ``foreachBatch`` retry never double-appends
+    posting rows (double-appended postings would double ``n_common``
+    in later verifies — unlike the exact index, whose min-survivor
+    re-aggregation absorbs replays). Self-pairs
+    (``train_id == eval_id``, a replayed batch matching its own
+    indexed copy) are filtered from the drop set, so a replay after
+    a completed append reproduces the original disposition."""
+    import os
+
+    from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+        append_fuzzy_index,
+        incremental_fuzzy_matches,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        disp = incremental_exact_dedup(batch_df, text_col, id_col, exact_index)
+        exact_kept = batch_df.join(
+            disp.filter("kept").select(id_col), id_col, "inner"
+        )
+        matches = incremental_fuzzy_matches(
+            exact_kept, text_col, id_col, fuzzy_index
+        )
+        dropped = (
+            matches.filter(F.col("train_id") != F.col("eval_id"))
+            .select(F.col("eval_id").alias(id_col))
+            .distinct()
+        )
+        # freeze BEFORE the index mutates: kept reads the fuzzy index
+        # tables through `matches`, and the append below rewrites them
+        kept = exact_kept.join(dropped, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        marker = (
+            os.path.join(fuzzy_index.location, f"_batch_{batch_id}")
+            if fuzzy_index.location
+            else None
+        )
+        if marker is None or not os.path.exists(marker):
+            append_fuzzy_index(kept, text_col, id_col, fuzzy_index)
+            if marker is not None:
+                os.makedirs(marker, exist_ok=True)
+        (
+            kept.selectExpr("*", f"{batch_id} as batch_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(survivors_path)
+        )
+
+    return _process
+
+
+def stream_corpus_ingest_fuzzy(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    exact_index: ExactIndex,
+    fuzzy_index,
+    survivors_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the two-gate gated ingestion stream; same lifecycle
+    contract as :func:`stream_corpus_ingest`."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            fuzzy_dedup_gate(
+                text_col, id_col, exact_index, fuzzy_index, survivors_path
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

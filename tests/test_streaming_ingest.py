@@ -149,3 +149,110 @@ class TestStreamCorpusIngest:
                 21: 1,
             }
         assert os.path.isdir(out)
+
+
+# --- two-gate funnel (r8) ----------------------------------------------
+
+FHISTORY = [
+    (0, "alpha beta gamma delta epsilon zeta eta"),
+    (1, "one two three four five six"),
+]
+# file 1: 10 near-dups history 0 (subset text — exact gate passes it,
+# fuzzy gate must drop it); 11 fresh; 12/13 exact intra-batch pair
+FFILE1 = [
+    (10, "alpha beta gamma delta epsilon zeta"),
+    (11, "red orange yellow green blue indigo"),
+    (12, "cat dog fish bird mouse"),
+    (13, "cat dog fish bird mouse"),
+]
+# file 2: 20 near-dups FILE1 survivor 11 (cross-micro-batch — only
+# the persisted fuzzy index can catch it); 21 exact-dups history;
+# 22 fresh
+FFILE2 = [
+    (20, "red orange yellow green blue indigo extra"),
+    (21, "one two three four five six"),
+    (22, "totally fresh content here now"),
+]
+FEXPECT_KEPT = {11, 12, 22}
+
+
+class TestStreamCorpusIngestFuzzy:
+    def _run(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            stream_corpus_ingest_fuzzy,
+        )
+
+        src = str(tmp_path / "incoming")
+        out = str(tmp_path / "survivors")
+        ckpt = str(tmp_path / "ckpt")
+        _write_file(spark, FFILE1, src)
+        time.sleep(1.1)
+        _write_file(spark, FFILE2, src)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hist = spark.createDataFrame(FHISTORY, SCHEMA)
+        with temp_exact_index(n_buckets=4) as eidx, temp_fuzzy_index(
+            n_buckets=4
+        ) as fidx:
+            build_exact_index(hist, "text", "doc_id", eidx)
+            build_fuzzy_index(hist, "text", "doc_id", fidx)
+            q = stream_corpus_ingest_fuzzy(
+                stream, "text", "doc_id", eidx, fidx, out, ckpt
+            )
+            q.awaitTermination(120)
+            survivors = spark.read.parquet(out).collect()
+            sizes_ids = {
+                r["doc_id"]
+                for r in spark.table(fidx.sizes_table).collect()
+            }
+        return survivors, sizes_ids
+
+    def test_two_gate_funnel_across_micro_batches(self, spark, tmp_path):
+        survivors, sizes_ids = self._run(spark, tmp_path)
+        kept_ids = {r["doc_id"] for r in survivors}
+        assert kept_ids == FEXPECT_KEPT
+        by_id = {r["doc_id"]: r for r in survivors}
+        # 20 near-dupped a FILE1 survivor: catchable only through the
+        # persisted index appended by micro-batch 0
+        assert by_id[11]["batch_id"] == 0 and by_id[22]["batch_id"] == 1
+        # only KEPT docs entered the fuzzy index (history + survivors)
+        assert sizes_ids == {0, 1} | FEXPECT_KEPT
+
+    def test_replay_is_guarded_by_marker(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            fuzzy_dedup_gate,
+        )
+
+        out = str(tmp_path / "survivors")
+        hist = spark.createDataFrame(FHISTORY, SCHEMA)
+        batch = spark.createDataFrame(FFILE1, SCHEMA)
+        with temp_exact_index(n_buckets=4) as eidx, temp_fuzzy_index(
+            n_buckets=4
+        ) as fidx:
+            build_exact_index(hist, "text", "doc_id", eidx)
+            build_fuzzy_index(hist, "text", "doc_id", fidx)
+            gate = fuzzy_dedup_gate("text", "doc_id", eidx, fidx, out)
+            gate(batch, 0)
+            first = sorted(
+                r["doc_id"] for r in spark.read.parquet(out).collect()
+            )
+            n_band_rows = spark.table(fidx.bands_table).count()
+            assert os.path.isdir(os.path.join(fidx.location, "_batch_0"))
+            gate(batch, 0)  # at-least-once replay
+            second = sorted(
+                r["doc_id"] for r in spark.read.parquet(out).collect()
+            )
+            assert first == second == [11, 12]
+            # marker prevented a double append
+            assert spark.table(fidx.bands_table).count() == n_band_rows
