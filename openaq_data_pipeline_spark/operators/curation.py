@@ -603,3 +603,60 @@ def fuzzy_decon_dropped_buckets(
     return grouped.filter(sz > max_bucket).select(
         "band_id", "band_hash", "n_train", "n_eval"
     )
+
+
+def pps_systematic_sample(
+    documents: DataFrame,
+    weight_col: str,
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949 — the fixed-interval PPS design survey statistics and
+    data-mixing pipelines both use): lay the corpus out on a line
+    where each document occupies a segment of length = its weight,
+    then pick the k rows whose segment covers a multiple of W/k.
+    Every document's inclusion probability is exactly
+    ``min(1, k·w/W)`` with NO floating-point randomness — the whole
+    procedure is integer arithmetic, so the sample is reproducible
+    bit-for-bit on any engine (the catalog determinism contract).
+    A document heavier than W/k can cover several selection points;
+    it is returned ONCE (`pick_no` = the last point it covers), so
+    the returned row count is k minus such collapses — the standard
+    flattened variant. For a randomized design, rotate ``order_col``
+    (e.g. order by md5(id)) — the phase lives in the ordering, not
+    in a float.
+
+    Plan shape: one scalar total (bounded collect, like the IVF
+    centroid collect), then the two-phase global cumulative sum
+    (`operators/ids.assign_global_cumsum` — one range exchange, no
+    single-partition window), then a stateless filter. Exact while
+    ``W·k < 2^63`` (guarded); past that swap the longs for
+    DECIMAL(38,0).
+    """
+    from openaq_data_pipeline_spark.operators.ids import assign_global_cumsum
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    total = documents.agg(F.sum(weight_col).alias("w")).first()["w"]
+    if total is None or total <= 0:
+        raise ValueError(
+            "pps_systematic_sample: total weight must be positive"
+        )
+    total = int(total)
+    if total * k >= 2**63:
+        raise ValueError(
+            f"W·k = {total}·{k} overflows BIGINT — rescale weights or "
+            "switch this operator's arithmetic to DECIMAL(38,0)"
+        )
+    cum = assign_global_cumsum(
+        documents, order_col, weight_col, "cum_weight"
+    )
+    hi = F.expr(f"(cum_weight * {k}) div {total}")
+    lo = F.expr(f"((cum_weight - {weight_col}) * {k}) div {total}")
+    return (
+        cum.withColumn("pick_no", hi.cast("long"))
+        .withColumn("__lo", lo.cast("long"))
+        .filter(F.col("pick_no") > F.col("__lo"))
+        .drop("__lo")
+    )

@@ -91,3 +91,61 @@ def assign_global_ids(
         .cast("long")
         .alias(id_name),
     )
+
+
+def assign_global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    name: str = "cum_weight",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus an INCLUSIVE global running sum of ``weight_col``
+    in ascending ``order_col`` order — same two-phase shape as
+    :func:`assign_global_ids` (a single-partition
+    ``sum() OVER (ORDER BY ...)`` window is the same 100 TB killer
+    as the row-number version): range-repartition + materialize,
+    per-partition weight totals prefix-summed into offsets
+    (n_partitions driver-scale rows), per-partition running sum via
+    one stateful ``mapInPandas`` pass, broadcast offsets back on.
+    Deterministic iff ``order_col`` is unique; weights must be
+    integral for the exact-arithmetic consumers downstream
+    (``pps_systematic_sample``)."""
+    if name in df.columns:
+        raise ValueError(f"column {name!r} already exists")
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .localCheckpoint(eager=False)
+    )
+    pid_df = part.withColumn(_PID, F.spark_partition_id())
+    totals = pid_df.groupBy(_PID).agg(F.sum(weight_col).alias("__wsum"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum("__wsum").over(w), F.lit(0)).alias("__woff")
+    )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(pid_df.schema.fields) + [StructField(_LOCAL, LongType())]
+    )
+
+    def cumsum_partition(batches):
+        run = 0
+        for pdf in batches:
+            c = pdf[weight_col].cumsum() + run
+            pdf[_LOCAL] = c.astype("int64")
+            if len(c):
+                run = int(c.iloc[-1])
+            yield pdf
+
+    summed = pid_df.mapInPandas(cumsum_partition, schema=out_schema)
+    return summed.join(F.broadcast(offsets), _PID).select(
+        *df.columns,
+        (F.col("__woff") + F.col(_LOCAL)).cast("long").alias(name),
+    )

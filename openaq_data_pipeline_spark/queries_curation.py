@@ -230,3 +230,47 @@ def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return pii_scan(injected, "text", "doc_id")
+
+
+@register(
+    "pps_systematic_sample",
+    "EXT-sampling — systematic probability-proportional-to-size "
+    "sampling (Madow 1949, r8): documents occupy weight-length "
+    "segments on a line (weight = n_chars), the sampler picks the "
+    "rows covering multiples of W/k — inclusion probability exactly "
+    "min(1, k·w/W) with ZERO floating-point randomness; the whole "
+    "design is integer arithmetic, bit-reproducible on any engine. "
+    "The Spark side computes the global cumulative weight with the "
+    "TWO-PHASE partition-offset pattern (operators/ids.py — a "
+    "single-partition running-sum window is the canonical 100 TB "
+    "scale-killer the oracle is allowed but the engine is not)",
+    oracle="""
+WITH c AS (
+    SELECT doc_id, n_chars,
+           CAST(sum(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_weight
+    FROM documents
+),
+t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM documents)
+SELECT doc_id, n_chars, cum_weight,
+       CAST((cum_weight * 37) // t.w AS BIGINT) AS pick_no
+FROM c CROSS JOIN t
+WHERE (cum_weight * 37) // t.w > ((cum_weight - n_chars) * 37) // t.w
+""",
+)
+def pps_systematic_sample_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k=37 (prime, to avoid aliasing against any periodicity in the
+    synthetic weights); order = doc_id. Output = the selected rows
+    with their covering selection point."""
+    from openaq_data_pipeline_spark.operators.curation import (
+        pps_systematic_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    return pps_systematic_sample(d, "n_chars", "doc_id", k=37)

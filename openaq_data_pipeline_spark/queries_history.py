@@ -124,7 +124,7 @@ def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "gap_fill_hourly",
     "EXT-history — time-series densification: per-event-type hourly "
     "grid over each type's own [min, max] span (sequence + explode, "

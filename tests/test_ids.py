@@ -70,3 +70,100 @@ class TestAssignGlobalIds:
         assert "Exchange" not in corpus_side
         assert "Scan ExistingRDD" in corpus_side
         assert "BroadcastHashJoin" in plan
+
+
+class TestGlobalCumsum:
+    """Two-phase global running sum (r8) — the weight analogue of
+    assign_global_ids, feeding pps_systematic_sample."""
+
+    def test_matches_python_cumsum(self, spark):
+        from openaq_data_pipeline_spark.operators.ids import (
+            assign_global_cumsum,
+        )
+
+        rows = [(i, (i * 7) % 11 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "k long, w long")
+        got = {
+            r.k: r.cum_weight
+            for r in assign_global_cumsum(df, "k", "w").collect()
+        }
+        run = 0
+        for k, w in rows:
+            run += w
+            assert got[k] == run
+
+    def test_no_single_partition_window(self, spark):
+        from openaq_data_pipeline_spark.operators.ids import (
+            assign_global_cumsum,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 1) for i in range(100)], "k long, w long"
+        )
+        plan = (
+            assign_global_cumsum(df, "k", "w")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the corpus-sized side (the MapInPandas branch down to its
+        # scan) must never pass through a global window / single
+        # partition; the offsets window runs over n_partitions rows
+        # only, inside the broadcast branch below a HashAggregate
+        lines = plan.splitlines()
+        start = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
+        end = next(
+            i for i, l in enumerate(lines) if "BroadcastExchange" in l
+        )
+        corpus_branch = "\n".join(lines[start:end])
+        assert "SinglePartition" not in corpus_branch
+        assert "Window" not in corpus_branch
+        # and the single-partition exchange that DOES exist feeds the
+        # offsets window from an aggregate, not from the corpus
+        sp = next(i for i, l in enumerate(lines) if "SinglePartition" in l)
+        assert any("HashAggregate" in l for l in lines[sp:sp + 3])
+
+    def test_name_collision_raises(self, spark):
+        import pytest as _p
+
+        from openaq_data_pipeline_spark.operators.ids import (
+            assign_global_cumsum,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "k long, cum_weight long")
+        with _p.raises(ValueError):
+            assign_global_cumsum(df, "k", "cum_weight")
+
+
+class TestPpsSystematicSample:
+    def _sample(self, spark, rows, k):
+        from openaq_data_pipeline_spark.operators.curation import (
+            pps_systematic_sample,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        return pps_systematic_sample(df, "w", "doc_id", k=k).collect()
+
+    def test_uniform_weights_pick_every_nth(self, spark):
+        rows = [(i, 1) for i in range(100)]
+        got = sorted(r.doc_id for r in self._sample(spark, rows, 10))
+        # W=100, k=10: selection points at cum multiples of 10 →
+        # rows with cum_weight 10,20,...,100 = ids 9,19,...,99
+        assert got == [9, 19, 29, 39, 49, 59, 69, 79, 89, 99]
+
+    def test_heavy_item_collapses_not_duplicates(self, spark):
+        # one row carries 80% of the mass: it covers several selection
+        # points but is returned ONCE; sample size < k by the collapse
+        rows = [(0, 80), (1, 5), (2, 5), (3, 5), (4, 5)]
+        got = self._sample(spark, rows, 10)
+        ids = [r.doc_id for r in got]
+        assert ids.count(0) == 1
+        heavy = next(r for r in got if r.doc_id == 0)
+        assert heavy.pick_no == 8  # covers points 1..8 (cum 80 → 8·W/k)
+        assert len(got) == len(set(ids))
+
+    def test_zero_total_raises(self, spark):
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            self._sample(spark, [(0, 0)], 5)
