@@ -107,3 +107,24 @@ def write_ndjson(df: DataFrame, path: str, rows_per_file: int | None = None) -> 
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV sink with header (S7)."""
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — the columnar interchange format warehouses that
+    predate parquet-everywhere still hand over (Hive/Trino exports).
+    Native Spark reader: predicate pushdown, column pruning and
+    vectorized decode all apply exactly as for parquet, so a
+    downstream plan is format-agnostic."""
+    paths = path if isinstance(path, list) else [path]
+    return spark.read.orc(*paths)
+
+
+def write_orc(
+    df: DataFrame, path: str, rows_per_file: int | None = None
+) -> None:
+    """ORC sink, mirroring :func:`write_ndjson`'s chunking contract
+    (maxRecordsPerFile maps the reference's chunk_size)."""
+    writer = df.write.mode("overwrite")
+    if rows_per_file:
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.orc(path)
