@@ -1350,7 +1350,15 @@ def semantic_dedup(
             corpus, n_cells, train_iters, id_col, vec_col, round_dp
         )
     assign = ivf_assign(corpus, cent_rows, id_col, vec_col, round_dp)
-    members = corpus.select(id_col, vec_col).join(assign, id_col)
+    # materialize once: the assignment (a 16-centroid cosine argmax
+    # over the whole corpus) feeds BOTH self-join sides and the
+    # output join — without the barrier Catalyst recomputes it three
+    # times (measured 3x on the bench fixture)
+    members = (
+        corpus.select(id_col, vec_col)
+        .join(assign, id_col)
+        .localCheckpoint(eager=False)
+    )
     if max_cell_size is not None:
         w = Window.partitionBy("cell_id").orderBy(F.col(id_col).asc())
         members = members.withColumn(
@@ -1360,22 +1368,36 @@ def semantic_dedup(
         )
     else:
         members = members.withColumn("cell_overflow", F.lit(False))
-    inpair = members.filter(~F.col("cell_overflow"))
+    # per-vector norm ONCE (IEEE sqrt of an index-ordered fold — the
+    # identical value the per-pair cosine would recompute |cell| - 1
+    # times), so each pair costs one dot product
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    inpair = members.filter(~F.col("cell_overflow")).select(
+        F.col(id_col),
+        F.col("cell_id"),
+        dvec.alias("__dv"),
+        F.sqrt(_fold_sum(F.transform(dvec, lambda x: x * x))).alias("__nrm"),
+    )
     a = inpair.select(
         F.col(id_col).alias("__a_id"),
         F.col("cell_id"),
-        F.col(vec_col).alias("__a_vec"),
+        F.col("__dv").alias("__a_vec"),
+        F.col("__nrm").alias("__a_nrm"),
     )
     b = inpair.select(
         F.col(id_col).alias("__b_id"),
         F.col("cell_id"),
-        F.col(vec_col).alias("__b_vec"),
+        F.col("__dv").alias("__b_vec"),
+        F.col("__nrm").alias("__b_nrm"),
+    )
+    dot = _fold_sum(
+        F.zip_with(F.col("__a_vec"), F.col("__b_vec"), lambda x, y: x * y)
     )
     dup = (
         a.join(b, "cell_id")
         .where(F.col("__b_id") < F.col("__a_id"))
         .where(
-            F.round(cosine_expr(F.col("__a_vec"), F.col("__b_vec")), round_dp)
+            F.round(dot / (F.col("__a_nrm") * F.col("__b_nrm")), round_dp)
             >= F.lit(threshold)
         )
         .groupBy("__a_id")

@@ -2487,7 +2487,7 @@ def approx_distinct_by(
     )
 
 
-@register(
+@register_rotated(
     "approx_distinct_sketch",
     "EXT-sketch — HyperLogLog++ approximate distinct users per event "
     "type (approx_count_distinct, rsd 1%): the constant-memory path "
@@ -2997,3 +2997,95 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 256).alias("ux"),
         (F.col("event_id") % 256).alias("ex"),
     ).select("event_id", zvalue(["ux", "ex"], bits=8).alias("zval"))
+
+
+# --- iterative graph scoring (r8) --------------------------------------
+
+_PR_SCALE = 10**12
+
+
+def _pagerank_iters_duck(n_iters: int) -> str:
+    """Chained-CTE replay of operators/graph.pagerank_fixed_point:
+    one (scatter, gather, update) triple per superstep, all integer
+    arithmetic. Emits ``r{n_iters}``."""
+    parts = []
+    for i in range(n_iters):
+        parts.append(
+            f"""s{i} AS (
+    SELECT r.node AS src, r.p // o.outdeg AS share
+    FROM r{i} r JOIN outdeg o ON o.node = r.node
+),
+c{i} AS (
+    SELECT e.dst AS node, CAST(sum(s.share) AS BIGINT) AS contrib
+    FROM eb e JOIN s{i} s ON s.src = e.src
+    GROUP BY e.dst
+),
+r{i + 1} AS (
+    SELECT n.node,
+           CAST((3 * {_PR_SCALE}) // (20 * nn.n)
+                + (17 * coalesce(c.contrib, 0)) // 20 AS BIGINT) AS p
+    FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "pagerank_entities",
+    "EXT-graph — PageRank in EXACT integer fixed-point over the "
+    "customer↔supplier interaction graph (r8): the iterative-graph "
+    "primitive web-scale curation ranks crawl hosts with (the "
+    "public CommonCrawl centrality releases) expressed Pregel-style "
+    "on DataFrames — per superstep one edge-keyed scatter join + "
+    "one partial-aggregable gather groupBy, ranks materialized per "
+    "round to cut lineage. Damping 0.85 = 17/20 is rational, so "
+    "every superstep is 64-bit integer arithmetic (share = p div "
+    "outdeg, p' = (3·10^12) div (20N) + (17·Σshare) div 20) and the "
+    "oracle replays ALL three supersteps in chained CTEs — "
+    "hash-checked, not approximately compared",
+    oracle=f"""
+WITH e AS (
+    SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+eb AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM eb),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src AS node, count(*) AS outdeg FROM eb GROUP BY src),
+r0 AS (
+    SELECT node, CAST({_PR_SCALE} // nn.n AS BIGINT) AS p
+    FROM nodes CROSS JOIN nn
+),
+{_pagerank_iters_duck(3)}
+SELECT node, p FROM r3
+""",
+)
+def pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer↔supplier graph from order lines (node id =
+    2·custkey for customers, 2·suppkey+1 for suppliers; both edge
+    directions → undirected random walk). Well-connected suppliers
+    accumulate rank exactly as well-linked hosts do in a crawl
+    graph. The symmetric edge set means src∪dst == src, and no node
+    dangles — the documented dangling-mass loss never triggers
+    here."""
+    from openaq_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    t = load(spark, sf_dir, "orders", "lineitem")
+    e = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    both = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_fixed_point(both, n_iters=3)
