@@ -138,7 +138,7 @@ def _bands_duck(num_hashes: int = 8, band_size: int = 2) -> str:
 _BPE_RE_SQL = "[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9\\s]"
 
 
-@register(
+@register_rotated(
     "text_token_stats",
     "EXT-text — token counting: whitespace + BPE-ish regexp "
     "tokenizers, chars-per-token ratio",
@@ -3089,3 +3089,147 @@ def pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank_fixed_point(both, n_iters=3)
+
+
+# --- product quantization ANN (r8) -------------------------------------
+
+
+def _pq_trained_books_duck(
+    m: int, ksub: int, n_iters: int, dim: int, q_scale: int = 1_000_000
+) -> str:
+    """CTE chain reproducing operators/similarity.pq_train_codebooks
+    in pure SQL: per-subspace Lloyd with the shared (vector,
+    subspace) explosion, argmin on round(||u||²−2u·c+||c||², 6) with
+    ties to the lowest code, exact quantized-mean updates, empty
+    codes coalescing to their previous centroid. Emits
+    ``book{n_iters}`` and the shared ``pexpl``/``subs`` CTEs."""
+    dsub = dim // m
+    parts = [
+        f"""pq_seed AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_id
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {ksub})
+),
+subs AS (SELECT g.s AS sub_id FROM generate_series(0, {m - 1}) g(s)),
+book0 AS (
+    SELECT s.sub_id, p.code_id,
+           list_slice(p.v, s.sub_id * {dsub} + 1, (s.sub_id + 1) * {dsub}) AS c
+    FROM pq_seed p CROSS JOIN subs s
+),
+pexpl AS (
+    SELECT e.vec_id, s.sub_id,
+           list_slice(e.embedding::DOUBLE[], s.sub_id * {dsub} + 1,
+                      (s.sub_id + 1) * {dsub}) AS u
+    FROM embeddings e CROSS JOIN subs s
+)"""
+    ]
+    d2 = (
+        "list_dot_product(x.u, x.u) - 2 * list_dot_product(x.u, b.c)"
+        " + list_dot_product(b.c, b.c)"
+    )
+    for i in range(n_iters):
+        parts.append(
+            f"""passign{i} AS (
+    SELECT x.vec_id, x.sub_id, b.code_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY x.vec_id, x.sub_id
+               ORDER BY round({d2}, 6) ASC, b.code_id ASC
+           ) AS rn
+    FROM pexpl x JOIN book{i} b ON b.sub_id = x.sub_id
+),
+pmean{i} AS (
+    SELECT a.sub_id, a.code_id, g.k AS dim,
+           sum(CAST(round(x.u[g.k] * {q_scale}, 0) AS BIGINT)) AS sq,
+           count(*) AS n
+    FROM (SELECT vec_id, sub_id, code_id FROM passign{i} WHERE rn = 1) a
+    JOIN pexpl x ON x.vec_id = a.vec_id AND x.sub_id = a.sub_id,
+         generate_series(1, {dsub}) g(k)
+    GROUP BY a.sub_id, a.code_id, g.k
+),
+pnew{i} AS (
+    SELECT sub_id, code_id,
+           list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * {float(q_scale)!r})
+                ORDER BY dim) AS c
+    FROM pmean{i} GROUP BY sub_id, code_id
+),
+book{i + 1} AS (
+    SELECT b.sub_id, b.code_id, coalesce(n1.c, b.c) AS c
+    FROM book{i} b
+    LEFT JOIN pnew{i} n1
+      ON n1.sub_id = b.sub_id AND n1.code_id = b.code_id
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "ann_topk_pq",
+    "EXT-similarity — PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "
+    "r8), the memory-scale path past the int8 cells: 8 subspaces × "
+    "16-code codebooks trained by the same deterministic Lloyd "
+    "(ALL subspaces in one pass per iteration), vectors stored as "
+    "8 code ids (32× vs float32), and top-5 by ASYMMETRIC distance "
+    "— per-query lookup tables of round(d²·10⁶) BIGINTs broadcast "
+    "into the code rows, candidate distance = order-free integer "
+    "sum of 8 lookups, raw vectors never read at query time. The "
+    "oracle replays codebook training, encoding, the LUTs and the "
+    "ADC ranking in one SQL statement → hash-checked",
+    oracle=f"""
+WITH {_pq_trained_books_duck(8, 16, 1, 64)},
+penc AS (
+    SELECT x.vec_id, x.sub_id, b.code_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY x.vec_id, x.sub_id
+               ORDER BY round(list_dot_product(x.u, x.u)
+                              - 2 * list_dot_product(x.u, b.c)
+                              + list_dot_product(b.c, b.c), 6) ASC,
+                        b.code_id ASC
+           ) AS rn
+    FROM pexpl x JOIN book1 b ON b.sub_id = x.sub_id
+),
+pcodes AS (SELECT vec_id, sub_id, code_id FROM penc WHERE rn = 1),
+lut AS (
+    SELECT q.vec_id AS query_id, b.sub_id, b.code_id,
+           CAST(round((list_dot_product(q.u, q.u)
+                       - 2 * list_dot_product(q.u, b.c)
+                       + list_dot_product(b.c, b.c)) * 1000000, 0)
+                AS BIGINT) AS d2_int
+    FROM pexpl q JOIN book1 b ON b.sub_id = q.sub_id
+    WHERE q.vec_id % 101 = 0
+),
+sc2 AS (
+    SELECT l.query_id, c.vec_id AS neighbor_id,
+           CAST(sum(l.d2_int) AS BIGINT) AS adc_fp
+    FROM pcodes c
+    JOIN lut l ON l.sub_id = c.sub_id AND l.code_id = c.code_id
+    WHERE c.vec_id <> l.query_id
+    GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adc_fp
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id ASC
+    ) AS rnk
+    FROM sc2
+)
+WHERE rnk <= 5
+""",
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (one Lloyd pass over all 8 subspaces at once) → encode
+    the corpus to code rows → ADC top-5 for the id%101 queries.
+    Approximation is explicit in the column name: ``adc_fp`` is
+    quantized code-space distance, not exact distance — the same
+    honesty contract as the int8 tier's code_cosine_sim (ADVICE r7
+    #2)."""
+    from openaq_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    books = pq_train_codebooks(e, m=8, ksub=16, n_iters=1)
+    codes = pq_encode(e, books, m=8)
+    queries = e.filter(F.col("vec_id") % 101 == 0)
+    return pq_topk_adc(queries, codes, books, k=5, m=8)

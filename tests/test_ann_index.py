@@ -446,3 +446,113 @@ class TestSemanticDedup:
         rows = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(6)]
         by = self._run(spark, rows, n_cells=2, threshold=0.99)
         assert sum(1 for r in by.values() if r.kept) == 1
+
+
+class TestProductQuantization:
+    """PQ train/encode/ADC (r8): python-replay exactness of the
+    codebook trainer, encode determinism, ADC ranking properties,
+    and the torn-append guard."""
+
+    def _corpus(self, spark, n=24, dim=8):
+        rows = [
+            (i, [float(((i * 7 + d * 3) % 10) - 5) for d in range(dim)])
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_trainer_matches_python_replay(self, spark):
+        import math
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            pq_train_codebooks,
+        )
+
+        rows, df = self._corpus(spark)
+        m, ksub, dsub, q = 2, 4, 4, 10**6
+        got = pq_train_codebooks(
+            df, m=m, ksub=ksub, n_iters=2, dim=8
+        )
+        # pure-python replay of the documented recurrence
+        vecs = {i: [float(x) for x in v] for i, v in rows}
+        book = {
+            (s, j): vecs[sorted(vecs)[j]][s * dsub : (s + 1) * dsub]
+            for j in range(ksub)
+            for s in range(m)
+        }
+        for _ in range(2):
+            members = {}
+            for i, v in vecs.items():
+                for s in range(m):
+                    u = v[s * dsub : (s + 1) * dsub]
+                    best = min(
+                        (
+                            round(
+                                sum(x * x for x in u)
+                                - 2 * sum(x * y for x, y in zip(u, book[(s, c)]))
+                                + sum(y * y for y in book[(s, c)]),
+                                6,
+                            ),
+                            c,
+                        )
+                        for c in range(ksub)
+                    )[1]
+                    members.setdefault((s, best), []).append(u)
+            for key, us in members.items():
+                book[key] = [
+                    sum(int(round(u[d] * q)) for u in us) / (len(us) * float(q))
+                    for d in range(dsub)
+                ]
+        for s, c, vec in got:
+            assert vec == book[(s, c)], (s, c)
+
+    def test_adc_prefers_true_neighbor(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            pq_encode,
+            pq_topk_adc,
+            pq_train_codebooks,
+        )
+
+        rows, df = self._corpus(spark, n=20)
+        books = pq_train_codebooks(df, m=2, ksub=4, n_iters=1, dim=8)
+        codes = pq_encode(df, books, m=2, dim=8)
+        # query with vec 0's exact embedding under a fresh id
+        q = spark.createDataFrame(
+            [(900, rows[0][1])], "vec_id long, embedding array<float>"
+        )
+        out = pq_topk_adc(q, codes, books, k=3, m=2, dim=8).collect()
+        assert [r.rank for r in out] == [1, 2, 3]
+        # vec 0 shares every code with the query -> minimal ADC
+        assert out[0].neighbor_id == 0
+
+    def test_torn_code_rows_are_dropped(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            pq_encode,
+            pq_topk_adc,
+            pq_train_codebooks,
+        )
+        from pyspark.sql import functions as F
+
+        rows, df = self._corpus(spark, n=12)
+        books = pq_train_codebooks(df, m=2, ksub=4, n_iters=1, dim=8)
+        codes = pq_encode(df, books, m=2, dim=8)
+        torn = codes.where(
+            ~((F.col("vec_id") == 5) & (F.col("sub_id") == 1))
+        )
+        q = spark.createDataFrame(
+            [(900, rows[0][1])], "vec_id long, embedding array<float>"
+        )
+        out = pq_topk_adc(q, torn, books, k=12, m=2, dim=8).collect()
+        assert 5 not in {r.neighbor_id for r in out}
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest as _p
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            pq_train_codebooks,
+        )
+
+        _, df = self._corpus(spark)
+        with _p.raises(ValueError):
+            pq_train_codebooks(df, m=3, ksub=4, dim=8)
