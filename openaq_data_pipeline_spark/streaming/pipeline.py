@@ -252,3 +252,69 @@ def write_stream_merge(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with every
+    right event of the SAME key whose timestamp falls within
+    ``±tolerance`` of it — the streaming operator behind
+    measurement↔calibration alignment, click↔impression attribution
+    and sensor cross-validation, where BOTH sides arrive
+    continuously and neither can be a static broadcast.
+
+    This is the one join shape Structured Streaming can run with
+    BOUNDED state: the watermark on each side plus the event-time
+    range condition lets the engine evict buffered rows once
+    ``watermark + tolerance`` has passed — state is
+    O(rate · (watermark + tolerance)) per side, independent of
+    stream lifetime. Without the time-range condition Spark would
+    have to buffer both streams forever (and rejects the plan);
+    ``watermark`` must therefore be >= the business tolerance for
+    completeness, and late rows beyond it are dropped, not joined —
+    the standard completeness/latency trade every watermark
+    encodes.
+
+    Column contract: apart from ``key_col`` (equi-joined, emitted
+    once) the two schemas must not overlap — the usual prefix
+    discipline of the staging layer. ``how`` supports the
+    state-compatible variants (inner; left_outer/right_outer emit
+    the unmatched side only after watermark expiry)."""
+    overlap = (set(left.columns) & set(right.columns)) - {key_col}
+    if overlap:
+        raise ValueError(
+            f"ambiguous columns {sorted(overlap)}: prefix one side "
+            "(only the join key may be shared)"
+        )
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {tolerance}")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {tolerance}")
+        )
+    )
+    joined = lw.join(rw, cond, how)
+    # emit the shared key once (coalesced: an outer join's unmatched
+    # side leaves its counterpart NULL); everything else passes through
+    keep = [
+        F.coalesce(
+            F.col(f"l.{key_col}"), F.col(f"r.{key_col}")
+        ).alias(key_col)
+    ] + [
+        F.col(f"l.{c}") for c in left.columns if c != key_col
+    ] + [F.col(f"r.{c}") for c in right.columns if c != key_col]
+    return joined.select(*keep)

@@ -183,3 +183,101 @@ class TestStreamingWeatherMart:
         valid = int_valid_measurements(measurements_projection(raw_batch))
         expected = mart_location_weather(valid, enriched)
         assert snap(got) == snap(expected)
+
+
+class TestStreamStreamIntervalJoin:
+    """Stream-stream interval join (r8): inner-join parity with the
+    equivalent batch join, the bounded-state plan contract, and the
+    column-overlap guard."""
+
+    LEFT = [  # (sensor_id, m_ts, value)
+        (1, "2026-01-02 10:00:00", 7.0),
+        (1, "2026-01-02 13:00:00", 9.0),
+        (2, "2026-01-02 10:30:00", 4.0),
+    ]
+    RIGHT = [  # (sensor_id, c_ts, factor)
+        (1, "2026-01-02 10:20:00", 1.5),   # within 1h of 10:00
+        (1, "2026-01-02 11:30:00", 2.0),   # outside 1h of both
+        (2, "2026-01-02 09:45:00", 3.0),   # within 1h of 10:30
+        (3, "2026-01-02 10:00:00", 9.9),   # key never matches
+    ]
+
+    def _dfs(self, spark, tmp_path):
+        import datetime as _dt
+
+        lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+        lschema = "sensor_id long, m_ts timestamp, value double"
+        rschema = "sensor_id long, c_ts timestamp, factor double"
+        parse = _dt.datetime.fromisoformat
+        spark.createDataFrame(
+            [(k, parse(t), v) for k, t, v in self.LEFT], lschema
+        ).write.parquet(lp)
+        spark.createDataFrame(
+            [(k, parse(t), v) for k, t, v in self.RIGHT], rschema
+        ).write.parquet(rp)
+        return (
+            spark.readStream.schema(lschema).parquet(lp),
+            spark.readStream.schema(rschema).parquet(rp),
+            spark.read.parquet(lp),
+            spark.read.parquet(rp),
+        )
+
+    def test_inner_matches_batch_join(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.streaming.pipeline import (
+            stream_stream_interval_join,
+        )
+
+        ls, rs, lb, rb = self._dfs(spark, tmp_path)
+        out = stream_stream_interval_join(
+            ls, rs, "sensor_id", "m_ts", "c_ts", tolerance="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.sensor_id, str(r.m_ts), str(r.c_ts), r.value, r.factor)
+            for r in spark.table("ssj_out").collect()
+        )
+        import pyspark.sql.functions as F
+
+        want = sorted(
+            (r.sensor_id, str(r.m_ts), str(r.c_ts), r.value, r.factor)
+            for r in lb.alias("l")
+            .join(
+                rb.alias("r"),
+                (F.col("l.sensor_id") == F.col("r.sensor_id"))
+                & (F.col("c_ts") >= F.col("m_ts") - F.expr("INTERVAL 1 hour"))
+                & (F.col("c_ts") <= F.col("m_ts") + F.expr("INTERVAL 1 hour")),
+            )
+            .select("l.sensor_id", "m_ts", "value", "c_ts", "factor")
+            .collect()
+        )
+        assert got == want and len(got) == 2
+        # bounded state: the executed streaming plan carries watermarks
+        # on both sides (the eviction contract)
+        progress = q.recentProgress
+        assert any(
+            p.get("stateOperators") for p in progress
+        ), "join ran stateless?!"
+
+    def test_overlapping_columns_rejected(self, spark, tmp_path):
+        import pytest as _p
+
+        from openaq_data_pipeline_spark.streaming.pipeline import (
+            stream_stream_interval_join,
+        )
+
+        ls, rs, _, _ = self._dfs(spark, tmp_path)
+        with _p.raises(ValueError):
+            stream_stream_interval_join(
+                ls,
+                rs.withColumnRenamed("factor", "value"),
+                "sensor_id",
+                "m_ts",
+                "c_ts",
+            )
