@@ -214,3 +214,93 @@ def top_ngrams(df, text_col: str, id_col: str, n: int = 1, k: int = 50):
         "n_occurrences",
         "n_docs",
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_rules(
+    df,
+    text_col: str,
+    id_col: str,
+    required_stopwords: list[str] | None = None,
+    min_required_stopwords: int = 2,
+):
+    """The Gopher quality-heuristic set (Rae et al. 2021, Appendix
+    A) — the published rule battery most open-data pipelines
+    (MassiveText, RefinedWeb, Dolma lineage) apply before anything
+    model-based: per document, seven structural rules plus the
+    conjunction verdict. Every rule is exact integer arithmetic
+    (ratio thresholds as cross-multiplications — 10·n_sym ≤ n_words,
+    not a float division), so the whole battery is one codegen'd
+    projection, shuffle-free, and hash-identical across engines.
+
+    Rules (thresholds are the paper's):
+    - ``r_word_count``: 50 ≤ words ≤ 100 000;
+    - ``r_mean_word_len``: mean word length in [3, 10] (letters =
+      normalized length minus the n−1 separator spaces);
+    - ``r_symbol_ratio``: (# + ellipsis) per word ≤ 0.1;
+    - ``r_bullet_lines``: ≤ 10% of lines start with a bullet;
+    - ``r_ellipsis_lines``: ≤ 30% of lines end with an ellipsis;
+    - ``r_alpha_words``: ≥ 80% of words contain a letter;
+    - ``r_stopwords``: ≥ ``min_required_stopwords`` distinct
+      required stop words present (default set = the paper's eight;
+      downstream corpora re-instantiate it per language/domain —
+      Dolma and RefinedWeb both ship adapted sets — which is why it
+      is a parameter, not a constant);
+    - ``keep``: all of the above (empty documents fail).
+    """
+    required_stopwords = required_stopwords or GOPHER_REQUIRED_STOPWORDS
+    norm = normalize(F.col(text_col))
+    toks = tokens(norm)
+    n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(toks)).cast(
+        "long"
+    )
+    letters = (F.length(norm) - (n_words - 1)).cast("long")
+    n_sym = (
+        _count_re(F.col(text_col), r"#") + _count_re(F.col(text_col), r"\.\.\.")
+    ).cast("long")
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ell = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))).cast(
+        "long"
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike(r"[a-z]"))
+    ).cast("long")
+    n_req_stop = sum(
+        F.when(
+            F.lower(F.col(text_col)).rlike(r"\b" + w + r"\b"), F.lit(1)
+        ).otherwise(F.lit(0))
+        for w in required_stopwords
+    ).cast("long")
+    r_wc = n_words.between(50, 100000)
+    r_mwl = (n_words > 0) & (3 * n_words <= letters) & (
+        letters <= 10 * n_words
+    )
+    r_sym = 10 * n_sym <= n_words
+    r_bul = 10 * n_bullet <= n_lines
+    r_ell = 10 * n_ell <= 3 * n_lines
+    r_alpha = 5 * n_alpha_words >= 4 * n_words
+    r_stop = n_req_stop >= min_required_stopwords
+    keep = (
+        (n_words > 0)
+        & r_wc & r_mwl & r_sym & r_bul & r_ell & r_alpha & r_stop
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bul.alias("r_bullet_lines"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        keep.alias("keep"),
+    )

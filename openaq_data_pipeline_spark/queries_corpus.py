@@ -35,7 +35,7 @@ _BL1 = "subscribe to our newsletter today"
 _BL2 = "copyright twenty twenty four all rights reserved"
 
 
-@register(
+@register_rotated(
     "boilerplate_line_removal",
     "EXT-curation — corpus-level boilerplate line removal (the "
     "C4/CCNet line-dedup filter): lines repeated verbatim across "

@@ -310,3 +310,50 @@ class TestFuzzyDecontamination:
             == 0
         )
         assert len(fuzzy_decontaminate(df, is_eval=ev).collect()) > 0
+
+
+class TestGopherRules:
+    """Gopher quality battery (r8): each rule fails on a crafted
+    document and the conjunction verdict composes them."""
+
+    def _run(self, spark, docs, **kw):
+        from openaq_data_pipeline_spark.operators.text import gopher_rules
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {r.doc_id: r for r in gopher_rules(df, "text", "doc_id", **kw).collect()}
+
+    def test_each_rule_fires(self, spark):
+        good = "the quick brown fox jumps over the lazy dog and then " * 5
+        docs = [
+            (0, good),                                  # passes everything
+            (1, "the and short"),                       # word count < 50
+            (2, ("a " * 60).strip()),                   # mean word len < 3
+            (3, good + " " + "#" * 1 + " #" * 9),       # symbol ratio
+            (4, good + "\n- bullet\n- bullet\n- b"),    # bullet lines 3/4
+            (5, good + ("\nmore text follows..." * 2)), # ellipsis 2/3 lines
+            (6, ("42 " * 60 + "the and be of") ),       # alpha words < 80%
+            (7, ("word " * 60).strip()),                # no required stops
+        ]
+        got = self._run(spark, docs)
+        assert got[0].keep
+        assert not got[1].r_word_count and not got[1].keep
+        assert not got[2].r_mean_word_len and not got[2].keep
+        assert not got[3].r_symbol_ratio and not got[3].keep
+        assert not got[4].r_bullet_lines and not got[4].keep
+        assert not got[5].r_ellipsis_lines and not got[5].keep
+        assert not got[6].r_alpha_words and not got[6].keep
+        assert not got[7].r_stopwords and not got[7].keep
+
+    def test_empty_document_fails_closed(self, spark):
+        got = self._run(spark, [(0, ""), (1, "   ")])
+        assert not got[0].keep and not got[1].keep
+        assert got[0].n_words == 0 and got[1].n_words == 0
+
+    def test_custom_required_stopword_set(self, spark):
+        text = ("foo bar baz qux " * 15).strip()
+        default = self._run(spark, [(0, text)])
+        custom = self._run(
+            spark, [(0, text)], required_stopwords=["foo", "bar"]
+        )
+        assert not default[0].r_stopwords
+        assert custom[0].r_stopwords
