@@ -1636,6 +1636,7 @@ def pq_topk_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     adc_scale: int = IVF_Q_SCALE,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, adc_fp) — top-k by ASYMMETRIC
     distance: per query a lookup table of |Q|·m·ksub quantized
@@ -1664,9 +1665,20 @@ def pq_topk_adc(
         .cast("long")
         .alias("d2_int"),
     )
+    code_rows = codes.withColumnRenamed(id_col, "neighbor_id")
+    if candidates is not None:
+        # IVF-PQ: prune the flat O(N·m) ADC scan to the candidate
+        # (query, neighbor) pairs of a coarse index probe BEFORE the
+        # LUT join — cost becomes O(|candidates|·m)
+        code_rows = code_rows.join(
+            F.broadcast(candidates.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+    join_keys = ["sub_id", "code_id"] + (
+        ["query_id"] if candidates is not None else []
+    )
     scored = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(lut), ["sub_id", "code_id"])
+        code_rows.join(F.broadcast(lut), join_keys)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(
@@ -1686,4 +1698,55 @@ def pq_topk_adc(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_fp")
+    )
+
+
+def ivf_pq_topk(
+    spark,
+    queries: DataFrame,
+    index: IvfIndex,
+    codes: DataFrame,
+    book_rows,
+    k: int = 5,
+    nprobe: int | None = None,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the composed production topology of Jégou et al.
+    2011 §V): the persisted IVF index's coarse quantizer prunes
+    candidates to the ``nprobe`` probed cells, and PQ's asymmetric
+    distance ranks ONLY those — per-query cost drops from O(N·m)
+    flat-ADC lookups to O(candidates·m), and neither step reads a
+    raw corpus vector (cells carry membership, codes carry the
+    bytes). Both halves are the already-tested primitives composed:
+    `ivf_probe_cells` against the frozen centroid table, then
+    :func:`pq_topk_adc` restricted by the candidate pairs."""
+    nprobe = index.nprobe if nprobe is None else nprobe
+    cent_rows = _index_centroid_rows(spark, index)
+    probes = ivf_probe_cells(
+        queries.select(F.col(id_col), F.col(vec_col)),
+        cent_rows,
+        nprobe,
+        id_col,
+        vec_col,
+        index.round_dp,
+    )
+    cand = (
+        spark.table(index.cells_table)
+        .select("neighbor_id", "cell_id")
+        .join(F.broadcast(probes), "cell_id")
+        .select("query_id", "neighbor_id")
+    )
+    return pq_topk_adc(
+        queries,
+        codes,
+        book_rows,
+        k=k,
+        m=m,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidates=cand,
     )

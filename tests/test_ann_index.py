@@ -556,3 +556,46 @@ class TestProductQuantization:
         _, df = self._corpus(spark)
         with _p.raises(ValueError):
             pq_train_codebooks(df, m=3, ksub=4, dim=8)
+
+
+class TestIvfPqComposition:
+    """IVF-PQ (r8): cell pruning feeds ADC; pruned results equal the
+    flat ADC ranking restricted to the probed cells' members."""
+
+    def test_pruned_equals_flat_on_candidates(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_pq_topk,
+            pq_encode,
+            pq_topk_adc,
+            pq_train_codebooks,
+            temp_ivf_index,
+        )
+
+        rows = [
+            (i, [float(((i * 7 + d * 3) % 10) - 5) for d in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        books = pq_train_codebooks(df, m=2, ksub=4, n_iters=1, dim=8)
+        codes = pq_encode(df, books, m=2, dim=8)
+        q = df.filter("vec_id < 3")
+        with temp_ivf_index(nprobe=2, n_buckets=4) as idx:
+            build_ivf_index(df, idx, n_cells=4, train_iters=1)
+            pruned = ivf_pq_topk(
+                spark, q, idx, codes, books, k=40, m=2, dim=8
+            ).collect()
+            flat = pq_topk_adc(
+                q, codes, books, k=40, m=2, dim=8
+            ).collect()
+        flat_by = {(r.query_id, r.neighbor_id): r.adc_fp for r in flat}
+        assert len(pruned) > 0
+        # every pruned pair scores identically to the flat ADC, and
+        # pruning is a strict subset (nprobe=2 of 4 cells)
+        for r in pruned:
+            assert flat_by[(r.query_id, r.neighbor_id)] == r.adc_fp
+        assert len(pruned) < len(flat)
