@@ -409,3 +409,244 @@ def bpe_encode(
         )
         .withColumn("n_tokens", F.size("token_ids").cast("long"))
     )
+
+
+# --- unigram-LM tokenizer (SentencePiece-style) ------------------------
+#
+# Kudo 2018 ("Subword Regularization"): the OTHER production subword
+# family beside BPE — a vocabulary of pieces with unigram
+# probabilities, segmentation = Viterbi-best split of each word.
+# Engine shape mirrors the BPE tier's central trick: every
+# corpus-scale step is a hash aggregate, and per-word dynamic
+# programming runs over the DISTINCT-WORD table (vocab-bounded,
+# ~√corpus) inside one Arrow mapInPandas pass with the piece table
+# BROADCAST — never per occurrence, never per document.
+#
+# Documented simplifications vs the reference implementation (this
+# is a faithful small-vocab trainer, not a SentencePiece clone):
+# hard-EM (Viterbi counts, not forward-backward expected counts),
+# frequency-proportional seed scoring (not the suffix-array ESA
+# score), and prune-by-count to the target size each iteration (not
+# the likelihood-loss ranking). Each choice keeps every step either
+# a DataFrame aggregate or a per-word DP — the properties pytest
+# pins (python-replay equality, round-trip coverage) hold exactly.
+
+UNIGRAM_UNK_ID = -1
+
+
+def _viterbi_segment(word: str, logp: dict) -> list[str] | None:
+    """Best segmentation of ``word`` under piece log-probs, or None
+    if some character is uncoverable. Deterministic tie-break: higher
+    score, then LONGER last piece, then lexicographically smaller
+    last piece — stated so any replay (python test, future SQL DP)
+    can reproduce it bit-for-bit."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [None] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - _MAX_PIECE), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None or best[j] == NEG:
+                continue
+            score = best[j] + lp
+            cur = back[i]
+            if (
+                best[i] == NEG
+                or score > best[i]
+                or (
+                    score == best[i]
+                    and cur is not None
+                    and (
+                        len(piece) > len(cur)
+                        or (len(piece) == len(cur) and piece < cur)
+                    )
+                )
+            ):
+                best[i] = score
+                back[i] = piece
+    if best[n] == NEG:
+        return None
+    out = []
+    i = n
+    while i > 0:
+        p = back[i]
+        out.append(p)
+        i -= len(p)
+    return list(reversed(out))
+
+
+_MAX_PIECE = 8  # max piece length (chars); bounds the DP inner loop
+
+
+def unigram_seed_vocab(
+    word_freqs: DataFrame, seed_size: int, max_piece_len: int = _MAX_PIECE
+) -> DataFrame:
+    """(piece, count) seed vocabulary: every substring of length ≤
+    ``max_piece_len`` of every corpus word, weighted by word
+    frequency, top ``seed_size`` by (count desc, piece asc) PLUS all
+    single characters (coverage guarantee — every word stays
+    segmentable through training). One corpus-word-table explode +
+    one hash aggregate; substring count per word is
+    O(|word|·max_piece_len), all map-side."""
+    w = F.col("word")
+    subs = F.expr(
+        f"""flatten(transform(sequence(1, length(word)),
+             i -> transform(sequence(i, least(length(word), i + {max_piece_len - 1})),
+                  j -> substring(word, i, j - i + 1))))"""
+    )
+    counts = (
+        word_freqs.select(w, F.col("n"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("count"))
+    )
+    chars = counts.where(F.length("piece") == 1)
+    top = (
+        counts.where(F.length("piece") > 1)
+        .orderBy(F.col("count").desc(), F.col("piece").asc())
+        .limit(seed_size)
+    )
+    return chars.unionByName(top)
+
+
+def unigram_train(
+    corpus: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    n_iters: int = 2,
+    seed_multiplier: int = 3,
+) -> list[tuple[str, int]]:
+    """Hard-EM unigram training → [(piece, viterbi_count)] of size ≤
+    ``vocab_size`` (single chars always retained). Per iteration:
+    E = Viterbi over the distinct-word table (mapInPandas, broadcast
+    piece probs), M = one weighted hash aggregate of piece counts,
+    prune = keep chars + top multi-char pieces by (count, piece).
+    Driver state: the piece table (vocab-bounded), same class as the
+    BPE merge table."""
+    import math
+
+    wf = word_frequencies(corpus, text_col).select("word", "n")
+    wf = wf.localCheckpoint(eager=False)
+    seed = unigram_seed_vocab(wf, seed_size=vocab_size * seed_multiplier)
+    pieces = {r["piece"]: int(r["count"]) for r in seed.collect()}
+    if not pieces:
+        raise ValueError("unigram_train: empty corpus")
+    spark = corpus.sparkSession
+
+    for _ in range(n_iters):
+        total = sum(pieces.values())
+        logp = {p: math.log(c / total) for p, c in pieces.items()}
+        blogp = spark.sparkContext.broadcast(logp)
+
+        def e_step(batches):
+            import pandas as pd
+
+            lp = blogp.value
+            for pdf in batches:
+                segs = [
+                    _viterbi_segment(wd, lp) or list(wd)
+                    for wd in pdf["word"]
+                ]
+                yield pd.DataFrame(
+                    {"n": pdf["n"], "pieces": segs}
+                )
+
+        seg = wf.mapInPandas(
+            e_step, schema="n long, pieces array<string>"
+        )
+        counts = (
+            seg.select(F.col("n"), F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("n").alias("count"))
+            .collect()
+        )
+        new = {r["piece"]: int(r["count"]) for r in counts}
+        # coverage floor: chars survive pruning even with count 0
+        chars = {p: c for p, c in pieces.items() if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in new.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )[: max(0, vocab_size - len(chars))]
+        pieces = {**chars, **{p: c for p, c in multi}}
+        for p, c in new.items():
+            if len(p) == 1:
+                pieces[p] = c
+        blogp.destroy()
+    return sorted(pieces.items(), key=lambda x: (-x[1], x[0]))
+
+
+def unigram_piece_ids(pieces: list[tuple[str, int]]):
+    """Stable id table: rank by (count desc, piece asc) — the same
+    ordering contract as the BPE symbol table (ids never renumber
+    for a frozen vocabulary)."""
+    return {p: i for i, (p, _) in enumerate(pieces)}
+
+
+def unigram_encode(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    pieces: list[tuple[str, int]],
+) -> DataFrame:
+    """(id, token_ids array<long>, n_tokens) — Viterbi-encode every
+    document under a FROZEN unigram vocabulary. The DP runs once per
+    DISTINCT word (mapInPandas, broadcast vocab); documents then
+    reassemble through one broadcast word→ids join + one ordered
+    collect (the BPE encode assembly shape). Characters absent from
+    the vocabulary emit UNIGRAM_UNK_ID."""
+    import math
+
+    spark = corpus.sparkSession
+    total = sum(c for _, c in pieces) or 1
+    logp = {p: math.log(max(c, 1) / total) for p, c in pieces}
+    ids = unigram_piece_ids(pieces)
+    b = spark.sparkContext.broadcast((logp, ids))
+
+    words = (
+        corpus.select(
+            F.explode(tokens(normalize(F.col(text_col)))).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+
+    def encode_words(batches):
+        import pandas as pd
+
+        lp, idm = b.value
+        for pdf in batches:
+            out = []
+            for wd in pdf["word"]:
+                seg = _viterbi_segment(wd, lp)
+                if seg is None:
+                    # cover what we can char-by-char, UNK the rest
+                    out.append(
+                        [idm.get(ch, UNIGRAM_UNK_ID) for ch in wd]
+                    )
+                else:
+                    out.append([idm[p] for p in seg])
+            yield pd.DataFrame({"word": pdf["word"], "ids": out})
+
+    word_ids = words.mapInPandas(
+        encode_words, schema="word string, ids array<long>"
+    )
+    doc_words = corpus.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalize(F.col(text_col)))).alias(
+            "pos", "word"
+        ),
+    ).where(F.col("word") != "")
+    return (
+        doc_words.join(F.broadcast(word_ids), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "ids"))
+                ).getField("ids")
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+    )

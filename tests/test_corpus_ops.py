@@ -1016,3 +1016,148 @@ class TestTrigramBackoff:
 
         with _pytest.raises(ValueError):
             train_trigram_lm(t, "text", "doc_id")
+
+
+class TestUnigramTokenizer:
+    """Unigram-LM tokenizer (r8, Kudo 2018 hard-EM variant): trainer
+    pinned against an INDEPENDENT pure-Python replay (own Viterbi,
+    own seed counting), encode round-trip coverage, UNK policy and
+    stable ids."""
+
+    CORPUS = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "wide wider widest lower"),
+        (3, "low new wide"),
+    ]
+
+    def _python_train(self, vocab_size, n_iters=2, seed_multiplier=3,
+                      max_piece=8):
+        import math
+        from collections import Counter
+        from functools import lru_cache
+
+        wf = Counter()
+        for _, text in self.CORPUS:
+            for w in text.split():
+                wf[w] += 1
+        seed = Counter()
+        for w, n in wf.items():
+            for i in range(len(w)):
+                for j in range(i + 1, min(len(w), i + max_piece) + 1):
+                    seed[w[i:j]] += n
+        chars = {p: c for p, c in seed.items() if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in seed.items() if len(p) > 1),
+            key=lambda x: (-x[1], x[0]),
+        )[: vocab_size * seed_multiplier]
+        pieces = {**chars, **dict(multi)}
+
+        def viterbi(word, logp):
+            best = {0: (0.0, None)}
+            for i in range(1, len(word) + 1):
+                cand = None
+                for j in range(max(0, i - max_piece), i):
+                    p = word[j:i]
+                    if p not in logp or j not in best:
+                        continue
+                    sc = best[j][0] + logp[p]
+                    if (
+                        cand is None
+                        or sc > cand[0]
+                        or (
+                            sc == cand[0]
+                            and (
+                                len(p) > len(cand[1])
+                                or (len(p) == len(cand[1]) and p < cand[1])
+                            )
+                        )
+                    ):
+                        cand = (sc, p)
+                if cand:
+                    best[i] = cand
+            if len(word) not in best:
+                return None
+            out, i = [], len(word)
+            while i:
+                p = best[i][1]
+                out.append(p)
+                i -= len(p)
+            return out[::-1]
+
+        for _ in range(n_iters):
+            total = sum(pieces.values())
+            logp = {p: math.log(c / total) for p, c in pieces.items()}
+            new = Counter()
+            for w, n in wf.items():
+                for p in viterbi(w, logp) or list(w):
+                    new[p] += n
+            chars = {p: c for p, c in pieces.items() if len(p) == 1}
+            multi = sorted(
+                ((p, c) for p, c in new.items() if len(p) > 1),
+                key=lambda x: (-x[1], x[0]),
+            )[: max(0, vocab_size - len(chars))]
+            pieces = {**chars, **dict(multi)}
+            for p, c in new.items():
+                if len(p) == 1:
+                    pieces[p] = c
+        return sorted(pieces.items(), key=lambda x: (-x[1], x[0]))
+
+    def test_trainer_matches_independent_replay(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            unigram_train,
+        )
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = unigram_train(df, "text", vocab_size=20, n_iters=2)
+        want = self._python_train(20, 2)
+        assert got == want
+
+    def test_encode_round_trip_and_ids(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            unigram_encode,
+            unigram_piece_ids,
+            unigram_train,
+        )
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        pieces = unigram_train(df, "text", vocab_size=20, n_iters=2)
+        ids = unigram_piece_ids(pieces)
+        inv = {i: p for p, i in ids.items()}
+        out = {
+            r.doc_id: list(r.token_ids)
+            for r in unigram_encode(df, "text", "doc_id", pieces).collect()
+        }
+        for doc_id, text in self.CORPUS:
+            decoded = "".join(inv[t] for t in out[doc_id])
+            assert decoded == text.replace(" ", "")
+            assert len(out[doc_id]) >= 1
+
+    def test_unseen_char_emits_unk(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            UNIGRAM_UNK_ID,
+            unigram_encode,
+            unigram_train,
+        )
+
+        train = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        pieces = unigram_train(train, "text", vocab_size=20, n_iters=1)
+        batch = spark.createDataFrame(
+            [(9, "low zz9")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: list(r.token_ids)
+            for r in unigram_encode(batch, "text", "doc_id", pieces).collect()
+        }
+        assert UNIGRAM_UNK_ID in out[9]
+
+    def test_empty_corpus_raises(self, spark):
+        import pytest as _p
+
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            unigram_train,
+        )
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        with _p.raises(ValueError):
+            unigram_train(df, "text", vocab_size=10)
