@@ -357,3 +357,109 @@ class TestGopherRules:
         )
         assert not default[0].r_stopwords
         assert custom[0].r_stopwords
+
+
+class TestCurationPipelineEndToEnd:
+    """The whole training-data pipeline composed (r8): raw docs →
+    Gopher structural filter → exact + fuzzy incremental dedup
+    funnel → systematic PPS sample → unigram-tokenized sharded
+    export. Every stage is an already-tested operator; this pins
+    that they COMPOSE — schemas line up, survivors flow through,
+    and the export is deterministic end-to-end."""
+
+    def test_pipeline_composes(self, spark, tmp_path):
+        import glob
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            pps_systematic_sample,
+            write_shards,
+        )
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            incremental_fuzzy_matches,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.operators.text import gopher_rules
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        def body(i):
+            # ≥50 words, distinct across docs (only the/and shared) so
+            # organic pairs are NOT near-dups of each other
+            return " ".join(
+                ["the"] + [f"w{i}x{j}" for j in range(50)] + ["and"]
+            )
+
+        docs = [(i, body(i)) for i in range(40)]
+        docs += [(100, docs[0][1])]               # exact dup of 0
+        docs += [(101, docs[1][1] + " extra")]    # near dup of 1
+        docs += [(102, "x")]                      # fails gopher
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # 1. structural quality gate
+        verdicts = gopher_rules(
+            df, "text", "doc_id", required_stopwords=["the", "and"]
+        )
+        kept = df.join(
+            verdicts.filter("keep").select("doc_id"), "doc_id"
+        )
+        assert kept.count() == 42  # 102 dropped
+
+        # 2. dedup funnel: history = first 20 docs, batch = the rest
+        hist = kept.filter("doc_id < 20")
+        batch = kept.filter("doc_id >= 20")
+        with temp_exact_index(n_buckets=4) as eidx, temp_fuzzy_index(
+            n_buckets=4
+        ) as fidx:
+            build_exact_index(hist, "text", "doc_id", eidx)
+            build_fuzzy_index(hist, "text", "doc_id", fidx)
+            disp = incremental_exact_dedup(batch, "text", "doc_id", eidx)
+            exact_kept = batch.join(
+                disp.filter("kept").select("doc_id"), "doc_id"
+            )
+            m = incremental_fuzzy_matches(
+                exact_kept, "text", "doc_id", fidx
+            )
+            fuzzy_dropped = m.select(
+                F.col("eval_id").alias("doc_id")
+            ).distinct()
+            survivors = exact_kept.join(
+                fuzzy_dropped, "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)  # outlive the index drop
+            surv_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+        assert 100 not in surv_ids       # exact dup caught
+        assert 101 not in surv_ids       # near dup caught via index
+        assert {20, 21, 39} <= surv_ids
+
+        # 3. weighted downsample (weight = length)
+        weighted = survivors.withColumn(
+            "w", F.length("text").cast("long")
+        )
+        sample = pps_systematic_sample(
+            weighted.select("doc_id", "w", "text"), "w", "doc_id", k=10
+        )
+        n_sample = sample.count()
+        assert 1 <= n_sample <= 10
+
+        # 4. tokenize + sharded export
+        pieces = unigram_train(hist, "text", vocab_size=60, n_iters=1)
+        toks = unigram_encode(sample, "text", "doc_id", pieces)
+        out = str(tmp_path / "shards")
+        write_shards(
+            toks.select("doc_id", "token_ids", "n_tokens"),
+            out,
+            "doc_id",
+            n_shards=2,
+        )
+        files = glob.glob(f"{out}/shard_id=*/*")
+        assert files
+        back = spark.read.json(f"{out}/shard_id=*")
+        assert back.count() == n_sample
+        assert {"doc_id", "token_ids", "n_tokens"} <= set(back.columns)
