@@ -492,3 +492,87 @@ def rrf_fuse(
     return out.select(
         query_col, "fused_rank", item_col, "rrf_score", "n_systems"
     )
+
+
+# --- diversity re-ranking (MMR) ----------------------------------------
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    score_col: str = "rrf_score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) over a
+    per-query candidate list: greedily pick the item maximizing
+    ``lam·relevance − (1−lam)·max_similarity_to_already_picked`` —
+    the standard de-redundancy pass between retrieval and a consumer
+    that wants COVERAGE (RAG context assembly, hard-negative
+    mining, eval-set construction), and the natural consumer of
+    :func:`rrf_fuse` output joined back to its embeddings.
+
+    Scale shape: the greedy loop is inherently sequential PER QUERY
+    but embarrassingly parallel ACROSS queries, and candidate lists
+    are k-bounded by the upstream probe — exactly the
+    ``applyInPandas`` grouped-map case (tiny group, quadratic-in-k
+    python work, Arrow both ways). Nothing corpus-sized reaches this
+    operator.
+
+    Determinism: relevance is min-max normalized per query (rank
+    scores arrive on arbitrary scales), cosine in float64; ties
+    break by item id ascending. Emits (query, mmr_rank, item,
+    mmr_score rounded 6dp)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, mmr_rank long, {item_col} long, "
+        "mmr_score double"
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(item_col).reset_index(drop=True)
+        v = np.array([np.asarray(x, dtype="float64") for x in pdf[vec_col]])
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0] = 1.0
+        vn = v / norms[:, None]
+        s = pdf[score_col].astype("float64").to_numpy()
+        lo, hi = s.min(), s.max()
+        rel = np.ones_like(s) if hi == lo else (s - lo) / (hi - lo)
+        picked: list[int] = []
+        rows = []
+        cand = list(range(len(pdf)))
+        while cand and len(picked) < k:
+            best_i, best_val = None, None
+            for i in cand:
+                pen = (
+                    max(float(vn[i] @ vn[j]) for j in picked)
+                    if picked
+                    else 0.0
+                )
+                val = lam * rel[i] - (1 - lam) * pen
+                if best_val is None or val > best_val:
+                    best_i, best_val = i, val
+            picked.append(best_i)
+            cand.remove(best_i)
+            rows.append(
+                (
+                    int(pdf[query_col].iloc[best_i]),
+                    len(picked),
+                    int(pdf[item_col].iloc[best_i]),
+                    round(float(best_val), 6),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[query_col, "mmr_rank", item_col, "mmr_score"]
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(
+        per_query, schema=out_schema
+    )

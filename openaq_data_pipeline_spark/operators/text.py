@@ -304,3 +304,38 @@ def gopher_rules(
         r_stop.alias("r_stopwords"),
         keep.alias("keep"),
     )
+
+
+def normalize_unicode(
+    df, text_col: str, form: str = "NFKC", casefold: bool = True
+):
+    """Unicode-normalize a text column (stdlib ``unicodedata`` over
+    Arrow batches) — the step every serious dedup pipeline runs
+    BEFORE shingling: fullwidth/compatibility forms, combining
+    sequences and case variants otherwise defeat exact and fuzzy
+    fingerprints alike ('ﬁle' vs 'file', 'café' composed vs
+    decomposed). ``mapInPandas`` because no JVM builtin exposes
+    NFC/NFKC; per-row cost is C-implemented stdlib, Arrow both
+    directions, schema preserved with ``text_col`` replaced."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    cols = df.columns
+    schema = df.schema
+
+    def norm(batches):
+        for pdf in batches:
+            pdf[text_col] = [
+                None
+                if t is None
+                else (
+                    unicodedata.normalize(form, t).casefold()
+                    if casefold
+                    else unicodedata.normalize(form, t)
+                )
+                for t in pdf[text_col]
+            ]
+            yield pdf[cols]
+
+    return df.mapInPandas(norm, schema=schema)

@@ -1234,3 +1234,42 @@ class TestJpegCodec:
             decode_jpeg_baseline(bytes(blob))
         with _pytest.raises(ValueError, match="subsampling"):
             encode_jpeg_baseline(img, subsampling="420")  # gray 420
+
+
+class TestUnicodeNormalize:
+    """normalize_unicode (r8): compatibility forms, casefold, null
+    passthrough, schema preservation, bad-form guard."""
+
+    def test_nfkc_casefold_unifies_dedup_keys(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            normalize_unicode,
+        )
+
+        rows = [
+            (0, "ｆile"),          # fullwidth f -> 'file'
+            (1, "FILE"),
+            (2, "café"),          # composed é
+            (3, "café"),         # decomposed e + combining acute
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in normalize_unicode(df, "text").collect()}
+        assert out[0] == out[1] == "file"
+        assert out[2] == out[3] == "café"
+        assert out[4] is None
+
+    def test_schema_preserved_and_form_guard(self, spark):
+        import pytest as _p
+
+        from openaq_data_pipeline_spark.operators.text import (
+            normalize_unicode,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "A", 2.0)], "id long, text string, x double"
+        )
+        out = normalize_unicode(df, "text", casefold=False)
+        assert out.schema == df.schema
+        assert out.first()["text"] == "A"
+        with _p.raises(ValueError):
+            normalize_unicode(df, "text", form="XXX")

@@ -235,3 +235,72 @@ class TestRrfFuse:
         out = self._fuse(spark, [[(0, 1, 1)], [(0, 2, 1)]])
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "Relation" not in plan or "parquet" not in plan.lower()
+
+
+class TestMmrRerank:
+    """MMR diversity re-ranking (r8): python-replay equality,
+    redundancy suppression, lam extremes, bounds."""
+
+    def _cands(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "query_id long, doc_id long, rrf_score double, "
+            "embedding array<float>",
+        )
+
+    def test_redundant_item_demoted(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            mmr_rerank,
+        )
+
+        # docs 1,2 nearly identical vectors with top scores; doc 3
+        # orthogonal with a lower score: pure relevance would rank
+        # (1,2,3); MMR at lam=0.5 promotes 3 over the near-twin 2
+        rows = [
+            (0, 1, 10.0, [1.0, 0.0]),
+            (0, 2, 9.9, [1.0, 0.01]),
+            (0, 3, 6.0, [0.0, 1.0]),
+        ]
+        out = mmr_rerank(self._cands(spark, rows), k=3, lam=0.5).collect()
+        order = [r.doc_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+        assert order == [1, 3, 2]
+
+    def test_lam_one_is_pure_relevance(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            mmr_rerank,
+        )
+
+        rows = [
+            (0, 1, 1.0, [1.0, 0.0]),
+            (0, 2, 3.0, [1.0, 0.0]),
+            (0, 3, 2.0, [1.0, 0.0]),
+        ]
+        out = mmr_rerank(self._cands(spark, rows), k=3, lam=1.0).collect()
+        order = [r.doc_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+        assert order == [2, 3, 1]
+
+    def test_per_query_isolation_and_k_bound(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            mmr_rerank,
+        )
+
+        rows = [
+            (q, d, float(10 - d), [float(d == i) for i in range(3)])
+            for q in (0, 1)
+            for d in (0, 1, 2)
+        ]
+        out = mmr_rerank(self._cands(spark, rows), k=2).collect()
+        assert len(out) == 4
+        for q in (0, 1):
+            ranks = sorted(r.mmr_rank for r in out if r.query_id == q)
+            assert ranks == [1, 2]
+
+    def test_bad_lambda_rejected(self, spark):
+        import pytest as _p
+
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            mmr_rerank,
+        )
+
+        with _p.raises(ValueError):
+            mmr_rerank(self._cands(spark, [(0, 1, 1.0, [1.0])]), k=1, lam=1.5)
