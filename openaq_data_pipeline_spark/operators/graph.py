@@ -51,11 +51,21 @@ def pagerank_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     scale: int = SCALE,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """(node, p) after ``n_iters`` supersteps from the uniform start
     ``p0 = scale div N`` over the node set = src ∪ dst of ``edges``
     (distinct directed edges; pass both directions for an undirected
-    walk). ``p`` is the SCALE-fixed-point rank."""
+    walk). ``p`` is the SCALE-fixed-point rank.
+
+    ``redistribute_dangling=True`` adds the standard correction for
+    sink nodes: their rank mass, which the simple recurrence drops,
+    is summed (ONE scalar aggregate per round — same bounded-collect
+    class as N) and shared uniformly, still in exact integers:
+    ``p'(v) += (17 · (D div N)) div 20`` where D = Σ p(dangling).
+    On a symmetric edge set there are no dangling nodes and the term
+    is exactly zero — the driver query proves the base recurrence,
+    pytest proves the correction."""
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
     e = (
@@ -80,10 +90,20 @@ def pagerank_fixed_point(
     base = (3 * scale) // (20 * n)
     ranks = nodes.select("node", F.lit(scale // n).alias("p"))
     for _ in range(n_iters):
-        shares = ranks.join(outdeg, "node").select(
+        with_deg = ranks.join(outdeg, "node", "left")
+        shares = with_deg.where(F.col("outdeg").isNotNull()).select(
             F.col("node").alias("src"),
             F.expr("p div outdeg").alias("share"),
         )
+        dang_term = 0
+        if redistribute_dangling:
+            row = (
+                with_deg.where(F.col("outdeg").isNull())
+                .agg(F.sum("p").alias("d"))
+                .first()
+            )
+            dangling = int(row["d"] or 0)
+            dang_term = (17 * (dangling // n)) // 20
         contrib = (
             e.join(shares, "src")
             .groupBy(F.col("dst").alias("node"))
@@ -94,7 +114,7 @@ def pagerank_fixed_point(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(base + dang_term)
                     + F.expr("(17 * coalesce(contrib, 0)) div 20")
                 ).cast("long").alias("p"),
             )

@@ -20,7 +20,7 @@ def _run(spark, edges, n_iters=3):
     }
 
 
-def _python_replay(edges, n_iters):
+def _python_replay(edges, n_iters, redistribute=False):
     edges = sorted(set(edges))
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     n = len(nodes)
@@ -30,10 +30,12 @@ def _python_replay(edges, n_iters):
     p = {v: SCALE // n for v in nodes}
     base = (3 * SCALE) // (20 * n)
     for _ in range(n_iters):
+        dang = sum(p[v] for v in nodes if v not in outdeg)
+        dt = (17 * (dang // n)) // 20 if redistribute else 0
         contrib = {v: 0 for v in nodes}
         for s, d in edges:
             contrib[d] += p[s] // outdeg[s]
-        p = {v: base + (17 * contrib[v]) // 20 for v in nodes}
+        p = {v: base + dt + (17 * contrib[v]) // 20 for v in nodes}
     return p
 
 
@@ -59,6 +61,27 @@ class TestPagerank:
     def test_zero_iters_is_uniform_start(self, spark):
         got = _run(spark, self.STAR, 0)
         assert set(got.values()) == {SCALE // 6}
+
+    def test_dangling_redistribution_matches_replay(self, spark):
+        from openaq_data_pipeline_spark.operators.graph import (
+            pagerank_fixed_point,
+        )
+
+        # 2 is a sink; 4 only receives — directed chain + branch
+        g = [(1, 2), (3, 2), (3, 4)]
+        df = spark.createDataFrame(g, "src long, dst long")
+        got = {
+            r.node: r.p
+            for r in pagerank_fixed_point(
+                df, n_iters=3, redistribute_dangling=True
+            ).collect()
+        }
+        assert got == _python_replay(g, 3, redistribute=True)
+        # redistribution strictly increases every node's rank vs the
+        # mass-dropping base recurrence on a graph WITH sinks
+        base = _python_replay(g, 3, redistribute=False)
+        assert all(got[v] >= base[v] for v in got)
+        assert sum(got.values()) > sum(base.values())
 
     def test_empty_edges_raises(self, spark):
         with pytest.raises(ValueError):
