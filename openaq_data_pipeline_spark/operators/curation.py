@@ -660,3 +660,79 @@ def pps_systematic_sample(
         .filter(F.col("pick_no") > F.col("__lo"))
         .drop("__lo")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Assign every document to a split (train/val/test/...) such
+    that near-duplicate documents NEVER straddle splits — the
+    leakage control a benchmark-clean training run requires: random
+    per-document splitting leaks eval answers through near-dup
+    twins, so the split unit must be the dedup CLUSTER, not the
+    document.
+
+    ``pairs`` is any dedup tier's (a_id, b_id) near-dup pair output;
+    clusters come from the existing :func:`~.dedup.connected_
+    components`; the cluster representative (min id) hashes into
+    split buckets by the same MD5-threshold idiom as
+    :func:`stratified_sample` — deterministic, seed-free (vary
+    ``salt`` for a different assignment), resume-safe. Singleton
+    documents are their own cluster.
+
+    ``fractions`` maps split name → integer weight (e.g.
+    {'train': 8, 'val': 1, 'test': 1}); buckets partition the 32-bit
+    hash space in proportion. Emits (id, cluster_rep, split).
+
+    Scale: components are O(log n) rounds over the pairs (bounded by
+    the dedup tier's own output size); the split itself is one
+    broadcast-free hash projection plus one left join of documents
+    against the (pairs-sized) membership table.
+    """
+    from openaq_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    if not fractions or any(w <= 0 for w in fractions.values()):
+        raise ValueError("fractions must be positive integer weights")
+    total = sum(fractions.values())
+    comp = connected_components(pairs, id_a="a_id", id_b="b_id")
+    labeled = documents.select(id_col).join(
+        comp.select(
+            F.col("node").alias(id_col),
+            F.col("component_id").alias("__comp"),
+        ),
+        id_col,
+        "left",
+    )
+    rep = F.coalesce(F.col("__comp"), F.col(id_col))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", rep, F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    # cumulative integer thresholds over the 2^32 hash space, split
+    # names in sorted order for determinism
+    names = sorted(fractions)
+    cuts, acc = [], 0
+    for nm in names:
+        acc += fractions[nm]
+        cuts.append((nm, (acc * (2**32)) // total))
+    expr = None
+    for nm, cut in reversed(cuts):
+        expr = (
+            F.when(bucket < cut, F.lit(nm))
+            if expr is None
+            else F.when(bucket < cut, F.lit(nm)).otherwise(expr)
+        )
+        # note: iterating reversed with when/otherwise nests so the
+        # SMALLEST matching cut wins
+    return labeled.select(
+        F.col(id_col),
+        rep.cast("long").alias("cluster_rep"),
+        expr.alias("split"),
+    )

@@ -463,3 +463,56 @@ class TestCurationPipelineEndToEnd:
         back = spark.read.json(f"{out}/shard_id=*")
         assert back.count() == n_sample
         assert {"doc_id", "token_ids", "n_tokens"} <= set(back.columns)
+
+
+class TestLeakageSafeSplit:
+    """leakage_safe_split (r8): near-dup clusters never straddle
+    splits; fractions hold approximately; deterministic under salt."""
+
+    def _split(self, spark, n_docs, pairs, fractions, salt=""):
+        from openaq_data_pipeline_spark.operators.curation import (
+            leakage_safe_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(n_docs)], "doc_id long"
+        )
+        pdf = spark.createDataFrame(pairs, "a_id long, b_id long")
+        return {
+            r.doc_id: (r.cluster_rep, r.split)
+            for r in leakage_safe_split(
+                docs, pdf, "doc_id", fractions, salt=salt
+            ).collect()
+        }
+
+    def test_clusters_stay_together(self, spark):
+        # chain 0-1-2 one cluster; 5-6 another; rest singletons
+        pairs = [(0, 1), (1, 2), (5, 6)]
+        got = self._split(
+            spark, 20, pairs, {"train": 8, "val": 1, "test": 1}
+        )
+        assert got[0] == got[1] == got[2]
+        assert got[5] == got[6]
+        assert got[0][0] == 0 and got[5][0] == 5
+        # every doc assigned to a named split
+        assert {s for _, s in got.values()} <= {"train", "val", "test"}
+
+    def test_fractions_roughly_hold_on_singletons(self, spark):
+        got = self._split(spark, 400, [(0, 1)], {"train": 3, "test": 1})
+        n_train = sum(1 for _, s in got.values() if s == "train")
+        assert 0.6 < n_train / 400 < 0.9
+
+    def test_salt_changes_assignment_deterministically(self, spark):
+        a = self._split(spark, 50, [(0, 1)], {"train": 1, "test": 1})
+        b = self._split(spark, 50, [(0, 1)], {"train": 1, "test": 1})
+        c = self._split(
+            spark, 50, [(0, 1)], {"train": 1, "test": 1}, salt="s2"
+        )
+        assert a == b
+        assert a != c
+
+    def test_bad_fractions_rejected(self, spark):
+        import pytest as _p
+
+        with _p.raises(ValueError):
+            self._split(spark, 5, [(0, 1)], {"train": 0})
