@@ -419,3 +419,75 @@ class TestBigramLMProperty:
             for r in score_bigram_lm(cdf, "text", "doc_id", c12, c1, v).collect()
         }
         assert got == _py_lm_score(train, cand)
+
+
+class TestRrfFuseProperties:
+    """rrf_fuse (r8): the fused scores equal the pure-Python integer
+    model for generated rankings, independent of input row order."""
+
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),          # query
+                st.integers(0, 9),          # doc
+                st.integers(1, 15),         # rank
+            ),
+            min_size=1,
+            max_size=25,
+            unique_by=lambda t: (t[0], t[1], t[2]),
+        ),
+        st.randoms(),
+    )
+    def test_matches_integer_model_any_order(self, spark, rows, rnd):
+        from openaq_data_pipeline_spark.operators.retrieval import rrf_fuse
+
+        shuffled = list(rows)
+        rnd.shuffle(shuffled)
+        df = spark.createDataFrame(
+            shuffled, "query_id long, doc_id long, rank long"
+        )
+        got = {
+            (r.query_id, r.doc_id): (r.rrf_score, r.n_systems)
+            for r in rrf_fuse([df]).collect()
+        }
+        model: dict = {}
+        for q, d, rk in rows:
+            sc, n = model.get((q, d), (0, 0))
+            model[(q, d)] = (sc + 10**12 // (60 + rk), n + 1)
+        assert got == model
+
+
+class TestPpsProperties:
+    """pps_systematic_sample (r8): selected rows are exactly those
+    whose weight segment covers a selection point; the sample size is
+    k minus multi-point collapses."""
+
+    @SETTINGS
+    @given(
+        st.lists(st.integers(0, 50), min_size=3, max_size=40).filter(
+            lambda ws: sum(ws) > 0
+        ),
+        st.integers(1, 12),
+    )
+    def test_matches_integer_model(self, spark, weights, k):
+        from openaq_data_pipeline_spark.operators.curation import (
+            pps_systematic_sample,
+        )
+
+        rows = [(i, w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = {
+            r.doc_id: r.pick_no
+            for r in pps_systematic_sample(df, "w", "doc_id", k=k).collect()
+        }
+        total = sum(weights)
+        cum, model = 0, {}
+        for i, w in rows:
+            lo = (cum * k) // total
+            cum += w
+            hi = (cum * k) // total
+            if hi > lo:
+                model[i] = hi
+        assert got == model
+        assert len(got) <= k
