@@ -316,7 +316,19 @@ def main() -> None:
             },
         }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # carry forward hand-written evidence blocks (r{N}_evidence,
+    # per-round diagnoses): a fresh run must refresh its own
+    # measurements without clobbering the round's adjudication notes
+    try:
+        with open(detail_path) as fh:
+            old_detail = json.load(fh)
+        for key, val in old_detail.items():
+            if key.endswith(("_evidence", "_diagnosis")) and key not in detail:
+                detail[key] = val
+    except (OSError, json.JSONDecodeError):
+        pass
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
 
     # stop Spark BEFORE printing: all late JVM/log4j output lands
