@@ -1337,3 +1337,39 @@ class TestSketchRollup:
         }
         assert set(out) == {0, 1}
         assert all(v > 0 for v in out.values())
+
+
+class TestPlanMetrics:
+    """metrics.py (r8): executed-plan SQL metrics surfaced to
+    Python — scan IO summary, pushdown visibility, AQE descent."""
+
+    def test_scan_summary_reads_real_io(self, spark):
+        from openaq_data_pipeline_spark.metrics import (
+            plan_metrics,
+            scan_summary,
+        )
+
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("doc_id < 10")
+            .select("doc_id")
+        )
+        df.collect()
+        s = scan_summary(df)
+        assert s["n_scans"] == 1 and s["files_read"] >= 1
+        assert s["bytes_read"] > 0
+        assert s["rows_scanned"] >= 10  # scan rows ≥ filtered output
+        nodes = [e["node"] for e in plan_metrics(df)]
+        assert any(n.startswith("Scan") for n in nodes)
+
+    def test_aqe_shuffle_plan_is_descended(self, spark):
+        from openaq_data_pipeline_spark.metrics import scan_summary
+
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .groupBy("lang")
+            .count()
+        )
+        df.collect()
+        s = scan_summary(df)
+        assert s["n_scans"] == 1 and s["rows_scanned"] > 0
