@@ -7,9 +7,33 @@ Core (reference parity, SURVEY §2):
 
 Extensions (100 TB training-data pipeline ops):
   ``dedup``        — exact / MinHash-LSH / SimHash / n-gram Jaccard /
-                     embedding-cosine near-duplicate detection
-  ``similarity``   — brute-force + LSH-bucketed ANN over embeddings
-  ``text``         — language-ID, quality scoring, token counting,
-                     fingerprinting
-  ``multimodal``   — binary-column decode/feature plumbing (stubs)
+                     containment / embedding-cosine near-dup tiers +
+                     connected components + survivor policies
+  ``incremental_dedup`` / ``incremental_fuzzy`` — the persisted
+                     cross-batch index tiers (exact, Jaccard bands,
+                     SimHash, containment)
+  ``spans``        — substring-level (ExactSubstr) span dedup
+  ``similarity``   — ANN: brute-force / LSH / trained-quantizer IVF
+                     (float + int8 + rescore) / PQ + IVF-PQ;
+                     SemDeDup semantic dedup; int8 quantization
+  ``retrieval``    — BM25 over a persisted term-bucketed inverted
+                     index; RRF hybrid fusion; MMR re-ranking
+  ``text``         — language-ID, quality scoring (incl. the Gopher
+                     rule battery), token counting, fingerprinting,
+                     repetition signals, Unicode normalization
+  ``lm``           — add-one bigram and stupid-backoff trigram LM
+                     quality gates (fixed-point + log-likelihood)
+  ``tokenizer``    — BPE (distributed + driver trainer, encode to
+                     ids) and unigram-LM (hard-EM Viterbi)
+  ``curation``     — decontamination, stratified / mixture / PPS
+                     sampling, chunking, packing, PII, boilerplate,
+                     leakage-safe splitting, shard export
+  ``classifier``   — DataFrame-native logistic-regression quality gate
+  ``graph``        — fixed-point PageRank (Pregel-style supersteps)
+  ``sketches``     — persisted mergeable HLL rollups
+  ``ids``          — global contiguous ids + global cumulative sums
+  ``multimodal``   — real BMP/PPM/PNG/JPEG, WAV, MJPEG-in-AVI codecs
+                     over binary columns (Arrow mapInPandas)
+  ``temporal`` / ``history`` — as-of & range joins; SCD-2 / CDC /
+                     gap-fill
 """
