@@ -1388,3 +1388,72 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema=_FRAME_DDL)
+
+
+# --- perceptual image hashing (pHash) ----------------------------------
+
+
+def _phash_bits(arr: np.ndarray, dct_size: int = 32) -> list[int]:
+    """64 pHash bits of one decoded image: luma → area-resample to
+    dct_size² → orthonormal 2D DCT-II → top-left 8×8 coefficients,
+    thresholded at the median of the 63 non-DC values (DC itself
+    votes 0 — it carries only global brightness). Pure NumPy,
+    deterministic."""
+    a = arr.astype("float64")
+    if a.ndim == 3:
+        a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    h, w = a.shape
+    # deterministic area-style resample: pixel (i, j) of the target
+    # reads the mean of its preimage block (nearest row/col when the
+    # source is smaller than the target)
+    ri = [min(h - 1, (i * h) // dct_size) for i in range(dct_size)]
+    rj = [min(w - 1, (j * w) // dct_size) for j in range(dct_size)]
+    small = a[np.ix_(ri, rj)]
+    n = dct_size
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0, :] *= 1.0 / np.sqrt(2.0)
+    coef = d @ small @ d.T
+    block = coef[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    bits = [0] * 64
+    for j in range(1, 64):
+        bits[j] = 1 if block[j] > med else 0
+    return bits
+
+
+def image_phash(
+    df: DataFrame, binary_col: str, id_col: str
+) -> DataFrame:
+    """(id, b0, b1, b2, b3) — 64-bit PERCEPTUAL hash of each image
+    column value, emitted in the exact 4×16-bit band layout of
+    `dedup.simhash64`, so the entire banded Hamming-search tier
+    composes unchanged:
+
+        pairs = simhash_near_dup_pairs(image_phash(df, "bytes", "id"), "id")
+
+    is image near-duplicate detection at corpus scale — the LAION-
+    class multimodal dedup step — with the pigeonhole guarantee,
+    bucket caps and observability the text tier already proved.
+    pHash (DCT low-frequency signs) is robust to re-encoding and
+    mild noise where a byte hash is not; decode + hash run inside
+    one Arrow ``mapInPandas`` pass over the engine's own pure-NumPy
+    codecs (BMP/PPM/PNG/baseline-JPEG by magic dispatch)."""
+    import pandas as pd
+
+    def hash_batch(batches):
+        for pdf in batches:
+            out = {id_col: pdf[id_col], "b0": [], "b1": [], "b2": [], "b3": []}
+            for content in pdf[binary_col]:
+                bits = _phash_bits(_decode_image(bytes(content)))
+                for k in range(4):
+                    out[f"b{k}"].append(
+                        sum(bits[16 * k + j] << j for j in range(16))
+                    )
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, b0 int, b1 int, b2 int, b3 int"
+    return df.select(id_col, binary_col).mapInPandas(
+        hash_batch, schema=schema
+    )

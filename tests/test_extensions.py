@@ -1373,3 +1373,79 @@ class TestPlanMetrics:
         df.collect()
         s = scan_summary(df)
         assert s["n_scans"] == 1 and s["rows_scanned"] > 0
+
+
+class TestImagePhash:
+    """Perceptual image hashing (r8) composed with the SimHash
+    banded tier: identical images collide at Hamming 0, mildly
+    perturbed images stay within the near-dup radius, structurally
+    different images do not pair."""
+
+    def _bmp(self, arr):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_bmp24,
+        )
+
+        return encode_bmp24(np.asarray(arr, dtype="uint8"))
+
+    def _images(self):
+        import numpy as np
+
+        # rich-spectrum texture: a flat gradient is DEGENERATE for
+        # pHash (dozens of exactly-zero DCT coefficients make the
+        # median threshold unstable — any perturbation flips many
+        # sign bits), just as it would be for the real algorithm
+        g = np.zeros((16, 16, 3), dtype="uint8")
+        for i in range(16):
+            for j in range(16):
+                g[i, j, :] = (i * i + 3 * j * j + 5 * i * j) % 180 + 20
+        noisy = g.copy()
+        noisy[3, 3, :] = noisy[3, 3, :] + 20  # local perturbation
+        checker = np.zeros((16, 16, 3), dtype="uint8")
+        checker[::2, ::2, :] = 255
+        checker[1::2, 1::2, :] = 255
+        return g, noisy, checker
+
+    def test_phash_invariance_and_discrimination(self, spark):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            simhash_near_dup_pairs,
+        )
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            image_phash,
+        )
+
+        g, noisy, checker = self._images()
+        rows = [
+            (0, self._bmp(g)),
+            (1, self._bmp(g)),        # byte-identical
+            (2, self._bmp(noisy)),    # perceptually same
+            (3, self._bmp(checker)),  # structurally different
+        ]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        fp = image_phash(df, "content", "media_id")
+        rowsfp = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in fp.collect()}
+        assert rowsfp[0] == rowsfp[1]
+        assert rowsfp[0] != rowsfp[3]
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs(fp, "media_id").collect()
+        }
+        assert pairs[(0, 1)] == 0
+        assert (0, 2) in pairs and pairs[(0, 2)] <= 3
+        assert not any(3 in p for p in pairs)
+
+    def test_band_layout_matches_simhash_contract(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            image_phash,
+        )
+
+        g, _, _ = self._images()
+        df = spark.createDataFrame(
+            [(7, self._bmp(g))], "media_id long, content binary"
+        )
+        r = image_phash(df, "content", "media_id").first()
+        for k in range(4):
+            v = r[f"b{k}"]
+            assert 0 <= v < 2**16
