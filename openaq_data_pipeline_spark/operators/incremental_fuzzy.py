@@ -410,12 +410,35 @@ def append_simhash_index(
     _append_simhash(batch, text_col, id_col, index, mode="append")
 
 
+def build_simhash_index_fp(
+    fp: DataFrame, id_col: str, index: SimHashIndex
+) -> None:
+    """Fingerprint-level build (r8): the index machinery is
+    modality-agnostic — any (id, b0..b3) 64-bit fingerprint source
+    persists through the same banded tables, so
+    `multimodal.image_phash` output makes this an INCREMENTAL
+    image-near-dup index with zero new code paths."""
+    _append_simhash_fp(fp, id_col, index, mode="overwrite")
+
+
+def append_simhash_index_fp(
+    fp: DataFrame, id_col: str, index: SimHashIndex
+) -> None:
+    _append_simhash_fp(fp, id_col, index, mode="append")
+
+
 def _append_simhash(
     corpus: DataFrame, text_col: str, id_col: str, index: SimHashIndex, mode: str
 ) -> None:
     from openaq_data_pipeline_spark.operators.dedup import simhash64
 
-    lists = _simhash_band_lists(simhash64(corpus, text_col, id_col), id_col)
+    _append_simhash_fp(simhash64(corpus, text_col, id_col), id_col, index, mode)
+
+
+def _append_simhash_fp(
+    fp: DataFrame, id_col: str, index: SimHashIndex, mode: str
+) -> None:
+    lists = _simhash_band_lists(fp, id_col)
     save_bucketed(
         lists,
         index.bands_table,
@@ -456,14 +479,26 @@ def incremental_simhash_matches(
     buckets survive) → combined cap → cross explode with the Hamming
     verify computed INLINE from the member structs (both sides carry
     full fingerprints — no second index lookup) → distinct."""
-    from openaq_data_pipeline_spark.operators.dedup import SIMHASH_BANDS
-
-    spark = batch.sparkSession
     from openaq_data_pipeline_spark.operators.dedup import simhash64
 
-    new_lists = _simhash_band_lists(
-        simhash64(batch, text_col, id_col), id_col
-    ).withColumnRenamed("members", "new_members")
+    return incremental_simhash_matches_fp(
+        simhash64(batch, text_col, id_col), id_col, index
+    )
+
+
+def incremental_simhash_matches_fp(
+    fp: DataFrame, id_col: str, index: SimHashIndex
+) -> DataFrame:
+    """Fingerprint-level probe (r8): same contract as
+    :func:`incremental_simhash_matches` for any (id, b0..b3)
+    fingerprint source — compose with `multimodal.image_phash` for
+    incremental image near-dup against a persisted index."""
+    from openaq_data_pipeline_spark.operators.dedup import SIMHASH_BANDS
+
+    spark = fp.sparkSession
+    new_lists = _simhash_band_lists(fp, id_col).withColumnRenamed(
+        "members", "new_members"
+    )
     joined = new_lists.join(_old_simhash_lists(spark, index), "bkey")
     if index.max_bucket is not None:
         joined = joined.filter(

@@ -1449,3 +1449,49 @@ class TestImagePhash:
         for k in range(4):
             v = r[f"b{k}"]
             assert 0 <= v < 2**16
+
+
+class TestIncrementalImageNearDup:
+    """Composition (r8): image_phash + the fingerprint-level
+    persisted SimHash index = incremental image near-dup. Batch
+    images probe the index without the corpus being re-decoded."""
+
+    def test_batch_probes_persisted_image_index(self, spark):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_simhash_index_fp,
+            incremental_simhash_matches_fp,
+            temp_simhash_index,
+        )
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_bmp24,
+            image_phash,
+        )
+
+        def tex(seed):
+            a = np.zeros((16, 16, 3), dtype="uint8")
+            for i in range(16):
+                for j in range(16):
+                    a[i, j, :] = (i * i + 3 * j * j + seed * i * j) % 180 + 20
+            return a
+
+        corpus = [(i, encode_bmp24(tex(5 + i))) for i in range(4)]
+        noisy = tex(5)
+        noisy[3, 3, :] = noisy[3, 3, :] + 20
+        batch = [
+            (100, encode_bmp24(noisy)),       # near-dup of corpus 0
+            (101, encode_bmp24(tex(50))),     # fresh
+        ]
+        cdf = spark.createDataFrame(corpus, "media_id long, content binary")
+        bdf = spark.createDataFrame(batch, "media_id long, content binary")
+        with temp_simhash_index(n_buckets=4) as idx:
+            build_simhash_index_fp(
+                image_phash(cdf, "content", "media_id"), "media_id", idx
+            )
+            m = incremental_simhash_matches_fp(
+                image_phash(bdf, "content", "media_id"), "media_id", idx
+            ).collect()
+        pairs = {(r.id_a, r.id_b): r.hamming for r in m}
+        assert (100, 0) in pairs and pairs[(100, 0)] <= 3
+        assert not any(a == 101 for a, _ in pairs)
