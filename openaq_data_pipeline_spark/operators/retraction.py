@@ -1,0 +1,231 @@
+"""Document retraction: takedown propagation across persisted indexes.
+
+A production training-data pipeline must be able to REMOVE documents
+after the fact — copyright takedowns, user opt-outs, PII discoveries
+(the right-to-be-forgotten shape). Dropping the rows from the corpus
+lake is the easy half; the hard half is that the document's traces
+live on in every persisted index this engine maintains between
+batches: exact-dedup fingerprints (`incremental_dedup.ExactIndex`),
+survivor shingle postings (`DedupIndex`), MinHash band lists
+(`incremental_fuzzy.FuzzyIndex`), SimHash member lists
+(`SimHashIndex`), BM25 postings + corpus stats
+(`retrieval.Bm25Index`) and IVF ANN cells (`similarity.IvfIndex`).
+A retraction that misses one index keeps matching, scoring or
+retrieving against content the operator promised to delete.
+
+:func:`retract_documents` removes a set of doc ids from EVERY table
+of an index handle in one call, schema-driven:
+
+- a top-level id column (the caller's ``id_col``, or the ANN tier's
+  ``neighbor_id``) drops the whole row;
+- an id-array column (``doc_ids`` — the posting/band-list layout)
+  drops the ids from the array, and the row when the array empties;
+- an array of member STRUCTS carrying an ``id`` field (the SimHash
+  layout, where members hold full fingerprints) filters the members,
+  and drops the row when no member survives.
+
+Each bucketed table is rewritten IN PLACE through
+:func:`~openaq_data_pipeline_spark.sources.maintenance.rewrite_bucketed_table`
+— the compaction pass's crash-safe staged-swap engine — so the exact
+bucket spec survives and every probe stays bucket-local and
+exchange-free after a retraction, and a crash mid-rewrite never
+leaves the index without a durable copy. Tables without a match are
+left byte-identical (gated by one scan, no rewrite).
+
+BM25 is the one index whose correctness depends on more than row
+presence: ``{name}_stats`` holds additive (n_docs, s_tokens) rows
+that readers SUM across batches. Retraction therefore appends a
+NEGATIVE correction row computed from the retracted postings before
+they are rewritten away, so N and avgdl — and with them every
+surviving document's score — match an index that never contained the
+retracted documents. (A retracted document with no postings — empty
+after normalization — leaves no trace to count, so its +1 on N is
+not reversed; the residual is one zero-length row in the avgdl
+denominator, and exactness holds for any corpus without empty docs.)
+
+Semantics note: retraction FORGETS, it does not BLOCK. Removing a
+fingerprint from the exact index means a future re-submission of the
+same bytes is treated as new content; if the goal is to keep the
+content out forever, that is a denylist (keep the fingerprints in a
+separate blocklist table and filter ingest against it), not a
+retraction.
+
+Scale: the ids list is takedown-sized (human-scale, thousands at
+most) and ships as a literal array inside the filter expressions —
+no join, no shuffle; each table rewrite is one pass over that table
+through the bucketed-write path. Retraction cost is proportional to
+index size, not corpus size, and batches of takedowns amortize to
+one rewrite per table per call.
+
+Reference parity note: the reference pipeline has no deletion story
+(append-only loads, ``dags/`` carry no GDPR path) — this is part of
+the engine's LLM-training-data extension tier, alongside the
+incremental indexes it maintains.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, StructType
+
+# array columns holding bare doc ids (the posting/band-list layout
+# shared by DedupIndex, FuzzyIndex and the BM25-adjacent tiers)
+ID_ARRAY_COLS = frozenset({"doc_ids"})
+# struct field naming the member id inside array<struct> member lists
+MEMBER_ID_FIELD = "id"
+
+
+def _lit_ids(ids: list, elem_type: DataType):
+    """The retraction set as a literal array of the column's exact
+    element type — takedown-sized, so it folds into the expression
+    (broadcast-free, join-free)."""
+    return F.array([F.lit(i).cast(elem_type) for i in ids])
+
+
+def _plan(schema: StructType, ids: list, id_names: frozenset):
+    """(projections, row-keep predicates, match predicates) for one
+    table, derived from its schema. Projections rewrite member
+    arrays; keep predicates drop retracted / emptied rows; match
+    predicates gate whether the table needs a rewrite at all."""
+    projs, keeps, matches = [], [], []
+    for f in schema.fields:
+        col = F.col(f.name)
+        dt = f.dataType
+        if isinstance(dt, ArrayType):
+            et = dt.elementType
+            if isinstance(et, StructType) and MEMBER_ID_FIELD in et.fieldNames():
+                lit = _lit_ids(ids, et[MEMBER_ID_FIELD].dataType)
+                kept = F.filter(
+                    col, lambda m: ~F.array_contains(lit, m[MEMBER_ID_FIELD])
+                )
+                projs.append(kept.alias(f.name))
+                keeps.append(F.size(kept) > 0)
+                matches.append(
+                    F.exists(col, lambda m: F.array_contains(lit, m[MEMBER_ID_FIELD]))
+                )
+                continue
+            if f.name in ID_ARRAY_COLS:
+                lit = _lit_ids(ids, et)
+                kept = F.array_except(col, lit)
+                projs.append(kept.alias(f.name))
+                keeps.append(F.size(kept) > 0)
+                matches.append(F.arrays_overlap(col, lit))
+                continue
+        elif f.name in id_names and not isinstance(dt, StructType):
+            lit = _lit_ids(ids, dt)
+            projs.append(col)
+            keeps.append(~F.array_contains(lit, col))
+            matches.append(F.array_contains(lit, col))
+            continue
+        projs.append(col)
+    return projs, keeps, matches
+
+
+def retract_from_table(
+    spark: SparkSession, table: str, ids: list, id_names: frozenset
+) -> bool:
+    """Remove ``ids`` from one bucketed index table in place,
+    preserving its bucket spec (crash-safe staged swap). Returns
+    whether a rewrite happened — a table with no trace of the ids is
+    left untouched (one gating scan, zero writes)."""
+    from openaq_data_pipeline_spark.sources.maintenance import (
+        rewrite_bucketed_table,
+    )
+
+    df = spark.table(table)
+    _, _, matches = _plan(df.schema, ids, id_names)
+    if not matches or not df.where(reduce(or_, matches)).take(1):
+        return False
+
+    def transform(src: DataFrame) -> DataFrame:
+        projs, keeps, _ = _plan(src.schema, ids, id_names)
+        out = src.select(*projs)
+        for cond in keeps:
+            out = out.where(cond)
+        return out
+
+    rewrite_bucketed_table(spark, table, transform)
+    return True
+
+
+def _bm25_stats_correction(
+    spark: SparkSession, index, ids: list, id_col: str
+):
+    """(-n_docs, -s_tokens) over the retracted postings, computed
+    BEFORE the tf rewrite destroys the evidence. None when no
+    retracted id has postings."""
+    tf = spark.table(index.tf_table)
+    lit = _lit_ids(ids, tf.schema[id_col].dataType)
+    row = (
+        tf.where(F.array_contains(lit, F.col(id_col)))
+        .agg(
+            F.countDistinct(id_col).alias("n"),
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    return (-int(row["n"]), -int(row["s"])) if row["n"] else None
+
+
+def retract_documents(
+    spark: SparkSession, index, ids, id_col: str = "doc_id"
+) -> list[str]:
+    """Remove ``ids`` from every table of a persisted-index handle
+    (any object exposing ``*_table`` properties — the
+    :func:`~openaq_data_pipeline_spark.sources.maintenance.compact_index`
+    convention). Returns the table names that were actually
+    rewritten/corrected. ``id_col`` is the id column name the index
+    was built with (the ANN tier's ``neighbor_id`` is always also
+    recognized). Frozen model tables (IVF centroids) hold no
+    document rows and are never touched; BM25 batch stats get the
+    additive negative correction described in the module docstring.
+    """
+    ids = sorted(set(ids))
+    if not ids:
+        return []
+    id_names = frozenset({id_col, "neighbor_id"})
+    touched: list[str] = []
+
+    # BM25 stats correction derives from postings that are about to
+    # be rewritten away — compute it first
+    correction = None
+    stats_table = getattr(index, "stats_table", None)
+    if (
+        stats_table is not None
+        and getattr(index, "tf_table", None) is not None
+        and spark.catalog.tableExists(stats_table)
+        and spark.catalog.tableExists(index.tf_table)
+    ):
+        correction = _bm25_stats_correction(spark, index, ids, id_col)
+
+    from openaq_data_pipeline_spark.sources.maintenance import _describe_bucketed
+
+    for attr in sorted(dir(type(index))):
+        if not attr.endswith("_table"):
+            continue
+        table = getattr(index, attr)
+        if not spark.catalog.tableExists(table):
+            continue
+        try:
+            _describe_bucketed(spark, table)
+        except ValueError:
+            continue  # non-bucketed side table (batch stats, centroids)
+        if retract_from_table(spark, table, ids, id_names):
+            touched.append(table)
+
+    if correction is not None:
+        # append through the same writer shape append_bm25_index's
+        # stats path uses, matching the table's exact schema
+        schema = spark.table(stats_table).schema
+        row = spark.createDataFrame([correction], schema)
+        w = row.write.mode("append").format("parquet")
+        if getattr(index, "location", None):
+            w = w.option("path", index._path("stats"))
+        w.saveAsTable(stats_table)
+        spark.catalog.refreshTable(stats_table)
+        touched.append(stats_table)
+    return touched

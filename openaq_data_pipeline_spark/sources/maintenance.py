@@ -230,11 +230,6 @@ def compact_bucketed_table(
     files.) Managed tables stage to a managed sibling and swap via
     ``ALTER TABLE RENAME``, whose DROP→RENAME window likewise never
     has zero committed copies."""
-    import uuid
-
-    from openaq_data_pipeline_spark.sources.tables import save_bucketed
-
-    info = _describe_bucketed(spark, table)
     worst = (
         bucket_file_stats(spark, table)
         .agg(F.max("n_files").alias("m"))
@@ -242,6 +237,30 @@ def compact_bucketed_table(
     )
     if worst is None or worst <= max_files:
         return False
+    rewrite_bucketed_table(spark, table)
+    return True
+
+
+def rewrite_bucketed_table(
+    spark: SparkSession, table: str, transform=None
+) -> None:
+    """Crash-safe IN-PLACE rewrite of a bucketed table, preserving its
+    exact bucket spec (keys, count, bucket-sort) and location — the
+    staged-swap engine behind :func:`compact_bucketed_table` (see its
+    docstring for the durability argument), factored out so other
+    maintenance passes can rewrite CONTENT under the same guarantees.
+    ``transform`` (DataFrame → DataFrame, default identity) is applied
+    to the raw-file scan before the staged write: compaction passes
+    nothing; document retraction
+    (:mod:`~openaq_data_pipeline_spark.operators.retraction`) passes
+    the filter that strips retracted ids from rows and member arrays.
+    The transform must preserve the schema — the swapped-in table is
+    re-created over the original column list."""
+    import uuid
+
+    from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+    info = _describe_bucketed(spark, table)
     token = uuid.uuid4().hex[:8]
     stage_table = f"{table}__compact_{token}"
     schema = spark.table(table).schema
@@ -252,6 +271,8 @@ def compact_bucketed_table(
     # write tasks instead of n_buckets). A plain parquet scan carries
     # no bucketing metadata, so the collapse actually happens.
     src = spark.read.schema(schema).parquet(_strip_file_scheme(info["location"]))
+    if transform is not None:
+        src = transform(src)
     if info.get("type") == "EXTERNAL":
         location = _strip_file_scheme(info["location"])
         stage_path = f"{location}__compact_{token}"
@@ -308,4 +329,3 @@ def compact_bucketed_table(
         spark.sql(f"DROP TABLE {table}")
         spark.sql(f"ALTER TABLE {stage_table} RENAME TO {table}")
     spark.catalog.refreshTable(table)
-    return True

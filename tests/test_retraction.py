@@ -1,0 +1,373 @@
+"""Document retraction (takedown propagation) across persisted
+indexes: after `retract_documents(ids)`, (1) no probe of any index
+ever surfaces a retracted id again, (2) results about surviving
+documents are unchanged — for BM25 exactly equal to an index that
+never contained the retracted docs (stats correction included), (3)
+tables with no trace of the ids are left untouched, and (4) the
+bucket spec survives the in-place rewrite, so probes stay
+exchange-free."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.retraction import (
+    retract_documents,
+    retract_from_table,
+)
+
+TRAIN = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (4, "one two three four five six seven eight nine ten eleven twelve"),
+    (6, "completely unrelated text about rivers mountains and weather patterns"),
+]
+# near-copies of 2 and 4, plus a fresh doc
+BATCH = [
+    (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+    (103, "one two three four five six seven eight nine ten eleven"),
+    (105, "nothing like anything indexed before at all whatsoever"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRetractExactIndex:
+    def test_forgotten_content_is_new_again(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            touched = retract_documents(spark, idx, [0], id_col="doc_id")
+            assert touched == [idx.hashes_table]
+            # the fingerprint row is gone
+            assert (
+                spark.table(idx.hashes_table)
+                .where(F.col("doc_id") == 0)
+                .count()
+                == 0
+            )
+            # an exact copy of the RETRACTED doc is treated as new;
+            # a copy of a KEPT doc still drops against history
+            probe = _df(spark, [(200, TRAIN[0][1]), (202, TRAIN[1][1])])
+            got = sorted(
+                (r.doc_id, r.kept, r.dup_of)
+                for r in incremental_exact_dedup(
+                    probe, "text", "doc_id", idx, update_index=False
+                ).collect()
+            )
+            assert got == [(200, True, None), (202, False, 2)]
+
+    def test_noop_when_ids_absent(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            temp_exact_index,
+        )
+
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            before = sorted(map(tuple, spark.table(idx.hashes_table).collect()))
+            assert retract_documents(spark, idx, [999], id_col="doc_id") == []
+            assert retract_documents(spark, idx, [], id_col="doc_id") == []
+            after = sorted(map(tuple, spark.table(idx.hashes_table).collect()))
+            assert after == before
+
+
+class TestRetractFuzzyIndex:
+    def test_probe_forgets_retracted_doc_only(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            incremental_fuzzy_matches,
+            temp_fuzzy_index,
+        )
+
+        batch = _df(spark, BATCH)
+        with temp_fuzzy_index(n_buckets=4) as idx:
+            build_fuzzy_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            before = {
+                (r.train_id, r.eval_id)
+                for r in incremental_fuzzy_matches(
+                    batch, "text", "doc_id", idx
+                ).collect()
+            }
+            assert before == {(2, 101), (4, 103)}
+            touched = retract_documents(spark, idx, [2], id_col="doc_id")
+            assert set(touched) == {
+                idx.bands_table,
+                idx.postings_table,
+                idx.sizes_table,
+            }
+            after = {
+                (r.train_id, r.eval_id)
+                for r in incremental_fuzzy_matches(
+                    batch, "text", "doc_id", idx
+                ).collect()
+            }
+            assert after == {(4, 103)}
+
+    def test_member_arrays_scrubbed_and_emptied_rows_dropped(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+
+        with temp_fuzzy_index(n_buckets=4) as idx:
+            build_fuzzy_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            retract_documents(spark, idx, [2, 6], id_col="doc_id")
+            for table in (idx.bands_table, idx.postings_table):
+                rows = spark.table(table).collect()
+                assert rows, table
+                for r in rows:
+                    assert r.doc_ids, f"{table}: emptied row survived"
+                    assert 2 not in r.doc_ids and 6 not in r.doc_ids
+            left = {r.doc_id for r in spark.table(idx.sizes_table).collect()}
+            assert left == {0, 4}
+
+    def test_bucket_spec_preserved(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.sources.maintenance import (
+            _describe_bucketed,
+        )
+
+        with temp_fuzzy_index(n_buckets=4) as idx:
+            build_fuzzy_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            spec = _describe_bucketed(spark, idx.bands_table)
+            retract_documents(spark, idx, [2], id_col="doc_id")
+            spec2 = _describe_bucketed(spark, idx.bands_table)
+            assert (spec2["keys"], spec2["n_buckets"], spec2["location"]) == (
+                spec["keys"],
+                spec["n_buckets"],
+                spec["location"],
+            )
+
+
+class TestRetractSimHashIndex:
+    def test_member_structs_filtered(self, spark):
+        """Real corpus docs + one appended token — the fixture the
+        SimHash tier's own tests use (synthetic token soups don't
+        land in the banded Hamming radius)."""
+        import os
+
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_simhash_index,
+            incremental_simhash_matches,
+            temp_simhash_index,
+        )
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+        train = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+        )
+        batch = train.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+        )
+        with temp_simhash_index(n_buckets=4) as idx:
+            build_simhash_index(train, "text", "doc_id", idx)
+            before = {
+                (r.id_a, r.id_b)
+                for r in incremental_simhash_matches(
+                    batch, "text", "doc_id", idx
+                ).collect()
+            }
+            assert before, "fixture produced no near-dup pairs"
+            victim = min(b for _, b in before)
+            retract_documents(spark, idx, [victim], id_col="doc_id")
+            after = {
+                (r.id_a, r.id_b)
+                for r in incremental_simhash_matches(
+                    batch, "text", "doc_id", idx
+                ).collect()
+            }
+            assert after == {p for p in before if p[1] != victim}
+            # struct members scrubbed at the table level too
+            for r in spark.table(idx.bands_table).collect():
+                assert r.members, "emptied member row survived"
+                assert all(m.id != victim for m in r.members)
+
+
+class TestRetractBm25Index:
+    QUERIES = [
+        (1, "alpha beta gamma"),
+        (2, "quick brown fox"),
+        (3, "rivers and mountains"),
+    ]
+
+    def _topk(self, spark, idx, k=3):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            bm25_topk_indexed,
+        )
+
+        q = spark.createDataFrame(self.QUERIES, "query_id long, q_text string")
+        return sorted(
+            map(
+                tuple,
+                bm25_topk_indexed(
+                    spark, q, idx, "doc_id", "q_text", k=k
+                ).collect(),
+            )
+        )
+
+    def test_retract_equals_index_built_without(self, spark):
+        """The strong contract: scores of surviving docs after a
+        retraction are EXACTLY those of an index that never saw the
+        retracted docs — the negative stats row restores N and avgdl,
+        df re-derives from the scrubbed postings."""
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            build_bm25_index,
+            temp_bm25_index,
+        )
+
+        full = TRAIN + [(8, "alpha beta something else entirely new here")]
+        retracted = [2, 6]
+        with temp_bm25_index(n_buckets=4) as idx, temp_bm25_index(
+            n_buckets=4
+        ) as ref:
+            build_bm25_index(_df(spark, full), "text", "doc_id", idx)
+            touched = retract_documents(spark, idx, retracted, id_col="doc_id")
+            assert set(touched) == {idx.tf_table, idx.stats_table}
+            build_bm25_index(
+                _df(spark, [r for r in full if r[0] not in retracted]),
+                "text",
+                "doc_id",
+                ref,
+            )
+            assert self._topk(spark, idx) == self._topk(spark, ref)
+            # summed stats match the rebuilt index exactly
+            def stats(i):
+                return tuple(
+                    spark.table(i.stats_table)
+                    .agg(F.sum("n_docs"), F.sum("s_tokens"))
+                    .collect()[0]
+                )
+
+            assert stats(idx) == stats(ref)
+
+
+class TestRetractIvfIndex:
+    def _vectors(self, spark):
+        rows = [
+            (i, [float(i % 4 == j) + 0.1 * i for j in range(4)])
+            for i in range(8)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_neardup_probe_drops_only_retracted_neighbors(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_neardup_indexed,
+            temp_ivf_index,
+        )
+
+        vecs = self._vectors(spark)
+        with temp_ivf_index(nprobe=2) as idx:
+            build_ivf_index(vecs, idx, n_cells=2, id_col="vec_id")
+            queries = vecs.limit(3)
+            before = {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_neardup_indexed(
+                    spark, queries, idx, min_cosine=0.5
+                ).collect()
+            }
+            retracted = {5, 7}
+            touched = retract_documents(
+                spark, idx, list(retracted), id_col="vec_id"
+            )
+            assert idx.cells_table in touched
+            after = {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_neardup_indexed(
+                    spark, queries, idx, min_cosine=0.5
+                ).collect()
+            }
+            assert after == {p for p in before if p[1] not in retracted}
+            # frozen quantizer untouched
+            assert spark.table(idx.centroids_table).count() == 2
+
+    def test_int8_rescore_table_scrubbed_too(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            build_ivf_index,
+            temp_ivf_index,
+        )
+
+        vecs = self._vectors(spark)
+        with temp_ivf_index(nprobe=2, storage="int8", rescore=True) as idx:
+            build_ivf_index(vecs, idx, n_cells=2, id_col="vec_id")
+            touched = retract_documents(spark, idx, [3], id_col="vec_id")
+            assert set(touched) == {idx.cells_table, idx.rescore_table}
+            for table in (idx.cells_table, idx.rescore_table):
+                assert (
+                    spark.table(table).where(F.col("neighbor_id") == 3).count()
+                    == 0
+                )
+
+
+class TestRetractDedupIndex:
+    def test_survivor_removed_from_posting_core(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_index,
+            incremental_dedup,
+            temp_index,
+        )
+
+        with temp_index(n_buckets=4) as idx:
+            build_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            batch = _df(spark, BATCH)
+            before = sorted(
+                (r.doc_id, r.kept, r.dup_of)
+                for r in incremental_dedup(
+                    batch, "text", "doc_id", idx, update_index=False
+                ).collect()
+            )
+            assert before == [
+                (101, False, 2),
+                (103, False, 4),
+                (105, True, None),
+            ]
+            retract_documents(spark, idx, [2], id_col="doc_id")
+            after = sorted(
+                (r.doc_id, r.kept, r.dup_of)
+                for r in incremental_dedup(
+                    batch, "text", "doc_id", idx, update_index=False
+                ).collect()
+            )
+            # the near-copy of the retracted survivor is new again;
+            # the other disposition is unchanged
+            assert after == [
+                (101, True, None),
+                (103, False, 4),
+                (105, True, None),
+            ]
+
+
+class TestRetractFromTableDirect:
+    def test_unrelated_columns_never_match(self, spark):
+        """cell_id / band_id style columns must not be mistaken for
+        doc ids: only exact name matches retract."""
+        from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+        df = spark.createDataFrame(
+            [(1, 7, [7, 8]), (2, 9, [9])],
+            "cell_id long, doc_id long, doc_ids array<long>",
+        )
+        table = "retract_direct_test"
+        save_bucketed(df, table, "cell_id", 2)
+        try:
+            assert retract_from_table(spark, table, [1], frozenset({"doc_id"})) is False
+            assert retract_from_table(spark, table, [7], frozenset({"doc_id"})) is True
+            rows = sorted(map(tuple, spark.table(table).collect()))
+            # row with doc_id 7 dropped; 7 also scrubbed from arrays
+            assert rows == [(2, 9, [9])]
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
