@@ -650,3 +650,240 @@ def unigram_encode(
         )
         .withColumn("n_tokens", F.size("token_ids").cast("long"))
     )
+
+
+# --- WordPiece (r8): the third tokenizer family -------------------------
+#
+# Public formulation: Schuster & Nakajima 2012 (the original "WordPiece"
+# voice-search segmenter) as popularized by BERT — greedy merge
+# training like BPE, but the round winner maximizes the unigram-LM
+# likelihood GAIN score count(ab) / (count(a) · count(b)) instead of
+# raw pair count, and inference is greedy longest-match-first with
+# '##' continuation prefixes and whole-word UNK. Completes the
+# tokenizer tier beside BPE (merge-table) and Unigram (Viterbi): the
+# three cover every mainstream LLM vocabulary family.
+#
+# Scale shape: identical to the BPE driver-trainer path (module
+# docstring, TRAINING CEILING) — ONE distributed pass builds the
+# word-frequency table, the driver trains over it with zero further
+# Spark jobs; encoding runs once per DISTINCT word (broadcast vocab,
+# mapInPandas) and reassembles documents through the same
+# posexplode + broadcast-join + ordered-collect shape as
+# unigram_encode. WordPiece's score couples every pair through the
+# unit counts in its denominator (one merge changes the score of ALL
+# pairs sharing a unit), so unlike the BPE finisher a stale-entry
+# heap buys little: the trainer keeps incremental pair/unit counts
+# (only words containing the winner are rewritten) and pays one
+# exact O(|pairs|) argmax scan per merge — integer cross-multiplied,
+# no float scores, ties by (lhs, rhs) text ascending.
+
+WORDPIECE_UNK_ID = -1
+
+
+def _wordpiece_syms(word: str) -> list[str]:
+    return [word[0]] + ["##" + ch for ch in word[1:]]
+
+
+def _wordpiece_merge_sym(a: str, b: str) -> str:
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def _wordpiece_apply(syms: list[str], a: str, b: str, m: str) -> list[str]:
+    """Simultaneous merge of every (a, b) adjacency — a != b, so
+    marked positions never overlap (the BPE determinism contract)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(m)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def wordpiece_train_local(
+    vocab: list[tuple[str, int]], vocab_size: int
+) -> list[str]:
+    """Driver-side WordPiece trainer over a collected word-frequency
+    table ``[(word, freq), ...]`` — returns the ORDERED vocabulary:
+    word-initial single characters (sorted), '##'-continuation
+    characters (sorted), then merged units in the order learned
+    (BERT's insertion-ordered vocab file, minus special tokens).
+    Training stops at ``vocab_size`` pieces or when no mergeable
+    (left != right) adjacency remains.
+
+    Determinism: the winner maximizes count(ab)/(count(a)·count(b))
+    compared EXACTLY by integer cross-multiplication — never floats —
+    with ties broken by (lhs, rhs) text ascending; self-pairs are
+    excluded exactly as in the BPE trainers (overlap-free
+    simultaneous application)."""
+    from collections import Counter, defaultdict
+
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for word, n in vocab:
+        if word:
+            words.append(_wordpiece_syms(word))
+            freqs.append(int(n))
+    unit_counts: Counter = Counter()
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for s in syms:
+            unit_counts[s] += f
+        for a, b in zip(syms, syms[1:]):
+            if a != b:
+                pair_counts[(a, b)] += f
+                pair_words[(a, b)].add(wi)
+
+    base = sorted(s for s in unit_counts if not s.startswith("##")) + sorted(
+        s for s in unit_counts if s.startswith("##")
+    )
+    merged: list[str] = []
+    while len(base) + len(merged) < vocab_size:
+        best = None
+        bc = None  # (c_pair, c_lhs, c_rhs) of the current best
+        for p, cp in pair_counts.items():
+            if cp <= 0:
+                continue
+            c = (cp, unit_counts[p[0]], unit_counts[p[1]])
+            if best is None:
+                best, bc = p, c
+                continue
+            # score(p) > score(best)  ⇔  cp·ba·bb > bp·ca·cb
+            lhs = c[0] * bc[1] * bc[2]
+            rhs = bc[0] * c[1] * c[2]
+            if lhs > rhs or (lhs == rhs and p < best):
+                best, bc = p, c
+        if best is None:
+            break
+        a, b = best
+        m = _wordpiece_merge_sym(a, b)
+        for wi in list(pair_words[best]):
+            syms = words[wi]
+            f = freqs[wi]
+            # subtract the word's old adjacencies and units…
+            for s in syms:
+                unit_counts[s] -= f
+            for pa, pb in zip(syms, syms[1:]):
+                if pa != pb:
+                    pair_counts[(pa, pb)] -= f
+            new = _wordpiece_apply(syms, a, b, m)
+            # …and add the rewritten ones
+            for s in new:
+                unit_counts[s] += f
+            for pa, pb in zip(new, new[1:]):
+                if pa != pb:
+                    pair_counts[(pa, pb)] += f
+                    pair_words[(pa, pb)].add(wi)
+            words[wi] = new
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+        merged.append(m)
+    return base + merged
+
+
+def wordpiece_train(
+    corpus: DataFrame, text_col: str, vocab_size: int
+) -> list[str]:
+    """ONE distributed pass (word frequencies), one bounded collect
+    (distinct-word table — corpus-size-independent), driver training
+    — the :func:`bpe_train_merges_driver` scale shape."""
+    rows = word_frequencies(corpus, text_col).select("word", "n").collect()
+    vocab = [(r["word"], r["n"]) for r in rows]
+    if not vocab:
+        raise ValueError("wordpiece_train: empty corpus")
+    return wordpiece_train_local(vocab, vocab_size)
+
+
+def wordpiece_ids(vocab: list[str]) -> dict:
+    """piece → stable id, by vocabulary position — ids never renumber
+    for a frozen vocabulary (the bpe_symbol_ids contract)."""
+    return {p: i for i, p in enumerate(vocab)}
+
+
+def _wordpiece_word(word: str, vocab: set, max_piece: int) -> list[str] | None:
+    """Greedy longest-match-first segmentation, or None (whole-word
+    UNK — BERT semantics: one unmatchable position voids the word,
+    unlike unigram_encode's per-character fallback)."""
+    out, i, n = [], 0, len(word)
+    while i < n:
+        end = min(n, i + max_piece)
+        piece = None
+        while end > i:
+            sub = word[i:end]
+            if i > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                piece = sub
+                break
+            end -= 1
+        if piece is None:
+            return None
+        out.append(piece)
+        i = end
+    return out
+
+
+def wordpiece_encode(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: list[str],
+) -> DataFrame:
+    """(id, token_ids array<long>, n_tokens) — greedy-encode every
+    document under a FROZEN WordPiece vocabulary. Segmentation runs
+    once per DISTINCT word (mapInPandas, broadcast vocab set);
+    documents reassemble through one broadcast word→ids join + one
+    ordered collect — the unigram_encode topology. A word with any
+    unmatchable position emits the single ``WORDPIECE_UNK_ID``."""
+    spark = corpus.sparkSession
+    idm = wordpiece_ids(vocab)
+    max_piece = max(
+        (len(p) - 2 if p.startswith("##") else len(p) for p in vocab),
+        default=1,
+    )
+    b = spark.sparkContext.broadcast((set(vocab), idm, max_piece))
+
+    words = (
+        corpus.select(
+            F.explode(tokens(normalize(F.col(text_col)))).alias("word")
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+
+    def encode_words(batches):
+        import pandas as pd
+
+        vset, ids, mp = b.value
+        for pdf in batches:
+            out = []
+            for wd in pdf["word"]:
+                seg = _wordpiece_word(wd, vset, mp)
+                out.append(
+                    [WORDPIECE_UNK_ID] if seg is None else [ids[p] for p in seg]
+                )
+            yield pd.DataFrame({"word": pdf["word"], "ids": out})
+
+    word_ids = words.mapInPandas(
+        encode_words, schema="word string, ids array<long>"
+    )
+    doc_words = corpus.select(
+        F.col(id_col),
+        F.posexplode(tokens(normalize(F.col(text_col)))).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    return (
+        doc_words.join(F.broadcast(word_ids), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(F.collect_list(F.struct("pos", "ids"))).getField(
+                    "ids"
+                )
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+    )

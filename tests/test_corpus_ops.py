@@ -1161,3 +1161,165 @@ class TestUnigramTokenizer:
         df = spark.createDataFrame([], "doc_id long, text string")
         with _p.raises(ValueError):
             unigram_train(df, "text", vocab_size=10)
+
+
+def _ref_wordpiece(word_freqs: dict, vocab_size: int) -> list:
+    """Brute-force WordPiece reference: full recount every round,
+    Fraction-exact scores — independent of the incremental trainer's
+    bookkeeping."""
+    from collections import Counter
+    from fractions import Fraction
+
+    words = [
+        ([w[0]] + ["##" + c for c in w[1:]], n)
+        for w, n in word_freqs.items()
+        if w
+    ]
+
+    def counts():
+        uc: Counter = Counter()
+        pc: Counter = Counter()
+        for syms, f in words:
+            for s in syms:
+                uc[s] += f
+            for a, b in zip(syms, syms[1:]):
+                if a != b:
+                    pc[(a, b)] += f
+        return uc, pc
+
+    uc, _ = counts()
+    base = sorted(s for s in uc if not s.startswith("##")) + sorted(
+        s for s in uc if s.startswith("##")
+    )
+    merged = []
+    while len(base) + len(merged) < vocab_size:
+        uc, pc = counts()
+        cands = [(p, c) for p, c in pc.items() if c > 0]
+        if not cands:
+            break
+        top = max(Fraction(c, uc[p[0]] * uc[p[1]]) for p, c in cands)
+        best = min(
+            p for p, c in cands if Fraction(c, uc[p[0]] * uc[p[1]]) == top
+        )
+        a, b = best
+        m = a + (b[2:] if b.startswith("##") else b)
+        for wi, (syms, f) in enumerate(words):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = (out, f)
+        merged.append(m)
+    return base + merged
+
+
+class TestWordPiece:
+    """WordPiece tokenizer (r8, Schuster & Nakajima 2012 / BERT):
+    incremental trainer pinned against a recount-from-scratch
+    Fraction-exact reference, the score-vs-count distinction that
+    separates WordPiece from BPE, greedy longest-match encoding with
+    whole-word UNK, and the end-to-end encode contract."""
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=8),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_trainer_matches_bruteforce_reference(self, wordlist):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            wordpiece_train_local,
+        )
+
+        words: dict = {}
+        for w in wordlist:
+            words[w] = words.get(w, 0) + 1
+        # deep enough to exhaust some corpora (early-stop) and to
+        # stack merges onto merged units
+        want = _ref_wordpiece(words, vocab_size=40)
+        got = wordpiece_train_local(list(words.items()), vocab_size=40)
+        assert got == want
+
+    def test_score_winner_beats_count_winner(self):
+        """The defining WordPiece behavior: (a,##b) occurs 10 times,
+        (c,##d) only 6 — but a is diluted across other words, so
+        count(cd)/(count(c)·count(d)) = 1/6 beats 1/20 and the FIRST
+        merge is cd (BPE would merge ab)."""
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            wordpiece_train_local,
+        )
+
+        vocab = [("ab", 10), ("az", 10), ("cd", 6)]
+        base_size = len({"a", "c"} | {"##b", "##z", "##d"})
+        out = wordpiece_train_local(vocab, vocab_size=base_size + 1)
+        assert out[-1] == "cd"
+
+    def test_greedy_longest_match_and_unk(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            WORDPIECE_UNK_ID,
+            wordpiece_encode,
+            wordpiece_ids,
+        )
+
+        vocab = ["u", "un", "##a", "##able", "##b", "##l", "##n", "##e"]
+        ids = wordpiece_ids(vocab)
+        df = spark.createDataFrame(
+            [(0, "unable"), (1, "banana"), (2, "nab")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (list(r.token_ids), r.n_tokens)
+            for r in wordpiece_encode(df, "text", "doc_id", vocab).collect()
+        }
+        # longest-first: "un" beats "u", "##able" beats "##a"
+        assert got[0] == ([ids["un"], ids["##able"]], 2)
+        # 'banana' starts with 'b' — not in vocab word-initially → UNK
+        assert got[1] == ([WORDPIECE_UNK_ID], 1)
+        # 'nab' has no word-initial 'n' either → UNK (## forms don't
+        # apply at position 0)
+        assert got[2] == ([WORDPIECE_UNK_ID], 1)
+
+    def test_train_encode_round_trip(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            WORDPIECE_UNK_ID,
+            wordpiece_encode,
+            wordpiece_train,
+        )
+
+        rows = [
+            (0, "low lower lowest low low"),
+            (1, "new newer newest new"),
+            (2, "wide wider widest lower"),
+            (3, "low new wide"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        vocab = wordpiece_train(df, "text", vocab_size=30)
+        got = {
+            r.doc_id: list(r.token_ids)
+            for r in wordpiece_encode(df, "text", "doc_id", vocab).collect()
+        }
+        # training chars cover the training corpus: no UNK anywhere,
+        # and stripping '##' reassembles each document's words
+        inv = {i: p for i, p in enumerate(vocab)}
+        for doc_id, text in rows:
+            toks = got[doc_id]
+            assert WORDPIECE_UNK_ID not in toks
+            joined = "".join(inv[t].removeprefix("##") for t in toks)
+            assert joined == text.replace(" ", "")
+
+    def test_empty_corpus_raises(self, spark):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            wordpiece_train,
+        )
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="empty corpus"):
+            wordpiece_train(df, "text", vocab_size=10)
