@@ -1457,3 +1457,81 @@ def image_phash(
     return df.select(id_col, binary_col).mapInPandas(
         hash_batch, schema=schema
     )
+
+
+# --- audio fingerprinting (r8): the third modality on the SimHash tier --
+
+
+def _audio_fp_bits(
+    samples: np.ndarray, n_frames: int = 9, n_bands: int = 9
+) -> list[int]:
+    """64 audio fingerprint bits of one decoded clip — the
+    Haitsma & Kalker 2002 energy-difference scheme sized to the
+    engine's 64-bit band layout: the clip splits into ``n_frames``
+    equal segments, each segment's power spectrum (|rfft|²) collapses
+    into ``n_bands`` log-spaced bands, and
+
+        bit(n, m) = [ (E(n,m) − E(n,m+1)) − (E(n−1,m) − E(n−1,m+1)) > 0 ]
+
+    over the (n_frames−1) × (n_bands−1) = 8×8 grid. The double
+    difference cancels global gain EXACTLY (scaling samples by c
+    scales every energy by c², preserving all signs), so volume
+    changes and re-encodes that only rescale amplitude produce the
+    IDENTICAL fingerprint, while content changes flip bits roughly in
+    proportion — the property the banded Hamming tier searches on.
+    Pure NumPy, deterministic."""
+    s = samples.astype(np.float64)
+    min_len = n_frames * 32  # ≥16 rfft bins per segment for the bands
+    if s.size < min_len:
+        s = np.concatenate([s, np.zeros(min_len - s.size)])
+    seg_len = s.size // n_frames
+    nbins = seg_len // 2 + 1
+    # log-spaced band edges over bins [1, nbins): edge_m = 1 +
+    # floor((nbins-2) · (2^m − 1)/(2^n_bands − 1)), forced strictly
+    # increasing so every band is non-empty
+    edges = [1]
+    for m in range(1, n_bands + 1):
+        e = 1 + int((nbins - 2) * (2**m - 1) / (2**n_bands - 1))
+        edges.append(max(e, edges[-1] + 1))
+    energies = np.empty((n_frames, n_bands))
+    for n in range(n_frames):
+        spec = np.abs(np.fft.rfft(s[n * seg_len : (n + 1) * seg_len])) ** 2
+        for m in range(n_bands):
+            energies[n, m] = spec[edges[m] : edges[m + 1]].sum()
+    diff = energies[:, :-1] - energies[:, 1:]
+    double = diff[1:, :] - diff[:-1, :]
+    return [1 if v > 0 else 0 for v in double.flatten()]
+
+
+def audio_phash(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, b0, b1, b2, b3) — 64-bit acoustic fingerprint of each WAV
+    column value in the exact 4×16-bit band layout of
+    `dedup.simhash64`, the audio sibling of :func:`image_phash`:
+    the whole banded Hamming tier composes unchanged, whole-corpus
+    (``simhash_near_dup_pairs``) and cross-batch
+    (``incremental_fuzzy.build_simhash_index_fp`` +
+    ``incremental_simhash_matches_fp``) alike — text, image and audio
+    near-dup all run on ONE persisted-index machinery. Decode +
+    fingerprint run inside one Arrow ``mapInPandas`` pass over the
+    engine's own WAV walker; no shuffle."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                samples, _ = decode_wav_pcm16(blob)
+                bits = _audio_fp_bits(samples)
+                out[id_col].append(int(mid))
+                for k in range(4):
+                    out[f"b{k}"].append(
+                        sum(bits[16 * k + j] << j for j in range(16))
+                    )
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, b0 int, b1 int, b2 int, b3 int"
+    return df.select(id_col, content_col).mapInPandas(
+        hash_batch, schema=schema
+    )

@@ -1495,3 +1495,110 @@ class TestIncrementalImageNearDup:
         pairs = {(r.id_a, r.id_b): r.hamming for r in m}
         assert (100, 0) in pairs and pairs[(100, 0)] <= 3
         assert not any(a == 101 for a, _ in pairs)
+
+
+class TestAudioPhash:
+    """Acoustic fingerprint (r8, Haitsma-Kalker energy differences in
+    simhash64's 4×16-band layout): exact gain invariance, small-
+    perturbation locality, cross-content discrimination, and the
+    band-packing contract."""
+
+    @staticmethod
+    def _tone(freqs, n=4096, amp=3000):
+        import numpy as np
+
+        t = np.arange(n)
+        s = sum(amp * np.sin(2 * np.pi * f * t) for f in freqs)
+        return (s / len(freqs)).astype(np.int16)
+
+    @staticmethod
+    def _bits(samples):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            _audio_fp_bits,
+        )
+
+        return _audio_fp_bits(samples)
+
+    def test_gain_invariance_is_exact(self):
+        base = self._tone([0.03, 0.11])
+        doubled = (base.astype("int32") * 2).astype("int16")
+        assert self._bits(base) == self._bits(doubled)
+
+    def test_perturbation_locality_and_discrimination(self):
+        import numpy as np
+
+        base = self._tone([0.03, 0.11])
+        rng = np.random.default_rng(7)
+        noisy = (base + rng.normal(0, 30, base.size)).astype("int16")
+        other = self._tone([0.07, 0.19])
+        ham_noise = sum(
+            x != y for x, y in zip(self._bits(base), self._bits(noisy))
+        )
+        ham_other = sum(
+            x != y for x, y in zip(self._bits(base), self._bits(other))
+        )
+        assert ham_noise <= 10
+        assert ham_other > 16
+
+    def test_band_packing_matches_bits(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            audio_phash,
+            encode_wav_pcm16,
+        )
+
+        base = self._tone([0.05, 0.13])
+        df = spark.createDataFrame(
+            [(1, encode_wav_pcm16(base, 8000))], "media_id long, content binary"
+        )
+        row = audio_phash(df).collect()[0]
+        bits = self._bits(base)
+        for k in range(4):
+            assert row[f"b{k}"] == sum(
+                bits[16 * k + j] << j for j in range(16)
+            )
+
+    def test_short_clip_zero_pads(self):
+        import numpy as np
+
+        # shorter than 9 segments × 32 samples: must not raise
+        assert len(self._bits(np.arange(40, dtype=np.int16))) == 64
+
+
+class TestIncrementalAudioNearDup:
+    """Composition (r8): audio_phash + the fingerprint-level
+    persisted SimHash index = incremental audio near-dup — the third
+    modality (text, image, audio) on ONE index machinery. A re-gained
+    copy of an indexed clip probes to Hamming 0 without the corpus
+    being re-decoded; fresh content stays unmatched."""
+
+    def test_regained_copy_found_fresh_clip_not(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_simhash_index_fp,
+            incremental_simhash_matches_fp,
+            temp_simhash_index,
+        )
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            audio_phash,
+            encode_wav_pcm16,
+        )
+
+        tones = [
+            TestAudioPhash._tone([0.02 + 0.01 * i, 0.1 + 0.02 * i])
+            for i in range(4)
+        ]
+        corpus = [(i, encode_wav_pcm16(t, 8000)) for i, t in enumerate(tones)]
+        regained = (tones[0].astype("int32") * 2).astype("int16")
+        batch = [
+            (100, encode_wav_pcm16(regained, 8000)),  # gain-scaled dup of 0
+            (101, encode_wav_pcm16(TestAudioPhash._tone([0.29, 0.37]), 8000)),
+        ]
+        cdf = spark.createDataFrame(corpus, "media_id long, content binary")
+        bdf = spark.createDataFrame(batch, "media_id long, content binary")
+        with temp_simhash_index(n_buckets=4) as idx:
+            build_simhash_index_fp(audio_phash(cdf), "media_id", idx)
+            m = incremental_simhash_matches_fp(
+                audio_phash(bdf), "media_id", idx
+            ).collect()
+        pairs = {(r.id_a, r.id_b): r.hamming for r in m}
+        assert pairs.get((100, 0)) == 0
+        assert not any(a == 101 for a, _ in pairs)
