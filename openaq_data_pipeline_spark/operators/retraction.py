@@ -229,3 +229,89 @@ def retract_documents(
         spark.catalog.refreshTable(stats_table)
         touched.append(stats_table)
     return touched
+
+
+# --- lake retraction: the corpus half of the takedown ------------------
+
+
+def retract_from_lake(
+    spark: SparkSession,
+    path: str,
+    ids: list,
+    id_col: str,
+    partition_col: str | None = None,
+) -> list[str]:
+    """Remove rows with ``ids`` from a parquet lake directory — the
+    corpus half of a takedown (:func:`retract_documents` handles the
+    index half). With ``partition_col`` (the day-partitioned bronze
+    layout) only partitions that actually CONTAIN a retracted id are
+    rewritten: one column-pruned scan finds them, each is staged to a
+    sibling directory and swapped in with two FS renames — the
+    crash-safety discipline of
+    :func:`~openaq_data_pipeline_spark.sources.maintenance.rewrite_bucketed_table`
+    (no instant without a durable copy; a crash between the renames
+    leaves the partition recoverable beside the table). Untouched
+    partitions keep their files byte-identical. Unpartitioned lakes
+    stage-and-swap the whole directory. Returns the partition dir
+    names rewritten (``['<root>']`` for unpartitioned), ``[]`` when
+    no row matched.
+
+    Scale: cost is one id-column scan plus a rewrite of ONLY the
+    affected partitions — a takedown touching 3 days of a 10-year
+    lake rewrites 3 days."""
+    import uuid
+    from urllib.parse import unquote
+
+    df = spark.read.parquet(path)
+    lit = _lit_ids(ids, df.schema[id_col].dataType)
+    hit = F.array_contains(lit, F.col(id_col))
+    if not ids or not df.where(hit).take(1):
+        return []
+    token = uuid.uuid4().hex[:8]
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def swap(live: str, staged: str) -> None:
+        old = f"{live}__old_{token}"
+        fs.rename(jvm.org.apache.hadoop.fs.Path(live),
+                  jvm.org.apache.hadoop.fs.Path(old))
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staged),
+                  jvm.org.apache.hadoop.fs.Path(live))
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+
+    if partition_col is None:
+        staged = f"{path}__retract_{token}"
+        df.where(~hit).write.mode("overwrite").parquet(staged)
+        swap(path, staged)
+        return [path]
+
+    # which partitions hold retracted rows — one pruned scan
+    affected = {
+        str(r["__p"])
+        for r in df.where(hit)
+        .select(F.col(partition_col).cast("string").alias("__p"))
+        .distinct()
+        .collect()
+    }
+    prefix = f"{partition_col}="
+    rewritten = []
+    for entry in fs.listStatus(jpath):
+        name = entry.getPath().getName()
+        if not entry.isDirectory() or not name.startswith(prefix):
+            continue
+        if unquote(name[len(prefix):]) not in affected:
+            continue
+        live = f"{path}/{name}"
+        staged = f"{path}__retract_{token}/{name}"
+        # partition-dir files carry no partition column; neither does
+        # this read, so the staged files keep the exact layout
+        part = spark.read.parquet(live)
+        plit = _lit_ids(ids, part.schema[id_col].dataType)
+        part.where(~F.array_contains(plit, F.col(id_col))).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        swap(live, staged)
+        rewritten.append(name)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}__retract_{token}"), True)
+    return sorted(rewritten)

@@ -371,3 +371,63 @@ class TestRetractFromTableDirect:
             assert rows == [(2, 9, [9])]
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestRetractFromLake:
+    def test_partitioned_rewrites_only_affected_partitions(
+        self, spark, tmp_path
+    ):
+        import glob
+        import os
+
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_lake,
+        )
+
+        path = str(tmp_path / "lake")
+        rows = [(i, f"2026-01-{(i % 3) + 1:02d}", f"text {i}") for i in range(12)]
+        spark.createDataFrame(
+            rows, "doc_id long, day string, text string"
+        ).write.partitionBy("day").parquet(path)
+
+        def listing(day):
+            return sorted(
+                os.path.basename(p)
+                for p in glob.glob(f"{path}/day={day}/*.parquet")
+            )
+
+        before_d2 = listing("2026-01-02")
+        before_d3 = listing("2026-01-03")
+        # ids 0 and 3 both live in day=2026-01-01
+        rewritten = retract_from_lake(
+            spark, path, [0, 3], "doc_id", partition_col="day"
+        )
+        assert rewritten == ["day=2026-01-01"]
+        left = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+        assert left == [i for i in range(12) if i not in (0, 3)]
+        # untouched partitions keep their exact files (names carry
+        # write UUIDs — identical listing means no rewrite happened)
+        assert listing("2026-01-02") == before_d2
+        assert listing("2026-01-03") == before_d3
+        # no staging residue beside the table
+        assert glob.glob(f"{path}__*") == []
+
+    def test_unpartitioned_swap_and_noop(self, spark, tmp_path):
+        import glob
+
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_lake,
+        )
+
+        path = str(tmp_path / "flat")
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+        ).write.parquet(path)
+        assert retract_from_lake(spark, path, [2, 4], "doc_id") == [path]
+        left = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+        assert left == [0, 1, 3, 5]
+        assert glob.glob(f"{path}__*") == []
+        # ids with no trace: no rewrite, files untouched
+        before = sorted(glob.glob(f"{path}/*.parquet"))
+        assert retract_from_lake(spark, path, [99], "doc_id") == []
+        assert sorted(glob.glob(f"{path}/*.parquet")) == before
