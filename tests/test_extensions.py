@@ -1602,3 +1602,110 @@ class TestIncrementalAudioNearDup:
         pairs = {(r.id_a, r.id_b): r.hamming for r in m}
         assert pairs.get((100, 0)) == 0
         assert not any(a == 101 for a, _ in pairs)
+
+
+class TestQuantileRollup:
+    """KLL quantile rollups (r8): merged-range estimates hit the
+    published rank-error bound against TRUE order statistics, counts
+    stay exact, grouped slices isolate, and the double family works.
+    (Unlike the HLL tier, KLL compaction samples — so the pin is the
+    error bound, not byte equality.)"""
+
+    def _facts(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(10000).select(
+            (F.col("id") % 10).alias("grain"),
+            (F.col("id") % 2).alias("seg"),
+            (F.col("id") * 37 % 1000).cast("bigint").alias("v"),
+        )
+
+    def test_range_quantiles_within_rank_error(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.sketches import (
+            build_quantile_rollup,
+            rollup_quantiles,
+        )
+
+        facts = self._facts(spark)
+        rollup = build_quantile_rollup(facts, "grain", "v", k=400)
+        sliced = rollup.where(F.col("grain") < 5)
+        got = rollup_quantiles(sliced, [0.1, 0.5, 0.9]).collect()[0]
+        vals = sorted(
+            r.v for r in facts.where(F.col("grain") < 5).select("v").collect()
+        )
+        assert got.n_rows == len(vals)
+        import bisect
+
+        for p in (0.1, 0.5, 0.9):
+            est = got[f"q_{str(p).replace('.', '_')}"]
+            # the estimate's TRUE rank must sit within the k=400
+            # error bound (~0.9%) of p; 5% margin kills flakiness
+            rank = bisect.bisect_right(vals, est) / len(vals)
+            assert abs(rank - p) <= 0.05, (p, est, rank)
+
+    def test_rank_query_and_grouping(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.sketches import (
+            build_quantile_rollup,
+            rollup_rank,
+        )
+
+        facts = self._facts(spark)
+        rollup = build_quantile_rollup(
+            facts, "grain", "v", group_cols=["seg"], k=400
+        )
+        got = {
+            r.seg: (r.n_rows, r.rank)
+            for r in rollup_rank(
+                rollup.where(F.col("grain") < 5), 500, group_cols=["seg"]
+            ).collect()
+        }
+        for seg in (0, 1):
+            n_true = facts.where(
+                (F.col("grain") < 5) & (F.col("seg") == seg)
+            ).count()
+            frac_true = (
+                facts.where(
+                    (F.col("grain") < 5)
+                    & (F.col("seg") == seg)
+                    & (F.col("v") <= 500)
+                ).count()
+                / n_true
+            )
+            assert got[seg][0] == n_true
+            assert abs(got[seg][1] - frac_true) <= 0.05
+
+    def test_double_family(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.sketches import (
+            build_quantile_rollup,
+            rollup_quantiles,
+        )
+
+        facts = spark.range(2000).select(
+            (F.col("id") % 4).alias("grain"),
+            (F.col("id") % 1000 / 10.0).alias("v"),
+        )
+        rollup = build_quantile_rollup(facts, "grain", "v", k=400)
+        got = rollup_quantiles(
+            rollup, [0.5], value_type="double"
+        ).collect()[0]
+        assert abs(got.q_0_5 - 49.95) < 5.0
+
+    def test_non_numeric_value_raises(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.sketches import (
+            build_quantile_rollup,
+        )
+
+        facts = spark.range(10).select(
+            F.lit("x").alias("v"), F.col("id").alias("grain")
+        )
+        with _pytest.raises(ValueError, match="numeric"):
+            build_quantile_rollup(facts, "grain", "v")
