@@ -339,3 +339,63 @@ def normalize_unicode(
             yield pdf[cols]
 
     return df.mapInPandas(norm, schema=schema)
+
+
+# --- HTML → text extraction (r8): the crawl-pipeline front door ---------
+#
+# Before dedup/quality/tokenization ever run, a web-crawl pipeline
+# must turn raw HTML into text. This is the boilerplate-strip step as
+# a chain of codegen `regexp_replace`s — entirely JVM-side, no UDF,
+# no shuffle, so it fuses into the scan like the other text signals.
+# Scope: structural extraction (drop non-content blocks, strip
+# markup, decode the common entities, preserve paragraph breaks) —
+# the DOM-tree content-density heuristics of a trafilatura-class
+# extractor are out of scope and would need a real parser UDF.
+
+# non-content blocks whose INNER TEXT must vanish with the tags
+_HTML_DROP_BLOCKS = ("script", "style", "noscript", "head", "svg", "iframe")
+# block-level tags that imply a paragraph/line break in the text
+_HTML_BREAK_TAGS = (
+    "p|div|br|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|thead|tbody|section|article"
+    "|aside|header|footer|blockquote|pre|hr|form|figure|figcaption|nav"
+)
+# named entities a regex chain can decode ('&amp;' must decode LAST,
+# so '&amp;lt;' yields the literal text '&lt;', not '<')
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_extract(html: Column) -> Column:
+    """Visible text of an HTML column: comments and
+    script/style/noscript/head/svg/iframe blocks vanish with their
+    contents, block-level tags become newlines (paragraph structure
+    survives for the chunkers downstream), remaining tags strip, the
+    common named entities decode (numeric ``&#NNNN;`` forms beyond
+    ``&#39;`` are out of regex reach — a documented residual), and
+    whitespace collapses: intra-line runs to one space, 3+ newlines
+    to a paragraph break. NULL passes through. Plain text without
+    markup is a fixed point."""
+    t = F.regexp_replace(html, r"(?is)<!--.*?-->", "")
+    for tag in _HTML_DROP_BLOCKS:
+        t = F.regexp_replace(t, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    t = F.regexp_replace(t, rf"(?i)</?(?:{_HTML_BREAK_TAGS})\b[^>]*/?>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")        # runs of blanks
+    t = F.regexp_replace(t, r" ?\n ?", "\n")               # trim around breaks
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")             # paragraph break max
+    return F.regexp_replace(t, r"^\s+|\s+$", "")           # full trim (incl. \n)
+
+
+def html_title(html: Column) -> Column:
+    """<title> text (entity-decoded, whitespace-collapsed), or NULL
+    when absent/empty."""
+    raw = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    t = raw
+    for ent, rep in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.when(t != "", t)

@@ -516,3 +516,78 @@ class TestLeakageSafeSplit:
 
         with _p.raises(ValueError):
             self._split(spark, 5, [(0, 1)], {"train": 0})
+
+
+class TestHtmlExtract:
+    """HTML → text extraction (r8): the crawl front door as a codegen
+    regexp chain — non-content blocks vanish with their contents,
+    paragraph structure survives as newlines, common entities decode
+    (&amp; last, so double-escapes stay literal), plain text is a
+    fixed point, NULL passes through."""
+
+    HTML = (
+        '<!DOCTYPE html><html><head><title>My &amp; Page</title>'
+        "<style>p{color:red}</style></head>"
+        '<body><!-- note --><script>var x = "<p>hi</p>";</script>'
+        "<h1>Header</h1><p>First &lt;b&gt; paragraph&nbsp;here.</p>"
+        "<div>Second<br>line</div>tail &amp;lt; text</body></html>"
+    )
+
+    def _run(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.text import (
+            html_extract,
+            html_title,
+        )
+
+        df = spark.createDataFrame(rows, "id long, html string")
+        return {
+            r.id: (r.t, r.title)
+            for r in df.select(
+                "id",
+                html_extract(F.col("html")).alias("t"),
+                html_title(F.col("html")).alias("title"),
+            ).collect()
+        }
+
+    def test_extraction_structure_entities_and_blocks(self, spark):
+        got = self._run(spark, [(1, self.HTML)])
+        text, title = got[1]
+        assert title == "My & Page"
+        # script/style/comment contents are GONE (not just the tags)
+        assert "color:red" not in text and "var x" not in text
+        assert "note" not in text
+        # paragraph structure survives; entities decode; &amp;lt;
+        # double-escape stays literal
+        assert text == (
+            "Header\n\nFirst <b> paragraph here.\n\nSecond\nline\n"
+            "tail &lt; text"
+        )
+
+    def test_plain_text_fixed_point_and_null(self, spark):
+        got = self._run(
+            spark, [(1, "plain text only"), (2, None), (3, "  spaced\n\n\n\nout  ")]
+        )
+        assert got[1] == ("plain text only", None)
+        assert got[2] == (None, None)
+        # whitespace collapses even without markup
+        assert got[3][0] == "spaced\n\nout"
+
+    def test_composes_with_quality_signals(self, spark):
+        """The intended pipeline position: html_extract feeds the
+        text tier directly."""
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.text import (
+            html_extract,
+            token_count,
+        )
+
+        df = spark.createDataFrame([(1, self.HTML)], "id long, html string")
+        n = df.select(
+            token_count(html_extract(F.col("html"))).alias("n")
+        ).collect()[0]["n"]
+        # Header · First · <b> · paragraph · here. · Second · line ·
+        # tail · &lt; · text
+        assert n == 10
