@@ -887,3 +887,160 @@ def wordpiece_encode(
         )
         .withColumn("n_tokens", F.size("token_ids").cast("long"))
     )
+
+
+# --- tokenizer artifact persistence (r8) --------------------------------
+#
+# A tokenizer is a TRAIN-ONCE artifact: the id contract (bpe_encode /
+# unigram_piece_ids / wordpiece_ids docstrings) only holds across
+# batches if the learned state persists and every later encode loads
+# the SAME tables — re-deriving from the batch being encoded silently
+# renumbers ids whenever its alphabet differs. These helpers persist
+# each family's state as plain parquet tables (the engine's index
+# convention: optional `location` makes them EXTERNAL, the handle is
+# a context manager with the no-residue drop contract) and load it
+# back in exactly the shape the encode functions consume.
+
+import uuid as _tok_uuid
+from dataclasses import dataclass as _tok_dataclass
+
+
+@_tok_dataclass(frozen=True)
+class TokenizerArtifact:
+    """Handle for a persisted tokenizer. Tables (by family):
+    ``{name}_meta`` (kind, 1 row) always; BPE adds ``{name}_merges``
+    (MERGE_SCHEMA) + ``{name}_symbols`` (sym, tid); WordPiece and
+    Unigram add ``{name}_pieces`` (pos, piece[, count])."""
+
+    name: str
+    location: str | None = None
+
+    @property
+    def meta_table(self) -> str:
+        return f"{self.name}_meta"
+
+    @property
+    def merges_table(self) -> str:
+        return f"{self.name}_merges"
+
+    @property
+    def symbols_table(self) -> str:
+        return f"{self.name}_symbols"
+
+    @property
+    def pieces_table(self) -> str:
+        return f"{self.name}_pieces"
+
+    def _path(self, suffix: str) -> str | None:
+        return f"{self.location}/{suffix}" if self.location else None
+
+    def drop(self, spark=None) -> None:
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            for t in (self.meta_table, self.merges_table,
+                      self.symbols_table, self.pieces_table):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if self.location:
+            shutil.rmtree(self.location, ignore_errors=True)
+
+    def __enter__(self) -> "TokenizerArtifact":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.drop()
+
+
+def temp_tokenizer_artifact() -> TokenizerArtifact:
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
+
+    return TokenizerArtifact(
+        name=f"tok_idx_{_tok_uuid.uuid4().hex}",
+        location=session_tmpdir("tokenizer_artifact_"),
+    )
+
+
+def _tok_write(df: DataFrame, table: str, path: str | None) -> None:
+    w = df.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    df.sparkSession.catalog.refreshTable(table)
+
+
+def _tok_meta(spark, artifact: TokenizerArtifact, kind: str) -> None:
+    _tok_write(
+        spark.createDataFrame([(kind,)], "kind string"),
+        artifact.meta_table,
+        artifact._path("meta"),
+    )
+
+
+def save_bpe_tokenizer(
+    artifact: TokenizerArtifact, merges: DataFrame, symbol_ids: DataFrame
+) -> None:
+    """Persist a trained BPE tokenizer: the merge table AND the
+    symbol-id table derived from the TRAINING corpus (passing only
+    merges would re-derive ids per batch — the exact bug the
+    bpe_symbol_ids contract forbids)."""
+    spark = merges.sparkSession
+    _tok_meta(spark, artifact, "bpe")
+    _tok_write(merges, artifact.merges_table, artifact._path("merges"))
+    _tok_write(symbol_ids, artifact.symbols_table, artifact._path("symbols"))
+
+
+def save_wordpiece_tokenizer(
+    spark, artifact: TokenizerArtifact, vocab: list[str]
+) -> None:
+    """Persist an ORDERED WordPiece vocabulary (position IS the id)."""
+    _tok_meta(spark, artifact, "wordpiece")
+    _tok_write(
+        spark.createDataFrame(
+            [(i, p) for i, p in enumerate(vocab)], "pos long, piece string"
+        ),
+        artifact.pieces_table,
+        artifact._path("pieces"),
+    )
+
+
+def save_unigram_tokenizer(
+    spark, artifact: TokenizerArtifact, pieces: list[tuple[str, int]]
+) -> None:
+    """Persist ordered Unigram pieces with their Viterbi counts
+    (position IS the id; counts reconstruct the scoring distribution)."""
+    _tok_meta(spark, artifact, "unigram")
+    _tok_write(
+        spark.createDataFrame(
+            [(i, p, int(c)) for i, (p, c) in enumerate(pieces)],
+            "pos long, piece string, count long",
+        ),
+        artifact.pieces_table,
+        artifact._path("pieces"),
+    )
+
+
+def load_tokenizer(spark, artifact: TokenizerArtifact) -> dict:
+    """Load a persisted tokenizer back in exactly the shape its
+    encode function consumes: ``{"kind": "bpe", "merges": DataFrame,
+    "symbol_ids": DataFrame}`` /
+    ``{"kind": "wordpiece", "vocab": list[str]}`` /
+    ``{"kind": "unigram", "pieces": list[(piece, count)]}``."""
+    kind = spark.table(artifact.meta_table).collect()[0]["kind"]
+    if kind == "bpe":
+        return {
+            "kind": kind,
+            "merges": spark.table(artifact.merges_table),
+            "symbol_ids": spark.table(artifact.symbols_table),
+        }
+    rows = spark.table(artifact.pieces_table).orderBy("pos").collect()
+    if kind == "wordpiece":
+        return {"kind": kind, "vocab": [r["piece"] for r in rows]}
+    if kind == "unigram":
+        return {
+            "kind": kind,
+            "pieces": [(r["piece"], int(r["count"])) for r in rows],
+        }
+    raise ValueError(f"unknown tokenizer kind {kind!r}")

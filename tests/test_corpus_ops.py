@@ -1323,3 +1323,97 @@ class TestWordPiece:
         df = spark.createDataFrame([], "doc_id long, text string")
         with _pytest.raises(ValueError, match="empty corpus"):
             wordpiece_train(df, "text", vocab_size=10)
+
+
+class TestTokenizerArtifact:
+    """Tokenizer persistence (r8): train once → persist → load →
+    encode a NEW batch with ids identical to encoding with the
+    in-memory state — the cross-batch id contract made durable.
+    Temp artifacts are context-managed (no-residue, as the indexes)."""
+
+    TRAIN_ROWS = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "wide wider widest lower"),
+    ]
+    BATCH_ROWS = [(10, "low wide newer"), (11, "lowest newest")]
+
+    def _dfs(self, spark):
+        return (
+            spark.createDataFrame(self.TRAIN_ROWS, "doc_id long, text string"),
+            spark.createDataFrame(self.BATCH_ROWS, "doc_id long, text string"),
+        )
+
+    @staticmethod
+    def _ids(df):
+        return {r.doc_id: list(r.token_ids) for r in df.collect()}
+
+    def test_bpe_round_trip(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_symbol_ids,
+            bpe_train_merges_driver,
+            load_tokenizer,
+            save_bpe_tokenizer,
+            temp_tokenizer_artifact,
+        )
+
+        train, batch = self._dfs(spark)
+        merges = bpe_train_merges_driver(train, "text", "doc_id", n_merges=5)
+        syms = bpe_symbol_ids(train, "text", merges)
+        want = self._ids(bpe_encode(batch, "text", "doc_id", merges, syms))
+        with temp_tokenizer_artifact() as art:
+            save_bpe_tokenizer(art, merges, syms)
+            loaded = load_tokenizer(spark, art)
+            assert loaded["kind"] == "bpe"
+            got = self._ids(
+                bpe_encode(
+                    batch, "text", "doc_id",
+                    loaded["merges"], loaded["symbol_ids"],
+                )
+            )
+            assert got == want
+        # no-residue: tables dropped on exit
+        assert not spark.catalog.tableExists(art.merges_table)
+
+    def test_wordpiece_round_trip(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            load_tokenizer,
+            save_wordpiece_tokenizer,
+            temp_tokenizer_artifact,
+            wordpiece_encode,
+            wordpiece_train,
+        )
+
+        train, batch = self._dfs(spark)
+        vocab = wordpiece_train(train, "text", vocab_size=25)
+        want = self._ids(wordpiece_encode(batch, "text", "doc_id", vocab))
+        with temp_tokenizer_artifact() as art:
+            save_wordpiece_tokenizer(spark, art, vocab)
+            loaded = load_tokenizer(spark, art)
+            assert loaded["kind"] == "wordpiece" and loaded["vocab"] == vocab
+            got = self._ids(
+                wordpiece_encode(batch, "text", "doc_id", loaded["vocab"])
+            )
+            assert got == want
+
+    def test_unigram_round_trip(self, spark):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            load_tokenizer,
+            save_unigram_tokenizer,
+            temp_tokenizer_artifact,
+            unigram_encode,
+            unigram_train,
+        )
+
+        train, batch = self._dfs(spark)
+        pieces = unigram_train(train, "text", vocab_size=25, n_iters=1)
+        want = self._ids(unigram_encode(batch, "text", "doc_id", pieces))
+        with temp_tokenizer_artifact() as art:
+            save_unigram_tokenizer(spark, art, pieces)
+            loaded = load_tokenizer(spark, art)
+            assert loaded["kind"] == "unigram" and loaded["pieces"] == pieces
+            got = self._ids(
+                unigram_encode(batch, "text", "doc_id", loaded["pieces"])
+            )
+            assert got == want
