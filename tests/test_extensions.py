@@ -1709,3 +1709,92 @@ class TestQuantileRollup:
         )
         with _pytest.raises(ValueError, match="numeric"):
             build_quantile_rollup(facts, "grain", "v")
+
+
+class TestProfileTable:
+    """One-pass profiler (r8): exact counts/nulls/min/max, sane
+    distinct estimates, type dispatch (numeric moments, string
+    lengths, complex columns nulls-only), ONE job for the whole
+    profile, and the drift diff."""
+
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 4 != 0, F.col("id") % 10)
+            .cast("int")
+            .alias("num_nullable"),
+            F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("s"),
+            F.array(F.col("id")).alias("arr"),
+        )
+
+    def test_stats_exact_and_typed(self, spark):
+        from openaq_data_pipeline_spark.operators.profiling import (
+            profile_table,
+        )
+
+        prof = {r.column: r for r in profile_table(self._df(spark)).collect()}
+        k = prof["k"]
+        assert (k.n_rows, k.n_nulls, k.min_value, k.max_value) == (
+            100, 0, "0", "99",
+        )
+        assert abs(k.distinct_est - 100) <= 5  # HLL++ ~2.3% rsd
+        assert abs(k.mean - 49.5) < 1e-9
+        n = prof["num_nullable"]
+        assert n.n_nulls == 25  # every 4th id
+        s = prof["s"]
+        assert (s.min_value, s.max_value, s.avg_len) == ("s0", "s6", 2.0)
+        assert s.mean is None
+        arr = prof["arr"]
+        # complex column: nulls only
+        assert (arr.n_nulls, arr.distinct_est, arr.min_value) == (0, None, None)
+
+    def test_single_job(self, spark):
+        """The 100 TB property: profiling N columns must not scan N
+        times. The whole profile is one agg → at most a couple of
+        Spark jobs (the collect), never one per column."""
+        from openaq_data_pipeline_spark.operators.profiling import (
+            profile_table,
+        )
+
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        sc.setJobGroup("profile_job_count", "profile")
+        profile_table(self._df(spark)).collect()
+        jobs = tracker.getJobIdsForGroup("profile_job_count") or []
+        sc.setJobGroup(None, None)
+        # one agg job + the driver-built result's collect
+        assert len(jobs) <= 3, jobs
+
+    def test_unknown_column_raises(self, spark):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.profiling import (
+            profile_table,
+        )
+
+        with _pytest.raises(ValueError, match="unknown columns"):
+            profile_table(self._df(spark), columns=["nope"])
+
+    def test_drift_diff(self, spark):
+        from openaq_data_pipeline_spark.operators.profiling import (
+            profile_drift,
+            profile_table,
+        )
+        from pyspark.sql import functions as F
+
+        before = profile_table(self._df(spark))
+        broken = self._df(spark).select(
+            F.col("k").cast("string").alias("k"),           # type flip
+            F.when(F.col("k") % 2 == 0, F.col("num_nullable"))
+            .alias("num_nullable"),                          # null spike
+            "s",
+        )  # 'arr' dropped
+        after = profile_table(broken)
+        drift = {r.column: r for r in profile_drift(before, after).collect()}
+        assert drift["k"].dtype_changed
+        assert drift["num_nullable"].null_spike
+        assert not drift["s"].dtype_changed and not drift["s"].null_spike
+        assert drift["arr"].dtype_after is None and drift["arr"].dtype_changed
