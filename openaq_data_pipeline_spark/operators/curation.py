@@ -736,3 +736,95 @@ def leakage_safe_split(
         rep.cast("long").alias("cluster_rep"),
         expr.alias("split"),
     )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    members: dict[str, str],
+    n_shards: int,
+) -> DataFrame:
+    """Export samples as WebDataset-style ``.tar`` shards — the
+    public sequential-read format multimodal training loaders stream
+    (one tar per shard; each sample's members share a basename:
+    ``<key>.txt``, ``<key>.jpg``, …). ``members`` maps member
+    EXTENSION → source column; string columns encode UTF-8, binary
+    columns pass through, a NULL member is omitted from its sample
+    (the format's missing-key convention).
+
+    Plan shape: :func:`shard_assignments` supplies the deterministic
+    MD5 shuffle, then ONE exchange on shard_id feeds an
+    ``applyInPandas`` that streams each shard group straight into its
+    tar — rows never collect to the driver, shards write in parallel.
+    Returns the manifest (shard_id, n_samples, n_bytes, tar_path) —
+    collect/persist it as the export's receipt.
+
+    Determinism/retry contract: samples lay down in shard_pos order
+    with zeroed tar metadata (mtime/uid/gid), so the SAME input
+    produces byte-identical shards run-to-run — and a retried task
+    converges on the same bytes. Each tar stages to a ``.__tmp`` name
+    and renames into place, so readers never see a torn shard.
+    ``path`` must be a filesystem every executor mounts (local/NFS/
+    FUSE; an object-store deploy swaps the tarfile sink for a
+    multipart upload — same grouping plan)."""
+    import os as _os
+
+    if not members:
+        raise ValueError("members must map at least one extension to a column")
+    str_cols = {
+        ext: c
+        for ext, c in members.items()
+        if df.schema[c].dataType.simpleString() == "string"
+    }
+    assigned = shard_assignments(df.select(id_col), id_col, n_shards).join(
+        df, id_col
+    )
+
+    def write_shard(pdf):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        shard = int(pdf["shard_id"].iloc[0])
+        pdf = pdf.sort_values("shard_pos")
+        _os.makedirs(path, exist_ok=True)
+        tar_path = _os.path.join(path, f"shard-{shard:05d}.tar")
+        tmp = f"{tar_path}.__tmp"
+        n = 0
+        with tarfile.open(tmp, "w") as tar:
+            for _, row in pdf.iterrows():
+                key = f"{int(row['shard_pos']):09d}_{row[id_col]}"
+                for ext, col in sorted(members.items()):
+                    v = row[col]
+                    if v is None:
+                        continue
+                    data = (
+                        str(v).encode("utf-8") if ext in str_cols else bytes(v)
+                    )
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+                n += 1
+        _os.replace(tmp, tar_path)
+        return pd.DataFrame(
+            {
+                "shard_id": [shard],
+                "n_samples": [n],
+                "n_bytes": [_os.path.getsize(tar_path)],
+                "tar_path": [tar_path],
+            }
+        )
+
+    manifest_schema = (
+        "shard_id long, n_samples long, n_bytes long, tar_path string"
+    )
+    return (
+        assigned.repartition(n_shards, F.col("shard_id"))
+        .groupBy("shard_id")
+        .applyInPandas(write_shard, schema=manifest_schema)
+    )

@@ -591,3 +591,87 @@ class TestHtmlExtract:
         # Header · First · <b> · paragraph · here. · Second · line ·
         # tail · &lt; · text
         assert n == 10
+
+
+class TestWebdatasetShards:
+    """WebDataset tar export (r8): member layout and ordering, string
+    vs binary encoding, NULL-member omission, byte-determinism across
+    runs (the retry-convergence contract), manifest accuracy, no torn
+    temp files."""
+
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+            F.when(
+                F.col("id") % 3 != 0,
+                F.encode(F.concat(F.lit("img"), F.col("id").cast("string")), "utf-8"),
+            ).alias("img"),
+        )
+
+    def _export(self, spark, out):
+        from openaq_data_pipeline_spark.operators.curation import (
+            write_webdataset_shards,
+        )
+
+        manifest = write_webdataset_shards(
+            self._df(spark), out, "doc_id",
+            {"txt": "text", "jpg": "img"}, n_shards=3,
+        ).collect()
+        return sorted((r.shard_id, r.n_samples, r.n_bytes, r.tar_path)
+                      for r in manifest)
+
+    def test_layout_encoding_and_manifest(self, spark, tmp_path):
+        import glob
+        import tarfile
+
+        out = str(tmp_path / "wds")
+        manifest = self._export(spark, out)
+        assert sum(m[1] for m in manifest) == 10
+        assert sorted(glob.glob(f"{out}/*.tar")) == [m[3] for m in manifest]
+        assert glob.glob(f"{out}/*.__tmp") == []
+        seen_txt, seen_jpg = [], []
+        for shard_id, n, n_bytes, tar_path in manifest:
+            import os
+
+            assert os.path.getsize(tar_path) == n_bytes
+            with tarfile.open(tar_path) as tar:
+                names = tar.getnames()
+                # members lay down in shard_pos order, sample-major
+                keys = [nm.rsplit(".", 1)[0] for nm in names]
+                assert keys == sorted(keys)
+                for nm in names:
+                    data = tar.extractfile(nm).read()
+                    doc = int(nm.rsplit(".", 1)[0].split("_")[1])
+                    if nm.endswith(".txt"):
+                        assert data == f"text-{doc}".encode()
+                        seen_txt.append(doc)
+                    else:
+                        assert data == f"img{doc}".encode()
+                        seen_jpg.append(doc)
+        assert sorted(seen_txt) == list(range(10))
+        # NULL members (ids ≡ 0 mod 3) are omitted, not empty
+        assert sorted(seen_jpg) == [i for i in range(10) if i % 3 != 0]
+
+    def test_byte_deterministic_across_runs(self, spark, tmp_path):
+        out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+        m1, m2 = self._export(spark, out1), self._export(spark, out2)
+        assert [(s, n, b) for s, n, b, _ in m1] == [
+            (s, n, b) for s, n, b, _ in m2
+        ]
+        for (_, _, _, p1), (_, _, _, p2) in zip(m1, m2):
+            assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_empty_members_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            write_webdataset_shards,
+        )
+
+        with _pytest.raises(ValueError, match="at least one"):
+            write_webdataset_shards(
+                self._df(spark), str(tmp_path), "doc_id", {}, 2
+            )
