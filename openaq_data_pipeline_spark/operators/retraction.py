@@ -315,3 +315,119 @@ def retract_from_lake(
         rewritten.append(name)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}__retract_{token}"), True)
     return sorted(rewritten)
+
+
+# --- denylist: the BLOCK complement of retraction -----------------------
+#
+# Retraction FORGETS (module docstring); a takedown that must also
+# keep the content out forever needs its fingerprints remembered in a
+# separate blocklist and every ingest batch filtered against it. The
+# denylist is deliberately NOT the exact-dedup index: the index maps
+# fingerprint → surviving doc (and retraction scrubs it); the
+# denylist is a bare fingerprint set with no document ids at all —
+# storing ids of content you were ordered to delete defeats the
+# point.
+
+
+from dataclasses import dataclass as _dataclass  # noqa: E402
+import uuid as _uuid  # noqa: E402
+
+
+@_dataclass(frozen=True)
+class Denylist:
+    """Handle for a persisted blocklist — ONE bucketed table
+    ``{name}_fps`` (fingerprint string) of MD5s of normalized text
+    (`text.fingerprint`, the exact-dedup tier's key), bucketed on the
+    fingerprint so the ingest-gate join is bucket-local."""
+
+    name: str
+    n_buckets: int = 32
+    location: str | None = None
+
+    @property
+    def fps_table(self) -> str:
+        return f"{self.name}_fps"
+
+    def _path(self) -> str | None:
+        return f"{self.location}/fps" if self.location else None
+
+    def drop(self, spark=None) -> None:
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self.fps_table}")
+        if self.location:
+            shutil.rmtree(self.location, ignore_errors=True)
+
+    def __enter__(self) -> "Denylist":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.drop()
+
+
+def temp_denylist(n_buckets: int = 4) -> Denylist:
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
+
+    return Denylist(
+        name=f"denylist_idx_{_uuid.uuid4().hex}",
+        n_buckets=n_buckets,
+        location=session_tmpdir("denylist_"),
+    )
+
+
+def _fps_of(docs: DataFrame, text_col: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import fingerprint
+
+    return docs.select(
+        fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+
+
+def add_to_denylist(
+    docs: DataFrame, text_col: str, denylist: Denylist
+) -> None:
+    """Fingerprint ``docs`` and add them to the blocklist (append,
+    or bootstrap when the table doesn't exist). Only the MD5s land —
+    never ids or text."""
+    from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+    spark = docs.sparkSession
+    mode = (
+        "append" if spark.catalog.tableExists(denylist.fps_table) else "overwrite"
+    )
+    save_bucketed(
+        _fps_of(docs, text_col),
+        denylist.fps_table,
+        "fingerprint",
+        denylist.n_buckets,
+        mode=mode,
+        path=denylist._path(),
+    )
+
+
+def denylist_gate(
+    batch: DataFrame, text_col: str, id_col: str, denylist: Denylist
+) -> DataFrame:
+    """(*batch columns, blocked boolean) — every batch row flagged
+    against the blocklist. The ingest pipeline filters
+    ``~blocked`` BEFORE the dedup gates (a blocked doc must not
+    become a survivor). One fingerprint projection + one LEFT join
+    whose index side is bucket-local on the MD5 key — the
+    incremental-exact-dedup plan shape, batch-sized cost."""
+    from openaq_data_pipeline_spark.operators.text import fingerprint
+
+    spark = batch.sparkSession
+    fps = spark.table(denylist.fps_table).distinct().withColumn(
+        "__blocked", F.lit(True)
+    )
+    out = (
+        batch.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        .join(fps, "fingerprint", "left")
+        .withColumn("blocked", F.coalesce(F.col("__blocked"), F.lit(False)))
+        .drop("fingerprint", "__blocked")
+    )
+    return out

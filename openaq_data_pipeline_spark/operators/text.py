@@ -399,3 +399,76 @@ def html_title(html: Column) -> Column:
         t = F.regexp_replace(t, ent, rep)
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return F.when(t != "", t)
+
+
+# --- URL canonicalization (r8): crawl-frontier hygiene ------------------
+#
+# The other front-door operation of a crawl pipeline: the same page
+# arrives under dozens of URL spellings (tracking params, host case,
+# default ports, fragments, param order), and URL-level dedup /
+# frontier scheduling needs ONE canonical spelling per resource.
+# Everything below is builtin expressions (parse_url + array ops —
+# codegen, no UDF, no shuffle).
+
+# query parameters that identify a CLICK, not a resource
+TRACKING_PARAMS = [
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "utm_id", "gclid", "fbclid", "msclkid", "mc_eid",
+    "igshid", "ref_src",
+]
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host, NULL for unparseable input (try_parse_url
+    — ANSI parse_url throws on malformed URLs)."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def canonicalize_url(url: Column, tracking: list[str] | None = None) -> Column:
+    """One canonical spelling per resource: scheme and host lowercase
+    (paths stay case-sensitive), default ports stripped, fragment
+    dropped, tracking parameters removed, surviving query parameters
+    SORTED (param order is transport noise), empty path → ``/``.
+    NULL when the input has no parseable scheme+host. Compose with
+    `dedup.exact_dedup`-style hash grouping for URL-level dedup, or
+    group the frontier by :func:`url_host` for per-host politeness."""
+    tracked = [t.lower() for t in (tracking or TRACKING_PARAMS)]
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    host = url_host(url)
+    authority = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.coalesce(
+        *[
+            F.when(scheme == s, F.lit(p))
+            for s, p in _DEFAULT_PORTS.items()
+        ],
+        F.lit(""),
+    )
+    port_part = F.when(
+        (port != "") & (port != default_port), F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.try_parse_url(url, F.lit("PATH"))
+    path_part = F.when(
+        path.isNull() | (path == ""), F.lit("/")
+    ).otherwise(path)
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(query, F.lit("")), "&"),
+                lambda p: (p != "")
+                & ~F.lower(F.substring_index(p, "=", 1)).isin(tracked),
+            )
+        ),
+        "&",
+    )
+    query_part = F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(
+        F.lit("")
+    )
+    return F.when(
+        (scheme != "") & host.isNotNull() & (host != ""),
+        F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part),
+    )

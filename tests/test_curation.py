@@ -675,3 +675,57 @@ class TestWebdatasetShards:
             write_webdataset_shards(
                 self._df(spark), str(tmp_path), "doc_id", {}, 2
             )
+
+
+class TestCanonicalizeUrl:
+    """URL canonicalization (r8): the crawl-frontier dedup key — one
+    spelling per resource. Codegen-only (try_parse_url + array ops)."""
+
+    def _canon(self, spark, urls):
+        from openaq_data_pipeline_spark.operators.text import canonicalize_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, u string"
+        )
+        rows = df.select("id", canonicalize_url(F.col("u")).alias("c")).collect()
+        return [r.c for r in sorted(rows, key=lambda r: r.id)]
+
+    def test_variants_collapse_to_one_spelling(self, spark):
+        got = self._canon(spark, [
+            "HTTPS://Example.COM:443/Path/Page?b=2&utm_source=x&a=1#frag",
+            "https://example.com/Path/Page?a=1&b=2",
+            "https://example.com/Path/Page?b=2&a=1&fbclid=zzz",
+        ])
+        assert len(set(got)) == 1
+        assert got[0] == "https://example.com/Path/Page?a=1&b=2"
+
+    def test_ports_paths_and_case(self, spark):
+        got = self._canon(spark, [
+            "http://example.com",                 # empty path → /
+            "http://example.com:80/",             # default port stripped
+            "http://example.com:8080/x?gclid=1",  # non-default kept
+            "http://EXAMPLE.com/CaseSensitive",   # path case preserved
+        ])
+        assert got[0] == got[1] == "http://example.com/"
+        assert got[2] == "http://example.com:8080/x"
+        assert got[3] == "http://example.com/CaseSensitive"
+
+    def test_unparseable_is_null(self, spark):
+        got = self._canon(spark, ["not a url", "ftp//broken", ""])
+        assert got == [None, None, None]
+
+    def test_url_host_and_custom_tracking(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            canonicalize_url,
+            url_host,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "https://WWW.Ex.org/a?sid=1&x=2")], "id long, u string"
+        )
+        r = df.select(
+            url_host(F.col("u")).alias("h"),
+            canonicalize_url(F.col("u"), tracking=["sid"]).alias("c"),
+        ).collect()[0]
+        assert r.h == "www.ex.org"
+        assert r.c == "https://www.ex.org/a?x=2"

@@ -431,3 +431,81 @@ class TestRetractFromLake:
         before = sorted(glob.glob(f"{path}/*.parquet"))
         assert retract_from_lake(spark, path, [99], "doc_id") == []
         assert sorted(glob.glob(f"{path}/*.parquet")) == before
+
+
+class TestDenylist:
+    """The block complement of retraction: takedown = retract (forget)
+    + denylist (block). Blocked content is refused at ingest even
+    after the exact index forgot it; the blocklist stores only MD5s."""
+
+    def test_full_takedown_story(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.operators.retraction import (
+            add_to_denylist,
+            denylist_gate,
+            temp_denylist,
+        )
+
+        corpus = _df(spark, TRAIN)
+        taken_down = corpus.where(F.col("doc_id") == 0)
+        with temp_exact_index(n_buckets=4) as idx, temp_denylist() as dl:
+            build_exact_index(corpus, "text", "doc_id", idx)
+            # takedown: block FIRST (needs the text), then forget
+            add_to_denylist(taken_down, "text", dl)
+            retract_documents(spark, idx, [0], id_col="doc_id")
+            # re-submission of the taken-down content: the exact index
+            # would now accept it as new — the gate refuses it
+            resub = _df(spark, [(300, TRAIN[0][1]), (301, "fresh new words")])
+            gated = {
+                r.doc_id: r.blocked
+                for r in denylist_gate(resub, "text", "doc_id", dl).collect()
+            }
+            assert gated == {300: True, 301: False}
+            passed = denylist_gate(resub, "text", "doc_id", dl).where(
+                ~F.col("blocked")
+            )
+            got = [
+                (r.doc_id, r.kept)
+                for r in incremental_exact_dedup(
+                    passed.select("doc_id", "text"), "text", "doc_id", idx,
+                    update_index=False,
+                ).collect()
+            ]
+            assert got == [(301, True)]
+
+    def test_denylist_stores_only_fingerprints(self, spark):
+        from openaq_data_pipeline_spark.operators.retraction import (
+            add_to_denylist,
+            temp_denylist,
+        )
+
+        with temp_denylist() as dl:
+            add_to_denylist(_df(spark, TRAIN), "text", dl)
+            schema = spark.table(dl.fps_table).schema
+            assert [f.name for f in schema.fields] == ["fingerprint"]
+            assert spark.table(dl.fps_table).count() == len(TRAIN)
+
+    def test_append_and_normalization_insensitivity(self, spark):
+        from openaq_data_pipeline_spark.operators.retraction import (
+            add_to_denylist,
+            denylist_gate,
+            temp_denylist,
+        )
+
+        with temp_denylist() as dl:
+            add_to_denylist(_df(spark, TRAIN[:1]), "text", dl)
+            add_to_denylist(_df(spark, TRAIN[1:2]), "text", dl)  # append path
+            # case/whitespace variants hash to the same fingerprint
+            variant = "  The  QUICK brown fox jumps over the lazy dog today "
+            got = {
+                r.doc_id: r.blocked
+                for r in denylist_gate(
+                    _df(spark, [(1, variant), (2, TRAIN[1][1]), (3, "other")]),
+                    "text", "doc_id", dl,
+                ).collect()
+            }
+            assert got == {1: True, 2: True, 3: False}
