@@ -431,3 +431,37 @@ def denylist_gate(
         .drop("fingerprint", "__blocked")
     )
     return out
+
+
+def retract_from_span_index(
+    docs: DataFrame,
+    index,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Retract documents from a span-tier window-count index
+    (:class:`~openaq_data_pipeline_spark.operators.spans.SpanIndex`).
+    The span index stores per-window DISTINCT-DOC COUNTS, not ids, so
+    the generic :func:`retract_documents` walk correctly leaves it
+    untouched — an id list alone cannot say which windows a document
+    contributed. But the counts are SUM-reaggregatable (that is the
+    index's own append contract), so retraction with the documents'
+    TEXT in hand — which a takedown has, it is what is being taken
+    down — appends one batch of NEGATED window counts: probes
+    re-aggregate to exactly the counts of an index that never held
+    the documents. One shingle pass over the retracted docs, one
+    bucketed append; history is never re-read."""
+    from openaq_data_pipeline_spark.operators.spans import _window_counts
+    from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+    neg = _window_counts(docs, index.k, id_col, text_col).select(
+        "h", (-F.col("n_docs")).alias("n_docs")
+    )
+    save_bucketed(
+        neg,
+        index.windows_table,
+        "h",
+        index.n_buckets,
+        mode="append",
+        path=(f"{index.location}/windows" if index.location else None),
+    )

@@ -509,3 +509,59 @@ class TestDenylist:
                 ).collect()
             }
             assert got == {1: True, 2: True, 3: False}
+
+
+class TestRetractSpanIndex:
+    """Count-only index: retraction appends NEGATED window counts
+    (the text is in hand at takedown time), so probes equal an index
+    that never held the documents; the generic id walk leaves the
+    counts table untouched by design."""
+
+    def test_negative_counts_equal_rebuild_without(self, spark):
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_span_index,
+        )
+        from openaq_data_pipeline_spark.operators.spans import (
+            SpanIndex,
+            build_span_index,
+            incremental_duplicated_spans,
+        )
+        from openaq_data_pipeline_spark.tmproots import session_tmpdir
+        import uuid
+
+        corpus = _df(spark, [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ])
+        # shares an 8-word window with doc 0 only
+        batch = _df(spark, [(100, "alpha beta gamma delta epsilon zeta eta theta more")])
+
+        def probe(idx):
+            return sorted(
+                (r.doc_id, r.span_start, r.span_end)
+                for r in incremental_duplicated_spans(
+                    batch, idx, update_index=False
+                ).collect()
+            )
+
+        def make(docs):
+            idx = SpanIndex(
+                name=f"span_rt_{uuid.uuid4().hex}", k=8, min_docs=2,
+                n_buckets=4, location=session_tmpdir("span_rt_"),
+            )
+            build_span_index(docs, idx)
+            return idx
+
+        with make(corpus) as idx, make(
+            corpus.where(F.col("doc_id") != 0)
+        ) as ref:
+            before = probe(idx)
+            assert before, "fixture batch shares no window with history"
+            # generic id walk: counts table untouched (no id columns)
+            assert retract_documents(spark, idx, [0], id_col="doc_id") == []
+            assert probe(idx) == before
+            # text-in-hand retraction: negative counts land
+            retract_from_span_index(
+                corpus.where(F.col("doc_id") == 0), idx
+            )
+            assert probe(idx) == probe(ref) == []
