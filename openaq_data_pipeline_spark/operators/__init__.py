@@ -20,20 +20,29 @@ Extensions (100 TB training-data pipeline ops):
                      index; RRF hybrid fusion; MMR re-ranking
   ``text``         — language-ID, quality scoring (incl. the Gopher
                      rule battery), token counting, fingerprinting,
-                     repetition signals, Unicode normalization
+                     repetition signals, Unicode normalization,
+                     HTML→text extraction, URL canonicalization
   ``lm``           — add-one bigram and stupid-backoff trigram LM
                      quality gates (fixed-point + log-likelihood)
   ``tokenizer``    — BPE (distributed + driver trainer, encode to
-                     ids) and unigram-LM (hard-EM Viterbi)
+                     ids), unigram-LM (hard-EM Viterbi), WordPiece
+                     (likelihood-scored merges, greedy encode),
+                     persisted tokenizer artifacts
   ``curation``     — decontamination, stratified / mixture / PPS
                      sampling, chunking, packing, PII, boilerplate,
-                     leakage-safe splitting, shard export
+                     leakage-safe splitting, shard + WebDataset export
   ``classifier``   — DataFrame-native logistic-regression quality gate
   ``graph``        — fixed-point PageRank (Pregel-style supersteps)
-  ``sketches``     — persisted mergeable HLL rollups
+  ``sketches``     — persisted mergeable HLL + KLL-quantile rollups
   ``ids``          — global contiguous ids + global cumulative sums
   ``multimodal``   — real BMP/PPM/PNG/JPEG, WAV, MJPEG-in-AVI codecs
-                     over binary columns (Arrow mapInPandas)
+                     over binary columns (Arrow mapInPandas);
+                     perceptual image pHash + acoustic fingerprints
+                     on the SimHash band layout
   ``temporal`` / ``history`` — as-of & range joins; SCD-2 / CDC /
                      gap-fill
+  ``retraction``   — takedown propagation: scrub every persisted
+                     index + partition-pruned lake deletes +
+                     denylist ingest gate
+  ``profiling``    — one-pass column statistics + feed drift diff
 """
