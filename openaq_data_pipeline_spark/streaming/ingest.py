@@ -42,13 +42,19 @@ def dedup_gate(
     id_col: str,
     index: ExactIndex,
     survivors_path: str,
+    denylist=None,
 ):
     """The ``foreachBatch`` body: disposition the micro-batch against
     the index (appending new survivors to it), then land the KEPT
     documents — full rows, not just ids — under a per-batch partition
-    of the survivors sink."""
+    of the survivors sink. ``denylist``
+    (:class:`~openaq_data_pipeline_spark.operators.retraction.Denylist`)
+    refuses blocked content BEFORE the dedup gate ever sees it — a
+    blocked doc must not become a survivor, and replays re-refuse it
+    (the gate is a pure filter)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
         disp = incremental_exact_dedup(batch_df, text_col, id_col, index)
         kept = batch_df.join(
             disp.filter("kept").select(id_col), id_col, "inner"
@@ -64,6 +70,22 @@ def dedup_gate(
     return _process
 
 
+def _apply_denylist(batch_df: DataFrame, text_col: str, id_col: str, denylist):
+    """Filter blocked rows out of a micro-batch (no-op without a
+    denylist) — the streaming face of
+    `operators/retraction.denylist_gate`, batch-tier operator reused
+    verbatim."""
+    if denylist is None:
+        return batch_df
+    from openaq_data_pipeline_spark.operators.retraction import denylist_gate
+
+    return (
+        denylist_gate(batch_df, text_col, id_col, denylist)
+        .where(~F.col("blocked"))
+        .drop("blocked")
+    )
+
+
 def stream_corpus_ingest(
     stream_df: DataFrame,
     text_col: str,
@@ -72,6 +94,7 @@ def stream_corpus_ingest(
     survivors_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    denylist=None,
 ):
     """Start the gated ingestion stream and return the query handle.
     ``available_now=True`` drains the backlog then stops (the test /
@@ -80,7 +103,7 @@ def stream_corpus_ingest(
     own a named one)."""
     writer = (
         stream_df.writeStream.foreachBatch(
-            dedup_gate(text_col, id_col, index, survivors_path)
+            dedup_gate(text_col, id_col, index, survivors_path, denylist)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
@@ -99,6 +122,7 @@ def fuzzy_dedup_gate(
     exact_index: ExactIndex,
     fuzzy_index,
     survivors_path: str,
+    denylist=None,
 ):
     """``foreachBatch`` body running the FULL incremental funnel per
     micro-batch: the exact gate first (byte-duplicates are the bulk
@@ -134,6 +158,7 @@ def fuzzy_dedup_gate(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
         disp = incremental_exact_dedup(batch_df, text_col, id_col, exact_index)
         exact_kept = batch_df.join(
             disp.filter("kept").select(id_col), id_col, "inner"
@@ -180,13 +205,15 @@ def stream_corpus_ingest_fuzzy(
     survivors_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    denylist=None,
 ):
     """Start the two-gate gated ingestion stream; same lifecycle
     contract as :func:`stream_corpus_ingest`."""
     writer = (
         stream_df.writeStream.foreachBatch(
             fuzzy_dedup_gate(
-                text_col, id_col, exact_index, fuzzy_index, survivors_path
+                text_col, id_col, exact_index, fuzzy_index, survivors_path,
+                denylist,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

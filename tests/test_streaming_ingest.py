@@ -256,3 +256,62 @@ class TestStreamCorpusIngestFuzzy:
             assert first == second == [11, 12]
             # marker prevented a double append
             assert spark.table(fidx.bands_table).count() == n_band_rows
+
+
+class TestStreamDenylistGate:
+    """Denylist composed into the streaming funnel (r8): blocked
+    content is refused at EVERY micro-batch before the dedup gates —
+    it never lands in survivors and never enters the index (a
+    blocked doc must not become a survivor other docs dedup
+    against)."""
+
+    def test_blocked_content_never_survives_or_indexes(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_spark.operators.retraction import (
+            add_to_denylist,
+            temp_denylist,
+        )
+
+        src = str(tmp_path / "incoming")
+        out = str(tmp_path / "survivors")
+        ckpt = str(tmp_path / "ckpt")
+        blocked_text = "forbidden content here"
+        _write_file(spark, [(10, blocked_text), (11, "fine one")], src)
+        time.sleep(1.1)
+        # batch 2 re-submits the blocked text under a new id
+        _write_file(spark, [(20, blocked_text), (21, "fine two")], src)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with temp_exact_index(n_buckets=4) as idx, temp_denylist() as dl:
+            add_to_denylist(
+                spark.createDataFrame([(0, blocked_text)], SCHEMA), "text", dl
+            )
+            build_exact_index(
+                spark.createDataFrame(HISTORY, SCHEMA), "text", "doc_id", idx
+            )
+            q = stream_corpus_ingest(
+                stream, "text", "doc_id", idx, out, ckpt, denylist=dl
+            )
+            q.awaitTermination(120)
+            kept = {
+                r.doc_id for r in spark.read.parquet(out).collect()
+            }
+            assert kept == {11, 21}
+            # the blocked fingerprint never entered the exact index
+            from openaq_data_pipeline_spark.operators.text import fingerprint
+
+            fp_rows = (
+                spark.table(idx.hashes_table)
+                .where(
+                    F.col("fingerprint")
+                    == spark.createDataFrame([(0, blocked_text)], SCHEMA)
+                    .select(fingerprint(F.col("text")).alias("f"))
+                    .collect()[0]["f"]
+                )
+                .count()
+            )
+            assert fp_rows == 0
