@@ -772,11 +772,19 @@ def write_webdataset_shards(
 
     if not members:
         raise ValueError("members must map at least one extension to a column")
-    str_cols = {
-        ext: c
-        for ext, c in members.items()
-        if df.schema[c].dataType.simpleString() == "string"
-    }
+    # member columns must be string or binary: bytes(int) would write
+    # N zero bytes and numeric NULLs arrive as NaN (review finding) —
+    # cast/serialize upstream (e.g. to_json for metadata columns)
+    str_cols = set()
+    for ext, c in members.items():
+        dt = df.schema[c].dataType.simpleString()
+        if dt == "string":
+            str_cols.add(ext)
+        elif dt != "binary":
+            raise ValueError(
+                f"member '{ext}' column '{c}' is {dt}; members must be "
+                "string or binary — cast or to_json it first"
+            )
     assigned = shard_assignments(df.select(id_col), id_col, n_shards).join(
         df, id_col
     )

@@ -118,7 +118,9 @@ def _plan(schema: StructType, ids: list, id_names: frozenset):
         elif f.name in id_names and not isinstance(dt, StructType):
             lit = _lit_ids(ids, dt)
             projs.append(col)
-            keeps.append(~F.array_contains(lit, col))
+            # NULL-safe keep: array_contains(lit, NULL) is NULL and a
+            # bare where(NULL) would drop NULL-id rows (review finding)
+            keeps.append(F.coalesce(~F.array_contains(lit, col), F.lit(True)))
             matches.append(F.array_contains(lit, col))
             continue
         projs.append(col)
@@ -202,18 +204,11 @@ def retract_documents(
     ):
         correction = _bm25_stats_correction(spark, index, ids, id_col)
 
-    from openaq_data_pipeline_spark.sources.maintenance import _describe_bucketed
+    from openaq_data_pipeline_spark.sources.maintenance import (
+        bucketed_tables_of,
+    )
 
-    for attr in sorted(dir(type(index))):
-        if not attr.endswith("_table"):
-            continue
-        table = getattr(index, attr)
-        if not spark.catalog.tableExists(table):
-            continue
-        try:
-            _describe_bucketed(spark, table)
-        except ValueError:
-            continue  # non-bucketed side table (batch stats, centroids)
+    for _, table in bucketed_tables_of(spark, index):
         if retract_from_table(spark, table, ids, id_names):
             touched.append(table)
 
@@ -259,12 +254,16 @@ def retract_from_lake(
     Scale: cost is one id-column scan plus a rewrite of ONLY the
     affected partitions — a takedown touching 3 days of a 10-year
     lake rewrites 3 days."""
+    import os
     import uuid
-    from urllib.parse import unquote
 
     df = spark.read.parquet(path)
     lit = _lit_ids(ids, df.schema[id_col].dataType)
     hit = F.array_contains(lit, F.col(id_col))
+    # the KEEP filter must be NULL-safe: array_contains(lit, NULL) is
+    # NULL, and where(NULL) would silently delete every NULL-id row
+    # from the lake on any retraction (review finding)
+    keep = F.coalesce(~hit, F.lit(True))
     if not ids or not df.where(hit).take(1):
         return []
     token = uuid.uuid4().hex[:8]
@@ -282,25 +281,33 @@ def retract_from_lake(
 
     if partition_col is None:
         staged = f"{path}__retract_{token}"
-        df.where(~hit).write.mode("overwrite").parquet(staged)
+        df.where(keep).write.mode("overwrite").parquet(staged)
         swap(path, staged)
         return [path]
 
-    # which partitions hold retracted rows — one pruned scan
+    # which partition DIRECTORIES hold retracted rows — taken from the
+    # hit rows' own file paths, never by re-spelling inferred
+    # partition VALUES (casting 'hour=03' through an inferred int
+    # yields '3' and the match silently misses — review finding; file
+    # paths also cover __HIVE_DEFAULT_PARTITION__ null partitions)
     affected = {
-        str(r["__p"])
+        os.path.basename(os.path.dirname(r["__f"]))
         for r in df.where(hit)
-        .select(F.col(partition_col).cast("string").alias("__p"))
+        .select(F.input_file_name().alias("__f"))
         .distinct()
         .collect()
     }
     prefix = f"{partition_col}="
+    bad = {d for d in affected if not d.startswith(prefix)}
+    if bad:
+        raise ValueError(
+            f"retract_from_lake: hit rows live outside '{prefix}*' "
+            f"partition dirs ({sorted(bad)[:3]}) — wrong partition_col?"
+        )
     rewritten = []
     for entry in fs.listStatus(jpath):
         name = entry.getPath().getName()
-        if not entry.isDirectory() or not name.startswith(prefix):
-            continue
-        if unquote(name[len(prefix):]) not in affected:
+        if not entry.isDirectory() or name not in affected:
             continue
         live = f"{path}/{name}"
         staged = f"{path}__retract_{token}/{name}"
@@ -308,9 +315,9 @@ def retract_from_lake(
         # this read, so the staged files keep the exact layout
         part = spark.read.parquet(live)
         plit = _lit_ids(ids, part.schema[id_col].dataType)
-        part.where(~F.array_contains(plit, F.col(id_col))).write.mode(
-            "overwrite"
-        ).parquet(staged)
+        part.where(
+            F.coalesce(~F.array_contains(plit, F.col(id_col)), F.lit(True))
+        ).write.mode("overwrite").parquet(staged)
         swap(live, staged)
         rewritten.append(name)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}__retract_{token}"), True)
@@ -417,20 +424,31 @@ def denylist_gate(
     ``~blocked`` BEFORE the dedup gates (a blocked doc must not
     become a survivor). One fingerprint projection + one LEFT join
     whose index side is bucket-local on the MD5 key — the
-    incremental-exact-dedup plan shape, batch-sized cost."""
+    incremental-exact-dedup plan shape, batch-sized cost.
+
+    A never-bootstrapped denylist (no :func:`add_to_denylist` yet)
+    blocks nothing rather than erroring, so the gate can be wired
+    into an ingest stream before the first takedown ever lands; the
+    join key rides a reserved temp column, so a batch that already
+    carries a ``fingerprint`` column passes through untouched (review
+    findings)."""
     from openaq_data_pipeline_spark.operators.text import fingerprint
 
     spark = batch.sparkSession
-    fps = spark.table(denylist.fps_table).distinct().withColumn(
-        "__blocked", F.lit(True)
+    if not spark.catalog.tableExists(denylist.fps_table):
+        return batch.withColumn("blocked", F.lit(False))
+    fps = (
+        spark.table(denylist.fps_table)
+        .select(F.col("fingerprint").alias("__dl_fp"))
+        .distinct()
+        .withColumn("__dl_blocked", F.lit(True))
     )
-    out = (
-        batch.withColumn("fingerprint", fingerprint(F.col(text_col)))
-        .join(fps, "fingerprint", "left")
-        .withColumn("blocked", F.coalesce(F.col("__blocked"), F.lit(False)))
-        .drop("fingerprint", "__blocked")
+    return (
+        batch.withColumn("__dl_fp", fingerprint(F.col(text_col)))
+        .join(fps, "__dl_fp", "left")
+        .withColumn("blocked", F.coalesce(F.col("__dl_blocked"), F.lit(False)))
+        .drop("__dl_fp", "__dl_blocked")
     )
-    return out
 
 
 def retract_from_span_index(

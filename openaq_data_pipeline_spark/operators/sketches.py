@@ -127,6 +127,26 @@ def _kll_fold(arr_col, value_type: str):
     )
 
 
+def _merged_slice(
+    rollup: DataFrame, group_cols: list[str] | None, value_type: str
+):
+    """(grouped, merged): the shared group → collect_list → fold
+    scaffolding behind both query functions — one place to evolve the
+    merge path."""
+    if value_type not in _KLL_SUFFIX:
+        raise ValueError(f"value_type must be one of {sorted(_KLL_SUFFIX)}")
+    base = [
+        F.sum("n_rows").alias("n_rows"),
+        F.collect_list("quantile_sketch").alias("__sk"),
+    ]
+    grouped = (
+        rollup.groupBy(*group_cols).agg(*base)
+        if group_cols
+        else rollup.agg(*base)
+    )
+    return grouped, _kll_fold(F.col("__sk"), value_type)
+
+
 def rollup_quantiles(
     rollup: DataFrame,
     probs: list[float],
@@ -137,19 +157,8 @@ def rollup_quantiles(
     (*group_cols, n_rows, q_<p>...). Filter the rollup by grain range
     BEFORE calling — the fact table is never touched. Column naming:
     p=0.5 → ``q_0_5``."""
-    if value_type not in _KLL_SUFFIX:
-        raise ValueError(f"value_type must be one of {sorted(_KLL_SUFFIX)}")
+    grouped, merged = _merged_slice(rollup, group_cols, value_type)
     q_fn = getattr(F, f"kll_sketch_get_quantile_{value_type}")
-    base = [
-        F.sum("n_rows").alias("n_rows"),
-        F.collect_list("quantile_sketch").alias("__sk"),
-    ]
-    grouped = (
-        rollup.groupBy(*group_cols).agg(*base)
-        if group_cols
-        else rollup.agg(*base)
-    )
-    merged = _kll_fold(F.col("__sk"), value_type)
     cols = [*(group_cols or []), "n_rows"] + [
         q_fn(merged, F.lit(p)).alias(f"q_{str(p).replace('.', '_')}")
         for p in probs
@@ -167,19 +176,8 @@ def rollup_rank(
     with ``value_col`` ≤ ``value`` over the merged slice: the SLA
     query ('what share of latencies in this range were under X')
     without rescanning facts."""
-    if value_type not in _KLL_SUFFIX:
-        raise ValueError(f"value_type must be one of {sorted(_KLL_SUFFIX)}")
+    grouped, merged = _merged_slice(rollup, group_cols, value_type)
     r_fn = getattr(F, f"kll_sketch_get_rank_{value_type}")
-    base = [
-        F.sum("n_rows").alias("n_rows"),
-        F.collect_list("quantile_sketch").alias("__sk"),
-    ]
-    grouped = (
-        rollup.groupBy(*group_cols).agg(*base)
-        if group_cols
-        else rollup.agg(*base)
-    )
-    merged = _kll_fold(F.col("__sk"), value_type)
     cols = [*(group_cols or []), "n_rows",
             r_fn(merged, F.lit(value).cast(value_type)).alias("rank")]
     return grouped.select(*cols)

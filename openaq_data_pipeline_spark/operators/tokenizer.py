@@ -742,6 +742,13 @@ def wordpiece_train_local(
         s for s in unit_counts if s.startswith("##")
     )
     merged: list[str] = []
+    # a popped pair can RE-FORM when later merges recreate its
+    # adjacency and win again; the merge still applies (consuming the
+    # occurrences) but the piece must not enter the vocabulary twice —
+    # a duplicate row would break the position-is-the-id contract
+    # (review finding). Termination is unaffected: every application
+    # strictly reduces total symbol mass.
+    seen = set(base)
     while len(base) + len(merged) < vocab_size:
         best = None
         bc = None  # (c_pair, c_lhs, c_rhs) of the current best
@@ -781,7 +788,9 @@ def wordpiece_train_local(
             words[wi] = new
         pair_counts.pop(best, None)
         pair_words.pop(best, None)
-        merged.append(m)
+        if m not in seen:
+            seen.add(m)
+            merged.append(m)
     return base + merged
 
 

@@ -181,15 +181,16 @@ def bucket_file_stats(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
-def compact_index(spark: SparkSession, index, max_files: int = 8) -> list[str]:
-    """Compact every bucketed table of a persisted-index handle
-    (DedupIndex / ExactIndex / FuzzyIndex / SimhashIndex / Bm25Index /
-    IvfIndex — any object exposing ``*_table`` properties) that has a
-    bucket past ``max_files`` files. Non-bucketed side tables (batch
-    stats, centroids) are skipped — they hold one tiny row set per
-    batch and never dominate probe IO. Returns the table names
-    rewritten. The per-table gate stays metadata-only."""
-    compacted = []
+def bucketed_tables_of(spark: SparkSession, index) -> list[tuple[str, str]]:
+    """(attr, table) for every EXISTING bucketed table of a
+    persisted-index handle (DedupIndex / ExactIndex / FuzzyIndex /
+    SimhashIndex / Bm25Index / IvfIndex / Denylist — any object
+    exposing ``*_table`` properties). Non-bucketed side tables (batch
+    stats, centroids) are excluded. The single iterator shared by
+    compaction and retraction, so a new index handle's tables are
+    covered by both passes or neither (review finding: the walk was
+    duplicated)."""
+    out = []
     for attr in sorted(dir(type(index))):
         if not attr.endswith("_table"):
             continue
@@ -200,6 +201,17 @@ def compact_index(spark: SparkSession, index, max_files: int = 8) -> list[str]:
             _describe_bucketed(spark, table)
         except ValueError:
             continue  # non-bucketed side table
+        out.append((attr, table))
+    return out
+
+
+def compact_index(spark: SparkSession, index, max_files: int = 8) -> list[str]:
+    """Compact every bucketed table of a persisted-index handle that
+    has a bucket past ``max_files`` files (:func:`bucketed_tables_of`
+    enumerates them). Returns the table names rewritten. The
+    per-table gate stays metadata-only."""
+    compacted = []
+    for _, table in bucketed_tables_of(spark, index):
         if compact_bucketed_table(spark, table, max_files=max_files):
             compacted.append(table)
     return compacted

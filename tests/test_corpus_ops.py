@@ -1192,6 +1192,7 @@ def _ref_wordpiece(word_freqs: dict, vocab_size: int) -> list:
         s for s in uc if s.startswith("##")
     )
     merged = []
+    seen = set(base)
     while len(base) + len(merged) < vocab_size:
         uc, pc = counts()
         cands = [(p, c) for p, c in pc.items() if c > 0]
@@ -1213,7 +1214,9 @@ def _ref_wordpiece(word_freqs: dict, vocab_size: int) -> list:
                     out.append(syms[i])
                     i += 1
             words[wi] = (out, f)
-        merged.append(m)
+        if m not in seen:
+            seen.add(m)
+            merged.append(m)
     return base + merged
 
 

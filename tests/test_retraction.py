@@ -565,3 +565,125 @@ class TestRetractSpanIndex:
                 corpus.where(F.col("doc_id") == 0), idx
             )
             assert probe(idx) == probe(ref) == []
+
+
+class TestReviewRegressions:
+    """Pins for the review findings: zero-padded/int-inferred
+    partition spellings, NULL-id row survival, denylist fingerprint
+    column + unbootstrapped table, WordPiece duplicate merges,
+    webdataset member-type validation."""
+
+    def test_lake_partition_spelling_zero_padded_ints(self, spark, tmp_path):
+        """hour=03 dirs: spark infers hour as int → the old
+        value-cast match produced '3' and silently skipped the dir."""
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_lake,
+        )
+
+        path = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(1, "03"), (2, "03"), (3, "11")], "doc_id long, hour string"
+        ).write.partitionBy("hour").parquet(path)
+        got = retract_from_lake(spark, path, [1], "doc_id", partition_col="hour")
+        assert got == ["hour=03"]
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(path).collect()
+        ) == [2, 3]
+
+    def test_lake_null_id_rows_survive_retraction(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_lake,
+        )
+
+        path = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(1, "a"), (None, "keep me"), (3, "b")], "doc_id long, text string"
+        ).write.parquet(path)
+        retract_from_lake(spark, path, [1], "doc_id")
+        left = [
+            (r.doc_id, r.text) for r in spark.read.parquet(path).collect()
+        ]
+        assert (None, "keep me") in left and (3, "b") in left
+        assert (1, "a") not in left
+
+    def test_index_null_id_rows_survive(self, spark):
+        """Top-level id columns in index tables: NULL ids must not be
+        swept by an unrelated retraction."""
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_table,
+        )
+        from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+        df = spark.createDataFrame(
+            [("k1", 1), ("k2", None), ("k3", 3)],
+            "fingerprint string, doc_id long",
+        )
+        table = "retract_null_guard_test"
+        save_bucketed(df, table, "fingerprint", 2)
+        try:
+            assert retract_from_table(
+                spark, table, [1], frozenset({"doc_id"})
+            )
+            rows = sorted(
+                map(tuple, spark.table(table).collect()),
+                key=lambda r: r[0],
+            )
+            assert rows == [("k2", None), ("k3", 3)]
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def test_denylist_gate_preserves_fingerprint_column_and_bootstraps(
+        self, spark
+    ):
+        from openaq_data_pipeline_spark.operators.retraction import (
+            add_to_denylist,
+            denylist_gate,
+            temp_denylist,
+        )
+
+        batch = spark.createDataFrame(
+            [(1, "hello there", "MY_OWN_FP")],
+            "doc_id long, text string, fingerprint string",
+        )
+        with temp_denylist() as dl:
+            # unbootstrapped: blocks nothing, never raises
+            out = denylist_gate(batch, "text", "doc_id", dl).collect()[0]
+            assert out.blocked is False
+            assert out.fingerprint == "MY_OWN_FP"
+            add_to_denylist(
+                spark.createDataFrame([(0, "hello there")], "i long, text string"),
+                "text", dl,
+            )
+            out2 = denylist_gate(batch, "text", "doc_id", dl).collect()[0]
+            assert out2.blocked is True and out2.fingerprint == "MY_OWN_FP"
+
+    def test_wordpiece_no_duplicate_vocab_entries(self):
+        """A popped pair that re-forms via later merges may win again;
+        the piece must not enter the vocabulary twice."""
+        import itertools
+
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            wordpiece_train_local,
+        )
+
+        # brute-force a search space of tiny corpora for any duplicate
+        for words in itertools.combinations(
+            ["aa", "aaa", "aaaa", "ab", "abab", "abcd", "cdcd", "abcdab"], 4
+        ):
+            vocab = wordpiece_train_local(
+                [(w, i + 1) for i, w in enumerate(words)], vocab_size=40
+            )
+            assert len(vocab) == len(set(vocab)), (words, vocab)
+
+    def test_webdataset_rejects_non_string_binary_member(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            write_webdataset_shards,
+        )
+
+        df = spark.range(3).selectExpr("id as doc_id", "id as label")
+        with _pytest.raises(ValueError, match="string or binary"):
+            write_webdataset_shards(
+                df, str(tmp_path), "doc_id", {"cls": "label"}, 2
+            )
