@@ -729,3 +729,96 @@ class TestCanonicalizeUrl:
         ).collect()[0]
         assert r.h == "www.ex.org"
         assert r.c == "https://www.ex.org/a?x=2"
+
+
+class TestCrawlFrontDoorComposition:
+    """End-to-end crawl intake (r8): canonical-URL dedup →
+    html_extract → Gopher gate → denylist gate → exact-dedup index —
+    the new front-door operators composed with the existing funnel.
+    One survivor per RESOURCE and none that is blocked, low-quality,
+    or a re-crawl of history."""
+
+    def test_pipeline(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.operators.retraction import (
+            add_to_denylist,
+            denylist_gate,
+            temp_denylist,
+        )
+        from openaq_data_pipeline_spark.operators.text import (
+            canonicalize_url,
+            gopher_rules,
+            html_extract,
+        )
+        from pyspark.sql import Window
+
+        body = (
+            "<p>" + "the quick brown fox jumps over the lazy dog and then "
+            * 5 + "</p>"
+        )
+        body6 = (
+            "<p>" + "a calm river flows through the old valley and the town "
+            * 5 + "</p>"
+        )
+        blocked_body = (
+            "<p>" + "never ship this the and of to is it that for words "
+            * 6 + "</p>"
+        )
+        pages = [
+            # same resource, three spellings → ONE survives url-dedup
+            (1, "https://A.com/x?utm_source=tw", f"<html>{body}</html>"),
+            (2, "https://a.com:443/x", f"<html>{body}</html>"),
+            (3, "https://a.com/x", f"<html>{body}</html>"),
+            # quality reject: too short after extraction
+            (4, "https://a.com/short", "<p>tiny</p>"),
+            # blocked content under a fresh URL
+            (5, "https://b.com/bad", f"<html>{blocked_body}</html>"),
+            # fresh good page
+            (6, "https://c.com/ok", f"<html><div>{body6}</div></html>"),
+        ]
+        df = spark.createDataFrame(pages, "page_id long, url string, html string")
+
+        # 1. canonical-URL dedup: keep min page_id per resource
+        canon = df.withColumn("curl", canonicalize_url(F.col("url")))
+        w = Window.partitionBy("curl").orderBy("page_id")
+        one_per_url = (
+            canon.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # 2. extract text
+        texts = one_per_url.select(
+            "page_id", html_extract(F.col("html")).alias("text")
+        )
+        # 3. Gopher gate
+        keep_ids = gopher_rules(texts, "text", "page_id").where("keep")
+        gated = texts.join(keep_ids.select("page_id"), "page_id")
+        with temp_denylist() as dl, temp_exact_index(n_buckets=4) as idx:
+            # 4. denylist gate (extracted TEXT of the blocked page)
+            add_to_denylist(
+                texts.where(F.col("page_id") == 5).select("text"), "text", dl
+            )
+            passed = denylist_gate(gated, "text", "page_id", dl).where(
+                ~F.col("blocked")
+            )
+            # 5. exact-dedup against crawl history (page 6's body text
+            # crawled before under doc 100)
+            hist_text = texts.where(F.col("page_id") == 6).collect()[0]["text"]
+            build_exact_index(
+                spark.createDataFrame([(100, hist_text)], "page_id long, text string"),
+                "text", "page_id", idx,
+            )
+            disp = incremental_exact_dedup(
+                passed.select("page_id", "text"), "text", "page_id", idx,
+                update_index=False,
+            )
+            survivors = sorted(
+                r.page_id for r in disp.where("kept").collect()
+            )
+        # page 1 (min id of the a.com/x resource) is the only survivor:
+        # 4 failed quality, 5 is blocked, 6 is a re-crawl of history
+        assert survivors == [1]
