@@ -187,6 +187,24 @@ def register_rotated(
     return deco
 
 
+def register_staged(
+    name: str, operators: str, oracle: str | None, tags: list[str] | None = None
+):
+    """A DRIVER-QUERY CANDIDATE staged for the next rotation window:
+    not yet in the capped driver registry, but carrying its full
+    DuckDB oracle and parity-checked every pytest run exactly like a
+    rotated query (same list, same test parametrization). When a slot
+    frees up, promotion is a decorator swap."""
+
+    def deco(fn):
+        _ROTATED.append(
+            QueryDef(name, operators, fn, oracle, [*(tags or []), "staged"])
+        )
+        return fn
+
+    return deco
+
+
 def rotated_registry() -> list[QueryDef]:
     registry()  # trigger registration imports
     return list(_ROTATED)
@@ -212,6 +230,7 @@ def registry() -> list[QueryDef]:
     from openaq_data_pipeline_spark import queries_corpus  # noqa: F401
     from openaq_data_pipeline_spark import queries_ext  # noqa: F401
     from openaq_data_pipeline_spark import queries_history  # noqa: F401
+    from openaq_data_pipeline_spark import queries_staged  # noqa: F401
 
     if len(_REGISTRY) > DRIVER_QUERY_CAP:
         raise RuntimeError(
