@@ -108,3 +108,67 @@ def q_table_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register_staged(
+    "takedown_exact",
+    "EXT-retraction — takedown propagation on the exact-dedup tier "
+    "IN ONE QUERY: build the survivor index, retract every survivor "
+    "whose id ≡ 0 (mod 97) through the crash-safe staged rewrite, "
+    "then disposition exact copies of the WHOLE corpus against the "
+    "scrubbed index. Retracted content dispositions as NEW (its "
+    "fingerprint is forgotten); everything else still drops against "
+    "its surviving history id. The oracle recomputes every "
+    "disposition from raw text with the retracted survivors excluded "
+    "from history — retract == never-indexed, proven by hash",
+    oracle=r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+),
+surv AS (SELECT fp, min(doc_id) AS sid FROM fp GROUP BY fp),
+kept_idx AS (SELECT fp, sid FROM surv WHERE sid % 97 != 0),
+batch AS (SELECT doc_id + 700000 AS doc_id, fp FROM fp),
+bmin AS (SELECT fp, min(doc_id) AS bm FROM batch GROUP BY fp)
+SELECT b.doc_id,
+       CASE WHEN k.sid IS NOT NULL THEN FALSE
+            ELSE b.doc_id = m.bm END AS kept,
+       CASE WHEN k.sid IS NOT NULL THEN k.sid
+            WHEN b.doc_id = m.bm THEN NULL
+            ELSE m.bm END AS dup_of
+FROM batch b
+JOIN bmin m USING (fp)
+LEFT JOIN kept_idx k USING (fp)
+""",
+)
+def q_takedown_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History = the whole corpus, indexed; takedown list = ids ≡ 0
+    (mod 97) — ~1% of the corpus, the literal-array scale the
+    retraction contract is built for. Probe = exact copies of every
+    document (id+700000): copies of retracted survivors come back
+    kept=TRUE (forgotten), copies of surviving history drop with
+    dup_of = the survivor, corpus-internal exact classes keep their
+    batch min. update_index=False keeps the probe a pure read of the
+    scrubbed index. Context-managed temp index: no residue."""
+    from openaq_data_pipeline_spark.operators.incremental_dedup import (
+        build_exact_index,
+        incremental_exact_dedup,
+        temp_exact_index,
+    )
+    from openaq_data_pipeline_spark.operators.retraction import (
+        retract_documents,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    retract_ids = [
+        r["doc_id"]
+        for r in d.where(F.col("doc_id") % 97 == 0).select("doc_id").collect()
+    ]
+    batch = d.select((F.col("doc_id") + 700000).alias("doc_id"), "text")
+    with temp_exact_index(n_buckets=8) as idx:
+        build_exact_index(d.select("doc_id", "text"), "text", "doc_id", idx)
+        retract_documents(spark, idx, retract_ids, id_col="doc_id")
+        return incremental_exact_dedup(
+            batch, "text", "doc_id", idx, update_index=False
+        ).localCheckpoint(eager=True)
