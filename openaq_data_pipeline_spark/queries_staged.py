@@ -172,3 +172,47 @@ def q_takedown_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return incremental_exact_dedup(
             batch, "text", "doc_id", idx, update_index=False
         ).localCheckpoint(eager=True)
+
+
+@register_staged(
+    "url_canonicalize",
+    "EXT-text — URL canonicalization (crawl-frontier hygiene): "
+    "deterministic spelling variants (host/scheme case, explicit "
+    "default port, tracking params, unsorted query, fragment) "
+    "synthesized per document collapse to the closed-form canonical "
+    "spelling; pure codegen try_parse_url + array expressions",
+    oracle="""
+SELECT doc_id,
+       'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id AS VARCHAR) || '?a=1&b='
+           || CAST(doc_id % 3 AS VARCHAR) AS canon_url,
+       'ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    url = F.concat(
+        F.lit("HTTPS://Ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&b="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a=1#frag"),
+    )
+    return (
+        d.select("doc_id", url.alias("__u"))
+        .select(
+            "doc_id",
+            canonicalize_url(F.col("__u")).alias("canon_url"),
+            url_host(F.col("__u")).alias("host"),
+        )
+        .orderBy("doc_id")
+    )
