@@ -687,3 +687,77 @@ class TestReviewRegressions:
             write_webdataset_shards(
                 df, str(tmp_path), "doc_id", {"cls": "label"}, 2
             )
+
+
+class TestRetractionEdgeContracts:
+    """Documented edge semantics pinned: the BM25 empty-doc residual,
+    the no-postings no-op, and the exchange-free probe plan after a
+    retraction rewrite (the bucket layout's whole point)."""
+
+    def test_bm25_no_postings_retraction_is_full_noop(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            build_bm25_index,
+            temp_bm25_index,
+        )
+
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            stats_before = sorted(
+                map(tuple, spark.table(idx.stats_table).collect())
+            )
+            # ids with no postings anywhere: nothing rewritten, no
+            # correction row appended
+            assert retract_documents(spark, idx, [777], id_col="doc_id") == []
+            assert (
+                sorted(map(tuple, spark.table(idx.stats_table).collect()))
+                == stats_before
+            )
+
+    def test_bm25_empty_doc_residual_is_exactly_as_documented(self, spark):
+        """An empty document leaves no postings, so retracting it
+        cannot reverse its +1 on n_docs — the module docstring's
+        stated residual. Pin BOTH halves: the stats row stays, and
+        retracting a NON-empty doc from the same index is still
+        exact."""
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            build_bm25_index,
+            temp_bm25_index,
+        )
+
+        rows = TRAIN + [(8, "   ")]  # doc 8 is empty after normalization
+        with temp_bm25_index(n_buckets=4) as idx:
+            build_bm25_index(_df(spark, rows), "text", "doc_id", idx)
+            n0 = spark.table(idx.stats_table).agg(
+                F.sum("n_docs")
+            ).collect()[0][0]
+            assert n0 == len(rows)
+            # retracting the empty doc: no postings → documented no-op
+            assert retract_documents(spark, idx, [8], id_col="doc_id") == []
+            # retracting a real doc still corrects stats by exactly 1
+            touched = retract_documents(spark, idx, [2], id_col="doc_id")
+            assert idx.stats_table in touched
+            n1 = spark.table(idx.stats_table).agg(
+                F.sum("n_docs")
+            ).collect()[0][0]
+            assert n1 == n0 - 1
+
+    def test_probe_plan_stays_exchange_free_after_retraction(self, spark):
+        """The retraction rewrite preserves the bucket spec, so the
+        index-side re-aggregation of a later probe still plans with
+        NO Exchange above the index scan."""
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            _old_posting_lists,
+            build_index,
+            temp_index,
+        )
+
+        with temp_index(n_buckets=4) as idx:
+            build_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            retract_documents(spark, idx, [2], id_col="doc_id")
+            plan = (
+                _old_posting_lists(spark, idx)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange" not in plan, plan
