@@ -216,3 +216,53 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "frontier_schedule",
+    "EXT-frontier — politeness-interleaved crawl scheduling: "
+    "fetch_slot = pos_in_host · n_hosts + host_rank guarantees ≥ "
+    "n_hosts−1 other slots between two fetches of the same host; "
+    "MD5-deterministic within-host order, dense lexicographic host "
+    "ranks; one host-keyed window + a broadcast host-rank dim",
+    oracle="""
+WITH u AS (
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.org/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           'h' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS host,
+           md5(url) AS hh
+    FROM u
+),
+r AS (SELECT host, CAST(dense_rank() OVER (ORDER BY host) - 1 AS BIGINT) AS host_rank
+      FROM (SELECT DISTINCT host FROM h)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh FROM r),
+p AS (
+    SELECT doc_id, host,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY hh, doc_id) - 1
+                AS BIGINT) AS pos_in_host
+    FROM h
+)
+SELECT p.doc_id, p.host, r.host_rank, p.pos_in_host,
+       p.pos_in_host * n.nh + r.host_rank AS fetch_slot
+FROM p JOIN r USING (host) CROSS JOIN n
+""",
+)
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.frontier import frontier_schedule
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return frontier_schedule(urls, "url", "doc_id")

@@ -822,3 +822,50 @@ class TestCrawlFrontDoorComposition:
         # page 1 (min id of the a.com/x resource) is the only survivor:
         # 4 failed quality, 5 is blocked, 6 is a re-crawl of history
         assert survivors == [1]
+
+
+class TestFrontierSchedule:
+    """Politeness scheduling (r8): the spacing invariant (same-host
+    fetches always ≥ n_hosts−1 slots apart), slot uniqueness,
+    determinism, and the unfetchable-row drop."""
+
+    def _urls(self, spark):
+        return spark.range(40).selectExpr(
+            "id AS doc_id",
+            "concat('https://h', CAST(id % 4 AS STRING), '.org/p/', id) AS url",
+        )
+
+    def test_spacing_invariant_and_uniqueness(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            frontier_schedule,
+        )
+
+        rows = frontier_schedule(self._urls(spark), "url", "doc_id").collect()
+        slots = [r.fetch_slot for r in rows]
+        assert len(slots) == len(set(slots)) == 40
+        by_host: dict = {}
+        for r in rows:
+            by_host.setdefault(r.host, []).append(r.fetch_slot)
+        n_hosts = len(by_host)
+        assert n_hosts == 4
+        for host, s in by_host.items():
+            s = sorted(s)
+            assert all(b - a == n_hosts for a, b in zip(s, s[1:])), host
+
+    def test_deterministic_and_drops_unfetchable(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.frontier import (
+            frontier_schedule,
+        )
+
+        urls = self._urls(spark).unionByName(
+            spark.createDataFrame(
+                [(999, "not a url")], "doc_id long, url string"
+            )
+        )
+        a = sorted(map(tuple, frontier_schedule(urls, "url", "doc_id").collect()))
+        b = sorted(map(tuple, frontier_schedule(urls, "url", "doc_id").collect()))
+        assert a == b
+        assert all(r[0] != 999 for r in a)
+        assert len(a) == 40
