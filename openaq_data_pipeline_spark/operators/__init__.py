@@ -42,7 +42,8 @@ Extensions (100 TB training-data pipeline ops):
   ``temporal`` / ``history`` — as-of & range joins; SCD-2 / CDC /
                      gap-fill
   ``retraction``   — takedown propagation: scrub every persisted
-                     index + partition-pruned lake deletes +
-                     denylist ingest gate
+                     index + partition-pruned lake deletes + every
+                     retained time-travel snapshot + denylist gate
+  ``frontier``     — politeness-interleaved crawl scheduling
   ``profiling``    — one-pass column statistics + feed drift diff
 """

@@ -483,3 +483,60 @@ def retract_from_span_index(
         mode="append",
         path=(f"{index.location}/windows" if index.location else None),
     )
+
+
+def retract_from_snapshots(
+    spark: SparkSession, root: str, ids: list, id_col: str
+) -> list[int]:
+    """Remove rows with ``ids`` from EVERY retained snapshot version
+    of a versioned publish root
+    (:mod:`~openaq_data_pipeline_spark.sources.snapshots`) — the
+    time-travel half of a takedown. Immutable snapshots are the
+    feature that makes training runs re-runnable against the exact
+    corpus they saw, and exactly that property silently retains
+    deleted content: retracting only the CURRENT data leaves every
+    pinned historical version serving it. A takedown is not scoped to
+    the latest version, so this pass rewrites each committed ``v=N``
+    directory that holds a retracted row (staged sibling + rename —
+    the lake-retraction swap), preserving version NUMBERS and the
+    published pointer: pinned readers keep their version ids, minus
+    the retracted rows. Untouched versions keep byte-identical files.
+    Returns the version numbers rewritten.
+
+    Reproducibility note, stated honestly: a rewritten snapshot is no
+    longer bit-identical to what a past training run consumed — that
+    is the point of a takedown, and the returned version list is the
+    audit trail of exactly which pinned corpora changed."""
+    import os
+    import uuid
+
+    from openaq_data_pipeline_spark.sources.snapshots import (
+        _vdir,
+        list_snapshots,
+    )
+
+    if not ids:
+        return []
+    token = uuid.uuid4().hex[:8]
+    rewritten = []
+    for snap in list_snapshots(root):
+        if not snap["committed"]:
+            continue  # orphaned crash leftovers — prune's job
+        vdir = _vdir(root, snap["version"])
+        df = spark.read.parquet(vdir)
+        lit = _lit_ids(ids, df.schema[id_col].dataType)
+        hit = F.array_contains(lit, F.col(id_col))
+        if not df.where(hit).take(1):
+            continue
+        staged = f"{vdir}__retract_{token}"
+        df.where(F.coalesce(~hit, F.lit(True))).write.mode(
+            "error"
+        ).parquet(staged)
+        old = f"{vdir}__old_{token}"
+        os.rename(vdir, old)
+        os.rename(staged, vdir)
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+        rewritten.append(snap["version"])
+    return rewritten

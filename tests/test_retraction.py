@@ -761,3 +761,54 @@ class TestRetractionEdgeContracts:
                 .toString()
             )
             assert "Exchange" not in plan, plan
+
+
+class TestRetractFromSnapshots:
+    """The time-travel half of a takedown: every retained snapshot
+    version is scrubbed — pinned historical reads no longer serve
+    retracted content — while version numbers, the published pointer
+    and untouched versions' files all survive."""
+
+    def test_all_versions_scrubbed_pointer_and_untouched_files_intact(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_snapshots,
+        )
+        from openaq_data_pipeline_spark.sources.snapshots import (
+            current_version,
+            publish_snapshot,
+            read_snapshot,
+        )
+
+        root = str(tmp_path / "snaps")
+        v1 = publish_snapshot(_df(spark, TRAIN), root)
+        v2 = publish_snapshot(_df(spark, TRAIN + BATCH), root)
+        # v3 never contained the retracted doc
+        v3 = publish_snapshot(_df(spark, BATCH), root)
+        files_v3 = sorted(glob.glob(f"{root}/v={v3}/*.parquet"))
+        got = retract_from_snapshots(spark, root, [2], "doc_id")
+        assert got == [v1, v2]
+        assert current_version(root) == v3
+        for v, want in ((v1, {0, 4, 6}), (v2, {0, 4, 6, 101, 103, 105}),
+                        (v3, {101, 103, 105})):
+            ids = {r.doc_id for r in read_snapshot(spark, root, v).collect()}
+            assert ids == want, v
+        # the version with no trace kept its exact files
+        assert sorted(glob.glob(f"{root}/v={v3}/*.parquet")) == files_v3
+        assert glob.glob(f"{root}/v=*__*") == []
+
+    def test_noop_and_empty_ids(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_snapshots,
+        )
+        from openaq_data_pipeline_spark.sources.snapshots import (
+            publish_snapshot,
+        )
+
+        root = str(tmp_path / "snaps")
+        publish_snapshot(_df(spark, TRAIN), root)
+        assert retract_from_snapshots(spark, root, [], "doc_id") == []
+        assert retract_from_snapshots(spark, root, [999], "doc_id") == []
