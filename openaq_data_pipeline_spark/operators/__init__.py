@@ -44,6 +44,7 @@ Extensions (100 TB training-data pipeline ops):
   ``retraction``   — takedown propagation: scrub every persisted
                      index + partition-pruned lake deletes + every
                      retained time-travel snapshot + denylist gate
-  ``frontier``     — politeness-interleaved crawl scheduling
+  ``frontier``     — politeness-interleaved crawl scheduling +
+                     robots.txt fetch policy (RFC 9309 prefix core)
   ``profiling``    — one-pass column statistics + feed drift diff
 """

@@ -76,3 +76,135 @@ def frontier_schedule(
             ),
         )
     )
+
+
+# --- robots.txt fetch policy --------------------------------------------
+#
+# The other half of crawl politeness: hosts PUBLISH fetch rules
+# (robots.txt, RFC 9309), and a frontier must filter against them
+# before scheduling. Scope, stated honestly: the prefix-rule core of
+# the spec — user-agent group selection, Allow/Disallow path prefixes,
+# longest-match precedence with Allow winning length ties (the RFC
+# 9309 rule). Wildcard ('*' mid-path) and anchor ('$') extensions are
+# NOT evaluated; such rules are surfaced with ``supported = false``
+# so a caller sees exactly what was skipped instead of silently
+# mis-filtering.
+
+_ROBOTS_SCHEMA = "host string, rule_path string, allow boolean, supported boolean"
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str,
+    content_col: str,
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, rule_path, allow, supported) — the rule rows governing
+    ``user_agent`` from each host's robots.txt bytes/text. Group
+    selection per RFC 9309: the groups whose ``User-agent`` line
+    matches the agent (falling back to ``*`` groups when no specific
+    match exists anywhere in the file). Empty ``Disallow:`` lines
+    (allow-everything idiom) contribute no rule. Runs as one Arrow
+    ``mapInPandas`` pass — robots files are tiny and per-host."""
+
+    def parse(batches):
+        import pandas as pd
+
+        agent = user_agent.lower()
+        for pdf in batches:
+            out = {"host": [], "rule_path": [], "allow": [], "supported": []}
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                if content is None:
+                    continue
+                text = (
+                    content.decode("utf-8", "replace")
+                    if isinstance(content, (bytes, bytearray))
+                    else str(content)
+                )
+                groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+                agents: list[str] = []
+                rules: list[tuple[str, bool]] = []
+                in_rules = False
+                for raw in text.splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key, val = key.strip().lower(), val.strip()
+                    if key == "user-agent":
+                        if in_rules:
+                            groups.append((agents, rules))
+                            agents, rules, in_rules = [], [], False
+                        agents.append(val.lower())
+                    elif key in ("allow", "disallow"):
+                        in_rules = True
+                        if val:
+                            rules.append((val, key == "allow"))
+                groups.append((agents, rules))
+                specific = [
+                    g for g in groups
+                    if any(a != "*" and a in agent for a in g[0])
+                ]
+                chosen = specific or [
+                    g for g in groups if "*" in g[0]
+                ]
+                for _, grules in chosen:
+                    for path, allow in grules:
+                        out["host"].append(host)
+                        out["rule_path"].append(path)
+                        out["allow"].append(allow)
+                        out["supported"].append(
+                            "*" not in path and not path.endswith("$")
+                        )
+            yield pd.DataFrame(out)
+
+    return robots.select(host_col, content_col).mapInPandas(
+        parse, schema=_ROBOTS_SCHEMA
+    )
+
+
+def apply_robots(
+    urls: DataFrame, url_col: str, id_col: str, rules: DataFrame
+) -> DataFrame:
+    """(id, host, allowed) — every URL judged against its host's
+    parsed rules: the longest matching SUPPORTED rule decides, Allow
+    wins length ties (RFC 9309 precedence), no matching rule — or no
+    rules for the host at all — means allowed. Plan: one broadcast
+    join on host (the rules side is per-host tiny), prefix match +
+    one max_by aggregate per URL."""
+    from openaq_data_pipeline_spark.operators.text import url_host
+
+    u = urls.select(
+        F.col(id_col),
+        url_host(F.col(url_col)).alias("host"),
+        F.when(
+            F.try_parse_url(F.col(url_col), F.lit("PATH")).isNull()
+            | (F.try_parse_url(F.col(url_col), F.lit("PATH")) == ""),
+            F.lit("/"),
+        )
+        .otherwise(F.try_parse_url(F.col(url_col), F.lit("PATH")))
+        .alias("__path"),
+    ).where(F.col("host").isNotNull())
+    r = rules.where(F.col("supported"))
+    joined = u.join(F.broadcast(r), "host", "left").withColumn(
+        "__m",
+        F.when(
+            F.col("rule_path").isNotNull()
+            & F.col("__path").startswith(F.col("rule_path")),
+            # precedence key: longer rule wins; allow wins ties
+            F.struct(
+                F.length("rule_path").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+                F.col("allow").alias("verdict"),
+            ),
+        ),
+    )
+    return (
+        joined.groupBy(id_col, "host")
+        .agg(F.max("__m").alias("__best"))
+        .select(
+            id_col,
+            "host",
+            F.coalesce(F.col("__best.verdict"), F.lit(True)).alias("allowed"),
+        )
+    )

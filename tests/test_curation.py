@@ -869,3 +869,92 @@ class TestFrontierSchedule:
         assert a == b
         assert all(r[0] != 999 for r in a)
         assert len(a) == 40
+
+
+class TestRobotsPolicy:
+    """robots.txt fetch policy (r8, RFC 9309 prefix core): group
+    selection with specific-agent precedence over '*', longest-match
+    rule precedence with Allow winning ties, unsupported wildcard
+    rules surfaced not silently applied, hosts without rules allowed."""
+
+    ROBOTS_A = """
+# comments and blanks are ignored
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+Disallow: /tmp
+
+User-agent: specialbot
+Disallow: /
+"""
+    ROBOTS_B = """
+User-agent: *
+Disallow: /wild*card
+Disallow:
+"""
+
+    def _rules(self, spark, agent="*"):
+        from openaq_data_pipeline_spark.operators.frontier import parse_robots
+
+        robots = spark.createDataFrame(
+            [("a.org", self.ROBOTS_A), ("b.org", self.ROBOTS_B)],
+            "host string, content string",
+        )
+        return parse_robots(robots, "host", "content", user_agent=agent)
+
+    def test_parse_groups_and_supported_flag(self, spark):
+        rows = {
+            (r.host, r.rule_path): (r.allow, r.supported)
+            for r in self._rules(spark).collect()
+        }
+        assert rows[("a.org", "/private/")] == (False, True)
+        assert rows[("a.org", "/private/public/")] == (True, True)
+        assert rows[("a.org", "/tmp")] == (False, True)
+        # '*' group only — specialbot's rules excluded for agent '*'
+        assert ("a.org", "/") not in rows
+        # wildcard rule surfaced as unsupported; empty Disallow dropped
+        assert rows[("b.org", "/wild*card")] == (False, False)
+        assert len([h for h, _ in rows if h == "b.org"]) == 1
+
+    def test_binary_content_decodes(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import parse_robots
+
+        robots = spark.createDataFrame(
+            [("a.org", self.ROBOTS_A.encode())], "host string, content binary"
+        )
+        rows = {
+            r.rule_path: r.allow
+            for r in parse_robots(robots, "host", "content").collect()
+        }
+        assert rows == {"/private/": False, "/private/public/": True,
+                        "/tmp": False}
+
+    def test_specific_agent_group_wins(self, spark):
+        rows = {
+            (r.host, r.rule_path): r.allow
+            for r in self._rules(spark, agent="specialbot").collect()
+            if r.host == "a.org"
+        }
+        assert rows == {("a.org", "/"): False}
+
+    def test_longest_match_and_allow_tiebreak(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import apply_robots
+
+        urls = spark.createDataFrame(
+            [
+                (1, "https://a.org/private/secret.html"),   # blocked
+                (2, "https://a.org/private/public/x.html"), # longer Allow wins
+                (3, "https://a.org/tmpfile"),               # prefix match blocks
+                (4, "https://a.org/open/page"),             # no rule → allowed
+                (5, "https://b.org/wildXcard"),             # unsupported rule skipped
+                (6, "https://norules.org/anything"),        # host without rules
+                (7, "https://a.org"),                       # empty path → '/'
+            ],
+            "doc_id long, url string",
+        )
+        got = {
+            r.doc_id: r.allowed
+            for r in apply_robots(urls, "url", "doc_id", self._rules(spark)).collect()
+        }
+        assert got == {1: False, 2: True, 3: False, 4: True, 5: True,
+                       6: True, 7: True}
