@@ -21,6 +21,13 @@ partition exactly once; a host too large for one partition is a
 politeness problem before it is a Spark problem (you would shard it
 by path prefix upstream).
 
+URL-ledger note (cross-batch seen-URL dedup): hash the CANONICAL
+URL verbatim — ``F.md5(canon_url)`` — never through
+`text.fingerprint`, which lowercases and collapses whitespace and
+would merge distinct case-sensitive paths (``/Page`` vs ``/page``)
+into one ledger entry. The exact-dedup index machinery composes
+unchanged once the key is right.
+
 Reference parity note: no crawl plane exists in the reference; this
 extends the engine's LLM-data-acquisition tier beside
 `text.canonicalize_url`.
