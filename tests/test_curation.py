@@ -732,11 +732,12 @@ class TestCanonicalizeUrl:
 
 
 class TestCrawlFrontDoorComposition:
-    """End-to-end crawl intake (r8): canonical-URL dedup →
-    html_extract → Gopher gate → denylist gate → exact-dedup index —
-    the new front-door operators composed with the existing funnel.
-    One survivor per RESOURCE and none that is blocked, low-quality,
-    or a re-crawl of history."""
+    """End-to-end crawl intake (r8): robots gate → canonical-URL
+    dedup → politeness schedule → html_extract → Gopher gate →
+    denylist gate → exact-dedup index — the front-door operators
+    composed with the existing funnel. One survivor per RESOURCE and
+    none that is robots-disallowed, blocked, low-quality, or a
+    re-crawl of history."""
 
     def test_pipeline(self, spark):
         from openaq_data_pipeline_spark.operators.incremental_dedup import (
@@ -779,8 +780,31 @@ class TestCrawlFrontDoorComposition:
             (5, "https://b.com/bad", f"<html>{blocked_body}</html>"),
             # fresh good page
             (6, "https://c.com/ok", f"<html><div>{body6}</div></html>"),
+            # robots-disallowed path (content would otherwise pass)
+            (7, "https://a.com/private/x", f"<html>{body6}</html>"),
         ]
         df = spark.createDataFrame(pages, "page_id long, url string, html string")
+
+        # 0. robots gate: a.com disallows /private/
+        from openaq_data_pipeline_spark.operators.frontier import (
+            apply_robots,
+            frontier_schedule,
+            parse_robots,
+        )
+
+        robots = spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private/")],
+            "host string, content string",
+        )
+        verdicts = apply_robots(
+            df, "url", "page_id", parse_robots(robots, "host", "content")
+        )
+        df = df.join(
+            verdicts.where("allowed").select("page_id"), "page_id"
+        )
+        # politeness schedule covers every fetchable row (spacing
+        # semantics pinned in TestFrontierSchedule)
+        assert frontier_schedule(df, "url", "page_id").count() == df.count()
 
         # 1. canonical-URL dedup: keep min page_id per resource
         canon = df.withColumn("curl", canonicalize_url(F.col("url")))
