@@ -42,7 +42,8 @@ from openaq_data_pipeline_spark.operators.text import url_host
 
 
 def frontier_schedule(
-    urls: DataFrame, url_col: str, id_col: str
+    urls: DataFrame, url_col: str, id_col: str,
+    max_per_host: int | None = None,
 ) -> DataFrame:
     """(id, host, host_rank, pos_in_host, fetch_slot) — a total,
     deterministic, politeness-interleaved fetch order over the
@@ -50,7 +51,10 @@ def frontier_schedule(
     are not fetchable). ``fetch_slot`` values are unique but not
     dense: a slot is skipped whenever its host has run out of URLs —
     the crawler processes slots in order, which preserves the
-    politeness spacing without a compaction pass."""
+    politeness spacing without a compaction pass. ``max_per_host``
+    caps each host's URLs this scheduling round (the crawl-budget
+    knob): the MD5 order decides deterministically which URLs wait
+    for the next round."""
     with_host = urls.select(
         F.col(id_col), url_host(F.col(url_col)).alias("host"),
         F.md5(F.col(url_col).cast("string")).alias("__h"),
@@ -69,8 +73,11 @@ def frontier_schedule(
         )
         - 1
     ).cast("long")
+    scheduled = with_host.withColumn("pos_in_host", pos)
+    if max_per_host is not None:
+        scheduled = scheduled.where(F.col("pos_in_host") < max_per_host)
     return (
-        with_host.withColumn("pos_in_host", pos)
+        scheduled
         .join(F.broadcast(ranked), "host")
         .crossJoin(F.broadcast(n_hosts))
         .select(
@@ -215,3 +222,34 @@ def apply_robots(
             F.coalesce(F.col("__best.verdict"), F.lit(True)).alias("allowed"),
         )
     )
+
+
+# --- sitemap seed discovery ---------------------------------------------
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, content_col: str, source_col: str
+) -> DataFrame:
+    """(source, url, from_index) — every ``<loc>`` entry of each
+    sitemap document (public sitemaps.org protocol): regular sitemaps
+    yield page URLs (``from_index = false``); sitemap INDEX files
+    yield child-sitemap URLs (``from_index = true``) for the caller
+    to fetch and feed back through this same function — recursion is
+    a driver-side loop over fetch rounds, not a plan construct. Pure
+    codegen: one regexp_extract_all for the locs, one root-element
+    probe for the index flag, one explode; entity-decoded (& is the
+    one entity the protocol requires escaping in URLs)."""
+    locs = F.regexp_extract_all(
+        F.col(content_col), F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1
+    )
+    is_index = F.col(content_col).rlike(r"(?is)<\s*sitemapindex[\s>]")
+    out = sitemaps.select(
+        F.col(source_col).alias("source"),
+        F.explode(locs).alias("__raw"),
+        is_index.alias("from_index"),
+    )
+    url = F.col("__raw")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&amp;", "&")):
+        url = F.replace(url, F.lit(ent), F.lit(rep))
+    return out.select("source", url.alias("url"), "from_index")

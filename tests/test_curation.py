@@ -982,3 +982,63 @@ Disallow:
         }
         assert got == {1: False, 2: True, 3: False, 4: True, 5: True,
                        6: True, 7: True}
+
+
+class TestSitemapAndBudget:
+    """Sitemap seed discovery + the per-host crawl budget: locs
+    extracted and entity-decoded, index files flagged for the next
+    fetch round, and max_per_host deterministically defers overflow."""
+
+    SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://a.org/page1 </loc><lastmod>2026-01-01</lastmod></url>
+  <url><loc>https://a.org/p?x=1&amp;y=2</loc></url>
+</urlset>"""
+    INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://a.org/sitemap-1.xml</loc></sitemap>
+  <sitemap><loc>https://a.org/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+    def test_parse_locs_entities_and_index_flag(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_sitemaps,
+        )
+
+        df = spark.createDataFrame(
+            [("s1", self.SITEMAP), ("s2", self.INDEX)],
+            "src string, content string",
+        )
+        got = sorted(
+            (r.source, r.url, r.from_index)
+            for r in parse_sitemaps(df, "content", "src").collect()
+        )
+        assert got == [
+            ("s1", "https://a.org/p?x=1&y=2", False),
+            ("s1", "https://a.org/page1", False),
+            ("s2", "https://a.org/sitemap-1.xml", True),
+            ("s2", "https://a.org/sitemap-2.xml", True),
+        ]
+
+    def test_max_per_host_defers_deterministically(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            frontier_schedule,
+        )
+
+        urls = spark.range(30).selectExpr(
+            "id AS doc_id",
+            "concat('https://h', CAST(id % 3 AS STRING), '.org/p/', id) AS url",
+        )
+        capped = frontier_schedule(urls, "url", "doc_id", max_per_host=4)
+        rows = capped.collect()
+        per_host: dict = {}
+        for r in rows:
+            per_host.setdefault(r.host, []).append(r)
+        assert all(len(v) == 4 for v in per_host.values())
+        assert all(r.pos_in_host < 4 for r in rows)
+        # the capped schedule is the PREFIX of the uncapped one: same
+        # docs at the same slots (deterministic deferral)
+        full = {
+            r.doc_id: r.fetch_slot
+            for r in frontier_schedule(urls, "url", "doc_id").collect()
+        }
+        assert all(full[r.doc_id] == r.fetch_slot for r in rows)
