@@ -1042,3 +1042,41 @@ class TestSitemapAndBudget:
             for r in frontier_schedule(urls, "url", "doc_id").collect()
         }
         assert all(full[r.doc_id] == r.fetch_slot for r in rows)
+
+
+class TestCanonicalizeUrlIdempotence:
+    """canonicalize ∘ canonicalize == canonicalize over a component
+    cross-product (schemes × host spellings × ports × paths × queries
+    × fragments): a canonical form that isn't a fixed point would make
+    URL-ledger keys unstable across re-canonicalization."""
+
+    def test_fixed_point_over_component_grid(self, spark):
+        import itertools
+
+        from openaq_data_pipeline_spark.operators.text import canonicalize_url
+
+        urls = [
+            f"{s}://{h}{p}{path}{q}{frag}"
+            for s, h, p, path, q, frag in itertools.product(
+                ["http", "HTTPS"],
+                ["Ex.COM", "sub.ex.org"],
+                ["", ":443", ":8080"],
+                ["", "/", "/A/b"],
+                ["", "?b=2&utm_source=x&a=1", "?z"],
+                ["", "#frag"],
+            )
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, u string"
+        )
+        once = df.select("id", canonicalize_url(F.col("u")).alias("c1"))
+        twice = once.select(
+            "id", "c1", canonicalize_url(F.col("c1")).alias("c2")
+        )
+        rows = twice.collect()
+        assert len(rows) == len(urls)
+        bad = [(r.c1, r.c2) for r in rows if r.c1 != r.c2]
+        assert bad == [], bad[:5]
+        # every canonical form is non-null on this grid (all inputs
+        # carry a parseable scheme+host)
+        assert all(r.c1 is not None for r in rows)
