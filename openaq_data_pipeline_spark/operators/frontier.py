@@ -96,15 +96,110 @@ def frontier_schedule(
 #
 # The other half of crawl politeness: hosts PUBLISH fetch rules
 # (robots.txt, RFC 9309), and a frontier must filter against them
-# before scheduling. Scope, stated honestly: the prefix-rule core of
-# the spec — user-agent group selection, Allow/Disallow path prefixes,
-# longest-match precedence with Allow winning length ties (the RFC
-# 9309 rule). Wildcard ('*' mid-path) and anchor ('$') extensions are
-# NOT evaluated; such rules are surfaced with ``supported = false``
-# so a caller sees exactly what was skipped instead of silently
-# mis-filtering.
+# before scheduling. Full rule evaluation (r9, closing the r8
+# "supported=false" gap): user-agent group selection, Allow/Disallow
+# rules INCLUDING '*' wildcards and the '$' end anchor (RFC 9309
+# §2.2.3), matched against path PLUS query (a ``Disallow: /search?q=``
+# rule must be able to fire), most-octets-match precedence with Allow
+# winning ties (§2.2.2), and the RFC's percent-encoding
+# normalization: %XX octets in the unreserved RFC 3986 range are
+# decoded on BOTH sides before comparison, reserved / non-ASCII
+# octets stay encoded, and %2A / %24 in a RULE denote a literal
+# '*' / '$' (the RFC's escape for matching those octets verbatim).
 
-_ROBOTS_SCHEMA = "host string, rule_path string, allow boolean, supported boolean"
+_ROBOTS_SCHEMA = (
+    "host string, rule_path string, allow boolean, "
+    "rule_regex string, rule_len long"
+)
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_HEX = frozenset("0123456789abcdefABCDEF")
+
+
+def _pct_normalize_py(s: str, extra: str = "") -> str:
+    """RFC 9309 §2.2.2 canonical 'path to match' form: decode %XX
+    where the octet is RFC 3986 unreserved (or in ``extra``); keep
+    reserved / non-ASCII escapes encoded with UPPERCASE hex; encode
+    raw non-ASCII characters (the RFC's raw-UTF-8-in-robots.txt
+    example) to their UTF-8 percent form."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if (
+            c == "%"
+            and i + 3 <= n
+            and all(h in _HEX for h in s[i + 1 : i + 3])
+        ):
+            hx = s[i + 1 : i + 3]
+            ch = chr(int(hx, 16))
+            out.append(ch if ch in _UNRESERVED or ch in extra else "%" + hx.upper())
+            i += 3
+            continue
+        if ord(c) > 0x7E:
+            out.append("".join(f"%{b:02X}" for b in c.encode("utf-8")))
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _rule_to_regex(path: str) -> tuple[str, int]:
+    """(anchored Java regex, precedence length) for one robots rule.
+    Un-encoded '*' is a wildcard, a trailing un-encoded '$' anchors
+    the end; literal segments are percent-normalized with %2A / %24
+    additionally decoded (the RFC escape for literal '*' / '$') and
+    regex-escaped. Precedence length counts the normalized octets
+    (wildcards and the anchor count 1 each — the most-octets rule of
+    RFC 9309 §2.2.2, pattern-length tiebreak as in Google's public
+    matcher)."""
+    import re
+
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    parts = [_pct_normalize_py(p, extra="*$") for p in body.split("*")]
+    regex = "^" + ".*".join(re.escape(p) for p in parts)
+    if anchored:
+        regex += "$"
+    rule_len = sum(len(p) for p in parts) + (len(parts) - 1) + int(anchored)
+    return regex, rule_len
+
+
+def _pct_normalize_col(col):
+    """The URL-side twin of :func:`_pct_normalize_py` as a pure
+    codegen expression (split on '%', decode each candidate octet via
+    conv/char, rejoin): unreserved %XX decoded, %2A/%24 decoded to
+    literal '*'/'$' so rule escapes match either spelling, kept
+    escapes uppercased, everything else verbatim. Raw non-ASCII in
+    the URL column is NOT re-encoded — a URL is expected to arrive
+    transport-encoded (RFC 3986 requires it); the rule side handles
+    the raw-UTF-8 case because robots.txt files do carry raw text."""
+    parts = F.split(col, "%")
+    first = F.element_at(parts, 1)
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def dec(p):
+        hexs = F.upper(F.substring(p, 1, 2))
+        code = F.conv(hexs, 16, 10).cast("int")
+        decodable = hexs.rlike("^[0-9A-F]{2}$") & (
+            ((code >= 48) & (code <= 57))       # 0-9
+            | ((code >= 65) & (code <= 90))     # A-Z
+            | ((code >= 97) & (code <= 122))    # a-z
+            | code.isin(45, 46, 95, 126, 42, 36)  # - . _ ~ * $
+        )
+        tail = F.substring(p, 3, 1 << 30)
+        return F.when(decodable, F.concat(F.char(code), tail)).otherwise(
+            F.when(
+                hexs.rlike("^[0-9A-F]{2}$"),
+                # kept escape: uppercase the hex (canonical spelling)
+                F.concat(F.lit("%"), hexs, tail),
+            ).otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.when(F.size(parts) <= 1, col).otherwise(
+        F.concat(first, F.array_join(F.transform(rest, dec), ""))
+    )
 
 
 def parse_robots(
@@ -113,11 +208,14 @@ def parse_robots(
     content_col: str,
     user_agent: str = "*",
 ) -> DataFrame:
-    """(host, rule_path, allow, supported) — the rule rows governing
-    ``user_agent`` from each host's robots.txt bytes/text. Group
-    selection per RFC 9309: the groups whose ``User-agent`` line
-    matches the agent (falling back to ``*`` groups when no specific
-    match exists anywhere in the file). Empty ``Disallow:`` lines
+    """(host, rule_path, allow, rule_regex, rule_len) — the rule rows
+    governing ``user_agent`` from each host's robots.txt bytes/text,
+    each precompiled to an anchored regex (wildcards and '$' handled
+    per RFC 9309 §2.2.3) plus its precedence length. ``rule_path``
+    keeps the raw spelling for observability. Group selection per RFC
+    9309: the groups whose ``User-agent`` line matches the agent
+    (falling back to ``*`` groups when no specific match exists
+    anywhere in the file). Empty ``Disallow:`` lines
     (allow-everything idiom) contribute no rule. Runs as one Arrow
     ``mapInPandas`` pass — robots files are tiny and per-host."""
 
@@ -126,7 +224,10 @@ def parse_robots(
 
         agent = user_agent.lower()
         for pdf in batches:
-            out = {"host": [], "rule_path": [], "allow": [], "supported": []}
+            out = {
+                "host": [], "rule_path": [], "allow": [],
+                "rule_regex": [], "rule_len": [],
+            }
             for host, content in zip(pdf[host_col], pdf[content_col]):
                 if content is None:
                     continue
@@ -164,12 +265,12 @@ def parse_robots(
                 ]
                 for _, grules in chosen:
                     for path, allow in grules:
+                        regex, rule_len = _rule_to_regex(path)
                         out["host"].append(host)
                         out["rule_path"].append(path)
                         out["allow"].append(allow)
-                        out["supported"].append(
-                            "*" not in path and not path.endswith("$")
-                        )
+                        out["rule_regex"].append(regex)
+                        out["rule_len"].append(rule_len)
             yield pd.DataFrame(out)
 
     return robots.select(host_col, content_col).mapInPandas(
@@ -181,33 +282,38 @@ def apply_robots(
     urls: DataFrame, url_col: str, id_col: str, rules: DataFrame
 ) -> DataFrame:
     """(id, host, allowed) — every URL judged against its host's
-    parsed rules: the longest matching SUPPORTED rule decides, Allow
-    wins length ties (RFC 9309 precedence), no matching rule — or no
-    rules for the host at all — means allowed. Plan: one broadcast
-    join on host (the rules side is per-host tiny), prefix match +
-    one max_by aggregate per URL."""
+    parsed rules over the percent-normalized PATH + '?' + QUERY
+    target (robots rules conventionally constrain the query too —
+    ``Disallow: /search?q=`` must fire; r8 review finding). The
+    most-octets matching rule decides, Allow wins ties (RFC 9309
+    §2.2.2 precedence), no matching rule — or no rules for the host
+    at all — means allowed. Plan: one broadcast join on host (the
+    rules side is per-host tiny), per-pair regex match (pattern is a
+    column, precompiled once at parse time) + one max aggregate per
+    URL."""
     from openaq_data_pipeline_spark.operators.text import url_host
 
+    path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
+    target = F.concat(
+        F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path),
+        F.when(
+            query.isNotNull() & (query != ""), F.concat(F.lit("?"), query)
+        ).otherwise(F.lit("")),
+    )
     u = urls.select(
         F.col(id_col),
         url_host(F.col(url_col)).alias("host"),
-        F.when(
-            F.try_parse_url(F.col(url_col), F.lit("PATH")).isNull()
-            | (F.try_parse_url(F.col(url_col), F.lit("PATH")) == ""),
-            F.lit("/"),
-        )
-        .otherwise(F.try_parse_url(F.col(url_col), F.lit("PATH")))
-        .alias("__path"),
+        _pct_normalize_col(target).alias("__target"),
     ).where(F.col("host").isNotNull())
-    r = rules.where(F.col("supported"))
-    joined = u.join(F.broadcast(r), "host", "left").withColumn(
+    joined = u.join(F.broadcast(rules), "host", "left").withColumn(
         "__m",
         F.when(
-            F.col("rule_path").isNotNull()
-            & F.col("__path").startswith(F.col("rule_path")),
-            # precedence key: longer rule wins; allow wins ties
+            F.col("rule_regex").isNotNull()
+            & F.rlike(F.col("__target"), F.col("rule_regex")),
+            # precedence key: most octets win; allow wins ties
             F.struct(
-                F.length("rule_path").alias("l"),
+                F.col("rule_len").alias("l"),
                 F.col("allow").cast("int").alias("a"),
                 F.col("allow").alias("verdict"),
             ),

@@ -103,7 +103,9 @@ def _plan(schema: StructType, ids: list, id_names: frozenset):
                     col, lambda m: ~F.array_contains(lit, m[MEMBER_ID_FIELD])
                 )
                 projs.append(kept.alias(f.name))
-                keeps.append(F.size(kept) > 0)
+                # NULL-safe: size(NULL) is NULL and a bare where(NULL)
+                # would silently delete NULL-member rows (review finding)
+                keeps.append(F.coalesce(F.size(kept) > 0, F.lit(True)))
                 matches.append(
                     F.exists(col, lambda m: F.array_contains(lit, m[MEMBER_ID_FIELD]))
                 )
@@ -112,7 +114,7 @@ def _plan(schema: StructType, ids: list, id_names: frozenset):
                 lit = _lit_ids(ids, et)
                 kept = F.array_except(col, lit)
                 projs.append(kept.alias(f.name))
-                keeps.append(F.size(kept) > 0)
+                keeps.append(F.coalesce(F.size(kept) > 0, F.lit(True)))
                 matches.append(F.arrays_overlap(col, lit))
                 continue
         elif f.name in id_names and not isinstance(dt, StructType):

@@ -524,14 +524,27 @@ def mmr_rerank(
     Determinism: relevance is min-max normalized per query (rank
     scores arrive on arbitrary scales), cosine in float64; ties
     break by item id ascending. Emits (query, mmr_rank, item,
-    mmr_score rounded 6dp)."""
+    mmr_score rounded 6dp). Id columns keep whatever type they have
+    in ``candidates`` (string ids work like :func:`rrf_fuse`) — the
+    output schema is derived from the input schema, not hard-coded."""
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
     import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
-    out_schema = (
-        f"{query_col} long, mmr_rank long, {item_col} long, "
-        "mmr_score double"
+    in_fields = {f.name: f for f in candidates.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(query_col, in_fields[query_col].dataType),
+            StructField("mmr_rank", LongType()),
+            StructField(item_col, in_fields[item_col].dataType),
+            StructField("mmr_score", DoubleType()),
+        ]
     )
 
     def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -563,9 +576,9 @@ def mmr_rerank(
             cand.remove(best_i)
             rows.append(
                 (
-                    int(pdf[query_col].iloc[best_i]),
+                    pdf[query_col].iloc[best_i],
                     len(picked),
-                    int(pdf[item_col].iloc[best_i]),
+                    pdf[item_col].iloc[best_i],
                     round(float(best_val), 6),
                 )
             )

@@ -242,7 +242,8 @@ def gopher_rules(
     - ``r_mean_word_len``: mean word length in [3, 10] (letters =
       normalized length minus the n−1 separator spaces);
     - ``r_symbol_ratio``: (# + ellipsis) per word ≤ 0.1;
-    - ``r_bullet_lines``: ≤ 10% of lines start with a bullet;
+    - ``r_bullet_lines``: ≤ 90% of lines start with a bullet
+      (the paper removes documents with MORE than 90% bullet lines);
     - ``r_ellipsis_lines``: ≤ 30% of lines end with an ellipsis;
     - ``r_alpha_words``: ≥ 80% of words contain a letter;
     - ``r_stopwords``: ≥ ``min_required_stopwords`` distinct
@@ -284,7 +285,7 @@ def gopher_rules(
         letters <= 10 * n_words
     )
     r_sym = 10 * n_sym <= n_words
-    r_bul = 10 * n_bullet <= n_lines
+    r_bul = 10 * n_bullet <= 9 * n_lines
     r_ell = 10 * n_ell <= 3 * n_lines
     r_alpha = 5 * n_alpha_words >= 4 * n_words
     r_stop = n_req_stop >= min_required_stopwords

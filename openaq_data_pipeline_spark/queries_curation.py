@@ -326,7 +326,7 @@ r AS (
              AS r_mean_word_len,
            10 * n_sym <= n_words AS r_symbol_ratio,
            10 * len(list_filter(lines,
-                l -> regexp_matches(l, '^\\s*[-*•]'))) <= len(lines)
+                l -> regexp_matches(l, '^\\s*[-*•]'))) <= 9 * len(lines)
              AS r_bullet_lines,
            10 * len(list_filter(lines,
                 l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) <= 3 * len(lines)

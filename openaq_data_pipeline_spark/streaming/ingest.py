@@ -123,6 +123,7 @@ def fuzzy_dedup_gate(
     fuzzy_index,
     survivors_path: str,
     denylist=None,
+    marker_root: str | None = None,
 ):
     """``foreachBatch`` body running the FULL incremental funnel per
     micro-batch: the exact gate first (byte-duplicates are the bulk
@@ -141,21 +142,41 @@ def fuzzy_dedup_gate(
     `incremental_fuzzy.py` module semantics). Within-batch EXACT
     dups are caught by gate 1.
 
-    Replay semantics: the fuzzy index append is guarded by a
-    per-batch marker dir under the index location, so an
-    at-least-once ``foreachBatch`` retry never double-appends
-    posting rows (double-appended postings would double ``n_common``
-    in later verifies — unlike the exact index, whose min-survivor
-    re-aggregation absorbs replays). Self-pairs
-    (``train_id == eval_id``, a replayed batch matching its own
-    indexed copy) are filtered from the drop set, so a replay after
-    a completed append reproduces the original disposition."""
+    Replay semantics (at-least-once ``foreachBatch`` retries):
+
+    - The fuzzy index append is guarded by a per-batch marker dir
+      under ``marker_root`` (defaults to the index location; a
+      durable root is REQUIRED — a marker-less append cannot be made
+      replay-safe, since double-appended postings double ``n_common``
+      in later verifies, unlike the exact index whose min-survivor
+      re-aggregation absorbs replays).
+    - The append itself follows a staged convention: an
+      ``.__inprogress`` marker is created BEFORE the append and
+      promoted to the final marker only after the append completes.
+      A retry that finds the in-progress marker first RETRACTS the
+      batch's kept ids from the index (no-op for tables the crashed
+      attempt never reached) and then re-appends — so the
+      append-then-crash window never yields doubled postings.
+    - Disposition is replay-stable: the drop set excludes matches
+      whose ``train_id`` belongs to the CURRENT batch (ids are
+      globally unique by the index contract, so such a match can
+      only be the replayed batch meeting its own previously-indexed
+      copy — both the self-pair and the within-batch cross-pair
+      cases, which the cross-pairs-only contract says must pass)."""
     import os
 
     from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
         append_fuzzy_index,
         incremental_fuzzy_matches,
     )
+
+    root = marker_root or fuzzy_index.location
+    if root is None:
+        raise ValueError(
+            "fuzzy_dedup_gate needs a durable marker root: pass "
+            "marker_root= or use an index with a location — without "
+            "one, an at-least-once retry could double-append postings"
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
@@ -167,7 +188,11 @@ def fuzzy_dedup_gate(
             exact_kept, text_col, id_col, fuzzy_index
         )
         dropped = (
-            matches.filter(F.col("train_id") != F.col("eval_id"))
+            matches.join(
+                batch_df.select(F.col(id_col).alias("train_id")).distinct(),
+                "train_id",
+                "left_anti",
+            )
             .select(F.col("eval_id").alias(id_col))
             .distinct()
         )
@@ -176,15 +201,28 @@ def fuzzy_dedup_gate(
         kept = exact_kept.join(dropped, id_col, "left_anti").localCheckpoint(
             eager=True
         )
-        marker = (
-            os.path.join(fuzzy_index.location, f"_batch_{batch_id}")
-            if fuzzy_index.location
-            else None
-        )
-        if marker is None or not os.path.exists(marker):
+        marker = os.path.join(root, f"_batch_{batch_id}")
+        inprogress = marker + ".__inprogress"
+        if not os.path.exists(marker):
+            if os.path.exists(inprogress):
+                # ambiguous crash window: the prior attempt may have
+                # appended some/all tables — scrub this batch's ids
+                # (disposition above is replay-stable, so kept ids
+                # equal the crashed attempt's) before re-appending
+                from openaq_data_pipeline_spark.operators.retraction import (
+                    retract_documents,
+                )
+
+                ids = [r[0] for r in kept.select(id_col).collect()]
+                if ids:
+                    retract_documents(
+                        batch_df.sparkSession, fuzzy_index, ids, id_col
+                    )
+            else:
+                os.makedirs(inprogress, exist_ok=True)
             append_fuzzy_index(kept, text_col, id_col, fuzzy_index)
-            if marker is not None:
-                os.makedirs(marker, exist_ok=True)
+            os.makedirs(marker, exist_ok=True)
+            os.rmdir(inprogress)
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
             .write.mode("overwrite")
@@ -208,12 +246,19 @@ def stream_corpus_ingest_fuzzy(
     denylist=None,
 ):
     """Start the two-gate gated ingestion stream; same lifecycle
-    contract as :func:`stream_corpus_ingest`."""
+    contract as :func:`stream_corpus_ingest`. The replay markers
+    default to the index location and fall back to a dir under the
+    checkpoint (always durable for a real stream), so the gate's
+    replay guard exists unconditionally."""
+    import os
+
     writer = (
         stream_df.writeStream.foreachBatch(
             fuzzy_dedup_gate(
                 text_col, id_col, exact_index, fuzzy_index, survivors_path,
                 denylist,
+                marker_root=fuzzy_index.location
+                or os.path.join(checkpoint_dir, "_fuzzy_appends"),
             )
         )
         .option("checkpointLocation", checkpoint_dir)

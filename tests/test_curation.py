@@ -329,7 +329,7 @@ class TestGopherRules:
             (1, "the and short"),                       # word count < 50
             (2, ("a " * 60).strip()),                   # mean word len < 3
             (3, good + " " + "#" * 1 + " #" * 9),       # symbol ratio
-            (4, good + "\n- bullet\n- bullet\n- b"),    # bullet lines 3/4
+            (4, good + "\n- bullet" * 10),              # bullet lines 10/11 > 90%
             (5, good + ("\nmore text follows..." * 2)), # ellipsis 2/3 lines
             (6, ("42 " * 60 + "the and be of") ),       # alpha words < 80%
             (7, ("word " * 60).strip()),                # no required stops
@@ -343,6 +343,13 @@ class TestGopherRules:
         assert not got[5].r_ellipsis_lines and not got[5].keep
         assert not got[6].r_alpha_words and not got[6].keep
         assert not got[7].r_stopwords and not got[7].keep
+
+    def test_bullet_threshold_is_papers_90pct(self, spark):
+        # Rae et al. 2021 Appendix A removes documents with MORE than
+        # 90% bullet-starting lines — a 75% bullet document survives.
+        good = "the quick brown fox jumps over the lazy dog and then " * 5
+        got = self._run(spark, [(0, good + "\n- bullet\n- bullet\n- b")])
+        assert got[0].r_bullet_lines and got[0].keep
 
     def test_empty_document_fails_closed(self, spark):
         got = self._run(spark, [(0, ""), (1, "   ")])
@@ -896,10 +903,12 @@ class TestFrontierSchedule:
 
 
 class TestRobotsPolicy:
-    """robots.txt fetch policy (r8, RFC 9309 prefix core): group
-    selection with specific-agent precedence over '*', longest-match
-    rule precedence with Allow winning ties, unsupported wildcard
-    rules surfaced not silently applied, hosts without rules allowed."""
+    """robots.txt fetch policy (r9, full RFC 9309): group selection
+    with specific-agent precedence over '*', most-octets rule
+    precedence with Allow winning ties, '*' wildcards and the '$'
+    anchor evaluated (not just flagged), path+query matching, the
+    RFC's percent-encoding normalization, hosts without rules
+    allowed."""
 
     ROBOTS_A = """
 # comments and blanks are ignored
@@ -926,18 +935,22 @@ Disallow:
         )
         return parse_robots(robots, "host", "content", user_agent=agent)
 
-    def test_parse_groups_and_supported_flag(self, spark):
+    def test_parse_groups_and_rule_compilation(self, spark):
         rows = {
-            (r.host, r.rule_path): (r.allow, r.supported)
+            (r.host, r.rule_path): (r.allow, r.rule_regex, r.rule_len)
             for r in self._rules(spark).collect()
         }
-        assert rows[("a.org", "/private/")] == (False, True)
-        assert rows[("a.org", "/private/public/")] == (True, True)
-        assert rows[("a.org", "/tmp")] == (False, True)
+        assert rows[("a.org", "/private/")] == (False, "^/private/", 9)
+        assert rows[("a.org", "/private/public/")] == (
+            True, "^/private/public/", 16,
+        )
+        assert rows[("a.org", "/tmp")] == (False, "^/tmp", 4)
         # '*' group only — specialbot's rules excluded for agent '*'
         assert ("a.org", "/") not in rows
-        # wildcard rule surfaced as unsupported; empty Disallow dropped
-        assert rows[("b.org", "/wild*card")] == (False, False)
+        # wildcard rule compiled, not flagged; empty Disallow dropped
+        assert rows[("b.org", "/wild*card")] == (
+            False, "^/wild.*card", 10,
+        )
         assert len([h for h, _ in rows if h == "b.org"]) == 1
 
     def test_binary_content_decodes(self, spark):
@@ -970,9 +983,10 @@ Disallow:
                 (2, "https://a.org/private/public/x.html"), # longer Allow wins
                 (3, "https://a.org/tmpfile"),               # prefix match blocks
                 (4, "https://a.org/open/page"),             # no rule → allowed
-                (5, "https://b.org/wildXcard"),             # unsupported rule skipped
+                (5, "https://b.org/wildXcard"),             # wildcard rule fires
                 (6, "https://norules.org/anything"),        # host without rules
                 (7, "https://a.org"),                       # empty path → '/'
+                (8, "https://b.org/wilder"),                # wildcard needs 'card'
             ],
             "doc_id long, url string",
         )
@@ -980,8 +994,79 @@ Disallow:
             r.doc_id: r.allowed
             for r in apply_robots(urls, "url", "doc_id", self._rules(spark)).collect()
         }
-        assert got == {1: False, 2: True, 3: False, 4: True, 5: True,
-                       6: True, 7: True}
+        assert got == {1: False, 2: True, 3: False, 4: True, 5: False,
+                       6: True, 7: True, 8: True}
+
+    def test_rfc9309_wildcard_anchor_query_and_percent_rules(self, spark):
+        """The §2.2.2/§2.2.3 battery: '$' anchors the end, '*' spans
+        octets, rules constrain path+query, unreserved %XX decodes on
+        both sides, reserved escapes match only their encoded form,
+        and %2A in a rule means a literal '*'."""
+        from openaq_data_pipeline_spark.operators.frontier import (
+            apply_robots,
+            parse_robots,
+        )
+
+        robots = spark.createDataFrame(
+            [(
+                "a.org",
+                "User-agent: *\n"
+                "Disallow: /fish*.php$\n"
+                "Disallow: /search?q=\n"
+                "Allow: /search?q=public\n"
+                "Disallow: /%62%61%7A\n"          # decodes to /baz
+                "Disallow: /lit-%2A.html\n"       # literal '*'
+                "Disallow: /id%2Fsub\n",          # reserved %2F stays encoded
+            )],
+            "host string, content string",
+        )
+        rules = parse_robots(robots, "host", "content")
+        urls = spark.createDataFrame(
+            [
+                (1, "https://a.org/fish-page.php"),         # wildcard+$ fires
+                (2, "https://a.org/fish.php?x=1"),          # not at end → allowed
+                (3, "https://a.org/search?q=hello"),        # query rule fires
+                (4, "https://a.org/search?q=public-data"),  # longer Allow wins
+                (5, "https://a.org/baz"),                   # decoded rule fires
+                (6, "https://a.org/%62%61%7a"),             # encoded URL spelling too
+                (7, "https://a.org/lit-*.html"),            # literal '*' target
+                (8, "https://a.org/lit-x.html"),            # %2A is NOT a wildcard
+                (9, "https://a.org/id%2Fsub"),              # encoded '/' matches
+                (10, "https://a.org/id/sub"),               # raw '/' is a different URI
+            ],
+            "doc_id long, url string",
+        )
+        got = {
+            r.doc_id: r.allowed
+            for r in apply_robots(urls, "url", "doc_id", rules).collect()
+        }
+        assert got == {1: False, 2: True, 3: False, 4: True, 5: False,
+                       6: False, 7: False, 8: True, 9: False, 10: True}
+
+    def test_raw_utf8_rule_matches_encoded_url(self, spark):
+        """RFC 9309's ツ example: a robots.txt carrying raw UTF-8 in
+        a rule must match the transport-encoded URL spelling."""
+        from openaq_data_pipeline_spark.operators.frontier import (
+            apply_robots,
+            parse_robots,
+        )
+
+        robots = spark.createDataFrame(
+            [("a.org", "User-agent: *\nDisallow: /foo/bar/ツ")],
+            "host string, content string",
+        )
+        rules = parse_robots(robots, "host", "content")
+        urls = spark.createDataFrame(
+            [(1, "https://a.org/foo/bar/%E3%83%84"),
+             (2, "https://a.org/foo/bar/%e3%83%84"),
+             (3, "https://a.org/foo/bar/other")],
+            "doc_id long, url string",
+        )
+        got = {
+            r.doc_id: r.allowed
+            for r in apply_robots(urls, "url", "doc_id", rules).collect()
+        }
+        assert got == {1: False, 2: False, 3: True}
 
 
 class TestSitemapAndBudget:

@@ -632,6 +632,44 @@ class TestReviewRegressions:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    def test_index_null_array_rows_survive(self, spark):
+        """Array-id and member-struct columns: a row whose doc_ids /
+        members column is NULL must survive a retraction touching the
+        table — size(NULL) > 0 is NULL, and a bare where(NULL) would
+        silently delete it (r8 review finding)."""
+        from pyspark.sql import Row
+
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_from_table,
+        )
+        from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+        ids_df = spark.createDataFrame(
+            [("k1", [1, 2]), ("k2", None), ("k3", [3])],
+            "fingerprint string, doc_ids array<long>",
+        )
+        members_df = spark.createDataFrame(
+            [
+                Row(bkey="b1", members=[Row(id=1, sig=7)]),
+                Row(bkey="b2", members=None),
+                Row(bkey="b3", members=[Row(id=3, sig=9)]),
+            ],
+            "bkey string, members array<struct<id:long,sig:long>>",
+        )
+        t_ids, t_mem = "retract_null_array_ids", "retract_null_array_members"
+        save_bucketed(ids_df, t_ids, "fingerprint", 2)
+        save_bucketed(members_df, t_mem, "bkey", 2)
+        try:
+            assert retract_from_table(spark, t_ids, [1], frozenset({"doc_id"}))
+            got = {r.fingerprint: r.doc_ids for r in spark.table(t_ids).collect()}
+            assert got == {"k1": [2], "k2": None, "k3": [3]}
+            assert retract_from_table(spark, t_mem, [1], frozenset({"doc_id"}))
+            got_m = {r.bkey: r.members for r in spark.table(t_mem).collect()}
+            assert set(got_m) == {"b2", "b3"} and got_m["b2"] is None
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t_ids}")
+            spark.sql(f"DROP TABLE IF EXISTS {t_mem}")
+
     def test_denylist_gate_preserves_fingerprint_column_and_bootstraps(
         self, spark
     ):

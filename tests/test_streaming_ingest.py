@@ -257,6 +257,120 @@ class TestStreamCorpusIngestFuzzy:
             # marker prevented a double append
             assert spark.table(fidx.bands_table).count() == n_band_rows
 
+    def test_inprogress_crash_retry_scrubs_then_reappends(
+        self, spark, tmp_path
+    ):
+        """The append-then-crash window (r8 review finding): the
+        append landed but the final marker was never promoted. The
+        retry must retract the batch's ids and re-append — NOT
+        double-append — leaving the index bit-identical to the
+        clean run."""
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            fuzzy_dedup_gate,
+        )
+
+        out = str(tmp_path / "survivors")
+        hist = spark.createDataFrame(FHISTORY, SCHEMA)
+        batch = spark.createDataFrame(FFILE1, SCHEMA)
+        with temp_exact_index(n_buckets=4) as eidx, temp_fuzzy_index(
+            n_buckets=4
+        ) as fidx:
+            build_exact_index(hist, "text", "doc_id", eidx)
+            build_fuzzy_index(hist, "text", "doc_id", fidx)
+            gate = fuzzy_dedup_gate("text", "doc_id", eidx, fidx, out)
+            gate(batch, 0)
+            n_band_rows = spark.table(fidx.bands_table).count()
+            n_post_rows = spark.table(fidx.postings_table).count()
+            first = sorted(
+                r["doc_id"] for r in spark.read.parquet(out).collect()
+            )
+            # forge the crash: append done, marker never promoted
+            marker = os.path.join(fidx.location, "_batch_0")
+            os.rmdir(marker)
+            os.makedirs(marker + ".__inprogress")
+            gate(batch, 0)
+            second = sorted(
+                r["doc_id"] for r in spark.read.parquet(out).collect()
+            )
+            assert first == second == [11, 12]
+            assert spark.table(fidx.bands_table).count() == n_band_rows
+            assert spark.table(fidx.postings_table).count() == n_post_rows
+            assert os.path.isdir(marker)
+            assert not os.path.exists(marker + ".__inprogress")
+
+    def test_replay_reproduces_within_batch_near_dup_disposition(
+        self, spark, tmp_path
+    ):
+        """Two near-dups inside ONE micro-batch both pass (the
+        cross-pairs-only contract). A replay whose marker exists
+        recomputes disposition against an index that now CONTAINS
+        the batch — the train-id-in-batch exclusion must keep the
+        original verdict instead of dropping both docs against
+        their own indexed copies."""
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            fuzzy_dedup_gate,
+        )
+
+        out = str(tmp_path / "survivors")
+        hist = spark.createDataFrame(FHISTORY, SCHEMA)
+        batch = spark.createDataFrame(
+            [
+                (30, "pine oak elm birch maple ash"),
+                (31, "pine oak elm birch maple ash cedar"),
+            ],
+            SCHEMA,
+        )
+        with temp_exact_index(n_buckets=4) as eidx, temp_fuzzy_index(
+            n_buckets=4
+        ) as fidx:
+            build_exact_index(hist, "text", "doc_id", eidx)
+            build_fuzzy_index(hist, "text", "doc_id", fidx)
+            gate = fuzzy_dedup_gate("text", "doc_id", eidx, fidx, out)
+            gate(batch, 0)
+            first = sorted(
+                r["doc_id"] for r in spark.read.parquet(out).collect()
+            )
+            assert first == [30, 31]
+            gate(batch, 0)  # replay with the marker present
+            second = sorted(
+                r["doc_id"] for r in spark.read.parquet(out).collect()
+            )
+            assert second == [30, 31]
+
+    def test_gate_requires_durable_marker_root(self, spark, tmp_path):
+        import dataclasses
+
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            fuzzy_dedup_gate,
+        )
+
+        with temp_exact_index(n_buckets=4) as eidx, temp_fuzzy_index(
+            n_buckets=4
+        ) as fidx:
+            bare = dataclasses.replace(fidx, location=None)
+            with pytest.raises(ValueError, match="marker root"):
+                fuzzy_dedup_gate(
+                    "text", "doc_id", eidx, bare, str(tmp_path / "s")
+                )
+            # an explicit marker_root satisfies the contract
+            fuzzy_dedup_gate(
+                "text", "doc_id", eidx, bare, str(tmp_path / "s"),
+                marker_root=str(tmp_path / "markers"),
+            )
+
 
 class TestStreamDenylistGate:
     """Denylist composed into the streaming funnel (r8): blocked
