@@ -236,26 +236,30 @@ def retract_from_lake(
     path: str,
     ids: list,
     id_col: str,
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
 ) -> list[str]:
     """Remove rows with ``ids`` from a parquet lake directory — the
     corpus half of a takedown (:func:`retract_documents` handles the
-    index half). With ``partition_col`` (the day-partitioned bronze
-    layout) only partitions that actually CONTAIN a retracted id are
-    rewritten: one column-pruned scan finds them, each is staged to a
-    sibling directory and swapped in with two FS renames — the
-    crash-safety discipline of
+    index half). With ``partition_col`` — one column (the
+    day-partitioned bronze layout) or a LIST of columns for nested
+    partitioning (``["date", "hour"]`` → ``date=*/hour=*`` dirs; r9,
+    VERDICT r8 #3) — only leaf partition directories that actually
+    CONTAIN a retracted id are rewritten: one column-pruned scan
+    finds them (dir paths taken relative to the lake root from the
+    hit rows' own file paths), each is staged to a sibling directory
+    and swapped in with two FS renames — the crash-safety discipline
+    of
     :func:`~openaq_data_pipeline_spark.sources.maintenance.rewrite_bucketed_table`
     (no instant without a durable copy; a crash between the renames
     leaves the partition recoverable beside the table). Untouched
     partitions keep their files byte-identical. Unpartitioned lakes
     stage-and-swap the whole directory. Returns the partition dir
-    names rewritten (``['<root>']`` for unpartitioned), ``[]`` when
+    paths rewritten (``['<root>']`` for unpartitioned), ``[]`` when
     no row matched.
 
     Scale: cost is one id-column scan plus a rewrite of ONLY the
-    affected partitions — a takedown touching 3 days of a 10-year
-    lake rewrites 3 days."""
+    affected leaf partitions — a takedown touching 3 hours of a
+    10-year hourly lake rewrites 3 directories."""
     import os
     import uuid
 
@@ -288,29 +292,46 @@ def retract_from_lake(
         return [path]
 
     # which partition DIRECTORIES hold retracted rows — taken from the
-    # hit rows' own file paths, never by re-spelling inferred
-    # partition VALUES (casting 'hour=03' through an inferred int
-    # yields '3' and the match silently misses — review finding; file
-    # paths also cover __HIVE_DEFAULT_PARTITION__ null partitions)
+    # hit rows' own file paths RELATIVE to the lake root (never by
+    # re-spelling inferred partition VALUES: casting 'hour=03'
+    # through an inferred int yields '3' and the match silently
+    # misses — review finding; file paths also cover
+    # __HIVE_DEFAULT_PARTITION__ null partitions, and relative paths
+    # cover nested date=/hour= layouts where basename(dirname) saw
+    # only the leaf level — r8 review finding)
+    pcols = (
+        [partition_col] if isinstance(partition_col, str) else list(partition_col)
+    )
+    root = os.path.normpath(path.removeprefix("file:"))
+
+    def rel_dir(file_uri: str) -> str:
+        d = os.path.dirname(os.path.normpath(file_uri.removeprefix("file:")))
+        if not (d == root or d.startswith(root + os.sep)):
+            raise ValueError(
+                f"retract_from_lake: hit file {file_uri!r} outside "
+                f"lake root {path!r}"
+            )
+        return os.path.relpath(d, root)
+
     affected = {
-        os.path.basename(os.path.dirname(r["__f"]))
+        rel_dir(r["__f"])
         for r in df.where(hit)
         .select(F.input_file_name().alias("__f"))
         .distinct()
         .collect()
     }
-    prefix = f"{partition_col}="
-    bad = {d for d in affected if not d.startswith(prefix)}
-    if bad:
-        raise ValueError(
-            f"retract_from_lake: hit rows live outside '{prefix}*' "
-            f"partition dirs ({sorted(bad)[:3]}) — wrong partition_col?"
-        )
+    for d in sorted(affected):
+        levels = d.split(os.sep)
+        if len(levels) != len(pcols) or any(
+            not lv.startswith(f"{pc}=") for lv, pc in zip(levels, pcols)
+        ):
+            raise ValueError(
+                f"retract_from_lake: hit rows live in {d!r}, which does "
+                f"not match the declared partitioning {pcols} — wrong "
+                "partition_col?"
+            )
     rewritten = []
-    for entry in fs.listStatus(jpath):
-        name = entry.getPath().getName()
-        if not entry.isDirectory() or name not in affected:
-            continue
+    for name in sorted(affected):
         live = f"{path}/{name}"
         staged = f"{path}__retract_{token}/{name}"
         # partition-dir files carry no partition column; neither does

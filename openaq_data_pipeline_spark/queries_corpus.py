@@ -316,7 +316,7 @@ from openaq_data_pipeline_spark.catalog import exact_ratio_duck  # noqa: E402
 _LM_K = 10**6  # operators/lm.PROB_SCALE fixed-point multiplier
 
 
-@register(
+@register_rotated(
     "lm_bigram_score",
     "EXT-lm — n-gram LM quality scoring (the CCNet/Gopher LM gate): "
     "train an add-one-smoothed bigram model on the even-id half of "

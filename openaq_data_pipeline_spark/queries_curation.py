@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openaq_data_pipeline_spark.catalog import load, register
+from openaq_data_pipeline_spark.catalog import load, register, register_rotated
 from openaq_data_pipeline_spark.operators import text as X
 from openaq_data_pipeline_spark.operators.curation import (
     EMAIL_RE,
@@ -45,7 +45,7 @@ shingles AS (
 """
 
 
-@register(
+@register_rotated(
     "decontamination",
     "EXT-curation — benchmark decontamination: train-split documents "
     "scored by distinct 3-gram overlap with the eval split (broadcast "
@@ -84,7 +84,7 @@ _SAMPLE_CASE_DUCK = (
 )
 
 
-@register(
+@register_rotated(
     "stratified_sample",
     "EXT-curation — deterministic hash-threshold stratified sampling "
     "(per-language rates on an MD5 bucket; shuffle-free, seed-free, "

@@ -1,7 +1,9 @@
-"""Staged driver-query candidates (r8): full DuckDB oracles,
-parity-checked every pytest run via the rotated pool, awaiting a free
-slot in the capped driver registry (catalog.register_staged). Both
-demonstrate this round's crawl-front-door operators end-to-end.
+"""Driver queries promoted from the r8 staging pool (r9): the
+takedown/crawl/profile tier, each with its full DuckDB oracle. They
+were parity-green as staged candidates for one round and entered the
+capped registry when five long-green demonstrations rotated out
+(decontamination, dedup_keep_one, stratified_sample, lm_bigram_score,
+text_repetition_signals — families all still driver-live).
 
 Oracle style note: `html_text_extract`'s oracle is a CLOSED FORM of
 the expected extraction (the HTML is synthesized around the document
@@ -14,12 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openaq_data_pipeline_spark.catalog import load, register_staged
+from openaq_data_pipeline_spark.catalog import load, register
 from openaq_data_pipeline_spark.operators.profiling import profile_table
 from openaq_data_pipeline_spark.operators.text import html_extract, html_title
 
 
-@register_staged(
+@register(
     "html_text_extract",
     "EXT-text — HTML→text extraction (the crawl front door): "
     "documents wrapped in a deterministic HTML template (head/title, "
@@ -61,7 +63,7 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "table_profile_exact",
     "EXT-profiling — one-pass table profiling, exact fields: per "
     "column of the documents table, row count, null count and "
@@ -110,7 +112,7 @@ def q_table_profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "takedown_exact",
     "EXT-retraction — takedown propagation on the exact-dedup tier "
     "IN ONE QUERY: build the survivor index, retract every survivor "
@@ -174,7 +176,7 @@ def q_takedown_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
-@register_staged(
+@register(
     "url_canonicalize",
     "EXT-text — URL canonicalization (crawl-frontier hygiene): "
     "deterministic spelling variants (host/scheme case, explicit "
@@ -218,7 +220,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "frontier_schedule",
     "EXT-frontier — politeness-interleaved crawl scheduling: "
     "fetch_slot = pos_in_host · n_hosts + host_rank guarantees ≥ "
