@@ -82,7 +82,10 @@ def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column
     """Heuristic language ID: the language whose marker-stopword hit
     count is highest wins (ties broken by a fixed language order);
     no hits → 'und'. One regexp count per language — vectorized,
-    shuffle-free."""
+    shuffle-free. This is the cheap single-expression tier; the
+    production path is the model-based
+    :func:`~openaq_data_pipeline_spark.operators.lm.lang_id_trigram`
+    (character-trigram LMs per language, r9)."""
     markers = markers or LANG_MARKERS
     lowered = F.lower(text)
     scores = []

@@ -268,3 +268,131 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return frontier_schedule(urls, "url", "doc_id")
+
+
+# --- r9 staged candidates -----------------------------------------------
+
+from openaq_data_pipeline_spark.catalog import (  # noqa: E402
+    exact_ratio_duck,
+    register_staged,
+)
+
+_LID_K = 10**6  # operators/lm.PROB_SCALE fixed-point multiplier
+
+# the Spark char_stream_text pipeline, replayed in DuckDB: normalize
+# (lower, collapse whitespace, trim), '_' word boundaries, one token
+# per character
+_LID_CHARS = (
+    "string_split(trim(regexp_replace(regexp_replace("
+    "trim(regexp_replace(lower({src}), '\\s+', ' ', 'g')),"
+    " ' ', '_', 'g'), '(.)', '\\1 ', 'g')), ' ')"
+)
+
+
+def _langid_duck() -> str:
+    from openaq_data_pipeline_spark.operators.lm import LANG_ID_SEEDS
+
+    parts = [
+        "dchars AS (SELECT doc_id, "
+        + _LID_CHARS.format(src="text")
+        + " AS w FROM documents)",
+        """dtri AS (
+    SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2, w[g.i + 2] AS w3
+    FROM dchars, generate_series(1, 800) g(i)
+    WHERE g.i <= len(w) - 2
+)""",
+    ]
+    branches = []
+    for lang in sorted(LANG_ID_SEEDS):
+        seed = LANG_ID_SEEDS[lang].replace("'", "''")
+        chars = _LID_CHARS.format(src=f"'{seed}'")
+        parts.append(
+            f"""s_{lang} AS (SELECT {chars} AS w),
+st_{lang} AS (
+    SELECT w[g.i] AS w1, w[g.i + 1] AS w2, w[g.i + 2] AS w3
+    FROM s_{lang}, generate_series(1, 400) g(i)
+    WHERE g.i <= len(w) - 2
+),
+sb_{lang} AS (
+    SELECT w[g.i] AS w1, w[g.i + 1] AS w2
+    FROM s_{lang}, generate_series(1, 400) g(i)
+    WHERE g.i <= len(w) - 1
+),
+su_{lang} AS (
+    SELECT w[g.i] AS u FROM s_{lang}, generate_series(1, 400) g(i)
+    WHERE g.i <= len(w)
+),
+c123_{lang} AS (SELECT w1, w2, w3, count(*) AS c123 FROM st_{lang} GROUP BY 1, 2, 3),
+c12_{lang} AS (SELECT w1, w2, count(*) AS c12 FROM sb_{lang} GROUP BY 1, 2),
+c1_{lang} AS (SELECT u, count(*) AS c1 FROM su_{lang} GROUP BY 1),
+n_{lang} AS (SELECT count(*) AS n FROM su_{lang}),
+sc_{lang} AS (
+    SELECT t.doc_id,
+           CASE
+             WHEN coalesce(tc.c123, 0) > 0 THEN
+               (CAST(tc.c123 AS BIGINT) * {2 * _LID_K} + CAST(bc.c12 AS BIGINT))
+                 // (2 * CAST(bc.c12 AS BIGINT))
+             WHEN coalesce(b23.c12, 0) > 0 THEN
+               (CAST(2 * b23.c12 AS BIGINT) * {2 * _LID_K} + CAST(5 * u2.c1 AS BIGINT))
+                 // (2 * CAST(5 * u2.c1 AS BIGINT))
+             ELSE
+               (CAST(4 * coalesce(u3.c1, 0) AS BIGINT) * {2 * _LID_K} + CAST(25 * n.n AS BIGINT))
+                 // (2 * CAST(25 * n.n AS BIGINT))
+           END AS s_int
+    FROM dtri t
+    CROSS JOIN n_{lang} n
+    LEFT JOIN c123_{lang} tc ON t.w1 = tc.w1 AND t.w2 = tc.w2 AND t.w3 = tc.w3
+    LEFT JOIN c12_{lang} bc ON t.w1 = bc.w1 AND t.w2 = bc.w2
+    LEFT JOIN c12_{lang} b23 ON t.w2 = b23.w1 AND t.w3 = b23.w2
+    LEFT JOIN c1_{lang} u2 ON t.w2 = u2.u
+    LEFT JOIN c1_{lang} u3 ON t.w3 = u3.u
+),
+agg_{lang} AS (
+    SELECT doc_id, '{lang}' AS lang,
+           {exact_ratio_duck('sum(s_int)', f'count(*) * {_LID_K}', 4)} AS avg_score
+    FROM sc_{lang} GROUP BY doc_id
+)"""
+        )
+        branches.append(f"SELECT * FROM agg_{lang}")
+    parts.append("allscores AS (" + " UNION ALL ".join(branches) + ")")
+    parts.append(
+        """best AS (
+    SELECT doc_id, lang, avg_score AS top_score,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY avg_score DESC, lang ASC
+           ) AS rn
+    FROM allscores
+)"""
+    )
+    return ",\n".join(parts)
+
+
+@register_staged(
+    "lang_id_trigram",
+    "EXT-lm — model-based language ID (r9): per-language CHARACTER-"
+    "trigram stupid-backoff LMs trained on the public UDHR Article 1 "
+    "seeds (TextCat method, Cavnar & Trenkle 1994, through the "
+    "engine's exact fixed-point backoff machinery — char n-grams fall "
+    "out of the word n-gram operators by spacing the characters), "
+    "every document scored against all hypotheses, argmax wins with "
+    "deterministic ties; too-short documents → 'und'. The oracle "
+    "replays all four trainings, LUT joins and the argmax in one "
+    "statement",
+    oracle=f"""
+WITH {_langid_duck()}
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS lang,
+       b.top_score AS top_score
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN (SELECT doc_id, lang, top_score FROM best WHERE rn = 1) b
+  ON b.doc_id = d.doc_id
+""",
+)
+def lang_id_trigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID over the documents table with the default UDHR
+    seed set — the staged driver face of
+    :func:`~openaq_data_pipeline_spark.operators.lm.lang_id_trigram`."""
+    from openaq_data_pipeline_spark.operators.lm import lang_id_trigram
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return lang_id_trigram(d, "text", "doc_id")

@@ -1420,3 +1420,70 @@ class TestTokenizerArtifact:
                 unigram_encode(batch, "text", "doc_id", loaded["pieces"])
             )
             assert got == want
+
+
+class TestLangIdTrigram:
+    """Model-based language ID (r9): character-trigram stupid-backoff
+    LMs trained on the per-language UDHR seeds classify a
+    multilingual fixture correctly, short/NULL docs fall to 'und',
+    ties and ordering are deterministic, and custom seed sets work."""
+
+    FIXTURE = [
+        (1, "the people of the village should act with reason and care "
+            "in another spirit of the free world", "en"),
+        (2, "los derechos de los seres humanos deben ser iguales y los "
+            "unos con los otros en dignidad", "es"),
+        (3, "die menschen sind mit vernunft und gewissen geboren und "
+            "sollen einander im geist begegnen", "de"),
+        (4, "tous les droits des etres humains naissent dans un esprit "
+            "de raison et de conscience", "fr"),
+        (5, "they are endowed with reason and should act towards one "
+            "another in a spirit of brotherhood", "en"),
+    ]
+
+    def test_multilingual_fixture_accuracy(self, spark):
+        from openaq_data_pipeline_spark.operators.lm import lang_id_trigram
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.FIXTURE], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.lang
+            for r in lang_id_trigram(df, "text", "doc_id").collect()
+        }
+        want = {i: lang for i, _, lang in self.FIXTURE}
+        assert got == want
+
+    def test_short_and_null_fall_to_und(self, spark):
+        from openaq_data_pipeline_spark.operators.lm import lang_id_trigram
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "ab")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.lang, r.top_score)
+            for r in lang_id_trigram(df, "text", "doc_id").collect()
+        }
+        assert got[1] == ("und", None) and got[2] == ("und", None)
+        # "ab" → chars 'a b' → 2 tokens < 3 → no trigram → und
+        assert got[3] == ("und", None)
+
+    def test_deterministic_and_custom_seeds(self, spark):
+        from openaq_data_pipeline_spark.operators.lm import lang_id_trigram
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.FIXTURE], "doc_id long, text string"
+        )
+        a = sorted(map(tuple, lang_id_trigram(df, "text", "doc_id").collect()))
+        b = sorted(map(tuple, lang_id_trigram(df, "text", "doc_id").collect()))
+        assert a == b
+        # a custom one-language seed set labels everything that forms
+        # a trigram with that language (no other hypothesis exists)
+        only = lang_id_trigram(
+            df, "text", "doc_id", seeds={"xx": "zzz zzz zzz"}
+        )
+        assert {r.lang for r in only.collect()} == {"xx"}
+        import pytest
+
+        with pytest.raises(ValueError, match="seed"):
+            lang_id_trigram(df, "text", "doc_id", seeds={})
