@@ -41,7 +41,16 @@ surviving document's score — match an index that never contained the
 retracted documents. (A retracted document with no postings — empty
 after normalization — leaves no trace to count, so its +1 on N is
 not reversed; the residual is one zero-length row in the avgdl
-denominator, and exactness holds for any corpus without empty docs.)
+denominator, and exactness holds for any corpus without empty docs.
+DECISION, r9 — the residual STAYS: the index records nothing for a
+postings-free doc, so the only way to reverse its +1 would be to
+charge N for every retracted id regardless of evidence, and takedown
+lists routinely carry ids that were never indexed at all — that
+"fix" would corrupt N by one per unseen id, strictly worse than one
+zero-length row in a denominator. Callers who must keep N exact
+should drop empty-after-normalization docs at ingest, which the
+streaming gates already make natural. Pinned by
+tests/test_retraction.py::TestRetractionEdgeContracts.)
 
 Semantics note: retraction FORGETS, it does not BLOCK. Removing a
 fingerprint from the exact index means a future re-submission of the
