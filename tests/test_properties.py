@@ -491,3 +491,155 @@ class TestPpsProperties:
                 model[i] = hi
         assert got == model
         assert len(got) <= k
+
+
+class TestByteFallbackProperties:
+    """Byte-fallback totality (r9, VERDICT r8 #6): under
+    byte_fallback=True ANY UTF-8 string encodes with zero UNK in all
+    three tokenizer families, and the ids round-trip — vocabulary
+    ids map back through the artifact, byte ids (−2−b) decode as
+    UTF-8 byte runs — to the normalized text (normalization and
+    tokenization as SPARK computes them, so unicode case/whitespace
+    semantics are the engine's own)."""
+
+    TRAIN = [(1, "low lower lowest low low"), (2, "new newer newest new")]
+    _artifacts: dict = {}
+
+    FALLBACK_SETTINGS = settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+    @staticmethod
+    def _decode(ids, id_to_piece):
+        out, buf = [], bytearray()
+        for i in ids:
+            if i <= -2:
+                buf.append(-(i) - 2)
+                continue
+            if buf:
+                out.append(buf.decode("utf-8"))
+                buf = bytearray()
+            out.append(id_to_piece[i])
+        if buf:
+            out.append(buf.decode("utf-8"))
+        return "".join(out)
+
+    def _spark_words(self, spark, text):
+        from openaq_data_pipeline_spark.operators.text import (
+            normalize,
+            tokens,
+        )
+
+        df = spark.createDataFrame([(text,)], "t string")
+        arr = df.select(tokens(normalize(F.col("t"))).alias("w")).first()["w"]
+        return [w for w in (arr or []) if w]
+
+    def _trained(self, spark):
+        if not self._artifacts:
+            from openaq_data_pipeline_spark.operators.tokenizer import (
+                bpe_symbol_ids,
+                bpe_train_merges,
+                unigram_piece_ids,
+                unigram_train,
+                wordpiece_ids,
+                wordpiece_train,
+            )
+
+            train = spark.createDataFrame(
+                self.TRAIN, "doc_id long, text string"
+            )
+            pieces = unigram_train(train, "text", vocab_size=12, n_iters=1)
+            vocab = wordpiece_train(train, "text", vocab_size=16)
+            merges = bpe_train_merges(train, "text", "doc_id", n_merges=4)
+            sym_ids = bpe_symbol_ids(train, "text", merges)
+            self._artifacts.update(
+                pieces=pieces,
+                uni_rev={v: k for k, v in unigram_piece_ids(pieces).items()},
+                vocab=vocab,
+                wp_rev={
+                    v: (k[2:] if k.startswith("##") else k)
+                    for k, v in wordpiece_ids(vocab).items()
+                },
+                merges=merges.localCheckpoint(eager=True),
+                sym_ids=sym_ids.localCheckpoint(eager=True),
+                bpe_rev={
+                    r["tid"]: r["sym"] for r in sym_ids.collect()
+                },
+            )
+        return self._artifacts
+
+    @given(st.text(min_size=1, max_size=30))
+    @FALLBACK_SETTINGS
+    def test_unigram_total_and_round_trips(self, spark, text):
+        import hypothesis
+
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            unigram_encode,
+        )
+
+        words = self._spark_words(spark, text)
+        hypothesis.assume(words)
+        art = self._trained(spark)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = unigram_encode(
+            df, "text", "doc_id", art["pieces"], byte_fallback=True
+        ).collect()
+        ids = list(rows[0]["token_ids"])
+        assert all(i != -1 for i in ids)  # zero UNK — encode is total
+        assert self._decode(ids, art["uni_rev"]) == "".join(words)
+
+    @given(st.text(min_size=1, max_size=30))
+    @FALLBACK_SETTINGS
+    def test_wordpiece_total_and_round_trips(self, spark, text):
+        import hypothesis
+
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            wordpiece_encode,
+        )
+
+        words = self._spark_words(spark, text)
+        hypothesis.assume(words)
+        art = self._trained(spark)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = wordpiece_encode(
+            df, "text", "doc_id", art["vocab"], byte_fallback=True
+        ).collect()
+        ids = list(rows[0]["token_ids"])
+        assert all(i != -1 for i in ids)
+        assert self._decode(ids, art["wp_rev"]) == "".join(words)
+
+    @given(st.text(min_size=1, max_size=24))
+    @FALLBACK_SETTINGS
+    def test_bpe_total_and_round_trips(self, spark, text):
+        import hypothesis
+
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            bpe_encode,
+        )
+
+        words = self._spark_words(spark, text)
+        hypothesis.assume(words)
+        art = self._trained(spark)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = bpe_encode(
+            df, "text", "doc_id", art["merges"],
+            symbol_ids=art["sym_ids"], byte_fallback=True,
+        ).collect()
+        ids = list(rows[0]["token_ids"])
+        assert all(i != -1 for i in ids)
+        assert self._decode(ids, art["bpe_rev"]) == "".join(words)
+
+    def test_byte_id_space_is_disjoint_and_exact(self):
+        from openaq_data_pipeline_spark.operators.tokenizer import (
+            byte_fallback_ids_py,
+        )
+
+        assert byte_fallback_ids_py("A") == [-(2 + 0x41)]
+        assert byte_fallback_ids_py("é") == [-(2 + 0xC3), -(2 + 0xA9)]
+        assert byte_fallback_ids_py("€") == [-(2 + b) for b in "€".encode()]
+        assert byte_fallback_ids_py("𝄞") == [-(2 + b) for b in "𝄞".encode()]
+        # the whole byte range sits strictly below the UNK sentinel
+        ids = [i for b in range(256) for i in [-(2 + b)]]
+        assert max(ids) == -2 and min(ids) == -257
