@@ -396,3 +396,166 @@ def lang_id_trigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")["documents"]
     return lang_id_trigram(d, "text", "doc_id")
+
+
+@register_staged(
+    "html_density_extract",
+    "EXT-text — content-density main-content extraction (r9, "
+    "jusText/Arc90 heuristics over the stdlib html.parser tag "
+    "stream in one Arrow pass): documents wrapped in a "
+    "boilerplate-heavy template (nav menu, cookie banner, share "
+    "strip and link-strip footer around one article block) come "
+    "back as the article alone — link-dense blocks die whatever "
+    "their length, short text blocks die unless a content-dense "
+    "neighbor rescues them (the link strips isolate the banner, so "
+    "it never is), and the article survives iff it clears the "
+    "60-char floor. The "
+    "oracle is the CLOSED FORM of that behavior (whitespace-"
+    "collapsed document text when long enough, '' otherwise), not "
+    "a replay of the block scorer",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) >= 60
+            THEN trim(regexp_replace(text, '\\s+', ' ', 'g'))
+            ELSE '' END AS main_text
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_html_density_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import (
+        html_extract_density,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/n">News</a> '
+            '<a href="/a">About</a></nav>'
+            "<div>Accept cookies?</div>"
+            '<div><a href="/s1">Tweet</a> <a href="/s2">Share</a></div>'
+            "<article><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p></article>"
+            '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a> '
+            '<a href="/c">Contact</a></footer></body></html>'
+        ),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return (
+        html_extract_density(pages, "html", out_col="main_text")
+        .select("doc_id", "main_text")
+        .orderBy("doc_id")
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    from openaq_data_pipeline_spark.queries_ext import (
+        _cosc_duck,
+        _ivf_trained_cents_duck,
+        _pq_trained_books_duck,
+    )
+
+    return f"""
+WITH {_ivf_trained_cents_duck(16, 1, 64)},
+{_pq_trained_books_duck(8, 16, 1, 64)},
+cents AS (SELECT cell_id, c_vec FROM cents1),
+assign AS (
+    SELECT a.vec_id AS neighbor_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({_cosc_duck('a', 'c')}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings a CROSS JOIN cents c
+),
+probes AS (
+    SELECT q.vec_id AS query_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_cosc_duck('q', 'c')}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < 10
+),
+cand AS (
+    SELECT DISTINCT p.query_id, s.neighbor_id
+    FROM (SELECT query_id, cell_id FROM probes WHERE rn <= 4) p
+    JOIN (SELECT neighbor_id, cell_id FROM assign WHERE rn = 1) s USING (cell_id)
+),
+penc AS (
+    SELECT x.vec_id, x.sub_id, b.code_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY x.vec_id, x.sub_id
+               ORDER BY round(list_dot_product(x.u, x.u)
+                              - 2 * list_dot_product(x.u, b.c)
+                              + list_dot_product(b.c, b.c), 6) ASC,
+                        b.code_id ASC
+           ) AS rn
+    FROM pexpl x JOIN book1 b ON b.sub_id = x.sub_id
+),
+pcodes AS (SELECT vec_id, sub_id, code_id FROM penc WHERE rn = 1),
+lut AS (
+    SELECT q.vec_id AS query_id, b.sub_id, b.code_id,
+           CAST(round((list_dot_product(q.u, q.u)
+                       - 2 * list_dot_product(q.u, b.c)
+                       + list_dot_product(b.c, b.c)) * 1000000, 0)
+                AS BIGINT) AS d2_int
+    FROM pexpl q JOIN book1 b ON b.sub_id = q.sub_id
+    WHERE q.vec_id < 10
+),
+sc2 AS (
+    SELECT l.query_id, c.vec_id AS neighbor_id,
+           CAST(sum(l.d2_int) AS BIGINT) AS adc_fp
+    FROM pcodes c
+    JOIN cand ON cand.neighbor_id = c.vec_id
+    JOIN lut l ON l.sub_id = c.sub_id AND l.code_id = c.code_id
+             AND l.query_id = cand.query_id
+    WHERE c.vec_id <> l.query_id
+    GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adc_fp
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id ASC
+    ) AS rnk
+    FROM sc2
+)
+WHERE rnk <= 5
+"""
+
+
+@register_staged(
+    "ann_topk_ivf_pq",
+    "EXT-similarity — IVF-PQ with BOTH persisted handles (r9, Jégou "
+    "et al. 2011 §V composed): the frozen IVF coarse quantizer "
+    "prunes candidates to the nprobe=4 probed cells, PQ's asymmetric "
+    "distance ranks ONLY those from the neighbor-bucketed code "
+    "table — per-query cost O(candidates·m), no step reads a raw "
+    "corpus vector, and a takedown against either handle scrubs the "
+    "corresponding rows. The oracle replays the Lloyd centroid "
+    "training, cell assignment, probes, codebook training, encoding, "
+    "LUTs and the candidate-restricted ADC in one statement",
+    oracle=_ivf_pq_oracle(),
+)
+def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        build_pq_index,
+        ivf_pq_topk_indexed,
+        temp_ivf_index,
+        temp_pq_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    with temp_ivf_index(nprobe=4, n_buckets=8) as iidx, temp_pq_index(
+        m=8, ksub=16, dim=64, n_buckets=8
+    ) as pidx:
+        build_ivf_index(e, iidx, n_cells=16, train_iters=1)
+        build_pq_index(e, pidx, n_iters=1)
+        return ivf_pq_topk_indexed(
+            spark, q, iidx, pidx, k=5
+        ).localCheckpoint(eager=True)
