@@ -25,8 +25,9 @@ URL-ledger note (cross-batch seen-URL dedup): hash the CANONICAL
 URL verbatim — ``F.md5(canon_url)`` — never through
 `text.fingerprint`, which lowercases and collapses whitespace and
 would merge distinct case-sensitive paths (``/Page`` vs ``/page``)
-into one ledger entry. The exact-dedup index machinery composes
-unchanged once the key is right.
+into one ledger entry. :func:`url_ledger_gate` (r9) IS that
+composition: the exact-dedup index machinery reused unchanged with
+the verbatim-URL MD5 as the key.
 
 Reference parity note: no crawl plane exists in the reference; this
 extends the engine's LLM-data-acquisition tier beside
@@ -359,3 +360,57 @@ def parse_sitemaps(
                      ("&apos;", "'"), ("&amp;", "&")):
         url = F.replace(url, F.lit(ent), F.lit(rep))
     return out.select("source", url.alias("url"), "from_index")
+
+
+# --- URL ledger: cross-batch seen-URL dedup (r9) --------------------------
+
+
+def url_ledger_gate(
+    urls: DataFrame,
+    url_col: str,
+    id_col: str,
+    index,
+    update_index: bool = True,
+) -> DataFrame:
+    """(id, canon_url, kept, dup_of) — disposition of every
+    fetch-candidate URL against a persisted seen-URL ledger (an
+    ``ExactIndex``): spelling variants of one resource collapse via
+    :func:`~openaq_data_pipeline_spark.operators.text.canonicalize_url`,
+    already-crawled resources drop with ``dup_of`` = the id that
+    first fetched them, fresh resources keep and (with
+    ``update_index``) enter the ledger so the NEXT batch dedups
+    against them. Rows whose URL has no parseable scheme+host are
+    excluded — they are not fetchable (the frontier_schedule
+    contract).
+
+    Key discipline (module docstring): the ledger key is
+    ``md5(canonical_url)`` computed VERBATIM — paths stay
+    case-sensitive — and only then flows through the exact-index
+    machinery (whose own normalize-and-hash is applied to the hex
+    key, where lowercasing is a no-op). Plan shape is therefore
+    exactly `incremental_exact_dedup`'s: one hash-aggregate over the
+    batch, one bucket-local index join, history never re-read."""
+    from openaq_data_pipeline_spark.operators.incremental_dedup import (
+        build_exact_index,
+        incremental_exact_dedup,
+    )
+    from openaq_data_pipeline_spark.operators.text import canonicalize_url
+
+    keyed = (
+        urls.select(
+            F.col(id_col),
+            canonicalize_url(F.col(url_col)).alias("canon_url"),
+        )
+        .where(F.col("canon_url").isNotNull())
+        .withColumn("__ukey", F.md5(F.col("canon_url")))
+    )
+    spark = urls.sparkSession
+    if not spark.catalog.tableExists(index.hashes_table):
+        # first batch bootstraps an EMPTY ledger; the batch itself
+        # flows through the incremental disposition like every later
+        # one (one code path, one semantics)
+        build_exact_index(keyed.limit(0), "__ukey", id_col, index)
+    disp = incremental_exact_dedup(
+        keyed, "__ukey", id_col, index, update_index=update_index
+    )
+    return keyed.select(F.col(id_col), "canon_url").join(disp, id_col)

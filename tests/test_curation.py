@@ -1269,3 +1269,77 @@ class TestCanonicalizeUrlIdempotence:
         # every canonical form is non-null on this grid (all inputs
         # carry a parseable scheme+host)
         assert all(r.c1 is not None for r in rows)
+
+
+class TestUrlLedgerGate:
+    """Cross-batch seen-URL dedup (r9): spelling variants collapse,
+    case-sensitive paths stay distinct, the ledger persists across
+    batches, and unfetchable rows are excluded."""
+
+    def test_variants_collapse_case_stays_cross_batch_drops(
+        self, spark
+    ):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            url_ledger_gate,
+        )
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+
+        b1 = spark.createDataFrame(
+            [
+                (1, "https://A.com/x?utm_source=tw"),   # variants of one
+                (2, "https://a.com:443/x"),             # resource → min id
+                (3, "https://a.com/Page"),              # case-sensitive path
+                (4, "https://a.com/page"),              # distinct resource
+                (5, "not a url"),                       # unfetchable
+            ],
+            "doc_id long, url string",
+        )
+        b2 = spark.createDataFrame(
+            [
+                (10, "https://a.com/x"),                # seen in batch 1
+                (11, "https://a.com/fresh"),            # new
+                (12, "https://a.com/Page?utm_id=9"),    # seen (variant)
+            ],
+            "doc_id long, url string",
+        )
+        with temp_exact_index(n_buckets=4) as idx:
+            d1 = {
+                r.doc_id: (r.kept, r.dup_of, r.canon_url)
+                for r in url_ledger_gate(b1, "url", "doc_id", idx).collect()
+            }
+            assert set(d1) == {1, 2, 3, 4}  # 5 is unfetchable
+            assert d1[1][:2] == (True, None)
+            assert d1[2][:2] == (False, 1)
+            assert d1[1][2] == d1[2][2] == "https://a.com/x"
+            # /Page and /page are DIFFERENT resources
+            assert d1[3][:2] == (True, None) and d1[4][:2] == (True, None)
+            d2 = {
+                r.doc_id: (r.kept, r.dup_of)
+                for r in url_ledger_gate(b2, "url", "doc_id", idx).collect()
+            }
+            assert d2 == {10: (False, 1), 11: (True, None), 12: (False, 3)}
+
+    def test_read_only_probe_leaves_ledger_unchanged(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            url_ledger_gate,
+        )
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+
+        b = spark.createDataFrame(
+            [(1, "https://a.com/x")], "doc_id long, url string"
+        )
+        probe = spark.createDataFrame(
+            [(2, "https://a.com/y")], "doc_id long, url string"
+        )
+        with temp_exact_index(n_buckets=4) as idx:
+            url_ledger_gate(b, "url", "doc_id", idx).collect()
+            n = spark.table(idx.hashes_table).count()
+            got = url_ledger_gate(
+                probe, "url", "doc_id", idx, update_index=False
+            ).collect()
+            assert got[0].kept is True
+            assert spark.table(idx.hashes_table).count() == n
