@@ -510,3 +510,118 @@ def lang_id_trigram(
             F.col("top_score"),
         )
     )
+
+
+def lang_id_trigram_onepass(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    seeds: dict[str, str] | None = None,
+    out_scale: int = 4,
+) -> DataFrame:
+    """:func:`lang_id_trigram` with the scale topology its docstring
+    promises for MANY languages: the per-language count tables (each
+    seed-vocab-tiny) union into ONE lang-keyed model table, and the
+    document char-trigram stream — the corpus-sized side — is read
+    ONCE, expanded by a broadcast language list, scored through the
+    same lang-keyed left joins and exact fixed-point backoff arms,
+    and argmaxed. |languages| multiplies the post-scan row count (the
+    unavoidable cost of scoring every hypothesis), never the number
+    of corpus scans. Output and semantics are IDENTICAL to the
+    per-language composition (pinned by test); the two share the
+    seed set and the winner rule."""
+    seeds = dict(LANG_ID_SEEDS if seeds is None else seeds)
+    if not seeds:
+        raise ValueError("lang_id_trigram_onepass: no seed languages")
+    from functools import reduce
+
+    spark = docs.sparkSession
+    k = 10**PROB_SCALE
+    tri_all, bi_all, uni_all, n_rows = [], [], [], []
+    for lang in sorted(seeds):
+        seed = spark.createDataFrame([(0, seeds[lang])], "id long, t string")
+        seed_chars = seed.select(
+            F.col("id"), char_stream_text(F.col("t")).alias("__chars")
+        )
+        tri, bi, uni, n = train_trigram_lm(seed_chars, "__chars", "id")
+        lcol = F.lit(lang).alias("lang")
+        tri_all.append(tri.select(lcol, "w1", "w2", "w3", "c123"))
+        bi_all.append(bi.select(lcol, "w1", "w2", "c12"))
+        uni_all.append(uni.select(lcol, "w", "c1"))
+        n_rows.append((lang, n))
+    u = lambda dfs: reduce(lambda a, b: a.unionByName(b), dfs)  # noqa: E731
+    tri_all, bi_all, uni_all = u(tri_all), u(bi_all), u(uni_all)
+    langs = spark.createDataFrame(n_rows, "lang string, __n long")
+
+    chars = docs.select(
+        F.col(id_col), char_stream_text(F.col(text_col)).alias("__chars")
+    )
+    stream = trigram_stream(chars, "__chars", id_col)
+    bi23 = bi_all.select(
+        "lang",
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.col("c12").alias("c23"),
+    )
+    uni3 = uni_all.select("lang", F.col("w").alias("w3"), F.col("c1").alias("c3"))
+    uni2 = uni_all.select("lang", F.col("w").alias("w2"), F.col("c1").alias("c2"))
+    joined = (
+        stream.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(tri_all), ["lang", "w1", "w2", "w3"], "left")
+        .join(F.broadcast(bi_all), ["lang", "w1", "w2"], "left")
+        .join(F.broadcast(bi23), ["lang", "w2", "w3"], "left")
+        .join(F.broadcast(uni2), ["lang", "w2"], "left")
+        .join(F.broadcast(uni3), ["lang", "w3"], "left")
+    )
+    c123 = F.coalesce(F.col("c123"), F.lit(0))
+    c12 = F.coalesce(F.col("c12"), F.lit(0))
+    c23 = F.coalesce(F.col("c23"), F.lit(0))
+    c2 = F.coalesce(F.col("c2"), F.lit(0))
+    c3 = F.coalesce(F.col("c3"), F.lit(0))
+    s_int = (
+        F.when(c123 > 0, _prob_scaled_long(c123, c12, PROB_SCALE))
+        .when(c23 > 0, _prob_scaled_long(2 * c23, 5 * c2, PROB_SCALE))
+        .otherwise(_prob_scaled_long(4 * c3, 25 * F.col("__n"), PROB_SCALE))
+    )
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+
+    scored = (
+        joined.groupBy(id_col, "lang")
+        .agg(
+            F.count(F.lit(1)).alias("__nt"),
+            F.sum(s_int).alias("__sum_s"),
+        )
+        .select(
+            F.col(id_col),
+            "lang",
+            exact_ratio_spark(
+                F.col("__sum_s"), F.col("__nt") * k, out_scale=out_scale
+            ).alias("avg_score"),
+        )
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("avg_score")).alias("neg"),
+                    F.col("lang").alias("lang"),
+                    F.col("avg_score").alias("s"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__b.lang").alias("lang"),
+            F.col("__b.s").alias("top_score"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col)).distinct()
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            F.col("top_score"),
+        )
+    )

@@ -1487,3 +1487,49 @@ class TestLangIdTrigram:
 
         with pytest.raises(ValueError, match="seed"):
             lang_id_trigram(df, "text", "doc_id", seeds={})
+
+    def test_onepass_equals_per_language_composition(self, spark):
+        """The scale variant (corpus scanned ONCE, lang-keyed model
+        tables) must be bit-identical to the per-language
+        composition on the same fixture + edge docs."""
+        from openaq_data_pipeline_spark.operators.lm import (
+            lang_id_trigram,
+            lang_id_trigram_onepass,
+        )
+
+        rows = [(i, t) for i, t, _ in self.FIXTURE] + [
+            (90, None), (91, ""), (92, "ab"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, lang_id_trigram(df, "text", "doc_id").collect()))
+        b = sorted(
+            map(tuple, lang_id_trigram_onepass(df, "text", "doc_id").collect())
+        )
+        assert a == b
+
+    def test_onepass_single_corpus_scan(self, spark, tmp_path):
+        """The point of the variant: the documents parquet appears in
+        the plan's scan set once-per-run semantics — inputFiles of
+        the scored plan reference the corpus, and the per-language
+        model tables are broadcast (no |languages|× corpus joins on
+        the build side). Pin by counting corpus Scan nodes in the
+        executed plan."""
+        from openaq_data_pipeline_spark.operators.lm import (
+            lang_id_trigram_onepass,
+        )
+
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(i, t) for i, t, _ in self.FIXTURE], "doc_id long, text string"
+        ).write.parquet(p)
+        docs = spark.read.parquet(p)
+        out = lang_id_trigram_onepass(docs, "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        n_corpus_scans = len(
+            [m for m in re.finditer(r"Scan parquet", plan) if True]
+        )
+        # one scan feeds the trigram stream, one the distinct-id
+        # left-join anchor — never one per language
+        assert n_corpus_scans <= 2, plan[:2000]
