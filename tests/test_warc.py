@@ -115,3 +115,126 @@ class TestReadWarc:
             "https://a.org/x": "hello crawl world",
             "https://b.org/z": "hello crawl world",
         }
+
+
+class TestCrawlIntakeEndToEnd:
+    """The full r9 acquisition path composed: WARC archives → response
+    records → URL-ledger dedup (canonical spellings) → robots gate
+    (wildcard rules) → content-density extraction (boilerplate dies)
+    → Gopher structural gate → exact-dedup against crawl history.
+    Every stage is an already-tested operator; this pins that the r9
+    additions COMPOSE end-to-end."""
+
+    def test_pipeline(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.frontier import (
+            apply_robots,
+            parse_robots,
+            url_ledger_gate,
+        )
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            build_exact_index,
+            incremental_exact_dedup,
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.operators.text import (
+            gopher_rules,
+            html_extract_density,
+        )
+
+        art = (
+            "<p>the quick brown fox jumps over the lazy dog and then "
+            "the calm river flows through the old valley and the town "
+            "while the people of the village act with reason and care "
+            "in a spirit of brotherhood for all of the free world and "
+            "every autumn the water slows while the village measures "
+            "the change with the same brass gauge it has used for "
+            "eighty years of quiet work</p>"
+        )
+        art2 = art.replace("quick", "swift")
+        boiler = (
+            '<nav><a href="/">Home</a> <a href="/n">News</a> '
+            '<a href="/a">About</a></nav>'
+        )
+
+        def page(body):
+            return (
+                "<html><head><title>t</title></head><body>"
+                + boiler + "<article>" + body + "</article>"
+                + '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a>'
+                "</footer></body></html>"
+            ).encode()
+
+        def http(body: bytes) -> bytes:
+            return (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+
+        resp = lambda uri, body: _record(  # noqa: E731
+            "response", uri, http(page(body)),
+            "application/http;msgtype=response",
+        )
+        p = tmp_path / "crawl"
+        p.mkdir()
+        (p / "seg.warc").write_bytes(
+            resp("https://A.org/x?utm_source=tw", art)   # 1: survives
+            + resp("https://a.org:443/x", art)           # 2: URL dup of 1
+            + resp("https://a.org/private/y", art2)      # 3: robots-blocked
+            + resp("https://a.org/tiny", "<p>tiny</p>")  # 4: gopher reject
+            + resp("https://a.org/again", art)           # 5: content dup of 1
+        )
+        pages = (
+            read_warc(spark, str(p))
+            .where("warc_type = 'response' AND http_status = 200")
+            .select(
+                F.monotonically_increasing_id().alias("page_id"),
+                F.col("target_uri").alias("url"),
+                F.decode("payload", "utf-8").alias("html"),
+            )
+        )
+        robots = spark.createDataFrame(
+            [("a.org", "User-agent: *\nDisallow: /priv*/")],
+            "host string, content string",
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            # 1. URL ledger: spelling variants collapse
+            led = url_ledger_gate(pages, "url", "page_id", ledger)
+            fetchable = pages.join(
+                led.where("kept").select("page_id"), "page_id"
+            )
+            # 2. robots gate (wildcard rule must fire on /private/)
+            verdicts = apply_robots(
+                fetchable, "url", "page_id", parse_robots(robots, "host", "content")
+            )
+            fetched = fetchable.join(
+                verdicts.where("allowed").select("page_id"), "page_id"
+            )
+            # 3. density extraction: boilerplate dies with the nav
+            texts = html_extract_density(fetched, "html").select(
+                "page_id", "url", "text"
+            )
+            assert all(
+                "Home" not in r.text and "Privacy" not in r.text
+                for r in texts.collect()
+            )
+            # 4. structural quality gate
+            keep = gopher_rules(texts, "text", "page_id").where("keep")
+            gated = texts.join(keep.select("page_id"), "page_id")
+            # 5. exact dedup against (empty) crawl history
+            build_exact_index(
+                gated.limit(0).select("page_id", "text"),
+                "text", "page_id", hist,
+            )
+            disp = incremental_exact_dedup(
+                gated.select("page_id", "text"), "text", "page_id", hist
+            )
+            survivors = {
+                r.url
+                for r in gated.join(
+                    disp.where("kept").select("page_id"), "page_id"
+                ).collect()
+            }
+        assert survivors == {"https://A.org/x?utm_source=tw"}
