@@ -45,17 +45,28 @@ from openaq_data_pipeline_spark.operators.text import url_host
 def frontier_schedule(
     urls: DataFrame, url_col: str, id_col: str,
     max_per_host: int | None = None,
+    crawl_delays: DataFrame | None = None,
+    default_delay_sec: float = 1.0,
 ) -> DataFrame:
-    """(id, host, host_rank, pos_in_host, fetch_slot) — a total,
-    deterministic, politeness-interleaved fetch order over the
-    frontier. Rows whose URL has no parseable host are dropped (they
-    are not fetchable). ``fetch_slot`` values are unique but not
+    """(id, host, host_rank, pos_in_host, fetch_slot[, not_before_sec])
+    — a total, deterministic, politeness-interleaved fetch order over
+    the frontier. Rows whose URL has no parseable host are dropped
+    (they are not fetchable). ``fetch_slot`` values are unique but not
     dense: a slot is skipped whenever its host has run out of URLs —
     the crawler processes slots in order, which preserves the
     politeness spacing without a compaction pass. ``max_per_host``
     caps each host's URLs this scheduling round (the crawl-budget
     knob): the MD5 order decides deterministically which URLs wait
-    for the next round."""
+    for the next round.
+
+    ``crawl_delays`` (r9, (host, crawl_delay_sec) — the
+    :func:`parse_crawl_delays` output) adds the TIME half of
+    politeness beside the slot-spacing half: ``not_before_sec`` =
+    ``pos_in_host × max(declared delay, default_delay_sec)`` is the
+    earliest offset (from crawl start) at which a fetch may run —
+    the crawler takes slots in order but defers any fetch whose
+    ``not_before_sec`` lies in the future. One extra broadcast join;
+    the slot invariant is untouched."""
     with_host = urls.select(
         F.col(id_col), url_host(F.col(url_col)).alias("host"),
         F.md5(F.col(url_col).cast("string")).alias("__h"),
@@ -77,20 +88,40 @@ def frontier_schedule(
     scheduled = with_host.withColumn("pos_in_host", pos)
     if max_per_host is not None:
         scheduled = scheduled.where(F.col("pos_in_host") < max_per_host)
-    return (
-        scheduled
-        .join(F.broadcast(ranked), "host")
+    out_cols = [
+        F.col(id_col),
+        F.col("host"),
+        F.col("host_rank"),
+        F.col("pos_in_host"),
+        (F.col("pos_in_host") * F.col("__n") + F.col("host_rank")).alias(
+            "fetch_slot"
+        ),
+    ]
+    joined = (
+        scheduled.join(F.broadcast(ranked), "host")
         .crossJoin(F.broadcast(n_hosts))
-        .select(
-            id_col,
-            "host",
-            "host_rank",
-            "pos_in_host",
-            (F.col("pos_in_host") * F.col("__n") + F.col("host_rank")).alias(
-                "fetch_slot"
-            ),
-        )
     )
+    if crawl_delays is not None:
+        joined = joined.join(
+            F.broadcast(
+                crawl_delays.select("host", "crawl_delay_sec")
+            ),
+            "host",
+            "left",
+        )
+        out_cols.append(
+            (
+                F.col("pos_in_host").cast("double")
+                * F.greatest(
+                    F.coalesce(
+                        F.col("crawl_delay_sec"),
+                        F.lit(float(default_delay_sec)),
+                    ),
+                    F.lit(float(default_delay_sec)),
+                )
+            ).alias("not_before_sec")
+        )
+    return joined.select(*out_cols)
 
 
 # --- robots.txt fetch policy --------------------------------------------
@@ -230,52 +261,106 @@ def parse_robots(
                 "rule_regex": [], "rule_len": [],
             }
             for host, content in zip(pdf[host_col], pdf[content_col]):
-                if content is None:
-                    continue
-                text = (
-                    content.decode("utf-8", "replace")
-                    if isinstance(content, (bytes, bytearray))
-                    else str(content)
-                )
-                groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
-                agents: list[str] = []
-                rules: list[tuple[str, bool]] = []
-                in_rules = False
-                for raw in text.splitlines():
-                    line = raw.split("#", 1)[0].strip()
-                    if not line or ":" not in line:
-                        continue
-                    key, _, val = line.partition(":")
-                    key, val = key.strip().lower(), val.strip()
-                    if key == "user-agent":
-                        if in_rules:
-                            groups.append((agents, rules))
-                            agents, rules, in_rules = [], [], False
-                        agents.append(val.lower())
-                    elif key in ("allow", "disallow"):
-                        in_rules = True
-                        if val:
-                            rules.append((val, key == "allow"))
-                groups.append((agents, rules))
-                specific = [
-                    g for g in groups
-                    if any(a != "*" and a in agent for a in g[0])
-                ]
-                chosen = specific or [
-                    g for g in groups if "*" in g[0]
-                ]
-                for _, grules in chosen:
-                    for path, allow in grules:
-                        regex, rule_len = _rule_to_regex(path)
+                for grules in _chosen_groups(content, agent):
+                    for key, val in grules:
+                        if key not in ("allow", "disallow"):
+                            continue
+                        regex, rule_len = _rule_to_regex(val)
                         out["host"].append(host)
-                        out["rule_path"].append(path)
-                        out["allow"].append(allow)
+                        out["rule_path"].append(val)
+                        out["allow"].append(key == "allow")
                         out["rule_regex"].append(regex)
                         out["rule_len"].append(rule_len)
             yield pd.DataFrame(out)
 
     return robots.select(host_col, content_col).mapInPandas(
         parse, schema=_ROBOTS_SCHEMA
+    )
+
+
+def _chosen_groups(content, agent: str) -> list[list[tuple[str, str]]]:
+    """The directive lists of the robots.txt groups governing
+    ``agent`` (RFC 9309 group selection: specific-agent groups win;
+    ``*`` groups are the fallback). Each group is [(key, value), …]
+    with keys lowercased — shared by the rule parser and the
+    Crawl-delay reader so group selection cannot drift between
+    them."""
+    if content is None:
+        return []
+    text = (
+        content.decode("utf-8", "replace")
+        if isinstance(content, (bytes, bytearray))
+        else str(content)
+    )
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    agents: list[str] = []
+    directives: list[tuple[str, str]] = []
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_rules:
+                groups.append((agents, directives))
+                agents, directives, in_rules = [], [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            # only recognized body keys end an agent cluster — an
+            # interleaved Sitemap: line must not split a group
+            in_rules = True
+            if val:
+                directives.append((key, val))
+    groups.append((agents, directives))
+    specific = [
+        g for g in groups if any(a != "*" and a in agent for a in g[0])
+    ]
+    chosen = specific or [g for g in groups if "*" in g[0]]
+    return [g[1] for g in chosen]
+
+
+def parse_crawl_delays(
+    robots: DataFrame,
+    host_col: str,
+    content_col: str,
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, crawl_delay_sec) — the ``Crawl-delay`` of the group
+    governing ``user_agent``, for hosts that declare one (the
+    directive is de-facto standard — Bing/Yandex honor it — though
+    absent from RFC 9309; group selection is shared with
+    :func:`parse_robots` so the two readers can never disagree about
+    which group applies). Multiple parseable values take the MOST
+    conservative (largest). Hosts without one emit no row — the
+    scheduler's ``default_delay_sec`` covers them."""
+
+    def parse(batches):
+        import pandas as pd
+
+        agent = user_agent.lower()
+        for pdf in batches:
+            out = {"host": [], "crawl_delay_sec": []}
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                best = None
+                for grules in _chosen_groups(content, agent):
+                    for key, val in grules:
+                        if key != "crawl-delay":
+                            continue
+                        try:
+                            d = float(val)
+                        except ValueError:
+                            continue
+                        if d >= 0 and (best is None or d > best):
+                            best = d
+                if best is not None:
+                    out["host"].append(host)
+                    out["crawl_delay_sec"].append(best)
+            yield pd.DataFrame(out)
+
+    return robots.select(host_col, content_col).mapInPandas(
+        parse, schema="host string, crawl_delay_sec double"
     )
 
 

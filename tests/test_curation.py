@@ -1343,3 +1343,90 @@ class TestUrlLedgerGate:
             ).collect()
             assert got[0].kept is True
             assert spark.table(idx.hashes_table).count() == n
+
+
+class TestCrawlDelay:
+    """Crawl-delay (r9): the de-facto-standard per-host fetch
+    interval, read with the SAME group selection as the rule parser
+    and folded into the schedule as a time floor."""
+
+    ROBOTS = """
+User-agent: fastbot
+Crawl-delay: 0.5
+
+User-agent: *
+Disallow: /tmp
+Crawl-delay: 10
+Sitemap: https://a.org/sitemap.xml
+"""
+
+    def test_group_selection_and_conservative_pick(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_crawl_delays,
+        )
+
+        robots = spark.createDataFrame(
+            [("a.org", self.ROBOTS),
+             ("b.org", "User-agent: *\nDisallow: /x"),       # no delay
+             ("c.org", "User-agent: *\nCrawl-delay: nope")],  # unparseable
+            "host string, content string",
+        )
+        star = {
+            r.host: r.crawl_delay_sec
+            for r in parse_crawl_delays(robots, "host", "content").collect()
+        }
+        assert star == {"a.org": 10.0}
+        fast = {
+            r.host: r.crawl_delay_sec
+            for r in parse_crawl_delays(
+                robots, "host", "content", user_agent="fastbot"
+            ).collect()
+        }
+        assert fast == {"a.org": 0.5}
+
+    def test_sitemap_line_does_not_split_groups(self, spark):
+        """An interleaved non-rule line between a group's directives
+        must not terminate the group (RFC 9309 graceful handling)."""
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_robots,
+        )
+
+        robots = spark.createDataFrame(
+            [("a.org",
+              "User-agent: one\nSitemap: https://a.org/s.xml\n"
+              "User-agent: two\nDisallow: /x")],
+            "host string, content string",
+        )
+        rows = parse_robots(
+            robots, "host", "content", user_agent="one"
+        ).collect()
+        # agent 'one' still governs the /x rule: the Sitemap line did
+        # not close its agent cluster
+        assert [(r.rule_path, r.allow) for r in rows] == [("/x", False)]
+
+    def test_schedule_time_floor(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            frontier_schedule,
+            parse_crawl_delays,
+        )
+
+        urls = spark.range(12).selectExpr(
+            "id AS doc_id",
+            "concat('https://', CASE WHEN id % 2 = 0 THEN 'a.org' "
+            "ELSE 'b.org' END, '/p/', id) AS url",
+        )
+        robots = spark.createDataFrame(
+            [("a.org", "User-agent: *\nCrawl-delay: 10")],
+            "host string, content string",
+        )
+        delays = parse_crawl_delays(robots, "host", "content")
+        rows = frontier_schedule(
+            urls, "url", "doc_id", crawl_delays=delays,
+            default_delay_sec=2.0,
+        ).collect()
+        for r in rows:
+            want = r.pos_in_host * (10.0 if r.host == "a.org" else 2.0)
+            assert r.not_before_sec == want, r
+        # without delays the column is absent — schema unchanged
+        bare = frontier_schedule(urls, "url", "doc_id")
+        assert "not_before_sec" not in bare.columns
