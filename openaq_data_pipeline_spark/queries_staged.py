@@ -390,12 +390,18 @@ LEFT JOIN (SELECT doc_id, lang, top_score FROM best WHERE rn = 1) b
 )
 def lang_id_trigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID over the documents table with the default UDHR
-    seed set — the staged driver face of
-    :func:`~openaq_data_pipeline_spark.operators.lm.lang_id_trigram`."""
-    from openaq_data_pipeline_spark.operators.lm import lang_id_trigram
+    seed set — the staged driver face of the lang-id tier, running
+    the ONE-PASS scale topology
+    (:func:`~openaq_data_pipeline_spark.operators.lm.lang_id_trigram_onepass`:
+    lang-keyed broadcast model tables, the corpus char-trigram stream
+    scanned once), which is pytest-pinned bit-identical to the
+    per-language composition the oracle replays."""
+    from openaq_data_pipeline_spark.operators.lm import (
+        lang_id_trigram_onepass,
+    )
 
     d = load(spark, sf_dir, "documents")["documents"]
-    return lang_id_trigram(d, "text", "doc_id")
+    return lang_id_trigram_onepass(d, "text", "doc_id")
 
 
 @register_staged(
