@@ -71,6 +71,11 @@ def frontier_schedule(
         F.col(id_col), url_host(F.col(url_col)).alias("host"),
         F.md5(F.col(url_col).cast("string")).alias("__h"),
     ).where(F.col("host").isNotNull())
+    # three consumers (window, host-rank dim, n_hosts scalar) — the
+    # try_parse_url projection never canonicalizes equal across
+    # subplans, so materialize it once instead of scanning the
+    # frontier three times (the dedup-index lazy-checkpoint move)
+    with_host = with_host.localCheckpoint(eager=False)
     hosts = with_host.select("host").distinct()
     ranked = hosts.select(
         "host",

@@ -478,3 +478,47 @@ def test_video_sampling_is_arrow_batched(spark):
     # the only exchange is the scan fan-out (round-robin); the media
     # path itself never shuffles
     assert len(re.findall(r"Exchange", plan)) <= 1
+
+
+def test_apply_robots_broadcasts_rules(spark):
+    """The robots verdict join must broadcast the (per-host tiny)
+    rules side — never shuffle the URL set into an SMJ — and the
+    regex match happens on the joined rows (no rule explosion
+    upstream of the join)."""
+    from openaq_data_pipeline_spark.operators.frontier import (
+        apply_robots,
+        parse_robots,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.org", "User-agent: *\nDisallow: /private/\nDisallow: /w*x$")],
+        "host string, content string",
+    )
+    urls = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('https://a.org/p/', id) AS url"
+    )
+    out = apply_robots(urls, "url", "doc_id", parse_robots(robots, "host", "content"))
+    plan = final_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_frontier_schedule_parses_urls_once(spark):
+    """Politeness scheduling has three consumers of the URL→host
+    projection (the host window, the host-rank dim, the n_hosts
+    scalar). The projection must materialize ONCE (lazy checkpoint —
+    try_parse_url never canonicalizes equal across subplans), so the
+    executed plan reads an ExistingRDD and carries zero parse_url
+    calls; the rank dim and count ride broadcasts."""
+    from openaq_data_pipeline_spark.operators.frontier import (
+        frontier_schedule,
+    )
+
+    urls = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('https://h', CAST(id % 4 AS STRING), '.org/p/', id) AS url",
+    )
+    plan = final_plan(frontier_schedule(urls, "url", "doc_id"))
+    assert "BroadcastExchange" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "parse_url" not in plan, "frontier re-parses URLs per consumer"
