@@ -493,6 +493,9 @@ def url_ledger_gate(
         )
         .where(F.col("canon_url").isNotNull())
         .withColumn("__ukey", F.md5(F.col("canon_url")))
+        # two consumers (the disposition, the canon_url join-back) —
+        # canonicalize once, not per subplan
+        .localCheckpoint(eager=False)
     )
     spark = urls.sparkSession
     if not spark.catalog.tableExists(index.hashes_table):
