@@ -267,3 +267,123 @@ def stream_corpus_ingest_fuzzy(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming crawl intake (r9): the full front door per micro-batch ----
+
+
+def crawl_intake_gate(
+    url_col: str,
+    html_col: str,
+    id_col: str,
+    ledger: ExactIndex,
+    content_index: ExactIndex,
+    survivors_path: str,
+    robots_rules: DataFrame | None = None,
+    denylist=None,
+    min_words: int = 50,
+):
+    """``foreachBatch`` body running the WHOLE crawl front door on
+    each micro-batch of fetched pages (url, html): URL-ledger dedup
+    against all previously crawled spellings → robots verdicts
+    (pre-parsed rules, broadcast) → content-density main-content
+    extraction → the Gopher structural gate → optional denylist →
+    exact content dedup against crawl history. Every stage is the
+    batch operator verbatim — the engine-wide one-correctness-surface
+    contract — and the batch composition is pinned end-to-end in
+    tests/test_warc.py.
+
+    Replay semantics: both persisted indexes are the exact-index
+    family, whose min-survivor re-aggregation absorbs at-least-once
+    re-appends (module docstring); the survivors sink overwrites its
+    own ``batch_id`` partition. Disposition on replay is stable
+    because both gates disposition against (pre-batch index ∪ batch)
+    with the same pure min rule."""
+    from openaq_data_pipeline_spark.operators.frontier import (
+        apply_robots,
+        url_ledger_gate,
+    )
+    from openaq_data_pipeline_spark.operators.text import (
+        gopher_rules,
+        html_extract_density,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        led = url_ledger_gate(batch_df, url_col, id_col, ledger)
+        pages = batch_df.join(
+            led.where("kept").select(id_col), id_col, "inner"
+        )
+        if robots_rules is not None:
+            verdicts = apply_robots(pages, url_col, id_col, robots_rules)
+            pages = pages.join(
+                verdicts.where("allowed").select(id_col), id_col, "inner"
+            )
+        texts = html_extract_density(pages, html_col, out_col="__text")
+        keep = gopher_rules(
+            texts.where(
+                F.col("__text").isNotNull() & (F.col("__text") != "")
+            ),
+            "__text",
+            id_col,
+        ).where("keep")
+        gated = texts.join(keep.select(id_col), id_col, "inner")
+        gated = _apply_denylist(gated, "__text", id_col, denylist)
+        spark = batch_df.sparkSession
+        if not spark.catalog.tableExists(content_index.hashes_table):
+            # first micro-batch bootstraps an empty history (the
+            # url_ledger_gate convention: one code path per batch)
+            from openaq_data_pipeline_spark.operators.incremental_dedup import (  # noqa: E501
+                build_exact_index,
+            )
+
+            build_exact_index(
+                gated.limit(0).select(id_col, "__text"),
+                "__text", id_col, content_index,
+            )
+        disp = incremental_exact_dedup(
+            gated, "__text", id_col, content_index
+        )
+        kept = gated.join(
+            disp.filter("kept").select(id_col), id_col, "inner"
+        ).withColumnRenamed("__text", "text")
+        (
+            kept.selectExpr("*", f"{batch_id} as batch_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(survivors_path)
+        )
+
+    return _process
+
+
+def stream_crawl_intake(
+    stream_df: DataFrame,
+    url_col: str,
+    html_col: str,
+    id_col: str,
+    ledger: ExactIndex,
+    content_index: ExactIndex,
+    survivors_path: str,
+    checkpoint_dir: str,
+    robots_rules: DataFrame | None = None,
+    available_now: bool = True,
+    denylist=None,
+):
+    """Start the crawl-intake stream (same lifecycle contract as
+    :func:`stream_corpus_ingest`): a continuous feed of fetched
+    pages drains through the full front door, and survivors land as
+    extracted TEXT rows ready for the curation funnel."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            crawl_intake_gate(
+                url_col, html_col, id_col, ledger, content_index,
+                survivors_path, robots_rules, denylist,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -429,3 +429,95 @@ class TestStreamDenylistGate:
                 .count()
             )
             assert fp_rows == 0
+
+
+class TestStreamCrawlIntake:
+    """The r9 crawl front door as a stream (crawl_intake_gate): per
+    micro-batch URL-ledger dedup, robots verdicts, density
+    extraction, Gopher gate and content dedup — cross-micro-batch
+    state carried by the two persisted exact indexes."""
+
+    ART = (
+        "<p>the quick brown fox jumps over the lazy dog and then "
+        "the calm river flows through the old valley and the town "
+        "while the people of the village act with reason and care "
+        "in a spirit of brotherhood for all of the free world and "
+        "every autumn the water slows while the village measures "
+        "the change with the same brass gauge it has used for "
+        "eighty years of quiet work</p>"
+    )
+
+    def _page(self, body):
+        return (
+            "<html><body>"
+            '<nav><a href="/">Home</a> <a href="/n">News</a> '
+            '<a href="/a">About</a></nav>'
+            "<article>" + body + "</article>"
+            '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a>'
+            "</footer></body></html>"
+        )
+
+    def test_cross_batch_gates(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_robots,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            stream_crawl_intake,
+        )
+
+        schema = "page_id long, url string, html string"
+        src = str(tmp_path / "incoming")
+        out = str(tmp_path / "survivors")
+        ckpt = str(tmp_path / "ckpt")
+        art2 = self.ART.replace("quick", "swift")
+        b1 = [
+            (1, "https://A.org/x?utm_source=tw", self._page(self.ART)),
+            (2, "https://a.org/private/y", self._page(art2)),  # robots
+            (3, "https://a.org/tiny", self._page("<p>tiny</p>")),
+        ]
+        # batch 2: URL respelling of 1 (ledger drop), fresh page
+        # (kept), exact content copy of 1 under a new URL (content
+        # index drop — only the CROSS-BATCH indexes can catch 4 and 6)
+        b2 = [
+            (4, "https://a.org:443/x", self._page(self.ART)),
+            (5, "https://b.org/fresh", self._page(art2)),
+            (6, "https://c.org/copy", self._page(self.ART)),
+        ]
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        import time as _t
+
+        _t.sleep(1.1)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rules = parse_robots(
+            spark.createDataFrame(
+                [("a.org", "User-agent: *\nDisallow: /priv*/")],
+                "host string, content string",
+            ),
+            "host",
+            "content",
+        ).localCheckpoint(eager=True)
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            q = stream_crawl_intake(
+                stream, "url", "html", "page_id", ledger, hist, out,
+                ckpt, robots_rules=rules,
+            )
+            q.awaitTermination(180)
+            rows = spark.read.parquet(out).collect()
+        got = {r.page_id: (r.batch_id, r.text) for r in rows}
+        assert set(got) == {1, 5}
+        assert got[1][0] == 0 and got[5][0] == 1
+        # density extraction ran: boilerplate gone, article kept
+        for _, text in got.values():
+            assert "Home" not in text and "Privacy" not in text
+            assert "calm river flows" in text
