@@ -643,3 +643,30 @@ class TestByteFallbackProperties:
         # the whole byte range sits strictly below the UNK sentinel
         ids = [i for b in range(256) for i in [-(2 + b)]]
         assert max(ids) == -2 and min(ids) == -257
+
+
+class TestRobotsPercentNormalizeProperties:
+    """The RFC 9309 percent-normalization runs twice — Python at rule
+    parse time, codegen on the URL target — and matching is only
+    correct if the two agree octet-for-octet. Pin equivalence over
+    generated inputs (ASCII + percent-escape soup; the URL side's
+    contract excludes raw non-ASCII, which arrives transport-encoded)."""
+
+    ALPHABET = "abzAZ09-._~/?=&%24fF*$ #"
+
+    @given(st.text(alphabet=ALPHABET, min_size=0, max_size=24))
+    @SETTINGS
+    def test_codegen_equals_python(self, spark, s):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.frontier import (
+            _pct_normalize_col,
+            _pct_normalize_py,
+        )
+
+        got = (
+            spark.createDataFrame([(s,)], "s string")
+            .select(_pct_normalize_col(F.col("s")).alias("n"))
+            .first()["n"]
+        )
+        assert got == _pct_normalize_py(s, extra="*$")
