@@ -242,6 +242,78 @@ def pack_sequences(
     )
 
 
+def pack_sequences_bfd(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: F.Column,
+    capacity: int,
+) -> DataFrame:
+    """(group, id, __tokens, pack_id) — BEST-FIT-DECREASING bin
+    packing per group: docs sort by token count descending (ties →
+    id ascending) and each lands in the fullest open pack it still
+    fits, opening a new pack otherwise. The classic 11/9·OPT+1 bound
+    means materially less padding waste than the contiguous-greedy
+    :func:`pack_sequences` (whose packs routinely OVERSHOOT capacity
+    by one document and must be truncated downstream); BFD packs
+    never exceed ``capacity`` — except a single oversized document,
+    which gets a pack of its own (callers chunk those first, see
+    :func:`chunk_documents`).
+
+    Scale shape: packing is inherently sequential WITHIN a bin set,
+    so the unit of packing is the GROUP (shard) — embarrassingly
+    parallel across groups, ``applyInPandas`` per group with an
+    O(n log n) sorted-bins search inside. Callers size groups to the
+    shard they intend to ship (the `write_shards` convention), which
+    bounds per-task memory; a single global bin set would serialize
+    the corpus and is deliberately not offered. Deterministic: no
+    hashing, no RNG — the (tokens desc, id asc) order and first-of-
+    equally-full tie rule fix every assignment."""
+    import pandas as pd
+
+    in_schema = df.select(
+        F.col(group_col), F.col(id_col), token_col.alias("__tokens")
+    )
+    id_type = in_schema.schema[id_col].dataType.simpleString()
+    grp_type = in_schema.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {grp_type}, {id_col} {id_type}, "
+        "__tokens long, pack_id long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["__tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        # bins kept sorted by remaining capacity ascending; best fit =
+        # the smallest remaining that still fits (leftmost >= need)
+        remaining: list[int] = []   # sorted asc
+        bin_ids: list[int] = []     # parallel: pack id per slot
+        next_id = 0
+        assigned = []
+        for t in pdf["__tokens"]:
+            t = int(t)
+            i = bisect.bisect_left(remaining, t)
+            if i < len(remaining):
+                rem, pid = remaining.pop(i), bin_ids.pop(i)
+                rem -= t
+            else:
+                pid, rem = next_id, max(capacity - t, 0)
+                next_id += 1
+            j = bisect.bisect_left(remaining, rem)
+            remaining.insert(j, rem)
+            bin_ids.insert(j, pid)
+            assigned.append(pid)
+        pdf["pack_id"] = assigned
+        return pdf[[group_col, id_col, "__tokens", "pack_id"]]
+
+    return in_schema.groupBy(group_col).applyInPandas(
+        pack, schema=out_schema
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     text_col: str,
