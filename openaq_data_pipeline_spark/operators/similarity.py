@@ -1969,3 +1969,143 @@ def temp_pq_index(
         n_buckets=n_buckets,
         location=session_tmpdir("pq_index_"),
     )
+
+
+# --- fused IVFADC layout (r9): codes bucketed BY CELL ---------------------
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    ivf_index: IvfIndex,
+    pq_index: PqIndex,
+    n_cells: int = 16,
+    train_iters: int = 1,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build BOTH halves of the production IVFADC topology (Jégou et
+    al. 2011 §V) with the storage layout that makes the probe cheap
+    at 100 TB: the PQ code rows CARRY their IVF cell assignment and
+    the codes table buckets on ``cell_id`` — so a probe's
+    ``cell_id IN (probed)`` literal prunes the code SCAN itself
+    (bucket pruning, ``SelectedBucketsCount`` in the plan) instead of
+    reading every code row and discarding most at the join (the
+    two-independent-handles composition, which stays available for
+    callers that built the handles separately). Retraction and
+    compaction coverage is unchanged — ``neighbor_id`` remains a
+    recognized id column whatever the bucket key."""
+    spark = corpus.sparkSession
+    build_ivf_index(
+        corpus, ivf_index, n_cells=n_cells, train_iters=train_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    book_rows = pq_train_codebooks(
+        corpus, m=pq_index.m, ksub=pq_index.ksub, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, dim=pq_index.dim,
+        round_dp=pq_index.round_dp,
+    )
+    books = spark.createDataFrame(
+        [(int(s), int(c), [float(x) for x in v]) for s, c, v in book_rows],
+        "sub_id int, code_id int, c array<double>",
+    )
+    w = books.write.mode("overwrite").format("parquet")
+    if pq_index.location:
+        w = w.option("path", pq_index._path("codebooks"))
+    w.saveAsTable(pq_index.codebooks_table)
+    spark.catalog.refreshTable(pq_index.codebooks_table)
+    _append_cell_codes(
+        corpus, ivf_index, pq_index, book_rows, id_col, vec_col,
+        mode="overwrite",
+    )
+
+
+def append_ivf_pq_index(
+    batch: DataFrame,
+    ivf_index: IvfIndex,
+    pq_index: PqIndex,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch to both halves under the frozen quantizer AND
+    frozen codebooks (ids globally unique — caller's contract)."""
+    append_ivf_index(batch, ivf_index, id_col=id_col, vec_col=vec_col)
+    book_rows = _index_book_rows(batch.sparkSession, pq_index)
+    _append_cell_codes(
+        batch, ivf_index, pq_index, book_rows, id_col, vec_col,
+        mode="append",
+    )
+
+
+def _append_cell_codes(
+    batch: DataFrame, ivf_index: IvfIndex, pq_index: PqIndex,
+    book_rows, id_col, vec_col, mode: str,
+) -> None:
+    from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+    spark = batch.sparkSession
+    cent_rows = _index_centroid_rows(spark, ivf_index)
+    assigned = ivf_assign(
+        batch, cent_rows, id_col, vec_col, ivf_index.round_dp
+    ).select(F.col(id_col).alias("neighbor_id"), "cell_id")
+    codes = pq_encode(
+        batch, book_rows, m=pq_index.m, dim=pq_index.dim,
+        id_col=id_col, vec_col=vec_col, round_dp=pq_index.round_dp,
+    ).withColumnRenamed(id_col, "neighbor_id")
+    save_bucketed(
+        codes.join(assigned, "neighbor_id"),
+        pq_index.codes_table,
+        "cell_id",
+        pq_index.n_buckets,
+        mode=mode,
+        path=pq_index._path("codes"),
+    )
+
+
+def ivf_pq_topk_cellpruned(
+    spark,
+    queries: DataFrame,
+    ivf_index: IvfIndex,
+    pq_index: PqIndex,
+    k: int = 5,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC probe over the fused layout: the probed cell ids (≤
+    nprobe·n_cells distinct values — a bounded collect, like the
+    centroid table itself) become a LITERAL IN-filter on the codes
+    table's bucket key, so the scan reads only the probed buckets;
+    candidates then pair bucket-locally and rank by the same ADC
+    integer sum. Output ≡ :func:`ivf_pq_topk_indexed` ≡ the inline
+    composition (pinned by test)."""
+    nprobe = ivf_index.nprobe if nprobe is None else nprobe
+    cent_rows = _index_centroid_rows(spark, ivf_index)
+    probes = ivf_probe_cells(
+        queries.select(F.col(id_col), F.col(vec_col)),
+        cent_rows, nprobe, id_col, vec_col, ivf_index.round_dp,
+    ).localCheckpoint(eager=True)
+    probe_cells = sorted(
+        int(r["cell_id"])
+        for r in probes.select("cell_id").distinct().collect()
+    )
+    codes = spark.table(pq_index.codes_table).where(
+        F.col("cell_id").isin(probe_cells)
+    )
+    cand = (
+        codes.select("neighbor_id", "cell_id")
+        .join(F.broadcast(probes), "cell_id")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return pq_topk_adc(
+        queries,
+        codes.drop("cell_id"),
+        _index_book_rows(spark, pq_index),
+        k=k,
+        m=pq_index.m,
+        dim=pq_index.dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidates=cand,
+    )

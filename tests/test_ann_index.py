@@ -796,3 +796,110 @@ class TestPqIndex:
                 k=4, m=4, dim=8,
             )
             assert self._pq_rows(got) == self._pq_rows(inline)
+
+
+class TestIvfPqFusedLayout:
+    """The fused IVFADC layout (r9): codes bucketed BY CELL — probe
+    output identical to the two-handle composition, the code scan
+    bucket-prunes to the probed cells, appends stay frozen-model,
+    and retraction still reaches the cell-bucketed codes."""
+
+    def _pq_rows(self, df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.adc_fp)
+            for r in df.collect()
+        )
+
+    def _build(self, spark, e):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            build_ivf_pq_index,
+            temp_ivf_index,
+            temp_pq_index,
+        )
+
+        iidx = temp_ivf_index(nprobe=3, n_buckets=4)
+        pidx = temp_pq_index(m=4, ksub=8, dim=8, n_buckets=4)
+        build_ivf_pq_index(e, iidx, pidx, n_cells=8, train_iters=1)
+        return iidx, pidx
+
+    def test_equals_two_handle_composition(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            build_ivf_index,
+            build_pq_index,
+            ivf_pq_topk_cellpruned,
+            ivf_pq_topk_indexed,
+            temp_ivf_index,
+            temp_pq_index,
+        )
+
+        e = _fixture(spark)
+        q = e.filter("vec_id < 3")
+        iidx, pidx = self._build(spark, e)
+        with iidx, pidx, temp_ivf_index(
+            nprobe=3, n_buckets=4
+        ) as iidx2, temp_pq_index(m=4, ksub=8, dim=8, n_buckets=4) as pidx2:
+            build_ivf_index(e, iidx2, n_cells=8, train_iters=1)
+            build_pq_index(e, pidx2, n_iters=1)
+            fused = ivf_pq_topk_cellpruned(spark, q, iidx, pidx, k=4)
+            composed = ivf_pq_topk_indexed(spark, q, iidx2, pidx2, k=4)
+            assert self._pq_rows(fused) == self._pq_rows(composed)
+
+    def test_probe_scan_bucket_prunes(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            ivf_pq_topk_cellpruned,
+        )
+
+        e = _fixture(spark)
+        q = e.filter("vec_id < 2")
+        iidx, pidx = self._build(spark, e)
+        with iidx, pidx:
+            probe = ivf_pq_topk_cellpruned(spark, q, iidx, pidx, k=4)
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            import re
+
+            m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+            assert m, "codes scan lost bucket pruning"
+            assert int(m.group(1)) < int(m.group(2)), m.group(0)
+            # and the corpus is not read at probe time
+            files = probe.inputFiles()
+            assert all(
+                (iidx.location in f) or (pidx.location in f) for f in files
+            ), files
+
+    def test_append_and_retraction(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_documents,
+        )
+        from openaq_data_pipeline_spark.operators.similarity import (
+            append_ivf_pq_index,
+            ivf_pq_topk_cellpruned,
+        )
+
+        e1 = _fixture(spark, 30)
+        iidx, pidx = self._build(spark, e1)
+        with iidx, pidx:
+            e2 = spark.createDataFrame(
+                [(i, _vec(i)) for i in range(100, 110)],
+                "vec_id long, embedding array<float>",
+            )
+            append_ivf_pq_index(e2, iidx, pidx)
+            # a query equal to an appended vector retrieves it
+            probe = spark.createDataFrame(
+                [(999, _vec(103))], "vec_id long, embedding array<float>"
+            )
+            hits = ivf_pq_topk_cellpruned(spark, probe, iidx, pidx, k=5)
+            assert any(r.neighbor_id == 103 for r in hits.collect())
+            # takedown reaches the cell-bucketed codes of BOTH handles
+            touched = retract_documents(spark, pidx, [103], id_col="vec_id")
+            assert pidx.codes_table in touched
+            retract_documents(spark, iidx, [103], id_col="vec_id")
+            assert (
+                spark.table(pidx.codes_table)
+                .where(F.col("neighbor_id") == 103)
+                .count()
+                == 0
+            )
+            after = ivf_pq_topk_cellpruned(spark, probe, iidx, pidx, k=5)
+            assert all(r.neighbor_id != 103 for r in after.collect())
