@@ -427,29 +427,44 @@ def apply_robots(
 def parse_sitemaps(
     sitemaps: DataFrame, content_col: str, source_col: str
 ) -> DataFrame:
-    """(source, url, from_index) — every ``<loc>`` entry of each
-    sitemap document (public sitemaps.org protocol): regular sitemaps
-    yield page URLs (``from_index = false``); sitemap INDEX files
-    yield child-sitemap URLs (``from_index = true``) for the caller
-    to fetch and feed back through this same function — recursion is
-    a driver-side loop over fetch rounds, not a plan construct. Pure
-    codegen: one regexp_extract_all for the locs, one root-element
-    probe for the index flag, one explode; entity-decoded (& is the
-    one entity the protocol requires escaping in URLs)."""
-    locs = F.regexp_extract_all(
-        F.col(content_col), F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1
+    """(source, url, from_index, lastmod) — every ``<loc>`` entry of
+    each sitemap document (public sitemaps.org protocol) with its
+    sibling ``<lastmod>`` when present (W3C datetime string, NULL
+    otherwise — the recrawl-scheduling signal: compare against the
+    ledger's last-crawl time to prioritize changed pages): regular
+    sitemaps yield page URLs (``from_index = false``); sitemap INDEX
+    files yield child-sitemap URLs (``from_index = true``) for the
+    caller to fetch and feed back through this same function —
+    recursion is a driver-side loop over fetch rounds, not a plan
+    construct. Pure codegen: one regexp_extract_all over the per-
+    entry blocks (<url>/<sitemap> elements), per-entry loc/lastmod
+    extracts, one explode; entity-decoded (& is the one entity the
+    protocol requires escaping in URLs)."""
+    entries = F.regexp_extract_all(
+        F.col(content_col),
+        F.lit(r"(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"),
+        1,
     )
     is_index = F.col(content_col).rlike(r"(?is)<\s*sitemapindex[\s>]")
     out = sitemaps.select(
         F.col(source_col).alias("source"),
-        F.explode(locs).alias("__raw"),
+        F.explode(entries).alias("__e"),
         is_index.alias("from_index"),
     )
-    url = F.col("__raw")
+    raw = F.regexp_extract(F.col("__e"), r"(?is)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("__e"), r"(?is)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    url = raw
     for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                      ("&apos;", "'"), ("&amp;", "&")):
         url = F.replace(url, F.lit(ent), F.lit(rep))
-    return out.select("source", url.alias("url"), "from_index")
+    return out.where(raw != "").select(
+        "source",
+        url.alias("url"),
+        "from_index",
+        F.when(lastmod != "", lastmod).alias("lastmod"),
+    )
 
 
 # --- URL ledger: cross-batch seen-URL dedup (r9) --------------------------

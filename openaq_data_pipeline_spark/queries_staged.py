@@ -548,9 +548,8 @@ WHERE rnk <= 5
 )
 def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_spark.operators.similarity import (
-        build_ivf_index,
-        build_pq_index,
-        ivf_pq_topk_indexed,
+        build_ivf_pq_index,
+        ivf_pq_topk_cellpruned,
         temp_ivf_index,
         temp_pq_index,
     )
@@ -560,8 +559,10 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     with temp_ivf_index(nprobe=4, n_buckets=8) as iidx, temp_pq_index(
         m=8, ksub=16, dim=64, n_buckets=8
     ) as pidx:
-        build_ivf_index(e, iidx, n_cells=16, train_iters=1)
-        build_pq_index(e, pidx, n_iters=1)
-        return ivf_pq_topk_indexed(
+        # the FUSED layout: codes bucketed by cell, probe scan
+        # bucket-pruned to the probed cells (pinned equal to the
+        # two-handle composition in tests/test_ann_index.py)
+        build_ivf_pq_index(e, iidx, pidx, n_cells=16, train_iters=1)
+        return ivf_pq_topk_cellpruned(
             spark, q, iidx, pidx, k=5
         ).localCheckpoint(eager=True)

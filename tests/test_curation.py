@@ -1198,14 +1198,14 @@ class TestSitemapAndBudget:
             "src string, content string",
         )
         got = sorted(
-            (r.source, r.url, r.from_index)
+            (r.source, r.url, r.from_index, r.lastmod)
             for r in parse_sitemaps(df, "content", "src").collect()
         )
         assert got == [
-            ("s1", "https://a.org/p?x=1&y=2", False),
-            ("s1", "https://a.org/page1", False),
-            ("s2", "https://a.org/sitemap-1.xml", True),
-            ("s2", "https://a.org/sitemap-2.xml", True),
+            ("s1", "https://a.org/p?x=1&y=2", False, None),
+            ("s1", "https://a.org/page1", False, "2026-01-01"),
+            ("s2", "https://a.org/sitemap-1.xml", True, None),
+            ("s2", "https://a.org/sitemap-2.xml", True, None),
         ]
 
     def test_max_per_host_defers_deterministically(self, spark):
