@@ -670,3 +670,60 @@ def canonicalize_url(url: Column, tracking: list[str] | None = None) -> Column:
         (scheme != "") & host.isNotNull() & (host != ""),
         F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part),
     )
+
+
+def compression_ratio(df, text_col: str, id_col: str, level: int = 6):
+    """(id, n_bytes, n_compressed, compression_ratio) — the zlib
+    compression-ratio quality signal (RedPajama/Dolma-class
+    heuristic): machine-generated or highly repetitive text
+    compresses far better than natural prose, so a LOW ratio
+    (compressed/raw) marks keyword-stuffed, templated or looped
+    content that the n-gram repetition signals can miss (their
+    windows are bounded; DEFLATE's 32 KB window is not). Ratio is
+    rounded to 6dp; empty/NULL text yields NULL ratio (nothing to
+    measure, not evidence of repetition).
+
+    One Arrow ``mapInPandas`` pass, stdlib zlib (C-implemented) per
+    row — the normalize_unicode shape; deterministic (fixed level,
+    no dictionaries), pinned against a Python replay."""
+    import zlib
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("compression_ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or t == "":
+                    rows.append((i, 0, 0, None))
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                rows.append(
+                    (i, len(raw), len(comp),
+                     round(len(comp) / len(raw), 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_bytes", "n_compressed",
+                         "compression_ratio"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -1533,3 +1533,37 @@ class TestLangIdTrigram:
         # one scan feeds the trigram stream, one the distinct-id
         # left-join anchor — never one per language
         assert n_corpus_scans <= 2, plan[:2000]
+
+
+class TestCompressionRatio:
+    """zlib compression-ratio quality signal (r9): repetitive text
+    scores far lower than prose, values replay exactly in Python,
+    empty/NULL rows yield NULL."""
+
+    def test_separates_prose_from_repetition(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            compression_ratio,
+        )
+
+        prose = (
+            "the calm river flows through the old valley carrying "
+            "silt from the spring thaw toward the delta where the "
+            "herons wait while the village measures the change"
+        )
+        loop = "buy now click here " * 40
+        df = spark.createDataFrame(
+            [(1, prose), (2, loop), (3, None), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in compression_ratio(df, "text", "doc_id").collect()}
+        assert got[2].compression_ratio < 0.5 * got[1].compression_ratio
+        assert got[3].compression_ratio is None and got[4].compression_ratio is None
+        # exact python replay (determinism contract)
+        import zlib
+
+        raw = prose.encode()
+        assert got[1].n_bytes == len(raw)
+        assert got[1].n_compressed == len(zlib.compress(raw, 6))
+        assert got[1].compression_ratio == round(
+            len(zlib.compress(raw, 6)) / len(raw), 6
+        )
