@@ -107,13 +107,14 @@ def frontier_schedule(
         .crossJoin(F.broadcast(n_hosts))
     )
     if crawl_delays is not None:
-        joined = joined.join(
-            F.broadcast(
-                crawl_delays.select("host", "crawl_delay_sec")
-            ),
-            "host",
-            "left",
+        # one row per host, MOST conservative delay — a delays table
+        # accumulated over several robots fetch rounds may carry
+        # duplicates, and a bare left join would duplicate scheduled
+        # rows and break slot uniqueness (r9 review finding)
+        per_host = crawl_delays.groupBy("host").agg(
+            F.max("crawl_delay_sec").alias("crawl_delay_sec")
         )
+        joined = joined.join(F.broadcast(per_host), "host", "left")
         out_cols.append(
             (
                 F.col("pos_in_host").cast("double")
@@ -442,8 +443,20 @@ def parse_sitemaps(
     protocol requires escaping in URLs)."""
     entries = F.regexp_extract_all(
         F.col(content_col),
-        F.lit(r"(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"),
+        F.lit(r"(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>"),
         1,
+    )
+    # generator output sometimes carries bare <loc> lines without the
+    # <url>/<sitemap> wrappers the protocol specifies — fall back to
+    # loc-only pseudo-entries (lastmod NULL) rather than silently
+    # losing those hosts from seed discovery (r9 review finding)
+    bare_locs = F.regexp_extract_all(
+        F.col(content_col), F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1
+    )
+    entries = F.when(F.size(entries) > 0, entries).otherwise(
+        F.transform(
+            bare_locs, lambda x: F.concat(F.lit("<loc>"), x, F.lit("</loc>"))
+        )
     )
     is_index = F.col(content_col).rlike(r"(?is)<\s*sitemapindex[\s>]")
     out = sitemaps.select(
@@ -520,5 +533,16 @@ def url_ledger_gate(
         build_exact_index(keyed.limit(0), "__ukey", id_col, index)
     disp = incremental_exact_dedup(
         keyed, "__ukey", id_col, index, update_index=update_index
+    )
+    # replay-stable disposition (r9 review finding): after an
+    # at-least-once retry the ledger already holds this batch's keys
+    # with THESE ids as survivors — dup_of == own id can only be the
+    # replayed row itself (ids globally unique), so it stays kept;
+    # without the rule a retried micro-batch drops itself entirely
+    self_match = F.col("dup_of") == F.col(id_col)
+    disp = disp.select(
+        F.col(id_col),
+        (F.col("kept") | self_match).alias("kept"),
+        F.when(~self_match, F.col("dup_of")).alias("dup_of"),
     )
     return keyed.select(F.col(id_col), "canon_url").join(disp, id_col)

@@ -35,13 +35,21 @@ _GZIP_MAGIC = b"\x1f\x8b"
 
 def _gunzip_members(data: bytes) -> bytes:
     """Concatenated decompression of a member-gzipped stream (each
-    WARC record its own gzip member — the Common Crawl layout)."""
+    WARC record its own gzip member — the Common Crawl layout). A
+    corrupt member (bad CRC, truncated deflate) ends the walk and
+    keeps every member decoded before it — the module's
+    degrade-don't-fail contract; one flipped bit in one archive must
+    not abort a million-file scan."""
     import zlib
 
     out, pos, n = [], 0, len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data[pos:]))
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            break
+        out.append(chunk)
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:  # trailing garbage — stop, keep what parsed
             break

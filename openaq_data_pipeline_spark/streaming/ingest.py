@@ -19,6 +19,14 @@ at-least-once on failure/retry. Both sinks tolerate a replay —
    within one batch the survivor choice is a pure function of the
    batch + the pre-batch index), and compaction squashes the extra
    file sets;
+ - DISPOSITION on a replay needs one extra rule (r9 review finding):
+   after the first attempt's eager index append, the replayed batch
+   matches its own indexed fingerprints — ``dup_of`` comes back as
+   the doc's OWN id. Under the globally-unique-ids contract that
+   self-match can only be a replay, so every gate treats
+   ``dup_of == id`` as KEPT (`_replay_stable_kept`); without it a
+   retry would drop the whole batch and overwrite nothing, leaving
+   the batch in the indexes but absent from the survivors sink;
  - the survivors sink writes under ``batch_id=<n>`` partitions, so a
    replayed micro-batch overwrites its own partition instead of
    duplicating rows (dynamic partition overwrite).
@@ -57,7 +65,7 @@ def dedup_gate(
         batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
         disp = incremental_exact_dedup(batch_df, text_col, id_col, index)
         kept = batch_df.join(
-            disp.filter("kept").select(id_col), id_col, "inner"
+            _replay_stable_kept(disp, id_col), id_col, "inner"
         )
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
@@ -84,6 +92,19 @@ def _apply_denylist(batch_df: DataFrame, text_col: str, id_col: str, denylist):
         .where(~F.col("blocked"))
         .drop("blocked")
     )
+
+
+def _replay_stable_kept(disp: DataFrame, id_col: str) -> DataFrame:
+    """The kept-id set of an exact disposition, replay-stable: a
+    history match whose ``dup_of`` IS the doc's own id can only be
+    the replayed batch meeting its own previously-appended
+    fingerprint (ids are globally unique by the index contract), so
+    it counts as kept — otherwise an at-least-once retry would drop
+    the entire batch (r9 review finding; pinned by the retry
+    tests)."""
+    return disp.where(
+        F.col("kept") | (F.col("dup_of") == F.col(id_col))
+    ).select(id_col)
 
 
 def stream_corpus_ingest(
@@ -182,7 +203,7 @@ def fuzzy_dedup_gate(
         batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
         disp = incremental_exact_dedup(batch_df, text_col, id_col, exact_index)
         exact_kept = batch_df.join(
-            disp.filter("kept").select(id_col), id_col, "inner"
+            _replay_stable_kept(disp, id_col), id_col, "inner"
         )
         matches = incremental_fuzzy_matches(
             exact_kept, text_col, id_col, fuzzy_index
@@ -281,7 +302,6 @@ def crawl_intake_gate(
     survivors_path: str,
     robots_rules: DataFrame | None = None,
     denylist=None,
-    min_words: int = 50,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -293,12 +313,13 @@ def crawl_intake_gate(
     contract — and the batch composition is pinned end-to-end in
     tests/test_warc.py.
 
-    Replay semantics: both persisted indexes are the exact-index
-    family, whose min-survivor re-aggregation absorbs at-least-once
-    re-appends (module docstring); the survivors sink overwrites its
-    own ``batch_id`` partition. Disposition on replay is stable
-    because both gates disposition against (pre-batch index ∪ batch)
-    with the same pure min rule."""
+    Replay semantics: re-appends to both persisted indexes are
+    absorbed by min-survivor re-aggregation, and DISPOSITION stays
+    replay-stable through the self-match rule (module docstring /
+    `_replay_stable_kept`; the URL ledger applies it internally) —
+    without it a retried batch would drop itself against its own
+    first-attempt appends. The survivors sink overwrites its own
+    ``batch_id`` partition."""
     from openaq_data_pipeline_spark.operators.frontier import (
         apply_robots,
         url_ledger_gate,
@@ -318,7 +339,11 @@ def crawl_intake_gate(
             pages = pages.join(
                 verdicts.where("allowed").select(id_col), id_col, "inner"
             )
-        texts = html_extract_density(pages, html_col, out_col="__text")
+        # freeze the Arrow extraction once: keep/gated/disposition/
+        # write would otherwise re-run the per-row HTML parse 3-4x
+        texts = html_extract_density(
+            pages, html_col, out_col="__text"
+        ).localCheckpoint(eager=True)
         keep = gopher_rules(
             texts.where(
                 F.col("__text").isNotNull() & (F.col("__text") != "")
@@ -344,7 +369,7 @@ def crawl_intake_gate(
             gated, "__text", id_col, content_index
         )
         kept = gated.join(
-            disp.filter("kept").select(id_col), id_col, "inner"
+            _replay_stable_kept(disp, id_col), id_col, "inner"
         ).withColumnRenamed("__text", "text")
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")

@@ -1506,3 +1506,53 @@ class TestPackSequencesBfd:
             by_grp.setdefault(grp, set()).add(pid)
         # pack ids are per-group namespaces (both groups start at 0)
         assert 0 in by_grp["a"] and 0 in by_grp["b"]
+
+
+class TestFrontierReviewRegressions:
+    """r9 review findings on the crawl plane."""
+
+    def test_duplicate_delay_rows_do_not_duplicate_schedule(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            frontier_schedule,
+        )
+
+        urls = spark.range(8).selectExpr(
+            "id AS doc_id", "concat('https://a.org/p/', id) AS url"
+        )
+        # a delays table accumulated over two robots fetch rounds
+        delays = spark.createDataFrame(
+            [("a.org", 2.0), ("a.org", 10.0)],
+            "host string, crawl_delay_sec double",
+        )
+        rows = frontier_schedule(
+            urls, "url", "doc_id", crawl_delays=delays
+        ).collect()
+        assert len(rows) == 8  # no row duplication
+        slots = [r.fetch_slot for r in rows]
+        assert len(slots) == len(set(slots))
+        # the most conservative delay wins
+        for r in rows:
+            assert r.not_before_sec == r.pos_in_host * 10.0
+
+    def test_sitemap_entry_attributes_and_bare_locs(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_sitemaps,
+        )
+
+        with_attrs = (
+            '<urlset><url changefreq="daily"><loc>https://a.org/p1</loc>'
+            "<lastmod>2026-02-02</lastmod></url></urlset>"
+        )
+        bare = "<urlset><loc>https://b.org/q1</loc><loc>https://b.org/q2</loc></urlset>"
+        df = spark.createDataFrame(
+            [("s1", with_attrs), ("s2", bare)], "src string, content string"
+        )
+        got = sorted(
+            (r.source, r.url, r.lastmod)
+            for r in parse_sitemaps(df, "content", "src").collect()
+        )
+        assert got == [
+            ("s1", "https://a.org/p1", "2026-02-02"),
+            ("s2", "https://b.org/q1", None),
+            ("s2", "https://b.org/q2", None),
+        ]

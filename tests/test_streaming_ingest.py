@@ -261,11 +261,16 @@ class TestStreamCorpusIngestFuzzy:
         self, spark, tmp_path
     ):
         """The append-then-crash window (r8 review finding): the
-        append landed but the final marker was never promoted. The
-        retry must retract the batch's ids and re-append — NOT
-        double-append — leaving the index bit-identical to the
-        clean run."""
+        append landed (here forged as a TORN DOUBLE append — the
+        worst state a crashed retry sequence can leave) but the
+        final marker was never promoted. The retry must retract the
+        batch's ids and re-append — leaving the index bit-identical
+        to the clean run, and the survivors sink rewritten. This is
+        only non-vacuous with the replay-stable exact disposition
+        (r9 review finding: without the self-match rule the retry
+        sees an empty kept set and blesses the torn state)."""
         from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            append_fuzzy_index,
             build_fuzzy_index,
             temp_fuzzy_index,
         )
@@ -288,15 +293,26 @@ class TestStreamCorpusIngestFuzzy:
             first = sorted(
                 r["doc_id"] for r in spark.read.parquet(out).collect()
             )
-            # forge the crash: append done, marker never promoted
+            # forge the crash: a SECOND append landed (torn retry),
+            # marker never promoted, survivors partition lost
+            kept_rows = spark.createDataFrame(
+                [r for r in FFILE1 if r[0] in (11, 12)], SCHEMA
+            )
+            append_fuzzy_index(kept_rows, "text", "doc_id", fidx)
+            assert spark.table(fidx.bands_table).count() > n_band_rows
             marker = os.path.join(fidx.location, "_batch_0")
             os.rmdir(marker)
             os.makedirs(marker + ".__inprogress")
+            import shutil
+
+            shutil.rmtree(os.path.join(out, "batch_id=0"))
             gate(batch, 0)
             second = sorted(
                 r["doc_id"] for r in spark.read.parquet(out).collect()
             )
+            # survivors REWRITTEN (not an empty no-op overwrite)
             assert first == second == [11, 12]
+            # the torn double-append was scrubbed before re-append
             assert spark.table(fidx.bands_table).count() == n_band_rows
             assert spark.table(fidx.postings_table).count() == n_post_rows
             assert os.path.isdir(marker)
@@ -521,3 +537,106 @@ class TestStreamCrawlIntake:
         for _, text in got.values():
             assert "Home" not in text and "Privacy" not in text
             assert "calm river flows" in text
+
+
+class TestReplayStableDisposition:
+    """r9 review finding: after the first attempt's eager index
+    append, a replayed micro-batch matches its own fingerprints
+    (dup_of == own id). Every gate must treat that self-match as
+    KEPT — otherwise a retry drops the whole batch and the survivors
+    sink silently loses it."""
+
+    def test_dedup_gate_retry_rewrites_lost_survivors(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from openaq_data_pipeline_spark.streaming.ingest import dedup_gate
+
+        out = str(tmp_path / "survivors")
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(
+                spark.createDataFrame(HISTORY, SCHEMA), "text", "doc_id", idx
+            )
+            gate = dedup_gate("text", "doc_id", idx, out)
+            batch = spark.createDataFrame(FILE1, SCHEMA)
+            gate(batch, 0)
+            first = sorted(
+                r.doc_id for r in spark.read.parquet(out).collect()
+            )
+            assert first == [11, 12]
+            # crash-during-write: the partition is lost, the index
+            # append already landed; the retry must REWRITE it
+            shutil.rmtree(os.path.join(out, "batch_id=0"))
+            gate(batch, 0)
+            second = sorted(
+                r.doc_id for r in spark.read.parquet(out).collect()
+            )
+            assert second == [11, 12]
+
+    def test_url_ledger_replay_is_self_kept(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            url_ledger_gate,
+        )
+
+        b = spark.createDataFrame(
+            [(1, "https://a.org/x"), (2, "https://a.org/y")],
+            "doc_id long, url string",
+        )
+        with temp_exact_index(n_buckets=4) as idx:
+            first = {
+                r.doc_id: (r.kept, r.dup_of)
+                for r in url_ledger_gate(b, "url", "doc_id", idx).collect()
+            }
+            assert first == {1: (True, None), 2: (True, None)}
+            # the identical rows replayed: self-matches stay kept
+            replay = {
+                r.doc_id: (r.kept, r.dup_of)
+                for r in url_ledger_gate(b, "url", "doc_id", idx).collect()
+            }
+            assert replay == first
+            # a genuinely NEW id refetching the same URL still drops
+            refetch = spark.createDataFrame(
+                [(9, "https://a.org/x")], "doc_id long, url string"
+            )
+            got = url_ledger_gate(refetch, "url", "doc_id", idx).collect()[0]
+            assert got.kept is False and got.dup_of == 1
+
+    def test_crawl_intake_retry_rewrites_lost_survivors(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            crawl_intake_gate,
+        )
+
+        art = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "the calm river flows through the old valley and the town "
+            "while the people of the village act with reason and care "
+            "in a spirit of brotherhood for all of the free world and "
+            "every autumn the water slows while the village measures "
+            "the change with the same brass gauge it has used for "
+            "eighty years of quiet work"
+        )
+        out = str(tmp_path / "survivors")
+        batch = spark.createDataFrame(
+            [(1, "https://a.org/x", f"<article><p>{art}</p></article>")],
+            "page_id long, url string, html string",
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            gate = crawl_intake_gate(
+                "url", "html", "page_id", ledger, hist, out
+            )
+            gate(batch, 0)
+            assert [
+                r.page_id for r in spark.read.parquet(out).collect()
+            ] == [1]
+            shutil.rmtree(os.path.join(out, "batch_id=0"))
+            gate(batch, 0)  # retry after both indexes already appended
+            assert [
+                r.page_id for r in spark.read.parquet(out).collect()
+            ] == [1]

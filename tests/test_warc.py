@@ -238,3 +238,32 @@ class TestCrawlIntakeEndToEnd:
                 ).collect()
             }
         assert survivors == {"https://A.org/x?utm_source=tw"}
+
+
+class TestWarcCorruptMember:
+    def test_corrupt_gzip_member_keeps_prior_records(self):
+        good = gzip.compress(
+            _record("response", "https://a.org/ok", HTTP,
+                    "application/http;msgtype=response")
+        )
+        bad = bytearray(
+            gzip.compress(
+                _record("response", "https://a.org/bad", HTTP,
+                        "application/http;msgtype=response")
+            )
+        )
+        bad[len(bad) // 2] ^= 0xFF  # flip a bit mid-member
+        recs = parse_warc_bytes(good + bytes(bad))
+        assert [r["target_uri"] for r in recs] == ["https://a.org/ok"]
+
+    def test_corrupt_file_does_not_abort_scan(self, spark, tmp_path):
+        p = tmp_path / "crawl"
+        p.mkdir()
+        (p / "good.warc").write_bytes(_archive())
+        corrupt = bytearray(gzip.compress(_archive()))
+        corrupt[30] ^= 0xFF
+        (p / "bad.warc.gz").write_bytes(bytes(corrupt))
+        df = read_warc(spark, str(p))
+        # the good archive's 3 records survive; the corrupt file
+        # degrades instead of failing the job
+        assert df.count() >= 3
