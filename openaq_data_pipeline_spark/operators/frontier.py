@@ -447,16 +447,28 @@ def parse_sitemaps(
         1,
     )
     # generator output sometimes carries bare <loc> lines without the
-    # <url>/<sitemap> wrappers the protocol specifies — fall back to
-    # loc-only pseudo-entries (lastmod NULL) rather than silently
-    # losing those hosts from seed discovery (r9 review finding)
+    # <url>/<sitemap> wrappers the protocol specifies — merge them in
+    # PER ROW as loc-only pseudo-entries (lastmod NULL) rather than
+    # silently losing those hosts from seed discovery; array_except
+    # removes the locs already covered by wrapped entries, so a
+    # partially-malformed document keeps BOTH kinds (r9 review
+    # finding: an all-or-nothing fallback lost orphan locs whenever
+    # one wrapped entry existed). All references share one projection
+    # → codegen subexpression elimination evaluates each
+    # regexp_extract_all once.
     bare_locs = F.regexp_extract_all(
         F.col(content_col), F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1
     )
-    entries = F.when(F.size(entries) > 0, entries).otherwise(
+    wrapped_locs = F.transform(
+        entries,
+        lambda e: F.regexp_extract(e, r"(?is)<loc>\s*(.*?)\s*</loc>", 1),
+    )
+    orphans = F.array_except(bare_locs, wrapped_locs)
+    entries = F.concat(
+        entries,
         F.transform(
-            bare_locs, lambda x: F.concat(F.lit("<loc>"), x, F.lit("</loc>"))
-        )
+            orphans, lambda x: F.concat(F.lit("<loc>"), x, F.lit("</loc>"))
+        ),
     )
     is_index = F.col(content_col).rlike(r"(?is)<\s*sitemapindex[\s>]")
     out = sitemaps.select(
@@ -489,6 +501,7 @@ def url_ledger_gate(
     id_col: str,
     index,
     update_index: bool = True,
+    self_match_is_kept: bool = True,
 ) -> DataFrame:
     """(id, canon_url, kept, dup_of) — disposition of every
     fetch-candidate URL against a persisted seen-URL ledger (an
@@ -534,15 +547,23 @@ def url_ledger_gate(
     disp = incremental_exact_dedup(
         keyed, "__ukey", id_col, index, update_index=update_index
     )
-    # replay-stable disposition (r9 review finding): after an
-    # at-least-once retry the ledger already holds this batch's keys
-    # with THESE ids as survivors — dup_of == own id can only be the
-    # replayed row itself (ids globally unique), so it stays kept;
-    # without the rule a retried micro-batch drops itself entirely
-    self_match = F.col("dup_of") == F.col(id_col)
-    disp = disp.select(
-        F.col(id_col),
-        (F.col("kept") | self_match).alias("kept"),
-        F.when(~self_match, F.col("dup_of")).alias("dup_of"),
-    )
+    if self_match_is_kept:
+        # replay-stable disposition (r9 review finding): on a rerun
+        # the ledger already holds this batch's keys with THESE ids
+        # as survivors — dup_of == own id can only be the replayed
+        # row itself (ids globally unique), so it stays kept. The
+        # default suits idempotent batch reruns; the streaming gate
+        # passes False on FIRST attempts so a source re-delivering an
+        # old id in a later batch still drops
+        # (`streaming.ingest._is_retry`).
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            replay_self_match,
+        )
+
+        self_match = replay_self_match(id_col)
+        disp = disp.select(
+            F.col(id_col),
+            (F.col("kept") | self_match).alias("kept"),
+            F.when(~self_match, F.col("dup_of")).alias("dup_of"),
+        )
     return keyed.select(F.col(id_col), "canon_url").join(disp, id_col)

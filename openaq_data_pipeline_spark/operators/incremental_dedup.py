@@ -495,6 +495,31 @@ def incremental_exact_dedup(
     return disp.select(id_col, "kept", "dup_of")
 
 
+def replay_self_match(id_col: str):
+    """Column predicate: ``dup_of == own id``. The index holds at
+    most one survivor id per fingerprint, so this can only be true
+    when THE SAME (id, content) row was already appended — under the
+    globally-unique-ids contract, an at-least-once re-disposition of
+    itself (a foreachBatch replay). The streaming gates use it to
+    keep replays stable (r9 review finding: without it a retried
+    micro-batch drops itself against its own first-attempt append
+    and the survivors sink silently loses the batch)."""
+    return F.col("dup_of") == F.col(id_col)
+
+
+def replay_stable_kept(disp: DataFrame, id_col: str) -> DataFrame:
+    """The kept-id set of an exact disposition with self-matches
+    counted as kept — ONE definition of the replay rule, shared by
+    every consumer (review finding: two hand-rolled copies diverge).
+    Apply only when the caller KNOWS it is re-running a batch whose
+    appends may have landed (the gates gate it on a per-batch attempt
+    marker); on a first attempt a self-match would instead mean a
+    source re-delivering an old id, which must still drop."""
+    return disp.where(
+        F.col("kept") | replay_self_match(id_col)
+    ).select(id_col)
+
+
 def temp_exact_index(
     n_buckets: int = 32, bloom_ndv: int | None = None
 ) -> ExactIndex:

@@ -36,10 +36,11 @@ _GZIP_MAGIC = b"\x1f\x8b"
 def _gunzip_members(data: bytes) -> bytes:
     """Concatenated decompression of a member-gzipped stream (each
     WARC record its own gzip member — the Common Crawl layout). A
-    corrupt member (bad CRC, truncated deflate) ends the walk and
-    keeps every member decoded before it — the module's
-    degrade-don't-fail contract; one flipped bit in one archive must
-    not abort a million-file scan."""
+    corrupt member (bad CRC, truncated deflate) loses only ITSELF:
+    the walk resyncs at the next gzip magic and keeps decoding —
+    members are independently decompressible, so one flipped bit
+    must cost one record, not the archive's tail (r9 review
+    finding), and never the scan (degrade-don't-fail contract)."""
     import zlib
 
     out, pos, n = [], 0, len(data)
@@ -48,7 +49,11 @@ def _gunzip_members(data: bytes) -> bytes:
         try:
             chunk = d.decompress(data[pos:])
         except zlib.error:
-            break
+            nxt = data.find(_GZIP_MAGIC + b"\x08", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         out.append(chunk)
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:  # trailing garbage — stop, keep what parsed

@@ -22,11 +22,13 @@ at-least-once on failure/retry. Both sinks tolerate a replay —
  - DISPOSITION on a replay needs one extra rule (r9 review finding):
    after the first attempt's eager index append, the replayed batch
    matches its own indexed fingerprints — ``dup_of`` comes back as
-   the doc's OWN id. Under the globally-unique-ids contract that
-   self-match can only be a replay, so every gate treats
-   ``dup_of == id`` as KEPT (`_replay_stable_kept`); without it a
-   retry would drop the whole batch and overwrite nothing, leaving
-   the batch in the indexes but absent from the survivors sink;
+   the doc's OWN id. Every gate treats that self-match as KEPT
+   (`incremental_dedup.replay_stable_kept`), but ONLY on a known
+   retry: a per-batch attempt marker created before any index
+   mutation (`_is_retry`) distinguishes a replay from a source
+   re-delivering an old id in a later batch, which must still drop.
+   Without the rule a retry would drop the whole batch and overwrite
+   nothing, leaving it in the indexes but absent from the sink;
  - the survivors sink writes under ``batch_id=<n>`` partitions, so a
    replayed micro-batch overwrites its own partition instead of
    duplicating rows (dynamic partition overwrite).
@@ -42,6 +44,7 @@ from pyspark.sql import functions as F
 from openaq_data_pipeline_spark.operators.incremental_dedup import (
     ExactIndex,
     incremental_exact_dedup,
+    replay_stable_kept,
 )
 
 
@@ -62,11 +65,10 @@ def dedup_gate(
     (the gate is a pure filter)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        retry = _is_retry(survivors_path, batch_id)
         batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
         disp = incremental_exact_dedup(batch_df, text_col, id_col, index)
-        kept = batch_df.join(
-            _replay_stable_kept(disp, id_col), id_col, "inner"
-        )
+        kept = batch_df.join(_kept_ids(disp, id_col, retry), id_col, "inner")
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
             .write.mode("overwrite")
@@ -94,17 +96,29 @@ def _apply_denylist(batch_df: DataFrame, text_col: str, id_col: str, denylist):
     )
 
 
-def _replay_stable_kept(disp: DataFrame, id_col: str) -> DataFrame:
-    """The kept-id set of an exact disposition, replay-stable: a
-    history match whose ``dup_of`` IS the doc's own id can only be
-    the replayed batch meeting its own previously-appended
-    fingerprint (ids are globally unique by the index contract), so
-    it counts as kept — otherwise an at-least-once retry would drop
-    the entire batch (r9 review finding; pinned by the retry
-    tests)."""
-    return disp.where(
-        F.col("kept") | (F.col("dup_of") == F.col(id_col))
-    ).select(id_col)
+def _is_retry(root: str, batch_id: int) -> bool:
+    """Per-batch ATTEMPT marker (created BEFORE any index mutation,
+    so a crash between mutation and marker is impossible): True when
+    this batch_id has started before — only then is a self-match a
+    REPLAY and the `replay_stable_kept` rule sound. On a first
+    attempt a self-match would instead be a source re-delivering an
+    id from an earlier batch, which must still drop (review finding:
+    the unconditional rule silently weakened cross-batch dedup)."""
+    import os
+
+    mark = os.path.join(root, f"_attempt_batch_{batch_id}")
+    if os.path.exists(mark):
+        return True
+    os.makedirs(mark, exist_ok=True)
+    return False
+
+
+def _kept_ids(disp: DataFrame, id_col: str, retry: bool) -> DataFrame:
+    return (
+        replay_stable_kept(disp, id_col)
+        if retry
+        else disp.filter("kept").select(id_col)
+    )
 
 
 def stream_corpus_ingest(
@@ -200,10 +214,11 @@ def fuzzy_dedup_gate(
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        retry = _is_retry(root, batch_id)
         batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
         disp = incremental_exact_dedup(batch_df, text_col, id_col, exact_index)
         exact_kept = batch_df.join(
-            _replay_stable_kept(disp, id_col), id_col, "inner"
+            _kept_ids(disp, id_col, retry), id_col, "inner"
         )
         matches = incremental_fuzzy_matches(
             exact_kept, text_col, id_col, fuzzy_index
@@ -330,7 +345,10 @@ def crawl_intake_gate(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        led = url_ledger_gate(batch_df, url_col, id_col, ledger)
+        retry = _is_retry(survivors_path, batch_id)
+        led = url_ledger_gate(
+            batch_df, url_col, id_col, ledger, self_match_is_kept=retry
+        )
         pages = batch_df.join(
             led.where("kept").select(id_col), id_col, "inner"
         )
@@ -369,7 +387,7 @@ def crawl_intake_gate(
             gated, "__text", id_col, content_index
         )
         kept = gated.join(
-            _replay_stable_kept(disp, id_col), id_col, "inner"
+            _kept_ids(disp, id_col, retry), id_col, "inner"
         ).withColumnRenamed("__text", "text")
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")

@@ -1556,3 +1556,26 @@ class TestFrontierReviewRegressions:
             ("s2", "https://b.org/q1", None),
             ("s2", "https://b.org/q2", None),
         ]
+
+    def test_partially_malformed_sitemap_keeps_both_kinds(self, spark):
+        """A document with one wrapped <url> entry AND one orphan
+        bare <loc> keeps both — the all-or-nothing fallback lost the
+        orphan (r9 review finding)."""
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_sitemaps,
+        )
+
+        mixed = (
+            "<urlset><url><loc>https://a.org/p1</loc>"
+            "<lastmod>2026-03-03</lastmod></url>"
+            "<loc>https://a.org/orphan</loc></urlset>"
+        )
+        df = spark.createDataFrame([("s", mixed)], "src string, content string")
+        got = sorted(
+            (r.url, r.lastmod)
+            for r in parse_sitemaps(df, "content", "src").collect()
+        )
+        assert got == [
+            ("https://a.org/orphan", None),
+            ("https://a.org/p1", "2026-03-03"),
+        ]

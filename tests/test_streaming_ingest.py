@@ -640,3 +640,33 @@ class TestReplayStableDisposition:
             assert [
                 r.page_id for r in spark.read.parquet(out).collect()
             ] == [1]
+
+    def test_first_attempt_still_drops_redelivered_old_ids(
+        self, spark, tmp_path
+    ):
+        """The marker gating (r9 review finding #2): a source that
+        re-delivers an id kept in an EARLIER batch must still drop it
+        — the self-match rule applies only to retries of the same
+        batch_id, detected by the per-batch attempt marker."""
+        from openaq_data_pipeline_spark.streaming.ingest import dedup_gate
+
+        out = str(tmp_path / "survivors")
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(
+                spark.createDataFrame(HISTORY, SCHEMA), "text", "doc_id", idx
+            )
+            gate = dedup_gate("text", "doc_id", idx, out)
+            gate(spark.createDataFrame(FILE1, SCHEMA), 0)
+            # batch 7 re-delivers doc 11 verbatim (same id, same text)
+            gate(
+                spark.createDataFrame(
+                    [(11, "eta theta iota"), (30, "brand new words")],
+                    SCHEMA,
+                ),
+                7,
+            )
+            rows = spark.read.parquet(out).collect()
+            by_batch = {(r.doc_id, r.batch_id) for r in rows}
+            assert (30, 7) in by_batch
+            # doc 11 exists ONLY under its original batch partition
+            assert (11, 0) in by_batch and (11, 7) not in by_batch

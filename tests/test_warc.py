@@ -241,8 +241,12 @@ class TestCrawlIntakeEndToEnd:
 
 
 class TestWarcCorruptMember:
-    def test_corrupt_gzip_member_keeps_prior_records(self):
-        good = gzip.compress(
+    def test_corrupt_member_loses_only_itself(self):
+        """One flipped bit costs ONE record: the walk resyncs at the
+        next gzip magic, so members BEFORE and AFTER the corrupt one
+        both survive (r9 review finding — a break would silently drop
+        the archive's whole tail)."""
+        good1 = gzip.compress(
             _record("response", "https://a.org/ok", HTTP,
                     "application/http;msgtype=response")
         )
@@ -253,8 +257,14 @@ class TestWarcCorruptMember:
             )
         )
         bad[len(bad) // 2] ^= 0xFF  # flip a bit mid-member
-        recs = parse_warc_bytes(good + bytes(bad))
-        assert [r["target_uri"] for r in recs] == ["https://a.org/ok"]
+        good2 = gzip.compress(
+            _record("response", "https://a.org/after", HTTP,
+                    "application/http;msgtype=response")
+        )
+        recs = parse_warc_bytes(good1 + bytes(bad) + good2)
+        assert [r["target_uri"] for r in recs] == [
+            "https://a.org/ok", "https://a.org/after",
+        ]
 
     def test_corrupt_file_does_not_abort_scan(self, spark, tmp_path):
         p = tmp_path / "crawl"
