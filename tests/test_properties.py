@@ -670,3 +670,43 @@ class TestRobotsPercentNormalizeProperties:
             .first()["n"]
         )
         assert got == _pct_normalize_py(s, extra="*$")
+
+
+class TestBfdPackingProperties:
+    """Best-fit-decreasing invariants over random inputs: hard
+    capacity bound (oversized docs isolate), every doc assigned
+    exactly once, and bin count at the information floor's constant
+    envelope (BFD ≤ 11/9·OPT + 1 with OPT ≥ ceil(total/cap))."""
+
+    @given(
+        st.lists(st.integers(min_value=1, max_value=180), min_size=1,
+                 max_size=25),
+        st.integers(min_value=60, max_value=200),
+    )
+    @SETTINGS
+    def test_invariants(self, spark, tokens, cap):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            pack_sequences_bfd,
+        )
+
+        rows = [("g", i, int(t)) for i, t in enumerate(tokens)]
+        df = spark.createDataFrame(rows, "grp string, doc_id long, n long")
+        got = pack_sequences_bfd(df, "grp", "doc_id", F.col("n"), cap).collect()
+        assert sorted(r.doc_id for r in got) == list(range(len(tokens)))
+        per_pack: dict = {}
+        for r in got:
+            per_pack.setdefault(r.pack_id, []).append(int(r["__tokens"]))
+        for ts in per_pack.values():
+            if len(ts) > 1:
+                assert sum(ts) <= cap
+            else:
+                assert ts[0] <= cap or len(ts) == 1  # oversized isolates
+        import math
+
+        n_over = sum(1 for t in tokens if t > cap)
+        opt_floor = math.ceil(sum(t for t in tokens if t <= cap) / cap)
+        assert len(per_pack) <= n_over + max(
+            1, math.ceil(11 * opt_floor / 9) + 1
+        )
