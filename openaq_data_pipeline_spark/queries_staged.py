@@ -73,26 +73,26 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT * FROM (
     SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            CAST(MIN(doc_id) AS VARCHAR) AS min_value,
            CAST(MAX(doc_id) AS VARCHAR) AS max_value
     FROM documents
     UNION ALL
     SELECT 'lang', COUNT(*),
-           SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            MIN(lang), MAX(lang) FROM documents
     UNION ALL
     SELECT 'n_chars', COUNT(*),
-           SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
     FROM documents
     UNION ALL
     SELECT 'source', COUNT(*),
-           SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            MIN(source), MAX(source) FROM documents
     UNION ALL
     SELECT 'text', COUNT(*),
-           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            MIN(text), MAX(text) FROM documents
 ) ORDER BY col_name
 """,

@@ -9,8 +9,33 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pyarrow as pa
 
 from openaq_data_pipeline_spark.catalog import TABLES
+
+
+class OracleTypeError(AssertionError):
+    """The oracle SQL violates the cross-engine type contract."""
+
+
+def _arrow_type_problems(schema: pa.Schema) -> list[str]:
+    """The driver hashes *typed* arrow values, so an oracle column that
+    DuckDB types as HUGEINT/DECIMAL (e.g. an uncast ``SUM(int)``) hash-
+    diverges from Spark's int64 even when every value is identical —
+    the exact class that shipped as the r9 ``table_profile_exact``
+    driver failure. The engine's determinism contract (catalog.py:
+    "integral aggregates are cast to BIGINT on both sides") is enforced
+    here so pytest catches it before the driver does."""
+    bad = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_decimal(t):
+            bad.append(
+                f"column '{field.name}' is {t} — cast the oracle "
+                f"expression (CAST(... AS BIGINT) for integral "
+                f"aggregates, AS DOUBLE for fractional)"
+            )
+    return bad
 
 
 def run_oracle(sql: str, sf_dir: str):
@@ -19,7 +44,14 @@ def run_oracle(sql: str, sf_dir: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    return con.sql(sql).df()
+    arrow = con.sql(sql).arrow()
+    type_problems = _arrow_type_problems(arrow.schema)
+    if type_problems:
+        raise OracleTypeError(
+            "oracle output violates the BIGINT-cast contract: "
+            + "; ".join(type_problems)
+        )
+    return arrow.to_pandas()
 
 
 def normalize(df_pandas):
