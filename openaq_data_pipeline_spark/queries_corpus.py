@@ -153,7 +153,7 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "bucket32", "thr")
 
 
-@register(
+@register_rotated(
     "embedding_quantization",
     "EXT-similarity — per-dimension affine int8 quantization of the "
     "embedding column (the FAISS/ScaNN scalar-quantization storage "
@@ -252,7 +252,7 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media)
 
 
-@register(
+@register_rotated(
     "vocab_top_ngrams",
     "EXT-text — corpus vocabulary heavy hitters: top-50 unigrams and "
     "top-50 bigrams by occurrence count (ties broken by gram text) "

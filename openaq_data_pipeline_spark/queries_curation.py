@@ -150,7 +150,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "doc_chunking",
     "EXT-curation — context-window document chunking: overlapping "
     "32-token windows with stride 24 (the step BEFORE sequence "

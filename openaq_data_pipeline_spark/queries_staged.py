@@ -1,9 +1,12 @@
-"""Driver queries promoted from the r8 staging pool (r9): the
-takedown/crawl/profile tier, each with its full DuckDB oracle. They
-were parity-green as staged candidates for one round and entered the
-capped registry when five long-green demonstrations rotated out
-(decontamination, dedup_keep_one, stratified_sample, lm_bigram_score,
-text_repetition_signals — families all still driver-live).
+"""Driver queries promoted from the staging pool: the r9 takedown/
+crawl/profile tier and the r10 promotions (lang_id_trigram,
+html_density_extract, ann_topk_ivf_pq — parity-green as staged
+candidates for one round, entering when embedding_quantization,
+vocab_top_ngrams and doc_chunking rotated out with their families
+still driver-live via ann_topk_ivf/pq, lm_trigram_backoff + bpe_*,
+and corpus_curation + sequence_packing + training_shards). Earlier
+rotations: r9 rotated out decontamination, dedup_keep_one,
+stratified_sample, lm_bigram_score, text_repetition_signals.
 
 Oracle style note: `html_text_extract`'s oracle is a CLOSED FORM of
 the expected extraction (the HTML is synthesized around the document
@@ -296,10 +299,15 @@ def _langid_duck() -> str:
         "dchars AS (SELECT doc_id, "
         + _LID_CHARS.format(src="text")
         + " AS w FROM documents)",
+        # no series cap: range(1, len(w)-1) is exact for any document
+        # length (the old generate_series(1, 800) silently dropped
+        # trigrams past ~800 chars — ADVICE r9)
         """dtri AS (
-    SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2, w[g.i + 2] AS w3
-    FROM dchars, generate_series(1, 800) g(i)
-    WHERE g.i <= len(w) - 2
+    SELECT doc_id, tri.w1 AS w1, tri.w2 AS w2, tri.w3 AS w3
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                        i -> {'w1': w[i], 'w2': w[i + 1], 'w3': w[i + 2]})) AS tri
+          FROM dchars)
 )""",
     ]
     branches = []
@@ -309,18 +317,19 @@ def _langid_duck() -> str:
         parts.append(
             f"""s_{lang} AS (SELECT {chars} AS w),
 st_{lang} AS (
-    SELECT w[g.i] AS w1, w[g.i + 1] AS w2, w[g.i + 2] AS w3
-    FROM s_{lang}, generate_series(1, 400) g(i)
-    WHERE g.i <= len(w) - 2
+    SELECT tri.w1 AS w1, tri.w2 AS w2, tri.w3 AS w3
+    FROM (SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                 i -> {{'w1': w[i], 'w2': w[i + 1], 'w3': w[i + 2]}})) AS tri
+          FROM s_{lang})
 ),
 sb_{lang} AS (
-    SELECT w[g.i] AS w1, w[g.i + 1] AS w2
-    FROM s_{lang}, generate_series(1, 400) g(i)
-    WHERE g.i <= len(w) - 1
+    SELECT bi.w1 AS w1, bi.w2 AS w2
+    FROM (SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                 i -> {{'w1': w[i], 'w2': w[i + 1]}})) AS bi
+          FROM s_{lang})
 ),
 su_{lang} AS (
-    SELECT w[g.i] AS u FROM s_{lang}, generate_series(1, 400) g(i)
-    WHERE g.i <= len(w)
+    SELECT unnest(w) AS u FROM s_{lang}
 ),
 c123_{lang} AS (SELECT w1, w2, w3, count(*) AS c123 FROM st_{lang} GROUP BY 1, 2, 3),
 c12_{lang} AS (SELECT w1, w2, count(*) AS c12 FROM sb_{lang} GROUP BY 1, 2),
@@ -367,7 +376,7 @@ agg_{lang} AS (
     return ",\n".join(parts)
 
 
-@register_staged(
+@register(
     "lang_id_trigram",
     "EXT-lm — model-based language ID (r9): per-language CHARACTER-"
     "trigram stupid-backoff LMs trained on the public UDHR Article 1 "
@@ -404,7 +413,7 @@ def lang_id_trigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_trigram_onepass(d, "text", "doc_id")
 
 
-@register_staged(
+@register(
     "html_density_extract",
     "EXT-text — content-density main-content extraction (r9, "
     "jusText/Arc90 heuristics over the stdlib html.parser tag "
@@ -533,7 +542,7 @@ WHERE rnk <= 5
 """
 
 
-@register_staged(
+@register(
     "ann_topk_ivf_pq",
     "EXT-similarity — IVF-PQ with BOTH persisted handles (r9, Jégou "
     "et al. 2011 §V composed): the frozen IVF coarse quantizer "
