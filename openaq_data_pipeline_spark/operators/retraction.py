@@ -59,12 +59,17 @@ content out forever, that is a denylist (keep the fingerprints in a
 separate blocklist table and filter ingest against it), not a
 retraction.
 
-Scale: the ids list is takedown-sized (human-scale, thousands at
-most) and ships as a literal array inside the filter expressions —
-no join, no shuffle; each table rewrite is one pass over that table
-through the bucketed-write path. Retraction cost is proportional to
-index size, not corpus size, and batches of takedowns amortize to
-one rewrite per table per call.
+Scale: :func:`retract_documents` ships the ids as a literal array
+inside the filter expressions — no join, no shuffle — which is right
+for takedown-sized lists (human-scale, thousands at most) and wrong
+past that: the literal blows up the PLAN, not the data.
+:func:`retract_documents_df` is the same scrub as joins against an
+ids DataFrame (millions of ids, streaming crash-scrubs — anything
+where the list is data-sized or already distributed). Either way,
+each table rewrite is one pass over that table through the
+bucketed-write path: retraction cost is proportional to index size,
+not corpus size, and batches of takedowns amortize to one rewrite
+per table per call.
 
 Reference parity note: the reference pipeline has no deletion story
 (append-only loads, ``dags/`` carry no GDPR path) — this is part of
@@ -226,6 +231,192 @@ def retract_documents(
     if correction is not None:
         # append through the same writer shape append_bm25_index's
         # stats path uses, matching the table's exact schema
+        schema = spark.table(stats_table).schema
+        row = spark.createDataFrame([correction], schema)
+        w = row.write.mode("append").format("parquet")
+        if getattr(index, "location", None):
+            w = w.option("path", index._path("stats"))
+        w.saveAsTable(stats_table)
+        spark.catalog.refreshTable(stats_table)
+        touched.append(stats_table)
+    return touched
+
+
+# --- DataFrame-sized retraction: the join-based takedown path ----------
+#
+# `retract_documents` folds the ids into literal filter expressions —
+# right for human-scale takedown lists (thousands), wrong for a
+# regulatory list of millions or a streaming crash-scrub whose list is
+# batch-sized: the literal array blows up the PLAN long before data
+# volume matters, and building it requires the ids on the driver.
+# `retract_documents_df` is the same schema-driven scrub expressed as
+# JOINS against an ids DataFrame: ids never touch the driver, AQE
+# broadcasts the small side at runtime (no hand-placed hint — a
+# million-id list must be allowed to shuffle), and the per-table
+# rewrite stays one pass through the bucketed staged-swap engine.
+
+
+def _ids_frame(ids_df: DataFrame, elem_type: DataType) -> DataFrame:
+    """The retraction set as a one-column (__rid) distinct frame cast
+    to the target column's element type."""
+    col = ids_df.columns[0]
+    return ids_df.select(F.col(col).cast(elem_type).alias("__rid")).distinct()
+
+
+def _df_targets(schema: StructType, id_names: frozenset):
+    """Classify each field of one table: ('id'|'id_array'|'members',
+    field) for fields the retraction touches — the join-path analogue
+    of :func:`_plan`'s schema walk (same recognition rules, so both
+    paths scrub exactly the same columns)."""
+    targets = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, ArrayType):
+            et = dt.elementType
+            if isinstance(et, StructType) and MEMBER_ID_FIELD in et.fieldNames():
+                targets.append(("members", f))
+            elif f.name in ID_ARRAY_COLS:
+                targets.append(("id_array", f))
+        elif f.name in id_names and not isinstance(dt, StructType):
+            targets.append(("id", f))
+    return targets
+
+
+def _array_kill_join(src: DataFrame, fname: str, ids: DataFrame, member: bool):
+    """Rewrite one array column against the ids frame. The kill set is
+    computed per DISTINCT ARRAY VALUE (explode → semi-join → regroup
+    keyed on the array itself), then joined back null-safely — no
+    row-identity column, no checkpoint, and only arrays that actually
+    contain a retracted id appear in the kill frame. Order inside the
+    surviving array is preserved (F.filter / array_except keep the
+    source order, matching the literal path)."""
+    elem = F.col("__e")[MEMBER_ID_FIELD] if member else F.col("__e")
+    kills = (
+        src.select(F.col(fname).alias("__arr"))
+        .where(F.col("__arr").isNotNull())
+        .distinct()
+        .select("__arr", F.explode("__arr").alias("__e"))
+        .select("__arr", elem.alias("__rid"))
+        .join(ids, "__rid", "left_semi")
+        .groupBy("__arr")
+        .agg(F.collect_set("__rid").alias("__kill"))
+    )
+    out = src.join(kills, src[fname].eqNullSafe(kills["__arr"]), "left")
+    if member:
+        rewritten = F.filter(
+            F.col(fname),
+            lambda m: ~F.array_contains(F.col("__kill"), m[MEMBER_ID_FIELD]),
+        )
+    else:
+        rewritten = F.array_except(F.col(fname), F.col("__kill"))
+    out = out.withColumn(
+        fname,
+        F.when(F.col("__kill").isNotNull(), rewritten).otherwise(F.col(fname)),
+    ).drop("__arr", "__kill")
+    # drop rows whose array emptied; leave NULL arrays alone (the
+    # literal path's NULL-safe keep, same contract)
+    return out.where(F.coalesce(F.size(F.col(fname)) > 0, F.lit(True)))
+
+
+def _df_transform(src: DataFrame, ids_df: DataFrame, id_names: frozenset):
+    """The join-based per-table rewrite (schema-preserving, handed to
+    :func:`~openaq_data_pipeline_spark.sources.maintenance.rewrite_bucketed_table`).
+    Exposed for plan tests: the result's plan contains joins against
+    the ids frame and NO id literals."""
+    cols = src.columns
+    out = src
+    for kind, f in _df_targets(src.schema, id_names):
+        if kind == "id":
+            ids = _ids_frame(ids_df, f.dataType)
+            out = out.join(
+                ids, out[f.name].eqNullSafe(ids["__rid"]), "left_anti"
+            )
+        elif kind == "id_array":
+            ids = _ids_frame(ids_df, f.dataType.elementType)
+            out = _array_kill_join(out, f.name, ids, member=False)
+        else:  # members
+            et = f.dataType.elementType[MEMBER_ID_FIELD].dataType
+            out = _array_kill_join(
+                out, f.name, _ids_frame(ids_df, et), member=True
+            )
+    return out.select(*cols)
+
+
+def _df_table_matches(
+    df: DataFrame, ids_df: DataFrame, id_names: frozenset
+) -> bool:
+    """Gate scan: does this table hold any trace of the ids? One
+    union of id streams (top-level + exploded arrays) semi-joined
+    against the ids frame, take(1)."""
+    probes = []
+    for kind, f in _df_targets(df.schema, id_names):
+        if kind == "id":
+            p = df.select(F.col(f.name).cast("string").alias("__rid"))
+        elif kind == "id_array":
+            p = df.select(F.explode(f.name).alias("__e")).select(
+                F.col("__e").cast("string").alias("__rid")
+            )
+        else:
+            p = df.select(F.explode(f.name).alias("__e")).select(
+                F.col("__e")[MEMBER_ID_FIELD].cast("string").alias("__rid")
+            )
+        probes.append(p)
+    if not probes:
+        return False
+    ids = ids_df.select(
+        F.col(ids_df.columns[0]).cast("string").alias("__rid")
+    ).distinct()
+    return bool(reduce(DataFrame.unionByName, probes).join(
+        ids, "__rid", "left_semi"
+    ).take(1))
+
+
+def retract_documents_df(
+    spark: SparkSession, index, ids_df: DataFrame, id_col: str = "doc_id"
+) -> list[str]:
+    """:func:`retract_documents` with the ids as a DataFrame — the
+    scale path. Same index-handle walk, same schema recognition,
+    same BM25 stats correction and staged-swap rewrites; the ids stay
+    distributed end-to-end (used by the streaming crash-scrub, whose
+    list is batch-sized and must never collect to the driver)."""
+    id_names = frozenset({id_col, "neighbor_id"})
+    touched: list[str] = []
+
+    correction = None
+    stats_table = getattr(index, "stats_table", None)
+    if (
+        stats_table is not None
+        and getattr(index, "tf_table", None) is not None
+        and spark.catalog.tableExists(stats_table)
+        and spark.catalog.tableExists(index.tf_table)
+    ):
+        tf = spark.table(index.tf_table)
+        ids = _ids_frame(ids_df, tf.schema[id_col].dataType)
+        row = (
+            tf.join(ids, tf[id_col].eqNullSafe(ids["__rid"]), "left_semi")
+            .agg(
+                F.countDistinct(id_col).alias("n"),
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("s"),
+            )
+            .collect()[0]
+        )
+        correction = (-int(row["n"]), -int(row["s"])) if row["n"] else None
+
+    from openaq_data_pipeline_spark.sources.maintenance import (
+        bucketed_tables_of,
+        rewrite_bucketed_table,
+    )
+
+    for _, table in bucketed_tables_of(spark, index):
+        df = spark.table(table)
+        if not _df_table_matches(df, ids_df, id_names):
+            continue
+        rewrite_bucketed_table(
+            spark, table, lambda src: _df_transform(src, ids_df, id_names)
+        )
+        touched.append(table)
+
+    if correction is not None:
         schema = spark.table(stats_table).schema
         row = spark.createDataFrame([correction], schema)
         w = row.write.mode("append").format("parquet")

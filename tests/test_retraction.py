@@ -898,3 +898,137 @@ class TestRetractFromSnapshots:
         publish_snapshot(_df(spark, TRAIN), root)
         assert retract_from_snapshots(spark, root, [], "doc_id") == []
         assert retract_from_snapshots(spark, root, [999], "doc_id") == []
+
+
+class TestRetractDocumentsDf:
+    """The join-based (DataFrame-sized) retraction path: same scrub
+    as the literal path — proven table-for-table — with ids that
+    never touch the driver and a plan that stays bounded at a
+    million ids (VERDICT r9 #6)."""
+
+    def test_fuzzy_df_path_matches_literal_path(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_documents_df,
+        )
+
+        ids_df = spark.createDataFrame([(2,), (6,)], "doc_id long")
+        with temp_fuzzy_index(n_buckets=4) as lit, temp_fuzzy_index(
+            n_buckets=4
+        ) as viadf:
+            build_fuzzy_index(_df(spark, TRAIN), "text", "doc_id", lit)
+            build_fuzzy_index(_df(spark, TRAIN), "text", "doc_id", viadf)
+            t_lit = retract_documents(spark, lit, [2, 6], id_col="doc_id")
+            t_df = retract_documents_df(spark, viadf, ids_df, id_col="doc_id")
+            assert [t.split("_")[-1] for t in t_lit] == [
+                t.split("_")[-1] for t in t_df
+            ]
+            for attr in ("bands_table", "postings_table", "sizes_table"):
+                a = sorted(
+                    str(sorted(r.asDict().items()))
+                    for r in spark.table(getattr(lit, attr)).collect()
+                )
+                b = sorted(
+                    str(sorted(r.asDict().items()))
+                    for r in spark.table(getattr(viadf, attr)).collect()
+                )
+                assert a == b, attr
+
+    def test_simhash_member_structs_df_path(self, spark):
+        import os
+
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_simhash_index,
+            temp_simhash_index,
+        )
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_documents_df,
+        )
+
+        sf = os.environ.get(
+            "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001"
+        )
+        train = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+        )
+        victim = spark.createDataFrame([(3,)], "doc_id long")
+        with temp_simhash_index(n_buckets=4) as idx:
+            build_simhash_index(train, "text", "doc_id", idx)
+            retract_documents_df(spark, idx, victim, id_col="doc_id")
+            for r in spark.table(idx.bands_table).collect():
+                assert r.members, "emptied member row survived"
+                assert all(m.id != 3 for m in r.members)
+
+    def test_bm25_df_path_stats_correction(self, spark):
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_documents_df,
+        )
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            build_bm25_index,
+            temp_bm25_index,
+        )
+
+        full = TRAIN + [(8, "alpha beta something else entirely new here")]
+        ids_df = spark.createDataFrame([(2,), (6,)], "doc_id long")
+        with temp_bm25_index(n_buckets=4) as idx, temp_bm25_index(
+            n_buckets=4
+        ) as ref:
+            build_bm25_index(_df(spark, full), "text", "doc_id", idx)
+            touched = retract_documents_df(spark, idx, ids_df, id_col="doc_id")
+            assert set(touched) == {idx.tf_table, idx.stats_table}
+            build_bm25_index(
+                _df(spark, [r for r in full if r[0] not in (2, 6)]),
+                "text",
+                "doc_id",
+                ref,
+            )
+            def stats(i):
+                return tuple(
+                    spark.table(i.stats_table)
+                    .agg(F.sum("n_docs"), F.sum("s_tokens"))
+                    .collect()[0]
+                )
+
+            assert stats(idx) == stats(ref)
+
+    def test_million_id_plan_stays_bounded(self, spark):
+        """The literal path folds ids into the plan; the df path must
+        not — at 1e6 ids the transform's optimized plan is joins, no
+        id literals, and its string form stays small."""
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.operators.retraction import (
+            _df_transform,
+        )
+
+        ids_df = spark.range(1_000_000).withColumnRenamed("id", "doc_id")
+        with temp_fuzzy_index(n_buckets=4) as idx:
+            build_fuzzy_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            src = spark.table(idx.bands_table)
+            out = _df_transform(
+                src, ids_df, frozenset({"doc_id", "neighbor_id"})
+            )
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            assert "Join" in plan
+            assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
+
+    def test_noop_when_ids_absent(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.operators.retraction import (
+            retract_documents_df,
+        )
+
+        ids_df = spark.createDataFrame([(999,)], "doc_id long")
+        with temp_fuzzy_index(n_buckets=4) as idx:
+            build_fuzzy_index(_df(spark, TRAIN), "text", "doc_id", idx)
+            assert retract_documents_df(spark, idx, ids_df) == []
