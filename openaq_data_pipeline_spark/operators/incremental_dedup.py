@@ -507,17 +507,28 @@ def replay_self_match(id_col: str):
     return F.col("dup_of") == F.col(id_col)
 
 
-def replay_stable_kept(disp: DataFrame, id_col: str) -> DataFrame:
-    """The kept-id set of an exact disposition with self-matches
-    counted as kept — ONE definition of the replay rule, shared by
-    every consumer (review finding: two hand-rolled copies diverge).
-    Apply only when the caller KNOWS it is re-running a batch whose
-    appends may have landed (the gates gate it on a per-batch attempt
-    marker); on a first attempt a self-match would instead mean a
-    source re-delivering an old id, which must still drop."""
-    return disp.where(
-        F.col("kept") | replay_self_match(id_col)
-    ).select(id_col)
+def append_exact_index(
+    kept_docs: DataFrame, text_col: str, id_col: str, index: ExactIndex
+) -> None:
+    """Append the (fingerprint, id) rows of already-dispositioned
+    KEPT docs — the mutation half of :func:`incremental_exact_dedup`,
+    split out so the streaming gates can make the kept-id set durable
+    BEFORE the index mutates (`streaming.ingest._exact_gate_kept`:
+    the ordering closes the replay ambiguity ADVICE r9 found in the
+    attempt-scoped self-match rule). Re-appends of the same rows are
+    absorbed by min-survivor re-aggregation and squashed by
+    compaction (the module's replay contract)."""
+    save_bucketed(
+        _fingerprints(kept_docs, text_col, id_col).select(
+            "fingerprint", F.col(id_col)
+        ),
+        index.hashes_table,
+        "fingerprint",
+        index.n_buckets,
+        mode="append",
+        path=(f"{index.location}/hashes" if index.location else None),
+        bloom=index._bloom,
+    )
 
 
 def temp_exact_index(

@@ -19,19 +19,27 @@ at-least-once on failure/retry. Both sinks tolerate a replay —
    within one batch the survivor choice is a pure function of the
    batch + the pre-batch index), and compaction squashes the extra
    file sets;
- - DISPOSITION on a replay needs one extra rule (r9 review finding):
-   after the first attempt's eager index append, the replayed batch
-   matches its own indexed fingerprints — ``dup_of`` comes back as
-   the doc's OWN id. Every gate treats that self-match as KEPT
-   (`incremental_dedup.replay_stable_kept`), but ONLY on a known
-   retry: a per-batch attempt marker created before any index
-   mutation (`_is_retry`) distinguishes a replay from a source
-   re-delivering an old id in a later batch, which must still drop.
-   Without the rule a retry would drop the whole batch and overwrite
-   nothing, leaving it in the indexes but absent from the sink;
+ - DISPOSITION on a replay is pinned by a durable per-batch KEPT-ID
+   SET (`_exact_gate_kept`): the gate dispositions WITHOUT mutating
+   the index, writes the kept ids as parquet under the batch's
+   attempt dir (job-commit atomic), and only then appends the index
+   (`incremental_dedup.append_exact_index`). A retry that finds the
+   committed set uses it verbatim — ROW-scoped, so a batch that
+   both gets retried and contains an id re-delivered from an
+   earlier batch still drops that row (ADVICE r9: the earlier
+   attempt-scoped self-match rule wrongly kept it). A retry that
+   does NOT find the set can only mean the crash hit before the set
+   committed, in which case the index is still unmutated (strict
+   ordering) and re-dispositioning is exactly the first attempt.
+   There is no ambiguous window;
  - the survivors sink writes under ``batch_id=<n>`` partitions, so a
    replayed micro-batch overwrites its own partition instead of
    duplicating rows (dynamic partition overwrite).
+All marker and kept-set I/O goes through the Hadoop FileSystem API
+of the root path — never driver-local ``os.path`` — so the replay
+guard works when the survivors sink or index lives on an object
+store (ADVICE r9: a POSIX-only ``exists`` silently never sees the
+marker and every replay looks like a first attempt).
 Reference analogue: dags/openaq_ingestion_dag.py's scheduled
 batch-append loop, upgraded to event-driven micro-batches.
 """
@@ -41,10 +49,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import StructType
+
 from openaq_data_pipeline_spark.operators.incremental_dedup import (
     ExactIndex,
+    append_exact_index,
     incremental_exact_dedup,
-    replay_stable_kept,
 )
 
 
@@ -65,10 +75,11 @@ def dedup_gate(
     (the gate is a pure filter)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        retry = _is_retry(survivors_path, batch_id)
         batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
-        disp = incremental_exact_dedup(batch_df, text_col, id_col, index)
-        kept = batch_df.join(_kept_ids(disp, id_col, retry), id_col, "inner")
+        kept_ids = _exact_gate_kept(
+            batch_df, text_col, id_col, index, survivors_path, batch_id
+        )
+        kept = batch_df.join(kept_ids, id_col, "inner")
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
             .write.mode("overwrite")
@@ -96,29 +107,83 @@ def _apply_denylist(batch_df: DataFrame, text_col: str, id_col: str, denylist):
     )
 
 
-def _is_retry(root: str, batch_id: int) -> bool:
+def _hfs(spark, path: str):
+    """(FileSystem, Path-factory) for ``path`` resolved through the
+    Hadoop FS API — the same abstraction Spark writes the sinks and
+    indexes through. Marker I/O must NOT use driver-local
+    ``os.path`` (ADVICE r9): on an object-store URI a POSIX
+    ``exists`` silently never sees the marker, every replay looks
+    like a first attempt, and the replay guard is defeated exactly
+    where it matters."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, (lambda p: jvm.org.apache.hadoop.fs.Path(p))
+
+
+def _is_retry(spark, root: str, batch_id: int) -> bool:
     """Per-batch ATTEMPT marker (created BEFORE any index mutation,
     so a crash between mutation and marker is impossible): True when
-    this batch_id has started before — only then is a self-match a
-    REPLAY and the `replay_stable_kept` rule sound. On a first
-    attempt a self-match would instead be a source re-delivering an
-    id from an earlier batch, which must still drop (review finding:
-    the unconditional rule silently weakened cross-batch dedup)."""
-    import os
-
-    mark = os.path.join(root, f"_attempt_batch_{batch_id}")
-    if os.path.exists(mark):
+    this batch_id has started before. Used by the crawl gate's
+    URL-ledger stage, whose replay rule is attempt-scoped (a bool
+    fed to ``url_ledger_gate(self_match_is_kept=)``) and therefore
+    additionally relies on the cross-batch unique-id contract for
+    re-delivered ids inside a retried batch; the exact-dedup stages
+    use the strictly stronger row-scoped kept-set
+    (:func:`_exact_gate_kept`) instead."""
+    fs, P = _hfs(spark, root)
+    mark = P(f"{root}/_attempt_batch_{batch_id}")
+    if fs.exists(mark):
         return True
-    os.makedirs(mark, exist_ok=True)
+    fs.mkdirs(mark)
     return False
 
 
-def _kept_ids(disp: DataFrame, id_col: str, retry: bool) -> DataFrame:
-    return (
-        replay_stable_kept(disp, id_col)
-        if retry
-        else disp.filter("kept").select(id_col)
+def _exact_gate_kept(
+    batch_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index: ExactIndex,
+    root: str,
+    batch_id: int,
+) -> DataFrame:
+    """Replay-safe exact-dedup gate for one micro-batch: returns the
+    kept-id frame and appends the kept fingerprints to the index,
+    ordered so the kept-id set is DURABLE before the index mutates:
+
+    1. disposition against the pre-batch index
+       (``incremental_exact_dedup(update_index=False)`` — pure);
+    2. write kept ids as parquet under the batch's attempt dir
+       (job-commit atomic: ``_SUCCESS`` marks the committed set);
+    3. append the kept (fingerprint, id) rows
+       (:func:`~openaq_data_pipeline_spark.operators.incremental_dedup.append_exact_index`
+       — re-appends absorbed by min-survivor re-aggregation).
+
+    A retry that finds the committed set replays it VERBATIM — the
+    rule is row-scoped, so a retried batch that also contains an id
+    re-delivered from an earlier batch still drops that row (ADVICE
+    r9: the attempt-scoped self-match rule wrongly kept it). A retry
+    without the set can only mean the crash preceded step 2, so the
+    index is unmutated and re-dispositioning IS the first attempt.
+    Every path re-runs step 3 (absorbed when already landed)."""
+    spark = batch_df.sparkSession
+    kept_path = f"{root}/_attempt_batch_{batch_id}/kept_ids"
+    fs, P = _hfs(spark, root)
+    schema = StructType([batch_df.schema[id_col]])
+    if fs.exists(P(f"{kept_path}/_SUCCESS")):
+        kept_ids = spark.read.schema(schema).parquet(kept_path)
+    else:
+        disp = incremental_exact_dedup(
+            batch_df, text_col, id_col, index, update_index=False
+        )
+        disp.filter("kept").select(id_col).write.mode("overwrite").parquet(
+            kept_path
+        )
+        kept_ids = spark.read.schema(schema).parquet(kept_path)
+    append_exact_index(
+        batch_df.join(kept_ids, id_col, "inner"), text_col, id_col, index
     )
+    return kept_ids
 
 
 def stream_corpus_ingest(
@@ -198,8 +263,6 @@ def fuzzy_dedup_gate(
       only be the replayed batch meeting its own previously-indexed
       copy — both the self-pair and the within-batch cross-pair
       cases, which the cross-pairs-only contract says must pass)."""
-    import os
-
     from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
         append_fuzzy_index,
         incremental_fuzzy_matches,
@@ -214,11 +277,13 @@ def fuzzy_dedup_gate(
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        retry = _is_retry(root, batch_id)
         batch_df = _apply_denylist(batch_df, text_col, id_col, denylist)
-        disp = incremental_exact_dedup(batch_df, text_col, id_col, exact_index)
         exact_kept = batch_df.join(
-            _kept_ids(disp, id_col, retry), id_col, "inner"
+            _exact_gate_kept(
+                batch_df, text_col, id_col, exact_index, root, batch_id
+            ),
+            id_col,
+            "inner",
         )
         matches = incremental_fuzzy_matches(
             exact_kept, text_col, id_col, fuzzy_index
@@ -237,28 +302,31 @@ def fuzzy_dedup_gate(
         kept = exact_kept.join(dropped, id_col, "left_anti").localCheckpoint(
             eager=True
         )
-        marker = os.path.join(root, f"_batch_{batch_id}")
+        spark = batch_df.sparkSession
+        fs, P = _hfs(spark, root)
+        marker = f"{root}/_batch_{batch_id}"
         inprogress = marker + ".__inprogress"
-        if not os.path.exists(marker):
-            if os.path.exists(inprogress):
+        if not fs.exists(P(marker)):
+            if fs.exists(P(inprogress)):
                 # ambiguous crash window: the prior attempt may have
                 # appended some/all tables — scrub this batch's ids
                 # (disposition above is replay-stable, so kept ids
-                # equal the crashed attempt's) before re-appending
+                # equal the crashed attempt's) before re-appending.
+                # The join-based retraction keeps the batch-sized id
+                # set distributed (VERDICT r9 #6: the literal path
+                # collected a whole batch of ids to the driver)
                 from openaq_data_pipeline_spark.operators.retraction import (
-                    retract_documents,
+                    retract_documents_df,
                 )
 
-                ids = [r[0] for r in kept.select(id_col).collect()]
-                if ids:
-                    retract_documents(
-                        batch_df.sparkSession, fuzzy_index, ids, id_col
-                    )
+                retract_documents_df(
+                    spark, fuzzy_index, kept.select(id_col), id_col
+                )
             else:
-                os.makedirs(inprogress, exist_ok=True)
+                fs.mkdirs(P(inprogress))
             append_fuzzy_index(kept, text_col, id_col, fuzzy_index)
-            os.makedirs(marker, exist_ok=True)
-            os.rmdir(inprogress)
+            fs.mkdirs(P(marker))
+            fs.delete(P(inprogress), True)
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
             .write.mode("overwrite")
@@ -286,15 +354,13 @@ def stream_corpus_ingest_fuzzy(
     default to the index location and fall back to a dir under the
     checkpoint (always durable for a real stream), so the gate's
     replay guard exists unconditionally."""
-    import os
-
     writer = (
         stream_df.writeStream.foreachBatch(
             fuzzy_dedup_gate(
                 text_col, id_col, exact_index, fuzzy_index, survivors_path,
                 denylist,
                 marker_root=fuzzy_index.location
-                or os.path.join(checkpoint_dir, "_fuzzy_appends"),
+                or f"{checkpoint_dir}/_fuzzy_appends",
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -330,8 +396,9 @@ def crawl_intake_gate(
 
     Replay semantics: re-appends to both persisted indexes are
     absorbed by min-survivor re-aggregation, and DISPOSITION stays
-    replay-stable through the self-match rule (module docstring /
-    `_replay_stable_kept`; the URL ledger applies it internally) —
+    replay-stable — the content stage through the durable row-scoped
+    kept-set (:func:`_exact_gate_kept`), the URL-ledger stage through
+    the attempt-scoped self-match rule (`_is_retry` bool) —
     without it a retried batch would drop itself against its own
     first-attempt appends. The survivors sink overwrites its own
     ``batch_id`` partition."""
@@ -345,7 +412,7 @@ def crawl_intake_gate(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        retry = _is_retry(survivors_path, batch_id)
+        retry = _is_retry(batch_df.sparkSession, survivors_path, batch_id)
         led = url_ledger_gate(
             batch_df, url_col, id_col, ledger, self_match_is_kept=retry
         )
@@ -383,12 +450,12 @@ def crawl_intake_gate(
                 gated.limit(0).select(id_col, "__text"),
                 "__text", id_col, content_index,
             )
-        disp = incremental_exact_dedup(
-            gated, "__text", id_col, content_index
+        kept_ids = _exact_gate_kept(
+            gated, "__text", id_col, content_index, survivors_path, batch_id
         )
-        kept = gated.join(
-            _kept_ids(disp, id_col, retry), id_col, "inner"
-        ).withColumnRenamed("__text", "text")
+        kept = gated.join(kept_ids, id_col, "inner").withColumnRenamed(
+            "__text", "text"
+        )
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
             .write.mode("overwrite")

@@ -670,3 +670,55 @@ class TestReplayStableDisposition:
             assert (30, 7) in by_batch
             # doc 11 exists ONLY under its original batch partition
             assert (11, 0) in by_batch and (11, 7) not in by_batch
+
+
+class TestRowScopedReplayRule:
+    """ADVICE r9: the attempt-scoped self-match rule kept EVERY
+    self-match on a retry — including a row whose id was re-delivered
+    from an earlier batch, which must drop on the retry exactly as it
+    did on the first attempt. The durable kept-set makes the rule
+    row-scoped."""
+
+    def test_retried_batch_still_drops_redelivered_old_id(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from openaq_data_pipeline_spark.streaming.ingest import dedup_gate
+
+        out = str(tmp_path / "survivors")
+        with temp_exact_index(n_buckets=4) as idx:
+            build_exact_index(
+                spark.createDataFrame(HISTORY, SCHEMA), "text", "doc_id", idx
+            )
+            gate = dedup_gate("text", "doc_id", idx, out)
+            gate(spark.createDataFrame(FILE1, SCHEMA), 0)
+            # batch 7 re-delivers doc 11 verbatim alongside a new doc
+            batch7 = spark.createDataFrame(
+                [(11, "eta theta iota"), (30, "brand new words")], SCHEMA
+            )
+            gate(batch7, 7)
+            # crash-after-append: the sink partition is lost, batch 7
+            # retries. Doc 11 self-matches (its fingerprint maps to
+            # its own id, indexed in batch 0) — the retry must STILL
+            # drop it, keeping only batch 7's recorded kept set {30}
+            shutil.rmtree(os.path.join(out, "batch_id=7"))
+            gate(batch7, 7)
+            by_batch = {
+                (r.doc_id, r.batch_id)
+                for r in spark.read.parquet(out).collect()
+            }
+            assert (30, 7) in by_batch
+            assert (11, 0) in by_batch and (11, 7) not in by_batch
+
+    def test_crash_scrub_path_is_collect_free(self):
+        """VERDICT r9 #3: the fuzzy crash-window scrub fed a driver-
+        collected id list into the literal retraction path. Pin that
+        the gate body no longer collects anything to the driver."""
+        import inspect
+
+        from openaq_data_pipeline_spark.streaming import ingest
+
+        src = inspect.getsource(ingest.fuzzy_dedup_gate)
+        assert ".collect()" not in src
+        assert "retract_documents_df" in src
