@@ -77,12 +77,14 @@ def frontier_schedule(
     # frontier three times (the dedup-index lazy-checkpoint move)
     with_host = with_host.localCheckpoint(eager=False)
     hosts = with_host.select("host").distinct()
-    ranked = hosts.select(
-        "host",
-        (F.dense_rank().over(Window.orderBy("host")) - 1)
-        .cast("long")
-        .alias("host_rank"),
-    )
+    # dense host ranks via the two-phase range-partition pattern
+    # (ids.assign_global_ids): a web-scale frontier has ~1e8 distinct
+    # hosts, and the old dense_rank over Window.orderBy("host") ran
+    # them through ONE partition (VERDICT r9 #7). Ranks are identical
+    # (hosts are distinct, so row-number == dense-rank).
+    from openaq_data_pipeline_spark.operators.ids import assign_global_ids
+
+    ranked = assign_global_ids(hosts, "host", id_name="host_rank")
     n_hosts = ranked.agg(F.count(F.lit(1)).alias("__n"))
     pos = (
         F.row_number().over(
@@ -102,8 +104,14 @@ def frontier_schedule(
             "fetch_slot"
         ),
     ]
+    # size-aware host-dim join: no hand-placed broadcast hint — AQE
+    # measures the ranked dim's actual shuffle size at runtime and
+    # converts to broadcast when it fits (the fixture-scale plan pin
+    # checks it does); a 1e8-host frontier falls back to a shuffle
+    # join instead of OOMing the driver (VERDICT r9 #7). The 1-row
+    # n_hosts scalar is always broadcast.
     joined = (
-        scheduled.join(F.broadcast(ranked), "host")
+        scheduled.join(ranked, "host")
         .crossJoin(F.broadcast(n_hosts))
     )
     if crawl_delays is not None:
@@ -114,7 +122,9 @@ def frontier_schedule(
         per_host = crawl_delays.groupBy("host").agg(
             F.max("crawl_delay_sec").alias("crawl_delay_sec")
         )
-        joined = joined.join(F.broadcast(per_host), "host", "left")
+        # same size-awareness as the ranked dim: delays accumulate
+        # per host, so the table scales with host cardinality
+        joined = joined.join(per_host, "host", "left")
         out_cols.append(
             (
                 F.col("pos_in_host").cast("double")

@@ -522,3 +522,35 @@ def test_frontier_schedule_parses_urls_once(spark):
     assert "BroadcastExchange" in plan
     assert "Scan ExistingRDD" in plan
     assert "parse_url" not in plan, "frontier re-parses URLs per consumer"
+
+
+def test_frontier_host_rank_has_no_corpus_sized_single_partition_window(
+    spark,
+):
+    """VERDICT r9 #7: host ranks used dense_rank over an UNPARTITIONED
+    window — one task for all distinct hosts (~1e8 at web scale). The
+    two-phase range-partition pattern replaces it; the only
+    unpartitioned window allowed in the executed plan is the
+    n_partitions-row prefix sum over __gid_pid (bounded by the
+    partition count, not the host count), and the host-dim join is
+    hint-free (AQE broadcasts it at fixture scale; a web-scale dim
+    falls back to shuffle instead of OOMing the driver)."""
+    from openaq_data_pipeline_spark.operators.frontier import (
+        frontier_schedule,
+    )
+
+    urls = spark.range(500).selectExpr(
+        "id AS doc_id",
+        "concat('https://h', CAST(id % 37 AS STRING), '.org/p/', id) AS url",
+    )
+    out = frontier_schedule(urls, "url", "doc_id")
+    plan = final_plan(out)
+    assert "dense_rank" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        assert (
+            "windowspecdefinition(host#" in line or "__gid_pid" in line
+        ), f"corpus-sized unpartitioned window: {line.strip()[:160]}"
+    # fixture-scale: AQE still lands the host dim on the build side
+    assert "BroadcastExchange" in plan
