@@ -49,6 +49,46 @@ from openaq_data_pipeline_spark.session import get_spark
 # headline heavy hitters, but coverage keeps us honest
 BENCH_ALL = os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1"
 
+# ---- host-load calibration (VERDICT r9 #4) ----------------------------
+# A fixed Spark workload (range → xxhash64 → 1024-bucket count, 32
+# partitions, noop sink) timed at three points of every sample gives
+# each bench artifact its own load marker: load_factor =
+# median(calibration)/CALIB_REF_SEC. The reference is the quiet-host
+# steady state measured when the marker was introduced (r10,
+# 2026-08-15, this box, local[32]: 0.528/0.550/0.645 after warmup —
+# pinned 0.55). The workload touches no repo code and no test data,
+# so it can NEVER drift with the engine — only with the box.
+CALIB_REF_SEC = 0.55
+
+
+def _calibrate(spark) -> list[float]:
+    """Three timed runs of the fixed calibration workload (one
+    untimed warm pass first — its codegen/JVM warmup is not host
+    load)."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 30_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy((F.col("h") % 1024).alias("b"))
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    once()  # warm (untimed)
+    return [once() for _ in range(3)]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
 
 def _exec_once(spark, q, sf_dir: str) -> None:
     """Execute one query end-to-end via the noop sink (full plan, no
@@ -123,7 +163,10 @@ def _previous_bench() -> tuple[str, dict] | None:
     return None
 
 
-def main() -> None:
+def run_sample() -> tuple[dict, dict]:
+    """ONE full bench sample in THIS process: warm-up pass, timed
+    min-of-2(+1) per query, calibration at start/middle/end. Returns
+    (compact stdout result, detail block)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
@@ -137,12 +180,16 @@ def main() -> None:
 
     times: dict[str, float] = {}
     overhead: dict[str, dict[str, float]] = {}
+    calib: list[list[float]] = []
     try:
         # warm-up pass (not timed)
         for q in qdefs:
             _run_once(spark, q, sf_dir)
 
-        for q in qdefs:
+        calib.append(_calibrate(spark))
+        for qi, q in enumerate(qdefs):
+            if qi == len(qdefs) // 2:
+                calib.append(_calibrate(spark))
             runs = []
             costs = []
 
@@ -157,7 +204,7 @@ def main() -> None:
 
             timed_run()
             timed_run()
-            # external load on this host swings identical code >1.5×;
+            # external load on this host swings identical code >1.5x;
             # when the two timed passes disagree by >25% the minimum
             # itself is suspect, so buy one more sample for that
             # query only (bounded: noisy queries alone pay the cost)
@@ -168,6 +215,7 @@ def main() -> None:
                 k: round(sum(c[k] for c in costs) / len(costs), 3)
                 for k in ("clearcache_sec", "gc_sec")
             }
+        calib.append(_calibrate(spark))
         total = round(sum(times.values()), 3)
     except Exception as exc:  # noqa: BLE001 — fail loudly, never emit a partial line
         print(f"bench FAILED at query {len(times) + 1}/{len(qdefs)}: {exc!r}",
@@ -182,94 +230,44 @@ def main() -> None:
         except ValueError:
             pass
 
+    flat = [x for block in calib for x in block]
+    load_factor = round(_median(flat) / CALIB_REF_SEC, 3)
     result = {
         "metric": "total_bench_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # the host-load marker (VERDICT r9 #4): fixed workload timed
+        # at start/middle/end of the sample vs its pinned quiet-host
+        # reference — divide any time by load_factor to normalize
+        "calib": {
+            "samples_sec": [round(x, 3) for x in flat],
+            "ref_sec": CALIB_REF_SEC,
+            "load_factor": load_factor,
+        },
+        "value_calibrated": round(total / load_factor, 3),
     }
-    # ratio_vs_prev and metadata go to a SIDE FILE, never the stdout
-    # line: the driver captures only a fixed-size tail of process
-    # output, and r2's enriched line overflowed it (BENCH_r02.json
-    # parsed: null). The stdout line stays the compact r1 schema.
     detail = dict(result)
+    detail["queries_calibrated"] = {
+        k: round(v / load_factor, 3) for k, v in times.items()
+    }
     # record the timing convention next to the ratios (ADVICE r3):
     # per-query times are min-of-N EXEC-ONLY passes after an untimed
     # warm-up; cache clear + Python GC run between passes but OUTSIDE
     # the timer (VERDICT r5 #1 — the in-timer cleanup was per-run
     # fixed overhead that grew with catalog size and drifted every
-    # unchanged query ~1.2–1.6×; its cost is now reported under
+    # unchanged query ~1.2-1.6x; its cost is now reported under
     # "harness_overhead" instead of silently inflating query times).
     # Cross-round ratios are only apples-to-apples against rounds
     # using the same convention (r1/r2 single-timed-pass with no
-    # in-timer cleanup; r3–r5 min-of-2 WITH in-timer cleanup; r6+
-    # exec-only — closest in kind to the r1 envelope anchor).
+    # in-timer cleanup; r3-r5 min-of-2 WITH in-timer cleanup; r6+
+    # exec-only — closest in kind to the r1 envelope anchor; r10+
+    # additionally min across fresh-JVM samples, calibrated).
     detail["timing_convention"] = (
         "min_of_2_exec_only_cleanup_untimed_plus_third_on_25pct_spread"
+        "_calibrated"
     )
-    # VERDICT r5 #1 post-mortem, pinned here with the r6 measurements
-    # so the evidence travels with every bench artifact:
-    detail["drift_diagnosis"] = (
-        "r5's uniform ~1.2-1.6x drift on unchanged queries had two "
-        "stacked causes. (1) In-timer harness overhead: r3-r5 timed "
-        "clearCache + a full-heap gc.collect inside every pass; that "
-        "cost is additive, grows with session-accumulated py4j state "
-        "(50 registered queries + dedup_incremental's temp tables in "
-        "r5 vs 38 queries in r4), and lands hardest on trivial "
-        "queries. r6 times exec only and reports the cleanup cost "
-        "under harness_overhead (measured ~2.7 s of gc across the "
-        "50-query run — ~0.05 s/pass, about half the trivial-query "
-        "delta). (2) Host load: identical code measured 88.8 s with "
-        "a concurrent pytest session vs 64.3 s quiet in back-to-back "
-        "r6 runs, and r5's own builder-vs-driver spread was 11% "
-        "(64.0 vs 57.4 s) — cross-run totals on this box are only "
-        "comparable between quiet runs. With both controlled, the "
-        "r6 common-subset ratio vs r4 is 1.07 (vs r5 1.01); the "
-        "remaining >1.2x entries are r5's adjudicated added work "
-        "(e.g. multimodal gained PNG, now JPEG rows), not drift."
-    )
-    # VERDICT r6 'What's wrong' #1 post-mortem (audio_decode_features
-    # 0.55→1.36 s in r6 on unchanged code), measured in r7:
-    detail["audio_regression_diagnosis"] = (
-        "Not code, not module growth, not worker reimport: (a) import "
-        "of the grown multimodal.py costs 13 ms with deps preloaded "
-        "(the ~490 JPEG lines are plain defs; workers pay numpy/"
-        "pandas, not module size); (b) standalone quiet min-of-5 at "
-        "sf0.1 is 0.495 s — equal to r5's 0.55 s; (c) a full r7 bench "
-        "run measured audio at 0.634 s IN CONTEXT while OTHER "
-        "unchanged queries swung 1.5-2.5x in the same run (back-to-"
-        "back full benches on this box differ 1.26x on the common "
-        "subset with zero code change); (d) the one reproducible "
-        "mechanism found — Python-worker idle-reap after ~60 s "
-        "without a Python-stage query adds ~0.4 s of worker respawn "
-        "to the FIRST timed pass (measured 0.958 s after a 75 s idle "
-        "vs 0.581 warm) — is exactly the kind of first-pass cost "
-        "min-of-2 usually absorbs, but it compounds with host swing "
-        "in a loaded window. Verdict: r6's 1.36 s was transient host "
-        "state during the driver's run; the query is reclaimed (r7 "
-        "in-context 0.634 s) with no code change to the audio path."
-    )
-    # Host-variance evidence, r7: four full runs of near-identical
-    # code on this box within ~3 h measured 58.2 s (quiet), 64.4,
-    # 74.9 and 73.9 s — the slow runs with 16+ unrelated queries
-    # uniformly 1.25-1.9x and one run's FIRST query spiking 5.8x
-    # then reverting to 0.58 s. CONTROLLED experiment: byte-identical
-    # r6 code (commit e00b73b, fresh clone) re-benched in the slow
-    # window measured 65.2 s vs the 56.5 s the r6 driver recorded —
-    # median per-query ratio 1.21 with ZERO code change — while the
-    # r7 HEAD measured in the SAME window scores 1.079x vs that r6
-    # run on the 47-query common subset (the residue being
-    # video_frame_sample's added real-JPEG decode). Same conclusion
-    # as the r6 drift post-mortem: totals are a sample from the
-    # box's window spread; code-vs-code comparisons are only valid
-    # within one window.
-    detail["host_variance_r7"] = {
-        "head_runs_sec": [58.182, 64.389, 74.939, 73.918],
-        "r6_code_rebench_sec": 65.168,
-        "r6_driver_recorded_sec": 56.503,
-        "same_window_r7_vs_r6_common_subset": 1.079,
-    }
     detail["harness_overhead"] = {
         "per_query": overhead,
         "total_clearcache_sec": round(
@@ -282,10 +280,108 @@ def main() -> None:
             "counted toward every query's time"
         ),
     }
+    # stop Spark here: a child sample must release the JVM before the
+    # next sample starts, and late log noise must precede any output
+    spark.stop()
+    return result, detail
+
+
+def _merge_samples(samples: list[tuple[dict, dict]]) -> tuple[dict, dict]:
+    """min-of-N across fresh-JVM samples (VERDICT r9 #4): per-query
+    raw minimum across windows, and per-query CALIBRATED minimum
+    (each window normalized by its own load factor first). The
+    merged line carries every window's load factor so the artifact
+    shows how quiet each window was."""
+    results = [r for r, _ in samples]
+    details = [d for _, d in samples]
+    qnames = results[0]["queries"].keys()
+    times = {
+        k: min(r["queries"][k] for r in results) for k in qnames
+    }
+    times_cal = {
+        k: round(min(d["queries_calibrated"][k] for d in details), 3)
+        for k in qnames
+    }
+    factors = [r["calib"]["load_factor"] for r in results]
+    merged = {
+        "metric": "total_bench_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": results[0]["sf"],
+        "n_samples": len(samples),
+        "calib": {
+            "load_factors": factors,
+            "ref_sec": CALIB_REF_SEC,
+        },
+        "value_calibrated": round(sum(times_cal.values()), 3),
+    }
+    detail = dict(merged)
+    detail["queries_calibrated"] = times_cal
+    detail["timing_convention"] = (
+        f"min_across_{len(samples)}_fresh_jvm_samples_of_"
+        + details[0]["timing_convention"]
+    )
+    detail["samples"] = [
+        {
+            "value": r["value"],
+            "value_calibrated": r["value_calibrated"],
+            "calib": r["calib"],
+            "queries": r["queries"],
+            "harness_overhead": d["harness_overhead"],
+        }
+        for r, d in samples
+    ]
+    return merged, detail
+
+
+def _child_sample(i: int) -> tuple[dict, dict]:
+    """Run one sample in a FRESH subprocess (its own JVM, its own
+    Python heap — no cross-sample session state), returning its
+    (result, detail)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        mode="r", suffix=f"_bench_s{i}.json"
+    ) as out:
+        env = dict(os.environ)
+        env["_SPARK_GRAFT_BENCH_CHILD"] = "1"
+        env["_SPARK_GRAFT_BENCH_CHILD_OUT"] = out.name
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=sys.stderr,
+        )
+        if proc.returncode != 0:
+            print(f"bench sample {i} FAILED (rc={proc.returncode})",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        payload = json.load(open(out.name))
+    return payload["result"], payload["detail"]
+
+
+def main() -> None:
+    if os.environ.get("_SPARK_GRAFT_BENCH_CHILD") == "1":
+        result, detail = run_sample()
+        with open(os.environ["_SPARK_GRAFT_BENCH_CHILD_OUT"], "w") as fh:
+            json.dump({"result": result, "detail": detail}, fh)
+        return
+
+    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
+    if n_samples <= 1:
+        result, detail = run_sample()
+    else:
+        result, detail = _merge_samples(
+            [_child_sample(i) for i in range(n_samples)]
+        )
+
     prev = _previous_bench()
     if prev is not None:
         name, prev_data = prev
         prev_times = prev_data.get("queries", {})
+        times = result["queries"]
         common = {k: v for k, v in times.items() if prev_times.get(k)}
         prev_common = sum(prev_times[k] for k in common)
         detail["ratio_vs_prev"] = {
@@ -307,7 +403,7 @@ def main() -> None:
             ),
             "n_common": len(common),
             "total_all_queries_incomparable_sets": (
-                round(total / prev_data["value"], 3)
+                round(result["value"] / prev_data["value"], 3)
                 if prev_data.get("value")
                 else None
             ),
@@ -331,9 +427,8 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
 
-    # stop Spark BEFORE printing: all late JVM/log4j output lands
-    # above the JSON line, keeping the artifact tail clean
-    spark.stop()
+    # all Spark sessions are stopped inside run_sample / the child
+    # processes, so late JVM/log noise cannot trail the JSON line
     print(json.dumps(result), flush=True)
 
 

@@ -310,6 +310,71 @@ def gopher_rules(
     )
 
 
+def c4_rules(
+    df,
+    text_col: str,
+    id_col: str,
+    bad_words: list[str] | None = None,
+):
+    """The C4 cleaning battery (Raffel et al. 2020, §2.2 — the
+    Common Crawl filter behind T5 and the C4/mC4 corpora), the
+    line-level complement to the document-level :func:`gopher_rules`:
+
+    LINE filters (the kept lines become ``clean_text``):
+    - ends in a terminal punctuation mark (. ! ? or an end quote);
+    - contains at least 3 words;
+    - does not contain the word "javascript" (any case).
+
+    PAGE filters (conjunction = ``keep``):
+    - ``r_min_sentences``: ≥ 5 sentences AFTER line cleaning
+      (sentences counted as terminal ``.!?`` marks in the kept
+      lines — the paper does not pin a sentence splitter, so the
+      count rule is stated here and mirrored by the oracle);
+    - ``r_no_lorem``: no "lorem ipsum" (any case);
+    - ``r_no_brace``: no ``{`` (the paper's code-page proxy);
+    - ``r_no_badwords``: no word from ``bad_words`` (the paper
+      matches the public LDNOOBW list; the list is a PARAMETER and
+      defaults to none — shipping an obscenity list inside an
+      engine is wrong, and downstream corpora localize it anyway).
+
+    Everything is one codegen'd projection over line arrays —
+    shuffle-free, Python-free, exact across engines."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept_lines = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"”]\s*$')
+        & (F.length(F.trim(l)) > 0)
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 3)
+        & ~l.rlike(r"(?i)\bjavascript\b"),
+    )
+    clean_text = F.array_join(kept_lines, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(clean_text, F.lit(r"[.!?]"), 0)
+    ).cast("long")
+    r_sent = n_sentences >= 5
+    r_lorem = ~F.lower(F.col(text_col)).contains("lorem ipsum")
+    r_brace = ~F.col(text_col).contains("{")
+    if bad_words:
+        r_bad = ~F.lower(F.col(text_col)).rlike(
+            r"\b(?:" + "|".join(bad_words) + r")\b"
+        )
+    else:
+        r_bad = F.lit(True)
+    keep = r_sent & r_lorem & r_brace & r_bad
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        r_sent.alias("r_min_sentences"),
+        r_lorem.alias("r_no_lorem"),
+        r_brace.alias("r_no_brace"),
+        r_bad.alias("r_no_badwords"),
+        keep.alias("keep"),
+        clean_text.alias("clean_text"),
+    )
+
+
 def normalize_unicode(
     df, text_col: str, form: str = "NFKC", casefold: bool = True
 ):
@@ -380,7 +445,22 @@ def html_extract(html: Column) -> Column:
     ``&#39;`` are out of regex reach — a documented residual), and
     whitespace collapses: intra-line runs to one space, 3+ newlines
     to a paragraph break. NULL passes through. Plain text without
-    markup is a fixed point."""
+    markup is a fixed point.
+
+    WHICH EXTRACTOR (decision note, r10 — the two are deliberate
+    parallel paths): this regex chain is KEEP-EVERYTHING — all
+    visible text survives, it runs JVM-side inside whole-stage
+    codegen (no Python worker), and its output is exactly what the
+    closed-form oracle predicts, so it is the right front door for
+    template-known corpora (exports, wikis, fixtures) and anywhere
+    recall beats precision. :func:`html_extract_density` is
+    MAIN-CONTENT-ONLY — the jusText/Arc90 block-density heuristic
+    drops nav/footer/boilerplate at the cost of an Arrow Python
+    stage and heuristic (non-closed-form) output; it is the right
+    front door for open-web crawl pages, and what the streaming
+    crawl intake uses. Rule of thumb: unknown/boilerplate-heavy
+    HTML → density; known-shape HTML or oracle-checked paths →
+    this chain."""
     t = F.regexp_replace(html, r"(?is)<!--.*?-->", "")
     for tag in _HTML_DROP_BLOCKS:
         t = F.regexp_replace(t, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")

@@ -298,8 +298,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization, composed from the engine's own operators: quality
     verdict (text_quality_scores semantics) → lang-id 'en' gate →
     exact dedup (dedup_exact semantics, min-id survivor). One regex
-    projection pass, one shuffle on the MD5 fingerprint (uniform →
-    skew-free), one self-join back for survivor metadata."""
+    projection pass and ONE shuffle on the MD5 fingerprint (uniform
+    → skew-free): the survivor's metadata rides the same aggregate
+    via ``min_by(n_tokens, doc_id)`` (doc_id unique ⇒ deterministic),
+    so there is no materialized intermediate and no join-back —
+    VERDICT r9 #5 (the r1-shape persist + self-join re-cost the kept
+    set twice and drifted past the 2× envelope)."""
     d = fan_out(load(spark, sf_dir, "documents")["documents"])
     n_chars = F.length("text").cast("long")
     n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0)).cast("long")
@@ -318,17 +322,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__lang") == "en")
         )
         .select("doc_id", "fingerprint", "n_tokens")
-        # two consumers (survivor agg + metadata join-back); lazy
-        # checkpoint = shared blocks without CacheManager residue
-        .localCheckpoint(eager=False)
     )
-    surv = kept.groupBy("fingerprint").agg(
+    return kept.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
-    )
-    return surv.join(kept.select("doc_id", "n_tokens"), "doc_id").select(
-        "doc_id", "fingerprint", "n_copies", "n_tokens"
-    )
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    ).select("doc_id", "fingerprint", "n_copies", "n_tokens")
 
 
 # --- dedup --------------------------------------------------------------

@@ -575,3 +575,96 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ivf_pq_topk_cellpruned(
             spark, q, iidx, pidx, k=5
         ).localCheckpoint(eager=True)
+
+
+# --- r10 staged candidates ----------------------------------------------
+
+
+@register_staged(
+    "c4_quality_rules",
+    "EXT-text — the C4 cleaning battery (Raffel et al. 2020 §2.2, "
+    "the Common Crawl filter behind T5/C4): line-level terminal-"
+    "punctuation / ≥3-words / no-javascript filters producing "
+    "clean_text, page-level ≥5-sentences / no-lorem-ipsum / "
+    "no-curly-brace / bad-word gates. The fixture text carries no "
+    "punctuation, so the query synthesizes a deterministic C4-shaped "
+    "page around each document (the html_text_extract closed-form "
+    "convention) exercising every rule via doc_id residues",
+    oracle="""
+WITH wrapped AS (
+    SELECT doc_id,
+      'Intro line about ' || substr(text, 1, 40) || '.' || chr(10) ||
+      'short.' || chr(10) ||
+      'No terminal punctuation here' || chr(10) ||
+      'This javascript line ends fine.' || chr(10) ||
+      CASE WHEN doc_id % 3 = 0
+           THEN 'Extra sentence one. Extra two! Extra three? Extra four. More words here.'
+           ELSE substr(text, 1, 60) END || chr(10) ||
+      CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet.'
+           WHEN doc_id % 13 = 0 THEN 'A vexword appears here.'
+           ELSE 'A normal closing line.' END ||
+      CASE WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END AS text
+    FROM documents
+),
+cleaned AS (
+    SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+      list_filter(string_split(text, chr(10)),
+          l -> regexp_matches(l, '[.!?"”]\\s*$')
+           AND len(trim(l)) > 0
+           AND len(string_split_regex(trim(l), '\\s+')) >= 3
+           AND NOT regexp_matches(l, '(?i)\\bjavascript\\b')) AS kept
+    FROM wrapped
+),
+scored AS (
+    SELECT doc_id, text,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM cleaned
+)
+SELECT doc_id, n_lines, n_kept_lines,
+  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT)
+      AS n_sentences,
+  len(regexp_extract_all(clean_text, '[.!?]')) >= 5 AS r_min_sentences,
+  NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+  NOT contains(text, '{') AS r_no_brace,
+  NOT regexp_matches(lower(text), '\\b(?:vexword)\\b') AS r_no_badwords,
+  (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{')
+   AND NOT regexp_matches(lower(text), '\\b(?:vexword)\\b')) AS keep,
+  clean_text
+FROM scored
+ORDER BY doc_id
+""",
+)
+def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import c4_rules
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    wrapped = F.concat(
+        F.lit("Intro line about "),
+        F.substring("text", 1, 40),
+        F.lit(".\n"),
+        F.lit("short.\n"),
+        F.lit("No terminal punctuation here\n"),
+        F.lit("This javascript line ends fine.\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                "Extra sentence one. Extra two! Extra three? "
+                "Extra four. More words here."
+            ),
+        ).otherwise(F.substring("text", 1, 60)),
+        F.lit("\n"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("Lorem ipsum dolor sit amet."))
+        .when(F.col("doc_id") % 13 == 0, F.lit("A vexword appears here."))
+        .otherwise(F.lit("A normal closing line.")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    return c4_rules(
+        d.select("doc_id", wrapped.alias("text")),
+        "text",
+        "doc_id",
+        bad_words=["vexword"],
+    ).orderBy("doc_id")

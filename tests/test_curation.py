@@ -1579,3 +1579,73 @@ class TestFrontierReviewRegressions:
             ("https://a.org/orphan", None),
             ("https://a.org/p1", "2026-03-03"),
         ]
+
+
+class TestC4Rules:
+    """C4 battery (Raffel et al. 2020 §2.2): line filters build
+    clean_text; page gates conjoin into keep."""
+
+    def _run(self, spark, rows, **kw):
+        from openaq_data_pipeline_spark.operators.text import c4_rules
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in c4_rules(df, "text", "doc_id", **kw).collect()}
+
+    def test_line_filters_and_clean_text(self, spark):
+        text = (
+            "A good long sentence here.\n"      # kept
+            "short.\n"                          # <3 words
+            "no terminal punctuation\n"         # no punct
+            "A javascript warning line here.\n" # javascript
+            "Ends with a question mark?\n"      # kept
+            'He said "stop right there."\n'     # kept (quote after .)
+            "Another full sentence follows!\n"  # kept
+            "One more proper sentence ends."    # kept
+        )
+        got = self._run(spark, [(1, text)])[1]
+        assert got.n_lines == 8
+        assert got.n_kept_lines == 5
+        assert got.clean_text.splitlines() == [
+            "A good long sentence here.",
+            "Ends with a question mark?",
+            'He said "stop right there."',
+            "Another full sentence follows!",
+            "One more proper sentence ends.",
+        ]
+        assert got.n_sentences == 5 and got.r_min_sentences
+        assert got.keep
+
+    def test_page_gates(self, spark):
+        five = (
+            "First proper sentence here. Second one follows. "
+            "Third one too. Fourth sentence lands. Fifth closes it."
+        )
+        rows = [
+            (1, five),                               # keeps
+            (2, five + "\nlorem IPSUM dolor."),      # lorem (any case)
+            (3, five + " And a { brace."),           # brace
+            (4, "Too few sentences here."),          # <5 sentences
+        ]
+        got = self._run(spark, rows)
+        assert got[1].keep
+        assert not got[2].keep and not got[2].r_no_lorem
+        assert not got[3].keep and not got[3].r_no_brace
+        assert not got[4].keep and not got[4].r_min_sentences
+
+    def test_badwords_parameter(self, spark):
+        five = (
+            "First proper sentence here. Second one follows. "
+            "Third one too. Fourth sentence lands. Fifth closes it."
+        )
+        rows = [(1, five), (2, five.replace("Third", "Vexword"))]
+        # default: no list, rule passes
+        got = self._run(spark, rows)
+        assert got[2].r_no_badwords and got[2].keep
+        got = self._run(spark, rows, bad_words=["vexword"])
+        assert got[1].keep
+        assert not got[2].keep and not got[2].r_no_badwords
+
+    def test_null_and_empty(self, spark):
+        got = self._run(spark, [(1, None), (2, "")])
+        assert got[1].keep is None
+        assert got[2].n_kept_lines == 0 and got[2].keep is False
