@@ -245,6 +245,10 @@ def run_sample() -> tuple[dict, dict]:
             "samples_sec": [round(x, 3) for x in flat],
             "ref_sec": CALIB_REF_SEC,
             "load_factor": load_factor,
+            # the reference is pinned at the default local[32]; a
+            # different core count shifts the workload's baseline, so
+            # the factor is only a load marker at cpus == 32
+            "cpus": int(cpus),
         },
         "value_calibrated": round(total / load_factor, 3),
     }
@@ -313,6 +317,7 @@ def _merge_samples(samples: list[tuple[dict, dict]]) -> tuple[dict, dict]:
         "calib": {
             "load_factors": factors,
             "ref_sec": CALIB_REF_SEC,
+            "cpus": results[0]["calib"]["cpus"],
         },
         "value_calibrated": round(sum(times_cal.values()), 3),
     }
