@@ -625,3 +625,58 @@ def lang_id_trigram_onepass(
             F.col("top_score"),
         )
     )
+
+
+# --- CCNet-style LM quality bucketing (r10) -----------------------------
+
+
+def lm_quality_buckets(
+    train: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_scale: int = 4,
+) -> DataFrame:
+    """(id, n_trigrams, avg_score, bucket) — the CCNet corpus
+    partition (Wenzek et al. 2020: score every candidate against an
+    LM trained on trusted text, then cut the corpus at the tertiles
+    of the score distribution into ``head`` / ``middle`` / ``tail``;
+    most open pipelines keep head+middle and drop or downsample
+    tail). CCNet ranks by Kneser-Ney perplexity; this engine ranks
+    by the stupid-backoff mean score (:func:`score_trigram_backoff`
+    — higher = more fluent), which is the same monotone decision and
+    stays inside the exact fixed-point cross-engine contract where
+    perplexity's log/float math could not be hashed.
+
+    The tertile cut is EXACT, not approximate: documents are ranked
+    by the deterministic total order (avg_score, id) through the
+    two-phase range-partition pattern
+    (:func:`~openaq_data_pipeline_spark.operators.ids.assign_global_ids`
+    — no single-partition window), and the thresholds are integer
+    comparisons ``3·rank < n`` / ``3·rank < 2n`` against the scored
+    count (one scalar broadcast). Documents with < 3 tokens produce
+    no score and no row — the caller decides their fate, exactly as
+    with :func:`score_trigram_backoff`."""
+    from openaq_data_pipeline_spark.operators.ids import assign_global_ids
+
+    tri, bi, uni, n_tokens = train_trigram_lm(train, text_col, id_col)
+    scored = score_trigram_backoff(
+        docs, text_col, id_col, tri, bi, uni, n_tokens, out_scale=out_scale
+    )
+    keyed = scored.withColumn(
+        "__ord", F.struct(F.col("avg_score"), F.col(id_col))
+    )
+    ranked = assign_global_ids(keyed, "__ord", id_name="__rank")
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("n_trigrams"),
+            F.col("avg_score"),
+            F.when(3 * F.col("__rank") < F.col("__n"), F.lit("tail"))
+            .when(3 * F.col("__rank") < 2 * F.col("__n"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("bucket"),
+        )
+    )

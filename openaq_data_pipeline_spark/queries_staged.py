@@ -668,3 +668,87 @@ def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         bad_words=["vexword"],
     ).orderBy("doc_id")
+
+
+@register_staged(
+    "lm_quality_buckets",
+    "EXT-lm — CCNet-style corpus partition (Wenzek et al. 2020): "
+    "trigram stupid-backoff LM trained on a trusted slice (doc_id "
+    "% 10 = 0), every document scored, the corpus cut at the EXACT "
+    "tertiles of the deterministic (avg_score, doc_id) order into "
+    "head/middle/tail. Spark ranks via the two-phase range-partition "
+    "pattern (no single-partition window); the oracle replays "
+    "training, the fixed-point backoff scoring and the tertile cut "
+    "in one statement (uncapped n-gram extraction — the r10 "
+    "range/list_transform convention)",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+tri AS (
+    SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                        i -> {{'w1': w[i], 'w2': w[i + 1], 'w3': w[i + 2]}})) AS t
+          FROM tok)
+),
+big AS (
+    SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(w), 1)),
+                        i -> {{'w1': w[i], 'w2': w[i + 1]}})) AS b
+          FROM tok)
+),
+unig AS (SELECT doc_id, unnest(w) AS u FROM tok),
+c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri WHERE doc_id % 10 = 0 GROUP BY w1, w2, w3),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+c1 AS (SELECT u, count(*) AS c1 FROM unig WHERE doc_id % 10 = 0 GROUP BY u),
+n AS (SELECT count(*) AS n FROM unig WHERE doc_id % 10 = 0),
+scored AS (
+    SELECT t.doc_id,
+           CASE
+             WHEN coalesce(tc.c123, 0) > 0 THEN
+               (CAST(tc.c123 AS BIGINT) * {2 * _LID_K} + CAST(bc.c12 AS BIGINT))
+                 // (2 * CAST(bc.c12 AS BIGINT))
+             WHEN coalesce(b23.c12, 0) > 0 THEN
+               (CAST(2 * b23.c12 AS BIGINT) * {2 * _LID_K} + CAST(5 * u2.c1 AS BIGINT))
+                 // (2 * CAST(5 * u2.c1 AS BIGINT))
+             ELSE
+               (CAST(4 * coalesce(u3.c1, 0) AS BIGINT) * {2 * _LID_K} + CAST(25 * n.n AS BIGINT))
+                 // (2 * CAST(25 * n.n AS BIGINT))
+           END AS s_int
+    FROM tri t
+    CROSS JOIN n
+    LEFT JOIN c123 tc ON t.w1 = tc.w1 AND t.w2 = tc.w2 AND t.w3 = tc.w3
+    LEFT JOIN c12 bc ON t.w1 = bc.w1 AND t.w2 = bc.w2
+    LEFT JOIN c12 b23 ON t.w2 = b23.w1 AND t.w3 = b23.w2
+    LEFT JOIN c1 u2 ON t.w2 = u2.u
+    LEFT JOIN c1 u3 ON t.w3 = u3.u
+),
+agg AS (
+    SELECT doc_id, count(*) AS n_trigrams,
+           {exact_ratio_duck('sum(s_int)', f'count(*) * {_LID_K}', 4)} AS avg_score
+    FROM scored GROUP BY doc_id
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY avg_score, doc_id) - 1 AS rnk,
+           count(*) OVER () AS n_docs
+    FROM agg
+)
+SELECT doc_id, n_trigrams, avg_score,
+       CASE WHEN 3 * rnk < n_docs THEN 'tail'
+            WHEN 3 * rnk < 2 * n_docs THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM ranked
+""",
+)
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.catalog import fan_out
+    from openaq_data_pipeline_spark.operators.lm import lm_quality_buckets
+
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    train = d.filter(F.col("doc_id") % 10 == 0)
+    return lm_quality_buckets(train, d, "text", "doc_id")

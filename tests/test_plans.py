@@ -554,3 +554,32 @@ def test_frontier_host_rank_has_no_corpus_sized_single_partition_window(
         ), f"corpus-sized unpartitioned window: {line.strip()[:160]}"
     # fixture-scale: AQE still lands the host dim on the build side
     assert "BroadcastExchange" in plan
+
+
+def test_lm_quality_buckets_rank_is_two_phase(spark):
+    """The CCNet tertile cut ranks the whole scored corpus — that
+    rank must come from the two-phase range-partition pattern, never
+    a corpus-sized single-partition window (same contract as the
+    frontier host rank)."""
+    from pyspark.sql import functions as F
+
+    from openaq_data_pipeline_spark.operators.lm import lm_quality_buckets
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lm_quality_buckets(
+        d.filter(F.col("doc_id") % 10 == 0), d, "text", "doc_id"
+    )
+    plan = final_plan(out)
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        assert "__gid_pid" in line, (
+            f"corpus-sized unpartitioned window: {line.strip()[:160]}"
+        )
+    # exact tertiles: bucket sizes differ by at most 1
+    sizes = {
+        r.bucket: r["count"]
+        for r in out.groupBy("bucket").count().collect()
+    }
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
