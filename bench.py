@@ -54,11 +54,13 @@ BENCH_ALL = os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1"
 # partitions, noop sink) timed at three points of every sample gives
 # each bench artifact its own load marker: load_factor =
 # median(calibration)/CALIB_REF_SEC. The reference is the quiet-host
-# steady state measured when the marker was introduced (r10,
-# 2026-08-15, this box, local[32]: 0.528/0.550/0.645 after warmup —
-# pinned 0.55). The workload touches no repo code and no test data,
-# so it can NEVER drift with the engine — only with the box.
-CALIB_REF_SEC = 0.55
+# steady state: pinned from the r10 introduction run's 18 in-bench
+# samples across two fresh JVMs on this box at local[32] (steady
+# cluster 0.40-0.58, median 0.46; the first ad-hoc pin of 0.55 was
+# taken in a session with residual load and made quiet windows read
+# as factor ~0.85). The workload touches no repo code and no test
+# data, so it can NEVER drift with the engine — only with the box.
+CALIB_REF_SEC = 0.46
 
 
 def _calibrate(spark) -> list[float]:
@@ -378,9 +380,26 @@ def main() -> None:
     if n_samples <= 1:
         result, detail = run_sample()
     else:
-        result, detail = _merge_samples(
-            [_child_sample(i) for i in range(n_samples)]
+        # wall budget: never let sampling run the invoking harness
+        # into a timeout — a complete 1-sample artifact beats a
+        # killed 2-sample one. Stop when the NEXT sample (projected
+        # at the mean of those taken) would not fit.
+        budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_WALL_BUDGET_SEC", "2400")
         )
+        t_start = time.perf_counter()
+        samples = []
+        for i in range(n_samples):
+            elapsed = time.perf_counter() - t_start
+            if samples and elapsed + (elapsed / len(samples)) > budget:
+                print(
+                    f"bench: stopping after {len(samples)} sample(s) — "
+                    f"next would exceed the {budget:.0f}s wall budget",
+                    file=sys.stderr,
+                )
+                break
+            samples.append(_child_sample(i))
+        result, detail = _merge_samples(samples)
 
     prev = _previous_bench()
     if prev is not None:

@@ -303,8 +303,15 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     via ``min_by(n_tokens, doc_id)`` (doc_id unique ⇒ deterministic),
     so there is no materialized intermediate and no join-back —
     VERDICT r9 #5 (the r1-shape persist + self-join re-cost the kept
-    set twice and drifted past the 2× envelope)."""
-    d = fan_out(load(spark, sf_dir, "documents")["documents"])
+    set twice and drifted past the 2× envelope). No ``fan_out``: this
+    projection is LIGHT (four regexp_counts + one md5 per row), and
+    measured at sf0.1 the 32-way round-robin exchange costs more
+    than it saves (min-of-4: 1.21 s fanned vs 0.69 s unfanned; 4/8/16
+    partitions equal the unfanned floor) — unlike the shingling/
+    minhash/BPE queries whose per-row compute dominates. At 100 TB
+    the scan arrives pre-split, so fan_out would be a no-op there
+    anyway; dropping it removes a fixture-scale-only exchange."""
+    d = load(spark, sf_dir, "documents")["documents"]
     n_chars = F.length("text").cast("long")
     n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0)).cast("long")
     kept = (
