@@ -51,7 +51,9 @@ def run_oracle(sql: str, sf_dir: str):
             "oracle output violates the BIGINT-cast contract: "
             + "; ".join(type_problems)
         )
-    return arrow.to_pandas()
+    pdf = arrow.to_pandas()
+    pdf.attrs["arrow_schema"] = arrow.schema
+    return pdf
 
 
 def normalize(df_pandas):
@@ -75,9 +77,34 @@ def normalize(df_pandas):
 
 
 def compare(spark_df, oracle_pdf, max_diff_print: int = 5) -> list[str]:
-    """Return a list of mismatch descriptions (empty = parity)."""
+    """Return a list of mismatch descriptions (empty = parity).
+
+    Types are compared at the ARROW level, exactly (r10): the driver
+    hashes typed values, so `int32 vs int64` or `timestamp[us] vs
+    timestamp[us, tz]` diverges there even when every Python-
+    normalized value matches — the class the r9 `table_profile_exact`
+    failure shipped through. A one-off audit proved all 104 oracled
+    queries already hold exact arrow-type equality, so this is
+    machine-enforcing the status quo, not a new constraint."""
     problems = []
-    spark_pdf = spark_df.toPandas()
+    s_arrow = spark_df.toArrow()
+    o_schema = oracle_pdf.attrs.get("arrow_schema")
+    if o_schema is not None:
+        s_types = {f.name: str(f.type) for f in s_arrow.schema}
+        o_types = {f.name: str(f.type) for f in o_schema}
+        if set(s_types) == set(o_types):
+            for c in sorted(s_types):
+                if s_types[c] != o_types[c]:
+                    problems.append(
+                        f"arrow type differs on '{c}': spark={s_types[c]} "
+                        f"oracle={o_types[c]} — the driver's typed hash "
+                        f"will diverge; cast BOTH sides per the "
+                        f"determinism contract"
+                    )
+        # column-set differences fall through to the name check below
+        if problems:
+            return problems
+    spark_pdf = s_arrow.to_pandas()
     s_cols, s_rows = normalize(spark_pdf)
     o_cols, o_rows = normalize(oracle_pdf)
     if s_cols != o_cols:

@@ -46,3 +46,22 @@ def test_count_star_is_contract_clean():
     # COUNT(*) is already BIGINT in DuckDB — must not be flagged
     pdf = run_oracle("SELECT COUNT(*) AS n FROM documents", SF_DIR)
     assert int(pdf["n"].iloc[0]) >= 0
+
+
+def test_arrow_width_divergence_fails_locally(spark):
+    """int32 (Spark) vs int64 (DuckDB BIGINT) has identical Python
+    values but a divergent driver hash — compare() must flag it."""
+    from oracle_harness import compare
+
+    sdf = spark.createDataFrame([(1,)], "v int")  # arrow int32
+    oracle_pdf = run_oracle("SELECT CAST(1 AS BIGINT) AS v", SF_DIR)
+    problems = compare(sdf, oracle_pdf)
+    assert problems and "arrow type differs" in problems[0]
+
+
+def test_arrow_exact_match_passes(spark):
+    from oracle_harness import compare
+
+    sdf = spark.createDataFrame([(1,)], "v long")
+    oracle_pdf = run_oracle("SELECT CAST(1 AS BIGINT) AS v", SF_DIR)
+    assert compare(sdf, oracle_pdf) == []
