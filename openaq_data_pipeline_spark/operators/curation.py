@@ -441,6 +441,68 @@ def mixture_sample(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    epochs_ppm: dict[str, int],
+) -> DataFrame:
+    """Deterministic per-domain REPETITION — the 'epochs per dataset'
+    mixing step (the Pile trains each sub-corpus for a stated epoch
+    count; LLaMA publishes per-source sampling proportions > 1):
+    each row of stratum ``s`` appears ``floor(epochs_s)`` or
+    ``ceil(epochs_s)`` times, the fractional part resolved PER ROW by
+    the engine's seed-free 32-bit MD5 bucket rule (the
+    :func:`mixture_sample` convention) — realized stratum sizes hit
+    ``n_s · epochs_s`` exactly in the bucket-measure sense with zero
+    RNG, replay-identical run-to-run and engine-to-engine. Epochs are
+    passed in ppm (1_500_000 = 1.5 epochs) so every threshold stays
+    integer-exact; fractional-only epochs (< 1_000_000) make this a
+    DOWN-sampler, so one operator covers both directions of a mixture
+    adjustment. Strata not in the map pass through at exactly one
+    epoch; a copy count of zero drops the row.
+
+    Returns the input columns plus ``copy_idx`` (0-based) — the
+    replica number downstream shard/pack steps fold into their keys
+    so replicas land in different shards.
+
+    Scale design (100 TB): epochs are GIVEN, not derived, so there is
+    no count pass, no join and no shuffle — one codegen projection
+    computes the per-row copy count from a literal CASE and a
+    sequence-explode emits the replicas. Cost is output-proportional
+    (the replicas themselves), which no mechanism can avoid."""
+    if not epochs_ppm or any(e < 0 for e in epochs_ppm.values()):
+        raise ValueError("epochs_ppm must map strata to ppm ints >= 0")
+    base_expr, frac_expr = None, None
+    for s, e in sorted(epochs_ppm.items()):
+        base, frac = int(e) // 1_000_000, int(e) % 1_000_000
+        thr = frac * 4294967296 // 1_000_000
+        cond = F.col(stratum_col) == s
+        base_expr = (
+            F.when(cond, F.lit(base))
+            if base_expr is None
+            else base_expr.when(cond, F.lit(base))
+        )
+        frac_expr = (
+            F.when(cond, F.lit(thr))
+            if frac_expr is None
+            else frac_expr.when(cond, F.lit(thr))
+        )
+    base_expr = base_expr.otherwise(F.lit(1)).cast("long")
+    frac_expr = frac_expr.otherwise(F.lit(0)).cast("long")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    copies = base_expr + F.when(bucket < frac_expr, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    replicas = F.when(
+        copies > 0, F.sequence(F.lit(0).cast("long"), copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    # explode (non-outer) drops zero-copy rows with the empty array
+    return df.select("*", F.explode(replicas).alias("copy_idx"))
+
+
 def pii_scan(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

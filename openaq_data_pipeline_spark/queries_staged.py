@@ -752,3 +752,38 @@ def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents")["documents"])
     train = d.filter(F.col("doc_id") % 10 == 0)
     return lm_quality_buckets(train, d, "text", "doc_id")
+
+
+_EPOCHS_PPM = {"src1": 2_500_000, "src2": 1_000_000, "src3": 400_000}
+
+
+@register_staged(
+    "epoch_upsample",
+    "EXT-curation — per-domain epoch REPETITION (the Pile's epochs-"
+    "per-dataset / LLaMA's >1 sampling proportions), the up-sampling "
+    "complement of domain_mixture_sample: src1 at 2.5 epochs, src2 "
+    "at 1.0, src3 at 0.4 (the same operator down-samples), unlisted "
+    "strata pass through at one epoch; fractional copies resolve per "
+    "row on the 32-bit MD5 bucket (seed-free, replay-identical), "
+    "replicas carry copy_idx. Map-only: a literal CASE + sequence-"
+    "explode, no count pass, no join, no shuffle",
+    oracle=f"""
+WITH p AS (
+    SELECT doc_id, source,
+           CASE source {' '.join(f"WHEN '{s}' THEN {int(e) // 1_000_000}" for s, e in sorted(_EPOCHS_PPM.items()))} ELSE 1 END
+           + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  < (CASE source {' '.join(f"WHEN '{s}' THEN {(int(e) % 1_000_000) * 4294967296 // 1_000_000}" for s, e in sorted(_EPOCHS_PPM.items()))} ELSE 0 END)
+                  THEN 1 ELSE 0 END AS copies
+    FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(0, copies)) AS BIGINT) AS copy_idx
+FROM p WHERE copies > 0
+""",
+)
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.curation import epoch_upsample
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    return epoch_upsample(
+        d.select("doc_id", "source"), "doc_id", "source", _EPOCHS_PPM
+    )

@@ -1649,3 +1649,58 @@ class TestC4Rules:
         got = self._run(spark, [(1, None), (2, "")])
         assert got[1].keep is None
         assert got[2].n_kept_lines == 0 and got[2].keep is False
+
+
+class TestEpochUpsample:
+    """Per-domain epoch repetition: copies = floor(e) (+1 on the MD5
+    bucket for the fractional part), unlisted strata = 1 epoch,
+    0-copy rows drop, replicas carry copy_idx."""
+
+    def _df(self, spark, n=400):
+        rows = [(i, "a" if i % 2 == 0 else "b") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, src string")
+
+    def test_integer_epochs_exact(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import (
+            epoch_upsample,
+        )
+
+        out = epoch_upsample(
+            self._df(spark), "doc_id", "src", {"a": 3_000_000}
+        )
+        counts = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+        assert counts == {"a": 600, "b": 200}  # 3x for a, 1x passthrough
+        idx = (
+            out.where("src = 'a' AND doc_id = 0")
+            .select("copy_idx")
+            .collect()
+        )
+        assert sorted(r.copy_idx for r in idx) == [0, 1, 2]
+
+    def test_fractional_epochs_hit_bucket_measure(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import (
+            epoch_upsample,
+        )
+
+        out = epoch_upsample(
+            self._df(spark, 2000), "doc_id", "src",
+            {"a": 1_500_000, "b": 400_000},
+        )
+        counts = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+        # 1000 rows per stratum; e=1.5 -> ~1500, e=0.4 -> ~400 (hash
+        # measure, not exact — generous tolerance, but deterministic)
+        assert 1350 <= counts["a"] <= 1650
+        assert 320 <= counts["b"] <= 480
+
+    def test_zero_epochs_drop_and_determinism(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import (
+            epoch_upsample,
+        )
+
+        out = epoch_upsample(
+            self._df(spark), "doc_id", "src", {"a": 0}
+        )
+        assert out.where("src = 'a'").count() == 0
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(map(tuple, out.collect()))
+        assert a == b
