@@ -238,6 +238,25 @@ class TestCrawlIntakeEndToEnd:
                 ).collect()
             }
         assert survivors == {"https://A.org/x?utm_source=tw"}
+        # 6. (r10) targeted re-extraction through the CDX record
+        # index — the retraction-audit shape: re-read ONLY the
+        # survivor's record by (file, offset, length), one ranged
+        # read, no full-archive decode
+        from openaq_data_pipeline_spark.sources.warc import (
+            build_warc_cdx,
+            read_warc_records,
+        )
+
+        cdx = build_warc_cdx(spark, str(p))
+        rec = read_warc_records(
+            spark, cdx.where("target_uri = 'https://A.org/x?utm_source=tw'")
+        )
+        re_extracted = html_extract_density(
+            rec.select(F.decode("payload", "utf-8").alias("html")), "html"
+        ).collect()
+        assert len(re_extracted) == 1
+        assert "quick brown fox" in re_extracted[0].text
+        assert "Home" not in re_extracted[0].text
 
 
 class TestWarcCorruptMember:
