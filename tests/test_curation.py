@@ -1704,3 +1704,43 @@ class TestEpochUpsample:
         a = sorted(map(tuple, out.collect()))
         b = sorted(map(tuple, out.collect()))
         assert a == b
+
+    def test_replicas_spread_across_shards(self, spark):
+        """The docstring contract: downstream shard steps fold
+        copy_idx into their key, so an up-sampled document's replicas
+        land in different shards instead of stacking in one."""
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            epoch_upsample,
+            shard_assignments,
+        )
+
+        up = epoch_upsample(
+            self._df(spark, 100), "doc_id", "src", {"a": 4_000_000}
+        )
+        keyed = up.select(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.col("copy_idx").cast("string"),
+            ).alias("rep_key"),
+            "doc_id",
+        )
+        shards = shard_assignments(keyed, "rep_key", 8)
+        per_doc = (
+            shards.select(
+                F.split("rep_key", "#")[0].alias("doc"), "shard_id"
+            )
+            .groupBy("doc")
+            .agg(F.countDistinct("shard_id").alias("n_shards"))
+        )
+        # stratum 'a' (even doc_ids) has 4 replicas over 8 shards:
+        # expected ~3.2 distinct shards per doc; the MD5 key makes
+        # the spread deterministic, so pin the global property
+        avg = (
+            per_doc.where(F.col("doc").cast("long") % 2 == 0)
+            .agg(F.avg("n_shards"))
+            .collect()[0][0]
+        )
+        assert avg > 2.5
