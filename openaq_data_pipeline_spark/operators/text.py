@@ -807,3 +807,60 @@ def compression_ratio(df, text_col: str, id_col: str, level: int = 6):
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def sniff_mime(payload: Column) -> Column:
+    """Content type of a binary payload by MAGIC BYTES — the crawl
+    routing step that decides whether a fetched body goes to the HTML
+    extractor, the multimodal decoders, or the discard pile. Sniffing
+    exists because HTTP ``Content-Type`` headers lie at web scale
+    (the reason the WHATWG MIME-sniffing spec exists; this is its
+    pattern-matching idea reduced to the signatures a training-data
+    crawl actually routes on). Detection ladder, first match wins:
+
+    - ``%PDF`` → application/pdf; PNG/JPEG/GIF magics; gzip; ZIP
+      (``PK\\x03\\x04`` — also OOXML containers); RIFF→WAVE / AVI;
+    - leading ``<!doctype html`` / ``<html`` (case-insensitive,
+      whitespace-tolerant) → text/html;
+    - else a printability heuristic on the first 64 bytes (latin-1
+      view: no NUL, ≤ 10% outside printable-ASCII + whitespace) →
+      text/plain;
+    - else application/octet-stream. NULL → NULL; empty →
+      application/octet-stream.
+
+    Pure codegen (binary-prefix equality + one latin-1 decode + one
+    regexp count): fuses into the WARC scan projection, no Python,
+    no shuffle."""
+
+    def magic(off: int, sig: bytes):
+        return F.substring(payload, off, len(sig)) == F.lit(sig)
+
+    latin = F.decode(F.substring(payload, 1, 64), "ISO-8859-1")
+    lower = F.lower(F.ltrim(latin))
+    n = F.length(latin)
+    n_unprint = F.length(
+        F.regexp_replace(latin, r"[\x20-\x7E\t\n\r]", "")
+    )
+    texty = (n > 0) & (10 * n_unprint <= n) & ~latin.contains("\x00")
+    return (
+        F.when(payload.isNull(), F.lit(None).cast("string"))
+        .when(magic(1, b"%PDF"), F.lit("application/pdf"))
+        .when(magic(1, b"\x89PNG\r\n\x1a\n"), F.lit("image/png"))
+        .when(magic(1, b"\xff\xd8\xff"), F.lit("image/jpeg"))
+        .when(
+            magic(1, b"GIF87a") | magic(1, b"GIF89a"), F.lit("image/gif")
+        )
+        .when(magic(1, b"\x1f\x8b"), F.lit("application/gzip"))
+        .when(magic(1, b"PK\x03\x04"), F.lit("application/zip"))
+        .when(magic(1, b"RIFF") & magic(9, b"WAVE"), F.lit("audio/x-wav"))
+        .when(
+            magic(1, b"RIFF") & magic(9, b"AVI "),
+            F.lit("video/x-msvideo"),
+        )
+        .when(
+            lower.startswith("<!doctype html") | lower.startswith("<html"),
+            F.lit("text/html"),
+        )
+        .when(texty, F.lit("text/plain"))
+        .otherwise(F.lit("application/octet-stream"))
+    )

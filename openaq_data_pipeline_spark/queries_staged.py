@@ -787,3 +787,56 @@ def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_upsample(
         d.select("doc_id", "source"), "doc_id", "source", _EPOCHS_PPM
     )
+
+
+@register_staged(
+    "mime_sniff_route",
+    "EXT-text — magic-byte MIME sniffing (the WHATWG-style crawl "
+    "routing step: Content-Type headers lie, so payloads route on "
+    "their first bytes): per document a payload is synthesized with "
+    "a residue-chosen signature (PDF/PNG/JPEG/GIF/gzip/ZIP/WAV/HTML/"
+    "plain/NUL-junk) wrapped around the fixture text, and the "
+    "codegen sniffer must recover the CLOSED-FORM expected type — "
+    "ground-truth coverage of every ladder branch, not a replay of "
+    "the ladder",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 10
+         WHEN 0 THEN 'application/pdf'
+         WHEN 1 THEN 'image/png'
+         WHEN 2 THEN 'image/jpeg'
+         WHEN 3 THEN 'image/gif'
+         WHEN 4 THEN 'application/gzip'
+         WHEN 5 THEN 'application/zip'
+         WHEN 6 THEN 'audio/x-wav'
+         WHEN 7 THEN 'text/html'
+         WHEN 8 THEN 'text/plain'
+         ELSE 'application/octet-stream' END AS mime
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    body = F.encode(F.col("text"), "UTF-8")
+    r = F.col("doc_id") % 10
+    payload = (
+        F.when(r == 0, F.concat(F.lit(b"%PDF-1.4\n"), body))
+        .when(r == 1, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), body))
+        .when(r == 2, F.concat(F.lit(b"\xff\xd8\xff\xe0"), body))
+        .when(r == 3, F.concat(F.lit(b"GIF89a"), body))
+        .when(r == 4, F.concat(F.lit(b"\x1f\x8b\x08"), body))
+        .when(r == 5, F.concat(F.lit(b"PK\x03\x04"), body))
+        .when(
+            r == 6,
+            F.concat(F.lit(b"RIFF\x00\x00\x00\x00WAVEfmt "), body),
+        )
+        .when(r == 7, F.concat(F.lit(b"<!DOCTYPE html><p>"), body))
+        .when(r == 8, body)
+        .otherwise(F.concat(F.lit(bytes(range(16))), body))
+    )
+    return d.select(
+        "doc_id", sniff_mime(payload).alias("mime")
+    ).orderBy("doc_id")

@@ -1567,3 +1567,89 @@ class TestCompressionRatio:
         assert got[1].compression_ratio == round(
             len(zlib.compress(raw, 6)) / len(raw), 6
         )
+
+
+class TestSniffMime:
+    """Magic-byte MIME sniffing: every ladder branch, NULL/empty
+    edges, and the WARC routing composition."""
+
+    def test_ladder_branches(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+        rows = [
+            (1, b"%PDF-1.4", "application/pdf"),
+            (2, b"\x89PNG\r\n\x1a\nrest", "image/png"),
+            (3, b"\xff\xd8\xff\xe0", "image/jpeg"),
+            (4, b"GIF87a...", "image/gif"),
+            (5, b"\x1f\x8b\x08etc", "application/gzip"),
+            (6, b"PK\x03\x04zzz", "application/zip"),
+            (7, b"RIFF\x00\x00\x00\x00WAVEfmt", "audio/x-wav"),
+            (8, b"RIFF\x00\x00\x00\x00AVI LIST", "video/x-msvideo"),
+            (9, b"  <!DOCTYPE HTML><p>x</p>", "text/html"),
+            (10, b"<HtMl><body>y", "text/html"),
+            (11, b"just some plain words here", "text/plain"),
+            (12, bytes(range(16)), "application/octet-stream"),
+            # a RIFF that is neither WAVE nor AVI falls through —
+            # binary junk, not text
+            (13, b"RIFF\x00\x00\x00\x00WEBP", "application/octet-stream"),
+            (14, b"", "application/octet-stream"),
+            (15, None, None),
+        ]
+        df = spark.createDataFrame(
+            [(i, p) for i, p, _ in rows], "id long, p binary"
+        )
+        got = {
+            r.id: r.mime
+            for r in df.select(
+                "id", sniff_mime(F.col("p")).alias("mime")
+            ).collect()
+        }
+        for i, _, want in rows:
+            assert got[i] == want, (i, got[i], want)
+
+    def test_header_lies_are_overridden(self, spark, tmp_path):
+        """The composition the operator exists for: a WARC response
+        whose Content-Type header claims text/html but whose body is
+        a PDF routes by its bytes, not its header."""
+        import gzip as _g
+
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.text import sniff_mime
+        from openaq_data_pipeline_spark.sources.warc import read_warc
+
+        def rec(uri, body):
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body
+            )
+            h = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:x>\r\n"
+                b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+                b"Content-Type: application/http;msgtype=response\r\n"
+                b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            )
+            return h + http + b"\r\n\r\n"
+
+        p = tmp_path / "a.warc.gz"
+        p.write_bytes(
+            _g.compress(rec("https://a.org/doc", b"%PDF-1.4 not html"))
+            + _g.compress(
+                rec("https://a.org/page", b"<html><p>real page</p>")
+            )
+        )
+        routed = {
+            r.target_uri: r.mime
+            for r in read_warc(spark, str(p))
+            .select(
+                "target_uri",
+                "http_content_type",
+                sniff_mime(F.col("payload")).alias("mime"),
+            )
+            .collect()
+        }
+        assert routed["https://a.org/doc"] == "application/pdf"
+        assert routed["https://a.org/page"] == "text/html"
