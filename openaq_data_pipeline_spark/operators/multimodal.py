@@ -1535,3 +1535,226 @@ def audio_phash(
     return df.select(id_col, content_col).mapInPandas(
         hash_batch, schema=schema
     )
+
+
+# --- PDF text (r10): the document modality beside images/audio ----------
+#
+# PDF is the dominant non-HTML document format in any web crawl; a
+# training-data pipeline that routes payloads by magic bytes
+# (text.sniff_mime) needs somewhere to send application/pdf. This is
+# a REAL extractor for the common core — FlateDecode content streams
+# (zlib IS stdlib) and the Tj/TJ/'/" text-showing operators with PDF
+# string escapes — deterministic and library-free like the image
+# codecs above. Honest scope: no CMap/ToUnicode font decoding (text
+# in subset-encoded fonts extracts as the font's byte codes), no
+# encryption, no object streams (/ObjStm); page order is content-
+# stream object order, exact for this module's own encoder and for
+# linearly-written simple PDFs. A production deploy plugs pdfium or
+# poppler into pdf_extract_text's per-batch loop; every Spark-side
+# contract (schema, Arrow batching, degrade-don't-fail) stays.
+
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_escape(text: str) -> bytes:
+    raw = text.encode("latin-1", errors="replace")
+    return (
+        raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def encode_pdf_text(pages: list[str]) -> bytes:
+    """A minimal valid PDF: one FlateDecode content stream per page,
+    each showing its page text as a single ``Tj`` run. Inverse of
+    :func:`extract_pdf_text` (round-trip pinned by test)."""
+    import zlib
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    # 1 = catalog, 2 = pages tree, 3 = font; pages at 4.., contents after
+    kids = " ".join(f"{4 + i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    first_content = 4 + n_pages
+    for i in range(n_pages):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {first_content + i} 0 R >>"
+            ).encode()
+        )
+    for text in pages:
+        stream = (
+            b"BT /F1 12 Tf 72 720 Td (" + _pdf_escape(text) + b") Tj ET"
+        )
+        comp = zlib.compress(stream)
+        objs.append(
+            f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+            + comp
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _pdf_string_bytes(data: bytes, start: int) -> tuple[bytes, int]:
+    """Decode one PDF literal string starting at the '(' at ``start``;
+    returns (decoded bytes, index past the closing ')'). Handles the
+    escape set, octal escapes and balanced nested parentheses."""
+    out = bytearray()
+    depth = 1
+    i = start + 1
+    n = len(data)
+    while i < n and depth > 0:
+        c = data[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            e = data[i + 1 : i + 2]
+            if e in _PDF_ESCAPES:
+                out += _PDF_ESCAPES[e]
+                i += 2
+                continue
+            if e.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 2  # line continuation / unknown escape: drop
+            continue
+        if c == b"(":
+            depth += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        out += c
+        i += 1
+    return bytes(out), i
+
+
+def _pdf_stream_text(stream: bytes) -> str:
+    """Text shown by one content stream: every Tj / ' / " string and
+    TJ array element, in stream order; ' , " and T* start new lines."""
+    parts: list[str] = []
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i : i + 1]
+        if c == b"(":
+            s, j = _pdf_string_bytes(stream, i)
+            # the operator follows the string (and, for TJ, the array)
+            k = j
+            while k < n and stream[k : k + 1] in b" \t\r\n]0123456789.-":
+                k += 1
+            op = stream[k : k + 2]
+            if op[:1] in (b"'", b'"'):
+                parts.append("\n")
+            parts.append(s.decode("latin-1"))
+            i = j
+            continue
+        if c == b"T" and stream[i + 1 : i + 2] == b"*":
+            parts.append("\n")
+            i += 2
+            continue
+        i += 1
+    return "".join(parts)
+
+
+def extract_pdf_text(content: bytes) -> list[str]:
+    """Page texts of a PDF (one string per content stream, document
+    order). FlateDecode streams inflate via zlib; uncompressed
+    streams pass through; streams that fail to inflate or parse are
+    skipped (degrade-don't-fail — one corrupt object must not cost
+    the document, let alone the scan). Returns [] for non-PDF bytes."""
+    import re
+    import zlib
+
+    if not content.startswith(b"%PDF"):
+        return []
+    pages: list[str] = []
+    for m in re.finditer(
+        rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*stream\r?\n",
+        content,
+    ):
+        body_at = m.end()
+        end = content.find(b"endstream", body_at)
+        if end < 0:
+            continue
+        # exact byte count from /Length when it is a direct value —
+        # trimming the pre-endstream EOL instead would eat a REAL
+        # trailing 0x0a/0x0d data byte about 1/256 of the time and
+        # kill the inflate (found by the round-trip driver oracle);
+        # indirect /Length (… 0 R) falls back to the trim heuristic
+        ln = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", m.group("dict"))
+        if ln:
+            raw = content[body_at : body_at + int(ln.group(1))]
+        else:
+            raw = content[body_at:end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n"):
+                raw = raw[:-1]
+        if b"/FlateDecode" in m.group("dict"):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        try:
+            text = _pdf_stream_text(raw)
+        except Exception:  # noqa: BLE001 — defensive-row contract
+            continue
+        if text:
+            pages.append(text)
+    return pages
+
+
+def pdf_extract_text(
+    df: DataFrame, content_col: str, out_col: str = "text"
+) -> DataFrame:
+    """DataFrame pass: ``out_col`` = the PDF's page texts joined by
+    form-feed (``\\f`` — the conventional page separator), NULL for
+    NULL input, '' when nothing extracts. One Arrow ``mapInPandas``
+    stage, schema preserved — composes after
+    ``text.sniff_mime(payload) = 'application/pdf'`` routing exactly
+    where ``html_extract_density`` composes for text/html."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = StructType(in_fields + [StructField(out_col, StringType())])
+    cols = [f.name for f in in_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for c in pdf[content_col]:
+                if c is None:
+                    texts.append(None)
+                    continue
+                blob = c if isinstance(c, bytes) else bytes(c)
+                texts.append("\f".join(extract_pdf_text(blob)))
+            out = pdf[cols].copy()
+            out[out_col] = texts
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

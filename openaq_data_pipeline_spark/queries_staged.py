@@ -840,3 +840,41 @@ def q_mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", sniff_mime(payload).alias("mime")
     ).orderBy("doc_id")
+
+
+@register_staged(
+    "pdf_roundtrip_extract",
+    "EXT-multimodal — PDF text extraction (the document modality "
+    "beside the image/audio codecs; where mime_sniff_route sends "
+    "application/pdf): each document's text is written into a real "
+    "FlateDecode PDF by the engine's own encoder and recovered by "
+    "the stdlib-only extractor in one Arrow pass; the oracle is the "
+    "CLOSED FORM — extraction must return the original text exactly, "
+    "ground truth rather than a parser replay",
+    oracle="""
+SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
+""",
+)
+def q_pdf_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        encode_pdf_text,
+        pdf_extract_text,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+
+    def to_pdf(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_pdf_text([t]) if t is not None else None
+                for t in pdf["text"]
+            ]
+            yield pdf[["doc_id", "payload"]]
+
+    pdfs = d.mapInPandas(to_pdf, schema="doc_id long, payload binary")
+    return (
+        pdf_extract_text(pdfs, "payload", out_col="extracted")
+        .select("doc_id", "extracted")
+        .orderBy("doc_id")
+    )

@@ -1653,3 +1653,81 @@ class TestSniffMime:
         }
         assert routed["https://a.org/doc"] == "application/pdf"
         assert routed["https://a.org/page"] == "text/html"
+
+
+class TestPdfText:
+    """PDF text extraction (r10): FlateDecode streams + Tj/TJ/'/T*
+    operators, stdlib-only — the document modality beside the image/
+    audio codecs."""
+
+    def test_roundtrip_multipage_and_escapes(self):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_pdf_text,
+            extract_pdf_text,
+        )
+
+        pages = [
+            "Hello PDF world.",
+            "Parens (nested (deep)) and back\\slash.",
+            "Line one\nLine two\ttabbed",
+        ]
+        assert extract_pdf_text(encode_pdf_text(pages)) == pages
+
+    def test_handwritten_uncompressed_fixture(self):
+        """Independent of the module's own encoder: an uncompressed
+        literal PDF with T* line breaks and a TJ kerning array."""
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            extract_pdf_text,
+        )
+
+        body = b"BT /F1 12 Tf (Alpha) Tj T* [(He) -30 (llo)] TJ ET"
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length "
+            + str(len(body)).encode()
+            + b" >>\nstream\n"
+            + body
+            + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert extract_pdf_text(pdf) == ["Alpha\nHello"]
+
+    def test_degrade_dont_fail(self):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_pdf_text,
+            extract_pdf_text,
+        )
+
+        assert extract_pdf_text(b"GIF89a not a pdf") == []
+        # corrupt ONE page's deflate bytes: the other pages survive
+        pdf = bytearray(encode_pdf_text(["Good page one.", "Doomed."]))
+        # anchor on the dict-terminated stream keyword ('startxref'
+        # also contains 'stream')
+        at = pdf.rindex(b">>\nstream\n") + len(b">>\nstream\n")
+        pdf[at : at + 4] = b"\xde\xad\xbe\xef"
+        assert extract_pdf_text(bytes(pdf)) == ["Good page one."]
+
+    def test_dataframe_pass_and_mime_routing(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_pdf_text,
+            pdf_extract_text,
+        )
+        from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+        rows = [
+            (1, encode_pdf_text(["Doc one text."])),
+            (2, encode_pdf_text(["Page A.", "Page B."])),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        routed = df.withColumn("mime", sniff_mime(F.col("payload")))
+        assert {
+            r.id: r.mime for r in routed.collect()
+        } == {1: "application/pdf", 2: "application/pdf", 3: None}
+        out = {
+            r.id: r.text
+            for r in pdf_extract_text(routed, "payload").collect()
+        }
+        assert out[1] == "Doc one text."
+        assert out[2] == "Page A.\fPage B."
+        assert out[3] is None
