@@ -1705,8 +1705,12 @@ def extract_pdf_text(content: bytes) -> list[str]:
         # trimming the pre-endstream EOL instead would eat a REAL
         # trailing 0x0a/0x0d data byte about 1/256 of the time and
         # kill the inflate (found by the round-trip driver oracle);
-        # indirect /Length (… 0 R) falls back to the trim heuristic
-        ln = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", m.group("dict"))
+        # indirect /Length (… 0 R) falls back to the trim heuristic.
+        # (?!\d) anchors the digit run so the engine cannot backtrack
+        # `/Length 123 0 R` into a bogus direct length of 12 — the
+        # full number must be consumed before the indirect-reference
+        # lookahead is evaluated.
+        ln = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", m.group("dict"))
         if ln:
             raw = content[body_at : body_at + int(ln.group(1))]
         else:

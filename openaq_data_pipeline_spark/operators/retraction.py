@@ -258,9 +258,18 @@ def retract_documents(
 
 def _ids_frame(ids_df: DataFrame, elem_type: DataType) -> DataFrame:
     """The retraction set as a one-column (__rid) distinct frame cast
-    to the target column's element type."""
+    to the target column's element type. NULLs are dropped: a NULL in
+    the ids frame must never retract NULL-id rows — the literal path's
+    documented NULL-safe keep (``coalesce(~array_contains, True)``,
+    pinned by test_index_null_id_rows_survive) keeps them
+    unconditionally, and the eqNullSafe left_anti in
+    :func:`_df_transform` would otherwise match NULL against NULL."""
     col = ids_df.columns[0]
-    return ids_df.select(F.col(col).cast(elem_type).alias("__rid")).distinct()
+    return (
+        ids_df.select(F.col(col).cast(elem_type).alias("__rid"))
+        .where(F.col("__rid").isNotNull())
+        .distinct()
+    )
 
 
 def _df_targets(schema: StructType, id_names: frozenset):

@@ -355,8 +355,11 @@ def c4_rules(
     r_lorem = ~F.lower(F.col(text_col)).contains("lorem ipsum")
     r_brace = ~F.col(text_col).contains("{")
     if bad_words:
+        # \Q…\E-quote each word: a list entry containing regex
+        # metacharacters ('.', '(', '+') must match literally, not
+        # silently change the pattern's semantics or break it.
         r_bad = ~F.lower(F.col(text_col)).rlike(
-            r"\b(?:" + "|".join(bad_words) + r")\b"
+            r"\b(?:" + "|".join(f"\\Q{w}\\E" for w in bad_words) + r")\b"
         )
     else:
         r_bad = F.lit(True)

@@ -1705,6 +1705,25 @@ class TestPdfText:
         pdf[at : at + 4] = b"\xde\xad\xbe\xef"
         assert extract_pdf_text(bytes(pdf)) == ["Good page one."]
 
+    def test_indirect_length_multidigit_object_falls_back(self):
+        """/Length as an indirect reference with a MULTI-digit object
+        number (`/Length 123 0 R`) must fall back to the trim
+        heuristic, not backtrack the digit run into a bogus direct
+        length of 12 that truncates the stream and drops the page
+        (r10 ADVICE)."""
+        import re
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_pdf_text,
+            extract_pdf_text,
+        )
+
+        pages = ["Indirect length survives extraction."]
+        pdf = encode_pdf_text(pages)
+        m = re.search(rb"/Length \d+", pdf)
+        patched = pdf[: m.start()] + b"/Length 123 0 R" + pdf[m.end() :]
+        assert extract_pdf_text(patched) == pages
+
     def test_dataframe_pass_and_mime_routing(self, spark):
         from pyspark.sql import functions as F
 

@@ -1650,6 +1650,22 @@ class TestC4Rules:
         assert got[1].keep is None
         assert got[2].n_kept_lines == 0 and got[2].keep is False
 
+    def test_badwords_metachars_match_literally(self, spark):
+        """A bad word containing regex metacharacters must match the
+        literal word, not act as a pattern: unescaped, 'c.t' flags
+        'cat' and never flags only the literal (r10 ADVICE)."""
+        five = (
+            "First proper sentence here. Second one follows. "
+            "Third one too. Fourth sentence lands. Fifth closes it."
+        )
+        rows = [
+            (1, five.replace("Third", "Cat")),   # must NOT flag
+            (2, five.replace("Third", "C.t")),   # must flag
+        ]
+        got = self._run(spark, rows, bad_words=["c.t"])
+        assert got[1].keep and got[1].r_no_badwords
+        assert not got[2].keep and not got[2].r_no_badwords
+
 
 class TestEpochUpsample:
     """Per-domain epoch repetition: copies = floor(e) (+1 on the MD5

@@ -680,6 +680,27 @@ class TestReviewRegressions:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    def test_df_path_null_in_ids_frame_never_kills_null_rows(self, spark):
+        """The join path's NULL-safe keep: a NULL in the ids
+        DataFrame must not retract NULL-id rows — eqNullSafe
+        left_anti would match NULL↔NULL unless NULLs are dropped
+        from the ids frame, diverging from the literal path's
+        documented keep (r10 ADVICE)."""
+        from openaq_data_pipeline_spark.operators.retraction import (
+            _df_transform,
+        )
+
+        src = spark.createDataFrame(
+            [("k1", 1), ("k2", None), ("k3", 3)],
+            "fingerprint string, doc_id long",
+        )
+        ids_df = spark.createDataFrame(
+            [(1,), (None,)], "doc_id long"
+        )
+        out = _df_transform(src, ids_df, frozenset({"doc_id"}))
+        rows = sorted(map(tuple, out.collect()), key=lambda r: r[0])
+        assert rows == [("k2", None), ("k3", 3)]
+
     def test_index_null_array_rows_survive(self, spark):
         """Array-id and member-struct columns: a row whose doc_ids /
         members column is NULL must survive a retraction touching the
