@@ -283,7 +283,7 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "snapshot_left_join",
     "J1 — LEFT join on composite (key, logical_date), right-side "
     "NULL preserved (int_sensors_enriched.sql:32-37)",
@@ -651,7 +651,7 @@ def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "pricing_summary",
     "A1,F9 — multi-aggregate group-by (TPC-H Q1 shape; the engine's "
     "heaviest single-shuffle aggregation)",

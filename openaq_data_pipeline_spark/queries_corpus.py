@@ -118,7 +118,7 @@ _MIX_CASE_DUCK = (
 )
 
 
-@register(
+@register_rotated(
     "domain_mixture_sample",
     "EXT-curation — domain-mixture rebalancing: the largest corpus "
     "whose source composition matches target weights 50/30/20 "
@@ -954,7 +954,7 @@ spans AS (
 )"""
 
 
-@register(
+@register_rotated(
     "dedup_span_ngrams",
     "EXT-dedup — substring-level dedup (ExactSubstr of Lee et al. "
     "2022, 'Deduplicating Training Data Makes LMs Better'): maximal "

@@ -1518,7 +1518,7 @@ cents{i + 1} AS (
     return ",\n".join(parts)
 
 
-@register(
+@register_rotated(
     "ann_topk_ivf",
     "EXT-similarity — IVF-flat approximate top-5 (16 cells, nprobe=4) "
     "with a TRAINED coarse quantizer: a deterministic Lloyd "

@@ -580,7 +580,7 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- r10 staged candidates ----------------------------------------------
 
 
-@register_staged(
+@register(
     "c4_quality_rules",
     "EXT-text — the C4 cleaning battery (Raffel et al. 2020 §2.2, "
     "the Common Crawl filter behind T5/C4): line-level terminal-"
@@ -670,7 +670,7 @@ def q_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "lm_quality_buckets",
     "EXT-lm — CCNet-style corpus partition (Wenzek et al. 2020): "
     "trigram stupid-backoff LM trained on a trusted slice (doc_id "
@@ -757,7 +757,7 @@ def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCHS_PPM = {"src1": 2_500_000, "src2": 1_000_000, "src3": 400_000}
 
 
-@register_staged(
+@register(
     "epoch_upsample",
     "EXT-curation — per-domain epoch REPETITION (the Pile's epochs-"
     "per-dataset / LLaMA's >1 sampling proportions), the up-sampling "
@@ -789,7 +789,7 @@ def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "mime_sniff_route",
     "EXT-text — magic-byte MIME sniffing (the WHATWG-style crawl "
     "routing step: Content-Type headers lie, so payloads route on "
@@ -842,7 +842,7 @@ def q_mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "pdf_roundtrip_extract",
     "EXT-multimodal — PDF text extraction (the document modality "
     "beside the image/audio codecs; where mime_sniff_route sends "
