@@ -780,6 +780,7 @@ def extract_features(
     id_col: str = "media_id",
     decode: str = "fake",
     out_dim: int = 8,
+    lenient: bool = False,
 ) -> DataFrame:
     """Binary column → fixed-width feature columns via mapInPandas.
 
@@ -794,22 +795,50 @@ def extract_features(
     exact-rounded mean_px) plus per-channel means as the feature
     vector. ``decode="fake"`` emits byte-level stats for arbitrary
     blobs (original schema).
+
+    ``lenient=True`` (the crawl front-door contract: degrade, don't
+    fail) keeps a row whose bytes fail to decode — n_bytes and
+    header_hex are still filled, the decoded-pixel columns come back
+    NULL — instead of aborting the whole stage on one corrupt
+    payload. Only meaningful with ``decode="real"``.
     """
     if decode == "real":
+        # the id column keeps the INPUT's name and type (a crawl
+        # front door keys media rows by URL or page id, not by a
+        # synthetic media_id) — default preserves the historic
+        # `media_id long` shape
+        id_ddl = (
+            f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+            + _REAL_FEATURE_DDL.split(", ", 1)[1]
+        )
 
         def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 out = {
-                    "media_id": [], "n_bytes": [], "header_hex": [],
+                    id_col: [], "n_bytes": [], "header_hex": [],
                     "width": [], "height": [], "px_sum": [],
                     "mean_px": [], "feature": [],
                 }
                 for mid, c in zip(pdf[id_col], pdf[content_col]):
                     blob = c if isinstance(c, bytes) else bytes(c or b"")
-                    img = _decode_image(blob)
+                    if lenient:
+                        try:
+                            img = _decode_image(blob)
+                        except Exception:
+                            out[id_col].append(mid)
+                            out["n_bytes"].append(len(blob))
+                            out["header_hex"].append(blob[:4].hex())
+                            out["width"].append(None)
+                            out["height"].append(None)
+                            out["px_sum"].append(None)
+                            out["mean_px"].append(None)
+                            out["feature"].append(None)
+                            continue
+                    else:
+                        img = _decode_image(blob)
                     h, w, _ = img.shape
                     px_sum = int(img.sum(dtype=np.int64))
-                    out["media_id"].append(int(mid))
+                    out[id_col].append(mid)
                     out["n_bytes"].append(len(blob))
                     out["header_hex"].append(blob[:4].hex())
                     out["width"].append(w)
@@ -822,7 +851,7 @@ def extract_features(
                 yield pd.DataFrame(out)
 
         return df.select(id_col, content_col).mapInPandas(
-            run_real, schema=_REAL_FEATURE_DDL
+            run_real, schema=id_ddl
         )
     if decode != "fake":
         raise ValueError(f"unknown decode mode {decode!r}")
@@ -1038,7 +1067,8 @@ _AUDIO_FEATURE_DDL = (
 
 
 def audio_features(
-    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    lenient: bool = False,
 ) -> DataFrame:
     """Binary WAV column → per-clip audio statistics via Arrow
     ``mapInPandas`` (the audio analogue of the image
@@ -1046,21 +1076,43 @@ def audio_features(
     integer-exact so they are engine-neutral: duration_ms =
     n·1000 // rate, sum_abs/peak over int16 samples, and zero
     crossings = #{k ≥ 1 : sign(s[k−1]) ≠ sign(s[k])} with "negative"
-    as the sign predicate (0 counts as non-negative)."""
+    as the sign predicate (0 counts as non-negative).
+
+    ``lenient=True`` (the crawl front-door contract) keeps a row
+    whose bytes fail WAV parsing — n_bytes/header_hex filled, the
+    decoded columns NULL — instead of failing the stage."""
+
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _AUDIO_FEATURE_DDL.split(", ", 1)[1]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in (
-                "media_id", "n_bytes", "header_hex", "sample_rate",
+                id_col, "n_bytes", "header_hex", "sample_rate",
                 "n_samples", "duration_ms", "sum_abs", "peak",
                 "n_zero_cross",
             )}
             for mid, c in zip(pdf[id_col], pdf[content_col]):
                 blob = c if isinstance(c, bytes) else bytes(c or b"")
-                samples, rate = decode_wav_pcm16(blob)
+                if lenient:
+                    try:
+                        samples, rate = decode_wav_pcm16(blob)
+                    except Exception:
+                        out[id_col].append(mid)
+                        out["n_bytes"].append(len(blob))
+                        out["header_hex"].append(blob[:4].hex())
+                        for k in ("sample_rate", "n_samples",
+                                  "duration_ms", "sum_abs", "peak",
+                                  "n_zero_cross"):
+                            out[k].append(None)
+                        continue
+                else:
+                    samples, rate = decode_wav_pcm16(blob)
                 s = samples.astype(np.int64)
                 neg = s < 0
-                out["media_id"].append(int(mid))
+                out[id_col].append(mid)
                 out["n_bytes"].append(len(blob))
                 out["header_hex"].append(blob[:4].hex())
                 out["sample_rate"].append(rate)
@@ -1074,7 +1126,7 @@ def audio_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(
-        run, schema=_AUDIO_FEATURE_DDL
+        run, schema=id_ddl
     )
 
 

@@ -1,0 +1,266 @@
+"""MIME-routed crawl front door — dispatch fetched payloads to the
+right extraction plane by their SNIFFED content type.
+
+A real crawl feed is mixed-modality: the same WARC carries HTML
+pages, PDFs, images, audio, gzip-wrapped bodies and binary junk,
+and ``Content-Type`` headers lie at web scale. The routing step
+sniffs magic bytes (:func:`~openaq_data_pipeline_spark.operators
+.text.sniff_mime` — pure codegen) and sends each payload down its
+plane:
+
+- ``text/html`` → :func:`~openaq_data_pipeline_spark.operators.text
+  .html_extract_density` (main-content extraction);
+- ``application/pdf`` → :func:`~openaq_data_pipeline_spark.operators
+  .multimodal.pdf_extract_text`;
+- ``text/plain`` → a codegen binary→string cast (no Python);
+- ``image/png``, ``image/jpeg`` → the real image decoder
+  (features only — the text planes never see pixels);
+- ``audio/x-wav`` → :func:`~openaq_data_pipeline_spark.operators
+  .multimodal.audio_features`;
+- ``application/gzip`` → ONE nested-decode hop (bomb-capped,
+  re-sniffed, re-routed; gzip-inside-gzip → discard);
+- everything else (``image/gif`` — no decoder in this container,
+  the pdfium/PIL plug-in point; ZIP containers; AVI video — frame
+  sampling is a batch op, not an intake plane; octet junk) →
+  discard, with the sniffed mime kept for observability.
+
+All text planes converge on the SAME downstream funnel (Gopher
+gate, denylist, exact/fuzzy dedup) — one correctness surface, per
+the engine-wide contract. The reference ingests a single typed feed
+(reference scripts/fetch_data.py + dags/: NDJSON measurements
+only), so routing is pure extension capability for the
+training-data tier.
+
+Scale notes (100 TB): the sniff and the route CASE are codegen and
+fuse into the payload scan; only gzip rows pay the Arrow hop, and
+the hop is bomb-capped (``max_gunzip_bytes``) so one hostile member
+cannot OOM an executor. :func:`route_crawl_payloads` is a two-branch
+union over one input — callers that feed an expensive scan should
+``localCheckpoint`` the input first (the streaming gate does).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+ROUTE_TEXT = "text"
+ROUTE_IMAGE = "image"
+ROUTE_AUDIO = "audio"
+ROUTE_NESTED = "nested"
+ROUTE_DISCARD = "discard"
+
+_TEXT_MIMES = ("text/html", "application/pdf", "text/plain")
+_IMAGE_MIMES = ("image/png", "image/jpeg")
+_AUDIO_MIMES = ("audio/x-wav",)
+
+
+def route_for_mime(mime: Column) -> Column:
+    """Plane for a sniffed mime — a pure codegen CASE ladder.
+    ``application/gzip`` maps to ``nested`` (the caller owes it one
+    decode hop); NULL mime (NULL payload) discards."""
+    return (
+        F.when(mime.isin(*_TEXT_MIMES), F.lit(ROUTE_TEXT))
+        .when(mime.isin(*_IMAGE_MIMES), F.lit(ROUTE_IMAGE))
+        .when(mime.isin(*_AUDIO_MIMES), F.lit(ROUTE_AUDIO))
+        .when(mime == "application/gzip", F.lit(ROUTE_NESTED))
+        .otherwise(F.lit(ROUTE_DISCARD))
+    )
+
+
+def gunzip_once(
+    df: DataFrame,
+    payload_col: str,
+    out_col: str,
+    max_bytes: int = 1 << 26,
+) -> DataFrame:
+    """Decompress a gzip payload column ONCE (zlib wbits=31), capped
+    at ``max_bytes`` of OUTPUT per row — a gzip bomb or a corrupt
+    member yields NULL instead of an executor OOM / stage failure.
+    One Arrow ``mapInPandas`` stage, schema preserved + ``out_col``.
+    """
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = StructType(in_fields + [StructField(out_col, BinaryType())])
+    cols = [f.name for f in in_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            inner = []
+            for c in pdf[payload_col]:
+                if c is None:
+                    inner.append(None)
+                    continue
+                blob = c if isinstance(c, bytes) else bytes(c)
+                try:
+                    d = zlib.decompressobj(wbits=31)
+                    out = d.decompress(blob, max_bytes)
+                    if d.unconsumed_tail:  # output cap hit: bomb
+                        inner.append(None)
+                        continue
+                    out += d.flush()
+                    inner.append(out if d.eof else None)
+                except zlib.error:
+                    inner.append(None)
+            out_pdf = pdf[cols].copy()
+            out_pdf[out_col] = inner
+            yield out_pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def route_crawl_payloads(
+    df: DataFrame,
+    payload_col: str,
+    mime_col: str = "mime",
+    route_col: str = "route",
+    gzip_col: str = "was_gzip",
+    max_gunzip_bytes: int = 1 << 26,
+) -> DataFrame:
+    """Sniff + route every payload, resolving gzip through ONE
+    nested-decode hop: output rows carry the EFFECTIVE mime (the
+    inner type for gzip members), the plane in ``route_col``, and
+    ``payload_col`` rewritten to the decoded bytes for gzip rows so
+    every downstream extractor consumes one uniform column.
+
+    Non-gzip rows never leave the JVM (sniff + CASE are codegen);
+    gzip rows pay one bomb-capped Arrow pass. A gzip member whose
+    inner bytes are themselves gzip, or that fails/overflows the
+    decode, keeps mime ``application/gzip`` and discards — one hop,
+    never a loop.
+    """
+    mimed = df.withColumn(mime_col, sniff_mime(F.col(payload_col)))
+    direct = mimed.where(
+        F.col(mime_col).isNull() | (F.col(mime_col) != "application/gzip")
+    ).select(
+        "*",
+        route_for_mime(F.col(mime_col)).alias(route_col),
+        F.lit(False).alias(gzip_col),
+    )
+    gz = gunzip_once(
+        mimed.where(F.col(mime_col) == "application/gzip").drop(mime_col),
+        payload_col,
+        "__inner",
+        max_bytes=max_gunzip_bytes,
+    )
+    inner_mime = sniff_mime(F.col("__inner"))
+    hopped = (
+        gz.select(
+            *[
+                F.col("__inner").alias(payload_col)
+                if f == payload_col
+                else F.col(f)
+                for f in df.columns
+            ],
+            F.coalesce(inner_mime, F.lit("application/gzip")).alias(
+                mime_col
+            ),
+        )
+        .withColumn(
+            route_col,
+            F.when(
+                F.col(mime_col) == "application/gzip", F.lit(ROUTE_DISCARD)
+            ).otherwise(route_for_mime(F.col(mime_col))),
+        )
+        .withColumn(gzip_col, F.lit(True))
+    )
+    return direct.unionByName(hopped)
+
+
+def extract_routed_text(
+    routed: DataFrame,
+    payload_col: str,
+    mime_col: str = "mime",
+    out_col: str = "text",
+    min_len: int = 60,
+    max_link_density: float = 0.2,
+) -> DataFrame:
+    """The TEXT plane: run the right extractor per effective mime and
+    return one uniform frame (all non-payload columns + ``out_col``).
+    html → content-density extraction (one Arrow pass); pdf →
+    the stdlib FlateDecode extractor (one Arrow pass); plain → a
+    codegen binary→string cast (Spark's binary→string cast is a
+    byte-preserving UTF-8 view, lenient on malformed sequences —
+    charset detection beyond UTF-8 is out of scope, the cchardet
+    plug-in point). Rows not routed ``text`` are ignored.
+    """
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        pdf_extract_text,
+    )
+    from openaq_data_pipeline_spark.operators.text import (
+        html_extract_density,
+    )
+
+    keep = [c for c in routed.columns if c not in (payload_col, out_col)]
+    html = html_extract_density(
+        routed.where(F.col(mime_col) == "text/html").withColumn(
+            "__html", F.col(payload_col).cast("string")
+        ),
+        "__html",
+        out_col=out_col,
+        min_len=min_len,
+        max_link_density=max_link_density,
+    ).select(*keep, out_col)
+    pdf = pdf_extract_text(
+        routed.where(F.col(mime_col) == "application/pdf"),
+        payload_col,
+        out_col=out_col,
+    ).select(*keep, out_col)
+    plain = routed.where(F.col(mime_col) == "text/plain").select(
+        *keep, F.col(payload_col).cast("string").alias(out_col)
+    )
+    return html.unionByName(pdf).unionByName(plain)
+
+
+def crawl_route_planes(
+    routed: DataFrame,
+    payload_col: str,
+    id_col: str,
+    mime_col: str = "mime",
+    route_col: str = "route",
+    **text_kwargs,
+) -> dict[str, DataFrame]:
+    """Split a routed frame into its four planes, each already run
+    through its extractor: ``text`` (uniform extracted-text rows,
+    ready for the quality/lang/dedup funnel), ``image`` /``audio``
+    (lenient real-decode feature rows — corrupt bytes degrade to
+    NULL columns, never fail the stage), ``discard`` (id + mime,
+    for observability). The input should be cached or
+    ``localCheckpoint``-ed by the caller — four consumers.
+    """
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        extract_features,
+    )
+
+    return {
+        ROUTE_TEXT: extract_routed_text(
+            routed.where(F.col(route_col) == ROUTE_TEXT),
+            payload_col,
+            mime_col=mime_col,
+            **text_kwargs,
+        ),
+        ROUTE_IMAGE: extract_features(
+            routed.where(F.col(route_col) == ROUTE_IMAGE),
+            content_col=payload_col,
+            id_col=id_col,
+            decode="real",
+            lenient=True,
+        ),
+        ROUTE_AUDIO: audio_features(
+            routed.where(F.col(route_col) == ROUTE_AUDIO),
+            content_col=payload_col,
+            id_col=id_col,
+            lenient=True,
+        ),
+        ROUTE_DISCARD: routed.where(
+            F.col(route_col) == ROUTE_DISCARD
+        ).select(id_col, mime_col, route_col),
+    }

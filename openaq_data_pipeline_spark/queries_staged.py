@@ -878,3 +878,106 @@ def q_pdf_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "extracted")
         .orderBy("doc_id")
     )
+
+
+# --- r11 staged candidates ----------------------------------------------
+
+
+@register_staged(
+    "crawl_route_extract",
+    "EXT-router — the MIME-routed crawl front door (r11: where a "
+    "mixed-modality feed becomes one text funnel): per document a "
+    "payload is synthesized by residue — a boilerplate HTML page, a "
+    "real FlateDecode PDF, a gzip-wrapped plain-text body, bare "
+    "plain text, a WAV-magic clip, NUL junk — then magic-byte "
+    "routing (one bomb-capped gzip hop) dispatches each to its "
+    "extractor and the text planes converge on one uniform column; "
+    "the oracle is the CLOSED FORM per residue class (density-"
+    "collapsed page text, exact PDF/plain round-trip, NULL for the "
+    "media/discard planes), not a replay of the router",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'text/html'
+         WHEN 1 THEN 'application/pdf'
+         WHEN 2 THEN 'text/plain'
+         WHEN 3 THEN 'text/plain'
+         WHEN 4 THEN 'audio/x-wav'
+         ELSE 'application/octet-stream' END AS mime,
+       CASE doc_id % 6
+         WHEN 0 THEN 'text' WHEN 1 THEN 'text'
+         WHEN 2 THEN 'text' WHEN 3 THEN 'text'
+         WHEN 4 THEN 'audio' ELSE 'discard' END AS route,
+       doc_id % 6 = 2 AS was_gzip,
+       CASE doc_id % 6
+         WHEN 0 THEN CASE
+             WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) >= 60
+             THEN trim(regexp_replace(text, '\\s+', ' ', 'g'))
+             ELSE '' END
+         WHEN 1 THEN text
+         WHEN 2 THEN text
+         WHEN 3 THEN text
+         ELSE NULL END AS text
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_crawl_route_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip as _gzip
+
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        encode_pdf_text,
+    )
+    from openaq_data_pipeline_spark.operators.router import (
+        extract_routed_text,
+        route_crawl_payloads,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    html_pre = (
+        "<html><head><title>T</title></head><body>"
+        '<nav><a href="/">Home</a> <a href="/n">News</a> '
+        '<a href="/a">About</a></nav>'
+        "<article><p>"
+    )
+    html_post = (
+        "</p></article>"
+        '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a> '
+        '<a href="/c">Contact</a></footer></body></html>'
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                r = int(i) % 6
+                if r == 0:
+                    payloads.append((html_pre + t + html_post).encode())
+                elif r == 1:
+                    payloads.append(encode_pdf_text([t]))
+                elif r == 2:
+                    payloads.append(_gzip.compress(t.encode()))
+                elif r == 3:
+                    payloads.append(t.encode())
+                elif r == 4:
+                    payloads.append(
+                        b"RIFF\x00\x00\x00\x00WAVEfmt " + t.encode()
+                    )
+                else:
+                    payloads.append(bytes(range(16)) + t.encode())
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = payloads
+            yield out
+
+    feed = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    routed = route_crawl_payloads(feed, "payload").localCheckpoint(
+        eager=False
+    )
+    texts = extract_routed_text(routed.where(F.col("route") == "text"),
+                                "payload")
+    out_cols = ["doc_id", "mime", "route", "was_gzip", "text"]
+    others = routed.where(F.col("route") != "text").select(
+        "doc_id", "mime", "route", "was_gzip",
+        F.lit(None).cast("string").alias("text"),
+    )
+    return texts.select(*out_cols).unionByName(others).orderBy("doc_id")

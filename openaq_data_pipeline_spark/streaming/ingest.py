@@ -383,6 +383,8 @@ def crawl_intake_gate(
     survivors_path: str,
     robots_rules: DataFrame | None = None,
     denylist=None,
+    payload_col: str | None = None,
+    media_features_path: str | None = None,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -401,7 +403,21 @@ def crawl_intake_gate(
     the attempt-scoped self-match rule (`_is_retry` bool) —
     without it a retried batch would drop itself against its own
     first-attempt appends. The survivors sink overwrites its own
-    ``batch_id`` partition."""
+    ``batch_id`` partition.
+
+    MIME-routed intake (``payload_col``): when the feed carries RAW
+    fetched bytes instead of pre-extracted HTML, pass ``payload_col``
+    (``html_col`` is then ignored) and each micro-batch first routes
+    through :func:`~openaq_data_pipeline_spark.operators.router
+    .route_crawl_payloads` — magic-byte sniff, one bomb-capped gzip
+    hop — so HTML, PDF and plain-text payloads each hit their own
+    extractor before CONVERGING on the same Gopher/denylist/exact
+    gates below (one text funnel, whatever the container). Image and
+    audio payloads land as lenient real-decode feature rows under
+    ``media_features_path`` (``.../image``, ``.../audio``), written
+    with the same per-``batch_id`` dynamic-overwrite idempotence as
+    the survivors sink; everything else discards. Survivor rows keep
+    their effective ``mime``."""
     from openaq_data_pipeline_spark.operators.frontier import (
         apply_robots,
         url_ledger_gate,
@@ -426,9 +442,33 @@ def crawl_intake_gate(
             )
         # freeze the Arrow extraction once: keep/gated/disposition/
         # write would otherwise re-run the per-row HTML parse 3-4x
-        texts = html_extract_density(
-            pages, html_col, out_col="__text"
-        ).localCheckpoint(eager=True)
+        if payload_col is not None:
+            from openaq_data_pipeline_spark.operators.router import (
+                crawl_route_planes,
+                route_crawl_payloads,
+            )
+
+            routed = route_crawl_payloads(
+                pages, payload_col
+            ).localCheckpoint(eager=True)  # four plane consumers
+            planes = crawl_route_planes(
+                routed, payload_col, id_col, out_col="__text"
+            )
+            if media_features_path is not None:
+                for plane in ("image", "audio"):
+                    (
+                        planes[plane]
+                        .selectExpr("*", f"{batch_id} as batch_id")
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("batch_id")
+                        .parquet(f"{media_features_path}/{plane}")
+                    )
+            texts = planes["text"].localCheckpoint(eager=True)
+        else:
+            texts = html_extract_density(
+                pages, html_col, out_col="__text"
+            ).localCheckpoint(eager=True)
         keep = gopher_rules(
             texts.where(
                 F.col("__text").isNotNull() & (F.col("__text") != "")
@@ -479,16 +519,24 @@ def stream_crawl_intake(
     robots_rules: DataFrame | None = None,
     available_now: bool = True,
     denylist=None,
+    payload_col: str | None = None,
+    media_features_path: str | None = None,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
     pages drains through the full front door, and survivors land as
-    extracted TEXT rows ready for the curation funnel."""
+    extracted TEXT rows ready for the curation funnel. With
+    ``payload_col`` set the feed carries raw fetched BYTES and each
+    micro-batch is MIME-routed first (see :func:`crawl_intake_gate`):
+    html/pdf/plain → their extractors → the shared text funnel;
+    image/audio → feature rows under ``media_features_path``."""
     writer = (
         stream_df.writeStream.foreachBatch(
             crawl_intake_gate(
                 url_col, html_col, id_col, ledger, content_index,
                 survivors_path, robots_rules, denylist,
+                payload_col=payload_col,
+                media_features_path=media_features_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,311 @@
+"""MIME-routed crawl front door (r11, VERDICT r10 next #3): magic-
+byte routing with one bomb-capped gzip hop, per-plane extraction,
+the mixed-modality WARC composition, and the routed streaming
+intake."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.multimodal import (
+    encode_pdf_text,
+    encode_png,
+    encode_wav_pcm16,
+)
+from openaq_data_pipeline_spark.operators.router import (
+    crawl_route_planes,
+    extract_routed_text,
+    gunzip_once,
+    route_crawl_payloads,
+)
+
+ART = (
+    "the quick brown fox jumps over the lazy dog and then "
+    "the calm river flows through the old valley and the town "
+    "while the people of the village act with reason and care "
+    "in a spirit of brotherhood for all of the free world and "
+    "every autumn the water slows while the village measures "
+    "the change with the same brass gauge it has used for "
+    "eighty years of quiet work"
+)
+
+
+def _page(body: str) -> str:
+    return (
+        "<html><body>"
+        '<nav><a href="/">Home</a> <a href="/n">News</a> '
+        '<a href="/a">About</a></nav>'
+        "<article><p>" + body + "</p></article>"
+        '<footer><a href="/p">Privacy</a> <a href="/t">Terms</a>'
+        "</footer></body></html>"
+    )
+
+
+def _png() -> bytes:
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    return encode_png(arr)
+
+
+def _wav() -> bytes:
+    t = np.arange(160)
+    return encode_wav_pcm16(
+        (1000 * np.sin(t / 5.0)).astype(np.int16), 8000
+    )
+
+
+class TestRouteCrawlPayloads:
+    def _routes(self, spark, payloads):
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(payloads)],
+            "id long, payload binary",
+        )
+        rows = route_crawl_payloads(df, "payload").collect()
+        return {r.id: r for r in rows}
+
+    def test_all_planes(self, spark):
+        got = self._routes(
+            spark,
+            [
+                _page(ART).encode(),            # 0 html
+                encode_pdf_text([ART]),          # 1 pdf
+                ART.encode(),                    # 2 plain
+                _png(),                          # 3 image
+                _wav(),                          # 4 audio
+                gzip.compress(ART.encode()),     # 5 gzip(plain) → hop
+                bytes(range(16)) * 4,            # 6 junk
+                None,                            # 7 null fetch
+            ],
+        )
+        expect = {
+            0: ("text/html", "text", False),
+            1: ("application/pdf", "text", False),
+            2: ("text/plain", "text", False),
+            3: ("image/png", "image", False),
+            4: ("audio/x-wav", "audio", False),
+            5: ("text/plain", "text", True),
+            6: ("application/octet-stream", "discard", False),
+            7: (None, "discard", False),
+        }
+        assert {
+            i: (r.mime, r.route, r.was_gzip) for i, r in got.items()
+        } == expect
+        # the gzip hop rewrote the payload to the inner bytes
+        assert bytes(got[5].payload) == ART.encode()
+
+    def test_gzip_edge_cases(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, gzip.compress(gzip.compress(b"deep"))),  # nested
+                (1, b"\x1f\x8b\x08corrupt-not-really-gzip"),
+                (2, gzip.compress(bytes(1000))),  # bomb vs tiny cap
+                (3, gzip.compress(ART.encode())),  # fits the cap
+            ],
+            "id long, payload binary",
+        )
+        rows = {
+            r.id: r
+            for r in route_crawl_payloads(
+                df, "payload", max_gunzip_bytes=len(ART) + 16
+            ).collect()
+        }
+        assert (rows[0].mime, rows[0].route) == (
+            "application/gzip", "discard",  # one hop, never a loop
+        )
+        assert (rows[1].mime, rows[1].route) == (
+            "application/gzip", "discard",
+        )
+        assert (rows[2].mime, rows[2].route) == (
+            "application/gzip", "discard",
+        )
+        assert (rows[3].mime, rows[3].route) == ("text/plain", "text")
+
+    def test_gunzip_once_cap_is_output_sized(self, spark):
+        df = spark.createDataFrame(
+            [(0, gzip.compress(bytes(10_000)))], "id long, payload binary"
+        )
+        ok = gunzip_once(df, "payload", "inner", max_bytes=10_000).first()
+        assert len(bytes(ok.inner)) == 10_000
+        bomb = gunzip_once(df, "payload", "inner", max_bytes=9_999).first()
+        assert bomb.inner is None
+
+
+class TestExtractRoutedText:
+    def test_three_extractors_converge(self, spark):
+        art2 = ART.replace("quick", "swift")
+        art3 = ART.replace("quick", "rapid")
+        df = spark.createDataFrame(
+            [
+                (0, _page(ART).encode()),
+                (1, encode_pdf_text([art2])),
+                (2, gzip.compress(art3.encode())),
+            ],
+            "id long, payload binary",
+        )
+        routed = route_crawl_payloads(df, "payload")
+        rows = {
+            r.id: r for r in extract_routed_text(routed, "payload").collect()
+        }
+        assert "Home" not in rows[0].text and ART in rows[0].text
+        assert rows[1].text == art2
+        assert rows[2].text == art3 and rows[2].was_gzip
+
+
+class TestLenientMediaDecode:
+    def test_corrupt_rows_degrade_to_null(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            audio_features,
+            extract_features,
+        )
+
+        img = spark.createDataFrame(
+            [(0, _png()), (1, b"\x89PNG\r\n\x1a\ngarbage")],
+            "media_id long, content binary",
+        )
+        rows = {
+            r.media_id: r
+            for r in extract_features(
+                img, decode="real", lenient=True
+            ).collect()
+        }
+        assert rows[0].width == 4 and rows[0].height == 4
+        assert rows[1].width is None and rows[1].feature is None
+        assert rows[1].n_bytes == len(b"\x89PNG\r\n\x1a\ngarbage")
+        # strict mode still fails loud (the batch-operator contract)
+        with pytest.raises(Exception):
+            extract_features(img, decode="real").collect()
+
+        wav = spark.createDataFrame(
+            [(0, _wav()), (1, b"RIFF\x00\x00\x00\x00WAVEgarbage")],
+            "media_id long, content binary",
+        )
+        arows = {
+            r.media_id: r
+            for r in audio_features(wav, lenient=True).collect()
+        }
+        assert arows[0].sample_rate == 8000
+        assert arows[1].sample_rate is None and arows[1].n_bytes > 0
+
+
+class TestMixedWarcFrontDoor:
+    """VERDICT r10 next #3 done-criterion: ONE WARC carries all five
+    payload classes and each lands in the right plane."""
+
+    def _warc_record(self, rid: int, uri: str, payload: bytes) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html\r\n"  # the header LIES for 4/5
+            b"\r\n" + payload
+        )
+        h = [
+            b"WARC/1.0",
+            b"WARC-Type: response",
+            b"WARC-Record-ID: <urn:uuid:rec-" + str(rid).encode() + b">",
+            b"WARC-Target-URI: " + uri.encode(),
+            b"WARC-Date: 2026-08-15T00:00:00Z",
+            b"Content-Type: application/http;msgtype=response",
+            b"Content-Length: " + str(len(http)).encode(),
+        ]
+        return b"\r\n".join(h) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+    def test_one_archive_five_planes(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.sources.warc import read_warc
+
+        art2 = ART.replace("quick", "swift")
+        payloads = [
+            ("https://a.org/page", _page(ART).encode()),
+            ("https://a.org/doc.pdf", encode_pdf_text([art2])),
+            ("https://a.org/img", _png()),
+            ("https://a.org/clip", _wav()),
+            ("https://a.org/blob", bytes(range(16)) * 4),
+        ]
+        archive = b"".join(
+            self._warc_record(i, uri, p)
+            for i, (uri, p) in enumerate(payloads)
+        )
+        (tmp_path / "mixed.warc").write_bytes(archive)
+
+        pages = (
+            read_warc(spark, str(tmp_path / "mixed.warc"))
+            .where("warc_type = 'response' AND http_status = 200")
+            .selectExpr("target_uri AS url", "payload")
+        )
+        routed = route_crawl_payloads(pages, "payload").localCheckpoint(
+            eager=True
+        )
+        planes = crawl_route_planes(routed, "payload", "url")
+
+        texts = {r.url: r.text for r in planes["text"].collect()}
+        assert set(texts) == {"https://a.org/page", "https://a.org/doc.pdf"}
+        assert ART in texts["https://a.org/page"]
+        assert "Home" not in texts["https://a.org/page"]  # density ran
+        assert texts["https://a.org/doc.pdf"] == art2
+
+        img = planes["image"].collect()
+        assert [r.url for r in img] == ["https://a.org/img"]
+        assert img[0].width == 4 and img[0].px_sum is not None
+
+        aud = planes["audio"].collect()
+        assert [r.url for r in aud] == ["https://a.org/clip"]
+        assert aud[0].sample_rate == 8000
+
+        disc = planes["discard"].collect()
+        assert [(r.url, r.mime) for r in disc] == [
+            ("https://a.org/blob", "application/octet-stream")
+        ]
+
+
+class TestRoutedStreamingIntake:
+    """stream_crawl_intake in payload mode: the mixed-modality feed
+    MIME-routes per micro-batch, text planes converge on the shared
+    gates, media features land under media_features_path."""
+
+    def test_routed_stream(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            stream_crawl_intake,
+        )
+
+        art2 = ART.replace("quick", "swift")
+        art3 = ART.replace("quick", "rapid")
+        schema = "page_id long, url string, payload binary"
+        rows = [
+            (1, "https://a.org/page", _page(ART).encode()),
+            (2, "https://a.org/doc.pdf", encode_pdf_text([art2])),
+            (3, "https://a.org/notes.txt", gzip.compress(art3.encode())),
+            (4, "https://a.org/img", _png()),
+            (5, "https://a.org/clip", _wav()),
+            (6, "https://a.org/blob", bytes(range(16)) * 4),
+            (7, "https://a.org/tiny", _page("tiny").encode()),  # gopher
+        ]
+        src = str(tmp_path / "incoming")
+        out = str(tmp_path / "survivors")
+        media = str(tmp_path / "media")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            q = stream_crawl_intake(
+                stream, "url", None, "page_id", ledger, hist, out,
+                str(tmp_path / "ckpt"), payload_col="payload",
+                media_features_path=media,
+            )
+            q.awaitTermination(180)
+        surv = {r.page_id: r for r in spark.read.parquet(out).collect()}
+        # all three text CONTAINERS converge on the same funnel;
+        # gopher drops the tiny page, media/junk never reach the gates
+        assert set(surv) == {1, 2, 3}
+        assert ART in surv[1].text and "Home" not in surv[1].text
+        assert surv[2].text == art2 and surv[2].mime == "application/pdf"
+        assert surv[3].text == art3 and surv[3].was_gzip
+        img = spark.read.parquet(f"{media}/image").collect()
+        assert [r.page_id for r in img] == [4] and img[0].width == 4
+        aud = spark.read.parquet(f"{media}/audio").collect()
+        assert [r.page_id for r in aud] == [5]
+        assert aud[0].sample_rate == 8000
