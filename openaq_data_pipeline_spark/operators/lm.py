@@ -235,15 +235,26 @@ def unigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def trigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, w1, w2, w3) — one row per trigram occurrence; documents
-    with < 3 tokens emit nothing."""
+def trigram_stream(
+    df: DataFrame, text_col: str, id_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *extra_cols, w1, w2, w3) — one row per trigram
+    occurrence; documents with < 3 tokens emit nothing.
+    ``extra_cols`` ride through unchanged (per-document metadata a
+    consumer needs on every trigram row without a corpus-sized
+    join-back — e.g. the lang-id script hypothesis)."""
     w = F.col("__w")
+    extras = [F.col(c) for c in extra_cols]
     return (
-        df.select(F.col(id_col), tokens(normalize(F.col(text_col))).alias("__w"))
+        df.select(
+            F.col(id_col), *extras,
+            tokens(normalize(F.col(text_col))).alias("__w"),
+        )
         .where(F.size(w) >= 3)
         .select(
             F.col(id_col),
+            *extras,
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size(w) - 2),
@@ -257,6 +268,7 @@ def trigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .select(
             F.col(id_col),
+            *extras,
             F.col("__t.w1").alias("w1"),
             F.col("__t.w2").alias("w2"),
             F.col("__t.w3").alias("w3"),
@@ -427,6 +439,131 @@ def char_stream_text(text_col: Column) -> Column:
     )
 
 
+# --- Unicode-script prefilter for language ID (r11) ----------------------
+#
+# The ×|languages| hypothesis expansion in lang_id_trigram_onepass is
+# the one corpus-sized intermediate of the lang-id tier. At a
+# TextCat-scale seed set (100+ languages) it is a 100× blow-up of the
+# corpus's biggest stream — yet a Latin-script document never needs
+# to score against a Cyrillic seed. A cheap codegen script histogram
+# per document prunes the hypothesis list BEFORE the expansion
+# (VERDICT r10 next #4). Script ranges are the core Unicode blocks —
+# coarse on purpose: the prefilter only has to be right about which
+# seeds are worth scoring, the trigram LMs do the rest.
+
+SCRIPT_RANGES = {
+    "latin": "a-zA-ZÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "han": "㐀-䶿一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "ᄀ-ᇿ가-힯",
+}
+
+# no script char at all (digits/punctuation/empty) → every hypothesis
+# stays live; the sentinel keys the fallback row set of the
+# hypothesis table
+SCRIPT_ANY = "*"
+
+
+def dominant_script(text: Column) -> Column:
+    """Dominant Unicode script of ``text`` — argmax of per-script
+    character counts over :data:`SCRIPT_RANGES` (ties → script name
+    ascending); ``'none'`` when no script character appears or the
+    input is NULL. Pure codegen: one length-diff per script, one
+    array argmin — fuses into the projection that feeds the char
+    stream, no extra pass over the corpus."""
+    structs = []
+    for name in sorted(SCRIPT_RANGES):
+        cnt = F.coalesce(
+            F.length(
+                F.regexp_replace(text, f"[^{SCRIPT_RANGES[name]}]", "")
+            ),
+            F.lit(0),
+        ).cast("long")
+        structs.append(
+            F.struct(
+                (-cnt).alias("neg"),
+                F.lit(name).alias("s"),
+                cnt.alias("c"),
+            )
+        )
+    best = F.array_min(F.array(*structs))
+    return F.when(best["c"] > 0, best["s"]).otherwise(F.lit("none"))
+
+
+def _dominant_script_py(s: str) -> str:
+    """Driver-side mirror of :func:`dominant_script` for classifying
+    the (tiny, driver-resident) seed strings."""
+    import re as _re
+
+    counts = {
+        name: len(_re.findall(f"[{rng}]", s or ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    top = max(counts.values())
+    if top == 0:
+        return "none"
+    return min(n for n in counts if counts[n] == top)
+
+
+def _lang_script_table(spark, seeds: dict[str, str]):
+    """(hypothesis table, present-scripts list) for the prefilter:
+    one row per (lang, its seed's script) plus a full fallback row
+    set keyed by :data:`SCRIPT_ANY` — so the stream-side CASE can
+    resolve every document with ONE broadcast hash equi-join
+    (script-matched docs hit their script's rows, script-less or
+    unmatched docs hit the ``'*'`` rows = the exhaustive set)."""
+    scripts = {lang: _dominant_script_py(seed) for lang, seed in seeds.items()}
+    present = sorted({s for s in scripts.values() if s != "none"})
+    rows = [
+        (lang, scripts[lang]) for lang in sorted(scripts)
+        if scripts[lang] != "none"
+    ] + [(lang, SCRIPT_ANY) for lang in sorted(scripts)]
+    return (
+        spark.createDataFrame(rows, "lang string, __hyp string"),
+        present,
+    )
+
+
+def _hyp_script_col(text: Column, present: list[str]) -> Column:
+    """The stream-side hypothesis key: the document's dominant script
+    when some seed shares it, else the fallback sentinel."""
+    ds = dominant_script(text)
+    if not present:
+        return F.lit(SCRIPT_ANY)
+    return F.when(ds.isin(present), ds).otherwise(F.lit(SCRIPT_ANY))
+
+
+def script_hypotheses(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    seeds: dict[str, str] | None = None,
+) -> DataFrame:
+    """(id, lang) — the hypothesis pairs the script prefilter admits
+    for each document: exactly the (doc, language) combinations
+    :func:`lang_id_trigram_onepass` scores when
+    ``script_prefilter=True``. Exposed for observability (compare
+    ``count()`` against ``|docs| × |seeds|`` to see the pruning) and
+    for test pinning. One broadcast hash join, no shuffle."""
+    seeds = dict(LANG_ID_SEEDS if seeds is None else seeds)
+    if not seeds:
+        raise ValueError("script_hypotheses: no seed languages")
+    table, present = _lang_script_table(docs.sparkSession, seeds)
+    return (
+        docs.select(
+            F.col(id_col),
+            _hyp_script_col(F.col(text_col), present).alias("__hyp"),
+        )
+        .join(F.broadcast(table), "__hyp")
+        .select(id_col, "lang")
+    )
+
+
 def lang_id_trigram(
     docs: DataFrame,
     text_col: str,
@@ -518,6 +655,7 @@ def lang_id_trigram_onepass(
     id_col: str,
     seeds: dict[str, str] | None = None,
     out_scale: int = 4,
+    script_prefilter: bool = True,
 ) -> DataFrame:
     """:func:`lang_id_trigram` with the scale topology its docstring
     promises for MANY languages: the per-language count tables (each
@@ -529,7 +667,26 @@ def lang_id_trigram_onepass(
     unavoidable cost of scoring every hypothesis), never the number
     of corpus scans. Output and semantics are IDENTICAL to the
     per-language composition (pinned by test); the two share the
-    seed set and the winner rule."""
+    seed set and the winner rule.
+
+    ``script_prefilter=True`` (default) bounds the ×|languages|
+    expansion with the codegen Unicode-script histogram
+    (:func:`dominant_script`): a document whose dominant script
+    matches at least one seed expands ONLY against that script's
+    seeds (one broadcast hash equi-join via the
+    :func:`_lang_script_table` hypothesis table — never a
+    nested-loop); documents whose script matches no seed, or that
+    have no script character at all, keep the full exhaustive set.
+    With a script-homogeneous seed set (e.g. the all-Latin default)
+    every document therefore scores the IDENTICAL hypothesis set and
+    the output is bit-for-bit the exhaustive expansion. With a
+    mixed-script seed set the pruning is the point: a cross-script
+    hypothesis could previously win only on word-boundary
+    backoff-floor noise (its trigram/bigram/unigram tables share
+    nothing with the document but the ``'_'`` boundary mark), and
+    the prefilter removes exactly those hypotheses — the documented,
+    intended divergence. Pass ``script_prefilter=False`` for the
+    literal exhaustive expansion."""
     seeds = dict(LANG_ID_SEEDS if seeds is None else seeds)
     if not seeds:
         raise ValueError("lang_id_trigram_onepass: no seed languages")
@@ -553,10 +710,27 @@ def lang_id_trigram_onepass(
     tri_all, bi_all, uni_all = u(tri_all), u(bi_all), u(uni_all)
     langs = spark.createDataFrame(n_rows, "lang string, __n long")
 
-    chars = docs.select(
-        F.col(id_col), char_stream_text(F.col(text_col)).alias("__chars")
-    )
-    stream = trigram_stream(chars, "__chars", id_col)
+    if script_prefilter:
+        hyp_table, present = _lang_script_table(spark, seeds)
+        chars = docs.select(
+            F.col(id_col),
+            char_stream_text(F.col(text_col)).alias("__chars"),
+            _hyp_script_col(F.col(text_col), present).alias("__hyp"),
+        )
+        stream = trigram_stream(
+            chars, "__chars", id_col, extra_cols=("__hyp",)
+        )
+        expanded = (
+            stream.join(F.broadcast(hyp_table), "__hyp")
+            .drop("__hyp")
+            .join(F.broadcast(langs), "lang")
+        )
+    else:
+        chars = docs.select(
+            F.col(id_col), char_stream_text(F.col(text_col)).alias("__chars")
+        )
+        stream = trigram_stream(chars, "__chars", id_col)
+        expanded = stream.crossJoin(F.broadcast(langs))
     bi23 = bi_all.select(
         "lang",
         F.col("w1").alias("w2"),
@@ -566,7 +740,7 @@ def lang_id_trigram_onepass(
     uni3 = uni_all.select("lang", F.col("w").alias("w3"), F.col("c1").alias("c3"))
     uni2 = uni_all.select("lang", F.col("w").alias("w2"), F.col("c1").alias("c2"))
     joined = (
-        stream.crossJoin(F.broadcast(langs))
+        expanded
         .join(F.broadcast(tri_all), ["lang", "w1", "w2", "w3"], "left")
         .join(F.broadcast(bi_all), ["lang", "w1", "w2"], "left")
         .join(F.broadcast(bi23), ["lang", "w2", "w3"], "left")
