@@ -1049,6 +1049,220 @@ def append_ivf_index(
     _append_cells(batch, index, cent_rows, id_col, vec_col, mode="append")
 
 
+def ivf_drift_metrics(spark, index: IvfIndex) -> DataFrame:
+    """(cell_id, n_vecs, mean_cos_residual) per OCCUPIED cell of a
+    persisted IVF index — the quantizer-drift observability face
+    (VERDICT r10 next #5): appends run under a FROZEN quantizer by
+    design, so distribution shift shows up as per-cell fill skew and
+    growing residuals (1 − cosine(vector, its cell's centroid)) long
+    before anyone measures recall by hand. One partial-aggregable
+    pass over the cells table with the centroid table broadcast; for
+    ``storage="int8"`` the residual is code-space cosine (the
+    per-vector scale cancels, same contract as probe scoring)."""
+    cells = spark.table(index.cells_table)
+    cents = spark.table(index.centroids_table)
+    vec = F.col("c_codes") if index.storage == "int8" else F.col("c_vec")
+    res = 1.0 - cosine_expr(vec, F.col("centroid"))
+    return (
+        cells.join(F.broadcast(cents), "cell_id")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(res), index.round_dp).alias("mean_cos_residual"),
+        )
+    )
+
+
+def ivf_drift_summary(spark, index: IvfIndex) -> DataFrame:
+    """One row — (n_cells, n_cells_used, n_vecs, max_fill, fill_skew,
+    mean_residual, max_cell_residual) — the dashboard scalar face of
+    :func:`ivf_drift_metrics`. ``fill_skew`` = max cell fill over the
+    mean fill across OCCUPIED cells (1.0 = perfectly balanced); a
+    drifted append stream shows up as skew and residual rising
+    together. Thresholding + :func:`rebuild_ivf_index` is the
+    rebuild-and-swap loop."""
+    per_cell = ivf_drift_metrics(spark, index)
+    n_cells = spark.table(index.centroids_table).count()
+    return per_cell.agg(
+        F.lit(n_cells).alias("n_cells"),
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.sum("n_vecs").alias("n_vecs"),
+        F.max("n_vecs").alias("max_fill"),
+        F.round(
+            F.max("n_vecs") / F.avg("n_vecs"), index.round_dp
+        ).alias("fill_skew"),
+        F.round(
+            F.sum(F.col("mean_cos_residual") * F.col("n_vecs"))
+            / F.sum("n_vecs"),
+            index.round_dp,
+        ).alias("mean_residual"),
+        F.max("mean_cos_residual").alias("max_cell_residual"),
+    )
+
+
+def rebuild_ivf_index(
+    spark,
+    index: IvfIndex,
+    n_cells: int | None = None,
+    train_iters: int = 2,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Re-train the coarse quantizer on the index's CURRENT contents
+    and swap the re-assigned cells in under the staged-swap machinery
+    (:func:`~openaq_data_pipeline_spark.sources.maintenance
+    .rewrite_bucketed_table`) — the recovery path when
+    :func:`ivf_drift_summary` shows append drift has decayed recall.
+    The cells table keeps its exact bucket spec and location through
+    the swap, so probes stay bucket-pruned and exchange-free
+    afterwards; the rescore side table (bucketed on ``neighbor_id``,
+    assignment-independent) is untouched.
+
+    Vector source: ``storage="float"`` re-trains from the index's own
+    ``c_vec`` column; ``storage="int8"`` needs full precision — the
+    rescore table when ``rescore=True``, else pass ``corpus``
+    explicitly (the build-time contract). Training is deterministic
+    (Lloyd seeded by lowest ids), so a crash between the cells swap
+    and the centroid overwrite is recovered by re-running the
+    rebuild: the same contents re-train to the same quantizer."""
+    if corpus is not None:
+        vecs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+    elif index.storage == "float":
+        vecs = spark.table(index.cells_table).select("neighbor_id", "c_vec")
+    elif index.rescore:
+        vecs = spark.table(index.rescore_table).select(
+            "neighbor_id", "c_vec"
+        )
+    else:
+        raise ValueError(
+            "rebuild_ivf_index: an int8 index without a rescore table "
+            "holds no full-precision vectors — pass corpus= (the "
+            "build-time contract)"
+        )
+    if n_cells is None:
+        n_cells = spark.table(index.centroids_table).count()
+    cent_rows = ivf_train_centroids(
+        vecs, n_cells, train_iters, "neighbor_id", "c_vec", index.round_dp
+    )
+
+    from openaq_data_pipeline_spark.sources.maintenance import (
+        rewrite_bucketed_table,
+    )
+
+    if index.storage == "int8" and corpus is None and index.rescore:
+        full = spark.table(index.rescore_table).select(
+            "neighbor_id", "c_vec"
+        )
+    elif index.storage == "int8":
+        full = vecs
+    else:
+        full = None  # float cells re-assign from their own c_vec
+
+    def reassign(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        if full is None:
+            assign = ivf_assign(
+                df.select("neighbor_id", "c_vec"), cent_rows,
+                "neighbor_id", "c_vec", index.round_dp,
+            )
+        else:
+            # int8 cells hold codes only: assignment uses the
+            # full-precision side (rescore table / caller corpus)
+            assign = ivf_assign(
+                full, cent_rows, "neighbor_id", "c_vec", index.round_dp
+            )
+        return (
+            df.drop("cell_id")
+            .join(assign, "neighbor_id")
+            .select(*cols)
+        )
+
+    rewrite_bucketed_table(spark, index.cells_table, transform=reassign)
+    cents = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cent_rows],
+        "cell_id long, centroid array<double>",
+    )
+    w = cents.write.mode("overwrite").format("parquet")
+    if index.location:
+        w = w.option("path", index._path("centroids"))
+    w.saveAsTable(index.centroids_table)
+    spark.catalog.refreshTable(index.centroids_table)
+
+
+def pq_code_usage(spark, index: "PqIndex") -> DataFrame:
+    """(sub_id, n_codes_used, max_fill, fill_skew) per subspace of a
+    persisted PQ index — the PQ face of quantizer-drift
+    observability. PQ codes carry no vectors, so residuals are not
+    reconstructable from the index alone; what IS visible — and what
+    distribution shift distorts first — is codeword usage: a
+    subspace whose appends all land on a few codewords has a stale
+    codebook. One partial-aggregable pass over the codes table."""
+    codes = spark.table(index.codes_table)
+    per_code = codes.groupBy("sub_id", "code_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_code.groupBy("sub_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_codes_used"),
+            F.max("n").alias("max_fill"),
+            F.round(F.max("n") / F.avg("n"), index.round_dp).alias(
+                "fill_skew"
+            ),
+        )
+        .orderBy("sub_id")
+    )
+
+
+def rebuild_pq_index(
+    corpus: DataFrame,
+    index: "PqIndex",
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Re-train the per-subspace codebooks on ``corpus`` (PQ codes
+    hold no vectors, so rebuild takes the vector source exactly like
+    :func:`build_pq_index`) and swap the re-encoded codes in under
+    the staged-swap machinery — bucket spec and location preserved,
+    so the ADC probe's bucket-aligned candidate join survives the
+    rebuild. The transform REPLACES the code rows wholesale (a
+    re-encode, not a row-wise edit); schema is unchanged."""
+    spark = corpus.sparkSession
+    book_rows = pq_train_codebooks(
+        corpus, m=index.m, ksub=index.ksub, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, dim=index.dim,
+        round_dp=index.round_dp,
+    )
+    new_codes = pq_encode(
+        corpus, book_rows, m=index.m, dim=index.dim,
+        id_col=id_col, vec_col=vec_col, round_dp=index.round_dp,
+    ).withColumnRenamed(id_col, "neighbor_id")
+
+    from openaq_data_pipeline_spark.sources.maintenance import (
+        rewrite_bucketed_table,
+    )
+
+    rewrite_bucketed_table(
+        spark, index.codes_table,
+        transform=lambda _old: new_codes.select(
+            *spark.table(index.codes_table).columns
+        ),
+    )
+    books = spark.createDataFrame(
+        [(int(s), int(c), [float(x) for x in v]) for s, c, v in book_rows],
+        "sub_id int, code_id int, c array<double>",
+    )
+    w = books.write.mode("overwrite").format("parquet")
+    if index.location:
+        w = w.option("path", index._path("codebooks"))
+    w.saveAsTable(index.codebooks_table)
+    spark.catalog.refreshTable(index.codebooks_table)
+
+
 def int8_codes(vec) -> F.Column:
     """Per-vector MAX-ABS-symmetric int8 quantization, pure Catalyst:
     code_i = round(127 · x_i / max|x|) ∈ [−127, 127] (an all-zero

@@ -903,3 +903,227 @@ class TestIvfPqFusedLayout:
             )
             after = ivf_pq_topk_cellpruned(spark, probe, iidx, pidx, k=5)
             assert all(r.neighbor_id != 103 for r in after.collect())
+
+
+class TestIvfDriftAndRebuild:
+    """Quantizer-drift observability + rebuild-and-swap (r11, VERDICT
+    r10 next #5): appends under the FROZEN quantizer are correct by
+    design, but distribution shift decays recall invisibly — the
+    drift metrics make it visible, and the staged-swap rebuild
+    restores the recall floor with probes still bucket-pruned."""
+
+    DIM = 4
+
+    def _clustered(self, spark):
+        """Cluster A: 20 vectors around e0/e1 (the build
+        distribution). Cluster B (the drift): vectors around e2 whose
+        tiny e0/e1 components deterministically SPLIT them across
+        both frozen A-cells — the shape where nprobe=1 recall
+        collapses until a rebuild gives B its own cell."""
+        rows = []
+        for i in range(10):
+            rows.append((i, [10.0, float(i % 3), 0.0, 0.0]))
+            rows.append((10 + i, [float(i % 3), 10.0, 0.0, 0.0]))
+        drift = []
+        for i in range(10):
+            eps = [0.0, 0.0]
+            eps[i % 2] = 1.0
+            drift.append((100 + i, [eps[0], eps[1], 10.0, 0.0]))
+        schema = "vec_id long, embedding array<float>"
+        return (
+            spark.createDataFrame(rows, schema),
+            spark.createDataFrame(drift, schema),
+        )
+
+    def _recall(self, spark, got, truth_df, k):
+        truth = {
+            (r.query_id, r.neighbor_id) for r in truth_df.collect()
+        }
+        hits = {
+            (r.query_id, r.neighbor_id) for r in got.collect()
+        } & truth
+        return len(hits) / len(truth)
+
+    def test_drift_metrics_fire_and_rebuild_restores_recall(
+        self, spark
+    ):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            append_ivf_index,
+            brute_force_topk,
+            build_ivf_index,
+            ivf_drift_summary,
+            ivf_topk_indexed,
+            rebuild_ivf_index,
+            temp_ivf_index,
+        )
+
+        base, drift = self._clustered(spark)
+        full = base.unionByName(drift)
+        q = spark.createDataFrame(
+            [(900, [0.0, 0.0, 10.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        k = 6
+        truth = brute_force_topk(full, q, k=k)  # all of cluster B
+        with temp_ivf_index(nprobe=1, n_buckets=4) as idx:
+            build_ivf_index(base, idx, n_cells=2, train_iters=2)
+            before = ivf_drift_summary(spark, idx).collect()[0]
+            append_ivf_index(drift, idx)
+            after = ivf_drift_summary(spark, idx).collect()[0]
+            # the drifted appends FIRE the metric: residual mass
+            # appears where there was (near) none
+            assert after.mean_residual > before.mean_residual
+            # B is ⟂ its A-cell: a third of the cell's mass now sits
+            # at cosine-residual ≈ 1, an order of magnitude over the
+            # in-distribution build
+            assert after.max_cell_residual > 0.2
+            assert after.max_cell_residual > 10 * before.max_cell_residual
+            # recall collapsed: B split across both frozen cells,
+            # nprobe=1 sees only one of them
+            got = ivf_topk_indexed(spark, q, idx, k=k)
+            assert self._recall(spark, got, truth, k) <= 0.7
+            # rebuild-and-swap: retrain on current contents, give the
+            # drifted mass its own cells
+            rebuild_ivf_index(spark, idx, n_cells=4, train_iters=2)
+            got2 = ivf_topk_indexed(spark, q, idx, k=k)
+            assert self._recall(spark, got2, truth, k) == 1.0
+
+    def test_rebuilt_equals_fresh_build(self, spark):
+        """Determinism oracle: rebuilding an appended index must land
+        exactly where building a fresh index over the same contents
+        lands (same Lloyd seeds — lowest ids — same assignment), so
+        the whole rebuild is reproducible and crash-recovery is just
+        re-running it."""
+        from openaq_data_pipeline_spark.operators.similarity import (
+            append_ivf_index,
+            build_ivf_index,
+            ivf_topk_indexed,
+            rebuild_ivf_index,
+            temp_ivf_index,
+        )
+
+        base, drift = self._clustered(spark)
+        full = base.unionByName(drift)
+        q = full.filter("vec_id in (3, 104)")
+        with temp_ivf_index(nprobe=2, n_buckets=4) as idx, temp_ivf_index(
+            nprobe=2, n_buckets=4
+        ) as fresh:
+            build_ivf_index(base, idx, n_cells=2, train_iters=2)
+            append_ivf_index(drift, idx)
+            rebuild_ivf_index(spark, idx, n_cells=4, train_iters=2)
+            build_ivf_index(full, fresh, n_cells=4, train_iters=2)
+            assert _rows(ivf_topk_indexed(spark, q, idx, k=4)) == _rows(
+                ivf_topk_indexed(spark, q, fresh, k=4)
+            )
+
+    def test_swap_preserves_bucket_spec_and_no_corpus_read(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            append_ivf_index,
+            build_ivf_index,
+            ivf_topk_indexed,
+            rebuild_ivf_index,
+            temp_ivf_index,
+        )
+
+        base, drift = self._clustered(spark)
+        corpus_path = str(tmp_path / "emb")
+        base.write.parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        q = spark.createDataFrame(
+            [(900, [0.0, 0.0, 10.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        with temp_ivf_index(nprobe=2, n_buckets=4) as idx:
+            build_ivf_index(corpus, idx, n_cells=2, train_iters=2)
+            append_ivf_index(drift, idx)
+            rebuild_ivf_index(spark, idx, n_cells=4, train_iters=2)
+            desc = spark.sql(
+                f"DESC FORMATTED {idx.cells_table}"
+            ).collect()
+            kv = {r.col_name: r.data_type for r in desc}
+            assert kv.get("Num Buckets") == "4"
+            assert "cell_id" in kv.get("Bucket Columns", "")
+            probe = ivf_topk_indexed(spark, q, idx, k=4)
+            files = probe.inputFiles()
+            assert any(idx.location in f for f in files)
+            assert not any(corpus_path in f for f in files), (
+                "rebuilt probe re-reads the corpus"
+            )
+
+    def test_int8_without_rescore_needs_corpus(self, spark):
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            build_ivf_index,
+            rebuild_ivf_index,
+            temp_ivf_index,
+        )
+
+        base, _ = self._clustered(spark)
+        with temp_ivf_index(
+            nprobe=2, n_buckets=4, storage="int8"
+        ) as idx:
+            build_ivf_index(base, idx, n_cells=2, train_iters=1)
+            with pytest.raises(ValueError, match="full-precision"):
+                rebuild_ivf_index(spark, idx, n_cells=2)
+            # the documented escape hatch: pass the vector source
+            rebuild_ivf_index(spark, idx, n_cells=2, corpus=base)
+
+
+class TestPqDriftAndRebuild:
+    def test_code_usage_skew_and_rebuild(self, spark):
+        """PQ drift face: codes carry no vectors, so the observable
+        is codeword usage — drifted appends pile onto few codewords
+        (fill skew rises); rebuild re-trains the codebooks on the
+        full corpus and swaps the re-encoded codes in, landing
+        exactly where a fresh build lands."""
+        from openaq_data_pipeline_spark.operators.similarity import (
+            append_pq_index,
+            build_pq_index,
+            pq_code_usage,
+            pq_topk_indexed,
+            rebuild_pq_index,
+            temp_pq_index,
+        )
+
+        e1 = _fixture(spark, 30)
+        # drifted appends: one repeated far-away direction — every
+        # subvector encodes to the same nearest codeword
+        e2 = spark.createDataFrame(
+            [(100 + i, [100.0 + (i % 2)] * 8) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+        q = e1.filter("vec_id < 4")
+        with temp_pq_index(m=4, ksub=8, dim=8, n_buckets=4) as idx, (
+            temp_pq_index(m=4, ksub=8, dim=8, n_buckets=4)
+        ) as fresh:
+            build_pq_index(e1, idx, n_iters=1)
+            before = {
+                r.sub_id: r.fill_skew
+                for r in pq_code_usage(spark, idx).collect()
+            }
+            append_pq_index(e2, idx)
+            after = {
+                r.sub_id: r.fill_skew
+                for r in pq_code_usage(spark, idx).collect()
+            }
+            assert all(after[s] > before[s] for s in before), (
+                before, after,
+            )
+            full = e1.unionByName(e2)
+            rebuild_pq_index(full, idx, n_iters=1)
+            build_pq_index(full, fresh, n_iters=1)
+            got = sorted(
+                (r.query_id, r.rank, r.neighbor_id, r.adc_fp)
+                for r in pq_topk_indexed(spark, q, idx, k=4).collect()
+            )
+            want = sorted(
+                (r.query_id, r.rank, r.neighbor_id, r.adc_fp)
+                for r in pq_topk_indexed(spark, q, fresh, k=4).collect()
+            )
+            assert got == want
+            desc = spark.sql(f"DESC FORMATTED {idx.codes_table}").collect()
+            kv = {r.col_name: r.data_type for r in desc}
+            assert kv.get("Num Buckets") == "4"
