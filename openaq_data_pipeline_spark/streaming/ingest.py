@@ -216,6 +216,79 @@ def stream_corpus_ingest(
 # --- two-gate streaming funnel: exact, then fuzzy ----------------------
 
 
+def _embedding_gate(
+    spark, kept, id_col, vec_col, index, min_cosine, bootstrap_cells,
+    fs, P, root, batch_id,
+):
+    """The embedding near-dup stage of :func:`fuzzy_dedup_gate` —
+    probe what survived the text gates against the persisted IVF
+    index, drop the history matches, marker-guard the append (same
+    staged in-progress convention + join-based crash-scrub as the
+    MinHash stage; markers are ``_emb_batch_<n>`` so the two stages
+    recover independently). Returns the filtered, FROZEN kept frame
+    (checkpointed before the index mutates)."""
+    from openaq_data_pipeline_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_neardup_indexed,
+    )
+
+    have_quantizer = spark.catalog.tableExists(index.centroids_table)
+    if have_quantizer and spark.catalog.tableExists(index.cells_table):
+        matches = ivf_neardup_indexed(
+            spark,
+            kept.select(id_col, vec_col),
+            index,
+            min_cosine=min_cosine,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        # cross-pairs-only + replay stability: a match whose neighbor
+        # is in the CURRENT batch is either a within-batch pair (must
+        # pass) or the replayed batch meeting its own first-attempt
+        # appends (must pass)
+        drops = (
+            matches.join(
+                kept.select(F.col(id_col).alias("neighbor_id")).distinct(),
+                "neighbor_id",
+                "left_anti",
+            )
+            .select(F.col("query_id").alias(id_col))
+            .distinct()
+        )
+        kept = kept.join(drops, id_col, "left_anti")
+    # freeze before the append rewrites what the probe read
+    kept = kept.localCheckpoint(eager=True)
+    marker = f"{root}/_emb_batch_{batch_id}"
+    inprogress = marker + ".__inprogress"
+    if not fs.exists(P(marker)):
+        vecs = kept.select(id_col, vec_col)
+        if fs.exists(P(inprogress)):
+            from openaq_data_pipeline_spark.operators.retraction import (
+                retract_documents_df,
+            )
+
+            retract_documents_df(spark, index, kept.select(id_col), id_col)
+        else:
+            fs.mkdirs(P(inprogress))
+        n_kept = kept.count()  # checkpointed: a metadata-cheap count
+        if n_kept > 0:
+            if have_quantizer:
+                append_ivf_index(vecs, index, id_col=id_col, vec_col=vec_col)
+            else:
+                # first non-empty batch trains the quantizer; frozen
+                # afterwards (the append-stable batch-tier contract)
+                build_ivf_index(
+                    vecs, index,
+                    n_cells=min(bootstrap_cells, n_kept),
+                    train_iters=1,
+                    id_col=id_col, vec_col=vec_col,
+                )
+        fs.mkdirs(P(marker))
+        fs.delete(P(inprogress), True)
+    return kept
+
+
 def fuzzy_dedup_gate(
     text_col: str,
     id_col: str,
@@ -224,6 +297,10 @@ def fuzzy_dedup_gate(
     survivors_path: str,
     denylist=None,
     marker_root: str | None = None,
+    embedding_index=None,
+    vec_col: str | None = None,
+    min_cosine: float = 0.9,
+    bootstrap_cells: int = 8,
 ):
     """``foreachBatch`` body running the FULL incremental funnel per
     micro-batch: the exact gate first (byte-duplicates are the bulk
@@ -262,7 +339,31 @@ def fuzzy_dedup_gate(
       globally unique by the index contract, so such a match can
       only be the replayed batch meeting its own previously-indexed
       copy — both the self-pair and the within-batch cross-pair
-      cases, which the cross-pairs-only contract says must pass)."""
+      cases, which the cross-pairs-only contract says must pass).
+
+    THIRD gate — embedding near-dup (r11, VERDICT r10 next #6): pass
+    ``embedding_index`` (an
+    :class:`~openaq_data_pipeline_spark.operators.similarity.IvfIndex`)
+    + ``vec_col`` and whatever survives the exact and MinHash gates
+    is probed against the persisted IVF index
+    (:func:`~openaq_data_pipeline_spark.operators.similarity
+    .ivf_neardup_indexed`): batch docs whose embedding matches ANY
+    indexed history vector at/above ``min_cosine`` drop, and kept
+    vectors append under the frozen quantizer so the NEXT micro-batch
+    semantic-dedups against them. Replay machinery is the fuzzy
+    gate's, reused verbatim: a separate ``_emb_batch_<n>`` marker
+    pair guards the append (IVF cell appends are not idempotent —
+    a doubled append doubles candidate rows), the in-progress window
+    scrubs via the join-based retraction, and the drop set excludes
+    matches whose ``neighbor_id`` is in the current batch (the
+    cross-pairs-only contract, which also makes a replayed batch
+    immune to its own first-attempt appends). If the index's
+    quantizer does not exist yet, the first non-empty micro-batch
+    bootstrap-trains it (``bootstrap_cells`` cells, one Lloyd
+    iteration) — after which it is FROZEN, the append-stable
+    contract of the batch tier; :func:`~openaq_data_pipeline_spark
+    .operators.similarity.ivf_drift_summary` +
+    ``rebuild_ivf_index`` are the drift story."""
     from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
         append_fuzzy_index,
         incremental_fuzzy_matches,
@@ -274,6 +375,11 @@ def fuzzy_dedup_gate(
             "fuzzy_dedup_gate needs a durable marker root: pass "
             "marker_root= or use an index with a location — without "
             "one, an at-least-once retry could double-append postings"
+        )
+    if embedding_index is not None and vec_col is None:
+        raise ValueError(
+            "fuzzy_dedup_gate: embedding_index needs vec_col (the "
+            "embedding column of the feed)"
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -327,6 +433,11 @@ def fuzzy_dedup_gate(
             append_fuzzy_index(kept, text_col, id_col, fuzzy_index)
             fs.mkdirs(P(marker))
             fs.delete(P(inprogress), True)
+        if embedding_index is not None:
+            kept = _embedding_gate(
+                spark, kept, id_col, vec_col, embedding_index,
+                min_cosine, bootstrap_cells, fs, P, root, batch_id,
+            )
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
             .write.mode("overwrite")
@@ -348,12 +459,19 @@ def stream_corpus_ingest_fuzzy(
     checkpoint_dir: str,
     available_now: bool = True,
     denylist=None,
+    embedding_index=None,
+    vec_col: str | None = None,
+    min_cosine: float = 0.9,
+    bootstrap_cells: int = 8,
 ):
-    """Start the two-gate gated ingestion stream; same lifecycle
-    contract as :func:`stream_corpus_ingest`. The replay markers
-    default to the index location and fall back to a dir under the
-    checkpoint (always durable for a real stream), so the gate's
-    replay guard exists unconditionally."""
+    """Start the gated ingestion stream; same lifecycle contract as
+    :func:`stream_corpus_ingest`. The replay markers default to the
+    index location and fall back to a dir under the checkpoint
+    (always durable for a real stream), so the gate's replay guard
+    exists unconditionally. With ``embedding_index`` + ``vec_col``
+    the feed's embeddings run the third, semantic gate (see
+    :func:`fuzzy_dedup_gate`): a crawl feed can near-dup online
+    across micro-batches through the persisted IVF index."""
     writer = (
         stream_df.writeStream.foreachBatch(
             fuzzy_dedup_gate(
@@ -361,6 +479,10 @@ def stream_corpus_ingest_fuzzy(
                 denylist,
                 marker_root=fuzzy_index.location
                 or f"{checkpoint_dir}/_fuzzy_appends",
+                embedding_index=embedding_index,
+                vec_col=vec_col,
+                min_cosine=min_cosine,
+                bootstrap_cells=bootstrap_cells,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

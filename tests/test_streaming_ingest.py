@@ -722,3 +722,230 @@ class TestRowScopedReplayRule:
         src = inspect.getsource(ingest.fuzzy_dedup_gate)
         assert ".collect()" not in src
         assert "retract_documents_df" in src
+
+
+class TestStreamEmbeddingGate:
+    """Third, semantic gate of the fuzzy ingestion stream (r11,
+    VERDICT r10 next #6): embedding near-dups are caught ONLINE
+    through the persisted IVF index — cross-micro-batch copies that
+    neither the exact hash nor the MinHash text gate can see — with
+    the kept-set/marker replay machinery reused verbatim."""
+
+    SCHEMA_E = "doc_id long, text string, embedding array<float>"
+    E_HIST = [
+        (0, "alpha beta gamma", [1.0, 0.0, 0.0, 0.0]),
+        (1, "delta epsilon zeta", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    # file 1: 11 is fresh on every tier; 12 has FRESH TEXT but its
+    # embedding near-dups history doc 0 (only the semantic gate
+    # catches it)
+    E_FILE1 = [
+        (11, "eta theta iota", [0.0, 0.0, 1.0, 0.0]),
+        (12, "kappa lambda mu", [0.995, 0.05, 0.0, 0.0]),
+    ]
+    # file 2: 21 near-dups SURVIVOR 11's embedding — catchable only
+    # through the index appended by micro-batch 0; 22 is fresh
+    E_FILE2 = [
+        (21, "nu xi omicron", [0.0, 0.0, 0.99, 0.05]),
+        (22, "pi rho sigma", [0.0, 0.0, 0.0, 1.0]),
+    ]
+
+    def _indexes(self, spark):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.operators.similarity import (
+            build_ivf_index,
+            temp_ivf_index,
+        )
+
+        hist = spark.createDataFrame(self.E_HIST, self.SCHEMA_E)
+        eidx = temp_exact_index(n_buckets=4)
+        fidx = temp_fuzzy_index(n_buckets=4)
+        vidx = temp_ivf_index(nprobe=4, n_buckets=4)
+        build_exact_index(hist, "text", "doc_id", eidx)
+        build_fuzzy_index(hist, "text", "doc_id", fidx)
+        build_ivf_index(
+            hist, vidx, n_cells=2, train_iters=1,
+            id_col="doc_id", vec_col="embedding",
+        )
+        return eidx, fidx, vidx
+
+    def test_cross_micro_batch_semantic_copy_caught(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            stream_corpus_ingest_fuzzy,
+        )
+
+        src = str(tmp_path / "incoming")
+        out = str(tmp_path / "survivors")
+
+        def _w(rows):
+            spark.createDataFrame(rows, self.SCHEMA_E).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        _w(self.E_FILE1)
+        time.sleep(1.1)
+        _w(self.E_FILE2)
+        stream = (
+            spark.readStream.schema(self.SCHEMA_E)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        eidx, fidx, vidx = self._indexes(spark)
+        with eidx, fidx, vidx:
+            q = stream_corpus_ingest_fuzzy(
+                stream, "text", "doc_id", eidx, fidx, out,
+                str(tmp_path / "ckpt"),
+                embedding_index=vidx, vec_col="embedding",
+            )
+            q.awaitTermination(120)
+            survivors = {
+                r.doc_id: r.batch_id
+                for r in spark.read.parquet(out).collect()
+            }
+            # 12 near-dups history semantically; 21 near-dups
+            # SURVIVOR 11 — only the persisted index carries that
+            assert survivors == {11: 0, 22: 1}
+            # only kept docs entered the embedding index
+            indexed = {
+                r.neighbor_id
+                for r in spark.table(vidx.cells_table).collect()
+            }
+            assert indexed == {0, 1, 11, 22}
+
+    def test_within_batch_pair_passes_and_replay_is_marker_guarded(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            fuzzy_dedup_gate,
+        )
+
+        out = str(tmp_path / "survivors")
+        batch = spark.createDataFrame(
+            [
+                (31, "tau upsilon phi", [0.0, 0.0, 1.0, 0.0]),
+                (32, "chi psi omega", [0.0, 0.1, 0.99, 0.0]),
+            ],
+            self.SCHEMA_E,
+        )
+        eidx, fidx, vidx = self._indexes(spark)
+        with eidx, fidx, vidx:
+            gate = fuzzy_dedup_gate(
+                "text", "doc_id", eidx, fidx, out,
+                embedding_index=vidx, vec_col="embedding",
+            )
+            gate(batch, 0)
+            first = sorted(
+                r.doc_id for r in spark.read.parquet(out).collect()
+            )
+            # the cross-pairs-only contract: within-batch semantic
+            # near-dups BOTH pass
+            assert first == [31, 32]
+            n_cells_rows = spark.table(vidx.cells_table).count()
+            assert os.path.isdir(
+                os.path.join(fidx.location, "_emb_batch_0")
+            )
+            gate(batch, 0)  # at-least-once replay, marker present
+            second = sorted(
+                r.doc_id for r in spark.read.parquet(out).collect()
+            )
+            # replay reproduces disposition (the neighbor-in-batch
+            # rule keeps the batch from dropping against its own
+            # first-attempt appends) and the marker prevents a
+            # double cell append
+            assert second == [31, 32]
+            assert spark.table(vidx.cells_table).count() == n_cells_rows
+
+    def test_inprogress_crash_retry_scrubs_then_reappends(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            append_ivf_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            fuzzy_dedup_gate,
+        )
+
+        out = str(tmp_path / "survivors")
+        batch = spark.createDataFrame(self.E_FILE1, self.SCHEMA_E)
+        eidx, fidx, vidx = self._indexes(spark)
+        with eidx, fidx, vidx:
+            gate = fuzzy_dedup_gate(
+                "text", "doc_id", eidx, fidx, out,
+                embedding_index=vidx, vec_col="embedding",
+            )
+            gate(batch, 0)
+            clean = spark.table(vidx.cells_table).count()
+            # forge the crash: a torn DOUBLE append landed, the final
+            # marker never promoted, the survivors partition lost
+            append_ivf_index(
+                batch.filter("doc_id = 11"), vidx,
+                id_col="doc_id", vec_col="embedding",
+            )
+            assert spark.table(vidx.cells_table).count() > clean
+            marker = os.path.join(fidx.location, "_emb_batch_0")
+            os.rmdir(marker)
+            os.makedirs(marker + ".__inprogress")
+            shutil.rmtree(os.path.join(out, "batch_id=0"))
+            gate(batch, 0)
+            # survivors rewritten, torn append scrubbed, marker
+            # promoted
+            assert sorted(
+                r.doc_id for r in spark.read.parquet(out).collect()
+            ) == [11]
+            assert spark.table(vidx.cells_table).count() == clean
+            assert os.path.isdir(marker)
+            assert not os.path.exists(marker + ".__inprogress")
+
+    def test_bootstrap_trains_on_first_batch_then_freezes(
+        self, spark, tmp_path
+    ):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.operators.similarity import (
+            temp_ivf_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            fuzzy_dedup_gate,
+        )
+
+        out = str(tmp_path / "survivors")
+        b0 = spark.createDataFrame(self.E_FILE1, self.SCHEMA_E)
+        # 41 semantically copies 11 (fresh text): must drop through
+        # the index the BOOTSTRAPPED quantizer built
+        b1 = spark.createDataFrame(
+            [(41, "tau upsilon phi", [0.0, 0.0, 0.99, 0.05])],
+            self.SCHEMA_E,
+        )
+        with temp_exact_index(n_buckets=4) as eidx, temp_fuzzy_index(
+            n_buckets=4
+        ) as fidx, temp_ivf_index(nprobe=4, n_buckets=4) as vidx:
+            build_exact_index(
+                b0.limit(0), "text", "doc_id", eidx
+            )
+            from openaq_data_pipeline_spark.operators.incremental_fuzzy import (  # noqa: E501
+                build_fuzzy_index,
+            )
+
+            build_fuzzy_index(b0.limit(0), "text", "doc_id", fidx)
+            gate = fuzzy_dedup_gate(
+                "text", "doc_id", eidx, fidx, out,
+                embedding_index=vidx, vec_col="embedding",
+                bootstrap_cells=2,
+            )
+            assert not spark.catalog.tableExists(vidx.centroids_table)
+            gate(b0, 0)
+            assert spark.catalog.tableExists(vidx.centroids_table)
+            n_cents = spark.table(vidx.centroids_table).count()
+            gate(b1, 1)
+            kept = {
+                r.doc_id for r in spark.read.parquet(out).collect()
+            }
+            assert kept == {11, 12}  # batch 1's copy dropped
+            # the quantizer froze at bootstrap (append-stable)
+            assert spark.table(vidx.centroids_table).count() == n_cents
