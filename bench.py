@@ -376,7 +376,7 @@ def main() -> None:
             json.dump({"result": result, "detail": detail}, fh)
         return
 
-    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
+    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     if n_samples <= 1:
         result, detail = run_sample()
     else:
