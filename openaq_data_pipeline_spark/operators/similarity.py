@@ -1059,16 +1059,36 @@ def ivf_drift_metrics(spark, index: IvfIndex) -> DataFrame:
     pass over the cells table with the centroid table broadcast; for
     ``storage="int8"`` the residual is code-space cosine (the
     per-vector scale cancels, same contract as probe scoring)."""
+    from openaq_data_pipeline_spark.catalog import exact_ratio_spark
+
     cells = spark.table(index.cells_table)
     cents = spark.table(index.centroids_table)
     vec = F.col("c_codes") if index.storage == "int8" else F.col("c_vec")
-    res = 1.0 - cosine_expr(vec, F.col("centroid"))
+    # per-row residual rounded into integer fixed point BEFORE the
+    # mean: integer sums are order-insensitive, so the metric is
+    # engine-exact and bit-stable across partitionings (the same
+    # convention as the IVF trainer's IVF_Q_SCALE accumulators)
+    k = 10 ** index.round_dp
+    res_fp = F.greatest(  # cosine's float error can graze 1+ε
+        F.lit(0).cast("long"),
+        F.round(
+            (1.0 - cosine_expr(vec, F.col("centroid"))) * k
+        ).cast("long"),
+    )
     return (
         cells.join(F.broadcast(cents), "cell_id")
         .groupBy("cell_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg(res), index.round_dp).alias("mean_cos_residual"),
+            F.sum(res_fp).alias("__sum_fp"),
+        )
+        .select(
+            "cell_id",
+            "n_vecs",
+            exact_ratio_spark(
+                F.col("__sum_fp"), F.col("n_vecs") * k,
+                out_scale=index.round_dp,
+            ).alias("mean_cos_residual"),
         )
     )
 

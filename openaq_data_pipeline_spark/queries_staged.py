@@ -981,3 +981,156 @@ def q_crawl_route_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
     )
     return texts.select(*out_cols).unionByName(others).orderBy("doc_id")
+
+
+def _ann_drift_oracle() -> str:
+    from openaq_data_pipeline_spark.catalog import exact_ratio_duck
+    from openaq_data_pipeline_spark.queries_ext import (
+        _ivf_trained_cents_duck,
+    )
+
+    cos = (
+        "list_dot_product(a.v, c.c_vec) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(c.c_vec, c.c_vec)))"
+    )
+    return f"""
+WITH {_ivf_trained_cents_duck(8, 1, 64)},
+cents AS (SELECT cell_id, c_vec FROM cents1),
+allvec AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding::DOUBLE[], x -> -x)
+    FROM embeddings
+),
+assign AS (
+    SELECT a.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({cos}, 6) DESC, c.cell_id ASC
+           ) AS rn
+    FROM allvec a CROSS JOIN cents c
+),
+res AS (
+    SELECT s.cell_id,
+           GREATEST(0, CAST(round((1 - ({cos})) * 1000000, 0) AS BIGINT))
+               AS res_fp
+    FROM (SELECT vec_id, cell_id FROM assign WHERE rn = 1) s
+    JOIN allvec a USING (vec_id)
+    JOIN cents c USING (cell_id)
+)
+SELECT cell_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {exact_ratio_duck('sum(res_fp)', 'count(*) * 1000000', 6)}
+           AS mean_cos_residual
+FROM res
+GROUP BY cell_id
+ORDER BY cell_id
+"""
+
+
+@register_staged(
+    "ann_index_drift",
+    "EXT-similarity — quantizer-drift observability (r11): build the "
+    "frozen 8-cell IVF quantizer on the embeddings table, append a "
+    "DRIFTED batch (every vector negated — guaranteed out of "
+    "distribution), and report per-cell fill + mean cosine residual "
+    "in integer fixed point (order-insensitive sums, engine-exact "
+    "mean). The oracle replays training, frozen assignment of base "
+    "AND drifted vectors, and the fixed-point residual mean in one "
+    "statement — the observability face whose threshold drives "
+    "rebuild_ivf_index",
+    oracle=_ann_drift_oracle(),
+)
+def q_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_drift_metrics,
+        temp_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    drift = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    with temp_ivf_index(n_buckets=8) as idx:
+        build_ivf_index(e, idx, n_cells=8, train_iters=1)
+        append_ivf_index(drift, idx)
+        return (
+            ivf_drift_metrics(spark, idx)
+            .orderBy("cell_id")
+            .localCheckpoint(eager=True)
+        )
+
+
+_LATIN26 = "abcdefghijklmnopqrstuvwxyz"
+_CYR26 = "абвгдежзийклмнопрстуфхцчшщ"
+_GRK26 = "αβγδεζηθικλμνξοπρσςτυφχψωή"
+_DIG26 = "01234567890123456789012345"
+
+# a mixed-script seed set: the four Latin UDHR seeds plus Cyrillic
+# and Greek seeds — the regime where the script prefilter actually
+# prunes (the all-Latin default never does, by design)
+_RU_SEED = (
+    "все люди рождаются свободными и равными в своем достоинстве "
+    "и правах они наделены разумом и совестью"
+)
+_EL_SEED = (
+    "ολοι οι ανθρωποι γεννιουνται ελευθεροι και ισοι στην "
+    "αξιοπρεπεια και τα δικαιωματα ειναι προικισμενοι με λογικη"
+)
+
+
+@register_staged(
+    "lang_script_route",
+    "EXT-lm — the Unicode-script prefilter of the lang-id tier "
+    "(r11): documents are rewritten into four script classes by a "
+    "codegen character translation (latin as-is / Cyrillic / Greek / "
+    "digits), the dominant-script histogram classifies each, and "
+    "script_hypotheses reports how many of the 6 mixed-script seed "
+    "languages survive the prune — 4 for Latin docs, 1 for "
+    "Cyrillic/Greek, the full 6 fallback for script-less text. The "
+    "oracle is the CLOSED FORM per residue class, not a replay of "
+    "the histogram",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic'
+         WHEN 2 THEN 'greek' ELSE 'none' END AS script,
+       CAST(CASE doc_id % 4
+         WHEN 0 THEN 4 WHEN 1 THEN 1 WHEN 2 THEN 1
+         ELSE 6 END AS BIGINT) AS n_hypotheses
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_lang_script_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.lm import (
+        LANG_ID_SEEDS,
+        dominant_script,
+        script_hypotheses,
+    )
+
+    seeds = {**LANG_ID_SEEDS, "ru": _RU_SEED, "el": _EL_SEED}
+    d = load(spark, sf_dir, "documents")["documents"]
+    r = F.col("doc_id") % 4
+    synth = d.select(
+        "doc_id",
+        F.when(r == 0, F.col("text"))
+        .when(r == 1, F.translate("text", _LATIN26, _CYR26))
+        .when(r == 2, F.translate("text", _LATIN26, _GRK26))
+        .otherwise(F.translate("text", _LATIN26, _DIG26))
+        .alias("text"),
+    ).localCheckpoint(eager=False)  # two consumers of one synth scan
+    scripts = synth.select(
+        "doc_id", dominant_script(F.col("text")).alias("script")
+    )
+    hyps = (
+        script_hypotheses(synth, "text", "doc_id", seeds=seeds)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hypotheses"))
+    )
+    return scripts.join(hyps, "doc_id").orderBy("doc_id")
