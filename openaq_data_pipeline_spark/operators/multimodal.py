@@ -1130,6 +1130,67 @@ def audio_features(
     )
 
 
+_VIDEO_FEATURE_DDL = (
+    "media_id long, n_bytes long, header_hex string, n_frames long, "
+    "width int, height int, duration_ms long"
+)
+
+
+def video_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary AVI column → per-clip container statistics via Arrow
+    ``mapInPandas`` — HEADER-ONLY (the chunk walk validates the
+    container and counts '00dc' frames; no JPEG decodes — the
+    expensive per-frame work stays in :func:`sample_video_frames`).
+    Integer-exact outputs: n_frames is the walked ground truth,
+    duration_ms = n_frames · dwMicroSecPerFrame // 1000, width/height
+    from the avih header. ``lenient=True`` (the crawl front-door
+    contract) degrades corrupt bytes to NULL columns instead of
+    failing the stage."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _VIDEO_FEATURE_DDL.split(", ", 1)[1]
+    )
+
+    def _stats(blob: bytes):
+        n_frames = sum(1 for _ in _avi_walk(blob))
+        i = blob.find(b"avih")
+        if i < 0:
+            raise ValueError("AVI lacks an avih header")
+        usec, = struct.unpack_from("<I", blob, i + 8)
+        w, = struct.unpack_from("<I", blob, i + 8 + 32)
+        h, = struct.unpack_from("<I", blob, i + 8 + 36)
+        return n_frames, int(w), int(h), n_frames * usec // 1000
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "header_hex", "n_frames",
+                "width", "height", "duration_ms",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                out["header_hex"].append(blob[:4].hex())
+                if lenient:
+                    try:
+                        nf, w, h, ms = _stats(blob)
+                    except Exception:
+                        nf = w = h = ms = None
+                else:
+                    nf, w, h, ms = _stats(blob)
+                out["n_frames"].append(nf)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(ms)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int) -> DataFrame:
     """Video frame-sampling plan: for each media row, the list of
     timestamps to decode (builtin sequence — the expensive decode

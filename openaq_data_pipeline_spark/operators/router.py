@@ -17,11 +17,14 @@ plane:
   (features only — the text planes never see pixels);
 - ``audio/x-wav`` → :func:`~openaq_data_pipeline_spark.operators
   .multimodal.audio_features`;
+- ``video/x-msvideo`` → :func:`~openaq_data_pipeline_spark.operators
+  .multimodal.video_features` (HEADER-ONLY container stats — the
+  expensive per-frame decode stays a batch op behind
+  ``sample_video_frames``);
 - ``application/gzip`` → ONE nested-decode hop (bomb-capped,
   re-sniffed, re-routed; gzip-inside-gzip → discard);
 - everything else (``image/gif`` — no decoder in this container,
-  the pdfium/PIL plug-in point; ZIP containers; AVI video — frame
-  sampling is a batch op, not an intake plane; octet junk) →
+  the pdfium/PIL plug-in point; ZIP containers; octet junk) →
   discard, with the sniffed mime kept for observability.
 
 All text planes converge on the SAME downstream funnel (Gopher
@@ -53,12 +56,14 @@ from openaq_data_pipeline_spark.operators.text import sniff_mime
 ROUTE_TEXT = "text"
 ROUTE_IMAGE = "image"
 ROUTE_AUDIO = "audio"
+ROUTE_VIDEO = "video"
 ROUTE_NESTED = "nested"
 ROUTE_DISCARD = "discard"
 
 _TEXT_MIMES = ("text/html", "application/pdf", "text/plain")
 _IMAGE_MIMES = ("image/png", "image/jpeg")
 _AUDIO_MIMES = ("audio/x-wav",)
+_VIDEO_MIMES = ("video/x-msvideo",)
 
 
 def route_for_mime(mime: Column) -> Column:
@@ -69,6 +74,7 @@ def route_for_mime(mime: Column) -> Column:
         F.when(mime.isin(*_TEXT_MIMES), F.lit(ROUTE_TEXT))
         .when(mime.isin(*_IMAGE_MIMES), F.lit(ROUTE_IMAGE))
         .when(mime.isin(*_AUDIO_MIMES), F.lit(ROUTE_AUDIO))
+        .when(mime.isin(*_VIDEO_MIMES), F.lit(ROUTE_VIDEO))
         .when(mime == "application/gzip", F.lit(ROUTE_NESTED))
         .otherwise(F.lit(ROUTE_DISCARD))
     )
@@ -227,17 +233,19 @@ def crawl_route_planes(
     route_col: str = "route",
     **text_kwargs,
 ) -> dict[str, DataFrame]:
-    """Split a routed frame into its four planes, each already run
+    """Split a routed frame into its five planes, each already run
     through its extractor: ``text`` (uniform extracted-text rows,
-    ready for the quality/lang/dedup funnel), ``image`` /``audio``
-    (lenient real-decode feature rows — corrupt bytes degrade to
-    NULL columns, never fail the stage), ``discard`` (id + mime,
-    for observability). The input should be cached or
-    ``localCheckpoint``-ed by the caller — four consumers.
+    ready for the quality/lang/dedup funnel), ``image`` / ``audio`` /
+    ``video`` (lenient feature rows — corrupt bytes degrade to NULL
+    columns, never fail the stage; the video plane is header-only
+    container stats), ``discard`` (id + mime, for observability).
+    The input should be cached or ``localCheckpoint``-ed by the
+    caller — five consumers.
     """
     from openaq_data_pipeline_spark.operators.multimodal import (
         audio_features,
         extract_features,
+        video_features,
     )
 
     return {
@@ -256,6 +264,12 @@ def crawl_route_planes(
         ),
         ROUTE_AUDIO: audio_features(
             routed.where(F.col(route_col) == ROUTE_AUDIO),
+            content_col=payload_col,
+            id_col=id_col,
+            lenient=True,
+        ),
+        ROUTE_VIDEO: video_features(
+            routed.where(F.col(route_col) == ROUTE_VIDEO),
             content_col=payload_col,
             id_col=id_col,
             lenient=True,

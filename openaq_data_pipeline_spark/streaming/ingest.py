@@ -534,9 +534,10 @@ def crawl_intake_gate(
     .route_crawl_payloads` — magic-byte sniff, one bomb-capped gzip
     hop — so HTML, PDF and plain-text payloads each hit their own
     extractor before CONVERGING on the same Gopher/denylist/exact
-    gates below (one text funnel, whatever the container). Image and
-    audio payloads land as lenient real-decode feature rows under
-    ``media_features_path`` (``.../image``, ``.../audio``), written
+    gates below (one text funnel, whatever the container). Image,
+    audio and video payloads land as lenient feature rows under
+    ``media_features_path`` (``.../image``, ``.../audio``,
+    ``.../video`` — the video plane is header-only stats), written
     with the same per-``batch_id`` dynamic-overwrite idempotence as
     the survivors sink; everything else discards. Survivor rows keep
     their effective ``mime``."""
@@ -577,7 +578,7 @@ def crawl_intake_gate(
                 routed, payload_col, id_col, out_col="__text"
             )
             if media_features_path is not None:
-                for plane in ("image", "audio"):
+                for plane in ("image", "audio", "video"):
                     (
                         planes[plane]
                         .selectExpr("*", f"{batch_id} as batch_id")

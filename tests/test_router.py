@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from openaq_data_pipeline_spark.operators.multimodal import (
+    encode_avi_mjpeg,
     encode_pdf_text,
     encode_png,
     encode_wav_pcm16,
@@ -57,6 +58,12 @@ def _wav() -> bytes:
     )
 
 
+def _avi() -> bytes:
+    return encode_avi_mjpeg(
+        [np.full((8, 8), 100, np.uint8)] * 3, fps=10
+    )
+
+
 class TestRouteCrawlPayloads:
     def _routes(self, spark, payloads):
         df = spark.createDataFrame(
@@ -78,6 +85,7 @@ class TestRouteCrawlPayloads:
                 gzip.compress(ART.encode()),     # 5 gzip(plain) → hop
                 bytes(range(16)) * 4,            # 6 junk
                 None,                            # 7 null fetch
+                _avi(),                          # 8 video
             ],
         )
         expect = {
@@ -89,6 +97,7 @@ class TestRouteCrawlPayloads:
             5: ("text/plain", "text", True),
             6: ("application/octet-stream", "discard", False),
             7: (None, "discard", False),
+            8: ("video/x-msvideo", "video", False),
         }
         assert {
             i: (r.mime, r.route, r.was_gzip) for i, r in got.items()
@@ -189,6 +198,22 @@ class TestLenientMediaDecode:
         assert arows[0].sample_rate == 8000
         assert arows[1].sample_rate is None and arows[1].n_bytes > 0
 
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            video_features,
+        )
+
+        avi = spark.createDataFrame(
+            [(0, _avi()), (1, b"RIFF\x00\x00\x00\x00AVI garbage")],
+            "media_id long, content binary",
+        )
+        vrows = {
+            r.media_id: r
+            for r in video_features(avi, lenient=True).collect()
+        }
+        assert vrows[0].n_frames == 3 and vrows[0].width == 8
+        assert vrows[0].duration_ms == 300
+        assert vrows[1].n_frames is None and vrows[1].n_bytes > 0
+
 
 class TestMixedWarcFrontDoor:
     """VERDICT r10 next #3 done-criterion: ONE WARC carries all five
@@ -220,6 +245,7 @@ class TestMixedWarcFrontDoor:
             ("https://a.org/doc.pdf", encode_pdf_text([art2])),
             ("https://a.org/img", _png()),
             ("https://a.org/clip", _wav()),
+            ("https://a.org/movie", _avi()),
             ("https://a.org/blob", bytes(range(16)) * 4),
         ]
         archive = b"".join(
@@ -252,6 +278,10 @@ class TestMixedWarcFrontDoor:
         assert [r.url for r in aud] == ["https://a.org/clip"]
         assert aud[0].sample_rate == 8000
 
+        vid = planes["video"].collect()
+        assert [r.url for r in vid] == ["https://a.org/movie"]
+        assert vid[0].n_frames == 3 and vid[0].duration_ms == 300
+
         disc = planes["discard"].collect()
         assert [(r.url, r.mime) for r in disc] == [
             ("https://a.org/blob", "application/octet-stream")
@@ -282,6 +312,7 @@ class TestRoutedStreamingIntake:
             (5, "https://a.org/clip", _wav()),
             (6, "https://a.org/blob", bytes(range(16)) * 4),
             (7, "https://a.org/tiny", _page("tiny").encode()),  # gopher
+            (8, "https://a.org/movie", _avi()),
         ]
         src = str(tmp_path / "incoming")
         out = str(tmp_path / "survivors")
@@ -309,3 +340,6 @@ class TestRoutedStreamingIntake:
         aud = spark.read.parquet(f"{media}/audio").collect()
         assert [r.page_id for r in aud] == [5]
         assert aud[0].sample_rate == 8000
+        vid = spark.read.parquet(f"{media}/video").collect()
+        assert [r.page_id for r in vid] == [8]
+        assert vid[0].n_frames == 3
