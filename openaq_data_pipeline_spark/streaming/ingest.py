@@ -216,6 +216,65 @@ def stream_corpus_ingest(
 # --- two-gate streaming funnel: exact, then fuzzy ----------------------
 
 
+def _fuzzy_gate(
+    spark, candidates, text_col, id_col, fuzzy_index, exclude_ids,
+    fs, P, root, batch_id,
+):
+    """The MinHash band-index stage shared by the fuzzy ingestion
+    gate and the crawl intake: disposition ``candidates`` against the
+    index (drop set excludes matches whose ``train_id`` is in
+    ``exclude_ids`` — the cross-pairs-only / replay-stability rule),
+    freeze the kept frame, then marker-guard the append with the
+    staged ``.__inprogress`` convention (crash window scrubbed via
+    the join-based retraction). Returns the frozen kept frame."""
+    from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+        append_fuzzy_index,
+        incremental_fuzzy_matches,
+    )
+
+    matches = incremental_fuzzy_matches(
+        candidates, text_col, id_col, fuzzy_index
+    )
+    dropped = (
+        matches.join(
+            exclude_ids.select(F.col(id_col).alias("train_id")).distinct(),
+            "train_id",
+            "left_anti",
+        )
+        .select(F.col("eval_id").alias(id_col))
+        .distinct()
+    )
+    # freeze BEFORE the index mutates: kept reads the fuzzy index
+    # tables through `matches`, and the append below rewrites them
+    kept = candidates.join(dropped, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    marker = f"{root}/_batch_{batch_id}"
+    inprogress = marker + ".__inprogress"
+    if not fs.exists(P(marker)):
+        if fs.exists(P(inprogress)):
+            # ambiguous crash window: the prior attempt may have
+            # appended some/all tables — scrub this batch's ids
+            # (disposition above is replay-stable, so kept ids
+            # equal the crashed attempt's) before re-appending.
+            # The join-based retraction keeps the batch-sized id
+            # set distributed (VERDICT r9 #6: the literal path
+            # collected a whole batch of ids to the driver)
+            from openaq_data_pipeline_spark.operators.retraction import (
+                retract_documents_df,
+            )
+
+            retract_documents_df(
+                spark, fuzzy_index, kept.select(id_col), id_col
+            )
+        else:
+            fs.mkdirs(P(inprogress))
+        append_fuzzy_index(kept, text_col, id_col, fuzzy_index)
+        fs.mkdirs(P(marker))
+        fs.delete(P(inprogress), True)
+    return kept
+
+
 def _embedding_gate(
     spark, kept, id_col, vec_col, index, min_cosine, bootstrap_cells,
     fs, P, root, batch_id,
@@ -364,11 +423,6 @@ def fuzzy_dedup_gate(
     contract of the batch tier; :func:`~openaq_data_pipeline_spark
     .operators.similarity.ivf_drift_summary` +
     ``rebuild_ivf_index`` are the drift story."""
-    from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
-        append_fuzzy_index,
-        incremental_fuzzy_matches,
-    )
-
     root = marker_root or fuzzy_index.location
     if root is None:
         raise ValueError(
@@ -391,48 +445,13 @@ def fuzzy_dedup_gate(
             id_col,
             "inner",
         )
-        matches = incremental_fuzzy_matches(
-            exact_kept, text_col, id_col, fuzzy_index
-        )
-        dropped = (
-            matches.join(
-                batch_df.select(F.col(id_col).alias("train_id")).distinct(),
-                "train_id",
-                "left_anti",
-            )
-            .select(F.col("eval_id").alias(id_col))
-            .distinct()
-        )
-        # freeze BEFORE the index mutates: kept reads the fuzzy index
-        # tables through `matches`, and the append below rewrites them
-        kept = exact_kept.join(dropped, id_col, "left_anti").localCheckpoint(
-            eager=True
-        )
         spark = batch_df.sparkSession
         fs, P = _hfs(spark, root)
-        marker = f"{root}/_batch_{batch_id}"
-        inprogress = marker + ".__inprogress"
-        if not fs.exists(P(marker)):
-            if fs.exists(P(inprogress)):
-                # ambiguous crash window: the prior attempt may have
-                # appended some/all tables — scrub this batch's ids
-                # (disposition above is replay-stable, so kept ids
-                # equal the crashed attempt's) before re-appending.
-                # The join-based retraction keeps the batch-sized id
-                # set distributed (VERDICT r9 #6: the literal path
-                # collected a whole batch of ids to the driver)
-                from openaq_data_pipeline_spark.operators.retraction import (
-                    retract_documents_df,
-                )
-
-                retract_documents_df(
-                    spark, fuzzy_index, kept.select(id_col), id_col
-                )
-            else:
-                fs.mkdirs(P(inprogress))
-            append_fuzzy_index(kept, text_col, id_col, fuzzy_index)
-            fs.mkdirs(P(marker))
-            fs.delete(P(inprogress), True)
+        kept = _fuzzy_gate(
+            spark, exact_kept, text_col, id_col, fuzzy_index,
+            exclude_ids=batch_df, fs=fs, P=P, root=root,
+            batch_id=batch_id,
+        )
         if embedding_index is not None:
             kept = _embedding_gate(
                 spark, kept, id_col, vec_col, embedding_index,
@@ -507,6 +526,7 @@ def crawl_intake_gate(
     denylist=None,
     payload_col: str | None = None,
     media_features_path: str | None = None,
+    fuzzy_index=None,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -540,7 +560,13 @@ def crawl_intake_gate(
     ``.../video`` — the video plane is header-only stats), written
     with the same per-``batch_id`` dynamic-overwrite idempotence as
     the survivors sink; everything else discards. Survivor rows keep
-    their effective ``mime``."""
+    their effective ``mime``.
+
+    With ``fuzzy_index`` (r11) the extracted text additionally runs
+    the MinHash near-dup stage after the exact gate — the template-
+    respin case exact hashing can't see — via the shared
+    :func:`_fuzzy_gate` (markers + crash scrub rooted at the fuzzy
+    index's location)."""
     from openaq_data_pipeline_spark.operators.frontier import (
         apply_robots,
         url_ledger_gate,
@@ -616,9 +642,25 @@ def crawl_intake_gate(
         kept_ids = _exact_gate_kept(
             gated, "__text", id_col, content_index, survivors_path, batch_id
         )
-        kept = gated.join(kept_ids, id_col, "inner").withColumnRenamed(
-            "__text", "text"
-        )
+        kept = gated.join(kept_ids, id_col, "inner")
+        if fuzzy_index is not None:
+            # near-dup pages (template respins, boilerplate-shuffled
+            # copies) through the persisted MinHash index — same
+            # stage, markers and crash scrub as the fuzzy ingestion
+            # gate, rooted at the fuzzy index's own location
+            froot = fuzzy_index.location
+            if froot is None:
+                raise ValueError(
+                    "crawl_intake_gate: fuzzy_index needs a location "
+                    "for its replay markers"
+                )
+            ffs, FP = _hfs(spark, froot)
+            kept = _fuzzy_gate(
+                spark, kept, "__text", id_col, fuzzy_index,
+                exclude_ids=batch_df, fs=ffs, P=FP, root=froot,
+                batch_id=batch_id,
+            )
+        kept = kept.withColumnRenamed("__text", "text")
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
             .write.mode("overwrite")
@@ -644,6 +686,7 @@ def stream_crawl_intake(
     denylist=None,
     payload_col: str | None = None,
     media_features_path: str | None = None,
+    fuzzy_index=None,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
@@ -652,7 +695,10 @@ def stream_crawl_intake(
     ``payload_col`` set the feed carries raw fetched BYTES and each
     micro-batch is MIME-routed first (see :func:`crawl_intake_gate`):
     html/pdf/plain → their extractors → the shared text funnel;
-    image/audio → feature rows under ``media_features_path``."""
+    image/audio/video → feature rows under ``media_features_path``.
+    With ``fuzzy_index`` the extracted text additionally runs the
+    MinHash near-dup gate after the exact gate — template respins
+    across micro-batches drop through the persisted band index."""
     writer = (
         stream_df.writeStream.foreachBatch(
             crawl_intake_gate(
@@ -660,6 +706,7 @@ def stream_crawl_intake(
                 survivors_path, robots_rules, denylist,
                 payload_col=payload_col,
                 media_features_path=media_features_path,
+                fuzzy_index=fuzzy_index,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -719,9 +719,12 @@ class TestRowScopedReplayRule:
 
         from openaq_data_pipeline_spark.streaming import ingest
 
+        # the stage body moved into the shared _fuzzy_gate helper
+        # (r11: the crawl intake reuses it) — pin both faces
         src = inspect.getsource(ingest.fuzzy_dedup_gate)
-        assert ".collect()" not in src
-        assert "retract_documents_df" in src
+        stage = inspect.getsource(ingest._fuzzy_gate)
+        assert ".collect()" not in src and ".collect()" not in stage
+        assert "retract_documents_df" in stage
 
 
 class TestStreamEmbeddingGate:
@@ -949,3 +952,94 @@ class TestStreamEmbeddingGate:
             assert kept == {11, 12}  # batch 1's copy dropped
             # the quantizer froze at bootstrap (append-stable)
             assert spark.table(vidx.centroids_table).count() == n_cents
+
+
+class TestCrawlIntakeFuzzyStage:
+    """The crawl front door's optional MinHash stage (r11): a
+    template respin of a batch-0 survivor — different bytes, same
+    shingles — drops cross-micro-batch through the persisted band
+    index, inside the full intake composition."""
+
+    def test_near_dup_page_drops_across_batches(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
+            build_fuzzy_index,
+            temp_fuzzy_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            stream_crawl_intake,
+        )
+
+        art = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "the calm river flows through the old valley and the town "
+            "while the people of the village act with reason and care "
+            "in a spirit of brotherhood for all of the free world and "
+            "every autumn the water slows while the village measures "
+            "the change with the same brass gauge it has used for "
+            "eighty years of quiet work"
+        )
+        art_respin = art + " and one closing remark"
+        fresh = (
+            "a different essay altogether about harbor cranes lifting "
+            "steel boxes onto patient ships while gulls argue over "
+            "the morning catch and the tide charts pinned inside the "
+            "harbormaster office curl slowly in the salt air as the "
+            "winter schedule brings fewer vessels and longer quiet "
+            "hours for the crews who repaint hull numbers and mend "
+            "the worn fenders along the pier"
+        )
+
+        def _page(body):
+            return (
+                "<html><body><article><p>" + body + "</p></article>"
+                '<footer><a href="/p">Privacy</a> '
+                '<a href="/t">Terms</a></footer></body></html>'
+            )
+
+        schema = "page_id long, url string, html string"
+        src = str(tmp_path / "incoming")
+        out = str(tmp_path / "survivors")
+        b1 = [(1, "https://a.org/x", _page(art))]
+        b2 = [
+            (2, "https://b.org/copy", _page(art_respin)),  # respin
+            (3, "https://c.org/new", _page(fresh)),
+        ]
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        import time as _t
+
+        _t.sleep(1.1)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist, temp_fuzzy_index(n_buckets=4) as fidx:
+            build_fuzzy_index(
+                spark.createDataFrame([], "page_id long, text string"),
+                "text", "page_id", fidx,
+            )
+            q = stream_crawl_intake(
+                stream, "url", "html", "page_id", ledger, hist, out,
+                str(tmp_path / "ckpt"), fuzzy_index=fidx,
+            )
+            q.awaitTermination(180)
+            got = {
+                r.page_id: r.batch_id
+                for r in spark.read.parquet(out).collect()
+            }
+            # 2's text near-dups survivor 1 (different bytes — the
+            # exact gate passes it; only the persisted MinHash index
+            # catches the respin)
+            assert got == {1: 0, 3: 1}
+            indexed = {
+                r["page_id"]
+                for r in spark.table(fidx.sizes_table).collect()
+            }
+            assert indexed == {1, 3}
