@@ -225,6 +225,40 @@ def extract_routed_text(
     return html.unionByName(pdf).unionByName(plain)
 
 
+def route_stats(
+    routed: DataFrame,
+    mime_col: str = "mime",
+    route_col: str = "route",
+    gzip_col: str = "was_gzip",
+) -> DataFrame:
+    """(mime, route, was_gzip, n_payloads, n_bytes_null) — one
+    partial-aggregable pass over a routed frame: the observability
+    face of the front door ("no silent caps" — every discarded or
+    gzip-mangled payload is countable, never invisibly dropped).
+    ``n_bytes_null`` counts rows whose payload is NULL after routing
+    (failed/bombed gzip hops and NULL fetches)."""
+    # the payload column is whichever binary column survived routing;
+    # callers pass the routed frame unprojected, so find it by type
+    from pyspark.sql.types import BinaryType
+
+    bin_cols = [
+        f.name for f in routed.schema.fields
+        if isinstance(f.dataType, BinaryType)
+    ]
+    null_flag = (
+        F.when(F.col(bin_cols[0]).isNull(), 1).otherwise(0)
+        if bin_cols
+        else F.lit(0)
+    )
+    return (
+        routed.groupBy(mime_col, route_col, gzip_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum(null_flag).cast("long").alias("n_bytes_null"),
+        )
+    )
+
+
 def crawl_route_planes(
     routed: DataFrame,
     payload_col: str,

@@ -1134,3 +1134,52 @@ def q_lang_script_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hypotheses"))
     )
     return scripts.join(hyps, "doc_id").orderBy("doc_id")
+
+
+@register_staged(
+    "video_header_stats",
+    "EXT-multimodal — header-only video container statistics (r11, "
+    "the video plane of the MIME-routed front door): per document a "
+    "real MJPEG-in-AVI clip with doc_id%5+1 frames of a constant "
+    "4x4 grayscale image is encoded by the engine's own writer and "
+    "video_features recovers frame count, dimensions and duration "
+    "from the RIFF chunk walk WITHOUT decoding a single JPEG; the "
+    "oracle is the CLOSED FORM of the encode parameters (frames = "
+    "residue+1, 4x4, 10 fps -> duration = frames*100 ms), ground "
+    "truth rather than a container-walk replay",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 5 + 1 AS BIGINT) AS n_frames,
+       CAST(4 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST((doc_id % 5 + 1) * 100 AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_video_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        video_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        frame = np.full((4, 4), 100, np.uint8)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_avi_mjpeg([frame] * (int(i) % 5 + 1), fps=10)
+                for i in pdf["doc_id"]
+            ]
+            yield pdf[["doc_id", "content"]]
+
+    clips = d.mapInPandas(synth, schema="doc_id long, content binary")
+    return (
+        video_features(clips, "content", id_col="doc_id")
+        .select("doc_id", "n_frames", "width", "height", "duration_ms")
+        .orderBy("doc_id")
+    )

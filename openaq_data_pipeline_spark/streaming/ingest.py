@@ -604,7 +604,14 @@ def crawl_intake_gate(
                 routed, payload_col, id_col, out_col="__text"
             )
             if media_features_path is not None:
-                for plane in ("image", "audio", "video"):
+                from openaq_data_pipeline_spark.operators.router import (
+                    route_stats,
+                )
+
+                # media features, the discard audit (no payload is
+                # ever silently dropped), and per-batch route stats
+                # all land under the same per-batch_id idempotence
+                for plane in ("image", "audio", "video", "discard"):
                     (
                         planes[plane]
                         .selectExpr("*", f"{batch_id} as batch_id")
@@ -613,6 +620,14 @@ def crawl_intake_gate(
                         .partitionBy("batch_id")
                         .parquet(f"{media_features_path}/{plane}")
                     )
+                (
+                    route_stats(routed)
+                    .selectExpr("*", f"{batch_id} as batch_id")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(f"{media_features_path}/route_stats")
+                )
             texts = planes["text"].localCheckpoint(eager=True)
         else:
             texts = html_extract_density(

@@ -22,6 +22,7 @@ from openaq_data_pipeline_spark.operators.router import (
     extract_routed_text,
     gunzip_once,
     route_crawl_payloads,
+    route_stats,
 )
 
 ART = (
@@ -140,6 +141,32 @@ class TestRouteCrawlPayloads:
         assert len(bytes(ok.inner)) == 10_000
         bomb = gunzip_once(df, "payload", "inner", max_bytes=9_999).first()
         assert bomb.inner is None
+
+
+class TestRouteStats:
+    def test_counts_and_null_payload_accounting(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, _page(ART).encode()),
+                (1, ART.encode()),
+                (2, gzip.compress(bytes(100_000))),  # bomb vs cap
+                (3, None),
+            ],
+            "id long, payload binary",
+        )
+        routed = route_crawl_payloads(
+            df, "payload", max_gunzip_bytes=1024
+        )
+        rows = {
+            (r.mime, r.route, r.was_gzip): (r.n_payloads, r.n_bytes_null)
+            for r in route_stats(routed).collect()
+        }
+        assert rows[("text/html", "text", False)] == (1, 0)
+        assert rows[("text/plain", "text", False)] == (1, 0)
+        # the bombed hop is visible: counted AND payload-null
+        assert rows[("application/gzip", "discard", True)] == (1, 1)
+        assert rows[(None, "discard", False)] == (1, 1)
+        assert sum(n for n, _ in rows.values()) == 4
 
 
 class TestExtractRoutedText:
@@ -343,3 +370,17 @@ class TestRoutedStreamingIntake:
         vid = spark.read.parquet(f"{media}/video").collect()
         assert [r.page_id for r in vid] == [8]
         assert vid[0].n_frames == 3
+        # nothing silently dropped: the junk payload is in the
+        # discard audit, and route_stats accounts for every payload
+        disc = spark.read.parquet(f"{media}/discard").collect()
+        assert [(r.page_id, r.mime) for r in disc] == [
+            (6, "application/octet-stream")
+        ]
+        stats = spark.read.parquet(f"{media}/route_stats").collect()
+        assert sum(r.n_payloads for r in stats) == len(rows)
+        by_route = {}
+        for r in stats:
+            by_route[r.route] = by_route.get(r.route, 0) + r.n_payloads
+        assert by_route == {
+            "text": 4, "image": 1, "audio": 1, "video": 1, "discard": 1,
+        }
