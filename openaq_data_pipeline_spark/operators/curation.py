@@ -441,6 +441,63 @@ def mixture_sample(
     )
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    scale: int = 10**6,
+) -> dict[str, int]:
+    """Integer mixture weights p_s ∝ n_s^alpha from ONE bounded
+    per-stratum count aggregate (|strata| rows to the driver) — the
+    temperature-based source sampling of multilingual/multi-corpus
+    training recipes (T5's exponential smoothing, Raffel et al. 2020
+    §3.4.3; mT5's alpha=0.3, Xue et al. 2021): alpha=1 keeps natural
+    proportions, alpha→0 flattens toward uniform, in between
+    up-weights small sources without drowning large ones.
+
+    Weights are ``floor(n^alpha · scale)`` so the map replays
+    engine-exactly wherever n^alpha is IEEE-exact — alpha=0.5 is the
+    oracle-able case (``sqrt`` is correctly rounded in every
+    engine); other alphas go through libm ``pow`` and are supported
+    for the operator face (driver-side, deterministic per platform).
+    NULL strata are ignored (they carry weight 0 downstream)."""
+    import math
+
+    if alpha <= 0:
+        raise ValueError("temperature_mixture_weights: alpha must be > 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[0] is not None
+    }
+    return {
+        s: max(1, int(math.floor((n ** alpha) * scale)))
+        for s, n in counts.items()
+        if n > 0
+    }
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """:func:`mixture_sample` with temperature-derived weights: the
+    largest corpus whose composition matches p_s ∝ n_s^alpha — the
+    binding stratum (after flattening, always the SMALLEST source at
+    alpha<1) is kept whole and the rest hash-down-sample to match,
+    under the engine's seed-free MD5-bucket rule. Two tiny count
+    aggregates (one for the weights, one inside the sampler) + the
+    broadcast threshold join; the big side never shuffles."""
+    return mixture_sample(
+        df, id_col, stratum_col,
+        temperature_mixture_weights(df, stratum_col, alpha),
+    )
+
+
 def epoch_upsample(
     df: DataFrame,
     id_col: str,

@@ -1183,3 +1183,64 @@ def q_video_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_frames", "width", "height", "duration_ms")
         .orderBy("doc_id")
     )
+
+
+_TEMP_SRC_DUCK = (
+    "CASE WHEN doc_id % 10 < 5 THEN 'web' "
+    "WHEN doc_id % 10 < 8 THEN 'books' ELSE 'code' END"
+)
+
+
+@register_staged(
+    "temperature_mixture_sqrt",
+    "EXT-curation — temperature-based source sampling (T5's "
+    "exponential smoothing / mT5's alpha-sampling) at alpha=0.5: "
+    "strata synthesized 50/30/20 from doc_id residues get weights "
+    "proportional to sqrt(n) — the flattening that up-weights small "
+    "sources — and the largest matching corpus is kept under the "
+    "engine's MD5-bucket mixture rule. The oracle replays counts, "
+    "floor(sqrt(n)*1e6) integer weights (sqrt is IEEE-exact in both "
+    "engines) and the ppm threshold math from scratch",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_TEMP_SRC_DUCK} AS src FROM documents
+),
+counts AS (
+    SELECT src, count(*) AS n,
+           CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+    FROM base GROUP BY src
+),
+cap AS (SELECT min(n * 1000000 // w) AS t FROM counts),
+thr AS (
+    SELECT src, ((w * t // n) * 4294967296 // 1000000) AS thr
+    FROM counts, cap
+)
+SELECT b.doc_id, b.src,
+       CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS bucket32,
+       CAST(t.thr AS BIGINT) AS thr
+FROM base b JOIN thr t USING (src)
+WHERE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      < t.thr
+ORDER BY doc_id
+""",
+)
+def q_temperature_mixture_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.curation import (
+        temperature_mixture,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    r = F.col("doc_id") % 10
+    strat = d.select(
+        "doc_id",
+        F.when(r < 5, F.lit("web"))
+        .when(r < 8, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("src"),
+    )
+    return (
+        temperature_mixture(strat, "doc_id", "src", alpha=0.5)
+        .select("doc_id", "src", "bucket32", "thr")
+        .orderBy("doc_id")
+    )

@@ -1760,3 +1760,66 @@ class TestEpochUpsample:
             .collect()[0][0]
         )
         assert avg > 2.5
+
+
+class TestTemperatureMixture:
+    """Temperature-based source sampling (r11): alpha=1 keeps natural
+    proportions (everything survives), alpha<1 flattens — small
+    sources keep a larger fraction than big ones — and the realized
+    composition matches the sqrt-weight mixture exactly."""
+
+    def _corpus(self, spark, sizes):
+        rows = []
+        i = 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, src string")
+
+    def test_alpha_one_is_natural_proportions(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import (
+            temperature_mixture,
+        )
+
+        df = self._corpus(spark, {"a": 400, "b": 100, "c": 25})
+        kept = temperature_mixture(df, "doc_id", "src", alpha=1.0)
+        # weights ∝ n exactly → the whole corpus is the largest
+        # matching mixture — nothing drops
+        assert kept.count() == 525
+
+    def test_alpha_half_flattens_toward_small_sources(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import (
+            temperature_mixture,
+            temperature_mixture_weights,
+        )
+
+        sizes = {"a": 400, "b": 100, "c": 25}
+        df = self._corpus(spark, sizes)
+        w = temperature_mixture_weights(df, "src", alpha=0.5)
+        # sqrt weights: 20 : 10 : 5 (×1e6)
+        assert w == {"a": 20_000_000, "b": 10_000_000, "c": 5_000_000}
+        kept = {
+            r.src: r.n
+            for r in temperature_mixture(df, "doc_id", "src", alpha=0.5)
+            .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # binding stratum (smallest after flattening) kept whole
+        assert kept["c"] == 25
+        # target composition 20:10:5 → a ≈ 100, b ≈ 50 (hash-bucket
+        # realization: binomial std ≈ 9 / 5 at these sizes — allow 3σ)
+        assert abs(kept["a"] - 100) <= 27 and abs(kept["b"] - 50) <= 15
+        # flattening: keep-RATE rises as source size falls
+        rates = {s: kept[s] / n for s, n in sizes.items()}
+        assert rates["c"] > rates["b"] > rates["a"]
+
+    def test_bad_alpha_raises(self, spark):
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            temperature_mixture_weights,
+        )
+
+        df = self._corpus(spark, {"a": 4})
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mixture_weights(df, "src", alpha=0.0)
