@@ -337,8 +337,11 @@ def _df_transform(src: DataFrame, ids_df: DataFrame, id_names: frozenset):
     for kind, f in _df_targets(src.schema, id_names):
         if kind == "id":
             ids = _ids_frame(ids_df, f.dataType)
+            # plain equality: NULL id rows survive LOCALLY (NULL = x
+            # is never true in an anti-join), instead of depending on
+            # _ids_frame's NULL filter upstream
             out = out.join(
-                ids, out[f.name].eqNullSafe(ids["__rid"]), "left_anti"
+                ids, out[f.name] == ids["__rid"], "left_anti"
             )
         elif kind == "id_array":
             ids = _ids_frame(ids_df, f.dataType.elementType)

@@ -230,24 +230,37 @@ def route_stats(
     mime_col: str = "mime",
     route_col: str = "route",
     gzip_col: str = "was_gzip",
+    payload_col: str | None = None,
 ) -> DataFrame:
     """(mime, route, was_gzip, n_payloads, n_bytes_null) — one
     partial-aggregable pass over a routed frame: the observability
     face of the front door ("no silent caps" — every discarded or
     gzip-mangled payload is countable, never invisibly dropped).
     ``n_bytes_null`` counts rows whose payload is NULL after routing
-    (failed/bombed gzip hops and NULL fetches)."""
-    # the payload column is whichever binary column survived routing;
-    # callers pass the routed frame unprojected, so find it by type
+    (failed/bombed gzip hops and NULL fetches).
+
+    ``payload_col`` names the payload explicitly; when omitted it is
+    inferred only if the schema carries exactly one binary column —
+    two binary columns (e.g. a kept raw-bytes copy beside the decoded
+    payload) make the inference ambiguous and raise instead of
+    silently counting the wrong column.
+    """
     from pyspark.sql.types import BinaryType
 
-    bin_cols = [
-        f.name for f in routed.schema.fields
-        if isinstance(f.dataType, BinaryType)
-    ]
+    if payload_col is None:
+        bin_cols = [
+            f.name for f in routed.schema.fields
+            if isinstance(f.dataType, BinaryType)
+        ]
+        if len(bin_cols) > 1:
+            raise ValueError(
+                "route_stats: multiple binary columns "
+                f"{bin_cols}; pass payload_col explicitly"
+            )
+        payload_col = bin_cols[0] if bin_cols else None
     null_flag = (
-        F.when(F.col(bin_cols[0]).isNull(), 1).otherwise(0)
-        if bin_cols
+        F.when(F.col(payload_col).isNull(), 1).otherwise(0)
+        if payload_col is not None
         else F.lit(0)
     )
     return (

@@ -1194,6 +1194,25 @@ def rebuild_ivf_index(
             assign = ivf_assign(
                 full, cent_rows, "neighbor_id", "c_vec", index.round_dp
             )
+            # "no silent caps": the inner join below drops any indexed
+            # id absent from the vector source — an index that shrinks
+            # with no error. Count the gap BEFORE the staged swap and
+            # refuse (the anti-join is bucket-local on neighbor_id).
+            missing = (
+                df.select("neighbor_id")
+                .join(
+                    full.select("neighbor_id"), "neighbor_id", "left_anti"
+                )
+                .count()
+            )
+            if missing:
+                raise ValueError(
+                    f"rebuild_ivf_index: {missing} indexed ids are "
+                    "missing from the vector source (rescore table / "
+                    "corpus=) — rebuilding would silently shrink the "
+                    "index; pass a corpus covering every indexed id "
+                    "or retract the missing ids first"
+                )
         return (
             df.drop("cell_id")
             .join(assign, "neighbor_id")

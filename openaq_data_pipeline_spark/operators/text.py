@@ -310,6 +310,16 @@ def gopher_rules(
     )
 
 
+def _quote_literal(word: str) -> str:
+    """Regex-quote ``word`` for Java's regex engine: \\Q…\\E with any
+    embedded ``\\E`` split out and escaped (``java.util.regex.
+    Pattern.quote`` semantics) — a naive ``\\Q{w}\\E`` silently turns
+    the tail of a word containing ``\\E`` into live regex."""
+    # Each embedded "\E" becomes: end-quote, escaped backslash,
+    # literal E, restart-quote — exactly Pattern.quote's rewrite.
+    return "\\Q" + word.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def c4_rules(
     df,
     text_col: str,
@@ -355,11 +365,14 @@ def c4_rules(
     r_lorem = ~F.lower(F.col(text_col)).contains("lorem ipsum")
     r_brace = ~F.col(text_col).contains("{")
     if bad_words:
-        # \Q…\E-quote each word: a list entry containing regex
-        # metacharacters ('.', '(', '+') must match literally, not
-        # silently change the pattern's semantics or break it.
+        # Quote each word so regex metacharacters ('.', '(', '+')
+        # match literally. \Q…\E alone breaks when a word itself
+        # contains the two-char sequence '\E' (quoting ends early and
+        # the tail runs as live regex), so split on '\E' and re-quote
+        # each piece with the separator escaped — the same scheme as
+        # java.util.regex.Pattern.quote.
         r_bad = ~F.lower(F.col(text_col)).rlike(
-            r"\b(?:" + "|".join(f"\\Q{w}\\E" for w in bad_words) + r")\b"
+            r"\b(?:" + "|".join(_quote_literal(w) for w in bad_words) + r")\b"
         )
     else:
         r_bad = F.lit(True)

@@ -218,7 +218,7 @@ def stream_corpus_ingest(
 
 def _fuzzy_gate(
     spark, candidates, text_col, id_col, fuzzy_index, exclude_ids,
-    fs, P, root, batch_id,
+    fs, P, root, batch_id, marker_prefix="_batch",
 ):
     """The MinHash band-index stage shared by the fuzzy ingestion
     gate and the crawl intake: disposition ``candidates`` against the
@@ -226,7 +226,13 @@ def _fuzzy_gate(
     ``exclude_ids`` — the cross-pairs-only / replay-stability rule),
     freeze the kept frame, then marker-guard the append with the
     staged ``.__inprogress`` convention (crash window scrubbed via
-    the join-based retraction). Returns the frozen kept frame."""
+    the join-based retraction). Returns the frozen kept frame.
+
+    ``marker_prefix`` namespaces the replay markers per GATE: the
+    ingest funnel uses ``_batch`` and the crawl intake
+    ``_crawl_batch``, so one fuzzy index shared by both streams never
+    sees colliding ``batch_id``s (a collision would make the second
+    stream silently skip its index append)."""
     from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
         append_fuzzy_index,
         incremental_fuzzy_matches,
@@ -249,7 +255,7 @@ def _fuzzy_gate(
     kept = candidates.join(dropped, id_col, "left_anti").localCheckpoint(
         eager=True
     )
-    marker = f"{root}/_batch_{batch_id}"
+    marker = f"{root}/{marker_prefix}_{batch_id}"
     inprogress = marker + ".__inprogress"
     if not fs.exists(P(marker)):
         if fs.exists(P(inprogress)):
@@ -673,7 +679,7 @@ def crawl_intake_gate(
             kept = _fuzzy_gate(
                 spark, kept, "__text", id_col, fuzzy_index,
                 exclude_ids=batch_df, fs=ffs, P=FP, root=froot,
-                batch_id=batch_id,
+                batch_id=batch_id, marker_prefix="_crawl_batch",
             )
         kept = kept.withColumnRenamed("__text", "text")
         (

@@ -1071,6 +1071,32 @@ class TestIvfDriftAndRebuild:
             # the documented escape hatch: pass the vector source
             rebuild_ivf_index(spark, idx, n_cells=2, corpus=base)
 
+    def test_rebuild_refuses_vector_source_gaps(self, spark):
+        """ADVICE r11: an int8 rebuild whose vector source is missing
+        indexed ids must REFUSE before the staged swap — the inner
+        reassignment join would otherwise silently shrink the index
+        ('no silent caps')."""
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_topk_indexed,
+            rebuild_ivf_index,
+            temp_ivf_index,
+        )
+
+        base, _ = self._clustered(spark)
+        partial = base.filter("vec_id < 15")  # drops ids 15..19
+        q = base.filter("vec_id = 3")
+        with temp_ivf_index(
+            nprobe=2, n_buckets=4, storage="int8"
+        ) as idx:
+            build_ivf_index(base, idx, n_cells=2, train_iters=1)
+            with pytest.raises(ValueError, match="missing from the"):
+                rebuild_ivf_index(spark, idx, n_cells=2, corpus=partial)
+            # the refused rebuild left the index intact and probeable
+            assert ivf_topk_indexed(spark, q, idx, k=3).count() == 3
+
 
 class TestPqDriftAndRebuild:
     def test_code_usage_skew_and_rebuild(self, spark):

@@ -1666,6 +1666,41 @@ class TestC4Rules:
         assert got[1].keep and got[1].r_no_badwords
         assert not got[2].keep and not got[2].r_no_badwords
 
+    def test_badwords_embedded_backslash_e(self, spark):
+        r"""A bad word containing the two-char sequence '\E' must not
+        break the whole pattern: naive \Q…\E quoting ends early there
+        and the orphan \E later makes the regex INVALID, killing the
+        other list entries too (r11 ADVICE). Pattern.quote semantics:
+        split on \E and re-quote each piece."""
+        five = (
+            "First proper sentence here. Second one follows. "
+            "Third one too. Fourth sentence lands. Fifth closes it."
+        )
+        rows = [(1, five), (2, five.replace("Third", "Vexword"))]
+        got = self._run(spark, rows, bad_words=[r"x\Ey", "vexword"])
+        assert got[1].keep and got[1].r_no_badwords
+        assert not got[2].keep and not got[2].r_no_badwords
+
+    def test_quote_literal_matches_pattern_quote(self, spark):
+        r"""_quote_literal on an \E-containing word still matches the
+        literal bytes (checked against Spark's own regex engine, no
+        lowering in the way)."""
+        from openaq_data_pipeline_spark.operators.text import (
+            _quote_literal,
+        )
+
+        pat = _quote_literal(r"a\Eb.c")
+        df = spark.createDataFrame(
+            [(1, r"a\Eb.c"), (2, r"a\Ebzc")], "i long, s string"
+        )
+        got = {
+            r.i: r.m
+            for r in df.select(
+                "i", F.col("s").rlike(pat).alias("m")
+            ).collect()
+        }
+        assert got == {1: True, 2: False}
+
 
 class TestEpochUpsample:
     """Per-domain epoch repetition: copies = floor(e) (+1 on the MD5

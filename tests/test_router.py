@@ -168,6 +168,21 @@ class TestRouteStats:
         assert rows[(None, "discard", False)] == (1, 1)
         assert sum(n for n, _ in rows.values()) == 4
 
+    def test_two_binary_columns_need_explicit_payload(self, spark):
+        """ADVICE r11: a kept raw-bytes side column must not silently
+        steal the NULL accounting — ambiguity raises, and an explicit
+        payload_col binds to the right column."""
+        df = spark.createDataFrame(
+            [(0, ART.encode()), (1, None)], "id long, payload binary"
+        )
+        routed = route_crawl_payloads(df, "payload").withColumn(
+            "raw_copy", F.lit(b"\x00")  # never NULL — the wrong answer
+        )
+        with pytest.raises(ValueError, match="payload_col"):
+            route_stats(routed)
+        rows = route_stats(routed, payload_col="payload").collect()
+        assert sum(r.n_bytes_null for r in rows) == 1
+
 
 class TestExtractRoutedText:
     def test_three_extractors_converge(self, spark):

@@ -1043,3 +1043,16 @@ class TestCrawlIntakeFuzzyStage:
                 for r in spark.table(fidx.sizes_table).collect()
             }
             assert indexed == {1, 3}
+            # ADVICE r11: crawl-intake markers are NAMESPACED so a
+            # fuzzy index shared with an ingest-funnel gate (which
+            # owns the `_batch_<n>` names) never collides — a
+            # collision makes the second stream silently skip its
+            # index append
+            import os
+
+            assert os.path.isdir(
+                os.path.join(fidx.location, "_crawl_batch_0")
+            )
+            assert not os.path.exists(
+                os.path.join(fidx.location, "_batch_0")
+            )
