@@ -259,7 +259,7 @@ def locality_coalesce_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "surrogate_keys",
     "F13 — dbt_utils-compatible MD5 surrogate key incl. NULL sentinel "
     "(stg_openaq__locations.sql:13)",
@@ -372,7 +372,7 @@ def revenue_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "ri_violations",
     "J3,A8 — referential-integrity anti-join test (staging.yml:64-68): "
     "lineitem suppliers must exist; healthy data → empty result",
@@ -593,7 +593,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "events_variant_extract",
     "F1/§1.3 — schema-on-read via Spark 4 VariantType (parse_json + "
     "try_variant_get), the maximal drift-tolerance regime SURVEY §1.2 "

@@ -2271,7 +2271,7 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_rotated(
     "weather_pivot_conversion",
     "A3,F10 — conditional-AVG pivot with the unit conversion inside the "
     "aggregate (mart_location_weather.sql:70-78: AVG(CASE WHEN id=100 THEN "

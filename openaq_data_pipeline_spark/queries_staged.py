@@ -883,7 +883,7 @@ def q_pdf_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- r11 staged candidates ----------------------------------------------
 
 
-@register_staged(
+@register(
     "crawl_route_extract",
     "EXT-router — the MIME-routed crawl front door (r11: where a "
     "mixed-modality feed becomes one text funnel): per document a "
@@ -1030,7 +1030,7 @@ ORDER BY cell_id
 """
 
 
-@register_staged(
+@register(
     "ann_index_drift",
     "EXT-similarity — quantizer-drift observability (r11): build the "
     "frozen 8-cell IVF quantizer on the embeddings table, append a "
@@ -1084,7 +1084,7 @@ _EL_SEED = (
 )
 
 
-@register_staged(
+@register(
     "lang_script_route",
     "EXT-lm — the Unicode-script prefilter of the lang-id tier "
     "(r11): documents are rewritten into four script classes by a "
@@ -1136,7 +1136,7 @@ def q_lang_script_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scripts.join(hyps, "doc_id").orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "video_header_stats",
     "EXT-multimodal — header-only video container statistics (r11, "
     "the video plane of the MIME-routed front door): per document a "
@@ -1191,7 +1191,7 @@ _TEMP_SRC_DUCK = (
 )
 
 
-@register_staged(
+@register(
     "temperature_mixture_sqrt",
     "EXT-curation — temperature-based source sampling (T5's "
     "exponential smoothing / mT5's alpha-sampling) at alpha=0.5: "

@@ -24,7 +24,7 @@ from openaq_data_pipeline_spark.catalog import (
 from openaq_data_pipeline_spark.operators.temporal import asof_join, range_join_binned
 
 
-@register(
+@register_rotated(
     "asof_state_join",
     "EXT-temporal — backward as-of LEFT join: each purchase event "
     "picks up the latest signup state at-or-before its timestamp per "
