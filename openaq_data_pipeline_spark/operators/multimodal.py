@@ -1140,21 +1140,25 @@ def video_features(
     df: DataFrame, content_col: str = "content", id_col: str = "media_id",
     lenient: bool = False,
 ) -> DataFrame:
-    """Binary AVI column → per-clip container statistics via Arrow
-    ``mapInPandas`` — HEADER-ONLY (the chunk walk validates the
-    container and counts '00dc' frames; no JPEG decodes — the
-    expensive per-frame work stays in :func:`sample_video_frames`).
-    Integer-exact outputs: n_frames is the walked ground truth,
-    duration_ms = n_frames · dwMicroSecPerFrame // 1000, width/height
-    from the avih header. ``lenient=True`` (the crawl front-door
-    contract) degrades corrupt bytes to NULL columns instead of
-    failing the stage."""
+    """Binary video column (RIFF/AVI or ISO-BMFF/MP4, dispatched by
+    magic) → per-clip container statistics via Arrow ``mapInPandas``
+    — HEADER-ONLY: the AVI chunk walk validates the container and
+    counts '00dc' frames; the MP4 box walk (:func:`_mp4_stats`)
+    reads mvhd/tkhd/stsz and cross-checks the declared sample bytes
+    against mdat. No frame decodes — the expensive per-frame work
+    stays in :func:`sample_video_frames`. Integer-exact outputs:
+    AVI duration_ms = n_frames · dwMicroSecPerFrame // 1000; MP4
+    duration_ms = mvhd duration·1000//timescale. ``lenient=True``
+    (the crawl front-door contract) degrades corrupt bytes to NULL
+    columns instead of failing the stage."""
     id_ddl = (
         f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
         + _VIDEO_FEATURE_DDL.split(", ", 1)[1]
     )
 
     def _stats(blob: bytes):
+        if blob[4:8] == b"ftyp":
+            return _mp4_stats(blob)
         n_frames = sum(1 for _ in _avi_walk(blob))
         i = blob.find(b"avih")
         if i < 0:
@@ -1359,6 +1363,243 @@ def decode_avi_mjpeg(content: bytes) -> list[np.ndarray]:
             f"AVI declares {declared} frames but movi holds {len(frames)}"
         )
     return frames
+
+
+# --- video container: ISO-BMFF / MP4 (public ISO/IEC 14496-12) ----------
+#
+# VERDICT r11 next #3: MP4 is the majority video container on the
+# public web, and until now only AVI routed to the video plane. The
+# engine never decodes MP4 sample payloads (no sane pure-NumPy H.264
+# exists — the ffmpeg plug-in point); what a crawl needs from MP4 is
+# the HEADER walk: frame count, dimensions and duration from the box
+# tree, whose layout is public ISO/IEC 14496-12 — a file is a
+# sequence of boxes (u32 BE size + fourcc, size==1 → u64 largesize,
+# size==0 → box runs to EOF), `ftyp` first, metadata under
+# moov/{mvhd, trak/{tkhd, mdia/{mdhd, hdlr, minf/stbl/stsz}}}.
+# encode_mp4_stub writes a structurally VALID minimal file (real box
+# tree, correct fixed-point fields, stco offsets into a real mdat)
+# with OPAQUE deterministic sample payloads — the walker is the
+# product; the stub is its fixture / closed-form-oracle face.
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    """One ISO-BMFF box: u32 BE size (incl. the 8-byte header) + tag."""
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _mp4_full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    """FullBox: box + leading u8 version / u24 flags."""
+    return _mp4_box(tag, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4_stub(
+    n_frames: int,
+    width: int,
+    height: int,
+    fps: int = 10,
+    frame_payload: int = 16,
+) -> bytes:
+    """A minimal but structurally VALID ISO-BMFF/MP4 file: real ftyp/
+    moov/mvhd/trak/tkhd/mdia/mdhd/hdlr(vide)/minf/stbl box tree with
+    correct 16.16 fixed-point dimensions, a one-entry stts/stsc, a
+    per-sample stsz, an stco whose chunk offset points at the REAL
+    mdat payload start, and ``n_frames`` opaque deterministic sample
+    payloads (frame f = byte f%256 × ``frame_payload``). Movie and
+    media timescale = ``fps`` with one tick per frame, so
+    duration_ms = n_frames·1000//fps — closed form for oracles.
+    Sample payloads are NOT a real video codec (documented stub; the
+    header walk is the product)."""
+    if n_frames < 1:
+        raise ValueError("MP4 needs at least one frame")
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42"
+    )
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n_frames)       # times, ts, dur
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)    # rate, volume
+        + b"\x00" * 8
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24                                   # pre_defined
+        + struct.pack(">I", 2),                          # next_track_ID
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,                                   # enabled|in-movie
+        struct.pack(">IIIII", 0, 0, 1, 0, n_frames)      # track_ID 1, dur
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)               # layer/alt/vol
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n_frames)
+        + struct.pack(">HH", 0x55C4, 0),                 # lang 'und'
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    sample_entry = (                                     # §12.1.3 visual
+        b"\x00" * 6 + struct.pack(">H", 1)               # data_ref_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)     # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)             # frame_count
+        + b"\x00" * 32                                   # compressorname
+        + struct.pack(">Hh", 24, -1)                     # depth, pre_def
+    )
+    stsd = _mp4_full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + _mp4_box(b"mp4v", sample_entry),
+    )
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n_frames, 1))
+    stsc = _mp4_full(
+        b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_frames, 1)
+    )
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n_frames)
+        + struct.pack(f">{n_frames}I", *([frame_payload] * n_frames)),
+    )
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _mp4_box(
+        b"dinf",
+        _mp4_full(
+            b"dref", 0, 0,
+            struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""),
+        ),
+    )
+
+    def moov_at(data_off: int) -> bytes:
+        stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, data_off))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    # stco holds an absolute file offset; the box sizes don't depend
+    # on its value, so one placeholder pass fixes the layout
+    data_off = len(ftyp) + len(moov_at(0)) + 8
+    mdat = _mp4_box(
+        b"mdat",
+        b"".join(
+            bytes([f % 256]) * frame_payload for f in range(n_frames)
+        ),
+    )
+    return ftyp + moov_at(data_off) + mdat
+
+
+def _mp4_boxes(blob, off: int, end: int):
+    """Yield (fourcc, body_off, box_end) for each box in
+    ``blob[off:end]`` — fails loudly on truncation or nonsense sizes
+    (same hygiene as :func:`_avi_walk`)."""
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack_from(">I", blob, off)
+        tag = bytes(blob[off + 4 : off + 8])
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated MP4 largesize")
+            (size,) = struct.unpack_from(">Q", blob, off + 8)
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off or off + size > end:
+            raise ValueError(f"bad MP4 box size for {tag!r}")
+        yield tag, body, off + size
+        off += size
+
+
+def _mp4_trak_stats(blob, off: int, end: int):
+    """(n_frames, width, height, sample_bytes) when the trak at
+    [off, end) is a VIDEO track (hdlr handler 'vide'), else None."""
+    tkhd = mdia = None
+    for t, b, e in _mp4_boxes(blob, off, end):
+        if t == b"tkhd":
+            tkhd = (b, e)
+        elif t == b"mdia":
+            mdia = (b, e)
+    if tkhd is None or mdia is None:
+        raise ValueError("MP4 trak lacks tkhd/mdia")
+    hdlr = minf = None
+    for t, b, e in _mp4_boxes(blob, *mdia):
+        if t == b"hdlr":
+            hdlr = (b, e)
+        elif t == b"minf":
+            minf = (b, e)
+    if hdlr is None or bytes(blob[hdlr[0] + 8 : hdlr[0] + 12]) != b"vide":
+        return None
+    # tkhd width/height: 16.16 fixed point at the end of the box
+    ver = blob[tkhd[0]]
+    w, h = struct.unpack_from(">II", blob, tkhd[0] + (88 if ver else 76))
+    if minf is None:
+        raise ValueError("MP4 video trak lacks minf")
+    stbl = None
+    for t, b, e in _mp4_boxes(blob, *minf):
+        if t == b"stbl":
+            stbl = (b, e)
+    if stbl is None:
+        raise ValueError("MP4 video trak lacks stbl")
+    for t, b, e in _mp4_boxes(blob, *stbl):
+        if t == b"stsz":
+            fixed, count = struct.unpack_from(">II", blob, b + 4)
+            total = (
+                fixed * count
+                if fixed
+                else sum(struct.unpack_from(f">{count}I", blob, b + 12))
+            )
+            return count, w >> 16, h >> 16, total
+    raise ValueError("MP4 video trak lacks stsz")
+
+
+def _mp4_stats(blob) -> tuple[int, int, int, int]:
+    """(n_frames, width, height, duration_ms) from the box tree —
+    HEADER-ONLY, and validated rather than trusted: ftyp must come
+    first, mvhd/video-trak/stsz must exist, and the stsz-declared
+    sample bytes must fit inside mdat (a header that promises more
+    frames than the payload holds fails loudly, like the AVI
+    walker's declared-vs-walked check)."""
+    boxes = list(_mp4_boxes(blob, 0, len(blob)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (ftyp must come first)")
+    moov = next(((b, e) for t, b, e in boxes if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 lacks a moov box")
+    mdat_bytes = sum(e - b for t, b, e in boxes if t == b"mdat")
+    dur_ms = vid = None
+    for t, b, e in _mp4_boxes(blob, *moov):
+        if t == b"mvhd":
+            ver = blob[b]
+            if ver:
+                (ts,) = struct.unpack_from(">I", blob, b + 20)
+                (dur,) = struct.unpack_from(">Q", blob, b + 24)
+            else:
+                ts, dur = struct.unpack_from(">II", blob, b + 12)
+            if ts == 0:
+                raise ValueError("MP4 mvhd timescale is zero")
+            dur_ms = dur * 1000 // ts
+        elif t == b"trak" and vid is None:
+            vid = _mp4_trak_stats(blob, b, e)
+    if dur_ms is None:
+        raise ValueError("MP4 lacks an mvhd box")
+    if vid is None:
+        raise ValueError("MP4 has no video trak")
+    n_frames, w, h, sample_bytes = vid
+    if sample_bytes > mdat_bytes:
+        raise ValueError(
+            f"MP4 stsz declares {sample_bytes} sample bytes but mdat "
+            f"holds {mdat_bytes}"
+        )
+    return n_frames, w, h, dur_ms
 
 
 def synthetic_videos(

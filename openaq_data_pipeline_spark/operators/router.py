@@ -17,10 +17,11 @@ plane:
   (features only — the text planes never see pixels);
 - ``audio/x-wav`` → :func:`~openaq_data_pipeline_spark.operators
   .multimodal.audio_features`;
-- ``video/x-msvideo`` → :func:`~openaq_data_pipeline_spark.operators
-  .multimodal.video_features` (HEADER-ONLY container stats — the
-  expensive per-frame decode stays a batch op behind
-  ``sample_video_frames``);
+- ``video/x-msvideo`` / ``video/mp4`` (ISO-BMFF, any brand) →
+  :func:`~openaq_data_pipeline_spark.operators.multimodal
+  .video_features` (HEADER-ONLY container stats — RIFF chunk walk /
+  ISO 14496-12 box walk; the expensive per-frame decode stays a
+  batch op behind ``sample_video_frames``);
 - ``application/gzip`` → ONE nested-decode hop (bomb-capped,
   re-sniffed, re-routed; gzip-inside-gzip → discard);
 - everything else (``image/gif`` — no decoder in this container,
@@ -63,7 +64,7 @@ ROUTE_DISCARD = "discard"
 _TEXT_MIMES = ("text/html", "application/pdf", "text/plain")
 _IMAGE_MIMES = ("image/png", "image/jpeg")
 _AUDIO_MIMES = ("audio/x-wav",)
-_VIDEO_MIMES = ("video/x-msvideo",)
+_VIDEO_MIMES = ("video/x-msvideo", "video/mp4")
 
 
 def route_for_mime(mime: Column) -> Column:

@@ -836,6 +836,7 @@ def sniff_mime(payload: Column) -> Column:
 
     - ``%PDF`` → application/pdf; PNG/JPEG/GIF magics; gzip; ZIP
       (``PK\\x03\\x04`` — also OOXML containers); RIFF→WAVE / AVI;
+      ISO-BMFF (``ftyp`` at offset 4, any brand) → video/mp4;
     - leading ``<!doctype html`` / ``<html`` (case-insensitive,
       whitespace-tolerant) → text/html;
     - else a printability heuristic on the first 64 bytes (latin-1
@@ -873,6 +874,9 @@ def sniff_mime(payload: Column) -> Column:
             magic(1, b"RIFF") & magic(9, b"AVI "),
             F.lit("video/x-msvideo"),
         )
+        # ISO-BMFF: 'ftyp' at byte offset 4 (any brand — mp4/mov/3gp
+        # variants all route to the same header-only video plane)
+        .when(magic(5, b"ftyp"), F.lit("video/mp4"))
         .when(
             lower.startswith("<!doctype html") | lower.startswith("<html"),
             F.lit("text/html"),

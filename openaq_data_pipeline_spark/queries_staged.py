@@ -1185,6 +1185,71 @@ def q_video_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r12 staged candidates ----------------------------------------------
+
+
+@register_staged(
+    "video_mp4_stats",
+    "EXT-multimodal — ISO-BMFF/MP4 header walk (r12, VERDICT r11 "
+    "next #3: the web's majority video container joins the video "
+    "plane): per document a structurally valid MP4 stub with "
+    "doc_id%6+1 frames at (16*(doc_id%3+1))x16 and timescale 7 is "
+    "written by the engine's own box encoder; sniff_mime detects "
+    "the ftyp magic and video_features recovers frame count, "
+    "dimensions and duration from the moov box tree (mvhd/tkhd/"
+    "hdlr/stsz, stsz-vs-mdat cross-checked) WITHOUT touching a "
+    "sample payload. The oracle is the CLOSED FORM of the encode "
+    "parameters incl. the integer-floor duration n*1000//7 — ground "
+    "truth, not a box-walk replay",
+    oracle="""
+SELECT doc_id,
+       'video/mp4' AS mime,
+       CAST(doc_id % 6 + 1 AS BIGINT) AS n_frames,
+       CAST(16 * (doc_id % 3 + 1) AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(((doc_id % 6 + 1) * 1000) // 7 AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_video_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        encode_mp4_stub,
+        video_features,
+    )
+    from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                encode_mp4_stub(
+                    int(i) % 6 + 1, 16 * (int(i) % 3 + 1), 16, fps=7
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pdf[["doc_id", "content"]]
+
+    # two consumers (sniff projection + the Arrow feature walk) over
+    # one synthesized frame — checkpoint so synth runs once
+    clips = d.mapInPandas(
+        synth, schema="doc_id long, content binary"
+    ).localCheckpoint(eager=False)
+    mimes = clips.select(
+        "doc_id", sniff_mime(F.col("content")).alias("mime")
+    )
+    return (
+        video_features(clips, "content", id_col="doc_id")
+        .join(mimes, "doc_id")
+        .select(
+            "doc_id", "mime", "n_frames", "width", "height", "duration_ms"
+        )
+        .orderBy("doc_id")
+    )
+
+
 _TEMP_SRC_DUCK = (
     "CASE WHEN doc_id % 10 < 5 THEN 'web' "
     "WHEN doc_id % 10 < 8 THEN 'books' ELSE 'code' END"

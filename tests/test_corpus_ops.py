@@ -906,6 +906,123 @@ class TestAviMjpeg:
         assert sorted(r.frame_idx for r in rows) == [0, 2]
         assert all(r.n_frames == 4 for r in rows)
 
+    def test_mp4_header_stats_roundtrip(self, spark):
+        """ISO-BMFF walk (VERDICT r11 next #3): video_features reads
+        frame count / dims / duration from the box tree of the
+        engine's own structurally-valid stub — header-only, same
+        frame as the AVI rows, dispatched by magic."""
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_mp4_stub,
+            video_features,
+        )
+
+        cases = [(1, 1, 16, 9, 10), (2, 7, 320, 240, 25), (3, 30, 64, 48, 30)]
+        df = spark.createDataFrame(
+            [(i, encode_mp4_stub(nf, w, h, fps=fps)) for i, nf, w, h, fps in cases],
+            "media_id long, content binary",
+        )
+        got = {r.media_id: r for r in video_features(df).collect()}
+        for i, nf, w, h, fps in cases:
+            r = got[i]
+            assert (r.n_frames, r.width, r.height, r.duration_ms) == (
+                nf, w, h, nf * 1000 // fps,
+            )
+            assert r.header_hex == df.where(F.col("media_id") == i).first(
+            )["content"][:4].hex()
+
+    def test_mp4_walker_hygiene(self):
+        """Validated, not trusted: ftyp must come first, truncation
+        fails loudly, a header promising more sample bytes than mdat
+        holds fails loudly (declared-vs-walked, like AVI), and a file
+        with only a non-video trak is rejected."""
+        import struct as st
+
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            _mp4_box,
+            _mp4_stats,
+            encode_mp4_stub,
+        )
+
+        blob = encode_mp4_stub(3, 8, 8)
+        with _pytest.raises(ValueError, match="ftyp must come first"):
+            _mp4_stats(_mp4_box(b"free", b"") + blob)
+        with _pytest.raises(ValueError, match="bad MP4 box size"):
+            _mp4_stats(blob[:-5])
+        mut = bytearray(blob)
+        st.pack_into(">I", mut, blob.find(b"stsz") + 16, 10**6)
+        with _pytest.raises(ValueError, match="sample bytes"):
+            _mp4_stats(bytes(mut))
+        mut = bytearray(blob)
+        i = blob.find(b"vide")
+        mut[i : i + 4] = b"soun"  # audio-only file: no video trak
+        with _pytest.raises(ValueError, match="no video trak"):
+            _mp4_stats(bytes(mut))
+
+    def test_mp4_version1_and_largesize_boxes(self):
+        """The 64-bit faces of the spec: v1 mvhd/tkhd carry u64
+        times (width/height shift by +12 bytes), and a size==1 box
+        reads its u64 largesize — both public ISO 14496-12 layout."""
+        import struct as st
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            _MP4_UNITY_MATRIX,
+            _mp4_box,
+            _mp4_full,
+            _mp4_stats,
+            encode_mp4_stub,
+        )
+
+        base = encode_mp4_stub(5, 32, 16, fps=10)
+        # rebuild mvhd as version 1 (u64 creation/modification/duration)
+        mvhd1 = _mp4_full(
+            b"mvhd", 1, 0,
+            st.pack(">QQIQ", 0, 0, 10, 5)
+            + st.pack(">IHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * 8 + _MP4_UNITY_MATRIX + b"\x00" * 24
+            + st.pack(">I", 2),
+        )
+        tkhd1 = _mp4_full(
+            b"tkhd", 1, 7,
+            st.pack(">QQIIQ", 0, 0, 1, 0, 5)
+            + b"\x00" * 8 + st.pack(">HHHH", 0, 0, 0, 0)
+            + _MP4_UNITY_MATRIX
+            + st.pack(">II", 32 << 16, 16 << 16),
+        )
+        # splice: swap the v0 boxes for the v1 spellings
+        def box_span(blob, tag):
+            i = blob.find(tag) - 4
+            (sz,) = st.unpack_from(">I", blob, i)
+            return i, i + sz
+
+        out = bytearray(base)
+        s, e = box_span(base, b"tkhd")
+        out[s:e] = tkhd1
+        s, e = box_span(bytes(out), b"mvhd")
+        out[s:e] = mvhd1
+        # fix the enclosing box sizes: moov holds both grown boxes
+        # (+24), trak holds only the grown tkhd (+12)
+        for tag, grow in ((b"moov", 24), (b"trak", 12)):
+            i = bytes(out).find(tag) - 4
+            (sz,) = st.unpack_from(">I", out, i)
+            st.pack_into(">I", out, i, sz + grow)
+        # stco offset: mdat moved by the total growth
+        i = bytes(out).find(b"stco")
+        (off,) = st.unpack_from(">I", out, i + 12)
+        st.pack_into(">I", out, i + 12, off + 24)
+        assert _mp4_stats(bytes(out)) == (5, 32, 16, 500)
+        # largesize: rewrap mdat as a size==1 box
+        m = bytes(out).find(b"mdat") - 4
+        (msz,) = st.unpack_from(">I", out, m)
+        body = bytes(out[m + 8 : m + msz])
+        big = (
+            st.pack(">I", 1) + b"mdat" + st.pack(">Q", 16 + len(body)) + body
+        )
+        out2 = bytes(out[:m]) + big
+        # stco is now 8 bytes late, but stats only checks containment
+        assert _mp4_stats(out2)[:3] == (5, 32, 16)
+
     def test_mixed_format_synthetic_corpus(self, spark):
         """mix_formats routes ids ≡1 (mod 3) through AVI; both
         container families sample correctly in one pass."""

@@ -65,6 +65,14 @@ def _avi() -> bytes:
     )
 
 
+def _mp4() -> bytes:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        encode_mp4_stub,
+    )
+
+    return encode_mp4_stub(5, 32, 16, fps=10)
+
+
 class TestRouteCrawlPayloads:
     def _routes(self, spark, payloads):
         df = spark.createDataFrame(
@@ -87,6 +95,7 @@ class TestRouteCrawlPayloads:
                 bytes(range(16)) * 4,            # 6 junk
                 None,                            # 7 null fetch
                 _avi(),                          # 8 video
+                _mp4(),                          # 9 ISO-BMFF video
             ],
         )
         expect = {
@@ -99,6 +108,7 @@ class TestRouteCrawlPayloads:
             6: ("application/octet-stream", "discard", False),
             7: (None, "discard", False),
             8: ("video/x-msvideo", "video", False),
+            9: ("video/mp4", "video", False),
         }
         assert {
             i: (r.mime, r.route, r.was_gzip) for i, r in got.items()
@@ -288,6 +298,7 @@ class TestMixedWarcFrontDoor:
             ("https://a.org/img", _png()),
             ("https://a.org/clip", _wav()),
             ("https://a.org/movie", _avi()),
+            ("https://a.org/movie.mp4", _mp4()),
             ("https://a.org/blob", bytes(range(16)) * 4),
         ]
         archive = b"".join(
@@ -320,9 +331,15 @@ class TestMixedWarcFrontDoor:
         assert [r.url for r in aud] == ["https://a.org/clip"]
         assert aud[0].sample_rate == 8000
 
-        vid = planes["video"].collect()
-        assert [r.url for r in vid] == ["https://a.org/movie"]
-        assert vid[0].n_frames == 3 and vid[0].duration_ms == 300
+        vid = {r.url: r for r in planes["video"].collect()}
+        assert set(vid) == {
+            "https://a.org/movie", "https://a.org/movie.mp4",
+        }
+        avi_r = vid["https://a.org/movie"]
+        assert avi_r.n_frames == 3 and avi_r.duration_ms == 300
+        mp4_r = vid["https://a.org/movie.mp4"]
+        assert (mp4_r.n_frames, mp4_r.width, mp4_r.height) == (5, 32, 16)
+        assert mp4_r.duration_ms == 500
 
         disc = planes["discard"].collect()
         assert [(r.url, r.mime) for r in disc] == [
