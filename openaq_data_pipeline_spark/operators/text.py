@@ -881,6 +881,102 @@ def sniff_mime(payload: Column) -> Column:
             lower.startswith("<!doctype html") | lower.startswith("<html"),
             F.lit("text/html"),
         )
+        # BOM'd text (r12): a UTF-16 page is NUL-riddled and a UTF-8
+        # BOM hides the '<html' prefix — without these arms, real
+        # non-UTF-8 text silently routes to discard. The UTF-16 html
+        # check compares raw NUL-interleaved bytes (no decode — Spark
+        # 4's decode throws on malformed input, and a 64-byte slice
+        # can split a code unit); charset handling is downstream
+        # (detect_charset / the routed decode hop).
+        .when(
+            (magic(1, b"\xff\xfe") | magic(1, b"\xfe\xff"))
+            & _u16_html_prefix(payload),
+            F.lit("text/html"),
+        )
+        .when(
+            magic(1, b"\xff\xfe") | magic(1, b"\xfe\xff"),
+            F.lit("text/plain"),
+        )
+        .when(
+            magic(1, b"\xef\xbb\xbf"),
+            F.when(
+                F.lower(
+                    F.ltrim(F.decode(F.substring(payload, 4, 64), "ISO-8859-1"))
+                ).startswith("<!doctype html")
+                | F.lower(
+                    F.ltrim(F.decode(F.substring(payload, 4, 64), "ISO-8859-1"))
+                ).startswith("<html"),
+                F.lit("text/html"),
+            ).otherwise(F.lit("text/plain")),
+        )
         .when(texty, F.lit("text/plain"))
         .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def _u16_html_prefix(payload: Column) -> Column:
+    """True when the bytes after a UTF-16 BOM spell ``<!doctype
+    html`` or ``<html`` (case-insensitive) in the BOM's endianness —
+    a raw byte comparison on a latin-1 view (NULs preserved), never
+    a UTF-16 decode."""
+    checks = []
+    for enc, bom in (("utf-16-le", b"\xff\xfe"), ("utf-16-be", b"\xfe\xff")):
+        for tag in ("<!doctype html", "<html"):
+            want = tag.encode(enc).decode("ISO-8859-1")
+            got = F.lower(
+                F.decode(
+                    F.substring(payload, 3, len(want)), "ISO-8859-1"
+                )
+            )
+            checks.append(
+                (F.substring(payload, 1, 2) == F.lit(bom)) & (got == want)
+            )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out | c
+    return out
+
+
+_CHARSET_META_RE = (
+    r'(?i)<meta[^>]{0,256}?charset\s*=\s*["\']?\s*([A-Za-z0-9._:\-]+)'
+)
+
+
+def detect_charset(payload: Column, html: Column | bool = True) -> Column:
+    """Best-effort charset of a text payload, PURE CODEGEN (r12,
+    VERDICT r11 next #4 — a latin-1 or UTF-16 page decoded as UTF-8
+    extracts mojibake that silently poisons dedup fingerprints):
+
+    - UTF-8 / UTF-16 BOMs (→ ``utf-8`` / ``utf-16``; Python's
+      ``utf-16`` codec consumes the BOM and picks the endianness);
+    - when ``html`` holds, an HTML ``<meta charset=…>`` /
+      ``<meta http-equiv … content="…; charset=…">`` declaration in
+      the first KiB (one regexp over a latin-1 view — meta sniffing
+      never applies to plain text, where the token could be body
+      prose);
+    - else ``utf-8`` (the web default).
+
+    The token is advisory: :func:`~openaq_data_pipeline_spark
+    .operators.router.decode_routed_text` resolves it through
+    Python's codec alias table and falls back to lenient UTF-8 on
+    anything unknown — a lying meta tag can produce replacement
+    chars, never a stage failure."""
+    meta = F.lower(
+        F.regexp_extract(
+            F.decode(F.substring(payload, 1, 1024), "ISO-8859-1"),
+            _CHARSET_META_RE,
+            1,
+        )
+    )
+    html_col = F.lit(html) if isinstance(html, bool) else html
+    return (
+        F.when(payload.isNull(), F.lit(None).cast("string"))
+        .when(F.substring(payload, 1, 3) == F.lit(b"\xef\xbb\xbf"), "utf-8")
+        .when(
+            (F.substring(payload, 1, 2) == F.lit(b"\xff\xfe"))
+            | (F.substring(payload, 1, 2) == F.lit(b"\xfe\xff")),
+            "utf-16",
+        )
+        .when(html_col & (meta != ""), meta)
+        .otherwise("utf-8")
     )

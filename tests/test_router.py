@@ -215,6 +215,133 @@ class TestExtractRoutedText:
         assert rows[2].text == art3 and rows[2].was_gzip
 
 
+class TestCharsetSniffing:
+    """r12 (VERDICT r11 next #4): BOM + <meta charset> detection
+    before the binary→string step — a UTF-16 or latin-1 page must
+    round-trip to the SAME text (and therefore the same dedup
+    fingerprints) as its UTF-8 spelling, not mojibake."""
+
+    CAFE = ART.replace("quick", "café-naïve")  # non-ASCII payload
+
+    def test_detect_charset_tokens(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            detect_charset,
+        )
+
+        meta_page = (
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=Windows-1252"></head>'
+            "<body>x</body></html>"
+        )
+        rows = [
+            (0, "plain ascii".encode()),
+            (1, b"\xef\xbb\xbf" + "x".encode()),
+            (2, "x".encode("utf-16")),            # FF FE BOM
+            (3, b"\xfe\xff" + "x".encode("utf-16-be")),
+            (4, meta_page.encode("cp1252")),
+            (5, None),
+            (6, b"charset=latin-1 in prose"),     # NOT html: no meta
+        ]
+        df = spark.createDataFrame(rows, "id long, p binary")
+        got = {
+            r.id: r.cs
+            for r in df.select(
+                "id", detect_charset(F.col("p")).alias("cs")
+            ).collect()
+        }
+        assert got == {
+            0: "utf-8", 1: "utf-8", 2: "utf-16", 3: "utf-16",
+            4: "windows-1252", 5: None, 6: "utf-8",
+        }
+        got_plain = df.where("id = 4").select(
+            detect_charset(F.col("p"), html=False).alias("cs")
+        ).first().cs
+        assert got_plain == "utf-8"  # meta sniffing is html-only
+
+    def test_sniff_mime_sees_bommed_text(self, spark):
+        from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+        page = _page(self.CAFE)
+        rows = [
+            (0, page.encode("utf-16")),            # UTF-16LE+BOM html
+            (1, page.encode("utf-16-be")),         # no BOM: undetectable
+            (2, codecs_bom_be() + page.encode("utf-16-be")),
+            (3, b"\xef\xbb\xbf" + page.encode()),  # UTF-8 BOM html
+            (4, b"\xff\xfe" + self.CAFE.encode("utf-16-le")),
+            (5, b"\xef\xbb\xbf" + self.CAFE.encode()),
+        ]
+        df = spark.createDataFrame(rows, "id long, p binary")
+        got = {
+            r.id: r.m
+            for r in df.select(
+                "id", sniff_mime(F.col("p")).alias("m")
+            ).collect()
+        }
+        assert got[0] == "text/html"
+        assert got[1] == "application/octet-stream"  # documented limit
+        assert got[2] == "text/html"
+        assert got[3] == "text/html"
+        assert got[4] == "text/plain"
+        assert got[5] == "text/plain"
+
+    def test_routed_extraction_round_trips_all_spellings(self, spark):
+        """The done-criterion: UTF-8 / UTF-8+BOM / UTF-16LE+BOM /
+        UTF-16BE+BOM / meta-declared cp1252 spellings of the SAME
+        page all extract the identical text, so downstream
+        fingerprints are stable across charsets."""
+        from openaq_data_pipeline_spark.operators.text import fingerprint
+
+        page = _page(self.CAFE)
+        meta_page = page.replace(
+            "<html><body>",
+            '<html><head><meta charset="windows-1252"></head><body>',
+        )
+        rows = [
+            (0, page.encode()),
+            (1, b"\xef\xbb\xbf" + page.encode()),
+            (2, page.encode("utf-16")),
+            (3, codecs_bom_be() + page.encode("utf-16-be")),
+            (4, meta_page.encode("cp1252")),
+            (5, b"\xff\xfe" + self.CAFE.encode("utf-16-le")),  # plain
+            (6, self.CAFE.encode()),                            # plain
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        routed = route_crawl_payloads(df, "payload")
+        out = extract_routed_text(routed, "payload")
+        got = {
+            r.id: (r.text, r.fp)
+            for r in out.withColumn(
+                "fp", fingerprint(F.col("text"))
+            ).collect()
+        }
+        texts = {i: t for i, (t, _) in got.items()}
+        assert texts[0] == self.CAFE  # density kept the article only
+        for i in (1, 2, 3, 4):
+            assert texts[i] == texts[0], f"spelling {i} diverged"
+            assert got[i][1] == got[0][1]  # fingerprint stable
+        assert texts[5] == self.CAFE and texts[6] == self.CAFE
+        assert got[5][1] == got[6][1]
+
+    def test_lying_meta_degrades_not_fails(self, spark):
+        """An unknown/lying charset token falls back to lenient
+        UTF-8 — replacement chars possible, stage failure never."""
+        page = _page(ART).replace(
+            "<html><body>",
+            '<html><head><meta charset="no-such-charset-9"></head><body>',
+        )
+        df = spark.createDataFrame(
+            [(0, page.encode())], "id long, payload binary"
+        )
+        out = extract_routed_text(
+            route_crawl_payloads(df, "payload"), "payload"
+        ).collect()
+        assert len(out) == 1 and ART in out[0].text
+
+
+def codecs_bom_be() -> bytes:
+    return b"\xfe\xff"
+
+
 class TestLenientMediaDecode:
     def test_corrupt_rows_degrade_to_null(self, spark):
         from openaq_data_pipeline_spark.operators.multimodal import (
