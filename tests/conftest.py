@@ -3,6 +3,7 @@ the OpenAQ-shaped fixture lake and its bronze/transform outputs."""
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -20,7 +21,16 @@ def spark():
         app_name="openaq-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g", "spark.sql.warehouse.dir": "/tmp/spark-wh"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # partest.py runs shards as concurrent pytest processes;
+            # managed tables (saveAsTable) must not collide across
+            # their in-memory catalogs, so each shard gets its own
+            # warehouse root via this env var
+            "spark.sql.warehouse.dir": os.environ.get(
+                "SPARK_TEST_WAREHOUSE", "/tmp/spark-wh"
+            ),
+        },
     )
     yield spark
 
