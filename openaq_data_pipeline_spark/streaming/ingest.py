@@ -46,6 +46,8 @@ batch-append loop, upgraded to event-driven micro-batches.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -281,9 +283,107 @@ def _fuzzy_gate(
     return kept
 
 
+@dataclass(frozen=True)
+class DriftRebuildPolicy:
+    """Thresholds that turn the IVF drift observability
+    (:func:`~openaq_data_pipeline_spark.operators.similarity
+    .ivf_drift_summary`) into an AUTOMATED between-micro-batch
+    rebuild (VERDICT r11 next #7): after each embedding-gate append,
+    the gate reads the one-row drift summary and — when any set
+    threshold is crossed — re-trains the coarse quantizer on the
+    index's current contents via :func:`~openaq_data_pipeline_spark
+    .operators.similarity.rebuild_ivf_index` (staged swap, bucket
+    spec preserved), so a drifting feed recovers recall without
+    manual intervention.
+
+    Unset thresholds (``None``) never fire. ``min_vecs`` keeps a
+    tiny bootstrap index from thrashing; ``check_every`` bounds the
+    summary-scan cadence (the summary is one partial-aggregable pass
+    over the cells table — cheap, but not free at every batch of a
+    fast stream). ``target_fill`` lets the rebuild GROW the cell
+    count with the corpus (``n_cells = max(current, ceil(n_vecs /
+    target_fill))``) instead of cramming an ever-larger index into
+    the bootstrap-sized quantizer.
+
+    Replay semantics: the rebuild is guarded by its own
+    ``_emb_rebuild_<n>`` marker pair (same staged in-progress →
+    promote convention as the appends). A completed rebuild is
+    skipped on replay; a rebuild that crashed mid-swap leaves the
+    in-progress marker and is RE-RUN unconditionally — deterministic
+    Lloyd (lowest-id seeds) makes re-running the documented recovery
+    for a half-swapped index, even if the drift summary no longer
+    fires against the half-new state."""
+
+    max_fill_skew: float | None = None
+    max_mean_residual: float | None = None
+    max_cell_residual: float | None = None
+    min_vecs: int = 16
+    check_every: int = 1
+    target_fill: int | None = None
+    train_iters: int = 2
+
+
+def _maybe_rebuild_embedding_index(
+    spark, index, policy, fs, P, root, batch_id
+):
+    """Evaluate ``policy`` against the index's drift summary and
+    rebuild when it fires — the between-micro-batch tail of
+    :func:`_embedding_gate`. The one-row summary collect is a
+    driver-side POLICY read (a scalar dashboard row), not a data
+    path."""
+    if policy is None or batch_id % max(policy.check_every, 1) != 0:
+        return
+    if not spark.catalog.tableExists(index.centroids_table) or (
+        not spark.catalog.tableExists(index.cells_table)
+    ):
+        return
+    marker = f"{root}/_emb_rebuild_{batch_id}"
+    inprogress = marker + ".__inprogress"
+    if fs.exists(P(marker)):
+        return  # replay: this batch's rebuild already completed
+    from openaq_data_pipeline_spark.operators.similarity import (
+        ivf_drift_summary,
+        rebuild_ivf_index,
+    )
+
+    s = ivf_drift_summary(spark, index).collect()[0]
+    fired = s.n_vecs is not None and s.n_vecs >= policy.min_vecs and (
+        (
+            policy.max_fill_skew is not None
+            and s.fill_skew is not None
+            and float(s.fill_skew) > policy.max_fill_skew
+        )
+        or (
+            policy.max_mean_residual is not None
+            and s.mean_residual is not None
+            and float(s.mean_residual) > policy.max_mean_residual
+        )
+        or (
+            policy.max_cell_residual is not None
+            and s.max_cell_residual is not None
+            and float(s.max_cell_residual) > policy.max_cell_residual
+        )
+    )
+    # a crashed rebuild (in-progress marker, no final marker) re-runs
+    # even when the summary no longer fires: deterministic retrain IS
+    # the recovery for a half-swapped index
+    if not fired and not fs.exists(P(inprogress)):
+        return
+    fs.mkdirs(P(inprogress))
+    n_cells = None
+    if policy.target_fill:
+        cur = spark.table(index.centroids_table).count()
+        n_cells = max(cur, -(-int(s.n_vecs) // policy.target_fill))
+    rebuild_ivf_index(
+        spark, index, n_cells=n_cells, train_iters=policy.train_iters
+    )
+    fs.mkdirs(P(marker))
+    fs.delete(P(inprogress), True)
+
+
 def _embedding_gate(
     spark, kept, id_col, vec_col, index, min_cosine, bootstrap_cells,
-    fs, P, root, batch_id,
+    fs, P, root, batch_id, drift_policy=None,
 ):
     """The embedding near-dup stage of :func:`fuzzy_dedup_gate` —
     probe what survived the text gates against the persisted IVF
@@ -351,6 +451,9 @@ def _embedding_gate(
                 )
         fs.mkdirs(P(marker))
         fs.delete(P(inprogress), True)
+    _maybe_rebuild_embedding_index(
+        spark, index, drift_policy, fs, P, root, batch_id
+    )
     return kept
 
 
@@ -366,6 +469,7 @@ def fuzzy_dedup_gate(
     vec_col: str | None = None,
     min_cosine: float = 0.9,
     bootstrap_cells: int = 8,
+    drift_policy: DriftRebuildPolicy | None = None,
 ):
     """``foreachBatch`` body running the FULL incremental funnel per
     micro-batch: the exact gate first (byte-duplicates are the bulk
@@ -426,9 +530,13 @@ def fuzzy_dedup_gate(
     quantizer does not exist yet, the first non-empty micro-batch
     bootstrap-trains it (``bootstrap_cells`` cells, one Lloyd
     iteration) — after which it is FROZEN, the append-stable
-    contract of the batch tier; :func:`~openaq_data_pipeline_spark
-    .operators.similarity.ivf_drift_summary` +
-    ``rebuild_ivf_index`` are the drift story."""
+    contract of the batch tier. Passing ``drift_policy`` (a
+    :class:`DriftRebuildPolicy`) closes the loop (r12, VERDICT r11
+    next #7): after each append the gate reads the drift summary and
+    rebuilds the quantizer between micro-batches when a threshold is
+    crossed, marker-guarded and replay-safe — without a policy the
+    summary + :func:`~openaq_data_pipeline_spark.operators
+    .similarity.rebuild_ivf_index` remain the manual drift story."""
     root = marker_root or fuzzy_index.location
     if root is None:
         raise ValueError(
@@ -462,6 +570,7 @@ def fuzzy_dedup_gate(
             kept = _embedding_gate(
                 spark, kept, id_col, vec_col, embedding_index,
                 min_cosine, bootstrap_cells, fs, P, root, batch_id,
+                drift_policy=drift_policy,
             )
         (
             kept.selectExpr("*", f"{batch_id} as batch_id")
@@ -488,6 +597,7 @@ def stream_corpus_ingest_fuzzy(
     vec_col: str | None = None,
     min_cosine: float = 0.9,
     bootstrap_cells: int = 8,
+    drift_policy: DriftRebuildPolicy | None = None,
 ):
     """Start the gated ingestion stream; same lifecycle contract as
     :func:`stream_corpus_ingest`. The replay markers default to the
@@ -508,6 +618,7 @@ def stream_corpus_ingest_fuzzy(
                 vec_col=vec_col,
                 min_cosine=min_cosine,
                 bootstrap_cells=bootstrap_cells,
+                drift_policy=drift_policy,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
