@@ -15,8 +15,8 @@ plane:
 - ``text/plain`` → charset-sniffed bytes→string (BOM +
   ``<meta charset>`` detection is codegen; the UTF-8 majority casts
   in the JVM, detected non-UTF-8 rows pay one Arrow decode hop);
-- ``image/png``, ``image/jpeg`` → the real image decoder
-  (features only — the text planes never see pixels);
+- ``image/png``, ``image/jpeg``, ``image/gif`` → the real image
+  decoder (features only — the text planes never see pixels);
 - ``audio/x-wav`` → :func:`~openaq_data_pipeline_spark.operators
   .multimodal.audio_features`;
 - ``video/x-msvideo`` / ``video/mp4`` (ISO-BMFF, any brand) →
@@ -26,9 +26,9 @@ plane:
   batch op behind ``sample_video_frames``);
 - ``application/gzip`` → ONE nested-decode hop (bomb-capped,
   re-sniffed, re-routed; gzip-inside-gzip → discard);
-- everything else (``image/gif`` — no decoder in this container,
-  the pdfium/PIL plug-in point; ZIP containers; octet junk) →
-  discard, with the sniffed mime kept for observability.
+- everything else (ZIP containers; exotic image formats — the
+  pdfium/PIL plug-in point; octet junk) → discard, with the
+  sniffed mime kept for observability.
 
 All text planes converge on the SAME downstream funnel (Gopher
 gate, denylist, exact/fuzzy dedup) — one correctness surface, per
@@ -65,7 +65,7 @@ ROUTE_NESTED = "nested"
 ROUTE_DISCARD = "discard"
 
 _TEXT_MIMES = ("text/html", "application/pdf", "text/plain")
-_IMAGE_MIMES = ("image/png", "image/jpeg")
+_IMAGE_MIMES = ("image/png", "image/jpeg", "image/gif")
 _AUDIO_MIMES = ("audio/x-wav",)
 _VIDEO_MIMES = ("video/x-msvideo", "video/mp4")
 

@@ -886,6 +886,112 @@ class TestMultimodal:
                 assert a.header_hex == "89504e47"
                 assert np.allclose(a.feature, b.feature)
 
+    def test_gif_round_trip_plain_and_interlaced(self):
+        """GIF decode is pixel-exact through the full LZW path
+        (variable width growth, dictionary appends, clear/EOI) for
+        both row orders; the interlaced container decodes to the
+        SAME pixels (the deinterlace pass inverts the encoder's row
+        permutation)."""
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            _decode_image,
+            decode_gif,
+            encode_gif,
+            gif_frame_count,
+        )
+
+        rng = np.random.default_rng(7)
+        pal = rng.integers(0, 256, (13, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, 13, (23, 31))]
+        for interlace in (False, True):
+            blob = encode_gif(img, interlace=interlace)
+            assert blob[:6] == b"GIF89a"
+            assert (decode_gif(blob) == img).all()
+            assert gif_frame_count(blob) == 1
+            # the image-plane dispatcher routes by the GIF magic
+            assert (_decode_image(blob) == img).all()
+
+    def test_gif_256_colors_and_single_color(self):
+        """Full-byte palette (min code size 8, widths 9→12) and the
+        degenerate one-color run (long LZW chains) both round-trip."""
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(11)
+        pal = np.array(
+            [[i, 255 - i, (i * 7) % 256] for i in range(256)],
+            dtype=np.uint8,
+        )
+        img = pal[rng.integers(0, 256, (40, 50))]
+        assert (decode_gif(encode_gif(img)) == img).all()
+        flat = np.full((5, 7, 3), 9, dtype=np.uint8)
+        assert (decode_gif(encode_gif(flat)) == flat).all()
+
+    def test_gif_transparency_local_table_and_subframe(self):
+        """A hand-built 89a stream: logical screen larger than the
+        frame, a LOCAL color table differing from the global one,
+        and a GCE transparency index — background pixels must color
+        through the GLOBAL table, opaque frame pixels through the
+        local table, transparent frame pixels keep the background."""
+        import struct
+
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            _gif_lzw_encode,
+            decode_gif,
+        )
+
+        # global table: bg color red at index 1; local: green/blue
+        gct = bytes([0, 0, 0, 255, 0, 0, 9, 9, 9, 7, 7, 7])
+        lct = bytes([0, 255, 0, 0, 0, 255, 1, 1, 1, 2, 2, 2])
+        # 2x2 frame at (1,1) in a 4x3 screen; index 1 transparent
+        frame_idx = [0, 1, 1, 0]
+        codes = bytes(_gif_lzw_encode(frame_idx, 2))
+        blob = (
+            b"GIF89a"
+            + struct.pack("<HH", 4, 3)
+            + bytes([0x81, 1, 0])  # GCT of 4, bg index 1
+            + gct
+            + b"\x21\xf9\x04\x01\x00\x00\x01\x00"  # GCE: transp idx 1
+            + b"\x2c"
+            + struct.pack("<HHHH", 1, 1, 2, 2)
+            + bytes([0x81])  # local table of 4
+            + lct
+            + bytes([2, len(codes)])
+            + codes
+            + b"\x00\x3b"
+        )
+        out = decode_gif(blob)
+        red, green = [255, 0, 0], [0, 255, 0]
+        assert (out[0] == red).all() and (out[:, 0] == red).all()
+        assert list(out[1, 1]) == green  # opaque idx 0 → local table
+        assert list(out[1, 2]) == red    # transparent → background
+        assert list(out[2, 1]) == red
+        assert list(out[2, 2]) == green
+
+    def test_gif_rejects_truncated_and_non_gif(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        img[1:3, 1:3] = 200
+        blob = encode_gif(img)
+        with _pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"NOPE" + blob[4:])
+        with _pytest.raises(ValueError):
+            decode_gif(blob[:20])
+
     def test_real_decode_rejects_unknown_magic(self, spark):
         from openaq_data_pipeline_spark.operators.multimodal import extract_features
 

@@ -52,6 +52,16 @@ def _png() -> bytes:
     return encode_png(arr)
 
 
+def _gif() -> bytes:
+    from openaq_data_pipeline_spark.operators.multimodal import encode_gif
+
+    # 3x2, two colors: top row (10,20,30), bottom row (200,210,220)
+    arr = np.array(
+        [[[10, 20, 30]] * 3, [[200, 210, 220]] * 3], dtype=np.uint8
+    )
+    return encode_gif(arr)
+
+
 def _wav() -> bytes:
     t = np.arange(160)
     return encode_wav_pcm16(
@@ -423,6 +433,7 @@ class TestMixedWarcFrontDoor:
             ("https://a.org/page", _page(ART).encode()),
             ("https://a.org/doc.pdf", encode_pdf_text([art2])),
             ("https://a.org/img", _png()),
+            ("https://a.org/anim.gif", _gif()),
             ("https://a.org/clip", _wav()),
             ("https://a.org/movie", _avi()),
             ("https://a.org/movie.mp4", _mp4()),
@@ -450,9 +461,14 @@ class TestMixedWarcFrontDoor:
         assert "Home" not in texts["https://a.org/page"]  # density ran
         assert texts["https://a.org/doc.pdf"] == art2
 
-        img = planes["image"].collect()
-        assert [r.url for r in img] == ["https://a.org/img"]
-        assert img[0].width == 4 and img[0].px_sum is not None
+        img = {r.url: r for r in planes["image"].collect()}
+        assert set(img) == {"https://a.org/img", "https://a.org/anim.gif"}
+        png_r = img["https://a.org/img"]
+        assert png_r.width == 4 and png_r.px_sum is not None
+        gif_r = img["https://a.org/anim.gif"]
+        # 3x2 two-color GIF: per-pixel sum is closed-form
+        assert (gif_r.width, gif_r.height) == (3, 2)
+        assert gif_r.px_sum == 3 * (10 + 20 + 30) + 3 * (200 + 210 + 220)
 
         aud = planes["audio"].collect()
         assert [r.url for r in aud] == ["https://a.org/clip"]
