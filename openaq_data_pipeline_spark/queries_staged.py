@@ -1344,6 +1344,275 @@ def q_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "charset_detect_decode",
+    "EXT-crawl — charset-sniffed text decode (r12, VERDICT r11 next "
+    "#4's driver face): five charset spellings of each document "
+    "(plain UTF-8, BOM'd UTF-8, UTF-16-LE+BOM, UTF-16-BE+BOM, "
+    "latin-1 declared via <meta charset>) are detected by the pure-"
+    "codegen detect_charset and decoded through the production "
+    "fast/slow split — the UTF-8 majority takes the JVM cast (BOM "
+    "stripped), the detected minority pays one Arrow hop resolving "
+    "the token through Python's codec table. A café marker with a "
+    "non-ASCII octet proves the bytes actually decoded through the "
+    "right codec (mojibake would shift it). The oracle is the CLOSED "
+    "FORM of the expected token and round-tripped text per residue",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 IN (2, 4) THEN 'utf-16'
+            WHEN doc_id % 5 = 3 THEN 'iso-8859-1'
+            ELSE 'utf-8' END AS charset,
+       CASE WHEN doc_id % 5 = 3
+            THEN '<meta charset="iso-8859-1">café ± ' || text
+            ELSE 'café ± ' || text END AS text_out
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_charset_detect_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query replicates :func:`~openaq_data_pipeline_spark
+    .operators.router.extract_routed_text`'s exact split topology
+    (codegen detect → JVM cast for utf-8 → one Arrow hop for the
+    rest) over pages synthesized from the document text, so the
+    driver pins both the detection CASE and the per-codec decode —
+    including that a BOM is consumed, never leaked into the text."""
+    import pandas as pd
+
+    from openaq_data_pipeline_spark.operators.router import (
+        decode_routed_text,
+    )
+    from openaq_data_pipeline_spark.operators.text import detect_charset
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, pages = [], []
+            for mid, txt in zip(pdf["doc_id"], pdf["text"]):
+                mid = int(mid)
+                body = "café ± " + (txt or "")
+                r = mid % 5
+                if r == 0:
+                    b = body.encode("utf-8")
+                elif r == 1:
+                    b = b"\xef\xbb\xbf" + body.encode("utf-8")
+                elif r == 2:
+                    b = body.encode("utf-16")  # LE + BOM
+                elif r == 3:
+                    b = (
+                        '<meta charset="iso-8859-1">' + body
+                    ).encode("iso-8859-1")
+                else:
+                    b = b"\xfe\xff" + body.encode("utf-16-be")
+                ids.append(mid)
+                pages.append(b)
+            yield pd.DataFrame({"doc_id": ids, "page": pages})
+
+    pages = d.mapInPandas(synth, schema="doc_id long, page binary")
+    df = pages.withColumn(
+        "charset", detect_charset(F.col("page"), html=True)
+    )
+    utf8_bom = F.substring(F.col("page"), 1, 3) == F.lit(b"\xef\xbb\xbf")
+    fast = df.where(F.col("charset") == "utf-8").withColumn(
+        "text_out",
+        F.when(utf8_bom, F.substring(F.col("page"), 4, 1 << 30))
+        .otherwise(F.col("page"))
+        .cast("string"),
+    )
+    slow = decode_routed_text(
+        df.where(F.col("charset") != "utf-8"), "page", "charset",
+        "text_out",
+    )
+    return (
+        fast.unionByName(slow)
+        .select("doc_id", "charset", "text_out")
+        .orderBy("doc_id")
+    )
+
+
+@register_staged(
+    "route_stats_funnel",
+    "EXT-router — the front door's OBSERVABILITY aggregate ('no "
+    "silent caps' as a driver row): an eight-residue mixed feed — "
+    "HTML, PDF, a valid gzip member, a bomb-capped gzip (output cap "
+    "hit → NULL, never an executor OOM), a corrupt gzip, GIF, WAV, "
+    "NUL junk — runs the full sniff+route+one-hop pipeline and "
+    "route_stats folds it to per-(mime, route, was_gzip) counts with "
+    "NULL-payload accounting, so every discarded or gzip-mangled "
+    "payload is countable. The oracle recomputes the group counts "
+    "from the residue classes — closed form, not a route replay",
+    oracle="""
+WITH cls AS (
+    SELECT CASE doc_id % 8
+               WHEN 0 THEN 'text/html'
+               WHEN 1 THEN 'application/pdf'
+               WHEN 2 THEN 'text/plain'
+               WHEN 3 THEN 'application/gzip'
+               WHEN 4 THEN 'application/gzip'
+               WHEN 5 THEN 'image/gif'
+               WHEN 6 THEN 'audio/x-wav'
+               ELSE 'application/octet-stream' END AS mime,
+           CASE doc_id % 8
+               WHEN 0 THEN 'text' WHEN 1 THEN 'text' WHEN 2 THEN 'text'
+               WHEN 3 THEN 'discard' WHEN 4 THEN 'discard'
+               WHEN 5 THEN 'image' WHEN 6 THEN 'audio'
+               ELSE 'discard' END AS route,
+           doc_id % 8 IN (2, 3, 4) AS was_gzip,
+           doc_id % 8 IN (3, 4) AS is_null
+    FROM documents
+)
+SELECT mime, route, was_gzip,
+       CAST(count(*) AS BIGINT) AS n_payloads,
+       CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bytes_null
+FROM cls
+GROUP BY mime, route, was_gzip
+ORDER BY mime, route, was_gzip
+""",
+)
+def q_route_stats_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residues: 0 HTML, 1 PDF, 2 gzip(text) — the one-hop re-sniff
+    lands on text/plain with was_gzip=true — 3 a gzip BOMB (8 KiB of
+    zeros behind a 4 KiB output cap: the hop yields NULL and the row
+    stays application/gzip→discard), 4 a corrupt gzip (magic bytes,
+    garbage member — same fate through the error path), 5 GIF,
+    6 WAV, 7 NUL junk. The two NULL classes surface in n_bytes_null
+    — the whole point of the stats face."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from openaq_data_pipeline_spark.operators.router import (
+        route_crawl_payloads,
+        route_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    bomb = _gzip.compress(b"\x00" * 8192)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, txt in zip(pdf["doc_id"], pdf["text"]):
+                mid = int(mid)
+                body = (txt or "").encode("utf-8")
+                r = mid % 8
+                if r == 0:
+                    p = b"<!DOCTYPE html><p>" + body
+                elif r == 1:
+                    p = b"%PDF-1.4\n" + body
+                elif r == 2:
+                    p = _gzip.compress(body)
+                elif r == 3:
+                    p = bomb
+                elif r == 4:
+                    p = b"\x1f\x8b\x08" + b"not a member"
+                elif r == 5:
+                    p = b"GIF89a" + body
+                elif r == 6:
+                    p = b"RIFF\x00\x00\x00\x00WAVEfmt " + body
+                else:
+                    p = bytes(range(16)) + body
+                ids.append(mid)
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    feed = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    routed = route_crawl_payloads(feed, "payload", max_gunzip_bytes=4096)
+    return route_stats(routed, payload_col="payload").orderBy(
+        "mime", "route", "was_gzip"
+    )
+
+
+_ROBOTS_TXT = """\
+User-agent: *
+Disallow: /private/*
+Allow: /private/open$
+Disallow: /*.pdf$
+Disallow: /search?q=
+"""
+
+
+@register_staged(
+    "robots_gate_eval",
+    "EXT-crawl — RFC 9309 robots.txt evaluation as the frontier's "
+    "fetch gate: URLs synthesized from doc_id residues across seven "
+    "hosts are judged against a rule set exercising '*' wildcards, "
+    "the '$' end anchor, most-octets precedence with Allow winning "
+    "(the /private/open$ carve-out inside Disallow: /private/*), a "
+    "non-firing anchor (.pdfx) and query-string matching "
+    "(Disallow: /search?q=). parse_robots precompiles each rule to "
+    "an anchored regex in one Arrow pass; apply_robots is a "
+    "broadcast host join + per-URL max-precedence aggregate. The "
+    "oracle is the CLOSED FORM of the verdict per residue — ground "
+    "truth from the RFC's matching rules, not a regex replay",
+    oracle="""
+SELECT doc_id,
+       'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+       CASE doc_id % 6
+            WHEN 1 THEN FALSE  -- /private/<id>: Disallow /private/*
+            WHEN 3 THEN FALSE  -- /doc<id>.pdf: Disallow /*.pdf$
+            WHEN 5 THEN FALSE  -- /search?q=<id>: query-string rule
+            ELSE TRUE          -- 0 public, 2 Allow-wins, 4 anchor miss
+       END AS allowed
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_robots_gate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residues: 0 → /public/page<id> (no rule), 1 → /private/x<id>
+    (wildcard Disallow), 2 → /private/open (the longer Allow with a
+    '$' anchor beats the wildcard Disallow — §2.2.2 precedence),
+    3 → /doc<id>.pdf ('$'-anchored extension rule fires), 4 →
+    /doc<id>.pdfx (same rule must NOT fire past the anchor), 5 →
+    /search?q=<id> (rules constrain the query too)."""
+    from openaq_data_pipeline_spark.operators.frontier import (
+        apply_robots,
+        parse_robots,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    path = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("/public/page"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("/private/x"), F.col("doc_id")),
+        )
+        .when(F.col("doc_id") % 6 == 2, F.lit("/private/open"))
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("/doc"), F.col("doc_id"), F.lit(".pdf")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("/doc"), F.col("doc_id"), F.lit(".pdfx")),
+        )
+        .otherwise(F.concat(F.lit("/search?q="), F.col("doc_id")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            F.col("doc_id") % 7,
+            F.lit(".example.org"),
+            path,
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.example.org", _ROBOTS_TXT) for i in range(7)],
+        "host string, content string",
+    )
+    rules = parse_robots(robots, "host", "content")
+    return apply_robots(urls, "url", "doc_id", rules).orderBy("doc_id")
+
+
 _TEMP_SRC_DUCK = (
     "CASE WHEN doc_id % 10 < 5 THEN 'web' "
     "WHEN doc_id % 10 < 8 THEN 'books' ELSE 'code' END"
