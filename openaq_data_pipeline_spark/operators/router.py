@@ -26,9 +26,13 @@ plane:
   batch op behind ``sample_video_frames``);
 - ``application/gzip`` → ONE nested-decode hop (bomb-capped,
   re-sniffed, re-routed; gzip-inside-gzip → discard);
-- everything else (ZIP containers; exotic image formats — the
-  pdfium/PIL plug-in point; octet junk) → discard, with the
-  sniffed mime kept for observability.
+- ``application/zip`` → :func:`route_zip_members` (r12): the
+  archive explodes into routed MEMBER rows under the same one-hop/
+  bomb-cap posture — nested containers discard, capped members keep
+  their names with NULL bytes;
+- everything else (exotic image formats — the pdfium/PIL plug-in
+  point; octet junk) → discard, with the sniffed mime kept for
+  observability.
 
 All text planes converge on the SAME downstream funnel (Gopher
 gate, denylist, exact/fuzzy dedup) — one correctness surface, per
@@ -124,6 +128,140 @@ def gunzip_once(
             yield out_pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def unzip_members(
+    df: DataFrame,
+    payload_col: str,
+    max_bytes: int = 1 << 26,
+    max_members: int = 256,
+) -> DataFrame:
+    """Explode ZIP payloads into one row per archive member — the
+    container analogue of :func:`gunzip_once`, same ONE-hop, same
+    bomb posture, nothing silent:
+
+    - each member row carries ``member_index``/``member_name`` (from
+      the central directory) plus the decompressed ``member`` bytes;
+    - a member whose decompressed size exceeds ``max_bytes`` (zip
+      bomb, lying size header — the read is capped, the declared
+      size is NOT trusted) yields its name with NULL bytes;
+    - members beyond ``max_members`` keep their name (the directory
+      walk is header-only) with NULL bytes — the cap is observable
+      per member, never a truncation;
+    - a corrupt/non-zip payload yields ONE row with NULL index/name/
+      bytes, so route_stats-style accounting still sees the row;
+    - encrypted members yield name + NULL bytes (no password plane).
+
+    Re-sniff + route the ``member`` column with
+    :func:`~openaq_data_pipeline_spark.operators.text.sniff_mime` +
+    :func:`route_for_mime` and discard nested containers
+    (gzip/zip members) to keep the global one-hop contract — e.g.
+    :func:`route_zip_members` below does exactly that. One Arrow
+    ``mapInPandas`` stage; stdlib ``zipfile`` (stored + DEFLATE)."""
+    import io
+    import zipfile
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    in_fields = [
+        f
+        for f in df.schema.fields
+        if f.name not in ("member_index", "member_name", "member")
+    ]
+    schema = StructType(
+        in_fields
+        + [
+            StructField("member_index", IntegerType()),
+            StructField("member_name", StringType()),
+            StructField("member", BinaryType()),
+        ]
+    )
+    cols = [f.name for f in in_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {c: [] for c in cols}
+            idxs, names, blobs = [], [], []
+
+            def emit(row_i, mi, name, blob):
+                for c in cols:
+                    out_rows[c].append(pdf[c].iloc[row_i])
+                idxs.append(mi)
+                names.append(name)
+                blobs.append(blob)
+
+            for row_i, c in enumerate(pdf[payload_col]):
+                if c is None:
+                    emit(row_i, None, None, None)
+                    continue
+                blob = c if isinstance(c, bytes) else bytes(c)
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(blob))
+                    infos = zf.infolist()
+                except Exception:
+                    emit(row_i, None, None, None)
+                    continue
+                if not infos:
+                    emit(row_i, None, None, None)
+                    continue
+                for mi, info in enumerate(infos):
+                    if mi >= max_members:
+                        emit(row_i, mi, info.filename, None)
+                        continue
+                    try:
+                        with zf.open(info) as fh:
+                            data = fh.read(max_bytes + 1)
+                        if len(data) > max_bytes:
+                            data = None  # bomb/lying header: capped
+                    except Exception:
+                        data = None  # encrypted / corrupt member
+                    emit(row_i, mi, info.filename, data)
+            out_pdf = pd.DataFrame(out_rows, columns=cols)
+            out_pdf["member_index"] = pd.array(idxs, dtype="Int32")
+            out_pdf["member_name"] = names
+            out_pdf["member"] = blobs
+            yield out_pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def route_zip_members(
+    df: DataFrame,
+    payload_col: str,
+    mime_col: str = "mime",
+    route_col: str = "route",
+    max_bytes: int = 1 << 26,
+    max_members: int = 256,
+) -> DataFrame:
+    """ZIP rows → routed MEMBER rows: explode via
+    :func:`unzip_members`, re-sniff each member and route it like a
+    first-class payload — except nested containers (a gzip or zip
+    INSIDE the archive), which discard under the global one-hop
+    contract (one container hop per payload, never a loop). The
+    member bytes land in ``payload_col`` so downstream extractors
+    consume the same uniform column; sniff + route are codegen over
+    the exploded frame."""
+    members = unzip_members(
+        df, payload_col, max_bytes=max_bytes, max_members=max_members
+    )
+    mime = sniff_mime(F.col("member"))
+    return members.select(
+        *[c for c in members.columns if c not in (payload_col, "member")],
+        F.col("member").alias(payload_col),
+        F.coalesce(mime, F.lit("application/zip")).alias(mime_col),
+    ).withColumn(
+        route_col,
+        F.when(
+            F.col(mime_col).isin("application/gzip", "application/zip"),
+            F.lit(ROUTE_DISCARD),
+        ).otherwise(route_for_mime(F.col(mime_col))),
+    )
 
 
 def route_crawl_payloads(

@@ -1528,6 +1528,98 @@ def q_route_stats_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "zip_member_route",
+    "EXT-router — ZIP container hop (r12: the one sniffed container "
+    "the front door still discarded whole): per document a real "
+    "DEFLATE archive with three members — a text page, a residue-"
+    "varied second member (GIF / PDF / nested zip / NUL junk), and a "
+    "zip BOMB behind a 4 KiB cap — explodes into routed member rows; "
+    "nested containers discard under the global one-hop contract and "
+    "the capped bomb keeps its name with container mime, never a "
+    "silent drop. The oracle is the CLOSED FORM of (name, mime, "
+    "route) per member slot — ground truth from the archive "
+    "construction, not an unzip replay",
+    oracle="""
+WITH m AS (
+    SELECT doc_id, CAST(0 AS INTEGER) AS member_index,
+           'page.txt' AS member_name,
+           'text/plain' AS mime, 'text' AS route
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER),
+           CASE doc_id % 4 WHEN 0 THEN 'img.gif'
+                WHEN 1 THEN 'doc.pdf' WHEN 2 THEN 'inner.zip'
+                ELSE 'junk.bin' END,
+           CASE doc_id % 4 WHEN 0 THEN 'image/gif'
+                WHEN 1 THEN 'application/pdf'
+                WHEN 2 THEN 'application/zip'
+                ELSE 'application/octet-stream' END,
+           CASE doc_id % 4 WHEN 0 THEN 'image'
+                WHEN 1 THEN 'text' ELSE 'discard' END
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INTEGER), 'bomb.bin',
+           'application/zip', 'discard'
+    FROM documents
+)
+SELECT doc_id, member_index, member_name, mime, route
+FROM m
+ORDER BY doc_id, member_index
+""",
+)
+def q_zip_member_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member 0 text/plain→text, member 1 by doc_id%4 (0 GIF→image,
+    1 PDF→text, 2 nested-zip→discard, 3 NUL junk→discard), member 2
+    an 8 KiB zero bomb read-capped at 4 KiB (NULL bytes, container
+    mime, discard — accountable in route_stats' n_bytes_null)."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from openaq_data_pipeline_spark.operators.router import (
+        route_zip_members,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, txt in zip(pdf["doc_id"], pdf["text"]):
+                mid = int(mid)
+                body = ("page " + (txt or "")).encode("utf-8")
+                r = mid % 4
+                if r == 0:
+                    extra = ("img.gif", b"GIF89a" + body)
+                elif r == 1:
+                    extra = ("doc.pdf", b"%PDF-1.4\n" + body)
+                elif r == 2:
+                    extra = ("inner.zip", b"PK\x03\x04" + body)
+                else:
+                    extra = ("junk.bin", bytes(range(16)) + body)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(
+                    buf, "w", zipfile.ZIP_DEFLATED
+                ) as zf:
+                    zf.writestr("page.txt", body)
+                    zf.writestr(*extra)
+                    zf.writestr("bomb.bin", b"\x00" * 8192)
+                ids.append(mid)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    archives = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return (
+        route_zip_members(archives, "payload", max_bytes=4096)
+        .select("doc_id", "member_index", "member_name", "mime", "route")
+        .orderBy("doc_id", "member_index")
+    )
+
+
 _ROBOTS_TXT = """\
 User-agent: *
 Disallow: /private/*

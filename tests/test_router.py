@@ -404,6 +404,148 @@ class TestLenientMediaDecode:
         assert vrows[1].n_frames is None and vrows[1].n_bytes > 0
 
 
+class TestZipMemberRoute:
+    """ZIP container hop (r12): archives explode into routed member
+    rows under the same one-hop/bomb-cap posture as gzip — nested
+    containers discard, capped or unreadable members keep their name
+    with NULL bytes, corrupt archives yield one accountable NULL
+    row. Nothing silent."""
+
+    def _zip(self, members: dict[str, bytes]) -> bytes:
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for name, data in members.items():
+                zf.writestr(name, data)
+        return buf.getvalue()
+
+    def test_mixed_archive_members_route_to_their_planes(self, spark):
+        import gzip
+
+        from openaq_data_pipeline_spark.operators.router import (
+            route_zip_members,
+        )
+
+        inner_zip = self._zip({"deep.txt": b"nested text"})
+        archive = self._zip(
+            {
+                "readme.txt": ART.encode(),
+                "logo.png": _png(),
+                "anim.gif": _gif(),
+                "nested.zip": inner_zip,
+                "body.gz": gzip.compress(b"gz member"),
+            }
+        )
+        df = spark.createDataFrame(
+            [(1, archive)], "doc_id long, payload binary"
+        )
+        rows = {
+            r.member_name: r
+            for r in route_zip_members(df, "payload").collect()
+        }
+        assert set(rows) == {
+            "readme.txt", "logo.png", "anim.gif", "nested.zip", "body.gz",
+        }
+        assert (rows["readme.txt"].mime, rows["readme.txt"].route) == (
+            "text/plain", "text",
+        )
+        assert bytes(rows["readme.txt"].payload) == ART.encode()
+        assert (rows["logo.png"].mime, rows["logo.png"].route) == (
+            "image/png", "image",
+        )
+        assert (rows["anim.gif"].mime, rows["anim.gif"].route) == (
+            "image/gif", "image",
+        )
+        # one hop, never a loop: nested containers discard with their
+        # bytes intact for observability
+        assert (rows["nested.zip"].mime, rows["nested.zip"].route) == (
+            "application/zip", "discard",
+        )
+        assert (rows["body.gz"].mime, rows["body.gz"].route) == (
+            "application/gzip", "discard",
+        )
+        # provenance columns survive the explode
+        assert all(r.doc_id == 1 for r in rows.values())
+        assert sorted(r.member_index for r in rows.values()) == [
+            0, 1, 2, 3, 4,
+        ]
+
+    def test_bomb_member_caps_to_null_with_name(self, spark):
+        from openaq_data_pipeline_spark.operators.router import (
+            route_zip_members,
+            unzip_members,
+        )
+
+        archive = self._zip(
+            {"ok.txt": b"small body", "bomb.bin": b"\x00" * 65536}
+        )
+        df = spark.createDataFrame(
+            [(1, archive)], "doc_id long, payload binary"
+        )
+        rows = {
+            r.member_name: r
+            for r in unzip_members(df, "payload", max_bytes=4096).collect()
+        }
+        assert bytes(rows["ok.txt"].member) == b"small body"
+        assert rows["bomb.bin"].member is None  # capped, not OOM'd
+        routed = {
+            r.member_name: r
+            for r in route_zip_members(
+                df, "payload", max_bytes=4096
+            ).collect()
+        }
+        # the capped member stays accountable: container mime, discard
+        assert (
+            routed["bomb.bin"].mime, routed["bomb.bin"].route,
+        ) == ("application/zip", "discard")
+        assert routed["bomb.bin"].payload is None
+
+    def test_member_count_cap_is_observable(self, spark):
+        from openaq_data_pipeline_spark.operators.router import (
+            unzip_members,
+        )
+
+        archive = self._zip(
+            {f"m{i}.txt": f"body {i}".encode() for i in range(5)}
+        )
+        df = spark.createDataFrame(
+            [(1, archive)], "doc_id long, payload binary"
+        )
+        rows = sorted(
+            unzip_members(df, "payload", max_members=2).collect(),
+            key=lambda r: r.member_index,
+        )
+        # every member NAME is present (directory walk is header-
+        # only); bytes only for the first max_members
+        assert [r.member_name for r in rows] == [
+            f"m{i}.txt" for i in range(5)
+        ]
+        assert [r.member is not None for r in rows] == [
+            True, True, False, False, False,
+        ]
+
+    def test_corrupt_and_empty_archives_yield_one_null_row(self, spark):
+        from openaq_data_pipeline_spark.operators.router import (
+            unzip_members,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, b"PK\x03\x04 not a real archive"),
+                (2, self._zip({})),
+                (3, None),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {r.doc_id: r for r in unzip_members(df, "payload").collect()}
+        assert set(rows) == {1, 2, 3}
+        for r in rows.values():
+            assert r.member_index is None
+            assert r.member_name is None and r.member is None
+
+
 class TestMixedWarcFrontDoor:
     """VERDICT r10 next #3 done-criterion: ONE WARC carries all five
     payload classes and each lands in the right plane."""
