@@ -1027,3 +1027,108 @@ def write_webdataset_shards(
         .groupBy("shard_id")
         .applyInPandas(write_shard, schema=manifest_schema)
     )
+
+
+def read_webdataset_shards(
+    spark,
+    path: str,
+    members: dict[str, str],
+    string_members: set[str] | frozenset[str] = frozenset(),
+    key_col: str = "key",
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """The reader face of :func:`write_webdataset_shards` — stream
+    WebDataset ``.tar`` shards back into one row per SAMPLE
+    (``key_col`` + one column per member extension), the ingest path
+    a multimodal training pipeline needs when its upstream corpus
+    already lives as WebDataset.
+
+    ``members`` maps member extension → output column (the writer's
+    mapping, column-ward); extensions in ``string_members`` decode
+    UTF-8, the rest stay binary. A member absent from a sample is
+    NULL (the format's missing-key convention, the writer's NULL
+    inverse). Samples are grouped WebDataset-style: consecutive
+    entries sharing the basename before the FIRST dot form one
+    sample — the public convention tar order guarantees. Unknown
+    extensions are skipped (a loader reads the keys it knows).
+
+    Plan shape: the driver lists shard PATHS only (a file listing,
+    not data); paths repartition across executors and each task
+    STREAMS its tar member-by-member (``tarfile`` sequential read —
+    per-row memory is one member, never one tar), flushing Arrow
+    batches every ``batch_rows`` samples. Same mounted-filesystem
+    contract as the writer. Shard-level parallelism = number of
+    tars, the format's native unit."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    paths = sorted(
+        _glob.glob(_os.path.join(path, "*.tar"))
+    )
+    if not paths:
+        raise ValueError(f"read_webdataset_shards: no .tar under {path}")
+    schema = StructType(
+        [StructField(key_col, StringType())]
+        + [
+            StructField(
+                col,
+                StringType() if ext in string_members else BinaryType(),
+            )
+            for ext, col in sorted(members.items())
+        ]
+    )
+    out_cols = [key_col] + [c for _, c in sorted(members.items())]
+    ext_for = dict(members)
+    strs = set(string_members)
+
+    def run(batches):
+        import tarfile
+
+        import pandas as pd
+
+        rows: list[dict] = []
+
+        def flush():
+            nonlocal rows
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+                rows = []
+
+        for pdf in batches:
+            for tar_path in pdf["tar_path"]:
+                with tarfile.open(tar_path, "r") as tar:
+                    cur_key = None
+                    rec: dict = {}
+                    for info in tar:
+                        if not info.isfile():
+                            continue
+                        base = _os.path.basename(info.name)
+                        key, _, ext = base.partition(".")
+                        if key != cur_key:
+                            if cur_key is not None:
+                                rows.append(rec)
+                                if len(rows) >= batch_rows:
+                                    yield from flush()
+                            cur_key = key
+                            rec = {c: None for c in out_cols}
+                            rec[key_col] = key
+                        col = ext_for.get(ext)
+                        if col is None:
+                            continue
+                        data = tar.extractfile(info).read()
+                        rec[col] = (
+                            data.decode("utf-8") if ext in strs else data
+                        )
+                    if cur_key is not None:
+                        rows.append(rec)
+        yield from flush()
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "tar_path string")
+    return pdf.repartition(len(paths)).mapInPandas(run, schema=schema)

@@ -252,7 +252,14 @@ def route_zip_members(
     )
     mime = sniff_mime(F.col("member"))
     return members.select(
-        *[c for c in members.columns if c not in (payload_col, "member")],
+        *[
+            c
+            for c in members.columns
+            # mime/route are recomputed for the member — stale parent
+            # columns (e.g. from route_crawl_payloads) must not
+            # survive as duplicates
+            if c not in (payload_col, "member", mime_col, route_col)
+        ],
         F.col("member").alias(payload_col),
         F.coalesce(mime, F.lit("application/zip")).alias(mime_col),
     ).withColumn(

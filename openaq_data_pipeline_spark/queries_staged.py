@@ -1620,6 +1620,45 @@ def q_zip_member_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "webdataset_roundtrip",
+    "EXT-curation — WebDataset export→ingest round-trip (r12: the "
+    "reader face of the r8 shard writer): documents export as "
+    "deterministic .tar shards (one exchange, per-shard parallel "
+    "writers, byte-stable across retries) and stream back through "
+    "read_webdataset_shards (driver lists PATHS only; each task "
+    "streams its tar member-by-member, per-row memory one member "
+    "never one tar) — the identity oracle is the whole point: a "
+    "training corpus must survive its own storage format exactly",
+    oracle="""
+SELECT doc_id, lang, text FROM documents ORDER BY doc_id
+""",
+)
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.curation import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "text"
+    )
+    out = session_tmpdir("wds_export_")
+    members = {"txt": "text", "cls": "lang"}
+    # materialize the export; the tiny manifest is the receipt (one
+    # row per shard — a driver-side scalar read, not a data path)
+    write_webdataset_shards(d, out, "doc_id", members, n_shards=8).collect()
+    back = read_webdataset_shards(
+        spark, out, members, string_members={"txt", "cls"}
+    )
+    return back.select(
+        F.split(F.col("key"), "_").getItem(1).cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.col("text"),
+    ).orderBy("doc_id")
+
+
 _ROBOTS_TXT = """\
 User-agent: *
 Disallow: /private/*

@@ -644,6 +644,7 @@ def crawl_intake_gate(
     payload_col: str | None = None,
     media_features_path: str | None = None,
     fuzzy_index=None,
+    zip_members: bool = False,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -683,7 +684,25 @@ def crawl_intake_gate(
     the MinHash near-dup stage after the exact gate — the template-
     respin case exact hashing can't see — via the shared
     :func:`_fuzzy_gate` (markers + crash scrub rooted at the fuzzy
-    index's location)."""
+    index's location).
+
+    With ``zip_members`` (r12, payload mode only) ``application/zip``
+    payloads take the container hop (:func:`~openaq_data_pipeline_
+    spark.operators.router.route_zip_members`): each archive explodes
+    into routed member rows under a REPLAY-STABLE synthetic id
+    (``xxhash64(parent_id, 'zip_member', member_index)`` cast to the
+    feed's id type — deterministic, so retries re-derive the same
+    ids; collisions are hash-improbable and would surface as exact-
+    gate drops, never corruption). Member TEXT converges on the same
+    funnel as first-class pages; member media/discard rows land under
+    ``media_features_path/zip_<plane>`` (separate dirs — the member
+    DISCARD plane carries ``member_index``/``member_name``
+    provenance, while media planes are fixed-schema feature rows
+    keyed by the synthetic id, same as page media). A zip that
+    arrived INSIDE a gzip member stays discarded — the gzip hop
+    already spent that payload's container hop. The archive row
+    itself still appears in the main discard plane: the container
+    and its members are BOTH accounted."""
     from openaq_data_pipeline_spark.operators.frontier import (
         apply_robots,
         url_ledger_gate,
@@ -720,6 +739,41 @@ def crawl_intake_gate(
             planes = crawl_route_planes(
                 routed, payload_col, id_col, out_col="__text"
             )
+            text_plane = planes["text"]
+            mplanes = None
+            if zip_members:
+                from openaq_data_pipeline_spark.operators.router import (
+                    route_zip_members,
+                )
+
+                id_type = routed.schema[id_col].dataType.simpleString()
+                # zip-inside-GZIP stays discarded: the global
+                # one-container-hop posture (the gzip hop already
+                # spent this payload's hop)
+                members = (
+                    route_zip_members(
+                        routed.where(
+                            (F.col("mime") == "application/zip")
+                            & ~F.col("was_gzip")
+                        ),
+                        payload_col,
+                    )
+                    .withColumn(
+                        id_col,
+                        F.xxhash64(
+                            F.col(id_col),
+                            F.lit("zip_member"),
+                            F.col("member_index"),
+                        ).cast(id_type),
+                    )
+                    .localCheckpoint(eager=True)  # five consumers
+                )
+                mplanes = crawl_route_planes(
+                    members, payload_col, id_col, out_col="__text"
+                )
+                text_plane = text_plane.unionByName(
+                    mplanes["text"].drop("member_index", "member_name")
+                )
             if media_features_path is not None:
                 from openaq_data_pipeline_spark.operators.router import (
                     route_stats,
@@ -737,6 +791,17 @@ def crawl_intake_gate(
                         .partitionBy("batch_id")
                         .parquet(f"{media_features_path}/{plane}")
                     )
+                    if mplanes is not None:
+                        (
+                            mplanes[plane]
+                            .selectExpr("*", f"{batch_id} as batch_id")
+                            .write.mode("overwrite")
+                            .option("partitionOverwriteMode", "dynamic")
+                            .partitionBy("batch_id")
+                            .parquet(
+                                f"{media_features_path}/zip_{plane}"
+                            )
+                        )
                 (
                     route_stats(routed)
                     .selectExpr("*", f"{batch_id} as batch_id")
@@ -745,7 +810,7 @@ def crawl_intake_gate(
                     .partitionBy("batch_id")
                     .parquet(f"{media_features_path}/route_stats")
                 )
-            texts = planes["text"].localCheckpoint(eager=True)
+            texts = text_plane.localCheckpoint(eager=True)
         else:
             texts = html_extract_density(
                 pages, html_col, out_col="__text"
@@ -819,6 +884,7 @@ def stream_crawl_intake(
     payload_col: str | None = None,
     media_features_path: str | None = None,
     fuzzy_index=None,
+    zip_members: bool = False,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
@@ -830,7 +896,10 @@ def stream_crawl_intake(
     image/audio/video → feature rows under ``media_features_path``.
     With ``fuzzy_index`` the extracted text additionally runs the
     MinHash near-dup gate after the exact gate — template respins
-    across micro-batches drop through the persisted band index."""
+    across micro-batches drop through the persisted band index.
+    With ``zip_members`` ZIP payloads explode into routed member
+    rows that join the same funnel/planes (see
+    :func:`crawl_intake_gate`)."""
     writer = (
         stream_df.writeStream.foreachBatch(
             crawl_intake_gate(
@@ -839,6 +908,7 @@ def stream_crawl_intake(
                 payload_col=payload_col,
                 media_features_path=media_features_path,
                 fuzzy_index=fuzzy_index,
+                zip_members=zip_members,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

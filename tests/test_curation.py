@@ -771,6 +771,58 @@ class TestWebdatasetShards:
                 self._df(spark), str(tmp_path), "doc_id", {}, 2
             )
 
+    def test_read_round_trips_write(self, spark, tmp_path):
+        """r12: the reader face — write → read is identity on every
+        sample (string member decoded, binary member passed through,
+        NULL members come back NULL), distributed per-shard with
+        small Arrow flush batches (batch_rows=3 forces mid-tar
+        flushes)."""
+        from openaq_data_pipeline_spark.operators.curation import (
+            read_webdataset_shards,
+        )
+
+        out = str(tmp_path / "wds")
+        self._export(spark, out)
+        back = read_webdataset_shards(
+            spark, out, {"txt": "text", "jpg": "img"},
+            string_members={"txt"}, batch_rows=3,
+        )
+        rows = {
+            int(r.key.split("_")[1]): r for r in back.collect()
+        }
+        assert set(rows) == set(range(10))
+        for i, r in rows.items():
+            assert r.text == f"text-{i}"
+            if i % 3 == 0:
+                assert r.img is None  # omitted member → NULL
+            else:
+                assert bytes(r.img) == f"img{i}".encode()
+        # shard-level parallelism: one input partition per tar
+        assert back.rdd.getNumPartitions() == 3
+
+    def test_read_skips_unknown_extensions_and_missing_dir(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            read_webdataset_shards,
+        )
+
+        out = str(tmp_path / "wds")
+        self._export(spark, out)
+        # a loader reads only the keys it knows: jpg ignored
+        back = read_webdataset_shards(
+            spark, out, {"txt": "text"}, string_members={"txt"}
+        )
+        assert sorted(
+            int(r.key.split("_")[1]) for r in back.collect()
+        ) == list(range(10))
+        with _pytest.raises(ValueError, match="no .tar"):
+            read_webdataset_shards(
+                spark, str(tmp_path / "nope"), {"txt": "text"}
+            )
+
 
 class TestCanonicalizeUrl:
     """URL canonicalization (r8): the crawl-frontier dedup key — one
