@@ -26,10 +26,11 @@ plane:
   batch op behind ``sample_video_frames``);
 - ``application/gzip`` → ONE nested-decode hop (bomb-capped,
   re-sniffed, re-routed; gzip-inside-gzip → discard);
-- ``application/zip`` → :func:`route_zip_members` (r12): the
-  archive explodes into routed MEMBER rows under the same one-hop/
-  bomb-cap posture — nested containers discard, capped members keep
-  their names with NULL bytes;
+- ``application/zip`` / ``application/x-tar`` →
+  :func:`route_container_members` (r12): the archive explodes into
+  routed MEMBER rows under the same one-hop/bomb-cap posture —
+  nested containers discard, capped members keep their names with
+  NULL bytes;
 - everything else (exotic image formats — the pdfium/PIL plug-in
   point; octet junk) → discard, with the sniffed mime kept for
   observability.
@@ -130,37 +131,110 @@ def gunzip_once(
     return df.mapInPandas(run, schema=schema)
 
 
-def unzip_members(
-    df: DataFrame,
-    payload_col: str,
-    max_bytes: int = 1 << 26,
-    max_members: int = 256,
-) -> DataFrame:
-    """Explode ZIP payloads into one row per archive member — the
-    container analogue of :func:`gunzip_once`, same ONE-hop, same
-    bomb posture, nothing silent:
-
-    - each member row carries ``member_index``/``member_name`` (from
-      the central directory) plus the decompressed ``member`` bytes;
-    - a member whose decompressed size exceeds ``max_bytes`` (zip
-      bomb, lying size header — the read is capped, the declared
-      size is NOT trusted) yields its name with NULL bytes;
-    - members beyond ``max_members`` keep their name (the directory
-      walk is header-only) with NULL bytes — the cap is observable
-      per member, never a truncation;
-    - a corrupt/non-zip payload yields ONE row with NULL index/name/
-      bytes, so route_stats-style accounting still sees the row;
-    - encrypted members yield name + NULL bytes (no password plane).
-
-    Re-sniff + route the ``member`` column with
-    :func:`~openaq_data_pipeline_spark.operators.text.sniff_mime` +
-    :func:`route_for_mime` and discard nested containers
-    (gzip/zip members) to keep the global one-hop contract — e.g.
-    :func:`route_zip_members` below does exactly that. One Arrow
-    ``mapInPandas`` stage; stdlib ``zipfile`` (stored + DEFLATE)."""
+def _walk_zip(blob: bytes, max_bytes: int, max_members: int):
+    """(index, name, bytes|None) per ZIP member; None instead of an
+    iterator for a corrupt/empty archive. Capped members (bomb/lying
+    size header — the READ is capped, declared sizes are untrusted),
+    members beyond ``max_members`` (directory walk stays header-only)
+    and encrypted members yield their name with NULL bytes."""
     import io
     import zipfile
 
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        infos = zf.infolist()
+    except Exception:
+        return None
+    if not infos:
+        return None
+
+    def gen():
+        for mi, info in enumerate(infos):
+            if mi >= max_members:
+                yield mi, info.filename, None
+                continue
+            try:
+                with zf.open(info) as fh:
+                    data = fh.read(max_bytes + 1)
+                if len(data) > max_bytes:
+                    data = None
+            except Exception:
+                data = None
+            yield mi, info.filename, data
+
+    return gen()
+
+
+def _walk_tar(blob: bytes, max_bytes: int, max_members: int):
+    """The ustar twin of :func:`_walk_zip` (uncompressed tar — a
+    ``.tar.gz`` reaches here only through the gzip hop, and a tar
+    found INSIDE that hop stays discarded by the one-hop contract).
+    Non-file entries (directories, links) are skipped; a tar "bomb"
+    is just a large stored file, which the capped read bounds the
+    same way."""
+    import io
+    import tarfile
+
+    try:
+        tar = tarfile.open(fileobj=io.BytesIO(blob), mode="r:")
+        infos = [m for m in tar.getmembers() if m.isfile()]
+    except Exception:
+        return None
+    if not infos:
+        return None
+
+    def gen():
+        for mi, info in enumerate(infos):
+            if mi >= max_members:
+                yield mi, info.name, None
+                continue
+            try:
+                fh = tar.extractfile(info)
+                data = fh.read(max_bytes + 1) if fh is not None else None
+                if data is not None and len(data) > max_bytes:
+                    data = None
+            except Exception:
+                data = None
+            yield mi, info.name, data
+
+    return gen()
+
+
+_CONTAINER_WALKERS = {"zip": _walk_zip, "tar": _walk_tar}
+_CONTAINER_MIMES = ("application/zip", "application/x-tar")
+
+
+def container_members(
+    df: DataFrame,
+    payload_col: str,
+    fmt: str = "zip",
+    max_bytes: int = 1 << 26,
+    max_members: int = 256,
+) -> DataFrame:
+    """Explode container payloads (``fmt``: ``zip`` or ``tar``) into
+    one row per archive member — the container analogue of
+    :func:`gunzip_once`, same ONE-hop, same bomb posture, nothing
+    silent:
+
+    - each member row carries ``member_index``/``member_name`` plus
+      the member bytes;
+    - a member whose bytes exceed ``max_bytes`` (bomb, lying size
+      header — the read is capped, declared sizes are NOT trusted)
+      yields its name with NULL bytes;
+    - members beyond ``max_members`` keep their name (the directory
+      walk is header-only) with NULL bytes — the cap is observable
+      per member, never a truncation;
+    - a corrupt/empty/mismatched payload yields ONE row with NULL
+      index/name/bytes, so route_stats-style accounting still sees
+      the row;
+    - encrypted zip members yield name + NULL (no password plane).
+
+    Re-sniff + route the ``member`` column with
+    :func:`~openaq_data_pipeline_spark.operators.text.sniff_mime` +
+    :func:`route_for_mime` and discard nested containers to keep the
+    global one-hop contract — :func:`route_container_members` does
+    exactly that. One Arrow ``mapInPandas`` stage; stdlib
+    ``zipfile``/``tarfile`` (stored + DEFLATE / ustar)."""
     from pyspark.sql.types import (
         BinaryType,
         IntegerType,
@@ -168,6 +242,10 @@ def unzip_members(
         StructField,
         StructType,
     )
+
+    if fmt not in _CONTAINER_WALKERS:
+        raise ValueError(f"container_members: unknown fmt {fmt!r}")
+    walk = _CONTAINER_WALKERS[fmt]
 
     in_fields = [
         f
@@ -201,27 +279,12 @@ def unzip_members(
                     emit(row_i, None, None, None)
                     continue
                 blob = c if isinstance(c, bytes) else bytes(c)
-                try:
-                    zf = zipfile.ZipFile(io.BytesIO(blob))
-                    infos = zf.infolist()
-                except Exception:
+                walked = walk(blob, max_bytes, max_members)
+                if walked is None:
                     emit(row_i, None, None, None)
                     continue
-                if not infos:
-                    emit(row_i, None, None, None)
-                    continue
-                for mi, info in enumerate(infos):
-                    if mi >= max_members:
-                        emit(row_i, mi, info.filename, None)
-                        continue
-                    try:
-                        with zf.open(info) as fh:
-                            data = fh.read(max_bytes + 1)
-                        if len(data) > max_bytes:
-                            data = None  # bomb/lying header: capped
-                    except Exception:
-                        data = None  # encrypted / corrupt member
-                    emit(row_i, mi, info.filename, data)
+                for mi, name, data in walked:
+                    emit(row_i, mi, name, data)
             out_pdf = pd.DataFrame(out_rows, columns=cols)
             out_pdf["member_index"] = pd.array(idxs, dtype="Int32")
             out_pdf["member_name"] = names
@@ -231,24 +294,31 @@ def unzip_members(
     return df.mapInPandas(run, schema=schema)
 
 
-def route_zip_members(
+def route_container_members(
     df: DataFrame,
     payload_col: str,
+    fmt: str = "zip",
     mime_col: str = "mime",
     route_col: str = "route",
     max_bytes: int = 1 << 26,
     max_members: int = 256,
 ) -> DataFrame:
-    """ZIP rows → routed MEMBER rows: explode via
-    :func:`unzip_members`, re-sniff each member and route it like a
-    first-class payload — except nested containers (a gzip or zip
-    INSIDE the archive), which discard under the global one-hop
-    contract (one container hop per payload, never a loop). The
-    member bytes land in ``payload_col`` so downstream extractors
-    consume the same uniform column; sniff + route are codegen over
-    the exploded frame."""
-    members = unzip_members(
-        df, payload_col, max_bytes=max_bytes, max_members=max_members
+    """Container rows → routed MEMBER rows: explode via
+    :func:`container_members`, re-sniff each member and route it
+    like a first-class payload — except nested containers (a gzip,
+    zip or tar INSIDE the archive), which discard under the global
+    one-hop contract (one container hop per payload, never a loop).
+    The member bytes land in ``payload_col`` so downstream
+    extractors consume the same uniform column; sniff + route are
+    codegen over the exploded frame. NULL members (capped bombs,
+    corrupt archives) keep the CONTAINER mime for accountable
+    route_stats grouping."""
+    members = container_members(
+        df, payload_col, fmt,
+        max_bytes=max_bytes, max_members=max_members,
+    )
+    container_mime = (
+        "application/zip" if fmt == "zip" else "application/x-tar"
     )
     mime = sniff_mime(F.col("member"))
     return members.select(
@@ -261,13 +331,54 @@ def route_zip_members(
             if c not in (payload_col, "member", mime_col, route_col)
         ],
         F.col("member").alias(payload_col),
-        F.coalesce(mime, F.lit("application/zip")).alias(mime_col),
+        F.coalesce(mime, F.lit(container_mime)).alias(mime_col),
     ).withColumn(
         route_col,
         F.when(
-            F.col(mime_col).isin("application/gzip", "application/zip"),
+            F.col(mime_col).isin("application/gzip", *_CONTAINER_MIMES),
             F.lit(ROUTE_DISCARD),
         ).otherwise(route_for_mime(F.col(mime_col))),
+    )
+
+
+def unzip_members(
+    df: DataFrame,
+    payload_col: str,
+    max_bytes: int = 1 << 26,
+    max_members: int = 256,
+) -> DataFrame:
+    """:func:`container_members` for ZIP."""
+    return container_members(
+        df, payload_col, "zip",
+        max_bytes=max_bytes, max_members=max_members,
+    )
+
+
+def untar_members(
+    df: DataFrame,
+    payload_col: str,
+    max_bytes: int = 1 << 26,
+    max_members: int = 256,
+) -> DataFrame:
+    """:func:`container_members` for ustar TAR."""
+    return container_members(
+        df, payload_col, "tar",
+        max_bytes=max_bytes, max_members=max_members,
+    )
+
+
+def route_zip_members(
+    df: DataFrame,
+    payload_col: str,
+    mime_col: str = "mime",
+    route_col: str = "route",
+    max_bytes: int = 1 << 26,
+    max_members: int = 256,
+) -> DataFrame:
+    """:func:`route_container_members` for ZIP."""
+    return route_container_members(
+        df, payload_col, "zip", mime_col=mime_col, route_col=route_col,
+        max_bytes=max_bytes, max_members=max_members,
     )
 
 

@@ -837,6 +837,7 @@ def sniff_mime(payload: Column) -> Column:
     - ``%PDF`` → application/pdf; PNG/JPEG/GIF magics; gzip; ZIP
       (``PK\\x03\\x04`` — also OOXML containers); RIFF→WAVE / AVI;
       ISO-BMFF (``ftyp`` at offset 4, any brand) → video/mp4;
+      POSIX ustar (offset 257) → application/x-tar;
     - leading ``<!doctype html`` / ``<html`` (case-insensitive,
       whitespace-tolerant) → text/html;
     - else a printability heuristic on the first 64 bytes (latin-1
@@ -877,6 +878,11 @@ def sniff_mime(payload: Column) -> Column:
         # ISO-BMFF: 'ftyp' at byte offset 4 (any brand — mp4/mov/3gp
         # variants all route to the same header-only video plane)
         .when(magic(5, b"ftyp"), F.lit("video/mp4"))
+        # POSIX ustar magic at byte offset 257 (r12: WebDataset and
+        # archive crawls ship uncompressed tar; GNU tar writes
+        # 'ustar ' with a space-terminated version — match the five
+        # shared octets)
+        .when(magic(258, b"ustar"), F.lit("application/x-tar"))
         .when(
             lower.startswith("<!doctype html") | lower.startswith("<html"),
             F.lit("text/html"),

@@ -644,7 +644,7 @@ def crawl_intake_gate(
     payload_col: str | None = None,
     media_features_path: str | None = None,
     fuzzy_index=None,
-    zip_members: bool = False,
+    container_members: bool = False,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -686,9 +686,10 @@ def crawl_intake_gate(
     :func:`_fuzzy_gate` (markers + crash scrub rooted at the fuzzy
     index's location).
 
-    With ``zip_members`` (r12, payload mode only) ``application/zip``
+    With ``container_members`` (r12, payload mode only) ZIP and TAR
     payloads take the container hop (:func:`~openaq_data_pipeline_
-    spark.operators.router.route_zip_members`): each archive explodes
+    spark.operators.router.route_container_members`): each archive
+    explodes
     into routed member rows under a REPLAY-STABLE synthetic id
     (``xxhash64(parent_id, 'zip_member', member_index)`` cast to the
     feed's id type — deterministic, so retries re-derive the same
@@ -741,23 +742,32 @@ def crawl_intake_gate(
             )
             text_plane = planes["text"]
             mplanes = None
-            if zip_members:
+            if container_members:
                 from openaq_data_pipeline_spark.operators.router import (
-                    route_zip_members,
+                    route_container_members,
                 )
 
                 id_type = routed.schema[id_col].dataType.simpleString()
-                # zip-inside-GZIP stays discarded: the global
-                # one-container-hop posture (the gzip hop already
-                # spent this payload's hop)
-                members = (
-                    route_zip_members(
+                # a container inside a GZIP stays discarded: the
+                # global one-container-hop posture (the gzip hop
+                # already spent this payload's hop)
+                hops = [
+                    route_container_members(
                         routed.where(
-                            (F.col("mime") == "application/zip")
+                            (F.col("mime") == cmime)
                             & ~F.col("was_gzip")
                         ),
                         payload_col,
+                        fmt,
                     )
+                    for fmt, cmime in (
+                        ("zip", "application/zip"),
+                        ("tar", "application/x-tar"),
+                    )
+                ]
+                members = (
+                    hops[0]
+                    .unionByName(hops[1])
                     .withColumn(
                         id_col,
                         F.xxhash64(
@@ -884,7 +894,7 @@ def stream_crawl_intake(
     payload_col: str | None = None,
     media_features_path: str | None = None,
     fuzzy_index=None,
-    zip_members: bool = False,
+    container_members: bool = False,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
@@ -897,8 +907,8 @@ def stream_crawl_intake(
     With ``fuzzy_index`` the extracted text additionally runs the
     MinHash near-dup gate after the exact gate — template respins
     across micro-batches drop through the persisted band index.
-    With ``zip_members`` ZIP payloads explode into routed member
-    rows that join the same funnel/planes (see
+    With ``container_members`` ZIP and TAR payloads explode into
+    routed member rows that join the same funnel/planes (see
     :func:`crawl_intake_gate`)."""
     writer = (
         stream_df.writeStream.foreachBatch(
@@ -908,7 +918,7 @@ def stream_crawl_intake(
                 payload_col=payload_col,
                 media_features_path=media_features_path,
                 fuzzy_index=fuzzy_index,
-                zip_members=zip_members,
+                container_members=container_members,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -526,6 +526,62 @@ class TestZipMemberRoute:
             True, True, False, False, False,
         ]
 
+    def _tar(self, members: dict[str, bytes]) -> bytes:
+        import io
+        import tarfile
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for name, data in members.items():
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    def test_tar_members_route_like_zip(self, spark):
+        """r12: ustar archives (WebDataset's container) take the same
+        hop — sniffed at offset 257, members re-sniffed and routed,
+        nested containers discarded, caps observable."""
+        from openaq_data_pipeline_spark.operators.router import (
+            route_container_members,
+        )
+        from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+        archive = self._tar(
+            {
+                "essay.txt": ART.encode(),
+                "logo.gif": _gif(),
+                "inner.tar": self._tar({"deep.txt": b"deep"}),
+                "big.bin": b"\x01" * 9000,
+            }
+        )
+        df = spark.createDataFrame(
+            [(1, archive)], "doc_id long, payload binary"
+        )
+        assert df.select(
+            sniff_mime(F.col("payload")).alias("m")
+        ).first().m == "application/x-tar"
+        rows = {
+            r.member_name: r
+            for r in route_container_members(
+                df, "payload", "tar", max_bytes=4096
+            ).collect()
+        }
+        assert (rows["essay.txt"].mime, rows["essay.txt"].route) == (
+            "text/plain", "text",
+        )
+        assert (rows["logo.gif"].mime, rows["logo.gif"].route) == (
+            "image/gif", "image",
+        )
+        assert (rows["inner.tar"].mime, rows["inner.tar"].route) == (
+            "application/x-tar", "discard",
+        )
+        # a tar "bomb" is just a big stored file: read-capped to NULL
+        assert rows["big.bin"].payload is None
+        assert (rows["big.bin"].mime, rows["big.bin"].route) == (
+            "application/x-tar", "discard",
+        )
+
     def test_corrupt_and_empty_archives_yield_one_null_row(self, spark):
         from openaq_data_pipeline_spark.operators.router import (
             unzip_members,
@@ -633,7 +689,7 @@ class TestMixedWarcFrontDoor:
 
 
 class TestZipIntakeComposition:
-    """crawl_intake_gate with zip_members (r12): archive members
+    """crawl_intake_gate with container_members (r12): archive members
     join the SAME funnel as first-class pages — member text passes
     the Gopher/exact gates under replay-stable synthetic ids, member
     media lands under zip_<plane>, and a member whose text dups
@@ -659,17 +715,27 @@ class TestZipIntakeComposition:
             crawl_intake_gate,
         )
 
+        import io
+        import tarfile
+
         art2 = ART.replace("quick", "swift")
+        art3 = ART.replace("quick", "hasty")
         schema = "page_id long, url string, payload binary"
         out = str(tmp_path / "survivors")
         media = str(tmp_path / "media")
         archive = self._zip(
             {"essay.txt": ART.encode(), "logo.gif": _gif()}
         )
+        tbuf = io.BytesIO()
+        with tarfile.open(fileobj=tbuf, mode="w") as tar:
+            info = tarfile.TarInfo(name="piece.txt")
+            info.size = len(art3.encode())
+            tar.addfile(info, io.BytesIO(art3.encode()))
         batch0 = spark.createDataFrame(
             [
                 (1, "https://a.org/bundle.zip", archive),
                 (2, "https://a.org/page", _page(art2).encode()),
+                (4, "https://a.org/shard.tar", tbuf.getvalue()),
             ],
             schema,
         )
@@ -684,19 +750,21 @@ class TestZipIntakeComposition:
             gate = crawl_intake_gate(
                 "url", None, "page_id", ledger, hist, out,
                 payload_col="payload", media_features_path=media,
-                zip_members=True,
+                container_members=True,
             )
             gate(batch0, 0)
             gate(batch1, 1)
         surv = {r.url: r for r in spark.read.parquet(out).collect()}
-        # the member text survived under the archive's URL with a
-        # synthetic id distinct from the page ids
+        # zip AND tar member text survived under their archives' URLs
+        # with synthetic ids distinct from the page ids
         assert set(surv) == {
             "https://a.org/bundle.zip", "https://a.org/page",
+            "https://a.org/shard.tar",
         }
         member_row = surv["https://a.org/bundle.zip"]
         assert ART in member_row.text
-        assert member_row.page_id not in (1, 2, 3)
+        assert member_row.page_id not in (1, 2, 3, 4)
+        assert art3 in surv["https://a.org/shard.tar"].text
         # media member landed in the zip image plane (feature rows
         # keyed by the synthetic member id), decoded through the GIF
         # path
@@ -728,7 +796,7 @@ class TestZipIntakeComposition:
         ) as hist:
             gate = crawl_intake_gate(
                 "url", None, "page_id", ledger, hist, out,
-                payload_col="payload", zip_members=True,
+                payload_col="payload", container_members=True,
             )
             gate(batch, 0)
             first = {
