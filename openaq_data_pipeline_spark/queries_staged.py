@@ -1,18 +1,15 @@
-"""Driver queries promoted from the staging pool: the r9 takedown/
-crawl/profile tier and the r10 promotions (lang_id_trigram,
-html_density_extract, ann_topk_ivf_pq — parity-green as staged
-candidates for one round, entering when embedding_quantization,
-vocab_top_ngrams and doc_chunking rotated out with their families
-still driver-live via ann_topk_ivf/pq, lm_trigram_backoff + bpe_*,
-and corpus_curation + sequence_packing + training_shards). Earlier
-rotations: r9 rotated out decontamination, dedup_keep_one,
-stratified_sample, lm_bigram_score, text_repetition_signals.
+"""Driver queries promoted from the staging pool, plus the CURRENT
+staging pool itself (``register_staged`` entries — full-oracle,
+parity-checked at both SFs every pytest run, awaiting driver slots
+at the next rotation window; the ledger of every promotion/rotation
+lives in COVERAGE.md). The r12 pool: video_mp4_stats,
+gif_decode_features, charset_detect_decode, robots_gate_eval,
+route_stats_funnel, container_member_route, webdataset_roundtrip.
 
-Oracle style note: `html_text_extract`'s oracle is a CLOSED FORM of
-the expected extraction (the HTML is synthesized around the document
-text, so the right answer is constructible directly) — a stronger
-check than replaying the regexp chain, which would just mirror the
-implementation."""
+Oracle style note: these oracles are CLOSED FORMS of the expected
+answer (payloads are synthesized from document ids/text, so ground
+truth is constructible directly) — a stronger check than replaying
+the implementation's own chain, which would just mirror it."""
 
 from __future__ import annotations
 
@@ -1529,17 +1526,18 @@ def q_route_stats_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_staged(
-    "zip_member_route",
-    "EXT-router — ZIP container hop (r12: the one sniffed container "
-    "the front door still discarded whole): per document a real "
-    "DEFLATE archive with three members — a text page, a residue-"
-    "varied second member (GIF / PDF / nested zip / NUL junk), and a "
-    "zip BOMB behind a 4 KiB cap — explodes into routed member rows; "
-    "nested containers discard under the global one-hop contract and "
-    "the capped bomb keeps its name with container mime, never a "
-    "silent drop. The oracle is the CLOSED FORM of (name, mime, "
-    "route) per member slot — ground truth from the archive "
-    "construction, not an unzip replay",
+    "container_member_route",
+    "EXT-router — the container hop (r12: zip AND ustar tar, the two "
+    "sniffed containers the front door previously discarded whole): "
+    "per document a real archive — DEFLATE zip for even ids, "
+    "uncompressed tar for odd — with three members: a text page, a "
+    "residue-varied second member (GIF / PDF / nested zip / NUL "
+    "junk), and a BOMB behind a 4 KiB cap — explodes into routed "
+    "member rows; nested containers discard under the global one-hop "
+    "contract and the capped bomb keeps its name with the OUTER "
+    "container's mime, never a silent drop. The oracle is the CLOSED "
+    "FORM of (name, mime, route) per member slot — ground truth from "
+    "the archive construction, not an unzip replay",
     oracle="""
 WITH m AS (
     SELECT doc_id, CAST(0 AS INTEGER) AS member_index,
@@ -1560,7 +1558,9 @@ WITH m AS (
     FROM documents
     UNION ALL
     SELECT doc_id, CAST(2 AS INTEGER), 'bomb.bin',
-           'application/zip', 'discard'
+           CASE WHEN doc_id % 2 = 0 THEN 'application/zip'
+                ELSE 'application/x-tar' END,
+           'discard'
     FROM documents
 )
 SELECT doc_id, member_index, member_name, mime, route
@@ -1568,18 +1568,21 @@ FROM m
 ORDER BY doc_id, member_index
 """,
 )
-def q_zip_member_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_container_member_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member 0 text/plain→text, member 1 by doc_id%4 (0 GIF→image,
     1 PDF→text, 2 nested-zip→discard, 3 NUL junk→discard), member 2
-    an 8 KiB zero bomb read-capped at 4 KiB (NULL bytes, container
-    mime, discard — accountable in route_stats' n_bytes_null)."""
+    an 8 KiB zero bomb read-capped at 4 KiB (NULL bytes, the outer
+    container's mime, discard — accountable in route_stats'
+    n_bytes_null). Even ids ship as DEFLATE zip, odd as uncompressed
+    ustar tar — both walk the same member machinery."""
     import io
+    import tarfile
     import zipfile
 
     import pandas as pd
 
     from openaq_data_pipeline_spark.operators.router import (
-        route_zip_members,
+        route_container_members,
     )
 
     d = load(spark, sf_dir, "documents")["documents"].select(
@@ -1601,20 +1604,40 @@ def q_zip_member_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                     extra = ("inner.zip", b"PK\x03\x04" + body)
                 else:
                     extra = ("junk.bin", bytes(range(16)) + body)
+                members = [
+                    ("page.txt", body),
+                    extra,
+                    ("bomb.bin", b"\x00" * 8192),
+                ]
                 buf = io.BytesIO()
-                with zipfile.ZipFile(
-                    buf, "w", zipfile.ZIP_DEFLATED
-                ) as zf:
-                    zf.writestr("page.txt", body)
-                    zf.writestr(*extra)
-                    zf.writestr("bomb.bin", b"\x00" * 8192)
+                if mid % 2 == 0:
+                    with zipfile.ZipFile(
+                        buf, "w", zipfile.ZIP_DEFLATED
+                    ) as zf:
+                        for name, data in members:
+                            zf.writestr(name, data)
+                else:
+                    with tarfile.open(fileobj=buf, mode="w") as tar:
+                        for name, data in members:
+                            info = tarfile.TarInfo(name=name)
+                            info.size = len(data)
+                            tar.addfile(info, io.BytesIO(data))
                 ids.append(mid)
                 blobs.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": ids, "payload": blobs})
 
     archives = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    routed = [
+        route_container_members(
+            archives.where(F.col("doc_id") % 2 == (0 if fmt == "zip" else 1)),
+            "payload",
+            fmt,
+            max_bytes=4096,
+        )
+        for fmt in ("zip", "tar")
+    ]
     return (
-        route_zip_members(archives, "payload", max_bytes=4096)
+        routed[0].unionByName(routed[1])
         .select("doc_id", "member_index", "member_name", "mime", "route")
         .orderBy("doc_id", "member_index")
     )
