@@ -1030,3 +1030,106 @@ def keep_one_per_cluster(
             .alias("cluster_size"),
         )
     )
+
+
+# --- cross-corpus line-frequency filter (r12) ----------------------------
+#
+# The CCNet / C4 / Dolma "paragraph dedup" step: a LINE that recurs
+# across many documents is boilerplate (navigation, footers, cookie
+# banners, license headers) even when the documents around it are
+# unique — document-level dedup can never see it. Public recipe:
+# count each normalized line's distinct-document frequency corpus-
+# wide, strip lines over a threshold from every document, keep line
+# order otherwise. (CCNet does this at paragraph level over hashes;
+# C4 removes its boilerplate lines the same way.)
+
+
+def line_frequency_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    min_line_chars: int = 10,
+    out_col: str = "text_clean",
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip lines that occur in ≥ ``min_docs`` DISTINCT documents
+    from every document (whitespace-trimmed comparison; lines shorter
+    than ``min_line_chars`` after trim are exempt — short connectives
+    like list bullets are not boilerplate evidence). Returns the
+    input columns plus ``out_col`` (lines re-joined by ``sep``, order
+    preserved) and ``n_lines_dropped``; a document that was ALL
+    boilerplate keeps an empty string, countable by the caller —
+    never a silently vanished row. NULL text passes through NULL.
+
+    Plan shape (100 TB): one explode to line rows, frequencies by
+    xxhash64(line) — a partial-aggregable count of distinct doc ids
+    per 8-byte key, never a line-string shuffle — one broadcast-or-
+    shuffled equi-join back (AQE decides; the frequent-line table is
+    corpus-boilerplate-sized, usually tiny), one groupBy(id)
+    reassembly whose per-row state is the document's own lines.
+    No window over the corpus, no driver collect."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "__pos", "__line"
+        ),
+    )
+    # full-whitespace trim (F.trim strips 0x20 only — boilerplate in
+    # the wild carries tabs)
+    norm = F.regexp_replace(F.col("__line"), r"^\s+|\s+$", "")
+    keyed = lines.withColumn(
+        "__key",
+        F.when(
+            F.length(norm) >= min_line_chars, F.xxhash64(norm)
+        ),
+    )
+    boiler = (
+        keyed.where(F.col("__key").isNotNull())
+        .groupBy("__key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__key")
+    )
+    flagged = keyed.join(
+        boiler.withColumn("__is_boiler", F.lit(True)), "__key", "left"
+    )
+    rebuilt = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.coalesce(
+                                    F.col("__is_boiler"), F.lit(False)
+                                ),
+                                F.struct(
+                                    F.col("__pos").alias("p"),
+                                    F.col("__line").alias("l"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                sep,
+            ).alias(out_col),
+            F.sum(
+                F.coalesce(F.col("__is_boiler"), F.lit(False)).cast("long")
+            ).alias("n_lines_dropped"),
+        )
+    )
+    out = df.join(rebuilt, id_col, "left")
+    return out.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+            F.coalesce(F.col(out_col), F.lit(""))
+        ),
+    ).withColumn(
+        "n_lines_dropped",
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+            F.coalesce(F.col("n_lines_dropped"), F.lit(0))
+        ),
+    )

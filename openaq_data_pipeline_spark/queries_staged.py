@@ -1682,6 +1682,69 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register_staged(
+    "line_boilerplate_filter",
+    "EXT-dedup — cross-corpus line-frequency boilerplate removal "
+    "(r12: CCNet/C4's 'paragraph dedup', the duplication plane "
+    "document-level dedup can never see): documents are wrapped with "
+    "a navigation line (2/3 of docs), a cookie banner (1/2 of docs) "
+    "and a per-doc unique marker; lines recurring in ≥2 documents "
+    "strip from every document — frequency counted on the xxhash64 "
+    "of the whitespace-trimmed line (8-byte partial-aggregable "
+    "shuffle key, line strings never shuffle for the count), order "
+    "preserved on reassembly. The oracle is the CLOSED FORM of the "
+    "survivor text and per-residue drop counts — ground truth from "
+    "the wrapping, not an explode replay",
+    oracle="""
+SELECT doc_id,
+       'doc marker ' || CAST(doc_id AS VARCHAR) || chr(10) || text
+           AS text_clean,
+       CAST((CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END)
+            + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lines_dropped
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_line_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap: [NAV line if doc_id%3≠2] + ['doc marker <id>'] +
+    [COOKIE line if doc_id%2=0] + [text]. The NAV and COOKIE lines
+    recur across hundreds of documents → dropped everywhere; the
+    marker (unique, ≥10 chars so it IS counted) and the body (unique
+    by testdata construction) survive in order."""
+    from openaq_data_pipeline_spark.operators.dedup import (
+        line_frequency_filter,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    nav = F.when(
+        F.col("doc_id") % 3 != 2,
+        F.lit("NAVIGATION MENU HOME ABOUT CONTACT"),
+    )
+    cookie = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit("COOKIE CONSENT BANNER ACCEPT ALL"),
+    )
+    marker = F.concat(F.lit("doc marker "), F.col("doc_id"))
+    aug = d.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.array(nav, marker, cookie, F.col("text")),
+                lambda x: x.isNotNull(),
+            ),
+            "\n",
+        ).alias("text_aug"),
+    )
+    return (
+        line_frequency_filter(aug, "text_aug", "doc_id", min_docs=2)
+        .select("doc_id", "text_clean", "n_lines_dropped")
+        .orderBy("doc_id")
+    )
+
+
 _ROBOTS_TXT = """\
 User-agent: *
 Disallow: /private/*

@@ -1904,3 +1904,89 @@ class TestProfileTable:
         assert drift["num_nullable"].null_spike
         assert not drift["s"].dtype_changed and not drift["s"].null_spike
         assert drift["arr"].dtype_after is None and drift["arr"].dtype_changed
+
+
+class TestLineFrequencyFilter:
+    """Cross-corpus line-frequency boilerplate removal (r12 — the
+    CCNet/C4 'paragraph dedup' step document-level dedup can't see):
+    recurring lines strip from every document, order preserved,
+    short lines exempt, all-boilerplate documents come back EMPTY
+    (countable), NULL text passes through."""
+
+    def test_boilerplate_strips_order_preserved(self, spark):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            line_frequency_filter,
+        )
+
+        rows = [
+            (1, "COOKIE BANNER TEXT\nunique body one\n- a\nFOOTER LINE XYZ"),
+            (2, "COOKIE BANNER TEXT\nunique body two\n- a\nFOOTER LINE XYZ"),
+            (3, "totally original document"),
+            (4, "COOKIE BANNER TEXT"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in line_frequency_filter(df, "text", "doc_id").collect()
+        }
+        # boilerplate (in ≥2 docs, ≥10 chars) dies everywhere; the
+        # short "- a" line recurs but is exempt by min_line_chars
+        assert out[1].text_clean == "unique body one\n- a"
+        assert out[1].n_lines_dropped == 2
+        assert out[2].text_clean == "unique body two\n- a"
+        assert out[3].text_clean == "totally original document"
+        assert out[3].n_lines_dropped == 0
+        # all-boilerplate doc: empty string, not a vanished row
+        assert out[4].text_clean == "" and out[4].n_lines_dropped == 1
+        assert out[5].text_clean is None
+        assert out[5].n_lines_dropped is None
+
+    def test_trim_normalization_and_threshold(self, spark):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            line_frequency_filter,
+        )
+
+        # same line with differing surrounding whitespace still
+        # counts as one boilerplate identity; min_docs=3 spares a
+        # two-doc repeat
+        rows = [
+            (1, "  SHARED HEADER LINE  \nbody a"),
+            (2, "SHARED HEADER LINE\nbody b"),
+            (3, "\tSHARED HEADER LINE\nbody c"),
+            (4, "TWICE ONLY LINE HERE\nbody d"),
+            (5, "TWICE ONLY LINE HERE\nbody e"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in line_frequency_filter(
+                df, "text", "doc_id", min_docs=3
+            ).collect()
+        }
+        assert out[1].text_clean == "body a"
+        assert out[2].text_clean == "body b"
+        assert out[3].text_clean == "body c"
+        assert out[4].text_clean.endswith("body d")
+        assert "TWICE ONLY LINE HERE" in out[4].text_clean
+
+    def test_plan_is_partial_aggregable_no_line_string_shuffle(
+        self, spark
+    ):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            line_frequency_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"SHARED BOILERPLATE LINE\nbody {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        plan = (
+            line_frequency_filter(df, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # frequency counting exchanges on the 8-byte xxhash64 key —
+        # the line STRINGS never shuffle for the count
+        assert "xxhash64" in plan
