@@ -589,3 +589,53 @@ def mmr_rerank(
     return candidates.groupBy(query_col).applyInPandas(
         per_query, schema=out_schema
     )
+
+
+# --- exact-phrase matching (r12) ------------------------------------------
+
+
+def phrase_occurrences(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: str,
+    out_col: str = "n_hits",
+) -> DataFrame:
+    """(id, n_hits) for documents containing the exact TOKEN
+    sequence ``phrase`` at least once — the phrase face the
+    tf-postings index cannot express (it stores no positions), used
+    for benchmark-contamination scrubs and exact-quote search.
+
+    Semantics are the BM25 family's tokenizer exactly (``normalize``
+    + whitespace split): because ``normalize`` collapses whitespace,
+    "token sequence match" is equivalent to "substring match on the
+    normalized text with token-boundary guards" — which makes the
+    whole operator ONE codegen regexp count fused into the corpus
+    scan: no explode, no positional self-joins, no shuffle before
+    the final filter. Boundary guards are width-1 lookarounds
+    (``(?<![^ ]) … (?![^ ])``), so adjacent occurrences both count;
+    counts are non-overlapping (string-count convention — a
+    self-overlapping phrase like ``'a a'`` in ``'a a a'`` counts
+    once, the same answer a SQL replay gives).
+
+    Multi-phrase scrubs: union the per-phrase frames or OR the
+    regexes upstream; each phrase stays one scan-fused expression.
+    """
+    import re as _re
+
+    words = phrase.lower().split()
+    if not words:
+        raise ValueError("phrase_occurrences: empty phrase")
+    pat = (
+        "(?<![^ ])"
+        + " ".join(_re.escape(w) for w in words)
+        + "(?![^ ])"
+    )
+    norm = normalize(F.col(text_col))
+    n = F.size(F.regexp_extract_all(norm, F.lit(pat), 0))
+    return (
+        corpus.select(
+            F.col(id_col), n.cast("long").alias(out_col)
+        )
+        .where(F.col(out_col) > 0)
+    )

@@ -1745,6 +1745,56 @@ def q_line_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "phrase_scrub_hits",
+    "EXT-retrieval — exact token-sequence phrase matching (r12: the "
+    "phrase face positional-free tf postings cannot express; the "
+    "benchmark-contamination scrub primitive): documents are "
+    "injected with doc_id%4 adjacent copies of a three-token marker "
+    "phrase absent from the corpus, and phrase_occurrences — ONE "
+    "codegen regexp count with width-1 token-boundary lookarounds "
+    "over the normalized text, zero shuffles before the filter — "
+    "recovers the exact injection count per document. The oracle is "
+    "the CLOSED FORM of the injection (doc_id%4 hits, zero-hit docs "
+    "absent), ground truth rather than a regex replay",
+    oracle="""
+SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS n_hits
+FROM documents
+WHERE doc_id % 4 > 0
+ORDER BY doc_id
+""",
+)
+def q_phrase_scrub_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent injected copies pin the boundary-guard semantics
+    (lookarounds, not consumed separators: back-to-back occurrences
+    all count); the corpus carries neither 'zanzibar' nor 'quartz'
+    (checked against the testdata), so hits are exactly the
+    injections."""
+    from openaq_data_pipeline_spark.operators.retrieval import (
+        phrase_occurrences,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.ltrim(
+                F.repeat(
+                    F.lit(" zanzibar quartz marker"),
+                    (F.col("doc_id") % 4).cast("int"),
+                )
+            ),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text_aug"),
+    )
+    return phrase_occurrences(
+        aug, "text_aug", "doc_id", "zanzibar quartz marker"
+    ).orderBy("doc_id")
+
+
 _ROBOTS_TXT = """\
 User-agent: *
 Disallow: /private/*

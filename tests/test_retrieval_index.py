@@ -304,3 +304,67 @@ class TestMmrRerank:
 
         with _p.raises(ValueError):
             mmr_rerank(self._cands(spark, [(0, 1, 1.0, [1.0])]), k=1, lam=1.5)
+
+
+class TestPhraseOccurrences:
+    """Exact token-sequence phrase matching (r12): one codegen
+    regexp count with token-boundary guards over the normalized
+    text — the phrase face the positional-free tf postings cannot
+    express."""
+
+    def test_counts_boundaries_and_tokenizer_alignment(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            phrase_occurrences,
+        )
+
+        rows = [
+            (1, "The Quick   brown fox runs. the quick brown fox naps"),
+            (2, "quick brown foxes everywhere"),
+            (3, "prefix the quick brown fox"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r.n_hits
+            for r in phrase_occurrences(
+                df, "text", "doc_id", "The Quick Brown FOX"
+            ).collect()
+        }
+        # case/whitespace-normalized, both occurrences in doc 1
+        # counted (adjacent boundary guards are lookarounds); 'foxes'
+        # does NOT match the token 'fox'; NULL text never matches
+        assert out == {1: 2, 3: 1}
+
+    def test_regex_metacharacters_are_literal(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            phrase_occurrences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "cost is $5.00 (usd) today"), (2, "cost is x5y00 zusd")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.n_hits
+            for r in phrase_occurrences(
+                df, "text", "doc_id", "$5.00 (usd)"
+            ).collect()
+        }
+        assert out == {1: 1}
+
+    def test_plan_is_scan_fused_no_shuffle_before_filter(self, spark):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            phrase_occurrences,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"body {i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        plan = (
+            phrase_occurrences(df, "text", "doc_id", "body text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # one scan, zero shuffles
