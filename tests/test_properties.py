@@ -710,3 +710,67 @@ class TestBfdPackingProperties:
         assert len(per_pack) <= n_over + max(
             1, math.ceil(11 * opt_floor / 9) + 1
         )
+
+
+class TestGifCodecProperty:
+    """GIF encode→decode is identity for ANY palette image the
+    encoder accepts (≤256 colors), plain and interlaced — the LZW
+    dictionary growth, 12-bit reset, KwKwK and deinterlace paths are
+    all reachable from random inputs. Pure-Python property (no
+    Spark): the codec is the same code the Arrow image plane runs."""
+
+    @SETTINGS
+    @given(
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.integers(1, 17),
+        st.integers(0, 2**32 - 1),
+        st.booleans(),
+    )
+    def test_round_trip(self, h, w, ncol, seed, interlace):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+            gif_frame_count,
+        )
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        blob = encode_gif(img, interlace=interlace)
+        assert (decode_gif(blob) == img).all()
+        assert gif_frame_count(blob) == 1
+
+
+class TestPhraseOccurrencesProperty:
+    """Phrase counting equals the obvious token-list scan for random
+    token streams over a tiny alphabet (maximizes adjacency and
+    self-overlap edge cases). The oracle counts NON-overlapping
+    sequence matches left-to-right — the operator's documented
+    string-count convention."""
+
+    @SETTINGS
+    @given(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=24),
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=3),
+    )
+    def test_matches_token_scan(self, spark, doc_toks, phrase_toks):
+        from openaq_data_pipeline_spark.operators.retrieval import (
+            phrase_occurrences,
+        )
+
+        text = " ".join(doc_toks)
+        phrase = " ".join(phrase_toks)
+        expect, i = 0, 0
+        while i + len(phrase_toks) <= len(doc_toks):
+            if doc_toks[i : i + len(phrase_toks)] == phrase_toks:
+                expect += 1
+                i += len(phrase_toks)
+            else:
+                i += 1
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = phrase_occurrences(df, "text", "doc_id", phrase).collect()
+        got = rows[0].n_hits if rows else 0
+        assert got == expect, (text, phrase, got, expect)
