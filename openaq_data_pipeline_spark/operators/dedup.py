@@ -1069,11 +1069,16 @@ def line_frequency_filter(
     corpus-boilerplate-sized, usually tiny), one groupBy(id)
     reassembly whose per-row state is the document's own lines.
     No window over the corpus, no driver collect."""
+    from openaq_data_pipeline_spark.operators.text import _quote_literal
+
+    # F.split takes a REGEX; sep is a literal (array_join re-joins it
+    # literally) — quote it so a metachar separator ('.', '||') can't
+    # silently split on every character (r12 review)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), _quote_literal(sep))
+        ).alias("__pos", "__line"),
     )
     # full-whitespace trim (F.trim strips 0x20 only — boilerplate in
     # the wild carries tabs)

@@ -142,7 +142,10 @@ def _walk_zip(blob: bytes, max_bytes: int, max_members: int):
 
     try:
         zf = zipfile.ZipFile(io.BytesIO(blob))
-        infos = zf.infolist()
+        # directory entries are structural, not members: they must
+        # not consume the member cap or surface as phantom
+        # empty-bytes rows (the tar walker's isfile() twin)
+        infos = [i for i in zf.infolist() if not i.is_dir()]
     except Exception:
         return None
     if not infos:
@@ -227,7 +230,10 @@ def container_members(
     - a corrupt/empty/mismatched payload yields ONE row with NULL
       index/name/bytes, so route_stats-style accounting still sees
       the row;
-    - encrypted zip members yield name + NULL (no password plane).
+    - encrypted zip members yield name + NULL (no password plane);
+    - member rows carry NULL in the PARENT payload column — the
+      archive bytes must not replicate across every member row of
+      the Arrow batch (keep a side copy upstream if you need them).
 
     Re-sniff + route the ``member`` column with
     :func:`~openaq_data_pipeline_spark.operators.text.sniff_mime` +
@@ -269,7 +275,14 @@ def container_members(
 
             def emit(row_i, mi, name, blob):
                 for c in cols:
-                    out_rows[c].append(pdf[c].iloc[row_i])
+                    # the PARENT archive bytes must not replicate
+                    # onto every member row (a 64 MiB zip with 256
+                    # members would serialize GiBs into one Arrow
+                    # batch before any downstream prune) — member
+                    # rows carry NULL in the parent payload slot
+                    out_rows[c].append(
+                        None if c == payload_col else pdf[c].iloc[row_i]
+                    )
                 idxs.append(mi)
                 names.append(name)
                 blobs.append(blob)
@@ -530,10 +543,13 @@ def extract_routed_text(
     utf8_bom = F.substring(F.col(payload_col), 1, 3) == F.lit(
         b"\xef\xbb\xbf"
     )
-    fast = base.where(
-        F.col("__cs").isNull()
-        | F.col("__cs").isin("utf-8", "us-ascii", "ascii")
-    ).withColumn(
+    # ONE predicate names the fast path; the slow path is its exact
+    # negation — writing it twice invites a future edit to one arm
+    # silently dropping or duplicating rows between the branches
+    is_fast = F.col("__cs").isNull() | F.col("__cs").isin(
+        "utf-8", "us-ascii", "ascii"
+    )
+    fast = base.where(is_fast).withColumn(
         "__str",
         F.when(
             utf8_bom, F.substring(F.col(payload_col), 4, 1 << 30)
@@ -542,12 +558,7 @@ def extract_routed_text(
         .cast("string"),
     )
     slow = decode_routed_text(
-        base.where(
-            ~(
-                F.col("__cs").isNull()
-                | F.col("__cs").isin("utf-8", "us-ascii", "ascii")
-            )
-        ),
+        base.where(~is_fast),
         payload_col,
         "__cs",
         "__str",
@@ -631,7 +642,9 @@ def crawl_route_planes(
     ready for the quality/lang/dedup funnel), ``image`` / ``audio`` /
     ``video`` (lenient feature rows — corrupt bytes degrade to NULL
     columns, never fail the stage; the video plane is header-only
-    container stats), ``discard`` (id + mime, for observability).
+    container stats), ``discard`` (every non-payload column + mime,
+    for observability — member frames keep their name/index
+    provenance in the audit).
     The input should be cached or ``localCheckpoint``-ed by the
     caller — five consumers.
     """
@@ -667,7 +680,11 @@ def crawl_route_planes(
             id_col=id_col,
             lenient=True,
         ),
+        # every non-payload column survives into the discard audit —
+        # container-member frames carry member_index/member_name and
+        # the "capped members keep their names" accountability is
+        # only real if those names reach the audit rows (r12 review)
         ROUTE_DISCARD: routed.where(
             F.col(route_col) == ROUTE_DISCARD
-        ).select(id_col, mime_col, route_col),
+        ).drop(payload_col),
     }

@@ -234,7 +234,14 @@ def _fuzzy_gate(
     ingest funnel uses ``_batch`` and the crawl intake
     ``_crawl_batch``, so one fuzzy index shared by both streams never
     sees colliding ``batch_id``s (a collision would make the second
-    stream silently skip its index append)."""
+    stream silently skip its index append).
+
+    Migration note (the crawl prefix changed from ``_batch`` in
+    r12): a crawl-intake deployment upgraded MID-STREAM would not
+    see its in-flight batch's old-name marker and could re-append on
+    the replay — restart such a stream from a fresh checkpoint, or
+    rename its existing ``_batch_<n>`` markers to
+    ``_crawl_batch_<n>`` before resuming."""
     from openaq_data_pipeline_spark.operators.incremental_fuzzy import (
         append_fuzzy_index,
         incremental_fuzzy_matches,
@@ -548,6 +555,23 @@ def fuzzy_dedup_gate(
         raise ValueError(
             "fuzzy_dedup_gate: embedding_index needs vec_col (the "
             "embedding column of the feed)"
+        )
+    if (
+        drift_policy is not None
+        and embedding_index is not None
+        and getattr(embedding_index, "storage", "float") == "int8"
+        and not getattr(embedding_index, "rescore", False)
+    ):
+        # fail at CONSTRUCTION, not mid-stream: an int8 index without
+        # a rescore table holds no full-precision vectors, so a fired
+        # rebuild would raise inside the micro-batch and the
+        # in-progress marker would wedge every replay into the same
+        # crash until hand-cleaned
+        raise ValueError(
+            "fuzzy_dedup_gate: drift_policy cannot rebuild an int8 "
+            "index without a rescore table (rebuild_ivf_index needs "
+            "full-precision vectors) — use rescore=True or a float "
+            "index"
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

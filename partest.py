@@ -39,9 +39,6 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent
 DURATIONS_FILE = ROOT / ".partest_durations.json"
-SUMMARY_RE = re.compile(
-    r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"
-)
 
 
 def collect_files() -> list[Path]:
@@ -78,7 +75,6 @@ def run_shard(
     env = dict(os.environ)
     env["SPARK_TEST_WAREHOUSE"] = str(tmp / f"wh-{idx}")
     env.setdefault("PYTHONUNBUFFERED", "1")
-    out = open(tmp / f"shard-{idx}.log", "w")
     cmd = [
         sys.executable,
         "-m",
@@ -90,7 +86,12 @@ def run_shard(
         *extra,
         *[str(f) for f in files],
     ]
-    return subprocess.Popen(cmd, stdout=out, stderr=subprocess.STDOUT, env=env, cwd=ROOT)
+    # hand the log fd to the child and close it HERE: the parent
+    # must read fully-flushed shard tails after wait()
+    with open(tmp / f"shard-{idx}.log", "w") as out:
+        return subprocess.Popen(
+            cmd, stdout=out, stderr=subprocess.STDOUT, env=env, cwd=ROOT
+        )
 
 
 def harvest_durations(tmp: Path, n: int) -> None:

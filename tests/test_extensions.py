@@ -1970,6 +1970,29 @@ class TestLineFrequencyFilter:
         assert out[4].text_clean.endswith("body d")
         assert "TWICE ONLY LINE HERE" in out[4].text_clean
 
+    def test_metachar_separator_is_literal(self, spark):
+        """r12 review: F.split takes a regex but sep is a literal —
+        a '.' or '||' record separator must not split on every
+        character."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            line_frequency_filter,
+        )
+
+        rows = [
+            (1, "SHARED BOILER RECORD.unique record one"),
+            (2, "SHARED BOILER RECORD.unique record two"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in line_frequency_filter(
+                df, "text", "doc_id", sep="."
+            ).collect()
+        }
+        assert out[1].text_clean == "unique record one"
+        assert out[2].text_clean == "unique record two"
+        assert out[1].n_lines_dropped == 1
+
     def test_plan_is_partial_aggregable_no_line_string_shuffle(
         self, spark
     ):

@@ -582,6 +582,42 @@ class TestZipMemberRoute:
             "application/x-tar", "discard",
         )
 
+    def test_directory_entries_skipped_and_parent_payload_nulled(
+        self, spark
+    ):
+        """r12 review: zip directory entries are structural (no
+        phantom rows, no member-cap consumption), and member rows
+        carry NULL in the parent payload slot — the archive bytes
+        must not replicate across every member of the Arrow batch."""
+        import io
+        import zipfile
+
+        from openaq_data_pipeline_spark.operators.router import (
+            unzip_members,
+        )
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("dir/", b"")
+            zf.writestr("dir/a.txt", b"alpha body")
+            zf.writestr("sub/", b"")
+            zf.writestr("sub/b.txt", b"beta body")
+        df = spark.createDataFrame(
+            [(1, buf.getvalue())], "doc_id long, payload binary"
+        )
+        rows = sorted(
+            unzip_members(df, "payload", max_members=2).collect(),
+            key=lambda r: r.member_index,
+        )
+        # only FILE entries, and both fit under max_members=2
+        assert [r.member_name for r in rows] == [
+            "dir/a.txt", "sub/b.txt",
+        ]
+        assert [bytes(r.member) for r in rows] == [
+            b"alpha body", b"beta body",
+        ]
+        assert all(r.payload is None for r in rows)
+
     def test_corrupt_and_empty_archives_yield_one_null_row(self, spark):
         from openaq_data_pipeline_spark.operators.router import (
             unzip_members,
