@@ -501,6 +501,71 @@ def html_title(html: Column) -> Column:
     return F.when(t != "", t)
 
 
+def html_extract_tables(
+    df,
+    html_col: str,
+    id_col: str,
+) -> "DataFrame":
+    """Relational rows out of HTML ``<table>`` markup — the
+    structured-mining face of the crawl text plane (web tables are a
+    first-class training/data source the prose extractors flatten
+    into soup): one output row per ``<tr>`` with
+    (id, table_index, row_index, is_header, cells array<string>,
+    n_cells). Cell text strips inner tags, decodes the common
+    entities and collapses whitespace (the :func:`html_extract`
+    conventions); ``is_header`` marks rows carrying ``<th>``.
+
+    Pure codegen — three nested ``regexp_extract_all`` tiers
+    (table → tr → td/th) with two ``posexplode``s and a per-cell
+    ``transform`` cleanup, no Python stage, fuses into the page
+    scan. Scope: non-NESTED tables (the lazy ``</table>`` match
+    truncates an outer table at its inner table's close — nested
+    layout tables are a parser-UDF problem, documented residual,
+    same boundary as :func:`html_extract`'s numeric entities).
+    Rows-per-page output is explode-sized; at 100 TB the exchange
+    after this operator is whatever the CALLER groups by — the
+    extraction itself is shuffle-free."""
+    tables = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r"(?is)<table\b[^>]*>(.*?)</table\s*>"),
+        1,
+    )
+    per_table = df.select(
+        F.col(id_col),
+        F.posexplode(tables).alias("table_index", "__t"),
+    )
+    rows = F.regexp_extract_all(
+        F.col("__t"), F.lit(r"(?is)<tr\b[^>]*>(.*?)</tr\s*>"), 1
+    )
+    per_row = per_table.select(
+        F.col(id_col),
+        F.col("table_index").cast("int"),
+        F.posexplode(rows).alias("row_index", "__r"),
+    )
+
+    def _clean(c):
+        t = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+        for ent, rep in _HTML_ENTITIES:
+            t = F.regexp_replace(t, ent, rep)
+        t = F.regexp_replace(t, r"\s+", " ")
+        return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+    cells = F.transform(
+        F.regexp_extract_all(
+            F.col("__r"), F.lit(r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]\s*>"), 1
+        ),
+        _clean,
+    )
+    return per_row.select(
+        F.col(id_col),
+        "table_index",
+        F.col("row_index").cast("int"),
+        F.col("__r").rlike(r"(?is)<th\b").alias("is_header"),
+        cells.alias("cells"),
+        F.size(cells).cast("int").alias("n_cells"),
+    )
+
+
 # --- content-density main-content extraction (r9) ------------------------
 #
 # The regex chain above keeps EVERY visible character — nav menus,

@@ -1795,6 +1795,77 @@ def q_phrase_scrub_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register_staged(
+    "html_table_rows",
+    "EXT-text — HTML table mining (r12: web tables are a first-class "
+    "structured-data source the prose extractors flatten into soup): "
+    "documents wrap in a page carrying one table — an entity-bearing "
+    "header row plus doc_id%3+1 data rows with closed-form cell "
+    "values, one cell bold-wrapped to exercise inner-tag stripping — "
+    "and html_extract_tables (pure codegen: three nested "
+    "regexp_extract_all tiers, two posexplodes, per-cell transform "
+    "cleanup, zero shuffles) recovers every row with indexes and "
+    "header detection. The oracle is the CLOSED FORM of the "
+    "synthesized table — ground truth, not a regexp replay",
+    oracle="""
+WITH rws AS (
+    SELECT doc_id, 0 AS row_index, TRUE AS is_header,
+           'col & a|col b' AS row_text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, g.i + 1, FALSE,
+           CAST(doc_id * 2 + g.i AS VARCHAR)
+               || '|v ' || CAST(doc_id + g.i AS VARCHAR)
+    FROM documents, generate_series(0, 2) g(i)
+    WHERE g.i <= doc_id % 3
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS table_index,
+       CAST(row_index AS INTEGER) AS row_index, is_header, row_text
+FROM rws
+ORDER BY doc_id, row_index
+""",
+)
+def q_html_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each doc's page: header <th>col &amp; a</th><th> col b </th>
+    then rows i=0..doc_id%3 with cells (doc_id*2+i,
+    <b>v doc_id+i</b>). Cells join with '|' for the driver compare
+    (array columns hash engine-differently)."""
+    from openaq_data_pipeline_spark.operators.text import (
+        html_extract_tables,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    body = F.concat(
+        F.lit(
+            '<html><body><table class="t"><tr><th>col &amp; a</th>'
+            "<th> col b </th></tr>"
+        ),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")),
+                lambda i: F.concat(
+                    F.lit("<tr><td>"),
+                    (F.col("doc_id") * 2 + i).cast("string"),
+                    F.lit("</td><td><b>v "),
+                    (F.col("doc_id") + i).cast("string"),
+                    F.lit("</b></td></tr>"),
+                ),
+            ),
+        ),
+        F.lit("</table></body></html>"),
+    )
+    pages = d.select("doc_id", body.alias("html"))
+    t = html_extract_tables(pages, "html", "doc_id")
+    return t.select(
+        "doc_id",
+        "table_index",
+        "row_index",
+        "is_header",
+        F.array_join(F.col("cells"), "|").alias("row_text"),
+    ).orderBy("doc_id", "row_index")
+
+
 _ROBOTS_TXT = """\
 User-agent: *
 Disallow: /private/*

@@ -2013,3 +2013,58 @@ class TestLineFrequencyFilter:
         # frequency counting exchanges on the 8-byte xxhash64 key —
         # the line STRINGS never shuffle for the count
         assert "xxhash64" in plan
+
+
+class TestHtmlTableExtract:
+    """HTML table mining (r12): one row per <tr> with cleaned cells,
+    header detection, table/row indexes — pure codegen, the
+    structured-data face of the crawl text plane."""
+
+    def test_rows_cells_headers_and_entities(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            html_extract_tables,
+        )
+
+        html = (
+            "<html><body><p>prose</p>"
+            '<table class="x"><tr><th>col &amp; a</th><th> col b </th>'
+            "</tr><tr><td>1</td><td><b>v 7</b></td></tr>"
+            "<tr><td>2</td><td>v 8</td></tr></table>"
+            "<table><tr><td>solo</td></tr></table></body></html>"
+        )
+        df = spark.createDataFrame(
+            [(1, html), (2, "<p>no tables</p>"), (3, None)],
+            "doc_id long, html string",
+        )
+        out = sorted(
+            html_extract_tables(df, "html", "doc_id").collect(),
+            key=lambda r: (r.doc_id, r.table_index, r.row_index),
+        )
+        got = [
+            (r.doc_id, r.table_index, r.row_index, r.is_header,
+             list(r.cells), r.n_cells)
+            for r in out
+        ]
+        assert got == [
+            (1, 0, 0, True, ["col & a", "col b"], 2),
+            (1, 0, 1, False, ["1", "v 7"], 2),
+            (1, 0, 2, False, ["2", "v 8"], 2),
+            (1, 1, 0, False, ["solo"], 1),
+        ]
+
+    def test_plan_is_shuffle_free(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            html_extract_tables,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "<table><tr><td>x</td></tr></table>")],
+            "doc_id long, html string",
+        )
+        plan = (
+            html_extract_tables(df, "html", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
