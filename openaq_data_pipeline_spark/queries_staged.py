@@ -1866,6 +1866,57 @@ def q_html_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "row_index")
 
 
+@register_staged(
+    "sentence_chunking",
+    "EXT-curation — sentence-boundary chunking (r12: the retrieval-"
+    "grade complement of doc_chunking's fixed windows — whole "
+    "sentences pack greedily under a token budget, none ever cut): "
+    "documents synthesize as doc_id%4+2 three-token sentences and a "
+    "6-token budget packs them pairwise, odd tails becoming their "
+    "own chunk. One codegen sentence split (bounded-lookbehind "
+    "abbreviation guards) + one aggregate fold per document — no "
+    "corpus window, no shuffle before the explode. The oracle is "
+    "the CLOSED FORM of the greedy packing over the synthesized "
+    "sentences — ground truth, not a fold replay",
+    oracle="""
+SELECT doc_id,
+       CAST(g.j AS BIGINT) AS chunk_id,
+       CASE WHEN 2 * g.j + 1 < (doc_id % 4 + 2)
+            THEN 'tok tok s' || CAST(2 * g.j AS VARCHAR)
+                 || '. tok tok s' || CAST(2 * g.j + 1 AS VARCHAR) || '.'
+            ELSE 'tok tok s' || CAST(2 * g.j AS VARCHAR) || '.'
+       END AS chunk_text,
+       CAST(CASE WHEN 2 * g.j + 1 < (doc_id % 4 + 2) THEN 6 ELSE 3 END
+            AS BIGINT) AS n_tokens
+FROM documents, generate_series(0, 2) g(j)
+WHERE g.j <= (doc_id % 4 + 1) // 2
+ORDER BY doc_id, chunk_id
+""",
+)
+def q_sentence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k = doc_id%4+2 sentences 'tok tok s<i>.', budget 6 → chunks
+    of two sentences, an odd k's last sentence alone (n_chunks =
+    ceil(k/2))."""
+    from openaq_data_pipeline_spark.operators.curation import (
+        chunk_by_sentences,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4 + 1).cast("int")),
+            lambda i: F.concat(
+                F.lit("tok tok s"), i.cast("string"), F.lit(".")
+            ),
+        ),
+        " ",
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    return chunk_by_sentences(docs, "text", "doc_id", max_tokens=6).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 _ROBOTS_TXT = """\
 User-agent: *
 Disallow: /private/*

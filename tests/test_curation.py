@@ -1910,3 +1910,62 @@ class TestTemperatureMixture:
         df = self._corpus(spark, {"a": 4})
         with pytest.raises(ValueError, match="alpha"):
             temperature_mixture_weights(df, "src", alpha=0.0)
+
+
+class TestSentenceChunking:
+    """Sentence-boundary chunking (r12): greedy packing of whole
+    sentences under a token budget — the retrieval-grade complement
+    of chunk_documents' fixed windows. No sentence is ever cut; an
+    oversized sentence becomes its own oversized chunk (nothing
+    silent)."""
+
+    def test_greedy_packing_and_abbreviation_guards(self, spark):
+        from openaq_data_pipeline_spark.operators.curation import (
+            chunk_by_sentences,
+        )
+
+        rows = [
+            (1, "One two three. Four five six! Seven eight? Nine ten."),
+            (2, "Dr. Smith saw Mr. Jones. They met e.g. at noon."),
+            (3, "a b c d e f g h i j k l"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sorted(
+            chunk_by_sentences(df, "text", "doc_id", max_tokens=6)
+            .collect(),
+            key=lambda r: (r.doc_id, r.chunk_id),
+        )
+        got = [
+            (r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in out
+        ]
+        assert got == [
+            (1, 0, "One two three. Four five six!", 6),
+            (1, 1, "Seven eight? Nine ten.", 4),
+            # 'Dr.' / 'Mr.' / 'e.g.' never split; the two real
+            # sentences exceed the budget together → two chunks
+            (2, 0, "Dr. Smith saw Mr. Jones.", 5),
+            (2, 1, "They met e.g. at noon.", 5),
+            # oversized single sentence: one whole oversized chunk
+            (3, 0, "a b c d e f g h i j k l", 12),
+        ]
+
+    def test_no_token_lost_or_duplicated(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            chunk_by_sentences,
+        )
+
+        text = (
+            "Alpha beta gamma delta. Epsilon zeta. Eta theta iota "
+            "kappa lambda. Mu nu! Xi omicron pi rho? Sigma."
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        chunks = chunk_by_sentences(df, "text", "doc_id", max_tokens=5)
+        rebuilt = (
+            chunks.orderBy("chunk_id")
+            .agg(F.concat_ws(" ", F.collect_list("chunk_text")))
+            .first()[0]
+        )
+        assert rebuilt == text
