@@ -30,6 +30,8 @@ MinHash mins compare MD5 *hex strings* (fixed length ⇒ string order
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1044,58 +1046,49 @@ def keep_one_per_cluster(
 # C4 removes its boilerplate lines the same way.)
 
 
-def line_frequency_filter(
+def _line_rows(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    min_docs: int = 2,
-    min_line_chars: int = 10,
-    out_col: str = "text_clean",
-    sep: str = "\n",
+    min_line_chars: int,
+    sep: str,
 ) -> DataFrame:
-    """Strip lines that occur in ≥ ``min_docs`` DISTINCT documents
-    from every document (whitespace-trimmed comparison; lines shorter
-    than ``min_line_chars`` after trim are exempt — short connectives
-    like list bullets are not boilerplate evidence). Returns the
-    input columns plus ``out_col`` (lines re-joined by ``sep``, order
-    preserved) and ``n_lines_dropped``; a document that was ALL
-    boilerplate keeps an empty string, countable by the caller —
-    never a silently vanished row. NULL text passes through NULL.
-
-    Plan shape (100 TB): one explode to line rows, frequencies by
-    xxhash64(line) — a partial-aggregable count of distinct doc ids
-    per 8-byte key, never a line-string shuffle — one broadcast-or-
-    shuffled equi-join back (AQE decides; the frequent-line table is
-    corpus-boilerplate-sized, usually tiny), one groupBy(id)
-    reassembly whose per-row state is the document's own lines.
-    No window over the corpus, no driver collect."""
+    """(id, __pos, __line, __key) line rows of a document frame:
+    the shared explode of both line-filter faces. ``__key`` is the
+    xxhash64 of the FULL-whitespace-trimmed line (F.trim strips 0x20
+    only — boilerplate in the wild carries tabs), NULL for lines
+    shorter than ``min_line_chars`` after trim (exempt from
+    counting). ``sep`` is a literal — F.split takes a regex, so it
+    is quoted (r12 review: '.' or '||' separators must not split on
+    every character)."""
     from openaq_data_pipeline_spark.operators.text import _quote_literal
 
-    # F.split takes a REGEX; sep is a literal (array_join re-joins it
-    # literally) — quote it so a metachar separator ('.', '||') can't
-    # silently split on every character (r12 review)
     lines = df.select(
         F.col(id_col),
         F.posexplode(
             F.split(F.col(text_col), _quote_literal(sep))
         ).alias("__pos", "__line"),
     )
-    # full-whitespace trim (F.trim strips 0x20 only — boilerplate in
-    # the wild carries tabs)
     norm = F.regexp_replace(F.col("__line"), r"^\s+|\s+$", "")
-    keyed = lines.withColumn(
+    return lines.withColumn(
         "__key",
-        F.when(
-            F.length(norm) >= min_line_chars, F.xxhash64(norm)
-        ),
+        F.when(F.length(norm) >= min_line_chars, F.xxhash64(norm)),
     )
-    boiler = (
-        keyed.where(F.col("__key").isNotNull())
-        .groupBy("__key")
-        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
-        .where(F.col("__docs") >= min_docs)
-        .select("__key")
-    )
+
+
+def _reassemble_lines(
+    df: DataFrame,
+    keyed: DataFrame,
+    boiler: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str,
+    sep: str,
+) -> DataFrame:
+    """Shared tail of both line-filter faces: tag line rows against
+    the boilerplate key set, rebuild each document's surviving lines
+    in order, join back (empty string for all-boilerplate docs —
+    countable, never a vanished row; NULL text passes through)."""
     flagged = keyed.join(
         boiler.withColumn("__is_boiler", F.lit(True)), "__key", "left"
     )
@@ -1137,4 +1130,208 @@ def line_frequency_filter(
         F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
             F.coalesce(F.col("n_lines_dropped"), F.lit(0))
         ),
+    )
+
+
+def line_frequency_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    min_line_chars: int = 10,
+    out_col: str = "text_clean",
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip lines that occur in >= ``min_docs`` DISTINCT documents
+    from every document (whitespace-trimmed comparison; lines shorter
+    than ``min_line_chars`` after trim are exempt — short connectives
+    like list bullets are not boilerplate evidence). Returns the
+    input columns plus ``out_col`` (lines re-joined by ``sep``, order
+    preserved) and ``n_lines_dropped``; a document that was ALL
+    boilerplate keeps an empty string, countable by the caller —
+    never a silently vanished row. NULL text passes through NULL.
+
+    Plan shape (100 TB): one explode to line rows, frequencies by
+    xxhash64(line) — a partial-aggregable count of distinct doc ids
+    per 8-byte key, never a line-string shuffle — one broadcast-or-
+    shuffled equi-join back (AQE decides; the frequent-line table is
+    corpus-boilerplate-sized, usually tiny), one groupBy(id)
+    reassembly whose per-row state is the document's own lines.
+    No window over the corpus, no driver collect. Cross-BATCH
+    filtering against a persisted count index is
+    :func:`incremental_line_filter`."""
+    keyed = _line_rows(df, text_col, id_col, min_line_chars, sep)
+    boiler = (
+        keyed.where(F.col("__key").isNotNull())
+        .groupBy("__key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__key")
+    )
+    return _reassemble_lines(
+        df, keyed, boiler, text_col, id_col, out_col, sep
+    )
+
+
+# --- incremental line-frequency index (r12) -------------------------------
+#
+# The cross-batch face: a crawl arrives in batches, and a line is
+# boilerplate by its CORPUS-WIDE document frequency — counting only
+# within each batch under-fires exactly on the sites that trickle in.
+# Same append-only discipline as the span tier's window counts
+# (operators/spans.py SpanIndex): one bucketed SUM-reaggregatable
+# counts table, blind batch appends, bucket-local probes.
+
+
+@dataclass(frozen=True)
+class LineIndex:
+    """Handle for the persisted line-frequency index: ONE bucketed
+    table ``{name}_lines`` (line_key, n_docs) of trimmed-line
+    xxhash64 → how many distinct documents have shipped that line.
+    Counts are SUM-reaggregatable, so appends are blind and probes
+    re-aggregate bucket-locally. Contract: doc ids are globally
+    unique across batches (shared with every incremental tier);
+    re-ingesting the same document double-counts its lines."""
+
+    name: str
+    min_docs: int = 2
+    min_line_chars: int = 10
+    sep: str = "\n"
+    n_buckets: int = 32
+    location: str | None = None
+
+    @property
+    def lines_table(self) -> str:
+        return f"{self.name}_lines"
+
+    def drop(self, spark=None) -> None:
+        import shutil
+
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self.lines_table}")
+        if self.location:
+            shutil.rmtree(self.location, ignore_errors=True)
+
+    def __enter__(self) -> "LineIndex":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.drop()
+
+
+def _line_counts(
+    docs: DataFrame, index: "LineIndex", id_col: str, text_col: str
+) -> DataFrame:
+    return (
+        _line_rows(docs, text_col, id_col, index.min_line_chars, index.sep)
+        .where(F.col("__key").isNotNull())
+        .groupBy(F.col("__key").alias("line_key"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
+
+
+def build_line_index(
+    corpus: DataFrame,
+    index: "LineIndex",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Batch-0 bootstrap: per-line distinct-doc counts, bucketed on
+    the line hash."""
+    from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+    save_bucketed(
+        _line_counts(corpus, index, id_col, text_col),
+        index.lines_table,
+        "line_key",
+        index.n_buckets,
+        mode="overwrite",
+        path=(f"{index.location}/lines" if index.location else None),
+    )
+
+
+def incremental_line_filter(
+    new_batch: DataFrame,
+    index: "LineIndex",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    update_index: bool = True,
+) -> DataFrame:
+    """Boilerplate-strip the NEW BATCH against history + the batch
+    itself: a batch line is boilerplate iff (history docs carrying
+    it) + (batch docs carrying it) >= ``index.min_docs`` — exactly
+    the whole-corpus count, so probe == from-scratch
+    :func:`line_frequency_filter` restricted to batch docs (the
+    driver oracle proves it). History text is NEVER re-exploded: the
+    probe touches only the (line_key, n_docs) counts, re-aggregated
+    bucket-locally. Cost scales with the batch, not with history.
+
+    ``update_index`` appends the batch's own counts so the NEXT
+    batch sees this one as history (checkpointed first — the index
+    self-read hazard every incremental tier guards against)."""
+    spark = new_batch.sparkSession
+    keyed = _line_rows(
+        new_batch, text_col, id_col, index.min_line_chars, index.sep
+    ).localCheckpoint(eager=False)
+    batch_cnt = (
+        keyed.where(F.col("__key").isNotNull())
+        .groupBy(F.col("__key"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__bn"))
+        .localCheckpoint(eager=False)
+    )
+    hist = (
+        spark.table(index.lines_table)
+        .groupBy(F.col("line_key").alias("__key"))
+        .agg(F.sum("n_docs").alias("__hn"))
+    )
+    boiler = (
+        batch_cnt.join(hist, "__key", "left")
+        .filter(
+            F.col("__bn") + F.coalesce(F.col("__hn"), F.lit(0))
+            >= index.min_docs
+        )
+        .select("__key")
+    )
+    cleaned = _reassemble_lines(
+        new_batch, keyed, boiler, text_col, id_col, out_col, index.sep
+    )
+    if update_index:
+        from openaq_data_pipeline_spark.sources.tables import save_bucketed
+
+        # pin the probe result BEFORE the append (self-read hazard:
+        # a later collect() would otherwise see the batch's own
+        # counts as history and over-strip)
+        cleaned = cleaned.localCheckpoint(eager=True)
+        save_bucketed(
+            batch_cnt.select(
+                F.col("__key").alias("line_key"),
+                F.col("__bn").alias("n_docs"),
+            ),
+            index.lines_table,
+            "line_key",
+            index.n_buckets,
+            mode="append",
+            path=(f"{index.location}/lines" if index.location else None),
+        )
+    return cleaned
+
+
+def temp_line_index(
+    min_docs: int = 2, min_line_chars: int = 10, n_buckets: int = 32
+) -> "LineIndex":
+    """Uniquely-named tempdir-rooted line index; context-manage it."""
+    import uuid
+
+    from openaq_data_pipeline_spark.tmproots import session_tmpdir
+
+    return LineIndex(
+        name=f"line_idx_{uuid.uuid4().hex}",
+        min_docs=min_docs,
+        min_line_chars=min_line_chars,
+        n_buckets=n_buckets,
+        location=session_tmpdir("line_index_"),
     )

@@ -1917,6 +1917,77 @@ def q_sentence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "line_filter_incremental",
+    "EXT-dedup — cross-batch line-frequency filtering against the "
+    "persisted LineIndex (r12: boilerplate is a CORPUS-WIDE document "
+    "frequency, and a crawl arrives in batches — counting within one "
+    "batch under-fires on sites that trickle in): even ids build the "
+    "index as history, odd ids probe as the new batch wearing the "
+    "same residue-gated nav wrapper; the nav line crosses the "
+    "threshold only through HISTORY counts (no single batch reaches "
+    "it alone), probed bucket-locally from the SUM-reaggregatable "
+    "counts without re-exploding history text. The oracle is the "
+    "CLOSED FORM of the whole-corpus verdict restricted to batch "
+    "docs — the probe==from-scratch contract every incremental tier "
+    "carries",
+    oracle="""
+SELECT doc_id,
+       'doc marker ' || CAST(doc_id AS VARCHAR) || chr(10) || text
+           AS text_clean,
+       CAST(CASE WHEN doc_id % 3 <> 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_lines_dropped
+FROM documents
+WHERE doc_id % 2 = 1
+ORDER BY doc_id
+""",
+)
+def q_line_filter_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrapper: [NAV line if doc_id%3≠2] + ['doc marker <id>'] +
+    [text] (no per-parity lines, so the verdict depends on counts
+    crossing batches). History = even ids, batch = odd ids; the NAV
+    line's corpus frequency is hundreds, far over min_docs=2, while
+    markers and bodies stay unique."""
+    from openaq_data_pipeline_spark.operators.dedup import (
+        build_line_index,
+        incremental_line_filter,
+        temp_line_index,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    nav = F.when(
+        F.col("doc_id") % 3 != 2,
+        F.lit("NAVIGATION MENU HOME ABOUT CONTACT"),
+    )
+    marker = F.concat(F.lit("doc marker "), F.col("doc_id"))
+    aug = d.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.array(nav, marker, F.col("text")),
+                lambda x: x.isNotNull(),
+            ),
+            "\n",
+        ).alias("text_aug"),
+    )
+    idx = temp_line_index(min_docs=2)
+    with idx:
+        build_line_index(
+            aug.where(F.col("doc_id") % 2 == 0), idx, text_col="text_aug"
+        )
+        out = incremental_line_filter(
+            aug.where(F.col("doc_id") % 2 == 1),
+            idx,
+            text_col="text_aug",
+            update_index=False,
+        ).localCheckpoint(eager=True)  # pin before the index drops
+    return out.select(
+        "doc_id", "text_clean", "n_lines_dropped"
+    ).orderBy("doc_id")
+
+
 _ROBOTS_TXT = """\
 User-agent: *
 Disallow: /private/*

@@ -2068,3 +2068,97 @@ class TestHtmlTableExtract:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestIncrementalLineFilter:
+    """Cross-batch line-frequency filtering against the persisted
+    LineIndex (r12): the corpus-wide boilerplate threshold fires
+    across batches without re-exploding history text — same
+    SUM-reaggregatable blind-append discipline as the span tier."""
+
+    B0 = [
+        (1, "SHARED COOKIE BANNER LINE\nunique alpha body"),
+        (2, "unique beta body only"),
+    ]
+    B1 = [
+        (11, "SHARED COOKIE BANNER LINE\nunique gamma body"),
+        (12, "unique delta body"),
+    ]
+
+    def test_threshold_fires_across_batches(self, spark):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            build_line_index,
+            incremental_line_filter,
+            temp_line_index,
+        )
+
+        b0 = spark.createDataFrame(self.B0, "doc_id long, text string")
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [
+                (21, "SHARED COOKIE BANNER LINE"),
+                (22, "unique gamma body\nunique epsilon"),
+            ],
+            "doc_id long, text string",
+        )
+        with temp_line_index(min_docs=2) as idx:
+            build_line_index(b0, idx)
+            r1 = {
+                r.doc_id: r
+                for r in incremental_line_filter(b1, idx).collect()
+            }
+            # banner: 1 history doc + 1 batch doc ≥ 2 → dropped,
+            # even though NO single batch reaches the threshold
+            assert r1[11].text_clean == "unique gamma body"
+            assert r1[12].text_clean == "unique delta body"
+            r2 = {
+                r.doc_id: r
+                for r in incremental_line_filter(b2, idx).collect()
+            }
+            assert r2[21].text_clean == "" and r2[21].n_lines_dropped == 1
+            # 'unique gamma body' crossed the threshold via batch 1's
+            # append — boilerplate is detected as it EMERGES
+            assert r2[22].text_clean == "unique epsilon"
+
+    def test_probe_equals_from_scratch(self, spark):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            build_line_index,
+            incremental_line_filter,
+            line_frequency_filter,
+            temp_line_index,
+        )
+
+        b0 = spark.createDataFrame(self.B0, "doc_id long, text string")
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        scratch = {
+            r.doc_id: (r.text_clean, r.n_lines_dropped)
+            for r in line_frequency_filter(
+                b0.unionByName(b1), "text", "doc_id"
+            ).collect()
+            if r.doc_id >= 10
+        }
+        with temp_line_index(min_docs=2) as idx:
+            build_line_index(b0, idx)
+            inc = {
+                r.doc_id: (r.text_clean, r.n_lines_dropped)
+                for r in incremental_line_filter(b1, idx).collect()
+            }
+        assert inc == scratch
+
+    def test_probe_never_rereads_history_text(self, spark):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            build_line_index,
+            incremental_line_filter,
+            temp_line_index,
+        )
+
+        b0 = spark.createDataFrame(self.B0, "doc_id long, text string")
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        with temp_line_index(min_docs=2) as idx:
+            build_line_index(b0, idx)
+            probe = incremental_line_filter(
+                b1, idx, update_index=False
+            )
+            files = probe.inputFiles()
+            # the only files the probe plan touches are the index's
+            assert all(idx.location in f for f in files), files
