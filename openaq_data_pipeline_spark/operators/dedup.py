@@ -1186,12 +1186,18 @@ def line_frequency_filter(
 @dataclass(frozen=True)
 class LineIndex:
     """Handle for the persisted line-frequency index: ONE bucketed
-    table ``{name}_lines`` (line_key, n_docs) of trimmed-line
-    xxhash64 → how many distinct documents have shipped that line.
-    Counts are SUM-reaggregatable, so appends are blind and probes
-    re-aggregate bucket-locally. Contract: doc ids are globally
-    unique across batches (shared with every incremental tier);
-    re-ingesting the same document double-counts its lines."""
+    table ``{name}_lines`` (line_key, n_docs, batch_id) of
+    trimmed-line xxhash64 → how many distinct documents of each
+    APPEND BATCH shipped that line. The probe re-aggregates
+    bucket-locally in two steps — MAX within (line_key, batch_id),
+    then SUM across batches — so a REPLAYED append with the same
+    ``batch_id`` is absorbed exactly (per-batch counts are a pure
+    function of the batch, duplicates collapse under the max): the
+    index is replay-idempotent by construction, no marker machinery
+    needed even under at-least-once streaming. Contract: doc ids
+    are globally unique across batches and ``batch_id``s identify
+    appends uniquely (re-using one for a DIFFERENT batch
+    undercounts; the streaming gate feeds ``foreachBatch``'s id)."""
 
     name: str
     min_docs: int = 2
@@ -1233,18 +1239,35 @@ def _line_counts(
     )
 
 
+def _hist_line_counts(spark, index: "LineIndex") -> DataFrame:
+    """(line_key, __hn): history counts re-aggregated bucket-locally
+    in the replay-absorbing two-step — MAX within (line_key,
+    batch_id) collapses duplicated appends, SUM across batches is
+    the corpus count."""
+    return (
+        spark.table(index.lines_table)
+        .groupBy("line_key", "batch_id")
+        .agg(F.max("n_docs").alias("__n"))
+        .groupBy(F.col("line_key").alias("__key"))
+        .agg(F.sum("__n").alias("__hn"))
+    )
+
+
 def build_line_index(
     corpus: DataFrame,
     index: "LineIndex",
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int = 0,
 ) -> None:
     """Batch-0 bootstrap: per-line distinct-doc counts, bucketed on
     the line hash."""
     from openaq_data_pipeline_spark.sources.tables import save_bucketed
 
     save_bucketed(
-        _line_counts(corpus, index, id_col, text_col),
+        _line_counts(corpus, index, id_col, text_col).select(
+            "line_key", "n_docs", F.lit(batch_id).cast("long").alias("batch_id")
+        ),
         index.lines_table,
         "line_key",
         index.n_buckets,
@@ -1260,6 +1283,7 @@ def incremental_line_filter(
     text_col: str = "text",
     out_col: str = "text_clean",
     update_index: bool = True,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Boilerplate-strip the NEW BATCH against history + the batch
     itself: a batch line is boilerplate iff (history docs carrying
@@ -1267,13 +1291,25 @@ def incremental_line_filter(
     the whole-corpus count, so probe == from-scratch
     :func:`line_frequency_filter` restricted to batch docs (the
     driver oracle proves it). History text is NEVER re-exploded: the
-    probe touches only the (line_key, n_docs) counts, re-aggregated
-    bucket-locally. Cost scales with the batch, not with history.
+    probe touches only the (line_key, n_docs, batch_id) counts,
+    re-aggregated bucket-locally (per-(key, batch) MAX then SUM —
+    the replay-absorbing shape). Cost scales with the batch, not
+    with history.
 
-    ``update_index`` appends the batch's own counts so the NEXT
-    batch sees this one as history (checkpointed first — the index
-    self-read hazard every incremental tier guards against)."""
+    ``update_index`` appends the batch's own counts under
+    ``batch_id`` (REQUIRED then — each append batch needs its own
+    id; re-delivering the SAME batch under the same id is absorbed
+    exactly, which is what makes the streaming gate marker-free) so
+    the NEXT batch sees this one as history. The probe result is
+    checkpointed first — the index self-read hazard every
+    incremental tier guards against."""
     spark = new_batch.sparkSession
+    if update_index and batch_id is None:
+        raise ValueError(
+            "incremental_line_filter: update_index=True needs "
+            "batch_id= (each append batch carries its own id — the "
+            "replay-absorption contract)"
+        )
     keyed = _line_rows(
         new_batch, text_col, id_col, index.min_line_chars, index.sep
     ).localCheckpoint(eager=False)
@@ -1283,13 +1319,8 @@ def incremental_line_filter(
         .agg(F.count_distinct(F.col(id_col)).alias("__bn"))
         .localCheckpoint(eager=False)
     )
-    hist = (
-        spark.table(index.lines_table)
-        .groupBy(F.col("line_key").alias("__key"))
-        .agg(F.sum("n_docs").alias("__hn"))
-    )
     boiler = (
-        batch_cnt.join(hist, "__key", "left")
+        batch_cnt.join(_hist_line_counts(spark, index), "__key", "left")
         .filter(
             F.col("__bn") + F.coalesce(F.col("__hn"), F.lit(0))
             >= index.min_docs
@@ -1310,6 +1341,7 @@ def incremental_line_filter(
             batch_cnt.select(
                 F.col("__key").alias("line_key"),
                 F.col("__bn").alias("n_docs"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
             ),
             index.lines_table,
             "line_key",

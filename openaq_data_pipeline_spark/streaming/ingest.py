@@ -669,6 +669,7 @@ def crawl_intake_gate(
     media_features_path: str | None = None,
     fuzzy_index=None,
     container_members: bool = False,
+    line_index=None,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -710,13 +711,23 @@ def crawl_intake_gate(
     :func:`_fuzzy_gate` (markers + crash scrub rooted at the fuzzy
     index's location).
 
+    With ``line_index`` (r12, a
+    :class:`~openaq_data_pipeline_spark.operators.dedup.LineIndex`)
+    every batch's extracted text is boilerplate-stripped against the
+    persisted cross-batch line counts BEFORE the Gopher/denylist/
+    dedup gates — so pages identical modulo a shared footer dedup as
+    identical, and quality judges the cleaned text. The append rides
+    ``foreachBatch``'s batch id and the index's per-(key, batch) max
+    re-aggregation absorbs at-least-once replays with NO marker
+    machinery (the LineIndex contract); the first micro-batch
+    bootstraps an empty history.
+
     With ``container_members`` (r12, payload mode only) ZIP and TAR
     payloads take the container hop (:func:`~openaq_data_pipeline_
     spark.operators.router.route_container_members`): each archive
-    explodes
-    into routed member rows under a REPLAY-STABLE synthetic id
-    (``xxhash64(parent_id, 'zip_member', member_index)`` cast to the
-    feed's id type — deterministic, so retries re-derive the same
+    explodes into routed member rows under a REPLAY-STABLE synthetic
+    id (``xxhash64(parent_id, 'zip_member', member_index)`` cast to
+    the feed's id type — deterministic, so retries re-derive the same
     ids; collisions are hash-improbable and would surface as exact-
     gate drops, never corruption). Member TEXT converges on the same
     funnel as first-class pages; member media/discard rows land under
@@ -849,6 +860,39 @@ def crawl_intake_gate(
             texts = html_extract_density(
                 pages, html_col, out_col="__text"
             ).localCheckpoint(eager=True)
+        if line_index is not None:
+            from openaq_data_pipeline_spark.operators.dedup import (
+                build_line_index,
+                incremental_line_filter,
+            )
+
+            if not texts.sparkSession.catalog.tableExists(
+                line_index.lines_table
+            ):
+                # first micro-batch bootstraps an empty history (the
+                # url_ledger_gate convention: one code path per batch)
+                build_line_index(
+                    texts.limit(0).select(F.col(id_col), F.col("__text")),
+                    line_index,
+                    id_col=id_col,
+                    text_col="__text",
+                )
+
+            # boilerplate removal BEFORE the quality/dedup gates:
+            # pages identical modulo a shared footer dedup as
+            # identical, and Gopher judges the cleaned text. Appends
+            # ride foreachBatch's batch_id — the index's per-(key,
+            # batch) max re-aggregation absorbs at-least-once
+            # replays with NO marker machinery (LineIndex contract).
+            texts = (
+                incremental_line_filter(
+                    texts, line_index, id_col=id_col,
+                    text_col="__text", out_col="__text_clean",
+                    batch_id=batch_id,
+                )
+                .drop("__text")
+                .withColumnRenamed("__text_clean", "__text")
+            )
         keep = gopher_rules(
             texts.where(
                 F.col("__text").isNotNull() & (F.col("__text") != "")
@@ -919,6 +963,7 @@ def stream_crawl_intake(
     media_features_path: str | None = None,
     fuzzy_index=None,
     container_members: bool = False,
+    line_index=None,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
@@ -933,7 +978,11 @@ def stream_crawl_intake(
     across micro-batches drop through the persisted band index.
     With ``container_members`` ZIP and TAR payloads explode into
     routed member rows that join the same funnel/planes (see
-    :func:`crawl_intake_gate`)."""
+    :func:`crawl_intake_gate`). With ``line_index`` each batch's
+    extracted text is boilerplate-stripped against the persisted
+    cross-batch line counts BEFORE the quality/dedup gates —
+    appends ride the micro-batch id, so at-least-once replays are
+    absorbed by the index's own re-aggregation, marker-free."""
     writer = (
         stream_df.writeStream.foreachBatch(
             crawl_intake_gate(
@@ -943,6 +992,7 @@ def stream_crawl_intake(
                 media_features_path=media_features_path,
                 fuzzy_index=fuzzy_index,
                 container_members=container_members,
+                line_index=line_index,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -2105,7 +2105,9 @@ class TestIncrementalLineFilter:
             build_line_index(b0, idx)
             r1 = {
                 r.doc_id: r
-                for r in incremental_line_filter(b1, idx).collect()
+                for r in incremental_line_filter(
+                    b1, idx, batch_id=1
+                ).collect()
             }
             # banner: 1 history doc + 1 batch doc ≥ 2 → dropped,
             # even though NO single batch reaches the threshold
@@ -2113,7 +2115,9 @@ class TestIncrementalLineFilter:
             assert r1[12].text_clean == "unique delta body"
             r2 = {
                 r.doc_id: r
-                for r in incremental_line_filter(b2, idx).collect()
+                for r in incremental_line_filter(
+                    b2, idx, batch_id=2
+                ).collect()
             }
             assert r2[21].text_clean == "" and r2[21].n_lines_dropped == 1
             # 'unique gamma body' crossed the threshold via batch 1's
@@ -2141,9 +2145,57 @@ class TestIncrementalLineFilter:
             build_line_index(b0, idx)
             inc = {
                 r.doc_id: (r.text_clean, r.n_lines_dropped)
-                for r in incremental_line_filter(b1, idx).collect()
+                for r in incremental_line_filter(
+                    b1, idx, batch_id=1
+                ).collect()
             }
         assert inc == scratch
+
+    def test_replayed_append_is_absorbed_without_markers(self, spark):
+        """At-least-once replay: re-running the SAME batch under the
+        SAME batch_id leaves the corpus counts unchanged (per-(key,
+        batch) MAX collapses the duplicate append), so a later batch
+        sees correct history — the property that lets the streaming
+        gate skip marker machinery entirely."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            build_line_index,
+            incremental_line_filter,
+            temp_line_index,
+        )
+
+        b0 = spark.createDataFrame(self.B0, "doc_id long, text string")
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        probe = spark.createDataFrame(
+            # the banner's true corpus count is 2 (docs 1, 11); with
+            # min_docs=4 this probe drops it ONLY if the replayed
+            # append double-counted (2 real + 1 dup + 1 here = 4)
+            [(31, "SHARED COOKIE BANNER LINE\nunique omega body")],
+            "doc_id long, text string",
+        )
+        with temp_line_index(min_docs=4) as idx:
+            build_line_index(b0, idx)
+            incremental_line_filter(b1, idx, batch_id=1).collect()
+            incremental_line_filter(b1, idx, batch_id=1).collect()  # replay
+            r = incremental_line_filter(
+                probe, idx, update_index=False
+            ).first()
+            assert r.text_clean.startswith("SHARED COOKIE BANNER LINE")
+            assert r.n_lines_dropped == 0
+
+    def test_update_requires_batch_id(self, spark):
+        import pytest as _pytest
+
+        from openaq_data_pipeline_spark.operators.dedup import (
+            build_line_index,
+            incremental_line_filter,
+            temp_line_index,
+        )
+
+        b0 = spark.createDataFrame(self.B0, "doc_id long, text string")
+        with temp_line_index() as idx:
+            build_line_index(b0, idx)
+            with _pytest.raises(ValueError, match="batch_id"):
+                incremental_line_filter(b0, idx)
 
     def test_probe_never_rereads_history_text(self, spark):
         from openaq_data_pipeline_spark.operators.dedup import (

@@ -847,6 +847,70 @@ class TestZipIntakeComposition:
         assert first == second and len(first) == 1
 
 
+class TestLineGateIntakeComposition:
+    """crawl_intake_gate with line_index (r12): extracted text is
+    boilerplate-stripped against the persisted cross-batch line
+    counts BEFORE the gates, so pages identical modulo a shared
+    footer dedup as identical — the composition neither the line
+    filter nor the exact gate can achieve alone."""
+
+    FOOTER = "COPYRIGHT FOOTER NAVIGATION LINKS"
+
+    def test_footer_variants_dedup_across_batches(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            temp_line_index,
+        )
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            crawl_intake_gate,
+        )
+
+        fresh2 = ART.replace("quick", "swift")
+        fresh3 = ART.replace("quick", "hasty")
+        schema = "page_id long, url string, payload binary"
+        out = str(tmp_path / "survivors")
+        batch0 = spark.createDataFrame(
+            [
+                (1, "https://a.org/p1", f"{ART}\n{self.FOOTER}".encode()),
+                (2, "https://a.org/p2", f"{fresh2}\n{self.FOOTER}".encode()),
+            ],
+            schema,
+        )
+        # page 3 is page 1's body under a DIFFERENT url with the same
+        # footer: after the line gate cleans both, the exact content
+        # gate sees identical text and drops it cross-batch
+        batch1 = spark.createDataFrame(
+            [
+                (3, "https://b.org/copy", f"{ART}\n{self.FOOTER}".encode()),
+                (4, "https://b.org/new", f"{fresh3}\n{self.FOOTER}".encode()),
+            ],
+            schema,
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist, temp_line_index(min_docs=2) as lidx:
+            gate = crawl_intake_gate(
+                "url", None, "page_id", ledger, hist, out,
+                payload_col="payload", line_index=lidx,
+            )
+            gate(batch0, 0)
+            gate(batch1, 1)
+            surv = {
+                r.page_id: r for r in spark.read.parquet(out).collect()
+            }
+            # 3 deduped against 1 THROUGH the cleaning; the footer —
+            # which crossed min_docs within batch 0 — is stripped
+            # from every survivor
+            assert set(surv) == {1, 2, 4}
+            for r in surv.values():
+                assert self.FOOTER not in r.text
+            assert surv[1].text == ART
+            assert surv[4].text == fresh3
+            assert surv[1].n_lines_dropped == 1
+
+
 class TestRoutedStreamingIntake:
     """stream_crawl_intake in payload mode: the mixed-modality feed
     MIME-routes per micro-batch, text planes converge on the shared
