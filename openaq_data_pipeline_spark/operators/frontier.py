@@ -577,3 +577,81 @@ def url_ledger_gate(
             F.when(~self_match, F.col("dup_of")).alias("dup_of"),
         )
     return keyed.select(F.col(id_col), "canon_url").join(disp, id_col)
+
+
+# --- recrawl prioritization (r12) ----------------------------------------
+
+
+def recrawl_candidates(
+    entries: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    crawl_ts_col: str = "last_crawl_ts",
+) -> DataFrame:
+    """Close the sitemap→frontier loop: judge every discovered URL
+    against the crawl history and emit a sortable recrawl priority —
+    the comparison :func:`parse_sitemaps`' ``lastmod`` exists to
+    feed. ``entries`` carries discovered URLs (+ any provenance
+    columns, preserved); ``crawled`` carries one row per previously
+    crawled URL with its last-crawl timestamp.
+
+    Output = entries' columns + ``lastmod_ts`` (the W3C datetime
+    parsed: full ISO-8601 with offset via the native cast, date-only
+    via the explicit pattern — an unparseable string degrades to
+    NULL/'unknown', never a failure) + ``last_crawl_ts`` + ``status``
+    + ``priority``:
+
+    - ``new`` (0): never crawled — fetch first;
+    - ``changed`` (1): crawled, and ``lastmod`` is STRICTLY after
+      the last crawl — the sitemap says the page moved;
+    - ``unknown`` (2): crawled but no usable ``lastmod`` — the
+      caller's recrawl-by-age policy owns these;
+    - ``fresh`` (3): crawled at/after ``lastmod`` — deprioritize.
+
+    Both sides join on the CANONICAL URL spelling
+    (:func:`~openaq_data_pipeline_spark.operators.text
+    .canonicalize_url` — the ledger-wide one-spelling contract), a
+    plain equi-join: broadcast when the history side is dimension-
+    small, shuffled-hash under AQE otherwise; no window, no skew
+    construct needed (URL keys are near-unique). Feed the result
+    straight into :func:`frontier_schedule` ordered by
+    (priority, lastmod_ts desc)."""
+    from openaq_data_pipeline_spark.operators.text import canonicalize_url
+
+    lm = F.col(lastmod_col)
+    lastmod_ts = F.coalesce(
+        F.try_to_timestamp(lm),
+        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd")),
+    )
+    left = entries.withColumn(
+        "__canon", canonicalize_url(F.col(url_col))
+    ).withColumn("__lm_ts", lastmod_ts)
+    right = crawled.select(
+        canonicalize_url(F.col(url_col)).alias("__canon"),
+        F.col(crawl_ts_col).alias("__crawl_ts"),
+    )
+    joined = left.join(right, "__canon", "left")
+    status = (
+        F.when(F.col("__crawl_ts").isNull(), F.lit("new"))
+        .when(
+            F.col("__lm_ts").isNotNull()
+            & (F.col("__lm_ts") > F.col("__crawl_ts")),
+            F.lit("changed"),
+        )
+        .when(F.col("__lm_ts").isNull(), F.lit("unknown"))
+        .otherwise(F.lit("fresh"))
+    )
+    priority = (
+        F.when(status == "new", 0)
+        .when(status == "changed", 1)
+        .when(status == "unknown", 2)
+        .otherwise(3)
+    )
+    return joined.select(
+        *[c for c in entries.columns],
+        F.col("__lm_ts").alias("lastmod_ts"),
+        F.col("__crawl_ts").alias(crawl_ts_col),
+        status.alias("status"),
+        priority.cast("int").alias("priority"),
+    )

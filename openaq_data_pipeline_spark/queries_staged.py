@@ -1988,6 +1988,68 @@ def q_line_filter_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register_staged(
+    "recrawl_priority",
+    "EXT-crawl — sitemap-lastmod recrawl prioritization (r12: the "
+    "comparison parse_sitemaps' lastmod extraction exists to feed): "
+    "discovered URLs judged against a crawl ledger — never-crawled "
+    "first, lastmod-after-crawl 'changed' next, missing/unparseable "
+    "lastmod 'unknown' for the caller's age policy, 'fresh' "
+    "deprioritized — via one canonical-spelling equi-join and a "
+    "codegen status CASE. The oracle is the CLOSED FORM of the "
+    "residue construction (crawled = doc_id%3!=0, lastmod after/"
+    "before/absent by doc_id%4) — ground truth, not a join replay",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'new'
+            WHEN doc_id % 4 = 0 THEN 'changed'
+            WHEN doc_id % 4 = 2 THEN 'fresh'
+            ELSE 'unknown' END AS status,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 WHEN doc_id % 4 = 0 THEN 1
+                 WHEN doc_id % 4 = 2 THEN 3
+                 ELSE 2 END AS INTEGER) AS priority
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entries: every document's URL with lastmod '2026-02-01'
+    (doc_id%4=0, after the crawl), '2026-01-01' (doc_id%4=2,
+    before), NULL otherwise. Ledger: doc_id%3!=0 crawled at
+    2026-01-15. New beats changed beats unknown beats fresh."""
+    from openaq_data_pipeline_spark.operators.frontier import (
+        recrawl_candidates,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        F.col("doc_id") % 5,
+        F.lit(".example.org/p/"),
+        F.col("doc_id"),
+    )
+    lastmod = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("2026-02-01"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("2026-01-01"))
+    )
+    entries = d.select("doc_id", url.alias("url"), lastmod.alias("lastmod"))
+    crawled = (
+        d.where(F.col("doc_id") % 3 != 0)
+        .select(
+            url.alias("url"),
+            F.lit("2026-01-15 00:00:00").cast("timestamp").alias(
+                "last_crawl_ts"
+            ),
+        )
+    )
+    return (
+        recrawl_candidates(entries, crawled)
+        .select("doc_id", "status", "priority")
+        .orderBy("doc_id")
+    )
+
+
 _ROBOTS_TXT = """\
 User-agent: *
 Disallow: /private/*

@@ -426,3 +426,71 @@ class TestScanMemoryShape:
 
         cat = pd.concat(frames, ignore_index=True)
         assert len(cat) == len(parse_warc_bytes(recs)) == 5
+
+
+class TestRecrawlCandidates:
+    """Sitemap lastmod → recrawl priority (r12): the comparison the
+    lastmod extraction exists to feed — never-crawled URLs first,
+    changed pages next, unknown-lastmod pages owned by the caller's
+    age policy, fresh pages deprioritized. Canonical-spelling join
+    (case/query-order variants unify; a trailing slash stays a
+    DISTINCT resource by the ledger contract)."""
+
+    def test_priorities_and_parsing(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            recrawl_candidates,
+        )
+
+        entries = spark.createDataFrame(
+            [
+                (1, "https://a.org/new", "2026-02-01"),
+                (2, "HTTPS://A.org/changed?b=2&a=1",
+                 "2026-02-01T10:00:00+01:00"),
+                (3, "https://a.org/fresh", "2026-01-01"),
+                (4, "https://a.org/nolm", None),
+                (5, "https://a.org/badlm", "not a date"),
+            ],
+            "eid long, url string, lastmod string",
+        )
+        crawled = spark.createDataFrame(
+            [
+                ("https://a.org/changed?a=1&b=2",),
+                ("https://a.org/fresh",),
+                ("https://a.org/nolm",),
+                ("https://a.org/badlm",),
+            ],
+            "url string",
+        ).selectExpr(
+            "url", "CAST('2026-01-15 00:00:00' AS TIMESTAMP) last_crawl_ts"
+        )
+        out = {
+            r.eid: (r.status, r.priority)
+            for r in recrawl_candidates(entries, crawled).collect()
+        }
+        assert out == {
+            1: ("new", 0),
+            # case + query-order variants unify through the canonical
+            # join; the offset timestamp parses and beats the crawl
+            2: ("changed", 1),
+            3: ("fresh", 3),
+            4: ("unknown", 2),
+            # an unparseable lastmod degrades to 'unknown', never a
+            # failure
+            5: ("unknown", 2),
+        }
+
+    def test_provenance_columns_survive(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            recrawl_candidates,
+        )
+
+        entries = spark.createDataFrame(
+            [("s1", "https://a.org/p", "2026-02-01", True)],
+            "source string, url string, lastmod string, from_index boolean",
+        )
+        crawled = spark.createDataFrame(
+            [("https://never.example/x",)], "url string"
+        ).selectExpr("url", "CAST(NULL AS TIMESTAMP) last_crawl_ts")
+        r = recrawl_candidates(entries, crawled).first()
+        assert (r.source, r.from_index, r.status) == ("s1", True, "new")
+        assert r.lastmod_ts is not None and r.last_crawl_ts is None
