@@ -47,6 +47,7 @@ def frontier_schedule(
     max_per_host: int | None = None,
     crawl_delays: DataFrame | None = None,
     default_delay_sec: float = 1.0,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """(id, host, host_rank, pos_in_host, fetch_slot[, not_before_sec])
     — a total, deterministic, politeness-interleaved fetch order over
@@ -66,10 +67,25 @@ def frontier_schedule(
     earliest offset (from crawl start) at which a fetch may run —
     the crawler takes slots in order but defers any fetch whose
     ``not_before_sec`` lies in the future. One extra broadcast join;
-    the slot invariant is untouched."""
+    the slot invariant is untouched.
+
+    ``priority_col`` (r12, the :func:`recrawl_candidates` hook):
+    within each host, lower values schedule FIRST (ties broken by
+    the MD5 shuffle as before) — new/changed pages fetch before
+    fresh ones while every politeness invariant (slot spacing,
+    per-host budget, delay offsets) binds unchanged, because
+    priority only permutes the order INSIDE a host's own positions.
+    With ``max_per_host``, budget-evicted URLs are now the host's
+    LOWEST-priority ones rather than an arbitrary MD5 tail."""
+    prio = (
+        [F.col(priority_col).alias("__prio")]
+        if priority_col is not None
+        else []
+    )
     with_host = urls.select(
         F.col(id_col), url_host(F.col(url_col)).alias("host"),
         F.md5(F.col(url_col).cast("string")).alias("__h"),
+        *prio,
     ).where(F.col("host").isNotNull())
     # three consumers (window, host-rank dim, n_hosts scalar) — the
     # try_parse_url projection never canonicalizes equal across
@@ -86,10 +102,11 @@ def frontier_schedule(
 
     ranked = assign_global_ids(hosts, "host", id_name="host_rank")
     n_hosts = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    order = (
+        [F.col("__prio").asc_nulls_last()] if priority_col is not None else []
+    ) + [F.col("__h"), F.col(id_col)]
     pos = (
-        F.row_number().over(
-            Window.partitionBy("host").orderBy("__h", F.col(id_col))
-        )
+        F.row_number().over(Window.partitionBy("host").orderBy(*order))
         - 1
     ).cast("long")
     scheduled = with_host.withColumn("pos_in_host", pos)

@@ -494,3 +494,51 @@ class TestRecrawlCandidates:
         r = recrawl_candidates(entries, crawled).first()
         assert (r.source, r.from_index, r.status) == ("s1", True, "new")
         assert r.lastmod_ts is not None and r.last_crawl_ts is None
+
+
+class TestFrontierPriority:
+    """frontier_schedule(priority_col=...) — recrawl priorities
+    permute fetch order INSIDE each host (new/changed first) while
+    every politeness invariant binds unchanged."""
+
+    def test_priority_orders_within_host_and_budget_evicts_low(
+        self, spark
+    ):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            frontier_schedule,
+        )
+
+        rows = [
+            (1, "https://a.org/fresh1", 3),
+            (2, "https://a.org/new1", 0),
+            (3, "https://a.org/changed1", 1),
+            (4, "https://a.org/fresh2", 3),
+            (5, "https://b.org/only", 2),
+        ]
+        df = spark.createDataFrame(
+            rows, "uid long, url string, priority int"
+        )
+        sched = {
+            r.uid: r
+            for r in frontier_schedule(
+                df, "url", "uid", priority_col="priority"
+            ).collect()
+        }
+        a_order = sorted(
+            (r.pos_in_host, uid)
+            for uid, r in sched.items()
+            if r.host == "a.org"
+        )
+        # new (0) then changed (1) then the two fresh (3)
+        assert [uid for _, uid in a_order[:2]] == [2, 3]
+        assert {uid for _, uid in a_order[2:]} == {1, 4}
+        # slot math untouched: positions dense per host from 0
+        assert [p for p, _ in a_order] == [0, 1, 2, 3]
+        assert sched[5].pos_in_host == 0
+        # budget eviction drops the LOWEST-priority tail, not an
+        # arbitrary MD5 tail
+        budget = frontier_schedule(
+            df, "url", "uid", max_per_host=2, priority_col="priority"
+        ).collect()
+        a_kept = {r.uid for r in budget if r.host == "a.org"}
+        assert a_kept == {2, 3}
