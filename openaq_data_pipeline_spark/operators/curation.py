@@ -219,7 +219,12 @@ def chunk_documents(
     )
 
 
-_SENT_ABBREVS = ("Mr", "Mrs", "Ms", "Dr", "Prof", "St", "vs", "etc", "no")
+# NOTE: guards are case-sensitive on purpose — each entry must be
+# the abbreviation's conventional spelling, and entries that collide
+# with common WORDS are excluded ('no' would suppress the boundary
+# after the ordinary word far more often than it protects the rare
+# numero abbreviation; r12 review)
+_SENT_ABBREVS = ("Mr", "Mrs", "Ms", "Dr", "Prof", "St", "vs", "etc")
 _SENT_SPLIT_RE = (
     "(?<=[.!?])"
     + "".join(f"(?<!\\b{a}\\.)" for a in _SENT_ABBREVS)

@@ -1239,14 +1239,22 @@ def _line_counts(
     )
 
 
-def _hist_line_counts(spark, index: "LineIndex") -> DataFrame:
+def _hist_line_counts(
+    spark, index: "LineIndex", exclude_batch_id: int | None = None
+) -> DataFrame:
     """(line_key, __hn): history counts re-aggregated bucket-locally
     in the replay-absorbing two-step — MAX within (line_key,
     batch_id) collapses duplicated appends, SUM across batches is
-    the corpus count."""
+    the corpus count. ``exclude_batch_id`` drops the PROBING batch's
+    own rows (r12 review: a replayed batch's first-attempt append is
+    already in the table — counting it would add the batch to its
+    own history and over-strip on the retry, breaking the
+    disposition-stability the marker-free design promises)."""
+    t = spark.table(index.lines_table)
+    if exclude_batch_id is not None:
+        t = t.where(F.col("batch_id") != exclude_batch_id)
     return (
-        spark.table(index.lines_table)
-        .groupBy("line_key", "batch_id")
+        t.groupBy("line_key", "batch_id")
         .agg(F.max("n_docs").alias("__n"))
         .groupBy(F.col("line_key").alias("__key"))
         .agg(F.sum("__n").alias("__hn"))
@@ -1300,8 +1308,11 @@ def incremental_line_filter(
     ``batch_id`` (REQUIRED then — each append batch needs its own
     id; re-delivering the SAME batch under the same id is absorbed
     exactly, which is what makes the streaming gate marker-free) so
-    the NEXT batch sees this one as history. The probe result is
-    checkpointed first — the index self-read hazard every
+    the NEXT batch sees this one as history. When ``batch_id`` is
+    given, the probe EXCLUDES the index rows carrying it — a
+    replayed batch must not count its own first-attempt append as
+    history (disposition stays identical across retries). The probe
+    result is checkpointed first — the index self-read hazard every
     incremental tier guards against."""
     spark = new_batch.sparkSession
     if update_index and batch_id is None:
@@ -1320,7 +1331,11 @@ def incremental_line_filter(
         .localCheckpoint(eager=False)
     )
     boiler = (
-        batch_cnt.join(_hist_line_counts(spark, index), "__key", "left")
+        batch_cnt.join(
+            _hist_line_counts(spark, index, exclude_batch_id=batch_id),
+            "__key",
+            "left",
+        )
         .filter(
             F.col("__bn") + F.coalesce(F.col("__hn"), F.lit(0))
             >= index.min_docs

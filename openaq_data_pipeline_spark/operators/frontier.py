@@ -644,9 +644,18 @@ def recrawl_candidates(
     left = entries.withColumn(
         "__canon", canonicalize_url(F.col(url_col))
     ).withColumn("__lm_ts", lastmod_ts)
-    right = crawled.select(
-        canonicalize_url(F.col(url_col)).alias("__canon"),
-        F.col(crawl_ts_col).alias("__crawl_ts"),
+    # one row per canonical spelling, MOST RECENT crawl — a ledger
+    # accumulated over rounds (or holding spelling variants) would
+    # otherwise fan each entry into contradictory status rows that
+    # schedule the same URL twice (the crawl_delays r9 finding, same
+    # file, same fix)
+    right = (
+        crawled.select(
+            canonicalize_url(F.col(url_col)).alias("__canon"),
+            F.col(crawl_ts_col).alias("__crawl_ts"),
+        )
+        .groupBy("__canon")
+        .agg(F.max("__crawl_ts").alias("__crawl_ts"))
     )
     joined = left.join(right, "__canon", "left")
     status = (

@@ -644,7 +644,10 @@ def crawl_route_planes(
     columns, never fail the stage; the video plane is header-only
     container stats), ``discard`` (every non-payload column + mime,
     for observability — member frames keep their name/index
-    provenance in the audit).
+    provenance in the audit; migration note: before r12 this plane
+    was (id, mime, route) only — a discard SINK written across the
+    upgrade holds both schemas, so read it with ``mergeSchema`` or
+    start a fresh audit directory).
     The input should be cached or ``localCheckpoint``-ed by the
     caller — five consumers.
     """

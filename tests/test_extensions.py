@@ -2182,6 +2182,41 @@ class TestIncrementalLineFilter:
             assert r.text_clean.startswith("SHARED COOKIE BANNER LINE")
             assert r.n_lines_dropped == 0
 
+    def test_replayed_probe_disposition_is_stable(self, spark):
+        """r12 review: a replayed batch must not count its own
+        first-attempt append as history. The banner here is carried
+        by exactly ONE history doc and ONE batch doc (= min_docs on
+        the first attempt, so it drops) while the unique body is
+        carried by nobody else — on the replay the body must NOT
+        suddenly cross the threshold against the batch's own
+        first-attempt rows: disposition identical across retries."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            build_line_index,
+            incremental_line_filter,
+            temp_line_index,
+        )
+
+        b0 = spark.createDataFrame(self.B0, "doc_id long, text string")
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        with temp_line_index(min_docs=2) as idx:
+            build_line_index(b0, idx)
+            first = {
+                r.doc_id: (r.text_clean, r.n_lines_dropped)
+                for r in incremental_line_filter(
+                    b1, idx, batch_id=1
+                ).collect()
+            }
+            replay = {
+                r.doc_id: (r.text_clean, r.n_lines_dropped)
+                for r in incremental_line_filter(
+                    b1, idx, batch_id=1
+                ).collect()
+            }
+            assert first == replay
+            # and the unique bodies actually survived both times
+            assert first[11][0] == "unique gamma body"
+            assert first[12][0] == "unique delta body"
+
     def test_update_requires_batch_id(self, spark):
         import pytest as _pytest
 

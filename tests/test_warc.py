@@ -479,6 +479,33 @@ class TestRecrawlCandidates:
             5: ("unknown", 2),
         }
 
+    def test_duplicate_ledger_rows_do_not_fan_out(self, spark):
+        """r12 review: a ledger accumulated over crawl rounds (or
+        holding spelling variants) must yield ONE status row per
+        entry, judged against the MOST RECENT crawl — not
+        contradictory duplicates that would schedule the URL
+        twice."""
+        from openaq_data_pipeline_spark.operators.frontier import (
+            recrawl_candidates,
+        )
+
+        entries = spark.createDataFrame(
+            [(1, "https://a.org/p?a=1&b=2", "2026-01-20")],
+            "eid long, url string, lastmod string",
+        )
+        crawled = spark.createDataFrame(
+            [
+                ("https://a.org/p?a=1&b=2", "2026-01-10 00:00:00"),
+                # query-order variant, re-crawled AFTER the lastmod
+                ("https://a.org/p?b=2&a=1", "2026-02-01 00:00:00"),
+            ],
+            "url string, ts string",
+        ).selectExpr("url", "CAST(ts AS TIMESTAMP) last_crawl_ts")
+        rows = recrawl_candidates(entries, crawled).collect()
+        assert len(rows) == 1
+        # judged against the most recent crawl: fresh, not changed
+        assert (rows[0].status, rows[0].priority) == ("fresh", 3)
+
     def test_provenance_columns_survive(self, spark):
         from openaq_data_pipeline_spark.operators.frontier import (
             recrawl_candidates,
