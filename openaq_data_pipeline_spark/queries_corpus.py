@@ -193,7 +193,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(e, "embedding", "vec_id", levels=255)
 
 
-@register(
+@register_rotated(
     "audio_decode_features",
     "EXT-multimodal — REAL audio decode on executors: deterministic "
     "RIFF/WAVE PCM16 clips synthesized per id (closed-form integer "
@@ -457,7 +457,7 @@ def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_trigram_backoff(cand, "text", "doc_id", tri, bi, uni, n)
 
 
-@register(
+@register_rotated(
     "bm25_topk",
     "EXT-retrieval — BM25 sparse top-k retrieval (k1=1.2, b=0.75) "
     "over an inverted index: the lexical companion to the dense ANN "
@@ -555,7 +555,7 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
-@register(
+@register_rotated(
     "training_shards",
     "EXT-export — deterministic global shuffle + fixed-shard-count "
     "assignment (the last step before a sharded training-data "
@@ -696,7 +696,7 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "fuzzy_decon_incremental",
     "EXT-curation — INCREMENTAL fuzzy decontamination (VERDICT r5 "
     "next #3): the training corpus is indexed ONCE into persisted "
@@ -870,7 +870,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(d, "text", "doc_id", n_merges=6)
 
 
-@register(
+@register_rotated(
     "bpe_encode",
     "EXT-tokenizer — BPE apply/encode (VERDICT r5 next #2): the "
     "pipeline-completing step after merge training — apply the "
@@ -1223,7 +1223,7 @@ corpus AS (
 """
 
 
-@register(
+@register_rotated(
     "dedup_span_incremental",
     "EXT-dedup — INCREMENTAL substring-span dedup: the span tier's "
     "cross-batch face, completing the per-tier incremental set "

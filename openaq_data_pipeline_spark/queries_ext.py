@@ -515,7 +515,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(sh, "doc_id", min_containment=0.8, max_doc_freq=1000)
 
 
-@register(
+@register_rotated(
     "dedup_containment_incremental",
     "EXT-dedup — INCREMENTAL containment tier (VERDICT r6 next #7), "
     "completing the per-tier incremental set (Jaccard, MinHash bands, "
@@ -934,7 +934,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(fp, "doc_id", max_hamming=3, max_bucket=2048)
 
 
-@register(
+@register_rotated(
     "dedup_simhash_incremental",
     "EXT-dedup — INCREMENTAL SimHash near-dup search (r6, the "
     "optional half of VERDICT r5 next #3): the corpus is "
@@ -1597,7 +1597,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
-@register(
+@register_rotated(
     "neardup_cosine_incremental",
     "EXT-similarity — INCREMENTAL embedding-cosine near-dup (r7), "
     "completing the per-tier incremental set (exact, Jaccard, "
@@ -3168,7 +3168,7 @@ book{i + 1} AS (
     return ",\n".join(parts)
 
 
-@register(
+@register_rotated(
     "ann_topk_pq",
     "EXT-similarity — PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "
     "r8), the memory-scale path past the int8 cells: 8 subspaces × "

@@ -16,12 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openaq_data_pipeline_spark.catalog import load, register
+from openaq_data_pipeline_spark.catalog import load, register, register_rotated
 from openaq_data_pipeline_spark.operators.profiling import profile_table
 from openaq_data_pipeline_spark.operators.text import html_extract, html_title
 
 
-@register(
+@register_rotated(
     "html_text_extract",
     "EXT-text — HTML→text extraction (the crawl front door): "
     "documents wrapped in a deterministic HTML template (head/title, "
@@ -63,7 +63,7 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "table_profile_exact",
     "EXT-profiling — one-pass table profiling, exact fields: per "
     "column of the documents table, row count, null count and "
@@ -176,7 +176,7 @@ def q_takedown_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
-@register(
+@register_rotated(
     "url_canonicalize",
     "EXT-text — URL canonicalization (crawl-frontier hygiene): "
     "deterministic spelling variants (host/scheme case, explicit "
@@ -1185,7 +1185,7 @@ def q_video_header_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- r12 staged candidates ----------------------------------------------
 
 
-@register_staged(
+@register(
     "video_mp4_stats",
     "EXT-multimodal — ISO-BMFF/MP4 header walk (r12, VERDICT r11 "
     "next #3: the web's majority video container joins the video "
@@ -1247,7 +1247,7 @@ def q_video_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "gif_decode_features",
     "EXT-multimodal — REAL GIF decode on executors (r12, VERDICT r11 "
     "missing #4: the one common web image type the front door "
@@ -1341,7 +1341,7 @@ def q_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "charset_detect_decode",
     "EXT-crawl — charset-sniffed text decode (r12, VERDICT r11 next "
     "#4's driver face): five charset spellings of each document "
@@ -1429,7 +1429,7 @@ def q_charset_detect_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "route_stats_funnel",
     "EXT-router — the front door's OBSERVABILITY aggregate ('no "
     "silent caps' as a driver row): an eight-residue mixed feed — "
@@ -1525,7 +1525,7 @@ def q_route_stats_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "container_member_route",
     "EXT-router — the container hop (r12: zip AND ustar tar, the two "
     "sniffed containers the front door previously discarded whole): "
@@ -1643,7 +1643,7 @@ def q_container_member_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "webdataset_roundtrip",
     "EXT-curation — WebDataset export→ingest round-trip (r12: the "
     "reader face of the r8 shard writer): documents export as "
@@ -1682,7 +1682,7 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "line_boilerplate_filter",
     "EXT-dedup — cross-corpus line-frequency boilerplate removal "
     "(r12: CCNet/C4's 'paragraph dedup', the duplication plane "
@@ -1745,7 +1745,7 @@ def q_line_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "phrase_scrub_hits",
     "EXT-retrieval — exact token-sequence phrase matching (r12: the "
     "phrase face positional-free tf postings cannot express; the "
@@ -1795,7 +1795,7 @@ def q_phrase_scrub_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "html_table_rows",
     "EXT-text — HTML table mining (r12: web tables are a first-class "
     "structured-data source the prose extractors flatten into soup): "
@@ -1866,7 +1866,7 @@ def q_html_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "row_index")
 
 
-@register_staged(
+@register(
     "sentence_chunking",
     "EXT-curation — sentence-boundary chunking (r12: the retrieval-"
     "grade complement of doc_chunking's fixed windows — whole "
@@ -1917,7 +1917,7 @@ def q_sentence_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "line_filter_incremental",
     "EXT-dedup — cross-batch line-frequency filtering against the "
     "persisted LineIndex (r12: boilerplate is a CORPUS-WIDE document "
@@ -1988,7 +1988,7 @@ def q_line_filter_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "recrawl_priority",
     "EXT-crawl — sitemap-lastmod recrawl prioritization (r12: the "
     "comparison parse_sitemaps' lastmod extraction exists to feed): "
@@ -2059,7 +2059,7 @@ Disallow: /search?q=
 """
 
 
-@register_staged(
+@register(
     "robots_gate_eval",
     "EXT-crawl — RFC 9309 robots.txt evaluation as the frontier's "
     "fetch gate: URLs synthesized from doc_id residues across seven "
