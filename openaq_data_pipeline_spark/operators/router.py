@@ -89,16 +89,83 @@ def route_for_mime(mime: Column) -> Column:
     )
 
 
+# HTTP Content-Encoding tokens the hop can decode with stdlib zlib.
+# "deflate" is ambiguous in the wild (RFC 9110 says zlib-wrapped, many
+# servers send raw DEFLATE), so it tries both framings. Brotli/zstd
+# have no stdlib decoder in this environment; they stay OUTSIDE this
+# set and route to an observable discard, never a silent drop.
+_DECODABLE_ENCODINGS = ("gzip", "x-gzip", "deflate")
+
+# wbits candidates per encoding token: 31 = gzip framing, 15 =
+# zlib-wrapped deflate, -15 = raw deflate
+_ENCODING_WBITS = {
+    "gzip": (31,),
+    "x-gzip": (31,),
+    "deflate": (15, -15),
+}
+
+
+def _inflate_capped(blob: bytes, wbits: int, max_bytes: int) -> bytes | None:
+    """One bomb-capped inflate attempt; None on corrupt stream,
+    output-cap overflow, or truncated input (no stream end)."""
+    try:
+        d = zlib.decompressobj(wbits=wbits)
+        out = d.decompress(blob, max_bytes)
+        if d.unconsumed_tail:  # output cap hit: bomb
+            return None
+        out += d.flush()
+        return out if d.eof else None
+    except zlib.error:
+        return None
+
+
+def _decode_payload(
+    blob: bytes, encoding: str | None, max_bytes: int
+) -> bytes | None:
+    """Decode one payload under its Content-Encoding hint (or gzip/
+    zlib magic sniff when the hint is absent). Raw DEFLATE has no
+    magic, so without a hint it is only reachable via the zlib
+    fallback order; with hint ``deflate`` both framings are tried —
+    zlib-wrapped first (the RFC meaning), raw second (the wild)."""
+    if encoding in _ENCODING_WBITS:
+        candidates = _ENCODING_WBITS[encoding]
+    elif blob[:2] == b"\x1f\x8b":
+        candidates = (31,)
+    elif (
+        len(blob) >= 2
+        and blob[0] & 0x0F == 8
+        and (blob[0] << 8 | blob[1]) % 31 == 0
+    ):
+        # plausible zlib header (CM=deflate, FCHECK valid)
+        candidates = (15, -15)
+    else:
+        candidates = (31,)
+    for wbits in candidates:
+        out = _inflate_capped(blob, wbits, max_bytes)
+        if out is not None:
+            return out
+    return None
+
+
 def gunzip_once(
     df: DataFrame,
     payload_col: str,
     out_col: str,
     max_bytes: int = 1 << 26,
+    encoding_col: str | None = None,
 ) -> DataFrame:
-    """Decompress a gzip payload column ONCE (zlib wbits=31), capped
-    at ``max_bytes`` of OUTPUT per row — a gzip bomb or a corrupt
-    member yields NULL instead of an executor OOM / stage failure.
-    One Arrow ``mapInPandas`` stage, schema preserved + ``out_col``.
+    """Decompress a compressed payload column ONCE, capped at
+    ``max_bytes`` of OUTPUT per row — a bomb or a corrupt member
+    yields NULL instead of an executor OOM / stage failure. One
+    Arrow ``mapInPandas`` stage, schema preserved + ``out_col``.
+
+    Framing is chosen per row: an explicit ``encoding_col`` hint
+    (HTTP ``Content-Encoding`` token: ``gzip``/``x-gzip`` → gzip,
+    ``deflate`` → zlib-wrapped then raw DEFLATE) wins; with no hint
+    the magic bytes decide (gzip magic → gzip, plausible zlib header
+    → zlib then raw). Tokens outside ``_DECODABLE_ENCODINGS`` (br,
+    zstd, …) yield NULL — the caller keeps the hint column, so the
+    undecodable rows stay countable, never silently dropped.
     """
     from pyspark.sql.types import BinaryType, StructField, StructType
 
@@ -109,21 +176,25 @@ def gunzip_once(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             inner = []
-            for c in pdf[payload_col]:
+            hints = (
+                pdf[encoding_col]
+                if encoding_col is not None
+                else [None] * len(pdf)
+            )
+            for c, enc in zip(pdf[payload_col], hints):
                 if c is None:
                     inner.append(None)
                     continue
                 blob = c if isinstance(c, bytes) else bytes(c)
-                try:
-                    d = zlib.decompressobj(wbits=31)
-                    out = d.decompress(blob, max_bytes)
-                    if d.unconsumed_tail:  # output cap hit: bomb
-                        inner.append(None)
-                        continue
-                    out += d.flush()
-                    inner.append(out if d.eof else None)
-                except zlib.error:
-                    inner.append(None)
+                hint = (
+                    enc.strip().lower()
+                    if isinstance(enc, str) and enc.strip()
+                    else None
+                )
+                if hint is not None and hint not in _ENCODING_WBITS:
+                    inner.append(None)  # br/zstd/…: observable NULL
+                    continue
+                inner.append(_decode_payload(blob, hint, max_bytes))
             out_pdf = pdf[cols].copy()
             out_pdf[out_col] = inner
             yield out_pdf
@@ -402,34 +473,68 @@ def route_crawl_payloads(
     route_col: str = "route",
     gzip_col: str = "was_gzip",
     max_gunzip_bytes: int = 1 << 26,
+    encoding_col: str | None = None,
 ) -> DataFrame:
-    """Sniff + route every payload, resolving gzip through ONE
-    nested-decode hop: output rows carry the EFFECTIVE mime (the
-    inner type for gzip members), the plane in ``route_col``, and
-    ``payload_col`` rewritten to the decoded bytes for gzip rows so
-    every downstream extractor consumes one uniform column.
+    """Sniff + route every payload, resolving compressed bodies
+    through ONE nested-decode hop: output rows carry the EFFECTIVE
+    mime (the inner type for compressed members), the plane in
+    ``route_col``, and ``payload_col`` rewritten to the decoded bytes
+    for hopped rows so every downstream extractor consumes one
+    uniform column. ``gzip_col`` is True exactly for rows that took
+    the hop (historic name; deflate rows set it too).
 
-    Non-gzip rows never leave the JVM (sniff + CASE are codegen);
-    gzip rows pay one bomb-capped Arrow pass. A gzip member whose
-    inner bytes are themselves gzip, or that fails/overflows the
-    decode, keeps mime ``application/gzip`` and discards — one hop,
-    never a loop.
+    Without ``encoding_col`` the hop is magic-byte driven (gzip
+    only — raw DEFLATE has no magic; today's behavior unchanged).
+    With it (e.g. the WARC reader's ``http_content_encoding``):
+
+    - ``gzip``/``x-gzip``/``deflate`` rows take the hint-driven hop
+      (deflate tries zlib-wrapped then raw framing);
+    - other non-identity tokens (``br``, ``zstd``, …) have no stdlib
+      decoder here: the row routes straight to ``discard`` with its
+      hint intact — the payload bytes are NOT the claimed content
+      until decoded, so sniffing them would route garbage. Count
+      them via :func:`route_stats` grouped on the hint column;
+    - ``identity``/blank/NULL rows take the magic-sniff path.
+
+    Non-hopped rows never leave the JVM (sniff + CASE are codegen);
+    hopped rows pay one bomb-capped Arrow pass. A member whose inner
+    bytes are themselves compressed, or that fails/overflows the
+    decode, keeps an undecoded mime (``application/gzip`` for gzip
+    magic, ``application/octet-stream`` otherwise) and discards —
+    one hop, never a loop.
     """
     mimed = df.withColumn(mime_col, sniff_mime(F.col(payload_col)))
+    enc = (
+        F.lower(F.trim(F.col(encoding_col)))
+        if encoding_col is not None
+        else F.lit(None).cast("string")
+    )
+    hinted = enc.isNotNull() & (enc != "") & (enc != "identity")
+    takes_hop = (
+        F.col(mime_col) == "application/gzip"
+    ) | (hinted & enc.isin(*_DECODABLE_ENCODINGS))
+    undecodable = hinted & ~enc.isin(*_DECODABLE_ENCODINGS)
     direct = mimed.where(
-        F.col(mime_col).isNull() | (F.col(mime_col) != "application/gzip")
+        F.coalesce(~takes_hop, F.lit(True))
     ).select(
         "*",
-        route_for_mime(F.col(mime_col)).alias(route_col),
+        F.when(undecodable, F.lit(ROUTE_DISCARD))
+        .otherwise(route_for_mime(F.col(mime_col)))
+        .alias(route_col),
         F.lit(False).alias(gzip_col),
     )
     gz = gunzip_once(
-        mimed.where(F.col(mime_col) == "application/gzip").drop(mime_col),
+        mimed.where(takes_hop).drop(mime_col),
         payload_col,
         "__inner",
         max_bytes=max_gunzip_bytes,
+        encoding_col=encoding_col,
     )
     inner_mime = sniff_mime(F.col("__inner"))
+    undecoded_mime = F.when(
+        F.substring(F.col(payload_col), 1, 2) == F.lit(b"\x1f\x8b"),
+        F.lit("application/gzip"),
+    ).otherwise(F.lit("application/octet-stream"))
     hopped = (
         gz.select(
             *[
@@ -438,16 +543,18 @@ def route_crawl_payloads(
                 else F.col(f)
                 for f in df.columns
             ],
-            F.coalesce(inner_mime, F.lit("application/gzip")).alias(
-                mime_col
-            ),
+            F.coalesce(inner_mime, undecoded_mime).alias(mime_col),
+            F.col("__inner").isNull().alias("__hop_failed"),
         )
         .withColumn(
             route_col,
             F.when(
-                F.col(mime_col) == "application/gzip", F.lit(ROUTE_DISCARD)
+                F.col("__hop_failed")
+                | (F.col(mime_col) == "application/gzip"),
+                F.lit(ROUTE_DISCARD),
             ).otherwise(route_for_mime(F.col(mime_col))),
         )
+        .drop("__hop_failed")
         .withColumn(gzip_col, F.lit(True))
     )
     return direct.unionByName(hopped)

@@ -2194,3 +2194,95 @@ def q_temperature_mixture_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "src", "bucket32", "thr")
         .orderBy("doc_id")
     )
+
+
+# --- r13 staged candidates ----------------------------------------------
+
+
+@register_staged(
+    "content_encoding_route",
+    "EXT-router — HTTP Content-Encoding resolution at the crawl "
+    "front door (r13, VERDICT r12 next #2): per document a payload "
+    "is synthesized by residue — identity bytes, gzip, zlib-wrapped "
+    "deflate, RAW deflate (no magic, only reachable through the "
+    "hint), and a 'br' body with no stdlib decoder — then the "
+    "hint-driven hop decodes all three zlib framings into ONE "
+    "uniform text plane while the undecodable token routes to an "
+    "OBSERVABLE discard with its hint intact. The oracle is the "
+    "CLOSED FORM per residue class (exact text round-trip for every "
+    "decodable row), not a replay of the router",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            WHEN doc_id % 5 = 1 THEN 'gzip'
+            WHEN doc_id % 5 = 4 THEN 'br'
+            ELSE 'deflate' END AS content_encoding,
+       'text/plain' AS mime,
+       CASE WHEN doc_id % 5 = 4 THEN 'discard' ELSE 'text' END AS route,
+       doc_id % 5 IN (1, 2, 3) AS took_hop,
+       CASE WHEN doc_id % 5 = 4 THEN NULL ELSE text END AS text
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_content_encoding_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from openaq_data_pipeline_spark.operators.router import (
+        extract_routed_text,
+        route_crawl_payloads,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads, encodings = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                r = int(i) % 5
+                body = t.encode()
+                if r == 0:
+                    payloads.append(body)
+                    encodings.append(None)
+                elif r == 1:
+                    payloads.append(_gzip.compress(body))
+                    encodings.append("gzip")
+                elif r == 2:
+                    payloads.append(_zlib.compress(body))
+                    encodings.append("deflate")
+                elif r == 3:
+                    co = _zlib.compressobj(wbits=-15)
+                    payloads.append(co.compress(body) + co.flush())
+                    encodings.append("deflate")
+                else:
+                    # claimed brotli: bytes stay ENCODED (here: the
+                    # raw text, which sniffs text/plain — the mime
+                    # column shows what the bytes LOOK like, the
+                    # route shows they are not trusted)
+                    payloads.append(body)
+                    encodings.append("br")
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = payloads
+            out["content_encoding"] = encodings
+            yield out
+
+    feed = d.mapInPandas(
+        synth, schema="doc_id long, payload binary, content_encoding string"
+    )
+    routed = route_crawl_payloads(
+        feed, "payload", encoding_col="content_encoding"
+    ).localCheckpoint(eager=False)
+    out_cols = [
+        "doc_id", "content_encoding", "mime", "route",
+        F.col("was_gzip").alias("took_hop"), "text",
+    ]
+    texts = extract_routed_text(
+        routed.where(F.col("route") == "text"), "payload"
+    ).select(*out_cols)
+    others = routed.where(F.col("route") != "text").select(
+        "doc_id", "content_encoding", "mime", "route",
+        F.col("was_gzip").alias("took_hop"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    return texts.unionByName(others).orderBy("doc_id")

@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
     "target_uri string, warc_date string, content_type string, "
-    "http_status int, http_content_type string, payload binary"
+    "http_status int, http_content_type string, "
+    "http_content_encoding string, payload binary"
 )
 
 CDX_SCHEMA = (
@@ -121,6 +122,7 @@ def _parse_plain_records(
         pos = body_start + length
         http_status: int | None = None
         http_ct: str | None = None
+        http_ce: str | None = None
         ct = headers.get("content-type", "")
         if ct.startswith("application/http") and payload[:5] in (
             b"HTTP/",
@@ -135,8 +137,15 @@ def _parse_plain_records(
                     http_status = int(parts[1])
                 for line in lines[1:]:
                     k, _, v = line.partition(b":")
-                    if _ and k.strip().lower() == b"content-type":
+                    key = k.strip().lower()
+                    if _ and key == b"content-type":
                         http_ct = v.strip().decode("latin-1")
+                    elif _ and key == b"content-encoding":
+                        # body stays ENCODED here; the routing layer
+                        # resolves it (route_crawl_payloads
+                        # encoding_col) so the bomb cap and the
+                        # one-hop contract live in one place
+                        http_ce = v.strip().decode("latin-1").lower()
                 payload = payload[sep + 4 :]
         yield (
             base + head_start,
@@ -149,6 +158,7 @@ def _parse_plain_records(
                 "content_type": ct or None,
                 "http_status": http_status,
                 "http_content_type": http_ct,
+                "http_content_encoding": http_ce,
                 "payload": payload,
             },
         )
@@ -182,7 +192,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
 _SCAN_COLUMNS = [
     "warc_file", "record_id", "warc_type", "target_uri",
     "warc_date", "content_type", "http_status",
-    "http_content_type", "payload",
+    "http_content_type", "http_content_encoding", "payload",
 ]
 
 

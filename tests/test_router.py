@@ -980,3 +980,114 @@ class TestRoutedStreamingIntake:
         assert by_route == {
             "text": 4, "image": 1, "audio": 1, "video": 1, "discard": 1,
         }
+
+
+class TestContentEncodingHop:
+    """VERDICT r12 next #2: the decompression hop handles HTTP
+    Content-Encoding gzip AND deflate (both zlib-wrapped and raw
+    framing), driven by an explicit hint column; tokens with no
+    stdlib decoder (br, zstd) route to an OBSERVABLE discard."""
+
+    def _feed(self, spark):
+        import zlib as _z
+
+        body = _page(ART).encode()
+        rows = [
+            (0, body, None),                                 # identity
+            (1, gzip.compress(body), "gzip"),                # gzip
+            (2, _z.compress(body), "deflate"),               # zlib-wrapped
+            (3, _z.compressobj(wbits=-15).compress(body)
+                + _z.compressobj(wbits=-15).flush(), None),  # placeholder
+            (4, b"\x8b\x1f junk that is no encoding", "br"), # undecodable
+            (5, body, "identity"),                           # explicit identity
+        ]
+        # raw deflate needs one compressobj (flush pairs with it)
+        co = _z.compressobj(wbits=-15)
+        raw = co.compress(body) + co.flush()
+        rows[3] = (3, raw, "deflate")
+        return spark.createDataFrame(
+            rows, "id long, payload binary, content_encoding string"
+        )
+
+    def test_all_three_encodings_reach_the_text_plane(self, spark):
+        df = self._feed(spark)
+        routed = route_crawl_payloads(
+            df, "payload", encoding_col="content_encoding"
+        )
+        rows = {r.id: r for r in routed.collect()}
+        for i in (0, 1, 2, 3, 5):
+            assert (rows[i].mime, rows[i].route) == ("text/html", "text"), i
+        assert [rows[i].was_gzip for i in (0, 1, 2, 3, 5)] == [
+            False, True, True, True, False,
+        ]
+        # undecodable token: discard, payload untouched, hint kept
+        assert rows[4].route == "discard"
+        assert rows[4].content_encoding == "br"
+        assert rows[4].payload is not None
+        # and the text plane extracts IDENTICAL text from all five
+        texts = {
+            r.id: r.text
+            for r in extract_routed_text(
+                routed.where(F.col("route") == "text"), "payload",
+                out_col="text",
+            ).select("id", "text").collect()
+        }
+        assert len(set(texts.values())) == 1 and ART in texts[0]
+
+    def test_route_stats_shows_zero_silent_discards(self, spark):
+        """Every row is accounted: decodable encodings all land in
+        the text plane with zero NULL payloads; the br row is the
+        only discard and groups under its own hint."""
+        df = self._feed(spark)
+        routed = route_crawl_payloads(
+            df, "payload", encoding_col="content_encoding"
+        )
+        stats = {
+            (r.route, r.content_encoding): (r.n_payloads, r.n_bytes_null)
+            for r in routed.groupBy("route", "content_encoding")
+            .agg(
+                F.count(F.lit(1)).alias("n_payloads"),
+                F.sum(
+                    F.when(F.col("payload").isNull(), 1).otherwise(0)
+                ).alias("n_bytes_null"),
+            )
+            .collect()
+        }
+        assert stats[("text", None)] == (1, 0)
+        assert stats[("text", "gzip")] == (1, 0)
+        assert stats[("text", "deflate")] == (2, 0)
+        assert stats[("text", "identity")] == (1, 0)
+        assert stats[("discard", "br")] == (1, 0)  # bytes kept, observable
+        assert sum(n for n, _ in stats.values()) == 6
+
+    def test_hintless_behavior_unchanged_and_bomb_capped(self, spark):
+        """No encoding_col → magic-sniff path only: gzip hops, raw
+        deflate (no magic) discards exactly as before r13; the cap
+        still bounds deflate output."""
+        import zlib as _z
+
+        body = _page(ART).encode()
+        co = _z.compressobj(wbits=-15)
+        raw = co.compress(body) + co.flush()
+        df = spark.createDataFrame(
+            [(0, gzip.compress(body)), (1, raw)],
+            "id long, payload binary",
+        )
+        rows = {
+            r.id: r for r in route_crawl_payloads(df, "payload").collect()
+        }
+        assert rows[0].route == "text" and rows[0].was_gzip
+        assert rows[1].route == "discard" and not rows[1].was_gzip
+        # deflate bomb: 100 KB of zeros under a 1 KiB cap → NULL, discard
+        co = _z.compressobj(wbits=-15)
+        bomb = co.compress(bytes(100_000)) + co.flush()
+        bdf = spark.createDataFrame(
+            [(0, bomb, "deflate")],
+            "id long, payload binary, content_encoding string",
+        )
+        brow = route_crawl_payloads(
+            bdf, "payload", encoding_col="content_encoding",
+            max_gunzip_bytes=1024,
+        ).first()
+        assert brow.route == "discard" and brow.payload is None
+        assert brow.mime == "application/octet-stream"

@@ -569,3 +569,77 @@ class TestFrontierPriority:
         ).collect()
         a_kept = {r.uid for r in budget if r.host == "a.org"}
         assert a_kept == {2, 3}
+
+
+class TestContentEncodingPlumbing:
+    """VERDICT r12 next #2 (WARC side): Content-Encoding parses into
+    its own column (body stays encoded at scan time) and the routed
+    front door resolves gzip AND deflate bodies through the hinted
+    hop."""
+
+    def _encoded_archive(self) -> bytes:
+        import gzip as _gz
+        import zlib as _z
+
+        co = _z.compressobj(wbits=-15)
+        raw_deflate = co.compress(HTML) + co.flush()
+        variants = [
+            (b"https://a.org/id", HTML, None),
+            (b"https://a.org/gz", _gz.compress(HTML), b"gzip"),
+            (b"https://a.org/zl", _z.compress(HTML), b"deflate"),
+            (b"https://a.org/rd", raw_deflate, b"deflate"),
+            (b"https://a.org/br", b"\x00\x01 not brotli", b"br"),
+        ]
+        out = b""
+        for uri, body, enc in variants:
+            head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            if enc:
+                head += b"Content-Encoding: " + enc + b"\r\n"
+            out += _record(
+                "response", uri.decode(), head + b"\r\n" + body,
+                "application/http;msgtype=response",
+            )
+        return out
+
+    def test_scan_parses_encoding_header(self):
+        recs = parse_warc_bytes(self._encoded_archive())
+        by_uri = {r["target_uri"]: r for r in recs}
+        assert by_uri["https://a.org/id"]["http_content_encoding"] is None
+        assert by_uri["https://a.org/gz"]["http_content_encoding"] == "gzip"
+        assert by_uri["https://a.org/zl"]["http_content_encoding"] == "deflate"
+        assert by_uri["https://a.org/br"]["http_content_encoding"] == "br"
+        # the body is NOT decoded at scan time — the routing layer
+        # owns the bomb cap and the one-hop contract
+        assert by_uri["https://a.org/gz"]["payload"][:2] == b"\x1f\x8b"
+
+    def test_warc_to_text_plane_via_hinted_hop(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.router import (
+            extract_routed_text,
+            route_crawl_payloads,
+        )
+
+        p = tmp_path / "enc.warc"
+        p.write_bytes(self._encoded_archive())
+        pages = read_warc(spark, str(p)).where(
+            "warc_type = 'response' AND http_status = 200"
+        )
+        routed = route_crawl_payloads(
+            pages.select("target_uri", "http_content_encoding", "payload"),
+            "payload",
+            encoding_col="http_content_encoding",
+        )
+        rows = {r.target_uri: r for r in routed.collect()}
+        for uri in ("https://a.org/id", "https://a.org/gz",
+                    "https://a.org/zl", "https://a.org/rd"):
+            assert (rows[uri].mime, rows[uri].route) == (
+                "text/html", "text"), uri
+        assert rows["https://a.org/br"].route == "discard"
+        texts = [
+            r.text
+            for r in extract_routed_text(
+                routed.where("route = 'text'"), "payload", out_col="text",
+                min_len=1,
+            ).where("text IS NOT NULL").collect()
+        ]
+        # all four encodings converge on the SAME extracted text
+        assert len(texts) == 4 and set(texts) == {"hello crawl world"}
