@@ -2015,6 +2015,104 @@ class TestLineFrequencyFilter:
         assert "xxhash64" in plan
 
 
+
+    def test_oversized_doc_guard_routes_untouched(self, spark):
+        """VERDICT r12 wrong #2: one pathological document must not
+        concentrate the reassembly on a single task - over the line
+        cap it passes through UNTOUCHED (boilerplate kept, lines not
+        counted as evidence) under an observable flag; normal docs
+        still filter, and with no cap the schema is unchanged."""
+        from openaq_data_pipeline_spark.operators.dedup import (
+            line_frequency_filter,
+        )
+
+        monster = "\n".join(
+            ["COOKIE BANNER TEXT"] + [f"payload line {i}" for i in range(50)]
+        )
+        rows = [
+            (1, "COOKIE BANNER TEXT\nunique body one"),
+            (2, "COOKIE BANNER TEXT\nunique body two"),
+            (3, monster),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in line_frequency_filter(
+                df, "text", "doc_id", max_lines_per_doc=10
+            ).collect()
+        }
+        # normal docs: banner still recurs in >=2 SMALL docs -> stripped
+        assert out[1].text_clean == "unique body one"
+        assert not out[1].line_filter_skipped
+        assert out[2].text_clean == "unique body two"
+        # the monster: untouched, zero drops, flagged
+        assert out[3].text_clean == monster
+        assert out[3].n_lines_dropped == 0
+        assert out[3].line_filter_skipped
+        # NULL text: normal path, passes through, not flagged
+        assert out[4].text_clean is None and not out[4].line_filter_skipped
+        # monster lines are NOT evidence: drop doc 2 and the banner
+        # survives in doc 1 (freq 1; the monster copy must not count)
+        df2 = spark.createDataFrame([rows[0], rows[2]],
+                                    "doc_id long, text string")
+        out2 = {
+            r.doc_id: r
+            for r in line_frequency_filter(
+                df2, "text", "doc_id", max_lines_per_doc=10
+            ).collect()
+        }
+        assert out2[1].text_clean == "COOKIE BANNER TEXT\nunique body one"
+        assert out2[1].n_lines_dropped == 0
+        # no cap -> no flag column (r12 schema byte-stable)
+        plain = line_frequency_filter(df, "text", "doc_id")
+        assert "line_filter_skipped" not in plain.columns
+
+    def test_incremental_guard_matches_batch_face(self, spark, tmp_path):
+        """The guard threads through the incremental face: an
+        oversized batch document skips probe AND append (its lines
+        never enter the index)."""
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.dedup import (
+            LineIndex,
+            build_line_index,
+            incremental_line_filter,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, "SHARED FOOTER LINE\nalpha"),
+             (2, "SHARED FOOTER LINE\nbeta")],
+            "doc_id long, text string",
+        )
+        monster = "\n".join(
+            ["MONSTER ONLY LINE XX"] * 3 + [f"m{i}" for i in range(40)]
+        )
+        with LineIndex(
+            name="t_lf_guard", min_docs=3,
+            location=str(tmp_path / "lfg"),
+        ) as idx:
+            build_line_index(hist, idx)
+            batch = spark.createDataFrame(
+                [(10, "SHARED FOOTER LINE\ngamma"), (11, monster)],
+                "doc_id long, text string",
+            )
+            out = {
+                r.doc_id: r
+                for r in incremental_line_filter(
+                    batch, idx, batch_id=1, max_lines_per_doc=10
+                ).collect()
+            }
+            # footer: 2 history + 1 batch = 3 >= min_docs -> stripped
+            assert out[10].text_clean == "gamma"
+            assert out[11].text_clean == monster
+            assert out[11].line_filter_skipped
+            # the monster's lines were NOT appended to the index
+            assert spark.table(idx.lines_table).where(
+                F.col("line_key")
+                == F.xxhash64(F.lit("MONSTER ONLY LINE XX"))
+            ).count() == 0
+
 class TestHtmlTableExtract:
     """HTML table mining (r12): one row per <tr> with cleaned cells,
     header detection, table/row indexes — pure codegen, the
