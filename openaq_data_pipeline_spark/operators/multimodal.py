@@ -562,6 +562,139 @@ def _gif_frame_count(content: bytes) -> int:
     return frames
 
 
+# --- WebP header walk (r13, VERDICT r12 missing #2) ---------------------
+#
+# RIFF container with a WEBP form type; the first chunk names the
+# bitstream: 'VP8 ' (lossy), 'VP8L' (lossless), 'VP8X' (extended —
+# canvas dims + alpha/animation flags). Dimensions and flags live in
+# fixed-offset header fields (public spec: RFC 9649 / VP8 RFC 6386),
+# so the walk is HEADER-ONLY — no pixel decode exists here (VP8
+# entropy decoding is out of scope), but dims + flags are exactly
+# what routing, phash-less dedup bucketing and size policies need,
+# and they stop the image plane from dropping the most common web
+# image type it cannot yet rasterize.
+
+
+def encode_webp_header(
+    width: int,
+    height: int,
+    kind: str = "VP8L",
+    alpha: bool = False,
+    animated: bool = False,
+) -> bytes:
+    """Synthesize a header-valid WebP container (fixture face of
+    :func:`webp_header_stats` — the bitstream BODY is zero filler,
+    decodable by nothing, exactly like :func:`encode_mp4_stub`)."""
+    if kind == "VP8L":
+        v = (width - 1) | ((height - 1) << 14) | (int(alpha) << 28)
+        payload = b"\x2f" + struct.pack("<I", v)
+    elif kind == "VP8 ":
+        payload = (
+            b"\x00\x00\x00"  # frame tag (key frame, version 0)
+            + b"\x9d\x01\x2a"  # start code
+            + struct.pack("<HH", width, height)
+            + b"\x00" * 4
+        )
+    elif kind == "VP8X":
+        flags = (0x10 if alpha else 0) | (0x02 if animated else 0)
+        payload = (
+            bytes([flags])
+            + b"\x00\x00\x00"
+            + struct.pack("<I", width - 1)[:3]
+            + struct.pack("<I", height - 1)[:3]
+        )
+    else:
+        raise ValueError(f"unknown WebP chunk kind {kind!r}")
+    chunk = kind.encode("latin-1") + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_header_stats(content: bytes) -> tuple[str, int, int, bool, bool]:
+    """(format, width, height, has_alpha, is_animated) from the
+    first bitstream chunk of a WebP container. ValueError on
+    anything that is not a header-valid WebP — the lenient Arrow
+    pass degrades that to NULL columns, never a stage failure."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP magic missing)")
+    fourcc = content[12:16]
+    (size,) = struct.unpack_from("<I", content, 16)
+    p = content[20 : 20 + size]
+    if fourcc == b"VP8L":
+        if len(p) < 5 or p[0] != 0x2F:
+            raise ValueError("VP8L signature missing")
+        (v,) = struct.unpack_from("<I", p, 1)
+        return (
+            "VP8L",
+            (v & 0x3FFF) + 1,
+            ((v >> 14) & 0x3FFF) + 1,
+            bool((v >> 28) & 1),
+            False,
+        )
+    if fourcc == b"VP8 ":
+        if len(p) < 10 or p[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 start code missing")
+        w, h = struct.unpack_from("<HH", p, 6)
+        return ("VP8 ", w & 0x3FFF, h & 0x3FFF, False, False)
+    if fourcc == b"VP8X":
+        if len(p) < 10:
+            raise ValueError("VP8X header truncated")
+        flags = p[0]
+        w = int.from_bytes(p[4:7], "little") + 1
+        h = int.from_bytes(p[7:10], "little") + 1
+        return ("VP8X", w, h, bool(flags & 0x10), bool(flags & 0x02))
+    raise ValueError(f"unknown WebP bitstream chunk {fourcc!r}")
+
+
+_WEBP_FEATURE_DDL = (
+    "media_id long, n_bytes long, header_hex string, format string, "
+    "width int, height int, has_alpha boolean, is_animated boolean"
+)
+
+
+def webp_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary WebP column → header stats via Arrow ``mapInPandas``
+    (the :func:`video_features` shape for the image plane's
+    undecodable-but-walkable format). HEADER-ONLY by design."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _WEBP_FEATURE_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "header_hex", "format",
+                "width", "height", "has_alpha", "is_animated",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                out["header_hex"].append(blob[:4].hex())
+                if lenient:
+                    try:
+                        fmt, w, h, a, anim = webp_header_stats(blob)
+                    except Exception:
+                        fmt = w = h = a = anim = None
+                else:
+                    fmt, w, h, a, anim = webp_header_stats(blob)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["has_alpha"].append(a)
+                out["is_animated"].append(anim)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
+
+
 # --- baseline JPEG codec (pure NumPy + stdlib; VERDICT r5 next #6) ------
 #
 # Public-knowledge JFIF/JPEG baseline (ITU-T T.81 Annex F, JFIF 1.02):
@@ -1120,11 +1253,18 @@ def extract_features(
                         try:
                             img = _decode_image(blob)
                         except Exception:
+                            # no pixel decoder for this format — but a
+                            # header-walkable one (WebP, r13) still
+                            # yields dims; pixel stats stay NULL
+                            try:
+                                _, hw, hh, _, _ = webp_header_stats(blob)
+                            except Exception:
+                                hw = hh = None
                             out[id_col].append(mid)
                             out["n_bytes"].append(len(blob))
                             out["header_hex"].append(blob[:4].hex())
-                            out["width"].append(None)
-                            out["height"].append(None)
+                            out["width"].append(hw)
+                            out["height"].append(hh)
                             out["px_sum"].append(None)
                             out["mean_px"].append(None)
                             out["feature"].append(None)

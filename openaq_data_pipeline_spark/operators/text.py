@@ -900,8 +900,8 @@ def sniff_mime(payload: Column) -> Column:
     crawl actually routes on). Detection ladder, first match wins:
 
     - ``%PDF`` → application/pdf; PNG/JPEG/GIF magics; gzip; ZIP
-      (``PK\\x03\\x04`` — also OOXML containers); RIFF→WAVE / AVI;
-      ISO-BMFF (``ftyp`` at offset 4, any brand) → video/mp4;
+      (``PK\\x03\\x04`` — also OOXML containers); RIFF→WAVE / AVI /
+      WEBP; ISO-BMFF (``ftyp`` at offset 4, any brand) → video/mp4;
       POSIX ustar (offset 257) → application/x-tar;
     - leading ``<!doctype html`` / ``<html`` (case-insensitive,
       whitespace-tolerant) → text/html;
@@ -936,6 +936,7 @@ def sniff_mime(payload: Column) -> Column:
         .when(magic(1, b"\x1f\x8b"), F.lit("application/gzip"))
         .when(magic(1, b"PK\x03\x04"), F.lit("application/zip"))
         .when(magic(1, b"RIFF") & magic(9, b"WAVE"), F.lit("audio/x-wav"))
+        .when(magic(1, b"RIFF") & magic(9, b"WEBP"), F.lit("image/webp"))
         .when(
             magic(1, b"RIFF") & magic(9, b"AVI "),
             F.lit("video/x-msvideo"),
