@@ -670,6 +670,9 @@ def crawl_intake_gate(
     fuzzy_index=None,
     container_members: bool = False,
     line_index=None,
+    frontier_path: str | None = None,
+    fetch_ts_col: str | None = None,
+    frontier_max_per_host: int | None = None,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -738,11 +741,42 @@ def crawl_intake_gate(
     arrived INSIDE a gzip member stays discarded — the gzip hop
     already spent that payload's container hop. The archive row
     itself still appears in the main discard plane: the container
-    and its members are BOTH accounted."""
+    and its members are BOTH accounted.
+
+    With ``frontier_path`` (r13, VERDICT r12 next #7) the sitemap→
+    ledger→frontier loop closes PER MICRO-BATCH: sitemap documents
+    riding the RAW batch (detected by their ``<urlset>``/
+    ``<sitemapindex>`` root BEFORE the URL ledger — a re-fetched
+    sitemap is ledger-dropped from the text funnel by design, but
+    its lastmod updates are exactly what recrawl exists to see)
+    parse through
+    :func:`~openaq_data_pipeline_spark.operators.frontier
+    .parse_sitemaps`, every discovered URL is judged against the
+    timestamped crawl log accumulated under
+    ``{frontier_path}/crawl_log`` (:func:`~openaq_data_pipeline_
+    spark.operators.frontier.recrawl_candidates`: never-crawled
+    first, lastmod-after-crawl next, fresh last) and the
+    priority-aware politeness schedule (:func:`frontier_schedule`
+    with ``priority_col`` — slot spacing and per-host budget bind
+    unchanged) lands under ``{frontier_path}/schedule``. Both sinks
+    write per-``batch_id`` dynamic-overwrite partitions and the
+    candidate judgment EXCLUDES the probing batch's own log rows —
+    the line-gate recipe — so a replayed batch reschedules
+    identically. ``fetch_ts_col`` names the feed's fetch timestamp
+    (REQUIRED with ``frontier_path``: the log must carry real crawl
+    times for the lastmod comparison, and deriving one at process
+    time would change across replays)."""
     from openaq_data_pipeline_spark.operators.frontier import (
         apply_robots,
         url_ledger_gate,
     )
+
+    if frontier_path is not None and fetch_ts_col is None:
+        raise ValueError(
+            "crawl_intake_gate: frontier_path needs fetch_ts_col= (the "
+            "crawl log must carry the feed's own fetch timestamps — a "
+            "process-time stamp would change across replays)"
+        )
     from openaq_data_pipeline_spark.operators.text import (
         gopher_rules,
         html_extract_density,
@@ -943,6 +977,100 @@ def crawl_intake_gate(
             .partitionBy("batch_id")
             .parquet(survivors_path)
         )
+        if frontier_path is not None:
+            from openaq_data_pipeline_spark.operators.frontier import (
+                frontier_schedule,
+                parse_sitemaps,
+                recrawl_candidates,
+            )
+
+            log_path = f"{frontier_path}/crawl_log"
+            # sitemaps are read from the RAW batch, BEFORE the URL
+            # ledger: a re-fetched sitemap URL is ledger-dropped from
+            # the text funnel by design (it was crawled before), but
+            # its lastmod updates are exactly what the recrawl loop
+            # exists to see. Sitemap XML is ASCII/UTF-8 per protocol,
+            # so the codegen cast suffices (a gzipped sitemap.xml.gz
+            # body is a documented residual — feed it through the
+            # decompression hop upstream).
+            raw_xml = (
+                F.col(payload_col).cast("string")
+                if payload_col is not None
+                else F.col(html_col)
+            )
+            discovered = (
+                parse_sitemaps(
+                    batch_df.select(
+                        F.col(url_col).alias("__src"),
+                        raw_xml.alias("__xml"),
+                    ).where(
+                        F.col("__xml").rlike(
+                            r"(?is)<\s*(?:urlset|sitemapindex)\b"
+                        )
+                    ),
+                    "__xml",
+                    "__src",
+                )
+                .where(~F.col("from_index"))
+                # one row per URL even when several sitemaps list it:
+                # the newest lastmod is the recrawl signal
+                .groupBy("url")
+                .agg(F.max("lastmod").alias("lastmod"))
+            )
+            fs, P = _hfs(spark, frontier_path)
+            if fs.exists(P(log_path)):
+                # the probing batch's own first-attempt log rows are
+                # NOT history (the line-gate recipe): a replayed
+                # batch must judge — and schedule — identically
+                history = (
+                    spark.read.parquet(log_path)
+                    .where(F.col("batch_id") != batch_id)
+                    .select("url", "last_crawl_ts")
+                )
+            else:
+                history = spark.createDataFrame(
+                    [], "url string, last_crawl_ts timestamp"
+                )
+            cands = recrawl_candidates(discovered, history).withColumn(
+                "__fid", F.xxhash64(F.col("url"))
+            )
+            sched = frontier_schedule(
+                cands,
+                "url",
+                "__fid",
+                max_per_host=frontier_max_per_host,
+                priority_col="priority",
+            )
+            (
+                sched.join(
+                    cands.select(
+                        "__fid", "url", "lastmod_ts", "status", "priority"
+                    ),
+                    "__fid",
+                )
+                .drop("__fid")
+                .selectExpr("*", f"{batch_id} as batch_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{frontier_path}/schedule")
+            )
+            # the schedule write above materialized the plan that
+            # reads the log — appending THIS batch's fetches after it
+            # cannot feed the batch back into its own judgment
+            (
+                batch_df.select(
+                    F.col(url_col).alias("url"),
+                    F.col(fetch_ts_col)
+                    .cast("timestamp")
+                    .alias("last_crawl_ts"),
+                )
+                .selectExpr("*", f"{batch_id} as batch_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(log_path)
+            )
 
     return _process
 
@@ -964,6 +1092,9 @@ def stream_crawl_intake(
     fuzzy_index=None,
     container_members: bool = False,
     line_index=None,
+    frontier_path: str | None = None,
+    fetch_ts_col: str | None = None,
+    frontier_max_per_host: int | None = None,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
@@ -993,6 +1124,9 @@ def stream_crawl_intake(
                 fuzzy_index=fuzzy_index,
                 container_members=container_members,
                 line_index=line_index,
+                frontier_path=frontier_path,
+                fetch_ts_col=fetch_ts_col,
+                frontier_max_per_host=frontier_max_per_host,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
