@@ -1833,9 +1833,11 @@ class TestSniffMime:
             (10, b"<HtMl><body>y", "text/html"),
             (11, b"just some plain words here", "text/plain"),
             (12, bytes(range(16)), "application/octet-stream"),
-            # a RIFF that is neither WAVE nor AVI falls through —
+            # WEBP joined the ladder in r13 (header-only image plane)
+            (13, b"RIFF\x00\x00\x00\x00WEBP", "image/webp"),
+            # a RIFF that is none of WAVE/AVI/WEBP falls through —
             # binary junk, not text
-            (13, b"RIFF\x00\x00\x00\x00WEBP", "application/octet-stream"),
+            (16, b"RIFF\x00\x00\x00\x00ACON", "application/octet-stream"),
             (14, b"", "application/octet-stream"),
             (15, None, None),
         ]
