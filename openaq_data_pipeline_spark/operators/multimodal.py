@@ -1268,7 +1268,11 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
 def _decode_image(content: bytes) -> np.ndarray:
     """Magic-byte dispatch. A production deploy extends this with
     codec-library formats (exotic JPEG variants via PIL, frames via
-    av); BMP/PPM/PNG/baseline-JPEG decode here in pure NumPy."""
+    av); BMP/PPM/PNG/baseline-JPEG/GIF — and the VP8L (lossless
+    WebP) spec subset — decode here in pure NumPy. A VP8L outside
+    the subset (meta codes, predictor/color/indexing transforms)
+    raises ValueError and the lenient plane falls back to the
+    header-dims row; lossy VP8 never decodes here (header-only)."""
     if content[:2] == b"BM":
         return decode_bmp24(content)
     if content[:2] == b"P6":
@@ -1279,6 +1283,12 @@ def _decode_image(content: bytes) -> np.ndarray:
         return decode_jpeg_baseline(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)
+    if content[:4] == b"RIFF" and content[8:16] == b"WEBPVP8L":
+        from openaq_data_pipeline_spark.operators.vp8l import (
+            decode_webp_lossless,
+        )
+
+        return decode_webp_lossless(content)
     raise ValueError(f"unknown image magic {content[:2]!r}")
 
 

@@ -1,0 +1,484 @@
+"""VP8L (WebP lossless) pixel codec — pure-Python subset (r13).
+
+Public-knowledge format (RFC 9649 "WebP Image Format", §3 "Lossless
+Bitstream Specification"; originally the libwebp VP8L spec). This
+module gives the image plane a REAL pixel path for the web's most
+common remaining image type beyond the r13 header walk
+(``multimodal.webp_header_stats``): a matched encoder/decoder pair
+over the spec's core coding layer —
+
+- LSB-first bit I/O; canonical prefix (Huffman) codes read MSB-of-
+  code-first (the DEFLATE convention the spec shares);
+- both "simple" (1-2 symbol) and normal code-length-coded prefix
+  codes, including the 16/17/18 repeat codes and the optional
+  max_symbol short-circuit;
+- the five-code group (green+length+cache / red / blue / alpha /
+  distance), LZ77 backward references with the 120-entry 2D
+  distance neighborhood, and the (0x1e35a7bd·c) >> (32-bits) color
+  cache;
+- the SUBTRACT_GREEN transform (inverse on decode).
+
+Documented subset boundaries (a wild VP8L often uses all of these;
+they degrade to the header-only stats row, never a stage failure,
+because the lenient image plane keys on ValueError):
+
+- meta prefix-code images (spatially varying code groups) raise;
+- PREDICTOR / COLOR_TRANSFORM / COLOR_INDEXING transforms raise;
+- the encoder emits literals + optional subtract-green only (no
+  LZ77 search, no cache) — fixture-grade compression, spec-grade
+  bitstream, exercising the decoder's full literal/prefix-code path.
+  Decoder-only features (cache, LZ77) are pinned by hand-built
+  streams in tests.
+
+The container face (RIFF/WEBP wrapping, VP8/VP8X headers) stays in
+``operators.multimodal``; this module is the VP8L payload only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# spec: order in which code-length-code lengths are stored
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_GREEN_ALPHABET = 256 + 24  # literals + length prefix codes (no cache)
+_DIST_ALPHABET = 40
+_CACHE_MUL = 0x1E35A7BD
+
+# spec: the first 120 distance codes map to a 2D pixel neighborhood
+# (dx in -8..7, dy in 0..7 ordered by (y, |x|) closeness)
+_DIST_MAP: list[tuple[int, int]] = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+class _BitReader:
+    """LSB-first bit reader over a bytes buffer (spec §3.2)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i, bit_i = divmod(self.pos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("VP8L stream truncated")
+            v |= ((self.data[byte_i] >> bit_i) & 1) << i
+            self.pos += 1
+        return v
+
+
+class _BitWriter:
+    """LSB-first bit writer (the encoder face of :class:`_BitReader`)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) % 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix codes are emitted MSB-of-code-first (the walk-from-
+        the-root order the decoder consumes)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical assignment: codes ordered by
+    (length, symbol), numerically increasing — the DEFLATE/VP8L rule."""
+    pairs = sorted(
+        (ln, sym) for sym, ln in enumerate(lengths) if ln > 0
+    )
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in pairs:
+        code <<= ln - prev_len
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+class _PrefixDecoder:
+    """Bit-at-a-time canonical prefix decoder (walk from the root)."""
+
+    def __init__(self, lengths: list[int]):
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if len(nz) == 1:
+            # degenerate single-symbol code: zero bits per symbol
+            self.single = nz[0][1]
+            self.table = {}
+            return
+        self.single = None
+        self.table = {
+            (code, ln): sym
+            for sym, (code, ln) in _canonical_codes(lengths).items()
+        }
+        if not self.table:
+            raise ValueError("VP8L: empty prefix code")
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= 15:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            sym = self.table.get((code, ln))
+            if sym is not None:
+                return sym
+        raise ValueError("VP8L: invalid prefix code in stream")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
+    """One prefix code, simple or code-length-coded (spec §3.5.2)."""
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        if br.read(1):  # first symbol is 8 bits
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            lengths[sym0] = 1  # decoder treats as zero-bit single
+            dec = _PrefixDecoder(lengths)
+            dec.single = sym0
+            dec.table = {}
+            return dec
+        sym1 = br.read(8)
+        if sym0 >= alphabet_size or sym1 >= alphabet_size or sym0 == sym1:
+            raise ValueError("VP8L: bad simple prefix code symbols")
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _PrefixDecoder(lengths)
+    # normal: code-length code first
+    num_clc = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _PrefixDecoder(clc_lengths)
+    # optional cap on coded symbols
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s != 0:
+                prev_len = s
+        elif s == 16:
+            for _ in range(3 + br.read(2)):
+                if i >= alphabet_size:
+                    raise ValueError("VP8L: repeat overruns alphabet")
+                lengths[i] = prev_len
+                i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+    if i > alphabet_size:
+        raise ValueError("VP8L: code lengths overrun alphabet")
+    return _PrefixDecoder(lengths)
+
+
+def _prefix_value(br: _BitReader, prefix: int) -> int:
+    """LZ77 length/distance prefix decoding (spec §3.6.2.2)."""
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def decode_vp8l_payload(payload: bytes) -> np.ndarray:
+    """VP8L chunk payload → (H, W, 4) uint8 RGBA (spec subset — see
+    module docstring). ValueError on anything outside the subset or
+    malformed."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("VP8L signature byte missing")
+    br = _BitReader(payload)
+    br.pos = 8
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: unknown version")
+    # transforms (level-0 stream)
+    subtract_green = False
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == 2:  # SUBTRACT_GREEN: no payload
+            subtract_green = True
+            continue
+        raise ValueError(
+            f"VP8L: transform {ttype} outside the supported subset"
+        )
+    # color cache
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L: bad color cache size")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    # meta prefix codes (level-0 only)
+    if br.read(1):
+        raise ValueError("VP8L: meta prefix codes outside the subset")
+    green_alpha = _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
+    c_green = _read_prefix_code(br, green_alpha)
+    c_red = _read_prefix_code(br, 256)
+    c_blue = _read_prefix_code(br, 256)
+    c_alpha = _read_prefix_code(br, 256)
+    c_dist = _read_prefix_code(br, _DIST_ALPHABET)
+    n = w * h
+    argb = np.zeros(n, dtype=np.uint32)
+    pos = 0
+    while pos < n:
+        s = c_green.read(br)
+        if s < 256:
+            g = s
+            r = c_red.read(br)
+            b = c_blue.read(br)
+            a = c_alpha.read(br)
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            argb[pos] = px
+            pos += 1
+        elif s < _GREEN_ALPHABET:
+            length = _prefix_value(br, s - 256)
+            dist_code = _prefix_value(br, c_dist.read(br))
+            if dist_code <= 120:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dist_code - 120
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L: backward reference out of range")
+            for i in range(length):
+                argb[pos + i] = argb[pos + i - dist]
+            if cache is not None:
+                for i in range(pos, pos + length):
+                    cache[
+                        (_CACHE_MUL * int(argb[i]) & 0xFFFFFFFF)
+                        >> (32 - cache_bits)
+                    ] = int(argb[i])
+            pos += length
+            continue
+        else:
+            if cache is None:
+                raise ValueError("VP8L: cache code without a cache")
+            px = cache[s - _GREEN_ALPHABET]
+            argb[pos] = px
+            pos += 1
+        if cache is not None:
+            cache[
+                (_CACHE_MUL * int(px) & 0xFFFFFFFF) >> (32 - cache_bits)
+            ] = int(px)
+    a = (argb >> 24) & 0xFF
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    if subtract_green:
+        r = (r + g) & 0xFF
+        b = (b + g) & 0xFF
+    out = np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+    return out.reshape(h, w, 4)
+
+
+def decode_webp_lossless(content: bytes) -> np.ndarray:
+    """RIFF/WEBP container with a VP8L chunk → (H, W, 3) uint8 RGB
+    (alpha dropped — the image plane's other decoders are RGB; use
+    :func:`decode_vp8l_payload` for RGBA). ValueError outside the
+    subset."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    if content[12:16] != b"VP8L":
+        raise ValueError("not a lossless (VP8L) WebP")
+    (size,) = struct.unpack_from("<I", content, 16)
+    rgba = decode_vp8l_payload(content[20 : 20 + size])
+    return rgba[:, :, :3].copy()
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: list[int]
+) -> dict[int, tuple[int, int]]:
+    """Emit one prefix code (simple when ≤2 symbols, else the full
+    code-length-coded path with all 19 CLC slots as plain 3-bit
+    fields) and return the symbol->(code, length) map for the data
+    pass."""
+    nz = [sym for sym, ln in enumerate(lengths) if ln > 0]
+    if len(nz) == 0:
+        raise ValueError("prefix code needs at least one symbol")
+    if len(nz) <= 2:
+        bw.write(1, 1)  # simple
+        bw.write(len(nz) - 1, 1)
+        sym0 = nz[0]
+        if sym0 > 1:
+            bw.write(1, 1)
+            bw.write(sym0, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(sym0, 1)
+        if len(nz) == 2:
+            bw.write(nz[1], 8)
+            return {nz[0]: (0, 1), nz[1]: (1, 1)}
+        return {nz[0]: (0, 0)}  # zero-bit single symbol
+    # normal path: CLC lengths for symbols 0..15 only (no repeats
+    # used), emitted as all 19 3-bit fields in spec order
+    used = sorted({ln for ln in lengths if ln > 0} | {0})
+    clc_freq = [0] * 19
+    for ln in lengths:
+        clc_freq[ln] += 1
+    clc_lengths = _limited_lengths(clc_freq, 7)
+    bw.write(0, 1)  # not simple
+    bw.write(19 - 4, 4)
+    for sym in _CLC_ORDER:
+        bw.write(clc_lengths[sym], 3)
+    clc_codes = _canonical_codes(clc_lengths)
+    bw.write(0, 1)  # no max_symbol cap
+    for ln in lengths:
+        code, cl = clc_codes[ln]
+        bw.write_code(code, cl)
+    _ = used
+    return _canonical_codes(lengths)
+
+
+def _limited_lengths(freq: list[int], max_len: int) -> list[int]:
+    """Code lengths for the given frequencies: package-merge-free
+    heuristic — build a plain Huffman tree, then flatten any
+    over-long codes by the simple length-limiting rebalance (the
+    alphabets here are tiny, fixture-grade inputs)."""
+    import heapq
+
+    items = [(f, sym) for sym, f in enumerate(freq) if f > 0]
+    if len(items) == 1:
+        lengths = [0] * len(freq)
+        lengths[items[0][1]] = 1
+        return lengths
+    heap = [(f, [sym]) for f, sym in items]
+    heapq.heapify(heap)
+    depth = {sym: 0 for _, sym in items}
+    while len(heap) > 1:
+        f1, s1 = heapq.heappop(heap)
+        f2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, s1 + s2))
+    lengths = [0] * len(freq)
+    for sym, d in depth.items():
+        lengths[sym] = min(d, max_len)
+    # repair kraft if the clamp broke it: greedily lengthen the
+    # shallowest clamped siblings (inputs here are tiny; exactness
+    # of compression is not the point, validity is)
+    def kraft(ls):
+        return sum(2 ** (max_len - l) for l in ls if l > 0)
+
+    while kraft(lengths) > 2**max_len:
+        cand = min(
+            (sym for sym, l in enumerate(lengths) if 0 < l < max_len),
+            key=lambda s: lengths[s],
+        )
+        lengths[cand] += 1
+    return lengths
+
+
+def encode_webp_lossless(
+    arr: np.ndarray, subtract_green: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB → RIFF/WEBP container with a spec-subset
+    VP8L payload: literals only (no LZ77 search, no color cache),
+    per-channel canonical prefix codes (simple when a channel holds
+    ≤2 values, the full code-length-coded path otherwise), optional
+    SUBTRACT_GREEN. Fixture-grade compression, real bitstream — the
+    exact inverse of :func:`decode_webp_lossless` (pinned in tests
+    channel-exactly)."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_webp_lossless expects (H, W, 3) uint8")
+    if w > 16384 or h > 16384:
+        raise ValueError("VP8L dims cap at 16384")
+    r = arr[:, :, 0].astype(np.int32).reshape(-1)
+    g = arr[:, :, 1].astype(np.int32).reshape(-1)
+    b = arr[:, :, 2].astype(np.int32).reshape(-1)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    a = np.full_like(g, 255)
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+
+    def chan_lengths(vals: np.ndarray, alphabet: int) -> list[int]:
+        freq = [0] * alphabet
+        for v, n in zip(*np.unique(vals, return_counts=True)):
+            freq[int(v)] = int(n)
+        return _limited_lengths(freq, 15)
+
+    green_codes = _write_prefix_code(
+        bw, chan_lengths(g, _GREEN_ALPHABET)
+    )
+    red_codes = _write_prefix_code(bw, chan_lengths(r, 256))
+    blue_codes = _write_prefix_code(bw, chan_lengths(b, 256))
+    alpha_codes = _write_prefix_code(bw, chan_lengths(a, 256))
+    # distance code: never used by a literal-only stream, but a group
+    # carries five codes — emit a single-symbol code for slot 0
+    _write_prefix_code(bw, [1] + [0] * (_DIST_ALPHABET - 1))
+    for gi, ri, bi, ai in zip(g, r, b, a):
+        for codes, v in (
+            (green_codes, gi), (red_codes, ri),
+            (blue_codes, bi), (alpha_codes, ai),
+        ):
+            code, ln = codes[int(v)]
+            if ln:
+                bw.write_code(code, ln)
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

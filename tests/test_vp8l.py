@@ -1,0 +1,170 @@
+"""VP8L (WebP lossless) codec subset (r13): encoder/decoder
+round-trips over every prefix-code shape, decoder-only features
+(color cache, LZ77 backward references) via hand-built streams, the
+subset boundary (unsupported transforms raise, never crash), and
+the image-plane composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from openaq_data_pipeline_spark.operators.vp8l import (
+    _CACHE_MUL,
+    _GREEN_ALPHABET,
+    _BitWriter,
+    _write_prefix_code,
+    decode_vp8l_payload,
+    decode_webp_lossless,
+    encode_webp_lossless,
+)
+
+
+class TestRoundTrip:
+    def test_constant_two_color_and_random(self):
+        rng = np.random.default_rng(7)
+        imgs = [
+            np.full((5, 9, 3), (10, 200, 33), np.uint8),  # zero-bit codes
+            np.where(
+                rng.random((8, 8, 1)) < 0.5,
+                np.array([[[255, 0, 0]]], np.uint8),
+                np.array([[[0, 0, 255]]], np.uint8),
+            ).astype(np.uint8),  # simple 2-symbol codes
+            rng.integers(0, 256, (16, 23, 3), dtype=np.uint8),  # full path
+        ]
+        for img in imgs:
+            assert np.array_equal(
+                decode_webp_lossless(encode_webp_lossless(img)), img
+            )
+
+    def test_subtract_green_transform(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (12, 7, 3), dtype=np.uint8)
+        blob = encode_webp_lossless(img, subtract_green=True)
+        assert np.array_equal(decode_webp_lossless(blob), img)
+
+    def test_dims_and_container(self):
+        img = np.full((3, 200, 3), 77, np.uint8)
+        blob = encode_webp_lossless(img)
+        # the r13 header walk reads the same container
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            webp_header_stats,
+        )
+
+        assert webp_header_stats(blob) == ("VP8L", 200, 3, False, False)
+
+
+class TestDecoderOnlyFeatures:
+    """The encoder never emits cache codes or backward references;
+    hand-built streams (via the encoder's own bit/prefix writers)
+    pin the decoder's LZ77 + color-cache paths."""
+
+    def _stream(self, cache_bits: int = 4) -> bytes:
+        # 4x1 image: literal A, LZ77(len=2, dist=1) -> A A, cache(A)
+        a_argb = 0xFF010203  # a=255 r=1 g=2 b=3
+        cache_sym = _GREEN_ALPHABET + (
+            (_CACHE_MUL * a_argb & 0xFFFFFFFF) >> (32 - cache_bits)
+        )
+        bw = _BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(4 - 1, 14)
+        bw.write(1 - 1, 14)
+        bw.write(0, 1)  # alpha hint
+        bw.write(0, 3)  # version
+        bw.write(0, 1)  # no transforms
+        bw.write(1, 1)  # color cache
+        bw.write(cache_bits, 4)
+        bw.write(0, 1)  # no meta codes
+        green_alpha = _GREEN_ALPHABET + (1 << cache_bits)
+        g_lengths = [0] * green_alpha
+        g_lengths[2] = 1          # literal green=2
+        g_lengths[256 + 1] = 2    # length prefix 1 -> copy length 2
+        g_lengths[cache_sym] = 2  # cache hit for A
+        g_codes = _write_prefix_code(bw, g_lengths)
+        r_codes = _write_prefix_code(bw, [0] * 1 + [1] + [0] * 254)  # {1}
+        b_codes = _write_prefix_code(bw, [0] * 3 + [1] + [0] * 252)  # {3}
+        a_codes = _write_prefix_code(bw, [0] * 255 + [1])  # {255}
+        d_codes = _write_prefix_code(bw, [0, 1] + [0] * 38)  # prefix 1
+        # literal A
+        for codes, sym in ((g_codes, 2), (r_codes, 1), (b_codes, 3),
+                           (a_codes, 255)):
+            code, ln = codes[sym]
+            if ln:
+                bw.write_code(code, ln)
+        # LZ77: green symbol 257 (length prefix 1 -> 2), distance
+        # prefix 1 -> dist_code 2 -> neighborhood (1, 0) -> dist 1
+        code, ln = g_codes[257]
+        bw.write_code(code, ln)
+        code, ln = d_codes[1]
+        if ln:
+            bw.write_code(code, ln)
+        # cache hit
+        code, ln = g_codes[cache_sym]
+        bw.write_code(code, ln)
+        return bw.bytes()
+
+    def test_lz77_and_cache(self):
+        rgba = decode_vp8l_payload(self._stream())
+        assert rgba.shape == (1, 4, 4)
+        expected = np.array([[1, 2, 3, 255]] * 4, np.uint8).reshape(1, 4, 4)
+        assert np.array_equal(rgba, expected)
+
+
+class TestSubsetBoundary:
+    def test_unsupported_transform_raises_valueerror(self):
+        bw = _BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(0, 14)
+        bw.write(0, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(1, 1)  # a transform follows
+        bw.write(0, 2)  # PREDICTOR — outside the subset
+        with pytest.raises(ValueError, match="subset"):
+            decode_vp8l_payload(bw.bytes())
+
+    def test_truncated_stream_raises_valueerror(self):
+        img = np.full((4, 4, 3), 9, np.uint8)
+        blob = encode_webp_lossless(img)
+        with pytest.raises(ValueError):
+            decode_webp_lossless(blob[:24])
+
+    def test_lossy_vp8_stays_header_only(self):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_webp_header,
+        )
+
+        with pytest.raises(ValueError):
+            decode_webp_lossless(encode_webp_header(8, 8, kind="VP8 "))
+
+
+class TestImagePlaneComposition:
+    def test_vp8l_pixels_decode_in_the_image_plane(self, spark):
+        """A subset VP8L decodes PIXELS in the lenient pass; a
+        header-valid-but-undecodable VP8L still yields header dims
+        (the r13 fallback)."""
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_webp_header,
+            extract_features,
+        )
+
+        img = np.full((4, 6, 3), 100, np.uint8)
+        df = spark.createDataFrame(
+            [
+                (0, encode_webp_lossless(img)),
+                (1, encode_webp_header(32, 16, kind="VP8L")),
+            ],
+            "id long, payload binary",
+        )
+        rows = {
+            r.id: r
+            for r in extract_features(
+                df, "payload", id_col="id", decode="real", lenient=True
+            ).collect()
+        }
+        assert (rows[0].width, rows[0].height) == (6, 4)
+        assert rows[0].px_sum == 100 * 4 * 6 * 3
+        assert rows[0].mean_px == 100.0
+        # header-only stub: dims from the walk, pixel stats NULL
+        assert (rows[1].width, rows[1].height) == (32, 16)
+        assert rows[1].px_sum is None
