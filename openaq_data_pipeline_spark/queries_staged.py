@@ -2545,3 +2545,71 @@ def q_gif_frames_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@register_staged(
+    "image_vp8l_decode",
+    "EXT-multimodal — VP8L (lossless WebP) PIXEL decode (r13 second "
+    "wave: beyond the header walk, the web's most common remaining "
+    "image type gets a real decode path): per document a two-band "
+    "image (rows split doc_id%3+1 from the top: band A constant "
+    "30+doc_id%50, band B constant 170+doc_id%60) round-trips "
+    "through the engine's spec-subset VP8L encoder — per-channel "
+    "canonical prefix codes, real bitstream — and the SAME lenient "
+    "image pass that decodes PNG/JPEG/GIF recovers exact pixel "
+    "statistics; odd documents take the SUBTRACT_GREEN transform so "
+    "both stream shapes sit in one result. The oracle is the CLOSED "
+    "FORM of the band construction — ground truth, not a decode "
+    "replay",
+    oracle="""
+SELECT doc_id,
+       CAST(6 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST((doc_id % 3 + 1) * 6 * 3 * (30 + doc_id % 50)
+            + (4 - (doc_id % 3 + 1)) * 6 * 3 * (170 + doc_id % 60)
+            AS BIGINT) AS px_sum,
+       CAST(((doc_id % 3 + 1) * 6 * 3 * (30 + doc_id % 50)
+             + (4 - (doc_id % 3 + 1)) * 6 * 3 * (170 + doc_id % 60))
+            * 20000 + 72 AS BIGINT) // 144 / CAST(10000 AS DOUBLE)
+           AS mean_px
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x6 two-band images; mean_px replays _exact_mean's integer
+    half-up rounding at 4 dp ((total*20000 + n) // (2n) / 1e4,
+    n = 144)."""
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+    from openaq_data_pipeline_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                split = i % 3 + 1
+                img = np.empty((4, 6, 3), np.uint8)
+                img[:split] = 30 + i % 50
+                img[split:] = 170 + i % 60
+                blobs.append(
+                    encode_webp_lossless(img, subtract_green=i % 2 == 1)
+                )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = d.mapInPandas(synth, schema="doc_id long, content binary")
+    return (
+        extract_features(imgs, "content", id_col="doc_id", decode="real")
+        .select("doc_id", "width", "height", "px_sum", "mean_px")
+        .orderBy("doc_id")
+    )
