@@ -16,19 +16,22 @@ over the spec's core coding layer —
   distance), LZ77 backward references with the 120-entry 2D
   distance neighborhood, and the (0x1e35a7bd·c) >> (32-bits) color
   cache;
-- the SUBTRACT_GREEN transform (inverse on decode).
+- the SUBTRACT_GREEN transform (inverse on decode);
+- the COLOR_INDEXING transform (r13 second pass): delta-coded
+  palette aux image + pixel bundling (≤16-color images pack several
+  indices per green byte) — the icon/logo shape real webps use.
 
-Documented subset boundaries (a wild VP8L often uses all of these;
+Documented subset boundaries (a wild VP8L often uses some of these;
 they degrade to the header-only stats row, never a stage failure,
 because the lenient image plane keys on ValueError):
 
 - meta prefix-code images (spatially varying code groups) raise;
-- PREDICTOR / COLOR_TRANSFORM / COLOR_INDEXING transforms raise;
-- the encoder emits literals + optional subtract-green only (no
-  LZ77 search, no cache) — fixture-grade compression, spec-grade
-  bitstream, exercising the decoder's full literal/prefix-code path.
-  Decoder-only features (cache, LZ77) are pinned by hand-built
-  streams in tests.
+- PREDICTOR / COLOR_TRANSFORM transforms raise;
+- the encoder emits literals + optional subtract-green / palette
+  only (no LZ77 search, no cache) — fixture-grade compression,
+  spec-grade bitstream, exercising the decoder's full literal/
+  prefix-code path. Decoder-only features (cache, LZ77) are pinned
+  by hand-built streams in tests.
 
 The container face (RIFF/WEBP wrapping, VP8/VP8X headers) stays in
 ``operators.multimodal``; this module is the VP8L payload only.
@@ -227,29 +230,25 @@ def _prefix_value(br: _BitReader, prefix: int) -> int:
     return offset + br.read(extra) + 1
 
 
-def decode_vp8l_payload(payload: bytes) -> np.ndarray:
-    """VP8L chunk payload → (H, W, 4) uint8 RGBA (spec subset — see
-    module docstring). ValueError on anything outside the subset or
-    malformed."""
-    if not payload or payload[0] != 0x2F:
-        raise ValueError("VP8L signature byte missing")
-    br = _BitReader(payload)
-    br.pos = 8
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)  # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("VP8L: unknown version")
-    # transforms (level-0 stream)
-    subtract_green = False
-    while br.read(1):
-        ttype = br.read(2)
-        if ttype == 2:  # SUBTRACT_GREEN: no payload
-            subtract_green = True
-            continue
-        raise ValueError(
-            f"VP8L: transform {ttype} outside the supported subset"
-        )
+def _palette_width_bits(n_colors: int) -> int:
+    """Pixel-bundling width for COLOR_INDEXING (spec §3.4.4): tiny
+    palettes pack several indices into one green byte."""
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def _decode_entropy_image(
+    br: _BitReader, w: int, h: int, is_level0: bool
+) -> np.ndarray:
+    """One spatially-coded (entropy) image → flat uint32 ARGB array
+    of length w*h. Auxiliary images (palettes, and — were they
+    supported — predictor/entropy sub-images) call this with
+    ``is_level0=False``: per spec they carry no meta-prefix bit."""
     # color cache
     cache_bits = 0
     if br.read(1):
@@ -257,8 +256,8 @@ def decode_vp8l_payload(payload: bytes) -> np.ndarray:
         if not 1 <= cache_bits <= 11:
             raise ValueError("VP8L: bad color cache size")
     cache = [0] * (1 << cache_bits) if cache_bits else None
-    # meta prefix codes (level-0 only)
-    if br.read(1):
+    # meta prefix codes: level-0 images only
+    if is_level0 and br.read(1):
         raise ValueError("VP8L: meta prefix codes outside the subset")
     green_alpha = _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
     c_green = _read_prefix_code(br, green_alpha)
@@ -311,13 +310,82 @@ def decode_vp8l_payload(payload: bytes) -> np.ndarray:
             cache[
                 (_CACHE_MUL * int(px) & 0xFFFFFFFF) >> (32 - cache_bits)
             ] = int(px)
-    a = (argb >> 24) & 0xFF
-    r = (argb >> 16) & 0xFF
-    g = (argb >> 8) & 0xFF
-    b = argb & 0xFF
-    if subtract_green:
-        r = (r + g) & 0xFF
-        b = (b + g) & 0xFF
+    return argb
+
+
+def decode_vp8l_payload(payload: bytes) -> np.ndarray:
+    """VP8L chunk payload → (H, W, 4) uint8 RGBA (spec subset — see
+    module docstring). ValueError on anything outside the subset or
+    malformed."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("VP8L signature byte missing")
+    br = _BitReader(payload)
+    br.pos = 8
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("VP8L: unknown version")
+    # transforms (level-0 stream); inverses apply in REVERSE read
+    # order. Supported: SUBTRACT_GREEN (2), COLOR_INDEXING (3, incl.
+    # pixel bundling); PREDICTOR (0) / COLOR_TRANSFORM (1) raise.
+    transforms: list[tuple] = []
+    dec_w = w  # palette bundling shrinks the coded width
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == 2:
+            transforms.append(("subgreen",))
+        elif ttype == 3:
+            n_colors = br.read(8) + 1
+            pal_argb = _decode_entropy_image(br, n_colors, 1, False)
+            # palette entries are component-wise delta-coded
+            pal = np.zeros((n_colors, 4), dtype=np.uint16)
+            prev = np.zeros(4, dtype=np.uint16)
+            for i in range(n_colors):
+                v = int(pal_argb[i])
+                cur = np.array(
+                    [
+                        (v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                        (v >> 8) & 0xFF, v & 0xFF,
+                    ],
+                    dtype=np.uint16,
+                )
+                prev = (prev + cur) & 0xFF
+                pal[i] = prev
+            wb = _palette_width_bits(n_colors)
+            transforms.append(("palette", pal.astype(np.uint8), wb))
+            dec_w = (dec_w + (1 << wb) - 1) >> wb
+        else:
+            raise ValueError(
+                f"VP8L: transform {ttype} outside the supported subset"
+            )
+    argb = _decode_entropy_image(br, dec_w, h, True)
+    a = ((argb >> 24) & 0xFF).astype(np.uint16)
+    r = ((argb >> 16) & 0xFF).astype(np.uint16)
+    g = ((argb >> 8) & 0xFF).astype(np.uint16)
+    b = (argb & 0xFF).astype(np.uint16)
+    cur_w = dec_w
+    for t in reversed(transforms):
+        if t[0] == "subgreen":
+            r = (r + g) & 0xFF
+            b = (b + g) & 0xFF
+        else:  # palette: unbundle green indices, look up ARGB
+            _, pal, wb = t
+            packed = g.reshape(h, cur_w)
+            full_w = w  # palette is always outermost in our subset
+            xs = np.arange(full_w)
+            per = 1 << wb
+            ibits = 8 >> wb
+            idx = (
+                packed[:, xs // per] >> ((xs % per) * ibits)
+            ) & ((1 << ibits) - 1)
+            idx = np.minimum(idx, len(pal) - 1)
+            apx = pal[idx]  # (h, full_w, 4) in ARGB order
+            a = apx[:, :, 0].astype(np.uint16).reshape(-1)
+            r = apx[:, :, 1].astype(np.uint16).reshape(-1)
+            g = apx[:, :, 2].astype(np.uint16).reshape(-1)
+            b = apx[:, :, 3].astype(np.uint16).reshape(-1)
+            cur_w = full_w
     out = np.stack([r, g, b, a], axis=-1).astype(np.uint8)
     return out.reshape(h, w, 4)
 
@@ -346,7 +414,7 @@ def _write_prefix_code(
     nz = [sym for sym, ln in enumerate(lengths) if ln > 0]
     if len(nz) == 0:
         raise ValueError("prefix code needs at least one symbol")
-    if len(nz) <= 2:
+    if len(nz) <= 2 and max(nz) <= 255:  # simple codes cap at 8-bit syms
         bw.write(1, 1)  # simple
         bw.write(len(nz) - 1, 1)
         sym0 = nz[0]
@@ -419,40 +487,19 @@ def _limited_lengths(freq: list[int], max_len: int) -> list[int]:
     return lengths
 
 
-def encode_webp_lossless(
-    arr: np.ndarray, subtract_green: bool = False
-) -> bytes:
-    """(H, W, 3) uint8 RGB → RIFF/WEBP container with a spec-subset
-    VP8L payload: literals only (no LZ77 search, no color cache),
-    per-channel canonical prefix codes (simple when a channel holds
-    ≤2 values, the full code-length-coded path otherwise), optional
-    SUBTRACT_GREEN. Fixture-grade compression, real bitstream — the
-    exact inverse of :func:`decode_webp_lossless` (pinned in tests
-    channel-exactly)."""
-    h, w, c = arr.shape
-    if c != 3 or arr.dtype != np.uint8:
-        raise ValueError("encode_webp_lossless expects (H, W, 3) uint8")
-    if w > 16384 or h > 16384:
-        raise ValueError("VP8L dims cap at 16384")
-    r = arr[:, :, 0].astype(np.int32).reshape(-1)
-    g = arr[:, :, 1].astype(np.int32).reshape(-1)
-    b = arr[:, :, 2].astype(np.int32).reshape(-1)
-    if subtract_green:
-        r = (r - g) & 0xFF
-        b = (b - g) & 0xFF
-    a = np.full_like(g, 255)
-    bw = _BitWriter()
-    bw.write(0x2F, 8)
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha hint
-    bw.write(0, 3)  # version
-    if subtract_green:
-        bw.write(1, 1)
-        bw.write(2, 2)  # SUBTRACT_GREEN
-    bw.write(0, 1)  # no more transforms
+def _write_entropy_image(
+    bw: _BitWriter,
+    g: np.ndarray,
+    r: np.ndarray,
+    b: np.ndarray,
+    a: np.ndarray,
+    is_level0: bool,
+) -> None:
+    """Emit one literal-only entropy image (no cache, no LZ77): the
+    shared body of the main image and the palette aux image."""
     bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix codes
+    if is_level0:
+        bw.write(0, 1)  # no meta prefix codes
 
     def chan_lengths(vals: np.ndarray, alphabet: int) -> list[int]:
         freq = [0] * alphabet
@@ -477,6 +524,85 @@ def encode_webp_lossless(
             code, ln = codes[int(v)]
             if ln:
                 bw.write_code(code, ln)
+
+
+def encode_webp_lossless(
+    arr: np.ndarray,
+    subtract_green: bool = False,
+    palette: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → RIFF/WEBP container with a spec-subset
+    VP8L payload: literals only (no LZ77 search, no color cache),
+    per-channel canonical prefix codes (simple when a channel holds
+    ≤2 values, the full code-length-coded path otherwise), optional
+    SUBTRACT_GREEN, optional COLOR_INDEXING (``palette=True``, ≤256
+    distinct colors: delta-coded palette aux image + pixel bundling
+    for ≤16-color images — the icon/logo shape real webps use).
+    Fixture-grade compression, real bitstream — the exact inverse of
+    :func:`decode_webp_lossless` (pinned in tests channel-exactly)."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_webp_lossless expects (H, W, 3) uint8")
+    if w > 16384 or h > 16384:
+        raise ValueError("VP8L dims cap at 16384")
+    if palette and subtract_green:
+        raise ValueError("palette and subtract_green are exclusive")
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if palette:
+        flat = arr.reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(
+                f"palette mode: {len(colors)} colors > 256"
+            )
+        n_colors = len(colors)
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(n_colors - 1, 8)
+        # palette entries (ARGB, alpha 255) delta-coded component-wise
+        pal = np.concatenate(
+            [np.full((n_colors, 1), 255, np.uint8), colors], axis=1
+        ).astype(np.int16)  # columns: a, r, g, b
+        deltas = np.empty_like(pal)
+        deltas[0] = pal[0]
+        deltas[1:] = (pal[1:] - pal[:-1]) & 0xFF
+        _write_entropy_image(
+            bw, deltas[:, 2], deltas[:, 1], deltas[:, 3], deltas[:, 0],
+            is_level0=False,
+        )
+        bw.write(0, 1)  # end of transforms
+        wb = _palette_width_bits(n_colors)
+        per = 1 << wb
+        ibits = 8 >> wb
+        idx = inverse.reshape(h, w).astype(np.uint32)
+        packed_w = (w + per - 1) // per
+        padded = np.zeros((h, packed_w * per), dtype=np.uint32)
+        padded[:, :w] = idx
+        packed = np.zeros((h, packed_w), dtype=np.uint32)
+        for k in range(per):
+            packed |= padded[:, k::per] << (k * ibits)
+        g = packed.reshape(-1)
+        zero = np.zeros_like(g)
+        _write_entropy_image(
+            bw, g, zero, zero, np.full_like(g, 255), is_level0=True
+        )
+    else:
+        r = arr[:, :, 0].astype(np.int32).reshape(-1)
+        g = arr[:, :, 1].astype(np.int32).reshape(-1)
+        b = arr[:, :, 2].astype(np.int32).reshape(-1)
+        if subtract_green:
+            r = (r - g) & 0xFF
+            b = (b - g) & 0xFF
+            bw.write(1, 1)
+            bw.write(2, 2)  # SUBTRACT_GREEN
+        a = np.full_like(g, 255)
+        bw.write(0, 1)  # no (more) transforms
+        _write_entropy_image(bw, g, r, b, a, is_level0=True)
     payload = bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:

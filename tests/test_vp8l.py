@@ -168,3 +168,47 @@ class TestImagePlaneComposition:
         # header-only stub: dims from the walk, pixel stats NULL
         assert (rows[1].width, rows[1].height) == (32, 16)
         assert rows[1].px_sum is None
+
+
+class TestColorIndexing:
+    """COLOR_INDEXING transform (r13 second pass): delta-coded
+    palette aux image + pixel bundling — every bundle width (8/4/2/1
+    indices per byte), odd widths, and the exclusive-flags guard."""
+
+    def test_all_bundle_widths_roundtrip(self):
+        rng = np.random.default_rng(3)
+        for ncol, shape in (
+            (2, (9, 13)),    # width_bits 3: 8 px/byte
+            (4, (7, 10)),    # width_bits 2
+            (16, (11, 6)),   # width_bits 1
+            (200, (20, 17)),  # width_bits 0
+        ):
+            pal = np.unique(
+                rng.integers(0, 256, (ncol, 3), dtype=np.uint8), axis=0
+            )
+            img = pal[rng.integers(0, len(pal), shape)]
+            blob = encode_webp_lossless(img, palette=True)
+            assert np.array_equal(decode_webp_lossless(blob), img), ncol
+            # bundling actually compresses the 2-color case
+            if ncol == 2:
+                assert len(blob) < img.nbytes // 2
+
+    def test_odd_width_padding(self):
+        rng = np.random.default_rng(5)
+        pal = np.array([[0, 0, 0], [255, 255, 255], [9, 9, 9]], np.uint8)
+        img = pal[rng.integers(0, 3, (5, 9))]  # 9 % 4 != 0
+        assert np.array_equal(
+            decode_webp_lossless(encode_webp_lossless(img, palette=True)),
+            img,
+        )
+
+    def test_palette_excludes_subtract_green(self):
+        img = np.zeros((2, 2, 3), np.uint8)
+        with pytest.raises(ValueError, match="exclusive"):
+            encode_webp_lossless(img, palette=True, subtract_green=True)
+
+    def test_over_256_colors_raises(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="256"):
+            encode_webp_lossless(img, palette=True)
