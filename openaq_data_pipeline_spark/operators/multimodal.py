@@ -751,6 +751,154 @@ def webp_header_stats(content: bytes) -> tuple[str, int, int, bool, bool]:
     raise ValueError(f"unknown WebP bitstream chunk {fourcc!r}")
 
 
+# --- TIFF (r13): header walk + uncompressed-RGB codec -------------------
+#
+# TIFF 6.0 (public Adobe spec): II/MM byte order, IFD entry chain.
+# Header stats walk any compression; pixel decode covers the
+# uncompressed (compression=1) chunky-RGB shape — the scanned-
+# document corpus staple — via strip offsets/bytecounts. LZW/JPEG-in-
+# TIFF stay header-only (documented boundary, same posture as VP8).
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
+    279: "strip_counts",
+}
+
+
+def _tiff_ifds(content: bytes, max_pages: int = 64):
+    """Yield per-page dicts of the tags in ``_TIFF_TAGS`` (values as
+    int lists). Bounds-checked; ValueError on a non-TIFF."""
+    if content[:4] == b"II*\x00":
+        e = "<"
+    elif content[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+    (off,) = struct.unpack_from(e + "I", content, 4)
+    type_size = {1: 1, 3: 2, 4: 4}
+    seen = set()
+    for _ in range(max_pages):
+        if off == 0 or off + 2 > len(content) or off in seen:
+            return
+        seen.add(off)
+        (n,) = struct.unpack_from(e + "H", content, off)
+        if off + 2 + 12 * n + 4 > len(content):
+            return
+        page = {}
+        for i in range(n):
+            base = off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", content, base)
+            name = _TIFF_TAGS.get(tag)
+            if name is None or typ not in type_size:
+                continue
+            total = type_size[typ] * cnt
+            if total <= 4:
+                vbase = base + 8
+            else:
+                (vbase,) = struct.unpack_from(e + "I", content, base + 8)
+                if vbase + total > len(content):
+                    continue
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            page[name] = list(
+                struct.unpack_from(e + fmt * cnt, content, vbase)
+            )
+        yield page
+        (off,) = struct.unpack_from(e + "I", content, off + 2 + 12 * n)
+
+
+def tiff_header_stats(content: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bits_per_sample, compression, n_pages) of the
+    FIRST page, header-only — any compression walks (the IFD layer
+    is compression-independent). ValueError on a non-TIFF or a TIFF
+    without dimensions."""
+    pages = list(_tiff_ifds(content))
+    if not pages:
+        raise ValueError("TIFF carries no IFD")
+    p0 = pages[0]
+    if "width" not in p0 or "height" not in p0:
+        raise ValueError("TIFF page lacks dimensions")
+    return (
+        p0["width"][0],
+        p0["height"][0],
+        p0.get("bits", [1])[0],
+        p0.get("compression", [1])[0],
+        len(pages),
+    )
+
+
+def encode_tiff_rgb(arr: np.ndarray, big_endian: bool = False) -> bytes:
+    """(H, W, 3) uint8 → single-strip uncompressed chunky-RGB TIFF
+    (II or MM byte order) — the fixture face of
+    :func:`decode_tiff_rgb`."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_tiff_rgb expects (H, W, 3) uint8")
+    e = ">" if big_endian else "<"
+    data = arr.tobytes()
+    # header(8) + IFD: count + 8 entries + next(4), then bits array,
+    # then pixel data
+    n_entries = 8
+    ifd_off = 8
+    bits_off = ifd_off + 2 + 12 * n_entries + 4
+    data_off = bits_off + 6
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(e + "I", ifd_off)
+    out += struct.pack(e + "H", n_entries)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    def short_val(v):
+        return struct.pack(e + "H", v) + b"\x00\x00"
+
+    out += entry(256, 3, 1, short_val(w))
+    out += entry(257, 3, 1, short_val(h))
+    out += entry(258, 3, 3, struct.pack(e + "I", bits_off))
+    out += entry(259, 3, 1, short_val(1))  # uncompressed
+    out += entry(273, 4, 1, struct.pack(e + "I", data_off))
+    out += entry(277, 3, 1, short_val(3))
+    out += entry(278, 3, 1, short_val(h))  # one strip
+    out += entry(279, 4, 1, struct.pack(e + "I", len(data)))
+    out += struct.pack(e + "I", 0)  # no next IFD
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    out += data
+    return bytes(out)
+
+
+def decode_tiff_rgb(content: bytes) -> np.ndarray:
+    """Uncompressed chunky 8-bit RGB TIFF → (H, W, 3) uint8 (strips
+    concatenated in order; II and MM both). Compressed or non-RGB
+    TIFFs raise ValueError — the lenient plane then keeps the
+    header-stats row."""
+    pages = list(_tiff_ifds(content))
+    if not pages:
+        raise ValueError("TIFF carries no IFD")
+    p = pages[0]
+    try:
+        w, h = p["width"][0], p["height"][0]
+        offsets, counts = p["strip_offsets"], p["strip_counts"]
+    except KeyError as exc:
+        raise ValueError(f"TIFF page lacks {exc}") from exc
+    if p.get("compression", [1])[0] != 1:
+        raise ValueError("only uncompressed TIFF decodes here")
+    if p.get("spp", [1])[0] != 3 or p.get("bits", [8])[0] != 8:
+        raise ValueError("only 8-bit RGB TIFF decodes here")
+    buf = bytearray()
+    for o, cn in zip(offsets, counts):
+        if o + cn > len(content):
+            raise ValueError("TIFF strip out of range")
+        buf += content[o : o + cn]
+    if len(buf) < w * h * 3:
+        raise ValueError("TIFF pixel data truncated")
+    return (
+        np.frombuffer(bytes(buf[: w * h * 3]), np.uint8)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
 _WEBP_FEATURE_DDL = (
     "media_id long, n_bytes long, header_hex string, format string, "
     "width int, height int, has_alpha boolean, is_animated boolean"
@@ -1289,6 +1437,8 @@ def _decode_image(content: bytes) -> np.ndarray:
         )
 
         return decode_webp_lossless(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_rgb(content)
     raise ValueError(f"unknown image magic {content[:2]!r}")
 
 
@@ -1367,13 +1517,18 @@ def extract_features(
                         try:
                             img = _decode_image(blob)
                         except Exception:
-                            # no pixel decoder for this format — but a
-                            # header-walkable one (WebP, r13) still
-                            # yields dims; pixel stats stay NULL
+                            # no pixel decoder for these bytes — but a
+                            # header-walkable format (WebP/TIFF, r13)
+                            # still yields dims; pixel stats stay NULL
                             try:
                                 _, hw, hh, _, _ = webp_header_stats(blob)
                             except Exception:
-                                hw = hh = None
+                                try:
+                                    hw, hh, _, _, _ = tiff_header_stats(
+                                        blob
+                                    )
+                                except Exception:
+                                    hw = hh = None
                             out[id_col].append(mid)
                             out["n_bytes"].append(len(blob))
                             out["header_hex"].append(blob[:4].hex())

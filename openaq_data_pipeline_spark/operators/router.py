@@ -70,7 +70,9 @@ ROUTE_NESTED = "nested"
 ROUTE_DISCARD = "discard"
 
 _TEXT_MIMES = ("text/html", "application/pdf", "text/plain")
-_IMAGE_MIMES = ("image/png", "image/jpeg", "image/gif", "image/webp")
+_IMAGE_MIMES = (
+    "image/png", "image/jpeg", "image/gif", "image/webp", "image/tiff",
+)
 _AUDIO_MIMES = ("audio/x-wav",)
 _VIDEO_MIMES = ("video/x-msvideo", "video/mp4")
 

@@ -1053,6 +1053,10 @@ def sniff_mime(payload: Column) -> Column:
         .when(magic(1, b"RIFF") & magic(9, b"WAVE"), F.lit("audio/x-wav"))
         .when(magic(1, b"RIFF") & magic(9, b"WEBP"), F.lit("image/webp"))
         .when(
+            magic(1, b"II*\x00") | magic(1, b"MM\x00*"),
+            F.lit("image/tiff"),
+        )
+        .when(
             magic(1, b"RIFF") & magic(9, b"AVI "),
             F.lit("video/x-msvideo"),
         )

@@ -2613,3 +2613,66 @@ def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "px_sum", "mean_px")
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "image_tiff_decode",
+    "EXT-multimodal — TIFF decode + header split (r13: the scanned-"
+    "document staple joins the image plane): per document a 4x6 "
+    "constant-value TIFF alternates II/MM byte order; every third "
+    "document claims LZW compression, which the REAL decoder "
+    "refuses — those rows keep header-walk dims with NULL pixel "
+    "stats while uncompressed rows decode exactly, both through "
+    "the one lenient Arrow pass. The oracle is the CLOSED FORM of "
+    "the synthesis — ground truth, not an IFD-walk replay",
+    oracle="""
+SELECT doc_id,
+       CAST(6 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE CAST((25 + doc_id % 80) * 72 AS BIGINT) END AS px_sum,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE CAST(25 + doc_id % 80 AS DOUBLE) END AS mean_px
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        encode_tiff_rgb,
+        extract_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import struct as _struct
+
+        import numpy as np
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                img = np.full((4, 6, 3), 25 + i % 80, np.uint8)
+                be = i % 2 == 1
+                blob = bytearray(encode_tiff_rgb(img, big_endian=be))
+                if i % 3 == 0:
+                    # claim LZW: decode refuses, header walk stands
+                    off = 8 + 2 + 12 * 3 + 8
+                    blob[off : off + 2] = _struct.pack(
+                        ">H" if be else "<H", 5
+                    )
+                blobs.append(bytes(blob))
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = d.mapInPandas(synth, schema="doc_id long, content binary")
+    return (
+        extract_features(
+            imgs, "content", id_col="doc_id", decode="real", lenient=True
+        )
+        .select("doc_id", "width", "height", "px_sum", "mean_px")
+        .orderBy("doc_id")
+    )

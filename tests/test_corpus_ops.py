@@ -2153,3 +2153,82 @@ class TestGifAnimation:
             assert (rows[f].width, rows[f].height) == (4, 4)
             assert rows[f].px_sum == v * 4 * 4 * 3
             assert rows[f].mean_px == float(v)
+
+
+class TestTiff:
+    """TIFF (r13): IFD header walk for any compression + a real
+    uncompressed chunky-RGB codec (II and MM byte orders), and the
+    image-plane fallback split (decode pixels when possible, header
+    dims when not)."""
+
+    def test_roundtrip_both_byte_orders(self):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_tiff_rgb,
+            encode_tiff_rgb,
+            tiff_header_stats,
+        )
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+        for be in (False, True):
+            blob = encode_tiff_rgb(img, big_endian=be)
+            assert np.array_equal(decode_tiff_rgb(blob), img)
+            assert tiff_header_stats(blob) == (17, 13, 8, 1, 1)
+
+    def test_compressed_walks_header_only(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_tiff_rgb,
+            encode_tiff_rgb,
+            tiff_header_stats,
+        )
+
+        img = np.zeros((4, 4, 3), np.uint8)
+        blob = bytearray(encode_tiff_rgb(img))
+        off = 8 + 2 + 12 * 3 + 8  # compression entry's value field
+        blob[off : off + 2] = struct.pack("<H", 5)  # claim LZW
+        assert tiff_header_stats(bytes(blob))[3] == 5
+        with pytest.raises(ValueError, match="uncompressed"):
+            decode_tiff_rgb(bytes(blob))
+
+    def test_image_plane_split(self, spark):
+        import struct
+
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_tiff_rgb,
+            extract_features,
+        )
+        from openaq_data_pipeline_spark.operators.router import (
+            route_crawl_payloads,
+        )
+
+        img = np.full((4, 6, 3), 50, np.uint8)
+        lzw = bytearray(encode_tiff_rgb(img))
+        off = 8 + 2 + 12 * 3 + 8
+        lzw[off : off + 2] = struct.pack("<H", 5)
+        df = spark.createDataFrame(
+            [(0, encode_tiff_rgb(img)), (1, bytes(lzw))],
+            "id long, payload binary",
+        )
+        routed = route_crawl_payloads(df, "payload")
+        assert {
+            (r.mime, r.route) for r in routed.collect()
+        } == {("image/tiff", "image")}
+        feats = {
+            r.id: r
+            for r in extract_features(
+                routed, "payload", id_col="id", decode="real",
+                lenient=True,
+            ).collect()
+        }
+        assert feats[0].px_sum == 50 * 4 * 6 * 3  # real decode
+        assert (feats[1].width, feats[1].height) == (6, 4)
+        assert feats[1].px_sum is None  # header-only fallback
