@@ -15,8 +15,11 @@ plane:
 - ``text/plain`` → charset-sniffed bytes→string (BOM +
   ``<meta charset>`` detection is codegen; the UTF-8 majority casts
   in the JVM, detected non-UTF-8 rows pay one Arrow decode hop);
-- ``image/png``, ``image/jpeg``, ``image/gif`` → the real image
-  decoder (features only — the text planes never see pixels);
+- ``image/png``, ``image/jpeg``, ``image/gif``, ``image/webp``,
+  ``image/tiff`` → the real image decoder (features only — the text
+  planes never see pixels; WebP decodes the VP8L subset and TIFF the
+  uncompressed-RGB shape, everything else in those containers keeps
+  header-walk dims beside NULL pixel stats);
 - ``audio/x-wav`` → :func:`~openaq_data_pipeline_spark.operators
   .multimodal.audio_features`;
 - ``video/x-msvideo`` / ``video/mp4`` (ISO-BMFF, any brand) →
