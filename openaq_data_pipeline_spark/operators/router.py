@@ -700,13 +700,17 @@ def route_stats(
     route_col: str = "route",
     gzip_col: str = "was_gzip",
     payload_col: str | None = None,
+    encoding_col: str | None = None,
 ) -> DataFrame:
-    """(mime, route, was_gzip, n_payloads, n_bytes_null) — one
-    partial-aggregable pass over a routed frame: the observability
-    face of the front door ("no silent caps" — every discarded or
-    gzip-mangled payload is countable, never invisibly dropped).
-    ``n_bytes_null`` counts rows whose payload is NULL after routing
-    (failed/bombed gzip hops and NULL fetches).
+    """(mime, route, was_gzip[, encoding], n_payloads, n_bytes_null)
+    — one partial-aggregable pass over a routed frame: the
+    observability face of the front door ("no silent caps" — every
+    discarded or gzip-mangled payload is countable, never invisibly
+    dropped). ``n_bytes_null`` counts rows whose payload is NULL
+    after routing (failed/bombed decompression hops and NULL
+    fetches). ``encoding_col`` (r13) adds the Content-Encoding hint
+    as a grouping dimension, so the br/zstd share the hop cannot
+    decode shows up as its own labeled discard row.
 
     ``payload_col`` names the payload explicitly; when omitted it is
     inferred only if the schema carries exactly one binary column —
@@ -732,8 +736,11 @@ def route_stats(
         if payload_col is not None
         else F.lit(0)
     )
+    keys = [mime_col, route_col, gzip_col]
+    if encoding_col is not None:
+        keys.append(encoding_col)
     return (
-        routed.groupBy(mime_col, route_col, gzip_col)
+        routed.groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_payloads"),
             F.sum(null_flag).cast("long").alias("n_bytes_null"),

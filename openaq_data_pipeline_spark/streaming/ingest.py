@@ -673,6 +673,7 @@ def crawl_intake_gate(
     frontier_path: str | None = None,
     fetch_ts_col: str | None = None,
     frontier_max_per_host: int | None = None,
+    encoding_col: str | None = None,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -803,8 +804,11 @@ def crawl_intake_gate(
                 route_crawl_payloads,
             )
 
+            # encoding_col (r13): the feed's Content-Encoding hint
+            # (e.g. read_warc's http_content_encoding) drives the
+            # deflate-capable hop; br/zstd rows discard observably
             routed = route_crawl_payloads(
-                pages, payload_col
+                pages, payload_col, encoding_col=encoding_col
             ).localCheckpoint(eager=True)  # four plane consumers
             planes = crawl_route_planes(
                 routed, payload_col, id_col, out_col="__text"
@@ -882,7 +886,7 @@ def crawl_intake_gate(
                             )
                         )
                 (
-                    route_stats(routed)
+                    route_stats(routed, encoding_col=encoding_col)
                     .selectExpr("*", f"{batch_id} as batch_id")
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
@@ -1095,6 +1099,7 @@ def stream_crawl_intake(
     frontier_path: str | None = None,
     fetch_ts_col: str | None = None,
     frontier_max_per_host: int | None = None,
+    encoding_col: str | None = None,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
@@ -1127,6 +1132,7 @@ def stream_crawl_intake(
                 frontier_path=frontier_path,
                 fetch_ts_col=fetch_ts_col,
                 frontier_max_per_host=frontier_max_per_host,
+                encoding_col=encoding_col,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

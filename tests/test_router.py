@@ -1230,3 +1230,60 @@ class TestRecrawlFrontierLoop:
             # the crawl log accumulated each batch exactly once
             log = spark.read.parquet(f"{froot}/crawl_log")
             assert log.count() == 4
+
+
+class TestEncodedIntakeComposition:
+    """crawl_intake_gate(encoding_col=) (r13): Content-Encoding hints
+    ride the streaming front door — deflate bodies join the text
+    funnel, undecodable tokens land as labeled discard rows in the
+    route-stats audit, nothing silent."""
+
+    def test_hinted_bodies_through_the_gate(self, spark, tmp_path):
+        import zlib as _z
+
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            crawl_intake_gate,
+        )
+
+        body1 = _page(ART).encode()
+        body2 = _page(ART.replace("quick", "brisk")).encode()
+        co = _z.compressobj(wbits=-15)
+        raw_deflate = co.compress(body2) + co.flush()
+        schema = (
+            "page_id long, url string, payload binary, "
+            "http_content_encoding string"
+        )
+        out = str(tmp_path / "surv")
+        media = str(tmp_path / "media")
+        batch = spark.createDataFrame(
+            [
+                (1, "https://a.org/gz", gzip.compress(body1), "gzip"),
+                (2, "https://a.org/rd", raw_deflate, "deflate"),
+                (3, "https://a.org/br", b"\x00\x01 junk", "br"),
+            ],
+            schema,
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            gate = crawl_intake_gate(
+                "url", None, "page_id", ledger, hist, out,
+                payload_col="payload", media_features_path=media,
+                encoding_col="http_content_encoding",
+            )
+            gate(batch, 0)
+            surv = {r.page_id for r in spark.read.parquet(out).collect()}
+            assert surv == {1, 2}  # both compressed bodies extracted
+            stats = {
+                (r.route, r.http_content_encoding): r.n_payloads
+                for r in spark.read.parquet(
+                    f"{media}/route_stats"
+                ).collect()
+            }
+            # the br row is a LABELED discard, not a silent drop
+            assert stats[("discard", "br")] == 1
+            assert stats[("text", "gzip")] == 1
+            assert stats[("text", "deflate")] == 1
