@@ -225,25 +225,109 @@ def chunk_documents(
 # after the ordinary word far more often than it protects the rare
 # numero abbreviation; r12 review)
 _SENT_ABBREVS = ("Mr", "Mrs", "Ms", "Dr", "Prof", "St", "vs", "etc")
-_SENT_SPLIT_RE = (
-    "(?<=[.!?])"
-    + "".join(f"(?<!\\b{a}\\.)" for a in _SENT_ABBREVS)
-    + "(?<!\\be\\.g\\.)(?<!\\bi\\.e\\.)"
-    + "\\s+"
-)
-
-
-def split_sentences(text) -> "F.Column":
+def split_sentences(text, abbreviations=None) -> "F.Column":
     """array<string> of sentences: split after ``.!?`` followed by
     whitespace, guarded against the common abbreviation false
     boundaries (Mr./Dr./e.g./… — each guard a bounded lookbehind, so
-    the whole split stays ONE codegen regexp). A heuristic, stated
-    honestly: quoted/numbered edge cases beyond the guard list split
-    wrong, the same residual class as html_extract's numeric
-    entities — a full deploy plugs a Punkt-style model into an Arrow
-    stage. NULL → NULL; text without boundaries is a one-element
-    array."""
-    return F.split(text, _SENT_SPLIT_RE)
+    the whole split stays ONE codegen regexp). ``abbreviations``
+    (r13) extends the guard list with CORPUS-LEARNED tokens from
+    :func:`learn_abbreviations` — the Punkt insight made a plain
+    parameter: the static list covers English honorifics, the
+    learned list covers whatever the corpus actually abbreviates
+    (domain jargon, other languages). Remaining residual: quoted/
+    numbered edge cases beyond the guards split wrong, the same
+    class as html_extract's numeric entities. NULL → NULL; text
+    without boundaries is a one-element array."""
+    extra = ""
+    if abbreviations:
+        for a in abbreviations:
+            if not _ABBREV_TOKEN_RE.match(a):
+                raise ValueError(
+                    f"abbreviation {a!r} is not a plain word token"
+                )
+        # learned types are case-folded (learn_abbreviations lowers
+        # them); the guard matches any casing via a fixed-width
+        # inline-flag group
+        extra = "".join(f"(?<!\\b(?i:{a})\\.)" for a in abbreviations)
+    return F.split(
+        text,
+        "(?<=[.!?])"
+        + "".join(f"(?<!\\b{a}\\.)" for a in _SENT_ABBREVS)
+        + extra
+        + "(?<!\\be\\.g\\.)(?<!\\bi\\.e\\.)"
+        + "\\s+",
+    )
+
+
+# learned abbreviation candidates must be plain word tokens — they
+# are interpolated into a lookbehind, so anything else is rejected
+# (no regex injection, no variable-width lookbehind)
+import re as _re  # noqa: E402
+
+_ABBREV_TOKEN_RE = _re.compile(r"^[A-Za-z][A-Za-z]{0,11}$")
+
+
+def learn_abbreviations(
+    df: DataFrame,
+    text_col: str,
+    min_period_count: int = 3,
+    min_ratio: float = 0.6,
+    max_len: int = 8,
+) -> DataFrame:
+    """(token, n_period, n_bare, ratio_ppm) — the corpus-statistical
+    core of Punkt sentence-boundary learning (Kiss & Strunk 2006,
+    "Unsupervised multilingual sentence boundary detection"): a word
+    TYPE that overwhelmingly appears with a trailing period and is
+    short is an abbreviation, learned from the corpus itself rather
+    than a hand list. Feed the token column into
+    :func:`split_sentences`' ``abbreviations`` parameter (the list
+    is vocabulary-bounded — collecting it is a BPE-class driver
+    finisher, not a data-path collect).
+
+    Scoring kept deliberately transparent (the full Punkt
+    log-likelihood adds collocation/starter tests): period-attach
+    ratio ≥ ``min_ratio``, at least ``min_period_count``
+    period-attached occurrences, token length ≤ ``max_len``, plain
+    alphabetic shape. ``ratio_ppm`` is integer fixed-point
+    (engine-neutral, oracle-exact).
+
+    Plan: one explode over whitespace tokens → partial-aggregable
+    per-type counts (the vocabulary working set, Zipf-bounded) →
+    codegen filters. One shuffle on the token type."""
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("__w")
+    ).where(F.col("__w") != "")
+    has_period = F.col("__w").rlike(r"^[A-Za-z]+\.$")
+    bare = F.col("__w").rlike(r"^[A-Za-z]+$")
+    typed = toks.where(has_period | bare).select(
+        F.lower(F.regexp_replace(F.col("__w"), r"\.$", "")).alias("token"),
+        has_period.cast("long").alias("__p"),
+    )
+    counts = typed.groupBy("token").agg(
+        F.sum("__p").alias("n_period"),
+        F.sum(F.lit(1) - F.col("__p")).alias("n_bare"),
+    )
+    total = F.col("n_period") + F.col("n_bare")
+    return (
+        counts.where(
+            (F.col("n_period") >= min_period_count)
+            & (F.length("token") <= max_len)
+            & (
+                F.col("n_period") * 1_000_000
+                >= F.lit(int(min_ratio * 1_000_000)) * total
+            )
+        )
+        .select(
+            "token",
+            F.col("n_period").cast("long"),
+            F.col("n_bare").cast("long"),
+            (F.col("n_period") * 1_000_000 / total)
+            .cast("long")
+            .alias("ratio_ppm"),
+        )
+    )
 
 
 def chunk_by_sentences(
@@ -251,6 +335,7 @@ def chunk_by_sentences(
     text_col: str,
     id_col: str,
     max_tokens: int = 128,
+    abbreviations=None,
 ) -> DataFrame:
     """(id, chunk_id, chunk_text, n_tokens) — SENTENCE-BOUNDARY
     chunking, the retrieval-grade complement of
@@ -264,8 +349,10 @@ def chunk_by_sentences(
     Plan shape: one codegen sentence split, one ``aggregate`` fold
     over the sentence array building the chunk list (per-row state
     is the document's own sentences — no window over the corpus, no
-    shuffle before the final explode)."""
-    sents = split_sentences(F.col(text_col))
+    shuffle before the final explode). ``abbreviations`` threads the
+    corpus-learned guard list (:func:`learn_abbreviations`) into the
+    split."""
+    sents = split_sentences(F.col(text_col), abbreviations=abbreviations)
     acc0 = F.struct(
         F.array().cast("array<string>").alias("chunks"),
         F.lit("").alias("cur"),
