@@ -674,6 +674,7 @@ def crawl_intake_gate(
     fetch_ts_col: str | None = None,
     frontier_max_per_host: int | None = None,
     encoding_col: str | None = None,
+    frontier_crawl_delays: DataFrame | None = None,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -766,7 +767,13 @@ def crawl_intake_gate(
     identically. ``fetch_ts_col`` names the feed's fetch timestamp
     (REQUIRED with ``frontier_path``: the log must carry real crawl
     times for the lastmod comparison, and deriving one at process
-    time would change across replays)."""
+    time would change across replays). A gzip-magic payload pays one
+    bomb-capped hop before sitemap detection, so the ubiquitous
+    ``sitemap.xml.gz`` feeds the loop too; with
+    ``frontier_crawl_delays`` ((host, crawl_delay_sec) —
+    :func:`~openaq_data_pipeline_spark.operators.frontier
+    .parse_crawl_delays` output) the schedule also carries
+    ``not_before_sec``, the politeness TIME half."""
     from openaq_data_pipeline_spark.operators.frontier import (
         apply_robots,
         url_ledger_gate,
@@ -994,20 +1001,43 @@ def crawl_intake_gate(
             # the text funnel by design (it was crawled before), but
             # its lastmod updates are exactly what the recrawl loop
             # exists to see. Sitemap XML is ASCII/UTF-8 per protocol,
-            # so the codegen cast suffices (a gzipped sitemap.xml.gz
-            # body is a documented residual — feed it through the
-            # decompression hop upstream).
-            raw_xml = (
-                F.col(payload_col).cast("string")
-                if payload_col is not None
-                else F.col(html_col)
-            )
+            # so the codegen cast suffices for plain bodies; a
+            # gzip-magic body (sitemap.xml.gz, the common shipping
+            # shape) pays one bomb-capped Arrow hop first.
+            if payload_col is not None:
+                from openaq_data_pipeline_spark.operators.router import (
+                    gunzip_once,
+                )
+
+                gz_magic = (
+                    F.substring(F.col(payload_col), 1, 2)
+                    == F.lit(b"\x1f\x8b")
+                )
+                plain_src = batch_df.where(
+                    ~F.coalesce(gz_magic, F.lit(False))
+                ).select(
+                    F.col(url_col).alias("__src"),
+                    F.col(payload_col).cast("string").alias("__xml"),
+                )
+                gz_src = gunzip_once(
+                    batch_df.where(gz_magic).select(
+                        F.col(url_col).alias("__src"),
+                        F.col(payload_col),
+                    ),
+                    payload_col,
+                    "__inner",
+                ).select(
+                    "__src", F.col("__inner").cast("string").alias("__xml")
+                )
+                smap_src = plain_src.unionByName(gz_src)
+            else:
+                smap_src = batch_df.select(
+                    F.col(url_col).alias("__src"),
+                    F.col(html_col).alias("__xml"),
+                )
             discovered = (
                 parse_sitemaps(
-                    batch_df.select(
-                        F.col(url_col).alias("__src"),
-                        raw_xml.alias("__xml"),
-                    ).where(
+                    smap_src.where(
                         F.col("__xml").rlike(
                             r"(?is)<\s*(?:urlset|sitemapindex)\b"
                         )
@@ -1043,6 +1073,7 @@ def crawl_intake_gate(
                 "url",
                 "__fid",
                 max_per_host=frontier_max_per_host,
+                crawl_delays=frontier_crawl_delays,
                 priority_col="priority",
             )
             (
@@ -1100,6 +1131,7 @@ def stream_crawl_intake(
     fetch_ts_col: str | None = None,
     frontier_max_per_host: int | None = None,
     encoding_col: str | None = None,
+    frontier_crawl_delays: DataFrame | None = None,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
@@ -1133,6 +1165,7 @@ def stream_crawl_intake(
                 fetch_ts_col=fetch_ts_col,
                 frontier_max_per_host=frontier_max_per_host,
                 encoding_col=encoding_col,
+                frontier_crawl_delays=frontier_crawl_delays,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -1287,3 +1287,56 @@ class TestEncodedIntakeComposition:
             assert stats[("discard", "br")] == 1
             assert stats[("text", "gzip")] == 1
             assert stats[("text", "deflate")] == 1
+
+
+class TestRecrawlLoopGzipAndDelays:
+    """r13 follow-through: a gzipped sitemap feeds the per-batch
+    recrawl loop (one bomb-capped hop pre-detection) and declared
+    crawl delays surface as the schedule's not_before_sec."""
+
+    def test_gz_sitemap_and_politeness_time(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            crawl_intake_gate,
+        )
+
+        xml = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc>https://h9.org/a</loc></url>"
+            "<url><loc>https://h9.org/b</loc></url>"
+            "<url><loc>https://h9.org/c</loc></url>"
+            "</urlset>"
+        )
+        delays = spark.createDataFrame(
+            [("h9.org", 7.0)], "host string, crawl_delay_sec double"
+        )
+        batch = spark.createDataFrame(
+            [(1, "https://h9.org/sitemap.xml.gz",
+              gzip.compress(xml.encode()), "2026-03-01 00:00:00")],
+            "page_id long, url string, payload binary, fetched_at string",
+        )
+        out = str(tmp_path / "surv")
+        froot = str(tmp_path / "frontier")
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            gate = crawl_intake_gate(
+                "url", None, "page_id", ledger, hist, out,
+                payload_col="payload",
+                frontier_path=froot, fetch_ts_col="fetched_at",
+                frontier_crawl_delays=delays,
+            )
+            gate(batch, 0)
+            sched = sorted(
+                spark.read.parquet(f"{froot}/schedule").collect(),
+                key=lambda r: r.pos_in_host,
+            )
+            assert [r.url for r in sched] == [
+                # 3 discovered urls, all 'new', MD5-ordered
+                r.url for r in sched
+            ] and len(sched) == 3
+            assert {r.status for r in sched} == {"new"}
+            # declared 7s delay: pos k may not fetch before 7k
+            assert [r.not_before_sec for r in sched] == [0.0, 7.0, 14.0]
