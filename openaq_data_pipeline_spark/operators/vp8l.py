@@ -19,14 +19,20 @@ over the spec's core coding layer —
 - the SUBTRACT_GREEN transform (inverse on decode);
 - the COLOR_INDEXING transform (r13 second pass): delta-coded
   palette aux image + pixel bundling (≤16-color images pack several
-  indices per green byte) — the icon/logo shape real webps use.
+  indices per green byte) — the icon/logo shape real webps use;
+- meta prefix codes (r13 third pass): the tile entropy image
+  assigns each ``2^bits`` tile its own five-code group via
+  ``(red << 8) | green``.
 
-Documented subset boundaries (a wild VP8L often uses some of these;
-they degrade to the header-only stats row, never a stage failure,
+Documented subset boundaries (a wild VP8L may use these; they
+degrade to the header-only stats row, never a stage failure,
 because the lenient image plane keys on ValueError):
 
-- meta prefix-code images (spatially varying code groups) raise;
-- PREDICTOR / COLOR_TRANSFORM transforms raise;
+- PREDICTOR / COLOR_TRANSFORM transforms raise (their inverse
+  filters are mechanical, but the spec's pixel-neighborhood edge
+  conventions are not pinned by any fixture this environment can
+  cross-check against — shipping a guessed edge rule as "the spec"
+  would be worse than the honest boundary);
 - the encoder emits literals + optional subtract-green / palette
   only (no LZ77 search, no cache) — fixture-grade compression,
   spec-grade bitstream, exercising the decoder's full literal/
@@ -246,9 +252,15 @@ def _decode_entropy_image(
     br: _BitReader, w: int, h: int, is_level0: bool
 ) -> np.ndarray:
     """One spatially-coded (entropy) image → flat uint32 ARGB array
-    of length w*h. Auxiliary images (palettes, and — were they
-    supported — predictor/entropy sub-images) call this with
-    ``is_level0=False``: per spec they carry no meta-prefix bit."""
+    of length w*h. Auxiliary images (palettes, meta-prefix entropy
+    images) call this with ``is_level0=False``: per spec they carry
+    no meta-prefix bit of their own.
+
+    Meta prefix codes (r13 third pass): with the meta bit set, a
+    small entropy sub-image assigns each ``2^bits``-sized tile a
+    prefix-code GROUP via ``(red << 8) | green``; the pixel loop
+    picks its five codes by the current pixel's tile. One shared
+    color cache per image (spec), groups share it."""
     # color cache
     cache_bits = 0
     if br.read(1):
@@ -257,18 +269,42 @@ def _decode_entropy_image(
             raise ValueError("VP8L: bad color cache size")
     cache = [0] * (1 << cache_bits) if cache_bits else None
     # meta prefix codes: level-0 images only
+    meta_idx = None
+    meta_bits = 0
+    meta_w = 1
+    n_groups = 1
     if is_level0 and br.read(1):
-        raise ValueError("VP8L: meta prefix codes outside the subset")
+        meta_bits = br.read(3) + 2
+        meta_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        meta_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_px = _decode_entropy_image(br, meta_w, meta_h, False)
+        meta_idx = (
+            ((meta_px >> 16) & 0xFF) << 8 | ((meta_px >> 8) & 0xFF)
+        ).astype(np.int64)
+        n_groups = int(meta_idx.max()) + 1
     green_alpha = _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
-    c_green = _read_prefix_code(br, green_alpha)
-    c_red = _read_prefix_code(br, 256)
-    c_blue = _read_prefix_code(br, 256)
-    c_alpha = _read_prefix_code(br, 256)
-    c_dist = _read_prefix_code(br, _DIST_ALPHABET)
+    groups = [
+        (
+            _read_prefix_code(br, green_alpha),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, _DIST_ALPHABET),
+        )
+        for _ in range(n_groups)
+    ]
     n = w * h
     argb = np.zeros(n, dtype=np.uint32)
     pos = 0
     while pos < n:
+        if meta_idx is None:
+            c_green, c_red, c_blue, c_alpha, c_dist = groups[0]
+        else:
+            x, y = pos % w, pos // w
+            tile = (y >> meta_bits) * meta_w + (x >> meta_bits)
+            c_green, c_red, c_blue, c_alpha, c_dist = groups[
+                int(meta_idx[tile])
+            ]
         s = c_green.read(br)
         if s < 256:
             g = s

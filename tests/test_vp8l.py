@@ -212,3 +212,49 @@ class TestColorIndexing:
         img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
         with pytest.raises(ValueError, match="256"):
             encode_webp_lossless(img, palette=True)
+
+
+class TestMetaPrefixCodes:
+    """Meta prefix codes (r13 third pass): a hand-built stream with
+    a 2-tile entropy image routes the left tile through a red-pixel
+    code group and the right through a blue-pixel group."""
+
+    def test_two_groups_by_tile(self):
+        bw = _BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(8 - 1, 14)  # 8x2, huffman_bits=2 -> 4px tiles, 2x1
+        bw.write(2 - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(1, 1)  # meta prefix codes
+        bw.write(2 - 2, 3)  # huffman_bits = 2
+        # entropy image (2x1, aux: no meta bit): green = tile's group
+        bw.write(0, 1)  # no cache in the aux image
+        g = _write_prefix_code(bw, [1, 1] + [0] * (_GREEN_ALPHABET - 2))
+        zero = _write_prefix_code(bw, [1] + [0] * 255)
+        _write_prefix_code(bw, [1] + [0] * 255)  # blue
+        _write_prefix_code(bw, [1] + [0] * 255)  # alpha
+        _write_prefix_code(bw, [1] + [0] * 39)   # distance
+        for sym in (0, 1):  # tiles 0, 1 (r/b/a are zero-bit singles)
+            code, ln = g[sym]
+            bw.write_code(code, ln)
+        # two code groups for the main image
+        reds = []
+        for rv in (250, 7):
+            gg = _write_prefix_code(bw, [1] + [0] * (_GREEN_ALPHABET - 1))
+            rr = _write_prefix_code(
+                bw, [0] * rv + [1] + [0] * (255 - rv)
+            )
+            bb = _write_prefix_code(bw, [0] * (255 - rv) + [1] + [0] * rv)
+            aa = _write_prefix_code(bw, [0] * 255 + [1])
+            _write_prefix_code(bw, [1] + [0] * 39)
+            reds.append((gg, rr, bb, aa))
+        # 16 pixels, every code zero-bit single-symbol: no data bits
+        rgba = decode_vp8l_payload(bw.bytes())
+        assert rgba.shape == (2, 8, 4)
+        left, right = rgba[:, :4], rgba[:, 4:]
+        assert (left[:, :, 0] == 250).all() and (left[:, :, 2] == 5).all()
+        assert (right[:, :, 0] == 7).all() and (right[:, :, 2] == 248).all()
+        assert (rgba[:, :, 3] == 255).all()
