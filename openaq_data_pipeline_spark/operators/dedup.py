@@ -1237,6 +1237,72 @@ def line_frequency_filter(
     )
 
 
+def dedupe_lines_within_doc(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "text_clean",
+    sep: str = "\n",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Remove REPEATED lines within each document, keeping the first
+    occurrence in place (r13 — the intra-document face of the C4
+    line rule; :func:`line_frequency_filter` handles the cross-
+    document face, and the two compose: scraped pages repeat their
+    own nav blocks even when no other page shares them). Comparison
+    is on the fully-whitespace-trimmed line (the cross-doc filter's
+    normalization); the KEPT line keeps its original spelling. Lines
+    shorter than ``min_line_chars`` after trim are exempt (list
+    bullets and blank separators legitimately repeat). Returns the
+    input columns + ``out_col`` + ``n_lines_dropped``; NULL text
+    passes through NULL.
+
+    Plan shape: ONE codegen ``aggregate`` fold per row over the
+    row's own split lines — no explode, no shuffle, runs at scan
+    speed. The in-fold seen-set check is O(lines²) per document in
+    the worst case (array_contains per line) — document-sized by
+    construction; route pathological documents through the
+    :func:`line_frequency_filter` ``max_lines_per_doc`` guard first
+    if the corpus carries multi-GiB rows."""
+    from openaq_data_pipeline_spark.operators.text import _quote_literal
+
+    lines = F.split(F.col(text_col), _quote_literal(sep))
+
+    def norm(line):
+        return F.regexp_replace(line, r"^\s+|\s+$", "")
+
+    acc0 = F.struct(
+        F.array().cast("array<bigint>").alias("seen"),
+        F.array().cast("array<string>").alias("out"),
+        F.lit(0).cast("bigint").alias("nd"),
+    )
+
+    def step(acc, line):
+        k = F.xxhash64(norm(line))
+        exempt = F.length(norm(line)) < min_line_chars
+        dup = ~exempt & F.array_contains(acc["seen"], k)
+        return F.struct(
+            F.when(exempt | dup, acc["seen"])
+            .otherwise(F.concat(acc["seen"], F.array(k)))
+            .alias("seen"),
+            F.when(dup, acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(line)))
+            .alias("out"),
+            F.when(dup, acc["nd"] + 1).otherwise(acc["nd"]).alias("nd"),
+        )
+
+    folded = F.aggregate(lines, acc0, step)
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.array_join(folded["out"], sep),
+        ),
+    ).withColumn(
+        "n_lines_dropped",
+        F.when(F.col(text_col).isNotNull(), folded["nd"]),
+    )
+
+
 # --- incremental line-frequency index (r12) -------------------------------
 #
 # The cross-batch face: a crawl arrives in batches, and a line is

@@ -2726,3 +2726,53 @@ def q_abbrev_sentence_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sents).cast("int").alias("n_sentences"),
         F.element_at(sents, 1).alias("first_sentence"),
     ).orderBy("doc_id")
+
+
+@register_staged(
+    "intradoc_line_dedup",
+    "EXT-dedup — intra-document repeated-line removal (r13: the "
+    "within-page face of the C4 line rule — scraped pages repeat "
+    "their own nav blocks even when no other page shares them; "
+    "composes with the cross-corpus line_frequency_filter): every "
+    "document is wrapped with a nav line repeated verbatim AND in a "
+    "trim-variant spelling plus exempt short bullets; one codegen "
+    "aggregate fold per row (no explode, no shuffle) keeps first "
+    "occurrences in place and drops the two repeats. The oracle is "
+    "the CLOSED FORM of the wrapping — ground truth, not a fold "
+    "replay",
+    oracle="""
+SELECT doc_id,
+       'NAV MENU HOME LINKS' || chr(10)
+           || 'alpha marker ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || '- ' || chr(10) || '- ' || chr(10) || text AS text_clean,
+       CAST(2 AS BIGINT) AS n_lines_dropped
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap: NAV + marker + NAV + '  NAV  ' (trim-dup) + '- ' ×2
+    (short, exempt) + body (unique lines by testdata
+    construction)."""
+    from openaq_data_pipeline_spark.operators.dedup import (
+        dedupe_lines_within_doc,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    nav = "NAV MENU HOME LINKS"
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(f"{nav}\nalpha marker "),
+            F.col("doc_id").cast("string"),
+            F.lit(f"\n{nav}\n  {nav}  \n- \n- \n"),
+            F.col("text"),
+        ).alias("text_aug"),
+    )
+    return (
+        dedupe_lines_within_doc(aug, "text_aug")
+        .select("doc_id", "text_clean", "n_lines_dropped")
+        .orderBy("doc_id")
+    )

@@ -2390,3 +2390,42 @@ class TestIncrementalLineFilter:
             files = probe.inputFiles()
             # the only files the probe plan touches are the index's
             assert all(idx.location in f for f in files), files
+
+
+class TestIntraDocLineDedup:
+    """Intra-document repeated-line removal (r13): first occurrence
+    kept in place and original spelling, trim-normalized comparison,
+    short lines exempt, NULL passthrough — one codegen fold, no
+    explode."""
+
+    def test_first_kept_trim_matched_short_exempt(self, spark):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            dedupe_lines_within_doc,
+        )
+
+        text = (
+            "NAV MENU HOME LINKS\n"
+            "unique alpha body line\n"
+            "NAV MENU HOME LINKS\n"
+            "  NAV MENU HOME LINKS  \n"
+            "- \n"
+            "- \n"
+            "unique beta body line"
+        )
+        df = spark.createDataFrame(
+            [(1, text), (2, None)], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in dedupe_lines_within_doc(df, "text").collect()
+        }
+        assert out[1].text_clean == (
+            "NAV MENU HOME LINKS\n"
+            "unique alpha body line\n"
+            "- \n"
+            "- \n"
+            "unique beta body line"
+        )
+        assert out[1].n_lines_dropped == 2
+        assert out[2].text_clean is None
+        assert out[2].n_lines_dropped is None
