@@ -35,10 +35,15 @@ Extensions (100 TB training-data pipeline ops):
   ``graph``        — fixed-point PageRank (Pregel-style supersteps)
   ``sketches``     — persisted mergeable HLL + KLL-quantile rollups
   ``ids``          — global contiguous ids + global cumulative sums
-  ``multimodal``   — real BMP/PPM/PNG/JPEG, WAV, MJPEG-in-AVI codecs
-                     over binary columns (Arrow mapInPandas);
-                     perceptual image pHash + acoustic fingerprints
-                     on the SimHash band layout
+  ``multimodal``   — real BMP/PPM/PNG/JPEG/GIF(+animation)/TIFF, WAV,
+                     MJPEG-in-AVI codecs over binary columns (Arrow
+                     mapInPandas); WebP/MP4 header walks; perceptual
+                     image pHash + acoustic fingerprints on the
+                     SimHash band layout
+  ``vp8l``         — WebP-lossless (VP8L) pixel codec subset:
+                     canonical prefix codes, LZ77, color cache,
+                     subtract-green / color-indexing transforms,
+                     meta prefix-code groups
   ``temporal`` / ``history`` — as-of & range joins; SCD-2 / CDC /
                      gap-fill
   ``retraction``   — takedown propagation: scrub every persisted
