@@ -1335,6 +1335,10 @@ class LineIndex:
     sep: str = "\n"
     n_buckets: int = 32
     location: str | None = None
+    # oversized-document guard (VERDICT r12 wrong #2): carried on the
+    # index config so every consumer — batch probe and the streaming
+    # crawl gate alike — applies the same cap without new plumbing
+    max_lines_per_doc: int | None = None
 
     @property
     def lines_table(self) -> str:
@@ -1452,6 +1456,8 @@ def incremental_line_filter(
             "batch_id= (each append batch carries its own id — the "
             "replay-absorption contract)"
         )
+    if max_lines_per_doc is None:
+        max_lines_per_doc = index.max_lines_per_doc
     keyed = _line_rows(
         new_batch, text_col, id_col, index.min_line_chars, index.sep,
         max_lines_per_doc=max_lines_per_doc,
@@ -1501,7 +1507,10 @@ def incremental_line_filter(
 
 
 def temp_line_index(
-    min_docs: int = 2, min_line_chars: int = 10, n_buckets: int = 32
+    min_docs: int = 2,
+    min_line_chars: int = 10,
+    n_buckets: int = 32,
+    max_lines_per_doc: int | None = None,
 ) -> "LineIndex":
     """Uniquely-named tempdir-rooted line index; context-manage it."""
     import uuid
@@ -1514,4 +1523,5 @@ def temp_line_index(
         min_line_chars=min_line_chars,
         n_buckets=n_buckets,
         location=session_tmpdir("line_index_"),
+        max_lines_per_doc=max_lines_per_doc,
     )

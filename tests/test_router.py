@@ -1340,3 +1340,56 @@ class TestRecrawlLoopGzipAndDelays:
             assert {r.status for r in sched} == {"new"}
             # declared 7s delay: pos k may not fetch before 7k
             assert [r.not_before_sec for r in sched] == [0.0, 7.0, 14.0]
+
+
+class TestLineGateOversizedGuard:
+    """The LineIndex-carried max_lines_per_doc reaches the streaming
+    crawl gate with no extra plumbing: a pathological page routes
+    through the line stage untouched (flagged) while normal pages
+    still strip shared boilerplate."""
+
+    def test_monster_page_untouched_in_stream(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.dedup import (
+            temp_line_index,
+        )
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            crawl_intake_gate,
+        )
+
+        footer = "SHARED FOOTER NAVIGATION BLOCK"
+        monster = "\n".join(
+            [ART.replace("quick", f"w{i}") for i in range(30)]
+        )
+        schema = "page_id long, url string, payload binary"
+        out = str(tmp_path / "surv")
+        batch = spark.createDataFrame(
+            [
+                (1, "https://a.org/p1", f"{ART}\n{footer}".encode()),
+                (2, "https://a.org/p2",
+                 f"{ART.replace('quick', 'calm')}\n{footer}".encode()),
+                (3, "https://a.org/monster", monster.encode()),
+            ],
+            schema,
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist, temp_line_index(
+            min_docs=2, max_lines_per_doc=10
+        ) as lidx:
+            gate = crawl_intake_gate(
+                "url", None, "page_id", ledger, hist, out,
+                payload_col="payload", line_index=lidx,
+            )
+            gate(batch, 0)
+            surv = {
+                r.page_id: r for r in spark.read.parquet(out).collect()
+            }
+            assert set(surv) == {1, 2, 3}
+            # normal pages: footer (>= min_docs within the batch)
+            # stripped; the monster page passes through flagged
+            assert footer not in surv[1].text
+            assert surv[3].line_filter_skipped
+            assert surv[3].n_lines_dropped == 0
