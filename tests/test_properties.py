@@ -774,3 +774,37 @@ class TestPhraseOccurrencesProperty:
         rows = phrase_occurrences(df, "text", "doc_id", phrase).collect()
         got = rows[0].n_hits if rows else 0
         assert got == expect, (text, phrase, got, expect)
+
+
+class TestVp8lRoundTripProperty:
+    """Property: ANY small uint8 RGB image survives the VP8L
+    encode→decode round trip channel-exactly, in every encoder mode
+    its color count admits (r13 codec)."""
+
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from(["plain", "subtract_green", "palette"]),
+    )
+    @SETTINGS
+    def test_roundtrip(self, h, w, seed, mode):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.vp8l import (
+            decode_webp_lossless,
+            encode_webp_lossless,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        kwargs = {}
+        if mode == "subtract_green":
+            kwargs["subtract_green"] = True
+        elif mode == "palette":
+            flat = img.reshape(-1, 3)
+            if len(np.unique(flat, axis=0)) > 256:
+                return  # palette mode inapplicable for this draw
+            kwargs["palette"] = True
+        blob = encode_webp_lossless(img, **kwargs)
+        assert np.array_equal(decode_webp_lossless(blob), img)
