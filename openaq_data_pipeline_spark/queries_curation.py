@@ -182,7 +182,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, "text", "doc_id", chunk_tokens=32, overlap=8)
 
 
-@register(
+@register_rotated(
     "pii_scan",
     "EXT-curation — PII detection + redaction audit: email/phone "
     "regexp counts and the MD5 of the redacted text, over a corpus "

@@ -32,7 +32,7 @@ from openaq_data_pipeline_spark.operators.history import (
 )
 
 
-@register(
+@register_rotated(
     "scd2_user_state",
     "EXT-history — SCD-2 interval builder: collapse the per-user "
     "event_type observation log into validity intervals "

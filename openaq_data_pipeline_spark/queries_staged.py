@@ -577,7 +577,7 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- r10 staged candidates ----------------------------------------------
 
 
-@register(
+@register_rotated(
     "c4_quality_rules",
     "EXT-text — the C4 cleaning battery (Raffel et al. 2020 §2.2, "
     "the Common Crawl filter behind T5/C4): line-level terminal-"
@@ -839,7 +839,7 @@ def q_mime_sniff_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
+@register_rotated(
     "pdf_roundtrip_extract",
     "EXT-multimodal — PDF text extraction (the document modality "
     "beside the image/audio codecs; where mime_sniff_route sends "
@@ -1133,7 +1133,7 @@ def q_lang_script_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scripts.join(hyps, "doc_id").orderBy("doc_id")
 
 
-@register(
+@register_rotated(
     "video_header_stats",
     "EXT-multimodal — header-only video container statistics (r11, "
     "the video plane of the MIME-routed front door): per document a "
@@ -1247,7 +1247,7 @@ def q_video_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "gif_decode_features",
     "EXT-multimodal — REAL GIF decode on executors (r12, VERDICT r11 "
     "missing #4: the one common web image type the front door "
@@ -1795,7 +1795,7 @@ def q_phrase_scrub_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
+@register_rotated(
     "html_table_rows",
     "EXT-text — HTML table mining (r12: web tables are a first-class "
     "structured-data source the prose extractors flatten into soup): "
@@ -2141,7 +2141,7 @@ _TEMP_SRC_DUCK = (
 )
 
 
-@register(
+@register_rotated(
     "temperature_mixture_sqrt",
     "EXT-curation — temperature-based source sampling (T5's "
     "exponential smoothing / mT5's alpha-sampling) at alpha=0.5: "
@@ -2199,7 +2199,7 @@ def q_temperature_mixture_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- r13 staged candidates ----------------------------------------------
 
 
-@register_staged(
+@register(
     "content_encoding_route",
     "EXT-router — HTTP Content-Encoding resolution at the crawl "
     "front door (r13, VERDICT r12 next #2): per document a payload "
@@ -2288,7 +2288,7 @@ def q_content_encoding_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texts.unionByName(others).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "image_webp_stats",
     "EXT-multimodal — WebP header walk (r13, VERDICT r12 missing "
     "#2: the most common web image type the image plane previously "
@@ -2386,7 +2386,7 @@ def q_image_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "nested_table_rows",
     "EXT-text — depth-aware nested-table mining (r13, VERDICT r12 "
     "missing #4: an inner table must not truncate its outer): even "
@@ -2480,7 +2480,7 @@ def q_nested_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "table_index", "row_index")
 
 
-@register_staged(
+@register(
     "gif_frames_sample",
     "EXT-multimodal — animated GIF frame sampling (r13, VERDICT r12 "
     "missing #3: the per-frame opt-in completing the video-plane "
@@ -2547,7 +2547,7 @@ def q_gif_frames_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "image_vp8l_decode",
     "EXT-multimodal — VP8L (lossless WebP) PIXEL decode (r13 second "
     "wave: beyond the header walk, the web's most common remaining "
@@ -2615,7 +2615,7 @@ def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "image_tiff_decode",
     "EXT-multimodal — TIFF decode + header split (r13: the scanned-"
     "document staple joins the image plane): per document a 4x6 "
@@ -2678,7 +2678,7 @@ def q_image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "abbrev_sentence_learning",
     "EXT-curation — corpus-learned abbreviation guards (r13, VERDICT "
     "r12 missing #5: the Punkt core signal made a Spark pass): per "
@@ -2728,7 +2728,7 @@ def q_abbrev_sentence_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "intradoc_line_dedup",
     "EXT-dedup — intra-document repeated-line removal (r13: the "
     "within-page face of the C4 line rule — scraped pages repeat "
