@@ -911,6 +911,64 @@ class TestLineGateIntakeComposition:
             assert surv[1].n_lines_dropped == 1
 
 
+class TestIntraDocIntakeComposition:
+    """crawl_intake_gate with intradoc_line_dedup (r14, VERDICT r13
+    wrong #2): a page's OWN repeated nav block is stripped before
+    the fingerprint gates, so it dedups identically to its clean
+    twin — neither the cross-batch line gate (the nav is unique to
+    one page) nor the exact gate (the raw bytes differ) can see it."""
+
+    NAV = "NAVIGATION HOME ABOUT CONTACT SITEMAP BAR"
+
+    def test_nav_repeater_dedups_to_clean_twin(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            crawl_intake_gate,
+        )
+
+        words = ART.split()
+        half = len(words) // 2
+        l1, l2 = " ".join(words[:half]), " ".join(words[half:])
+        # the repeater: its own nav block appears three times —
+        # no OTHER page shares it, so min_docs line counting is blind
+        repeater = f"{self.NAV}\n{l1}\n{self.NAV}\n{l2}\n{self.NAV}"
+        twin = f"{self.NAV}\n{l1}\n{l2}"  # = repeater after stripping
+        fresh = twin.replace("quick", "hasty")
+        schema = "page_id long, url string, payload binary"
+        out = str(tmp_path / "survivors")
+        batch0 = spark.createDataFrame(
+            [(1, "https://a.org/messy", repeater.encode())], schema
+        )
+        batch1 = spark.createDataFrame(
+            [
+                (3, "https://b.org/clean-twin", twin.encode()),
+                (4, "https://b.org/new", fresh.encode()),
+            ],
+            schema,
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            gate = crawl_intake_gate(
+                "url", None, "page_id", ledger, hist, out,
+                payload_col="payload", intradoc_line_dedup=True,
+            )
+            gate(batch0, 0)
+            gate(batch1, 1)
+            surv = {
+                r.page_id: r for r in spark.read.parquet(out).collect()
+            }
+            # 3 dedups against 1 THROUGH the intra-doc strip: the
+            # exact gate sees identical text for the repeater and
+            # its clean twin
+            assert set(surv) == {1, 4}
+            assert surv[1].text == twin
+            assert surv[1].intradoc_lines_dropped == 2
+            assert surv[4].intradoc_lines_dropped == 0
+
+
 class TestRoutedStreamingIntake:
     """stream_crawl_intake in payload mode: the mixed-modality feed
     MIME-routes per micro-batch, text planes converge on the shared
