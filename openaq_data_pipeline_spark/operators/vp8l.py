@@ -22,17 +22,21 @@ over the spec's core coding layer —
   indices per green byte) — the icon/logo shape real webps use;
 - meta prefix codes (r13 third pass): the tile entropy image
   assigns each ``2^bits`` tile its own five-code group via
-  ``(red << 8) | green``.
+  ``(red << 8) | green``;
+- the PREDICTOR transform (r14, VERDICT r13 missing #3): all 14
+  spatial predictor modes of RFC 9649 §4.1 with the spec's edge
+  rules — (0,0) predicts opaque black, top row predicts L, left
+  column predicts T, the rightmost column's TR-pixel is the current
+  row's leftmost reconstructed pixel — per-tile modes via the tile
+  entropy image's green channel. This moves most photographic VP8L
+  streams from header-only to pixel decode.
 
 Documented subset boundaries (a wild VP8L may use these; they
 degrade to the header-only stats row, never a stage failure,
 because the lenient image plane keys on ValueError):
 
-- PREDICTOR / COLOR_TRANSFORM transforms raise (their inverse
-  filters are mechanical, but the spec's pixel-neighborhood edge
-  conventions are not pinned by any fixture this environment can
-  cross-check against — shipping a guessed edge rule as "the spec"
-  would be worse than the honest boundary);
+- the COLOR_TRANSFORM transform raises (the remaining transform:
+  per-tile signed cross-channel deltas);
 - the encoder emits literals + optional subtract-green / palette
   only (no LZ77 search, no cache) — fixture-grade compression,
   spec-grade bitstream, exercising the decoder's full literal/
@@ -138,7 +142,15 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _PrefixDecoder:
-    """Bit-at-a-time canonical prefix decoder (walk from the root)."""
+    """Bit-at-a-time canonical prefix decoder (walk from the root).
+
+    Multi-symbol codes are validated for Kraft COMPLETENESS (ADVICE
+    r13: over-subscribed or incomplete code-length sets from
+    malformed wild streams would otherwise decode silently to wrong
+    symbols — e.g. lengths [1,1,1] alias symbol 2 onto symbol 1 —
+    and garbage pixels would flow into the lenient image plane's
+    stats undetected). libwebp requires a complete tree the same
+    way; the single-symbol case is the spec's zero-bit exception."""
 
     def __init__(self, lengths: list[int]):
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -148,6 +160,8 @@ class _PrefixDecoder:
             self.table = {}
             return
         self.single = None
+        if nz and sum(1 << (15 - ln) for ln, _ in nz) != 1 << 15:
+            raise ValueError("VP8L: prefix code lengths not Kraft-complete")
         self.table = {
             (code, ln): sym
             for sym, (code, ln) in _canonical_codes(lengths).items()
@@ -225,6 +239,125 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
     if i > alphabet_size:
         raise ValueError("VP8L: code lengths overrun alphabet")
     return _PrefixDecoder(lengths)
+
+
+def _avg2(a, b):
+    """Per-channel Average2 (RFC 9649 §4.1): (a + b) >> 1."""
+    return (a + b) >> 1
+
+
+def _predict_px(mode: int, L, T, TL, TR):
+    """One predicted ARGB pixel (RFC 9649 §4.1 modes 0-13). Inputs
+    and output are length-4 int arrays in (a, r, g, b) order."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype=np.int64)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        # Select: per-channel estimate p = L + T - TL; return the
+        # neighbor with the smaller Manhattan distance to p (L on
+        # ties-broken-strictly: pL < pT chooses L, else T)
+        p = L + T - TL
+        pL = int(np.abs(p - L).sum())
+        pT = int(np.abs(p - T).sum())
+        return L if pL < pT else T
+    if mode == 12:
+        # ClampAddSubtractFull: clamp(L + T - TL) per channel
+        return np.clip(L + T - TL, 0, 255)
+    # mode 13 — ClampAddSubtractHalf: a = Average2(L, T); per channel
+    # clamp(a + (a - TL) / 2) with C truncation toward zero
+    a = _avg2(L, T)
+    d = a - TL
+    half = np.sign(d) * (np.abs(d) >> 1)
+    return np.clip(a + half, 0, 255)
+
+
+def _inverse_predictor(
+    a: np.ndarray,
+    r: np.ndarray,
+    g: np.ndarray,
+    b: np.ndarray,
+    h: int,
+    w: int,
+    modes: np.ndarray,
+    size_bits: int,
+    tiles_w: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of the PREDICTOR transform: scan-order reconstruction
+    pixel = (residual + predict(neighbors)) mod 256 per channel, with
+    the spec's edge rules — (0,0) predicts opaque black, the rest of
+    the top row predicts L, the left column predicts T, and the
+    rightmost column's TR-pixel is the CURRENT row's leftmost
+    (already reconstructed) pixel. Sequential by construction (each
+    pixel needs its reconstructed neighbors); images on this path are
+    fixture/web-thumbnail sized."""
+    res = np.stack([a, r, g, b], axis=-1).astype(np.int64).reshape(h, w, 4)
+    out = np.zeros((h, w, 4), dtype=np.int64)
+    for y in range(h):
+        ty = (y >> size_bits) * tiles_w
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int64)
+            elif y == 0:
+                pred = out[0, x - 1]
+            elif x == 0:
+                pred = out[y - 1, 0]
+            else:
+                mode = int(modes[ty + (x >> size_bits)])
+                L = out[y, x - 1]
+                T = out[y - 1, x]
+                TL = out[y - 1, x - 1]
+                TR = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
+                pred = _predict_px(mode, L, T, TL, TR)
+            out[y, x] = (res[y, x] + pred) & 0xFF
+    flat = out.reshape(-1, 4).astype(np.uint16)
+    return flat[:, 0], flat[:, 1], flat[:, 2], flat[:, 3]
+
+
+def _forward_predictor(
+    px: np.ndarray, h: int, w: int, mode: int
+) -> np.ndarray:
+    """Forward face of :func:`_inverse_predictor` for the encoder
+    (uniform ``mode`` across all tiles): residual = (pixel -
+    predict(true neighbors)) mod 256 per channel — prediction from
+    the ORIGINAL pixels, which equal the decoder's reconstruction
+    exactly because the transform is lossless. ``px`` is (h, w, 4)
+    int64 in (a, r, g, b) order."""
+    res = np.zeros_like(px)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int64)
+            elif y == 0:
+                pred = px[0, x - 1]
+            elif x == 0:
+                pred = px[y - 1, 0]
+            else:
+                L = px[y, x - 1]
+                T = px[y - 1, x]
+                TL = px[y - 1, x - 1]
+                TR = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
+                pred = _predict_px(mode, L, T, TL, TR)
+            res[y, x] = (px[y, x] - pred) & 0xFF
+    return res
 
 
 def _prefix_value(br: _BitReader, prefix: int) -> int:
@@ -363,13 +496,40 @@ def decode_vp8l_payload(payload: bytes) -> np.ndarray:
     if br.read(3) != 0:
         raise ValueError("VP8L: unknown version")
     # transforms (level-0 stream); inverses apply in REVERSE read
-    # order. Supported: SUBTRACT_GREEN (2), COLOR_INDEXING (3, incl.
-    # pixel bundling); PREDICTOR (0) / COLOR_TRANSFORM (1) raise.
+    # order. Supported: PREDICTOR (0), SUBTRACT_GREEN (2),
+    # COLOR_INDEXING (3, incl. pixel bundling); COLOR_TRANSFORM (1)
+    # raises (documented subset boundary). The spec allows each
+    # transform type AT MOST ONCE — a spec-violating duplicate would
+    # silently invert with the wrong width assumptions, so it raises
+    # instead (ADVICE r13).
     transforms: list[tuple] = []
+    seen_ttypes: set[int] = set()
     dec_w = w  # palette bundling shrinks the coded width
     while br.read(1):
         ttype = br.read(2)
-        if ttype == 2:
+        if ttype in seen_ttypes:
+            raise ValueError(
+                f"VP8L: transform {ttype} appears twice (spec allows "
+                "each transform at most once)"
+            )
+        seen_ttypes.add(ttype)
+        if ttype == 0:
+            # PREDICTOR (r14, RFC 9649 §4.1): a tile entropy image
+            # assigns each 2^bits tile one of 14 spatial predictors
+            # via its green channel; the recorded width is the width
+            # ACTIVE at read time (a palette read after this one
+            # bundles only the transforms that follow it).
+            size_bits = br.read(3) + 2
+            tiles_w = (dec_w + (1 << size_bits) - 1) >> size_bits
+            tiles_h = (h + (1 << size_bits) - 1) >> size_bits
+            tile_px = _decode_entropy_image(br, tiles_w, tiles_h, False)
+            modes = ((tile_px >> 8) & 0xFF).astype(np.int64)
+            if modes.size and int(modes.max()) > 13:
+                raise ValueError("VP8L: predictor mode > 13")
+            transforms.append(
+                ("predictor", modes, size_bits, tiles_w, dec_w)
+            )
+        elif ttype == 2:
             transforms.append(("subgreen",))
         elif ttype == 3:
             n_colors = br.read(8) + 1
@@ -405,6 +565,16 @@ def decode_vp8l_payload(payload: bytes) -> np.ndarray:
         if t[0] == "subgreen":
             r = (r + g) & 0xFF
             b = (b + g) & 0xFF
+        elif t[0] == "predictor":
+            _, modes, size_bits, tiles_w, pred_w = t
+            if pred_w != cur_w:
+                # can only happen on a spec-violating stream (the
+                # width at read time is the width at inverse time by
+                # the reverse-order contract)
+                raise ValueError("VP8L: predictor width mismatch")
+            a, r, g, b = _inverse_predictor(
+                a, r, g, b, h, cur_w, modes, size_bits, tiles_w
+            )
         else:  # palette: unbundle green indices, look up ARGB
             _, pal, wb = t
             packed = g.reshape(h, cur_w)
@@ -466,11 +636,25 @@ def _write_prefix_code(
         return {nz[0]: (0, 0)}  # zero-bit single symbol
     # normal path: CLC lengths for symbols 0..15 only (no repeats
     # used), emitted as all 19 3-bit fields in spec order
-    used = sorted({ln for ln in lengths if ln > 0} | {0})
     clc_freq = [0] * 19
     for ln in lengths:
         clc_freq[ln] += 1
     clc_lengths = _limited_lengths(clc_freq, 7)
+    if sum(1 for ln in clc_lengths if ln > 0) == 1:
+        # ADVICE r13 (medium): every alphabet symbol shares ONE code
+        # length and none is zero (e.g. a channel using all 256
+        # values gives uniform length 8) — the CLC degenerates to a
+        # single symbol, which the decoder reads with ZERO bits while
+        # a 1-bit code would desync the stream (and an emitted
+        # single-length CLC is an incomplete code strict decoders
+        # reject). Pad with a dummy length-1 code on CLC symbol 0
+        # (the only symbol guaranteed absent here): both sides then
+        # agree on one bit per coded length and the CLC is
+        # Kraft-complete.
+        only = next(s for s, ln in enumerate(clc_lengths) if ln > 0)
+        clc_lengths = [0] * 19
+        clc_lengths[0] = 1
+        clc_lengths[only] = 1
     bw.write(0, 1)  # not simple
     bw.write(19 - 4, 4)
     for sym in _CLC_ORDER:
@@ -480,15 +664,14 @@ def _write_prefix_code(
     for ln in lengths:
         code, cl = clc_codes[ln]
         bw.write_code(code, cl)
-    _ = used
     return _canonical_codes(lengths)
 
 
 def _limited_lengths(freq: list[int], max_len: int) -> list[int]:
-    """Code lengths for the given frequencies: package-merge-free
-    heuristic — build a plain Huffman tree, then flatten any
-    over-long codes by the simple length-limiting rebalance (the
-    alphabets here are tiny, fixture-grade inputs)."""
+    """Code lengths for the given frequencies: plain Huffman tree;
+    if any code overruns ``max_len``, fall back to the balanced
+    complete assignment (see inline note). Either way the result is
+    Kraft-COMPLETE — the decoder rejects anything else."""
     import heapq
 
     items = [(f, sym) for sym, f in enumerate(freq) if f > 0]
@@ -506,20 +689,26 @@ def _limited_lengths(freq: list[int], max_len: int) -> list[int]:
             depth[s] += 1
         heapq.heappush(heap, (f1 + f2, s1 + s2))
     lengths = [0] * len(freq)
+    if max(depth.values()) > max_len:
+        # the clamp-and-repair rebalance can leave an INCOMPLETE code
+        # (the decoder now enforces Kraft completeness — ADVICE r13);
+        # fall back to the balanced complete assignment instead:
+        # with n symbols and L = ceil(log2(n)), giving 2n - 2^L
+        # symbols length L and 2^L - n symbols length L-1 sums the
+        # Kraft inequality to exactly 1. The shorter codes go to the
+        # most frequent symbols. Compression is suboptimal; validity
+        # is exact (fixture-grade inputs never hit this branch).
+        n = len(items)
+        L = max(1, (n - 1).bit_length())
+        if L > max_len:
+            raise ValueError("alphabet too large for max code length")
+        by_freq = sorted(items, key=lambda t: (-t[0], t[1]))
+        n_short = (1 << L) - n
+        for rank, (_, sym) in enumerate(by_freq):
+            lengths[sym] = L - 1 if rank < n_short else L
+        return lengths
     for sym, d in depth.items():
-        lengths[sym] = min(d, max_len)
-    # repair kraft if the clamp broke it: greedily lengthen the
-    # shallowest clamped siblings (inputs here are tiny; exactness
-    # of compression is not the point, validity is)
-    def kraft(ls):
-        return sum(2 ** (max_len - l) for l in ls if l > 0)
-
-    while kraft(lengths) > 2**max_len:
-        cand = min(
-            (sym for sym, l in enumerate(lengths) if 0 < l < max_len),
-            key=lambda s: lengths[s],
-        )
-        lengths[cand] += 1
+        lengths[sym] = d
     return lengths
 
 
@@ -566,6 +755,7 @@ def encode_webp_lossless(
     arr: np.ndarray,
     subtract_green: bool = False,
     palette: bool = False,
+    predictor_mode: int | None = None,
 ) -> bytes:
     """(H, W, 3) uint8 RGB → RIFF/WEBP container with a spec-subset
     VP8L payload: literals only (no LZ77 search, no color cache),
@@ -573,7 +763,9 @@ def encode_webp_lossless(
     ≤2 values, the full code-length-coded path otherwise), optional
     SUBTRACT_GREEN, optional COLOR_INDEXING (``palette=True``, ≤256
     distinct colors: delta-coded palette aux image + pixel bundling
-    for ≤16-color images — the icon/logo shape real webps use).
+    for ≤16-color images — the icon/logo shape real webps use),
+    optional PREDICTOR (``predictor_mode`` 0-13, r14: one uniform
+    spatial predictor across all tiles — the photographic shape).
     Fixture-grade compression, real bitstream — the exact inverse of
     :func:`decode_webp_lossless` (pinned in tests channel-exactly)."""
     h, w, c = arr.shape
@@ -581,8 +773,12 @@ def encode_webp_lossless(
         raise ValueError("encode_webp_lossless expects (H, W, 3) uint8")
     if w > 16384 or h > 16384:
         raise ValueError("VP8L dims cap at 16384")
-    if palette and subtract_green:
-        raise ValueError("palette and subtract_green are exclusive")
+    if sum((palette, subtract_green, predictor_mode is not None)) > 1:
+        raise ValueError(
+            "palette / subtract_green / predictor_mode are exclusive"
+        )
+    if predictor_mode is not None and not 0 <= predictor_mode <= 13:
+        raise ValueError("predictor_mode must be 0..13")
     bw = _BitWriter()
     bw.write(0x2F, 8)
     bw.write(w - 1, 14)
@@ -626,6 +822,35 @@ def encode_webp_lossless(
         zero = np.zeros_like(g)
         _write_entropy_image(
             bw, g, zero, zero, np.full_like(g, 255), is_level0=True
+        )
+    elif predictor_mode is not None:
+        size_bits = 2  # 4x4 tiles; any size works for a uniform mode
+        tiles_w = (w + 3) >> 2
+        tiles_h = (h + 3) >> 2
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(size_bits - 2, 3)
+        n_tiles = tiles_w * tiles_h
+        tg = np.full(n_tiles, predictor_mode, dtype=np.int64)
+        tz = np.zeros(n_tiles, dtype=np.int64)
+        _write_entropy_image(
+            bw, tg, tz, tz, np.full(n_tiles, 255, np.int64),
+            is_level0=False,
+        )
+        bw.write(0, 1)  # end of transforms
+        px = np.stack(
+            [
+                np.full((h, w), 255, np.int64),
+                arr[:, :, 0].astype(np.int64),
+                arr[:, :, 1].astype(np.int64),
+                arr[:, :, 2].astype(np.int64),
+            ],
+            axis=-1,
+        )  # (a, r, g, b)
+        res = _forward_predictor(px, h, w, predictor_mode).reshape(-1, 4)
+        _write_entropy_image(
+            bw, res[:, 2], res[:, 1], res[:, 3], res[:, 0],
+            is_level0=True,
         )
     else:
         r = arr[:, :, 0].astype(np.int32).reshape(-1)

@@ -2557,10 +2557,11 @@ def q_gif_frames_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through the engine's spec-subset VP8L encoder — per-channel "
     "canonical prefix codes, real bitstream — and the SAME lenient "
     "image pass that decodes PNG/JPEG/GIF recovers exact pixel "
-    "statistics; odd documents take the SUBTRACT_GREEN transform so "
-    "both stream shapes sit in one result. The oracle is the CLOSED "
-    "FORM of the band construction — ground truth, not a decode "
-    "replay",
+    "statistics; documents rotate by residue through the PLAIN, "
+    "SUBTRACT_GREEN and PREDICTOR(mode = doc_id%14, r14) stream "
+    "shapes so all three transforms sit in one result. The oracle "
+    "is the CLOSED FORM of the band construction — ground truth, "
+    "not a decode replay",
     oracle="""
 SELECT doc_id,
        CAST(6 AS INT) AS width,
@@ -2601,9 +2602,15 @@ def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = np.empty((4, 6, 3), np.uint8)
                 img[:split] = 30 + i % 50
                 img[split:] = 170 + i % 60
-                blobs.append(
-                    encode_webp_lossless(img, subtract_green=i % 2 == 1)
-                )
+                if i % 3 == 1:
+                    blob = encode_webp_lossless(img, subtract_green=True)
+                elif i % 3 == 2:
+                    blob = encode_webp_lossless(
+                        img, predictor_mode=i % 14
+                    )
+                else:
+                    blob = encode_webp_lossless(img)
+                blobs.append(blob)
             pdf["content"] = blobs
             yield pdf[["doc_id", "content"]]
 

@@ -119,7 +119,7 @@ class TestSubsetBoundary:
         bw.write(0, 1)
         bw.write(0, 3)
         bw.write(1, 1)  # a transform follows
-        bw.write(0, 2)  # PREDICTOR — outside the subset
+        bw.write(1, 2)  # COLOR_TRANSFORM — outside the subset
         with pytest.raises(ValueError, match="subset"):
             decode_vp8l_payload(bw.bytes())
 
@@ -258,3 +258,133 @@ class TestMetaPrefixCodes:
         assert (left[:, :, 0] == 250).all() and (left[:, :, 2] == 5).all()
         assert (right[:, :, 0] == 7).all() and (right[:, :, 2] == 248).all()
         assert (rgba[:, :, 3] == 255).all()
+
+
+class TestPredictorTransform:
+    """PREDICTOR transform (r14, RFC 9649 §4.1): all 14 modes
+    round-trip through the matched encoder, edge rules pinned by a
+    hand-built stream with independently computed expected pixels."""
+
+    @staticmethod
+    def _img(h, w, seed=7):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [(x * 7 + y * 3) % 256, (x * 2 + y * 11) % 256,
+             (x * 13 + y * 5) % 256], -1)
+        return ((base + rng.integers(0, 23, (h, w, 3))) % 256).astype(
+            np.uint8
+        )
+
+    @pytest.mark.parametrize("mode", range(14))
+    def test_all_modes_roundtrip(self, mode):
+        img = self._img(9, 7, seed=mode)
+        blob = encode_webp_lossless(img, predictor_mode=mode)
+        assert np.array_equal(decode_webp_lossless(blob), img)
+
+    @pytest.mark.parametrize("shape", [(1, 9), (9, 1), (2, 2), (5, 16)])
+    def test_edge_shapes(self, shape):
+        # 1-wide/1-tall hit the L-only / T-only edge rules everywhere;
+        # TR-using modes (3, 5, 9, 10) exercise the rightmost-column
+        # wrap to the current row's leftmost pixel
+        for mode in (3, 5, 9, 10, 11, 12, 13):
+            img = self._img(*shape, seed=mode)
+            blob = encode_webp_lossless(img, predictor_mode=mode)
+            assert np.array_equal(decode_webp_lossless(blob), img)
+
+    def test_hand_built_stream_mode2_exact_pixels(self):
+        """2x2, mode 2 (T), residuals all (a,r,g,b)=(0,1,1,1): pixel
+        (0,0) = black+1 per channel (alpha 255+0), (1,0) predicts L,
+        (0,1) predicts T, (1,1) predicts T — expected grid computed
+        BY HAND, not by the codec."""
+        bw = _BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(2 - 1, 14)
+        bw.write(2 - 1, 14)
+        bw.write(0, 1)  # alpha hint
+        bw.write(0, 3)  # version
+        bw.write(1, 1)  # a transform follows
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(0, 3)  # size_bits = 2 -> one 4x4 tile covers 2x2
+        # tile entropy image (1x1, aux): green = mode 2, others 0/255
+        bw.write(0, 1)  # no cache
+        for lengths in (
+            [0, 0, 1] + [0] * (_GREEN_ALPHABET - 3),  # green {2}
+            [1] + [0] * 255,                           # red {0}
+            [1] + [0] * 255,                           # blue {0}
+            [0] * 255 + [1],                           # alpha {255}
+            [1] + [0] * 39,                            # distance
+        ):
+            _write_prefix_code(bw, lengths)
+        bw.write(0, 1)  # end of transforms
+        # main image: residual literals (g=1, r=1, b=1, a=0) x4
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta codes
+        for lengths in (
+            [0, 1] + [0] * (_GREEN_ALPHABET - 2),  # green {1}
+            [0, 1] + [0] * 254,                    # red {1}
+            [0, 1] + [0] * 254,                    # blue {1}
+            [1] + [0] * 255,                       # alpha {0}
+            [1] + [0] * 39,                        # distance
+        ):
+            _write_prefix_code(bw, lengths)
+        # every code is a zero-bit single symbol: no data bits at all
+        rgba = decode_vp8l_payload(bw.bytes())
+        # (0,0): pred 0xff000000 -> (r,g,b,a) = (1,1,1,255)
+        # (1,0): pred L=(1,1,1,255) -> (2,2,2,255)
+        # (0,1): pred T=(1,1,1,255) -> (2,2,2,255)
+        # (1,1): mode 2 pred T=(2,2,2,255) -> (3,3,3,255)
+        expected = np.array(
+            [[[1, 1, 1, 255], [2, 2, 2, 255]],
+             [[2, 2, 2, 255], [3, 3, 3, 255]]], np.uint8)
+        assert np.array_equal(rgba, expected)
+
+    def test_mode_above_13_raises(self):
+        img = self._img(2, 2)
+        with pytest.raises(ValueError, match="0..13"):
+            encode_webp_lossless(img, predictor_mode=14)
+
+
+class TestAdviceR13Fixes:
+    def test_uniform_256_value_channel_roundtrips(self):
+        """ADVICE r13 (medium): a channel using all 256 values once
+        gives every symbol length 8 — the degenerate single-length
+        CLC must not desync the bitstream."""
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:, :, 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        img[:, :, 1] = 7
+        img[:, :, 2] = 13
+        assert np.array_equal(
+            decode_webp_lossless(encode_webp_lossless(img)), img
+        )
+
+    def test_kraft_incomplete_and_oversubscribed_raise(self):
+        """ADVICE r13 (low): malformed wild streams with bad length
+        sets must raise, not alias symbols silently."""
+        from openaq_data_pipeline_spark.operators.vp8l import (
+            _PrefixDecoder,
+        )
+
+        with pytest.raises(ValueError, match="Kraft"):
+            _PrefixDecoder([1, 1, 1])   # over-subscribed
+        with pytest.raises(ValueError, match="Kraft"):
+            _PrefixDecoder([2, 2, 2])   # incomplete
+        _PrefixDecoder([1, 2, 2])       # complete: fine
+        _PrefixDecoder([0, 3, 0])       # single symbol: exempt
+
+    def test_duplicate_transform_raises(self):
+        """ADVICE r13 (low): the spec allows each transform type at
+        most once; a duplicate must raise, not invert with wrong
+        width assumptions."""
+        bw = _BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(0, 14)
+        bw.write(0, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN again
+        with pytest.raises(ValueError, match="twice"):
+            decode_vp8l_payload(bw.bytes())
