@@ -762,7 +762,7 @@ def webp_header_stats(content: bytes) -> tuple[str, int, int, bool, bool]:
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
-    279: "strip_counts",
+    279: "strip_counts", 317: "predictor",
 }
 
 
@@ -827,18 +827,149 @@ def tiff_header_stats(content: bytes) -> tuple[int, int, int, int, int]:
     )
 
 
-def encode_tiff_rgb(arr: np.ndarray, big_endian: bool = False) -> bytes:
-    """(H, W, 3) uint8 → single-strip uncompressed chunky-RGB TIFF
-    (II or MM byte order) — the fixture face of
-    :func:`decode_tiff_rgb`."""
+def _tiff_lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
+    """TIFF 6.0 §13 LZW → raw bytes: the MSB-first, EARLY-CHANGE
+    variant of the GIF core above (r14, VERDICT r13 missing #4).
+    Differences from GIF-flavor LZW, both from the public spec:
+    codes pack high-bit-first into bytes, the alphabet is fixed at
+    8-bit (Clear=256, EOI=257, first dictionary code 258, initial
+    width 9), and BOTH sides bump the code width one entry early —
+    when the next free code equals 2^width - 1 (510/1022/2046), the
+    spec's famous off-by-one. ``max_out`` caps output (strip size is
+    known from the IFD); ValueError on truncation or a code out of
+    range. The stream must OPEN with a Clear code (every conforming
+    writer emits one): LZW has no magic bytes, so without this gate
+    a strip that merely CLAIMS compression=5 would decode to silent
+    garbage instead of falling back to the header-stats row."""
+    CLEAR, EOI, FIRST = 256, 257, 258
+    if len(data) < 2 or (data[0] << 1 | data[1] >> 7) != CLEAR:
+        raise ValueError("TIFF LZW stream does not start with Clear")
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    acc = n_acc = pos = 0
+    prev: bytes | None = None
+    n = len(data)
+    while True:
+        while n_acc < width:
+            if pos >= n:
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            n_acc += 8
+        code = (acc >> (n_acc - width)) & ((1 << width) - 1)
+        n_acc -= width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code < len(table) and code != CLEAR and code != EOI:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # early change: bump when the NEXT free code would need
+            # the wider field minus one (510 -> 10 bits, 1022 -> 11,
+            # 2046 -> 12)
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+        if max_out is not None and len(out) >= max_out:
+            break
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Matched encoder face of :func:`_tiff_lzw_decode` (fixture
+    synthesis): greedy LZW, MSB-first packing, early change, Clear
+    emitted when the table reaches the spec's 4094 refill point."""
+    CLEAR, EOI, FIRST = 256, 257, 258
+    out_bits = bytearray()
+    acc = n_acc = 0
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, n_acc
+        acc = (acc << w) | code
+        n_acc += w
+        while n_acc >= 8:
+            out_bits.append((acc >> (n_acc - 8)) & 0xFF)
+            n_acc -= 8
+        acc &= (1 << n_acc) - 1
+
+    width = 9
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(256)}
+    next_code = FIRST
+    put(CLEAR, width)
+    buf: tuple[int, ...] = ()
+    for px in data:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf], width)
+        if next_code == 4094:
+            # table refill point (the decoder stops adding at 4096;
+            # clearing here keeps a one-entry safety margin exactly
+            # as libtiff's writer does)
+            put(CLEAR, width)
+            table = {(i,): i for i in range(256)}
+            width = 9
+            next_code = FIRST
+        else:
+            table[cand] = next_code
+            next_code += 1
+            # early change: the encoder bumps after ASSIGNING entry
+            # 2^w - 1 (511/1023/2047) while the decoder — which adds
+            # each entry one code later — bumps after ADDING entry
+            # 2^w - 2 (510/1022/2046): the usual one-step lockstep,
+            # shifted one entry early vs the GIF pair above
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        buf = (px,)
+    if buf:
+        put(table[buf], width)
+    put(EOI, width)
+    if n_acc:
+        out_bits.append((acc << (8 - n_acc)) & 0xFF)
+    return bytes(out_bits)
+
+
+def encode_tiff_rgb(
+    arr: np.ndarray,
+    big_endian: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 → single-strip chunky-RGB TIFF (II or MM byte
+    order) — the fixture face of :func:`decode_tiff_rgb`. With
+    ``lzw`` (r14) the strip is TIFF-LZW compressed (compression=5);
+    with ``predictor`` (requires ``lzw``) horizontal differencing
+    (tag 317 = 2) is applied first — the pairing real LZW TIFFs
+    ship with."""
     h, w, c = arr.shape
     if c != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_tiff_rgb expects (H, W, 3) uint8")
+    if predictor and not lzw:
+        raise ValueError("predictor=True requires lzw=True")
     e = ">" if big_endian else "<"
-    data = arr.tobytes()
-    # header(8) + IFD: count + 8 entries + next(4), then bits array,
+    px = arr
+    if predictor:
+        d = px.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - px[:, :-1, :].astype(np.int16)
+        px = (d & 0xFF).astype(np.uint8)
+    data = px.tobytes()
+    if lzw:
+        data = _tiff_lzw_encode(data)
+    # header(8) + IFD: count + entries + next(4), then bits array,
     # then pixel data
-    n_entries = 8
+    n_entries = 9 if predictor else 8
     ifd_off = 8
     bits_off = ifd_off + 2 + 12 * n_entries + 4
     data_off = bits_off + 6
@@ -856,11 +987,13 @@ def encode_tiff_rgb(arr: np.ndarray, big_endian: bool = False) -> bytes:
     out += entry(256, 3, 1, short_val(w))
     out += entry(257, 3, 1, short_val(h))
     out += entry(258, 3, 3, struct.pack(e + "I", bits_off))
-    out += entry(259, 3, 1, short_val(1))  # uncompressed
+    out += entry(259, 3, 1, short_val(5 if lzw else 1))
     out += entry(273, 4, 1, struct.pack(e + "I", data_off))
     out += entry(277, 3, 1, short_val(3))
     out += entry(278, 3, 1, short_val(h))  # one strip
     out += entry(279, 4, 1, struct.pack(e + "I", len(data)))
+    if predictor:
+        out += entry(317, 3, 1, short_val(2))
     out += struct.pack(e + "I", 0)  # no next IFD
     out += struct.pack(e + "HHH", 8, 8, 8)
     out += data
@@ -868,10 +1001,13 @@ def encode_tiff_rgb(arr: np.ndarray, big_endian: bool = False) -> bytes:
 
 
 def decode_tiff_rgb(content: bytes) -> np.ndarray:
-    """Uncompressed chunky 8-bit RGB TIFF → (H, W, 3) uint8 (strips
-    concatenated in order; II and MM both). Compressed or non-RGB
-    TIFFs raise ValueError — the lenient plane then keeps the
-    header-stats row."""
+    """Chunky 8-bit RGB TIFF → (H, W, 3) uint8: uncompressed
+    (compression=1) and TIFF-LZW (compression=5, r14 — each strip
+    decompressed independently through :func:`_tiff_lzw_decode`),
+    with horizontal-differencing predictor (tag 317 = 2) inverted by
+    a per-row cumulative sum. II and MM both. Other compressions or
+    non-RGB shapes raise ValueError — the lenient plane then keeps
+    the header-stats row."""
     pages = list(_tiff_ifds(content))
     if not pages:
         raise ValueError("TIFF carries no IFD")
@@ -881,22 +1017,36 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
         offsets, counts = p["strip_offsets"], p["strip_counts"]
     except KeyError as exc:
         raise ValueError(f"TIFF page lacks {exc}") from exc
-    if p.get("compression", [1])[0] != 1:
-        raise ValueError("only uncompressed TIFF decodes here")
+    comp = p.get("compression", [1])[0]
+    if comp not in (1, 5):
+        raise ValueError("only uncompressed/LZW TIFF decodes here")
     if p.get("spp", [1])[0] != 3 or p.get("bits", [8])[0] != 8:
         raise ValueError("only 8-bit RGB TIFF decodes here")
+    pred = p.get("predictor", [1])[0]
+    if pred not in (1, 2):
+        raise ValueError(f"TIFF predictor {pred} unsupported")
+    rows_per_strip = p.get("rows_per_strip", [h])[0] or h
     buf = bytearray()
-    for o, cn in zip(offsets, counts):
+    for si, (o, cn) in enumerate(zip(offsets, counts)):
         if o + cn > len(content):
             raise ValueError("TIFF strip out of range")
-        buf += content[o : o + cn]
+        strip = content[o : o + cn]
+        if comp == 5:
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            strip = _tiff_lzw_decode(strip, max_out=n_rows * w * 3)
+        buf += strip
     if len(buf) < w * h * 3:
         raise ValueError("TIFF pixel data truncated")
-    return (
+    px = (
         np.frombuffer(bytes(buf[: w * h * 3]), np.uint8)
         .reshape(h, w, 3)
         .copy()
     )
+    if pred == 2:
+        # horizontal differencing: cumulative sum along the row per
+        # channel, mod 256
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+    return px
 
 
 _WEBP_FEATURE_DDL = (

@@ -2624,21 +2624,24 @@ def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_tiff_decode",
-    "EXT-multimodal — TIFF decode + header split (r13: the scanned-"
-    "document staple joins the image plane): per document a 4x6 "
-    "constant-value TIFF alternates II/MM byte order; every third "
-    "document claims LZW compression, which the REAL decoder "
-    "refuses — those rows keep header-walk dims with NULL pixel "
-    "stats while uncompressed rows decode exactly, both through "
-    "the one lenient Arrow pass. The oracle is the CLOSED FORM of "
-    "the synthesis — ground truth, not an IFD-walk replay",
+    "EXT-multimodal — TIFF decode + header split (r13; r14 extends "
+    "the real decoder with TIFF-LZW + horizontal predictor, VERDICT "
+    "r13 missing #4): per document a 4x6 constant-value TIFF "
+    "rotates by residue through REAL LZW (compression=5), "
+    "uncompressed big-endian MM, LZW + horizontal-differencing "
+    "predictor (tag 317=2), and a claimed JPEG-in-TIFF "
+    "(compression=7) which the decoder refuses — the refused rows "
+    "keep header-walk dims with NULL pixel stats while all three "
+    "decodable shapes recover exact pixels, through the one lenient "
+    "Arrow pass. The oracle is the CLOSED FORM of the synthesis — "
+    "ground truth, not an IFD-walk replay",
     oracle="""
 SELECT doc_id,
        CAST(6 AS INT) AS width,
        CAST(4 AS INT) AS height,
-       CASE WHEN doc_id % 3 = 0 THEN NULL
+       CASE WHEN doc_id % 4 = 3 THEN NULL
             ELSE CAST((25 + doc_id % 80) * 72 AS BIGINT) END AS px_sum,
-       CASE WHEN doc_id % 3 = 0 THEN NULL
+       CASE WHEN doc_id % 4 = 3 THEN NULL
             ELSE CAST(25 + doc_id % 80 AS DOUBLE) END AS mean_px
 FROM documents
 ORDER BY doc_id
@@ -2663,15 +2666,21 @@ def q_image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 img = np.full((4, 6, 3), 25 + i % 80, np.uint8)
-                be = i % 2 == 1
-                blob = bytearray(encode_tiff_rgb(img, big_endian=be))
-                if i % 3 == 0:
-                    # claim LZW: decode refuses, header walk stands
+                arm = i % 4
+                if arm == 0:
+                    blob = encode_tiff_rgb(img, lzw=True)
+                elif arm == 1:
+                    blob = encode_tiff_rgb(img, big_endian=True)
+                elif arm == 2:
+                    blob = encode_tiff_rgb(img, lzw=True, predictor=True)
+                else:
+                    # claim JPEG-in-TIFF: decode refuses, header
+                    # walk stands (the r13 lenient split, kept)
+                    b = bytearray(encode_tiff_rgb(img))
                     off = 8 + 2 + 12 * 3 + 8
-                    blob[off : off + 2] = _struct.pack(
-                        ">H" if be else "<H", 5
-                    )
-                blobs.append(bytes(blob))
+                    b[off : off + 2] = _struct.pack("<H", 7)
+                    blob = bytes(b)
+                blobs.append(blob)
             pdf["content"] = blobs
             yield pdf[["doc_id", "content"]]
 

@@ -2156,8 +2156,9 @@ class TestGifAnimation:
 
 
 class TestTiff:
-    """TIFF (r13): IFD header walk for any compression + a real
-    uncompressed chunky-RGB codec (II and MM byte orders), and the
+    """TIFF (r13, LZW r14): IFD header walk for any compression + a
+    real chunky-RGB codec — uncompressed and TIFF-LZW with the
+    horizontal predictor (II and MM byte orders) — and the
     image-plane fallback split (decode pixels when possible, header
     dims when not)."""
 
@@ -2190,12 +2191,82 @@ class TestTiff:
         )
 
         img = np.zeros((4, 4, 3), np.uint8)
-        blob = bytearray(encode_tiff_rgb(img))
         off = 8 + 2 + 12 * 3 + 8  # compression entry's value field
-        blob[off : off + 2] = struct.pack("<H", 5)  # claim LZW
-        assert tiff_header_stats(bytes(blob))[3] == 5
-        with pytest.raises(ValueError, match="uncompressed"):
+        # JPEG-in-TIFF (7): outside the decode subset, header walks
+        blob = bytearray(encode_tiff_rgb(img))
+        blob[off : off + 2] = struct.pack("<H", 7)
+        assert tiff_header_stats(bytes(blob))[3] == 7
+        with pytest.raises(ValueError, match="uncompressed/LZW"):
             decode_tiff_rgb(bytes(blob))
+        # CLAIMED LZW over a raw strip: LZW has no magic, but every
+        # conforming writer opens with a Clear code — the gate turns
+        # would-be silent garbage into the header-stats fallback
+        blob = bytearray(encode_tiff_rgb(np.full((4, 4, 3), 50, np.uint8)))
+        blob[off : off + 2] = struct.pack("<H", 5)
+        with pytest.raises(ValueError, match="Clear"):
+            decode_tiff_rgb(bytes(blob))
+
+    def test_lzw_roundtrip_and_predictor(self):
+        """TIFF-LZW (r14, VERDICT r13 missing #4): the MSB-first
+        early-change variant round-trips, horizontal differencing
+        (tag 317=2) inverts, and the predictor genuinely shrinks a
+        gradient's LZW output."""
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_tiff_rgb,
+            encode_tiff_rgb,
+            tiff_header_stats,
+        )
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+        for kw in (
+            {"lzw": True},
+            {"lzw": True, "big_endian": True},
+            {"lzw": True, "predictor": True},
+            {"lzw": True, "predictor": True, "big_endian": True},
+        ):
+            blob = encode_tiff_rgb(img, **kw)
+            assert np.array_equal(decode_tiff_rgb(blob), img), kw
+            assert tiff_header_stats(blob)[3] == 5
+        y, x = np.mgrid[0:32, 0:48]
+        grad = np.stack(
+            [(x * 3) % 256, (x * 3 + 40) % 256, (x * 3 + 90) % 256], -1
+        ).astype(np.uint8)
+        plain = encode_tiff_rgb(grad, lzw=True)
+        pred = encode_tiff_rgb(grad, lzw=True, predictor=True)
+        assert len(pred) < len(plain) < grad.nbytes
+
+    def test_lzw_width_boundaries_and_hand_stream(self):
+        """The early-change width ladder: inputs long enough to cross
+        9→10→11→12 bits and force the 4094 table refill round-trip;
+        a hand-built 9-bit stream pins the bit packing byte-exactly
+        (Clear, 'a', 'b', EOI at 9 bits MSB-first)."""
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            _tiff_lzw_decode,
+            _tiff_lzw_encode,
+        )
+
+        rng = np.random.default_rng(3)
+        for data in (
+            b"",
+            b"TOBEORNOTTOBEORTOBEORNOT",
+            bytes(rng.integers(0, 256, 2000)),   # 9 -> 10 bits
+            bytes(rng.integers(0, 256, 9000)),   # 10 -> 11
+            bytes(rng.integers(0, 256, 40000)),  # refill/clear
+            bytes(rng.integers(0, 4, 30000)),    # deep dictionary
+        ):
+            assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+        bits = "".join(format(c, "09b") for c in (256, 97, 98, 257))
+        bits += "0" * ((8 - len(bits) % 8) % 8)
+        raw = bytes(
+            int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+        )
+        assert _tiff_lzw_encode(b"ab") == raw
+        assert _tiff_lzw_decode(raw) == b"ab"
 
     def test_image_plane_split(self, spark):
         import struct
