@@ -225,7 +225,9 @@ def chunk_documents(
 # after the ordinary word far more often than it protects the rare
 # numero abbreviation; r12 review)
 _SENT_ABBREVS = ("Mr", "Mrs", "Ms", "Dr", "Prof", "St", "vs", "etc")
-def split_sentences(text, abbreviations=None) -> "F.Column":
+def split_sentences(
+    text, abbreviations=None, collocations=None, starters=None
+) -> "F.Column":
     """array<string> of sentences: split after ``.!?`` followed by
     whitespace, guarded against the common abbreviation false
     boundaries (Mr./Dr./e.g./… — each guard a bounded lookbehind, so
@@ -234,10 +236,37 @@ def split_sentences(text, abbreviations=None) -> "F.Column":
     :func:`learn_abbreviations` — the Punkt insight made a plain
     parameter: the static list covers English honorifics, the
     learned list covers whatever the corpus actually abbreviates
-    (domain jargon, other languages). Remaining residual: quoted/
-    numbered edge cases beyond the guards split wrong, the same
-    class as html_extract's numeric entities. NULL → NULL; text
-    without boundaries is a one-element array."""
+    (domain jargon, other languages).
+
+    The two remaining Kiss & Strunk signals (r14, VERDICT r13
+    missing #5) thread in the same way:
+
+    - ``collocations`` — (first, second) pairs from
+      :func:`learn_collocations`: the boundary after ``first.`` is
+      suppressed ONLY when ``second`` follows (the "vs. Smith" case
+      the abbreviation-ratio signal alone misses when the first
+      token also occurs bare). Each pair is one zero-width negative
+      lookahead carrying a bounded lookbehind.
+    - ``starters`` — frequent sentence-starter tokens from
+      :func:`learn_sentence_starters`: a LEARNED abbreviation guard
+      is overridden when a frequent starter follows — Punkt's
+      orthographic evidence that the period really did end the
+      sentence ("met Qz. However we left" splits even though Qz. is
+      an abbreviation). Static honorific guards are not overridden
+      (Dr. Smith stays joined whatever follows).
+
+    Remaining residual: quoted/numbered edge cases beyond the
+    guards split wrong, the same class as html_extract's numeric
+    entities. NULL → NULL; text without boundaries is a one-element
+    array."""
+    starter_alt = ""
+    if starters:
+        for s in starters:
+            if not _ABBREV_TOKEN_RE.match(s):
+                raise ValueError(
+                    f"starter {s!r} is not a plain word token"
+                )
+        starter_alt = "|(?=\\s+(?i:" + "|".join(starters) + ")\\b)"
     extra = ""
     if abbreviations:
         for a in abbreviations:
@@ -247,13 +276,31 @@ def split_sentences(text, abbreviations=None) -> "F.Column":
                 )
         # learned types are case-folded (learn_abbreviations lowers
         # them); the guard matches any casing via a fixed-width
-        # inline-flag group
-        extra = "".join(f"(?<!\\b(?i:{a})\\.)" for a in abbreviations)
+        # inline-flag group. With starters, each learned guard is an
+        # alternation: pass when NOT preceded by the abbreviation OR
+        # when a frequent starter follows.
+        extra = "".join(
+            f"(?:(?<!\\b(?i:{a})\\.){starter_alt})"
+            for a in abbreviations
+        )
+    colloc = ""
+    if collocations:
+        for w1, w2 in collocations:
+            if not (_ABBREV_TOKEN_RE.match(w1) and _ABBREV_TOKEN_RE.match(w2)):
+                raise ValueError(
+                    f"collocation ({w1!r}, {w2!r}) is not a plain "
+                    "word-token pair"
+                )
+        colloc = "".join(
+            f"(?!(?<=\\b(?i:{w1})\\.)\\s+(?i:{w2})\\b)"
+            for w1, w2 in collocations
+        )
     return F.split(
         text,
         "(?<=[.!?])"
         + "".join(f"(?<!\\b{a}\\.)" for a in _SENT_ABBREVS)
         + extra
+        + colloc
         + "(?<!\\be\\.g\\.)(?<!\\bi\\.e\\.)"
         + "\\s+",
     )
@@ -324,6 +371,192 @@ def learn_abbreviations(
             F.col("n_period").cast("long"),
             F.col("n_bare").cast("long"),
             (F.col("n_period") * 1_000_000 / total)
+            .cast("long")
+            .alias("ratio_ppm"),
+        )
+    )
+
+
+def _token_bigrams(df: DataFrame, text_col: str) -> DataFrame:
+    """(__w1, __w2) adjacent whitespace-token pairs of every
+    document — the shared explode of both r14 Punkt learners. The
+    pairing is a pure codegen ``arrays_zip`` of the token array with
+    its own 1-shifted slice (no window, no shuffle before the
+    per-type aggregation)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    return (
+        df.select(F.explode(pairs).alias("__pair"))
+        .select(
+            F.col("__pair")["0"].alias("__w1"),
+            F.col("__pair")["1"].alias("__w2"),
+        )
+        .where((F.col("__w1") != "") & (F.col("__w2") != ""))
+    )
+
+
+def learn_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_pair_count: int = 3,
+    min_attach_ratio: float = 0.5,
+    min_follow_ratio: float = 0.5,
+) -> DataFrame:
+    """(token, next_token, n_pair, attach_ppm, follow_ppm) — the
+    Punkt COLLOCATION signal (Kiss & Strunk 2006 §4.1.2, the second
+    of the three corpus statistics; r14, VERDICT r13 missing #5): a
+    (word., NextWord) pair that accounts for most of both types'
+    occurrences is a collocation whose period is NOT a sentence
+    boundary, even when the first token fails the abbreviation
+    ratio because it also occurs bare ("vs" in "X vs Y" vs
+    "vs. Smith"). Feed (token, next_token) pairs into
+    :func:`split_sentences`' ``collocations`` parameter — the list
+    is vocabulary-bounded, a BPE-class driver finisher.
+
+    Scoring transparent like :func:`learn_abbreviations` (full
+    Punkt uses Dunning log-likelihood): ``attach_ppm`` = pair count
+    over the first type's period-attached count, ``follow_ppm`` =
+    pair count over the second type's total count; both must clear
+    their ratios and the raw pair count.
+
+    Plan: one bigram explode → per-(pair) counts, joined to the two
+    per-type count sides (vocabulary-sized, AQE broadcasts them).
+    Two shuffles on token types, all partial-aggregable."""
+    bi = _token_bigrams(df, text_col)
+    w1_period = F.col("__w1").rlike(r"^[A-Za-z]+\.$")
+    w2_wordish = F.col("__w2").rlike(r"^[A-Za-z]+[.!?,;:]?$")
+    pairs = (
+        bi.where(w1_period & w2_wordish)
+        .select(
+            F.lower(F.regexp_replace("__w1", r"\.$", "")).alias("token"),
+            F.lower(
+                F.regexp_replace("__w2", r"[.!?,;:]$", "")
+            ).alias("next_token"),
+        )
+        .groupBy("token", "next_token")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w")
+    ).where(F.col("__w") != "")
+    attach = (
+        toks.where(F.col("__w").rlike(r"^[A-Za-z]+\.$"))
+        .select(
+            F.lower(F.regexp_replace("__w", r"\.$", "")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n_attach"))
+    )
+    follow = (
+        toks.where(F.col("__w").rlike(r"^[A-Za-z]+[.!?,;:]?$"))
+        .select(
+            F.lower(
+                F.regexp_replace("__w", r"[.!?,;:]$", "")
+            ).alias("next_token")
+        )
+        .groupBy("next_token")
+        .agg(F.count(F.lit(1)).alias("__n_follow"))
+    )
+    return (
+        pairs.join(attach, "token")
+        .join(follow, "next_token")
+        .where(
+            (
+                F.col("n_pair") * 1_000_000
+                >= F.lit(int(min_attach_ratio * 1_000_000))
+                * F.col("__n_attach")
+            )
+            & (
+                F.col("n_pair") * 1_000_000
+                >= F.lit(int(min_follow_ratio * 1_000_000))
+                * F.col("__n_follow")
+            )
+        )
+        .select(
+            "token",
+            "next_token",
+            F.col("n_pair").cast("long"),
+            (F.col("n_pair") * 1_000_000 / F.col("__n_attach"))
+            .cast("long")
+            .alias("attach_ppm"),
+            (F.col("n_pair") * 1_000_000 / F.col("__n_follow"))
+            .cast("long")
+            .alias("follow_ppm"),
+        )
+    )
+
+
+def learn_sentence_starters(
+    df: DataFrame,
+    text_col: str,
+    min_start_count: int = 3,
+    min_ratio: float = 0.3,
+) -> DataFrame:
+    """(token, n_start, n_total, ratio_ppm) — the Punkt FREQUENT
+    SENTENCE STARTER signal (Kiss & Strunk 2006 §4.1.3, the third
+    corpus statistic; r14): a capitalized type that frequently
+    follows an UNAMBIGUOUS boundary (``!``/``?``-ended token, or
+    document start) is orthographic evidence FOR a boundary when it
+    follows an ambiguous ``word.`` — feed the tokens into
+    :func:`split_sentences`' ``starters`` parameter, where they
+    override learned-abbreviation guards. Unambiguous enders only,
+    so the statistic needs no abbreviation-learning pass first.
+
+    Plan: one bigram explode + one first-token projection → one
+    per-type count shuffle, partial-aggregable throughout."""
+    bi = _token_bigrams(df, text_col)
+    cap = r"^[A-Z][A-Za-z]*[.!?,;:]?$"
+    after_bang = bi.where(
+        F.col("__w1").rlike(r"[!?]$") & F.col("__w2").rlike(cap)
+    ).select(F.col("__w2").alias("__w"))
+    first = df.select(
+        F.element_at(
+            F.split(F.trim(F.col(text_col)), r"\s+"), 1
+        ).alias("__w")
+    ).where(F.col("__w").rlike(cap))
+    starts = (
+        after_bang.unionAll(first)
+        .select(
+            F.lower(F.regexp_replace("__w", r"[.!?,;:]$", "")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_start"))
+    )
+    totals = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("__w")
+        )
+        .where(F.col("__w").rlike(r"^[A-Za-z]+[.!?,;:]?$"))
+        .select(
+            F.lower(F.regexp_replace("__w", r"[.!?,;:]$", "")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    return (
+        starts.join(totals, "token")
+        .where(
+            (F.col("n_start") >= min_start_count)
+            & (
+                F.col("n_start") * 1_000_000
+                >= F.lit(int(min_ratio * 1_000_000)) * F.col("n_total")
+            )
+        )
+        .select(
+            "token",
+            F.col("n_start").cast("long"),
+            F.col("n_total").cast("long"),
+            (F.col("n_start") * 1_000_000 / F.col("n_total"))
             .cast("long")
             .alias("ratio_ppm"),
         )

