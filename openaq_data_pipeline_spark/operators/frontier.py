@@ -605,6 +605,7 @@ def recrawl_candidates(
     url_col: str = "url",
     lastmod_col: str = "lastmod",
     crawl_ts_col: str = "last_crawl_ts",
+    hint_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Close the sitemap→frontier loop: judge every discovered URL
     against the crawl history and emit a sortable recrawl priority —
@@ -633,7 +634,16 @@ def recrawl_candidates(
     small, shuffled-hash under AQE otherwise; no window, no skew
     construct needed (URL keys are near-unique). Feed the result
     straight into :func:`frontier_schedule` ordered by
-    (priority, lastmod_ts desc)."""
+    (priority, lastmod_ts desc).
+
+    ``hint_cols`` (r14, VERDICT r13 next #6): names of CONDITIONAL-
+    FETCH columns on ``crawled`` (``etag``, ``last_modified`` — the
+    response validators the ledger recorded) carried through from
+    the MOST RECENT crawl row via ``max_by`` in the same
+    pre-aggregation, NULL for never-crawled URLs — so the scheduled
+    rows ship ready-made If-None-Match / If-Modified-Since hints
+    and the fetcher (ops plane) can turn a 'fresh'/'unknown' recrawl
+    into a cheap 304."""
     from openaq_data_pipeline_spark.operators.text import canonicalize_url
 
     lm = F.col(lastmod_col)
@@ -653,9 +663,19 @@ def recrawl_candidates(
         crawled.select(
             canonicalize_url(F.col(url_col)).alias("__canon"),
             F.col(crawl_ts_col).alias("__crawl_ts"),
+            *[F.col(h) for h in hint_cols],
         )
         .groupBy("__canon")
-        .agg(F.max("__crawl_ts").alias("__crawl_ts"))
+        .agg(
+            F.max("__crawl_ts").alias("__crawl_ts"),
+            # validators travel with the crawl they came from: the
+            # hint of any OLDER crawl row would mismatch the copy
+            # the fetcher actually holds
+            *[
+                F.max_by(F.col(h), F.col("__crawl_ts")).alias(h)
+                for h in hint_cols
+            ],
+        )
     )
     joined = left.join(right, "__canon", "left")
     status = (
@@ -680,4 +700,5 @@ def recrawl_candidates(
         F.col("__crawl_ts").alias(crawl_ts_col),
         status.alias("status"),
         priority.cast("int").alias("priority"),
+        *[F.col(h) for h in hint_cols],
     )

@@ -676,6 +676,8 @@ def crawl_intake_gate(
     encoding_col: str | None = None,
     frontier_crawl_delays: DataFrame | None = None,
     intradoc_line_dedup: bool = False,
+    etag_col: str | None = None,
+    last_modified_col: str | None = None,
 ):
     """``foreachBatch`` body running the WHOLE crawl front door on
     each micro-batch of fetched pages (url, html): URL-ledger dedup
@@ -775,6 +777,17 @@ def crawl_intake_gate(
     :func:`~openaq_data_pipeline_spark.operators.frontier
     .parse_crawl_delays` output) the schedule also carries
     ``not_before_sec``, the politeness TIME half.
+
+    ``etag_col`` / ``last_modified_col`` (r14, VERDICT r13 next #6)
+    name the feed's response-validator columns (the ETag and
+    Last-Modified headers the fetcher recorded): they ride into the
+    crawl ledger alongside the fetch timestamp, and the recrawl loop
+    carries the MOST RECENT crawl's values into every scheduled row
+    (``etag`` / ``last_modified``, NULL for never-crawled URLs) —
+    ready-made If-None-Match / If-Modified-Since hints so the
+    fetcher can turn a deprioritized recrawl into a cheap 304. The
+    fetch itself stays ops-plane; this is a pure projection through
+    the existing pre-aggregated equi-join.
 
     With ``intradoc_line_dedup`` (r14, VERDICT r13 wrong #2) each
     page's OWN repeated lines are stripped first —
@@ -1095,23 +1108,43 @@ def crawl_intake_gate(
                 .groupBy("url")
                 .agg(F.max("lastmod").alias("lastmod"))
             )
+            # conditional-fetch validators (r14): which hint columns
+            # the ledger carries for the recrawl loop to project
+            hints = []
+            if etag_col is not None:
+                hints.append(("etag", etag_col))
+            if last_modified_col is not None:
+                hints.append(("last_modified", last_modified_col))
+            hint_names = tuple(h for h, _ in hints)
             fs, P = _hfs(spark, frontier_path)
             if fs.exists(P(log_path)):
                 # the probing batch's own first-attempt log rows are
                 # NOT history (the line-gate recipe): a replayed
                 # batch must judge — and schedule — identically
-                history = (
-                    spark.read.parquet(log_path)
-                    .where(F.col("batch_id") != batch_id)
-                    .select("url", "last_crawl_ts")
+                hist_raw = spark.read.parquet(log_path).where(
+                    F.col("batch_id") != batch_id
+                )
+                history = hist_raw.select(
+                    "url",
+                    "last_crawl_ts",
+                    # a log written before the hints were configured
+                    # lacks the columns: degrade to NULL, never fail
+                    *[
+                        F.col(h).cast("string").alias(h)
+                        if h in hist_raw.columns
+                        else F.lit(None).cast("string").alias(h)
+                        for h in hint_names
+                    ],
                 )
             else:
                 history = spark.createDataFrame(
-                    [], "url string, last_crawl_ts timestamp"
+                    [],
+                    "url string, last_crawl_ts timestamp"
+                    + "".join(f", {h} string" for h in hint_names),
                 )
-            cands = recrawl_candidates(discovered, history).withColumn(
-                "__fid", F.xxhash64(F.col("url"))
-            )
+            cands = recrawl_candidates(
+                discovered, history, hint_cols=hint_names
+            ).withColumn("__fid", F.xxhash64(F.col("url")))
             sched = frontier_schedule(
                 cands,
                 "url",
@@ -1123,7 +1156,8 @@ def crawl_intake_gate(
             (
                 sched.join(
                     cands.select(
-                        "__fid", "url", "lastmod_ts", "status", "priority"
+                        "__fid", "url", "lastmod_ts", "status",
+                        "priority", *hint_names,
                     ),
                     "__fid",
                 )
@@ -1143,6 +1177,10 @@ def crawl_intake_gate(
                     F.col(fetch_ts_col)
                     .cast("timestamp")
                     .alias("last_crawl_ts"),
+                    *[
+                        F.col(src).cast("string").alias(h)
+                        for h, src in hints
+                    ],
                 )
                 .selectExpr("*", f"{batch_id} as batch_id")
                 .write.mode("overwrite")
@@ -1177,6 +1215,8 @@ def stream_crawl_intake(
     encoding_col: str | None = None,
     frontier_crawl_delays: DataFrame | None = None,
     intradoc_line_dedup: bool = False,
+    etag_col: str | None = None,
+    last_modified_col: str | None = None,
 ):
     """Start the crawl-intake stream (same lifecycle contract as
     :func:`stream_corpus_ingest`): a continuous feed of fetched
@@ -1212,6 +1252,8 @@ def stream_crawl_intake(
                 encoding_col=encoding_col,
                 frontier_crawl_delays=frontier_crawl_delays,
                 intradoc_line_dedup=intradoc_line_dedup,
+                etag_col=etag_col,
+                last_modified_col=last_modified_col,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -1290,6 +1290,84 @@ class TestRecrawlFrontierLoop:
             assert log.count() == 4
 
 
+    def test_conditional_fetch_hints_reach_the_schedule(
+        self, spark, tmp_path
+    ):
+        """r14 (VERDICT r13 next #6): etag/last_modified validators
+        ride the crawl ledger and the MOST RECENT crawl's values
+        surface on every scheduled row — If-None-Match /
+        If-Modified-Since hints for the ops-plane fetcher; never-
+        crawled URLs carry NULLs."""
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            crawl_intake_gate,
+        )
+
+        schema = (
+            "page_id long, url string, payload binary, "
+            "fetched_at string, resp_etag string, resp_lm string"
+        )
+        out = str(tmp_path / "survivors")
+        froot = str(tmp_path / "frontier")
+        A, C = "https://h1.org/a", "https://h1.org/c"
+        smap = self._sitemap([(A, "2026-03-01"), (C, None)])
+        batch0 = spark.createDataFrame(
+            [
+                (1, A, _page(ART).encode(), "2026-01-15 10:00:00",
+                 '"v1"', "Mon, 12 Jan 2026 00:00:00 GMT"),
+            ],
+            schema,
+        )
+        batch1 = spark.createDataFrame(
+            [
+                (2, A, _page(ART).encode(), "2026-02-15 10:00:00",
+                 '"v2"', "Sun, 08 Feb 2026 00:00:00 GMT"),
+                (3, "https://h1.org/sitemap.xml", smap,
+                 "2026-02-15 10:00:01", None, None),
+            ],
+            schema,
+        )
+        batch2 = spark.createDataFrame(
+            [
+                (4, "https://h1.org/sitemap.xml", smap,
+                 "2026-03-02 00:00:00", None, None),
+            ],
+            schema,
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            gate = crawl_intake_gate(
+                "url", None, "page_id", ledger, hist, out,
+                payload_col="payload",
+                frontier_path=froot, fetch_ts_col="fetched_at",
+                etag_col="resp_etag", last_modified_col="resp_lm",
+            )
+            gate(batch0, 0)
+            gate(batch1, 1)
+            s1 = {
+                r.url: r
+                for r in spark.read.parquet(f"{froot}/schedule")
+                .where("batch_id = 1").collect()
+            }
+            # batch 1 excludes its own log rows: A's hint is v1
+            assert s1[A].etag == '"v1"'
+            assert s1[A].last_modified == "Mon, 12 Jan 2026 00:00:00 GMT"
+            assert s1[C].etag is None and s1[C].last_modified is None
+            gate(batch2, 2)
+            s2 = {
+                r.url: r
+                for r in spark.read.parquet(f"{froot}/schedule")
+                .where("batch_id = 2").collect()
+            }
+            # the MOST RECENT crawl's validators win
+            assert s2[A].etag == '"v2"'
+            assert s2[A].last_modified == "Sun, 08 Feb 2026 00:00:00 GMT"
+            assert s2[A].status == "changed"  # lastmod 03-01 > crawl 02-15
+
+
 class TestEncodedIntakeComposition:
     """crawl_intake_gate(encoding_col=) (r13): Content-Encoding hints
     ride the streaming front door — deflate bodies join the text
