@@ -29,14 +29,18 @@ over the spec's core coding layer —
   column predicts T, the rightmost column's TR-pixel is the current
   row's leftmost reconstructed pixel — per-tile modes via the tile
   entropy image's green channel. This moves most photographic VP8L
-  streams from header-only to pixel decode.
+  streams from header-only to pixel decode;
+- the COLOR_TRANSFORM transform (r14): per-tile signed
+  cross-channel multipliers (§4.2 — blue=green_to_red,
+  green=green_to_blue, red=red_to_blue packed in the tile pixel;
+  delta = (int8 t * int8 c) >> 5 arithmetic), red inverted before
+  blue so blue's red-term uses the reconstructed red. ALL FOUR spec
+  transforms now decode.
 
 Documented subset boundaries (a wild VP8L may use these; they
 degrade to the header-only stats row, never a stage failure,
 because the lenient image plane keys on ValueError):
 
-- the COLOR_TRANSFORM transform raises (the remaining transform:
-  per-tile signed cross-channel deltas);
 - the encoder emits literals + optional subtract-green / palette
   only (no LZ77 search, no cache) — fixture-grade compression,
   spec-grade bitstream, exercising the decoder's full literal/
@@ -239,6 +243,31 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
     if i > alphabet_size:
         raise ValueError("VP8L: code lengths overrun alphabet")
     return _PrefixDecoder(lengths)
+
+
+def _i8(arr: np.ndarray) -> np.ndarray:
+    """Reinterpret a 0..255 channel as int8 (RFC 9649 §4.2: the
+    color-transform multipliers AND the channel values they scale
+    are signed bytes)."""
+    return arr.astype(np.uint8).astype(np.int8).astype(np.int32)
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ColorTransformDelta(int8 t, int8 c) = (t * c) >> 5 — the
+    arithmetic (floor) shift the spec's C pseudocode relies on;
+    NumPy's >> on signed ints is arithmetic too."""
+    return (_i8(t) * _i8(c)) >> 5
+
+
+def _tile_index_grid(
+    h: int, w: int, size_bits: int, tiles_w: int
+) -> np.ndarray:
+    """Flat (h*w,) array mapping each pixel to its tile's index —
+    shared by the color-transform inverse/forward (the predictor
+    walks sequentially and indexes inline)."""
+    ys = (np.arange(h) >> size_bits)[:, None]
+    xs = (np.arange(w) >> size_bits)[None, :]
+    return (ys * tiles_w + xs).reshape(-1)
 
 
 def _avg2(a, b):
@@ -529,6 +558,19 @@ def decode_vp8l_payload(payload: bytes) -> np.ndarray:
             transforms.append(
                 ("predictor", modes, size_bits, tiles_w, dec_w)
             )
+        elif ttype == 1:
+            # COLOR_TRANSFORM (r14, RFC 9649 §4.2 — the last VP8L
+            # transform): a tile entropy image carries per-tile
+            # signed cross-channel multipliers packed as a pixel
+            # (blue=green_to_red, green=green_to_blue,
+            # red=red_to_blue)
+            size_bits = br.read(3) + 2
+            tiles_w = (dec_w + (1 << size_bits) - 1) >> size_bits
+            tiles_h = (h + (1 << size_bits) - 1) >> size_bits
+            cte_px = _decode_entropy_image(br, tiles_w, tiles_h, False)
+            transforms.append(
+                ("colortx", cte_px, size_bits, tiles_w, dec_w)
+            )
         elif ttype == 2:
             transforms.append(("subgreen",))
         elif ttype == 3:
@@ -551,10 +593,6 @@ def decode_vp8l_payload(payload: bytes) -> np.ndarray:
             wb = _palette_width_bits(n_colors)
             transforms.append(("palette", pal.astype(np.uint8), wb))
             dec_w = (dec_w + (1 << wb) - 1) >> wb
-        else:
-            raise ValueError(
-                f"VP8L: transform {ttype} outside the supported subset"
-            )
     argb = _decode_entropy_image(br, dec_w, h, True)
     a = ((argb >> 24) & 0xFF).astype(np.uint16)
     r = ((argb >> 16) & 0xFF).astype(np.uint16)
@@ -575,6 +613,24 @@ def decode_vp8l_payload(payload: bytes) -> np.ndarray:
             a, r, g, b = _inverse_predictor(
                 a, r, g, b, h, cur_w, modes, size_bits, tiles_w
             )
+        elif t[0] == "colortx":
+            _, cte_px, size_bits, tiles_w, ct_w = t
+            if ct_w != cur_w:
+                raise ValueError("VP8L: color transform width mismatch")
+            tile = _tile_index_grid(h, cur_w, size_bits, tiles_w)
+            g2r = (cte_px & 0xFF)[tile]
+            g2b = ((cte_px >> 8) & 0xFF)[tile]
+            r2b = ((cte_px >> 16) & 0xFF)[tile]
+            # inverse order matters: red first, then blue uses the
+            # RECONSTRUCTED red (spec §4.2 inverse pseudocode)
+            r = (r.astype(np.int32) + _ct_delta(g2r, g)) & 0xFF
+            b = (
+                b.astype(np.int32)
+                + _ct_delta(g2b, g)
+                + _ct_delta(r2b, r)
+            ) & 0xFF
+            r = r.astype(np.uint16)
+            b = b.astype(np.uint16)
         else:  # palette: unbundle green indices, look up ARGB
             _, pal, wb = t
             packed = g.reshape(h, cur_w)
@@ -756,6 +812,7 @@ def encode_webp_lossless(
     subtract_green: bool = False,
     palette: bool = False,
     predictor_mode: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
 ) -> bytes:
     """(H, W, 3) uint8 RGB → RIFF/WEBP container with a spec-subset
     VP8L payload: literals only (no LZ77 search, no color cache),
@@ -765,7 +822,10 @@ def encode_webp_lossless(
     distinct colors: delta-coded palette aux image + pixel bundling
     for ≤16-color images — the icon/logo shape real webps use),
     optional PREDICTOR (``predictor_mode`` 0-13, r14: one uniform
-    spatial predictor across all tiles — the photographic shape).
+    spatial predictor across all tiles — the photographic shape),
+    optional COLOR_TRANSFORM (``color_transform`` = (green_to_red,
+    green_to_blue, red_to_blue) signed multipliers, uniform across
+    tiles — r14, completing all four spec transforms).
     Fixture-grade compression, real bitstream — the exact inverse of
     :func:`decode_webp_lossless` (pinned in tests channel-exactly)."""
     h, w, c = arr.shape
@@ -773,12 +833,27 @@ def encode_webp_lossless(
         raise ValueError("encode_webp_lossless expects (H, W, 3) uint8")
     if w > 16384 or h > 16384:
         raise ValueError("VP8L dims cap at 16384")
-    if sum((palette, subtract_green, predictor_mode is not None)) > 1:
+    if (
+        sum(
+            (
+                palette,
+                subtract_green,
+                predictor_mode is not None,
+                color_transform is not None,
+            )
+        )
+        > 1
+    ):
         raise ValueError(
-            "palette / subtract_green / predictor_mode are exclusive"
+            "palette / subtract_green / predictor_mode / "
+            "color_transform are exclusive"
         )
     if predictor_mode is not None and not 0 <= predictor_mode <= 13:
         raise ValueError("predictor_mode must be 0..13")
+    if color_transform is not None and any(
+        not -128 <= t <= 127 for t in color_transform
+    ):
+        raise ValueError("color_transform multipliers must be int8")
     bw = _BitWriter()
     bw.write(0x2F, 8)
     bw.write(w - 1, 14)
@@ -822,6 +897,37 @@ def encode_webp_lossless(
         zero = np.zeros_like(g)
         _write_entropy_image(
             bw, g, zero, zero, np.full_like(g, 255), is_level0=True
+        )
+    elif color_transform is not None:
+        g2r, g2b, r2b = color_transform
+        size_bits = 2
+        tiles_w = (w + 3) >> 2
+        tiles_h = (h + 3) >> 2
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR_TRANSFORM
+        bw.write(size_bits - 2, 3)
+        n_tiles = tiles_w * tiles_h
+        # tile pixel packs (blue=g2r, green=g2b, red=r2b)
+        tb = np.full(n_tiles, g2r & 0xFF, dtype=np.int64)
+        tg = np.full(n_tiles, g2b & 0xFF, dtype=np.int64)
+        tr = np.full(n_tiles, r2b & 0xFF, dtype=np.int64)
+        _write_entropy_image(
+            bw, tg, tr, tb, np.full(n_tiles, 255, np.int64),
+            is_level0=False,
+        )
+        bw.write(0, 1)  # end of transforms
+        rr = arr[:, :, 0].astype(np.int32).reshape(-1)
+        gg = arr[:, :, 1].astype(np.int32).reshape(-1)
+        bb = arr[:, :, 2].astype(np.int32).reshape(-1)
+        # forward: red first from green, blue from green AND the
+        # ORIGINAL red (the inverse reconstructs red before blue)
+        g2r_a = np.full_like(gg, g2r & 0xFF)
+        g2b_a = np.full_like(gg, g2b & 0xFF)
+        r2b_a = np.full_like(gg, r2b & 0xFF)
+        r_t = (rr - _ct_delta(g2r_a, gg)) & 0xFF
+        b_t = (bb - _ct_delta(g2b_a, gg) - _ct_delta(r2b_a, rr)) & 0xFF
+        _write_entropy_image(
+            bw, gg, r_t, b_t, np.full_like(gg, 255), is_level0=True
         )
     elif predictor_mode is not None:
         size_bits = 2  # 4x4 tiles; any size works for a uniform mode

@@ -2558,10 +2558,11 @@ def q_gif_frames_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "canonical prefix codes, real bitstream — and the SAME lenient "
     "image pass that decodes PNG/JPEG/GIF recovers exact pixel "
     "statistics; documents rotate by residue through the PLAIN, "
-    "SUBTRACT_GREEN and PREDICTOR(mode = doc_id%14, r14) stream "
-    "shapes so all three transforms sit in one result. The oracle "
-    "is the CLOSED FORM of the band construction — ground truth, "
-    "not a decode replay",
+    "SUBTRACT_GREEN, PREDICTOR(mode = doc_id%14) and "
+    "COLOR_TRANSFORM(signed multipliers from doc_id residues) "
+    "stream shapes (r14: all four spec transforms) in one result. "
+    "The oracle is the CLOSED FORM of the band construction — "
+    "ground truth, not a decode replay",
     oracle="""
 SELECT doc_id,
        CAST(6 AS INT) AS width,
@@ -2602,11 +2603,20 @@ def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = np.empty((4, 6, 3), np.uint8)
                 img[:split] = 30 + i % 50
                 img[split:] = 170 + i % 60
-                if i % 3 == 1:
+                if i % 4 == 1:
                     blob = encode_webp_lossless(img, subtract_green=True)
-                elif i % 3 == 2:
+                elif i % 4 == 2:
                     blob = encode_webp_lossless(
                         img, predictor_mode=i % 14
+                    )
+                elif i % 4 == 3:
+                    blob = encode_webp_lossless(
+                        img,
+                        color_transform=(
+                            i % 256 - 128,
+                            (i * 7) % 256 - 128,
+                            (i * 13) % 256 - 128,
+                        ),
                     )
                 else:
                     blob = encode_webp_lossless(img)

@@ -40,9 +40,34 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent
 DURATIONS_FILE = ROOT / ".partest_durations.json"
 
+# Files whose parametrized cases dominate the suite shard at NODE
+# granularity instead of file granularity (VERDICT r13 next #7: the
+# 134 Spark-vs-DuckDB oracles in one file pinned a whole shard's wall
+# clock) — each collected node id becomes its own packing unit, so
+# LPT spreads them across every shard.
+SPLIT_FILES = ("test_entry_parity.py",)
 
-def collect_files() -> list[Path]:
-    return sorted((ROOT / "tests").glob("test_*.py"))
+
+def collect_units() -> list[str]:
+    """Packing units: 'tests/<file>.py' for normal files, full node
+    ids ('tests/<file>.py::test[param]') for SPLIT_FILES."""
+    units: list[str] = []
+    for f in sorted((ROOT / "tests").glob("test_*.py")):
+        rel = f"tests/{f.name}"
+        if f.name not in SPLIT_FILES:
+            units.append(rel)
+            continue
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "--collect-only", "-q",
+             "-p", "no:cacheprovider", rel],
+            capture_output=True, text=True, cwd=ROOT,
+        ).stdout
+        nodes = [
+            line.strip() for line in out.splitlines()
+            if line.startswith(rel + "::")
+        ]
+        units.extend(nodes if nodes else [rel])
+    return units
 
 
 def load_durations() -> dict[str, float]:
@@ -52,25 +77,31 @@ def load_durations() -> dict[str, float]:
         return {}
 
 
-def pack(files: list[Path], n: int, weights: dict[str, float]) -> list[list[Path]]:
-    """Greedy LPT bin-packing by weight (measured seconds when known,
-    file bytes otherwise — mixing the two units only matters on the
-    first run, where everything is bytes)."""
+def pack(units: list[str], n: int, weights: dict[str, float]) -> list[list[str]]:
+    """Greedy LPT bin-packing by weight: measured seconds when known;
+    file bytes scaled to rough seconds otherwise (so first-run units
+    of both kinds mix on one scale), 15 s default for an unmeasured
+    node id."""
 
-    def w(f: Path) -> float:
-        return weights.get(f.name, float(f.stat().st_size))
+    def w(u: str) -> float:
+        got = weights.get(u)
+        if got is not None:
+            return got
+        if "::" in u:
+            return 15.0
+        return (ROOT / u).stat().st_size / 500.0
 
-    shards: list[tuple[float, list[Path]]] = [(0.0, []) for _ in range(n)]
-    for f in sorted(files, key=w, reverse=True):
+    shards: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n)]
+    for u in sorted(units, key=w, reverse=True):
         i = min(range(n), key=lambda k: shards[k][0])
         total, members = shards[i]
-        members.append(f)
-        shards[i] = (total + w(f), members)
+        members.append(u)
+        shards[i] = (total + w(u), members)
     return [members for _, members in shards if members]
 
 
 def run_shard(
-    idx: int, files: list[Path], extra: list[str], tmp: Path
+    idx: int, units: list[str], extra: list[str], tmp: Path
 ) -> subprocess.Popen:
     env = dict(os.environ)
     env["SPARK_TEST_WAREHOUSE"] = str(tmp / f"wh-{idx}")
@@ -84,7 +115,7 @@ def run_shard(
         "no:cacheprovider",
         f"--junitxml={tmp / f'shard-{idx}.xml'}",
         *extra,
-        *[str(f) for f in files],
+        *units,
     ]
     # hand the log fd to the child and close it HERE: the parent
     # must read fully-flushed shard tails after wait()
@@ -95,8 +126,12 @@ def run_shard(
 
 
 def harvest_durations(tmp: Path, n: int) -> None:
-    """Record per-FILE wall seconds from the junit XML of each shard
-    (summed testcase times per file) into the packing table."""
+    """Record per-UNIT wall seconds from the junit XML of each shard
+    into the packing table: summed testcase times per file for
+    ordinary files, per node id for SPLIT_FILES. The classname looks
+    like 'tests.test_router.TestX' — the file is the component that
+    starts with 'test_' (the r13 table keyed everything under
+    'tests.py', silently reverting packing to file size)."""
     import xml.etree.ElementTree as ET
 
     table = load_durations()
@@ -111,9 +146,16 @@ def harvest_durations(tmp: Path, n: int) -> None:
             continue
         for case in root.iter("testcase"):
             cls = case.get("classname", "")
-            fname = cls.split(".")[0] + ".py" if cls else None
-            if fname:
-                fresh[fname] = fresh.get(fname, 0.0) + float(case.get("time", 0))
+            stem = next(
+                (p for p in cls.split(".") if p.startswith("test_")), None
+            )
+            if stem is None:
+                continue
+            if f"{stem}.py" in SPLIT_FILES:
+                key = f"tests/{stem}.py::{case.get('name')}"
+            else:
+                key = f"tests/{stem}.py"
+            fresh[key] = fresh.get(key, 0.0) + float(case.get("time", 0))
     if fresh:
         table.update({k: round(v, 2) for k, v in fresh.items()})
         DURATIONS_FILE.write_text(json.dumps(table, indent=1, sort_keys=True))
@@ -126,11 +168,11 @@ def main() -> int:
     ap.add_argument("pytest_args", nargs="*", help="forwarded to every shard")
     args = ap.parse_args()
 
-    files = collect_files()
-    shards = pack(files, args.j, load_durations())
+    units = collect_units()
+    shards = pack(units, args.j, load_durations())
     tmp = Path(tempfile.mkdtemp(prefix="partest-"))
     t0 = time.time()
-    print(f"partest: {len(files)} files -> {len(shards)} shards (logs in {tmp})")
+    print(f"partest: {len(units)} units -> {len(shards)} shards (logs in {tmp})")
 
     procs = [run_shard(i, s, args.pytest_args, tmp) for i, s in enumerate(shards)]
     codes = [p.wait() for p in procs]
@@ -149,9 +191,11 @@ def main() -> int:
         skipped_total += int(m.group(1)) if m else 0
         failed_total += failed
         passed_total += passed
-        status = "ok" if code == 0 else f"EXIT {code}"
+        # exit 5 = pytest collected nothing (a -k filter can empty a
+        # shard whose units are explicit node ids) — not a failure
+        status = "ok" if code in (0, 5) else f"EXIT {code}"
         print(f"  shard {i}: {status:8s} {tail}")
-        if code != 0:
+        if code not in (0, 5):
             ok = False
             print("    --- last 40 lines ---")
             for line in log.strip().splitlines()[-40:]:

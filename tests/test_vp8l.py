@@ -111,16 +111,30 @@ class TestDecoderOnlyFeatures:
 
 
 class TestSubsetBoundary:
-    def test_unsupported_transform_raises_valueerror(self):
+    def test_out_of_range_predictor_mode_raises(self):
+        """All four transform TYPES decode as of r14; the remaining
+        wild-stream boundary inside a transform — a predictor tile
+        claiming a mode above 13 — must raise, not index garbage."""
         bw = _BitWriter()
         bw.write(0x2F, 8)
-        bw.write(0, 14)
-        bw.write(0, 14)
+        bw.write(1, 14)  # 2 wide
+        bw.write(0, 14)  # 1 tall
         bw.write(0, 1)
         bw.write(0, 3)
         bw.write(1, 1)  # a transform follows
-        bw.write(1, 2)  # COLOR_TRANSFORM — outside the subset
-        with pytest.raises(ValueError, match="subset"):
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(0, 3)  # size_bits = 2
+        bw.write(0, 1)  # tile image: no cache
+        # green symbol 14 (mode 14 — out of range), zero-bit singles
+        for lengths in (
+            [0] * 14 + [1] + [0] * (_GREEN_ALPHABET - 15),
+            [1] + [0] * 255,
+            [1] + [0] * 255,
+            [0] * 255 + [1],
+            [1] + [0] * 39,
+        ):
+            _write_prefix_code(bw, lengths)
+        with pytest.raises(ValueError, match="predictor mode"):
             decode_vp8l_payload(bw.bytes())
 
     def test_truncated_stream_raises_valueerror(self):
@@ -388,3 +402,52 @@ class TestAdviceR13Fixes:
         bw.write(2, 2)  # SUBTRACT_GREEN again
         with pytest.raises(ValueError, match="twice"):
             decode_vp8l_payload(bw.bytes())
+
+
+class TestColorTransform:
+    """COLOR_TRANSFORM (r14, RFC 9649 §4.2 — the fourth and final
+    spec transform): per-tile signed cross-channel multipliers
+    round-trip through the matched encoder; the delta arithmetic
+    ((int8 t * int8 c) >> 5, arithmetic shift) and the
+    red-before-blue inverse ordering are pinned by a case where
+    blue's red-term differs between original and transformed red."""
+
+    @staticmethod
+    def _img(h, w, seed=9):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [(x * 7 + y * 3) % 256, (x * 2 + y * 11) % 256,
+             (x * 13 + y * 5) % 256], -1)
+        return ((base + rng.integers(0, 23, (h, w, 3))) % 256).astype(
+            np.uint8
+        )
+
+    @pytest.mark.parametrize(
+        "ct",
+        [(0, 0, 0), (10, -7, 33), (-128, 127, -1), (64, 64, 64)],
+    )
+    def test_roundtrip(self, ct):
+        img = self._img(9, 7, seed=sum(abs(t) for t in ct))
+        blob = encode_webp_lossless(img, color_transform=ct)
+        assert np.array_equal(decode_webp_lossless(blob), img)
+
+    def test_red_term_uses_reconstructed_red(self):
+        """r2b != 0 with a g2r that CHANGES red: if the inverse fed
+        blue's red-term the transformed red instead of the
+        reconstructed one, this image would not round-trip."""
+        img = np.zeros((3, 4, 3), np.uint8)
+        img[:, :, 0] = 200  # red
+        img[:, :, 1] = 100  # green (drives g2r: delta != 0)
+        img[:, :, 2] = 50   # blue
+        blob = encode_webp_lossless(img, color_transform=(80, 0, 90))
+        assert np.array_equal(decode_webp_lossless(blob), img)
+
+    def test_exclusive_and_range_guards(self):
+        img = np.zeros((2, 2, 3), np.uint8)
+        with pytest.raises(ValueError, match="exclusive"):
+            encode_webp_lossless(
+                img, subtract_green=True, color_transform=(1, 2, 3)
+            )
+        with pytest.raises(ValueError, match="int8"):
+            encode_webp_lossless(img, color_transform=(200, 0, 0))
