@@ -2819,3 +2819,149 @@ def q_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_clean", "n_lines_dropped")
         .orderBy("doc_id")
     )
+
+
+# --- r14 staged candidates ------------------------------------------------
+
+
+@register_staged(
+    "starter_sentence_override",
+    "EXT-curation — frequent-sentence-starter learning (r14, the "
+    "third Kiss & Strunk corpus statistic beside the r13 "
+    "abbreviation ratio and the r14 collocation pair): per document "
+    "a corpus is synthesized where 'However' follows an unambiguous "
+    "'!' boundary (learned as a starter, ratio 0.5) and the learned "
+    "abbreviation 'Qz.' is once followed by 'However' and once by a "
+    "non-starter — the starter OVERRIDES the abbreviation guard "
+    "exactly once per document (4 sentences with the signal, 3 "
+    "without), Punkt's orthographic evidence made a regex "
+    "alternation. Digit sentence-enders keep the learned sets "
+    "closed-form. The oracle is the CLOSED FORM of the construction "
+    "— ground truth, not a count replay",
+    oracle="""
+SELECT doc_id,
+       'qz' AS abbrevs,
+       'however' AS starters,
+       CAST(4 AS INT) AS n_sentences,
+       CAST(3 AS INT) AS n_nostarter,
+       'doc' || CAST(doc_id AS VARCHAR)
+           || ' alpha runs fast!' AS first_sentence
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_starter_sentence_override(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.curation import (
+        learn_abbreviations,
+        learn_sentence_starters,
+        split_sentences,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    text = F.concat(
+        F.lit("doc"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " alpha runs fast! However beta met Qz. However gamma"
+            " holds on in 1901. calm Qz. beta sits low in 1902."
+        ),
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    abbrevs = sorted(
+        r.token for r in learn_abbreviations(docs, "text").collect()
+    )
+    starters = sorted(
+        r.token
+        for r in learn_sentence_starters(docs, "text").collect()
+    )
+    sents = split_sentences(
+        F.col("text"), abbreviations=abbrevs, starters=starters
+    )
+    sents_ns = split_sentences(F.col("text"), abbreviations=abbrevs)
+    return docs.select(
+        "doc_id",
+        F.lit(",".join(abbrevs)).alias("abbrevs"),
+        F.lit(",".join(starters)).alias("starters"),
+        F.size(sents).cast("int").alias("n_sentences"),
+        F.size(sents_ns).cast("int").alias("n_nostarter"),
+        F.element_at(sents, 1).alias("first_sentence"),
+    ).orderBy("doc_id")
+
+
+@register_staged(
+    "recrawl_cond_fetch",
+    "EXT-crawl — conditional-fetch validators through the recrawl "
+    "judgment (r14, VERDICT r13 next #6): the crawl ledger carries "
+    "TWO crawl rows per URL (an older and a newer fetch, each with "
+    "its own ETag/Last-Modified) and recrawl_candidates' hint_cols "
+    "projection surfaces exactly the MOST RECENT crawl's validators "
+    "on every judged row (max_by inside the existing "
+    "pre-aggregation — no extra shuffle), NULL for never-crawled "
+    "URLs — the If-None-Match/If-Modified-Since hints the ops-plane "
+    "fetcher turns into 304s. The oracle is the CLOSED FORM of the "
+    "residue construction — ground truth, not a join replay",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'new'
+            WHEN doc_id % 4 = 0 THEN 'changed'
+            WHEN doc_id % 4 = 2 THEN 'fresh'
+            ELSE 'unknown' END AS status,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE 'W/"v2-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE 'Thu, 15 Jan 2026 00:00:00 GMT' END AS last_modified
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_recrawl_cond_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same residue construction as recrawl_priority (crawled =
+    doc_id%3!=0, lastmod after/before/absent by doc_id%4), plus two
+    ledger rows per crawled URL: 2026-01-10 with v1 validators and
+    2026-01-15 with v2 — only v2 may surface."""
+    from openaq_data_pipeline_spark.operators.frontier import (
+        recrawl_candidates,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        F.col("doc_id") % 5,
+        F.lit(".example.org/p/"),
+        F.col("doc_id"),
+    )
+    lastmod = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("2026-02-01"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("2026-01-01"))
+    )
+    entries = d.select("doc_id", url.alias("url"), lastmod.alias("lastmod"))
+    crawled_base = d.where(F.col("doc_id") % 3 != 0)
+
+    def ledger_row(ver: str, ts: str, lm: str):
+        return crawled_base.select(
+            url.alias("url"),
+            F.lit(ts).cast("timestamp").alias("last_crawl_ts"),
+            F.concat(
+                F.lit(f'W/"{ver}-'),
+                F.col("doc_id").cast("string"),
+                F.lit('"'),
+            ).alias("etag"),
+            F.lit(lm).alias("last_modified"),
+        )
+
+    crawled = ledger_row(
+        "v1", "2026-01-10 00:00:00", "Sat, 10 Jan 2026 00:00:00 GMT"
+    ).unionByName(
+        ledger_row(
+            "v2", "2026-01-15 00:00:00", "Thu, 15 Jan 2026 00:00:00 GMT"
+        )
+    )
+    return (
+        recrawl_candidates(
+            entries, crawled, hint_cols=("etag", "last_modified")
+        )
+        .select("doc_id", "status", "etag", "last_modified")
+        .orderBy("doc_id")
+    )
