@@ -1564,13 +1564,14 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
 
 
 def _decode_image(content: bytes) -> np.ndarray:
-    """Magic-byte dispatch. A production deploy extends this with
-    codec-library formats (exotic JPEG variants via PIL, frames via
-    av); BMP/PPM/PNG/baseline-JPEG/GIF — and the VP8L (lossless
-    WebP) spec subset — decode here in pure NumPy. A VP8L outside
-    the subset (meta codes, predictor/color/indexing transforms)
-    raises ValueError and the lenient plane falls back to the
-    header-dims row; lossy VP8 never decodes here (header-only)."""
+    """Magic-byte dispatch. BMP/PPM/PNG/baseline-JPEG/GIF/TIFF — and
+    lossless WebP (VP8L, all four spec transforms) — decode here in
+    pure NumPy. Lossy VP8 and VP8X-wrapped streams (r14) route
+    through the gated system-libwebp binding
+    (:mod:`~openaq_data_pipeline_spark.operators.webp_native`): real
+    pixels when the library is present, the r13 header-dims fallback
+    when it is not (the binding raises ValueError either way the
+    lenient plane expects)."""
     if content[:2] == b"BM":
         return decode_bmp24(content)
     if content[:2] == b"P6":
@@ -1587,6 +1588,12 @@ def _decode_image(content: bytes) -> np.ndarray:
         )
 
         return decode_webp_lossless(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from openaq_data_pipeline_spark.operators.webp_native import (
+            decode_webp_native,
+        )
+
+        return decode_webp_native(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff_rgb(content)
     raise ValueError(f"unknown image magic {content[:2]!r}")

@@ -2965,3 +2965,83 @@ def q_recrawl_cond_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "status", "etag", "last_modified")
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "image_vp8_lossy_stats",
+    "EXT-multimodal — lossy VP8 pixel decode through the gated "
+    "system-libwebp binding (r14, VERDICT r13 missing #2: the "
+    "majority wild-web WebP tier graduates from header-only): even "
+    "documents carry a REAL VP8 bitstream of a constant-value image "
+    "(synthesized by libwebp's own encoder) whose decode must land "
+    "within a 5-gray-level band of the source constant; odd "
+    "documents carry a header-valid-but-garbage VP8 body that "
+    "libwebp refuses — those keep header-walk dims with NULL pixel "
+    "stats, the unchanged r13 fallback. Lossiness makes exact "
+    "pixel sums non-closed-form, so the oracle checks dims, "
+    "decodability and the banded mean — ground truth of the "
+    "synthesis, not a decode replay",
+    oracle="""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 8
+            ELSE 32 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 4
+            ELSE 16 END AS INT) AS height,
+       doc_id % 2 = 0 AS px_decoded,
+       CASE WHEN doc_id % 2 = 0 THEN TRUE END AS mean_close
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_vp8_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        encode_webp_header,
+        extract_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.webp_native import (
+            encode_webp_lossy,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    img = np.full(
+                        (8 + i % 4, 16 + i % 8, 3),
+                        30 + i % 60,
+                        np.uint8,
+                    )
+                    blobs.append(encode_webp_lossy(img, quality=95.0))
+                else:
+                    blobs.append(
+                        encode_webp_header(32, 16, kind="VP8 ")
+                    )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = d.mapInPandas(synth, schema="doc_id long, content binary")
+    feats = extract_features(
+        imgs, "content", id_col="doc_id", decode="real", lenient=True
+    )
+    expected = F.lit(30) + F.col("doc_id") % 60
+    return (
+        feats.select(
+            "doc_id",
+            "width",
+            "height",
+            F.col("px_sum").isNotNull().alias("px_decoded"),
+            F.when(
+                F.col("px_sum").isNotNull(),
+                F.abs(F.col("mean_px") - expected) < 5,
+            ).alias("mean_close"),
+        )
+        .orderBy("doc_id")
+    )

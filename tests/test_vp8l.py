@@ -451,3 +451,116 @@ class TestColorTransform:
             )
         with pytest.raises(ValueError, match="int8"):
             encode_webp_lossless(img, color_transform=(200, 0, 0))
+
+
+class TestLibwebpCrossValidation:
+    """External ground truth (r14): the container ships the REFERENCE
+    implementation (system libwebp), so every stream shape the
+    engine's pure-Python VP8L encoder emits is decoded by libwebp
+    and compared byte-exactly — the mirrored-bug immunity a matched
+    encoder/decoder pair cannot provide itself."""
+
+    @staticmethod
+    def _img(h, w, seed=1):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [(x * 7 + y * 3) % 256, (x * 2 + y * 11) % 256,
+             (x * 13 + y * 5) % 256], -1)
+        return ((base + rng.integers(0, 23, (h, w, 3))) % 256).astype(
+            np.uint8
+        )
+
+    def test_every_stream_shape_matches_reference(self):
+        from openaq_data_pipeline_spark.operators.webp_native import (
+            available,
+            decode_webp_native,
+        )
+
+        assert available(), "libwebp must load in this environment"
+        cases = [
+            {},
+            {"subtract_green": True},
+            {"palette": True},
+            {"color_transform": (10, -7, 33)},
+            {"color_transform": (-128, 127, -1)},
+            *[{"predictor_mode": m} for m in range(14)],
+        ]
+        for kw in cases:
+            img = self._img(9, 7, seed=len(repr(kw)))
+            if kw.get("palette"):
+                img = (img // 64 * 64).astype(np.uint8)
+            blob = encode_webp_lossless(img, **kw)
+            # our own decoder and the reference agree exactly
+            assert np.array_equal(decode_webp_native(blob), img), kw
+            assert np.array_equal(decode_webp_lossless(blob), img), kw
+
+    def test_uniform_256_stream_matches_reference(self):
+        """The ADVICE r13 degenerate-CLC fix emits a padded CLC —
+        the reference decoder must accept it too (the advice warned
+        a strict decoder would reject the old incomplete form)."""
+        from openaq_data_pipeline_spark.operators.webp_native import (
+            decode_webp_native,
+        )
+
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:, :, 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        img[:, :, 1] = 7
+        img[:, :, 2] = 13
+        assert np.array_equal(
+            decode_webp_native(encode_webp_lossless(img)), img
+        )
+
+
+class TestLossyVP8Native:
+    """Lossy VP8 decode through the gated libwebp binding (r14):
+    real pixels for the majority wild-web WebP tier the pure-Python
+    plane could only header-walk."""
+
+    def test_lossy_roundtrip_close(self):
+        from openaq_data_pipeline_spark.operators.webp_native import (
+            decode_webp_native,
+            encode_webp_lossy,
+        )
+
+        img = TestLibwebpCrossValidation._img(32, 48)
+        blob = encode_webp_lossy(img, quality=90.0)
+        assert blob[:4] == b"RIFF" and blob[12:16] == b"VP8 "
+        dec = decode_webp_native(blob)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < 20.0  # lossy, but recognizably the same image
+
+    def test_image_plane_decodes_lossy_vp8(self, spark):
+        """A real VP8 stream now yields pixel stats in the lenient
+        pass; a header-valid-but-garbage VP8 body still falls back
+        to header dims (libwebp refuses it → ValueError → the r13
+        path, unchanged)."""
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_webp_header,
+            extract_features,
+        )
+        from openaq_data_pipeline_spark.operators.webp_native import (
+            encode_webp_lossy,
+        )
+
+        img = np.full((16, 24, 3), 120, np.uint8)
+        df = spark.createDataFrame(
+            [
+                (0, encode_webp_lossy(img, quality=95.0)),
+                (1, encode_webp_header(32, 16, kind="VP8 ")),
+            ],
+            "id long, payload binary",
+        )
+        rows = {
+            r.id: r
+            for r in extract_features(
+                df, "payload", id_col="id", decode="real", lenient=True
+            ).collect()
+        }
+        assert (rows[0].width, rows[0].height) == (24, 16)
+        assert rows[0].px_sum is not None
+        # constant image survives lossy coding near-exactly
+        assert abs(rows[0].mean_px - 120.0) < 3.0
+        assert (rows[1].width, rows[1].height) == (32, 16)
+        assert rows[1].px_sum is None
