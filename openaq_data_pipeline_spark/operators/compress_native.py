@@ -1,0 +1,216 @@
+"""Gated ctypes bindings of the system brotli/zstd decoders — the
+HTTP ``Content-Encoding`` tokens stdlib zlib cannot serve.
+
+Same posture as :mod:`~openaq_data_pipeline_spark.operators
+.webp_native`: the engine decodes what it can in
+stdlib/pure-Python (gzip/deflate framings via zlib), and binds the
+container's own reference libraries (``libbrotlidec.so.1``,
+``libzstd.so.1`` — public, OS-shipped) behind load-try gates for
+the rest. When a library is absent, the affected token degrades to
+exactly the r13 behavior: an OBSERVABLE discard with the hint
+intact, never an import error in an executor.
+
+The bomb cap is structural, not advisory: both one-shot APIs take a
+caller-sized output buffer and FAIL when the decoded stream exceeds
+it (brotli's one-shot collapses needs-more-output into error;
+zstd errors with dstSize_tooSmall) — so a decompression bomb can
+never allocate past the cap, matching the zlib hop's
+``max_bytes`` contract. The encoder faces exist for fixture
+synthesis only.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+
+def _load(names: tuple[str, ...]) -> ctypes.CDLL | None:
+    for name in names:
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    return None
+
+
+_BROTLI_DEC: ctypes.CDLL | None | bool = False  # False = not probed yet
+_BROTLI_ENC: ctypes.CDLL | None | bool = False
+_ZSTD: ctypes.CDLL | None | bool = False
+
+
+def _brotli_dec() -> ctypes.CDLL | None:
+    global _BROTLI_DEC
+    if _BROTLI_DEC is False:
+        lib = _load(
+            (ctypes.util.find_library("brotlidec") or "libbrotlidec.so.1",
+             "libbrotlidec.so.1")
+        )
+        if lib is not None:
+            lib.BrotliDecoderDecompress.restype = ctypes.c_int
+            lib.BrotliDecoderDecompress.argtypes = [
+                ctypes.c_size_t,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_char_p,
+            ]
+        _BROTLI_DEC = lib
+    return _BROTLI_DEC
+
+
+def _brotli_enc() -> ctypes.CDLL | None:
+    global _BROTLI_ENC
+    if _BROTLI_ENC is False:
+        lib = _load(
+            (ctypes.util.find_library("brotlienc") or "libbrotlienc.so.1",
+             "libbrotlienc.so.1")
+        )
+        if lib is not None:
+            lib.BrotliEncoderCompress.restype = ctypes.c_int
+            lib.BrotliEncoderCompress.argtypes = [
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_size_t,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_char_p,
+            ]
+        _BROTLI_ENC = lib
+    return _BROTLI_ENC
+
+
+def _zstd() -> ctypes.CDLL | None:
+    global _ZSTD
+    if _ZSTD is False:
+        lib = _load(
+            (ctypes.util.find_library("zstd") or "libzstd.so.1",
+             "libzstd.so.1")
+        )
+        if lib is not None:
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t,
+            ]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            lib.ZSTD_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ]
+        _ZSTD = lib
+    return _ZSTD
+
+
+def brotli_available() -> bool:
+    return _brotli_dec() is not None
+
+
+def zstd_available() -> bool:
+    return _zstd() is not None
+
+
+def brotli_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
+    """One bomb-capped brotli decode; None on corrupt stream,
+    output-cap overflow, or an unavailable library (the hop's
+    observable-discard contract).
+
+    Brotli frames carry no decoded-size field, so the output buffer
+    grows in stages (max(1 MiB, 1024× the input), then the cap)
+    instead of zeroing a cap-sized buffer per row — a 64 MiB default
+    cap would otherwise cost every web-page-sized row a 64 MiB
+    allocation. The one-shot API fails on a too-small buffer, so a
+    stage-1 miss retries once at the cap (rare: it needs a >1024×
+    ratio AND >1 MiB output); corrupt streams fail both."""
+    lib = _brotli_dec()
+    if lib is None or not blob:
+        return None
+    if not isinstance(blob, bytes):  # Arrow hands bytearray/memoryview
+        blob = bytes(blob)
+    sizes = [min(max(1 << 20, 1024 * len(blob)), max_bytes)]
+    if sizes[0] < max_bytes:
+        sizes.append(max_bytes)
+    for cap in sizes:
+        buf = ctypes.create_string_buffer(cap)
+        out_size = ctypes.c_size_t(cap)
+        ok = lib.BrotliDecoderDecompress(
+            len(blob), blob, ctypes.byref(out_size), buf
+        )
+        if ok == 1:  # BROTLI_DECODER_RESULT_SUCCESS
+            return buf.raw[: out_size.value]
+    return None
+
+
+def zstd_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
+    """One bomb-capped zstd decode; None on corrupt/oversized/
+    unavailable. The frame's declared content size picks the exact
+    buffer when present and under the cap (the declaration is
+    UNTRUSTED — the library errors if actual output exceeds it);
+    unknown-size frames take the brotli-style staged buffers. Either
+    way dstSize_tooSmall is an error code, so the cap is enforced by
+    the library itself."""
+    lib = _zstd()
+    if lib is None or not blob:
+        return None
+    if not isinstance(blob, bytes):  # Arrow hands bytearray/memoryview
+        blob = bytes(blob)
+    try:
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+        lib.ZSTD_getFrameContentSize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        declared = int(lib.ZSTD_getFrameContentSize(blob, len(blob)))
+        # (2**64-1) = unknown, (2**64-2) = error
+        if declared >= (1 << 64) - 2:
+            declared = None
+    except AttributeError:
+        declared = None
+    if declared is not None:
+        if declared > max_bytes:
+            return None  # declared bomb: refuse before allocating
+        sizes = [declared]
+    else:
+        sizes = [min(max(1 << 20, 1024 * len(blob)), max_bytes)]
+        if sizes[0] < max_bytes:
+            sizes.append(max_bytes)
+    for cap in sizes:
+        buf = ctypes.create_string_buffer(cap or 1)
+        n = lib.ZSTD_decompress(buf, cap, blob, len(blob))
+        if not lib.ZSTD_isError(n):
+            return buf.raw[:n]
+    return None
+
+
+def brotli_compress(blob: bytes, quality: int = 5) -> bytes:
+    """Fixture-synthesis encoder face; ValueError when
+    libbrotlienc is unavailable."""
+    lib = _brotli_enc()
+    if lib is None:
+        raise ValueError("libbrotlienc unavailable")
+    cap = len(blob) + 1024
+    buf = ctypes.create_string_buffer(cap)
+    out_size = ctypes.c_size_t(cap)
+    ok = lib.BrotliEncoderCompress(
+        quality, 22, 0, len(blob), blob, ctypes.byref(out_size), buf
+    )
+    if ok != 1:
+        raise ValueError("brotli encode failed")
+    return buf.raw[: out_size.value]
+
+
+def zstd_compress(blob: bytes, level: int = 3) -> bytes:
+    """Fixture-synthesis encoder face; ValueError when libzstd is
+    unavailable."""
+    lib = _zstd()
+    if lib is None:
+        raise ValueError("libzstd unavailable")
+    cap = int(lib.ZSTD_compressBound(len(blob)))
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.ZSTD_compress(buf, cap, blob, len(blob), level)
+    if lib.ZSTD_isError(n):
+        raise ValueError("zstd encode failed")
+    return buf.raw[:n]

@@ -97,9 +97,31 @@ def route_for_mime(mime: Column) -> Column:
 # HTTP Content-Encoding tokens the hop can decode with stdlib zlib.
 # "deflate" is ambiguous in the wild (RFC 9110 says zlib-wrapped, many
 # servers send raw DEFLATE), so it tries both framings. Brotli/zstd
-# have no stdlib decoder in this environment; they stay OUTSIDE this
-# set and route to an observable discard, never a silent drop.
+# (r14) decode through the gated system-library bindings when those
+# load (operators/compress_native — the same capped one-shot
+# contract); when a library is absent its token stays outside the
+# set and routes to an observable discard, never a silent drop.
 _DECODABLE_ENCODINGS = ("gzip", "x-gzip", "deflate")
+
+
+def _decodable_encodings() -> tuple[str, ...]:
+    """The per-process decodable token set: stdlib zlib framings
+    plus whichever native codecs loaded. Evaluated when the plan is
+    BUILT (driver side) — a cluster whose executors lack a library
+    the driver has would mis-route, so deployments must ship the
+    same image everywhere (the container contract this repo already
+    assumes for Python/Arrow versions)."""
+    from openaq_data_pipeline_spark.operators.compress_native import (
+        brotli_available,
+        zstd_available,
+    )
+
+    toks = list(_DECODABLE_ENCODINGS)
+    if brotli_available():
+        toks.append("br")
+    if zstd_available():
+        toks.append("zstd")
+    return tuple(toks)
 
 # wbits candidates per encoding token: 31 = gzip framing, 15 =
 # zlib-wrapped deflate, -15 = raw deflate
@@ -131,7 +153,22 @@ def _decode_payload(
     zlib magic sniff when the hint is absent). Raw DEFLATE has no
     magic, so without a hint it is only reachable via the zlib
     fallback order; with hint ``deflate`` both framings are tried —
-    zlib-wrapped first (the RFC meaning), raw second (the wild)."""
+    zlib-wrapped first (the RFC meaning), raw second (the wild).
+    ``br``/``zstd`` (r14) decode through the gated native bindings
+    under the same output cap; an unavailable library or corrupt
+    stream yields None exactly like a failed inflate."""
+    if encoding == "br":
+        from openaq_data_pipeline_spark.operators.compress_native import (
+            brotli_decompress_capped,
+        )
+
+        return brotli_decompress_capped(blob, max_bytes)
+    if encoding == "zstd":
+        from openaq_data_pipeline_spark.operators.compress_native import (
+            zstd_decompress_capped,
+        )
+
+        return zstd_decompress_capped(blob, max_bytes)
     if encoding in _ENCODING_WBITS:
         candidates = _ENCODING_WBITS[encoding]
     elif blob[:2] == b"\x1f\x8b":
@@ -196,8 +233,12 @@ def gunzip_once(
                     if isinstance(enc, str) and enc.strip()
                     else None
                 )
-                if hint is not None and hint not in _ENCODING_WBITS:
-                    inner.append(None)  # br/zstd/…: observable NULL
+                if (
+                    hint is not None
+                    and hint not in _ENCODING_WBITS
+                    and hint not in ("br", "zstd")
+                ):
+                    inner.append(None)  # compress/…: observable NULL
                     continue
                 inner.append(_decode_payload(blob, hint, max_bytes))
             out_pdf = pdf[cols].copy()
@@ -494,11 +535,15 @@ def route_crawl_payloads(
 
     - ``gzip``/``x-gzip``/``deflate`` rows take the hint-driven hop
       (deflate tries zlib-wrapped then raw framing);
-    - other non-identity tokens (``br``, ``zstd``, …) have no stdlib
-      decoder here: the row routes straight to ``discard`` with its
-      hint intact — the payload bytes are NOT the claimed content
-      until decoded, so sniffing them would route garbage. Count
-      them via :func:`route_stats` grouped on the hint column;
+    - ``br``/``zstd`` rows (r14) take the same hop through the gated
+      native bindings when the system libraries load; when a library
+      is absent the token behaves exactly as before: the row routes
+      straight to ``discard`` with its hint intact — the payload
+      bytes are NOT the claimed content until decoded, so sniffing
+      them would route garbage. Count discards via
+      :func:`route_stats` grouped on the hint column;
+    - other non-identity tokens (``compress``, …) discard the same
+      observable way;
     - ``identity``/blank/NULL rows take the magic-sniff path.
 
     Non-hopped rows never leave the JVM (sniff + CASE are codegen);
@@ -517,8 +562,8 @@ def route_crawl_payloads(
     hinted = enc.isNotNull() & (enc != "") & (enc != "identity")
     takes_hop = (
         F.col(mime_col) == "application/gzip"
-    ) | (hinted & enc.isin(*_DECODABLE_ENCODINGS))
-    undecodable = hinted & ~enc.isin(*_DECODABLE_ENCODINGS)
+    ) | (hinted & enc.isin(*_decodable_encodings()))
+    undecodable = hinted & ~enc.isin(*_decodable_encodings())
     direct = mimed.where(
         F.coalesce(~takes_hop, F.lit(True))
     ).select(

@@ -2202,25 +2202,29 @@ def q_temperature_mixture_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "content_encoding_route",
     "EXT-router — HTTP Content-Encoding resolution at the crawl "
-    "front door (r13, VERDICT r12 next #2): per document a payload "
-    "is synthesized by residue — identity bytes, gzip, zlib-wrapped "
-    "deflate, RAW deflate (no magic, only reachable through the "
-    "hint), and a 'br' body with no stdlib decoder — then the "
-    "hint-driven hop decodes all three zlib framings into ONE "
-    "uniform text plane while the undecodable token routes to an "
-    "OBSERVABLE discard with its hint intact. The oracle is the "
-    "CLOSED FORM per residue class (exact text round-trip for every "
-    "decodable row), not a replay of the router",
+    "front door (r13, VERDICT r12 next #2; r14 closes VERDICT r13 "
+    "missing #1 — br/zstd decode through the gated system-library "
+    "bindings): per document a payload is synthesized by residue — "
+    "identity bytes, gzip, zlib-wrapped deflate, RAW deflate (no "
+    "magic, only reachable through the hint), REAL brotli, REAL "
+    "zstd, and a CORRUPT body claiming 'br' — then the hint-driven "
+    "hop decodes all five encodings into ONE uniform text plane "
+    "while the corrupt row fails its hop into an OBSERVABLE discard "
+    "with its hint intact. The oracle is the CLOSED FORM per "
+    "residue class (exact text round-trip for every decodable row), "
+    "not a replay of the router",
     oracle="""
 SELECT doc_id,
-       CASE WHEN doc_id % 5 = 0 THEN NULL
-            WHEN doc_id % 5 = 1 THEN 'gzip'
-            WHEN doc_id % 5 = 4 THEN 'br'
-            ELSE 'deflate' END AS content_encoding,
-       'text/plain' AS mime,
-       CASE WHEN doc_id % 5 = 4 THEN 'discard' ELSE 'text' END AS route,
-       doc_id % 5 IN (1, 2, 3) AS took_hop,
-       CASE WHEN doc_id % 5 = 4 THEN NULL ELSE text END AS text
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            WHEN doc_id % 7 = 1 THEN 'gzip'
+            WHEN doc_id % 7 IN (2, 3) THEN 'deflate'
+            WHEN doc_id % 7 IN (4, 6) THEN 'br'
+            ELSE 'zstd' END AS content_encoding,
+       CASE WHEN doc_id % 7 = 6 THEN 'application/octet-stream'
+            ELSE 'text/plain' END AS mime,
+       CASE WHEN doc_id % 7 = 6 THEN 'discard' ELSE 'text' END AS route,
+       doc_id % 7 <> 0 AS took_hop,
+       CASE WHEN doc_id % 7 = 6 THEN NULL ELSE text END AS text
 FROM documents
 ORDER BY doc_id
 """,
@@ -2237,10 +2241,15 @@ def q_content_encoding_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
 
     def synth(batches):
+        from openaq_data_pipeline_spark.operators.compress_native import (
+            brotli_compress,
+            zstd_compress,
+        )
+
         for pdf in batches:
             payloads, encodings = [], []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
-                r = int(i) % 5
+                r = int(i) % 7
                 body = t.encode()
                 if r == 0:
                     payloads.append(body)
@@ -2255,11 +2264,17 @@ def q_content_encoding_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                     co = _zlib.compressobj(wbits=-15)
                     payloads.append(co.compress(body) + co.flush())
                     encodings.append("deflate")
+                elif r == 4:
+                    payloads.append(brotli_compress(body))
+                    encodings.append("br")
+                elif r == 5:
+                    payloads.append(zstd_compress(body))
+                    encodings.append("zstd")
                 else:
-                    # claimed brotli: bytes stay ENCODED (here: the
-                    # raw text, which sniffs text/plain — the mime
-                    # column shows what the bytes LOOK like, the
-                    # route shows they are not trusted)
+                    # CORRUPT claimed brotli: the hop is attempted
+                    # and fails — the row lands in the discard plane
+                    # with its hint intact, took_hop TRUE (the
+                    # attempt is part of the audit)
                     payloads.append(body)
                     encodings.append("br")
             out = pdf[["doc_id"]].copy()

@@ -841,7 +841,9 @@ def crawl_intake_gate(
 
             # encoding_col (r13): the feed's Content-Encoding hint
             # (e.g. read_warc's http_content_encoding) drives the
-            # deflate-capable hop; br/zstd rows discard observably
+            # hint-driven hop (gzip/deflate via zlib; br/zstd via the
+            # gated native bindings when present, else observable
+            # discard)
             routed = route_crawl_payloads(
                 pages, payload_col, encoding_col=encoding_col
             ).localCheckpoint(eager=True)  # four plane consumers

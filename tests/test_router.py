@@ -1043,11 +1043,19 @@ class TestRoutedStreamingIntake:
 class TestContentEncodingHop:
     """VERDICT r12 next #2: the decompression hop handles HTTP
     Content-Encoding gzip AND deflate (both zlib-wrapped and raw
-    framing), driven by an explicit hint column; tokens with no
-    stdlib decoder (br, zstd) route to an OBSERVABLE discard."""
+    framing), driven by an explicit hint column. r14 (VERDICT r13
+    missing #1): br and zstd decode through the gated system-library
+    bindings; a corrupt claimed-br body fails its hop into an
+    OBSERVABLE discard, and tokens with no decoder at all
+    ('compress') never take the hop."""
 
     def _feed(self, spark):
         import zlib as _z
+
+        from openaq_data_pipeline_spark.operators.compress_native import (
+            brotli_compress,
+            zstd_compress,
+        )
 
         body = _page(ART).encode()
         rows = [
@@ -1056,8 +1064,11 @@ class TestContentEncodingHop:
             (2, _z.compress(body), "deflate"),               # zlib-wrapped
             (3, _z.compressobj(wbits=-15).compress(body)
                 + _z.compressobj(wbits=-15).flush(), None),  # placeholder
-            (4, b"\x8b\x1f junk that is no encoding", "br"), # undecodable
+            (4, b"\x8b\x1f junk that is no encoding", "br"), # corrupt br
             (5, body, "identity"),                           # explicit identity
+            (6, brotli_compress(body), "br"),                # real brotli
+            (7, zstd_compress(body), "zstd"),                # real zstd
+            (8, body, "compress"),                           # no decoder
         ]
         # raw deflate needs one compressobj (flush pairs with it)
         co = _z.compressobj(wbits=-15)
@@ -1067,22 +1078,27 @@ class TestContentEncodingHop:
             rows, "id long, payload binary, content_encoding string"
         )
 
-    def test_all_three_encodings_reach_the_text_plane(self, spark):
+    def test_all_five_encodings_reach_the_text_plane(self, spark):
         df = self._feed(spark)
         routed = route_crawl_payloads(
             df, "payload", encoding_col="content_encoding"
         )
         rows = {r.id: r for r in routed.collect()}
-        for i in (0, 1, 2, 3, 5):
+        for i in (0, 1, 2, 3, 5, 6, 7):
             assert (rows[i].mime, rows[i].route) == ("text/html", "text"), i
-        assert [rows[i].was_gzip for i in (0, 1, 2, 3, 5)] == [
-            False, True, True, True, False,
+        assert [rows[i].was_gzip for i in (0, 1, 2, 3, 5, 6, 7)] == [
+            False, True, True, True, False, True, True,
         ]
-        # undecodable token: discard, payload untouched, hint kept
+        # corrupt claimed-br: the hop is attempted and fails —
+        # discard with the hint intact (the attempt is the audit)
         assert rows[4].route == "discard"
         assert rows[4].content_encoding == "br"
-        assert rows[4].payload is not None
-        # and the text plane extracts IDENTICAL text from all five
+        assert rows[4].was_gzip
+        # no decoder for 'compress': never hops, bytes untouched
+        assert rows[8].route == "discard"
+        assert not rows[8].was_gzip
+        assert rows[8].payload is not None
+        # and the text plane extracts IDENTICAL text from all seven
         texts = {
             r.id: r.text
             for r in extract_routed_text(
@@ -1094,8 +1110,9 @@ class TestContentEncodingHop:
 
     def test_route_stats_shows_zero_silent_discards(self, spark):
         """Every row is accounted: decodable encodings all land in
-        the text plane with zero NULL payloads; the br row is the
-        only discard and groups under its own hint."""
+        the text plane with zero NULL payloads; the corrupt-br and
+        undecodable-token rows are the only discards, each grouped
+        under its own hint."""
         df = self._feed(spark)
         routed = route_crawl_payloads(
             df, "payload", encoding_col="content_encoding"
@@ -1115,8 +1132,13 @@ class TestContentEncodingHop:
         assert stats[("text", "gzip")] == (1, 0)
         assert stats[("text", "deflate")] == (2, 0)
         assert stats[("text", "identity")] == (1, 0)
-        assert stats[("discard", "br")] == (1, 0)  # bytes kept, observable
-        assert sum(n for n, _ in stats.values()) == 6
+        assert stats[("text", "br")] == (1, 0)
+        assert stats[("text", "zstd")] == (1, 0)
+        # corrupt br: the failed hop nulls the payload (the gzip-bomb
+        # contract); the never-hopped token keeps its bytes
+        assert stats[("discard", "br")] == (1, 1)
+        assert stats[("discard", "compress")] == (1, 0)
+        assert sum(n for n, _ in stats.values()) == 9
 
     def test_hintless_behavior_unchanged_and_bomb_capped(self, spark):
         """No encoding_col → magic-sniff path only: gzip hops, raw
@@ -1529,3 +1551,44 @@ class TestLineGateOversizedGuard:
             assert footer not in surv[1].text
             assert surv[3].line_filter_skipped
             assert surv[3].n_lines_dropped == 0
+
+
+class TestCompressNativeBindings:
+    """The gated brotli/zstd bindings (r14): capped one-shot decode
+    semantics — the cap is enforced by the LIBRARY (too-small output
+    buffer is an error), corrupt streams and declared bombs yield
+    None, and encode/decode round-trip through the system
+    libraries."""
+
+    def test_roundtrip_and_caps(self):
+        from openaq_data_pipeline_spark.operators.compress_native import (
+            brotli_available,
+            brotli_compress,
+            brotli_decompress_capped,
+            zstd_available,
+            zstd_compress,
+            zstd_decompress_capped,
+        )
+
+        assert brotli_available() and zstd_available(), (
+            "system libbrotlidec/libzstd must load in this environment"
+        )
+        data = b"the quick brown fox jumps over the lazy dog " * 300
+        bb, zz = brotli_compress(data), zstd_compress(data)
+        assert len(bb) < len(data) and len(zz) < len(data)
+        assert brotli_decompress_capped(bb, 1 << 26) == data
+        assert zstd_decompress_capped(zz, 1 << 26) == data
+        # Arrow hands bytearray: coerced, not crashed (the r14 hop bug)
+        assert brotli_decompress_capped(bytearray(bb), 1 << 26) == data
+        assert zstd_decompress_capped(bytearray(zz), 1 << 26) == data
+        # cap enforcement: output larger than the cap fails
+        assert brotli_decompress_capped(bb, 100) is None
+        assert zstd_decompress_capped(zz, 100) is None
+        # 10 MiB-of-zeros bomb under a 1 MiB cap: refused, no OOM
+        bomb_b = brotli_compress(b"\0" * (10 << 20))
+        bomb_z = zstd_compress(b"\0" * (10 << 20))
+        assert brotli_decompress_capped(bomb_b, 1 << 20) is None
+        assert zstd_decompress_capped(bomb_z, 1 << 20) is None
+        # corrupt streams
+        assert brotli_decompress_capped(b"junk" * 4, 1 << 20) is None
+        assert zstd_decompress_capped(b"junk" * 4, 1 << 20) is None
