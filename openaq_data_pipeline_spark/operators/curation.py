@@ -563,6 +563,142 @@ def learn_sentence_starters(
     )
 
 
+def _hashed_ngram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) one row per unigram+bigram occurrence, hashed
+    into ``n_buckets`` via the repo's cross-engine recipe
+    (``conv(substring(md5(tok),1,8),16,10) % n`` — replayable in
+    DuckDB as ``CAST('0x'||substr(md5(tok),1,8) AS BIGINT) % n``).
+    Bigrams come from the :func:`_token_bigrams` codegen zip; the
+    bigram token is ``w1 || ' ' || w2``."""
+
+    def bucket(tok):
+        return (
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        )
+
+    uni = df.select(
+        F.col(id_col).alias("__did"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+    ).where(F.col("__t") != "")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    bi = (
+        df.select(
+            F.col(id_col).alias("__did"), F.explode(pairs).alias("__p")
+        )
+        .select(
+            "__did",
+            F.concat_ws(
+                " ", F.col("__p")["0"], F.col("__p")["1"]
+            ).alias("__t"),
+        )
+        .where(~F.col("__t").rlike(r"^\s*$"))
+    )
+    return uni.unionAll(bi).select(
+        "__did", bucket(F.col("__t")).alias("bucket")
+    )
+
+
+def dsir_importance_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (public method: Xie
+    et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — the hashed-n-gram importance estimator): score
+    every RAW document by how much more likely its hashed
+    unigram+bigram profile is under the TARGET corpus's bucket
+    distribution than under the raw corpus's own, then take the
+    top-``k``. Returns (id, weight_fp, rank, selected) for every raw
+    document.
+
+    Cross-engine determinism (the catalog's fixed-point
+    discipline): the per-bucket log ratio
+    ``ln((c_t + 1)/(T + m)) - ln((c_r + 1)/(R + m))`` (Laplace
+    smoothing, m = ``n_buckets``) is ROUNDED to integer millionths
+    BEFORE the per-document sum, so ``weight_fp`` is an exact
+    integer both engines agree on — double sums of irrational logs
+    would be order-sensitive and hash-diverge. Rank ties break by
+    id. (The paper adds Gumbel noise to the weights before top-k;
+    that variant is in-engine only — seeded noise has no
+    engine-neutral closed form worth hashing.)
+
+    Plan (100 TB): two m-bounded bucket-count aggregations (target
+    scanned once, raw scanned once), one m-row ratio table that AQE
+    broadcasts, one explode→join→per-doc SUM for the scores (all
+    partial-aggregable), one rank window over doc-level rows.
+    ``k`` selection never sorts the corpus — the window ranks
+    doc-level WEIGHTS, a row per document, not per token. The rank
+    window is global (one partition of doc-level rows); at corpus
+    sizes where even that is too wide, replace it with a
+    threshold-from-``approxQuantile`` cut on ``weight_fp`` — the
+    weights themselves are computed fully distributed either way."""
+    m = n_buckets
+    # the target side needs no ids (only bucket counts): a constant
+    # synthetic id lets callers pass a bare text column
+    tb = _hashed_ngram_buckets(
+        target.select(
+            F.lit(0).cast("long").alias("__tid"), F.col(text_col)
+        ),
+        text_col,
+        "__tid",
+        m,
+    )
+    rb = _hashed_ngram_buckets(raw, text_col, id_col, m)
+    t_counts = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
+    r_counts = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cr"))
+    # corpus totals: two scalars (driver finisher, BPE-class)
+    T = tb.count()
+    R = rb.count()
+    ratio = (
+        t_counts.join(r_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                        / F.lit(float(T + m))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("__cr"), F.lit(0)) + 1)
+                        / F.lit(float(R + m))
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("__lr_fp"),
+        )
+    )
+    scores = (
+        rb.join(ratio, "bucket")
+        .groupBy("__did")
+        .agg(F.sum("__lr_fp").alias("weight_fp"))
+    )
+    w = Window.orderBy(F.col("weight_fp").desc(), F.col(id_col))
+    return (
+        raw.select(F.col(id_col).alias("__did"))
+        .join(scores, "__did", "left")
+        .select(
+            F.col("__did").alias(id_col),
+            F.coalesce(F.col("weight_fp"), F.lit(0)).alias("weight_fp"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("selected", F.col("rank") <= k)
+    )
+
+
 def chunk_by_sentences(
     df: DataFrame,
     text_col: str,

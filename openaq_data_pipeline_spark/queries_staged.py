@@ -3060,3 +3060,76 @@ def q_image_vp8_lossy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "dsir_importance_select",
+    "EXT-curation — DSIR data selection (public method: Xie et al. "
+    "2023, hashed-n-gram importance resampling; r14): every raw "
+    "document is scored by how much likelier its hashed "
+    "unigram+bigram bucket profile is under the TARGET corpus "
+    "(docs with doc_id%5=0) than under the raw corpus itself — "
+    "Laplace-smoothed bucket distributions, per-bucket log ratios "
+    "rounded to integer millionths BEFORE the per-doc sum so the "
+    "weight is an exact integer both engines agree on — and the "
+    "top-25 select deterministically (ties by doc_id). The oracle "
+    "RECOMPUTES the whole estimator in SQL over the same tables — "
+    "same md5 bucket recipe, same smoothing, same fixed point",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(text), ' ')) AS t,
+         generate_subscripts(string_split(trim(text), ' '), 1) AS ord
+  FROM documents
+), grams AS (
+  SELECT doc_id, t FROM toks WHERE t <> ''
+  UNION ALL
+  SELECT doc_id, prev || ' ' || t AS t FROM (
+    SELECT doc_id, t, ord,
+           lag(t) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+    FROM toks
+  ) WHERE prev IS NOT NULL AND prev <> '' AND t <> ''
+), b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM grams
+), tc AS (
+  SELECT bucket, count(*) AS ct FROM b WHERE doc_id % 5 = 0 GROUP BY bucket
+), rc AS (
+  SELECT bucket, count(*) AS cr FROM b GROUP BY bucket
+), tot AS (
+  SELECT (SELECT count(*) FROM b WHERE doc_id % 5 = 0) AS t_total,
+         (SELECT count(*) FROM b) AS r_total
+), ratio AS (
+  SELECT rc.bucket,
+         CAST(ROUND((LN((COALESCE(tc.ct, 0) + 1)
+                        / (tot.t_total + 1024.0))
+                     - LN((rc.cr + 1) / (tot.r_total + 1024.0)))
+                    * 1000000) AS BIGINT) AS lr
+  FROM rc LEFT JOIN tc USING (bucket), tot
+), scores AS (
+  SELECT b.doc_id, SUM(ratio.lr) AS weight_fp
+  FROM b JOIN ratio USING (bucket) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.weight_fp, 0) AS BIGINT) AS weight_fp,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY COALESCE(s.weight_fp, 0) DESC, d.doc_id
+       ) AS BIGINT) AS rank,
+       ROW_NUMBER() OVER (
+           ORDER BY COALESCE(s.weight_fp, 0) DESC, d.doc_id
+       ) <= 25 AS selected
+FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.curation import (
+        dsir_importance_select,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    target = d.where(F.col("doc_id") % 5 == 0).select("text")
+    return dsir_importance_select(d, target, k=25).orderBy("doc_id")
