@@ -715,6 +715,85 @@ def encode_webp_header(
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
+def avif_header_stats(content: bytes) -> tuple[int, int, bool, bool]:
+    """(width, height, has_alpha, is_animated) of an AVIF image —
+    HEADER-ONLY box walk (r14: the modern web image staple is
+    HEIF-wrapped AV1; public specs: AV1 Image File Format on
+    ISO/IEC 14496-12 + 23008-12). The walk reuses the MP4 box
+    machinery: ``ftyp`` must come first with an ``avif``/``avis``
+    major brand, dimensions come from the ``ispe``
+    ImageSpatialExtentsProperty under ``meta``→``iprp``→``ipco``,
+    alpha from an ``auxC`` auxiliary-type property carrying the
+    MIAF alpha URN, animation from the ``avis`` brand. AV1 OBU
+    payloads never decode here (no sane pure-NumPy AV1 exists, and
+    libavif's struct ABI is version-fragile — the documented
+    plug-in point); the lenient image plane keeps the header row
+    with NULL pixel stats, the lossy-VP8-before-r14 posture.
+    ValueError on anything not a header-valid AVIF."""
+    boxes = list(_mp4_boxes(content, 0, len(content)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (ftyp must come first)")
+    fb, fe = boxes[0][1], boxes[0][2]
+    brand = bytes(content[fb : fb + 4])
+    if brand not in (b"avif", b"avis"):
+        raise ValueError(f"ISO-BMFF brand {brand!r} is not AVIF")
+    meta = next(((b, e) for t, b, e in boxes if t == b"meta"), None)
+    if meta is None:
+        raise ValueError("AVIF lacks a meta box")
+    # meta is a FullBox: 4 bytes of version/flags before children
+    dims = None
+    has_alpha = False
+    for t, b, e in _mp4_boxes(content, meta[0] + 4, meta[1]):
+        if t != b"iprp":
+            continue
+        for t2, b2, e2 in _mp4_boxes(content, b, e):
+            if t2 != b"ipco":
+                continue
+            for t3, b3, e3 in _mp4_boxes(content, b2, e2):
+                if t3 == b"ispe" and dims is None:
+                    w, h = struct.unpack_from(">II", content, b3 + 4)
+                    dims = (int(w), int(h))
+                elif t3 == b"auxC":
+                    # FullBox + NUL-terminated aux_type URN
+                    urn = bytes(content[b3 + 4 : e3]).split(b"\0")[0]
+                    if b"alpha" in urn:
+                        has_alpha = True
+    if dims is None:
+        raise ValueError("AVIF lacks an ispe property")
+    return dims[0], dims[1], has_alpha, brand == b"avis"
+
+
+def encode_avif_header(
+    width: int,
+    height: int,
+    has_alpha: bool = False,
+    animated: bool = False,
+    payload: bytes = b"\x00" * 16,
+) -> bytes:
+    """Header-valid AVIF fixture: real ftyp/meta/hdlr/iprp/ipco/ispe
+    (+auxC for alpha) box tree with OPAQUE bytes standing in for the
+    AV1 OBUs — the :func:`encode_webp_header` shape for the AVIF
+    walk. The bitstream body is NOT a real AV1 stream (documented
+    stub; the header walk is the product)."""
+    brand = b"avis" if animated else b"avif"
+    ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"pict" + b"\x00" * 13
+    )
+    ispe = _mp4_full(b"ispe", 0, 0, struct.pack(">II", width, height))
+    props = ispe
+    if has_alpha:
+        props += _mp4_full(
+            b"auxC", 0, 0,
+            b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\x00",
+        )
+    ipco = _mp4_box(b"ipco", props)
+    iprp = _mp4_box(b"iprp", ipco)
+    meta = _mp4_full(b"meta", 0, 0, hdlr + iprp)
+    mdat = _mp4_box(b"mdat", payload)
+    return ftyp + meta + mdat
+
+
 def webp_header_stats(content: bytes) -> tuple[str, int, int, bool, bool]:
     """(format, width, height, has_alpha, is_animated) from the
     first bitstream chunk of a WebP container. ValueError on
@@ -1047,6 +1126,54 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
         # channel, mod 256
         px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
     return px
+
+
+_AVIF_FEATURE_DDL = (
+    "media_id long, n_bytes long, header_hex string, width int, "
+    "height int, has_alpha boolean, is_animated boolean"
+)
+
+
+def avif_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary AVIF column → header stats via Arrow ``mapInPandas``
+    (the :func:`webp_features` shape for the HEIF-wrapped AV1 image
+    tier, r14). HEADER-ONLY by design — see
+    :func:`avif_header_stats`."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _AVIF_FEATURE_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "header_hex", "width", "height",
+                "has_alpha", "is_animated",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                out["header_hex"].append(blob[:4].hex())
+                if lenient:
+                    try:
+                        w, h, a, anim = avif_header_stats(blob)
+                    except Exception:
+                        w = h = a = anim = None
+                else:
+                    w, h, a, anim = avif_header_stats(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["has_alpha"].append(a)
+                out["is_animated"].append(anim)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
 
 
 _WEBP_FEATURE_DDL = (
@@ -1675,8 +1802,9 @@ def extract_features(
                             img = _decode_image(blob)
                         except Exception:
                             # no pixel decoder for these bytes — but a
-                            # header-walkable format (WebP/TIFF, r13)
-                            # still yields dims; pixel stats stay NULL
+                            # header-walkable format (WebP/TIFF r13,
+                            # AVIF r14) still yields dims; pixel
+                            # stats stay NULL
                             try:
                                 _, hw, hh, _, _ = webp_header_stats(blob)
                             except Exception:
@@ -1685,7 +1813,12 @@ def extract_features(
                                         blob
                                     )
                                 except Exception:
-                                    hw = hh = None
+                                    try:
+                                        hw, hh, _, _ = avif_header_stats(
+                                            blob
+                                        )
+                                    except Exception:
+                                        hw = hh = None
                             out[id_col].append(mid)
                             out["n_bytes"].append(len(blob))
                             out["header_hex"].append(blob[:4].hex())

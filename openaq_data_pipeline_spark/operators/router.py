@@ -75,6 +75,7 @@ ROUTE_DISCARD = "discard"
 _TEXT_MIMES = ("text/html", "application/pdf", "text/plain")
 _IMAGE_MIMES = (
     "image/png", "image/jpeg", "image/gif", "image/webp", "image/tiff",
+    "image/avif",
 )
 _AUDIO_MIMES = ("audio/x-wav",)
 _VIDEO_MIMES = ("video/x-msvideo", "video/mp4")

@@ -1060,8 +1060,14 @@ def sniff_mime(payload: Column) -> Column:
             magic(1, b"RIFF") & magic(9, b"AVI "),
             F.lit("video/x-msvideo"),
         )
-        # ISO-BMFF: 'ftyp' at byte offset 4 (any brand — mp4/mov/3gp
-        # variants all route to the same header-only video plane)
+        # ISO-BMFF: 'ftyp' at byte offset 4. AVIF brands (r14: the
+        # modern web image staple is HEIF-wrapped AV1) route to the
+        # image plane; every other brand (mp4/mov/3gp variants) goes
+        # to the same header-only video plane as before.
+        .when(
+            magic(5, b"ftyp") & (magic(9, b"avif") | magic(9, b"avis")),
+            F.lit("image/avif"),
+        )
         .when(magic(5, b"ftyp"), F.lit("video/mp4"))
         # POSIX ustar magic at byte offset 257 (r12: WebDataset and
         # archive crawls ship uncompressed tar; GNU tar writes

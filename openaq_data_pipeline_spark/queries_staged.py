@@ -3133,3 +3133,85 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = d.where(F.col("doc_id") % 5 == 0).select("text")
     return dsir_importance_select(d, target, k=25).orderBy("doc_id")
+
+
+@register_staged(
+    "image_avif_stats",
+    "EXT-multimodal — AVIF header walk (r14: the modern web image "
+    "staple, HEIF-wrapped AV1, joins the front door): per document "
+    "a header-valid AVIF is synthesized by residue — still, "
+    "still+alpha (auxC URN), animated (avis brand) — plus a "
+    "meta-less corrupt residue; sniff_mime detects the avif/avis "
+    "ftyp brand AHEAD of the generic ISO-BMFF video arm, the row "
+    "routes to the image plane, and avif_features recovers "
+    "dims/alpha/animation HEADER-ONLY (AV1 OBUs never decode — the "
+    "documented libavif plug-in point) while the corrupt residue "
+    "degrades to observable NULLs. The oracle is the CLOSED FORM "
+    "of the synthesis parameters — ground truth, not a box-walk "
+    "replay",
+    oracle="""
+SELECT doc_id,
+       'image/avif' AS mime,
+       'image' AS route,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(16 + doc_id % 100 AS INT) END AS width,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(8 + doc_id % 64 AS INT) END AS height,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE doc_id % 4 = 1 END AS has_alpha,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE doc_id % 4 = 2 END AS is_animated
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_avif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        avif_features,
+        encode_avif_header,
+    )
+    from openaq_data_pipeline_spark.operators.router import (
+        route_for_mime,
+    )
+    from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                r = i % 4
+                w, h = 16 + i % 100, 8 + i % 64
+                if r == 3:
+                    # ftyp brand intact, meta box missing: sniffs +
+                    # routes as image, stats degrade to NULL
+                    good = encode_avif_header(w, h)
+                    blobs.append(good[: good.index(b"meta") - 4])
+                else:
+                    blobs.append(
+                        encode_avif_header(
+                            w, h, has_alpha=r == 1, animated=r == 2
+                        )
+                    )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = d.mapInPandas(
+        synth, schema="doc_id long, content binary"
+    ).localCheckpoint(eager=False)
+    mimes = imgs.select(
+        "doc_id",
+        sniff_mime(F.col("content")).alias("mime"),
+    ).withColumn("route", route_for_mime(F.col("mime")))
+    return (
+        avif_features(imgs, "content", id_col="doc_id", lenient=True)
+        .join(mimes, "doc_id")
+        .select(
+            "doc_id", "mime", "route", "width", "height",
+            "has_alpha", "is_animated",
+        )
+        .orderBy("doc_id")
+    )

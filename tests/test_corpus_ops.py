@@ -2303,3 +2303,64 @@ class TestTiff:
         assert feats[0].px_sum == 50 * 4 * 6 * 3  # real decode
         assert (feats[1].width, feats[1].height) == (6, 4)
         assert feats[1].px_sum is None  # header-only fallback
+
+
+class TestAvif:
+    """AVIF header walk (r14): ftyp-brand detection ahead of the
+    generic ISO-BMFF video arm, ispe dims, auxC alpha, avis
+    animation; AV1 payloads never decode (header-only posture)."""
+
+    def test_walk_and_refusals(self):
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            avif_header_stats,
+            encode_avif_header,
+            encode_mp4_stub,
+        )
+
+        for w, h, a, anim in (
+            (320, 200, False, False),
+            (64, 64, True, False),
+            (128, 96, True, True),
+        ):
+            blob = encode_avif_header(w, h, has_alpha=a, animated=anim)
+            assert avif_header_stats(blob) == (w, h, a, anim)
+        with pytest.raises(ValueError, match="not AVIF"):
+            avif_header_stats(encode_mp4_stub(2, 8, 8))
+        good = encode_avif_header(8, 8)
+        with pytest.raises(ValueError, match="meta"):
+            avif_header_stats(good[: good.index(b"meta") - 4])
+
+    def test_sniff_routes_image_not_video(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_avif_header,
+            encode_mp4_stub,
+            extract_features,
+        )
+        from openaq_data_pipeline_spark.operators.router import (
+            route_crawl_payloads,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, encode_avif_header(24, 16)),
+                (1, encode_mp4_stub(2, 8, 8)),
+            ],
+            "id long, payload binary",
+        )
+        routed = {
+            r.id: (r.mime, r.route)
+            for r in route_crawl_payloads(df, "payload").collect()
+        }
+        assert routed[0] == ("image/avif", "image")
+        assert routed[1] == ("video/mp4", "video")
+        # the lenient image pass keeps header dims, NULL pixel stats
+        feats = extract_features(
+            df.where(F.col("id") == 0), "payload", id_col="id",
+            decode="real", lenient=True,
+        ).first()
+        assert (feats.width, feats.height) == (24, 16)
+        assert feats.px_sum is None
