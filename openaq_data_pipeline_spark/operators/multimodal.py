@@ -2053,6 +2053,315 @@ def synthetic_audio(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+# --- compressed-audio header walks (r14) ---------------------------------
+#
+# The audio plane decoded WAV PCM only; the wild web ships MP3, FLAC
+# and OGG (Vorbis/Opus). Entropy-coded audio payloads stay undecoded
+# (the ffmpeg/libsndfile plug-in point — same posture as the video
+# plane), but every container's HEADER layout is public spec
+# (ISO 11172-3 frame headers; the FLAC STREAMINFO block; RFC 3533
+# OGG pages + the Vorbis I / RFC 7845 Opus ident packets), so a
+# crawl recovers codec/rate/channels/duration without decoding a
+# sample. CRC fields are not verified (the walk is a router, not a
+# validator); malformed streams raise ValueError for the lenient
+# plane.
+
+# MPEG-1 Layer III bitrate (kbps) and sample-rate tables (public
+# ISO 11172-3; index 0 = "free", 15 = invalid)
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _skip_id3v2(blob: bytes) -> int:
+    """Byte offset past an optional leading ID3v2 tag (10-byte
+    header + synchsafe 28-bit size)."""
+    if blob[:3] != b"ID3" or len(blob) < 10:
+        return 0
+    size = (
+        (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
+        | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
+    )
+    return 10 + size
+
+
+def mp3_header_stats(blob: bytes) -> tuple[int, int, int, int, int]:
+    """(sample_rate, channels, n_frames, duration_ms, bitrate_kbps)
+    of an MPEG-1 Layer III stream — frame headers walked start to
+    end (optional leading ID3v2 and trailing 128-byte ID3v1 'TAG'
+    skipped). Subset boundary: MPEG-2/2.5 and Layers I/II raise
+    (rare in web audio; documented like the codec planes' other
+    boundaries). ``bitrate_kbps`` is the FIRST frame's (a VBR
+    stream's later frames may differ; duration still sums per-frame
+    sample counts, which Layer III fixes at 1152)."""
+    off = _skip_id3v2(blob)
+    end = len(blob)
+    if blob[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    n_frames = 0
+    rate = channels = first_kbps = None
+    while off + 4 <= end:
+        b0, b1, b2, b3 = blob[off : off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3 sync lost at byte {off}")
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise ValueError(
+                "only MPEG-1 Layer III walks here (subset boundary)"
+            )
+        br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("MP3 free/invalid bitrate or sample rate")
+        kbps = _MP3_BITRATES[br_idx]
+        sr = _MP3_RATES[sr_idx]
+        if rate is None:
+            rate, first_kbps = sr, kbps
+            channels = 1 if (b3 >> 6) == 3 else 2
+        elif sr != rate:
+            raise ValueError("MP3 sample rate changes mid-stream")
+        frame_len = 144_000 * kbps // sr + ((b2 >> 1) & 1)
+        if frame_len < 4:
+            raise ValueError("MP3 frame length underflow")
+        off += frame_len
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("MP3 stream holds no frames")
+    return rate, channels, n_frames, n_frames * 1152 * 1000 // rate, first_kbps
+
+
+def encode_mp3_stub(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    sr_idx: int = 0,
+    mono: bool = False,
+    id3: bool = False,
+) -> bytes:
+    """Header-valid MPEG-1 Layer III fixture: ``n_frames`` frames of
+    a real 4-byte header + zero-filler payload (NOT decodable audio
+    — documented stub; the frame walk is the product), optionally
+    wrapped in an empty ID3v2 tag and a trailing ID3v1 'TAG'
+    block."""
+    if not 1 <= bitrate_idx <= 14 or not 0 <= sr_idx <= 2:
+        raise ValueError("bad MP3 table index")
+    out = bytearray()
+    if id3:
+        out += b"ID3\x04\x00\x00\x00\x00\x00\x00"  # empty v2.4 tag
+    kbps, sr = _MP3_BITRATES[bitrate_idx], _MP3_RATES[sr_idx]
+    frame_len = 144_000 * kbps // sr
+    hdr = bytes(
+        [0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2),
+         0xC0 if mono else 0x00]
+    )
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (frame_len - 4)
+    if id3:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
+def flac_header_stats(blob: bytes) -> tuple[int, int, int, int, int]:
+    """(sample_rate, channels, bits_per_sample, total_samples,
+    duration_ms) from the mandatory STREAMINFO metadata block of a
+    FLAC stream. ValueError on a non-FLAC or a stream whose first
+    block is not STREAMINFO (the spec requires it first)."""
+    if blob[:4] != b"fLaC" or len(blob) < 4 + 4 + 34:
+        raise ValueError("not a FLAC stream")
+    btype = blob[4] & 0x7F
+    (blen,) = struct.unpack(">I", b"\x00" + blob[5:8])
+    if btype != 0 or blen != 34:
+        raise ValueError("FLAC first block is not a 34-byte STREAMINFO")
+    body = blob[8 : 8 + 34]
+    bits64 = int.from_bytes(body[10:18], "big")
+    rate = bits64 >> 44
+    channels = ((bits64 >> 41) & 0x7) + 1
+    bps = ((bits64 >> 36) & 0x1F) + 1
+    total = bits64 & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC sample rate is zero")
+    return rate, channels, bps, total, total * 1000 // rate
+
+
+def encode_flac_stub(
+    rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Header-valid FLAC fixture: fLaC magic + last-block STREAMINFO
+    + opaque filler standing in for the frames (documented stub)."""
+    bits64 = (
+        (rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        struct.pack(">HH", 4096, 4096)
+        + b"\x00" * 6
+        + bits64.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of unencoded audio (unset in the stub)
+    )
+    return b"fLaC" + b"\x80" + len(body).to_bytes(3, "big") + body + b"\x00" * 8
+
+
+def _ogg_pages(blob: bytes):
+    """Yield (header_type, granule, body_off, body_len) per OGG page
+    (RFC 3533 layout; CRCs not verified — router, not validator)."""
+    off = 0
+    while off + 27 <= len(blob):
+        if blob[off : off + 4] != b"OggS":
+            raise ValueError(f"OGG capture pattern lost at byte {off}")
+        htype = blob[off + 5]
+        (granule,) = struct.unpack_from("<q", blob, off + 6)
+        nsegs = blob[off + 26]
+        seg_table = blob[off + 27 : off + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            raise ValueError("OGG page segment table truncated")
+        body_len = sum(seg_table)
+        body_off = off + 27 + nsegs
+        if body_off + body_len > len(blob):
+            raise ValueError("OGG page body truncated")
+        yield htype, granule, body_off, body_len
+        off = body_off + body_len
+    if off != len(blob):
+        raise ValueError("OGG trailing garbage")
+
+
+def ogg_header_stats(blob: bytes) -> tuple[str, int, int, int, int]:
+    """(codec, sample_rate, channels, n_pages, duration_ms) of an
+    OGG stream carrying Vorbis or Opus — the ident packet on the
+    first page names the codec, the LAST page's granule position is
+    the PCM sample count (Opus granules run at 48 kHz less the
+    pre-skip, per RFC 7845). Other codecs raise (subset boundary)."""
+    pages = list(_ogg_pages(blob))
+    if not pages:
+        raise ValueError("OGG stream holds no pages")
+    _, _, b0, l0 = pages[0]
+    first = blob[b0 : b0 + l0]
+    if first.startswith(b"\x01vorbis"):
+        codec = "vorbis"
+        channels = first[11]
+        (rate,) = struct.unpack_from("<I", first, 12)
+        pre_skip = 0
+        gr_rate = rate
+    elif first.startswith(b"OpusHead"):
+        codec = "opus"
+        channels = first[9]
+        (pre_skip,) = struct.unpack_from("<H", first, 10)
+        rate = 48000  # Opus output rate is fixed; input rate is a hint
+        gr_rate = 48000
+    else:
+        raise ValueError("OGG first packet is neither Vorbis nor Opus")
+    if rate == 0:
+        raise ValueError("OGG sample rate is zero")
+    granule = max(0, pages[-1][1] - pre_skip)
+    return codec, rate, channels, len(pages), granule * 1000 // gr_rate
+
+
+def _ogg_page(
+    htype: int, granule: int, serial: int, seq: int, body: bytes
+) -> bytes:
+    segs = []
+    rest = len(body)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (
+        b"OggS\x00"
+        + bytes([htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00"  # CRC unset (the walk does not verify)
+        + bytes([len(segs)])
+        + bytes(segs)
+        + body
+    )
+
+
+def encode_ogg_stub(
+    codec: str, rate: int, channels: int, total_samples: int
+) -> bytes:
+    """Header-valid OGG fixture: a first page carrying the real
+    Vorbis/Opus ident packet, a last page whose granule encodes
+    ``total_samples`` (+pre-skip for Opus), opaque body bytes
+    (documented stub; the page walk is the product)."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+            + struct.pack("<I", rate) + b"\x00" * 12 + b"\x01"
+        )
+        granule = total_samples
+    elif codec == "opus":
+        pre_skip = 312
+        ident = (
+            b"OpusHead\x01" + bytes([channels])
+            + struct.pack("<H", pre_skip) + struct.pack("<I", rate)
+            + b"\x00\x00\x00"
+        )
+        granule = total_samples + pre_skip
+    else:
+        raise ValueError("codec must be vorbis or opus")
+    first = _ogg_page(0x02, 0, 1, 0, ident)  # BOS
+    last = _ogg_page(0x04, granule, 1, 1, b"\x00" * 32)  # EOS
+    return first + last
+
+
+_COMPRESSED_AUDIO_DDL = (
+    "media_id long, n_bytes long, header_hex string, codec string, "
+    "sample_rate int, channels int, duration_ms long"
+)
+
+
+def compressed_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary MP3/FLAC/OGG column → header stats via Arrow
+    ``mapInPandas`` (the :func:`webp_features` shape for the
+    compressed-audio tier). HEADER-ONLY by design — see the section
+    comment above."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _COMPRESSED_AUDIO_DDL.split(", ", 1)[1]
+    )
+
+    def _stats(blob: bytes):
+        if blob[:4] == b"fLaC":
+            rate, ch, _, _, ms = flac_header_stats(blob)
+            return "flac", rate, ch, ms
+        if blob[:4] == b"OggS":
+            codec, rate, ch, _, ms = ogg_header_stats(blob)
+            return codec, rate, ch, ms
+        rate, ch, _, ms, _ = mp3_header_stats(blob)
+        return "mp3", rate, ch, ms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "header_hex", "codec",
+                "sample_rate", "channels", "duration_ms",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                out["header_hex"].append(blob[:4].hex())
+                if lenient:
+                    try:
+                        codec, rate, ch, ms = _stats(blob)
+                    except Exception:
+                        codec = rate = ch = ms = None
+                else:
+                    codec, rate, ch, ms = _stats(blob)
+                out["codec"].append(codec)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["duration_ms"].append(ms)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
+
+
 _AUDIO_FEATURE_DDL = (
     "media_id long, n_bytes long, header_hex string, sample_rate int, "
     "n_samples long, duration_ms long, sum_abs long, peak int, "
@@ -2073,13 +2382,27 @@ def audio_features(
     as the sign predicate (0 counts as non-negative).
 
     ``lenient=True`` (the crawl front-door contract) keeps a row
-    whose bytes fail WAV parsing — n_bytes/header_hex filled, the
-    decoded columns NULL — instead of failing the stage."""
+    whose bytes fail WAV parsing instead of failing the stage — and
+    (r14) first tries the COMPRESSED-audio header walks (MP3 frame
+    headers, FLAC STREAMINFO, OGG Vorbis/Opus ident): those rows
+    keep sample_rate/n_samples/duration_ms beside NULL PCM stats,
+    the image plane's header-dims posture; bytes no walk recognizes
+    keep n_bytes/header_hex only."""
 
     id_ddl = (
         f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
         + _AUDIO_FEATURE_DDL.split(", ", 1)[1]
     )
+
+    def _header_walk(blob: bytes):
+        if blob[:4] == b"fLaC":
+            rate, _, _, total, ms = flac_header_stats(blob)
+            return rate, total, ms
+        if blob[:4] == b"OggS":
+            codec, rate, _, _, ms = ogg_header_stats(blob)
+            return rate, ms * rate // 1000, ms
+        rate, _, n_frames, ms, _ = mp3_header_stats(blob)
+        return rate, n_frames * 1152, ms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2094,12 +2417,17 @@ def audio_features(
                     try:
                         samples, rate = decode_wav_pcm16(blob)
                     except Exception:
+                        try:
+                            hr, hn, hms = _header_walk(blob)
+                        except Exception:
+                            hr = hn = hms = None
                         out[id_col].append(mid)
                         out["n_bytes"].append(len(blob))
                         out["header_hex"].append(blob[:4].hex())
-                        for k in ("sample_rate", "n_samples",
-                                  "duration_ms", "sum_abs", "peak",
-                                  "n_zero_cross"):
+                        out["sample_rate"].append(hr)
+                        out["n_samples"].append(hn)
+                        out["duration_ms"].append(hms)
+                        for k in ("sum_abs", "peak", "n_zero_cross"):
                             out[k].append(None)
                         continue
                 else:

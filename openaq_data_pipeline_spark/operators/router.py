@@ -77,7 +77,7 @@ _IMAGE_MIMES = (
     "image/png", "image/jpeg", "image/gif", "image/webp", "image/tiff",
     "image/avif",
 )
-_AUDIO_MIMES = ("audio/x-wav",)
+_AUDIO_MIMES = ("audio/x-wav", "audio/flac", "audio/ogg", "audio/mpeg")
 _VIDEO_MIMES = ("video/x-msvideo", "video/mp4")
 
 

@@ -1051,6 +1051,17 @@ def sniff_mime(payload: Column) -> Column:
         .when(magic(1, b"\x1f\x8b"), F.lit("application/gzip"))
         .when(magic(1, b"PK\x03\x04"), F.lit("application/zip"))
         .when(magic(1, b"RIFF") & magic(9, b"WAVE"), F.lit("audio/x-wav"))
+        # compressed-audio containers (r14): FLAC magic, OGG capture
+        # pattern, MP3 as either a leading ID3v2 tag or the common
+        # MPEG-1 Layer III sync bytes (0xFFFB/0xFFFA — bare 0xFFEx is
+        # too false-positive-prone for a router)
+        .when(magic(1, b"fLaC"), F.lit("audio/flac"))
+        .when(magic(1, b"OggS"), F.lit("audio/ogg"))
+        .when(
+            magic(1, b"ID3") | magic(1, b"\xff\xfb")
+            | magic(1, b"\xff\xfa"),
+            F.lit("audio/mpeg"),
+        )
         .when(magic(1, b"RIFF") & magic(9, b"WEBP"), F.lit("image/webp"))
         .when(
             magic(1, b"II*\x00") | magic(1, b"MM\x00*"),

@@ -3215,3 +3215,124 @@ def q_image_avif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "audio_container_stats",
+    "EXT-multimodal — compressed-audio header walks (r14: the audio "
+    "plane knew WAV PCM only, while the wild web ships MP3/FLAC/OGG; "
+    "entropy-coded payloads stay undecoded — the ffmpeg plug-in "
+    "point — but codec/rate/channels/duration all come from public "
+    "header layouts): per document a header-valid container is "
+    "synthesized by residue — MPEG-1 Layer III frames across all "
+    "three sample rates, FLAC STREAMINFO, OGG Vorbis ident + "
+    "granule, OGG Opus (48 kHz output clock, pre-skip subtracted) — "
+    "plus a corrupt-FLAC residue degrading to observable NULLs; "
+    "sniff_mime routes every one to the audio plane. The oracle is "
+    "the CLOSED FORM of the synthesis parameters — ground truth, "
+    "not a header-walk replay",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'audio/flac'
+         WHEN 4 THEN 'audio/flac' ELSE 'audio/ogg' END AS mime,
+       'audio' AS route,
+       CASE doc_id % 5
+         WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac'
+         WHEN 2 THEN 'vorbis' WHEN 3 THEN 'opus'
+         ELSE NULL END AS codec,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN CASE doc_id % 3
+            WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+         WHEN 1 THEN 32000 + (doc_id % 3) * 8000
+         WHEN 2 THEN 44100
+         WHEN 3 THEN 48000
+         ELSE NULL END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 1 + doc_id % 2 END AS INT) AS channels,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN (2 + doc_id % 5) * 1152 * 1000
+              // (CASE doc_id % 3
+                  WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+         WHEN 1 THEN 1000 * (1 + doc_id % 7) * 1000
+              // (32000 + (doc_id % 3) * 8000)
+         WHEN 2 THEN 441 * (1 + doc_id % 9) * 1000 // 44100
+         WHEN 3 THEN 960 * (1 + doc_id % 6) * 1000 // 48000
+         ELSE NULL END AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_audio_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        compressed_audio_features,
+        encode_flac_stub,
+        encode_mp3_stub,
+        encode_ogg_stub,
+    )
+    from openaq_data_pipeline_spark.operators.router import (
+        route_for_mime,
+    )
+    from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                r = i % 5
+                ch = 1 + i % 2
+                if r == 0:
+                    blobs.append(
+                        encode_mp3_stub(
+                            2 + i % 5, bitrate_idx=9, sr_idx=i % 3,
+                            mono=ch == 1, id3=i % 2 == 0,
+                        )
+                    )
+                elif r == 1:
+                    blobs.append(
+                        encode_flac_stub(
+                            32000 + (i % 3) * 8000, ch, 16,
+                            1000 * (1 + i % 7),
+                        )
+                    )
+                elif r == 2:
+                    blobs.append(
+                        encode_ogg_stub(
+                            "vorbis", 44100, ch, 441 * (1 + i % 9)
+                        )
+                    )
+                elif r == 3:
+                    blobs.append(
+                        encode_ogg_stub(
+                            "opus", 48000, ch, 960 * (1 + i % 6)
+                        )
+                    )
+                else:
+                    # FLAC magic, STREAMINFO clobbered: sniffs +
+                    # routes audio, stats degrade to NULL
+                    blobs.append(b"fLaC\x7f\x00\x00\x10" + b"\x00" * 16)
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    auds = d.mapInPandas(
+        synth, schema="doc_id long, content binary"
+    ).localCheckpoint(eager=False)
+    mimes = auds.select(
+        "doc_id",
+        sniff_mime(F.col("content")).alias("mime"),
+    ).withColumn("route", route_for_mime(F.col("mime")))
+    return (
+        compressed_audio_features(
+            auds, "content", id_col="doc_id", lenient=True
+        )
+        .join(mimes, "doc_id")
+        .select(
+            "doc_id", "mime", "route", "codec", "sample_rate",
+            "channels", "duration_ms",
+        )
+        .orderBy("doc_id")
+    )

@@ -2364,3 +2364,114 @@ class TestAvif:
         ).first()
         assert (feats.width, feats.height) == (24, 16)
         assert feats.px_sum is None
+
+
+class TestCompressedAudioHeaders:
+    """MP3/FLAC/OGG header walks (r14): codec/rate/channels/duration
+    from public header layouts, no sample ever decoded; the audio
+    plane's lenient pass keeps header stats beside NULL PCM stats
+    (the image plane's header-dims posture)."""
+
+    def test_mp3_walk(self):
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_mp3_stub,
+            mp3_header_stats,
+        )
+
+        for nf, bi, si, mono, id3 in (
+            (10, 9, 0, False, False),
+            (3, 14, 1, True, True),   # ID3v2 skip + trailing TAG
+            (1, 1, 2, False, False),
+        ):
+            rate, ch, n, ms, kbps = mp3_header_stats(
+                encode_mp3_stub(nf, bi, si, mono, id3)
+            )
+            exp_rate = (44100, 48000, 32000)[si]
+            assert (rate, ch, n) == (exp_rate, 1 if mono else 2, nf)
+            assert ms == nf * 1152 * 1000 // exp_rate
+        with pytest.raises(ValueError, match="subset boundary"):
+            mp3_header_stats(b"\xff\xe2\x90\x00")  # MPEG-2.5
+        with pytest.raises(ValueError, match="sync lost"):
+            mp3_header_stats(encode_mp3_stub(2) + b"trailing junk!")
+
+    def test_flac_and_ogg_walks(self):
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_flac_stub,
+            encode_ogg_stub,
+            flac_header_stats,
+            ogg_header_stats,
+        )
+
+        assert flac_header_stats(
+            encode_flac_stub(96000, 2, 24, 12345678)
+        ) == (96000, 2, 24, 12345678, 12345678 * 1000 // 96000)
+        codec, rate, ch, n_pages, ms = ogg_header_stats(
+            encode_ogg_stub("vorbis", 44100, 2, 441000)
+        )
+        assert (codec, rate, ch, n_pages, ms) == (
+            "vorbis", 44100, 2, 2, 10000,
+        )
+        # Opus: output clock is 48 kHz and the pre-skip subtracts
+        codec, rate, ch, _, ms = ogg_header_stats(
+            encode_ogg_stub("opus", 48000, 1, 48000)
+        )
+        assert (codec, rate, ch, ms) == ("opus", 48000, 1, 1000)
+        with pytest.raises(ValueError, match="STREAMINFO"):
+            flac_header_stats(b"fLaC\x7f\x00\x00\x22" + b"\x00" * 34)
+        with pytest.raises(ValueError, match="neither Vorbis nor Opus"):
+            ogg_header_stats(
+                encode_ogg_stub("vorbis", 44100, 2, 1)
+                .replace(b"\x01vorbis", b"\x01theora")
+            )
+
+    def test_audio_plane_composition(self, spark):
+        """Compressed audio routes to the audio plane and keeps
+        header stats beside NULL PCM stats; WAV still fully
+        decodes next to it."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_flac_stub,
+            encode_mp3_stub,
+            encode_wav_pcm16,
+        )
+        from openaq_data_pipeline_spark.operators.router import (
+            crawl_route_planes,
+            route_crawl_payloads,
+        )
+
+        t = np.arange(160)
+        wav = encode_wav_pcm16(
+            (1000 * np.sin(t / 5.0)).astype(np.int16), 8000
+        )
+        df = spark.createDataFrame(
+            [
+                (0, wav),
+                (1, encode_mp3_stub(4, 9, 0)),
+                (2, encode_flac_stub(44100, 2, 16, 44100)),
+            ],
+            "id long, payload binary",
+        )
+        routed = route_crawl_payloads(df, "payload").localCheckpoint()
+        assert {
+            (r.id, r.route) for r in routed.collect()
+        } == {(0, "audio"), (1, "audio"), (2, "audio")}
+        feats = {
+            r.id: r
+            for r in crawl_route_planes(routed, "payload", "id")[
+                "audio"
+            ].collect()
+        }
+        assert feats[0].sum_abs is not None  # real PCM decode
+        assert feats[1].sample_rate == 44100
+        assert feats[1].duration_ms == 4 * 1152 * 1000 // 44100
+        assert feats[1].sum_abs is None  # header-only
+        assert feats[2].sample_rate == 44100
+        assert feats[2].n_samples == 44100
+        assert feats[2].duration_ms == 1000
+        assert feats[2].sum_abs is None
