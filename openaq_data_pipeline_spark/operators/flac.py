@@ -1,0 +1,463 @@
+"""FLAC PCM codec — pure-Python subset (r14).
+
+Public-knowledge format (RFC 9639 "Free Lossless Audio Codec"; the
+xiph.org FLAC format spec). This module gives the audio plane a REAL
+sample path for the web's staple lossless audio container beyond the
+r14 STREAMINFO header walk (``multimodal.flac_header_stats``): a
+matched encoder/decoder pair over the format's frame layer —
+
+- MSB-first bit I/O; frame sync + header (block size / sample rate /
+  channel assignment / bit depth codes, UTF-8-style coded frame
+  number, CRC-8 over the header verified — garbage never decodes to
+  silent wrong samples);
+- all four SUBFRAME types: CONSTANT, VERBATIM, FIXED (orders 0-4,
+  the spec's standard difference predictors) and LPC (arbitrary
+  order, quantized coefficients + shift);
+- Rice-partitioned residuals, both 4-bit (method 0) and 5-bit
+  (method 1) parameter widths, including the escape code
+  (parameter all-ones → raw n-bit residuals);
+- all four channel assignments: independent, left/side, right/side,
+  mid/side (the spec's lossless decorrelation);
+- wasted-bits-per-sample shifts.
+
+Documented subset boundaries: variable-blocksize streams decode
+(the coded number is consumed either way); sample-rate codes that
+defer to STREAMINFO use the stream's own header; frame CRC-16 is
+verified over each whole frame. The ENCODER (fixture face) emits
+fixed-blocksize streams with CONSTANT / VERBATIM / FIXED(order ≤ 2)
+subframes and single-partition Rice residuals — fixture-grade
+compression, spec-grade bitstream, exercising the decoder's full
+residual/predictor path; LPC and mid/side are decoder-side,
+pinned by hand-built streams in tests.
+
+Per-sample bit work in pure Python runs ~1 µs/sample — fixture and
+web-clip grade, not a realtime player; the Arrow plane batches rows
+so the cost stays per-row-proportional (the VP8L posture).
+
+The container face (STREAMINFO walk, sniff) stays in
+``operators.multimodal``; this module is frames + samples.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZE_CODE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192,
+    14: 16384, 15: 32768,
+}
+
+_RATE_CODE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_DEPTH_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
+    FLAC frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 with polynomial 0x8005, init 0 — the FLAC frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    """MSB-first bit reader (FLAC's bit order — the opposite of
+    VP8L's)."""
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte_i, bit_i = divmod(self.pos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("FLAC stream truncated")
+            v = (v << 1) | ((self.data[byte_i] >> (7 - bit_i)) & 1)
+            self.pos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("FLAC unary run overlong")
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+class _BitWriter:
+    """MSB-first bit writer (the encoder face)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            if self.nbits % 8 == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 0x80 >> (self.nbits % 8)
+            self.nbits += 1
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        self.write(0, q) if q else None
+        self.write(1, 1)
+
+    def align(self) -> None:
+        if self.nbits % 8:
+            self.write(0, 8 - self.nbits % 8)
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+def _read_coded_number(br: _BitReader) -> int:
+    """The frame header's UTF-8-style coded frame/sample number
+    (up to 36 bits / 7 bytes)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n_extra = 0
+    mask = 0x40
+    while b0 & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra < 1 or n_extra > 6:
+        raise ValueError("FLAC coded number malformed")
+    v = b0 & (mask - 1)
+    for _ in range(n_extra):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("FLAC coded number continuation malformed")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _read_residual(br: _BitReader, n: int, order: int, depth: int) -> list[int]:
+    """Rice-partitioned residual for one subframe: ``n`` block
+    samples, the first ``order`` carried as warm-up elsewhere."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("FLAC residual method reserved")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    n_parts = 1 << porder
+    if n % n_parts:
+        raise ValueError("FLAC partition order does not divide block")
+    out: list[int] = []
+    for p in range(n_parts):
+        count = n // n_parts - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC partition shorter than warm-up")
+        param = br.read(pbits)
+        if param == escape:
+            raw_bits = br.read(5)
+            for _ in range(count):
+                out.append(br.read_signed(raw_bits) if raw_bits else 0)
+        else:
+            for _ in range(count):
+                q = br.read_unary()
+                u = (q << param) | br.read(param)
+                out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+def _predict(warm: list[int], residual: list[int], coefs: list[int], shift: int) -> list[int]:
+    """Apply a (fixed or LPC) predictor over warm-up + residuals."""
+    samples = list(warm)
+    order = len(coefs)
+    for r in residual:
+        pred = sum(c * samples[-1 - i] for i, c in enumerate(coefs))
+        samples.append(r + (pred >> shift))
+    return samples
+
+
+def _read_subframe(br: _BitReader, n: int, depth: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+        depth -= wasted
+    if depth <= 0:
+        raise ValueError("FLAC wasted bits exhaust the sample depth")
+    if stype == 0:  # CONSTANT
+        v = br.read_signed(depth)
+        out = [v] * n
+    elif stype == 1:  # VERBATIM
+        out = [br.read_signed(depth) for _ in range(n)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [br.read_signed(depth) for _ in range(order)]
+        res = _read_residual(br, n, order, depth)
+        out = _predict(warm, res, _FIXED_COEFS[order], 0)
+    elif stype >= 32:  # LPC
+        order = stype - 31
+        warm = [br.read_signed(depth) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC LPC precision code reserved")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _read_residual(br, n, order, depth)
+        out = _predict(warm, res, coefs, shift)
+    else:
+        raise ValueError(f"FLAC subframe type {stype} reserved")
+    if wasted:
+        out = [s << wasted for s in out]
+    return out
+
+
+def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
+    """FLAC stream → (samples int32 array of shape (n, channels),
+    sample_rate). Decodes EVERY frame; frame-header CRC-8 and frame
+    CRC-16 are verified, so corrupt streams raise instead of
+    emitting wrong samples. ValueError outside the subset or on any
+    malformation (the lenient audio plane keys on it)."""
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        flac_header_stats,
+    )
+
+    rate0, channels0, depth0, total, _ = flac_header_stats(content)
+    # skip metadata blocks to the first frame
+    off = 4
+    while True:
+        hdr = content[off : off + 4]
+        if len(hdr) < 4:
+            raise ValueError("FLAC metadata truncated")
+        last = hdr[0] & 0x80
+        (blen,) = struct.unpack(">I", b"\x00" + hdr[1:4])
+        off += 4 + blen
+        if last:
+            break
+    chans: list[list[int]] = [[] for _ in range(channels0)]
+    while off < len(content):
+        br = _BitReader(content, off * 8)
+        frame_start = off
+        if br.read(14) != 0b11111111111110:
+            raise ValueError(f"FLAC frame sync lost at byte {off}")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy (both decode)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        depth_code = br.read(3)
+        br.read(1)  # reserved
+        _read_coded_number(br)
+        if bs_code == 0:
+            raise ValueError("FLAC block size code reserved")
+        elif bs_code == 6:
+            n = br.read(8) + 1
+        elif bs_code == 7:
+            n = br.read(16) + 1
+        else:
+            n = _BLOCKSIZE_CODE[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC sample rate code invalid")
+        # CRC-8 covers the header bytes up to here
+        hdr_end = (br.pos + 7) // 8
+        if _crc8(content[frame_start:hdr_end]) != br.read(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        if ch_code < 8:
+            n_ch = ch_code + 1
+            mode = "independent"
+        elif ch_code == 8:
+            n_ch, mode = 2, "left_side"
+        elif ch_code == 9:
+            n_ch, mode = 2, "right_side"
+        elif ch_code == 10:
+            n_ch, mode = 2, "mid_side"
+        else:
+            raise ValueError("FLAC channel assignment reserved")
+        if n_ch != channels0:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        subs = []
+        for c in range(n_ch):
+            d = _DEPTH_CODE.get(depth_code, depth0)
+            # the side channel carries one extra bit (spec)
+            if (mode == "left_side" and c == 1) or (
+                mode == "right_side" and c == 0
+            ) or (mode == "mid_side" and c == 1):
+                d += 1
+            subs.append(_read_subframe(br, n, d))
+        br.align()
+        frame_end = (br.pos // 8) + 2
+        if _crc16(content[frame_start : br.pos // 8]) != br.read(16):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        if mode == "independent":
+            for c in range(n_ch):
+                chans[c].extend(subs[c])
+        elif mode == "left_side":
+            for left, side in zip(subs[0], subs[1]):
+                chans[0].append(left)
+                chans[1].append(left - side)
+        elif mode == "right_side":
+            for side, right in zip(subs[0], subs[1]):
+                chans[0].append(right + side)
+                chans[1].append(right)
+        else:  # mid_side
+            for mid, side in zip(subs[0], subs[1]):
+                m = (mid << 1) | (side & 1)
+                chans[0].append((m + side) >> 1)
+                chans[1].append((m - side) >> 1)
+        off = frame_end
+    samples = np.array(chans, dtype=np.int64).T
+    if total and samples.shape[0] > total:
+        samples = samples[:total]
+    return samples.astype(np.int32), rate0
+
+
+def _write_residual(bw: _BitWriter, res: list[int], param: int) -> None:
+    """Single-partition Rice residual (method 0, porder 0)."""
+    bw.write(0, 2)   # method 0 (4-bit params)
+    bw.write(0, 4)   # partition order 0
+    bw.write(param, 4)
+    for r in res:
+        u = (abs(r) << 1) - (1 if r < 0 else 0)  # zigzag
+        bw.write_unary(u >> param)
+        if param:
+            bw.write(u & ((1 << param) - 1), param)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 44100,
+    depth: int = 16,
+    block_size: int = 4096,
+    subframe: str = "auto",
+) -> bytes:
+    """(n, channels) int PCM → a real FLAC stream: STREAMINFO +
+    fixed-blocksize frames of independent-channel subframes with
+    verified CRC-8/CRC-16. ``subframe``: ``constant`` (all-equal
+    blocks only), ``verbatim``, ``fixed2`` (order-2 difference
+    predictor + single-partition Rice), or ``auto`` (constant when
+    the block is constant, else fixed2). Fixture-grade compression,
+    spec-grade bitstream — the exact inverse of
+    :func:`decode_flac`."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_total, channels = samples.shape
+    if not 1 <= channels <= 8:
+        raise ValueError("FLAC supports 1-8 channels")
+    if sample_rate not in _RATE_CODE.values():
+        raise ValueError("use a spec-coded sample rate for fixtures")
+    sr_code = {v: k for k, v in _RATE_CODE.items()}[sample_rate]
+    depth_code = {v: k for k, v in _DEPTH_CODE.items()}[depth]
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        encode_flac_stub,
+    )
+
+    head = encode_flac_stub(sample_rate, channels, depth, n_total)
+    out = bytearray(head[: len(head) - 8])  # stub minus its filler
+    frame_no = 0
+    for start in range(0, max(n_total, 1), block_size):
+        block = samples[start : start + block_size]
+        n = block.shape[0]
+        if n == 0:
+            break
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocksize strategy
+        bw.write(6 if n <= 256 else 7, 4)  # 8/16-bit explicit size
+        bw.write(sr_code, 4)
+        bw.write(channels - 1, 4)  # independent channels
+        bw.write(depth_code, 3)
+        bw.write(0, 1)
+        # coded frame number (fits 7 bits for fixture-scale streams)
+        if frame_no >= 0x80:
+            raise ValueError("fixture encoder caps at 128 frames")
+        bw.write(frame_no, 8)
+        if n <= 256:
+            bw.write(n - 1, 8)
+        else:
+            bw.write(n - 1, 16)
+        hdr = bw.bytes()
+        bw.write(_crc8(hdr), 8)
+        for c in range(channels):
+            ch = [int(v) for v in block[:, c]]
+            kind = subframe
+            if kind == "auto":
+                kind = "constant" if len(set(ch)) == 1 else "fixed2"
+            bw.write(0, 1)
+            if kind == "constant":
+                if len(set(ch)) != 1:
+                    raise ValueError("constant subframe needs equal samples")
+                bw.write(0, 6)
+                bw.write(0, 1)  # no wasted bits
+                bw.write_signed(ch[0], depth)
+            elif kind == "verbatim":
+                bw.write(1, 6)
+                bw.write(0, 1)
+                for v in ch:
+                    bw.write_signed(v, depth)
+            elif kind == "fixed2":
+                order = min(2, n - 1) if n > 1 else 0
+                bw.write(8 + order, 6)
+                bw.write(0, 1)
+                for v in ch[:order]:
+                    bw.write_signed(v, depth)
+                coefs = _FIXED_COEFS[order]
+                res = [
+                    ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
+                    for i in range(order, n)
+                ]
+                mean = max(1, sum(abs(r) for r in res) // max(1, len(res)))
+                param = min(14, max(0, mean.bit_length()))
+                _write_residual(bw, res, param)
+            else:
+                raise ValueError(f"unknown subframe kind {kind!r}")
+        bw.align()
+        body = bw.bytes()
+        bw.write(_crc16(body), 16)
+        out += bw.bytes()
+        frame_no += 1
+    return bytes(out)

@@ -2383,16 +2383,29 @@ def audio_features(
 
     ``lenient=True`` (the crawl front-door contract) keeps a row
     whose bytes fail WAV parsing instead of failing the stage — and
-    (r14) first tries the COMPRESSED-audio header walks (MP3 frame
-    headers, FLAC STREAMINFO, OGG Vorbis/Opus ident): those rows
-    keep sample_rate/n_samples/duration_ms beside NULL PCM stats,
-    the image plane's header-dims posture; bytes no walk recognizes
+    (r14) cascades: FLAC decodes to REAL PCM through the pure-Python
+    frame decoder (``operators/flac.py`` — stats over all channels,
+    zero crossings on channel 0, n_samples = inter-channel frames);
+    MP3 / OGG / undecodable-FLAC fall back to the header walks
+    (sample_rate/n_samples/duration_ms beside NULL PCM stats, the
+    image plane's header-dims posture); bytes no walk recognizes
     keep n_bytes/header_hex only."""
 
     id_ddl = (
         f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
         + _AUDIO_FEATURE_DDL.split(", ", 1)[1]
     )
+
+    def _flac_pcm(blob: bytes):
+        # FLAC decodes to REAL samples (r14, operators/flac.py):
+        # stats over all channels flattened, zero crossings on
+        # channel 0, n_samples = inter-channel frames
+        from openaq_data_pipeline_spark.operators.flac import (
+            decode_flac,
+        )
+
+        pcm, rate = decode_flac(blob)
+        return pcm, rate
 
     def _header_walk(blob: bytes):
         if blob[:4] == b"fLaC":
@@ -2417,6 +2430,30 @@ def audio_features(
                     try:
                         samples, rate = decode_wav_pcm16(blob)
                     except Exception:
+                        try:
+                            pcm, rate = _flac_pcm(blob)
+                            s = pcm.astype(np.int64)
+                            ch0 = s[:, 0]
+                            neg = ch0 < 0
+                            out[id_col].append(mid)
+                            out["n_bytes"].append(len(blob))
+                            out["header_hex"].append(blob[:4].hex())
+                            out["sample_rate"].append(rate)
+                            out["n_samples"].append(s.shape[0])
+                            out["duration_ms"].append(
+                                s.shape[0] * 1000 // rate
+                            )
+                            out["sum_abs"].append(int(np.abs(s).sum()))
+                            out["peak"].append(
+                                int(np.abs(s).max()) if s.size else 0
+                            )
+                            out["n_zero_cross"].append(
+                                int((neg[1:] != neg[:-1]).sum())
+                                if ch0.size else 0
+                            )
+                            continue
+                        except Exception:
+                            pass
                         try:
                             hr, hn, hms = _header_walk(blob)
                         except Exception:

@@ -3336,3 +3336,85 @@ def q_audio_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "audio_flac_decode",
+    "EXT-multimodal — FLAC PCM decode (r14 second wave: beyond the "
+    "STREAMINFO walk, the lossless-audio staple gets a REAL sample "
+    "path — operators/flac.py, RFC 9639 frame layer with verified "
+    "CRC-8/CRC-16): per document a FLAC is synthesized by the "
+    "engine's own encoder — even docs a constant signal, odd docs "
+    "an alternating ±c square wave through the FIXED-predictor + "
+    "Rice residual path — and the lenient audio plane recovers "
+    "exact integer PCM statistics; every seventh document has a "
+    "frame byte flipped, the CRC refuses it, and the row KEEPS "
+    "STREAMINFO header stats beside NULL PCM stats (the layered "
+    "fallback). The oracle is the CLOSED FORM of the synthesis — "
+    "ground truth, not a decode replay",
+    oracle="""
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+            ELSE 48000 END AS INT) AS sample_rate,
+       CAST(400 + (doc_id % 5) * 100 AS BIGINT) AS n_samples,
+       CAST((400 + (doc_id % 5) * 100) * 1000
+            // (CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+                ELSE 48000 END) AS BIGINT) AS duration_ms,
+       CASE WHEN doc_id % 7 = 6 THEN NULL
+            ELSE CAST((100 + doc_id % 500)
+                 * (400 + (doc_id % 5) * 100)
+                 * (1 + doc_id % 2) AS BIGINT) END AS sum_abs,
+       CASE WHEN doc_id % 7 = 6 THEN NULL
+            ELSE CAST(100 + doc_id % 500 AS INT) END AS peak,
+       CASE WHEN doc_id % 7 = 6 THEN NULL
+            WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(400 + (doc_id % 5) * 100 - 1 AS BIGINT)
+            END AS n_zero_cross
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.flac import encode_flac
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rate = (32000, 44100, 48000)[i % 3]
+                n = 400 + (i % 5) * 100
+                ch = 1 + i % 2
+                c = 100 + i % 500
+                if i % 2 == 0:
+                    sig = np.full((n, ch), c, np.int32)
+                else:
+                    col = np.where(
+                        np.arange(n) % 2 == 0, c, -c
+                    ).astype(np.int32)
+                    sig = np.repeat(col[:, None], ch, axis=1)
+                blob = bytearray(encode_flac(sig, rate, block_size=256))
+                if i % 7 == 6:
+                    blob[50] ^= 0x40  # CRC refuses; STREAMINFO stands
+                blobs.append(bytes(blob))
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    auds = d.mapInPandas(synth, schema="doc_id long, content binary")
+    return (
+        audio_features(auds, "content", id_col="doc_id", lenient=True)
+        .select(
+            "doc_id", "sample_rate", "n_samples", "duration_ms",
+            "sum_abs", "peak", "n_zero_cross",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,238 @@
+"""FLAC PCM codec (r14): encoder/decoder round-trips over every
+fixture subframe kind, decoder-only features (LPC, stereo
+decorrelation, Rice escapes, wasted bits, method-1 partitions) via
+hand-built streams, CRC rejection, and the audio-plane composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from openaq_data_pipeline_spark.operators.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    decode_flac,
+    encode_flac,
+)
+from openaq_data_pipeline_spark.operators.multimodal import encode_flac_stub
+
+
+class TestRoundTrip:
+    def test_constant_verbatim_fixed_auto(self):
+        rng = np.random.default_rng(7)
+        t = np.arange(2000)
+        cases = [
+            (np.full((500, 2), 123, np.int32), {"block_size": 192}),
+            (
+                rng.integers(-32768, 32768, (300, 1), dtype=np.int32),
+                {"subframe": "verbatim", "block_size": 256},
+            ),
+            (
+                np.stack(
+                    [(1000 * np.sin(t / 20)).astype(np.int32),
+                     (800 * np.cos(t / 15)).astype(np.int32)], -1),
+                {"block_size": 576},
+            ),
+            (
+                np.concatenate(
+                    [np.full((192, 1), 7, np.int32),
+                     rng.integers(-100, 100, (192, 1), dtype=np.int32)]
+                ),
+                {"block_size": 192, "sample_rate": 32000},
+            ),
+        ]
+        for s, kw in cases:
+            blob = encode_flac(s, **kw)
+            out, rate = decode_flac(blob)
+            assert np.array_equal(out, s)
+            assert rate == kw.get("sample_rate", 44100)
+
+    def test_fixed_actually_compresses_smooth_audio(self):
+        t = np.arange(4096)
+        s = (3000 * np.sin(t / 30)).astype(np.int32)[:, None]
+        blob = encode_flac(s)
+        assert len(blob) < s.size * 2 // 2  # beats raw 16-bit PCM 2x
+
+    def test_crc_rejects_corruption(self):
+        s = np.arange(600, dtype=np.int32)[:, None] % 100
+        blob = bytearray(encode_flac(s, block_size=192))
+        blob[60] ^= 0x40
+        with pytest.raises(ValueError, match="CRC"):
+            decode_flac(bytes(blob))
+
+
+def _frame_header(bw, n, sr_code=9, ch_code=0, depth_code=4, start=0):
+    """Hand-build one frame header (8-bit explicit block size)."""
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 2)
+    bw.write(6, 4)          # 8-bit explicit block size
+    bw.write(sr_code, 4)
+    bw.write(ch_code, 4)
+    bw.write(depth_code, 3)
+    bw.write(0, 1)
+    bw.write(0, 8)          # coded frame number 0
+    bw.write(n - 1, 8)
+    hdr = bw.bytes()[start:]
+    bw.write(_crc8(hdr), 8)
+
+
+def _close_frame(bw, start=0):
+    bw.align()
+    body = bw.bytes()[start:]
+    bw.write(_crc16(body), 16)
+
+
+class TestDecoderOnlyFeatures:
+    """The fixture encoder emits constant/verbatim/fixed subframes
+    with single-partition method-0 Rice; hand-built streams pin LPC,
+    the three stereo decorrelations, the Rice escape, wasted bits
+    and multi-partition method-1 residuals."""
+
+    def _stream(self, build_frames, channels=1, total=0):
+        head = encode_flac_stub(44100, channels, 16, total)
+        out = bytearray(head[: len(head) - 8])
+        bw = _BitWriter()
+        build_frames(bw)
+        return bytes(out) + bw.bytes()
+
+    def test_lpc_subframe(self):
+        """LPC order 1, coef 2, shift 1: pred = s[-1] * 2 >> 1 =
+        s[-1]; warm-up 10 and residuals +1 each give 10..14 —
+        expected samples computed BY HAND."""
+        def build3(bw):
+            _frame_header(bw, 5)
+            bw.write(0, 1)
+            bw.write(32, 6)
+            bw.write(0, 1)
+            bw.write(10 & 0xFFFF, 16)
+            bw.write(3, 4)
+            bw.write(1, 5)
+            bw.write(2, 4)
+            bw.write(0, 2)
+            bw.write(0, 4)
+            bw.write(1, 4)
+            for _ in range(4):
+                # zigzag(+1) = 2 -> q = 1 (unary "01"), low bit 0
+                bw.write(0, 1)
+                bw.write(1, 1)
+                bw.write(0, 1)
+            _close_frame(bw)
+
+        out, rate = decode_flac(self._stream(build3, total=5))
+        assert rate == 44100
+        assert out[:, 0].tolist() == [10, 11, 12, 13, 14]
+
+    @pytest.mark.parametrize(
+        "ch_code,left,right",
+        [
+            (8, [100, 50], [90, 45]),   # left/side: side = L - R
+            (9, [100, 50], [90, 45]),   # right/side
+            (10, [100, 51], [90, 45]),  # mid/side (odd sum case)
+        ],
+    )
+    def test_stereo_decorrelation(self, ch_code, left, right):
+        """All three decorrelated assignments reconstruct the same
+        L/R pair — channels hand-coded as VERBATIM subframes with
+        the side channel's extra bit."""
+        n = 2
+        side = [l - r for l, r in zip(left, right)]
+        if ch_code == 8:
+            ch0, ch1 = left, side
+            d0, d1 = 16, 17
+        elif ch_code == 9:
+            ch0, ch1 = side, right
+            d0, d1 = 17, 16
+        else:
+            ch0 = [(l + r) >> 1 for l, r in zip(left, right)]
+            ch1 = side
+            d0, d1 = 16, 17
+
+        def build(bw):
+            _frame_header(bw, n, ch_code=ch_code)
+            for vals, d in ((ch0, d0), (ch1, d1)):
+                bw.write(0, 1)
+                bw.write(1, 6)  # VERBATIM
+                bw.write(0, 1)
+                for v in vals:
+                    bw.write(v & ((1 << d) - 1), d)
+            _close_frame(bw)
+
+        out, _ = decode_flac(self._stream(build, channels=2, total=n))
+        assert out[:, 0].tolist() == left
+        assert out[:, 1].tolist() == right
+
+    def test_rice_escape_and_method1_partitions(self):
+        """Order-0 FIXED subframe, method 1 (5-bit params), porder 1
+        (two partitions): partition 0 escapes to raw 6-bit
+        residuals, partition 1 uses rice param 2."""
+        vals0 = [5, -3]          # raw 6-bit escape
+        vals1 = [4, -2]          # rice param 2
+
+        def build(bw):
+            _frame_header(bw, 4)
+            bw.write(0, 1)
+            bw.write(8, 6)   # FIXED order 0
+            bw.write(0, 1)
+            bw.write(1, 2)   # method 1: 5-bit params
+            bw.write(1, 4)   # porder 1 -> 2 partitions of 2
+            bw.write(31, 5)  # escape
+            bw.write(6, 5)   # raw bits = 6
+            for v in vals0:
+                bw.write(v & 0x3F, 6)
+            bw.write(2, 5)   # partition 2: rice param 2
+            for v in vals1:
+                u = (abs(v) << 1) - (1 if v < 0 else 0)
+                q, low = u >> 2, u & 3
+                bw.write(0, q)
+                bw.write(1, 1)
+                bw.write(low, 2)
+            _close_frame(bw)
+
+        out, _ = decode_flac(self._stream(build, total=4))
+        assert out[:, 0].tolist() == vals0 + vals1
+
+    def test_wasted_bits(self):
+        """A CONSTANT subframe with 3 wasted bits: the coded value
+        shifts left on output."""
+        def build(bw):
+            _frame_header(bw, 3)
+            bw.write(0, 1)
+            bw.write(0, 6)   # CONSTANT
+            bw.write(1, 1)   # wasted-bits flag
+            bw.write(0, 2)   # unary 2 -> wasted = 3
+            bw.write(1, 1)
+            bw.write(9 & 0x1FFF, 13)  # depth 16 - 3
+            _close_frame(bw)
+
+        out, _ = decode_flac(self._stream(build, total=3))
+        assert out[:, 0].tolist() == [72, 72, 72]  # 9 << 3
+
+
+class TestAudioPlaneComposition:
+    def test_flac_decodes_real_pcm_in_the_plane(self, spark):
+        """A FLAC row now yields REAL PCM stats in the lenient audio
+        pass; MP3 stays header-only next to it."""
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            audio_features,
+            encode_mp3_stub,
+        )
+
+        t = np.arange(1000)
+        s = (900 * np.sin(t / 9)).astype(np.int32)[:, None]
+        df = spark.createDataFrame(
+            [(0, encode_flac(s, 32000)), (1, encode_mp3_stub(3))],
+            "id long, payload binary",
+        )
+        rows = {
+            r.id: r
+            for r in audio_features(
+                df, "payload", id_col="id", lenient=True
+            ).collect()
+        }
+        assert rows[0].sample_rate == 32000
+        assert rows[0].n_samples == 1000
+        assert rows[0].sum_abs == int(np.abs(s.astype(np.int64)).sum())
+        assert rows[0].peak == int(np.abs(s).max())
+        assert rows[1].sample_rate == 44100
+        assert rows[1].sum_abs is None  # header-only
