@@ -845,9 +845,13 @@ _TIFF_TAGS = {
 }
 
 
-def _tiff_ifds(content: bytes, max_pages: int = 64):
-    """Yield per-page dicts of the tags in ``_TIFF_TAGS`` (values as
-    int lists). Bounds-checked; ValueError on a non-TIFF."""
+def _tiff_ifds(content: bytes, max_pages: int = 64, tags=None):
+    """Yield per-page dicts of the requested ``tags`` (default
+    ``_TIFF_TAGS``): numeric types as int lists, ASCII (type 2) as a
+    NUL-stripped str — the EXIF walk (r14) reuses this with its own
+    tag table. Bounds-checked; ValueError on a non-TIFF."""
+    if tags is None:
+        tags = _TIFF_TAGS
     if content[:4] == b"II*\x00":
         e = "<"
     elif content[:4] == b"MM\x00*":
@@ -855,7 +859,7 @@ def _tiff_ifds(content: bytes, max_pages: int = 64):
     else:
         raise ValueError("not a TIFF stream")
     (off,) = struct.unpack_from(e + "I", content, 4)
-    type_size = {1: 1, 3: 2, 4: 4}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
     seen = set()
     for _ in range(max_pages):
         if off == 0 or off + 2 > len(content) or off in seen:
@@ -868,7 +872,7 @@ def _tiff_ifds(content: bytes, max_pages: int = 64):
         for i in range(n):
             base = off + 2 + 12 * i
             tag, typ, cnt = struct.unpack_from(e + "HHI", content, base)
-            name = _TIFF_TAGS.get(tag)
+            name = tags.get(tag)
             if name is None or typ not in type_size:
                 continue
             total = type_size[typ] * cnt
@@ -878,12 +882,118 @@ def _tiff_ifds(content: bytes, max_pages: int = 64):
                 (vbase,) = struct.unpack_from(e + "I", content, base + 8)
                 if vbase + total > len(content):
                     continue
-            fmt = {1: "B", 3: "H", 4: "I"}[typ]
-            page[name] = list(
-                struct.unpack_from(e + fmt * cnt, content, vbase)
-            )
+            if typ == 2:
+                page[name] = (
+                    bytes(content[vbase : vbase + cnt])
+                    .split(b"\0")[0]
+                    .decode("ascii", "replace")
+                )
+            else:
+                fmt = {1: "B", 3: "H", 4: "I"}[typ]
+                page[name] = list(
+                    struct.unpack_from(e + fmt * cnt, content, vbase)
+                )
         yield page
         (off,) = struct.unpack_from(e + "I", content, off + 2 + 12 * n)
+
+
+_EXIF_TAGS = {
+    271: "make", 272: "model", 274: "orientation", 306: "datetime",
+}
+
+
+def exif_stats(content: bytes) -> tuple[int | None, str | None, str | None, str | None]:
+    """(orientation, make, model, datetime) from a JPEG's APP1 Exif
+    segment or a TIFF's own IFD0 (r14 — the image METADATA face: the
+    EXIF payload IS a TIFF IFD per the public EXIF spec, so the
+    walker is :func:`_tiff_ifds` with the baseline-metadata tag
+    table). Orientation is the 1-8 rotation/mirror code image
+    pipelines must honor before any geometry-dependent feature.
+    ValueError when the bytes carry no EXIF at all; individual
+    missing tags come back None."""
+    if content[:2] == b"\xff\xd8":
+        # JPEG: scan segments for APP1 "Exif\0\0"
+        off = 2
+        tiff = None
+        while off + 4 <= len(content):
+            if content[off] != 0xFF:
+                break
+            marker = content[off + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                off += 2
+                continue
+            (seg_len,) = struct.unpack_from(">H", content, off + 2)
+            if marker == 0xE1 and content[off + 4 : off + 10] == b"Exif\x00\x00":
+                tiff = content[off + 10 : off + 2 + seg_len]
+                break
+            if marker == 0xDA:  # SOS: entropy data follows, stop
+                break
+            off += 2 + seg_len
+        if tiff is None:
+            raise ValueError("JPEG carries no Exif APP1 segment")
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        tiff = content
+    else:
+        raise ValueError("not a JPEG or TIFF stream")
+    pages = list(_tiff_ifds(tiff, tags=_EXIF_TAGS))
+    if not pages:
+        raise ValueError("EXIF payload carries no IFD")
+    p = pages[0]
+    ori = p.get("orientation")
+    return (
+        ori[0] if ori else None,
+        p.get("make"),
+        p.get("model"),
+        p.get("datetime"),
+    )
+
+
+def inject_jpeg_exif(
+    jpeg: bytes,
+    orientation: int = 1,
+    make: str = "",
+    model: str = "",
+    datetime: str = "",
+) -> bytes:
+    """Insert an APP1 Exif segment (little-endian TIFF IFD with the
+    baseline metadata tags) right after a JPEG's SOI — the fixture
+    face of :func:`exif_stats`, composing with the engine's own JPEG
+    encoder."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    entries = []
+    extra = bytearray()
+    n_entries = 1 + sum(1 for s in (make, model, datetime) if s)
+    data_base = 8 + 2 + 12 * n_entries + 4
+
+    def ascii_entry(tag: int, s: str):
+        raw = s.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            val = raw + b"\x00" * (4 - len(raw))
+        else:
+            val = struct.pack("<I", data_base + len(extra))
+            extra.extend(raw)
+        entries.append(struct.pack("<HHI", tag, 2, len(raw)) + val)
+
+    if make:
+        ascii_entry(271, make)
+    if model:
+        ascii_entry(272, model)
+    entries.append(
+        struct.pack("<HHI", 274, 3, 1) + struct.pack("<HH", orientation, 0)
+    )
+    if datetime:
+        ascii_entry(306, datetime)
+    entries.sort(key=lambda b: struct.unpack_from("<H", b)[0])
+    ifd = (
+        struct.pack("<H", len(entries))
+        + b"".join(entries)
+        + struct.pack("<I", 0)
+    )
+    tiff = b"II*\x00" + struct.pack("<I", 8) + ifd + bytes(extra)
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    return jpeg[:2] + app1 + jpeg[2:]
 
 
 def tiff_header_stats(content: bytes) -> tuple[int, int, int, int, int]:
@@ -1126,6 +1236,55 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
         # channel, mod 256
         px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
     return px
+
+
+_EXIF_FEATURE_DDL = (
+    "media_id long, n_bytes long, orientation int, make string, "
+    "model string, taken_at string"
+)
+
+
+def exif_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary JPEG/TIFF column → EXIF metadata rows via Arrow
+    ``mapInPandas`` (r14 — the image METADATA plane: orientation is
+    the rotation code every geometry-dependent feature must honor,
+    make/model/datetime are the provenance fields a training
+    pipeline filters and attributes on). ``lenient=True`` keeps
+    EXIF-less or non-JPEG/TIFF rows with NULL metadata columns."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _EXIF_FEATURE_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "orientation", "make", "model",
+                "taken_at",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                if lenient:
+                    try:
+                        ori, make, model, dt = exif_stats(blob)
+                    except Exception:
+                        ori = make = model = dt = None
+                else:
+                    ori, make, model, dt = exif_stats(blob)
+                out["orientation"].append(ori)
+                out["make"].append(make)
+                out["model"].append(model)
+                out["taken_at"].append(dt)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
 
 
 _AVIF_FEATURE_DDL = (

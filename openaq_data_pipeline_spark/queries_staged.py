@@ -3418,3 +3418,78 @@ def q_audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "image_exif_metadata",
+    "EXT-multimodal — EXIF metadata extraction (r14: the image "
+    "METADATA plane — orientation is the 1-8 rotation code every "
+    "geometry-dependent feature must honor, make/model/datetime are "
+    "the provenance fields a training pipeline filters on; the EXIF "
+    "payload IS a TIFF IFD per the public spec, so the walker is "
+    "the engine's own TIFF machinery with the baseline tag table): "
+    "per document a REAL engine-encoded JPEG gets an APP1 Exif "
+    "segment injected with residue-derived orientation/make/model/"
+    "datetime — long strings through the out-of-line IFD value "
+    "path, short ones inline — while every fourth document stays "
+    "EXIF-less and degrades to observable NULLs. The oracle is the "
+    "CLOSED FORM of the injection — ground truth, not an IFD "
+    "replay",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'maker' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'camera model ' || CAST(doc_id % 9 AS VARCHAR)
+            END AS model,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE '2026:0' || CAST(1 + doc_id % 9 AS VARCHAR)
+                 || ':01 12:00:00' END AS taken_at
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        exif_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_jpeg_baseline,
+            inject_jpeg_exif,
+        )
+
+        base = encode_jpeg_baseline(np.full((8, 8, 3), 90, np.uint8))
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 4 == 3:
+                    blobs.append(base)  # EXIF-less
+                else:
+                    blobs.append(
+                        inject_jpeg_exif(
+                            base,
+                            orientation=1 + i % 8,
+                            make=f"maker{i % 5}",
+                            model=f"camera model {i % 9}",
+                            datetime=f"2026:0{1 + i % 9}:01 12:00:00",
+                        )
+                    )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = d.mapInPandas(synth, schema="doc_id long, content binary")
+    return (
+        exif_features(imgs, "content", id_col="doc_id", lenient=True)
+        .select("doc_id", "orientation", "make", "model", "taken_at")
+        .orderBy("doc_id")
+    )

@@ -2475,3 +2475,60 @@ class TestCompressedAudioHeaders:
         assert feats[2].n_samples == 44100
         assert feats[2].duration_ms == 1000
         assert feats[2].sum_abs is None
+
+
+class TestExif:
+    """EXIF metadata (r14): APP1-segment scan on JPEG, direct IFD0
+    on TIFF, inline and out-of-line ASCII values, the lenient
+    feature pass for EXIF-less rows; the injected segment leaves
+    the JPEG pixel-decodable."""
+
+    def test_walk_injection_and_plane(self, spark):
+        import numpy as np
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+            encode_tiff_rgb,
+            exif_features,
+            exif_stats,
+            inject_jpeg_exif,
+        )
+
+        img = np.full((8, 8, 3), 100, np.uint8)
+        j = encode_jpeg_baseline(img)
+        je = inject_jpeg_exif(
+            j, orientation=6, make="ACME",
+            model="Cam 2000 Pro Max", datetime="2026:08:16 12:00:00",
+        )
+        assert exif_stats(je) == (
+            6, "ACME", "Cam 2000 Pro Max", "2026:08:16 12:00:00",
+        )
+        # short strings take the inline 4-byte value path
+        assert exif_stats(
+            inject_jpeg_exif(j, orientation=1, make="AB", model="XYZ")
+        ) == (1, "AB", "XYZ", None)
+        # the injected segment does not disturb pixel decode
+        assert np.array_equal(
+            decode_jpeg_baseline(je), decode_jpeg_baseline(j)
+        )
+        with pytest.raises(ValueError, match="no Exif"):
+            exif_stats(j)
+        # a plain TIFF walks its own IFD0 (no exif tags -> Nones)
+        assert exif_stats(encode_tiff_rgb(img)) == (
+            None, None, None, None,
+        )
+        rows = {
+            r.id: r
+            for r in exif_features(
+                spark.createDataFrame(
+                    [(0, je), (1, j), (2, b"not an image")],
+                    "id long, payload binary",
+                ),
+                "payload", id_col="id", lenient=True,
+            ).collect()
+        }
+        assert rows[0].orientation == 6 and rows[0].make == "ACME"
+        assert rows[1].orientation is None
+        assert rows[2].orientation is None
