@@ -2318,6 +2318,147 @@ def encode_mp3_stub(
     return bytes(out)
 
 
+_ID3_TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist", "TALB": "album"}
+
+
+def id3_stats(blob: bytes) -> tuple[str | None, str | None, str | None]:
+    """(title, artist, album) from a leading ID3v2.3/2.4 tag — the
+    audio METADATA face beside :func:`exif_stats` (r14): the
+    provenance fields an audio-captioning pipeline attributes and
+    filters on. Text frames decode per their encoding byte (0
+    latin-1, 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8). ValueError
+    when no ID3v2 tag leads the stream; missing frames come back
+    None."""
+    if blob[:3] != b"ID3" or len(blob) < 10:
+        raise ValueError("no leading ID3v2 tag")
+    ver = blob[3]
+    if ver not in (3, 4):
+        raise ValueError(f"ID3v2.{ver} is outside the subset (2.3/2.4)")
+    size = (
+        (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
+        | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
+    )
+    end = min(10 + size, len(blob))
+    off = 10
+    if blob[5] & 0x40:  # extended header present: skip it
+        if ver == 4:
+            ext = (
+                (blob[10] & 0x7F) << 21 | (blob[11] & 0x7F) << 14
+                | (blob[12] & 0x7F) << 7 | (blob[13] & 0x7F)
+            )
+        else:
+            (ext,) = struct.unpack_from(">I", blob, 10)
+            ext += 4
+        off += ext
+    out: dict[str, str] = {}
+    while off + 10 <= end:
+        fid = bytes(blob[off : off + 4])
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if ver == 4:
+            fsize = (
+                (blob[off + 4] & 0x7F) << 21
+                | (blob[off + 5] & 0x7F) << 14
+                | (blob[off + 6] & 0x7F) << 7
+                | (blob[off + 7] & 0x7F)
+            )
+        else:
+            (fsize,) = struct.unpack_from(">I", blob, off + 4)
+        body = blob[off + 10 : off + 10 + fsize]
+        off += 10 + fsize
+        name = _ID3_TEXT_FRAMES.get(fid.decode("ascii", "replace"))
+        if name is None or not body:
+            continue
+        enc, text = body[0], bytes(body[1:])
+        codec = {
+            0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"
+        }.get(enc)
+        if codec is None:
+            continue
+        out[name] = text.decode(codec, "replace").rstrip("\x00")
+    return out.get("title"), out.get("artist"), out.get("album")
+
+
+def encode_id3v2(
+    title: str | None = None,
+    artist: str | None = None,
+    album: str | None = None,
+    version: int = 4,
+    utf16: bool = False,
+) -> bytes:
+    """An ID3v2.3/2.4 tag carrying the given text frames — the
+    fixture face of :func:`id3_stats`; prepend to any MP3 body
+    (:func:`encode_mp3_stub` output included)."""
+    frames = bytearray()
+    for fid, text in (
+        (b"TIT2", title), (b"TPE1", artist), (b"TALB", album)
+    ):
+        if text is None:
+            continue
+        if utf16:
+            body = b"\x01" + text.encode("utf-16")  # BOM included
+        else:
+            body = b"\x03" + text.encode("utf-8")
+        n = len(body)
+        if version == 4:
+            fsize = bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                 (n >> 7) & 0x7F, n & 0x7F]
+            )
+        else:
+            fsize = struct.pack(">I", n)
+        frames += fid + fsize + b"\x00\x00" + body
+    n = len(frames)
+    header = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    return header + bytes(frames)
+
+
+_ID3_FEATURE_DDL = (
+    "media_id long, n_bytes long, title string, artist string, "
+    "album string"
+)
+
+
+def id3_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary MP3 column → ID3 metadata rows via Arrow
+    ``mapInPandas`` (the :func:`exif_features` shape for the audio
+    metadata plane)."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _ID3_FEATURE_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "title", "artist", "album",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                if lenient:
+                    try:
+                        t, a, al = id3_stats(blob)
+                    except Exception:
+                        t = a = al = None
+                else:
+                    t, a, al = id3_stats(blob)
+                out["title"].append(t)
+                out["artist"].append(a)
+                out["album"].append(al)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
+
+
 def flac_header_stats(blob: bytes) -> tuple[int, int, int, int, int]:
     """(sample_rate, channels, bits_per_sample, total_samples,
     duration_ms) from the mandatory STREAMINFO metadata block of a

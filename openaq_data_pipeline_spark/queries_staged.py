@@ -3493,3 +3493,78 @@ def q_image_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "orientation", "make", "model", "taken_at")
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "audio_id3_metadata",
+    "EXT-multimodal — ID3v2 metadata extraction (r14: the audio "
+    "METADATA plane beside image_exif_metadata — title/artist/album "
+    "are the provenance fields an audio-captioning pipeline "
+    "attributes on): per document an ID3v2 tag with residue-derived "
+    "text frames leads a real MPEG-1 Layer III frame stream, "
+    "alternating v2.4/UTF-8 and v2.3/UTF-16 (both synchsafe and "
+    "plain frame sizes, both encodings); every fourth document is "
+    "tagless and degrades to observable NULLs; the mp3 frame walk "
+    "skips the tag either way so duration survives beside the "
+    "metadata. The oracle is the CLOSED FORM of the tag synthesis "
+    "— ground truth, not a frame replay",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'track ' || CAST(doc_id % 11 AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'artist ' || CAST(doc_id % 7 AS VARCHAR) END AS artist,
+       CASE WHEN doc_id % 4 = 3 OR doc_id % 3 = 0 THEN NULL
+            ELSE 'album ' || CAST(doc_id % 5 AS VARCHAR) END AS album,
+       CAST((2 + doc_id % 4) * 1152 * 1000 // 44100 AS BIGINT)
+           AS duration_ms
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        compressed_audio_features,
+        id3_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_id3v2,
+            encode_mp3_stub,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                body = encode_mp3_stub(2 + i % 4, 9, 0)
+                if i % 4 == 3:
+                    blobs.append(body)  # tagless
+                else:
+                    tag = encode_id3v2(
+                        title=f"track {i % 11}",
+                        artist=f"artist {i % 7}",
+                        album=None if i % 3 == 0 else f"album {i % 5}",
+                        version=3 if i % 2 == 0 else 4,
+                        utf16=i % 2 == 0,
+                    )
+                    blobs.append(tag + body)
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    auds = d.mapInPandas(
+        synth, schema="doc_id long, content binary"
+    ).localCheckpoint(eager=False)
+    meta = id3_features(auds, "content", id_col="doc_id", lenient=True)
+    walk = compressed_audio_features(
+        auds, "content", id_col="doc_id", lenient=True
+    ).select("doc_id", "duration_ms")
+    return (
+        meta.join(walk, "doc_id")
+        .select("doc_id", "title", "artist", "album", "duration_ms")
+        .orderBy("doc_id")
+    )

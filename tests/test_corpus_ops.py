@@ -2532,3 +2532,50 @@ class TestExif:
         assert rows[0].orientation == 6 and rows[0].make == "ACME"
         assert rows[1].orientation is None
         assert rows[2].orientation is None
+
+
+class TestId3:
+    """ID3v2 metadata (r14): v2.3/v2.4 frame walks, UTF-8 and
+    UTF-16 text encodings, tagless refusal, the lenient feature
+    pass, and composition with the MP3 frame-duration walk."""
+
+    def test_walk_and_plane(self, spark):
+        import pytest
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_id3v2,
+            encode_mp3_stub,
+            id3_features,
+            id3_stats,
+            mp3_header_stats,
+        )
+
+        tag = encode_id3v2(
+            title="Song T", artist="Artist A", album="Album B"
+        )
+        blob = tag + encode_mp3_stub(3)
+        assert id3_stats(blob) == ("Song T", "Artist A", "Album B")
+        # the mp3 frame walk skips the populated tag
+        assert mp3_header_stats(blob)[2] == 3
+        # v2.3 plain frame sizes + UTF-16 with BOM
+        t16 = encode_id3v2(title="Tïtle ünïcode",
+                           version=3, utf16=True)
+        assert id3_stats(t16 + encode_mp3_stub(1)) == (
+            "Tïtle ünïcode", None, None,
+        )
+        with pytest.raises(ValueError, match="no leading ID3v2"):
+            id3_stats(encode_mp3_stub(2))
+        with pytest.raises(ValueError, match="outside the subset"):
+            id3_stats(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+        rows = {
+            r.id: r
+            for r in id3_features(
+                spark.createDataFrame(
+                    [(0, blob), (1, encode_mp3_stub(2))],
+                    "id long, payload binary",
+                ),
+                "payload", id_col="id", lenient=True,
+            ).collect()
+        }
+        assert rows[0].title == "Song T" and rows[0].album == "Album B"
+        assert rows[1].title is None
