@@ -16,12 +16,16 @@ plane:
   ``<meta charset>`` detection is codegen; the UTF-8 majority casts
   in the JVM, detected non-UTF-8 rows pay one Arrow decode hop);
 - ``image/png``, ``image/jpeg``, ``image/gif``, ``image/webp``,
-  ``image/tiff`` → the real image decoder (features only — the text
-  planes never see pixels; WebP decodes the VP8L subset and TIFF the
-  uncompressed-RGB shape, everything else in those containers keeps
-  header-walk dims beside NULL pixel stats);
-- ``audio/x-wav`` → :func:`~openaq_data_pipeline_spark.operators
-  .multimodal.audio_features`;
+  ``image/tiff``, ``image/avif`` → the real image decoder (features
+  only — the text planes never see pixels; WebP decodes all four
+  VP8L transforms pure-Python plus lossy VP8/VP8X through the gated
+  libwebp binding, TIFF decodes uncompressed and LZW(+predictor)
+  RGB, AVIF walks headers; anything undecodable keeps header-walk
+  dims beside NULL pixel stats);
+- ``audio/x-wav``, ``audio/flac``, ``audio/ogg``, ``audio/mpeg`` →
+  :func:`~openaq_data_pipeline_spark.operators.multimodal
+  .audio_features` (WAV and FLAC decode to real PCM; MP3/OGG keep
+  header-walk rate/duration beside NULL PCM stats);
 - ``video/x-msvideo`` / ``video/mp4`` (ISO-BMFF, any brand) →
   :func:`~openaq_data_pipeline_spark.operators.multimodal
   .video_features` (HEADER-ONLY container stats — RIFF chunk walk /
