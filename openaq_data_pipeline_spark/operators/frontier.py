@@ -397,6 +397,37 @@ def parse_crawl_delays(
     )
 
 
+def parse_robots_sitemaps(
+    robots: DataFrame, host_col: str, content_col: str
+) -> DataFrame:
+    """(host, sitemap_url) — every ``Sitemap:`` directive of each
+    robots.txt (r14: the STANDARD sitemap-discovery channel — RFC
+    9309 §2.3 allows other records, and sitemaps.org specifies this
+    one; the line sits OUTSIDE any user-agent group, may repeat, and
+    may point cross-host). The group parser already tolerates
+    interleaved Sitemap lines without splitting agent clusters; this
+    is the reader that finally EXTRACTS them, closing the loop into
+    :func:`parse_sitemaps` → :func:`recrawl_candidates`: robots (one
+    fetch per host, already required for the rules gate) → sitemap
+    URLs → frontier seeds, no crawling blind.
+
+    Pure codegen: one case-insensitive ``regexp_extract_all`` over
+    the robots text + one explode — no Python, no shuffle. Relative
+    or schemeless values are kept verbatim (the fetcher resolves
+    against the robots URL; emitting them beats silently dropping a
+    misconfigured-but-fetchable directive). Hosts without the
+    directive emit no row."""
+    urls = F.expr(
+        f"regexp_extract_all({content_col}, "
+        "'(?im)^\\\\s*sitemap\\\\s*:\\\\s*(\\\\S+)', 1)"
+    )
+    return (
+        robots.select(F.col(host_col).alias("host"), urls.alias("__u"))
+        .select("host", F.explode("__u").alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+    )
+
+
 def apply_robots(
     urls: DataFrame, url_col: str, id_col: str, rules: DataFrame
 ) -> DataFrame:

@@ -3568,3 +3568,82 @@ def q_audio_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "title", "artist", "album", "duration_ms")
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "robots_sitemap_discovery",
+    "EXT-crawl — Sitemap: directives extracted from robots.txt "
+    "(r14: the STANDARD sitemap-discovery channel the rules parser "
+    "tolerated but never read — robots are already fetched once per "
+    "host for the RFC 9309 gate, so the directive closes the "
+    "robots→sitemap→frontier loop with zero extra fetches): per "
+    "document a robots body is synthesized by residue — two "
+    "directives (one cross-host, one gzipped), one indented "
+    "UPPERCASE directive between agent groups, none — plus a "
+    "commented-out line that must NOT match; one codegen "
+    "regexp_extract_all + explode emits (host, sitemap_url) seeds. "
+    "The oracle is the CLOSED FORM of the synthesis — ground "
+    "truth, not a parse replay",
+    oracle="""
+SELECT doc_id, host, sitemap_url FROM (
+  SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) || '.org' AS host,
+         'https://h' || CAST(doc_id AS VARCHAR) || '.org/a.xml'
+             AS sitemap_url, 0 AS ord
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) || '.org',
+         'https://cdn.example/s' || CAST(doc_id AS VARCHAR)
+             || '.xml.gz', 1
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) || '.org',
+         'https://h' || CAST(doc_id AS VARCHAR) || '.org/map.xml', 0
+  FROM documents WHERE doc_id % 3 = 1
+)
+ORDER BY doc_id, sitemap_url
+""",
+)
+def q_robots_sitemap_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.frontier import (
+        parse_robots_sitemaps,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    host = F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".org"))
+    two = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nSitemap: https://h"),
+        F.col("doc_id").cast("string"),
+        F.lit(".org/a.xml\n# Sitemap: https://commented.example/x.xml\n"
+              "Sitemap: https://cdn.example/s"),
+        F.col("doc_id").cast("string"),
+        F.lit(".xml.gz\n"),
+    )
+    one = F.concat(
+        F.lit("User-agent: bot\nAllow: /\n  SITEMAP:  https://h"),
+        F.col("doc_id").cast("string"),
+        F.lit(".org/map.xml\nUser-agent: *\nDisallow:\n"),
+    )
+    none = F.lit("User-agent: *\nDisallow:\n")
+    body = (
+        F.when(F.col("doc_id") % 3 == 0, two)
+        .when(F.col("doc_id") % 3 == 1, one)
+        .otherwise(none)
+    )
+    robots = d.select("doc_id", host.alias("host"), body.alias("content"))
+    return (
+        parse_robots_sitemaps(
+            robots.select(
+                F.col("doc_id"), F.col("host").alias("__h"), "content"
+            ),
+            "__h",
+            "content",
+        )
+        .join(
+            robots.select("doc_id", F.col("host").alias("host2")),
+            F.col("host") == F.col("host2"),
+        )
+        .select("doc_id", "host", "sitemap_url")
+        .orderBy("doc_id", "sitemap_url")
+    )

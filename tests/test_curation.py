@@ -2158,3 +2158,63 @@ class TestCollocationsAndStarters:
             split_sentences(F.lit("x"), collocations=[("a(", "b")])
         with pytest.raises(ValueError, match="plain word token"):
             split_sentences(F.lit("x"), starters=["!bad"])
+
+
+class TestRobotsSitemapDiscovery:
+    """Sitemap: directives extracted from robots.txt (r14): the
+    directive sits outside agent groups, may repeat and point
+    cross-host; case/indent-insensitive; commented lines and hosts
+    without the directive emit nothing."""
+
+    def test_extraction(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_robots_sitemaps,
+        )
+
+        robots = spark.createDataFrame(
+            [
+                ("a.org",
+                 "User-agent: *\nDisallow: /private/\n"
+                 "Sitemap: https://a.org/sitemap.xml\n"
+                 "# Sitemap: https://commented.example/x.xml\n"
+                 "Sitemap: https://cdn.a.org/s2.xml.gz\n"),
+                ("b.org",
+                 "user-agent: bot\nallow: /\n"
+                 "  SITEMAP:   https://b.org/map.xml  \n"
+                 "User-agent: *\nDisallow:\n"),
+                ("c.org", "User-agent: *\nDisallow:\n"),
+            ],
+            "host string, content string",
+        )
+        rows = sorted(
+            (r.host, r.sitemap_url)
+            for r in parse_robots_sitemaps(
+                robots, "host", "content"
+            ).collect()
+        )
+        assert rows == [
+            ("a.org", "https://a.org/sitemap.xml"),
+            ("a.org", "https://cdn.a.org/s2.xml.gz"),
+            ("b.org", "https://b.org/map.xml"),
+        ]
+        # the rules parser still reads the same bodies undisturbed
+        from openaq_data_pipeline_spark.operators.frontier import (
+            apply_robots,
+        )
+
+        urls = spark.createDataFrame(
+            [(1, "https://a.org/private/x"), (2, "https://a.org/ok")],
+            "page_id long, url string",
+        )
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_robots,
+        )
+
+        verdicts = {
+            r.page_id: r.allowed
+            for r in apply_robots(
+                urls, "url", "page_id",
+                parse_robots(robots, "host", "content"),
+            ).collect()
+        }
+        assert verdicts == {1: False, 2: True}
