@@ -772,7 +772,12 @@ def crawl_intake_gate(
     times for the lastmod comparison, and deriving one at process
     time would change across replays). A gzip-magic payload pays one
     bomb-capped hop before sitemap detection, so the ubiquitous
-    ``sitemap.xml.gz`` feeds the loop too; with
+    ``sitemap.xml.gz`` feeds the loop too. Robots bodies riding the
+    batch contribute their ``Sitemap:`` directives (r14,
+    :func:`~openaq_data_pipeline_spark.operators.frontier
+    .parse_robots_sitemaps`) as NULL-lastmod candidates — a
+    never-fetched sitemap schedules as ``new`` through the same
+    judgment as page URLs. With
     ``frontier_crawl_delays`` ((host, crawl_delay_sec) —
     :func:`~openaq_data_pipeline_spark.operators.frontier
     .parse_crawl_delays` output) the schedule also carries
@@ -1094,6 +1099,25 @@ def crawl_intake_gate(
                     F.col(url_col).alias("__src"),
                     F.col(html_col).alias("__xml"),
                 )
+            from openaq_data_pipeline_spark.operators.frontier import (
+                parse_robots_sitemaps,
+            )
+
+            # robots bodies riding the batch (r14): their Sitemap:
+            # directives are the STANDARD discovery channel — the
+            # extracted URLs join `discovered` with NULL lastmod, so
+            # never-fetched sitemaps schedule as 'new' through the
+            # same judgment as page URLs (zero extra sinks, same
+            # replay stability)
+            robots_rows = smap_src.where(
+                F.col("__xml").rlike(r"(?im)^\s*user-agent\s*:")
+            )
+            robots_seeds = parse_robots_sitemaps(
+                robots_rows, "__src", "__xml"
+            ).select(
+                F.col("sitemap_url").alias("url"),
+                F.lit(None).cast("string").alias("lastmod"),
+            )
             discovered = (
                 parse_sitemaps(
                     smap_src.where(
@@ -1105,6 +1129,8 @@ def crawl_intake_gate(
                     "__src",
                 )
                 .where(~F.col("from_index"))
+                .select("url", "lastmod")
+                .unionByName(robots_seeds)
                 # one row per URL even when several sitemaps list it:
                 # the newest lastmod is the recrawl signal
                 .groupBy("url")

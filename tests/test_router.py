@@ -1312,6 +1312,61 @@ class TestRecrawlFrontierLoop:
             assert log.count() == 4
 
 
+    def test_robots_sitemap_directive_seeds_the_frontier(
+        self, spark, tmp_path
+    ):
+        """r14: a robots.txt riding the batch contributes its
+        Sitemap: directive as a NULL-lastmod candidate — the
+        never-fetched sitemap URL schedules as 'new' through the
+        same judgment as page URLs, replay-stable."""
+        from openaq_data_pipeline_spark.operators.incremental_dedup import (
+            temp_exact_index,
+        )
+        from openaq_data_pipeline_spark.streaming.ingest import (
+            crawl_intake_gate,
+        )
+
+        robots = (
+            "User-agent: *\nDisallow: /private/\n"
+            "Sitemap: https://h1.org/sitemap-products.xml\n"
+        ).encode()
+        schema = "page_id long, url string, payload binary, fetched_at string"
+        out = str(tmp_path / "survivors")
+        froot = str(tmp_path / "frontier")
+        t0 = "2026-01-15 10:00:00"
+        batch = spark.createDataFrame(
+            [
+                (1, "https://h1.org/robots.txt", robots, t0),
+                (2, "https://h1.org/page", _page(ART).encode(), t0),
+            ],
+            schema,
+        )
+        with temp_exact_index(n_buckets=4) as ledger, temp_exact_index(
+            n_buckets=4
+        ) as hist:
+            gate = crawl_intake_gate(
+                "url", None, "page_id", ledger, hist, out,
+                payload_col="payload",
+                frontier_path=froot, fetch_ts_col="fetched_at",
+            )
+            gate(batch, 0)
+
+            def sched():
+                return {
+                    r.url: r
+                    for r in spark.read.parquet(f"{froot}/schedule")
+                    .where("batch_id = 0").collect()
+                }
+
+            s = sched()
+            assert set(s) == {"https://h1.org/sitemap-products.xml"}
+            assert s["https://h1.org/sitemap-products.xml"].status == "new"
+            gate(batch, 0)  # replay: identical schedule
+            s2 = sched()
+            assert {(u, r.status, r.fetch_slot) for u, r in s.items()} == {
+                (u, r.status, r.fetch_slot) for u, r in s2.items()
+            }
+
     def test_conditional_fetch_hints_reach_the_schedule(
         self, spark, tmp_path
     ):
