@@ -43,7 +43,8 @@ WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
     "target_uri string, warc_date string, content_type string, "
     "http_status int, http_content_type string, "
-    "http_content_encoding string, payload binary"
+    "http_content_encoding string, http_etag string, "
+    "http_last_modified string, payload binary"
 )
 
 CDX_SCHEMA = (
@@ -123,6 +124,8 @@ def _parse_plain_records(
         http_status: int | None = None
         http_ct: str | None = None
         http_ce: str | None = None
+        http_etag: str | None = None
+        http_lm: str | None = None
         ct = headers.get("content-type", "")
         if ct.startswith("application/http") and payload[:5] in (
             b"HTTP/",
@@ -146,6 +149,13 @@ def _parse_plain_records(
                         # encoding_col) so the bomb cap and the
                         # one-hop contract live in one place
                         http_ce = v.strip().decode("latin-1").lower()
+                    elif _ and key == b"etag":
+                        # conditional-fetch validators (r14): ride
+                        # into the crawl ledger via
+                        # crawl_intake_gate(etag_col=...)
+                        http_etag = v.strip().decode("latin-1")
+                    elif _ and key == b"last-modified":
+                        http_lm = v.strip().decode("latin-1")
                 payload = payload[sep + 4 :]
         yield (
             base + head_start,
@@ -159,6 +169,8 @@ def _parse_plain_records(
                 "http_status": http_status,
                 "http_content_type": http_ct,
                 "http_content_encoding": http_ce,
+                "http_etag": http_etag,
+                "http_last_modified": http_lm,
                 "payload": payload,
             },
         )
@@ -192,7 +204,8 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
 _SCAN_COLUMNS = [
     "warc_file", "record_id", "warc_type", "target_uri",
     "warc_date", "content_type", "http_status",
-    "http_content_type", "http_content_encoding", "payload",
+    "http_content_type", "http_content_encoding", "http_etag",
+    "http_last_modified", "payload",
 ]
 
 

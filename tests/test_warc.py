@@ -643,3 +643,31 @@ class TestContentEncodingPlumbing:
         ]
         # all four encodings converge on the SAME extracted text
         assert len(texts) == 4 and set(texts) == {"hello crawl world"}
+
+
+class TestWarcValidators:
+    """r14: ETag / Last-Modified response headers surface as
+    http_etag / http_last_modified — the feed columns
+    crawl_intake_gate(etag_col=/last_modified_col=) rides into the
+    crawl ledger for conditional-fetch scheduling."""
+
+    def test_validators_extracted(self):
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html\r\n"
+            b'ETag: W/"abc123"\r\n'
+            b"Last-Modified: Sat, 15 Aug 2026 00:00:00 GMT\r\n"
+            b"\r\n" + HTML
+        )
+        recs = parse_warc_bytes(
+            _record("response", "https://a.org/v", http,
+                    "application/http;msgtype=response")
+        )
+        assert recs[0]["http_etag"] == 'W/"abc123"'
+        assert recs[0]["http_last_modified"] == (
+            "Sat, 15 Aug 2026 00:00:00 GMT"
+        )
+        # absent headers stay NULL (the base fixture has neither)
+        base = parse_warc_bytes(_archive())[2]
+        assert base["http_etag"] is None
+        assert base["http_last_modified"] is None
