@@ -808,3 +808,72 @@ class TestVp8lRoundTripProperty:
             kwargs["palette"] = True
         blob = encode_webp_lossless(img, **kwargs)
         assert np.array_equal(decode_webp_lossless(blob), img)
+
+
+class TestVp8lTransformRoundTripProperty:
+    """Property (r14): the predictor and color-transform encoder
+    modes round-trip channel-exactly for ANY small image, mode and
+    multiplier draw."""
+
+    @given(
+        st.integers(min_value=1, max_value=10),
+        st.integers(min_value=1, max_value=10),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=0, max_value=13),
+        st.tuples(
+            st.integers(min_value=-128, max_value=127),
+            st.integers(min_value=-128, max_value=127),
+            st.integers(min_value=-128, max_value=127),
+        ),
+        st.booleans(),
+    )
+    @SETTINGS
+    def test_roundtrip(self, h, w, seed, mode, ct, use_predictor):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.vp8l import (
+            decode_webp_lossless,
+            encode_webp_lossless,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        kwargs = (
+            {"predictor_mode": mode}
+            if use_predictor
+            else {"color_transform": ct}
+        )
+        blob = encode_webp_lossless(img, **kwargs)
+        assert np.array_equal(decode_webp_lossless(blob), img)
+
+
+class TestFlacRoundTripProperty:
+    """Property (r14): ANY small int16 multi-channel signal survives
+    the FLAC encode→decode round trip sample-exactly in every
+    fixture subframe kind (and libFLAC-shaped CRCs verify along the
+    way)."""
+
+    @given(
+        st.integers(min_value=1, max_value=400),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from(["auto", "verbatim", "fixed2"]),
+        st.sampled_from([8000, 44100, 48000]),
+    )
+    @SETTINGS
+    def test_roundtrip(self, n, channels, seed, kind, rate):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, (n, channels), dtype=np.int32)
+        blob = encode_flac(
+            s, rate, block_size=192, subframe=kind
+        )
+        out, got_rate = decode_flac(blob)
+        assert got_rate == rate
+        assert np.array_equal(out, s)
