@@ -175,6 +175,8 @@ def brotli_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
             if res == 1:  # SUCCESS
                 return b"".join(out_parts)
             if res == 3:  # NEEDS_MORE_OUTPUT
+                if produced == 0:
+                    return None  # no progress: refuse, never spin
                 continue
             return None  # ERROR, or NEEDS_MORE_INPUT on exhausted input
     finally:
