@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openaq_data_pipeline_spark.catalog import load, register, register_rotated
+from openaq_data_pipeline_spark.catalog import fan_out, load, register, register_rotated
 from openaq_data_pipeline_spark.operators.profiling import profile_table
 from openaq_data_pipeline_spark.operators.text import html_extract, html_title
 
@@ -2530,7 +2530,9 @@ def q_gif_frames_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_gif_frames,
     )
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    d = fan_out(
+        load(spark, sf_dir, "documents")["documents"]
+    ).select("doc_id")
 
     def synth(batches):
         import numpy as np
@@ -2604,7 +2606,9 @@ def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_webp_lossless,
     )
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    d = fan_out(
+        load(spark, sf_dir, "documents")["documents"]
+    ).select("doc_id")
 
     def synth(batches):
         import numpy as np
@@ -3379,7 +3383,9 @@ def q_audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_features,
     )
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    d = fan_out(
+        load(spark, sf_dir, "documents")["documents"]
+    ).select("doc_id")
 
     def synth(batches):
         import numpy as np
