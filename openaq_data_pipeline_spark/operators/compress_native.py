@@ -10,13 +10,15 @@ the rest. When a library is absent, the affected token degrades to
 exactly the r13 behavior: an OBSERVABLE discard with the hint
 intact, never an import error in an executor.
 
-The bomb cap is structural, not advisory: both one-shot APIs take a
-caller-sized output buffer and FAIL when the decoded stream exceeds
-it (brotli's one-shot collapses needs-more-output into error;
-zstd errors with dstSize_tooSmall) — so a decompression bomb can
-never allocate past the cap, matching the zlib hop's
-``max_bytes`` contract. The encoder faces exist for fixture
-synthesis only.
+The bomb cap is structural, not advisory: brotli always streams
+(BrotliDecoderDecompressStream, 64 KiB windows, no-progress guard);
+zstd one-shots into an exactly-declared buffer when the frame
+declares its content size under the cap (the declaration is
+UNTRUSTED — the library errors past it) and streams 64 KiB windows
+otherwise (ZSTD_decompressStream) — so a decompression bomb can
+never allocate past the cap, and a corrupt row costs one window,
+matching the zlib hop's ``max_bytes`` contract. The encoder faces
+exist for fixture synthesis only.
 """
 
 from __future__ import annotations
@@ -32,6 +34,22 @@ def _load(names: tuple[str, ...]) -> ctypes.CDLL | None:
         except OSError:
             continue
     return None
+
+
+class _ZstdInBuffer(ctypes.Structure):
+    _fields_ = [
+        ("src", ctypes.c_void_p),
+        ("size", ctypes.c_size_t),
+        ("pos", ctypes.c_size_t),
+    ]
+
+
+class _ZstdOutBuffer(ctypes.Structure):
+    _fields_ = [
+        ("dst", ctypes.c_void_p),
+        ("size", ctypes.c_size_t),
+        ("pos", ctypes.c_size_t),
+    ]
 
 
 _BROTLI_DEC: ctypes.CDLL | None | bool = False  # False = not probed yet
@@ -100,6 +118,16 @@ def _zstd() -> ctypes.CDLL | None:
             lib.ZSTD_decompress.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t,
                 ctypes.c_char_p, ctypes.c_size_t,
+            ]
+            lib.ZSTD_createDStream.restype = ctypes.c_void_p
+            lib.ZSTD_createDStream.argtypes = []
+            lib.ZSTD_freeDStream.restype = ctypes.c_size_t
+            lib.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
+            lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+            lib.ZSTD_decompressStream.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(_ZstdOutBuffer),
+                ctypes.POINTER(_ZstdInBuffer),
             ]
             lib.ZSTD_isError.restype = ctypes.c_uint
             lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
@@ -186,11 +214,12 @@ def brotli_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
 def zstd_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
     """One bomb-capped zstd decode; None on corrupt/oversized/
     unavailable. The frame's declared content size picks the exact
-    buffer when present and under the cap (the declaration is
-    UNTRUSTED — the library errors if actual output exceeds it);
-    unknown-size frames take the brotli-style staged buffers. Either
-    way dstSize_tooSmall is an error code, so the cap is enforced by
-    the library itself."""
+    one-shot buffer when present and under the cap (the declaration
+    is UNTRUSTED — the library errors if actual output exceeds it);
+    unknown-size frames take ZSTD_decompressStream with 64 KiB
+    windows, mirroring the brotli path (ADVICE r14): a corrupt or
+    hostile unknown-size frame fails in microseconds with a 64 KiB
+    allocation instead of a cap-sized retry."""
     lib = _zstd()
     if lib is None or not blob:
         return None
@@ -210,17 +239,44 @@ def zstd_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
     if declared is not None:
         if declared > max_bytes:
             return None  # declared bomb: refuse before allocating
-        sizes = [declared]
-    else:
-        sizes = [min(max(1 << 20, 1024 * len(blob)), max_bytes)]
-        if sizes[0] < max_bytes:
-            sizes.append(max_bytes)
-    for cap in sizes:
-        buf = ctypes.create_string_buffer(cap or 1)
-        n = lib.ZSTD_decompress(buf, cap, blob, len(blob))
-        if not lib.ZSTD_isError(n):
-            return buf.raw[:n]
-    return None
+        buf = ctypes.create_string_buffer(declared or 1)
+        n = lib.ZSTD_decompress(buf, declared, blob, len(blob))
+        if lib.ZSTD_isError(n):
+            return None
+        return buf.raw[:n]
+    # unknown declared size: stream in 64 KiB output windows so the
+    # per-corrupt-row cost is a window, never a cap-sized buffer
+    zds = lib.ZSTD_createDStream()
+    if not zds:
+        return None
+    try:
+        in_buf = ctypes.create_string_buffer(blob, len(blob))
+        src = _ZstdInBuffer(
+            ctypes.addressof(in_buf), len(blob), 0
+        )
+        chunk = ctypes.create_string_buffer(_BROTLI_CHUNK)
+        out_parts: list[bytes] = []
+        total = 0
+        while True:
+            dst = _ZstdOutBuffer(
+                ctypes.addressof(chunk), _BROTLI_CHUNK, 0
+            )
+            hint = lib.ZSTD_decompressStream(
+                zds, ctypes.byref(dst), ctypes.byref(src)
+            )
+            if lib.ZSTD_isError(hint):
+                return None
+            if dst.pos:
+                total += dst.pos
+                if total > max_bytes:
+                    return None  # bomb: over the cap, stop paying
+                out_parts.append(chunk.raw[: dst.pos])
+            if hint == 0:  # frame complete
+                return b"".join(out_parts)
+            if dst.pos == 0 and src.pos >= src.size:
+                return None  # wants more input we don't have
+    finally:
+        lib.ZSTD_freeDStream(zds)
 
 
 def brotli_compress(blob: bytes, quality: int = 5) -> bytes:

@@ -286,6 +286,11 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
         sr_code = br.read(4)
         ch_code = br.read(4)
         depth_code = br.read(3)
+        if depth_code == 3:
+            # RFC 9639 §9.1.4: code 3 is reserved — falling back to
+            # the STREAMINFO depth would decode a desynced stream
+            # until the CRC-16 caught it (ADVICE r14).
+            raise ValueError("FLAC frame bit-depth code 3 reserved")
         br.read(1)  # reserved
         _read_coded_number(br)
         if bs_code == 0:
@@ -390,6 +395,8 @@ def encode_flac(
     if sample_rate not in _RATE_CODE.values():
         raise ValueError("use a spec-coded sample rate for fixtures")
     sr_code = {v: k for k, v in _RATE_CODE.items()}[sample_rate]
+    if depth not in _DEPTH_CODE.values():
+        raise ValueError("use a spec-coded bit depth for fixtures")
     depth_code = {v: k for k, v in _DEPTH_CODE.items()}[depth]
     from openaq_data_pipeline_spark.operators.multimodal import (
         encode_flac_stub,

@@ -830,13 +830,15 @@ def webp_header_stats(content: bytes) -> tuple[str, int, int, bool, bool]:
     raise ValueError(f"unknown WebP bitstream chunk {fourcc!r}")
 
 
-# --- TIFF (r13): header walk + uncompressed-RGB codec -------------------
+# --- TIFF (r13/r14/r15): header walk + strip-RGB codec ------------------
 #
 # TIFF 6.0 (public Adobe spec): II/MM byte order, IFD entry chain.
-# Header stats walk any compression; pixel decode covers the
-# uncompressed (compression=1) chunky-RGB shape — the scanned-
-# document corpus staple — via strip offsets/bytecounts. LZW/JPEG-in-
-# TIFF stay header-only (documented boundary, same posture as VP8).
+# Header stats walk any compression; pixel decode covers chunky-RGB
+# strips for compression=1 (uncompressed), 5 (LZW, TIFF 6.0 §13
+# MSB-first early-change, r14) and 8 (Deflate, zlib, r15), each with
+# the horizontal-differencing predictor (tag 317=2) inverted per
+# row. JPEG-in-TIFF stays header-only (documented boundary, same
+# posture as VP8).
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
@@ -1135,18 +1137,24 @@ def encode_tiff_rgb(
     big_endian: bool = False,
     lzw: bool = False,
     predictor: bool = False,
+    deflate: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 → single-strip chunky-RGB TIFF (II or MM byte
     order) — the fixture face of :func:`decode_tiff_rgb`. With
     ``lzw`` (r14) the strip is TIFF-LZW compressed (compression=5);
-    with ``predictor`` (requires ``lzw``) horizontal differencing
-    (tag 317 = 2) is applied first — the pairing real LZW TIFFs
-    ship with."""
+    with ``deflate`` (r15, VERDICT r14 next #4) the strip is zlib
+    Deflate (compression=8, TIFF Technical Note 2 "Adobe Deflate" —
+    the scanned-document archive staple); with ``predictor``
+    (requires a compression) horizontal differencing (tag 317 = 2)
+    is applied first — the pairing real compressed TIFFs ship
+    with."""
     h, w, c = arr.shape
     if c != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_tiff_rgb expects (H, W, 3) uint8")
-    if predictor and not lzw:
-        raise ValueError("predictor=True requires lzw=True")
+    if lzw and deflate:
+        raise ValueError("pick one of lzw/deflate")
+    if predictor and not (lzw or deflate):
+        raise ValueError("predictor=True requires lzw or deflate")
     e = ">" if big_endian else "<"
     px = arr
     if predictor:
@@ -1156,6 +1164,10 @@ def encode_tiff_rgb(
     data = px.tobytes()
     if lzw:
         data = _tiff_lzw_encode(data)
+    elif deflate:
+        import zlib
+
+        data = zlib.compress(data, 6)
     # header(8) + IFD: count + entries + next(4), then bits array,
     # then pixel data
     n_entries = 9 if predictor else 8
@@ -1176,7 +1188,7 @@ def encode_tiff_rgb(
     out += entry(256, 3, 1, short_val(w))
     out += entry(257, 3, 1, short_val(h))
     out += entry(258, 3, 3, struct.pack(e + "I", bits_off))
-    out += entry(259, 3, 1, short_val(5 if lzw else 1))
+    out += entry(259, 3, 1, short_val(5 if lzw else 8 if deflate else 1))
     out += entry(273, 4, 1, struct.pack(e + "I", data_off))
     out += entry(277, 3, 1, short_val(3))
     out += entry(278, 3, 1, short_val(h))  # one strip
@@ -1191,8 +1203,10 @@ def encode_tiff_rgb(
 
 def decode_tiff_rgb(content: bytes) -> np.ndarray:
     """Chunky 8-bit RGB TIFF → (H, W, 3) uint8: uncompressed
-    (compression=1) and TIFF-LZW (compression=5, r14 — each strip
-    decompressed independently through :func:`_tiff_lzw_decode`),
+    (compression=1), TIFF-LZW (compression=5, r14 — each strip
+    decompressed independently through :func:`_tiff_lzw_decode`) and
+    Deflate (compression=8 "Adobe Deflate" or legacy 32946, r15 —
+    stdlib zlib per strip under the same row-bounded output cap),
     with horizontal-differencing predictor (tag 317 = 2) inverted by
     a per-row cumulative sum. II and MM both. Other compressions or
     non-RGB shapes raise ValueError — the lenient plane then keeps
@@ -1207,8 +1221,10 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
     except KeyError as exc:
         raise ValueError(f"TIFF page lacks {exc}") from exc
     comp = p.get("compression", [1])[0]
-    if comp not in (1, 5):
-        raise ValueError("only uncompressed/LZW TIFF decodes here")
+    if comp not in (1, 5, 8, 32946):
+        raise ValueError(
+            "only uncompressed/LZW/Deflate TIFF decodes here"
+        )
     if p.get("spp", [1])[0] != 3 or p.get("bits", [8])[0] != 8:
         raise ValueError("only 8-bit RGB TIFF decodes here")
     pred = p.get("predictor", [1])[0]
@@ -1223,6 +1239,24 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
         if comp == 5:
             n_rows = min(rows_per_strip, h - si * rows_per_strip)
             strip = _tiff_lzw_decode(strip, max_out=n_rows * w * 3)
+        elif comp in (8, 32946):
+            import zlib
+
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            cap = n_rows * w * 3
+            dec = zlib.decompressobj()
+            try:
+                # max_length is the structural cap: zlib stops at it
+                # and parks the remainder in unconsumed_tail
+                strip = dec.decompress(strip, cap)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"TIFF Deflate strip corrupt: {exc}"
+                ) from exc
+            if dec.unconsumed_tail:
+                raise ValueError(
+                    "TIFF Deflate strip exceeds its declared rows"
+                )
         buf += strip
     if len(buf) < w * h * 3:
         raise ValueError("TIFF pixel data truncated")
@@ -2256,7 +2290,7 @@ def mp3_header_stats(blob: bytes) -> tuple[int, int, int, int, int]:
     sample counts, which Layer III fixes at 1152)."""
     off = _skip_id3v2(blob)
     end = len(blob)
-    if blob[end - 128 : end - 125] == b"TAG":
+    if end >= 128 and blob[end - 128 : end - 125] == b"TAG":
         end -= 128
     n_frames = 0
     rate = channels = first_kbps = None

@@ -525,9 +525,9 @@ def decode_vp8l_payload(payload: bytes) -> np.ndarray:
     if br.read(3) != 0:
         raise ValueError("VP8L: unknown version")
     # transforms (level-0 stream); inverses apply in REVERSE read
-    # order. Supported: PREDICTOR (0), SUBTRACT_GREEN (2),
-    # COLOR_INDEXING (3, incl. pixel bundling); COLOR_TRANSFORM (1)
-    # raises (documented subset boundary). The spec allows each
+    # order. All four RFC 9649 transforms decode: PREDICTOR (0),
+    # COLOR_TRANSFORM (1), SUBTRACT_GREEN (2), COLOR_INDEXING (3,
+    # incl. pixel bundling). The spec allows each
     # transform type AT MOST ONCE — a spec-violating duplicate would
     # silently invert with the wrong width assumptions, so it raises
     # instead (ADVICE r13).

@@ -61,6 +61,30 @@ class TestRoundTrip:
         with pytest.raises(ValueError, match="CRC"):
             decode_flac(bytes(blob))
 
+    def test_error_contracts(self):
+        """ADVICE r14: unsupported encode depth raises ValueError
+        (not KeyError), and the RESERVED frame bit-depth code 3
+        raises instead of silently borrowing the STREAMINFO depth."""
+        s = np.zeros((64, 1), dtype=np.int32)
+        with pytest.raises(ValueError, match="bit depth"):
+            encode_flac(s, depth=10)
+        blob = bytearray(encode_flac(s, block_size=64))
+        # frame header starts right after byte 42 (4 sig + 4 block
+        # header + 34 STREAMINFO); the 3-bit depth field starts at
+        # header bit 28 (14 sync + 2 rsv/strategy + 4 bs + 4 sr +
+        # 4 ch). Set it to the reserved code 0b011 — the check runs
+        # BEFORE the CRC-8 verify, so the error names the reserve.
+        depth_bit_pos = 42 * 8 + 28
+        for k, bit in enumerate((0, 1, 1)):
+            p = depth_bit_pos + k
+            bi, sh = p // 8, 7 - (p % 8)
+            if bit:
+                blob[bi] |= 1 << sh
+            else:
+                blob[bi] &= ~(1 << sh)
+        with pytest.raises(ValueError, match="code 3 reserved"):
+            decode_flac(bytes(blob))
+
 
 def _frame_header(bw, n, sr_code=9, ch_code=0, depth_code=4, start=0):
     """Hand-build one frame header (8-bit explicit block size)."""

@@ -1647,3 +1647,59 @@ class TestCompressNativeBindings:
         # corrupt streams
         assert brotli_decompress_capped(b"junk" * 4, 1 << 20) is None
         assert zstd_decompress_capped(b"junk" * 4, 1 << 20) is None
+
+    def test_zstd_unknown_size_streams(self):
+        """ADVICE r14: frames that do NOT declare their content size
+        (the streaming-compressor shape real proxies emit) take
+        ZSTD_decompressStream with 64 KiB windows — round-trip,
+        mid-stream cap refusal, truncation, and a µs-fast corrupt
+        path, never a cap-sized retry buffer."""
+        import ctypes
+
+        from openaq_data_pipeline_spark.operators.compress_native import (
+            _ZstdInBuffer,
+            _ZstdOutBuffer,
+            zstd_decompress_capped,
+        )
+
+        lib = ctypes.CDLL("libzstd.so.1")
+        lib.ZSTD_createCStream.restype = ctypes.c_void_p
+        lib.ZSTD_compressStream2.restype = ctypes.c_size_t
+        lib.ZSTD_compressStream2.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(_ZstdOutBuffer),
+            ctypes.POINTER(_ZstdInBuffer),
+            ctypes.c_int,
+        ]
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+        lib.ZSTD_getFrameContentSize.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        cs = lib.ZSTD_createCStream()
+        data = b"hello unknown-size world " * 30000  # > several windows
+        half = len(data) // 2
+        cap = len(data) + 8192
+        ob = ctypes.create_string_buffer(cap)
+        dst = _ZstdOutBuffer(ctypes.addressof(ob), cap, 0)
+        b1 = ctypes.create_string_buffer(data[:half], half)
+        src1 = _ZstdInBuffer(ctypes.addressof(b1), half, 0)
+        # e_continue before the size is known pins an unknown-size header
+        lib.ZSTD_compressStream2(
+            cs, ctypes.byref(dst), ctypes.byref(src1), 0
+        )
+        b2 = ctypes.create_string_buffer(data[half:], len(data) - half)
+        src2 = _ZstdInBuffer(ctypes.addressof(b2), len(data) - half, 0)
+        assert lib.ZSTD_compressStream2(
+            cs, ctypes.byref(dst), ctypes.byref(src2), 2  # e_end
+        ) == 0
+        unk = ob.raw[: dst.pos]
+        assert int(
+            lib.ZSTD_getFrameContentSize(unk, len(unk))
+        ) == (1 << 64) - 1, "fixture must be an unknown-size frame"
+        assert zstd_decompress_capped(unk, 1 << 26) == data
+        assert zstd_decompress_capped(unk, 100_000) is None  # cap mid-stream
+        assert zstd_decompress_capped(unk[: len(unk) // 2], 1 << 26) is None
+        # corrupt unknown-size-shaped stream: fails without a cap alloc
+        assert zstd_decompress_capped(
+            b"\x28\xb5\x2f\xfd" + b"\x00" * 64, 1 << 26
+        ) is None
