@@ -232,7 +232,7 @@ def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scan(injected, "text", "doc_id")
 
 
-@register(
+@register_rotated(
     "pps_systematic_sample",
     "EXT-sampling — systematic probability-proportional-to-size "
     "sampling (Madow 1949, r8): documents occupy weight-length "
