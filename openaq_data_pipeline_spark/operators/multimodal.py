@@ -725,10 +725,13 @@ def avif_header_stats(content: bytes) -> tuple[int, int, bool, bool]:
     ImageSpatialExtentsProperty under ``meta``→``iprp``→``ipco``,
     alpha from an ``auxC`` auxiliary-type property carrying the
     MIAF alpha URN, animation from the ``avis`` brand. AV1 OBU
-    payloads never decode here (no sane pure-NumPy AV1 exists, and
-    libavif's struct ABI is version-fragile — the documented
-    plug-in point); the lenient image plane keeps the header row
-    with NULL pixel stats, the lossy-VP8-before-r14 posture.
+    payloads never decode HERE (no sane pure-NumPy AV1 exists) —
+    r15 fills the r14-documented plug-in point with the gated
+    system-libavif binding (:mod:`.avif_native`, empirical ABI
+    self-check against the version-fragile struct layout), so the
+    pixel tier decodes when the library loads and this walk is the
+    degrade; the lenient image plane keeps the header row with NULL
+    pixel stats when it does not, the lossy-VP8-before-r14 posture.
     ValueError on anything not a header-valid AVIF."""
     boxes = list(_mp4_boxes(content, 0, len(content)))
     if not boxes or boxes[0][0] != b"ftyp":
@@ -1888,9 +1891,12 @@ def _decode_image(content: bytes) -> np.ndarray:
     lossless WebP (VP8L, all four spec transforms) — decode here in
     pure NumPy. Lossy VP8 and VP8X-wrapped streams (r14) route
     through the gated system-libwebp binding
-    (:mod:`~openaq_data_pipeline_spark.operators.webp_native`): real
-    pixels when the library is present, the r13 header-dims fallback
-    when it is not (the binding raises ValueError either way the
+    (:mod:`~openaq_data_pipeline_spark.operators.webp_native`), and
+    AVIF/avis streams (r15, VERDICT r14 next #2) through the gated
+    system-libavif binding
+    (:mod:`~openaq_data_pipeline_spark.operators.avif_native`): real
+    pixels when the library is present, the header-dims fallback
+    when it is not (the bindings raise ValueError either way the
     lenient plane expects)."""
     if content[:2] == b"BM":
         return decode_bmp24(content)
@@ -1916,6 +1922,12 @@ def _decode_image(content: bytes) -> np.ndarray:
         return decode_webp_native(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff_rgb(content)
+    if content[4:8] == b"ftyp" and content[8:12] in (b"avif", b"avis"):
+        from openaq_data_pipeline_spark.operators.avif_native import (
+            decode_avif_native,
+        )
+
+        return decode_avif_native(content)
     raise ValueError(f"unknown image magic {content[:2]!r}")
 
 
