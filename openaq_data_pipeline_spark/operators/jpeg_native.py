@@ -1,0 +1,379 @@
+"""Gated binding of the system libjpeg for the JPEG shapes the
+pure-Python baseline decoder refuses — progressive (SOF2) and
+arithmetic streams (r15, VERDICT r14 next #5 / missing #1: a large
+share of wild-web JPEGs are progressive).
+
+Posture matches :mod:`.webp_native`/:mod:`.avif_native` — bind the
+container's own public library behind a gate; absent, behavior is
+exactly the prior round's (the pure-Python baseline decoder stays
+PRIMARY; out-of-subset streams degrade to the header walk). One
+necessary difference: libjpeg's classic API reports fatal errors by
+calling ``error_exit`` which must **longjmp** (the default calls
+``exit()``; a callback that merely returns is undefined behavior —
+the library keeps executing on corrupt state). ``setjmp`` cannot be
+taken safely across a ctypes trampoline, so a direct ctypes binding
+of this API cannot be made crash-safe, and a codec that can abort an
+executor on one corrupt row violates the engine's degrade-don't-fail
+contract. The honest fix is a ~90-line C shim (embedded below,
+public-API calls only: the canonical ``jpeglib.h`` decompress loop
+from the libjpeg usage documentation, with the standard
+setjmp/longjmp error trampoline) compiled ONCE per machine by the
+system compiler against the system ``jpeglib.h``/``libjpeg.so``,
+cached under a source-hash path. The gate requires compiler +
+header + library + a round-trip self-test; any failure closes it
+and the engine keeps the r14 boundary.
+
+The output cap is structural: the shim checks decoded dimensions
+against the caller's buffer BEFORE ``jpeg_start_decompress``
+allocates full-image coefficient arrays for progressive scans.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import hashlib
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SHIM_C = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <setjmp.h>
+#include <jpeglib.h>
+
+struct err_jmp {
+    struct jpeg_error_mgr mgr;
+    jmp_buf jb;
+    char msg[JMSG_LENGTH_MAX];
+};
+
+static void on_error(j_common_ptr cinfo) {
+    struct err_jmp *e = (struct err_jmp *)cinfo->err;
+    (*cinfo->err->format_message)(cinfo, e->msg);
+    longjmp(e->jb, 1);
+}
+
+static void on_emit(j_common_ptr cinfo, int msg_level) {
+    (void)cinfo; (void)msg_level;  /* swallow warnings: no stderr spam */
+}
+
+/* 0 = ok; 1 = decode error (errbuf filled); 2 = out buffer too small
+   for the declared dimensions (checked BEFORE start_decompress). On
+   success fills w/h/progressive and writes h*w*3 RGB bytes to out. */
+int shim_decode_rgb(const unsigned char *data, unsigned long size,
+                    unsigned char *out, unsigned long out_cap,
+                    int *w, int *h, int *progressive,
+                    char *errbuf, int errcap) {
+    struct jpeg_decompress_struct cinfo;
+    struct err_jmp jerr;
+    memset(&jerr, 0, sizeof jerr);
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = on_error;
+    jerr.mgr.emit_message = on_emit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        if (errbuf && errcap > 0) {
+            strncpy(errbuf, jerr.msg, (size_t)errcap - 1);
+            errbuf[errcap - 1] = 0;
+        }
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, size);
+    (void)jpeg_read_header(&cinfo, TRUE);
+    *w = (int)cinfo.image_width;
+    *h = (int)cinfo.image_height;
+    *progressive = cinfo.progressive_mode ? 1 : 0;
+    if ((unsigned long)cinfo.image_width * cinfo.image_height * 3
+            > out_cap) {
+        jpeg_destroy_decompress(&cinfo);
+        return 2;
+    }
+    cinfo.out_color_space = JCS_RGB;
+    (void)jpeg_start_decompress(&cinfo);
+    {
+        unsigned long stride =
+            (unsigned long)cinfo.output_width * cinfo.output_components;
+        while (cinfo.output_scanline < cinfo.output_height) {
+            JSAMPROW rows[1];
+            rows[0] = out + (unsigned long)cinfo.output_scanline * stride;
+            jpeg_read_scanlines(&cinfo, rows, 1);
+        }
+    }
+    (void)jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+/* Fixture/cross-validation encoder. 0 = ok (out/out_size malloc'd —
+   free with shim_free); 1 = error. progressive!=0 emits a standard
+   spectral-selection/successive-approximation scan script;
+   subsample444!=0 forces 1x1 sampling on every component (so
+   cross-validation against a replication-upsampling decoder is not
+   confounded by chroma upsampling policy). */
+int shim_encode_rgb(const unsigned char *rgb, int w, int h,
+                    int quality, int progressive, int subsample444,
+                    unsigned char **out, unsigned long *out_size,
+                    char *errbuf, int errcap) {
+    struct jpeg_compress_struct cinfo;
+    struct err_jmp jerr;
+    memset(&jerr, 0, sizeof jerr);
+    *out = NULL;
+    *out_size = 0;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = on_error;
+    jerr.mgr.emit_message = on_emit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_compress(&cinfo);
+        if (errbuf && errcap > 0) {
+            strncpy(errbuf, jerr.msg, (size_t)errcap - 1);
+            errbuf[errcap - 1] = 0;
+        }
+        return 1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, out, out_size);
+    cinfo.image_width = (JDIMENSION)w;
+    cinfo.image_height = (JDIMENSION)h;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    if (subsample444) {
+        int ci;
+        for (ci = 0; ci < cinfo.num_components; ci++) {
+            cinfo.comp_info[ci].h_samp_factor = 1;
+            cinfo.comp_info[ci].v_samp_factor = 1;
+        }
+    }
+    if (progressive)
+        jpeg_simple_progression(&cinfo);
+    jpeg_start_compress(&cinfo, TRUE);
+    {
+        unsigned long stride = (unsigned long)w * 3;
+        while (cinfo.next_scanline < cinfo.image_height) {
+            JSAMPROW rows[1];
+            rows[0] = (JSAMPROW)(rgb
+                + (unsigned long)cinfo.next_scanline * stride);
+            jpeg_write_scanlines(&cinfo, rows, 1);
+        }
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    return 0;
+}
+
+void shim_free(void *p) { free(p); }
+"""
+
+_LIB: ctypes.CDLL | None = None
+_LOAD_FAILED = False
+
+
+def _shim_path() -> str:
+    digest = hashlib.sha256(_SHIM_C.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"openaq_jpeg_shim_{digest}.so"
+    )
+
+
+def _compile_shim() -> str | None:
+    """Compile the embedded shim once per machine (source-hash cache;
+    atomic rename so concurrent executors race safely). None when no
+    compiler/header/library is present."""
+    path = _shim_path()
+    if os.path.exists(path):
+        return path
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        return None
+    tmpdir = tempfile.mkdtemp(prefix="jpeg_shim_build_")
+    try:
+        src = os.path.join(tmpdir, "shim.c")
+        obj = os.path.join(tmpdir, "shim.so")
+        with open(src, "w") as f:
+            f.write(_SHIM_C)
+        res = subprocess.run(
+            [cc, "-O2", "-shared", "-fPIC", src, "-o", obj, "-ljpeg"],
+            capture_output=True,
+            timeout=120,
+        )
+        if res.returncode != 0 or not os.path.exists(obj):
+            return None
+        os.replace(obj, path)  # atomic on the same filesystem
+        return path
+    except (OSError, subprocess.SubprocessError):
+        return None
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _selfcheck(lib: ctypes.CDLL) -> bool:
+    """Round-trip a 4x4 constant through the freshly-built shim —
+    empirical gate, the avif_native posture."""
+    arr = np.full((4, 4, 3), 120, np.uint8)
+    try:
+        blob = _encode(lib, arr, quality=95, progressive=True)
+        out, _prog = _decode(lib, blob, max_px=64)
+        return out.shape == (4, 4, 3) and (
+            int(np.abs(out.astype(np.int64) - 120).mean()) <= 4
+        )
+    except ValueError:
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None or _LOAD_FAILED:
+        return _LIB
+    try:
+        path = _compile_shim()
+        if path is None:
+            raise OSError("no compiler/header for the jpeg shim")
+        lib = ctypes.CDLL(path)
+        lib.shim_decode_rgb.restype = ctypes.c_int
+        lib.shim_decode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.shim_encode_rgb.restype = ctypes.c_int
+        lib.shim_encode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_ulong),
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.shim_free.restype = None
+        lib.shim_free.argtypes = [ctypes.c_void_p]
+        if not _selfcheck(lib):
+            raise OSError("jpeg shim self-check failed")
+        _LIB = lib
+    except OSError:
+        _LOAD_FAILED = True
+    return _LIB
+
+
+def available() -> bool:
+    """True when the shim compiled, loaded and round-tripped (the
+    gate every caller must honor: False → the pure-Python baseline
+    subset boundary stands, never an error)."""
+    return _load() is not None
+
+
+def _decode(
+    lib: ctypes.CDLL, content: bytes, max_px: int
+) -> tuple[np.ndarray, bool]:
+    if not isinstance(content, bytes):
+        content = bytes(content)
+    # two-phase: a zero-cap probe reads ONLY the header (the shim
+    # checks the cap before start_decompress), then the real buffer
+    # allocates exactly w*h*3 — so a gigapixel bomb never allocates
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    prog = ctypes.c_int()
+    err = ctypes.create_string_buffer(200)
+    probe = (ctypes.c_uint8 * 1)()
+    rc = lib.shim_decode_rgb(
+        content, len(content), probe, 0,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(prog), err, 200,
+    )
+    if rc == 1:
+        raise ValueError(
+            f"libjpeg decode failed: {err.value.decode(errors='replace')}"
+        )
+    # rc == 2 is the expected probe outcome (header parsed, buffer
+    # declared too small); rc == 0 is only reachable for a 0-area
+    # stream, rejected below
+    if w.value <= 0 or h.value <= 0:
+        raise ValueError("libjpeg decoded empty dimensions")
+    if w.value * h.value > max_px:
+        raise ValueError(
+            f"JPEG dimensions {w.value}x{h.value} exceed the "
+            f"{max_px}-px cap"
+        )
+    n = w.value * h.value * 3
+    out = (ctypes.c_uint8 * n)()
+    rc = lib.shim_decode_rgb(
+        content, len(content), out, n,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(prog), err, 200,
+    )
+    if rc != 0:
+        raise ValueError(
+            f"libjpeg decode failed: {err.value.decode(errors='replace')}"
+        )
+    arr = np.ctypeslib.as_array(out).reshape(h.value, w.value, 3).copy()
+    return arr, bool(prog.value)
+
+
+def _encode(
+    lib: ctypes.CDLL,
+    arr: np.ndarray,
+    quality: int,
+    progressive: bool,
+    subsample444: bool = False,
+) -> bytes:
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_native expects (H, W, 3) uint8")
+    h, w = arr.shape[:2]
+    buf = np.ascontiguousarray(arr)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_ulong()
+    err = ctypes.create_string_buffer(200)
+    rc = lib.shim_encode_rgb(
+        buf.tobytes(), w, h, quality, 1 if progressive else 0,
+        1 if subsample444 else 0,
+        ctypes.byref(out), ctypes.byref(out_size), err, 200,
+    )
+    if rc != 0 or not out:
+        raise ValueError(
+            f"libjpeg encode failed: {err.value.decode(errors='replace')}"
+        )
+    try:
+        return ctypes.string_at(out, out_size.value)
+    finally:
+        lib.shim_free(out)
+
+
+def decode_jpeg_native(
+    content: bytes, max_px: int = 1 << 24
+) -> np.ndarray:
+    """JPEG bytes → (H, W, 3) uint8 RGB through the system libjpeg —
+    the fallback for streams outside the pure-Python baseline subset
+    (progressive SOF2, arithmetic, 12-bit). ValueError when the shim
+    is unavailable, the stream is corrupt, or dimensions exceed
+    ``max_px`` (checked before full-image buffers allocate)."""
+    lib = _load()
+    if lib is None:
+        raise ValueError(
+            "libjpeg shim unavailable: non-baseline JPEG is header-only"
+        )
+    arr, _prog = _decode(lib, content, max_px)
+    return arr
+
+
+def encode_jpeg_native(
+    arr: np.ndarray,
+    quality: int = 90,
+    progressive: bool = False,
+    subsample444: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → JPEG through the system libjpeg
+    (``progressive=True`` emits the standard SOF2 scan script;
+    ``subsample444=True`` forces 1x1 sampling so cross-validation
+    against a replication-upsampling decoder isolates the entropy/
+    DCT path) — fixture synthesis and cross-validation face.
+    ValueError when the shim is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise ValueError("libjpeg shim unavailable")
+    return _encode(lib, arr, quality, progressive, subsample444)

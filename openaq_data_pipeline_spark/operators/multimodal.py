@@ -1430,7 +1430,9 @@ def webp_features(
 # general baseline: multiple DQT/DHT, SOF0 with subsampling factors
 # up to 2 (4:2:0 etc.), DRI/RSTn restart intervals, grayscale or
 # 3-component YCbCr. Progressive (SOF2), arithmetic coding and 12-bit
-# precision raise.
+# precision raise HERE; _decode_image then routes them through the
+# gated system-libjpeg shim (operators/jpeg_native, r15) when it
+# loads, else the any-SOF header walk carries the lenient row.
 #
 # Exactness property used by the oracle fixtures: a GRAYSCALE image
 # that is constant on every 8x8 block, encoded with a flat
@@ -1689,6 +1691,41 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+     0xCD, 0xCE, 0xCF)
+)
+_SOF_PROGRESSIVE = frozenset((0xC2, 0xC6, 0xCA, 0xCE))
+
+
+def jpeg_header_stats(content: bytes) -> tuple[int, int, int, bool]:
+    """(width, height, n_components, is_progressive) from the first
+    SOFn marker — header-only, any coding process (r15: the lenient
+    image plane's dims fallback for JPEG shapes neither decoder
+    serves, the webp/tiff/avif header-walk posture). ValueError on a
+    non-JPEG or SOF-less stream."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = content[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        if marker in _SOF_MARKERS:
+            _prec, h, w, nc = struct.unpack_from(
+                ">BHHB", content, pos + 4
+            )
+            return int(w), int(h), int(nc), marker in _SOF_PROGRESSIVE
+        if marker == 0xDA:
+            break
+        pos += 2 + length
+    raise ValueError("JPEG missing SOF")
+
+
 def decode_jpeg_baseline(content: bytes) -> np.ndarray:
     """Baseline JFIF JPEG → (H, W, 3) uint8 RGB (grayscale broadcast
     to RGB, as the PNG grey path does). General baseline decoder —
@@ -1905,7 +1942,19 @@ def _decode_image(content: bytes) -> np.ndarray:
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
-        return decode_jpeg_baseline(content)
+        try:
+            return decode_jpeg_baseline(content)
+        except ValueError:
+            # outside the pure-Python baseline subset (progressive
+            # SOF2, arithmetic, 12-bit — or corrupt): the gated
+            # system-libjpeg shim decodes what the spec subset
+            # cannot (r15, VERDICT r14 next #5); absent, its
+            # ValueError keeps the r14 lenient header-walk degrade
+            from openaq_data_pipeline_spark.operators.jpeg_native import (
+                decode_jpeg_native,
+            )
+
+            return decode_jpeg_native(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(content)
     if content[:4] == b"RIFF" and content[8:16] == b"WEBPVP8L":
@@ -2008,22 +2057,20 @@ def extract_features(
                         except Exception:
                             # no pixel decoder for these bytes — but a
                             # header-walkable format (WebP/TIFF r13,
-                            # AVIF r14) still yields dims; pixel
-                            # stats stay NULL
-                            try:
-                                _, hw, hh, _, _ = webp_header_stats(blob)
-                            except Exception:
+                            # AVIF r14, any-SOF JPEG r15) still
+                            # yields dims; pixel stats stay NULL
+                            hw = hh = None
+                            for walk in (
+                                lambda b: webp_header_stats(b)[1:3],
+                                lambda b: tiff_header_stats(b)[0:2],
+                                lambda b: avif_header_stats(b)[0:2],
+                                lambda b: jpeg_header_stats(b)[0:2],
+                            ):
                                 try:
-                                    hw, hh, _, _, _ = tiff_header_stats(
-                                        blob
-                                    )
+                                    hw, hh = walk(blob)
+                                    break
                                 except Exception:
-                                    try:
-                                        hw, hh, _, _ = avif_header_stats(
-                                            blob
-                                        )
-                                    except Exception:
-                                        hw = hh = None
+                                    continue
                             out[id_col].append(mid)
                             out["n_bytes"].append(len(blob))
                             out["header_hex"].append(blob[:4].hex())
