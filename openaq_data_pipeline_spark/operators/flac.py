@@ -25,10 +25,13 @@ Documented subset boundaries: variable-blocksize streams decode
 defer to STREAMINFO use the stream's own header; frame CRC-16 is
 verified over each whole frame. The ENCODER (fixture face) emits
 fixed-blocksize streams with CONSTANT / VERBATIM / FIXED(order ≤ 2)
-subframes and single-partition Rice residuals — fixture-grade
-compression, spec-grade bitstream, exercising the decoder's full
-residual/predictor path; LPC and mid/side are decoder-side,
-pinned by hand-built streams in tests.
+/ LPC(order ≤ 4, quantized Levinson-Durbin — r15, VERDICT r14 next
+#6) subframes, single-partition Rice residuals, and all four
+channel assignments (independent + the three stereo
+decorrelations), so the decoder's hardest paths get matched-pair
+round-trip coverage at corpus scale, not just hand-built streams;
+residuals always use the decoder's exact integer predictor, so the
+round-trip is lossless by construction for any coefficient quality.
 
 Per-sample bit work in pure Python runs ~1 µs/sample — fixture and
 web-clip grade, not a realtime player; the Arrow plane batches rows
@@ -372,26 +375,152 @@ def _write_residual(bw: _BitWriter, res: list[int], param: int) -> None:
             bw.write(u & ((1 << param) - 1), param)
 
 
+def _rice_param(res: list[int]) -> int:
+    mean = max(1, sum(abs(r) for r in res) // max(1, len(res)))
+    return min(14, max(0, mean.bit_length()))
+
+
+def _levinson(ac: list[float], order: int) -> list[float]:
+    """Levinson-Durbin: autocorrelation → prediction coefficients a
+    with pred[i] = sum(a[j] * x[i-1-j]) (the :func:`_predict`
+    convention). Degenerate inputs return the partial solution."""
+    err = ac[0]
+    a: list[float] = []
+    for i in range(order):
+        if err <= 0:
+            break
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        k = acc / err
+        a = [a[j] - k * a[i - 1 - j] for j in range(i)] + [k]
+        err *= 1.0 - k * k
+    a += [0.0] * (order - len(a))
+    return a
+
+
+def _quantize_lpc(a: list[float], precision: int) -> tuple[list[int], int]:
+    """Float predictor → (qlp coefficients, shift) with every
+    coefficient in the signed ``precision``-bit range. Round-trip
+    exactness never depends on coefficient quality — the encoder
+    computes residuals with the decoder's exact integer predictor —
+    so clamping only costs compression, never correctness."""
+    cmax = max((abs(c) for c in a), default=0.0)
+    if cmax <= 0 or not np.isfinite(cmax):
+        return [0] * len(a), 0
+    shift = (precision - 2) - int(np.floor(np.log2(cmax)) + 1)
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = [
+        max(-lim, min(lim - 1, int(round(c * (1 << shift)))))
+        for c in a
+    ]
+    return q, shift
+
+
+def _write_subframe(
+    bw: _BitWriter,
+    ch: list[int],
+    depth: int,
+    kind: str,
+    lpc_order: int = 4,
+    lpc_precision: int = 12,
+) -> None:
+    """One subframe: padding bit + type + no-wasted-bits + body.
+    ``kind``: constant / verbatim / fixed2 / lpc (r15, VERDICT r14
+    next #6 — quantized Levinson-Durbin coefficients; residuals use
+    the decoder's exact integer predictor so the round-trip is
+    lossless by construction); lpc falls back to constant/verbatim
+    on blocks too short or too flat to predict."""
+    n = len(ch)
+    bw.write(0, 1)
+    if kind == "lpc":
+        order = min(lpc_order, n - 1)
+        if len(set(ch)) == 1:
+            kind = "constant"
+        elif order < 1:
+            kind = "verbatim"
+    if kind == "constant":
+        if len(set(ch)) != 1:
+            raise ValueError("constant subframe needs equal samples")
+        bw.write(0, 6)
+        bw.write(0, 1)  # no wasted bits
+        bw.write_signed(ch[0], depth)
+    elif kind == "verbatim":
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for v in ch:
+            bw.write_signed(v, depth)
+    elif kind == "fixed2":
+        order = min(2, n - 1) if n > 1 else 0
+        bw.write(8 + order, 6)
+        bw.write(0, 1)
+        for v in ch[:order]:
+            bw.write_signed(v, depth)
+        coefs = _FIXED_COEFS[order]
+        res = [
+            ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+        _write_residual(bw, res, _rice_param(res))
+    elif kind == "lpc":
+        x = np.asarray(ch, dtype=np.float64)
+        ac = [float(np.dot(x, x))]
+        for lag in range(1, order + 1):
+            ac.append(float(np.dot(x[lag:], x[:-lag])))
+        qlp, shift = _quantize_lpc(
+            _levinson(ac, order), lpc_precision
+        )
+        bw.write(32 + order - 1, 6)
+        bw.write(0, 1)
+        for v in ch[:order]:
+            bw.write_signed(v, depth)
+        bw.write(lpc_precision - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in qlp:
+            bw.write_signed(c, lpc_precision)
+        res = [
+            ch[i]
+            - (
+                sum(c * ch[i - 1 - j] for j, c in enumerate(qlp))
+                >> shift
+            )
+            for i in range(order, n)
+        ]
+        _write_residual(bw, res, _rice_param(res))
+    else:
+        raise ValueError(f"unknown subframe kind {kind!r}")
+
+
 def encode_flac(
     samples: np.ndarray,
     sample_rate: int = 44100,
     depth: int = 16,
     block_size: int = 4096,
     subframe: str = "auto",
+    channel_mode: str = "independent",
 ) -> bytes:
     """(n, channels) int PCM → a real FLAC stream: STREAMINFO +
-    fixed-blocksize frames of independent-channel subframes with
-    verified CRC-8/CRC-16. ``subframe``: ``constant`` (all-equal
-    blocks only), ``verbatim``, ``fixed2`` (order-2 difference
-    predictor + single-partition Rice), or ``auto`` (constant when
-    the block is constant, else fixed2). Fixture-grade compression,
-    spec-grade bitstream — the exact inverse of
-    :func:`decode_flac`."""
+    fixed-blocksize frames with verified CRC-8/CRC-16. ``subframe``:
+    ``constant`` (all-equal blocks only), ``verbatim``, ``fixed2``
+    (order-2 difference predictor), ``lpc`` (r15, VERDICT r14 next
+    #6: quantized Levinson-Durbin, order ≤ 4, single-partition
+    Rice), or ``auto`` (constant when the block is constant, else
+    fixed2). ``channel_mode`` (r15): ``independent``, or — stereo
+    only — the spec's three lossless decorrelations ``left_side`` /
+    ``right_side`` / ``mid_side`` (the side channel carries one
+    extra bit, RFC 9639 §4.2). Fixture-grade compression, spec-grade
+    bitstream — the exact inverse of :func:`decode_flac` for every
+    combination."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n_total, channels = samples.shape
     if not 1 <= channels <= 8:
         raise ValueError("FLAC supports 1-8 channels")
+    if channel_mode not in (
+        "independent", "left_side", "right_side", "mid_side"
+    ):
+        raise ValueError(f"unknown channel mode {channel_mode!r}")
+    if channel_mode != "independent" and channels != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
     if sample_rate not in _RATE_CODE.values():
         raise ValueError("use a spec-coded sample rate for fixtures")
     sr_code = {v: k for k, v in _RATE_CODE.items()}[sample_rate]
@@ -416,7 +545,13 @@ def encode_flac(
         bw.write(0, 1)  # fixed blocksize strategy
         bw.write(6 if n <= 256 else 7, 4)  # 8/16-bit explicit size
         bw.write(sr_code, 4)
-        bw.write(channels - 1, 4)  # independent channels
+        ch_code = {
+            "independent": channels - 1,
+            "left_side": 8,
+            "right_side": 9,
+            "mid_side": 10,
+        }[channel_mode]
+        bw.write(ch_code, 4)
         bw.write(depth_code, 3)
         bw.write(0, 1)
         # coded frame number (fits 7 bits for fixture-scale streams)
@@ -429,39 +564,29 @@ def encode_flac(
             bw.write(n - 1, 16)
         hdr = bw.bytes()
         bw.write(_crc8(hdr), 8)
-        for c in range(channels):
-            ch = [int(v) for v in block[:, c]]
+        # channel plane(s) + the per-subframe bit depth (the side
+        # channel of a decorrelated pair carries one extra bit)
+        if channel_mode == "independent":
+            planes = [
+                ([int(v) for v in block[:, c]], depth)
+                for c in range(channels)
+            ]
+        else:
+            left = [int(v) for v in block[:, 0]]
+            right = [int(v) for v in block[:, 1]]
+            side = [lv - rv for lv, rv in zip(left, right)]
+            if channel_mode == "left_side":
+                planes = [(left, depth), (side, depth + 1)]
+            elif channel_mode == "right_side":
+                planes = [(side, depth + 1), (right, depth)]
+            else:  # mid_side
+                mid = [(lv + rv) >> 1 for lv, rv in zip(left, right)]
+                planes = [(mid, depth), (side, depth + 1)]
+        for ch, d in planes:
             kind = subframe
             if kind == "auto":
                 kind = "constant" if len(set(ch)) == 1 else "fixed2"
-            bw.write(0, 1)
-            if kind == "constant":
-                if len(set(ch)) != 1:
-                    raise ValueError("constant subframe needs equal samples")
-                bw.write(0, 6)
-                bw.write(0, 1)  # no wasted bits
-                bw.write_signed(ch[0], depth)
-            elif kind == "verbatim":
-                bw.write(1, 6)
-                bw.write(0, 1)
-                for v in ch:
-                    bw.write_signed(v, depth)
-            elif kind == "fixed2":
-                order = min(2, n - 1) if n > 1 else 0
-                bw.write(8 + order, 6)
-                bw.write(0, 1)
-                for v in ch[:order]:
-                    bw.write_signed(v, depth)
-                coefs = _FIXED_COEFS[order]
-                res = [
-                    ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
-                    for i in range(order, n)
-                ]
-                mean = max(1, sum(abs(r) for r in res) // max(1, len(res)))
-                param = min(14, max(0, mean.bit_length()))
-                _write_residual(bw, res, param)
-            else:
-                raise ValueError(f"unknown subframe kind {kind!r}")
+            _write_subframe(bw, ch, d, kind)
         bw.align()
         body = bw.bytes()
         bw.write(_crc16(body), 16)

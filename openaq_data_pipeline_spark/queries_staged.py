@@ -3532,6 +3532,115 @@ def q_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "image_crossformat_dedup",
+    "EXT-multimodal+dedup — cross-FORMAT perceptual image dedup "
+    "(r15: the whole codec tier feeds the dedup plane — the "
+    "LAION-class step where the same picture re-encoded as "
+    "PNG / baseline JPEG / progressive JPEG (gated libjpeg) / AVIF "
+    "(gated libavif) must land in ONE duplicate cluster): documents "
+    "form groups of 4 (doc_id//4) carrying the SAME blocky image in "
+    "4 different formats; image_phash decodes every format through "
+    "the one magic-dispatch plane and emits 4x16-bit banded "
+    "fingerprints, simhash_near_dup_pairs finds within-group pairs "
+    "(measured margins: lossy arms within Hamming 2 of the lossless "
+    "anchor — inside the banded <=3 pigeonhole guarantee — while "
+    "distinct groups sit >=14 apart, >=10 after the triangle "
+    "inequality), and connected_components collapses them to "
+    "min-id clusters. Env-robust: an absent native encoder folds "
+    "its arm to an always-available format (progressive->baseline "
+    "JPEG, AVIF->PNG) — the cluster structure, and therefore the "
+    "oracle, is IDENTICAL. The oracle is the CLOSED FORM of the "
+    "group construction — ground truth, not a pairs replay",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id // 4 AS BIGINT) AS group_id,
+       CAST((doc_id // 4) * 4 AS BIGINT) AS cluster_id,
+       CAST(4 AS BIGINT) AS cluster_size
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dup_pairs,
+    )
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        image_phash,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    jpeg_ok, avif_ok = _native_jpeg_ok(), _native_avif_ok()
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.avif_native import (
+            encode_avif,
+        )
+        from openaq_data_pipeline_spark.operators.jpeg_native import (
+            encode_jpeg_native,
+        )
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_jpeg_baseline,
+            encode_png,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                g, r = i // 4, i % 4
+                rng = np.random.default_rng(1000 + g)
+                coarse = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                img = np.repeat(np.repeat(coarse, 4, 0), 4, 1)
+                if r == 1 or (r == 2 and not jpeg_ok):
+                    blobs.append(encode_jpeg_baseline(img, q=2))
+                elif r == 2:
+                    blobs.append(
+                        encode_jpeg_native(
+                            img, quality=95, progressive=True,
+                            subsample444=True,
+                        )
+                    )
+                elif r == 3 and avif_ok:
+                    blobs.append(encode_avif(img, speed=6))
+                else:  # r == 0, and the AVIF fold
+                    blobs.append(encode_png(img))
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = fan_out(d).mapInPandas(
+        synth, schema="doc_id long, content binary"
+    )
+    fp = image_phash(imgs, "content", "doc_id")
+    pairs = simhash_near_dup_pairs(fp, "doc_id", max_hamming=3)
+    comps = connected_components(pairs, "id_a", "id_b")
+    clustered = d.join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+            "cluster_id"
+        ),
+    )
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        clustered.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            (F.col("doc_id") / 4).cast("long").alias("group_id"),
+            F.col("cluster_id").cast("long"),
+            F.col("cluster_size").cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "audio_container_stats",
     "EXT-multimodal — compressed-audio header walks (r14: the audio "
@@ -3660,13 +3769,17 @@ def q_audio_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path — operators/flac.py, RFC 9639 frame layer with verified "
     "CRC-8/CRC-16): per document a FLAC is synthesized by the "
     "engine's own encoder — even docs a constant signal, odd docs "
-    "an alternating ±c square wave through the FIXED-predictor + "
-    "Rice residual path — and the lenient audio plane recovers "
-    "exact integer PCM statistics; every seventh document has a "
-    "frame byte flipped, the CRC refuses it, and the row KEEPS "
-    "STREAMINFO header stats beside NULL PCM stats (the layered "
-    "fallback). The oracle is the CLOSED FORM of the synthesis — "
-    "ground truth, not a decode replay",
+    "an alternating ±c square wave — and the lenient audio plane "
+    "recovers exact integer PCM statistics; the encoder rotates "
+    "subframe kind (auto/LPC/FIXED) and, for stereo docs, all three "
+    "decorrelations (mid/left/right-side — r15, VERDICT r14 next "
+    "#6: the decoder's hardest paths exercised by the matched pair "
+    "at corpus scale) with the SAME closed form, because the codec "
+    "is lossless; every seventh document has a frame byte flipped, "
+    "the CRC refuses it, and the row KEEPS STREAMINFO header stats "
+    "beside NULL PCM stats (the layered fallback). The oracle is "
+    "the CLOSED FORM of the synthesis — ground truth, not a decode "
+    "replay",
     oracle="""
 SELECT doc_id,
        CAST(CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
@@ -3719,7 +3832,20 @@ def q_audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.arange(n) % 2 == 0, c, -c
                     ).astype(np.int32)
                     sig = np.repeat(col[:, None], ch, axis=1)
-                blob = bytearray(encode_flac(sig, rate, block_size=256))
+                # rotate the encoder's full face (r15): lossless, so
+                # every combination matches the same closed form
+                sub = ("auto", "lpc", "fixed2")[i % 3]
+                mode = (
+                    ("mid_side", "left_side", "right_side")[(i // 2) % 3]
+                    if ch == 2
+                    else "independent"
+                )
+                blob = bytearray(
+                    encode_flac(
+                        sig, rate, block_size=256, subframe=sub,
+                        channel_mode=mode,
+                    )
+                )
                 if i % 7 == 6:
                     blob[50] ^= 0x40  # CRC refuses; STREAMINFO stands
                 blobs.append(bytes(blob))

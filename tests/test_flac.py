@@ -107,6 +107,106 @@ def _close_frame(bw, start=0):
     bw.write(_crc16(body), 16)
 
 
+class TestEncoderWideFace:
+    """r15 (VERDICT r14 next #6): the encoder now emits LPC subframes
+    and all three stereo decorrelations, so the decoder's hardest
+    paths get matched-pair round-trip coverage beyond hand-built
+    streams."""
+
+    def test_lpc_and_decorrelation_matrix(self):
+        rng = np.random.default_rng(3)
+        t = np.arange(1200)
+        stereo = np.stack(
+            [
+                (900 * np.sin(t / 7)
+                 + rng.integers(-40, 40, t.size)).astype(np.int32),
+                (700 * np.sin(t / 9 + 1)
+                 + rng.integers(-40, 40, t.size)).astype(np.int32),
+            ],
+            axis=1,
+        )
+        for mode in (
+            "independent", "left_side", "right_side", "mid_side"
+        ):
+            for sub in ("verbatim", "fixed2", "lpc"):
+                blob = encode_flac(
+                    stereo, channel_mode=mode, subframe=sub,
+                    block_size=256,
+                )
+                out, rate = decode_flac(blob)
+                assert rate == 44100
+                assert np.array_equal(out, stereo), (mode, sub)
+        # the new faces genuinely compress: LPC beats FIXED on a
+        # sine, mid/side beats independent on correlated channels
+        lpc = len(encode_flac(stereo, subframe="lpc"))
+        fx = len(encode_flac(stereo, subframe="fixed2"))
+        ms = len(
+            encode_flac(stereo, subframe="lpc", channel_mode="mid_side")
+        )
+        assert ms < lpc < fx
+
+    def test_channel_mode_contract(self):
+        mono = np.zeros((64, 1), dtype=np.int32)
+        with pytest.raises(ValueError, match="exactly 2 channels"):
+            encode_flac(mono, channel_mode="mid_side")
+        with pytest.raises(ValueError, match="unknown channel mode"):
+            encode_flac(mono, channel_mode="stereo")
+
+    @pytest.mark.parametrize("order", [1, 2, 3, 4])
+    def test_lpc_orders_roundtrip(self, order):
+        from openaq_data_pipeline_spark.operators.flac import (
+            _BitReader,
+            _read_subframe,
+            _write_subframe,
+        )
+
+        rng = np.random.default_rng(order)
+        ch = [int(v) for v in rng.integers(-3000, 3000, 300)]
+        bw = _BitWriter()
+        _write_subframe(bw, ch, 16, "lpc", lpc_order=order)
+        br = _BitReader(bw.bytes())
+        assert _read_subframe(br, len(ch), 16) == ch
+
+    def test_hypothesis_roundtrip_property(self):
+        """Random PCM × every channel assignment × every subframe
+        kind round-trips exactly — the property the matched pair
+        must hold at corpus scale (VERDICT r14 next #6 done
+        criterion)."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(
+            max_examples=40,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            data=st.lists(
+                st.tuples(
+                    st.integers(-(1 << 15), (1 << 15) - 1),
+                    st.integers(-(1 << 15), (1 << 15) - 1),
+                ),
+                min_size=1,
+                max_size=400,
+            ),
+            mode=st.sampled_from(
+                ["independent", "left_side", "right_side", "mid_side"]
+            ),
+            sub=st.sampled_from(["verbatim", "fixed2", "lpc", "auto"]),
+            block=st.sampled_from([64, 192, 256]),
+        )
+        def prop(data, mode, sub, block):
+            arr = np.array(data, dtype=np.int32)
+            blob = encode_flac(
+                arr, depth=16, channel_mode=mode, subframe=sub,
+                block_size=block,
+            )
+            out, rate = decode_flac(blob)
+            assert np.array_equal(out, arr)
+
+        prop()
+
+
 class TestDecoderOnlyFeatures:
     """The fixture encoder emits constant/verbatim/fixed subframes
     with single-partition method-0 Rice; hand-built streams pin LPC,
