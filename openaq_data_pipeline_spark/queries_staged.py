@@ -3641,6 +3641,193 @@ def q_image_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "structured_data_extract",
+    "EXT-webmeta — schema.org JSON-LD + OpenGraph extraction (r15 "
+    "capability wave: the crawl plane's STRUCTURED metadata tier — "
+    "provenance/type/date for filtering and attribution, the "
+    "social-card title/description; whole-stage codegen regexp + "
+    "get_json_object, no Python in the row path): per document an "
+    "HTML page is synthesized with og:title (one attribute order) "
+    "and og:description (the REVERSED attribute order, every other "
+    "doc), one valid Article JSON-LD block, and — every third doc — "
+    "a second, MALFORMED ld+json block which must yield a row of "
+    "NULL fields (null-tolerant JsonPath), never a failure. Output "
+    "is the exploded block plane joined with the page's OpenGraph "
+    "struct. The oracle is the CLOSED FORM of the synthesis — "
+    "ground truth, not an extraction replay",
+    oracle="""
+SELECT doc_id,
+       CAST(0 AS INT) AS ld_pos,
+       'Article' AS ld_type,
+       'doc' || CAST(doc_id AS VARCHAR) AS name,
+       '2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-01'
+           AS date_published,
+       'author ' || CAST(doc_id % 4 AS VARCHAR) AS author_name,
+       'T' || CAST(doc_id AS VARCHAR) AS og_title,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'D' || CAST(doc_id AS VARCHAR) END AS og_description
+FROM documents
+UNION ALL
+SELECT doc_id,
+       CAST(1 AS INT) AS ld_pos,
+       NULL AS ld_type, NULL AS name, NULL AS date_published,
+       NULL AS author_name,
+       'T' || CAST(doc_id AS VARCHAR) AS og_title,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'D' || CAST(doc_id AS VARCHAR) END AS og_description
+FROM documents WHERE doc_id % 3 = 0
+ORDER BY doc_id, ld_pos
+""",
+)
+def q_structured_data_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.webmeta import (
+        jsonld_records,
+        opengraph_properties,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    ld1 = F.concat(
+        F.lit('<script type="application/ld+json">{"@type": "Article",'
+              ' "name": "doc'),
+        s,
+        F.lit('", "datePublished": "2026-0'),
+        (F.lit(1) + i % 9).cast("string"),
+        F.lit('-01", "author": {"name": "author '),
+        (i % 4).cast("string"),
+        F.lit('"}}</script>'),
+    )
+    ld_bad = F.when(
+        i % 3 == 0,
+        F.lit(
+            "<script type='application/ld+json'>{not json]</script>"
+        ),
+    ).otherwise(F.lit(""))
+    og_desc = F.when(
+        i % 2 == 0,
+        F.concat(F.lit('<meta content="D'), s,
+                 F.lit('" property="og:description">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="T'),
+        s,
+        F.lit('"/>'),
+        og_desc,
+        ld1,
+        ld_bad,
+        F.lit("</head><body>text</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    og = pages.select(
+        "doc_id", opengraph_properties(F.col("html")).alias("og")
+    ).select(
+        "doc_id",
+        F.col("og.title").alias("og_title"),
+        F.col("og.description").alias("og_description"),
+    )
+    return (
+        jsonld_records(pages, "html", "doc_id")
+        .join(og, "doc_id")
+        .select(
+            "doc_id",
+            F.col("ld_pos").cast("int"),
+            "ld_type", "name", "date_published", "author_name",
+            "og_title", "og_description",
+        )
+        .orderBy("doc_id", "ld_pos")
+    )
+
+
+@register_staged(
+    "link_graph_extract",
+    "EXT-webmeta — out-link/anchor extraction with RFC 3986 "
+    "reference resolution (r15 capability wave: the plane a "
+    "frontier, an anchor-text index and PageRank all consume; one "
+    "regexp drives two aligned regexp_extract_all passes, per-link "
+    "href/rel/anchor come from codegen transform, dot-segments "
+    "collapse in a bounded regexp chain): per document a page at a "
+    "residue-derived base URL carries an absolute link, a "
+    "dot-segment relative link, a root-relative rel=nofollow link "
+    "(every other doc), and an href-less named anchor that must NOT "
+    "emit a row. Output is the exploded link plane with resolved "
+    "URLs and target hosts. The oracle is the CLOSED FORM of the "
+    "synthesis — ground truth, not a resolution replay",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.test'
+             AS origin
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS INT) AS link_pos,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p'
+           AS resolved,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+       'abs link' AS anchor_text, FALSE AS nofollow
+FROM base
+UNION ALL
+SELECT doc_id, CAST(1 AS INT) AS link_pos,
+       origin || '/d/' || CAST(doc_id AS VARCHAR) || '/p'
+           || CAST(doc_id % 11 AS VARCHAR) || '.html' AS resolved,
+       'host' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+       'rel bold' AS anchor_text, FALSE AS nofollow
+FROM base
+UNION ALL
+SELECT doc_id, CAST(2 AS INT) AS link_pos,
+       origin || '/r' AS resolved,
+       'host' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+       'rooted' AS anchor_text, doc_id % 2 = 0 AS nofollow
+FROM base
+ORDER BY doc_id, link_pos
+""",
+)
+def q_link_graph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import url_host
+    from openaq_data_pipeline_spark.operators.webmeta import (
+        extract_links,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    base = F.concat(
+        F.lit("https://host"), (i % 5).cast("string"),
+        F.lit(".test/d/"), s, F.lit("/index.html"),
+    )
+    nofollow_attr = F.when(
+        i % 2 == 0, F.lit(' rel="nofollow"')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<body><a href="https://site'),
+        (i % 7).cast("string"),
+        F.lit('.example/p">abs link</a>'),
+        F.lit('<a href="x/../p'),
+        (i % 11).cast("string"),
+        F.lit('.html#frag">rel <b>bold</b></a>'),
+        F.lit('<a href="/r"'),
+        nofollow_attr,
+        F.lit('>rooted</a>'),
+        F.lit('<a name="skip">no href</a></body>'),
+    )
+    pages = d.select(
+        "doc_id", html.alias("html"), base.alias("base_url")
+    )
+    return (
+        extract_links(pages, "html", "doc_id", base_url_col="base_url")
+        .select(
+            "doc_id",
+            F.col("link_pos").cast("int"),
+            "resolved",
+            url_host(F.col("resolved")).alias("host"),
+            "anchor_text",
+            "nofollow",
+        )
+        .orderBy("doc_id", "link_pos")
+    )
+
+
 @register(
     "audio_container_stats",
     "EXT-multimodal — compressed-audio header walks (r14: the audio "
