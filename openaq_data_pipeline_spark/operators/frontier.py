@@ -550,6 +550,148 @@ def parse_sitemaps(
     )
 
 
+# --- RSS/Atom feeds: discovery + item extraction (r15) --------------------
+#
+# The third seed-discovery channel beside sitemaps and robots
+# `Sitemap:` lines: pages advertise their feeds via
+# `<link rel="alternate" type="application/rss+xml|atom+xml">`, and
+# the feeds themselves carry per-item URLs + publication times — the
+# same recrawl-priority signal as sitemap <lastmod>, but fresher on
+# news/blog hosts. Extraction-grade codegen regexp over the XML (the
+# parse_sitemaps posture: one extract_all + per-entry extracts, no
+# Python in the row path); CDATA unwraps, the protocol's five XML
+# entities decode.
+
+
+def _xml_entities(col):
+    """The five XML entities, &amp; last so double-escapes stay
+    literal (the html_extract ordering)."""
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&amp;", "&")):
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
+
+def _xml_text(entry, tag: str):
+    """Text of the first <tag>…</tag> in an entry blob: CDATA
+    unwrapped, entities decoded, NULL when absent/empty."""
+    raw = F.regexp_extract(
+        entry, rf"(?is)<{tag}(?:\s[^>]*)?>\s*(.*?)\s*</{tag}\s*>", 1
+    )
+    raw = _xml_entities(
+        F.regexp_replace(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", "$1")
+    )
+    return F.when(raw != "", raw)
+
+
+def discover_feeds(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    base_url_col: str | None = None,
+) -> DataFrame:
+    """(id, feed_pos, feed_url, feed_format[, resolved]) — every
+    ``<link rel="alternate" type="application/rss+xml|atom+xml">``
+    advertisement in each page, both attribute orders, href
+    optionally resolved against ``base_url_col`` (the seed channel a
+    frontier merges with sitemap discovery)."""
+    from openaq_data_pipeline_spark.operators.webmeta import resolve_url
+
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<link\s([^>]*)>"), 1
+    )
+    feed_tags = F.filter(
+        tags,
+        lambda t: t.rlike(
+            r'(?i)type\s*=\s*["\']application/(rss|atom)\+xml["\']'
+        )
+        & t.rlike(r'(?i)rel\s*=\s*["\']alternate["\']'),
+    )
+    base_cols = [F.col(base_url_col)] if base_url_col else []
+    exploded = df.select(
+        F.col(id_col),
+        *base_cols,
+        F.posexplode(feed_tags).alias("feed_pos", "__tag"),
+    )
+    href = F.nullif(
+        F.regexp_extract(
+            F.col("__tag"), r'(?i)href\s*=\s*["\']([^"\']*)["\']', 1
+        ),
+        F.lit(""),
+    )
+    fmt = F.when(
+        F.col("__tag").rlike(r"(?i)application/rss\+xml"), "rss"
+    ).otherwise("atom")
+    out = exploded.select(
+        id_col,
+        "feed_pos",
+        href.alias("feed_url"),
+        fmt.alias("feed_format"),
+        *(
+            [resolve_url(F.col(base_url_col), href).alias("resolved")]
+            if base_url_col
+            else []
+        ),
+    )
+    return out.where(F.col("feed_url").isNotNull())
+
+
+def parse_feed_items(
+    feeds: DataFrame, content_col: str, source_col: str
+) -> DataFrame:
+    """(source, item_pos, feed_format, title, url, item_id,
+    published) — every ``<item>`` (RSS 2.0) or ``<entry>`` (Atom) of
+    each feed document. RSS: title/link/guid/pubDate; Atom:
+    title/<link href=>/id/updated (falling back to <published>).
+    The two formats normalize into ONE plane so the frontier join
+    is format-blind."""
+    is_atom = F.col(content_col).rlike(r"(?is)<\s*feed[\s>]")
+    entries = F.regexp_extract_all(
+        F.col(content_col),
+        F.lit(
+            r"(?is)<(?:item|entry)(?:\s[^>]*)?>(.*?)</(?:item|entry)\s*>"
+        ),
+        1,
+    )
+    out = feeds.select(
+        F.col(source_col).alias("source"),
+        is_atom.alias("__atom"),
+        F.posexplode(entries).alias("item_pos", "__e"),
+    )
+    e = F.col("__e")
+    atom_link = F.nullif(
+        _xml_entities(
+            F.regexp_extract(
+                e,
+                r'(?is)<link\s[^>]*href\s*=\s*["\']([^"\']*)["\']',
+                1,
+            )
+        ),
+        F.lit(""),
+    )
+    url = F.when(F.col("__atom"), atom_link).otherwise(
+        _xml_text(e, "link")
+    )
+    item_id = F.when(F.col("__atom"), _xml_text(e, "id")).otherwise(
+        _xml_text(e, "guid")
+    )
+    published = F.when(
+        F.col("__atom"),
+        F.coalesce(_xml_text(e, "updated"), _xml_text(e, "published")),
+    ).otherwise(_xml_text(e, "pubDate"))
+    return out.select(
+        "source",
+        "item_pos",
+        F.when(F.col("__atom"), "atom").otherwise("rss").alias(
+            "feed_format"
+        ),
+        _xml_text(e, "title").alias("title"),
+        url.alias("url"),
+        item_id.alias("item_id"),
+        published.alias("published"),
+    )
+
+
 # --- URL ledger: cross-batch seen-URL dedup (r9) --------------------------
 
 

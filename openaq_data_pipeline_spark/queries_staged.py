@@ -3828,6 +3828,147 @@ def q_link_graph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "feed_item_extract",
+    "EXT-frontier — RSS/Atom feed discovery + item extraction (r15 "
+    "capability wave: the third seed channel beside sitemaps and "
+    "robots Sitemap: lines, and a fresher recrawl-priority signal "
+    "on news/blog hosts; extraction-grade codegen regexp, the "
+    "parse_sitemaps posture): per document an HTML page advertises "
+    "ONE feed via <link rel=alternate type=application/rss+xml|"
+    "atom+xml> (attribute order flips by residue), discover_feeds "
+    "resolves the relative href against the page URL, and the "
+    "feed's own XML — RSS 2.0 <item>s for even docs (titles CDATA-"
+    "wrapped, entity-bearing links), Atom <entry>s for odd (link "
+    "href attribute, updated timestamp) — parses into ONE "
+    "format-blind item plane: 2 items per doc, each with title/url/"
+    "id/published. The oracle is the CLOSED FORM of the synthesis — "
+    "ground truth, not a parse replay",
+    oracle="""
+WITH items AS (
+  SELECT doc_id, 0 AS item_pos FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS item_pos FROM documents
+)
+SELECT d.doc_id,
+       CAST(i.item_pos AS INT) AS item_pos,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+           AS feed_format,
+       'https://h' || CAST(d.doc_id % 5 AS VARCHAR)
+           || '.test/feed.xml' AS feed_url,
+       'T ' || CAST(d.doc_id AS VARCHAR) || '-'
+           || CAST(i.item_pos AS VARCHAR) AS title,
+       'https://h' || CAST(d.doc_id % 5 AS VARCHAR) || '.test/a?p='
+           || CAST(i.item_pos AS VARCHAR) || '&x=1' AS url,
+       'g' || CAST(d.doc_id AS VARCHAR) || '-'
+           || CAST(i.item_pos AS VARCHAR) AS item_id,
+       CASE WHEN d.doc_id % 2 = 0
+            THEN 'Mon, 0' || CAST(1 + d.doc_id % 7 AS VARCHAR)
+                 || ' Jun 2026 12:00:00 GMT'
+            ELSE '2026-0' || CAST(1 + d.doc_id % 9 AS VARCHAR)
+                 || '-01T00:00:00Z' END AS published
+FROM documents d JOIN items i USING (doc_id)
+ORDER BY d.doc_id, i.item_pos
+""",
+)
+def q_feed_item_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.frontier import (
+        discover_feeds,
+        parse_feed_items,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    ftype = F.when(
+        i % 2 == 0, F.lit("application/rss+xml")
+    ).otherwise(F.lit("application/atom+xml"))
+    # attribute order flips by residue: rel-first vs type-first
+    link_tag = F.when(
+        i % 4 < 2,
+        F.concat(
+            F.lit('<link rel="alternate" type="'), ftype,
+            F.lit('" href="/feed.xml">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<link type="'), ftype,
+            F.lit('" href="/feed.xml" rel="alternate">'),
+        ),
+    )
+    page = F.concat(
+        F.lit("<html><head>"), link_tag,
+        F.lit('<link rel="stylesheet" href="/s.css">'),
+        F.lit("</head><body>x</body></html>"),
+    )
+    base = F.concat(
+        F.lit("https://h"), (i % 5).cast("string"),
+        F.lit(".test/d/"), s, F.lit("/index.html"),
+    )
+    pages = d.select("doc_id", page.alias("html"), base.alias("url"))
+    found = discover_feeds(
+        pages, "html", "doc_id", base_url_col="url"
+    ).select("doc_id", F.col("resolved").alias("feed_url"))
+
+    def item(k: str) -> F.Column:
+        host = F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                        F.lit(".test/a?p="), F.lit(k), F.lit("&x=1"))
+        esc = F.replace(host, F.lit("&"), F.lit("&amp;"))
+        rss_date = F.concat(
+            F.lit("Mon, 0"), (F.lit(1) + i % 7).cast("string"),
+            F.lit(" Jun 2026 12:00:00 GMT"),
+        )
+        atom_date = F.concat(
+            F.lit("2026-0"), (F.lit(1) + i % 9).cast("string"),
+            F.lit("-01T00:00:00Z"),
+        )
+        return F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("<item><title><![CDATA[T "), s,
+                F.lit(f"-{k}]]></title><link>"), esc,
+                F.lit("</link><guid>g"), s, F.lit(f"-{k}</guid>"),
+                F.lit("<pubDate>"), rss_date,
+                F.lit("</pubDate></item>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<entry><title>T "), s, F.lit(f"-{k}</title>"),
+                F.lit('<link rel="alternate" href="'), esc,
+                F.lit('"/><id>g'), s, F.lit(f"-{k}</id>"),
+                F.lit("<updated>"), atom_date,
+                F.lit("</updated></entry>"),
+            ),
+        )
+
+    feed_xml = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit('<rss version="2.0"><channel>'),
+            item("0"), item("1"), F.lit("</channel></rss>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+            item("0"), item("1"), F.lit("</feed>"),
+        ),
+    )
+    feeds = d.select("doc_id", feed_xml.alias("xml"))
+    parsed = parse_feed_items(feeds, "xml", "doc_id").withColumnRenamed(
+        "source", "doc_id"
+    )
+    return (
+        parsed.join(found, "doc_id")
+        .select(
+            "doc_id",
+            F.col("item_pos").cast("int"),
+            "feed_format", "feed_url", "title", "url", "item_id",
+            "published",
+        )
+        .orderBy("doc_id", "item_pos")
+    )
+
+
 @register(
     "audio_container_stats",
     "EXT-multimodal — compressed-audio header walks (r14: the audio "

@@ -1741,3 +1741,105 @@ class TestCompressNativeBindings:
             df = build(spark, sf)
             problems = compare(df, run_oracle(oracle, sf))
             assert not problems, (build.__name__, problems)
+
+
+class TestFeedPlane:
+    """RSS/Atom discovery + item extraction (r15): both attribute
+    orders discover, non-feed <link>s skip, relative hrefs resolve,
+    CDATA/entities decode, both formats normalize into one plane,
+    and a feed-less page emits nothing."""
+
+    def test_discover_feeds(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            discover_feeds,
+        )
+
+        html = (
+            '<link rel="stylesheet" href="/s.css">'
+            '<link rel="alternate" type="application/rss+xml"'
+            ' href="/feed.xml" title="Main">'
+            '<link type="application/atom+xml" href="atom.xml"'
+            ' rel="alternate">'
+            '<link rel="alternate" type="text/html" href="/alt.html">'
+        )
+        df = spark.createDataFrame(
+            [(1, html, "https://h.test/blog/post.html"),
+             (2, "<html>no feeds</html>", "https://h.test/x")],
+            "id long, html string, url string",
+        )
+        rows = (
+            discover_feeds(df, "html", "id", base_url_col="url")
+            .orderBy("id", "feed_pos")
+            .collect()
+        )
+        assert len(rows) == 2 and all(r.id == 1 for r in rows)
+        assert [(r.feed_format, r.resolved) for r in rows] == [
+            ("rss", "https://h.test/feed.xml"),
+            ("atom", "https://h.test/blog/atom.xml"),
+        ]
+
+    def test_parse_feed_items_both_formats(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_feed_items,
+        )
+
+        rss = (
+            '<rss version="2.0"><channel><title>chan</title>'
+            "<item><title><![CDATA[A & B]]></title>"
+            "<link>https://h.test/a?x=1&amp;y=2</link>"
+            "<guid>g1</guid>"
+            "<pubDate>Mon, 01 Jun 2026 12:00:00 GMT</pubDate></item>"
+            "<item><title>Second</title>"
+            "<link>https://h.test/b</link></item>"
+            "</channel></rss>"
+        )
+        atom = (
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            "<title>feed title</title>"
+            "<entry><title>E1</title>"
+            '<link rel="alternate" href="https://h.test/e?a=1&amp;b=2"/>'
+            "<id>tag:1</id><updated>2026-06-01T00:00:00Z</updated>"
+            "</entry></feed>"
+        )
+        df = spark.createDataFrame(
+            [(10, rss), (20, atom)], "fid long, xml string"
+        )
+        rows = {
+            (r.source, r.item_pos): r
+            for r in parse_feed_items(df, "xml", "fid").collect()
+        }
+        assert len(rows) == 3
+        r0 = rows[(10, 0)]
+        assert r0.feed_format == "rss"
+        assert r0.title == "A & B"  # CDATA unwrapped
+        assert r0.url == "https://h.test/a?x=1&y=2"  # entity decoded
+        assert r0.item_id == "g1"
+        assert r0.published == "Mon, 01 Jun 2026 12:00:00 GMT"
+        r1 = rows[(10, 1)]
+        assert (r1.item_id, r1.published) == (None, None)
+        a0 = rows[(20, 0)]
+        assert a0.feed_format == "atom"
+        assert a0.url == "https://h.test/e?a=1&b=2"  # attr entities
+        assert a0.published == "2026-06-01T00:00:00Z"
+        # the channel/feed-level <title> never leaks into items
+        assert {r.title for r in rows.values()} == {
+            "A & B", "Second", "E1"
+        }
+
+    def test_codegen_only(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_feed_items,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "<rss><channel><item><title>t</title></item>"
+                 "</channel></rss>")],
+            "fid long, xml string",
+        )
+        plan = (
+            parse_feed_items(df, "xml", "fid")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "ArrowEval" not in plan
