@@ -85,16 +85,26 @@ _AUDIO_MIMES = ("audio/x-wav", "audio/flac", "audio/ogg", "audio/mpeg")
 _VIDEO_MIMES = ("video/x-msvideo", "video/mp4")
 
 
+# single-file compression formats the magic-driven hop can decode
+# (r15 adds .Z / xz / bzip2 beside gzip: .Z via the engine's own
+# gzip-validated LZW codec, xz/bzip2 via stdlib — all capped)
+_NESTED_MIMES = (
+    "application/gzip", "application/x-compress",
+    "application/x-xz", "application/x-bzip2",
+)
+
+
 def route_for_mime(mime: Column) -> Column:
     """Plane for a sniffed mime — a pure codegen CASE ladder.
-    ``application/gzip`` maps to ``nested`` (the caller owes it one
-    decode hop); NULL mime (NULL payload) discards."""
+    Single-file compression mimes (gzip/.Z/xz/bzip2) map to
+    ``nested`` (the caller owes each one decode hop); NULL mime
+    (NULL payload) discards."""
     return (
         F.when(mime.isin(*_TEXT_MIMES), F.lit(ROUTE_TEXT))
         .when(mime.isin(*_IMAGE_MIMES), F.lit(ROUTE_IMAGE))
         .when(mime.isin(*_AUDIO_MIMES), F.lit(ROUTE_AUDIO))
         .when(mime.isin(*_VIDEO_MIMES), F.lit(ROUTE_VIDEO))
-        .when(mime == "application/gzip", F.lit(ROUTE_NESTED))
+        .when(mime.isin(*_NESTED_MIMES), F.lit(ROUTE_NESTED))
         .otherwise(F.lit(ROUTE_DISCARD))
     )
 
@@ -106,7 +116,14 @@ def route_for_mime(mime: Column) -> Column:
 # load (operators/compress_native — the same capped one-shot
 # contract); when a library is absent its token stays outside the
 # set and routes to an observable discard, never a silent drop.
-_DECODABLE_ENCODINGS = ("gzip", "x-gzip", "deflate")
+_DECODABLE_ENCODINGS = (
+    "gzip", "x-gzip", "deflate",
+    # r15: the remaining classic tokens — 'compress' (RFC 9110's
+    # registered .Z token, served by the engine's own gzip-validated
+    # LZW codec) and the wild-web 'xz'/'bzip2' spellings (stdlib
+    # lzma/bz2, capped) — deterministic everywhere, no gate needed
+    "compress", "x-compress", "xz", "x-xz", "bzip2", "x-bzip2",
+)
 
 
 def _decodable_encodings() -> tuple[str, ...]:
@@ -135,6 +152,37 @@ _ENCODING_WBITS = {
     "x-gzip": (31,),
     "deflate": (15, -15),
 }
+
+
+def _xz_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
+    """Bomb-capped xz decode via stdlib lzma: the cap rides the
+    decompressor's ``max_length`` (output past it → None before any
+    further allocation), truncated/corrupt streams → None."""
+    import lzma
+
+    try:
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        out = d.decompress(blob, max_bytes)
+    except lzma.LZMAError:
+        return None
+    if not d.eof:
+        return None  # truncated input, or output cap hit: bomb
+    return out
+
+
+def _bz2_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
+    """The bzip2 twin of :func:`_xz_decompress_capped` (stdlib
+    bz2)."""
+    import bz2
+
+    try:
+        d = bz2.BZ2Decompressor()
+        out = d.decompress(blob, max_bytes)
+    except OSError:
+        return None
+    if not d.eof:
+        return None
+    return out
 
 
 def _inflate_capped(blob: bytes, wbits: int, max_bytes: int) -> bytes | None:
@@ -174,6 +222,24 @@ def _decode_payload(
         )
 
         return zstd_decompress_capped(blob, max_bytes)
+    if encoding in ("compress", "x-compress") or (
+        encoding is None and blob[:2] == b"\x1f\x9d"
+    ):
+        from openaq_data_pipeline_spark.operators.compress_z import (
+            decompress_z_capped,
+        )
+
+        return decompress_z_capped(blob, max_bytes)
+    if encoding in ("xz", "x-xz") or (
+        encoding is None and blob[:6] == b"\xfd7zXZ\x00"
+    ):
+        return _xz_decompress_capped(blob, max_bytes)
+    if encoding in ("bzip2", "x-bzip2") or (
+        encoding is None
+        and blob[:3] == b"BZh"
+        and blob[3:4].isdigit()
+    ):
+        return _bz2_decompress_capped(blob, max_bytes)
     if encoding in _ENCODING_WBITS:
         candidates = _ENCODING_WBITS[encoding]
     elif blob[:2] == b"\x1f\x8b":
@@ -240,10 +306,10 @@ def gunzip_once(
                 )
                 if (
                     hint is not None
-                    and hint not in _ENCODING_WBITS
+                    and hint not in _DECODABLE_ENCODINGS
                     and hint not in ("br", "zstd")
                 ):
-                    inner.append(None)  # compress/…: observable NULL
+                    inner.append(None)  # exi/aes128gcm/…: observable NULL
                     continue
                 inner.append(_decode_payload(blob, hint, max_bytes))
             out_pdf = pdf[cols].copy()
@@ -565,9 +631,9 @@ def route_crawl_payloads(
         else F.lit(None).cast("string")
     )
     hinted = enc.isNotNull() & (enc != "") & (enc != "identity")
-    takes_hop = (
-        F.col(mime_col) == "application/gzip"
-    ) | (hinted & enc.isin(*_decodable_encodings()))
+    takes_hop = F.col(mime_col).isin(*_NESTED_MIMES) | (
+        hinted & enc.isin(*_decodable_encodings())
+    )
     undecodable = hinted & ~enc.isin(*_decodable_encodings())
     direct = mimed.where(
         F.coalesce(~takes_hop, F.lit(True))
@@ -586,10 +652,25 @@ def route_crawl_payloads(
         encoding_col=encoding_col,
     )
     inner_mime = sniff_mime(F.col("__inner"))
-    undecoded_mime = F.when(
-        F.substring(F.col(payload_col), 1, 2) == F.lit(b"\x1f\x8b"),
-        F.lit("application/gzip"),
-    ).otherwise(F.lit("application/octet-stream"))
+    undecoded_mime = (
+        F.when(
+            F.substring(F.col(payload_col), 1, 2) == F.lit(b"\x1f\x8b"),
+            F.lit("application/gzip"),
+        )
+        .when(
+            F.substring(F.col(payload_col), 1, 2) == F.lit(b"\x1f\x9d"),
+            F.lit("application/x-compress"),
+        )
+        .when(
+            F.substring(F.col(payload_col), 1, 6) == F.lit(b"\xfd7zXZ\x00"),
+            F.lit("application/x-xz"),
+        )
+        .when(
+            F.substring(F.col(payload_col), 1, 3) == F.lit(b"BZh"),
+            F.lit("application/x-bzip2"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )
     hopped = (
         gz.select(
             *[
@@ -605,7 +686,7 @@ def route_crawl_payloads(
             route_col,
             F.when(
                 F.col("__hop_failed")
-                | (F.col(mime_col) == "application/gzip"),
+                | F.col(mime_col).isin(*_NESTED_MIMES),
                 F.lit(ROUTE_DISCARD),
             ).otherwise(route_for_mime(F.col(mime_col))),
         )

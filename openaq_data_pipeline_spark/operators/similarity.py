@@ -905,6 +905,100 @@ def quantize_embeddings(
     )
 
 
+def binary_quantize_embeddings(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    word_bits: int = 32,
+) -> DataFrame:
+    """(id, w0..wN) — 1-bit sign quantization of an embedding column
+    packed into ``word_bits``-bit integer words (r15: the 32×
+    memory-compression tier below int8 — the binary-embedding /
+    Hamming-rerank scheme of the retrieval literature). Threshold is
+    EXACTLY 0.0: a pure comparison, no computed per-dim center, so
+    any engine reproduces every bit (a mean/median threshold would
+    hinge on float-reduction order at the margin — center upstream
+    if the corpus is biased). Packing is a STATIC sum of
+    ``dim`` codegen CASE terms — no explode, no shuffle, scan-speed.
+
+    ``word_bits`` defaults to 32 so packed words stay in the
+    positive BIGINT range on every SQL engine (64-bit packing would
+    put bit 63 in the sign position with engine-specific overflow
+    spellings)."""
+    if word_bits > 62:
+        raise ValueError("word_bits must keep words sign-safe (<63)")
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        terms = [
+            F.when(
+                F.col(vec_col)[i] > 0.0,
+                F.lit(1 << (i - w * word_bits)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(w * word_bits, min(dim, (w + 1) * word_bits))
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        words.append(acc.alias(f"w{w}"))
+    return df.select(F.col(id_col), *words)
+
+
+def hamming_topk(
+    corpus_bits: DataFrame,
+    query_bits: DataFrame,
+    n_words: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by Hamming distance over packed binary codes:
+    (query_id, rank, neighbor_id, hamming). The whole distance is
+    ``sum(bit_count(cw ^ qw))`` — integer codegen, no floats
+    anywhere, so ranks are engine-exact; ties break by neighbor id.
+
+    Scale shape: queries broadcast (the serving pattern — query sets
+    are small), the corpus side is one scan + per-query TakeOrdered;
+    the bit-sliced corpus is 32× smaller than float32, which is the
+    point — a 100 TB float corpus probes from a ~3 TB bit slice.
+    For billion-row corpora compose with the banded pigeonhole
+    (:func:`~openaq_data_pipeline_spark.operators.dedup
+    .simhash_near_dup_pairs`'s 16-bit band equi-join) to prune
+    candidates before this exact rerank."""
+    q = query_bits.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)],
+    )
+    c = corpus_bits.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"w{w}") for w in range(n_words)],
+    )
+    dist = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}"))
+        ).cast("long")
+        dist = term if dist is None else dist + term
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "hamming",
+        )
+    )
+
+
 # --- persisted IVF index (r6): the ANN tier's Bm25Index analogue --------
 
 

@@ -1049,6 +1049,20 @@ def sniff_mime(payload: Column) -> Column:
             magic(1, b"GIF87a") | magic(1, b"GIF89a"), F.lit("image/gif")
         )
         .when(magic(1, b"\x1f\x8b"), F.lit("application/gzip"))
+        # the other single-file compression magics (r15): unix
+        # compress .Z (the registered 'compress' CE token), xz, bzip2
+        # — each takes the same one-hop nested-decode path as gzip
+        .when(magic(1, b"\x1f\x9d"), F.lit("application/x-compress"))
+        .when(
+            magic(1, b"\xfd7zXZ\x00"), F.lit("application/x-xz")
+        )
+        .when(
+            magic(1, b"BZh")
+            & F.substring(payload, 4, 1).isin(
+                *[bytes([c]) for c in b"123456789"]
+            ),
+            F.lit("application/x-bzip2"),
+        )
         .when(magic(1, b"PK\x03\x04"), F.lit("application/zip"))
         .when(magic(1, b"RIFF") & magic(9, b"WAVE"), F.lit("audio/x-wav"))
         # compressed-audio containers (r14): FLAC magic, OGG capture

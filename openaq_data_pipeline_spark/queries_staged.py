@@ -77,7 +77,10 @@ def _content_encoding_oracle(
     on the DECODER alone (``br_dec``, default ``br_ok``): with it
     the hop is attempted and fails (took_hop TRUE, octet-stream);
     without it the token is outside the decodable set and the row
-    discards DIRECT — hint intact, no hop, sniffed text/plain."""
+    discards DIRECT — hint intact, no hop, sniffed text/plain.
+    Residues 7-9 (r15) are the stdlib/pure-Python tokens — xz,
+    compress (.Z via the engine's gzip-validated LZW codec), bzip2
+    — deterministic on every container, no gating."""
     if br_dec is None:
         br_dec = br_ok
     enc4 = "'br'" if br_ok else "NULL"
@@ -88,21 +91,24 @@ def _content_encoding_oracle(
     mime6 = "'application/octet-stream'" if br_dec else "'text/plain'"
     return f"""
 SELECT doc_id,
-       CASE WHEN doc_id % 7 = 0 THEN NULL
-            WHEN doc_id % 7 = 1 THEN 'gzip'
-            WHEN doc_id % 7 IN (2, 3) THEN 'deflate'
-            WHEN doc_id % 7 = 4 THEN {enc4}
-            WHEN doc_id % 7 = 5 THEN {enc5}
-            ELSE 'br' END AS content_encoding,
-       CASE WHEN doc_id % 7 = 6 THEN {mime6}
+       CASE WHEN doc_id % 10 = 0 THEN NULL
+            WHEN doc_id % 10 = 1 THEN 'gzip'
+            WHEN doc_id % 10 IN (2, 3) THEN 'deflate'
+            WHEN doc_id % 10 = 4 THEN {enc4}
+            WHEN doc_id % 10 = 5 THEN {enc5}
+            WHEN doc_id % 10 = 6 THEN 'br'
+            WHEN doc_id % 10 = 7 THEN 'xz'
+            WHEN doc_id % 10 = 8 THEN 'compress'
+            ELSE 'bzip2' END AS content_encoding,
+       CASE WHEN doc_id % 10 = 6 THEN {mime6}
             ELSE 'text/plain' END AS mime,
-       CASE WHEN doc_id % 7 = 6 THEN 'discard' ELSE 'text' END AS route,
-       CASE WHEN doc_id % 7 = 0 THEN FALSE
-            WHEN doc_id % 7 = 4 THEN {hop4}
-            WHEN doc_id % 7 = 5 THEN {hop5}
-            WHEN doc_id % 7 = 6 THEN {hop6}
+       CASE WHEN doc_id % 10 = 6 THEN 'discard' ELSE 'text' END AS route,
+       CASE WHEN doc_id % 10 = 0 THEN FALSE
+            WHEN doc_id % 10 = 4 THEN {hop4}
+            WHEN doc_id % 10 = 5 THEN {hop5}
+            WHEN doc_id % 10 = 6 THEN {hop6}
             ELSE TRUE END AS took_hop,
-       CASE WHEN doc_id % 7 = 6 THEN NULL ELSE text END AS text
+       CASE WHEN doc_id % 10 = 6 THEN NULL ELSE text END AS text
 FROM documents
 ORDER BY doc_id
 """
@@ -2399,8 +2405,13 @@ def q_temperature_mixture_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "residue — identity bytes, gzip, zlib-wrapped deflate, RAW "
     "deflate (no magic, only reachable through the hint), REAL "
     "brotli, REAL zstd, and a CORRUPT body claiming 'br' — then the "
-    "hint-driven hop decodes all five encodings into ONE uniform "
+    "hint-driven hop decodes all encodings into ONE uniform "
     "text plane while the corrupt row fails its hop into an "
+    "observable discard; r15 adds the remaining classic tokens — "
+    "xz (stdlib lzma), compress (.Z through the engine's own "
+    "gzip-cross-validated pure-Python LZW codec), bzip2 (stdlib) — "
+    "ungated because they are deterministic everywhere. The corrupt "
+    "row still lands in an "
     "OBSERVABLE discard with its hint intact. Availability is "
     "checked ONCE, driver-side, at plan build (the same point the "
     "router gates its token set): an absent libbrotlienc/libzstd "
@@ -2431,15 +2442,21 @@ def q_content_encoding_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     br_ok, zstd_ok = _native_brotli_ok(), _native_zstd_ok()
 
     def synth(batches):
+        import bz2 as _bz2
+        import lzma as _lzma
+
         from openaq_data_pipeline_spark.operators.compress_native import (
             brotli_compress,
             zstd_compress,
+        )
+        from openaq_data_pipeline_spark.operators.compress_z import (
+            compress_z,
         )
 
         for pdf in batches:
             payloads, encodings = [], []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
-                r = int(i) % 7
+                r = int(i) % 10
                 body = t.encode()
                 if r == 0 or (r == 4 and not br_ok) or (
                     r == 5 and not zstd_ok
@@ -2464,6 +2481,17 @@ def q_content_encoding_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif r == 5:
                     payloads.append(zstd_compress(body))
                     encodings.append("zstd")
+                elif r == 7:
+                    payloads.append(_lzma.compress(body))
+                    encodings.append("xz")
+                elif r == 8:
+                    # the RFC 9110-registered token stdlib cannot
+                    # serve: the engine's own gzip-validated .Z
+                    payloads.append(compress_z(body))
+                    encodings.append("compress")
+                elif r == 9:
+                    payloads.append(_bz2.compress(body))
+                    encodings.append("bzip2")
                 else:
                     # CORRUPT claimed brotli: with the lib, the hop
                     # is attempted and fails — discard with hint
@@ -3966,6 +3994,72 @@ def q_feed_item_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "published",
         )
         .orderBy("doc_id", "item_pos")
+    )
+
+
+@register_staged(
+    "ann_topk_hamming",
+    "EXT-similarity — binary embedding quantization + Hamming top-k "
+    "(r15: the 32x memory-compression tier below int8 — sign-bit "
+    "packing into 32-bit words, distances as "
+    "sum(bit_count(xor)), integer codegen end to end so ranks are "
+    "engine-exact; the serving shape broadcasts the query set and "
+    "scans the bit-sliced corpus, with the banded pigeonhole as the "
+    "documented billion-row candidate pruner): every 25th vector "
+    "queries the corpus for its 5 nearest binary codes. The oracle "
+    "RECOMPUTES the whole scheme in SQL — same packing, same "
+    "threshold, same xor/bit_count ranks",
+    oracle="""
+WITH bits AS (
+  SELECT vec_id, u.j - 1 AS j,
+         CASE WHEN u.v > 0.0 THEN 1 ELSE 0 END AS b
+  FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS j
+    FROM embeddings
+  ) u(vec_id, v, j)
+), words AS (
+  SELECT vec_id, j // 32 AS w,
+         CAST(SUM(b * CAST(POW(2, j % 32) AS BIGINT)) AS BIGINT)
+             AS word
+  FROM bits GROUP BY vec_id, j // 32
+), packed AS (
+  SELECT vec_id,
+         MAX(CASE WHEN w = 0 THEN word END) AS w0,
+         MAX(CASE WHEN w = 1 THEN word END) AS w1
+  FROM words GROUP BY vec_id
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w0, c.w0))
+              + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+  FROM packed q JOIN packed c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 25 = 0
+), ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY hamming ASC, neighbor_id ASC
+         ) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, hamming
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.similarity import (
+        binary_quantize_embeddings,
+        hamming_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    packed = binary_quantize_embeddings(emb, dim=64).localCheckpoint(
+        eager=False
+    )
+    queries = packed.where(F.col("vec_id") % 25 == 0)
+    return hamming_topk(packed, queries, n_words=2, k=5).orderBy(
+        "query_id", "rank"
     )
 
 

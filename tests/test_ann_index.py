@@ -1153,3 +1153,80 @@ class TestPqDriftAndRebuild:
             desc = spark.sql(f"DESC FORMATTED {idx.codes_table}").collect()
             kv = {r.col_name: r.data_type for r in desc}
             assert kv.get("Num Buckets") == "4"
+
+
+class TestBinaryHamming:
+    """r15: 1-bit sign quantization + Hamming top-k — numpy replay
+    exactness, sign-safety of the packing, and the broadcast/codegen
+    plan shape."""
+
+    def test_packing_matches_numpy(self, spark):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            binary_quantize_embeddings,
+        )
+
+        rng = np.random.default_rng(5)
+        vecs = (rng.standard_normal((40, 64)) * 0.3).astype(np.float32)
+        vecs[0, :] = 0.0  # all-zero vector packs to zero words
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {
+            r.vec_id: (r.w0, r.w1)
+            for r in binary_quantize_embeddings(df, dim=64).collect()
+        }
+        for i in range(40):
+            bits = (vecs[i] > 0).astype(np.int64)
+            w0 = int((bits[:32] << np.arange(32)).sum())
+            w1 = int((bits[32:] << np.arange(32)).sum())
+            assert rows[i] == (w0, w1), i
+            assert rows[i][0] >= 0 and rows[i][1] >= 0  # sign-safe
+        assert rows[0] == (0, 0)
+
+    def test_topk_matches_numpy(self, spark):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.similarity import (
+            binary_quantize_embeddings,
+            hamming_topk,
+        )
+
+        rng = np.random.default_rng(6)
+        vecs = (rng.standard_normal((60, 64))).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+            "vec_id long, embedding array<float>",
+        )
+        packed = binary_quantize_embeddings(df, dim=64)
+        queries = packed.where("vec_id < 3")
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.hamming)
+            for r in hamming_topk(packed, queries, n_words=2, k=4)
+            .collect()
+        }
+        bits = (vecs > 0).astype(np.int8)
+        for q in range(3):
+            d = np.abs(bits - bits[q]).sum(axis=1)
+            order = sorted(
+                (int(d[i]), i) for i in range(60) if i != q
+            )
+            for rank, (dist, nid) in enumerate(order[:4], start=1):
+                assert got[(q, rank)] == (nid, dist), (q, rank)
+
+    def test_plan_shape(self, spark):
+        from openaq_data_pipeline_spark.operators.similarity import (
+            binary_quantize_embeddings,
+            hamming_topk,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        packed = binary_quantize_embeddings(df, dim=64)
+        out = hamming_topk(
+            packed, packed.where("vec_id % 25 = 0"), n_words=2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "Python" not in plan and "ArrowEval" not in plan

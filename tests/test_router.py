@@ -1046,8 +1046,11 @@ class TestContentEncodingHop:
     framing), driven by an explicit hint column. r14 (VERDICT r13
     missing #1): br and zstd decode through the gated system-library
     bindings; a corrupt claimed-br body fails its hop into an
-    OBSERVABLE discard, and tokens with no decoder at all
-    ('compress') never take the hop."""
+    OBSERVABLE discard. r15: 'compress' gained a decoder (the
+    engine's own gzip-validated .Z LZW codec), so a claimed-compress
+    body now takes the hop like any decodable token — row 8's claim
+    is a LIE (plain bytes), so its hop fails observably; truly
+    undecodable registered tokens ('exi') still never hop."""
 
     def _feed(self, spark):
         import zlib as _z
@@ -1068,7 +1071,8 @@ class TestContentEncodingHop:
             (5, body, "identity"),                           # explicit identity
             (6, brotli_compress(body), "br"),                # real brotli
             (7, zstd_compress(body), "zstd"),                # real zstd
-            (8, body, "compress"),                           # no decoder
+            (8, body, "compress"),                           # lying claim
+            (9, body, "exi"),                                # no decoder
         ]
         # raw deflate needs one compressobj (flush pairs with it)
         co = _z.compressobj(wbits=-15)
@@ -1094,10 +1098,14 @@ class TestContentEncodingHop:
         assert rows[4].route == "discard"
         assert rows[4].content_encoding == "br"
         assert rows[4].was_gzip
-        # no decoder for 'compress': never hops, bytes untouched
+        # lying 'compress' claim: the hop is attempted (the token is
+        # decodable since r15) and fails observably
         assert rows[8].route == "discard"
-        assert not rows[8].was_gzip
-        assert rows[8].payload is not None
+        assert rows[8].was_gzip and rows[8].payload is None
+        # no decoder for 'exi': never hops, bytes untouched
+        assert rows[9].route == "discard"
+        assert not rows[9].was_gzip
+        assert rows[9].payload is not None
         # and the text plane extracts IDENTICAL text from all seven
         texts = {
             r.id: r.text
@@ -1137,8 +1145,9 @@ class TestContentEncodingHop:
         # corrupt br: the failed hop nulls the payload (the gzip-bomb
         # contract); the never-hopped token keeps its bytes
         assert stats[("discard", "br")] == (1, 1)
-        assert stats[("discard", "compress")] == (1, 0)
-        assert sum(n for n, _ in stats.values()) == 9
+        assert stats[("discard", "compress")] == (1, 1)
+        assert stats[("discard", "exi")] == (1, 0)
+        assert sum(n for n, _ in stats.values()) == 10
 
     def test_hintless_behavior_unchanged_and_bomb_capped(self, spark):
         """No encoding_col → magic-sniff path only: gzip hops, raw
