@@ -536,7 +536,11 @@ def route_container_members(
     ).withColumn(
         route_col,
         F.when(
-            F.col(mime_col).isin("application/gzip", *_CONTAINER_MIMES),
+            # a compressed or container member inside an archive
+            # stays discarded — one container hop per payload, and
+            # the single-file decode hop was already spent upstream
+            # (r15: the .Z/xz/bzip2 mimes join gzip here)
+            F.col(mime_col).isin(*_NESTED_MIMES, *_CONTAINER_MIMES),
             F.lit(ROUTE_DISCARD),
         ).otherwise(route_for_mime(F.col(mime_col))),
     )

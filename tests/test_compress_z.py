@@ -186,3 +186,59 @@ class TestNewFormatsRouting:
         assert bytes(out[1]) == body
         assert bytes(out[2]) == body
         assert out[3] is None
+
+
+class TestCompressedTarComposition:
+    def test_tar_xz_and_tar_z_reach_members(self, spark):
+        """.tar.xz / .tar.Z / .tar.bz2 archives flow hop -> tar sniff
+        -> container plane: the single-file decode hop unwraps the
+        compression, the inner tar routes 'nested', and
+        route_container_members explodes it into routed member rows
+        — the archive-crawl path for the three new formats."""
+        import io
+        import tarfile
+
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.router import (
+            route_container_members,
+            route_crawl_payloads,
+        )
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in (
+                ("a.txt", b"member text one"),
+                ("b.html", b"<!doctype html><html>x</html>"),
+            ):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        tar = buf.getvalue()
+        rows = [
+            (0, compress_z(tar)),
+            (1, lzma.compress(tar)),
+            (2, bz2.compress(tar)),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        routed = route_crawl_payloads(df, "payload")
+        # after the hop every row is the INNER TAR — mime observable,
+        # route 'discard' at the front door (top-level archives only
+        # explode through the explicit container plane, the pinned
+        # r12 taxonomy); the composition selects them BY MIME
+        assert {
+            (r.mime, r.route) for r in routed.collect()
+        } == {("application/x-tar", "discard")}
+        members = route_container_members(
+            routed.where(F.col("mime") == "application/x-tar"),
+            "payload",
+            fmt="tar",
+        )
+        got = {
+            (r.id, r.member_name): (r.mime, r.route)
+            for r in members.collect()
+        }
+        assert len(got) == 6
+        for i in range(3):
+            assert got[(i, "a.txt")] == ("text/plain", "text")
+            assert got[(i, "b.html")] == ("text/html", "text")
