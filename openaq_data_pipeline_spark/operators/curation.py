@@ -29,6 +29,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import functools
 import re
 
 from pyspark.sql import DataFrame, Window
@@ -1130,6 +1131,117 @@ def pii_scan(
         n_phones.alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
         ((n_emails == 0) & (n_phones == 0)).alias("is_clean"),
+    )
+
+
+# --- license scanning (r15): the code-corpus curation gate -------------
+#
+# Code pretraining sets filter on license (The Stack / StarCoder
+# lineage: keep permissive, drop copyleft/unknown). Two signal tiers,
+# both codegen: the machine-readable SPDX-License-Identifier tag
+# (the SPDX spec's one-line form) wins when present; otherwise the
+# famous first-line fingerprints of the common license texts. Family
+# classification is deliberately coarse (permissive / copyleft /
+# weak-copyleft / unknown) — the gate's decision boundary, not a
+# legal opinion.
+
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)"
+_LICENSE_FINGERPRINTS = (
+    ("MIT", "permission is hereby granted, free of charge"),
+    ("Apache-2.0", "licensed under the apache license, version 2.0"),
+    ("BSD-3-Clause",
+     "redistribution and use in source and binary forms"),
+    ("GPL-3.0-only", "gnu general public license"),
+    ("LGPL-2.1-only", "gnu lesser general public license"),
+    ("MPL-2.0", "mozilla public license"),
+    ("CC-BY-4.0", "creative commons attribution"),
+    ("Unlicense",
+     "this is free and unencumbered software released into the "
+     "public domain"),
+)
+_PERMISSIVE = (
+    "mit", "apache-2.0", "bsd-2-clause", "bsd-3-clause", "isc",
+    "unlicense", "cc0-1.0", "zlib", "cc-by-4.0",
+)
+_COPYLEFT_PREFIXES = ("gpl-", "agpl-")
+_WEAK_COPYLEFT_PREFIXES = ("lgpl-", "mpl-", "epl-", "cddl-")
+
+
+def license_signals(text: Column) -> Column:
+    """struct(spdx_id, license_id, family, has_copyright) for one
+    text column — pure codegen (one extract + fingerprint contains +
+    one copyright regexp). ``license_id`` is the SPDX tag when
+    present else the fingerprint match; ``family`` is
+    permissive/copyleft/weak-copyleft, 'unknown' when a copyright
+    notice exists with no recognized license, NULL when neither
+    signal fires (no claim — unmarked text is NOT public domain)."""
+    spdx = F.nullif(F.regexp_extract(text, _SPDX_RE, 1), F.lit(""))
+    lowered = F.lower(text)
+    fp = F.lit(None).cast("string")
+    for lic, phrase in reversed(_LICENSE_FINGERPRINTS):
+        fp = F.when(lowered.contains(phrase), F.lit(lic)).otherwise(fp)
+    # GPL text also contains the LGPL phrase's suffix — let the more
+    # specific LESSER fingerprint win (ordering above handles it:
+    # reversed() builds the chain so earlier tuples take precedence;
+    # LGPL's phrase is strictly longer and checked via contains, so
+    # re-check it explicitly ahead of GPL)
+    fp = F.when(
+        lowered.contains("gnu lesser general public license"),
+        F.lit("LGPL-2.1-only"),
+    ).otherwise(fp)
+    license_id = F.coalesce(spdx, fp)
+    lid = F.lower(license_id)
+    family = (
+        F.when(license_id.isNull(), F.lit(None).cast("string"))
+        .when(lid.isin(*_PERMISSIVE), F.lit("permissive"))
+        .when(
+            F.lit(False)
+            | functools.reduce(
+                lambda a, b: a | b,
+                [lid.startswith(p) for p in _COPYLEFT_PREFIXES],
+            ),
+            F.lit("copyleft"),
+        )
+        .when(
+            functools.reduce(
+                lambda a, b: a | b,
+                [lid.startswith(p) for p in _WEAK_COPYLEFT_PREFIXES],
+            ),
+            F.lit("weak-copyleft"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+    has_copyright = lowered.rlike(
+        r"copyright\s+(\(c\)|©|[0-9]{4})"
+    )
+    family = F.when(license_id.isNotNull(), family).when(
+        has_copyright, F.lit("unknown")
+    )
+    return F.struct(
+        spdx.alias("spdx_id"),
+        license_id.alias("license_id"),
+        family.alias("family"),
+        has_copyright.alias("has_copyright"),
+    )
+
+
+def license_scan(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, spdx_id, license_id, family, has_copyright, keep) — the
+    code-corpus license gate: ``keep`` is the permissive-only policy
+    (the Stack-style default; callers wanting copyleft opt in by
+    filtering on ``family`` themselves)."""
+    sig = license_signals(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        sig["spdx_id"].alias("spdx_id"),
+        sig["license_id"].alias("license_id"),
+        sig["family"].alias("family"),
+        sig["has_copyright"].alias("has_copyright"),
+        F.coalesce(
+            sig["family"] == "permissive", F.lit(False)
+        ).alias("keep"),
     )
 
 

@@ -490,6 +490,76 @@ def html_extract(html: Column) -> Column:
     return F.regexp_replace(t, r"^\s+|\s+$", "")           # full trim (incl. \n)
 
 
+def html_to_markdown(html: Column) -> Column:
+    """HTML → Markdown as one whole-stage-codegen regexp chain (r15:
+    the html-to-markdown step LLM pretraining pipelines run so
+    structure — headings, links, emphasis, code, lists — survives
+    into the training text instead of flattening away; same posture
+    and tag policy as :func:`html_extract`, which remains the
+    plain-text face).
+
+    Conversions: ``<h1..h6>`` → ``#``-prefixed lines; ``<a href>`` →
+    ``[text](href)``; ``<strong>/<b>`` → ``**…**``; ``<em>/<i>`` →
+    ``*…*``; ``<code>`` → `` `…` ``; ``<pre>`` → fenced blocks;
+    ``<li>`` → ``- `` items; ``<blockquote>`` → ``> `` lines;
+    ``<hr>`` → ``---``. Comments and
+    script/style/noscript/head/svg/iframe vanish with contents,
+    other tags strip, entities decode, whitespace collapses.
+    Extraction-grade, documented bounds: nesting inside converted
+    inline spans renders inside-out like any regexp pass (inner
+    tags convert first only when they do not cross the outer
+    pattern); ``<pre>`` interiors share the global whitespace
+    collapse (indentation-significant code should ride the raw
+    plane). Plain text is a fixed point; NULL passes through."""
+    t = F.regexp_replace(html, r"(?is)<!--.*?-->", "")
+    for tag in _HTML_DROP_BLOCKS:
+        t = F.regexp_replace(t, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    # links first (their attribute carries content): [text](href)
+    t = F.regexp_replace(
+        t,
+        r'(?is)<a\s[^>]*href\s*=\s*["\']([^"\']*)["\'][^>]*>(.*?)</a\s*>',
+        r"[$2]($1)",
+    )
+    # headings: the tag's digit becomes the marker depth
+    for depth in range(1, 7):
+        t = F.regexp_replace(
+            t,
+            rf"(?is)<h{depth}\b[^>]*>(.*?)</h{depth}\s*>",
+            "\n\n" + "#" * depth + " $1\n\n",
+        )
+    t = F.regexp_replace(
+        t, r"(?is)<(?:strong|b)\b[^>]*>(.*?)</(?:strong|b)\s*>",
+        r"**$1**",
+    )
+    t = F.regexp_replace(
+        t, r"(?is)<(?:em|i)\b[^>]*>(.*?)</(?:em|i)\s*>", r"*$1*"
+    )
+    t = F.regexp_replace(
+        t, r"(?is)<pre\b[^>]*>(.*?)</pre\s*>", "\n\n```\n$1\n```\n\n"
+    )
+    t = F.regexp_replace(
+        t, r"(?is)<code\b[^>]*>(.*?)</code\s*>", r"`$1`"
+    )
+    t = F.regexp_replace(
+        t, r"(?is)<li\b[^>]*>\s*(.*?)\s*</li\s*>", "\n- $1"
+    )
+    t = F.regexp_replace(
+        t, r"(?is)<blockquote\b[^>]*>\s*(.*?)\s*</blockquote\s*>",
+        "\n\n> $1\n\n",
+    )
+    t = F.regexp_replace(t, r"(?i)<hr\b[^>]*/?>", "\n\n---\n\n")
+    t = F.regexp_replace(
+        t, rf"(?i)</?(?:{_HTML_BREAK_TAGS})\b[^>]*/?>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
 def html_title(html: Column) -> Column:
     """<title> text (entity-decoded, whitespace-collapsed), or NULL
     when absent/empty."""

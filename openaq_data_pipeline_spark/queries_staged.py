@@ -4063,6 +4063,137 @@ def q_ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "html_markdown_extract",
+    "EXT-text — HTML→Markdown conversion (r15: the structure-"
+    "preserving extraction LLM pretraining pipelines run so "
+    "headings/links/emphasis/code/lists survive into training text "
+    "instead of flattening; one whole-stage-codegen regexp chain, "
+    "the html_extract posture — html_extract stays the plain-text "
+    "face): per document a structured page (h1, strong, link, list, "
+    "pre block) converts to its exact Markdown. The oracle is the "
+    "CLOSED FORM of the conversion — ground truth, not a chain "
+    "replay",
+    oracle="""
+SELECT doc_id,
+       '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+       || 'Intro **bold' || CAST(doc_id AS VARCHAR)
+       || '** and [link ' || CAST(doc_id AS VARCHAR)
+       || '](https://x.test/' || CAST(doc_id AS VARCHAR) || ').'
+       || chr(10) || chr(10)
+       || '- item A' || chr(10) || '- item '
+       || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10)
+       || '```' || chr(10) || 'code ' || CAST(doc_id AS VARCHAR)
+       || chr(10) || '```' AS markdown
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_html_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.text import (
+        html_to_markdown,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    s = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>x</title></head><body><h1>Doc "),
+        s,
+        F.lit("</h1><p>Intro <strong>bold"),
+        s,
+        F.lit('</strong> and <a href="https://x.test/'),
+        s,
+        F.lit('">link '),
+        s,
+        F.lit("</a>.</p><ul><li>item A</li><li>item "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</li></ul><pre>code "),
+        s,
+        F.lit("</pre></body></html>"),
+    )
+    return d.select(
+        "doc_id", html_to_markdown(html).alias("markdown")
+    ).orderBy("doc_id")
+
+
+@register_staged(
+    "code_license_scan",
+    "EXT-curation — code-corpus license gate (r15: the Stack/"
+    "StarCoder-lineage curation step — keep permissive, drop "
+    "copyleft/unknown; two codegen signal tiers: the machine-"
+    "readable SPDX-License-Identifier tag wins, else the famous "
+    "license-text fingerprints, with a copyright-notice detector "
+    "marking otherwise-unrecognized claims 'unknown'): per document "
+    "a source-file header rotates by residue through an SPDX MIT "
+    "tag, the MIT and Apache-2.0 fingerprint texts, the GPL text "
+    "(dropped), a copyright-only header (unknown, dropped), and an "
+    "unmarked file (no claim — NULL family, dropped). The oracle is "
+    "the CLOSED FORM of the rotation — ground truth, not a scan "
+    "replay",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 6 = 0 THEN 'MIT' END AS spdx_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'MIT' WHEN 1 THEN 'MIT'
+         WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'GPL-3.0-only'
+         END AS license_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'permissive' WHEN 1 THEN 'permissive'
+         WHEN 2 THEN 'permissive' WHEN 3 THEN 'copyleft'
+         WHEN 4 THEN 'unknown' END AS family,
+       doc_id % 6 IN (1, 3, 4) AS has_copyright,
+       doc_id % 6 IN (0, 1, 2) AS keep
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_code_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.curation import (
+        license_scan,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    r = F.col("doc_id") % 6
+    header = (
+        F.when(r == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(
+            r == 1,
+            F.lit(
+                "/* Copyright (c) 2026 Example Corp.\n"
+                "Permission is hereby granted, free of charge, to any"
+                " person obtaining a copy of this software. */\n"
+            ),
+        )
+        .when(
+            r == 2,
+            F.lit(
+                "# Licensed under the Apache License, Version 2.0"
+                " (the \"License\");\n"
+            ),
+        )
+        .when(
+            r == 3,
+            F.lit(
+                "/* Copyright 2026 Someone.\nThis program is free"
+                " software: you can redistribute it under the GNU"
+                " General Public License. */\n"
+            ),
+        )
+        .when(r == 4, F.lit("// Copyright (c) 2026 Holder.\n"))
+        .otherwise(F.lit(""))
+    )
+    code = d.select(
+        "doc_id",
+        F.concat(
+            header, F.lit("def main():\n    return '"),
+            F.substring(F.col("text"), 1, 40), F.lit("'\n"),
+        ).alias("source"),
+    )
+    return license_scan(code, "source", "doc_id").orderBy("doc_id")
+
+
 @register(
     "audio_container_stats",
     "EXT-multimodal — compressed-audio header walks (r14: the audio "

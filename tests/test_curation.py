@@ -2218,3 +2218,101 @@ class TestRobotsSitemapDiscovery:
             ).collect()
         }
         assert verdicts == {1: False, 2: True}
+
+
+class TestHtmlToMarkdown:
+    """r15: the structure-preserving HTML→Markdown chain."""
+
+    def test_full_conversion(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            html_to_markdown,
+        )
+
+        html = (
+            "<html><head><style>p{}</style></head><body>"
+            "<h1>Title</h1><h3>Sub</h3>"
+            "<p>Text <strong>bo</strong> <em>it</em> "
+            '<a href="/r">lnk</a> <code>c()</code></p>'
+            "<ul><li>one</li><li>two</li></ul>"
+            "<blockquote>quote</blockquote><hr>"
+            "<pre>block</pre>"
+            "<p>tail &amp; end</p></body></html>"
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        md = df.select(
+            html_to_markdown(F.col("html")).alias("m")
+        ).first().m
+        assert md == (
+            "# Title\n\n### Sub\n\n"
+            "Text **bo** *it* [lnk](/r) `c()`\n\n"
+            "- one\n- two\n\n"
+            "> quote\n\n---\n\n"
+            "```\nblock\n```\n\ntail & end"
+        )
+
+    def test_fixed_point_null_and_plan(self, spark):
+        from openaq_data_pipeline_spark.operators.text import (
+            html_to_markdown,
+        )
+
+        df = spark.createDataFrame(
+            [("plain text stays",), (None,)], "html string"
+        )
+        rows = df.select(
+            html_to_markdown(F.col("html")).alias("m")
+        ).collect()
+        assert {r.m for r in rows} == {"plain text stays", None}
+        plan = (
+            df.select(html_to_markdown(F.col("html")))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestLicenseScan:
+    """r15: the code-corpus license gate."""
+
+    def _scan(self, spark, text):
+        from openaq_data_pipeline_spark.operators.curation import (
+            license_scan,
+        )
+
+        df = spark.createDataFrame([(0, text)], "id long, src string")
+        return license_scan(df, "src", "id").first()
+
+    def test_spdx_wins_over_fingerprint(self, spark):
+        r = self._scan(
+            spark,
+            "// SPDX-License-Identifier: BSD-3-Clause\n"
+            "Permission is hereby granted, free of charge...",
+        )
+        assert (r.spdx_id, r.license_id, r.family, r.keep) == (
+            "BSD-3-Clause", "BSD-3-Clause", "permissive", True
+        )
+
+    def test_lgpl_beats_gpl_fingerprint(self, spark):
+        r = self._scan(
+            spark,
+            "under the GNU Lesser General Public License v2.1",
+        )
+        assert r.license_id == "LGPL-2.1-only"
+        assert r.family == "weak-copyleft" and not r.keep
+
+    def test_gpl_is_copyleft(self, spark):
+        r = self._scan(
+            spark, "under the GNU General Public License v3"
+        )
+        assert (r.license_id, r.family, r.keep) == (
+            "GPL-3.0-only", "copyleft", False
+        )
+
+    def test_copyright_only_is_unknown(self, spark):
+        r = self._scan(spark, "Copyright (c) 2026 Example")
+        assert r.license_id is None
+        assert r.family == "unknown"
+        assert r.has_copyright and not r.keep
+
+    def test_unmarked_makes_no_claim(self, spark):
+        r = self._scan(spark, "def f():\n    return 1\n")
+        assert r.license_id is None and r.family is None
+        assert not r.has_copyright and not r.keep
