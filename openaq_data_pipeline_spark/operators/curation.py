@@ -1195,8 +1195,7 @@ def license_signals(text: Column) -> Column:
         F.when(license_id.isNull(), F.lit(None).cast("string"))
         .when(lid.isin(*_PERMISSIVE), F.lit("permissive"))
         .when(
-            F.lit(False)
-            | functools.reduce(
+            functools.reduce(
                 lambda a, b: a | b,
                 [lid.startswith(p) for p in _COPYLEFT_PREFIXES],
             ),

@@ -1,10 +1,11 @@
 """Driver queries promoted from the staging pool, plus the CURRENT
 staging pool itself (``register_staged`` entries — full-oracle,
 parity-checked at both SFs every pytest run, awaiting driver slots
-at the next rotation window; the ledger of every promotion/rotation
-lives in COVERAGE.md). The r12 pool: video_mp4_stats,
-gif_decode_features, charset_detect_decode, robots_gate_eval,
-route_stats_funnel, container_member_route, webdataset_roundtrip.
+at the next rotation window; the GENERATED ledger of every
+promotion/rotation lives in COVERAGE.md via scripts/gen_ledger.py).
+The r15 pool: image_jpeg_progressive, image_crossformat_dedup,
+structured_data_extract, link_graph_extract, feed_item_extract,
+ann_topk_hamming, html_markdown_extract, code_license_scan.
 
 Oracle style note: these oracles are CLOSED FORMS of the expected
 answer (payloads are synthesized from document ids/text, so ground
