@@ -3543,6 +3543,263 @@ def sample_gif_frames(
     return df.select(id_col, content_col).mapInPandas(run, schema=_FRAME_DDL)
 
 
+# --- animated WebP frames (r15) -----------------------------------------
+#
+# The second animated web format joins the GIF frame plane (public
+# WebP container spec: RIFF VP8X + ANIM + per-frame ANMF chunks, each
+# ANMF carrying a 16-byte frame header and a VP8/VP8L sub-bitstream).
+# Lossless frames decode through the engine's own VP8L codec (RGBA,
+# so alpha-blending composites exactly); lossy VP8 frames route
+# through the gated libwebp binding wrapped as a one-chunk container.
+
+
+def _riff_chunks(content: bytes, start: int = 12):
+    """(fourcc, body_start, body_end) over a RIFF body; chunks pad to
+    even offsets per the RIFF rules."""
+    pos = start
+    n = len(content)
+    while pos + 8 <= n:
+        fourcc = bytes(content[pos : pos + 4])
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = pos + 8
+        end = body + size
+        if end > n:
+            raise ValueError("WebP chunk overruns the container")
+        yield fourcc, body, end
+        pos = end + (size & 1)
+
+
+def encode_webp_anim(
+    frames: list[np.ndarray],
+    durations_ms: list[int] | None = None,
+    loop_count: int = 0,
+    offsets: list[tuple[int, int]] | None = None,
+    blend: list[bool] | None = None,
+    dispose_background: list[bool] | None = None,
+    canvas: tuple[int, int] | None = None,
+    background_rgb: tuple[int, int, int] = (0, 0, 0),
+) -> bytes:
+    """(H, W, 3) or (H, W, 4) uint8 frames → an animated WebP:
+    VP8X (animation flag, canvas dims) + ANIM (background, loop) +
+    one ANMF per frame wrapping the engine's own VP8L encoding —
+    the fixture face of :func:`decode_webp_frames`. Frame offsets
+    must be even (the format stores x/2, y/2)."""
+    from openaq_data_pipeline_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+
+    if not frames:
+        raise ValueError("animated WebP needs at least one frame")
+    durations_ms = durations_ms or [100] * len(frames)
+    offsets = offsets or [(0, 0)] * len(frames)
+    blend = blend if blend is not None else [False] * len(frames)
+    dispose_background = (
+        dispose_background
+        if dispose_background is not None
+        else [False] * len(frames)
+    )
+    cw = ch = 0
+    for arr, (x, y) in zip(frames, offsets):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        ch = max(ch, y + arr.shape[0])
+        cw = max(cw, x + arr.shape[1])
+    if canvas is not None:
+        cw, ch = max(cw, canvas[0]), max(ch, canvas[1])
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        out = fourcc + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            out += b"\x00"
+        return out
+
+    has_alpha = any(a.ndim == 3 and a.shape[2] == 4 for a in frames)
+    vp8x = chunk(
+        b"VP8X",
+        bytes([(0x10 if has_alpha else 0) | 0x02]) + b"\x00\x00\x00"
+        + struct.pack("<I", cw - 1)[:3]
+        + struct.pack("<I", ch - 1)[:3],
+    )
+    r, g, b = background_rgb
+    anim = chunk(
+        b"ANIM",
+        bytes([b, g, r, 255]) + struct.pack("<H", loop_count),
+    )
+    body = vp8x + anim
+    for arr, dur, (x, y), bl, dbg in zip(
+        frames, durations_ms, offsets, blend, dispose_background
+    ):
+        sub = encode_webp_lossless(np.ascontiguousarray(arr))[12:]
+        h, w = arr.shape[:2]
+        flags = (0 if bl else 0x02) | (0x01 if dbg else 0)
+        hdr = (
+            struct.pack("<I", x // 2)[:3]
+            + struct.pack("<I", y // 2)[:3]
+            + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3]
+            + struct.pack("<I", dur)[:3]
+            + bytes([flags])
+        )
+        body += chunk(b"ANMF", hdr + sub)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def webp_anim_stats(
+    content: bytes,
+) -> tuple[int, int, int, int, int]:
+    """(canvas_w, canvas_h, n_frames, total_duration_ms, loop_count)
+    — HEADER-ONLY ANMF walk of an animated WebP (no bitstream
+    decode). ValueError when not an animated VP8X WebP."""
+    fmt, w, h, _alpha, anim = webp_header_stats(content)
+    if fmt != "VP8X" or not anim:
+        raise ValueError("not an animated (VP8X+ANIM) WebP")
+    n = 0
+    total = 0
+    loop = 0
+    for fourcc, b0, b1 in _riff_chunks(content):
+        if fourcc == b"ANIM" and b1 - b0 >= 6:
+            (loop,) = struct.unpack_from("<H", content, b0 + 4)
+        elif fourcc == b"ANMF" and b1 - b0 >= 16:
+            n += 1
+            total += int.from_bytes(content[b0 + 12 : b0 + 15], "little")
+    return w, h, n, total, loop
+
+
+def decode_webp_frames(
+    content: bytes, max_px: int = 1 << 24
+) -> list[np.ndarray]:
+    """Every frame of an animated WebP, each COMPOSITED onto the
+    canvas with the container spec's animation model — fractional
+    alpha blending (blend flag 0) in exact integer arithmetic,
+    overwrite (flag 1), dispose-to-background after display; VP8L
+    sub-bitstreams decode RGBA through the engine's own codec, VP8
+    through the gated libwebp binding. Frames land as (canvas_h,
+    canvas_w, 3) RGB. ValueError outside the subset (the lenient
+    plane's contract)."""
+    from openaq_data_pipeline_spark.operators.vp8l import (
+        decode_vp8l_payload,
+    )
+
+    fmt, cw, ch, _alpha, anim = webp_header_stats(content)
+    if fmt != "VP8X" or not anim:
+        raise ValueError("not an animated (VP8X+ANIM) WebP")
+    if cw * ch > max_px:
+        raise ValueError(
+            f"WebP canvas {cw}x{ch} exceeds the {max_px}-px cap"
+        )
+    bg = np.zeros(3, dtype=np.uint8)
+    canvas = None
+    frames: list[np.ndarray] = []
+    for fourcc, b0, b1 in _riff_chunks(content):
+        if fourcc == b"ANIM" and b1 - b0 >= 6:
+            bgra = content[b0 : b0 + 4]
+            bg = np.array([bgra[2], bgra[1], bgra[0]], dtype=np.uint8)
+            canvas = np.tile(bg, (ch, cw, 1))
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                canvas = np.tile(bg, (ch, cw, 1))
+            hdr = content[b0 : b0 + 16]
+            if len(hdr) < 16:
+                raise ValueError("ANMF header truncated")
+            x = int.from_bytes(hdr[0:3], "little") * 2
+            y = int.from_bytes(hdr[3:6], "little") * 2
+            fw = int.from_bytes(hdr[6:9], "little") + 1
+            fh = int.from_bytes(hdr[9:12], "little") + 1
+            flags = hdr[15]
+            if fw * fh > max_px:
+                raise ValueError("ANMF frame exceeds the pixel cap")
+            sub = list(_riff_chunks(content, b0 + 16))
+            rgba = None
+            for sc, s0, s1 in sub:
+                if s1 > b1:
+                    raise ValueError("ANMF sub-chunk overruns frame")
+                if sc == b"VP8L":
+                    rgba = decode_vp8l_payload(content[s0:s1])
+                    break
+                if sc == b"VP8 ":
+                    from openaq_data_pipeline_spark.operators import (
+                        webp_native,
+                    )
+
+                    payload = content[s0:s1]
+                    wrapped = (
+                        b"RIFF"
+                        + struct.pack("<I", 4 + 8 + len(payload)
+                                      + (len(payload) & 1))
+                        + b"WEBP" + b"VP8 "
+                        + struct.pack("<I", len(payload))
+                        + payload
+                        + (b"\x00" if len(payload) & 1 else b"")
+                    )
+                    rgb = webp_native.decode_webp_native(wrapped)
+                    rgba = np.dstack(
+                        [rgb, np.full(rgb.shape[:2], 255, np.uint8)]
+                    )
+                    break
+            if rgba is None:
+                raise ValueError("ANMF carries no VP8/VP8L bitstream")
+            if rgba.shape[0] != fh or rgba.shape[1] != fw:
+                raise ValueError("ANMF dims disagree with bitstream")
+            if y + fh > ch or x + fw > cw:
+                raise ValueError("ANMF frame outside the canvas")
+            region = canvas[y : y + fh, x : x + fw].astype(np.int64)
+            a = rgba[:, :, 3:4].astype(np.int64)
+            f = rgba[:, :, :3].astype(np.int64)
+            if flags & 0x02:  # do-not-blend: overwrite
+                merged = f
+            else:  # exact integer alpha blend, half-up
+                merged = (a * f + (255 - a) * region + 127) // 255
+            canvas[y : y + fh, x : x + fw] = merged.astype(np.uint8)
+            frames.append(canvas.copy())
+            if flags & 0x01:  # dispose to background
+                canvas[y : y + fh, x : x + fw] = bg
+    if not frames:
+        raise ValueError("animated WebP carries no ANMF frame")
+    return frames
+
+
+def sample_webp_frames(
+    df: DataFrame,
+    stride: int = 2,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """:func:`sample_gif_frames` for animated WebP (r15): one output
+    row per sampled frame of each animation, stats over the
+    COMPOSITED canvas. Same ``_FRAME_DDL`` schema, same honest cost
+    note (delta frames force full decode; stride bounds emission),
+    same ValueError contract."""
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "n_frames", "frame_idx",
+                    "width", "height", "px_sum", "mean_px",
+                )
+            }
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                frames = decode_webp_frames(bytes(blob))
+                n = len(frames)
+                for fi in range(0, n, stride):
+                    arr = frames[fi]
+                    h, w = arr.shape[:2]
+                    total = int(arr.astype(np.int64).sum())
+                    out["media_id"].append(int(mid))
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["px_sum"].append(total)
+                    out["mean_px"].append(_exact_mean(total, h * w * 3))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=_FRAME_DDL)
+
+
 # --- perceptual image hashing (pHash) ----------------------------------
 
 

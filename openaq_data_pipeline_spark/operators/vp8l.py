@@ -829,8 +829,20 @@ def encode_webp_lossless(
     Fixture-grade compression, real bitstream — the exact inverse of
     :func:`decode_webp_lossless` (pinned in tests channel-exactly)."""
     h, w, c = arr.shape
-    if c != 3 or arr.dtype != np.uint8:
-        raise ValueError("encode_webp_lossless expects (H, W, 3) uint8")
+    if c not in (3, 4) or arr.dtype != np.uint8:
+        raise ValueError(
+            "encode_webp_lossless expects (H, W, 3|4) uint8"
+        )
+    if c == 4 and (
+        palette
+        or subtract_green
+        or predictor_mode is not None
+        or color_transform is not None
+    ):
+        raise ValueError(
+            "RGBA encoding (r15, the animation/alpha fixture face) "
+            "takes the plain-literal path only"
+        )
     if w > 16384 or h > 16384:
         raise ValueError("VP8L dims cap at 16384")
     if (
@@ -858,7 +870,7 @@ def encode_webp_lossless(
     bw.write(0x2F, 8)
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha hint
+    bw.write(1 if c == 4 else 0, 1)  # alpha hint
     bw.write(0, 3)  # version
     if palette:
         flat = arr.reshape(-1, 3)
@@ -967,7 +979,11 @@ def encode_webp_lossless(
             b = (b - g) & 0xFF
             bw.write(1, 1)
             bw.write(2, 2)  # SUBTRACT_GREEN
-        a = np.full_like(g, 255)
+        a = (
+            arr[:, :, 3].astype(np.int32).reshape(-1)
+            if c == 4
+            else np.full_like(g, 255)
+        )
         bw.write(0, 1)  # no (more) transforms
         _write_entropy_image(bw, g, r, b, a, is_level0=True)
     payload = bw.bytes()

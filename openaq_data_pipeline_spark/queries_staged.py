@@ -4195,6 +4195,103 @@ def q_code_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return license_scan(code, "source", "doc_id").orderBy("doc_id")
 
 
+@register_staged(
+    "webp_anim_frames",
+    "EXT-multimodal — animated WebP frame sampling (r15: the second "
+    "animated web format joins the GIF frame plane; the engine "
+    "builds real VP8X+ANIM+ANMF containers around its own VP8L "
+    "bitstreams — libwebp validates the container shape — and "
+    "decodes frames back with the spec's compositing model): per "
+    "document an animation of 2 + doc%3 full-canvas constant frames "
+    "is synthesized and every SECOND frame sampled with composited-"
+    "canvas stats; every 4th document appends an offset PATCH frame "
+    "whose dispose-to-background is exercised by the decode. The "
+    "oracle is the CLOSED FORM of the synthesis — ground truth, not "
+    "a decode replay",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         2 + doc_id % 3 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+             AS n_frames,
+         10 + doc_id % 6 AS w,
+         6 + doc_id % 4 AS h
+  FROM documents
+), idx AS (
+  SELECT doc_id, n_frames, w, h, u.fi
+  FROM f, UNNEST(range(0, n_frames, 2)) AS u(fi)
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE
+         WHEN doc_id % 4 = 0 AND fi = n_frames - 1 THEN
+           -- patch frame: 2x4 patch of value 200 at (0,0) over the
+           -- PREVIOUS constant canvas
+           (20 + doc_id % 60 + 30 * (fi - 1)) * (w * h - 8) * 3
+           + 200 * 8 * 3
+         ELSE (20 + doc_id % 60 + 30 * fi) * w * h * 3
+       END AS BIGINT) AS px_sum
+FROM idx
+ORDER BY doc_id, frame_idx
+""",
+)
+def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        sample_webp_frames,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_webp_anim,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 2 + i % 3
+                w, h = 10 + i % 6, 6 + i % 4
+                frames = [
+                    np.full((h, w, 3), 20 + i % 60 + 30 * f, np.uint8)
+                    for f in range(n)
+                ]
+                offsets = [(0, 0)] * n
+                if i % 4 == 0:
+                    frames.append(np.full((2, 4, 3), 200, np.uint8))
+                    offsets.append((0, 0))
+                blobs.append(
+                    encode_webp_anim(
+                        frames, offsets=offsets,
+                        canvas=(w, h),
+                    )
+                )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    anims = fan_out(d).mapInPandas(
+        synth, schema="doc_id long, content binary"
+    )
+    return (
+        sample_webp_frames(anims, stride=2, id_col="doc_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("n_frames").cast("long"),
+            F.col("frame_idx").cast("int"),
+            F.col("width").cast("int"),
+            F.col("height").cast("int"),
+            F.col("px_sum").cast("long"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 @register(
     "audio_container_stats",
     "EXT-multimodal — compressed-audio header walks (r14: the audio "
