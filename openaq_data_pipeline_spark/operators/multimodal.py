@@ -1372,6 +1372,50 @@ def avif_features(
     return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
 
 
+_SVG_FEATURE_DDL = (
+    "media_id long, n_bytes long, width int, height int, "
+    "n_elements int"
+)
+
+
+def svg_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary SVG column → header stats via Arrow ``mapInPandas``
+    (the :func:`avif_features` shape for the vector tier, r15).
+    HEADER-ONLY by design — see :func:`svg_header_stats`."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _SVG_FEATURE_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "width", "height", "n_elements",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                if lenient:
+                    try:
+                        w, h, n = svg_header_stats(blob)
+                    except Exception:
+                        w = h = n = None
+                else:
+                    w, h, n = svg_header_stats(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_elements"].append(n)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
+
+
 _WEBP_FEATURE_DDL = (
     "media_id long, n_bytes long, header_hex string, format string, "
     "width int, height int, has_alpha boolean, is_animated boolean"
@@ -2057,7 +2101,7 @@ def extract_features(
                         except Exception:
                             # no pixel decoder for these bytes — but a
                             # header-walkable format (WebP/TIFF r13,
-                            # AVIF r14, any-SOF JPEG r15) still
+                            # AVIF r14, any-SOF JPEG + SVG r15) still
                             # yields dims; pixel stats stay NULL
                             hw = hh = None
                             for walk in (
@@ -2065,6 +2109,7 @@ def extract_features(
                                 lambda b: tiff_header_stats(b)[0:2],
                                 lambda b: avif_header_stats(b)[0:2],
                                 lambda b: jpeg_header_stats(b)[0:2],
+                                lambda b: svg_header_stats(b)[0:2],
                             ):
                                 try:
                                     hw, hh = walk(blob)
@@ -3541,6 +3586,62 @@ def sample_gif_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema=_FRAME_DDL)
+
+
+def svg_header_stats(content: bytes) -> tuple[int, int, int]:
+    """(width, height, n_elements) of an SVG — header-only attribute
+    walk (r15: the web's vector staple joins the image plane's dims
+    tier; rasterization is a documented boundary — no renderer in
+    scope). Dimensions come from the root ``<svg>`` element's
+    width/height attributes (px units accepted, floats floored) or,
+    absent those, the viewBox's extent — a dimension-less root
+    yields (None, None, n): intrinsically-unsized SVGs are legal, so
+    only a missing ``<svg>`` root raises; ``n_elements`` counts the
+    common drawing elements (path/rect/circle/ellipse/line/polygon/
+    polyline/text) — the vector-complexity signal a curation filter
+    keys on. ValueError on anything not SVG-shaped."""
+    try:
+        head = content[:4096].decode("utf-8", errors="replace")
+    except Exception as exc:  # pragma: no cover - decode never raises
+        raise ValueError(f"SVG is not text: {exc}") from exc
+    import re as _re
+
+    m = _re.search(r"(?is)<svg\b([^>]*)>", head)
+    if m is None:
+        raise ValueError("no <svg> root element")
+    attrs = m.group(1)
+
+    def _dim(name: str) -> int | None:
+        am = _re.search(
+            rf'(?is)\b{name}\s*=\s*["\']\s*([0-9]+(?:\.[0-9]+)?)'
+            rf'\s*(?:px)?\s*["\']',
+            attrs,
+        )
+        return int(float(am.group(1))) if am else None
+
+    w, h = _dim("width"), _dim("height")
+    if w is None or h is None:
+        vb = _re.search(
+            r'(?is)\bviewBox\s*=\s*["\']\s*([-0-9.]+)[\s,]+([-0-9.]+)'
+            r"[\s,]+([0-9.]+)[\s,]+([0-9.]+)",
+            attrs,
+        )
+        if vb is not None:
+            w = w if w is not None else int(float(vb.group(3)))
+            h = h if h is not None else int(float(vb.group(4)))
+    body = content.decode("utf-8", errors="replace")
+    n_elements = len(
+        _re.findall(
+            r"(?is)<(?:path|rect|circle|ellipse|line|polygon"
+            r"|polyline|text)\b",
+            body,
+        )
+    )
+    return (
+        int(w) if w is not None else None,
+        int(h) if h is not None else None,
+        n_elements,
+    )
 
 
 # --- animated WebP frames (r15) -----------------------------------------

@@ -1173,6 +1173,14 @@ def sniff_mime(payload: Column) -> Column:
             lower.startswith("<!doctype html") | lower.startswith("<html"),
             F.lit("text/html"),
         )
+        # SVG (r15): the web's vector-image staple is TEXT, so it
+        # must sniff BEFORE the printability arm — bare <svg or an
+        # XML declaration with <svg in the prefix window
+        .when(
+            lower.startswith("<svg")
+            | (lower.startswith("<?xml") & lower.contains("<svg")),
+            F.lit("image/svg+xml"),
+        )
         # BOM'd text (r12): a UTF-16 page is NUL-riddled and a UTF-8
         # BOM hides the '<html' prefix — without these arms, real
         # non-UTF-8 text silently routes to discard. The UTF-16 html

@@ -4292,6 +4292,87 @@ def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "image_svg_stats",
+    "EXT-multimodal — SVG header walk (r15: the web's vector-image "
+    "staple is TEXT, so it must sniff ahead of the printability arm "
+    "and route to the image plane; rasterization is the documented "
+    "boundary — dims come from root width/height attributes, px "
+    "units and float values floored, or the viewBox extent, plus a "
+    "drawing-element count, the vector-complexity curation signal): "
+    "per document an SVG rotates by residue through attribute dims, "
+    "px-suffixed float dims, viewBox-only dims, and a dimension-less "
+    "root that keeps NULL dims with its element count — all through "
+    "sniff + route + the lenient Arrow pass. The oracle is the "
+    "CLOSED FORM of the synthesis — ground truth, not a walk replay",
+    oracle="""
+SELECT doc_id,
+       'image/svg+xml' AS mime,
+       'image' AS route,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(100 + doc_id % 50 AS INT) END AS width,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(80 + doc_id % 40 AS INT) END AS height,
+       CAST(1 + doc_id % 5 AS INT) AS n_elements
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        svg_features,
+    )
+    from openaq_data_pipeline_spark.operators.router import (
+        route_for_mime,
+    )
+    from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    w = (F.lit(100) + i % 50).cast("string")
+    h = (F.lit(80) + i % 40).cast("string")
+    rects = F.concat(
+        F.lit("<rect/>"),
+        F.repeat(F.lit("<path d='M0 0'/>"), (i % 5).cast("int")),
+    )
+    r = i % 4
+    root = (
+        F.when(
+            r == 0,
+            F.concat(F.lit('<svg width="'), w, F.lit('" height="'),
+                     h, F.lit('">')),
+        )
+        .when(
+            r == 1,
+            F.concat(
+                F.lit('<?xml version="1.0"?><svg width="'), w,
+                F.lit('.0px" height="'), h, F.lit('px">'),
+            ),
+        )
+        .when(
+            r == 2,
+            F.concat(F.lit('<svg viewBox="0 0 '), w, F.lit(" "), h,
+                     F.lit('">')),
+        )
+        .otherwise(F.lit('<svg xmlns="http://www.w3.org/2000/svg">'))
+    )
+    svg = F.encode(
+        F.concat(root, rects, F.lit("</svg>")), "UTF-8"
+    )
+    docs = d.select("doc_id", svg.alias("content"))
+    mimes = docs.select(
+        "doc_id", sniff_mime(F.col("content")).alias("mime")
+    ).withColumn("route", route_for_mime(F.col("mime")))
+    return (
+        svg_features(docs, "content", id_col="doc_id", lenient=True)
+        .join(mimes, "doc_id")
+        .select(
+            "doc_id", "mime", "route", "width", "height", "n_elements",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "audio_container_stats",
     "EXT-multimodal — compressed-audio header walks (r14: the audio "

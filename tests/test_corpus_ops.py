@@ -2657,3 +2657,77 @@ class TestId3:
         }
         assert rows[0].title == "Song T" and rows[0].album == "Album B"
         assert rows[1].title is None
+
+
+class TestSvgPlane:
+    """SVG header walk (r15): dims from attributes / px-float units /
+    viewBox, dimension-less roots keep their element count, the
+    sniffer routes SVG ahead of the printability arm, and HTML with
+    inline <svg> still sniffs as HTML."""
+
+    def test_header_stats(self):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            svg_header_stats,
+        )
+
+        assert svg_header_stats(
+            b'<svg width="120" height="80"><rect/><path d="M0 0"/></svg>'
+        ) == (120, 80, 2)
+        assert svg_header_stats(
+            b'<?xml version="1.0"?>\n<svg width="33.7px" '
+            b'height="21px"><circle/></svg>'
+        ) == (33, 21, 1)
+        assert svg_header_stats(
+            b'<svg viewBox="0 0 640 480"><text>t</text></svg>'
+        ) == (640, 480, 1)
+        assert svg_header_stats(
+            b'<svg xmlns="http://www.w3.org/2000/svg"><line/></svg>'
+        ) == (None, None, 1)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="svg"):
+            svg_header_stats(b"<html><body>no</body></html>")
+
+    def test_sniff_and_route(self, spark):
+        import struct as _struct
+
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.router import (
+            route_for_mime,
+        )
+        from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+        rows = [
+            (0, b'<svg width="3" height="3"></svg>'),
+            (1, b'<?xml version="1.0" encoding="UTF-8"?><svg/>'),
+            (2, b"<!doctype html><html><svg></svg></html>"),  # html wins
+            (3, b"plain words only"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r.id: (r.m, r.route)
+            for r in df.select(
+                "id",
+                sniff_mime(F.col("payload")).alias("m"),
+            ).withColumn("route", route_for_mime(F.col("m"))).collect()
+        }
+        assert got[0] == ("image/svg+xml", "image")
+        assert got[1] == ("image/svg+xml", "image")
+        assert got[2] == ("text/html", "text")
+        assert got[3] == ("text/plain", "text")
+
+    def test_lenient_image_plane_dims(self, spark):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            extract_features,
+        )
+
+        df = spark.createDataFrame(
+            [(0, b'<svg width="9" height="4"><rect/></svg>')],
+            "id long, payload binary",
+        )
+        r = extract_features(
+            df, "payload", id_col="id", decode="real", lenient=True
+        ).first()
+        assert (r.width, r.height) == (9, 4)
+        assert r.px_sum is None  # no rasterizer: dims-only tier
