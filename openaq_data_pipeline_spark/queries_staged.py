@@ -4373,6 +4373,108 @@ def q_image_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_staged(
+    "warc_revisit_resolve",
+    "EXT-warc — WARC 1.1 revisit expansion (r15: the storage-side "
+    "twin of the r14 conditional-fetch validators — a recrawl that "
+    "proved identical content archives a digest-bearing revisit "
+    "record instead of duplicating bytes, and a corpus reader must "
+    "EXPAND revisits back to full observations; one equi-join on "
+    "the referenced record id, dedup-keyed original side): per "
+    "document a response record plus a revisit is synthesized — "
+    "every third document's revisit references a MISSING original "
+    "and must keep an observable NULL payload, never a silent drop "
+    "— then resolve_revisits rebuilds the per-crawl observation "
+    "timeline (the revisit keeps its OWN later date, the original's "
+    "payload and HTTP columns). The oracle is the CLOSED FORM of "
+    "the synthesis incl. the sha1 digest both engines recompute "
+    "natively — ground truth, not a parse replay",
+    oracle="""
+SELECT doc_id, is_revisit,
+       CASE WHEN is_revisit THEN '2026-02-01T00:00:00Z'
+            ELSE '2026-01-01T00:00:00Z' END AS warc_date,
+       CASE WHEN is_revisit AND doc_id % 3 = 0 THEN NULL
+            ELSE 'body of doc ' || CAST(doc_id AS VARCHAR)
+            END AS body,
+       CASE WHEN is_revisit
+            THEN 'md5:' || md5('body of doc '
+                               || CAST(doc_id AS VARCHAR))
+            END AS claimed_digest
+FROM documents, (
+  SELECT FALSE AS is_revisit UNION ALL SELECT TRUE
+) f
+ORDER BY doc_id, is_revisit
+""",
+)
+def q_warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.sources.warc import (
+        WARC_SCHEMA,
+        resolve_revisits,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from openaq_data_pipeline_spark.sources.warc import (
+            build_revisit_record,
+            build_warc_record,
+            parse_warc_bytes,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                body = f"body of doc {i}".encode()
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain"
+                    b"\r\n\r\n" + body
+                )
+                rid = f"<urn:uuid:orig-{i}>"
+                refers = (
+                    f"<urn:uuid:gone-{i}>" if i % 3 == 0 else rid
+                )
+                archive = build_warc_record(
+                    "response", http,
+                    target_uri=f"https://h.test/{i}",
+                    record_id=rid,
+                    warc_date="2026-01-01T00:00:00Z",
+                ) + build_revisit_record(
+                    f"https://h.test/{i}", refers,
+                    # the spec leaves the digest label open; md5 here
+                    # so the DuckDB oracle recomputes it natively
+                    # (sha1 is warc_payload_digest's default label)
+                    "md5:" + hashlib.md5(body).hexdigest(),
+                    warc_date="2026-02-01T00:00:00Z",
+                )
+                for rec in parse_warc_bytes(archive):
+                    rec["warc_file"] = f"mem://{i}"
+                    rec["__doc_id"] = i
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    schema = "__doc_id long, " + WARC_SCHEMA
+    records = d.mapInPandas(synth, schema=schema)
+    resolved = resolve_revisits(records)
+    # map back to doc ids through the record id / target uri
+    return (
+        resolved.select(
+            F.regexp_extract(F.col("target_uri"), r"/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "is_revisit",
+            "warc_date",
+            F.col("payload").cast("string").alias("body"),
+            "claimed_digest",
+        )
+        .orderBy("doc_id", "is_revisit")
+    )
+
+
 @register(
     "audio_container_stats",
     "EXT-multimodal — compressed-audio header walks (r14: the audio "

@@ -44,7 +44,9 @@ WARC_SCHEMA = (
     "target_uri string, warc_date string, content_type string, "
     "http_status int, http_content_type string, "
     "http_content_encoding string, http_etag string, "
-    "http_last_modified string, payload binary"
+    "http_last_modified string, warc_profile string, "
+    "warc_refers_to string, warc_payload_digest string, "
+    "payload binary"
 )
 
 CDX_SCHEMA = (
@@ -171,6 +173,15 @@ def _parse_plain_records(
                 "http_content_encoding": http_ce,
                 "http_etag": http_etag,
                 "http_last_modified": http_lm,
+                # revisit plumbing (r15): the WARC 1.1 recrawl-dedup
+                # mechanism — a revisit record references the
+                # original via WARC-Refers-To and carries the
+                # payload digest instead of the payload
+                "warc_profile": headers.get("warc-profile"),
+                "warc_refers_to": headers.get("warc-refers-to"),
+                "warc_payload_digest": headers.get(
+                    "warc-payload-digest"
+                ),
                 "payload": payload,
             },
         )
@@ -205,7 +216,8 @@ _SCAN_COLUMNS = [
     "warc_file", "record_id", "warc_type", "target_uri",
     "warc_date", "content_type", "http_status",
     "http_content_type", "http_content_encoding", "http_etag",
-    "http_last_modified", "payload",
+    "http_last_modified", "warc_profile", "warc_refers_to",
+    "warc_payload_digest", "payload",
 ]
 
 
@@ -341,3 +353,145 @@ def read_warc_records(spark: SparkSession, index_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=_SCAN_COLUMNS)
 
     return spans.mapInPandas(fetch, schema=WARC_SCHEMA)
+
+
+# --- revisit records: the crawl-dedup contract (r15) --------------------
+#
+# WARC 1.1 (ISO 28500) lets a recrawl that fetched IDENTICAL content
+# write a small `revisit` record instead of duplicating the payload:
+# WARC-Profile names the identical-payload-digest mechanism,
+# WARC-Refers-To points at the original response record, and
+# WARC-Payload-Digest carries the content hash that proved identity.
+# This is the storage-side twin of the engine's conditional-fetch
+# validators (r14): validators avoid RE-FETCHING unchanged pages,
+# revisits avoid RE-STORING unchanged payloads. A corpus reader must
+# EXPAND revisits back to their original payloads to see every crawl
+# observation — resolve_revisits below is that join.
+
+REVISIT_PROFILE = (
+    "http://netpreservation.org/warc/1.1/revisit/"
+    "identical-payload-digest"
+)
+
+
+def warc_payload_digest(payload: bytes) -> str:
+    """Labelled payload digest for revisit records. The spec leaves
+    digest encoding open (base32 is Common Crawl's convention); the
+    engine writes labelled hex — self-describing and engine-neutral
+    (Spark/DuckDB both spell sha1 hex natively, so oracles can
+    recompute it)."""
+    import hashlib
+
+    return "sha1:" + hashlib.sha1(payload).hexdigest()
+
+
+def build_warc_record(
+    warc_type: str,
+    payload: bytes,
+    target_uri: str | None = None,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "application/http;msgtype=response",
+    record_id: str | None = None,
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """One well-formed WARC/1.0 record (fixture/export face of the
+    reader — byte shape matches what :func:`parse_warc_bytes`
+    walks)."""
+    rid = record_id or f"<urn:uuid:{warc_type}-{len(payload)}>"
+    h = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: " + rid.encode(),
+        b"WARC-Date: " + warc_date.encode(),
+    ]
+    if target_uri:
+        h.append(b"WARC-Target-URI: " + target_uri.encode())
+    for k, v in (extra_headers or {}).items():
+        h.append(f"{k}: {v}".encode())
+    h.append(b"Content-Type: " + content_type.encode())
+    h.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def build_revisit_record(
+    target_uri: str,
+    refers_to: str,
+    payload_digest: str,
+    warc_date: str = "2026-01-02T00:00:00Z",
+    record_id: str | None = None,
+) -> bytes:
+    """A WARC 1.1 identical-payload-digest revisit record — what the
+    recrawl loop writes when the conditional fetch came back 200 but
+    the content hash matched the ledger (or a 304 was revalidated):
+    the observation is archived, the bytes are not duplicated."""
+    return build_warc_record(
+        "revisit",
+        b"",
+        target_uri=target_uri,
+        warc_date=warc_date,
+        content_type="application/http;msgtype=response",
+        record_id=record_id,
+        extra_headers={
+            "WARC-Profile": REVISIT_PROFILE,
+            "WARC-Refers-To": refers_to,
+            "WARC-Payload-Digest": payload_digest,
+        },
+    )
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Expand revisit records to full observations: response rows
+    pass through (``is_revisit`` false); revisit rows take the
+    payload (and the HTTP-derived columns) of the record their
+    ``warc_refers_to`` names, keeping their OWN ``warc_date`` /
+    ``target_uri`` — the per-crawl observation timeline a freshness
+    or dedup analysis needs. A revisit whose referent is absent from
+    the frame keeps NULL payload (observable, never silently
+    dropped); non-response/non-revisit rows (warcinfo, request, …)
+    are not observations and are excluded.
+
+    Scale shape: ONE equi-join on the record id (the original side
+    deduplicates to (record_id, payload, http_*) first, so the join
+    key is unique); at Common Crawl scale both sides are the same
+    scan, and revisits are a small fraction — AQE broadcasts the
+    resolved-original side when it fits."""
+    from pyspark.sql import functions as F
+
+    resp = records.where(F.col("warc_type") == "response")
+    originals = resp.select(
+        F.col("record_id").alias("__ref_id"),
+        F.col("payload").alias("__orig_payload"),
+        F.col("http_status").alias("__orig_status"),
+        F.col("http_content_type").alias("__orig_ct"),
+        F.col("http_content_encoding").alias("__orig_ce"),
+    ).dropDuplicates(["__ref_id"])
+    passthrough = resp.select(
+        "warc_file", "record_id", "target_uri", "warc_date",
+        "http_status", "http_content_type", "http_content_encoding",
+        "payload",
+        F.lit(False).alias("is_revisit"),
+        F.lit(None).cast("string").alias("revisit_of"),
+        F.lit(None).cast("string").alias("claimed_digest"),
+    )
+    revisits = (
+        records.where(F.col("warc_type") == "revisit")
+        .join(
+            originals,
+            F.col("warc_refers_to") == F.col("__ref_id"),
+            "left",
+        )
+        .select(
+            "warc_file", "record_id", "target_uri", "warc_date",
+            F.col("__orig_status").alias("http_status"),
+            F.col("__orig_ct").alias("http_content_type"),
+            F.col("__orig_ce").alias("http_content_encoding"),
+            F.col("__orig_payload").alias("payload"),
+            F.lit(True).alias("is_revisit"),
+            F.col("warc_refers_to").alias("revisit_of"),
+            # the digest that PROVED identity rides along so a
+            # downstream audit can re-verify it against the
+            # expanded payload
+            F.col("warc_payload_digest").alias("claimed_digest"),
+        )
+    )
+    return passthrough.unionByName(revisits)

@@ -671,3 +671,88 @@ class TestWarcValidators:
         base = parse_warc_bytes(_archive())[2]
         assert base["http_etag"] is None
         assert base["http_last_modified"] is None
+
+
+class TestRevisitRecords:
+    """WARC 1.1 revisit plane (r15): the storage-side twin of the
+    r14 conditional-fetch validators — identical content archives as
+    a digest-bearing revisit record, and resolve_revisits expands it
+    back to a full observation."""
+
+    def _archive(self):
+        from openaq_data_pipeline_spark.sources.warc import (
+            build_revisit_record,
+            build_warc_record,
+            warc_payload_digest,
+        )
+
+        p1 = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            b"original body"
+        )
+        resp = build_warc_record(
+            "response", p1, target_uri="https://a.org/x",
+            record_id="<urn:uuid:orig-1>",
+            warc_date="2026-01-01T00:00:00Z",
+        )
+        rev = build_revisit_record(
+            "https://a.org/x", "<urn:uuid:orig-1>",
+            warc_payload_digest(b"original body"),
+            warc_date="2026-02-01T00:00:00Z",
+        )
+        dangling = build_revisit_record(
+            "https://a.org/y", "<urn:uuid:gone-9>", "sha1:00",
+            warc_date="2026-02-02T00:00:00Z",
+        )
+        info = build_warc_record(
+            "warcinfo", b"software: t\r\n", content_type=
+            "application/warc-fields",
+        )
+        return info + resp + rev + dangling
+
+    def test_parse_surfaces_revisit_headers(self):
+        from openaq_data_pipeline_spark.sources.warc import (
+            REVISIT_PROFILE,
+            parse_warc_bytes,
+            warc_payload_digest,
+        )
+
+        recs = {r["warc_type"]: r for r in parse_warc_bytes(
+            self._archive()
+        ) if r["warc_type"] != "revisit"}
+        revs = [r for r in parse_warc_bytes(self._archive())
+                if r["warc_type"] == "revisit"]
+        assert recs["response"]["warc_refers_to"] is None
+        assert revs[0]["warc_profile"] == REVISIT_PROFILE
+        assert revs[0]["warc_refers_to"] == "<urn:uuid:orig-1>"
+        assert revs[0]["warc_payload_digest"] == warc_payload_digest(
+            b"original body"
+        )
+        assert revs[0]["payload"] == b""
+        # digest format is labelled hex (engine-neutral recompute)
+        import hashlib
+
+        assert warc_payload_digest(b"x") == (
+            "sha1:" + hashlib.sha1(b"x").hexdigest()
+        )
+
+    def test_resolve_revisits(self, spark, tmp_path):
+        from openaq_data_pipeline_spark.sources.warc import (
+            read_warc,
+            resolve_revisits,
+        )
+
+        (tmp_path / "a.warc").write_bytes(self._archive())
+        recs = read_warc(spark, str(tmp_path / "a.warc"))
+        out = resolve_revisits(recs).collect()
+        by = {(r.is_revisit, r.target_uri): r for r in out}
+        assert len(out) == 3  # warcinfo excluded
+        orig = by[(False, "https://a.org/x")]
+        assert bytes(orig.payload) == b"original body"
+        rev = by[(True, "https://a.org/x")]
+        assert bytes(rev.payload) == b"original body"  # expanded
+        assert rev.warc_date == "2026-02-01T00:00:00Z"  # own date
+        assert rev.revisit_of == "<urn:uuid:orig-1>"
+        assert rev.http_status == 200
+        dang = by[(True, "https://a.org/y")]
+        assert dang.payload is None  # observable, not dropped
