@@ -495,3 +495,124 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
         )
     )
     return passthrough.unionByName(revisits)
+
+
+# --- WARC export sink (r15): the acquisition plane goes both ways --------
+
+
+def write_warc_shards(
+    df: DataFrame,
+    path: str,
+    url_col: str,
+    payload_col: str,
+    n_shards: int,
+    content_type_col: str | None = None,
+    default_content_type: str = "text/html",
+    warc_date: str = "2026-01-01T00:00:00Z",
+) -> DataFrame:
+    """Export page rows as member-gzipped ``.warc.gz`` shards — the
+    Common Crawl layout this module's own reader/CDX tier consumes
+    (one gzip MEMBER per response record, so :func:`build_warc_cdx`
+    addresses each record independently and
+    :func:`read_warc_records` probes it with one ranged read). The
+    republish face of the acquisition plane: a curated corpus ships
+    back out in the wire format every crawl consumer speaks.
+
+    Plan shape is :func:`~openaq_data_pipeline_spark.operators
+    .curation.write_webdataset_shards`'s: the deterministic MD5
+    shard shuffle, ONE exchange, an ``applyInPandas`` that streams
+    each shard straight to its file (no driver collect), a staged
+    ``.__tmp`` + rename so readers never see a torn shard, and
+    byte-determinism for retry convergence (records lay down in
+    shard_pos order; gzip members carry mtime 0; record ids derive
+    from the URL+payload MD5). NULL payloads are skipped with the
+    count reported in the manifest — observable, never a torn
+    record. Returns the manifest (shard_id, n_records, n_skipped,
+    n_bytes, warc_path)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from openaq_data_pipeline_spark.operators.curation import (
+        shard_assignments,
+    )
+
+    ct_cols = [content_type_col] if content_type_col else []
+    data = df.select(
+        F.col(url_col).alias("__url"),
+        F.col(payload_col).alias("__payload"),
+        *(
+            [F.col(content_type_col).alias("__ct")]
+            if content_type_col
+            else [F.lit(default_content_type).alias("__ct")]
+        ),
+    )
+    assigned = shard_assignments(
+        data.select(F.col("__url")), "__url", n_shards
+    ).join(data, "__url")
+
+    def write_shard(pdf):
+        import gzip as _gzip
+        import hashlib as _hashlib
+        import io as _io
+
+        import pandas as pd
+
+        shard = int(pdf["shard_id"].iloc[0])
+        pdf = pdf.sort_values("shard_pos")
+        _os.makedirs(path, exist_ok=True)
+        warc_path = _os.path.join(path, f"shard-{shard:05d}.warc.gz")
+        tmp = f"{warc_path}.__tmp"
+        n = skipped = 0
+        with open(tmp, "wb") as fh:
+            for _, row in pdf.iterrows():
+                if row["__payload"] is None:
+                    skipped += 1
+                    continue
+                payload = bytes(row["__payload"])
+                url = str(row["__url"])
+                ct = str(row["__ct"] or default_content_type)
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: "
+                    + ct.encode("latin-1")
+                    + b"\r\n\r\n"
+                    + payload
+                )
+                rid = (
+                    "<urn:md5:"
+                    + _hashlib.md5(
+                        url.encode() + b"\x00" + payload
+                    ).hexdigest()
+                    + ">"
+                )
+                rec = build_warc_record(
+                    "response", http, target_uri=url,
+                    warc_date=warc_date, record_id=rid,
+                )
+                buf = _io.BytesIO()
+                with _gzip.GzipFile(
+                    fileobj=buf, mode="wb", mtime=0
+                ) as gz:
+                    gz.write(rec)
+                fh.write(buf.getvalue())
+                n += 1
+        _os.replace(tmp, warc_path)
+        return pd.DataFrame(
+            {
+                "shard_id": [shard],
+                "n_records": [n],
+                "n_skipped": [skipped],
+                "n_bytes": [_os.path.getsize(warc_path)],
+                "warc_path": [warc_path],
+            }
+        )
+
+    manifest_schema = (
+        "shard_id long, n_records long, n_skipped long, "
+        "n_bytes long, warc_path string"
+    )
+    return (
+        assigned.repartition(n_shards, F.col("shard_id"))
+        .groupBy("shard_id")
+        .applyInPandas(write_shard, schema=manifest_schema)
+    )

@@ -756,3 +756,69 @@ class TestRevisitRecords:
         assert rev.http_status == 200
         dang = by[(True, "https://a.org/y")]
         assert dang.payload is None  # observable, not dropped
+
+
+class TestWarcWriter:
+    """write_warc_shards (r15): the republish face — member-gzipped
+    shards in the Common Crawl layout, round-tripping through this
+    module's own reader AND independently addressable through the
+    CDX probe; byte-deterministic across runs; NULL payloads skip
+    observably."""
+
+    def test_roundtrip_cdx_and_determinism(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.sources.warc import (
+            build_warc_cdx,
+            read_warc,
+            read_warc_records,
+            write_warc_shards,
+        )
+
+        rows = [
+            (f"https://h.test/p{i}",
+             f"<html><body>page {i}</body></html>".encode(),
+             "text/html")
+            for i in range(20)
+        ] + [("https://h.test/null", None, "text/html")]
+        df = spark.createDataFrame(
+            rows, "url string, payload binary, ct string"
+        )
+        out1 = str(tmp_path / "w1")
+        man = write_warc_shards(
+            df, out1, "url", "payload", n_shards=3,
+            content_type_col="ct",
+        ).collect()
+        assert sum(m.n_records for m in man) == 20
+        assert sum(m.n_skipped for m in man) == 1
+        back = read_warc(spark, out1 + "/*.warc.gz")
+        got = {
+            r.target_uri: (bytes(r.payload), r.http_content_type,
+                           r.http_status)
+            for r in back.collect()
+        }
+        assert len(got) == 20
+        for i in range(20):
+            assert got[f"https://h.test/p{i}"] == (
+                f"<html><body>page {i}</body></html>".encode(),
+                "text/html", 200,
+            )
+        # CDX addresses each record as its own gzip member; a ranged
+        # probe recovers one record without the archive
+        cdx = build_warc_cdx(spark, out1 + "/*.warc.gz")
+        one = cdx.where(
+            F.col("target_uri") == "https://h.test/p7"
+        )
+        rec = read_warc_records(spark, one).first()
+        assert bytes(rec.payload) == b"<html><body>page 7</body></html>"
+        # byte determinism: a second run produces identical shards
+        out2 = str(tmp_path / "w2")
+        write_warc_shards(
+            df, out2, "url", "payload", n_shards=3,
+            content_type_col="ct",
+        ).collect()
+        import pathlib
+
+        for p1 in sorted(pathlib.Path(out1).glob("*.warc.gz")):
+            p2 = pathlib.Path(out2) / p1.name
+            assert p1.read_bytes() == p2.read_bytes(), p1.name
