@@ -329,7 +329,15 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("FLAC frame channel count != STREAMINFO")
         subs = []
         for c in range(n_ch):
-            d = _DEPTH_CODE.get(depth_code, depth0)
+            # code 0 = "get depth from STREAMINFO" (RFC 9639 §9.1.4)
+            # — the ONLY code that takes depth0; the reserved code 3
+            # already raised above, every other code is in the map,
+            # so this is not a silent fallback.
+            d = (
+                depth0
+                if depth_code == 0
+                else _DEPTH_CODE[depth_code]
+            )
             # the side channel carries one extra bit (spec)
             if (mode == "left_side" and c == 1) or (
                 mode == "right_side" and c == 0

@@ -176,10 +176,43 @@ _LIB: ctypes.CDLL | None = None
 _LOAD_FAILED = False
 
 
+def _shim_cache_dir() -> str:
+    """Per-user, mode-0700 cache directory for the compiled shim.
+
+    The r15 layout cached the ``.so`` at a predictable name directly
+    in the world-writable temp dir, which is the classic /tmp-preload
+    hole: on a multi-user host another local user could pre-plant a
+    malicious library that every executor then dlopens. A per-uid
+    subdirectory created 0700 (and re-verified below before any load)
+    closes it. ADVICE r15 #2."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        tempfile.gettempdir(), f"openaq-shim-{os.getuid()}"
+    )
+    d = os.path.join(base, "openaq_jpeg_shim")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
+def _dir_is_trusted(d: str) -> bool:
+    """True when ``d`` is owned by us and not writable by others —
+    checked immediately before every dlopen so a pre-existing
+    attacker-owned directory (makedirs(exist_ok=True) would happily
+    reuse it) is rejected rather than loaded from."""
+    try:
+        st = os.stat(d)
+    except OSError:
+        return False
+    import stat as _stat
+
+    if st.st_uid != os.getuid():
+        return False
+    return not (st.st_mode & (_stat.S_IWGRP | _stat.S_IWOTH))
+
+
 def _shim_path() -> str:
     digest = hashlib.sha256(_SHIM_C.encode()).hexdigest()[:16]
     return os.path.join(
-        tempfile.gettempdir(), f"openaq_jpeg_shim_{digest}.so"
+        _shim_cache_dir(), f"openaq_jpeg_shim_{digest}.so"
     )
 
 
@@ -236,6 +269,12 @@ def _load() -> ctypes.CDLL | None:
         path = _compile_shim()
         if path is None:
             raise OSError("no compiler/header for the jpeg shim")
+        cache = os.path.dirname(path)
+        if not (
+            _dir_is_trusted(cache)
+            and _dir_is_trusted(os.path.dirname(cache))
+        ):
+            raise OSError("jpeg shim cache dir not owned/0700")
         lib = ctypes.CDLL(path)
         lib.shim_decode_rgb.restype = ctypes.c_int
         lib.shim_decode_rgb.argtypes = [

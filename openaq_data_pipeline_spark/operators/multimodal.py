@@ -1754,6 +1754,15 @@ def jpeg_header_stats(content: bytes) -> tuple[int, int, int, bool]:
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # B.1.1.2: any number of 0xFF fill bytes may pad between
+        # markers; libjpeg's marker scan skips them, so must this
+        # walk or a spec-legal padded JPEG loses its header dims
+        # (the next byte would be misread as a marker id and the
+        # following word as a length). ADVICE r15 #3.
+        while content[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(content):
+                raise ValueError("JPEG missing SOF")
         marker = content[pos + 1]
         if marker == 0x01 or 0xD0 <= marker <= 0xD9:
             pos += 2
@@ -1784,6 +1793,10 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
     while pos < len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1  # B.1.1.2 fill bytes (same skip as header walk)
+        if pos + 1 >= len(content):
+            raise ValueError("truncated JPEG marker")
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -163,10 +163,19 @@ def _xz_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
     try:
         d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
         out = d.decompress(blob, max_bytes)
+        if not d.eof:
+            # A payload whose decoded size is EXACTLY max_bytes can
+            # stop at the cap before the stream-end bytes are
+            # consumed, leaving eof False. One more zero-input pull
+            # distinguishes it: output remaining → genuine overflow
+            # (bomb); nothing more and eof now set → legitimate
+            # at-cap payload, accept. ADVICE r15 #5.
+            if d.decompress(b"", 1):
+                return None  # output past the cap: bomb
     except lzma.LZMAError:
         return None
     if not d.eof:
-        return None  # truncated input, or output cap hit: bomb
+        return None  # truncated input
     return out
 
 
@@ -178,6 +187,8 @@ def _bz2_decompress_capped(blob: bytes, max_bytes: int) -> bytes | None:
     try:
         d = bz2.BZ2Decompressor()
         out = d.decompress(blob, max_bytes)
+        if not d.eof and d.decompress(b"", 1):
+            return None  # output past the cap: bomb (see xz twin)
     except OSError:
         return None
     if not d.eof:

@@ -142,6 +142,18 @@ def resolve_url(base: Column, href: Column) -> Column:
             href_nofrag.startswith("/"),
             F.concat(origin, href_nofrag),
         )
+        # RFC 3986 §5.3: a query-only reference ("?x=1") keeps the
+        # base PATH and replaces only its query — the base-directory
+        # join below would wrongly strip the last path segment
+        # (base https://h/a/index.html + "?x=1" must resolve to
+        # https://h/a/index.html?x=1, not https://h/a/?x=1).
+        # ADVICE r15 #4.
+        .when(
+            href_nofrag.startswith("?"),
+            F.concat(
+                F.regexp_replace(base, r"[?#].*$", ""), href_nofrag
+            ),
+        )
         .otherwise(F.concat(base_dir, href_nofrag))
     )
     # collapse /./ then a bounded ../ tower

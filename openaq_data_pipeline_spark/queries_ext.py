@@ -1862,7 +1862,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
-@register(
+@register_rotated(
     "semantic_dedup",
     "EXT-similarity — SemDeDup semantic near-duplicate pruning "
     "(Abbas et al., arXiv:2303.09540, r8): k-means-cluster the "

@@ -607,7 +607,7 @@ def lang_id_trigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_trigram_onepass(d, "text", "doc_id")
 
 
-@register(
+@register_rotated(
     "html_density_extract",
     "EXT-text — content-density main-content extraction (r9, "
     "jusText/Arc90 heuristics over the stdlib html.parser tag "
@@ -1538,7 +1538,7 @@ def q_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "charset_detect_decode",
     "EXT-crawl — charset-sniffed text decode (r12, VERDICT r11 next "
     "#4's driver face): five charset spellings of each document "
@@ -1722,7 +1722,7 @@ def q_route_stats_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "container_member_route",
     "EXT-router — the container hop (r12: zip AND ustar tar, the two "
     "sniffed containers the front door previously discarded whole): "
@@ -1840,7 +1840,7 @@ def q_container_member_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "webdataset_roundtrip",
     "EXT-curation — WebDataset export→ingest round-trip (r12: the "
     "reader face of the r8 shard writer): documents export as "
@@ -2626,7 +2626,7 @@ def q_image_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "nested_table_rows",
     "EXT-text — depth-aware nested-table mining (r13, VERDICT r12 "
     "missing #4: an inner table must not truncate its outer): even "
@@ -2720,7 +2720,7 @@ def q_nested_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "table_index", "row_index")
 
 
-@register(
+@register_rotated(
     "gif_frames_sample",
     "EXT-multimodal — animated GIF frame sampling (r13, VERDICT r12 "
     "missing #3: the per-frame opt-in completing the video-plane "
@@ -2789,7 +2789,7 @@ def q_gif_frames_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "image_vp8l_decode",
     "EXT-multimodal — VP8L (lossless WebP) PIXEL decode (r13 second "
     "wave: beyond the header walk, the web's most common remaining "
@@ -2876,7 +2876,7 @@ def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "image_tiff_decode",
     "EXT-multimodal — TIFF decode + header split (r13; r14 extends "
     "the real decoder with TIFF-LZW + horizontal predictor, VERDICT "
@@ -2954,7 +2954,7 @@ def q_image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_rotated(
     "abbrev_sentence_learning",
     "EXT-curation — corpus-learned abbreviation guards (r13, VERDICT "
     "r12 missing #5; r14 adds the COLLOCATION signal, VERDICT r13 "
@@ -3021,7 +3021,7 @@ def q_abbrev_sentence_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
+@register_rotated(
     "intradoc_line_dedup",
     "EXT-dedup — intra-document repeated-line removal (r13: the "
     "within-page face of the C4 line rule — scraped pages repeat "
@@ -3468,7 +3468,7 @@ def q_image_avif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "image_jpeg_progressive",
     "EXT-multimodal — progressive JPEG decode through the gated "
     "system-libjpeg shim (r15, VERDICT r14 next #5 / missing #1: "
@@ -3561,7 +3561,7 @@ def q_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "image_crossformat_dedup",
     "EXT-multimodal+dedup — cross-FORMAT perceptual image dedup "
     "(r15: the whole codec tier feeds the dedup plane — the "
@@ -3670,7 +3670,7 @@ def q_image_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "structured_data_extract",
     "EXT-webmeta — schema.org JSON-LD + OpenGraph extraction (r15 "
     "capability wave: the crawl plane's STRUCTURED metadata tier — "
@@ -3769,7 +3769,7 @@ def q_structured_data_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "link_graph_extract",
     "EXT-webmeta — out-link/anchor extraction with RFC 3986 "
     "reference resolution (r15 capability wave: the plane a "
@@ -3857,7 +3857,7 @@ def q_link_graph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "feed_item_extract",
     "EXT-frontier — RSS/Atom feed discovery + item extraction (r15 "
     "capability wave: the third seed channel beside sitemaps and "
@@ -3998,7 +3998,7 @@ def q_feed_item_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "ann_topk_hamming",
     "EXT-similarity — binary embedding quantization + Hamming top-k "
     "(r15: the 32x memory-compression tier below int8 — sign-bit "
@@ -4064,7 +4064,7 @@ def q_ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "html_markdown_extract",
     "EXT-text — HTML→Markdown conversion (r15: the structure-"
     "preserving extraction LLM pretraining pipelines run so "
@@ -4117,7 +4117,7 @@ def q_html_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "code_license_scan",
     "EXT-curation — code-corpus license gate (r15: the Stack/"
     "StarCoder-lineage curation step — keep permissive, drop "
@@ -4195,7 +4195,7 @@ def q_code_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return license_scan(code, "source", "doc_id").orderBy("doc_id")
 
 
-@register_staged(
+@register(
     "webp_anim_frames",
     "EXT-multimodal — animated WebP frame sampling (r15: the second "
     "animated web format joins the GIF frame plane; the engine "
@@ -4292,7 +4292,7 @@ def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "image_svg_stats",
     "EXT-multimodal — SVG header walk (r15: the web's vector-image "
     "staple is TEXT, so it must sniff ahead of the printability arm "
@@ -4373,7 +4373,7 @@ def q_image_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "warc_revisit_resolve",
     "EXT-warc — WARC 1.1 revisit expansion (r15: the storage-side "
     "twin of the r14 conditional-fetch validators — a recrawl that "

@@ -531,11 +531,8 @@ def write_warc_shards(
     n_bytes, warc_path)."""
     import os as _os
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from openaq_data_pipeline_spark.operators.curation import (
-        shard_assignments,
-    )
 
     ct_cols = [content_type_col] if content_type_col else []
     data = df.select(
@@ -547,9 +544,36 @@ def write_warc_shards(
             else [F.lit(default_content_type).alias("__ct")]
         ),
     )
-    assigned = shard_assignments(
-        data.select(F.col("__url")), "__url", n_shards
-    ).join(data, "__url")
+    # Shard key = MD5(url || 0x00 || payload) — the same digest that
+    # becomes the record id, so the key is unique per RECORD, not per
+    # URL. The r15 shape (assign on a url projection, join back on
+    # __url) duplicated records k×k when a crawl corpus carried the
+    # same URL k times (recrawls do, routinely) and left equal-__h
+    # ties unordered; computing the assignment inline on the full row
+    # removes the join (one exchange fewer) and makes the ordering
+    # total: exact-duplicate rows produce byte-identical records, so
+    # any order among them lays down identical shard bytes, and
+    # same-(url, payload) rows with different content types break the
+    # tie on __ct. NULL payloads hash as empty so the skip stays
+    # observable in its deterministic shard. ADVICE r15 #1.
+    h = F.md5(
+        F.concat(
+            F.encode(F.col("__url"), "UTF-8"),
+            F.lit(b"\x00"),
+            F.coalesce(F.col("__payload"), F.lit(b"")),
+        )
+    )
+    keyed = data.withColumn("__h", h).withColumn(
+        "shard_id",
+        (F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("long"))
+        % n_shards,
+    )
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("__h"), F.col("__url"), F.col("__ct")
+    )
+    assigned = keyed.withColumn(
+        "shard_pos", F.row_number().over(w).cast("long")
+    )
 
     def write_shard(pdf):
         import gzip as _gzip

@@ -242,3 +242,34 @@ class TestCompressedTarComposition:
         for i in range(3):
             assert got[(i, "a.txt")] == ("text/plain", "text")
             assert got[(i, "b.html")] == ("text/html", "text")
+
+
+class TestCappedDecodeBoundary:
+    """ADVICE r16: a payload whose decoded size is EXACTLY the cap
+    must be accepted — max_length can stop the decompressor at the
+    cap before the stream-end bytes are consumed (eof False), which
+    the r15 code misread as a bomb. One zero-input pull
+    distinguishes at-cap-and-finished from output-remaining."""
+
+    def test_xz_exact_cap_accepted(self):
+        from openaq_data_pipeline_spark.operators.router import (
+            _xz_decompress_capped,
+        )
+
+        body = b"q" * 4096
+        blob = lzma.compress(body)
+        assert _xz_decompress_capped(blob, 4096) == body
+        assert _xz_decompress_capped(blob, 4095) is None  # real bomb
+        # truncated stream still rejected at a generous cap
+        assert _xz_decompress_capped(blob[:-4], 1 << 20) is None
+
+    def test_bz2_exact_cap_accepted(self):
+        from openaq_data_pipeline_spark.operators.router import (
+            _bz2_decompress_capped,
+        )
+
+        body = b"q" * 4096
+        blob = bz2.compress(body)
+        assert _bz2_decompress_capped(blob, 4096) == body
+        assert _bz2_decompress_capped(blob, 4095) is None
+        assert _bz2_decompress_capped(blob[:-4], 1 << 20) is None

@@ -110,6 +110,44 @@ class TestJpegNative:
         with pytest.raises(ValueError, match="missing SOF"):
             jpeg_header_stats(b"\xff\xd8\xff\xd9")
 
+    def test_fill_bytes_between_markers(self):
+        """B.1.1.2: any number of 0xFF fill bytes may pad between
+        markers — spec-legal, produced by real encoders; both the
+        header walk and the full decoder must skip them (ADVICE
+        r15: the padded walk used to misread the pad as a marker)."""
+        img = np.full((10, 14, 3), 60, np.uint8)
+        base = encode_jpeg_baseline(img)
+        padded = base[:2] + b"\xff\xff\xff" + base[2:]
+        assert jpeg_header_stats(padded) == (14, 10, 3, False)
+        assert np.array_equal(
+            decode_jpeg_baseline(padded), decode_jpeg_baseline(base)
+        )
+        # all-fill tail (no marker id before EOF) → clean ValueError
+        with pytest.raises(ValueError, match="missing SOF"):
+            jpeg_header_stats(b"\xff\xd8" + b"\xff" * 6)
+
+    def test_shim_cache_dir_is_private(self, tmp_path):
+        """ADVICE r15: the compiled shim must cache under a per-user
+        0700 directory and refuse to dlopen from an untrusted one
+        (/tmp-preload)."""
+        import os
+
+        from openaq_data_pipeline_spark.operators import (
+            jpeg_native as jn,
+        )
+
+        d = jn._shim_cache_dir()
+        st = os.stat(d)
+        assert st.st_uid == os.getuid()
+        assert not (st.st_mode & 0o022)
+        assert jn._dir_is_trusted(d)
+        assert jn._shim_path().startswith(d + os.sep)
+        bad = tmp_path / "worldwritable"
+        bad.mkdir()
+        os.chmod(bad, 0o777)
+        assert not jn._dir_is_trusted(str(bad))
+        assert not jn._dir_is_trusted(str(tmp_path / "missing"))
+
     def test_image_plane_composition(self, spark):
         """One lenient Arrow pass: progressive decodes real pixels,
         baseline decodes via the pure-Python path, a SOF2 header-only

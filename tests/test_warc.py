@@ -822,3 +822,41 @@ class TestWarcWriter:
         for p1 in sorted(pathlib.Path(out1).glob("*.warc.gz")):
             p2 = pathlib.Path(out2) / p1.name
             assert p1.read_bytes() == p2.read_bytes(), p1.name
+
+    def test_duplicate_urls_not_fanned_out(self, spark, tmp_path):
+        """ADVICE r15: crawl corpora carry duplicate URLs (recrawls);
+        the r15 assign-on-url-then-join-back shape duplicated each
+        k-times URL into k×k shard rows. Shard keys are now the
+        per-RECORD url+payload digest — every input row lands exactly
+        once, including exact-duplicate rows and NULL payloads."""
+        from openaq_data_pipeline_spark.sources.warc import (
+            read_warc,
+            write_warc_shards,
+        )
+
+        dup = "https://h.test/dup"
+        rows = [
+            (dup, b"<html>v1</html>", "text/html"),
+            (dup, b"<html>v2</html>", "text/html"),
+            (dup, b"<html>v2</html>", "text/html"),  # exact dup row
+            (dup, None, "text/html"),
+            ("https://h.test/only", b"<html>x</html>", "text/html"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, payload binary, ct string"
+        )
+        out = str(tmp_path / "dups")
+        man = write_warc_shards(
+            df, out, "url", "payload", n_shards=2,
+            content_type_col="ct",
+        ).collect()
+        assert sum(m.n_records for m in man) == 4
+        assert sum(m.n_skipped for m in man) == 1
+        back = read_warc(spark, out + "/*.warc.gz").collect()
+        assert len(back) == 4
+        got = sorted(
+            bytes(r.payload) for r in back if r.target_uri == dup
+        )
+        assert got == [
+            b"<html>v1</html>", b"<html>v2</html>", b"<html>v2</html>"
+        ]

@@ -79,6 +79,10 @@ class TestResolveUrl:
             ("a/b/../../c", "https://ex.com/d1/d2/c"),
             ("p.html#frag", "https://ex.com/d1/d2/p.html"),
             ("mailto:x@y.z", "mailto:x@y.z"),
+            # RFC 3986 §5.3: query-only ref keeps the base PATH
+            # (ADVICE r15 — the dir-join arm used to strip page.html)
+            ("?x=1", "https://ex.com/d1/d2/page.html?x=1"),
+            ("?a=b#frag", "https://ex.com/d1/d2/page.html?a=b"),
         ],
     )
     def test_resolution_cases(self, spark, href, expected):
