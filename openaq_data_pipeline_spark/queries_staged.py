@@ -4924,3 +4924,107 @@ def q_robots_sitemap_discovery(
         .select("doc_id", "host", "sitemap_url")
         .orderBy("doc_id", "sitemap_url")
     )
+
+
+# --- r16 staged candidates ----------------------------------------------
+
+
+@register_staged(
+    "image_png_palette",
+    "EXT-multimodal — PNG codec COMPLETION (r16, VERDICT r15 next "
+    "#2: palette, Adam7 and sub-8-bit PNGs — a large share of "
+    "wild-web PNGs, previously header-walk degrades — decode for "
+    "real, cross-validated byte-exactly against the container's "
+    "libpng16 in tests/test_png.py): per document the blob rotates "
+    "by residue through a two-band PALETTE PNG (depth 1, plain and "
+    "Adam7-interlaced arms), sub-8-bit greyscale (depth 1/2/4 by "
+    "doc_id%3, interlace by parity, scaled x255/(2^d-1) exactly as "
+    "libpng does), 16-bit greyscale (rounded linear quantization "
+    "(v*255+32767)//65535, every filter type), and an "
+    "Adam7-interlaced RGB8 arm cycling all five scanline filters — "
+    "one lenient Arrow pass recovers exact pixel statistics for "
+    "every shape. The oracle is the CLOSED FORM of the synthesis — "
+    "ground truth, not a decode replay",
+    oracle="""
+SELECT doc_id,
+       CAST(6 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_sum * 20000 + 72 AS BIGINT) // 144
+           / CAST(10000 AS DOUBLE) AS mean_px
+FROM (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN (doc_id % 3 + 1) * 18 * (10 + doc_id % 40)
+                       + (3 - doc_id % 3) * 18 * (180 + doc_id % 70)
+           WHEN 1 THEN (doc_id % 3 + 1) * 18 * (10 + doc_id % 40)
+                       + (3 - doc_id % 3) * 18 * (180 + doc_id % 70)
+           WHEN 2 THEN 72 * (CASE doc_id % 3
+                               WHEN 0 THEN (doc_id % 2) * 255
+                               WHEN 1 THEN (doc_id % 4) * 85
+                               ELSE (doc_id % 16) * 17 END)
+           WHEN 3 THEN 72 * ((((doc_id * 2557) % 65536) * 255
+                              + 32767) // 65535)
+           ELSE 72 * (5 + doc_id % 97)
+         END AS px_sum
+  FROM documents) t
+ORDER BY doc_id
+""",
+)
+def q_image_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x6 PNGs across the five r16 shapes; mean_px replays
+    _exact_mean's integer half-up rounding at 4 dp
+    ((total*20000 + n) // (2n) / 1e4, n = 72)."""
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_png,
+            encode_png_grey,
+            encode_png_palette,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                arm = i % 5
+                if arm in (0, 1):
+                    s = i % 3 + 1
+                    img = np.empty((4, 6, 3), np.uint8)
+                    img[:s] = 10 + i % 40
+                    img[s:] = 180 + i % 70
+                    blob = encode_png_palette(img, interlace=arm == 1)
+                elif arm == 2:
+                    depth = (1, 2, 4)[i % 3]
+                    g = np.full((4, 6), i % (1 << depth), np.uint16)
+                    blob = encode_png_grey(
+                        g, depth=depth, interlace=bool(i % 2)
+                    )
+                elif arm == 3:
+                    g = np.full((4, 6), (i * 2557) % 65536, np.uint16)
+                    blob = encode_png_grey(
+                        g, depth=16, filter_type=i % 5
+                    )
+                else:
+                    img = np.full((4, 6, 3), 5 + i % 97, np.uint8)
+                    blob = encode_png(
+                        img, filter_type=i % 5, interlace=True
+                    )
+                blobs.append(blob)
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = d.mapInPandas(synth, schema="doc_id long, content binary")
+    return (
+        extract_features(imgs, "content", id_col="doc_id", decode="real")
+        .select("doc_id", "width", "height", "px_sum", "mean_px")
+        .orderBy("doc_id")
+    )
