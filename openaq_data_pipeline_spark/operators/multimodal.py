@@ -1067,8 +1067,8 @@ def webp_header_stats(content: bytes) -> tuple[str, int, int, bool, bool]:
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
-    273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
-    279: "strip_counts", 317: "predictor",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 317: "predictor",
 }
 
 
@@ -1357,27 +1357,86 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out_bits)
 
 
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9, compression 32773) — r16,
+    VERDICT r15 next #4: the scanned-document staple. Control byte
+    n: 0..127 → copy n+1 literals; 129..255 → repeat the next byte
+    257-n times; 128 → no-op. ``max_out`` is the structural cap (the
+    strip's declared rows) — output past it raises before further
+    allocation, as does input exhausted early."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < max_out:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 128:
+            lit = data[i : i + ctrl + 1]
+            if len(lit) != ctrl + 1:
+                raise ValueError("PackBits literal run truncated")
+            out += lit
+            i += ctrl + 1
+        elif ctrl > 128:
+            if i >= n:
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - ctrl)
+            i += 1
+        # ctrl == 128: reserved no-op
+    if len(out) > max_out:
+        raise ValueError("PackBits output exceeds declared rows")
+    if len(out) < max_out:
+        raise ValueError("PackBits output short of declared rows")
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """One row → PackBits (rows packed separately per TIFF 6.0 §9's
+    recommendation, which real writers follow). Greedy: runs of ≥2
+    become repeats, the rest accumulate as literals (≤128 each)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # measure the run starting here
+        j = i
+        while j + 1 < n and row[j + 1] == row[j] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i = j + 1
+            continue
+        # literal stretch: until the next ≥2 run or 128 bytes
+        start = i
+        while i < n and i - start < 128:
+            if i + 1 < n and row[i + 1] == row[i]:
+                break
+            i += 1
+        out += bytes([i - start - 1]) + row[start:i]
+    return bytes(out)
+
+
 def encode_tiff_rgb(
     arr: np.ndarray,
     big_endian: bool = False,
     lzw: bool = False,
     predictor: bool = False,
     deflate: bool = False,
+    packbits: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 → single-strip chunky-RGB TIFF (II or MM byte
     order) — the fixture face of :func:`decode_tiff_rgb`. With
     ``lzw`` (r14) the strip is TIFF-LZW compressed (compression=5);
     with ``deflate`` (r15, VERDICT r14 next #4) the strip is zlib
     Deflate (compression=8, TIFF Technical Note 2 "Adobe Deflate" —
-    the scanned-document archive staple); with ``predictor``
-    (requires a compression) horizontal differencing (tag 317 = 2)
-    is applied first — the pairing real compressed TIFFs ship
-    with."""
+    the scanned-document archive staple); with ``packbits`` (r16,
+    VERDICT r15 next #4) Apple PackBits RLE (compression=32773,
+    rows packed separately); with ``predictor`` (requires lzw or
+    deflate — the pairing real compressed TIFFs ship with)
+    horizontal differencing (tag 317 = 2) is applied first."""
     h, w, c = arr.shape
     if c != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_tiff_rgb expects (H, W, 3) uint8")
-    if lzw and deflate:
-        raise ValueError("pick one of lzw/deflate")
+    if lzw + deflate + packbits > 1:
+        raise ValueError("pick one of lzw/deflate/packbits")
     if predictor and not (lzw or deflate):
         raise ValueError("predictor=True requires lzw or deflate")
     e = ">" if big_endian else "<"
@@ -1393,9 +1452,19 @@ def encode_tiff_rgb(
         import zlib
 
         data = zlib.compress(data, 6)
+    elif packbits:
+        row_bytes = w * 3
+        data = b"".join(
+            _packbits_encode_row(data[r * row_bytes : (r + 1) * row_bytes])
+            for r in range(h)
+        )
     # header(8) + IFD: count + entries + next(4), then bits array,
-    # then pixel data
-    n_entries = 9 if predictor else 8
+    # then pixel data. r16: PhotometricInterpretation (262 = 2, RGB)
+    # joined the IFD — the tag is REQUIRED by TIFF 6.0 and its
+    # absence made libtiff read the engine's fixtures as greyscale
+    # (caught by the tiff_native ground-truth face; the engine's own
+    # decoder had silently tolerated the omission).
+    n_entries = 10 if predictor else 9
     ifd_off = 8
     bits_off = ifd_off + 2 + 12 * n_entries + 4
     data_off = bits_off + 6
@@ -1413,7 +1482,13 @@ def encode_tiff_rgb(
     out += entry(256, 3, 1, short_val(w))
     out += entry(257, 3, 1, short_val(h))
     out += entry(258, 3, 3, struct.pack(e + "I", bits_off))
-    out += entry(259, 3, 1, short_val(5 if lzw else 8 if deflate else 1))
+    out += entry(
+        259, 3, 1,
+        short_val(
+            5 if lzw else 8 if deflate else 32773 if packbits else 1
+        ),
+    )
+    out += entry(262, 3, 1, short_val(2))  # photometric = RGB
     out += entry(273, 4, 1, struct.pack(e + "I", data_off))
     out += entry(277, 3, 1, short_val(3))
     out += entry(278, 3, 1, short_val(h))  # one strip
@@ -1446,12 +1521,16 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
     except KeyError as exc:
         raise ValueError(f"TIFF page lacks {exc}") from exc
     comp = p.get("compression", [1])[0]
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(
-            "only uncompressed/LZW/Deflate TIFF decodes here"
+            "only uncompressed/LZW/Deflate/PackBits TIFF decodes here"
         )
     if p.get("spp", [1])[0] != 3 or p.get("bits", [8])[0] != 8:
         raise ValueError("only 8-bit RGB TIFF decodes here")
+    if p.get("photometric", [2])[0] != 2:
+        # r16: a declared non-RGB interpretation (grey, palette,
+        # YCbCr) must not decode as chunky RGB — wrong-data-never
+        raise ValueError("only photometric=2 (RGB) TIFF decodes here")
     pred = p.get("predictor", [1])[0]
     if pred not in (1, 2):
         raise ValueError(f"TIFF predictor {pred} unsupported")
@@ -1464,6 +1543,9 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
         if comp == 5:
             n_rows = min(rows_per_strip, h - si * rows_per_strip)
             strip = _tiff_lzw_decode(strip, max_out=n_rows * w * 3)
+        elif comp == 32773:
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            strip = _packbits_decode(strip, max_out=n_rows * w * 3)
         elif comp in (8, 32946):
             import zlib
 

@@ -2921,23 +2921,26 @@ def q_image_vp8l_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXT-multimodal — TIFF decode + header split (r13; r14 extends "
     "the real decoder with TIFF-LZW + horizontal predictor, VERDICT "
     "r13 missing #4; r15 adds Deflate compression=8, VERDICT r14 "
-    "next #4): per document a 4x6 constant-value TIFF rotates by "
-    "residue through REAL LZW (compression=5), uncompressed "
-    "big-endian MM, LZW + horizontal-differencing predictor (tag "
-    "317=2), a claimed JPEG-in-TIFF (compression=7) which the "
-    "decoder refuses, and Adobe-Deflate + predictor (compression=8, "
-    "stdlib zlib per strip) — the refused rows keep header-walk "
-    "dims with NULL pixel stats while all four decodable shapes "
-    "recover exact pixels, through the one lenient Arrow pass. The "
-    "oracle is the CLOSED FORM of the synthesis — ground truth, not "
-    "an IFD-walk replay",
+    "next #4; r16 adds PackBits compression=32773 — the "
+    "scanned-document RLE, VERDICT r15 next #4 — with the whole "
+    "codec now cross-validated against the system libtiff in "
+    "tests/test_tiff_native.py): per document a 4x6 constant-value "
+    "TIFF rotates by residue through REAL LZW (compression=5), "
+    "uncompressed big-endian MM, LZW + horizontal-differencing "
+    "predictor (tag 317=2), a claimed JPEG-in-TIFF (compression=7) "
+    "which the decoder refuses, Adobe-Deflate + predictor "
+    "(compression=8, stdlib zlib per strip), and PackBits — the "
+    "refused rows keep header-walk dims with NULL pixel stats while "
+    "all five decodable shapes recover exact pixels, through the "
+    "one lenient Arrow pass. The oracle is the CLOSED FORM of the "
+    "synthesis — ground truth, not an IFD-walk replay",
     oracle="""
 SELECT doc_id,
        CAST(6 AS INT) AS width,
        CAST(4 AS INT) AS height,
-       CASE WHEN doc_id % 5 = 3 THEN NULL
+       CASE WHEN doc_id % 6 = 3 THEN NULL
             ELSE CAST((25 + doc_id % 80) * 72 AS BIGINT) END AS px_sum,
-       CASE WHEN doc_id % 5 = 3 THEN NULL
+       CASE WHEN doc_id % 6 = 3 THEN NULL
             ELSE CAST(25 + doc_id % 80 AS DOUBLE) END AS mean_px
 FROM documents
 ORDER BY doc_id
@@ -2962,7 +2965,7 @@ def q_image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 img = np.full((4, 6, 3), 25 + i % 80, np.uint8)
-                arm = i % 5
+                arm = i % 6
                 if arm == 0:
                     blob = encode_tiff_rgb(img, lzw=True)
                 elif arm == 1:
@@ -2973,6 +2976,8 @@ def q_image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = encode_tiff_rgb(
                         img, deflate=True, predictor=True
                     )
+                elif arm == 5:
+                    blob = encode_tiff_rgb(img, packbits=True)
                 else:
                     # claim JPEG-in-TIFF: decode refuses, header
                     # walk stands (the r13 lenient split, kept)
