@@ -2293,7 +2293,9 @@ class TestTiff:
         base = encode_tiff_rgb(img, deflate=True)
         data_off = base.index(zlib.compress(img.tobytes(), 6))
         over = bytearray(base[:data_off]) + strip
-        cnt_off = 8 + 2 + 12 * 7 + 8  # strip_counts value slot
+        # strip_counts value slot (entry index 8 since r16 added the
+        # photometric tag at index 4)
+        cnt_off = 8 + 2 + 12 * 8 + 8
         struct.pack_into("<I", over, cnt_off, len(strip))
         with pytest.raises(ValueError, match="exceeds|corrupt"):
             decode_tiff_rgb(bytes(over))
