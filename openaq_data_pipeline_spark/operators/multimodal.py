@@ -3747,6 +3747,415 @@ def _mp4_stats(blob) -> tuple[int, int, int, int]:
     return n_frames, w, h, dur_ms
 
 
+# --- AV1 keyframe extraction for av01 MP4 tracks (r16) ------------------
+#
+# VERDICT r15 next #5: video was header-only while the AV1 stack sat
+# in the container. The route is deliberate REUSE, not a new native
+# binding: an av01 track's sync sample is an AV1 temporal unit of
+# OBUs — exactly what an AVIF still carries as its primary item — so
+# the extractor lifts the keyframe OBUs plus the track's own av1C
+# configuration out of the ISO-BMFF sample tables, repacks them as a
+# minimal AVIF, and decodes through the ALREADY-GATED libavif
+# binding (dav1d underneath). Absent libavif = ValueError = the
+# header-walk degrade, the same contract as every native tier.
+# H.264/VP9 stay out: no system decoders shipped (re-verified r15).
+
+
+def extract_avif_av1_item(
+    content: bytes,
+) -> tuple[bytes, bytes, int, int]:
+    """(av1C body, OBU bytes, width, height) of an AVIF's primary
+    item — the fixture-synthesis face: libavif's encoder output is
+    parsed so its coded keyframe can be repacked into an MP4 track.
+    Supports iloc version 0/1 with file-offset extents (what
+    libavif writes)."""
+    boxes = list(_mp4_boxes(content, 0, len(content)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (ftyp must come first)")
+    meta = next(((b, e) for t, b, e in boxes if t == b"meta"), None)
+    if meta is None:
+        raise ValueError("AVIF lacks a meta box")
+    av1c = obus = dims = None
+    for t, b, e in _mp4_boxes(content, meta[0] + 4, meta[1]):
+        if t == b"iloc":
+            ver = content[b]
+            pos = b + 4
+            sizes = content[pos]
+            offset_size, length_size = sizes >> 4, sizes & 0x0F
+            base_size = content[pos + 1] >> 4
+            pos += 2
+            (n_items,) = struct.unpack_from(">H", content, pos)
+            pos += 2
+            if n_items < 1:
+                raise ValueError("AVIF iloc holds no items")
+            pos += 2  # item_id (primary = first for libavif output)
+            if ver == 1:
+                pos += 2  # construction_method (0 = file offset)
+            pos += 2  # data_reference_index
+
+            def _uint(p, n):
+                return int.from_bytes(content[p : p + n], "big")
+
+            base = _uint(pos, base_size)
+            pos += base_size
+            (n_ext,) = struct.unpack_from(">H", content, pos)
+            pos += 2
+            if n_ext < 1:
+                raise ValueError("AVIF item has no extents")
+            off = base + _uint(pos, offset_size)
+            ln = _uint(pos + offset_size, length_size)
+            if off + ln > len(content):
+                raise ValueError("AVIF item extent out of range")
+            obus = bytes(content[off : off + ln])
+        elif t == b"iprp":
+            for t2, b2, e2 in _mp4_boxes(content, b, e):
+                if t2 != b"ipco":
+                    continue
+                for t3, b3, e3 in _mp4_boxes(content, b2, e2):
+                    if t3 == b"ispe":
+                        w, h = struct.unpack_from(">II", content, b3 + 4)
+                        dims = (int(w), int(h))
+                    elif t3 == b"av1C":
+                        av1c = bytes(content[b3:e3])
+    if av1c is None or obus is None or dims is None:
+        raise ValueError("AVIF lacks av1C/item data/ispe")
+    return av1c, obus, dims[0], dims[1]
+
+
+def build_avif_still(
+    obus: bytes, av1c_body: bytes, width: int, height: int
+) -> bytes:
+    """Minimal MIAF-conformant still AVIF around raw AV1 keyframe
+    OBUs + their av1C configuration — the repack target
+    :func:`extract_av1_keyframe` hands to the gated libavif decode.
+    Box layout mirrors libavif's own writer (hdlr/pitm/iloc/iinf/
+    iprp under meta; one item, one extent into mdat)."""
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0, b"\x00" * 4 + b"pict" + b"\x00" * 13
+    )
+    pitm = _mp4_full(b"pitm", 0, 0, struct.pack(">H", 1))
+    infe = _mp4_full(
+        b"infe", 2, 0, struct.pack(">HH", 1, 0) + b"av01" + b"\x00"
+    )
+    iinf = _mp4_full(b"iinf", 0, 0, struct.pack(">H", 1) + infe)
+    ispe = _mp4_full(
+        b"ispe", 0, 0, struct.pack(">II", width, height)
+    )
+    pixi = _mp4_full(b"pixi", 0, 0, b"\x03\x08\x08\x08")
+    ipco = _mp4_box(
+        b"ipco", ispe + pixi + _mp4_box(b"av1C", av1c_body)
+    )
+    ipma = _mp4_full(
+        b"ipma", 0, 0,
+        struct.pack(">IH", 1, 1) + bytes([3, 1, 2, 0x83]),
+    )
+    iprp = _mp4_box(b"iprp", ipco + ipma)
+
+    def iloc_at(off: int) -> bytes:
+        return _mp4_full(
+            b"iloc", 0, 0,
+            bytes([0x44, 0x00])                      # 4-byte off/len
+            + struct.pack(">HHHH", 1, 1, 0, 1)       # 1 item, 1 extent
+            + struct.pack(">II", off, len(obus)),
+        )
+
+    ftyp = _mp4_box(
+        b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1miaf"
+    )
+    meta = _mp4_full(
+        b"meta", 0, 0, hdlr + pitm + iloc_at(0) + iinf + iprp
+    )
+    data_off = len(ftyp) + len(meta) + 8
+    meta = _mp4_full(
+        b"meta", 0, 0, hdlr + pitm + iloc_at(data_off) + iinf + iprp
+    )
+    return ftyp + meta + _mp4_box(b"mdat", obus)
+
+
+def encode_mp4_av01(
+    samples: list[bytes],
+    av1c_body: bytes,
+    width: int,
+    height: int,
+    sync_sample: int = 1,
+    fps: int = 10,
+) -> bytes:
+    """ISO-BMFF MP4 with ONE av01 video track: the visual sample
+    entry carries the av1C configuration box, stss marks
+    ``sync_sample`` (1-based) as the only keyframe, samples lay
+    down consecutively in one chunk. The fixture face of
+    :func:`extract_av1_keyframe` — real AV1 payloads come from
+    repacking libavif encoder output."""
+    n = len(samples)
+    if n < 1 or not 1 <= sync_sample <= n:
+        raise ValueError("need >=1 sample and a valid sync index")
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + _MP4_UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, n)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    sample_entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4 + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + _mp4_box(b"av1C", av1c_body)
+    )
+    stsd = _mp4_full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + _mp4_box(b"av01", sample_entry),
+    )
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stss = _mp4_full(
+        b"stss", 0, 0, struct.pack(">II", 1, sync_sample)
+    )
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _mp4_box(
+        b"dinf",
+        _mp4_full(
+            b"dref", 0, 0,
+            struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""),
+        ),
+    )
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomav01"
+    )
+
+    def moov_at(data_off: int) -> bytes:
+        stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, data_off))
+        stbl = _mp4_box(
+            b"stbl", stsd + stts + stsc + stsz + stss + stco
+        )
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    data_off = len(ftyp) + len(moov_at(0)) + 8
+    return ftyp + moov_at(data_off) + _mp4_box(b"mdat", b"".join(samples))
+
+
+def _mp4_sample_tables(blob, stbl_b: int, stbl_e: int):
+    """(stsd_entry, stsz sizes, stco offsets, stsc runs, stss) out
+    of one stbl — the pieces sample addressing needs."""
+    out = {}
+    for t, b, e in _mp4_boxes(blob, stbl_b, stbl_e):
+        if t == b"stsd":
+            (cnt,) = struct.unpack_from(">I", blob, b + 4)
+            if cnt >= 1:
+                out["stsd"] = (b + 8, e)
+        elif t == b"stsz":
+            fixed, count = struct.unpack_from(">II", blob, b + 4)
+            out["sizes"] = (
+                [fixed] * count
+                if fixed
+                else list(struct.unpack_from(f">{count}I", blob, b + 12))
+            )
+        elif t == b"stco":
+            (count,) = struct.unpack_from(">I", blob, b + 4)
+            out["offsets"] = list(
+                struct.unpack_from(f">{count}I", blob, b + 8)
+            )
+        elif t == b"co64":
+            (count,) = struct.unpack_from(">I", blob, b + 4)
+            out["offsets"] = list(
+                struct.unpack_from(f">{count}Q", blob, b + 8)
+            )
+        elif t == b"stsc":
+            (count,) = struct.unpack_from(">I", blob, b + 4)
+            out["runs"] = [
+                struct.unpack_from(">III", blob, b + 8 + 12 * k)
+                for k in range(count)
+            ]
+        elif t == b"stss":
+            (count,) = struct.unpack_from(">I", blob, b + 4)
+            out["stss"] = list(
+                struct.unpack_from(f">{count}I", blob, b + 8)
+            )
+    return out
+
+
+def _mp4_sample_span(tables, sample_1based: int) -> tuple[int, int]:
+    """(file_offset, size) of one sample via the stsc chunk mapping
+    (TIFF-strip-style addressing: chunk base from stco/co64, plus
+    the sizes of preceding samples in the same chunk)."""
+    sizes = tables["sizes"]
+    offsets = tables["offsets"]
+    runs = tables.get("runs") or [(1, len(sizes), 1)]
+    idx = sample_1based - 1
+    if not 0 <= idx < len(sizes):
+        raise ValueError("MP4 sample index out of range")
+    # walk stsc runs to find the chunk holding this sample
+    seen = 0
+    for k, (first_chunk, per_chunk, _sdi) in enumerate(runs):
+        last_chunk = (
+            runs[k + 1][0] - 1 if k + 1 < len(runs) else len(offsets)
+        )
+        run_samples = (last_chunk - first_chunk + 1) * per_chunk
+        if idx < seen + run_samples:
+            chunk = first_chunk + (idx - seen) // per_chunk
+            in_chunk = (idx - seen) % per_chunk
+            first_in_chunk = idx - in_chunk
+            off = offsets[chunk - 1] + sum(
+                sizes[first_in_chunk:idx]
+            )
+            return off, sizes[idx]
+        seen += run_samples
+    raise ValueError("MP4 stsc does not cover the sample")
+
+
+def extract_av1_keyframe(
+    content: bytes, max_px: int = 1 << 24
+) -> np.ndarray:
+    """First sync sample of an MP4's av01 track → (H, W, 3) uint8
+    RGB: locate the track's av1C + dimensions in the sample entry,
+    address the keyframe through stss/stsc/stsz/stco, repack its
+    OBUs as a minimal AVIF (:func:`build_avif_still`) and decode
+    through the gated libavif binding. ValueError on non-av01
+    tracks, broken sample tables, undecodable OBUs, or a closed
+    gate — the lenient video plane keeps the header-walk row."""
+    from openaq_data_pipeline_spark.operators.avif_native import (
+        decode_avif_native,
+    )
+
+    boxes = list(_mp4_boxes(content, 0, len(content)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (ftyp must come first)")
+    moov = next(((b, e) for t, b, e in boxes if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 lacks a moov box")
+    for t, b, e in _mp4_boxes(content, *moov):
+        if t != b"trak":
+            continue
+        stbl = None
+        for t2, b2, e2 in _mp4_boxes(content, b, e):
+            if t2 == b"mdia":
+                for t3, b3, e3 in _mp4_boxes(content, b2, e2):
+                    if t3 == b"minf":
+                        for t4, b4, e4 in _mp4_boxes(content, b3, e3):
+                            if t4 == b"stbl":
+                                stbl = (b4, e4)
+        if stbl is None:
+            continue
+        tables = _mp4_sample_tables(content, *stbl)
+        if "stsd" not in tables:
+            continue
+        entry_b, entry_e = tables["stsd"]
+        fourcc = bytes(content[entry_b + 4 : entry_b + 8])
+        if fourcc != b"av01":
+            continue
+        body = entry_b + 8
+        w, h = struct.unpack_from(">HH", content, body + 24)
+        if w * h > max_px:
+            raise ValueError(
+                f"av01 dimensions {w}x{h} exceed cap {max_px}"
+            )
+        av1c = None
+        # children follow the 78-byte fixed visual sample entry
+        for t5, b5, e5 in _mp4_boxes(content, body + 78, entry_e):
+            if t5 == b"av1C":
+                av1c = bytes(content[b5:e5])
+        if av1c is None:
+            raise ValueError("av01 entry lacks av1C")
+        if "sizes" not in tables or "offsets" not in tables:
+            raise ValueError("av01 track lacks stsz/stco")
+        sync = tables.get("stss", [1])
+        if not sync:
+            raise ValueError("av01 stss is empty")
+        off, ln = _mp4_sample_span(tables, sync[0])
+        if off + ln > len(content):
+            raise ValueError("av01 keyframe sample out of range")
+        obus = bytes(content[off : off + ln])
+        avif = build_avif_still(obus, av1c, int(w), int(h))
+        return decode_avif_native(avif, max_px=max_px)
+    raise ValueError("MP4 has no av01 track")
+
+
+_AV1_KF_FEATURE_DDL = (
+    "media_id long, n_frames int, width int, height int, "
+    "kf_decoded boolean, kf_mean double"
+)
+
+
+def av1_keyframe_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary MP4 column → container stats + first-keyframe pixel
+    mean via Arrow ``mapInPandas`` (r16, VERDICT r15 next #5): the
+    header walk (:func:`_mp4_stats`) runs for every row; rows whose
+    video track is ``av01`` additionally decode their first sync
+    sample through :func:`extract_av1_keyframe` (gated libavif/
+    dav1d). ``kf_decoded`` is the observable split — FALSE with
+    NULL ``kf_mean`` for non-AV1 tracks, undecodable OBUs, or a
+    closed gate (never a stage failure in lenient mode)."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _AV1_KF_FEATURE_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_frames", "width", "height",
+                "kf_decoded", "kf_mean",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                if lenient:
+                    try:
+                        nf, w, h, _ms = _mp4_stats(blob)
+                    except Exception:
+                        nf = w = h = None
+                else:
+                    nf, w, h, _ms = _mp4_stats(blob)
+                out["n_frames"].append(nf)
+                out["width"].append(w)
+                out["height"].append(h)
+                try:
+                    kf = extract_av1_keyframe(blob)
+                    out["kf_decoded"].append(True)
+                    out["kf_mean"].append(float(kf.mean()))
+                except Exception:
+                    if not lenient and nf is None:
+                        raise
+                    out["kf_decoded"].append(False)
+                    out["kf_mean"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
+
+
 def synthetic_videos(
     df: DataFrame, id_col: str = "media_id", mix_formats: bool = False
 ) -> DataFrame:

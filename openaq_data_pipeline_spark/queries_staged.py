@@ -5101,3 +5101,128 @@ def q_image_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "px_sum", "mean_px")
         .orderBy("doc_id")
     )
+
+
+def _av1_keyframe_oracle(avif_ok: bool) -> str:
+    """Closed form of q_video_av1_keyframe's synthesis: residue 0 is
+    a REAL av01 MP4 whose single sync sample repacks a libavif-
+    encoded constant keyframe (YUV444 constant decodes within the
+    5-level band) when the gated encoder is present, else the mp4v
+    fold — the ONLY availability-dependent cells; residue 1 is an
+    mp4v stub (no av01 track, keyframe observably absent); residue
+    2 is an av01 track whose sample carries garbage OBUs under a
+    REAL static av1C (decode fails → observable FALSE on every
+    container, gated or not)."""
+    kf0 = "TRUE" if avif_ok else "FALSE"
+    mean0 = "TRUE" if avif_ok else "CAST(NULL AS BOOLEAN)"
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(3 + doc_id % 4 AS INT)
+            ELSE CAST(1 AS INT) END AS n_frames,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 8 AS INT)
+            WHEN doc_id % 3 = 1 THEN CAST(16 + doc_id % 100 AS INT)
+            ELSE CAST(24 + doc_id % 16 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 4 AS INT)
+            WHEN doc_id % 3 = 1 THEN CAST(8 + doc_id % 64 AS INT)
+            ELSE CAST(12 + doc_id % 8 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN {kf0}
+            ELSE FALSE END AS kf_decoded,
+       CASE WHEN doc_id % 3 = 0 THEN {mean0}
+            ELSE CAST(NULL AS BOOLEAN) END AS mean_close
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register_staged(
+    "video_av1_keyframe",
+    "EXT-multimodal — AV1 keyframe extraction for av01 MP4 tracks "
+    "(r16, VERDICT r15 next #5: video graduates from header-only; "
+    "the route is REUSE, not a new binding — the track's first sync "
+    "sample is an AV1 temporal unit, so extract_av1_keyframe lifts "
+    "it through stss/stsc/stsz/stco, repacks it with the track's "
+    "own av1C as a minimal AVIF, and decodes through the gated "
+    "libavif/dav1d path): per document the blob rotates through a "
+    "REAL av01 MP4 (constant keyframe repacked from the libavif "
+    "encoder, 5-level mean band), an mp4v stub (no av01 track — "
+    "keyframe observably absent), and an av01 track carrying "
+    "garbage OBUs under a real static av1C (decode fails FALSE on "
+    "every container). Availability freezes driver-side; the "
+    "oracle derives from the same boolean. The oracle is the "
+    "CLOSED FORM of the synthesis — ground truth, not a decode "
+    "replay",
+    oracle=_av1_keyframe_oracle(_native_avif_ok()),
+)
+def q_video_av1_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        av1_keyframe_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    avif_ok = _native_avif_ok()  # frozen at plan build (driver side)
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.avif_native import (
+            encode_avif,
+        )
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_mp4_av01,
+            encode_mp4_stub,
+            extract_avif_av1_item,
+        )
+
+        static_av1c = bytes.fromhex("81200000")
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                r = i % 3
+                if r == 0:
+                    w, h = 16 + i % 8, 8 + i % 4
+                    if avif_ok:
+                        img = np.full((h, w, 3), 30 + i % 60, np.uint8)
+                        av1c, obus, _w, _h = extract_avif_av1_item(
+                            encode_avif(img)
+                        )
+                        blobs.append(
+                            encode_mp4_av01([obus], av1c, w, h)
+                        )
+                    else:
+                        blobs.append(
+                            encode_mp4_stub(1, w, h, frame_payload=8)
+                        )
+                elif r == 1:
+                    blobs.append(
+                        encode_mp4_stub(
+                            3 + i % 4, 16 + i % 100, 8 + i % 64,
+                            frame_payload=8,
+                        )
+                    )
+                else:
+                    blobs.append(
+                        encode_mp4_av01(
+                            [bytes([i % 256, 0xDE, 0xAD]) * 7],
+                            static_av1c, 24 + i % 16, 12 + i % 8,
+                        )
+                    )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    vids = fan_out(d).mapInPandas(
+        synth, schema="doc_id long, content binary"
+    )
+    feats = av1_keyframe_features(
+        vids, "content", id_col="doc_id", lenient=True
+    )
+    i = F.col("doc_id")
+    expected = (F.lit(30) + i % 60).cast("double")
+    return feats.select(
+        "doc_id", "n_frames", "width", "height", "kf_decoded",
+        F.when(
+            F.col("kf_decoded"),
+            F.abs(F.col("kf_mean") - expected) <= 5.0,
+        ).alias("mean_close"),
+    ).orderBy("doc_id")
