@@ -253,11 +253,15 @@ def run_sample() -> tuple[dict, dict]:
             "cpus": int(cpus),
         },
         "value_calibrated": round(total / load_factor, 3),
+        # r16 (VERDICT r15 next #6): per-query CALIBRATED seconds on
+        # the RESULT line, not only the detail file — BENCH_r{N}.json
+        # then carries them, so round-over-round attribution of a
+        # host-noise drift is one jq away instead of manual math
+        "queries_calibrated": {
+            k: round(v / load_factor, 3) for k, v in times.items()
+        },
     }
     detail = dict(result)
-    detail["queries_calibrated"] = {
-        k: round(v / load_factor, 3) for k, v in times.items()
-    }
     # record the timing convention next to the ratios (ADVICE r3):
     # per-query times are min-of-N EXEC-ONLY passes after an untimed
     # warm-up; cache clear + Python GC run between passes but OUTSIDE
@@ -322,9 +326,9 @@ def _merge_samples(samples: list[tuple[dict, dict]]) -> tuple[dict, dict]:
             "cpus": results[0]["calib"]["cpus"],
         },
         "value_calibrated": round(sum(times_cal.values()), 3),
+        "queries_calibrated": times_cal,
     }
     detail = dict(merged)
-    detail["queries_calibrated"] = times_cal
     detail["timing_convention"] = (
         f"min_across_{len(samples)}_fresh_jvm_samples_of_"
         + details[0]["timing_convention"]
@@ -435,6 +439,27 @@ def main() -> None:
                 k: round(v / prev_times[k], 3) for k, v in common.items()
             },
         }
+        # r16 (VERDICT r15 next #6): when the previous artifact also
+        # carries calibrated per-query values (r16+), compare those —
+        # host noise divides out and a byte-unchanged module showing
+        # +8% raw reads as ~1.0 calibrated instead of needing manual
+        # attribution
+        prev_cal = prev_data.get("queries_calibrated", {})
+        cur_cal = result.get("queries_calibrated", {})
+        common_cal = {
+            k: v for k, v in cur_cal.items() if prev_cal.get(k)
+        }
+        if common_cal:
+            prev_cal_sum = sum(prev_cal[k] for k in common_cal)
+            detail["ratio_vs_prev"]["queries_calibrated"] = {
+                k: round(v / prev_cal[k], 3)
+                for k, v in common_cal.items()
+            }
+            detail["ratio_vs_prev"]["total_common_subset_calibrated"] = (
+                round(sum(common_cal.values()) / prev_cal_sum, 3)
+                if prev_cal_sum
+                else None
+            )
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     # carry forward hand-written evidence blocks (r{N}_evidence,
