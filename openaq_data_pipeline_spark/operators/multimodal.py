@@ -1579,6 +1579,54 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
     return px
 
 
+_JPEG_QUALITY_DDL = (
+    "media_id long, n_bytes long, n_quant_tables int, "
+    "quality_est int, is_progressive boolean"
+)
+
+
+def jpeg_quality_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary JPEG column → encode-quality metadata via Arrow
+    ``mapInPandas`` (r16): DQT count + the exact-IJG quality
+    inversion (:func:`jpeg_quality_stats`) and the SOF progressive
+    flag — the no-decode curation signal for dropping artifact-
+    ridden low-quality images. ``lenient=True`` keeps non-JPEG rows
+    with NULL columns."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _JPEG_QUALITY_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "n_quant_tables", "quality_est",
+                "is_progressive",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                try:
+                    nt, est = jpeg_quality_stats(blob)
+                    prog = jpeg_header_stats(blob)[3]
+                except Exception:
+                    if not lenient:
+                        raise
+                    nt = est = prog = None
+                out["n_quant_tables"].append(nt)
+                out["quality_est"].append(est)
+                out["is_progressive"].append(prog)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
+
+
 _EXIF_FEATURE_DDL = (
     "media_id long, n_bytes long, orientation int, make string, "
     "model string, taken_at string"
@@ -2099,6 +2147,84 @@ def jpeg_header_stats(content: bytes) -> tuple[int, int, int, bool]:
             break
         pos += 2 + length
     raise ValueError("JPEG missing SOF")
+
+
+# ITU T.81 Annex K.1 luminance quantization table (natural order) —
+# the base the IJG library scales by its public quality formula
+# (jcparam.c, scale = 5000/q below 50 else 200-2q, entries clamped
+# to [1, 255]); the formula is what every libjpeg-lineage encoder
+# (mozjpeg, turbo, Pillow default) ships, so an EXACT table match
+# recovers the encoder's quality setting.
+_IJG_STD_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+
+def _ijg_luma_table(quality: int) -> np.ndarray:
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((_IJG_STD_LUMA * scale + 50) // 100, 1, 255)
+
+
+def jpeg_quality_stats(content: bytes) -> tuple[int, int | None]:
+    """(n_quant_tables, quality_est) from the DQT markers — r16: the
+    encode-quality curation signal (a training pipeline drops
+    artifact-ridden low-quality JPEGs; the DQT is where that setting
+    is recoverable without decoding a single pixel).
+
+    ``quality_est`` is the EXACT inversion of the public IJG quality
+    formula against the luminance table (id 0, de-zigzagged): the
+    unique q in 1..100 whose scaled Annex-K table matches byte-for-
+    byte, or None when no q matches (flat/custom tables — observable,
+    never a guess: an approximate argmin would report a confident
+    number for tables the formula never produced). 16-bit (Pq=1)
+    tables also return None. ValueError on a non-JPEG stream."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos, tables = 2, {}
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while content[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(content):
+                return len(tables), None
+        marker = content[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        if marker == 0xDB:
+            body = content[pos + 4 : pos + 2 + length]
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                step = 1 + 64 * (2 if pq else 1)
+                if b + step > len(body):
+                    raise ValueError("JPEG DQT segment truncated")
+                tables[tq] = None if pq else body[b + 1 : b + 65]
+                b += step
+        if marker == 0xDA:
+            break
+        pos += 2 + length
+    est = None
+    luma_zz = tables.get(0)
+    if luma_zz is not None:
+        luma = np.zeros(64, dtype=np.int64)
+        zz = np.frombuffer(luma_zz, np.uint8).astype(np.int64)
+        for i, (r, c) in enumerate(_ZZ):
+            luma[r * 8 + c] = zz[i]
+        for q in range(1, 101):
+            if np.array_equal(luma, _ijg_luma_table(q)):
+                est = q
+                break
+    return len(tables), est
 
 
 def decode_jpeg_baseline(content: bytes) -> np.ndarray:

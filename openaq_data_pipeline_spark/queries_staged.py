@@ -5226,3 +5226,185 @@ def q_video_av1_keyframe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("kf_mean") - expected) <= 5.0,
         ).alias("mean_close"),
     ).orderBy("doc_id")
+
+
+def _jpeg_quality_oracle(jpeg_ok: bool) -> str:
+    """Closed form of q_jpeg_quality_estimate's synthesis: residues
+    0/2 are REAL libjpeg encodes (quality 30+i%60, baseline and
+    progressive) whose DQT inverts exactly when the shim loads —
+    absent, both fold to the engine's flat-table baseline (custom
+    table → observable NULL estimate, the no-guess contract);
+    residue 1 is always the flat-table engine encode."""
+    est02 = "CAST(30 + doc_id % 60 AS INT)" if jpeg_ok else "NULL"
+    nt02 = "2" if jpeg_ok else "1"
+    prog2 = "TRUE" if jpeg_ok else "FALSE"
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(1 AS INT)
+            ELSE CAST({nt02} AS INT) END AS n_quant_tables,
+       CASE WHEN doc_id % 3 = 1 THEN NULL
+            ELSE {est02} END AS quality_est,
+       CASE WHEN doc_id % 3 = 2 THEN {prog2}
+            ELSE FALSE END AS is_progressive
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register_staged(
+    "jpeg_quality_estimate",
+    "EXT-multimodal+curation — JPEG encode-quality estimation from "
+    "the DQT (r16 capability wave: the no-decode curation signal — "
+    "a training pipeline drops artifact-ridden low-quality images, "
+    "and the encoder's quality setting is recoverable from the "
+    "quantization tables alone): quality_est is the EXACT inversion "
+    "of the public IJG formula (jcparam.c scaling over the Annex-K "
+    "luminance base) — the unique q whose scaled table matches "
+    "byte-for-byte, None for flat/custom tables (observable, never "
+    "an approximate guess). Per document the blob rotates through a "
+    "REAL libjpeg baseline encode at quality 30+i%60, the engine's "
+    "flat-table baseline (custom table, NULL estimate), and a REAL "
+    "progressive encode at the same quality — shim availability "
+    "freezes driver-side, absent-shim arms fold to the flat "
+    "baseline with the oracle derived from the same boolean. The "
+    "oracle is the CLOSED FORM of the synthesis — ground truth, "
+    "not a DQT replay",
+    oracle=_jpeg_quality_oracle(_native_jpeg_ok()),
+)
+def q_jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        jpeg_quality_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    jpeg_ok = _native_jpeg_ok()  # frozen at plan build (driver side)
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.jpeg_native import (
+            encode_jpeg_native,
+        )
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_jpeg_baseline,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                r = i % 3
+                img = np.full((8, 8, 3), 60 + i % 100, np.uint8)
+                if r == 1 or not jpeg_ok:
+                    blobs.append(encode_jpeg_baseline(img, q=2 + i % 9))
+                elif r == 0:
+                    blobs.append(
+                        encode_jpeg_native(img, quality=30 + i % 60)
+                    )
+                else:
+                    blobs.append(
+                        encode_jpeg_native(
+                            img, quality=30 + i % 60, progressive=True
+                        )
+                    )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = fan_out(d).mapInPandas(
+        synth, schema="doc_id long, content binary"
+    )
+    return (
+        jpeg_quality_features(imgs, "content", id_col="doc_id")
+        .select(
+            "doc_id", "n_quant_tables", "quality_est", "is_progressive",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register_staged(
+    "subtitle_cue_extract",
+    "EXT-subtitles — SRT/WebVTT caption-cue extraction (r16 "
+    "capability wave: captions are the frame-aligned text a "
+    "multimodal training pipeline pairs with video; public formats, "
+    "whole-stage codegen end to end — blank-line block split, one "
+    "timestamp-arrow regexp driving three aligned group extracts, "
+    "integer millisecond math, VTT tag strip; the only exchange is "
+    "the per-document cue renumber window): per document an SRT "
+    "file (even ids — index lines, comma milliseconds) or a WebVTT "
+    "file (odd ids — WEBVTT header block, dot milliseconds, a "
+    "<b>bold</b> styling tag that must strip, a NOTE block that "
+    "must drop) synthesizes IN CODEGEN with 1 + doc_id%4 cues at "
+    "closed-form timestamps. The oracle is the CLOSED FORM of the "
+    "synthesis — ground truth, not a parse replay",
+    oracle="""
+SELECT doc_id, CAST(k AS BIGINT) AS cue_idx,
+       CAST(1000 * (doc_id % 7) + 2000 * k AS BIGINT) AS start_ms,
+       CAST(1000 * (doc_id % 7) + 2000 * k + 1500 AS BIGINT) AS end_ms,
+       'cue ' || CAST(k AS VARCHAR) || ' of doc '
+           || CAST(doc_id AS VARCHAR) AS text
+FROM documents, generate_series(0, 3) t(k)
+WHERE k <= doc_id % 4
+ORDER BY doc_id, cue_idx
+""",
+)
+def q_subtitle_cue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.subtitles import (
+        extract_subtitle_cues,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    ks = F.sequence(F.lit(0), (i % 4).cast("int"))
+
+    def ts(ms, sep):
+        return F.format_string(
+            f"%02d:%02d:%02d{sep}%03d",
+            (ms / 3600000).cast("int"),
+            ((ms / 60000) % 60).cast("int"),
+            ((ms / 1000) % 60).cast("int"),
+            (ms % 1000).cast("int"),
+        )
+
+    def cue(k, vtt):
+        start = (i % 7) * 1000 + k.cast("long") * 2000
+        end = start + 1500
+        sep = "." if vtt else ","
+        head = (
+            F.concat(
+                ts(start, sep), F.lit(" --> "), ts(end, sep),
+                F.lit(" align:start\n") if vtt else F.lit("\n"),
+            )
+        )
+        body = (
+            F.concat(
+                F.lit("<b>cue "), k.cast("string"), F.lit("</b> of doc "),
+                i.cast("string"),
+            )
+            if vtt
+            else F.concat(
+                F.lit("cue "), k.cast("string"), F.lit(" of doc "),
+                i.cast("string"),
+            )
+        )
+        idx_line = (
+            F.lit("") if vtt
+            else F.concat((k.cast("long") + 1).cast("string"), F.lit("\n"))
+        )
+        return F.concat(idx_line, head, body)
+
+    srt = F.array_join(
+        F.transform(ks, lambda k: cue(k, False)), "\n\n"
+    )
+    vtt = F.concat(
+        F.lit("WEBVTT\n\nNOTE this block must drop\n\n"),
+        F.array_join(F.transform(ks, lambda k: cue(k, True)), "\n\n"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(i % 2 == 0, srt).otherwise(vtt).alias("content"),
+    )
+    return extract_subtitle_cues(docs, "content", "doc_id").orderBy(
+        "doc_id", "cue_idx"
+    )
