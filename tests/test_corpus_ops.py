@@ -2732,4 +2732,11 @@ class TestSvgPlane:
             df, "payload", id_col="id", decode="real", lenient=True
         ).first()
         assert (r.width, r.height) == (9, 4)
-        assert r.px_sum is None  # no rasterizer: dims-only tier
+        from openaq_data_pipeline_spark.operators import svg_native
+
+        if svg_native.available():
+            # r16: the gated librsvg binding rasterizes SVG rows —
+            # an empty rect over the white underlay is all-255
+            assert r.px_sum == 9 * 4 * 3 * 255
+        else:
+            assert r.px_sum is None  # no rasterizer: dims-only tier
