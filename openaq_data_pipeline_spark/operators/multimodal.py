@@ -1579,6 +1579,94 @@ def decode_tiff_rgb(content: bytes) -> np.ndarray:
     return px
 
 
+_PAIR_METRIC_DDL = (
+    "media_id long, n_values long, mse_num long, psnr_db double, "
+    "ssim_global double"
+)
+
+
+def image_pair_metrics(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Two binary image columns → reference quality metrics per row
+    (r16 capability wave: the VERIFICATION stage of the image dedup
+    tier — banded pHash proposes candidate pairs, PSNR/SSIM decides
+    whether they are the same picture or a hash collision, and a
+    re-encode pipeline gates on how much quality a transcode lost).
+
+    Both blobs decode through the one magic-dispatch plane
+    (:func:`_decode_image` — PNG/JPEG/GIF/TIFF/WebP/AVIF/SVG).
+    ``mse_num`` is the INTEGER sum of squared differences and
+    ``n_values`` the value count — exact, so oracles close over
+    them; ``psnr_db`` (10·log10(255²·n/mse), NULL for identical
+    images — infinite) and ``ssim_global`` (single-window SSIM,
+    Wang et al. 2004 constants c1=(0.01·255)², c2=(0.03·255)²) are
+    the derived float faces. Shape mismatch raises (lenient → NULL
+    row): comparing different geometries is a caller bug, not a
+    zero-similarity observation."""
+    import math
+
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _PAIR_METRIC_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_values", "mse_num", "psnr_db", "ssim_global",
+            )}
+            for mid, ca, cb in zip(
+                pdf[id_col], pdf[a_col], pdf[b_col]
+            ):
+                out[id_col].append(mid)
+                try:
+                    ia = _decode_image(
+                        ca if isinstance(ca, bytes) else bytes(ca or b"")
+                    ).astype(np.int64)
+                    ib = _decode_image(
+                        cb if isinstance(cb, bytes) else bytes(cb or b"")
+                    ).astype(np.int64)
+                    if ia.shape != ib.shape:
+                        raise ValueError(
+                            f"shape mismatch {ia.shape} vs {ib.shape}"
+                        )
+                    n = ia.size
+                    mse_num = int(((ia - ib) ** 2).sum())
+                    psnr = (
+                        None
+                        if mse_num == 0
+                        else 10.0
+                        * math.log10(255.0 * 255.0 * n / mse_num)
+                    )
+                    fa, fb = ia.astype(np.float64), ib.astype(np.float64)
+                    mu_a, mu_b = fa.mean(), fb.mean()
+                    va, vb = fa.var(), fb.var()
+                    cov = ((fa - mu_a) * (fb - mu_b)).mean()
+                    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+                    ssim = (
+                        (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+                    ) / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+                    out["n_values"].append(n)
+                    out["mse_num"].append(mse_num)
+                    out["psnr_db"].append(psnr)
+                    out["ssim_global"].append(float(ssim))
+                except Exception:
+                    if not lenient:
+                        raise
+                    out["n_values"].append(None)
+                    out["mse_num"].append(None)
+                    out["psnr_db"].append(None)
+                    out["ssim_global"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, a_col, b_col).mapInPandas(run, schema=id_ddl)
+
+
 _JPEG_QUALITY_DDL = (
     "media_id long, n_bytes long, n_quant_tables int, "
     "quality_est int, is_progressive boolean"
@@ -2767,6 +2855,94 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
         + struct.pack("<I", len(payload))
         + payload
     )
+
+
+def audio_pcm_stats(
+    content: bytes,
+) -> tuple[str, int, int, int, int, int, int, int]:
+    """(codec, n_channels, sample_rate, n_samples, peak_abs, sum_sq,
+    n_clipped, n_silent) over DECODED PCM — r16: the audio-quality
+    curation signal (a speech pipeline drops clipped takes and
+    near-silence; both are decided on samples, not headers).
+    Dispatches WAV (RIFF) and FLAC (fLaC) by magic through the
+    engine's own decoders. All outputs are INTEGER-EXACT — counts
+    and an int64 sum of squares rather than dB floats — so oracles
+    close over them without floating-point drift; callers derive
+    rms_db = 10*log10(sum_sq / (n*FS^2)) when they want decibels.
+    Clipping = |x| at full scale for the stream's bit depth;
+    silence = |x| <= FS >> 10 (~0.1% FS). ValueError outside the
+    decodable subset (the lenient plane keys on it)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        samples, rate = decode_wav_pcm16(content)
+        pcm = samples.astype(np.int64).reshape(-1, 1)
+        codec, depth = "wav", 16
+    elif content[:4] == b"fLaC":
+        from openaq_data_pipeline_spark.operators.flac import (
+            decode_flac,
+        )
+
+        pcm32, rate = decode_flac(content)
+        pcm = pcm32.astype(np.int64)
+        codec = "flac"
+        depth = int(flac_header_stats(content)[2])
+    else:
+        raise ValueError(f"unknown audio magic {content[:4]!r}")
+    fs = (1 << (depth - 1)) - 1
+    a = np.abs(pcm)
+    return (
+        codec,
+        int(pcm.shape[1]),
+        int(rate),
+        int(pcm.shape[0]),
+        int(a.max(initial=0)),
+        int((pcm * pcm).sum()),
+        int((a >= fs).sum()),
+        int((a <= (fs >> 10)).sum()),
+    )
+
+
+_AUDIO_PCM_DDL = (
+    "media_id long, codec string, n_channels int, sample_rate int, "
+    "n_samples long, peak_abs long, sum_sq long, n_clipped long, "
+    "n_silent long"
+)
+
+
+def audio_pcm_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary audio column → :func:`audio_pcm_stats` rows via Arrow
+    ``mapInPandas``; ``lenient=True`` keeps undecodable rows with
+    NULL columns (the audio plane's front-door contract)."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _AUDIO_PCM_DDL.split(", ", 1)[1]
+    )
+    cols = (
+        "codec", "n_channels", "sample_rate", "n_samples",
+        "peak_abs", "sum_sq", "n_clipped", "n_silent",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (id_col, *cols)}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                try:
+                    vals = audio_pcm_stats(blob)
+                except Exception:
+                    if not lenient:
+                        raise
+                    vals = (None,) * len(cols)
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
 
 
 def decode_wav_pcm16(content: bytes) -> tuple[np.ndarray, int]:

@@ -5408,3 +5408,171 @@ def q_subtitle_cue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_subtitle_cues(docs, "content", "doc_id").orderBy(
         "doc_id", "cue_idx"
     )
+
+
+@register_staged(
+    "audio_quality_gate",
+    "EXT-multimodal+curation — decoded-PCM audio quality signals "
+    "(r16 capability wave: the speech-data gate — clipping and "
+    "near-silence are decided on SAMPLES, not headers, and both are "
+    "drop rules in a speech training pipeline): audio_pcm_stats "
+    "decodes WAV (even ids) and FLAC (odd ids) through the "
+    "engine's own codecs and emits INTEGER-EXACT signals — peak, "
+    "int64 sum of squares (the rms_db numerator, no float drift), "
+    "full-scale clip count, <=0.1%-FS silence count — per document "
+    "a loud prefix of closed-form amplitude (full-scale 32767 every "
+    "fifth id: observable clipping) over a silent tail. The oracle "
+    "is the CLOSED FORM of the synthesis — ground truth, not a "
+    "decode replay",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS codec,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+            AS INT) AS sample_rate,
+       CAST(256 + (doc_id % 4) * 64 AS BIGINT) AS n_samples,
+       CAST(a AS BIGINT) AS peak_abs,
+       CAST(s * a * a AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN a = 32767 THEN s ELSE 0 END AS BIGINT)
+           AS n_clipped,
+       CAST(256 + (doc_id % 4) * 64 - s AS BIGINT) AS n_silent
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 32767
+              ELSE 20000 + doc_id % 9999 END AS a,
+         64 + (doc_id % 7) * 16 AS s
+  FROM documents) t
+ORDER BY doc_id
+""",
+)
+def q_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        audio_pcm_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.flac import (
+            encode_flac,
+        )
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_wav_pcm16,
+        )
+
+        rates = (8000, 16000, 22050, 44100, 48000)
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 256 + (i % 4) * 64
+                s = 64 + (i % 7) * 16
+                a = 32767 if i % 5 == 0 else 20000 + i % 9999
+                rate = rates[i % 5]
+                pcm = np.zeros(n, np.int64)
+                pcm[:s] = a
+                if i % 2 == 0:
+                    blobs.append(
+                        encode_wav_pcm16(pcm.astype(np.int16), rate)
+                    )
+                else:
+                    blobs.append(
+                        encode_flac(
+                            pcm.reshape(-1, 1).astype(np.int32),
+                            sample_rate=rate,
+                        )
+                    )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    audio = fan_out(d).mapInPandas(
+        synth, schema="doc_id long, content binary"
+    )
+    return (
+        audio_pcm_features(audio, "content", id_col="doc_id")
+        .select(
+            "doc_id", "codec", "sample_rate", "n_samples",
+            "peak_abs", "sum_sq", "n_clipped", "n_silent",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register_staged(
+    "image_pair_psnr",
+    "EXT-multimodal+dedup — reference image-pair metrics (r16 "
+    "capability wave: the VERIFICATION stage of the image dedup "
+    "tier — banded pHash proposes candidates, PSNR/MSE decides "
+    "same-picture vs hash collision, and a transcode pipeline "
+    "gates on quality lost): image_pair_metrics decodes both blobs "
+    "through the one magic-dispatch plane and emits the INTEGER "
+    "sum-of-squared-differences (mse_num) and value count — exact, "
+    "no float drift — alongside derived PSNR/SSIM floats. Per "
+    "document a structured base image pairs with a copy whose "
+    "first 1+i%4 rows shift by 1+i%7 levels (no clipping by "
+    "construction), PNG both sides (lossless, so the difference "
+    "is EXACTLY the injected shift); every ninth pair is identical "
+    "(mse 0 — the PSNR-infinite arm must stay an observable NULL). "
+    "The oracle is the CLOSED FORM of the injection — ground "
+    "truth, not a decode replay",
+    oracle="""
+SELECT doc_id,
+       CAST(72 AS BIGINT) AS n_values,
+       CAST(CASE WHEN doc_id % 9 = 8 THEN 0
+            ELSE (1 + doc_id % 4) * 18
+                 * (1 + doc_id % 7) * (1 + doc_id % 7) END
+            AS BIGINT) AS mse_num,
+       doc_id % 9 = 8 AS psnr_infinite
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_pair_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        image_pair_metrics,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        y, x, c = np.meshgrid(
+            np.arange(4), np.arange(6), np.arange(3), indexing="ij"
+        )
+        for pdf in batches:
+            pdf = pdf.copy()
+            a_blobs, b_blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = ((y * 7 + x * 3 + c * 5 + i) % 200).astype(
+                    np.uint8
+                )
+                a_blobs.append(encode_png(base))
+                if i % 9 == 8:
+                    b_blobs.append(encode_png(base))
+                else:
+                    shifted = base.copy()
+                    shifted[: 1 + i % 4] += np.uint8(1 + i % 7)
+                    b_blobs.append(encode_png(shifted))
+            pdf["a"], pdf["b"] = a_blobs, b_blobs
+            yield pdf[["doc_id", "a", "b"]]
+
+    pairs = d.mapInPandas(
+        synth, schema="doc_id long, a binary, b binary"
+    )
+    return (
+        image_pair_metrics(pairs, "a", "b", id_col="doc_id")
+        .select(
+            "doc_id", "n_values", "mse_num",
+            F.isnull(F.col("psnr_db")).alias("psnr_infinite"),
+        )
+        .orderBy("doc_id")
+    )
