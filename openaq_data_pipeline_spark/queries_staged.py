@@ -4426,7 +4426,11 @@ def q_image_svg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     svg = F.encode(
         F.concat(root, rects, F.lit("</svg>")), "UTF-8"
     )
-    docs = d.select("doc_id", svg.alias("content"))
+    # fan_out (r16): the raster band is per-row librsvg work — on
+    # the single-row-group driver parquet the whole plane would
+    # otherwise run as ONE task (the measured r14 rule: fan_out wins
+    # exactly when per-row native/Python CPU dominates)
+    docs = fan_out(d).select("doc_id", svg.alias("content"))
     mimes = docs.select(
         "doc_id", sniff_mime(F.col("content")).alias("mime")
     ).withColumn("route", route_for_mime(F.col("mime")))
