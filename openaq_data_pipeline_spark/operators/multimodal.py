@@ -491,6 +491,175 @@ def encode_png_palette(
     )
 
 
+# --- ICO codec (r16): the favicon container ------------------------------
+#
+# Crawls fetch /favicon.ico for every host they touch, so the image
+# plane must read it. Public layout (ICONDIR + ICONDIRENTRY[]): each
+# member is either an embedded PNG (modern) or a headerless DIB —
+# BITMAPINFOHEADER with DOUBLED height covering the XOR color plane
+# plus a 1-bit AND transparency mask, bottom-up rows, BGRA/BGR or a
+# BGRX palette at 1/4/8 bpp. The AND mask is transparency — dropped,
+# the codec posture. decode_ico reads the LARGEST member (what a
+# thumbnailer wants); PNG members reuse decode_png wholesale.
+
+
+def decode_ico(content: bytes) -> np.ndarray:
+    """ICO/CUR → (H, W, 3) uint8 RGB of the largest member."""
+    if len(content) < 6 + 16:
+        raise ValueError("ICO too short")
+    reserved, typ, count = struct.unpack_from("<HHH", content, 0)
+    if reserved != 0 or typ not in (1, 2) or count < 1:
+        raise ValueError("not an ICO/CUR stream")
+    entries = []
+    for k in range(count):
+        off = 6 + 16 * k
+        if off + 16 > len(content):
+            raise ValueError("ICO directory truncated")
+        w, h = content[off], content[off + 1]
+        size, data_off = struct.unpack_from("<II", content, off + 8)
+        w, h = w or 256, h or 256
+        entries.append((w * h, size, data_off))
+    _, size, data_off = max(entries, key=lambda e: e[0])
+    if data_off + size > len(content):
+        raise ValueError("ICO member out of range")
+    blob = content[data_off : data_off + size]
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
+    return _decode_ico_dib(blob)
+
+
+def _decode_ico_dib(blob: bytes) -> np.ndarray:
+    """Headerless DIB member: BITMAPINFOHEADER with doubled height
+    (XOR + AND planes); 32/24 bpp direct or 1/4/8 bpp BGRX palette;
+    4-byte row alignment; bottom-up. The AND mask is ignored (alpha
+    dropped)."""
+    if len(blob) < 40:
+        raise ValueError("ICO DIB truncated")
+    hdr_size, w, h2, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", blob, 0
+    )
+    if hdr_size < 40 or comp != 0:
+        raise ValueError(
+            f"unsupported ICO DIB (hdr={hdr_size}, comp={comp})"
+        )
+    if w <= 0 or h2 <= 0 or h2 % 2:
+        raise ValueError("ICO DIB height is not the doubled XOR+AND")
+    h = h2 // 2
+    if bpp in (24, 32):
+        ch = bpp // 8
+        stride = ((w * bpp + 31) // 32) * 4
+        if hdr_size + stride * h > len(blob):
+            raise ValueError("ICO DIB pixel data truncated")
+        rows = np.frombuffer(blob, np.uint8, stride * h, hdr_size)
+        px = rows.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+        return px[::-1, :, 2::-1].copy()  # bottom-up, BGR(A)→RGB
+    if bpp in (1, 4, 8):
+        (ncol,) = struct.unpack_from("<I", blob, 32)
+        ncol = ncol or (1 << bpp)
+        pal_off = hdr_size
+        if pal_off + ncol * 4 > len(blob):
+            raise ValueError("ICO palette truncated")
+        pal = (
+            np.frombuffer(blob, np.uint8, ncol * 4, pal_off)
+            .reshape(ncol, 4)[:, 2::-1]  # BGRX → RGB
+        )
+        data_off = pal_off + ncol * 4
+        stride = ((w * bpp + 31) // 32) * 4
+        if data_off + stride * h > len(blob):
+            raise ValueError("ICO DIB pixel data truncated")
+        rows = np.frombuffer(blob, np.uint8, stride * h, data_off)
+        rows = rows.reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w].astype(np.int64)
+        else:
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            weights = 1 << np.arange(bpp - 1, -1, -1)
+            idx = (bits.reshape(h, w, bpp) * weights).sum(axis=2)
+        if int(idx.max()) >= ncol:
+            raise ValueError("ICO palette index out of range")
+        return pal[idx][::-1].copy()
+    raise ValueError(f"unsupported ICO DIB bpp {bpp}")
+
+
+def encode_ico(
+    images: list[np.ndarray], modes: list[str] | None = None
+) -> bytes:
+    """List of (H, W, 3) uint8 RGB (each ≤256×256) → multi-member
+    ICO; per-member ``modes``: ``png`` (embedded PNG), ``bmp32``
+    (BGRA DIB, opaque alpha), or ``pal8``/``pal4``/``pal1`` (BGRX
+    palette DIB). Fixture face of :func:`decode_ico`."""
+    modes = modes or ["png"] * len(images)
+    if not images or len(images) != len(modes):
+        raise ValueError("images/modes mismatch or empty")
+    members = []
+    for arr, mode in zip(images, modes):
+        h, w, c = arr.shape
+        if c != 3 or arr.dtype != np.uint8 or w > 256 or h > 256:
+            raise ValueError("encode_ico expects (H<=256, W<=256, 3)")
+        if mode == "png":
+            members.append((w, h, 32, encode_png(arr)))
+            continue
+        and_stride = ((w + 31) // 32) * 4
+        and_mask = b"\x00" * (and_stride * h)
+        if mode == "bmp32":
+            bgra = np.zeros((h, w, 4), np.uint8)
+            bgra[:, :, :3] = arr[::-1, :, ::-1]
+            bgra[:, :, 3] = 255
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+                w * 4 * h + len(and_mask), 0, 0, 0, 0,
+            )
+            members.append((w, h, 32, hdr + bgra.tobytes() + and_mask))
+            continue
+        if mode not in ("pal8", "pal4", "pal1"):
+            raise ValueError(f"unknown ICO member mode {mode!r}")
+        bpp = {"pal8": 8, "pal4": 4, "pal1": 1}[mode]
+        palette, inverse = np.unique(
+            arr.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        if len(palette) > (1 << bpp):
+            raise ValueError(
+                f"{len(palette)} colors exceed {mode} capacity"
+            )
+        # biClrUsed = len(palette), so exactly that many BGRX
+        # entries precede the pixel rows (no 2^bpp padding — the
+        # header and the layout must agree on where pixels start)
+        pal_bytes = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in palette
+        )
+        idx = inverse.reshape(h, w)[::-1]  # bottom-up
+        stride = ((w * bpp + 31) // 32) * 4
+        if bpp == 8:
+            packed = np.zeros((h, stride), np.uint8)
+            packed[:, :w] = idx
+        else:
+            bits = (
+                idx[:, :, None].astype(np.uint8)
+                >> np.arange(bpp - 1, -1, -1)
+            ) & 1
+            rowbits = np.packbits(bits.reshape(h, w * bpp), axis=1)
+            packed = np.zeros((h, stride), np.uint8)
+            packed[:, : rowbits.shape[1]] = rowbits
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, h * 2, 1, bpp, 0,
+            stride * h + len(and_mask), 0, 0, len(palette), 0,
+        )
+        members.append(
+            (w, h, bpp, hdr + pal_bytes + packed.tobytes() + and_mask)
+        )
+    out = bytearray(struct.pack("<HHH", 0, 1, len(members)))
+    data_off = 6 + 16 * len(members)
+    for w, h, bpp, blob in members:
+        out += struct.pack(
+            "<BBBBHHII",
+            w % 256, h % 256, 0, 0, 1, bpp, len(blob), data_off,
+        )
+        data_off += len(blob)
+    for _w, _h, _bpp, blob in members:
+        out += blob
+    return bytes(out)
+
+
 # --- GIF codec: LZW + palette, pure stdlib/NumPy (r12, VERDICT r11 ------
 # "missing" #4) — the one common web image type the front door
 # previously dropped. Public GIF87a/89a layout + GIF-flavor LZW
@@ -2532,6 +2701,8 @@ def _decode_image(content: bytes) -> np.ndarray:
         return decode_bmp24(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return decode_ico(content)  # favicon container (r16)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":

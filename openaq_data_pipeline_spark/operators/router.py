@@ -79,7 +79,7 @@ ROUTE_DISCARD = "discard"
 _TEXT_MIMES = ("text/html", "application/pdf", "text/plain")
 _IMAGE_MIMES = (
     "image/png", "image/jpeg", "image/gif", "image/webp", "image/tiff",
-    "image/avif", "image/svg+xml",
+    "image/avif", "image/svg+xml", "image/vnd.microsoft.icon",
 )
 _AUDIO_MIMES = ("audio/x-wav", "audio/flac", "audio/ogg", "audio/mpeg")
 _VIDEO_MIMES = ("video/x-msvideo", "video/mp4")

@@ -1147,6 +1147,18 @@ def sniff_mime(payload: Column) -> Column:
             F.lit("audio/mpeg"),
         )
         .when(magic(1, b"RIFF") & magic(9, b"WEBP"), F.lit("image/webp"))
+        # ICO/CUR (r16): every crawl fetches /favicon.ico; the
+        # 6-byte ICONDIR prefix (reserved 0, type 1/2, count >= 1
+        # with a plausible low byte) keeps the NUL-heavy magic from
+        # swallowing arbitrary binary
+        .when(
+            (
+                magic(1, b"\x00\x00\x01\x00")
+                | magic(1, b"\x00\x00\x02\x00")
+            )
+            & (F.substring(payload, 5, 1) != F.lit(b"\x00")),
+            F.lit("image/vnd.microsoft.icon"),
+        )
         .when(
             magic(1, b"II*\x00") | magic(1, b"MM\x00*"),
             F.lit("image/tiff"),

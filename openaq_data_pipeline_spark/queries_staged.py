@@ -5580,3 +5580,85 @@ def q_image_pair_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "image_ico_decode",
+    "EXT-multimodal — ICO favicon decode (r16 capability wave: "
+    "every crawl fetches /favicon.ico for every host it touches, "
+    "so the image plane must read the container; public ICONDIR "
+    "layout — members are embedded PNGs (modern) or headerless "
+    "DIBs with doubled XOR+AND height, bottom-up BGRA/BGRX rows, "
+    "1/4/8-bpp palettes; the AND transparency mask drops, the "
+    "codec posture; the sniffer guards the NUL-heavy magic with a "
+    "count-byte plausibility check): per document a two-band 4x6 "
+    "icon rotates through a PNG member, a BGRA DIB, a palette DIB "
+    "(1/4/8 bpp by residue), and a MULTI-member file whose largest "
+    "member must win. The oracle is the CLOSED FORM of the band "
+    "construction — ground truth, not a decode replay",
+    oracle="""
+SELECT doc_id,
+       'image/vnd.microsoft.icon' AS mime,
+       'image' AS route,
+       CAST(6 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST((doc_id % 3 + 1) * 18 * (10 + doc_id % 40)
+            + (3 - doc_id % 3) * 18 * (180 + doc_id % 70)
+            AS BIGINT) AS px_sum
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+    from openaq_data_pipeline_spark.operators.router import (
+        route_for_mime,
+    )
+    from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_ico,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                s = i % 3 + 1
+                img = np.empty((4, 6, 3), np.uint8)
+                img[:s] = 10 + i % 40
+                img[s:] = 180 + i % 70
+                arm = i % 4
+                if arm == 0:
+                    blobs.append(encode_ico([img], ["png"]))
+                elif arm == 1:
+                    blobs.append(encode_ico([img], ["bmp32"]))
+                elif arm == 2:
+                    mode = ("pal1", "pal4", "pal8")[i % 3]
+                    blobs.append(encode_ico([img], [mode]))
+                else:
+                    small = np.full((2, 3, 3), 7, np.uint8)
+                    blobs.append(
+                        encode_ico([small, img], ["bmp32", "png"])
+                    )
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    icos = d.mapInPandas(synth, schema="doc_id long, content binary")
+    mimes = icos.select(
+        "doc_id", sniff_mime(F.col("content")).alias("mime")
+    ).withColumn("route", route_for_mime(F.col("mime")))
+    return (
+        extract_features(icos, "content", id_col="doc_id", decode="real")
+        .join(mimes, "doc_id")
+        .select("doc_id", "mime", "route", "width", "height", "px_sum")
+        .orderBy("doc_id")
+    )
