@@ -1,0 +1,251 @@
+"""Web-font metadata walk — sfnt (TTF/OTF) and WOFF/WOFF2 (r16
+capability wave: font files are a sizable slice of any web crawl,
+and a training pipeline wants them IDENTIFIED and characterized —
+format, table count, units-per-em, glyph count — without shipping a
+rasterizer; public specs: OpenType/ISO 14496-22 sfnt layout, W3C
+WOFF 1.0).
+
+Reach is honest: WOFF1 tables are per-table zlib (stdlib, capped
+decompress of exactly the two tables the walk needs); WOFF2 is
+Brotli-compressed with TRANSFORMED glyf/loca tables, so it stays
+header-only (format + declared table count + flavor) — recovering
+upem/glyph counts would require the full reconstruction algorithm,
+documented boundary, NULL columns.
+
+Bomb posture: table offsets/lengths validate against the blob,
+decompression is capped at the declared origLength, and only
+head/maxp ever decompress.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_SFNT_TTF = b"\x00\x01\x00\x00"
+_SFNT_OTTO = b"OTTO"
+_SFNT_TRUE = b"true"
+_HEAD_MAGIC = 0x5F0F3CF5
+
+
+def _sfnt_tables(content: bytes, off: int = 0) -> dict[bytes, tuple[int, int]]:
+    (n_tables,) = struct.unpack_from(">H", content, off + 4)
+    out = {}
+    for k in range(n_tables):
+        e = off + 12 + 16 * k
+        if e + 16 > len(content):
+            raise ValueError("sfnt table directory truncated")
+        tag = content[e : e + 4]
+        t_off, t_len = struct.unpack_from(">II", content, e + 8)
+        if t_off + t_len > len(content):
+            raise ValueError(f"sfnt table {tag!r} out of range")
+        out[tag] = (t_off, t_len)
+    return out
+
+
+def _head_maxp(
+    head: bytes | None, maxp: bytes | None
+) -> tuple[int | None, int | None]:
+    upem = n_glyphs = None
+    if head is not None and len(head) >= 54:
+        (magic,) = struct.unpack_from(">I", head, 12)
+        if magic != _HEAD_MAGIC:
+            raise ValueError("sfnt head magicNumber mismatch")
+        (upem,) = struct.unpack_from(">H", head, 18)
+    if maxp is not None and len(maxp) >= 6:
+        (n_glyphs,) = struct.unpack_from(">H", maxp, 4)
+    return upem, n_glyphs
+
+
+def font_header_stats(
+    content: bytes,
+) -> tuple[str, int, int | None, int | None]:
+    """(format, n_tables, units_per_em, n_glyphs) — format is
+    ``ttf`` / ``otf`` / ``woff`` / ``woff2``; upem comes from the
+    head table (magicNumber verified), glyph count from maxp; WOFF2
+    keeps NULL metrics (documented boundary). ValueError on
+    non-font bytes or malformed directories."""
+    if len(content) < 12:
+        raise ValueError("font stream too short")
+    sig = content[:4]
+    if sig in (_SFNT_TTF, _SFNT_TRUE, _SFNT_OTTO):
+        tables = _sfnt_tables(content)
+        fmt = "otf" if sig == _SFNT_OTTO else "ttf"
+
+        def raw(tag):
+            if tag not in tables:
+                return None
+            o, ln = tables[tag]
+            return content[o : o + ln]
+
+        upem, n_glyphs = _head_maxp(raw(b"head"), raw(b"maxp"))
+        return fmt, len(tables), upem, n_glyphs
+    if sig == b"wOFF":
+        flavor = content[4:8]
+        (n_tables,) = struct.unpack_from(">H", content, 12)
+        want = {}
+        for k in range(n_tables):
+            e = 44 + 20 * k
+            if e + 20 > len(content):
+                raise ValueError("WOFF table directory truncated")
+            tag = content[e : e + 4]
+            off, comp_len, orig_len = struct.unpack_from(
+                ">III", content, e + 4
+            )
+            if tag in (b"head", b"maxp"):
+                if off + comp_len > len(content):
+                    raise ValueError(f"WOFF table {tag!r} out of range")
+                want[tag] = (off, comp_len, orig_len)
+
+        def unpack(entry):
+            if entry is None:
+                return None
+            off, comp_len, orig_len = entry
+            blob = content[off : off + comp_len]
+            if comp_len == orig_len:
+                return blob
+            d = zlib.decompressobj()
+            try:
+                out = d.decompress(blob, orig_len)
+            except zlib.error as exc:
+                raise ValueError(f"WOFF table corrupt: {exc}") from exc
+            if d.unconsumed_tail or len(out) != orig_len:
+                raise ValueError("WOFF table origLength mismatch")
+            return out
+
+        upem, n_glyphs = _head_maxp(
+            unpack(want.get(b"head")), unpack(want.get(b"maxp"))
+        )
+        del flavor  # the wrapped sfnt version; container format wins
+        return "woff", n_tables, upem, n_glyphs
+    if sig == b"wOF2":
+        (n_tables,) = struct.unpack_from(">H", content, 12)
+        return "woff2", n_tables, None, None
+    raise ValueError(f"unknown font magic {sig!r}")
+
+
+def _sfnt_checksum(data: bytes) -> int:
+    pad = (-len(data)) % 4
+    data = data + b"\x00" * pad
+    total = 0
+    for (word,) in struct.iter_unpack(">I", data):
+        total = (total + word) & 0xFFFFFFFF
+    return total
+
+
+def encode_font_stub(
+    n_glyphs: int,
+    units_per_em: int = 1000,
+    fmt: str = "ttf",
+) -> bytes:
+    """Minimal structurally-valid font: real sfnt directory with
+    correct offsets/lengths/checksums over genuine head + maxp
+    tables (``fmt``: ``ttf``/``otf`` pick the sfnt version tag;
+    ``woff`` wraps the same two tables with per-table zlib). The
+    fixture face of :func:`font_header_stats` — no glyph outlines
+    (documented stub; the metadata walk is the product)."""
+    head = struct.pack(
+        ">IIIIHHQQhhhhHHhhh",
+        0x00010000,            # version
+        0,                     # fontRevision
+        0,                     # checkSumAdjustment
+        _HEAD_MAGIC,           # magicNumber
+        0, units_per_em,       # flags, unitsPerEm
+        0, 0,                  # created, modified
+        0, 0, 0, 0,            # bbox
+        0, 8,                  # macStyle, lowestRecPPEM
+        2, 0, 0,               # direction, locFormat, glyphFormat
+    )
+    maxp = struct.pack(">IH", 0x00005000, n_glyphs)  # v0.5
+    tables = [(b"head", head), (b"maxp", maxp)]
+    if fmt in ("ttf", "otf"):
+        sig = _SFNT_OTTO if fmt == "otf" else _SFNT_TTF
+        n = len(tables)
+        out = bytearray(struct.pack(">4sHHHH", sig, n, 16 * n, 4, 0))
+        off = 12 + 16 * n
+        body = bytearray()
+        for tag, data in tables:
+            out += struct.pack(
+                ">4sIII", tag, _sfnt_checksum(data), off, len(data)
+            )
+            pad = (-len(data)) % 4
+            body += data + b"\x00" * pad
+            off += len(data) + pad
+        return bytes(out + body)
+    if fmt != "woff":
+        raise ValueError(f"unknown font stub format {fmt!r}")
+    n = len(tables)
+    entries = []
+    body = bytearray()
+    off = 44 + 20 * n
+    total_sfnt = 12 + 16 * n
+    for tag, data in tables:
+        comp = zlib.compress(data, 9)
+        if len(comp) >= len(data):
+            comp = data
+        entries.append(
+            (tag, off, len(comp), len(data), _sfnt_checksum(data))
+        )
+        pad = (-len(comp)) % 4
+        body += comp + b"\x00" * pad
+        off += len(comp) + pad
+        total_sfnt += len(data) + ((-len(data)) % 4)
+    header = struct.pack(
+        ">4s4sIHHIHHIIIII",
+        b"wOFF", _SFNT_TTF, 44 + 20 * n + len(body), n, 0,
+        total_sfnt, 1, 0, 0, 0, 0, 0, 0,
+    )
+    dir_bytes = b"".join(
+        struct.pack(">4sIIII", t, o, cl, ol, ck)
+        for t, o, cl, ol, ck in entries
+    )
+    return header + dir_bytes + bytes(body)
+
+
+_FONT_DDL = (
+    "media_id long, n_bytes long, format string, n_tables int, "
+    "units_per_em int, n_glyphs int"
+)
+
+
+def font_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary font column → :func:`font_header_stats` rows via Arrow
+    ``mapInPandas``; ``lenient=True`` keeps non-font rows with NULL
+    columns (the front-door contract)."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _FONT_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "format", "n_tables",
+                "units_per_em", "n_glyphs",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                try:
+                    fmt, nt, upem, ng = font_header_stats(blob)
+                except Exception:
+                    if not lenient:
+                        raise
+                    fmt = nt = upem = ng = None
+                out["format"].append(fmt)
+                out["n_tables"].append(nt)
+                out["units_per_em"].append(upem)
+                out["n_glyphs"].append(ng)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)

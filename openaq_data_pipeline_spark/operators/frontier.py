@@ -875,3 +875,74 @@ def recrawl_candidates(
         priority.cast("int").alias("priority"),
         *[F.col(h) for h in hint_cols],
     )
+
+
+def parse_hls_playlist(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """HLS/M3U8 playlist explode (r16 capability wave: streaming
+    video dominates crawl bandwidth, and both the frontier — which
+    must enqueue segment/variant URIs — and a video-metadata plane
+    read the same playlist; public spec: RFC 8216).
+
+    One row per URI entry: (id, entry_idx, kind, duration_ms,
+    bandwidth, resolution, uri). ``kind`` is ``segment`` when the
+    governing tag is ``#EXTINF`` (media playlist) and ``variant``
+    for ``#EXT-X-STREAM-INF`` (master playlist); each URI line
+    binds to the NEAREST preceding tag line (RFC 8216 §4.1: the
+    tag applies to the following URI), carried by a per-document
+    ``last(ignorenulls)`` running window — whole-stage codegen plus
+    one doc-local window, the subtitle plane's exchange shape.
+    Non-#EXTM3U inputs yield no rows (callers gate on the header)."""
+    norm = F.regexp_replace(F.col(content_col), "\r\n?", "\n")
+    lines = df.where(norm.startswith("#EXTM3U")).select(
+        F.col(id_col),
+        F.posexplode(F.split(norm, "\n")).alias("__pos", "__line"),
+    )
+    line = F.trim(F.col("__line"))
+    tag = F.when(
+        line.startswith("#EXTINF")
+        | line.startswith("#EXT-X-STREAM-INF"),
+        line,
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tagged = lines.select(
+        F.col(id_col),
+        F.col("__pos"),
+        line.alias("__l"),
+        F.last(tag, ignorenulls=True).over(w).alias("__tag"),
+    )
+    uri_rows = tagged.where(
+        (F.col("__l") != "")
+        & ~F.col("__l").startswith("#")
+        & F.col("__tag").isNotNull()
+    )
+    kind = F.when(
+        F.col("__tag").startswith("#EXTINF"), F.lit("segment")
+    ).otherwise(F.lit("variant"))
+    secs = F.regexp_extract(F.col("__tag"), r"#EXTINF:([0-9.]+)", 1)
+    duration_ms = F.when(
+        secs != "", F.round(secs.cast("double") * 1000).cast("long")
+    )
+    bandwidth = F.nullif(
+        F.regexp_extract(F.col("__tag"), r"BANDWIDTH=(\d+)", 1),
+        F.lit(""),
+    ).cast("long")
+    resolution = F.nullif(
+        F.regexp_extract(
+            F.col("__tag"), r"RESOLUTION=(\d+x\d+)", 1
+        ),
+        F.lit(""),
+    )
+    w2 = Window.partitionBy(id_col).orderBy("__pos")
+    return uri_rows.select(
+        F.col(id_col),
+        (F.row_number().over(w2) - 1).cast("long").alias("entry_idx"),
+        kind.alias("kind"),
+        duration_ms.alias("duration_ms"),
+        bandwidth.alias("bandwidth"),
+        resolution.alias("resolution"),
+        F.col("__l").alias("uri"),
+    )

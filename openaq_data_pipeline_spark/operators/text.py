@@ -1147,6 +1147,16 @@ def sniff_mime(payload: Column) -> Column:
             F.lit("audio/mpeg"),
         )
         .when(magic(1, b"RIFF") & magic(9, b"WEBP"), F.lit("image/webp"))
+        # web fonts (r16): sfnt (TTF/OTTO) and the WOFF wrappers —
+        # identified and counted at the front door (route stays
+        # 'discard': no glyph plane, but the mime is observable)
+        .when(
+            magic(1, b"\x00\x01\x00\x00") | magic(1, b"true"),
+            F.lit("font/ttf"),
+        )
+        .when(magic(1, b"OTTO"), F.lit("font/otf"))
+        .when(magic(1, b"wOFF"), F.lit("font/woff"))
+        .when(magic(1, b"wOF2"), F.lit("font/woff2"))
         # ICO/CUR (r16): every crawl fetches /favicon.ico; the
         # 6-byte ICONDIR prefix (reserved 0, type 1/2, count >= 1
         # with a plausible low byte) keeps the NUL-heavy magic from

@@ -5662,3 +5662,183 @@ def q_image_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "mime", "route", "width", "height", "px_sum")
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "font_metadata_stats",
+    "EXT-fonts — web-font metadata walk (r16 capability wave: font "
+    "files are a sizable slice of any crawl; public sfnt/ISO "
+    "14496-22 + W3C WOFF 1.0 layouts): per document the blob "
+    "rotates through raw sfnt TTF, CFF OTTO, a WOFF wrapper whose "
+    "head/maxp tables decompress per-table zlib under the declared "
+    "origLength cap, a WOFF2 (Brotli + transformed tables — "
+    "documented boundary, header-only: format + declared table "
+    "count, NULL metrics), and a corrupt head-magic residue that "
+    "must degrade to NULL columns observably. The sniffer "
+    "identifies all four formats at the front door (route stays "
+    "discard — no glyph plane). The oracle is the CLOSED FORM of "
+    "the synthesis — ground truth, not a walk replay",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'ttf' WHEN 1 THEN 'otf' WHEN 2 THEN 'woff'
+         WHEN 3 THEN 'woff2' ELSE NULL END AS format,
+       CASE doc_id % 5
+         WHEN 3 THEN CAST(5 + doc_id % 7 AS INT)
+         WHEN 4 THEN NULL
+         ELSE CAST(2 AS INT) END AS n_tables,
+       CASE WHEN doc_id % 5 IN (3, 4) THEN NULL
+            ELSE CAST(CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1
+                 THEN 2048 WHEN 2 THEN 1024 ELSE 512 END AS INT)
+            END AS units_per_em,
+       CASE WHEN doc_id % 5 IN (3, 4) THEN NULL
+            ELSE CAST(10 + doc_id % 500 AS INT) END AS n_glyphs
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_font_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.fonts import (
+        font_features,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import struct as _struct
+
+        from openaq_data_pipeline_spark.operators.fonts import (
+            encode_font_stub,
+        )
+
+        upems = (1000, 2048, 1024, 512)
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                arm = i % 5
+                ng, upem = 10 + i % 500, upems[i % 4]
+                if arm == 0:
+                    blobs.append(encode_font_stub(ng, upem, "ttf"))
+                elif arm == 1:
+                    blobs.append(encode_font_stub(ng, upem, "otf"))
+                elif arm == 2:
+                    blobs.append(encode_font_stub(ng, upem, "woff"))
+                elif arm == 3:
+                    blobs.append(
+                        b"wOF2" + b"\x00\x01\x00\x00"
+                        + _struct.pack(">I", 100)
+                        + _struct.pack(">H", 5 + i % 7)
+                        + b"\x00" * 30
+                    )
+                else:
+                    # corrupt: head magicNumber flipped — the walk
+                    # must refuse, the lenient plane keeps NULLs
+                    b = bytearray(encode_font_stub(ng, upem, "ttf"))
+                    off = 12 + 16 * 2 + 12  # head body + magic offset
+                    b[off] ^= 0xFF
+                    blobs.append(bytes(b))
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    fonts = d.mapInPandas(synth, schema="doc_id long, content binary")
+    return (
+        font_features(fonts, "content", id_col="doc_id", lenient=True)
+        .select(
+            "doc_id", "format", "n_tables", "units_per_em", "n_glyphs",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register_staged(
+    "hls_playlist_extract",
+    "EXT-frontier — HLS/M3U8 playlist explode (r16 capability "
+    "wave: streaming video dominates crawl bandwidth; RFC 8216 — "
+    "the frontier enqueues the exploded segment/variant URIs and "
+    "the video plane reads the same rows; whole-stage codegen plus "
+    "one doc-local running window binding each URI to its nearest "
+    "preceding tag): per document a MEDIA playlist (even ids — "
+    "1+i%4 #EXTINF segments with millisecond durations, a comment "
+    "and a blank line that must not bind) or a MASTER playlist "
+    "(odd ids — 1+i%3 #EXT-X-STREAM-INF variants with closed-form "
+    "BANDWIDTH/RESOLUTION) synthesizes IN CODEGEN. The oracle is "
+    "the CLOSED FORM of the synthesis — ground truth, not a parse "
+    "replay",
+    oracle="""
+SELECT doc_id, CAST(k AS BIGINT) AS entry_idx,
+       CASE WHEN doc_id % 2 = 0 THEN 'segment'
+            ELSE 'variant' END AS kind,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(1000 * (1 + doc_id % 3) + doc_id % 7 AS BIGINT)
+            END AS duration_ms,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(100000 * (k + 1) + doc_id % 1000 AS BIGINT)
+            END AS bandwidth,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(640 + 64 * k AS VARCHAR) || 'x'
+                 || CAST(360 + 36 * k AS VARCHAR) END AS resolution,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'seg' || CAST(k AS VARCHAR) || '-'
+                 || CAST(doc_id AS VARCHAR) || '.ts'
+            ELSE 'v' || CAST(k AS VARCHAR) || '/'
+                 || CAST(doc_id AS VARCHAR) || '.m3u8' END AS uri
+FROM documents, generate_series(0, 3) t(k)
+WHERE (doc_id % 2 = 0 AND k <= doc_id % 4)
+   OR (doc_id % 2 = 1 AND k <= doc_id % 3)
+ORDER BY doc_id, entry_idx
+""",
+)
+def q_hls_playlist_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.frontier import (
+        parse_hls_playlist,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    seg_ks = F.sequence(F.lit(0), (i % 4).cast("int"))
+    var_ks = F.sequence(F.lit(0), (i % 3).cast("int"))
+    dur_ms = (F.lit(1000) * (i % 3 + 1) + i % 7).cast("long")
+    secs = F.format_string(
+        "%d.%03d", (dur_ms / 1000).cast("int"), (dur_ms % 1000).cast("int")
+    )
+
+    def seg(k):
+        return F.concat(
+            F.lit("#EXTINF:"), secs, F.lit(",title\nseg"),
+            k.cast("string"), F.lit("-"), i.cast("string"),
+            F.lit(".ts"),
+        )
+
+    def var(k):
+        return F.concat(
+            F.lit("#EXT-X-STREAM-INF:BANDWIDTH="),
+            (F.lit(100000) * (k.cast("long") + 1) + i % 1000).cast(
+                "string"
+            ),
+            F.lit(",RESOLUTION="),
+            (F.lit(640) + 64 * k.cast("int")).cast("string"),
+            F.lit("x"),
+            (F.lit(360) + 36 * k.cast("int")).cast("string"),
+            F.lit(",CODECS=\"avc1\"\nv"), k.cast("string"),
+            F.lit("/"), i.cast("string"), F.lit(".m3u8"),
+        )
+
+    media = F.concat(
+        F.lit("#EXTM3U\n#EXT-X-VERSION:3\n# a comment line\n\n"),
+        F.array_join(F.transform(seg_ks, seg), "\n"),
+        F.lit("\n#EXT-X-ENDLIST\n"),
+    )
+    master = F.concat(
+        F.lit("#EXTM3U\n\n"),
+        F.array_join(F.transform(var_ks, var), "\n"),
+        F.lit("\n"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(i % 2 == 0, media).otherwise(master).alias("content"),
+    )
+    return parse_hls_playlist(docs, "content", "doc_id").orderBy(
+        "doc_id", "entry_idx"
+    )

@@ -1,0 +1,121 @@
+"""r16 capability wave: web-font metadata walk (sfnt/WOFF/WOFF2)
+and HLS/M3U8 playlist explode."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from openaq_data_pipeline_spark.operators.fonts import (
+    encode_font_stub,
+    font_header_stats,
+)
+from openaq_data_pipeline_spark.operators.frontier import (
+    parse_hls_playlist,
+)
+
+
+class TestFonts:
+    def test_sfnt_and_woff_roundtrip(self):
+        for fmt in ("ttf", "otf", "woff"):
+            got = font_header_stats(encode_font_stub(321, 2048, fmt))
+            assert got == (fmt, 2, 2048, 321), fmt
+
+    def test_woff2_header_only_boundary(self):
+        w2 = (
+            b"wOF2" + b"\x00\x01\x00\x00" + struct.pack(">I", 100)
+            + struct.pack(">H", 7) + b"\x00" * 30
+        )
+        assert font_header_stats(w2) == ("woff2", 7, None, None)
+
+    def test_corrupt_head_magic_refused(self):
+        blob = bytearray(encode_font_stub(9, 1000, "ttf"))
+        off = 12 + 16 * 2 + 12
+        blob[off] ^= 0xFF
+        with pytest.raises(ValueError, match="magicNumber"):
+            font_header_stats(bytes(blob))
+        with pytest.raises(ValueError, match="unknown font magic"):
+            font_header_stats(b"not a font at all")
+
+    def test_woff_declared_origlength_enforced(self):
+        blob = bytearray(encode_font_stub(9, 1000, "woff"))
+        # corrupt the head origLength: declared != decompressed
+        # table dir entry 0 starts at 44; origLength at +12
+        struct.pack_into(">I", blob, 44 + 12, 53)
+        with pytest.raises(ValueError, match="origLength|corrupt"):
+            font_header_stats(bytes(blob))
+
+    def test_font_sniff(self, spark):
+        from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+        rows = [
+            (0, encode_font_stub(5, 1000, "ttf")),
+            (1, encode_font_stub(5, 1000, "otf")),
+            (2, encode_font_stub(5, 1000, "woff")),
+            (3, b"wOF2" + b"\x00" * 40),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r.id: r.m
+            for r in df.select(
+                "id", sniff_mime(F.col("payload")).alias("m")
+            ).collect()
+        }
+        assert got == {
+            0: "font/ttf", 1: "font/otf",
+            2: "font/woff", 3: "font/woff2",
+        }
+
+
+class TestHls:
+    def test_media_playlist_binding_and_comments(self, spark):
+        pl = (
+            "#EXTM3U\n#EXT-X-VERSION:3\n"
+            "# comment must not bind\n\n"
+            "#EXTINF:4.500,first\nseg0.ts\n"
+            "#EXTINF:3.000,\nseg1.ts\n"
+            "#EXT-X-ENDLIST\n"
+        )
+        df = spark.createDataFrame([(1, pl)], "id long, content string")
+        rows = (
+            parse_hls_playlist(df, "content", "id")
+            .orderBy("entry_idx")
+            .collect()
+        )
+        assert [
+            (r.entry_idx, r.kind, r.duration_ms, r.uri) for r in rows
+        ] == [
+            (0, "segment", 4500, "seg0.ts"),
+            (1, "segment", 3000, "seg1.ts"),
+        ]
+
+    def test_master_playlist_attrs(self, spark):
+        pl = (
+            "#EXTM3U\n"
+            '#EXT-X-STREAM-INF:BANDWIDTH=800000,RESOLUTION=1280x720,'
+            'CODECS="avc1"\nhd/index.m3u8\n'
+            "#EXT-X-STREAM-INF:BANDWIDTH=300000\nsd/index.m3u8\n"
+        )
+        df = spark.createDataFrame([(1, pl)], "id long, content string")
+        rows = (
+            parse_hls_playlist(df, "content", "id")
+            .orderBy("entry_idx")
+            .collect()
+        )
+        assert [
+            (r.kind, r.bandwidth, r.resolution, r.uri) for r in rows
+        ] == [
+            ("variant", 800000, "1280x720", "hd/index.m3u8"),
+            ("variant", 300000, None, "sd/index.m3u8"),
+        ]
+
+    def test_non_m3u8_yields_no_rows(self, spark):
+        df = spark.createDataFrame(
+            [(1, "just text"), (2, "#EXTM3U\nno-tag-uri.ts\n")],
+            "id long, content string",
+        )
+        rows = parse_hls_playlist(df, "content", "id").collect()
+        # doc 1 gated out; doc 2's URI has no governing tag → drops
+        assert rows == []
