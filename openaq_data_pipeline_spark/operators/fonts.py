@@ -124,8 +124,108 @@ def font_header_stats(
         return "woff", n_tables, upem, n_glyphs
     if sig == b"wOF2":
         (n_tables,) = struct.unpack_from(">H", content, 12)
-        return "woff2", n_tables, None, None
+        upem, n_glyphs = _woff2_head_maxp(content, n_tables)
+        return "woff2", n_tables, upem, n_glyphs
     raise ValueError(f"unknown font magic {sig!r}")
+
+
+# WOFF2 known-table tags in spec order (W3C WOFF 2.0 §5.2) — the
+# directory's 6-bit tag index decodes through this table; 0x3F means
+# an explicit 4cc follows.
+_WOFF2_KNOWN_TAGS = [
+    "cmap", "head", "hhea", "hmtx", "maxp", "name", "OS/2", "post",
+    "cvt ", "fpgm", "glyf", "loca", "prep", "CFF ", "VORG", "EBDT",
+    "EBLC", "gasp", "hdmx", "kern", "LTSH", "PCLT", "VDMX", "vhea",
+    "vmtx", "BASE", "GDEF", "GPOS", "GSUB", "EBSC", "JSTF", "MATH",
+    "CBDT", "CBLC", "COLR", "CPAL", "SVG ", "sbix", "acnt", "avar",
+    "bdat", "bloc", "bsln", "cvar", "fdsc", "feat", "fmtx", "fvar",
+    "gvar", "hsty", "just", "lcar", "mort", "morx", "opbd", "prop",
+    "trak", "Zapf", "Silf", "Glat", "Gloc", "Feat", "Sill",
+]
+
+
+def _uint_base128(content: bytes, pos: int) -> tuple[int, int]:
+    """(value, next_pos) — WOFF2 UIntBase128: ≤5 bytes, 7 bits each,
+    MSB continuation; leading-zero bytes and >32-bit values are
+    malformed per spec."""
+    value = 0
+    for k in range(5):
+        if pos >= len(content):
+            raise ValueError("WOFF2 varint truncated")
+        b = content[pos]
+        pos += 1
+        if k == 0 and b == 0x80:
+            raise ValueError("WOFF2 varint leading zero")
+        if value & 0xFE000000:
+            raise ValueError("WOFF2 varint overflow")
+        value = (value << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return value, pos
+    raise ValueError("WOFF2 varint exceeds 5 bytes")
+
+
+def _woff2_head_maxp(
+    content: bytes, n_tables: int
+) -> tuple[int | None, int | None]:
+    """(units_per_em, n_glyphs) out of a WOFF2 — r16 second pass:
+    the r16 first cut kept WOFF2 header-only, but head and maxp are
+    NEVER transformed (only glyf/loca/hmtx have transforms, W3C
+    WOFF 2.0 §5.3), so after parsing the varint directory and
+    brotli-decompressing the single table stream (gated
+    ``compress_native``, capped at the header's declared
+    totalSfntSize) both metrics read exactly as in sfnt. Absent
+    libbrotlidec = (None, None), the prior behavior — never an
+    error."""
+    from openaq_data_pipeline_spark.operators.compress_native import (
+        brotli_available,
+        brotli_decompress_capped,
+    )
+
+    (total_sfnt,) = struct.unpack_from(">I", content, 16)
+    pos = 48
+    offset = 0
+    want: dict[bytes, tuple[int, int]] = {}
+    for _ in range(n_tables):
+        if pos >= len(content):
+            raise ValueError("WOFF2 directory truncated")
+        flags = content[pos]
+        pos += 1
+        tag_idx = flags & 0x3F
+        transform = (flags >> 6) & 0x03
+        if tag_idx == 0x3F:
+            tag = content[pos : pos + 4]
+            pos += 4
+        else:
+            tag = _WOFF2_KNOWN_TAGS[tag_idx].encode("latin-1")
+        orig_len, pos = _uint_base128(content, pos)
+        # null transform is version 0 for most tables but version 3
+        # for glyf/loca; a transformed table stores transformLength
+        transformed = (
+            transform != 3 if tag in (b"glyf", b"loca")
+            else transform != 0
+        )
+        length = orig_len
+        if transformed:
+            length, pos = _uint_base128(content, pos)
+        if tag in (b"head", b"maxp") and not transformed:
+            want[tag] = (offset, orig_len)
+        offset += length
+    if not want or not brotli_available():
+        return None, None
+    # single compressed stream follows the directory; cap = the
+    # header's own totalSfntSize claim (sanity-bounded)
+    cap = min(max(int(total_sfnt), offset), 1 << 26)
+    stream = brotli_decompress_capped(content[pos:], cap)
+    if stream is None or len(stream) < offset:
+        raise ValueError("WOFF2 table stream corrupt or undersized")
+
+    def raw(tag):
+        if tag not in want:
+            return None
+        o, ln = want[tag]
+        return stream[o : o + ln]
+
+    return _head_maxp(raw(b"head"), raw(b"maxp"))
 
 
 def _sfnt_checksum(data: bytes) -> int:
@@ -176,6 +276,28 @@ def encode_font_stub(
             body += data + b"\x00" * pad
             off += len(data) + pad
         return bytes(out + body)
+    if fmt == "woff2":
+        # head=1, maxp=4 in the known-tags table; transform 0 (null)
+        # → flags byte is the bare index, origLength as a 1-byte
+        # varint (both tables are tiny). One brotli stream.
+        from openaq_data_pipeline_spark.operators.compress_native import (
+            brotli_compress,
+        )
+
+        directory = bytes([1, len(head), 4, len(maxp)])
+        stream = brotli_compress(head + maxp, quality=9)
+        n = len(tables)
+        total_sfnt = (
+            12 + 16 * n
+            + sum(len(d) + ((-len(d)) % 4) for _t, d in tables)
+        )
+        header = struct.pack(
+            ">4s4sIHHIIHHIIIII",
+            b"wOF2", _SFNT_TTF,
+            48 + len(directory) + len(stream),
+            n, 0, total_sfnt, len(stream), 1, 0, 0, 0, 0, 0, 0,
+        )
+        return header + directory + stream
     if fmt != "woff":
         raise ValueError(f"unknown font stub format {fmt!r}")
     n = len(tables)

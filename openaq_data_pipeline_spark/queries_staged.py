@@ -5664,38 +5664,61 @@ def q_image_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
-    "font_metadata_stats",
-    "EXT-fonts — web-font metadata walk (r16 capability wave: font "
-    "files are a sizable slice of any crawl; public sfnt/ISO "
-    "14496-22 + W3C WOFF 1.0 layouts): per document the blob "
-    "rotates through raw sfnt TTF, CFF OTTO, a WOFF wrapper whose "
-    "head/maxp tables decompress per-table zlib under the declared "
-    "origLength cap, a WOFF2 (Brotli + transformed tables — "
-    "documented boundary, header-only: format + declared table "
-    "count, NULL metrics), and a corrupt head-magic residue that "
-    "must degrade to NULL columns observably. The sniffer "
-    "identifies all four formats at the front door (route stays "
-    "discard — no glyph plane). The oracle is the CLOSED FORM of "
-    "the synthesis — ground truth, not a walk replay",
-    oracle="""
+def _font_stats_oracle(br_ok: bool) -> str:
+    """Closed form of q_font_metadata_stats's synthesis given
+    whether the gated brotli codec loaded: with it the WOFF2 arm is
+    a REAL varint-directory + single-stream font whose untransformed
+    head/maxp recover exactly (n_tables 2); without it the arm folds
+    to the header-only stub (declared 5+i%7 tables, NULL metrics)."""
+    if br_ok:
+        nt3 = "CAST(2 AS INT)"
+        upem3 = ("CAST(CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 "
+                 "THEN 2048 WHEN 2 THEN 1024 ELSE 512 END AS INT)")
+        ng3 = "CAST(10 + doc_id % 500 AS INT)"
+    else:
+        nt3 = "CAST(5 + doc_id % 7 AS INT)"
+        upem3 = "NULL"
+        ng3 = "NULL"
+    return f"""
 SELECT doc_id,
        CASE doc_id % 5
          WHEN 0 THEN 'ttf' WHEN 1 THEN 'otf' WHEN 2 THEN 'woff'
          WHEN 3 THEN 'woff2' ELSE NULL END AS format,
        CASE doc_id % 5
-         WHEN 3 THEN CAST(5 + doc_id % 7 AS INT)
+         WHEN 3 THEN {nt3}
          WHEN 4 THEN NULL
          ELSE CAST(2 AS INT) END AS n_tables,
-       CASE WHEN doc_id % 5 IN (3, 4) THEN NULL
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            WHEN doc_id % 5 = 3 THEN {upem3}
             ELSE CAST(CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1
                  THEN 2048 WHEN 2 THEN 1024 ELSE 512 END AS INT)
             END AS units_per_em,
-       CASE WHEN doc_id % 5 IN (3, 4) THEN NULL
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            WHEN doc_id % 5 = 3 THEN {ng3}
             ELSE CAST(10 + doc_id % 500 AS INT) END AS n_glyphs
 FROM documents
 ORDER BY doc_id
-""",
+"""
+
+
+@register_staged(
+    "font_metadata_stats",
+    "EXT-fonts — web-font metadata walk (r16 capability wave: font "
+    "files are a sizable slice of any crawl; public sfnt/ISO "
+    "14496-22 + W3C WOFF 1.0/2.0 layouts): per document the blob "
+    "rotates through raw sfnt TTF, CFF OTTO, a WOFF wrapper whose "
+    "head/maxp tables decompress per-table zlib under the declared "
+    "origLength cap, a WOFF2 — REAL varint directory + single "
+    "Brotli stream through the gated compress_native binding "
+    "(head/maxp are never transformed, so both metrics recover "
+    "exactly; absent library the arm folds to a header-only stub "
+    "with NULL metrics, availability frozen driver-side, oracle "
+    "derived from the same boolean) — and a corrupt head-magic "
+    "residue that must degrade to NULL columns observably. The "
+    "sniffer identifies all four formats at the front door (route "
+    "stays discard — no glyph plane). The oracle is the CLOSED "
+    "FORM of the synthesis — ground truth, not a walk replay",
+    oracle=_font_stats_oracle(_native_brotli_ok()),
 )
 def q_font_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openaq_data_pipeline_spark.operators.fonts import (
@@ -5703,6 +5726,7 @@ def q_font_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    br_ok = _native_brotli_ok()  # frozen at plan build (driver side)
 
     def synth(batches):
         import struct as _struct
@@ -5726,12 +5750,20 @@ def q_font_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif arm == 2:
                     blobs.append(encode_font_stub(ng, upem, "woff"))
                 elif arm == 3:
-                    blobs.append(
-                        b"wOF2" + b"\x00\x01\x00\x00"
-                        + _struct.pack(">I", 100)
-                        + _struct.pack(">H", 5 + i % 7)
-                        + b"\x00" * 30
-                    )
+                    if br_ok:
+                        blobs.append(
+                            encode_font_stub(ng, upem, "woff2")
+                        )
+                    else:  # header-only fold: full 48-byte
+                        # header + null directory entries, no
+                        # head/maxp -> declared count, NULL metrics
+                        nt = 5 + i % 7
+                        blobs.append(
+                            b"wOF2" + b"\x00\x01\x00\x00"
+                            + _struct.pack(">I", 100)
+                            + _struct.pack(">H", nt)
+                            + b"\x00" * 34 + b"\x00" * (2 * nt)
+                        )
                 else:
                     # corrupt: head magicNumber flipped — the walk
                     # must refuse, the lenient plane keeps NULLs

@@ -24,11 +24,17 @@ class TestFonts:
             assert got == (fmt, 2, 2048, 321), fmt
 
     def test_woff2_header_only_boundary(self):
+        # full 48-byte header + 7 null directory entries (flags 0,
+        # origLength 0) and no head/maxp → declared count, NULL
+        # metrics, regardless of the brotli gate
         w2 = (
             b"wOF2" + b"\x00\x01\x00\x00" + struct.pack(">I", 100)
-            + struct.pack(">H", 7) + b"\x00" * 30
+            + struct.pack(">H", 7) + b"\x00" * 34 + b"\x00" * 14
         )
         assert font_header_stats(w2) == ("woff2", 7, None, None)
+        # truncated directory is malformed, not NULL-metrics
+        with pytest.raises(ValueError, match="directory truncated"):
+            font_header_stats(w2[:50])
 
     def test_corrupt_head_magic_refused(self):
         blob = bytearray(encode_font_stub(9, 1000, "ttf"))
@@ -119,3 +125,56 @@ class TestHls:
         rows = parse_hls_playlist(df, "content", "id").collect()
         # doc 1 gated out; doc 2's URI has no governing tag → drops
         assert rows == []
+
+
+class TestWoff2:
+    def test_real_woff2_metrics_via_brotli_gate(self):
+        from openaq_data_pipeline_spark.operators.compress_native import (
+            brotli_available,
+        )
+
+        if not brotli_available():
+            pytest.skip("libbrotli not present")
+        from openaq_data_pipeline_spark.operators.fonts import (
+            encode_font_stub,
+            font_header_stats,
+        )
+
+        blob = encode_font_stub(444, 1024, "woff2")
+        assert font_header_stats(blob) == ("woff2", 2, 1024, 444)
+        # corrupt stream → loud refusal, not wrong metrics
+        bad = bytearray(blob)
+        bad[60] ^= 0xFF
+        with pytest.raises(ValueError, match="stream corrupt"):
+            font_header_stats(bytes(bad))
+
+    def test_gate_closed_folds_to_header_only(self, monkeypatch):
+        from openaq_data_pipeline_spark.operators import (
+            compress_native as cn,
+        )
+        from openaq_data_pipeline_spark.operators.fonts import (
+            font_header_stats,
+        )
+
+        blob = (
+            b"wOF2" + b"\x00\x01\x00\x00" + struct.pack(">I", 100)
+            + struct.pack(">H", 3) + b"\x00" * 34
+            + bytes([1, 54, 4, 6, 0, 0])  # head/maxp/cmap entries
+        )
+        monkeypatch.setattr(cn, "brotli_available", lambda: False)
+        fmt, nt, upem, ng = font_header_stats(blob)
+        assert (fmt, upem, ng) == ("woff2", None, None)
+
+    def test_varint_malformations(self):
+        from openaq_data_pipeline_spark.operators.fonts import (
+            _uint_base128,
+        )
+
+        assert _uint_base128(b"\x7f", 0) == (127, 1)
+        assert _uint_base128(b"\x81\x00", 0) == (128, 2)
+        with pytest.raises(ValueError, match="leading zero"):
+            _uint_base128(b"\x80\x01", 0)
+        with pytest.raises(ValueError, match="truncated"):
+            _uint_base128(b"\xff", 0)
+        with pytest.raises(ValueError, match="5 bytes|overflow"):
+            _uint_base128(b"\xff\xff\xff\xff\xff\x01", 0)
