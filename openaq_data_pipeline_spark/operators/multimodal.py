@@ -1157,6 +1157,255 @@ def avif_header_stats(content: bytes) -> tuple[int, int, bool, bool]:
     return dims[0], dims[1], has_alpha, brand == b"avis"
 
 
+_HEIF_BRANDS = (b"heic", b"heix", b"heim", b"heis", b"mif1", b"msf1")
+
+
+def heif_header_stats(content: bytes) -> tuple[str, int, int, bool]:
+    """(brand, width, height, has_alpha) of an HEVC-coded HEIF
+    (r16: the iPhone default photo format — enormous wild share,
+    same ISO 23008-12 meta/iprp/ipco/ispe layout as AVIF, different
+    codec inside). HEADER-ONLY by design: HEVC decode needs a
+    system decoder the container does not ship (verified absent —
+    same boundary as MP3/Vorbis), so the walk recovers
+    dims/alpha/brand and the lenient image plane keeps NULL pixel
+    stats. ValueError on non-HEIF brands (AVIF keeps its own
+    walk)."""
+    boxes = list(_mp4_boxes(content, 0, len(content)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (ftyp must come first)")
+    fb = boxes[0][1]
+    brand = bytes(content[fb : fb + 4])
+    if brand not in _HEIF_BRANDS:
+        raise ValueError(f"ISO-BMFF brand {brand!r} is not HEIF")
+    meta = next(((b, e) for t, b, e in boxes if t == b"meta"), None)
+    if meta is None:
+        raise ValueError("HEIF lacks a meta box")
+    dims = None
+    has_alpha = False
+    for t, b, e in _mp4_boxes(content, meta[0] + 4, meta[1]):
+        if t != b"iprp":
+            continue
+        for t2, b2, e2 in _mp4_boxes(content, b, e):
+            if t2 != b"ipco":
+                continue
+            for t3, b3, e3 in _mp4_boxes(content, b2, e2):
+                if t3 == b"ispe" and dims is None:
+                    w, h = struct.unpack_from(">II", content, b3 + 4)
+                    dims = (int(w), int(h))
+                elif t3 == b"auxC":
+                    urn = bytes(content[b3 + 4 : e3]).split(b"\0")[0]
+                    if b"alpha" in urn:
+                        has_alpha = True
+    if dims is None:
+        raise ValueError("HEIF lacks an ispe property")
+    return brand.decode("latin-1"), dims[0], dims[1], has_alpha
+
+
+def encode_heif_header(
+    width: int,
+    height: int,
+    brand: bytes = b"heic",
+    has_alpha: bool = False,
+) -> bytes:
+    """Header-valid HEIF fixture (the :func:`encode_avif_header`
+    shape with an hvc1 item and HEIF brand)."""
+    ftyp = _mp4_box(
+        b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1"
+    )
+    ispe = _mp4_full(
+        b"ispe", 0, 0, struct.pack(">II", width, height)
+    )
+    props = ispe
+    if has_alpha:
+        props += _mp4_full(
+            b"auxC", 0, 0, b"urn:mpeg:hevc:2015:auxid:1:alpha\x00"
+        )
+    ipco = _mp4_box(b"ipco", props)
+    iprp = _mp4_box(b"iprp", ipco)
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0, b"\x00" * 4 + b"pict" + b"\x00" * 13
+    )
+    meta = _mp4_full(b"meta", 0, 0, hdlr + iprp)
+    return ftyp + meta + _mp4_box(b"mdat", b"\x00" * 16)
+
+
+# --- JPEG XL header walk (r16) ------------------------------------------
+#
+# The next-generation web image format: codestream signature FF 0A
+# (or the 12-byte ISO-BMFF container wrapper). The SizeHeader is a
+# little-bit-endian bitstream (ISO/IEC 18181-1 §headers): div8 flag
+# → small sizes as (u5+1)*8, else a 4-way U32 distribution; the
+# aspect-ratio table lets xsize derive from ysize. Decode is far
+# outside honest pure-NumPy reach (modular/VarDCT entropy streams)
+# and no system libjxl ships — header walk only, the HEIF posture.
+
+_JXL_CONTAINER_SIG = b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a"
+_JXL_RATIOS = {
+    1: (1, 1), 2: (12, 10), 3: (4, 3), 4: (3, 2),
+    5: (16, 9), 6: (5, 4), 7: (2, 1),
+}
+
+
+class _JxlBits:
+    """LSB-first bit reader (JXL bitstreams are little bit-endian)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for k in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("JXL header truncated")
+            bit = (self.data[byte] >> (self.pos & 7)) & 1
+            out |= bit << k
+            self.pos += 1
+        return out
+
+
+def _jxl_size(br: _JxlBits) -> int:
+    if br.read(1):  # div8
+        return (br.read(5) + 1) * 8
+    sel = br.read(2)
+    bits = (9, 13, 18, 30)[sel]
+    return br.read(bits) + 1
+
+
+def jxl_header_stats(content: bytes) -> tuple[int, int, bool]:
+    """(width, height, is_container) from a JPEG XL stream — the
+    SizeHeader walk over either the bare FF0A codestream or the
+    ISO-BMFF container (whose ``jxlc`` box carries the codestream).
+    ValueError on anything not JXL-shaped."""
+    is_container = content.startswith(_JXL_CONTAINER_SIG)
+    if is_container:
+        code = None
+        for t, b, e in _mp4_boxes(content, 0, len(content)):
+            if t == b"jxlc":
+                code = bytes(content[b:e])
+                break
+        if code is None:
+            raise ValueError("JXL container lacks a jxlc box")
+    else:
+        code = content
+    if code[:2] != b"\xff\x0a":
+        raise ValueError("not a JPEG XL codestream")
+    br = _JxlBits(code[2:])
+    ysize = _jxl_size(br)
+    ratio = br.read(3)
+    if ratio:
+        num, den = _JXL_RATIOS[ratio]
+        xsize = ysize * num // den
+    else:
+        xsize = _jxl_size(br)
+    if xsize == 0 or ysize == 0:
+        raise ValueError("JXL zero dimension")
+    return xsize, ysize, is_container
+
+
+def encode_jxl_header(
+    width: int, height: int, container: bool = False
+) -> bytes:
+    """Header-valid JPEG XL fixture: a real SizeHeader bitstream
+    (div8 fast path when both dims are ≤256 multiples of 8, else
+    the U32 encoding; explicit ratio 0) followed by opaque bytes —
+    no entropy stream (documented stub; the walk is the product)."""
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        for k in range(n):
+            bits.append((value >> k) & 1)
+
+    def put_size(size: int) -> None:
+        if size % 8 == 0 and 1 <= size // 8 <= 32:
+            put(1, 1)
+            put(size // 8 - 1, 5)
+        else:
+            put(0, 1)
+            for sel, nbits in enumerate((9, 13, 18, 30)):
+                if size <= (1 << nbits):
+                    put(sel, 2)
+                    put(size - 1, nbits)
+                    return
+            raise ValueError(f"JXL size {size} out of range")
+
+    put_size(height)
+    put(0, 3)  # ratio 0: explicit xsize
+    put_size(width)
+    out = bytearray()
+    for k in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[k : k + 8]):
+            byte |= bit << j
+        out.append(byte)
+    code = b"\xff\x0a" + bytes(out) + b"\x00" * 8
+    if not container:
+        return code
+    return (
+        _JXL_CONTAINER_SIG
+        + _mp4_box(b"ftyp", b"jxl " + struct.pack(">I", 0) + b"jxl ")
+        + _mp4_box(b"jxlc", code)
+    )
+
+
+_NEXTGEN_DDL = (
+    "media_id long, n_bytes long, fmt string, width int, "
+    "height int, has_alpha boolean, is_container boolean"
+)
+
+
+def nextgen_image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    lenient: bool = False,
+) -> DataFrame:
+    """Binary column → HEIF/JXL header stats via Arrow
+    ``mapInPandas`` (r16): dispatches by magic to
+    :func:`heif_header_stats` (``has_alpha``, NULL ``is_container``)
+    or :func:`jxl_header_stats` (``is_container``, NULL
+    ``has_alpha``); ``lenient=True`` keeps other rows with NULL
+    columns."""
+    id_ddl = (
+        f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+        + _NEXTGEN_DDL.split(", ", 1)[1]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "n_bytes", "fmt", "width", "height",
+                "has_alpha", "is_container",
+            )}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                blob = c if isinstance(c, bytes) else bytes(c or b"")
+                out[id_col].append(mid)
+                out["n_bytes"].append(len(blob))
+                fmt = w = h = alpha = cont = None
+                try:
+                    if blob[:2] == b"\xff\x0a" or blob.startswith(
+                        _JXL_CONTAINER_SIG
+                    ):
+                        w, h, cont = jxl_header_stats(blob)
+                        fmt = "jxl"
+                    else:
+                        _brand, w, h, alpha = heif_header_stats(blob)
+                        fmt = "heif"
+                except Exception:
+                    if not lenient:
+                        raise
+                    fmt = w = h = alpha = cont = None
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["has_alpha"].append(alpha)
+                out["is_container"].append(cont)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=id_ddl)
+
+
 def encode_avif_header(
     width: int,
     height: int,

@@ -80,6 +80,7 @@ _TEXT_MIMES = ("text/html", "application/pdf", "text/plain")
 _IMAGE_MIMES = (
     "image/png", "image/jpeg", "image/gif", "image/webp", "image/tiff",
     "image/avif", "image/svg+xml", "image/vnd.microsoft.icon",
+    "image/heif", "image/jxl",
 )
 _AUDIO_MIMES = ("audio/x-wav", "audio/flac", "audio/ogg", "audio/mpeg")
 _VIDEO_MIMES = ("video/x-msvideo", "video/mp4")

@@ -1185,7 +1185,24 @@ def sniff_mime(payload: Column) -> Column:
             magic(5, b"ftyp") & (magic(9, b"avif") | magic(9, b"avis")),
             F.lit("image/avif"),
         )
+        # HEIF brands (r16): the iPhone photo default — HEVC inside,
+        # so header-walk only, but it must route IMAGE, not video
+        .when(
+            magic(5, b"ftyp")
+            & (
+                magic(9, b"heic") | magic(9, b"heix")
+                | magic(9, b"heim") | magic(9, b"heis")
+                | magic(9, b"mif1") | magic(9, b"msf1")
+            ),
+            F.lit("image/heif"),
+        )
         .when(magic(5, b"ftyp"), F.lit("video/mp4"))
+        # JPEG XL (r16): bare codestream or the ISO-BMFF container
+        .when(
+            magic(1, b"\xff\x0a")
+            | magic(1, b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a"),
+            F.lit("image/jxl"),
+        )
         # POSIX ustar magic at byte offset 257 (r12: WebDataset and
         # archive crawls ship uncompressed tar; GNU tar writes
         # 'ustar ' with a space-terminated version — match the five

@@ -5874,3 +5874,110 @@ def q_hls_playlist_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_hls_playlist(docs, "content", "doc_id").orderBy(
         "doc_id", "entry_idx"
     )
+
+
+@register_staged(
+    "image_nextgen_stats",
+    "EXT-multimodal — next-generation image headers (r16 capability "
+    "wave: HEIF is the iPhone photo default — ISO 23008-12 "
+    "meta/ispe walk, HEVC inside so pixels stay a documented "
+    "boundary like MP3/Vorbis — and JPEG XL's SizeHeader is a "
+    "little-bit-endian bitstream over div8 / U32-distribution size "
+    "codes with the aspect-ratio derivation table; the sniffer "
+    "routes both to the IMAGE plane, heic ahead of the generic "
+    "video/mp4 ftyp arm): per document the blob rotates through "
+    "heic, heic+alpha (MIAF auxC URN), mif1, bare-codestream JXL, "
+    "container JXL (dims exercise both the div8 fast path and the "
+    "U32 arm), and a truncated-JXL residue that must keep NULL "
+    "columns observably. The oracle is the CLOSED FORM of the "
+    "synthesis — ground truth, not a walk replay",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 6 IN (0, 1, 2) THEN 'image/heif'
+            ELSE 'image/jxl' END AS mime,
+       'image' AS route,
+       CASE WHEN doc_id % 6 = 5 THEN NULL
+            WHEN doc_id % 6 IN (0, 1, 2) THEN 'heif'
+            ELSE 'jxl' END AS fmt,
+       CASE WHEN doc_id % 6 = 5 THEN NULL
+            WHEN doc_id % 6 IN (0, 1, 2)
+                THEN CAST(320 + doc_id % 200 AS INT)
+            WHEN doc_id % 6 = 3 THEN CAST(8 * (1 + doc_id % 32) AS INT)
+            ELSE CAST(257 + doc_id % 700 AS INT) END AS width,
+       CASE WHEN doc_id % 6 = 5 THEN NULL
+            WHEN doc_id % 6 IN (0, 1, 2)
+                THEN CAST(240 + doc_id % 100 AS INT)
+            WHEN doc_id % 6 = 3 THEN CAST(8 * (1 + doc_id % 16) AS INT)
+            ELSE CAST(300 + doc_id % 500 AS INT) END AS height,
+       CASE WHEN doc_id % 6 IN (0, 1, 2) THEN doc_id % 6 = 1
+            END AS has_alpha,
+       CASE WHEN doc_id % 6 IN (3, 4) THEN doc_id % 6 = 4
+            END AS is_container
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_image_nextgen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        nextgen_image_features,
+    )
+    from openaq_data_pipeline_spark.operators.router import (
+        route_for_mime,
+    )
+    from openaq_data_pipeline_spark.operators.text import sniff_mime
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_heif_header,
+            encode_jxl_header,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                arm = i % 6
+                if arm in (0, 1, 2):
+                    brand = (b"heic", b"heic", b"mif1")[arm]
+                    blobs.append(
+                        encode_heif_header(
+                            320 + i % 200, 240 + i % 100, brand,
+                            has_alpha=arm == 1,
+                        )
+                    )
+                elif arm == 3:  # div8 fast path, bare codestream
+                    blobs.append(
+                        encode_jxl_header(
+                            8 * (1 + i % 32), 8 * (1 + i % 16)
+                        )
+                    )
+                elif arm == 4:  # U32 arm, container
+                    blobs.append(
+                        encode_jxl_header(
+                            257 + i % 700, 300 + i % 500,
+                            container=True,
+                        )
+                    )
+                else:  # truncated codestream: NULL columns
+                    blobs.append(b"\xff\x0a")
+            pdf["content"] = blobs
+            yield pdf[["doc_id", "content"]]
+
+    imgs = d.mapInPandas(synth, schema="doc_id long, content binary")
+    mimes = imgs.select(
+        "doc_id", sniff_mime(F.col("content")).alias("mime")
+    ).withColumn("route", route_for_mime(F.col("mime")))
+    return (
+        nextgen_image_features(
+            imgs, "content", id_col="doc_id", lenient=True
+        )
+        .join(mimes, "doc_id")
+        .select(
+            "doc_id", "mime", "route", "fmt", "width", "height",
+            "has_alpha", "is_container",
+        )
+        .orderBy("doc_id")
+    )
