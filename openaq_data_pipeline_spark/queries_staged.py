@@ -5981,3 +5981,152 @@ def q_image_nextgen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register_staged(
+    "diff_mining_stats",
+    "EXT-codedata — unified-diff mining (r16 capability wave: "
+    "code-training pipelines mine commit diffs for edit-pair data; "
+    "the git-diff format decomposes with PURE Catalyst — block "
+    "split on '^diff ', aligned header regexps, added/removed "
+    "counts via higher-order filter() over split lines, one "
+    "doc-local renumber window): per document a synthetic git diff "
+    "with 1+i%3 changed files — per file 1+(i+f)%2 hunks, "
+    "closed-form added/removed line counts, a/ b/ prefixes that "
+    "must strip — plus a /dev/null creation side on every fourth "
+    "document and a mode-only block that must drop. The oracle is "
+    "the CLOSED FORM of the synthesis — ground truth, not a parse "
+    "replay",
+    oracle="""
+SELECT doc_id, CAST(f AS BIGINT) AS file_idx,
+       CASE WHEN doc_id % 4 = 0 AND f = 0 THEN NULL
+            ELSE 'src/f' || CAST(f AS VARCHAR) || '_'
+                 || CAST(doc_id AS VARCHAR) || '.py' END AS old_path,
+       'src/f' || CAST(f AS VARCHAR) || '_'
+           || CAST(doc_id AS VARCHAR) || '.py' AS new_path,
+       CAST(1 + (doc_id + f) % 2 AS INT) AS n_hunks,
+       CAST((1 + (doc_id + f) % 2) * (2 + doc_id % 3) AS BIGINT)
+           AS n_added,
+       CAST((1 + (doc_id + f) % 2) * (1 + doc_id % 2) AS BIGINT)
+           AS n_removed
+FROM documents, generate_series(0, 2) t(f)
+WHERE f <= doc_id % 3
+ORDER BY doc_id, file_idx
+""",
+)
+def q_diff_mining_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.codedata import (
+        parse_unified_diff,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    fs = F.sequence(F.lit(0), (i % 3).cast("int"))
+
+    def hunk(adds, removes):
+        return F.concat(
+            F.lit("@@ -1,9 +1,9 @@\n ctx\n"),
+            F.repeat(F.lit("-old line\n"), removes),
+            F.repeat(F.lit("+new line\n"), adds),
+            F.lit(" ctx\n"),
+        )
+
+    def file_block(f):
+        name = F.concat(
+            F.lit("src/f"), f.cast("string"), F.lit("_"),
+            i.cast("string"), F.lit(".py"),
+        )
+        n_hunks = (F.lit(1) + (i + f.cast("long")) % 2).cast("int")
+        adds = (F.lit(2) + i % 3).cast("int")
+        removes = (F.lit(1) + i % 2).cast("int")
+        old_hdr = F.when(
+            (i % 4 == 0) & (f == 0), F.lit("--- /dev/null\n")
+        ).otherwise(F.concat(F.lit("--- a/"), name, F.lit("\n")))
+        return F.concat(
+            F.lit("diff --git a/"), name, F.lit(" b/"), name,
+            F.lit("\nindex 000..111 100644\n"),
+            old_hdr,
+            F.lit("+++ b/"), name, F.lit("\n"),
+            F.concat(
+                hunk(adds, removes),
+                F.when(n_hunks == 2, hunk(adds, removes)).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+
+    # a mode-only block (no ---/+++ headers) that must drop
+    mode_only = F.concat(
+        F.lit("diff --git a/LICENSE b/LICENSE\n"),
+        F.lit("old mode 100644\nnew mode 100755\n"),
+    )
+    body = F.concat(
+        mode_only, F.array_join(F.transform(fs, file_block), "")
+    )
+    docs = d.select("doc_id", body.alias("content"))
+    out = parse_unified_diff(docs, "content", "doc_id")
+    # the synthesis doubles counts on 2-hunk files: adds/removes are
+    # PER HUNK in the blocks above
+    return out.orderBy("doc_id", "file_idx")
+
+
+@register_staged(
+    "notebook_cell_extract",
+    "EXT-codedata — Jupyter notebook cell explode (r16 capability "
+    "wave: notebooks are a first-class code-training source and "
+    "nbformat-4 is JSON, so the decomposition is PURE Catalyst — "
+    "from_json with an explicit cells schema, posexplode, "
+    "array_join over each cell's source-line array; a malformed "
+    "document yields no rows, schema-on-read): per document a "
+    "notebook with 1 + doc_id%4 cells synthesizes IN CODEGEN "
+    "(to_json over named_structs — types round-trip through real "
+    "JSON), alternating code/markdown cell types with closed-form "
+    "multi-line sources; every fifth document is truncated JSON "
+    "that must drop. The oracle is the CLOSED FORM of the "
+    "synthesis — ground truth, not a parse replay",
+    oracle="""
+SELECT doc_id, CAST(k AS BIGINT) AS cell_idx,
+       CASE WHEN (doc_id + k) % 2 = 0 THEN 'code'
+            ELSE 'markdown' END AS cell_type,
+       'line0 of c' || CAST(k AS VARCHAR) || CHR(10)
+           || 'line1 of d' || CAST(doc_id AS VARCHAR) AS source,
+       CAST(2 AS INT) AS n_lines
+FROM documents, generate_series(0, 3) t(k)
+WHERE k <= doc_id % 4 AND doc_id % 5 != 4
+ORDER BY doc_id, cell_idx
+""",
+)
+def q_notebook_cell_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.codedata import (
+        extract_notebook_cells,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    ks = F.sequence(F.lit(0), (i % 4).cast("int"))
+    cells = F.transform(
+        ks,
+        lambda k: F.named_struct(
+            F.lit("cell_type"),
+            F.when((i + k.cast("long")) % 2 == 0, F.lit("code"))
+            .otherwise(F.lit("markdown")),
+            F.lit("source"),
+            F.array(
+                F.concat(
+                    F.lit("line0 of c"), k.cast("string"), F.lit("\n")
+                ),
+                F.concat(F.lit("line1 of d"), i.cast("string")),
+            ),
+        ),
+    )
+    nb = F.to_json(
+        F.named_struct(
+            F.lit("nbformat"), F.lit("4"),
+            F.lit("cells"), cells,
+        )
+    )
+    content = F.when(i % 5 == 4, F.substring(nb, 1, 20)).otherwise(nb)
+    docs = d.select("doc_id", content.alias("content"))
+    return extract_notebook_cells(docs, "content", "doc_id").orderBy(
+        "doc_id", "cell_idx"
+    )
