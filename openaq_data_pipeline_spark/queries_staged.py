@@ -5056,7 +5056,9 @@ def q_image_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    d = fan_out(
+        load(spark, sf_dir, "documents")["documents"]
+    ).select("doc_id")
 
     def synth(batches):
         import numpy as np
@@ -5539,7 +5541,9 @@ def q_image_pair_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_pair_metrics,
     )
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    d = fan_out(
+        load(spark, sf_dir, "documents")["documents"]
+    ).select("doc_id")
 
     def synth(batches):
         import numpy as np
