@@ -6134,3 +6134,181 @@ def q_notebook_cell_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_notebook_cells(docs, "content", "doc_id").orderBy(
         "doc_id", "cell_idx"
     )
+
+
+@register_staged(
+    "epub_manifest_extract",
+    "EXT-ebooks — EPUB manifest extraction (r16 capability wave: "
+    "ebooks are a long-document training source; EPUB 3/OCF is a "
+    "ZIP whose META-INF/container.xml names an OPF package with "
+    "Dublin Core metadata + manifest/spine — the plane is "
+    "deliberate COMPOSITION: the router's existing container hop "
+    "explodes the archive under its caps, then two codegen "
+    "projections + two id-equi-joins recover "
+    "rootfile/title/language/creator and the manifest/spine "
+    "counts): per document a real ZIP EPUB synthesizes (stored "
+    "mimetype member first per OCF, deflated container.xml + OPF + "
+    "2+i%4 chapter stubs); every sixth document omits "
+    "container.xml and must yield NO row; every ninth names a "
+    "rootfile that is absent — the row keeps its rootfile with "
+    "observable NULL metadata. The oracle is the CLOSED FORM of "
+    "the synthesis — ground truth, not a parse replay",
+    oracle="""
+SELECT doc_id,
+       'OEBPS/content.opf' AS rootfile,
+       CASE WHEN doc_id % 9 = 8 THEN NULL
+            ELSE 'Book ' || CAST(doc_id AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 9 = 8 THEN NULL
+            ELSE CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                 ELSE 'fr' END END AS language,
+       CASE WHEN doc_id % 9 = 8 THEN NULL
+            ELSE 'Author ' || CAST(doc_id % 50 AS VARCHAR)
+            END AS creator,
+       CASE WHEN doc_id % 9 = 8 THEN NULL
+            ELSE CAST(3 + doc_id % 4 AS INT) END AS n_manifest_items,
+       CASE WHEN doc_id % 9 = 8 THEN NULL
+            ELSE CAST(2 + doc_id % 4 AS INT) END AS n_spine_items
+FROM documents
+WHERE doc_id % 6 != 5
+ORDER BY doc_id
+""",
+)
+def q_epub_manifest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.ebooks import (
+        epub_manifest,
+    )
+    from openaq_data_pipeline_spark.operators.router import (
+        route_container_members,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import io
+        import zipfile
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n_ch = 2 + i % 4
+                lang = ("en", "de", "fr")[i % 3]
+                opf_name = "OEBPS/content.opf"
+                items = "".join(
+                    f'<item id="c{k}" href="c{k}.xhtml" '
+                    f'media-type="application/xhtml+xml"/>'
+                    for k in range(n_ch)
+                ) + '<item id="ncx" href="toc.ncx" media-type="x"/>'
+                spine = "".join(
+                    f'<itemref idref="c{k}"/>' for k in range(n_ch)
+                )
+                opf = (
+                    '<?xml version="1.0"?><package>'
+                    "<metadata xmlns:dc='http://purl.org/dc/'>"
+                    f"<dc:title>Book {i}</dc:title>"
+                    f"<dc:language>{lang}</dc:language>"
+                    f"<dc:creator>Author {i % 50}</dc:creator>"
+                    f"</metadata><manifest>{items}</manifest>"
+                    f"<spine>{spine}</spine></package>"
+                )
+                container = (
+                    '<?xml version="1.0"?><container><rootfiles>'
+                    f'<rootfile full-path="{opf_name}" '
+                    'media-type="application/oebps-package+xml"/>'
+                    "</rootfiles></container>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(
+                    buf, "w", zipfile.ZIP_DEFLATED
+                ) as zf:
+                    zf.writestr(
+                        zipfile.ZipInfo("mimetype"),
+                        "application/epub+zip",
+                    )
+                    if i % 6 != 5:
+                        zf.writestr(
+                            "META-INF/container.xml", container
+                        )
+                    if i % 9 != 8:
+                        zf.writestr(opf_name, opf)
+                    for k in range(n_ch):
+                        zf.writestr(
+                            f"OEBPS/c{k}.xhtml",
+                            f"<html><body>ch {k}</body></html>",
+                        )
+                blobs.append(buf.getvalue())
+            pdf["payload"] = blobs
+            yield pdf[["doc_id", "payload"]]
+
+    zips = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    members = route_container_members(zips, "payload", fmt="zip")
+    return epub_manifest(members, "doc_id").orderBy("doc_id")
+
+
+@register_staged(
+    "mbox_message_extract",
+    "EXT-mail — MBOX mailing-list explode (r16 capability wave: "
+    "list archives are a classic long-form dialogue source; the "
+    "mbox container and RFC 5322 header grammar decompose with "
+    "PURE Catalyst — envelope-separator split (quoted '>From ' "
+    "body lines must NOT split), §2.2.3 folding unfolded by one "
+    "regexp before the anchored header extracts, body after the "
+    "first blank line; MIME part decomposition is the documented "
+    "boundary): per document an mbox with 1+i%4 messages "
+    "synthesizes IN CODEGEN — a FOLDED Subject header that must "
+    "unfold, a '>From quoted' body line, closed-form body "
+    "line/char counts. The oracle is the CLOSED FORM of the "
+    "synthesis — ground truth, not a parse replay",
+    oracle="""
+SELECT doc_id, CAST(k AS BIGINT) AS msg_idx,
+       'u' || CAST(k AS VARCHAR) || '@h'
+           || CAST(doc_id % 40 AS VARCHAR) || '.test' AS from_addr,
+       'Re: thread ' || CAST(doc_id AS VARCHAR) || ' part '
+           || CAST(k AS VARCHAR) AS subject,
+       'Mon, 1 Jan 2026 0' || CAST(k AS VARCHAR)
+           || ':00:00 +0000' AS date,
+       '<m' || CAST(k AS VARCHAR) || '.'
+           || CAST(doc_id AS VARCHAR) || '@list>' AS message_id,
+       CAST(3 AS INT) AS body_lines,
+       CAST(LENGTH('body line one of msg ' || CAST(k AS VARCHAR))
+            + LENGTH('>From quoting survives')
+            + LENGTH('tail ' || CAST(doc_id AS VARCHAR))
+            + 2 AS BIGINT) AS body_chars
+FROM documents, generate_series(0, 3) t(k)
+WHERE k <= doc_id % 4
+ORDER BY doc_id, msg_idx
+""",
+)
+def q_mbox_message_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.mail import explode_mbox
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    ks = F.sequence(F.lit(0), (i % 4).cast("int"))
+
+    def msg(k):
+        ks_ = k.cast("string")
+        return F.concat(
+            F.lit("From sender"), ks_,
+            F.lit(" Mon Jan  1 00:00:00 2026\n"),
+            F.lit("From: u"), ks_, F.lit("@h"),
+            (i % 40).cast("string"), F.lit(".test\n"),
+            # folded subject: continuation line must unfold
+            F.lit("Subject: Re: thread "), i.cast("string"),
+            F.lit("\n part "), ks_, F.lit("\n"),
+            F.lit("Date: Mon, 1 Jan 2026 0"), ks_,
+            F.lit(":00:00 +0000\n"),
+            F.lit("Message-ID: <m"), ks_, F.lit("."),
+            i.cast("string"), F.lit("@list>\n"),
+            F.lit("\n"),
+            F.lit("body line one of msg "), ks_, F.lit("\n"),
+            F.lit(">From quoting survives\n"),
+            F.lit("tail "), i.cast("string"), F.lit("\n"),
+        )
+
+    mbox = F.array_join(F.transform(ks, msg), "")
+    docs = d.select("doc_id", mbox.alias("content"))
+    return explode_mbox(docs, "content", "doc_id").orderBy(
+        "doc_id", "msg_idx"
+    )
