@@ -1852,3 +1852,48 @@ class TestFeedPlane:
             .toString()
         )
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestR16FormatsFrontDoor:
+    def test_mixed_r16_batch_routes_in_one_pass(self, spark):
+        """The r16 format families — favicon ICO, web fonts, HEIF,
+        JPEG XL — flow through the SAME route_crawl_payloads front
+        door the streaming intake reuses verbatim: one mixed batch,
+        every row lands on its plane with its sniffed mime, no
+        format needs a bespoke entry point."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.fonts import (
+            encode_font_stub,
+        )
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_heif_header,
+            encode_ico,
+            encode_jxl_header,
+            encode_png,
+        )
+        from openaq_data_pipeline_spark.operators.router import (
+            route_crawl_payloads,
+        )
+
+        icon = np.full((4, 4, 3), 9, np.uint8)
+        rows = [
+            (0, encode_ico([icon], ["bmp32"])),
+            (1, encode_font_stub(5, 1000, "woff")),
+            (2, encode_heif_header(8, 6, b"heic")),
+            (3, encode_jxl_header(16, 16, container=True)),
+            (4, encode_png(icon)),
+            (5, b"plain text body"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r.id: (r.mime, r.route)
+            for r in route_crawl_payloads(df, "payload").collect()
+        }
+        assert got[0] == ("image/vnd.microsoft.icon", "image")
+        assert got[1] == ("font/woff", "discard")  # no glyph plane
+        assert got[2] == ("image/heif", "image")
+        assert got[3] == ("image/jxl", "image")
+        assert got[4] == ("image/png", "image")
+        assert got[5] == ("text/plain", "text")
