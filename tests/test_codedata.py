@@ -92,3 +92,45 @@ class TestNotebookCells:
         assert rows[0].n_lines == 2
         assert rows[1].cell_type == "code"
         assert rows[1].source == "print(1)\nprint(2)"
+
+
+class TestPlanShape:
+    """The r16 text-plane decompositions are whole-stage codegen:
+    no Python evaluator anywhere in the physical plan (SCALE.md's
+    claim, pinned)."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_codegen_only_planes(self, spark):
+        from pyspark.sql import functions as F
+
+        from openaq_data_pipeline_spark.operators.codedata import (
+            extract_notebook_cells,
+            parse_unified_diff,
+        )
+        from openaq_data_pipeline_spark.operators.frontier import (
+            parse_hls_playlist,
+        )
+        from openaq_data_pipeline_spark.operators.mail import (
+            explode_mbox,
+        )
+        from openaq_data_pipeline_spark.operators.subtitles import (
+            extract_subtitle_cues,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x")], "id long, content string"
+        )
+        for build in (
+            lambda: parse_unified_diff(df, "content", "id"),
+            lambda: extract_notebook_cells(df, "content", "id"),
+            lambda: parse_hls_playlist(df, "content", "id"),
+            lambda: explode_mbox(df, "content", "id"),
+            lambda: extract_subtitle_cues(df, "content", "id"),
+        ):
+            plan = self._plan(build())
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEvalPython" not in plan
+            assert "mapInPandas" not in plan.lower()

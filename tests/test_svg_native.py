@@ -49,6 +49,31 @@ class TestRasterize:
         )
         assert np.array_equal(a, vb) and np.array_equal(a, px)
 
+    def test_external_resources_cannot_leak(self):
+        """A hostile SVG must not exfiltrate host files into pixels:
+        librsvg loaded from data (no base URI) refuses file:// image
+        refs — the underlay stays untouched — and libxml2 refuses
+        SYSTEM entity resolution outright (XXE). Pinned because a
+        crawl corpus is UNTRUSTED input rendering on every
+        executor."""
+        svg = (
+            b'<svg width="8" height="8" '
+            b'xmlns="http://www.w3.org/2000/svg" '
+            b'xmlns:xlink="http://www.w3.org/1999/xlink">'
+            b'<image x="0" y="0" width="8" height="8" '
+            b'xlink:href="file:///etc/hostname"/></svg>'
+        )
+        out = svg_native.rasterize_svg(svg)
+        assert (out == 255).all()  # nothing drew over the underlay
+        xxe = (
+            b'<?xml version="1.0"?><!DOCTYPE svg [<!ENTITY xxe '
+            b'SYSTEM "file:///etc/hostname">]>'
+            b'<svg width="8" height="8">'
+            b'<text x="0" y="6">&xxe;</text></svg>'
+        )
+        with pytest.raises(ValueError, match="parse failed"):
+            svg_native.rasterize_svg(xxe)
+
     def test_unrenderable_raise(self):
         with pytest.raises(ValueError, match="no intrinsic size"):
             svg_native.rasterize_svg(b'<svg xmlns="x"><rect/></svg>')
