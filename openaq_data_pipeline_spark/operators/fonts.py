@@ -124,6 +124,12 @@ def font_header_stats(
         return "woff", n_tables, upem, n_glyphs
     if sig == b"wOF2":
         (n_tables,) = struct.unpack_from(">H", content, 12)
+        if content[4:8] == b"ttcf":
+            # font COLLECTION flavor: a CollectionDirectory sits
+            # between the table directory and the stream, which the
+            # offset math below does not model — header-only rather
+            # than mis-parsed metrics (wrong-data-never)
+            return "woff2", n_tables, None, None
         upem, n_glyphs = _woff2_head_maxp(content, n_tables)
         return "woff2", n_tables, upem, n_glyphs
     raise ValueError(f"unknown font magic {sig!r}")

@@ -178,3 +178,18 @@ class TestWoff2:
             _uint_base128(b"\xff", 0)
         with pytest.raises(ValueError, match="5 bytes|overflow"):
             _uint_base128(b"\xff\xff\xff\xff\xff\x01", 0)
+
+
+def test_woff2_ttcf_collection_stays_header_only():
+    """The CollectionDirectory between table dir and stream is not
+    modeled — a ttcf-flavor WOFF2 must return NULL metrics, never
+    mis-parsed ones."""
+    from openaq_data_pipeline_spark.operators.fonts import (
+        font_header_stats,
+    )
+
+    blob = (
+        b"wOF2" + b"ttcf" + struct.pack(">I", 100)
+        + struct.pack(">H", 4) + b"\x00" * 34 + b"\x00" * 8
+    )
+    assert font_header_stats(blob) == ("woff2", 4, None, None)
