@@ -3542,7 +3542,13 @@ def q_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    # fan_out (r16): per-row libjpeg shim encodes dominated the
+    # single-row-group scan as ONE task at sf0.1 (measured 6.4s in
+    # the r16 driver bench) — the r14 rule: fan_out wins exactly
+    # when per-row native CPU dominates
+    d = fan_out(
+        load(spark, sf_dir, "documents")["documents"]
+    ).select("doc_id")
     jpeg_ok = _native_jpeg_ok()  # frozen driver-side at plan build
 
     def _sof2_header_only(w: int, h: int) -> bytes:
