@@ -218,3 +218,93 @@ def extract_links(
         ),
     )
     return out.where(F.col("href").isNotNull())
+
+
+def _meta_named(html: Column, name: str) -> Column:
+    """content of ``<meta name="{name}" content="...">`` in either
+    attribute order; NULL when absent or empty (the name= twin of
+    :func:`_meta_content`'s property= extraction)."""
+    a = F.regexp_extract(
+        html,
+        rf'(?is)<meta[^>]*name=["\']{name}["\'][^>]*'
+        rf'content=["\']([^"\']*)["\']',
+        1,
+    )
+    b = F.regexp_extract(
+        html,
+        rf'(?is)<meta[^>]*content=["\']([^"\']*)["\'][^>]*'
+        rf'name=["\']{name}["\']',
+        1,
+    )
+    return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")))
+
+
+def page_directives(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    base_url_col: str | None = None,
+    header_col: str | None = None,
+) -> DataFrame:
+    """Per-page indexing directives + canonical URL (r16: the two
+    page-level curation signals a crawl corpus must honor before
+    training — ``noindex`` pages were published with an explicit
+    do-not-index instruction, and ``rel=canonical`` names the
+    dedup-cluster representative the way no fingerprint can):
+    (id, noindex, nofollow, canonical[, canonical_resolved]).
+
+    ``noindex``/``nofollow`` combine the robots ``<meta>`` tag
+    (either attribute order, token list split on commas, ``none`` =
+    both per Google's documented semantics) with an optional
+    ``X-Robots-Tag`` response-header column; ``canonical`` reads
+    ``<link rel="canonical" href>`` in either attribute order, and
+    with ``base_url_col`` resolves it through :func:`resolve_url`.
+    Whole-stage codegen throughout — one scan projection, no
+    shuffle."""
+    html = F.col(html_col)
+    robots = F.lower(
+        F.coalesce(_meta_named(html, "robots"), F.lit(""))
+    )
+    if header_col is not None:
+        robots = F.concat(
+            robots, F.lit(","),
+            F.lower(F.coalesce(F.col(header_col), F.lit(""))),
+        )
+    toks = F.transform(
+        F.split(robots, ","), lambda t: F.trim(t)
+    )
+    noindex = F.arrays_overlap(
+        toks, F.array(F.lit("noindex"), F.lit("none"))
+    )
+    nofollow = F.arrays_overlap(
+        toks, F.array(F.lit("nofollow"), F.lit("none"))
+    )
+    canon_a = F.regexp_extract(
+        html,
+        r'(?is)<link[^>]*rel=["\']canonical["\'][^>]*'
+        r'href=["\']([^"\']*)["\']',
+        1,
+    )
+    canon_b = F.regexp_extract(
+        html,
+        r'(?is)<link[^>]*href=["\']([^"\']*)["\'][^>]*'
+        r'rel=["\']canonical["\']',
+        1,
+    )
+    canonical = F.coalesce(
+        F.nullif(canon_a, F.lit("")), F.nullif(canon_b, F.lit(""))
+    )
+    cols = [
+        F.col(id_col),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        canonical.alias("canonical"),
+    ]
+    if base_url_col is not None:
+        cols.append(
+            F.when(
+                canonical.isNotNull(),
+                resolve_url(F.col(base_url_col), canonical),
+            ).alias("canonical_resolved")
+        )
+    return df.select(*cols)

@@ -6318,3 +6318,92 @@ def q_mbox_message_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_mbox(docs, "content", "doc_id").orderBy(
         "doc_id", "msg_idx"
     )
+
+
+@register_staged(
+    "page_directives_extract",
+    "EXT-webmeta — page-level indexing directives + canonical URL "
+    "(r16: the two signals a crawl corpus must honor before "
+    "training — noindex pages carry an explicit do-not-index "
+    "instruction, and rel=canonical names the dedup-cluster "
+    "representative no fingerprint can; whole-stage codegen, one "
+    "scan projection, zero shuffles): per document the HTML "
+    "rotates through a robots meta 'noindex, follow' with an "
+    "absolute canonical link, a content-first attribute-order "
+    "'nofollow' meta, a 'none' meta (= noindex AND nofollow per "
+    "the documented semantics) with a RELATIVE canonical resolved "
+    "against the page URL, and a directive-less page (FALSE/NULL); "
+    "every seventh document additionally carries an X-Robots-Tag "
+    "response header that must OR into the meta verdicts. The "
+    "oracle is the CLOSED FORM of the synthesis — ground truth, "
+    "not a parse replay",
+    oracle="""
+SELECT doc_id,
+       (doc_id % 4 = 0 OR doc_id % 4 = 2 OR doc_id % 7 = 0)
+           AS noindex,
+       (doc_id % 4 IN (1, 2)) AS nofollow,
+       CASE WHEN doc_id % 4 = 0
+                THEN 'https://canon.test/p' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 4 = 2 THEN '../canon' END AS canonical,
+       CASE WHEN doc_id % 4 = 0
+                THEN 'https://canon.test/p' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 4 = 2
+                THEN 'https://h' || CAST(doc_id % 40 AS VARCHAR)
+                     || '.test/a/canon'
+            END AS canonical_resolved
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_page_directives_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.webmeta import (
+        page_directives,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (i % 40).cast("string"),
+        F.lit(".test/a/b/page.html"),
+    )
+    canon_abs = F.concat(
+        F.lit('<link rel="canonical" href="https://canon.test/p'),
+        i.cast("string"), F.lit('"/>'),
+    )
+    canon_rel = F.lit('<link href="../canon" rel="canonical"/>')
+    body = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit('<meta name="robots" '
+                      'content="noindex, follow"/>'),
+                canon_abs,
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.lit('<meta content="nofollow" name="robots"/>'),
+        )
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit('<meta name="robots" content="none"/>'),
+                canon_rel,
+            ),
+        )
+        .otherwise(F.lit("<p>no directives here</p>"))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), body, F.lit("</head><body/></html>")
+    )
+    hdr = F.when(i % 7 == 0, F.lit("noindex")).otherwise(
+        F.lit(None).cast("string")
+    )
+    docs = d.select(
+        "doc_id", html.alias("html"), url.alias("url"),
+        hdr.alias("x_robots"),
+    )
+    return page_directives(
+        docs, "html", "doc_id", base_url_col="url",
+        header_col="x_robots",
+    ).orderBy("doc_id")

@@ -135,3 +135,41 @@ class TestExtractLinks:
             .toString()
         )
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestPageDirectives:
+    def test_robots_meta_header_and_canonical(self, spark):
+        from openaq_data_pipeline_spark.operators.webmeta import (
+            page_directives,
+        )
+
+        rows = [
+            (1, '<meta name="robots" content="noindex, follow"/>'
+                '<link rel="canonical" '
+                'href="https://c.test/x"/>', "https://a.test/p", None),
+            (2, '<meta content="nofollow" name="robots"/>',
+             "https://a.test/p", None),
+            (3, '<meta name="robots" content="none"/>'
+                '<link href="../c" rel="canonical"/>',
+             "https://a.test/d/e/p.html", None),
+            (4, "<p>nothing</p>", "https://a.test/p", None),
+            # header ORs into a directive-less page
+            (5, "<p>nothing</p>", "https://a.test/p", "noindex"),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, html string, url string, hdr string"
+        )
+        got = {
+            r.id: r
+            for r in page_directives(
+                df, "html", "id", base_url_col="url",
+                header_col="hdr",
+            ).collect()
+        }
+        assert (got[1].noindex, got[1].nofollow) == (True, False)
+        assert got[1].canonical_resolved == "https://c.test/x"
+        assert (got[2].noindex, got[2].nofollow) == (False, True)
+        assert (got[3].noindex, got[3].nofollow) == (True, True)
+        assert got[3].canonical_resolved == "https://a.test/d/c"
+        assert (got[4].noindex, got[4].canonical) == (False, None)
+        assert got[5].noindex is True  # X-Robots-Tag alone
