@@ -308,3 +308,46 @@ def page_directives(
             ).alias("canonical_resolved")
         )
     return df.select(*cols)
+
+
+_DATA_URI_RE = (
+    r'(?i)["\'(]data:(image/[a-z.+-]+);base64,'
+    r"([A-Za-z0-9+/=]+)"
+)
+
+
+def extract_inline_images(
+    df: DataFrame, html_col: str, id_col: str
+) -> DataFrame:
+    """Explode every base64 ``data:image/...`` URI into one row:
+    (id, img_pos, declared_mime, content BINARY) — the inline-image
+    plane (r16: pages embed small images as data URIs routinely —
+    icons, tracking pixels, above-the-fold art — and a multimodal
+    corpus must surface them like any fetched image; the decoded
+    bytes land in a binary column so the EXISTING image plane —
+    sniff, extract_features, pHash, dedup — consumes them
+    unchanged).
+
+    Codegen end to end: one regexp drives two aligned
+    ``regexp_extract_all`` passes (mime + payload), ``unbase64``
+    decodes JVM-side. The DECLARED mime is reported as-is — the
+    downstream sniffer judges the actual bytes, so a mislabeled
+    data URI is caught exactly like a mislabeled Content-Type."""
+    mimes = F.regexp_extract_all(
+        F.col(html_col), F.lit(_DATA_URI_RE), 1
+    )
+    payloads = F.regexp_extract_all(
+        F.col(html_col), F.lit(_DATA_URI_RE), 2
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(mimes, payloads)).alias(
+            "img_pos", "__m"
+        ),
+    )
+    return exploded.select(
+        id_col,
+        "img_pos",
+        F.lower(F.col("__m")["0"]).alias("declared_mime"),
+        F.unbase64(F.col("__m")["1"]).alias("content"),
+    )

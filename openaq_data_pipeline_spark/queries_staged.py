@@ -6407,3 +6407,107 @@ def q_page_directives_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "html", "doc_id", base_url_col="url",
         header_col="x_robots",
     ).orderBy("doc_id")
+
+
+@register_staged(
+    "inline_image_extract",
+    "EXT-webmeta+multimodal — data-URI inline images (r16: pages "
+    "embed icons/pixels/art as base64 data URIs routinely, and a "
+    "multimodal corpus must surface them like fetched images — the "
+    "plane is COMPOSITION: one codegen regexp + unbase64 explode "
+    "lands decoded bytes in a binary column, and the EXISTING "
+    "image machinery — sniff_mime judging actual bytes over the "
+    "declared label, extract_features decoding real pixels — "
+    "consumes them unchanged): per document an HTML page embeds "
+    "1 + doc_id%3 engine-encoded PNGs (4x6 constant 20+i%60+k) in "
+    "img tags and CSS url() syntax; every fifth document's LAST "
+    "data URI declares image/png but carries GIF bytes — the "
+    "sniffer must report the ACTUAL format. The oracle is the "
+    "CLOSED FORM of the synthesis — ground truth, not a decode "
+    "replay",
+    oracle="""
+SELECT doc_id, CAST(k AS BIGINT) AS img_pos,
+       'image/png' AS declared_mime,
+       CASE WHEN doc_id % 5 = 4 AND k = doc_id % 3
+            THEN 'image/gif' ELSE 'image/png' END AS actual_mime,
+       CAST(6 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(72 * (20 + (doc_id + k) % 60) AS BIGINT) AS px_sum
+FROM documents, generate_series(0, 2) t(k)
+WHERE k <= doc_id % 3
+ORDER BY doc_id, img_pos
+""",
+)
+def q_inline_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+    from openaq_data_pipeline_spark.operators.text import sniff_mime
+    from openaq_data_pipeline_spark.operators.webmeta import (
+        extract_inline_images,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+
+    def synth(batches):
+        import base64
+
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            encode_gif,
+            encode_png,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pages = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 1 + i % 3
+                parts = ["<html><body>"]
+                for k in range(n):
+                    img = np.full(
+                        (4, 6, 3), 20 + (i + k) % 60, np.uint8
+                    )
+                    mislabel = i % 5 == 4 and k == n - 1
+                    blob = (
+                        encode_gif(img) if mislabel else encode_png(img)
+                    )
+                    b64 = base64.b64encode(blob).decode()
+                    if k % 2 == 0:
+                        parts.append(
+                            f'<img src="data:image/png;base64,{b64}"/>'
+                        )
+                    else:
+                        parts.append(
+                            "<div style=\"background:url("
+                            f"data:image/png;base64,{b64})\"/>"
+                        )
+                parts.append("</body></html>")
+                pages.append("".join(parts))
+            pdf["html"] = pages
+            yield pdf[["doc_id", "html"]]
+
+    pages = d.mapInPandas(synth, schema="doc_id long, html string")
+    imgs = extract_inline_images(pages, "html", "doc_id")
+    # extract_features keys on a single id column — give each inline
+    # image a composite key, decode, and join the features back
+    keyed = imgs.select(
+        (F.col("doc_id") * 1000 + F.col("img_pos")).alias("__k"),
+        "doc_id", "img_pos", "declared_mime", "content",
+    )
+    feats = extract_features(
+        keyed, "content", id_col="__k", decode="real"
+    ).select("__k", "width", "height", "px_sum")
+    return (
+        keyed.join(feats, "__k")
+        .select(
+            "doc_id",
+            F.col("img_pos").cast("long"),
+            "declared_mime",
+            sniff_mime(F.col("content")).alias("actual_mime"),
+            "width", "height", "px_sum",
+        )
+        .orderBy("doc_id", "img_pos")
+    )

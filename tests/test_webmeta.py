@@ -173,3 +173,41 @@ class TestPageDirectives:
         assert got[3].canonical_resolved == "https://a.test/d/c"
         assert (got[4].noindex, got[4].canonical) == (False, None)
         assert got[5].noindex is True  # X-Robots-Tag alone
+
+
+class TestInlineImages:
+    def test_data_uri_explode_and_real_decode(self, spark):
+        import base64
+
+        import numpy as np
+
+        from openaq_data_pipeline_spark.operators.multimodal import (
+            _decode_image,
+            encode_gif,
+            encode_png,
+        )
+        from openaq_data_pipeline_spark.operators.webmeta import (
+            extract_inline_images,
+        )
+
+        img = np.full((4, 6, 3), 50, np.uint8)
+        png64 = base64.b64encode(encode_png(img)).decode()
+        gif64 = base64.b64encode(encode_gif(img)).decode()
+        html = (
+            f'<img src="data:image/png;base64,{png64}"/>'
+            f'<div style="background:url(data:image/png;base64,{gif64})"/>'
+            '<img src="https://h.test/fetched.png"/>'  # not inline
+        )
+        df = spark.createDataFrame([(1, html)], "id long, html string")
+        rows = (
+            extract_inline_images(df, "html", "id")
+            .orderBy("img_pos")
+            .collect()
+        )
+        assert len(rows) == 2
+        assert rows[0].declared_mime == "image/png"
+        assert np.array_equal(_decode_image(bytes(rows[0].content)), img)
+        # mislabeled: declared png, actual bytes are GIF — the
+        # decoded pixels still come from the REAL format
+        assert bytes(rows[1].content)[:6] in (b"GIF87a", b"GIF89a")
+        assert np.array_equal(_decode_image(bytes(rows[1].content)), img)
