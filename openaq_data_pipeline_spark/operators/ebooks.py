@@ -45,6 +45,11 @@ def epub_manifest(
             ).alias("rootfile"),
         )
         .where(F.col("rootfile").isNotNull())
+        # a hostile zip may carry DUPLICATE container.xml members —
+        # collapse to one deterministic rootfile per book instead of
+        # fanning the join out (min = lexicographic tiebreak)
+        .groupBy(id_col)
+        .agg(F.min("rootfile").alias("rootfile"))
     )
     opf = members.select(
         F.col(id_col),
