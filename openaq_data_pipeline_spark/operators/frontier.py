@@ -946,3 +946,56 @@ def parse_hls_playlist(
         resolution.alias("resolution"),
         F.col("__l").alias("uri"),
     )
+
+
+_CSS_URL_RE = (
+    r"(?i)(?:@import\s+(?:url\()?|url\()\s*"
+    r"[\"']?([^\"')\s]+)[\"']?\s*\)?"
+)
+
+
+def extract_css_refs(
+    df: DataFrame, css_col: str, id_col: str
+) -> DataFrame:
+    """Explode a stylesheet's asset references into rows: (id,
+    ref_pos, kind, uri) — r16: CSS is the asset-dependency plane a
+    frontier must walk (fonts, background images, @import chains)
+    and the crawl plane already routes ``text/css`` payloads; one
+    codegen regexp covers ``url(...)`` in all three quote spellings
+    and ``@import`` with or without the url() wrapper. ``kind`` is
+    ``import`` for @import references (they fetch as stylesheets
+    and recurse) and ``asset`` otherwise; ``data:`` URIs drop (the
+    inline-image plane owns them — nothing to fetch)."""
+    comments_stripped = F.regexp_replace(
+        F.col(css_col), r"(?s)/\*.*?\*/", " "
+    )
+    full = F.regexp_extract_all(
+        comments_stripped, F.lit(_CSS_URL_RE), 0
+    )
+    uris = F.regexp_extract_all(
+        comments_stripped, F.lit(_CSS_URL_RE), 1
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(full, uris)).alias(
+            "ref_pos", "__r"
+        ),
+    )
+    kind = F.when(
+        F.lower(F.col("__r")["0"]).startswith("@import"),
+        F.lit("import"),
+    ).otherwise(F.lit("asset"))
+    uri = F.col("__r")["1"]
+    kept = exploded.select(
+        F.col(id_col),
+        F.col("ref_pos").alias("__p"),
+        kind.alias("kind"),
+        uri.alias("uri"),
+    ).where(~F.lower(F.col("uri")).startswith("data:"))
+    w = Window.partitionBy(id_col).orderBy("__p")
+    return kept.select(
+        F.col(id_col),
+        (F.row_number().over(w) - 1).cast("long").alias("ref_pos"),
+        "kind",
+        "uri",
+    )

@@ -6511,3 +6511,74 @@ def q_inline_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "img_pos")
     )
+
+
+@register_staged(
+    "css_asset_refs",
+    "EXT-frontier — CSS asset-reference explode (r16: stylesheets "
+    "are the asset-dependency plane a frontier must walk — fonts, "
+    "background images, @import chains — and the front door "
+    "already routes text/css; one codegen regexp covers url() in "
+    "all three quote spellings and @import with or without the "
+    "wrapper, comments strip first, data: URIs drop because the "
+    "inline-image plane owns them; one doc-local renumber window): "
+    "per document a stylesheet synthesizes IN CODEGEN with 1+i%3 "
+    "url() assets across the quote spellings, an @import (bare "
+    "string for even ids, url()-wrapped for odd), a commented-out "
+    "url() that must not extract, and a data: URI that must drop. "
+    "The oracle is the CLOSED FORM of the synthesis — ground "
+    "truth, not a parse replay",
+    oracle="""
+SELECT doc_id, CAST(k AS BIGINT) AS ref_pos,
+       CASE WHEN k = 0 THEN 'import' ELSE 'asset' END AS kind,
+       CASE WHEN k = 0
+                THEN 'base' || CAST(doc_id % 20 AS VARCHAR) || '.css'
+            ELSE 'img/a' || CAST(k - 1 AS VARCHAR) || '_'
+                 || CAST(doc_id AS VARCHAR) || '.png' END AS uri
+FROM documents, generate_series(0, 3) t(k)
+WHERE k <= 1 + doc_id % 3
+ORDER BY doc_id, ref_pos
+""",
+)
+def q_css_asset_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openaq_data_pipeline_spark.operators.frontier import (
+        extract_css_refs,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    i = F.col("doc_id")
+    ks = F.sequence(F.lit(0), (i % 3).cast("int"))
+    imp = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit('@import "base'), (i % 20).cast("string"),
+            F.lit('.css";\n'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("@import url('base"), (i % 20).cast("string"),
+            F.lit(".css');\n"),
+        )
+    )
+
+    def asset(k):
+        quote = F.when(k % 3 == 0, F.lit('"')).when(
+            k % 3 == 1, F.lit("'")
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit(".c"), k.cast("string"),
+            F.lit("{background:url("), quote,
+            F.lit("img/a"), k.cast("string"), F.lit("_"),
+            i.cast("string"), F.lit(".png"), quote, F.lit(");}\n"),
+        )
+
+    css = F.concat(
+        imp,
+        F.lit("/* url(commented-out.gif) */\n"),
+        F.array_join(F.transform(ks, asset), ""),
+        F.lit(".px{cursor:url(data:image/png;base64,AAAA);}\n"),
+    )
+    docs = d.select("doc_id", css.alias("content"))
+    return extract_css_refs(docs, "content", "doc_id").orderBy(
+        "doc_id", "ref_pos"
+    )

@@ -193,3 +193,33 @@ def test_woff2_ttcf_collection_stays_header_only():
         + struct.pack(">H", 4) + b"\x00" * 34 + b"\x00" * 8
     )
     assert font_header_stats(blob) == ("woff2", 4, None, None)
+
+
+class TestCssRefs:
+    def test_url_spellings_imports_comments_and_data(self, spark):
+        from openaq_data_pipeline_spark.operators.frontier import (
+            extract_css_refs,
+        )
+
+        css = (
+            '@import "reset.css";\n'
+            "@import url('theme.css');\n"
+            "/* url(commented.gif) */\n"
+            '.a{background:url("img/a.png");}\n'
+            ".b{background:url('img/b.png');}\n"
+            ".c{background:url(img/c.png);}\n"
+            ".d{cursor:url(data:image/png;base64,AAAA);}\n"
+        )
+        df = spark.createDataFrame([(1, css)], "id long, content string")
+        rows = (
+            extract_css_refs(df, "content", "id")
+            .orderBy("ref_pos")
+            .collect()
+        )
+        assert [(r.ref_pos, r.kind, r.uri) for r in rows] == [
+            (0, "import", "reset.css"),
+            (1, "import", "theme.css"),
+            (2, "asset", "img/a.png"),
+            (3, "asset", "img/b.png"),
+            (4, "asset", "img/c.png"),
+        ]
