@@ -658,6 +658,92 @@ def lang_id_trigram(
     )
 
 
+def _pack_cp(*cps):
+    """Pack 1-3 per-character code points into ONE BIGINT join key
+    (21 bits each — the full Unicode range is < 2^21, so three
+    code points fit a signed long exactly, no hashing, no
+    collisions). Column variant of the driver-side packing in
+    :func:`_seed_trigram_models`; the two MUST stay in lockstep."""
+    key = cps[0]
+    for c in cps[1:]:
+        key = key * (1 << 21) + c
+    return key
+
+
+def _cp_col(tok) -> Column:
+    """Code point of a single-character token column — the char
+    stream (:func:`char_stream_text`) emits one code point per
+    token, so ``ascii()`` (first-code-point semantics, full Unicode)
+    is exact and injective here. Empty string → 0, matching the
+    driver-side mirror below."""
+    return F.ascii(tok).cast("long")
+
+
+def _cp_py(w: str) -> int:
+    """Driver-side mirror of :func:`_cp_col` (``ascii('')`` is 0)."""
+    return ord(w[0]) if w else 0
+
+
+def _seed_trigram_models(spark, seeds: dict[str, str]):
+    """Train every seed language's char-trigram/bigram/unigram count
+    tables with ONE trivial Spark job: the engine's own tokenization
+    (:func:`char_stream_text` → :func:`tokens`, the exact projection
+    the n-gram streams are built from) runs in Spark over ONE local
+    seed DataFrame, and only the per-language TOKEN ARRAYS come back
+    (|languages| rows, seed-sized — the same bounded driver-finisher
+    contract as ``train_bigram_lm``'s V). The n-gram windowing over
+    those arrays — ``zip(w, w[1:], w[2:])``, mechanically identical
+    to the streams' ``element_at(w, i..i+2)`` with their ``size >=
+    3/2`` guards — and the counting happen on the driver, so model
+    training costs one 4-row job instead of |languages| × 4 shuffled
+    aggregates. Returns packed-key → per-language count-array dicts:
+
+        tri[key3] = [c123 per lang], bi[key2] = [c12 per lang],
+        uni[key1] = [c1 per lang],   n[lang]  = token count
+
+    (arrays indexed by ``sorted(seeds)`` position; languages missing
+    a key hold 0 — exactly what the old per-language LEFT joins
+    yielded as NULL→coalesce(0))."""
+    langs = sorted(seeds)
+    seed_df = spark.createDataFrame(
+        [(lang, seeds[lang]) for lang in langs], "lang string, t string"
+    )
+    tok_rows = seed_df.select(
+        "lang", tokens(char_stream_text(F.col("t"))).alias("__w")
+    ).collect()
+    toks = {r["lang"]: (r["__w"] or []) for r in tok_rows}
+    idx = {lang: i for i, lang in enumerate(langs)}
+    tri: dict[int, list[int]] = {}
+    bi: dict[int, list[int]] = {}
+    uni: dict[int, list[int]] = {}
+    n = dict.fromkeys(langs, 0)
+
+    def bump(table: dict[int, list[int]], key: int, i: int) -> None:
+        arr = table.setdefault(key, [0] * len(langs))
+        arr[i] += 1
+
+    B = 1 << 21
+    for lang in langs:
+        w = toks[lang]
+        i = idx[lang]
+        n[lang] = len(w)
+        cps = [_cp_py(c) for c in w]
+        for c in cps:
+            bump(uni, c, i)
+        if len(w) >= 2:
+            for a, b in zip(cps, cps[1:]):
+                bump(bi, a * B + b, i)
+        if len(w) >= 3:
+            for a, b, c in zip(cps, cps[1:], cps[2:]):
+                bump(tri, (a * B + b) * B + c, i)
+        if n[lang] == 0:
+            raise ValueError(
+                "train_trigram_lm: empty training corpus — every "
+                "backoff denominator would divide by zero"
+            )
+    return tri, bi, uni, n
+
+
 def lang_id_trigram_onepass(
     docs: DataFrame,
     text_col: str,
@@ -667,157 +753,153 @@ def lang_id_trigram_onepass(
     script_prefilter: bool = True,
 ) -> DataFrame:
     """:func:`lang_id_trigram` with the scale topology its docstring
-    promises for MANY languages: the per-language count tables (each
-    seed-vocab-tiny) union into ONE lang-keyed model table, and the
-    document char-trigram stream — the corpus-sized side — is read
-    ONCE, expanded by a broadcast language list, scored through the
-    same lang-keyed left joins and exact fixed-point backoff arms,
-    and argmaxed. |languages| multiplies the post-scan row count (the
-    unavoidable cost of scoring every hypothesis), never the number
-    of corpus scans. Output and semantics are IDENTICAL to the
-    per-language composition (pinned by test); the two share the
-    seed set and the winner rule.
+    promises for MANY languages, r16-optimized to its minimal plan:
+    the corpus is scanned ONCE, char trigrams explode with
+    ``explode_outer`` (trigram-less documents keep their row, so no
+    distinct-id join-back pass is needed), every n-gram lookup key
+    packs into ONE BIGINT (21 bits per code point — exact, see
+    :func:`_pack_cp`), the five seed-vocab model tables broadcast as
+    local per-key count ARRAYS over all languages (one BHJ probe per
+    backoff level instead of |languages| joined streams — the old
+    ×|languages| hypothesis expansion is gone entirely), per-language
+    fixed-point scores compute as codegen array lookups, and ONE
+    partial-aggregable groupBy(doc) + a pure-projection argmax
+    replace the (doc, lang) aggregate + SortAggregate argmax + final
+    join. Model training costs one tiny job
+    (:func:`_seed_trigram_models`). Output and semantics are
+    IDENTICAL to the per-language composition (pinned by test).
 
-    ``script_prefilter=True`` (default) bounds the ×|languages|
-    expansion with the codegen Unicode-script histogram
-    (:func:`dominant_script`): a document whose dominant script
-    matches at least one seed expands ONLY against that script's
-    seeds (one broadcast hash equi-join via the
-    :func:`_lang_script_table` hypothesis table — never a
-    nested-loop); documents whose script matches no seed, or that
-    have no script character at all, keep the full exhaustive set.
-    With a script-homogeneous seed set (e.g. the all-Latin default)
-    no document can be pruned, so the scorer short-circuits to the
-    exhaustive expansion — identical output, none of the
-    hypothesis-key overhead (measured ~2× at sf0.1). With a
-    mixed-script seed set the pruning is the point: a cross-script
-    hypothesis could previously win only on word-boundary
-    backoff-floor noise (its trigram/bigram/unigram tables share
-    nothing with the document but the ``'_'`` boundary mark), and
-    the prefilter removes exactly those hypotheses — the documented,
-    intended divergence. Pass ``script_prefilter=False`` for the
-    literal exhaustive expansion."""
+    ``script_prefilter=True`` (default) keeps the r11 semantics: a
+    document whose dominant Unicode script matches at least one
+    seed's script is scored only against that script's languages
+    (here: those hypotheses are masked OUT of the argmax — same
+    winners, and the mask is a codegen CASE, not a join); documents
+    whose script matches no seed keep the full exhaustive set. With
+    a script-homogeneous seed set (e.g. the all-Latin default) no
+    document can be pruned, so the mask short-circuits away —
+    identical output either way."""
     seeds = dict(LANG_ID_SEEDS if seeds is None else seeds)
     if not seeds:
         raise ValueError("lang_id_trigram_onepass: no seed languages")
-    from functools import reduce
-
-    spark = docs.sparkSession
-    k = 10**PROB_SCALE
-    tri_all, bi_all, uni_all, n_rows = [], [], [], []
-    for lang in sorted(seeds):
-        seed = spark.createDataFrame([(0, seeds[lang])], "id long, t string")
-        seed_chars = seed.select(
-            F.col("id"), char_stream_text(F.col("t")).alias("__chars")
-        )
-        tri, bi, uni, n = train_trigram_lm(seed_chars, "__chars", "id")
-        lcol = F.lit(lang).alias("lang")
-        tri_all.append(tri.select(lcol, "w1", "w2", "w3", "c123"))
-        bi_all.append(bi.select(lcol, "w1", "w2", "c12"))
-        uni_all.append(uni.select(lcol, "w", "c1"))
-        n_rows.append((lang, n))
-    u = lambda dfs: reduce(lambda a, b: a.unionByName(b), dfs)  # noqa: E731
-    tri_all, bi_all, uni_all = u(tri_all), u(bi_all), u(uni_all)
-    langs = spark.createDataFrame(n_rows, "lang string, __n long")
-
-    if script_prefilter:
-        hyp_table, present = _lang_script_table(spark, seeds)
-        if len(present) <= 1:
-            # script-homogeneous seed set (e.g. the all-Latin
-            # default): no document can be pruned — every doc either
-            # matches the one script (full set) or falls back (full
-            # set) — so carrying the hypothesis key through the
-            # trigram explosion would be pure overhead (measured ~2×
-            # at sf0.1). Take the exhaustive expansion; the prune
-            # engages exactly when the seed set is mixed-script.
-            script_prefilter = False
-    if script_prefilter:
-        chars = docs.select(
-            F.col(id_col),
-            char_stream_text(F.col(text_col)).alias("__chars"),
-            _hyp_script_col(F.col(text_col), present).alias("__hyp"),
-        )
-        stream = trigram_stream(
-            chars, "__chars", id_col, extra_cols=("__hyp",)
-        )
-        expanded = (
-            stream.join(F.broadcast(hyp_table), "__hyp")
-            .drop("__hyp")
-            .join(F.broadcast(langs), "lang")
-        )
-    else:
-        chars = docs.select(
-            F.col(id_col), char_stream_text(F.col(text_col)).alias("__chars")
-        )
-        stream = trigram_stream(chars, "__chars", id_col)
-        expanded = stream.crossJoin(F.broadcast(langs))
-    bi23 = bi_all.select(
-        "lang",
-        F.col("w1").alias("w2"),
-        F.col("w2").alias("w3"),
-        F.col("c12").alias("c23"),
-    )
-    uni3 = uni_all.select("lang", F.col("w").alias("w3"), F.col("c1").alias("c3"))
-    uni2 = uni_all.select("lang", F.col("w").alias("w2"), F.col("c1").alias("c2"))
-    joined = (
-        expanded
-        .join(F.broadcast(tri_all), ["lang", "w1", "w2", "w3"], "left")
-        .join(F.broadcast(bi_all), ["lang", "w1", "w2"], "left")
-        .join(F.broadcast(bi23), ["lang", "w2", "w3"], "left")
-        .join(F.broadcast(uni2), ["lang", "w2"], "left")
-        .join(F.broadcast(uni3), ["lang", "w3"], "left")
-    )
-    c123 = F.coalesce(F.col("c123"), F.lit(0))
-    c12 = F.coalesce(F.col("c12"), F.lit(0))
-    c23 = F.coalesce(F.col("c23"), F.lit(0))
-    c2 = F.coalesce(F.col("c2"), F.lit(0))
-    c3 = F.coalesce(F.col("c3"), F.lit(0))
-    s_int = (
-        F.when(c123 > 0, _prob_scaled_long(c123, c12, PROB_SCALE))
-        .when(c23 > 0, _prob_scaled_long(2 * c23, 5 * c2, PROB_SCALE))
-        .otherwise(_prob_scaled_long(4 * c3, 25 * F.col("__n"), PROB_SCALE))
-    )
     from openaq_data_pipeline_spark.catalog import exact_ratio_spark
 
-    scored = (
-        joined.groupBy(id_col, "lang")
-        .agg(
-            F.count(F.lit(1)).alias("__nt"),
-            F.sum(s_int).alias("__sum_s"),
+    spark = docs.sparkSession
+    langs = sorted(seeds)
+    k = 10**PROB_SCALE
+    tri, bi, uni, n_tok = _seed_trigram_models(spark, seeds)
+
+    scripts = {lang: _dominant_script_py(seeds[lang]) for lang in langs}
+    present = sorted({s for s in scripts.values() if s != "none"})
+    if script_prefilter and len(present) <= 1:
+        # script-homogeneous seed set: the prune is vacuous (every
+        # document keeps the full hypothesis set), so skip computing
+        # the per-document script histogram entirely
+        script_prefilter = False
+
+    def model_df(counts: dict[int, list[int]]) -> DataFrame:
+        return F.broadcast(
+            spark.createDataFrame(
+                [(key, arr) for key, arr in sorted(counts.items())],
+                "mk bigint, cs array<bigint>",
+            )
         )
-        .select(
-            F.col(id_col),
-            "lang",
-            exact_ratio_spark(
-                F.col("__sum_s"), F.col("__nt") * k, out_scale=out_scale
-            ).alias("avg_score"),
-        )
+
+    # one corpus scan: char tokens → trigram rows (explode_outer so
+    # trigram-less docs keep one null row and flow to the aggregate —
+    # they resolve to 'und' without a second scan / distinct / join)
+    w = F.col("__w")
+    hyp_cols = (
+        [_hyp_script_col(F.col(text_col), present).alias("__hyp")]
+        if script_prefilter
+        else []
     )
-    best = (
-        scored.groupBy(id_col)
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("avg_score")).alias("neg"),
-                    F.col("lang").alias("lang"),
-                    F.col("avg_score").alias("s"),
+    base = docs.select(
+        F.col(id_col),
+        *hyp_cols,
+        tokens(char_stream_text(F.col(text_col))).alias("__w"),
+    )
+    tri_arr = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, (i + 1)).alias("w2"),
+                F.element_at(w, (i + 2)).alias("w3"),
+            ),
+        ),
+    )
+    gcols = [id_col] + (["__hyp"] if script_prefilter else [])
+    stream = base.select(
+        F.col(id_col),
+        *([F.col("__hyp")] if script_prefilter else []),
+        F.explode_outer(tri_arr).alias("__t"),
+    ).select(
+        *gcols,
+        _cp_col(F.col("__t.w1")).alias("__c1"),
+        _cp_col(F.col("__t.w2")).alias("__c2"),
+        _cp_col(F.col("__t.w3")).alias("__c3"),
+    )
+
+    def bhj(df: DataFrame, model: DataFrame, key, out: str) -> DataFrame:
+        m = model.select(F.col("mk"), F.col("cs").alias(out))
+        return df.join(m, key == F.col("mk"), "left").drop("mk")
+
+    c1, c2, c3 = F.col("__c1"), F.col("__c2"), F.col("__c3")
+    tri_df, bi_df, uni_df = model_df(tri), model_df(bi), model_df(uni)
+    joined = stream
+    joined = bhj(joined, tri_df, _pack_cp(c1, c2, c3), "__t3")
+    joined = bhj(joined, bi_df, _pack_cp(c1, c2), "__b12")
+    joined = bhj(joined, bi_df, _pack_cp(c2, c3), "__b23")
+    joined = bhj(joined, uni_df, c2, "__u2")
+    joined = bhj(joined, uni_df, c3, "__u3")
+
+    def s_int(i: int, lang: str) -> Column:
+        g = lambda c: F.coalesce(F.element_at(F.col(c), i + 1), F.lit(0))  # noqa: E731
+        c123, c12 = g("__t3"), g("__b12")
+        c23, cu2, cu3 = g("__b23"), g("__u2"), g("__u3")
+        return (
+            F.when(c123 > 0, _prob_scaled_long(c123, c12, PROB_SCALE))
+            .when(c23 > 0, _prob_scaled_long(2 * c23, 5 * cu2, PROB_SCALE))
+            .otherwise(
+                _prob_scaled_long(
+                    4 * cu3, 25 * F.lit(n_tok[lang]), PROB_SCALE
                 )
-            ).alias("__b")
+            )
         )
-        .select(
-            F.col(id_col),
-            F.col("__b.lang").alias("lang"),
-            F.col("__b.s").alias("top_score"),
-        )
+
+    agg = joined.groupBy(*gcols).agg(
+        F.count(c1).alias("__nt"),
+        *[
+            F.sum(F.when(c1.isNotNull(), s_int(i, lang))).alias(f"__s{i}")
+            for i, lang in enumerate(langs)
+        ],
     )
-    return (
-        docs.select(F.col(id_col)).distinct()
-        .join(best, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
-            F.col("top_score"),
+
+    def candidate(i: int, lang: str) -> Column:
+        avg = exact_ratio_spark(
+            F.col(f"__s{i}"), F.col("__nt") * k, out_scale=out_scale
         )
+        cand = F.struct(
+            (-avg).alias("neg"), F.lit(lang).alias("lang"), avg.alias("s")
+        )
+        if not script_prefilter:
+            return cand
+        allowed = F.col("__hyp") == SCRIPT_ANY
+        if scripts[lang] != "none":
+            allowed = allowed | (F.col("__hyp") == scripts[lang])
+        # masked hypotheses become NULL array entries, which
+        # array_min skips — same winners as the old expansion join
+        return F.when(allowed, cand)
+
+    best = F.array_min(
+        F.array(*[candidate(i, lang) for i, lang in enumerate(langs)])
+    )
+    has_tri = F.col("__nt") > 0
+    return agg.select(
+        F.col(id_col),
+        F.when(has_tri, best["lang"]).otherwise(F.lit("und")).alias("lang"),
+        F.when(has_tri, best["s"]).alias("top_score"),
     )
 
 

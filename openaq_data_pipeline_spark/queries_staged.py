@@ -643,7 +643,11 @@ def lang_id_trigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_trigram_onepass,
     )
 
-    d = load(spark, sf_dir, "documents")["documents"]
+    # fan_out (guide §2.5 input-parallelism fixup): the scoring
+    # pipeline (char explode → 5 BHJ probes → partial agg) is
+    # compute-bound and would otherwise run on the scan's single
+    # row-group split; no-op on real multi-split scans
+    d = fan_out(load(spark, sf_dir, "documents")["documents"])
     return lang_id_trigram_onepass(d, "text", "doc_id")
 
 
