@@ -243,6 +243,78 @@ def _centroids_df(spark, cent_rows) -> DataFrame:
     )
 
 
+def _cents_arr_df(spark, cent_rows) -> DataFrame:
+    """ONE-row (``__cents``: array<struct<cell_id, c_vec, c_norm>>)
+    variant of :func:`_centroids_df`, sorted by cell_id, for the
+    r16 attach-and-scan assignment path: the whole centroid table
+    rides a single broadcast ROW, so scoring a vector against every
+    cell is a per-row array ``transform`` — no ×n_cells row
+    expansion, no per-vector argmax groupBy, and therefore NO
+    corpus shuffle at assignment time (guide §2.4). Norms use the
+    same left-fold float64 sum as :func:`_centroids_df`, so every
+    similarity stays bit-identical to the crossJoin formulation.
+    Centroids remain DATA (broadcast), never plan literals — the
+    codegen-size caveat on :func:`_centroids_df` still applies."""
+    base = spark.createDataFrame(
+        [([
+            (int(cid), [float(x) for x in vec])
+            for cid, vec in sorted(cent_rows)
+        ],)],
+        "__c0 array<struct<cell_id:bigint,c_vec:array<double>>>",
+    )
+    return base.select(
+        F.transform(
+            F.col("__c0"),
+            lambda s: F.struct(
+                s["cell_id"].alias("cell_id"),
+                s["c_vec"].alias("c_vec"),
+                F.sqrt(
+                    _fold_sum(F.transform(s["c_vec"], lambda x: x * x))
+                ).alias("c_norm"),
+            ),
+        ).alias("__cents")
+    )
+
+
+def _ivf_cands_col(v_col, vn_col, round_dp) -> F.Column:
+    """array<struct<sim, negcell>> — the rounded cosine of one
+    vector (pre-projected ``__v``/``__vn`` columns) against every
+    centroid of the attached ``__cents`` row. Element arithmetic is
+    exactly :func:`_ivf_scored`'s per-row expression, so
+    ``array_max`` over it ≡ the old ``max(struct(sim, -cell))``
+    aggregate and ``reverse(array_sort(...))`` ≡ the old
+    collect_list argsort — bit-identical, shuffle-free."""
+    return F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            F.round(
+                _fold_sum(F.zip_with(v_col, s["c_vec"], lambda x, y: x * y))
+                / (vn_col * s["c_norm"]),
+                round_dp,
+            ).alias("sim"),
+            (-s["cell_id"]).alias("negcell"),
+        ),
+    )
+
+
+def _attach_ivf_cands(
+    df: DataFrame, cent_rows, vec_col: str, round_dp: int
+) -> DataFrame:
+    """``df`` + ``__cands`` (see :func:`_ivf_cands_col`), via the
+    one-row broadcast attach. Pure projection over the input — every
+    df column rides through."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.withColumn("__v", v).withColumn(
+        "__vn", F.sqrt(_fold_sum(F.transform(F.col("__v"), lambda x: x * x)))
+    )
+    attached = base.crossJoin(
+        F.broadcast(_cents_arr_df(df.sparkSession, cent_rows))
+    )
+    return attached.withColumn(
+        "__cands", _ivf_cands_col(F.col("__v"), F.col("__vn"), round_dp)
+    ).drop("__v", "__vn", "__cents")
+
+
 def _ivf_scored(
     df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, round_dp: int
 ) -> DataFrame:
@@ -276,14 +348,16 @@ def ivf_assign(
     ``max(struct(sim, -cell_id))`` is the argmax: it partial-aggregates
     map-side, so the only shuffle moves ONE row per vector. At 100 TB
     the cell_id column then partitions/buckets the index."""
-    if cents is None:
-        cents = _centroids_df(df.sparkSession, cent_rows)
-    scored = _ivf_scored(df, cents, id_col, vec_col, round_dp)
-    best = F.max(F.struct(F.col("sim"), (-F.col("cell_id")).alias("negcell")))
-    return (
-        scored.groupBy(id_col)
-        .agg(best.alias("__best"))
-        .select(F.col(id_col), (-F.col("__best.negcell")).alias("cell_id"))
+    # r16: one-row broadcast attach + array argmax — a pure
+    # projection (no ×n_cells expansion, no per-vector groupBy, no
+    # corpus shuffle); `cents` is accepted for API compatibility but
+    # unused (it was only ever the same cent_rows pre-built)
+    del cents
+    return _attach_ivf_cands(
+        df.select(F.col(id_col), F.col(vec_col)), cent_rows, vec_col, round_dp
+    ).select(
+        F.col(id_col),
+        (-F.array_max(F.col("__cands"))["negcell"]).alias("cell_id"),
     )
 
 
@@ -300,18 +374,15 @@ def ivf_probe_cells(
     vector (sim desc, cell asc): slice of the descending-sorted
     per-query (sim, negcell) list, aggregated map-side like
     :func:`ivf_assign` (one shuffled row per query)."""
-    if cents is None:
-        cents = _centroids_df(df.sparkSession, cent_rows)
-    scored = _ivf_scored(df, cents, id_col, vec_col, round_dp)
-    lst = F.collect_list(F.struct(F.col("sim"), (-F.col("cell_id")).alias("negcell")))
-    top = F.slice(F.reverse(F.array_sort(F.col("__all"))), 1, nprobe)
-    return (
-        scored.groupBy(id_col)
-        .agg(lst.alias("__all"))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.explode(F.transform(top, lambda s: -s["negcell"])).alias("cell_id"),
-        )
+    # r16: same attach-and-sort shape as ivf_assign — projection, not
+    # collect_list aggregate; `cents` accepted for API compat, unused
+    del cents
+    top = F.slice(F.reverse(F.array_sort(F.col("__cands"))), 1, nprobe)
+    return _attach_ivf_cands(
+        df.select(F.col(id_col), F.col(vec_col)), cent_rows, vec_col, round_dp
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.transform(top, lambda s: -s["negcell"])).alias("cell_id"),
     )
 
 
@@ -326,6 +397,7 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     round_dp: int = 6,
     q_scale: int = IVF_Q_SCALE,
+    init_rows=None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd (k-means) refinement of the IVF coarse
     quantizer — replaces the r3 "toy" quantizer (16 lowest-id vectors
@@ -351,60 +423,56 @@ def ivf_train_centroids(
     bounded n_cells centroid table (watermark class). Returns
     ``cent_rows`` for :func:`_centroids_df` / :func:`ivf_topk`."""
     spark = corpus.sparkSession
+    if init_rows is None:
+        init_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
     cent_rows = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col))
-        .limit(n_cells)
-        .collect()
+        (int(r[0]), [float(x) for x in r[1]]) for r in init_rows[:n_cells]
     )
+    dim = len(cent_rows[0][1]) if cent_rows else 0
     for _ in range(n_iters):
-        cents = _centroids_df(spark, cent_rows)
-        # assignment inlined with the quantized vector riding the
-        # argmax aggregate (F.first — constant per vector): the
-        # two-sided formulation joined the corpus against its own
-        # assignment on id, a corpus×corpus sort-merge join per
-        # iteration for a column derivable in the same pass
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # r16 shape: assignment is the attach-and-argmax PROJECTION
+        # (see _attach_ivf_cands — no ×n_cells expansion, no
+        # per-vector groupBy), and the quantized-mean update is ONE
+        # partial-aggregable groupBy(cell) with a static per-dim SUM
+        # column set (state = n_cells × dim longs per task) — the
+        # posexplode → (cell, dim) shuffle → collect_list re-assembly
+        # is gone. Per iteration: one corpus scan, one tiny shuffle,
+        # one bounded collect. Arithmetic is unchanged: same rounded
+        # cosine argmax, same exact integer sums, and the final
+        # s/(n·q_scale) division is the identical IEEE double op the
+        # old in-plan expression performed.
         qv = F.transform(
-            F.col(vec_col), lambda x: F.round(x.cast("double") * q_scale, 0).cast("long")
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * q_scale, 0).cast("long"),
         )
-        base = corpus.select(
-            F.col(id_col),
-            v.alias("__v"),
-            F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("__vn"),
-            qv.alias("__q"),
-        )
-        dot = _fold_sum(F.zip_with(F.col("__v"), F.col("c_vec"), lambda x, y: x * y))
-        scored = base.crossJoin(F.broadcast(cents)).select(
-            F.col(id_col),
-            F.col("cell_id"),
-            F.round(dot / (F.col("__vn") * F.col("c_norm")), round_dp).alias("sim"),
+        base = corpus.select(qv.alias("__q"), F.col(vec_col))
+        assigned = _attach_ivf_cands(base, cent_rows, vec_col, round_dp).select(
+            (-F.array_max(F.col("__cands"))["negcell"]).alias("cell_id"),
             F.col("__q"),
         )
-        best = F.max(F.struct(F.col("sim"), (-F.col("cell_id")).alias("negcell")))
-        comp = (
-            scored.groupBy(id_col)
-            .agg(best.alias("__best"), F.first("__q").alias("__q"))
-            .select((-F.col("__best.negcell")).alias("cell_id"), F.col("__q"))
-            .select("cell_id", F.posexplode(F.col("__q")).alias("dim", "q"))
-            .groupBy("cell_id", "dim")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "cell_id",
-                "dim",
-                (
-                    F.col("s").cast("double")
-                    / (F.col("n").cast("double") * F.lit(float(q_scale)))
-                ).alias("comp"),
+        agg_rows = (
+            assigned.groupBy("cell_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("__q"), d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
             )
+            .collect()
         )
-        new = (
-            comp.groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias("__dc"))
-            .select("cell_id", F.transform("__dc", lambda s: s["comp"]).alias("c_vec"))
-        )
-        got = {int(r[0]): [float(x) for x in r[1]] for r in new.collect()}
+        got = {
+            int(r["cell_id"]): [
+                float(r[f"s{d}"]) / (float(r["n"]) * float(q_scale))
+                for d in range(dim)
+            ]
+            for r in agg_rows
+        }
         cent_rows = [(cid, got.get(cid, vec)) for cid, vec in cent_rows]
     return cent_rows
 
@@ -1103,21 +1171,29 @@ def build_ivf_index(
     train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    init_rows=None,
+) -> list[tuple[int, list[float]]]:
     """Train (or seed, train_iters=0) the coarse quantizer on
-    ``corpus``, assign every vector, and persist both tables."""
+    ``corpus``, assign every vector, and persist both tables.
+    Returns the trained centroid rows so composite builders
+    (:func:`build_ivf_pq_index`) need not re-collect them from the
+    freshly written table."""
     spark = corpus.sparkSession
     if train_iters > 0:
         cent_rows = ivf_train_centroids(
-            corpus, n_cells, train_iters, id_col, vec_col, index.round_dp
+            corpus, n_cells, train_iters, id_col, vec_col, index.round_dp,
+            init_rows=init_rows,
         )
     else:
+        if init_rows is None:
+            init_rows = (
+                corpus.select(id_col, vec_col)
+                .orderBy(F.col(id_col))
+                .limit(n_cells)
+                .collect()
+            )
         cent_rows = sorted(
-            (int(r[0]), list(r[1]))
-            for r in corpus.select(id_col, vec_col)
-            .orderBy(F.col(id_col))
-            .limit(n_cells)
-            .collect()
+            (int(r[0]), list(r[1])) for r in init_rows[:n_cells]
         )
     cents = spark.createDataFrame(
         [(cid, vec) for cid, vec in cent_rows],
@@ -1129,6 +1205,7 @@ def build_ivf_index(
     w.saveAsTable(index.centroids_table)
     spark.catalog.refreshTable(index.centroids_table)
     _append_cells(corpus, index, cent_rows, id_col, vec_col, mode="overwrite")
+    return cent_rows
 
 
 def append_ivf_index(
@@ -1839,6 +1916,55 @@ def _books_df(spark, book_rows):
     )
 
 
+def _books_arr_df(spark, book_rows, m: int) -> DataFrame:
+    """ONE-row (``__books``: array over sub_id of
+    array<struct<code_id, c, cc>>) variant of :func:`_books_df` for
+    the r16 attach-and-scan encode path (the PQ analogue of
+    :func:`_cents_arr_df`): codebooks ride a single broadcast row,
+    assignment argmin is a per-row array transform — no ×ksub join
+    expansion, no per-(vector, subspace) groupBy. ``cc`` (the
+    squared norm) is computed with the same fold expression as
+    :func:`_books_df`, so distances stay bit-identical."""
+    by_sub: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for s, c, v in book_rows:
+        by_sub[int(s)].append((int(c), [float(x) for x in v]))
+    for entries in by_sub:
+        entries.sort()
+    base = spark.createDataFrame(
+        [(by_sub,)],
+        "__b0 array<array<struct<code_id:int,c:array<double>>>>",
+    )
+    return base.select(
+        F.transform(
+            F.col("__b0"),
+            lambda bs: F.transform(
+                bs,
+                lambda s: F.struct(
+                    s["code_id"].alias("code_id"),
+                    s["c"].alias("c"),
+                    _fold_sum(
+                        F.transform(s["c"], lambda x: x * x)
+                    ).alias("cc"),
+                ),
+            ),
+        ).alias("__books")
+    )
+
+
+def _pq_best_code_col(u_col, sub_id_col, round_dp) -> F.Column:
+    """struct<d2, code_id> — the argmin PQ code of one subvector
+    against the attached ``__books`` row (ties → lowest code id,
+    exactly the old ``min(struct(d2, code_id))`` aggregate)."""
+    cands = F.transform(
+        F.element_at(F.col("__books"), sub_id_col + 1),
+        lambda s: F.struct(
+            F.round(_d2(u_col, s["c"], s["cc"]), round_dp).alias("d2"),
+            s["code_id"].alias("code_id"),
+        ),
+    )
+    return F.array_min(cands)
+
+
 def _d2(u_col, c_col, cc_col):
     uu = _fold_sum(F.transform(u_col, lambda x: x * x))
     uc = _fold_sum(F.zip_with(u_col, c_col, lambda x, y: x * y))
@@ -1855,6 +1981,7 @@ def pq_train_codebooks(
     dim: int = 64,
     round_dp: int = 6,
     q_scale: int = IVF_Q_SCALE,
+    init_rows=None,
 ) -> list[tuple[int, int, list[float]]]:
     """Deterministic per-subspace Lloyd, ALL subspaces trained in one
     pass per iteration (the exploded (vector, subspace) stream is one
@@ -1868,12 +1995,14 @@ def pq_train_codebooks(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     spark = corpus.sparkSession
-    seed = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col))
-        .limit(ksub)
-        .collect()
-    )
+    if init_rows is None:
+        init_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col))
+            .limit(ksub)
+            .collect()
+        )
+    seed = init_rows[:ksub]
     book_rows = [
         (s, j, [float(x) for x in r[1]][s * dsub : (s + 1) * dsub])
         for j, r in enumerate(seed)
@@ -1881,56 +2010,41 @@ def pq_train_codebooks(
     ]
     expl = _expl_subvectors(corpus, id_col, vec_col, m, dsub)
     for _ in range(n_iters):
-        books = _books_df(spark, book_rows)
+        # r16 shape (mirrors ivf_train_centroids): assignment is the
+        # attach-and-argmin PROJECTION over the attached one-row
+        # codebook (no ×ksub join expansion, no per-(vector, sub)
+        # groupBy), the quantized-mean update is ONE groupBy(sub,
+        # code) with dsub static SUM columns, and the collect stays
+        # m·ksub-bounded. Arithmetic unchanged — same rounded d²
+        # argmin, same exact integer sums, same IEEE division.
         qu = F.transform(
             F.col("u"), lambda x: F.round(x * q_scale, 0).cast("long")
         )
-        scored = expl.join(F.broadcast(books), "sub_id").select(
-            F.col(id_col),
-            "sub_id",
-            F.round(_d2(F.col("u"), F.col("c"), F.col("cc")), round_dp).alias(
-                "d2"
-            ),
-            F.col("code_id"),
+        best = _pq_best_code_col(F.col("u"), F.col("sub_id"), round_dp)
+        assigned = expl.crossJoin(
+            F.broadcast(_books_arr_df(spark, book_rows, m))
+        ).select(
+            F.col("sub_id"),
+            best["code_id"].alias("code_id"),
             qu.alias("__q"),
         )
-        best = F.min(F.struct(F.col("d2"), F.col("code_id")))
-        comp = (
-            scored.groupBy(id_col, "sub_id")
-            .agg(best.alias("__best"), F.first("__q").alias("__q"))
-            .select(
-                "sub_id",
-                F.col("__best.code_id").alias("code_id"),
-                F.posexplode(F.col("__q")).alias("dim", "q"),
-            )
-            .groupBy("sub_id", "code_id", "dim")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "sub_id",
-                "code_id",
-                "dim",
-                (
-                    F.col("s").cast("double")
-                    / (F.col("n").cast("double") * F.lit(float(q_scale)))
-                ).alias("comp"),
-            )
-        )
-        new = (
-            comp.groupBy("sub_id", "code_id")
+        agg_rows = (
+            assigned.groupBy("sub_id", "code_id")
             .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "comp"))).alias(
-                    "__dc"
-                )
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("__q"), d + 1)).alias(f"s{d}")
+                    for d in range(dsub)
+                ],
             )
-            .select(
-                "sub_id",
-                "code_id",
-                F.transform("__dc", lambda x: x["comp"]).alias("c"),
-            )
+            .collect()
         )
         got = {
-            (int(r[0]), int(r[1])): [float(x) for x in r[2]]
-            for r in new.collect()
+            (int(r["sub_id"]), int(r["code_id"])): [
+                float(r[f"s{d}"]) / (float(r["n"]) * float(q_scale))
+                for d in range(dsub)
+            ]
+            for r in agg_rows
         }
         book_rows = [
             (s, c, got.get((s, c), vec)) for s, c, vec in book_rows
@@ -1952,24 +2066,15 @@ def pq_encode(
     as rows, the shape the ADC join consumes directly; a columnar
     sink packs them to m bytes/vector."""
     dsub = dim // m
-    books = _books_df(corpus.sparkSession, book_rows)
+    # r16: attach-and-argmin projection (see _pq_best_code_col) — the
+    # ×ksub broadcast-join expansion and the per-(vector, subspace)
+    # argmin groupBy (a corpus-sized shuffle at scale) are gone
     expl = _expl_subvectors(corpus, id_col, vec_col, m, dsub)
-    best = F.min(F.struct(F.col("d2"), F.col("code_id")))
-    return (
-        expl.join(F.broadcast(books), "sub_id")
-        .select(
-            F.col(id_col),
-            "sub_id",
-            F.round(_d2(F.col("u"), F.col("c"), F.col("cc")), round_dp).alias(
-                "d2"
-            ),
-            "code_id",
-        )
-        .groupBy(id_col, "sub_id")
-        .agg(best.alias("__best"))
-        .select(
-            F.col(id_col), "sub_id", F.col("__best.code_id").alias("code_id")
-        )
+    best = _pq_best_code_col(F.col("u"), F.col("sub_id"), round_dp)
+    return expl.crossJoin(
+        F.broadcast(_books_arr_df(corpus.sparkSession, book_rows, m))
+    ).select(
+        F.col(id_col), "sub_id", best["code_id"].alias("code_id")
     )
 
 
@@ -2342,28 +2447,57 @@ def build_ivf_pq_index(
     callers that built the handles separately). Retraction and
     compaction coverage is unchanged — ``neighbor_id`` remains a
     recognized id column whatever the bucket key."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = corpus.sparkSession
-    build_ivf_index(
-        corpus, ivf_index, n_cells=n_cells, train_iters=train_iters,
-        id_col=id_col, vec_col=vec_col,
+    # r16 (guide §2.6 overlap independent jobs): the IVF side (train →
+    # centroids table → cells table) and the PQ side (codebook train →
+    # codebooks table) share no state beyond the corpus and the init
+    # seed, so they run as two concurrent driver threads — the second
+    # side's tasks back-fill the first side's stage tails. The init
+    # seed (lowest-id vectors) is collected ONCE and serves both
+    # trainings (it is the same bounded orderBy-limit either way).
+    init_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(max(n_cells, pq_index.ksub))
+        .collect()
     )
-    book_rows = pq_train_codebooks(
-        corpus, m=pq_index.m, ksub=pq_index.ksub, n_iters=n_iters,
-        id_col=id_col, vec_col=vec_col, dim=pq_index.dim,
-        round_dp=pq_index.round_dp,
-    )
-    books = spark.createDataFrame(
-        [(int(s), int(c), [float(x) for x in v]) for s, c, v in book_rows],
-        "sub_id int, code_id int, c array<double>",
-    )
-    w = books.write.mode("overwrite").format("parquet")
-    if pq_index.location:
-        w = w.option("path", pq_index._path("codebooks"))
-    w.saveAsTable(pq_index.codebooks_table)
-    spark.catalog.refreshTable(pq_index.codebooks_table)
+
+    def ivf_side():
+        return build_ivf_index(
+            corpus, ivf_index, n_cells=n_cells, train_iters=train_iters,
+            id_col=id_col, vec_col=vec_col, init_rows=init_rows,
+        )
+
+    def pq_side():
+        book_rows = pq_train_codebooks(
+            corpus, m=pq_index.m, ksub=pq_index.ksub, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col, dim=pq_index.dim,
+            round_dp=pq_index.round_dp, init_rows=init_rows,
+        )
+        books = spark.createDataFrame(
+            [
+                (int(s), int(c), [float(x) for x in v])
+                for s, c, v in book_rows
+            ],
+            "sub_id int, code_id int, c array<double>",
+        )
+        w = books.write.mode("overwrite").format("parquet")
+        if pq_index.location:
+            w = w.option("path", pq_index._path("codebooks"))
+        w.saveAsTable(pq_index.codebooks_table)
+        spark.catalog.refreshTable(pq_index.codebooks_table)
+        return book_rows
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ivf = pool.submit(ivf_side)
+        f_pq = pool.submit(pq_side)
+        cent_rows = f_ivf.result()
+        book_rows = f_pq.result()
     _append_cell_codes(
         corpus, ivf_index, pq_index, book_rows, id_col, vec_col,
-        mode="overwrite",
+        mode="overwrite", cent_rows=cent_rows,
     )
 
 
@@ -2387,20 +2521,61 @@ def append_ivf_pq_index(
 def _append_cell_codes(
     batch: DataFrame, ivf_index: IvfIndex, pq_index: PqIndex,
     book_rows, id_col, vec_col, mode: str,
+    cent_rows=None,
 ) -> None:
     from openaq_data_pipeline_spark.sources.tables import save_bucketed
 
     spark = batch.sparkSession
-    cent_rows = _index_centroid_rows(spark, ivf_index)
-    assigned = ivf_assign(
-        batch, cent_rows, id_col, vec_col, ivf_index.round_dp
-    ).select(F.col(id_col).alias("neighbor_id"), "cell_id")
-    codes = pq_encode(
-        batch, book_rows, m=pq_index.m, dim=pq_index.dim,
-        id_col=id_col, vec_col=vec_col, round_dp=pq_index.round_dp,
-    ).withColumnRenamed(id_col, "neighbor_id")
+    if cent_rows is None:
+        cent_rows = _index_centroid_rows(spark, ivf_index)
+    # r16: ONE pass — the cell assignment (attach-and-argmax
+    # projection) rides the same scan that explodes the subvectors
+    # and argmin-encodes them, so the old corpus×corpus
+    # codes⋈assignment equi-join (a full shuffle of the codes at
+    # scale) is gone. Column set and values are unchanged.
+    dsub = pq_index.dim // pq_index.m
+    with_cell = _attach_ivf_cands(
+        batch.select(F.col(id_col), F.col(vec_col)),
+        cent_rows, vec_col, ivf_index.round_dp,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        (-F.array_max(F.col("__cands"))["negcell"]).alias("cell_id"),
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub_id"),
+                F.slice(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    s * dsub + 1,
+                    dsub,
+                ).alias("u"),
+            )
+            for s in range(pq_index.m)
+        ]
+    )
+    rows = (
+        with_cell.crossJoin(
+            F.broadcast(_books_arr_df(spark, book_rows, pq_index.m))
+        )
+        .select(
+            F.col("neighbor_id"),
+            F.col("cell_id"),
+            F.col("__books"),
+            F.explode(subs).alias("__s"),
+        )
+        .select(
+            "neighbor_id",
+            F.col("__s.sub_id").alias("sub_id"),
+            _pq_best_code_col(
+                F.col("__s.u"), F.col("__s.sub_id"), pq_index.round_dp
+            )["code_id"].alias("code_id"),
+            "cell_id",
+        )
+    )
     save_bucketed(
-        codes.join(assigned, "neighbor_id"),
+        rows,
         pq_index.codes_table,
         "cell_id",
         pq_index.n_buckets,
