@@ -1846,8 +1846,18 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with temp_bm25_index(n_buckets=8) as bidx, temp_ivf_index(
         nprobe=4, n_buckets=8
     ) as vidx:
-        build_bm25_index(d, "text", "doc_id", bidx)
-        build_ivf_index(e, vidx, n_cells=16, train_iters=1)
+        # the two index builds touch disjoint tables and inputs —
+        # run them as concurrent driver jobs (guide §2.6) so the
+        # dense build's tasks back-fill the lexical build's tails
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(build_bm25_index, d, "text", "doc_id", bidx)
+            fv = pool.submit(
+                build_ivf_index, e, vidx, n_cells=16, train_iters=1
+            )
+            fb.result()
+            fv.result()
         sparse = bm25_topk_indexed(
             spark, qdf, bidx, "doc_id", "q_text", "query_id", k=10
         )
