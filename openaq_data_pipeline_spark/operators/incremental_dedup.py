@@ -125,27 +125,37 @@ def _full_sizes(sh: DataFrame, id_col: str) -> DataFrame:
 def _append_survivors(
     sh: DataFrame, survivor_ids: DataFrame, id_col: str, index: DedupIndex, mode: str
 ) -> None:
-    """Write the survivors' posting lists + full sizes."""
+    """Write the survivors' posting lists + full sizes. The two
+    tables are disjoint, so the writes run as concurrent driver jobs
+    (guide §2.6) — the sizes write back-fills the postings write's
+    stage tail; both read the same checkpointed shingle blocks."""
+    from concurrent.futures import ThreadPoolExecutor
+
     kept_sh = sh.join(survivor_ids.select(id_col), id_col)
     postings = kept_sh.groupBy("shingle").agg(
         F.array_sort(F.collect_set(F.col(id_col))).alias("doc_ids")
     )
-    save_bucketed(
-        postings,
-        index.postings_table,
-        "shingle",
-        index.n_buckets,
-        mode=mode,
-        path=index._path("postings"),
-    )
-    save_bucketed(
-        _full_sizes(kept_sh, id_col),
-        index.sizes_table,
-        id_col,
-        index.n_buckets,
-        mode=mode,
-        path=index._path("sizes"),
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fp = pool.submit(
+            save_bucketed,
+            postings,
+            index.postings_table,
+            "shingle",
+            index.n_buckets,
+            mode=mode,
+            path=index._path("postings"),
+        )
+        fs = pool.submit(
+            save_bucketed,
+            _full_sizes(kept_sh, id_col),
+            index.sizes_table,
+            id_col,
+            index.n_buckets,
+            mode=mode,
+            path=index._path("sizes"),
+        )
+        fp.result()
+        fs.result()
 
 
 def build_index(
