@@ -120,38 +120,58 @@ def train_logreg(
     n = labels.count()
     if n == 0:
         raise ValueError("train_logreg needs at least one labeled row")
-    w = spark.createDataFrame(
-        [(f, 0.0) for f in range(n_features + 1)], "feature long, w double"
+    # r16 topology (guide §2.3/§2.4): the feature matrix groups into
+    # DOC-LOCAL (feature, x) arrays once, with the label riding the
+    # same row — so a GD round is ONE pass: margin and residual are
+    # per-row array folds against the weight vector (attached as one
+    # broadcast row, the similarity-operator pattern — data, not plan
+    # literals, so codegen is round-invariant and cache-hits), and
+    # the gradient is one explode + ONE feature-keyed partial-agg
+    # exchange of n_features+1 rows. The old round shape shuffled the
+    # corpus three times per round (doc-keyed margin aggregate,
+    # feats⋈residual join, feature-keyed gradient); this one shuffles
+    # it zero times. The weight vector itself is n_features+1 floats
+    # — the same bounded driver-finisher class as the IVF centroid
+    # table; the returned surface is still the (feature, w)
+    # DataFrame, and the decision contract (INTEGER predictions,
+    # planted-margin-robust to float summation order) is unchanged.
+    doc_rows = (
+        feats.groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("feature"), F.col("x"))
+            ).alias("__fx")
+        )
+        .join(labels, "doc_id")
+        .select("doc_id", "__fx", "y")
+        .localCheckpoint(eager=False)
     )
-    # one materialization feeds every round (margins AND gradients);
-    # lazy localCheckpoint → ContextCleaner-collected, never parked
-    # in the shared CacheManager (catalog cache-empty contract)
-    feats = feats.localCheckpoint(eager=False)
+    w_vec = [0.0] * (n_features + 1)
     for _ in range(n_iters):
-        margins = (
-            feats.join(F.broadcast(w), "feature")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        w_row = spark.createDataFrame([(w_vec,)], "__w array<double>")
+        margin = F.aggregate(
+            F.col("__fx"),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["x"] * F.element_at(F.col("__w"), (s["feature"] + 1).cast("int")),
         )
-        resid = margins.join(labels, "doc_id").select(
-            "doc_id", (_sigmoid(F.col("m")) - F.col("y")).alias("r")
+        resid = (_sigmoid(margin) - F.col("y")).alias("__r")
+        grad_rows = (
+            doc_rows.crossJoin(F.broadcast(w_row))
+            .select(resid, F.explode(F.col("__fx")).alias("__s"))
+            .groupBy(F.col("__s.feature").alias("feature"))
+            .agg(F.sum(F.col("__s.x") * F.col("__r")).alias("g"))
+            .collect()
         )
-        grad = (
-            feats.join(resid, "doc_id")
-            .groupBy("feature")
-            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
-        )
-        w = w.join(grad, "feature", "left").select(
-            "feature",
-            (
-                F.col("w")
-                - F.lit(lr / n) * F.coalesce(F.col("g"), F.lit(0.0))
-            ).alias("w"),
-        )
-        # weights are n_features+1 rows — checkpoint flattens the
-        # per-round plan growth exactly like the BPE merge loop
-        w = w.localCheckpoint(eager=False)
-    return w
+        g = {int(r["feature"]): float(r["g"]) for r in grad_rows}
+        w_vec = [
+            w_vec[f] - (lr / n) * g.get(f, 0.0)
+            for f in range(n_features + 1)
+        ]
+    return spark.createDataFrame(
+        [(f, w_vec[f]) for f in range(n_features + 1)],
+        "feature long, w double",
+    )
 
 
 def predict_logreg(feats: DataFrame, weights: DataFrame) -> DataFrame:

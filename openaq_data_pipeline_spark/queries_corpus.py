@@ -1168,7 +1168,11 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, 1.0).otherwise(0.0).alias("y"),
     )
-    feats = hashed_features(injected, _LR_NF)
+    # materialize the feature matrix once for BOTH consumers (the
+    # trainer's doc-array grouping and the final scoring pass) —
+    # without this, predict_logreg re-runs the whole
+    # explode+distinct+df-guard pipeline over the corpus
+    feats = hashed_features(injected, _LR_NF).localCheckpoint(eager=False)
     weights = train_logreg(
         feats, labels, _LR_NF, n_iters=_LR_ITERS, lr=_LR_RATE
     )
