@@ -68,6 +68,11 @@ def pagerank_fixed_point(
     pytest proves the correction."""
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
+    # (r16 audit: repartitioning e by src before the checkpoint was
+    # tried and REVERTED — under AQE a localCheckpoint's LogicalRDD
+    # carries UnknownPartitioning, so the scatter join cannot reuse
+    # it and the extra exchange bought nothing; the scatter join's
+    # small side (node-sized shares) broadcasts anyway.)
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -84,8 +89,12 @@ def pagerank_fixed_point(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty edge set")
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    # node-count-sized and read by every superstep — materialize once
+    # instead of re-aggregating the edge list each round
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
     )
     base = (3 * scale) // (20 * n)
     ranks = nodes.select("node", F.lit(scale // n).alias("p"))
