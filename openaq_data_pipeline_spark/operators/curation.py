@@ -656,11 +656,24 @@ def dsir_importance_select(
         m,
     )
     rb = _hashed_ngram_buckets(raw, text_col, id_col, m)
-    t_counts = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
-    r_counts = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cr"))
-    # corpus totals: two scalars (driver finisher, BPE-class)
-    T = tb.count()
-    R = rb.count()
+    # r16: the bucket-count tables are m-bounded — checkpoint them
+    # and derive the corpus totals T/R as Σcounts off the checkpoint
+    # (exactly tb.count()/rb.count(), which previously re-exploded
+    # the full n-gram stream once for the scalar and AGAIN when the
+    # counts aggregate ran at action time: two corpus passes per
+    # side instead of one)
+    t_counts = (
+        tb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .localCheckpoint(eager=False)
+    )
+    r_counts = (
+        rb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+        .localCheckpoint(eager=False)
+    )
+    T = int(t_counts.agg(F.sum("__ct")).first()[0] or 0)
+    R = int(r_counts.agg(F.sum("__cr")).first()[0] or 0)
     ratio = (
         t_counts.join(r_counts, "bucket", "full_outer")
         .select(
