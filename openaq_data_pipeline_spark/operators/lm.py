@@ -295,21 +295,65 @@ def train_trigram_lm(
     normalized tokenization; every table is vocab-bounded. One
     scalar collect (n_tokens), bounded like the bigram trainer's V.
     """
-    tri = (
-        trigram_stream(train, text_col, id_col)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("c123"))
-    )
-    bi = (
-        bigram_stream(train, text_col, id_col)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
-    uni = (
-        unigram_stream(train, text_col, id_col)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    # r16: ONE tokenization pass — every position emits its
+    # trigram/bigram/unigram entries as level-tagged structs from
+    # the same token array (identical windows and guards as the
+    # three separate streams), so training costs one corpus scan and
+    # one exchange instead of three of each; the level-tagged count
+    # table is vocab-bounded and checkpoints once, so the scorer's
+    # five joins (bi is consumed twice) never recompute a stream.
+    w = F.col("__w")
+    null_s = F.lit(None).cast("string")
+    empty = "array<struct<lvl:int,w1:string,w2:string,w3:string>>"
+
+    def entry(lvl, w1, w2, w3):
+        return F.struct(
+            F.lit(lvl).alias("lvl"), w1.alias("w1"),
+            w2.alias("w2"), w3.alias("w3"),
+        )
+
+    tri_arr = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: entry(
+                3, F.element_at(w, i), F.element_at(w, (i + 1)),
+                F.element_at(w, (i + 2)),
+            ),
+        ),
+    ).otherwise(F.array().cast(empty))
+    bi_arr = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: entry(
+                2, F.element_at(w, i), F.element_at(w, (i + 1)), null_s
+            ),
+        ),
+    ).otherwise(F.array().cast(empty))
+    uni_arr = F.transform(w, lambda x: entry(1, x, null_s, null_s))
+    counts = (
+        train.select(
+            tokens(normalize(F.col(text_col))).alias("__w")
+        )
+        .select(F.explode(F.concat(tri_arr, bi_arr, uni_arr)).alias("__e"))
+        .groupBy(
+            F.col("__e.lvl").alias("lvl"),
+            F.col("__e.w1").alias("w1"),
+            F.col("__e.w2").alias("w2"),
+            F.col("__e.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
+    )
+    tri = counts.where(F.col("lvl") == 3).select(
+        "w1", "w2", "w3", F.col("c").alias("c123")
+    )
+    bi = counts.where(F.col("lvl") == 2).select(
+        "w1", "w2", F.col("c").alias("c12")
+    )
+    uni = counts.where(F.col("lvl") == 1).select(
+        F.col("w1").alias("w"), F.col("c").alias("c1")
     )
     n_tokens = int(uni.agg(F.sum("c1").alias("n")).first()["n"] or 0)
     if n_tokens == 0:
