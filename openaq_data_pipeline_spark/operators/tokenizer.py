@@ -106,7 +106,10 @@ def bpe_train_merges(
     learned merge, ``pair_count`` being the weighted adjacency count
     that won the round. Stops early if no left≠right pair remains."""
     spark = df.sparkSession
-    vocab = word_frequencies(df, text_col).localCheckpoint(eager=True)
+    # lazy checkpoints (r16): materialization rides the NEXT round's
+    # argmax collect — same recompute protection (round k still never
+    # recomputes rounds 1..k-1), half the jobs of eager-per-round
+    vocab = word_frequencies(df, text_col).localCheckpoint(eager=False)
     s = F.col("seq")
     rows: list[tuple] = []
     for r in range(1, n_merges + 1):
@@ -134,7 +137,7 @@ def bpe_train_merges(
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
         rows.append((r, lhs, rhs, lhs + rhs, cnt))
         vocab = vocab.withColumn("seq", _apply_merge(s, lhs, rhs)).localCheckpoint(
-            eager=True
+            eager=False
         )
     return spark.createDataFrame(rows, MERGE_SCHEMA)
 
