@@ -2602,15 +2602,23 @@ def ivf_pq_topk_cellpruned(
     integer sum. Output ≡ :func:`ivf_pq_topk_indexed` ≡ the inline
     composition (pinned by test)."""
     nprobe = ivf_index.nprobe if nprobe is None else nprobe
-    cent_rows = _index_centroid_rows(spark, ivf_index)
-    probes = ivf_probe_cells(
-        queries.select(F.col(id_col), F.col(vec_col)),
-        cent_rows, nprobe, id_col, vec_col, ivf_index.round_dp,
-    ).localCheckpoint(eager=True)
-    probe_cells = sorted(
-        int(r["cell_id"])
-        for r in probes.select("cell_id").distinct().collect()
-    )
+    # r16 (guide §2.6): the two persisted-handle reads are
+    # independent — fetch the PQ codebooks concurrently with the
+    # centroid fetch + probe materialization
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_books = pool.submit(_index_book_rows, spark, pq_index)
+        cent_rows = _index_centroid_rows(spark, ivf_index)
+        probes = ivf_probe_cells(
+            queries.select(F.col(id_col), F.col(vec_col)),
+            cent_rows, nprobe, id_col, vec_col, ivf_index.round_dp,
+        ).localCheckpoint(eager=True)
+        probe_cells = sorted(
+            int(r["cell_id"])
+            for r in probes.select("cell_id").distinct().collect()
+        )
+        book_rows = f_books.result()
     codes = spark.table(pq_index.codes_table).where(
         F.col("cell_id").isin(probe_cells)
     )
@@ -2623,7 +2631,7 @@ def ivf_pq_topk_cellpruned(
     return pq_topk_adc(
         queries,
         codes.drop("cell_id"),
-        _index_book_rows(spark, pq_index),
+        book_rows,
         k=k,
         m=pq_index.m,
         dim=pq_index.dim,
