@@ -344,18 +344,25 @@ def _write_index(
         # the bucketed WRITE is the materialization — no in-memory
         # checkpoint needed; batch stats re-derive from the WRITTEN
         # table (it holds exactly this batch) + an id-pruned corpus
-        # count, so tokenization never runs twice
+        # count, so tokenization never runs twice. The n_docs count
+        # only needs the corpus id column — run it concurrently with
+        # the tf write (guide §2.6) and inline the scalar.
+        from concurrent.futures import ThreadPoolExecutor
+
         tf, _, _ = corpus_index(corpus, text_col, id_col, materialize=False)
-        save_bucketed(
-            tf, index.tf_table, "term", index.n_buckets,
-            sort=False, mode=mode, path=index._path("tf"),
-        )
-        stats = (
-            corpus.select(F.col(id_col))
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .crossJoin(
-                spark.table(index.tf_table).agg(F.sum("tf").alias("s_tokens"))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_n = pool.submit(
+                lambda: int(corpus.select(F.col(id_col)).count())
             )
+            save_bucketed(
+                tf, index.tf_table, "term", index.n_buckets,
+                sort=False, mode=mode, path=index._path("tf"),
+            )
+            n_docs = f_n.result()
+        stats = spark.range(1).select(
+            F.lit(n_docs).cast("long").alias("n_docs")
+        ).crossJoin(
+            spark.table(index.tf_table).agg(F.sum("tf").alias("s_tokens"))
         )
     else:
         # APPEND: the stats row must be BATCH-ONLY (readers sum rows
