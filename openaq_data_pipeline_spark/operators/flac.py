@@ -69,55 +69,106 @@ _RATE_CODE = {
 _DEPTH_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
-    FLAC frame-header CRC."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> bytes:
+    t = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t.append(crc)
+    return bytes(t)
+
+
+_CRC8_TABLE = _make_crc8_table()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
+    FLAC frame-header CRC. Table-driven (r17): one lookup per byte
+    instead of the 8-step bit loop; identical polynomial/init."""
+    crc = 0
+    t = _CRC8_TABLE
+    for b in data:
+        crc = t[crc ^ b]
     return crc
 
 
-def _crc16(data: bytes) -> int:
-    """CRC-16 with polynomial 0x8005, init 0 — the FLAC frame CRC."""
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+def _make_crc16_table() -> list[int]:
+    t = []
+    for b in range(256):
+        crc = b << 8
         for _ in range(8):
             crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        t.append(crc)
+    return t
+
+
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 with polynomial 0x8005, init 0 — the FLAC frame CRC.
+    Table-driven (r17), same polynomial/init as the bitwise form."""
+    crc = 0
+    t = _CRC16_TABLE
+    for b in data:
+        crc = (t[((crc >> 8) ^ b) & 0xFF] ^ (crc << 8)) & 0xFFFF
     return crc
 
 
 class _BitReader:
     """MSB-first bit reader (FLAC's bit order — the opposite of
-    VP8L's)."""
+    VP8L's). r17: multi-bit reads slice the byte range once
+    (``int.from_bytes``) instead of looping per bit, and unary runs
+    skip whole zero bytes — bit-identical outputs and error behavior
+    (randomized lockstep-pinned against the bitwise form)."""
 
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.data = data
         self.pos = pos_bits
+        self._nbits_total = len(data) * 8
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte_i, bit_i = divmod(self.pos, 8)
-            if byte_i >= len(self.data):
-                raise ValueError("FLAC stream truncated")
-            v = (v << 1) | ((self.data[byte_i] >> (7 - bit_i)) & 1)
-            self.pos += 1
-        return v
+        pos = self.pos
+        end = pos + n
+        if end > self._nbits_total:
+            raise ValueError("FLAC stream truncated")
+        chunk = int.from_bytes(self.data[pos >> 3 : (end + 7) >> 3], "big")
+        self.pos = end
+        return (chunk >> ((-end) % 8)) & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v & (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
+        data = self.data
+        pos = self.pos
+        nd = len(data)
+        byte_i = pos >> 3
+        bit_i = pos & 7
         q = 0
-        while self.read(1) == 0:
-            q += 1
+        if byte_i < nd:
+            cur = data[byte_i] & (0xFF >> bit_i)
+            if cur:
+                stop = 8 - cur.bit_length()
+                q = stop - bit_i
+                self.pos = pos + q + 1
+                return q
+            q = 8 - bit_i
+            byte_i += 1
+        while byte_i < nd and data[byte_i] == 0:
+            q += 8
+            byte_i += 1
             if q > 1 << 24:
                 raise ValueError("FLAC unary run overlong")
+        if byte_i >= nd:
+            raise ValueError("FLAC stream truncated")
+        stop = 8 - data[byte_i].bit_length()
+        q += stop
+        if q > 1 << 24:
+            raise ValueError("FLAC unary run overlong")
+        self.pos = (byte_i << 3) + stop + 1
         return q
 
     def align(self) -> None:
@@ -125,32 +176,43 @@ class _BitReader:
 
 
 class _BitWriter:
-    """MSB-first bit writer (the encoder face)."""
+    """MSB-first bit writer (the encoder face). r17: writes
+    accumulate into an int and drain whole bytes — identical
+    bitstreams to the per-bit form (randomized lockstep-pinned)."""
 
     def __init__(self):
         self.out = bytearray()
+        self._acc = 0
+        self._nacc = 0
         self.nbits = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            if self.nbits % 8 == 0:
-                self.out.append(0)
-            if (value >> i) & 1:
-                self.out[-1] |= 0x80 >> (self.nbits % 8)
-            self.nbits += 1
+        self._acc = (self._acc << n) | (value & ((1 << n) - 1))
+        nacc = self._nacc + n
+        self.nbits += n
+        out = self.out
+        acc = self._acc
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+        self._acc = acc & ((1 << nacc) - 1)
+        self._nacc = nacc
 
     def write_signed(self, value: int, n: int) -> None:
         self.write(value & ((1 << n) - 1), n)
 
     def write_unary(self, q: int) -> None:
-        self.write(0, q) if q else None
-        self.write(1, 1)
+        self.write(1, q + 1)
 
     def align(self) -> None:
         if self.nbits % 8:
             self.write(0, 8 - self.nbits % 8)
 
     def bytes(self) -> bytes:
+        if self._nacc:
+            return bytes(self.out) + bytes(
+                [(self._acc << (8 - self._nacc)) & 0xFF]
+            )
         return bytes(self.out)
 
 
@@ -208,12 +270,38 @@ def _read_residual(br: _BitReader, n: int, order: int, depth: int) -> list[int]:
 
 def _predict(warm: list[int], residual: list[int], coefs: list[int], shift: int) -> list[int]:
     """Apply a (fixed or LPC) predictor over warm-up + residuals."""
-    samples = list(warm)
+    samples = list(warm) + [0] * len(residual)
     order = len(coefs)
+    k = len(warm)
+    idx = range(order)
     for r in residual:
-        pred = sum(c * samples[-1 - i] for i, c in enumerate(coefs))
-        samples.append(r + (pred >> shift))
+        pred = 0
+        for i in idx:
+            pred += coefs[i] * samples[k - 1 - i]
+        samples[k] = r + (pred >> shift)
+        k += 1
     return samples
+
+
+def _predict_fixed(warm: list[int], residual: list[int], order: int) -> list[int]:
+    """FIXED-predictor reconstruction via iterated integer cumsum
+    (r17). The order-k fixed predictor makes the residual the k-th
+    finite difference of the samples, so reconstruction is k exact
+    integer integrations seeded from the warm-up samples' difference
+    table — identical values to :func:`_predict` with
+    ``_FIXED_COEFS[order]`` / shift 0 (randomized-pinned). int64 is
+    exact: |residual| < 2^33 and blocks cap at 32768 samples, so
+    every partial sum fits well under 2^63."""
+    cur = np.asarray(residual, dtype=np.int64)
+    if order:
+        bounds = []
+        lv = np.asarray(warm, dtype=np.int64)
+        for _ in range(order):
+            bounds.append(int(lv[-1]))
+            lv = np.diff(lv)
+        for m in range(order - 1, -1, -1):
+            cur = bounds[m] + np.cumsum(cur)
+    return list(warm) + cur.tolist()
 
 
 def _read_subframe(br: _BitReader, n: int, depth: int) -> list[int]:
@@ -235,7 +323,7 @@ def _read_subframe(br: _BitReader, n: int, depth: int) -> list[int]:
         order = stype - 8
         warm = [br.read_signed(depth) for _ in range(order)]
         res = _read_residual(br, n, order, depth)
-        out = _predict(warm, res, _FIXED_COEFS[order], 0)
+        out = _predict_fixed(warm, res, order)
     elif stype >= 32:  # LPC
         order = stype - 31
         warm = [br.read_signed(depth) for _ in range(order)]
@@ -348,22 +436,28 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
         frame_end = (br.pos // 8) + 2
         if _crc16(content[frame_start : br.pos // 8]) != br.read(16):
             raise ValueError("FLAC frame CRC-16 mismatch")
+        # stereo decorrelation undone vectorized (r17): plain int64
+        # adds/shifts — numpy's arithmetic >> and two's-complement
+        # & 1 match Python's semantics exactly for every sign
         if mode == "independent":
             for c in range(n_ch):
                 chans[c].extend(subs[c])
         elif mode == "left_side":
-            for left, side in zip(subs[0], subs[1]):
-                chans[0].append(left)
-                chans[1].append(left - side)
+            left = np.asarray(subs[0], dtype=np.int64)
+            side = np.asarray(subs[1], dtype=np.int64)
+            chans[0].extend(left.tolist())
+            chans[1].extend((left - side).tolist())
         elif mode == "right_side":
-            for side, right in zip(subs[0], subs[1]):
-                chans[0].append(right + side)
-                chans[1].append(right)
+            side = np.asarray(subs[0], dtype=np.int64)
+            right = np.asarray(subs[1], dtype=np.int64)
+            chans[0].extend((right + side).tolist())
+            chans[1].extend(right.tolist())
         else:  # mid_side
-            for mid, side in zip(subs[0], subs[1]):
-                m = (mid << 1) | (side & 1)
-                chans[0].append((m + side) >> 1)
-                chans[1].append((m - side) >> 1)
+            mid = np.asarray(subs[0], dtype=np.int64)
+            side = np.asarray(subs[1], dtype=np.int64)
+            m = (mid << 1) | (side & 1)
+            chans[0].extend(((m + side) >> 1).tolist())
+            chans[1].extend(((m - side) >> 1).tolist())
         off = frame_end
     samples = np.array(chans, dtype=np.int64).T
     if total and samples.shape[0] > total:
@@ -372,15 +466,26 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def _write_residual(bw: _BitWriter, res: list[int], param: int) -> None:
-    """Single-partition Rice residual (method 0, porder 0)."""
+    """Single-partition Rice residual (method 0, porder 0). r17: the
+    zigzag map and quotient/remainder splits are vectorized int64
+    numpy (exact — |res| < 2^34); the bit emission itself stays
+    sequential through the accumulator writer."""
     bw.write(0, 2)   # method 0 (4-bit params)
     bw.write(0, 4)   # partition order 0
     bw.write(param, 4)
-    for r in res:
-        u = (abs(r) << 1) - (1 if r < 0 else 0)  # zigzag
-        bw.write_unary(u >> param)
-        if param:
-            bw.write(u & ((1 << param) - 1), param)
+    if not res:
+        return
+    r = np.asarray(res, dtype=np.int64)
+    u = (np.abs(r) << 1) - (r < 0)  # zigzag
+    w = bw.write
+    if param:
+        mask = (1 << param) - 1
+        for qi, ri in zip((u >> param).tolist(), (u & mask).tolist()):
+            w(1, qi + 1)
+            w(ri, param)
+    else:
+        for qi in u.tolist():
+            w(1, qi + 1)
 
 
 def _rice_param(res: list[int]) -> int:
@@ -463,11 +568,9 @@ def _write_subframe(
         bw.write(0, 1)
         for v in ch[:order]:
             bw.write_signed(v, depth)
-        coefs = _FIXED_COEFS[order]
-        res = [
-            ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
-            for i in range(order, n)
-        ]
+        # the order-k fixed predictor's residual IS the k-th finite
+        # difference (r17: vectorized, exact int64)
+        res = np.diff(np.asarray(ch, dtype=np.int64), n=order).tolist()
         _write_residual(bw, res, _rice_param(res))
     elif kind == "lpc":
         x = np.asarray(ch, dtype=np.float64)
@@ -485,14 +588,15 @@ def _write_subframe(
         bw.write_signed(shift, 5)
         for c in qlp:
             bw.write_signed(c, lpc_precision)
-        res = [
-            ch[i]
-            - (
-                sum(c * ch[i - 1 - j] for j, c in enumerate(qlp))
-                >> shift
-            )
-            for i in range(order, n)
+        # prediction Σ qlp[j]·ch[i-1-j] is the discrete convolution
+        # of ch with qlp evaluated at i-1 (r17: vectorized, exact —
+        # int64 products cap near 2^47); numpy's arithmetic >> on
+        # negatives matches Python's floor shift
+        c64 = np.asarray(ch, dtype=np.int64)
+        pred = np.convolve(c64, np.asarray(qlp, dtype=np.int64))[
+            order - 1 : n - 1
         ]
+        res = (c64[order:] - (pred >> shift)).tolist()
         _write_residual(bw, res, _rice_param(res))
     else:
         raise ValueError(f"unknown subframe kind {kind!r}")
@@ -576,19 +680,21 @@ def encode_flac(
         # channel of a decorrelated pair carries one extra bit)
         if channel_mode == "independent":
             planes = [
-                ([int(v) for v in block[:, c]], depth)
+                (block[:, c].astype(np.int64).tolist(), depth)
                 for c in range(channels)
             ]
         else:
-            left = [int(v) for v in block[:, 0]]
-            right = [int(v) for v in block[:, 1]]
-            side = [lv - rv for lv, rv in zip(left, right)]
+            l64 = block[:, 0].astype(np.int64)
+            r64 = block[:, 1].astype(np.int64)
+            left = l64.tolist()
+            right = r64.tolist()
+            side = (l64 - r64).tolist()
             if channel_mode == "left_side":
                 planes = [(left, depth), (side, depth + 1)]
             elif channel_mode == "right_side":
                 planes = [(side, depth + 1), (right, depth)]
             else:  # mid_side
-                mid = [(lv + rv) >> 1 for lv, rv in zip(left, right)]
+                mid = ((l64 + r64) >> 1).tolist()
                 planes = [(mid, depth), (side, depth + 1)]
         for ch, d in planes:
             kind = subframe

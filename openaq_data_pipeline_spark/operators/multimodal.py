@@ -2386,6 +2386,7 @@ def _zigzag() -> list[tuple[int, int]]:
 
 
 _ZZ = _zigzag()  # 64 (row, col) pairs in scan order
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZZ], dtype=np.int64)
 
 # Annex K.3.3.1 luminance huffman specs (bits-per-length, symbols)
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -2425,6 +2426,29 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
 def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol, for bit-serial decoding."""
     return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+_LUT16_CACHE: dict = {}
+
+
+def _huff_lut16(table: dict) -> list:
+    """(ln, code)->sym dict → 65536-entry (sym, ln) LUT over 16-bit
+    prefixes (None where no ≤16-bit code matches — the invalid-code
+    arm, exactly the per-length walk's failure set). Cached per table
+    CONTENT: the engine's fixture JPEGs share the Annex-K tables, so
+    the slice-filled build cost is paid once per process (r17,
+    guide §4.2 — make the batch the unit of work; here the unit is
+    one 16-bit peek per symbol instead of a dict probe per bit)."""
+    key = tuple(sorted(table.items()))
+    lut = _LUT16_CACHE.get(key)
+    if lut is None:
+        lut = [None] * 65536
+        for (ln, code), sym in table.items():
+            base = code << (16 - ln)
+            cnt = 1 << (16 - ln)
+            lut[base : base + cnt] = [(sym, ln)] * cnt
+        _LUT16_CACHE[key] = lut
+    return lut
 
 
 class _JpegBitWriter:
@@ -2525,35 +2549,58 @@ def encode_jpeg_baseline(
             ((0, th - p.shape[0]), (0, tw - p.shape[1])),
             mode="edge",
         ).astype(np.uint8)
-        blocks.append(_encode_plane_blocks(padded, qtab))
+        # r17: the zigzag scan of every block is ONE vectorized
+        # gather per component (identical integers; encode_block then
+        # consumes plain Python lists)
+        pblk = _encode_plane_blocks(padded, qtab)
+        nby, nbx = pblk.shape[0], pblk.shape[1]
+        blocks.append(pblk.reshape(nby, nbx, 64)[:, :, _ZZ_FLAT].tolist())
 
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    zrl = ac_codes[0xF0]
+    eob = ac_codes[0x00]
 
-    def encode_block(bw, coefs, pred):
-        zz = [int(coefs[r, c]) for r, c in _ZZ]
-        s, bits_v = _magnitude(zz[0] - pred)
+    def encode_block(bw, zz, pred):
+        # r17: one symbol's (code, length) and its magnitude bits
+        # concatenate into a SINGLE put (identical bitstream — put is
+        # pure MSB-first concatenation), with the magnitude split
+        # inlined; ~half the writer calls of the two-put form
+        put = bw.put
+        v = zz[0] - pred
+        if v == 0:
+            s = 0
+            bits_v = 0
+        else:
+            s = (v if v >= 0 else -v).bit_length()
+            bits_v = v if v >= 0 else v + (1 << s) - 1
         code, ln = dc_codes[s]
-        bw.put(code, ln)
-        bw.put(bits_v, s)
+        put((code << s) | bits_v, ln + s)
         run = 0
-        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if zz[i]:
+                last_nz = i
+                break
         for i in range(1, last_nz + 1):
-            if zz[i] == 0:
+            v = zz[i]
+            if v == 0:
                 run += 1
                 continue
             while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                bw.put(code, ln)
+                put(zrl[0], zrl[1])  # ZRL
                 run -= 16
-            s, bits_v = _magnitude(zz[i])
+            if v >= 0:
+                s = v.bit_length()
+                bits_v = v
+            else:
+                s = (-v).bit_length()
+                bits_v = v + (1 << s) - 1
             code, ln = ac_codes[(run << 4) | s]
-            bw.put(code, ln)
-            bw.put(bits_v, s)
+            put((code << s) | bits_v, ln + s)
             run = 0
         if last_nz < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw.put(code, ln)
+            put(eob[0], eob[1])  # EOB
         return zz[0]
 
     chunks: list[bytes] = []
@@ -2577,7 +2624,7 @@ def encode_jpeg_baseline(
                 for by in range(fv):
                     for bx in range(fh):
                         preds[ci] = encode_block(
-                            bw, blk[my * fv + by, mx * fh + bx], preds[ci]
+                            bw, blk[my * fv + by][mx * fh + bx], preds[ci]
                         )
             mcu_count += 1
     chunks.append(bw.flush())
@@ -2829,86 +2876,181 @@ def decode_jpeg_baseline(content: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    coef = {
-        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.int64)
-        for c in comps
-    }
+    # r17 (guide §4.2): entropy decode runs with an O(1) int
+    # bit-accumulator held in LOCAL variables of one flat loop —
+    # refills raise the same IndexError at the same stream position
+    # as the per-bit form — and each huffman symbol resolves with ONE
+    # 16-bit peek into a cached LUT (per-length dict walk only at the
+    # stream tail, where fewer than 16 real bits remain, so the
+    # exhaustion point is bit-identical). The zigzag scatter and the
+    # (8,8) reshape run ONCE over all blocks of a component,
+    # vectorized, instead of one 64-step Python loop per block.
+    huff8 = {key: _huff_lut16(tab) for key, tab in huff.items()}
+
+    sched = []
+    for c in comps:
+        cid = c["id"]
+        dc_t, ac_t = scan[cid] if cid in scan else (0, 0)
+        sched.append(
+            (
+                cid,
+                c["v"] * c["h"],
+                huff[(0, dc_t)], huff8[(0, dc_t)],
+                huff[(1, ac_t)], huff8[(1, ac_t)],
+            )
+        )
 
     seg_idx = 0
     data = segments[0]
-    bitpos = 0
+    nd = len(data)
+    acc = 0
+    nacc = 0
+    idx = 0
     preds = {c["id"]: 0 for c in comps}
+    blk_lists: dict[int, list] = {c["id"]: [] for c in comps}
 
-    def read_bit() -> int:
-        nonlocal bitpos
-        byte = data[bitpos >> 3]
-        bit = (byte >> (7 - (bitpos & 7))) & 1
-        bitpos += 1
-        return bit
-
-    def read_bits(n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | read_bit()
-        return v
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid huffman code in JPEG stream")
-
-    def extend(v: int, s: int) -> int:
-        return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                seg_idx += 1
-                data = segments[seg_idx]
-                bitpos = 0
-                preds = {c["id"]: 0 for c in comps}
-            for c in comps:
-                dc_t, ac_t = (
-                    scan[c["id"]] if c["id"] in scan else (0, 0)
-                )
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        s = read_symbol(huff[(0, dc_t)])
-                        diff = extend(read_bits(s), s)
-                        preds[c["id"]] += diff
-                        blk[0] = preds[c["id"]]
-                        i = 1
-                        while i < 64:
-                            rs = read_symbol(huff[(1, ac_t)])
-                            if rs == 0x00:  # EOB
+    n_mcus = mcuy * mcux
+    for mcu_count in range(n_mcus):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            seg_idx += 1
+            data = segments[seg_idx]
+            nd = len(data)
+            acc = 0
+            nacc = 0
+            idx = 0
+            preds = {c["id"]: 0 for c in comps}
+        for cid, nblk, dct, dct8, act, act8 in sched:
+            pred = preds[cid]
+            out_list = blk_lists[cid]
+            for _ in range(nblk):
+                blk = [0] * 64
+                # --- DC symbol ---
+                while nacc < 16 and idx < nd:
+                    acc = (acc << 8) | data[idx]
+                    idx += 1
+                    nacc += 8
+                if nacc >= 16:
+                    hit = dct8[(acc >> (nacc - 16)) & 0xFFFF]
+                    if hit is None:
+                        raise ValueError("invalid huffman code in JPEG stream")
+                    s, ln = hit
+                    nacc -= ln
+                else:
+                    # stream tail: walk bit-by-bit so exhaustion
+                    # raises at the same position as the per-bit form
+                    s = None
+                    code, ln = 0, 0
+                    get = dct.get
+                    while ln < 16:
+                        if nacc == 0:
+                            if idx >= nd:
+                                raise IndexError("index out of range")
+                            acc = (acc << 8) | data[idx]
+                            idx += 1
+                            nacc += 8
+                        nacc -= 1
+                        code = (code << 1) | ((acc >> nacc) & 1)
+                        ln += 1
+                        s = get((ln, code))
+                        if s is not None:
+                            break
+                    else:
+                        raise ValueError("invalid huffman code in JPEG stream")
+                # --- DC magnitude bits (T.81 EXTEND, inlined) ---
+                while nacc < s:
+                    if idx >= nd:
+                        raise IndexError("index out of range")
+                    acc = (acc << 8) | data[idx]
+                    idx += 1
+                    nacc += 8
+                nacc -= s
+                v = (acc >> nacc) & ((1 << s) - 1)
+                if s and v < (1 << (s - 1)):
+                    v = v - (1 << s) + 1
+                pred += v
+                blk[0] = pred
+                # --- AC coefficients ---
+                i = 1
+                while i < 64:
+                    while nacc < 16 and idx < nd:
+                        acc = (acc << 8) | data[idx]
+                        idx += 1
+                        nacc += 8
+                    if nacc >= 16:
+                        hit = act8[(acc >> (nacc - 16)) & 0xFFFF]
+                        if hit is None:
+                            raise ValueError(
+                                "invalid huffman code in JPEG stream"
+                            )
+                        rs, ln = hit
+                        nacc -= ln
+                    else:
+                        rs = None
+                        code, ln = 0, 0
+                        get = act.get
+                        while ln < 16:
+                            if nacc == 0:
+                                if idx >= nd:
+                                    raise IndexError("index out of range")
+                                acc = (acc << 8) | data[idx]
+                                idx += 1
+                                nacc += 8
+                            nacc -= 1
+                            code = (code << 1) | ((acc >> nacc) & 1)
+                            ln += 1
+                            rs = get((ln, code))
+                            if rs is not None:
                                 break
-                            if rs == 0xF0:  # ZRL
-                                i += 16
-                                continue
-                            i += rs >> 4
-                            if i > 63:
-                                raise ValueError("AC index overrun")
-                            sz = rs & 0x0F
-                            blk[i] = extend(read_bits(sz), sz)
-                            i += 1
-                        zz = np.zeros((8, 8), dtype=np.int64)
-                        for k, (r, cc) in enumerate(_ZZ):
-                            zz[r, cc] = blk[k]
-                        coef[c["id"]][
-                            my * c["v"] + by, mx * c["h"] + bx
-                        ] = zz
-            mcu_count += 1
+                        else:
+                            raise ValueError(
+                                "invalid huffman code in JPEG stream"
+                            )
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += rs >> 4
+                    if i > 63:
+                        raise ValueError("AC index overrun")
+                    sz = rs & 0x0F
+                    while nacc < sz:
+                        if idx >= nd:
+                            raise IndexError("index out of range")
+                        acc = (acc << 8) | data[idx]
+                        idx += 1
+                        nacc += 8
+                    nacc -= sz
+                    v = (acc >> nacc) & ((1 << sz) - 1)
+                    if sz and v < (1 << (sz - 1)):
+                        v = v - (1 << sz) + 1
+                    blk[i] = v
+                    i += 1
+                out_list.append(blk)
+            preds[cid] = pred
+
+    coef = {}
+    for c in comps:
+        cid = c["id"]
+        cv, ch_ = c["v"], c["h"]
+        nby, nbx = mcuy * cv, mcux * ch_
+        flat = np.zeros((nby * nbx, 64), dtype=np.int64)
+        if blk_lists[cid]:
+            # append order was (my, mx, by, bx); the plane's flat
+            # block index is (my*v+by)*nbx + mx*h+bx — computed
+            # vectorized for every block at once
+            mcu_idx = np.arange(n_mcus, dtype=np.int64)
+            mys, mxs = mcu_idx // mcux, mcu_idx % mcux
+            by_f = np.repeat(np.arange(cv, dtype=np.int64), ch_)
+            bx_f = np.tile(np.arange(ch_, dtype=np.int64), cv)
+            pos_arr = (
+                (mys[:, None] * cv + by_f[None, :]) * nbx
+                + mxs[:, None] * ch_
+                + bx_f[None, :]
+            ).ravel()
+            zz_vals = np.asarray(blk_lists[cid], dtype=np.int64)
+            flat[pos_arr[:, None], _ZZ_FLAT[None, :]] = zz_vals
+        coef[cid] = flat.reshape(nby, nbx, 8, 8)
 
     planes = {}
     for c in comps:

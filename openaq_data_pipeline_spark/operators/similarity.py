@@ -1178,23 +1178,39 @@ def build_ivf_index(
     Returns the trained centroid rows so composite builders
     (:func:`build_ivf_pq_index`) need not re-collect them from the
     freshly written table."""
-    spark = corpus.sparkSession
+    cent_rows = _ivf_seed_or_train(
+        corpus, n_cells, train_iters, id_col, vec_col, index.round_dp,
+        init_rows,
+    )
+    _ivf_write_tables(corpus, index, cent_rows, id_col, vec_col)
+    return cent_rows
+
+
+def _ivf_seed_or_train(
+    corpus, n_cells, train_iters, id_col, vec_col, round_dp, init_rows=None
+):
+    """Training half of :func:`build_ivf_index` (r17 split, guide
+    §2.6: the composite IVF-PQ builder overlaps the table writes that
+    depend on these rows with the PQ side's training)."""
     if train_iters > 0:
-        cent_rows = ivf_train_centroids(
-            corpus, n_cells, train_iters, id_col, vec_col, index.round_dp,
+        return ivf_train_centroids(
+            corpus, n_cells, train_iters, id_col, vec_col, round_dp,
             init_rows=init_rows,
         )
-    else:
-        if init_rows is None:
-            init_rows = (
-                corpus.select(id_col, vec_col)
-                .orderBy(F.col(id_col))
-                .limit(n_cells)
-                .collect()
-            )
-        cent_rows = sorted(
-            (int(r[0]), list(r[1])) for r in init_rows[:n_cells]
+    if init_rows is None:
+        init_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col))
+            .limit(n_cells)
+            .collect()
         )
+    return sorted((int(r[0]), list(r[1])) for r in init_rows[:n_cells])
+
+
+def _ivf_write_tables(corpus, index, cent_rows, id_col, vec_col) -> None:
+    """Persistence half of :func:`build_ivf_index`: centroid table +
+    the corpus-assignment cells table (bucketed)."""
+    spark = corpus.sparkSession
     cents = spark.createDataFrame(
         [(cid, vec) for cid, vec in cent_rows],
         "cell_id long, centroid array<double>",
@@ -1205,7 +1221,6 @@ def build_ivf_index(
     w.saveAsTable(index.centroids_table)
     spark.catalog.refreshTable(index.centroids_table)
     _append_cells(corpus, index, cent_rows, id_col, vec_col, mode="overwrite")
-    return cent_rows
 
 
 def append_ivf_index(
@@ -2435,7 +2450,7 @@ def build_ivf_pq_index(
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> tuple:
     """Build BOTH halves of the production IVFADC topology (Jégou et
     al. 2011 §V) with the storage layout that makes the probe cheap
     at 100 TB: the PQ code rows CARRY their IVF cell assignment and
@@ -2450,25 +2465,24 @@ def build_ivf_pq_index(
     from concurrent.futures import ThreadPoolExecutor
 
     spark = corpus.sparkSession
-    # r16 (guide §2.6 overlap independent jobs): the IVF side (train →
-    # centroids table → cells table) and the PQ side (codebook train →
-    # codebooks table) share no state beyond the corpus and the init
-    # seed, so they run as two concurrent driver threads — the second
-    # side's tasks back-fill the first side's stage tails. The init
-    # seed (lowest-id vectors) is collected ONCE and serves both
-    # trainings (it is the same bounded orderBy-limit either way).
+    # r16 (guide §2.6 overlap independent jobs): the IVF side and the
+    # PQ side share no state beyond the corpus and the init seed, so
+    # they run as concurrent driver threads. The init seed (lowest-id
+    # vectors) is collected ONCE and serves both trainings.
+    # r17: the overlap is finer-grained — IVF *training* is split
+    # from the IVF *table writes*, so the three corpus-scanning
+    # writes (cells assignment, PQ codes, and the codebook/centroid
+    # bookkeeping) overlap each other instead of the codes write
+    # waiting serially for the whole IVF side: as soon as cent_rows
+    # exist, the cells write (thread) and the fused codes write
+    # (main thread) proceed concurrently. Still core-count-
+    # independent — at most 3 jobs in flight.
     init_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.col(id_col))
         .limit(max(n_cells, pq_index.ksub))
         .collect()
     )
-
-    def ivf_side():
-        return build_ivf_index(
-            corpus, ivf_index, n_cells=n_cells, train_iters=train_iters,
-            id_col=id_col, vec_col=vec_col, init_rows=init_rows,
-        )
 
     def pq_side():
         book_rows = pq_train_codebooks(
@@ -2490,15 +2504,26 @@ def build_ivf_pq_index(
         spark.catalog.refreshTable(pq_index.codebooks_table)
         return book_rows
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_ivf = pool.submit(ivf_side)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cents = pool.submit(
+            _ivf_seed_or_train,
+            corpus, n_cells, train_iters, id_col, vec_col,
+            ivf_index.round_dp, init_rows,
+        )
         f_pq = pool.submit(pq_side)
-        cent_rows = f_ivf.result()
+        f_ivf_tables = pool.submit(
+            lambda: _ivf_write_tables(
+                corpus, ivf_index, f_cents.result(), id_col, vec_col
+            )
+        )
+        cent_rows = f_cents.result()
         book_rows = f_pq.result()
-    _append_cell_codes(
-        corpus, ivf_index, pq_index, book_rows, id_col, vec_col,
-        mode="overwrite", cent_rows=cent_rows,
-    )
+        _append_cell_codes(
+            corpus, ivf_index, pq_index, book_rows, id_col, vec_col,
+            mode="overwrite", cent_rows=cent_rows,
+        )
+        f_ivf_tables.result()
+    return cent_rows, book_rows
 
 
 def append_ivf_pq_index(
@@ -2593,6 +2618,8 @@ def ivf_pq_topk_cellpruned(
     nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent_rows=None,
+    book_rows=None,
 ) -> DataFrame:
     """IVFADC probe over the fused layout: the probed cell ids (≤
     nprobe·n_cells distinct values — a bounded collect, like the
@@ -2600,25 +2627,43 @@ def ivf_pq_topk_cellpruned(
     table's bucket key, so the scan reads only the probed buckets;
     candidates then pair bucket-locally and rank by the same ADC
     integer sum. Output ≡ :func:`ivf_pq_topk_indexed` ≡ the inline
-    composition (pinned by test)."""
+    composition (pinned by test).
+
+    ``cent_rows``/``book_rows`` (r17, guide §2.6): a composite
+    builder that just trained the index already holds both bounded
+    row sets; passing them skips the two table re-collect jobs. The
+    values must be the frozen handles' contents (what
+    ``_index_centroid_rows``/``_index_book_rows`` would return — the
+    build functions return exactly these); defaults re-fetch from
+    the persisted tables."""
     nprobe = ivf_index.nprobe if nprobe is None else nprobe
     # r16 (guide §2.6): the two persisted-handle reads are
     # independent — fetch the PQ codebooks concurrently with the
-    # centroid fetch + probe materialization
+    # centroid fetch + probe-cells collect. r17: the probes plane is
+    # a pure projection since the r16 attach-and-scan rework, so its
+    # eager checkpoint job is gone — the broadcast build and the
+    # distinct-cells collect each evaluate the cheap projection
+    # directly (one fewer Spark job in the probe chain).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=1) as pool:
-        f_books = pool.submit(_index_book_rows, spark, pq_index)
-        cent_rows = _index_centroid_rows(spark, ivf_index)
+        f_books = (
+            pool.submit(_index_book_rows, spark, pq_index)
+            if book_rows is None
+            else None
+        )
+        if cent_rows is None:
+            cent_rows = _index_centroid_rows(spark, ivf_index)
         probes = ivf_probe_cells(
             queries.select(F.col(id_col), F.col(vec_col)),
             cent_rows, nprobe, id_col, vec_col, ivf_index.round_dp,
-        ).localCheckpoint(eager=True)
+        )
         probe_cells = sorted(
             int(r["cell_id"])
             for r in probes.select("cell_id").distinct().collect()
         )
-        book_rows = f_books.result()
+        if f_books is not None:
+            book_rows = f_books.result()
     codes = spark.table(pq_index.codes_table).where(
         F.col("cell_id").isin(probe_cells)
     )

@@ -808,10 +808,18 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) as pidx:
         # the FUSED layout: codes bucketed by cell, probe scan
         # bucket-pruned to the probed cells (pinned equal to the
-        # two-handle composition in tests/test_ann_index.py)
-        build_ivf_pq_index(e, iidx, pidx, n_cells=16, train_iters=1)
+        # two-handle composition in tests/test_ann_index.py).
+        # r17 (guide §2.6): the builder just trained both handles, so
+        # the probe reuses the bounded centroid/codebook rows instead
+        # of re-collecting them from the freshly written tables — two
+        # fewer Spark jobs in the probe chain; identical values (the
+        # build functions return exactly the persisted contents)
+        cent_rows, book_rows = build_ivf_pq_index(
+            e, iidx, pidx, n_cells=16, train_iters=1
+        )
         return ivf_pq_topk_cellpruned(
-            spark, q, iidx, pidx, k=5
+            spark, q, iidx, pidx, k=5,
+            cent_rows=cent_rows, book_rows=book_rows,
         ).localCheckpoint(eager=True)
 
 
