@@ -146,9 +146,23 @@ def train_logreg(
         .select("doc_id", "__fx", "y")
         .localCheckpoint(eager=False)
     )
-    w_vec = [0.0] * (n_features + 1)
+    # r17 (guide §2.6/§1.2: remove driver round-trips): ALL GD rounds
+    # chain inside ONE lazy plan — each round's gradient aggregate
+    # feeds the next round's weight row as a one-row broadcast
+    # (map_from_entries of the 129 gradient rows; the weight update
+    # w[f] − (lr/n)·g[f] runs in-plan with the SAME IEEE double ops
+    # the driver loop performed: one multiply by the precomputed
+    # lr/n, one subtract, missing features coalesce to 0.0). The old
+    # loop ran one Spark job + one createDataFrame + one collect per
+    # round; this shape runs ONE job and collects the final 129-float
+    # weight row (the established bounded-collect class). Gradient
+    # sums remain shuffle-order nondeterministic exactly as before —
+    # inside the documented integer-decision/ulp contract.
+    s_step = lr / n
+    w_df = spark.createDataFrame(
+        [([0.0] * (n_features + 1),)], "__w array<double>"
+    )
     for _ in range(n_iters):
-        w_row = spark.createDataFrame([(w_vec,)], "__w array<double>")
         margin = F.aggregate(
             F.col("__fx"),
             F.lit(0.0),
@@ -156,18 +170,33 @@ def train_logreg(
             + s["x"] * F.element_at(F.col("__w"), (s["feature"] + 1).cast("int")),
         )
         resid = (_sigmoid(margin) - F.col("y")).alias("__r")
-        grad_rows = (
-            doc_rows.crossJoin(F.broadcast(w_row))
+        grad = (
+            doc_rows.crossJoin(F.broadcast(w_df))
             .select(resid, F.explode(F.col("__fx")).alias("__s"))
             .groupBy(F.col("__s.feature").alias("feature"))
             .agg(F.sum(F.col("__s.x") * F.col("__r")).alias("g"))
-            .collect()
         )
-        g = {int(r["feature"]): float(r["g"]) for r in grad_rows}
-        w_vec = [
-            w_vec[f] - (lr / n) * g.get(f, 0.0)
-            for f in range(n_features + 1)
-        ]
+        gmap = grad.agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("feature").cast("int"), F.col("g"))
+                )
+            ).alias("__gm")
+        )
+        w_df = (
+            gmap.crossJoin(F.broadcast(w_df))
+            .select(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_features)),
+                    lambda f: F.element_at(F.col("__w"), f + 1)
+                    - F.lit(s_step)
+                    * F.coalesce(
+                        F.try_element_at(F.col("__gm"), f), F.lit(0.0)
+                    ),
+                ).alias("__w")
+            )
+        )
+    w_vec = [float(x) for x in w_df.collect()[0]["__w"]]
     return spark.createDataFrame(
         [(f, w_vec[f]) for f in range(n_features + 1)],
         "feature long, w double",

@@ -303,6 +303,7 @@ def incremental_dedup(
     id_col: str,
     index: DedupIndex,
     update_index: bool = True,
+    new_sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id, kept, dup_of) disposition of every ``new_batch`` doc
     against the persisted index + the batch itself (module contract
@@ -315,9 +316,16 @@ def incremental_dedup(
     checkpoint-backed so the caller does not recompute the plan)."""
     spark = new_batch.sparkSession
     id_type = new_batch.schema[id_col].dataType
-    new_sh = shingles(
-        new_batch, text_col, id_col, n=index.n, distinct=True
-    ).localCheckpoint(eager=False)
+    # r17 (guide §2.6): callers that know the batch ahead of the
+    # index being ready (e.g. batch-0 bootstrap + batch-1 in one
+    # program) may pre-shingle the batch CONCURRENTLY with the index
+    # build and pass the checkpointed block in — the shingle
+    # expression must be identical (shingles(new_batch, ...,
+    # n=index.n, distinct=True)); defaults unchanged
+    if new_sh is None:
+        new_sh = shingles(
+            new_batch, text_col, id_col, n=index.n, distinct=True
+        ).localCheckpoint(eager=False)
     pairs = incremental_candidate_pairs(
         new_batch, text_col, id_col, index, new_sh=new_sh
     ).localCheckpoint(eager=False)

@@ -681,7 +681,11 @@ pairs AS (
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE {exact_ratio_duck('n_common', 'sa.n_sh + sb.n_sh - n_common')} >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
+    -- MATERIALIZED (r17): DuckDB inlines plain CTEs, so the
+    -- recursive walk below re-ran the whole shingle self-join every
+    -- iteration (measured 154s -> 1s at sf0.001 on the incremental
+    -- variant); materializing the feeder is row-identical
     SELECT id_a AS n1, id_b AS n2 FROM pairs
     UNION ALL
     SELECT id_b, id_a FROM pairs
@@ -1129,7 +1133,7 @@ ap AS (
     JOIN az zb ON zb.doc_id = id_b
     WHERE {_INCR_JACC1} >= 0.5
 ),
-ae AS (SELECT id_a AS n1, id_b AS n2 FROM ap UNION ALL SELECT id_b, id_a FROM ap),
+ae AS MATERIALIZED (SELECT id_a AS n1, id_b AS n2 FROM ap UNION ALL SELECT id_b, id_a FROM ap),
 awalk(node, r) AS (
     SELECT n1, n1 FROM ae
     UNION
@@ -1170,7 +1174,7 @@ up AS (
     JOIN zfull zb ON zb.doc_id = id_b
     WHERE {_INCR_JACC1} >= 0.5
 ),
-ue AS (SELECT id_a AS n1, id_b AS n2 FROM up UNION ALL SELECT id_b, id_a FROM up),
+ue AS MATERIALIZED (SELECT id_a AS n1, id_b AS n2 FROM up UNION ALL SELECT id_b, id_a FROM up),
 uwalk(node, r) AS (
     SELECT n1, n1 FROM ue
     UNION
@@ -1264,10 +1268,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropped, so repeated bench/parity runs leave no catalog or /tmp
     # residue (VERDICT r5 #2). Production callers keep their index —
     # only this self-contained demonstration drops it.
+    # r17 (guide §2.6): batch-2's shingle checkpoint depends only on
+    # the documents scan, not on the index — materialize it on a
+    # driver thread CONCURRENTLY with the batch-1 index build (whose
+    # tail stages otherwise leave cores idle), then hand the block to
+    # the incremental pass. Same shingle expression, same rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from openaq_data_pipeline_spark.operators.dedup import shingles
+
     with temp_index(n_buckets=8) as idx:
-        build_index(b1, "text", "doc_id", idx)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_sh = pool.submit(
+                lambda: shingles(
+                    b2, "text", "doc_id", n=idx.n, distinct=True
+                ).localCheckpoint(eager=True)
+            )
+            build_index(b1, "text", "doc_id", idx)
+            new_sh = f_sh.result()
         return incremental_dedup(
-            b2, "text", "doc_id", idx, update_index=False
+            b2, "text", "doc_id", idx, update_index=False, new_sh=new_sh
         ).localCheckpoint(eager=True)
 
 

@@ -17,20 +17,26 @@ from openaq_data_pipeline_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
+    import json
+
+    extra = {
+        "spark.driver.memory": "4g",
+        # partest.py runs shards as concurrent pytest processes;
+        # managed tables (saveAsTable) must not collide across
+        # their in-memory catalogs, so each shard gets its own
+        # warehouse root via this env var
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_TEST_WAREHOUSE", "/tmp/spark-wh"
+        ),
+    }
+    # ad-hoc conf overrides for suite-latency experiments (r17), e.g.
+    # SPARK_TEST_EXTRA_CONF='{"spark.sql.codegen.wholeStage":"false"}'
+    extra.update(json.loads(os.environ.get("SPARK_TEST_EXTRA_CONF", "{}")))
     spark = get_spark(
         app_name="openaq-tests",
-        master="local[4]",
-        shuffle_partitions=4,
-        extra_conf={
-            "spark.driver.memory": "4g",
-            # partest.py runs shards as concurrent pytest processes;
-            # managed tables (saveAsTable) must not collide across
-            # their in-memory catalogs, so each shard gets its own
-            # warehouse root via this env var
-            "spark.sql.warehouse.dir": os.environ.get(
-                "SPARK_TEST_WAREHOUSE", "/tmp/spark-wh"
-            ),
-        },
+        master=os.environ.get("SPARK_TEST_MASTER", "local[4]"),
+        shuffle_partitions=int(os.environ.get("SPARK_TEST_SHUFFLE", "4")),
+        extra_conf=extra,
     )
     yield spark
 
