@@ -1465,7 +1465,7 @@ def q_video_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from openaq_data_pipeline_spark.operators.text import sniff_mime
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    d = fan_out(load(spark, sf_dir, "documents")["documents"]).select("doc_id")
 
     def synth(batches):
         for pdf in batches:
@@ -3453,7 +3453,7 @@ def q_image_avif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from openaq_data_pipeline_spark.operators.text import sniff_mime
 
-    d = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    d = fan_out(load(spark, sf_dir, "documents")["documents"]).select("doc_id")
     avif_ok = _native_avif_ok()  # frozen driver-side at plan build
 
     def synth(batches):

@@ -900,41 +900,41 @@ def crawl_intake_gate(
                     mplanes["text"].drop("member_index", "member_name")
                 )
             if media_features_path is not None:
+                from concurrent.futures import ThreadPoolExecutor
+
                 from openaq_data_pipeline_spark.operators.router import (
                     route_stats,
                 )
 
                 # media features, the discard audit (no payload is
                 # ever silently dropped), and per-batch route stats
-                # all land under the same per-batch_id idempotence
-                for plane in ("image", "audio", "video", "discard"):
+                # all land under the same per-batch_id idempotence.
+                # r17 (guide §2.6): the 5-9 sinks are DISJOINT paths
+                # fed by the already-checkpointed routed/members
+                # planes, so they run as concurrent driver jobs — the
+                # batch previously paid one serial job per sink. 3
+                # workers is core-count-independent back-fill.
+                def _sink(df, sub):
                     (
-                        planes[plane]
-                        .selectExpr("*", f"{batch_id} as batch_id")
+                        df.selectExpr("*", f"{batch_id} as batch_id")
                         .write.mode("overwrite")
                         .option("partitionOverwriteMode", "dynamic")
                         .partitionBy("batch_id")
-                        .parquet(f"{media_features_path}/{plane}")
+                        .parquet(f"{media_features_path}/{sub}")
                     )
+
+                jobs = []
+                for plane in ("image", "audio", "video", "discard"):
+                    jobs.append((planes[plane], plane))
                     if mplanes is not None:
-                        (
-                            mplanes[plane]
-                            .selectExpr("*", f"{batch_id} as batch_id")
-                            .write.mode("overwrite")
-                            .option("partitionOverwriteMode", "dynamic")
-                            .partitionBy("batch_id")
-                            .parquet(
-                                f"{media_features_path}/zip_{plane}"
-                            )
-                        )
-                (
-                    route_stats(routed, encoding_col=encoding_col)
-                    .selectExpr("*", f"{batch_id} as batch_id")
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(f"{media_features_path}/route_stats")
+                        jobs.append((mplanes[plane], f"zip_{plane}"))
+                jobs.append(
+                    (route_stats(routed, encoding_col=encoding_col),
+                     "route_stats")
                 )
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    for f in [pool.submit(_sink, df, sub) for df, sub in jobs]:
+                        f.result()
             texts = text_plane.localCheckpoint(eager=True)
         else:
             texts = html_extract_density(
